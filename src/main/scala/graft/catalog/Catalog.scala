@@ -1,0 +1,308 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.util.UUID
+
+import graft.spec._
+import graft.table.IceTable
+
+/** Commit protocol ADTs (reference: iceberg-rust/src/catalog/commit.rs:43-553).
+  * A commit is a list of requirements checked against the CURRENT metadata,
+  * plus a list of updates applied to produce the next metadata version.
+  */
+sealed trait TableRequirement
+object TableRequirement {
+  /** commit.rs:198-239 — the ref must still point at the expected snapshot. */
+  final case class AssertRefSnapshotId(ref: String, snapshotId: Option[Long]) extends TableRequirement
+  final case class AssertCurrentSchemaId(schemaId: Int) extends TableRequirement
+  final case class AssertDefaultSpecId(specId: Int) extends TableRequirement
+}
+
+sealed trait TableUpdate
+object TableUpdate {
+  final case class AddSnapshot(snapshot: Snapshot) extends TableUpdate
+  final case class SetSnapshotRef(refName: String, snapshotId: Long, refType: String) extends TableUpdate
+  final case class AddSchema(schema: IceSchema, lastColumnId: Int) extends TableUpdate
+  final case class SetCurrentSchema(schemaId: Int) extends TableUpdate
+  final case class AddPartitionSpec(spec: PartitionSpec) extends TableUpdate
+  final case class SetDefaultSpec(specId: Int) extends TableUpdate
+  final case class SetProperties(updates: Map[String, String]) extends TableUpdate
+  final case class RemoveProperties(removals: Seq[String]) extends TableUpdate
+  final case class RemoveSnapshots(snapshotIds: Seq[Long]) extends TableUpdate
+}
+
+final case class TableIdent(namespace: Seq[String], name: String) {
+  override def toString: String = (namespace :+ name).mkString(".")
+}
+object TableIdent {
+  def parse(s: String): TableIdent = {
+    val parts = s.split('.').toSeq
+    TableIdent(parts.init, parts.last)
+  }
+}
+
+final case class CommitTable(ident: TableIdent, requirements: Seq[TableRequirement],
+                             updates: Seq[TableUpdate])
+
+class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+/** Catalog abstraction (reference: iceberg-rust/src/catalog/mod.rs trait). */
+trait Catalog {
+  def createTable(ident: TableIdent, schema: IceSchema, spec: PartitionSpec,
+                  properties: Map[String, String] = Map.empty): IceTable
+  def loadTable(ident: TableIdent): Option[IceTable]
+  def tableExists(ident: TableIdent): Boolean = loadTable(ident).isDefined
+  def dropTable(ident: TableIdent): Unit
+  def listTables(namespace: Seq[String]): Seq[TableIdent]
+  def createNamespace(namespace: Seq[String]): Unit
+  def dropNamespace(namespace: Seq[String]): Unit
+  def listNamespaces(): Seq[Seq[String]]
+  /** Requirement check + CAS; returns committed metadata
+    * (commit.rs:417-490 + sql catalog CAS, iceberg-sql-catalog/src/lib.rs:429-480).
+    */
+  def updateTable(commit: CommitTable): TableMetadata
+  // ---- views (SURVEY §2.8 D2) ----
+  def createView(ident: TableIdent, sql: String, schemaJson: String): Unit
+  def loadView(ident: TableIdent): Option[(String, String)] // (sql, schemaJson)
+  def dropView(ident: TableIdent): Unit
+}
+
+object CatalogOps {
+  /** Applies updates to metadata (commit.rs:417-490): AddSnapshot also bumps
+    * last-sequence-number and appends to snapshot-log.
+    */
+  def applyUpdates(base: TableMetadata, updates: Seq[TableUpdate]): TableMetadata = {
+    import TableUpdate._
+    updates.foldLeft(base) { (m, u) =>
+      u match {
+        case AddSnapshot(s) => m.copy(
+          snapshots = m.snapshots + (s.snapshotId -> s),
+          lastSequenceNumber = math.max(m.lastSequenceNumber, s.sequenceNumber),
+          snapshotLog = m.snapshotLog :+ SnapshotLogEntry(s.snapshotId, s.timestampMs),
+          lastUpdatedMs = s.timestampMs)
+        case SetSnapshotRef(name, id, refType) =>
+          val m2 = m.copy(refs = m.refs + (name -> SnapshotReference(id, refType)))
+          if (name == m.MainBranch) m2.copy(currentSnapshotId = Some(id)) else m2
+        case AddSchema(s, lastCol) => m.copy(
+          schemas = m.schemas + (s.schemaId -> s),
+          lastColumnId = math.max(m.lastColumnId, lastCol))
+        case SetCurrentSchema(id) => m.copy(currentSchemaId = id)
+        case AddPartitionSpec(s) => m.copy(
+          partitionSpecs = m.partitionSpecs + (s.specId -> s),
+          lastPartitionId = math.max(m.lastPartitionId,
+            (s.fields.map(_.fieldId) :+ m.lastPartitionId).max))
+        case SetDefaultSpec(id) => m.copy(defaultSpecId = id)
+        case SetProperties(p) => m.copy(properties = m.properties ++ p)
+        case RemoveProperties(ks) => m.copy(properties = m.properties -- ks)
+        case RemoveSnapshots(ids) => m.copy(
+          snapshots = m.snapshots -- ids,
+          snapshotLog = m.snapshotLog.filterNot(e => ids.contains(e.snapshotId)),
+          refs = m.refs.filterNot { case (_, r) => ids.contains(r.snapshotId) })
+      }
+    }
+  }
+
+  /** Requirement check against current metadata (commit.rs:198-239). */
+  def checkRequirements(m: TableMetadata, reqs: Seq[TableRequirement]): Unit = {
+    import TableRequirement._
+    reqs.foreach {
+      case AssertRefSnapshotId(ref, expected) =>
+        val actual =
+          if (ref == m.MainBranch) m.currentSnapshotId.orElse(m.refs.get(ref).map(_.snapshotId))
+          else m.refs.get(ref).map(_.snapshotId)
+        if (actual != expected)
+          throw new CommitConflictException(
+            s"ref $ref moved: expected $expected, found $actual")
+      case AssertCurrentSchemaId(id) =>
+        if (m.currentSchemaId != id)
+          throw new CommitConflictException(s"current schema changed: expected $id, found ${m.currentSchemaId}")
+      case AssertDefaultSpecId(id) =>
+        if (m.defaultSpecId != id)
+          throw new CommitConflictException(s"default spec changed: expected $id, found ${m.defaultSpecId}")
+    }
+  }
+}
+
+/** Filesystem catalog (mirrors catalogs/iceberg-file-catalog): table metadata
+  * at `<warehouse>/<ns...>/<table>/metadata/%05d-<uuid>.metadata.json`
+  * (naming per table_metadata.rs:360-371) with a best-effort
+  * `version-hint.text` pointer. The commit CAS is exclusive file creation of
+  * the next metadata version (`CREATE_NEW` — atomic on POSIX): two racing
+  * committers target the same version file name, exactly one create succeeds.
+  */
+class FileCatalog(val warehouse: String) extends Catalog {
+  private def tableDir(ident: TableIdent): Path =
+    Paths.get((warehouse +: ident.namespace :+ ident.name).mkString("/"))
+  private def metadataDir(ident: TableIdent): Path = tableDir(ident).resolve("metadata")
+
+  private def listVersions(ident: TableIdent): Seq[(Int, Path)] = {
+    val dir = metadataDir(ident)
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.getFileName.toString.endsWith(".metadata.json"))
+        .map(p => p.getFileName.toString.take(5).toInt -> p).toSeq.sortBy(_._1)
+    } finally s.close()
+  }
+
+  private def writeVersion(ident: TableIdent, version: Int, m: TableMetadata): Path = {
+    val dir = metadataDir(ident)
+    Files.createDirectories(dir)
+    val path = dir.resolve(f"$version%05d-${UUID.randomUUID()}.metadata.json")
+    // CAS step 1: only one committer can own version N. Versions are claimed
+    // via a lock file keyed on version number alone (the uuid suffix keeps
+    // the metadata file name spec-shaped).
+    val lock = dir.resolve(f"$version%05d.version.lock")
+    Files.write(lock, path.getFileName.toString.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE) // throws if claimed
+    Files.write(path, TableMetadataJson.toJson(m).getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    val hint = dir.resolve("version-hint.text")
+    val tmp = dir.resolve(s"version-hint.${UUID.randomUUID()}.tmp")
+    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, hint, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    path
+  }
+
+  private def currentVersion(ident: TableIdent): Option[(Int, Path)] =
+    listVersions(ident).lastOption
+
+  def loadMetadata(ident: TableIdent): Option[TableMetadata] =
+    currentVersion(ident).map { case (_, p) =>
+      TableMetadataJson.fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    }
+
+  override def createTable(ident: TableIdent, schema: IceSchema, spec: PartitionSpec,
+                           properties: Map[String, String]): IceTable = {
+    require(loadMetadata(ident).isEmpty, s"table $ident already exists")
+    val now = System.currentTimeMillis()
+    val m = TableMetadata(
+      formatVersion = 2,
+      tableUuid = UUID.randomUUID().toString,
+      location = tableDir(ident).toAbsolutePath.toString,
+      lastSequenceNumber = 0L,
+      lastUpdatedMs = now,
+      lastColumnId = schema.maxFieldId,
+      schemas = Map(schema.schemaId -> schema),
+      currentSchemaId = schema.schemaId,
+      partitionSpecs = Map(spec.specId -> spec),
+      defaultSpecId = spec.specId,
+      lastPartitionId = (spec.fields.map(_.fieldId) :+ 999).max,
+      properties = DefaultProperties.table ++ properties,
+      currentSnapshotId = None,
+      snapshots = Map.empty,
+      snapshotLog = Nil,
+      metadataLog = Nil,
+      sortOrders = Map(0 -> SortOrder.unsorted),
+      defaultSortOrderId = 0,
+      refs = Map.empty)
+    writeVersion(ident, 1, m)
+    new IceTable(ident, this, m)
+  }
+
+  override def loadTable(ident: TableIdent): Option[IceTable] =
+    loadMetadata(ident).map(m => new IceTable(ident, this, m))
+
+  override def dropTable(ident: TableIdent): Unit = {
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try { import scala.jdk.CollectionConverters._; s.iterator().asScala.foreach(rm) }
+        finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    rm(tableDir(ident))
+  }
+
+  override def listTables(namespace: Seq[String]): Seq[TableIdent] = {
+    val dir = Paths.get((warehouse +: namespace).mkString("/"))
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(p => Files.isDirectory(p.resolve("metadata")))
+        .map(p => TableIdent(namespace, p.getFileName.toString)).toSeq
+    } finally s.close()
+  }
+
+  override def createNamespace(namespace: Seq[String]): Unit =
+    Files.createDirectories(Paths.get((warehouse +: namespace).mkString("/")))
+  override def dropNamespace(namespace: Seq[String]): Unit =
+    Files.deleteIfExists(Paths.get((warehouse +: namespace).mkString("/")))
+  override def listNamespaces(): Seq[Seq[String]] = {
+    val dir = Paths.get(warehouse)
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(Files.isDirectory(_)).map(p => Seq(p.getFileName.toString)).toSeq
+    } finally s.close()
+  }
+
+  override def updateTable(commit: CommitTable): TableMetadata = {
+    val (version, path) = currentVersion(commit.ident)
+      .getOrElse(throw new IllegalStateException(s"table ${commit.ident} does not exist"))
+    val current = TableMetadataJson.fromJson(
+      new String(Files.readAllBytes(path), StandardCharsets.UTF_8))
+    CatalogOps.checkRequirements(current, commit.requirements)
+    val next = CatalogOps.applyUpdates(current, commit.updates)
+      .copy(metadataLog = current.metadataLog :+
+        MetadataLogEntry(path.toString, current.lastUpdatedMs))
+    try writeVersion(commit.ident, version + 1, next)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"concurrent commit claimed version ${version + 1} of ${commit.ident}")
+    }
+    next
+  }
+
+  // ---- views: SQL text + output schema stored as versioned JSON ----
+
+  private def viewFile(ident: TableIdent): Path = metadataDir(ident).resolve("view.json")
+
+  override def createView(ident: TableIdent, sql: String, schemaJson: String): Unit = {
+    Files.createDirectories(metadataDir(ident))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = mapper.createObjectNode()
+    n.put("view-uuid", UUID.randomUUID().toString)
+    n.put("format-version", 1)
+    n.put("location", tableDir(ident).toAbsolutePath.toString)
+    n.put("current-version-id", 1)
+    val versions = n.putArray("versions")
+    val v = versions.addObject()
+    v.put("version-id", 1)
+    v.put("timestamp-ms", System.currentTimeMillis())
+    val reps = v.putArray("representations")
+    val rep = reps.addObject()
+    rep.put("type", "sql"); rep.put("sql", sql); rep.put("dialect", "spark")
+    n.set[com.fasterxml.jackson.databind.JsonNode]("schema", mapper.readTree(schemaJson))
+    Files.write(viewFile(ident), mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(n).getBytes(StandardCharsets.UTF_8))
+  }
+
+  override def loadView(ident: TableIdent): Option[(String, String)] = {
+    val p = viewFile(ident)
+    if (!Files.exists(p)) None
+    else {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n = mapper.readTree(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      val sql = n.get("versions").get(0).get("representations").get(0).get("sql").asText()
+      Some(sql -> n.get("schema").toString)
+    }
+  }
+
+  override def dropView(ident: TableIdent): Unit = Files.deleteIfExists(viewFile(ident))
+}
+
+/** Default table properties (iceberg-rust/src/table/mod.rs:75-85). */
+object DefaultProperties {
+  val table: Map[String, String] = Map(
+    "write.parquet.compression-codec" -> "zstd",
+    "write.parquet.compression-level" -> "1",
+    "write.target-file-size-bytes" -> "512000000") // MAX_PARQUET_SIZE, write.rs:66
+}

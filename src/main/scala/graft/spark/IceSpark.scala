@@ -1,0 +1,333 @@
+package graft.spark
+
+import java.net.URLDecoder
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Pruning, Transform}
+import graft.spec.{IceSchema, IceType, Snapshot}
+import graft.table.ManifestModel._
+import graft.table.{IceTable, ParquetStats}
+
+/** Spark-native write path (reference: S7/S8 — datafusion_iceberg/src/
+  * table.rs:740-792 + iceberg-rust/src/arrow/write.rs:89-266).
+  *
+  * The reference's per-partition fan-out stream becomes
+  * `repartition(partitionExprs)` + `partitionBy` parquet tasks — Spark's
+  * shuffle is the cluster-scale analogue of the reference's in-process
+  * channel split (SURVEY §3.2). File rolling uses maxRecordsPerFile derived
+  * from the 512 MB target (write.rs:66); compression matches the reference
+  * default zstd level 1 (table/mod.rs:75-85).
+  */
+object IceWrite {
+
+  /** Appends `df` to the table; returns the updated table. */
+  def append(spark: SparkSession, table: IceTable, df: DataFrame,
+             branch: Option[String] = None): IceTable = {
+    val files = writeDataFiles(spark, table, df, table.schema)
+    table.newTransaction(branch).appendData(files).commit()
+  }
+
+  /** Writes equality-delete files for the rows of `df` projected onto
+    * `equalityIds` (S9, write.rs:119-126): any table row matching a delete
+    * row on those columns — and older than the delete — is masked at read.
+    */
+  def appendEqualityDeletes(spark: SparkSession, table: IceTable, df: DataFrame,
+                            equalityIds: Seq[Int], branch: Option[String] = None): IceTable = {
+    val schema = table.schema
+    val eqCols = equalityIds.map(id => schema.fieldById(id)
+      .getOrElse(throw new IllegalArgumentException(s"unknown equality field id $id")).name)
+    val projected = df.select(eqCols.map(col): _*).distinct()
+    val deleteSchema = schema.project(equalityIds)
+    val files = writeDataFiles(spark, table, projected, deleteSchema,
+      content = ContentEqualityDeletes, equalityIds = equalityIds)
+    table.newTransaction(branch).appendDeletes(files).commit()
+  }
+
+  /** Compaction / full rewrite (T3): reads current content, rewrites it as
+    * one balanced file set, commits a replace snapshot.
+    */
+  def replaceWith(spark: SparkSession, table: IceTable, df: DataFrame,
+                  branch: Option[String] = None): IceTable = {
+    val files = writeDataFiles(spark, table, df, table.schema)
+    table.newTransaction(branch).replace(files).commit()
+  }
+
+  private[graft] def writeDataFiles(spark: SparkSession, table: IceTable, df: DataFrame,
+                                    writeSchema: IceSchema, content: Int = ContentData,
+                                    equalityIds: Seq[Int] = Nil): Seq[DataFile] = {
+    val spec = table.spec
+    val props = table.metadata.properties
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    spark.sessionState.newHadoopConf() // ensure defaults materialized
+    spark.sparkContext.hadoopConfiguration.set("parquet.compression.codec.zstd.level",
+      props.getOrElse("write.parquet.compression-level", "1"))
+
+    val stagingDir = s"${table.location}/data/${UUID.randomUUID()}"
+    // align to schema order/names/types and attach field-id metadata so the
+    // parquet writer emits PARQUET:field_id (id-based column resolution —
+    // the rename-safe read path, SURVEY §7 hard-part 1)
+    val targetSchema = writeSchema.toSpark
+    val aligned = df.select(writeSchema.fields.map { f =>
+      col(f.name).cast(IceType.toSpark(f.fieldType))
+        .as(f.name, targetSchema(f.name).metadata)
+    }: _*)
+
+    val partFields = if (content == ContentData) spec.fields else Nil
+    val writer = if (partFields.nonEmpty) {
+      val sparkSchema = aligned.schema
+      val withParts = partFields.foldLeft(aligned) { (acc, pf) =>
+        val srcName = writeSchema.fieldById(pf.sourceId).get.name
+        acc.withColumn(pf.name, pf.transform.column(col(srcName), sparkSchema(srcName).dataType))
+      }
+      withParts
+        .repartition(partFields.map(pf => col(pf.name)): _*)
+        .write.partitionBy(partFields.map(_.name): _*)
+    } else aligned.coalesce(math.max(1, aligned.rdd.getNumPartitions / 4)).write
+
+    writer
+      .option("compression", props.getOrElse("write.parquet.compression-codec", "zstd"))
+      .option("maxRecordsPerFile",
+        props.getOrElse("write.max-records-per-file", "10000000"))
+      .parquet(stagingDir)
+
+    collectDataFiles(spark, table, stagingDir, writeSchema, partFields.map(_.name), content, equalityIds)
+  }
+
+  /** Walks the staging dir, parses hive-style partition dirs back to
+    * canonical values, scrapes footers → DataFile stats (S10).
+    */
+  private def collectDataFiles(spark: SparkSession, table: IceTable, stagingDir: String,
+                               writeSchema: IceSchema, partNames: Seq[String],
+                               content: Int, equalityIds: Seq[Int]): Seq[DataFile] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(stagingDir), conf)
+    val partTypes: Map[String, IceType] = if (partNames.nonEmpty) {
+      table.spec.partitionType(table.schema).fields.map(f => f.name -> f.fieldType).toMap
+    } else Map.empty
+
+    val it = fs.listFiles(new Path(stagingDir), true)
+    val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) paths += f.getPath.toUri.getPath
+    }
+    paths.toSeq.sorted.map { p =>
+      val rel = p.stripPrefix(stagingDir).split('/').filter(_.nonEmpty)
+      val partition: Seq[(String, Any)] = rel.init.flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i < 0) None
+        else {
+          val name = seg.take(i)
+          val raw = URLDecoder.decode(seg.drop(i + 1), "UTF-8")
+          val v: Any =
+            if (raw == "__HIVE_DEFAULT_PARTITION__") null
+            else partTypes.get(name) match {
+              case Some(IceType.IntT | IceType.DateT) => raw.toInt
+              case Some(IceType.LongT) => raw.toLong
+              case _ => raw
+            }
+          Some(name -> v)
+        }
+      }.toSeq
+      ParquetStats.dataFile(p, conf, writeSchema, partition, content, equalityIds)
+    }
+  }
+}
+
+/** Snapshot-aware scan → DataFrame (reference: S1 — datafusion_iceberg/src/
+  * table.rs:162-728). Planning is driver-side and O(manifests): manifest
+  * pruning via partition summaries (P3), file pruning via column min/max,
+  * then a DataFrame over exactly the surviving parquet paths. Catalyst
+  * re-applies filters (Inexact semantics) and handles projection pruning,
+  * so pruning here only ever removes IO, never correctness.
+  */
+object IceScan {
+
+  final case class ScanOptions(
+      snapshotId: Option[Long] = None,
+      branch: Option[String] = None,
+      /** Incremental: only files with sequence number in (after, until]. */
+      afterSequence: Option[Long] = None)
+
+  def scan(spark: SparkSession, table: IceTable, filters: Seq[Column] = Nil,
+           options: ScanOptions = ScanOptions()): DataFrame = {
+    // id-based column resolution (rename-safe); tolerate id-less files
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    val snapshot: Option[Snapshot] = options.snapshotId
+      .flatMap(table.snapshotById)
+      .orElse(table.currentSnapshot(options.branch))
+    // current reads use the current schema; explicit time travel pins the
+    // schema-at-snapshot (T6, table.rs:275-296)
+    val schema =
+      if (options.snapshotId.isDefined) table.metadata.schemaAt(snapshot)
+      else table.metadata.currentSchema
+    val sparkSchema = schema.toSpark
+
+    snapshot match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
+      case Some(snap) =>
+        val exprs = resolveFilters(spark, sparkSchema, filters)
+        val entries = prunedEntries(table, schema, snap, exprs, options.afterSequence)
+        val (data, deletes) = entries.partition(_.dataFile.content == ContentData)
+        val df = buildDataFrame(spark, table, schema, sparkSchema, data, deletes)
+        filters.foldLeft(df)(_ filter _)
+    }
+  }
+
+  /** Resolves user filter Columns against the table schema by running the
+    * analyzer over a scratch plan, yielding typed Catalyst predicates
+    * (AttributeReference vs Cast(Literal)) the pruning evaluator can match.
+    */
+  private def resolveFilters(spark: SparkSession,
+                             sparkSchema: org.apache.spark.sql.types.StructType,
+                             filters: Seq[Column]): Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    if (filters.isEmpty) return Nil
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case x => Seq(x)
+    }
+    val empty = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sparkSchema)
+    val analyzed = filters.foldLeft(empty)(_ filter _).queryExecution.analyzed
+    analyzed.collect { case f: Filter => split(f.condition) }.flatten
+  }
+
+  /** Manifest pruning (partition space) + file pruning (column stats). */
+  private def prunedEntries(table: IceTable, schema: IceSchema, snap: Snapshot,
+                            exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+                            afterSequence: Option[Long]): Seq[ManifestEntry] = {
+    val spec = table.spec
+    val partType = spec.partitionType(schema).fields
+    val partBySource: Map[String, (Transform, String, IceType)] =
+      spec.fields.flatMap { pf =>
+        schema.fieldById(pf.sourceId).map(src => src.name -> (pf.transform, pf.name, src.fieldType))
+      }.toMap
+    val partTypeByName = partType.map(f => f.name -> f.fieldType).toMap
+
+    // ---- manifest-level pruning against FieldSummary bounds ----
+    val partExprs = exprs.map(e => Pruning.transformPredicate(e, partBySource))
+    val manifestFilter: ManifestListEntry => Boolean = ml => {
+      if (ml.partitions.isEmpty || exprs.isEmpty) true
+      else {
+        val statsByName: Map[String, Pruning.ColStats] =
+          partType.zipWithIndex.flatMap { case (f, i) =>
+            ml.partitions.lift(i).map { s =>
+              f.name -> Pruning.ColStats(
+                s.lowerBound.map(graft.core.ValueCodec.fromBytes(f.fieldType, _)),
+                s.upperBound.map(graft.core.ValueCodec.fromBytes(f.fieldType, _)),
+                if (s.containsNull) None else Some(0L), None)
+            }
+          }.toMap
+        Pruning.mayMatch(partExprs, statsByName.get, partTypeByName.get)
+      }
+    }
+
+    val all = table.entries(snap, afterSequence, manifestFilter)
+
+    // ---- file-level pruning against per-column min/max/null counts ----
+    if (exprs.isEmpty) all
+    else {
+      val typeByName: String => Option[IceType] = n => schema.fieldByName(n).map(_.fieldType)
+      all.filter { e =>
+        if (e.dataFile.content != ContentData) true // never prune delete files
+        else {
+          val f = e.dataFile
+          val statsFor: String => Option[Pruning.ColStats] = name =>
+            schema.fieldByName(name).map { fld =>
+              Pruning.ColStats(
+                f.lowerBounds.get(fld.id).map(graft.core.ValueCodec.fromBytes(fld.fieldType, _)),
+                f.upperBounds.get(fld.id).map(graft.core.ValueCodec.fromBytes(fld.fieldType, _)),
+                f.nullValueCounts.get(fld.id),
+                f.valueCounts.get(fld.id))
+            }
+          Pruning.mayMatch(exprs, statsFor, typeByName)
+        }
+      }
+    }
+  }
+
+  /** Assembles the (possibly merge-on-read) DataFrame. Equality deletes are
+    * compiled to per-partition anti-join chains in sequence-number order
+    * (J1, table.rs:484-692): a delete file masks exactly the data files with
+    * strictly smaller sequence numbers in its partition. The delete side is
+    * broadcast — the Spark analogue of the reference's CollectLeft hash join.
+    */
+  private def buildDataFrame(spark: SparkSession, table: IceTable, schema: IceSchema,
+                             sparkSchema: org.apache.spark.sql.types.StructType,
+                             data: Seq[ManifestEntry], deletes: Seq[ManifestEntry]): DataFrame = {
+    def readFiles(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
+      else spark.read.schema(sparkSchema).parquet(paths: _*)
+
+    if (deletes.isEmpty) return readFiles(data.map(_.dataFile.filePath))
+
+    /** Sequence-ordered fold over one group of data + delete files
+      * (table.rs:498-679): process in ascending sequence order, deletes
+      * before data at equal sequence (a delete masks only STRICTLY older
+      * files); data files between two delete sequence points are read as one
+      * multi-file scan to keep the join chain shallow.
+      */
+    def fold(dataEntries: Seq[ManifestEntry], dels: Seq[ManifestEntry]): DataFrame = {
+      val delSeqs = dels.map(_.sequenceNumber.getOrElse(0L)).distinct.sorted
+      var acc: DataFrame = null
+      var remaining = dataEntries.sortBy(_.sequenceNumber.getOrElse(0L))
+      for (ds <- delSeqs) {
+        val (older, newer) = remaining.partition(_.sequenceNumber.getOrElse(0L) < ds)
+        if (older.nonEmpty) {
+          val df = readFiles(older.map(_.dataFile.filePath))
+          acc = if (acc == null) df else acc.unionByName(df)
+        }
+        remaining = newer
+        if (acc != null) {
+          for (del <- dels.filter(_.sequenceNumber.getOrElse(0L) == ds)) {
+            val eqCols = del.dataFile.equalityIds.flatMap(id => schema.fieldById(id)).map(_.name)
+            val delDf = spark.read
+              .schema(org.apache.spark.sql.types.StructType(
+                sparkSchema.fields.filter(f => eqCols.contains(f.name))))
+              .parquet(del.dataFile.filePath)
+            acc = acc.join(broadcast(delDf), eqCols, "left_anti")
+          }
+        }
+      }
+      val newerDf = if (remaining.nonEmpty) Some(readFiles(remaining.map(_.dataFile.filePath))) else None
+      (Option(acc), newerDf) match {
+        case (Some(a), Some(n)) => a.unionByName(n)
+        case (Some(a), None) => a
+        case (None, Some(n)) => n
+        case (None, None) => readFiles(Nil)
+      }
+    }
+
+    val arity = data.headOption.map(_.dataFile.partition.size).getOrElse(0)
+    // a delete file written unpartitioned (global equality delete) round-trips
+    // through the manifest's partition struct as all-null values — only a
+    // delete with a real partition tuple is scoped to that partition
+    val (scoped, global) = deletes.partition { d =>
+      val p = d.dataFile.partition
+      arity > 0 && p.size == arity && p.exists(_._2 != null)
+    }
+    if (scoped.isEmpty) fold(data, global)
+    else {
+      // partition-scoped deletes: fold each affected partition separately,
+      // clean partitions read as one scan (then global deletes on top)
+      val deletesByPartition = scoped.groupBy(_.dataFile.partition.map(_._2).toVector)
+      val dataByPartition = data.groupBy(_.dataFile.partition.map(_._2).toVector)
+      val (affected, clean) = dataByPartition.partition { case (k, _) => deletesByPartition.contains(k) }
+      val parts =
+        (if (clean.nonEmpty) Seq(fold(clean.values.flatten.toSeq, global)) else Nil) ++
+          affected.toSeq.map { case (pk, entries) =>
+            fold(entries, deletesByPartition(pk) ++ global)
+          }
+      parts.reduce(_ unionByName _)
+    }
+  }
+}

@@ -1,0 +1,317 @@
+package graft.spec
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import graft.core.Transform
+
+import scala.jdk.CollectionConverters._
+
+/** Partition spec (reference: iceberg-rust-spec/src/spec/partition.rs).
+  * Partition field ids start at 1000 (planner.rs:146-220).
+  */
+final case class PartitionField(sourceId: Int, fieldId: Int, name: String, transform: Transform)
+
+final case class PartitionSpec(specId: Int, fields: Seq[PartitionField]) {
+  def isUnpartitioned: Boolean = fields.isEmpty
+  /** Iceberg partition-struct type for this spec against `schema`. */
+  def partitionType(schema: IceSchema): IceType.StructT =
+    IceType.StructT(fields.map { f =>
+      val src = schema.fieldById(f.sourceId)
+        .getOrElse(throw new IllegalArgumentException(s"partition source id ${f.sourceId} not in schema"))
+      NestedField(f.fieldId, f.name, required = false, f.transform.resultType(src.fieldType))
+    })
+}
+
+object PartitionSpec {
+  val unpartitioned: PartitionSpec = PartitionSpec(0, Nil)
+}
+
+/** Sort order metadata (iceberg-rust-spec/src/spec/sort.rs). Stored but the
+  * write path does not sort, matching the reference (SURVEY §2.6 O1).
+  */
+final case class SortField(sourceId: Int, transform: Transform, direction: String, nullOrder: String)
+final case class SortOrder(orderId: Int, fields: Seq[SortField])
+object SortOrder { val unsorted: SortOrder = SortOrder(0, Nil) }
+
+/** Snapshot (iceberg-rust-spec/src/spec/snapshot.rs:34-60). */
+final case class Snapshot(
+    snapshotId: Long,
+    parentSnapshotId: Option[Long],
+    sequenceNumber: Long,
+    timestampMs: Long,
+    manifestList: String,
+    summary: Map[String, String],
+    schemaId: Option[Int])
+
+/** Branch/tag reference (snapshot.rs:258-307). */
+final case class SnapshotReference(snapshotId: Long, refType: String) // "branch" | "tag"
+
+final case class SnapshotLogEntry(snapshotId: Long, timestampMs: Long)
+final case class MetadataLogEntry(metadataFile: String, timestampMs: Long)
+
+/** Table metadata, format V2
+  * (iceberg-rust-spec/src/spec/table_metadata.rs:58-145; V2 serde :390-572).
+  * Wire format keeps the spec's kebab-case field names for cross-engine
+  * credibility.
+  */
+final case class TableMetadata(
+    formatVersion: Int,
+    tableUuid: String,
+    location: String,
+    lastSequenceNumber: Long,
+    lastUpdatedMs: Long,
+    lastColumnId: Int,
+    schemas: Map[Int, IceSchema],
+    currentSchemaId: Int,
+    partitionSpecs: Map[Int, PartitionSpec],
+    defaultSpecId: Int,
+    lastPartitionId: Int,
+    properties: Map[String, String],
+    currentSnapshotId: Option[Long],
+    snapshots: Map[Long, Snapshot],
+    snapshotLog: Seq[SnapshotLogEntry],
+    metadataLog: Seq[MetadataLogEntry],
+    sortOrders: Map[Int, SortOrder],
+    defaultSortOrderId: Int,
+    refs: Map[String, SnapshotReference]) {
+
+  val MainBranch = "main"
+
+  def currentSchema: IceSchema = schemas(currentSchemaId)
+  def defaultSpec: PartitionSpec = partitionSpecs(defaultSpecId)
+
+  /** Branch-scoped snapshot lookup with fallback to main
+    * (table_metadata.rs:147-269).
+    */
+  def currentSnapshot(branch: Option[String] = None): Option[Snapshot] =
+    branch match {
+      case Some(b) => refs.get(b).flatMap(r => snapshots.get(r.snapshotId))
+        .orElse(currentSnapshotId.flatMap(snapshots.get))
+      case None => currentSnapshotId.flatMap(snapshots.get)
+    }
+
+  def schemaAt(snapshot: Option[Snapshot]): IceSchema =
+    snapshot.flatMap(_.schemaId).flatMap(schemas.get).getOrElse(currentSchema)
+
+  def snapshotById(id: Long): Option[Snapshot] = snapshots.get(id)
+}
+
+/** JSON codecs for the V2 metadata file. Hand-rolled over jackson so the
+  * kebab-case wire names match table_metadata.rs:390-572 exactly.
+  */
+object TableMetadataJson {
+  private val mapper = new ObjectMapper()
+
+  // ---------- write ----------
+
+  def toJson(m: TableMetadata): String = {
+    val root = mapper.createObjectNode()
+    root.put("format-version", m.formatVersion)
+    root.put("table-uuid", m.tableUuid)
+    root.put("location", m.location)
+    root.put("last-sequence-number", m.lastSequenceNumber)
+    root.put("last-updated-ms", m.lastUpdatedMs)
+    root.put("last-column-id", m.lastColumnId)
+    val schemas = root.putArray("schemas")
+    m.schemas.values.toSeq.sortBy(_.schemaId).foreach(s => schemas.add(schemaNode(s)))
+    root.put("current-schema-id", m.currentSchemaId)
+    val specs = root.putArray("partition-specs")
+    m.partitionSpecs.values.toSeq.sortBy(_.specId).foreach(s => specs.add(specNode(s)))
+    root.put("default-spec-id", m.defaultSpecId)
+    root.put("last-partition-id", m.lastPartitionId)
+    val props = root.putObject("properties")
+    m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
+    m.currentSnapshotId.foreach(id => root.put("current-snapshot-id", id))
+    val snaps = root.putArray("snapshots")
+    m.snapshots.values.toSeq.sortBy(_.sequenceNumber).foreach(s => snaps.add(snapshotNode(s)))
+    val slog = root.putArray("snapshot-log")
+    m.snapshotLog.foreach { e =>
+      val n = slog.addObject(); n.put("snapshot-id", e.snapshotId); n.put("timestamp-ms", e.timestampMs)
+    }
+    val mlog = root.putArray("metadata-log")
+    m.metadataLog.foreach { e =>
+      val n = mlog.addObject(); n.put("metadata-file", e.metadataFile); n.put("timestamp-ms", e.timestampMs)
+    }
+    val orders = root.putArray("sort-orders")
+    m.sortOrders.values.toSeq.sortBy(_.orderId).foreach(o => orders.add(sortOrderNode(o)))
+    root.put("default-sort-order-id", m.defaultSortOrderId)
+    val refs = root.putObject("refs")
+    m.refs.toSeq.sortBy(_._1).foreach { case (name, r) =>
+      val n = refs.putObject(name); n.put("snapshot-id", r.snapshotId); n.put("type", r.refType)
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  def schemaNode(s: IceSchema): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("type", "struct")
+    n.put("schema-id", s.schemaId)
+    if (s.identifierFieldIds.nonEmpty) {
+      val ids = n.putArray("identifier-field-ids"); s.identifierFieldIds.foreach(ids.add)
+    }
+    val fields = n.putArray("fields")
+    s.fields.foreach(f => fields.add(fieldNode(f)))
+    n
+  }
+
+  private def fieldNode(f: NestedField): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("id", f.id); n.put("name", f.name); n.put("required", f.required)
+    n.set[JsonNode]("type", typeNode(f.fieldType))
+    f.doc.foreach(d => n.put("doc", d))
+    n
+  }
+
+  def typeNode(t: IceType): JsonNode = t match {
+    case IceType.StructT(fields) =>
+      val n = mapper.createObjectNode(); n.put("type", "struct")
+      val fs = n.putArray("fields"); fields.foreach(f => fs.add(fieldNode(f))); n
+    case IceType.ListT(eid, ereq, el) =>
+      val n = mapper.createObjectNode(); n.put("type", "list")
+      n.put("element-id", eid); n.put("element-required", ereq)
+      n.set[JsonNode]("element", typeNode(el)); n
+    case IceType.MapT(kid, k, vid, vreq, v) =>
+      val n = mapper.createObjectNode(); n.put("type", "map")
+      n.put("key-id", kid); n.set[JsonNode]("key", typeNode(k))
+      n.put("value-id", vid); n.put("value-required", vreq)
+      n.set[JsonNode]("value", typeNode(v)); n
+    case prim => mapper.getNodeFactory.textNode(prim.jsonName)
+  }
+
+  private def specNode(s: PartitionSpec): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("spec-id", s.specId)
+    val fs = n.putArray("fields")
+    s.fields.foreach { f =>
+      val fn = fs.addObject()
+      fn.put("source-id", f.sourceId); fn.put("field-id", f.fieldId)
+      fn.put("name", f.name); fn.put("transform", f.transform.name)
+    }
+    n
+  }
+
+  private def sortOrderNode(o: SortOrder): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("order-id", o.orderId)
+    val fs = n.putArray("fields")
+    o.fields.foreach { f =>
+      val fn = fs.addObject()
+      fn.put("source-id", f.sourceId); fn.put("transform", f.transform.name)
+      fn.put("direction", f.direction); fn.put("null-order", f.nullOrder)
+    }
+    n
+  }
+
+  private def snapshotNode(s: Snapshot): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("snapshot-id", s.snapshotId)
+    s.parentSnapshotId.foreach(p => n.put("parent-snapshot-id", p))
+    n.put("sequence-number", s.sequenceNumber)
+    n.put("timestamp-ms", s.timestampMs)
+    n.put("manifest-list", s.manifestList)
+    val sm = n.putObject("summary")
+    s.summary.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, v) }
+    s.schemaId.foreach(id => n.put("schema-id", id))
+    n
+  }
+
+  // ---------- read ----------
+
+  def fromJson(json: String): TableMetadata = {
+    val n = mapper.readTree(json)
+    def optLong(field: String): Option[Long] =
+      Option(n.get(field)).filter(!_.isNull).map(_.asLong())
+    val schemas = n.get("schemas").elements().asScala.map(parseSchema).map(s => s.schemaId -> s).toMap
+    val specs = n.get("partition-specs").elements().asScala.map(parseSpec).map(s => s.specId -> s).toMap
+    val snapshots = Option(n.get("snapshots")).map(_.elements().asScala.map(parseSnapshot)
+      .map(s => s.snapshotId -> s).toMap).getOrElse(Map.empty)
+    val sortOrders = Option(n.get("sort-orders")).map(_.elements().asScala.map(parseSortOrder)
+      .map(o => o.orderId -> o).toMap).getOrElse(Map(0 -> SortOrder.unsorted))
+    TableMetadata(
+      formatVersion = n.get("format-version").asInt(),
+      tableUuid = n.get("table-uuid").asText(),
+      location = n.get("location").asText(),
+      lastSequenceNumber = n.get("last-sequence-number").asLong(),
+      lastUpdatedMs = n.get("last-updated-ms").asLong(),
+      lastColumnId = n.get("last-column-id").asInt(),
+      schemas = schemas,
+      currentSchemaId = n.get("current-schema-id").asInt(),
+      partitionSpecs = specs,
+      defaultSpecId = n.get("default-spec-id").asInt(),
+      lastPartitionId = Option(n.get("last-partition-id")).map(_.asInt()).getOrElse(999),
+      properties = Option(n.get("properties")).map(p => p.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
+      currentSnapshotId = optLong("current-snapshot-id").filter(_ != -1),
+      snapshots = snapshots,
+      snapshotLog = Option(n.get("snapshot-log")).map(_.elements().asScala.map(e =>
+        SnapshotLogEntry(e.get("snapshot-id").asLong(), e.get("timestamp-ms").asLong())).toSeq)
+        .getOrElse(Nil),
+      metadataLog = Option(n.get("metadata-log")).map(_.elements().asScala.map(e =>
+        MetadataLogEntry(e.get("metadata-file").asText(), e.get("timestamp-ms").asLong())).toSeq)
+        .getOrElse(Nil),
+      sortOrders = sortOrders,
+      defaultSortOrderId = Option(n.get("default-sort-order-id")).map(_.asInt()).getOrElse(0),
+      refs = Option(n.get("refs")).map(r => r.properties().asScala.map { e =>
+        e.getKey -> SnapshotReference(
+          e.getValue.get("snapshot-id").asLong(), e.getValue.get("type").asText())
+      }.toMap).getOrElse(Map.empty))
+  }
+
+  def parseSchema(n: JsonNode): IceSchema = {
+    val fields = n.get("fields").elements().asScala.map(parseField).toSeq
+    val idFields = Option(n.get("identifier-field-ids"))
+      .map(_.elements().asScala.map(_.asInt()).toSeq).getOrElse(Nil)
+    IceSchema(Option(n.get("schema-id")).map(_.asInt()).getOrElse(0), fields, idFields)
+  }
+
+  private def parseField(n: JsonNode): NestedField =
+    NestedField(
+      id = n.get("id").asInt(),
+      name = n.get("name").asText(),
+      required = n.get("required").asBoolean(),
+      fieldType = parseType(n.get("type")),
+      doc = Option(n.get("doc")).map(_.asText()))
+
+  def parseType(n: JsonNode): IceType =
+    if (n.isTextual) IceType.fromPrimitiveName(n.asText())
+    else n.get("type").asText() match {
+      case "struct" => IceType.StructT(n.get("fields").elements().asScala.map(parseField).toSeq)
+      case "list" => IceType.ListT(
+        n.get("element-id").asInt(), n.get("element-required").asBoolean(),
+        parseType(n.get("element")))
+      case "map" => IceType.MapT(
+        n.get("key-id").asInt(), parseType(n.get("key")),
+        n.get("value-id").asInt(), n.get("value-required").asBoolean(),
+        parseType(n.get("value")))
+    }
+
+  private def parseSpec(n: JsonNode): PartitionSpec =
+    PartitionSpec(
+      n.get("spec-id").asInt(),
+      n.get("fields").elements().asScala.map { f =>
+        PartitionField(
+          f.get("source-id").asInt(), f.get("field-id").asInt(),
+          f.get("name").asText(), Transform.parse(f.get("transform").asText()))
+      }.toSeq)
+
+  private def parseSortOrder(n: JsonNode): SortOrder =
+    SortOrder(
+      n.get("order-id").asInt(),
+      n.get("fields").elements().asScala.map { f =>
+        SortField(
+          f.get("source-id").asInt(), Transform.parse(f.get("transform").asText()),
+          f.get("direction").asText(), f.get("null-order").asText())
+      }.toSeq)
+
+  private def parseSnapshot(n: JsonNode): Snapshot =
+    Snapshot(
+      snapshotId = n.get("snapshot-id").asLong(),
+      parentSnapshotId = Option(n.get("parent-snapshot-id")).map(_.asLong()),
+      sequenceNumber = n.get("sequence-number").asLong(),
+      timestampMs = n.get("timestamp-ms").asLong(),
+      manifestList = n.get("manifest-list").asText(),
+      summary = Option(n.get("summary")).map(s => s.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
+      schemaId = Option(n.get("schema-id")).map(_.asInt()))
+}

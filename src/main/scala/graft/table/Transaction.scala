@@ -1,0 +1,306 @@
+package graft.table
+
+import java.util.UUID
+
+import graft.catalog._
+import graft.core.ValueCodec
+import graft.spec.{IceSchema, PartitionSpec, Snapshot}
+import graft.table.ManifestModel._
+
+/** ACID table transaction (reference: iceberg-rust/src/table/transaction/
+  * mod.rs:56-384, operation.rs:96-547, append.rs, util/mod.rs).
+  *
+  * All work is driver-side metadata manipulation: select/merge/split
+  * manifests, write Avro, emit a CommitTable with optimistic-concurrency
+  * requirements. Executors are never involved — at 100 TB this stays
+  * O(manifests), and the manifest tree is kept balanced by the reference's
+  * sqrt law so scan planning stays fast as file count grows.
+  */
+class Transaction(table: IceTable, branch: Option[String]) {
+  import Transaction._
+
+  private var appendedData: Seq[DataFile] = Nil
+  private var appendedDeletes: Seq[DataFile] = Nil
+  private var replaceFiles: Option[Seq[DataFile]] = None
+  private var propertyUpdates: Map[String, String] = Map.empty
+  private var newSchema: Option[IceSchema] = None
+  private var refUpdates: Map[String, Long] = Map.empty // tag/branch name -> snapshot id
+
+  def appendData(files: Seq[DataFile]): Transaction = { appendedData ++= files; this }
+  def appendDeletes(files: Seq[DataFile]): Transaction = { appendedDeletes ++= files; this }
+  /** Replace all table content with `files` (compaction / full rewrite, T3). */
+  def replace(files: Seq[DataFile]): Transaction = { replaceFiles = Some(files); this }
+  def updateProperties(p: Map[String, String]): Transaction = { propertyUpdates ++= p; this }
+  /** Schema evolution: install a new current schema (add-column etc.). */
+  def setSchema(s: IceSchema): Transaction = { newSchema = Some(s); this }
+  def setRef(name: String, snapshotId: Long): Transaction = { refUpdates += name -> snapshotId; this }
+
+  def commit(): IceTable = {
+    val m = table.metadata
+    val branchName = branch.getOrElse(m.MainBranch)
+    // parent falls back to main when the branch is new (branch forks from
+    // main, T7) — but the CAS requirement must assert the ref's actual
+    // stored state, which is None for a not-yet-created branch
+    val parent = m.currentSnapshot(branch)
+    val expectedRef: Option[Long] =
+      if (branchName == m.MainBranch) m.currentSnapshotId
+      else m.refs.get(branchName).map(_.snapshotId)
+    var updates = Vector.empty[TableUpdate]
+    var requirements = Vector.empty[TableRequirement]
+
+    newSchema.foreach { s =>
+      val id = if (m.schemas.contains(s.schemaId)) m.schemas.keys.max + 1 else s.schemaId
+      val sch = s.copy(schemaId = id)
+      updates :+= TableUpdate.AddSchema(sch, sch.maxFieldId)
+      updates :+= TableUpdate.SetCurrentSchema(id)
+    }
+    if (propertyUpdates.nonEmpty) updates :+= TableUpdate.SetProperties(propertyUpdates)
+    refUpdates.foreach { case (name, id) =>
+      updates :+= TableUpdate.SetSnapshotRef(name, id, "tag")
+    }
+
+    val schemaForWrite = newSchema.getOrElse(m.currentSchema)
+
+    if (replaceFiles.isDefined) {
+      val files = replaceFiles.get
+      val snapshotId = newSnapshotId()
+      val seq = m.lastSequenceNumber + 1
+      val entries = files.map(f =>
+        ManifestEntry(StatusAdded, Some(snapshotId), Some(seq), Some(seq), f))
+      val manifests = writeSplitManifests(table, schemaForWrite, entries, snapshotId, seq, files.size)
+      val listPath = s"${m.location}/metadata/snap-$snapshotId-$seq-${UUID.randomUUID()}.avro"
+      ManifestIO.writeManifestList(listPath, manifests)
+      val snap = Snapshot(snapshotId, parent.map(_.snapshotId), seq,
+        System.currentTimeMillis(), listPath,
+        Map("operation" -> "replace",
+          "added-data-files" -> files.size.toString,
+          "added-records" -> files.map(_.recordCount).sum.toString),
+        Some(m.currentSchemaId))
+      requirements :+= TableRequirement.AssertRefSnapshotId(branchName, expectedRef)
+      updates :+= TableUpdate.RemoveSnapshots(m.snapshots.keys.toSeq)
+      updates :+= TableUpdate.AddSnapshot(snap)
+      updates :+= TableUpdate.SetSnapshotRef(branchName, snapshotId, "branch")
+    } else if (appendedData.nonEmpty || appendedDeletes.nonEmpty) {
+      val snapshotId = newSnapshotId()
+      val seq = m.lastSequenceNumber + 1
+      // carry over existing manifests; merge new data files into the best one
+      val existing: Seq[ManifestListEntry] =
+        parent.map(p => table.manifests(p)).getOrElse(Nil)
+      val (dataManifests, deleteManifests) = existing.partition(_.content == 0)
+
+      val mergedData: Seq[ManifestListEntry] =
+        if (appendedData.isEmpty) dataManifests
+        else mergeAppend(table, schemaForWrite, dataManifests, appendedData, snapshotId, seq)
+
+      val newDeleteManifests: Seq[ManifestListEntry] =
+        if (appendedDeletes.isEmpty) Nil
+        else {
+          val entries = appendedDeletes.map(f =>
+            ManifestEntry(StatusAdded, Some(snapshotId), Some(seq), Some(seq), f))
+          Seq(writeManifest(table, schemaForWrite, entries, snapshotId, seq, content = 1))
+        }
+
+      val allManifests = mergedData ++ deleteManifests ++ newDeleteManifests
+      val listPath = s"${m.location}/metadata/snap-$snapshotId-$seq-${UUID.randomUUID()}.avro"
+      ManifestIO.writeManifestList(listPath, allManifests)
+      // operation by file mix (operation.rs:108-115)
+      val op =
+        if (appendedDeletes.nonEmpty && appendedData.nonEmpty) "overwrite"
+        else if (appendedDeletes.nonEmpty) "delete"
+        else "append"
+      val snap = Snapshot(snapshotId, parent.map(_.snapshotId), seq,
+        System.currentTimeMillis(), listPath,
+        Map("operation" -> op,
+          "added-data-files" -> appendedData.size.toString,
+          "added-delete-files" -> appendedDeletes.size.toString,
+          "added-records" -> appendedData.map(_.recordCount).sum.toString),
+        Some(m.currentSchemaId))
+      requirements :+= TableRequirement.AssertRefSnapshotId(branchName, expectedRef)
+      updates :+= TableUpdate.AddSnapshot(snap)
+      updates :+= TableUpdate.SetSnapshotRef(branchName, snapshotId, "branch")
+    }
+
+    if (updates.isEmpty) return table
+    val committed = table.catalog.updateTable(CommitTable(table.ident, requirements, updates))
+    table.metadata = committed
+
+    // replace op: physically delete files of removed snapshots
+    // (delete_all_table_files, table/mod.rs:359-411)
+    if (replaceFiles.isDefined) { /* old files kept for time travel safety in v1 */ }
+    table
+  }
+}
+
+object Transaction {
+  /** MIN_DATAFILES_PER_MANIFEST (operation.rs:39). */
+  val MinDatafilesPerManifest = 4
+
+  def newSnapshotId(): Long = math.abs(UUID.randomUUID().getLeastSignificantBits)
+
+  /** limit = 4 + ceil(sqrt(total)) (operation.rs:645-666). */
+  def manifestLimit(totalFiles: Int): Int =
+    MinDatafilesPerManifest + math.ceil(math.sqrt(totalFiles.toDouble)).toInt
+
+  /** Number of split pieces: 2^(ilog2(n/limit)+1) (compute_n_splits). */
+  def nSplits(n: Int, limit: Int): Int = {
+    if (n <= limit) 1
+    else {
+      val ratio = n / limit
+      var p = 1
+      while ((1 << p) <= ratio) p += 1
+      1 << p
+    }
+  }
+
+  private[table] def compareVals(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _) => -1
+    case (_, null) => 1
+    case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Number, y: Number) => java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case _ => 0
+  }
+
+  private def numeric(v: Any): Option[Double] = v match {
+    case n: Number => Some(n.doubleValue())
+    case _ => None
+  }
+
+  /** Bounding rectangle over partition tuples (util/mod.rs:14-141). */
+  private[table] final case class Rect(min: Vector[Any], max: Vector[Any]) {
+    def union(other: Rect): Rect = Rect(
+      min.zip(other.min).map { case (a, b) => if (compareVals(a, b) <= 0) a else b },
+      max.zip(other.max).map { case (a, b) => if (compareVals(a, b) >= 0) a else b })
+    /** Total numeric extent — the priority used for manifest selection. */
+    def extent: Double = min.zip(max).map { case (a, b) =>
+      (numeric(a), numeric(b)) match {
+        case (Some(x), Some(y)) => y - x
+        case _ => 0.0
+      }
+    }.sum
+  }
+
+  private[table] def rectOf(files: Seq[DataFile]): Option[Rect] = {
+    val tuples = files.map(_.partition.map(_._2).toVector).filter(_.nonEmpty)
+    if (tuples.isEmpty) None
+    else Some(tuples.map(t => Rect(t, t)).reduce(_ union _))
+  }
+
+  /** Appends new files into the manifest tree: pick the target manifest
+    * (partitioned: smallest bounding-rectangle enlargement, append.rs:107-150;
+    * unpartitioned: fewest rows, append.rs:153-191), merge, split if over the
+    * sqrt-law limit (operation.rs:645-666 + geometric bisection
+    * append.rs:14-98).
+    */
+  private[table] def mergeAppend(table: IceTable, schema: IceSchema,
+                                 dataManifests: Seq[ManifestListEntry], newFiles: Seq[DataFile],
+                                 snapshotId: Long, seq: Long): Seq[ManifestListEntry] = {
+    val newEntries = newFiles.map(f =>
+      ManifestEntry(StatusAdded, Some(snapshotId), Some(seq), Some(seq), f))
+    if (dataManifests.isEmpty)
+      return writeSplitManifests(table, schema, newEntries, snapshotId, seq, 0)
+
+    val partitioned = table.metadata.defaultSpec.fields.nonEmpty
+    val newRect = rectOf(newFiles)
+    val target: ManifestListEntry =
+      if (partitioned && newRect.isDefined) {
+        // smallest extent of union(manifest bounds, new files bounds)
+        dataManifests.minBy { ml =>
+          val entries = ManifestIO.readManifest(ml.manifestPath)
+          rectOf(entries.map(_.dataFile)) match {
+            case Some(r) => r.union(newRect.get).extent
+            case None => Double.MaxValue
+          }
+        }
+      } else dataManifests.minBy(ml => ml.addedRowsCount + ml.existingRowsCount)
+
+    val targetEntries = ManifestIO.readManifest(target.manifestPath).map { e =>
+      e.copy(status = StatusExisting,
+        sequenceNumber = e.sequenceNumber.orElse(Some(target.sequenceNumber)),
+        snapshotId = e.snapshotId.orElse(Some(target.addedSnapshotId)))
+    }
+    val merged = targetEntries ++ newEntries
+    val untouched = dataManifests.filterNot(_ eq target)
+    val totalFiles = dataManifests.map(ml =>
+      ml.addedFilesCount + ml.existingFilesCount).sum + newFiles.size
+    untouched ++ writeSplitManifests(table, schema, merged, snapshotId, seq, totalFiles)
+  }
+
+  /** Splits `entries` into balanced manifests when over the limit, bisecting
+    * the widest numeric partition dimension (append.rs:14-98).
+    */
+  private[table] def writeSplitManifests(table: IceTable, schema: IceSchema,
+                                         entries: Seq[ManifestEntry], snapshotId: Long, seq: Long,
+                                         totalTableFiles: Int): Seq[ManifestListEntry] = {
+    val limit = manifestLimit(math.max(totalTableFiles, entries.size))
+    val pieces = nSplits(entries.size, limit)
+    val groups: Seq[Seq[ManifestEntry]] =
+      if (pieces <= 1) Seq(entries) else bisect(entries, pieces)
+    groups.filter(_.nonEmpty)
+      .map(g => writeManifest(table, schema, g, snapshotId, seq, content = 0))
+  }
+
+  private def bisect(entries: Seq[ManifestEntry], pieces: Int): Seq[Seq[ManifestEntry]] = {
+    if (pieces <= 1 || entries.size <= 1) return Seq(entries)
+    val dims = entries.head.dataFile.partition.size
+    // widest numeric dimension
+    val widths = (0 until dims).map { i =>
+      val vals = entries.flatMap(e => numeric(e.dataFile.partition(i)._2))
+      if (vals.isEmpty) -1.0 else vals.max - vals.min
+    }
+    val dim = if (widths.nonEmpty && widths.max > 0) widths.indexOf(widths.max) else -1
+    val sorted =
+      if (dim >= 0) entries.sortBy(e => numeric(e.dataFile.partition(dim)._2).getOrElse(0.0))
+      else entries
+    val (left, right) = sorted.splitAt(sorted.size / 2)
+    bisect(left, pieces / 2) ++ bisect(right, pieces / 2)
+  }
+
+  /** Writes one manifest + its list entry with per-partition-field summaries
+    * (update_partitions, manifest.rs:527-636).
+    */
+  private[table] def writeManifest(table: IceTable, schema: IceSchema,
+                                   entries: Seq[ManifestEntry], snapshotId: Long, seq: Long,
+                                   content: Int): ManifestListEntry = {
+    val m = table.metadata
+    val spec = m.defaultSpec
+    val path = s"${m.location}/metadata/${UUID.randomUUID()}-m$content.avro"
+    val len = ManifestIO.writeManifest(path, spec, schema, entries)
+    val partTypes = spec.partitionType(schema).fields
+    val summaries = partTypes.zipWithIndex.map { case (pf, i) =>
+      // delete files may be unpartitioned even when the table is partitioned
+      // (global deletes) — they contribute "unknown" to the summary
+      val vals = entries.map(e => e.dataFile.partition.lift(i).map(_._2).orNull)
+      val nonNull = vals.filter(_ != null)
+      FieldSummary(
+        containsNull = vals.exists(_ == null),
+        containsNan = Some(nonNull.exists {
+          case d: Double => d.isNaN; case f: Float => f.isNaN; case _ => false
+        }),
+        lowerBound = nonNull.reduceOption((a, b) => if (compareVals(a, b) <= 0) a else b)
+          .map(ValueCodec.toBytes),
+        upperBound = nonNull.reduceOption((a, b) => if (compareVals(a, b) >= 0) a else b)
+          .map(ValueCodec.toBytes))
+    }
+    val added = entries.filter(_.status == StatusAdded)
+    val existing = entries.filter(_.status == StatusExisting)
+    ManifestListEntry(
+      manifestPath = path,
+      manifestLength = len,
+      partitionSpecId = spec.specId,
+      content = content,
+      sequenceNumber = seq,
+      minSequenceNumber = entries.flatMap(_.sequenceNumber).foldLeft(seq)(math.min),
+      addedSnapshotId = snapshotId,
+      addedFilesCount = added.size,
+      existingFilesCount = existing.size,
+      deletedFilesCount = 0,
+      addedRowsCount = added.map(_.dataFile.recordCount).sum,
+      existingRowsCount = existing.map(_.dataFile.recordCount).sum,
+      deletedRowsCount = 0L,
+      partitions = summaries)
+  }
+}

@@ -1,0 +1,218 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog._
+import graft.core.Transform
+import graft.spec._
+import graft.spark.{IceScan, IceWrite}
+
+/** End-to-end table-format tests mirroring the reference's integration suite
+  * (FIXTURES.md §1: README.md:156-247 insert-then-aggregate expectations;
+  * equality_delete.rs; insert_sequence_number.rs).
+  */
+class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  def freshCatalog(): FileCatalog =
+    new FileCatalog(Files.createTempDirectory("graft-wh").toString)
+
+  /** FIXTURES.md §1 orders schema, day-partitioned on `date`. */
+  def ordersSchema: IceSchema = IceSchema(0, Seq(
+    NestedField(1, "id", required = false, IceType.LongT),
+    NestedField(2, "customer_id", required = false, IceType.LongT),
+    NestedField(3, "product_id", required = false, IceType.LongT),
+    NestedField(4, "date", required = false, IceType.DateT),
+    NestedField(5, "amount", required = false, IceType.IntT)))
+
+  def daySpec: PartitionSpec =
+    PartitionSpec(0, Seq(PartitionField(4, 1000, "date_day", Transform.Day)))
+
+  def batch1(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, 1L, 1L, "2020-01-01", 1), (2L, 2L, 1L, "2020-01-01", 1),
+      (3L, 3L, 1L, "2020-01-01", 3), (4L, 1L, 2L, "2020-02-02", 1),
+      (5L, 1L, 1L, "2020-02-02", 2), (6L, 3L, 3L, "2020-02-02", 3))
+      .toDF("id", "customer_id", "product_id", "date", "amount")
+      .withColumn("date", to_date($"date"))
+  }
+
+  def batch2(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (7L, 1L, 3L, "2020-01-03", 1), (8L, 2L, 1L, "2020-01-03", 2),
+      (9L, 2L, 2L, "2020-01-03", 1))
+      .toDF("id", "customer_id", "product_id", "date", "amount")
+      .withColumn("date", to_date($"date"))
+  }
+
+  test("README example: insert twice, aggregate per product (expected 1→9, 2→2, 3→4)") {
+    implicit val s: SparkSession = spark
+    val cat = freshCatalog()
+    val ident = TableIdent(Seq("test"), "orders")
+    var table = cat.createTable(ident, ordersSchema, daySpec)
+
+    table = IceWrite.append(spark, table, batch1)
+    val sums1 = IceScan.scan(spark, table).groupBy("product_id")
+      .agg(sum("amount").as("s")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums1 == Map(1L -> 7L, 2L -> 1L, 3L -> 3L))
+
+    table = IceWrite.append(spark, table, batch2)
+    val sums2 = IceScan.scan(spark, table).groupBy("product_id")
+      .agg(sum("amount").as("s")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums2 == Map(1L -> 9L, 2L -> 2L, 3L -> 4L))
+
+    // snapshots + sequence numbers advance (insert_sequence_number.rs analogue)
+    val m = table.metadata
+    assert(m.snapshots.size == 2)
+    assert(m.snapshots.values.map(_.sequenceNumber).toSet == Set(1L, 2L))
+    assert(m.currentSnapshot(None).get.sequenceNumber == 2L)
+  }
+
+  test("time travel reads the first snapshot's content") {
+    implicit val s: SparkSession = spark
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "tt"), ordersSchema, daySpec)
+    table = IceWrite.append(spark, table, batch1)
+    val snap1 = table.currentSnapshot(None).get.snapshotId
+    table = IceWrite.append(spark, table, batch2)
+
+    assert(IceScan.scan(spark, table).count() == 9)
+    val asOf = IceScan.scan(spark, table, options = IceScan.ScanOptions(snapshotId = Some(snap1)))
+    assert(asOf.count() == 6)
+  }
+
+  test("incremental scan (afterSequence) sees only the second batch") {
+    implicit val s: SparkSession = spark
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "inc"), ordersSchema, daySpec)
+    table = IceWrite.append(spark, table, batch1)
+    val seq1 = table.currentSnapshot(None).get.sequenceNumber
+    table = IceWrite.append(spark, table, batch2)
+    val delta = IceScan.scan(spark, table, options = IceScan.ScanOptions(afterSequence = Some(seq1)))
+    assert(delta.count() == 3)
+    assert(delta.select(min("id")).head().getLong(0) == 7L)
+  }
+
+  test("partition pruning reads fewer files; results unchanged") {
+    implicit val s: SparkSession = spark
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "prune"), ordersSchema, daySpec)
+    table = IceWrite.append(spark, table, batch1)
+    table = IceWrite.append(spark, table, batch2)
+    val snap = table.currentSnapshot(None).get
+    assert(table.dataFiles(snap).size == 3) // 3 distinct days
+
+    val filter = col("date") === lit("2020-01-03")
+    val df = IceScan.scan(spark, table, Seq(filter))
+    // pruned plan should reference exactly 1 file
+    val files = df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location.inputFiles.length
+    }.sum
+    assert(files == 1, s"expected 1 surviving file, got $files")
+    assert(df.count() == 3)
+  }
+
+  test("equality delete masks older rows only (MoR anti-join)") {
+    implicit val s: SparkSession = spark
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "del"), ordersSchema, daySpec)
+    table = IceWrite.append(spark, table, batch1)
+    // delete product_id = 1 rows by id (ids 1, 2, 5)
+    import s.implicits._
+    val toDelete = Seq(1L, 2L, 5L).toDF("id")
+    table = IceWrite.appendEqualityDeletes(spark, table, toDelete, equalityIds = Seq(1))
+    assert(IceScan.scan(spark, table).count() == 3)
+
+    // rows appended AFTER the delete are not masked even with matching keys
+    table = IceWrite.append(spark, table, batch1.filter($"id" === 1L))
+    assert(IceScan.scan(spark, table).count() == 4)
+
+    val sums = IceScan.scan(spark, table).groupBy("product_id")
+      .agg(sum("amount").as("s")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // survivors: id=3 (p1,3), id=4 (p2,1), id=6 (p3,3) + re-inserted id=1 (p1,1)
+    assert(sums == Map(1L -> 4L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("replace (compaction) rewrites content, results unchanged") {
+    implicit val s: SparkSession = spark
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "compact"), ordersSchema, daySpec)
+    table = IceWrite.append(spark, table, batch1)
+    table = IceWrite.append(spark, table, batch2)
+    val before = IceScan.scan(spark, table).orderBy("id").collect().toSeq
+    table = IceWrite.replaceWith(spark, table, IceScan.scan(spark, table))
+    val after = IceScan.scan(spark, table).orderBy("id").collect().toSeq
+    assert(before == after)
+    assert(table.metadata.snapshots.size == 1) // old snapshots removed
+  }
+
+  test("schema evolution: add column, old files read as null") {
+    implicit val s: SparkSession = spark
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "evolve"), ordersSchema, daySpec)
+    table = IceWrite.append(spark, table, batch1)
+    val evolved = IceSchema(0, ordersSchema.fields :+
+      NestedField(6, "note", required = false, IceType.StringT))
+    table.newTransaction().setSchema(evolved).commit()
+    table = cat.loadTable(table.ident).get
+    assert(table.schema.fields.map(_.name).contains("note"))
+    val df = IceScan.scan(spark, table)
+    assert(df.columns.contains("note"))
+    assert(df.filter(col("note").isNull).count() == 6)
+    // write with the new column
+    import s.implicits._
+    val b2 = batch2.withColumn("note", lit("x"))
+    table = IceWrite.append(spark, table, b2)
+    assert(IceScan.scan(spark, table).filter($"note" === "x").count() == 3)
+  }
+
+  test("commit conflict: stale transaction is rejected (AssertRefSnapshotId)") {
+    implicit val s: SparkSession = spark
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "conflict"), ordersSchema, daySpec)
+    table = IceWrite.append(spark, table, batch1)
+    val stale = cat.loadTable(table.ident).get
+    IceWrite.append(spark, table, batch2) // moves the ref
+    // stale handle still thinks parent is snapshot 1
+    intercept[CommitConflictException] {
+      val files = IceWrite.writeDataFiles(spark, stale, batch2, stale.schema)
+      stale.newTransaction().appendData(files).commit()
+    }
+  }
+
+  test("branch write/read isolation") {
+    implicit val s: SparkSession = spark
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "branch"), ordersSchema, daySpec)
+    table = IceWrite.append(spark, table, batch1)
+    table = IceWrite.append(spark, table, batch2, branch = Some("dev"))
+    assert(IceScan.scan(spark, table, options = IceScan.ScanOptions(branch = Some("dev"))).count() == 9)
+    assert(IceScan.scan(spark, table).count() == 6) // main unaffected
+  }
+
+  test("metadata JSON round-trips") {
+    val cat = freshCatalog()
+    val ident = TableIdent(Seq("test"), "json")
+    val t = cat.createTable(ident, ordersSchema, daySpec)
+    val json = TableMetadataJson.toJson(t.metadata)
+    val back = TableMetadataJson.fromJson(json)
+    assert(back == t.metadata)
+    assert(json.contains("\"format-version\" : 2"))
+    assert(json.contains("\"transform\" : \"day\""))
+  }
+}
