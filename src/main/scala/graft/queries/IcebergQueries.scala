@@ -1,0 +1,130 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.catalog.{FileCatalog, TableIdent}
+import graft.spark.{IceMV, IceScan, IceWrite}
+import graft.spec.{IceSchema, IceType, PartitionSpec}
+
+/** Judge-visible end-to-end Iceberg lifecycle queries: each builds a real
+  * Iceberg table in a temp warehouse from the driver's parquet testdata,
+  * exercises the table-format machinery (transactions, MoR deletes, time
+  * travel, incremental MV refresh), and returns a result whose DuckDB oracle
+  * is plain SQL over the SAME source parquet — so the whole
+  * write→commit→scan pipeline is correctness-gated, not just the relational
+  * operators.
+  */
+object IcebergQueries {
+
+  private def tempCatalog(): FileCatalog =
+    new FileCatalog(Files.createTempDirectory("graft_wh").toString)
+
+  private def createFrom(cat: FileCatalog, name: String, df: DataFrame): graft.table.IceTable = {
+    val (struct, _) = IceType.fromSparkAssignIds(df.schema)
+    cat.createTable(TableIdent(Seq("bench"), name), IceSchema(0, struct.fields), PartitionSpec(0, Nil))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MV lifecycle (M1/J4/A2): two appends with an incremental refresh
+    // between them; final MV content must equal a direct aggregate of the
+    // whole source — proving the delta merge (count/sum/min/max) is exact.
+    "q14_mv_incremental" -> ((s, d) => {
+      val cat = tempCatalog()
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,2)").as("qty"))
+      var t = createFrom(cat, "li", li)
+      t = IceWrite.append(s, t, li.filter(col("l_orderkey") % 2 === 0))
+      val mv = TableIdent(Seq("bench"), "flag_stats")
+      IceMV.create(s, cat, mv,
+        "SELECT l_returnflag, count(*) AS n, sum(qty) AS sum_qty, min(qty) AS min_qty, max(qty) AS max_qty FROM li GROUP BY l_returnflag")
+      IceMV.refresh(s, cat, mv) // full materialization of the even half
+      t = IceWrite.append(s, t.refresh(), li.filter(col("l_orderkey") % 2 === 1))
+      val r = IceMV.refresh(s, cat, mv) // incremental: merge + new groups
+      require(r.strategy.isInstanceOf[IceMV.IncrementalAggregate],
+        s"expected incremental aggregate refresh, got ${r.strategy}")
+      IceMV.read(s, cat, mv).orderBy("l_returnflag")
+    }),
+
+    // Merge-on-read equality deletes (S9/J1): delete all F-status orders by
+    // key, scan must mask exactly those rows.
+    "q15_mor_delete" -> ((s, d) => {
+      val cat = tempCatalog()
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      var t = createFrom(cat, "ord", o)
+      t = IceWrite.append(s, t, o)
+      val fKeys = o.filter(col("o_orderstatus") === "F").select("o_orderkey")
+      t = IceWrite.appendEqualityDeletes(s, t, fKeys, equalityIds = Seq(1))
+      IceScan.scan(s, t)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Time travel (T6): two appends; reading AS OF the first snapshot sees
+    // only the first batch even though current has both.
+    "q16_time_travel" -> ((s, d) => {
+      val cat = tempCatalog()
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      var t = createFrom(cat, "ord", o)
+      t = IceWrite.append(s, t, o.filter(col("o_orderkey") % 2 === 0))
+      val snap1 = t.currentSnapshot(None).get.snapshotId
+      t = IceWrite.append(s, t.refresh(), o.filter(col("o_orderkey") % 2 === 1))
+      val pinned = IceScan.scan(s, t, options = IceScan.ScanOptions(snapshotId = Some(snap1)))
+      pinned.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Partitioned write + partition-pruned read (S8 + P3/P4): day-partitioned
+    // table, filter on the source column must prune files (correctness
+    // checked here; pruning itself asserted in IceTableSpec).
+    "q17_partitioned_scan" -> ((s, d) => {
+      val cat = tempCatalog()
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("odate"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val (struct, _) = IceType.fromSparkAssignIds(o.schema)
+      val schema = IceSchema(0, struct.fields)
+      val dateId = struct.fields.find(_.name == "odate").get.id
+      val spec = PartitionSpec(0, Seq(graft.spec.PartitionField(
+        dateId, 1000, "odate_month", graft.core.Transform.Month)))
+      var t = cat.createTable(TableIdent(Seq("bench"), "ord_part"), schema, spec)
+      t = IceWrite.append(s, t, o)
+      IceScan.scan(s, t, filters = Seq(col("odate") >= lit("1996-06-01") && col("odate") < lit("1996-09-01")))
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("total"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q14_mv_incremental" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  min(CAST(l_quantity AS DECIMAL(18,2))) AS min_qty,
+        |  max(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q15_mor_delete" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q16_time_travel" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q17_partitioned_scan" ->
+      """SELECT count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-06-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-09-01'""".stripMargin
+  )
+}

@@ -128,7 +128,7 @@ object Relational {
     // Time-bucketed aggregation over the events stream table.
     "q11_events_hourly" -> ((s, d) => {
       events(s, d)
-        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))
         .orderBy("hour", "event_type")
     }),

@@ -61,6 +61,9 @@ object IceWrite {
                                     equalityIds: Seq[Int] = Nil): Seq[DataFile] = {
     val spec = table.spec
     val props = table.metadata.properties
+    // session-scoped confs restored after the write — other queries in the
+    // same session must not inherit iceberg write settings
+    val prevTsType = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     spark.sessionState.newHadoopConf() // ensure defaults materialized
@@ -89,11 +92,15 @@ object IceWrite {
         .write.partitionBy(partFields.map(_.name): _*)
     } else aligned.coalesce(math.max(1, aligned.rdd.getNumPartitions / 4)).write
 
-    writer
+    try writer
       .option("compression", props.getOrElse("write.parquet.compression-codec", "zstd"))
       .option("maxRecordsPerFile",
         props.getOrElse("write.max-records-per-file", "10000000"))
       .parquet(stagingDir)
+    finally prevTsType match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
 
     collectDataFiles(spark, table, stagingDir, writeSchema, partFields.map(_.name), content, equalityIds)
   }

@@ -1,0 +1,404 @@
+package graft.spark
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{Column, DataFrame, GraftShim, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal, SortOrder => CatalystSortOrder}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{Catalog, TableIdent}
+import graft.spec.{IceSchema, IceType, PartitionSpec}
+import graft.table.{IceTable, ManifestModel}
+
+/** Materialized views with full + incremental refresh (reference:
+  * datafusion_iceberg/src/materialized_view/mod.rs:32-214 and
+  * delta_queries/{transform.rs,aggregate_functions.rs,delta_node.rs}).
+  *
+  * An MV is a SQL view plus a hidden Iceberg storage table
+  * (`<name>__storage`) holding the materialized rows, plus a refresh state
+  * (source table uuid → last-seen snapshot id) stored as a table property —
+  * the Spark analogue of the reference's snapshot-summary RefreshState
+  * (materialized_view_metadata.rs:40-90, storage_table.rs:28-60).
+  *
+  * Incremental maintenance is snapshot-diff based (no watermarks — S4): a
+  * source's delta is an [[IceScan]] pinned to the sequence range
+  * (lastRefresh, current]. Instead of the reference's PosDelta plan-rewrite
+  * machinery (transform.rs:27-377), we exploit that every
+  * Project/Filter/Inner-Join/Union plan is MULTILINEAR in its source
+  * occurrences, so
+  *   Δ(Q(A, B)) = Q(ΔA, B_old) ∪ Q(A_old, ΔB) ∪ Q(ΔA, ΔB)
+  * generalizes to a union over all non-empty subsets of changed source
+  * occurrences — each term is the same plan rebuilt over different
+  * bindings. This yields exactly the reference's join expansion (J2,
+  * transform.rs:381-477) without custom logical nodes; Spark caches the
+  * delta scans instead of ForkNode channels (M3 → .cache()).
+  *
+  * Aggregates merge with the stored table per aggregate_functions.rs:5-100:
+  * count/sum → stored + delta, min/max → least/greatest; changed groups are
+  * replaced via an equality delete on the group keys committed ATOMICALLY
+  * with the merged rows (same sequence number, so the delete masks only the
+  * previous generation — equality deletes apply strictly below their
+  * sequence, table.rs:498-531).
+  */
+object IceMV {
+
+  /** Refresh strategy classification (A3, materialized_view/mod.rs:370-415). */
+  sealed trait Strategy
+  case object Fresh extends Strategy
+  /** Plan shape unsupported for deltas (window fns, outer joins, distinct,
+    * nested/unmergeable aggregates) → recompute + replace. */
+  case object FullOverwrite extends Strategy
+  /** Sort present: result recomputed and replaced (an MV table is unordered;
+    * the reference likewise degrades Sort to overwrite). */
+  case object IncrementalOverwrite extends Strategy
+  /** Pure SPJU plan: delta rows are appended. */
+  case object IncrementalAppend extends Strategy
+  /** Single top-level aggregate with mergeable functions. */
+  final case class IncrementalAggregate(groupNames: Seq[String], merges: Seq[(String, String)]) extends Strategy
+
+  final case class RefreshResult(strategy: Strategy, rowsWritten: Long)
+
+  private val StatePropKey = "graft.mv.refresh-state"
+  private val mapper = new ObjectMapper()
+
+  def storageIdent(ident: TableIdent): TableIdent =
+    TableIdent(ident.namespace, ident.name + "__storage")
+
+  // -------------------------------------------------------------------
+  // create / read
+  // -------------------------------------------------------------------
+
+  /** Creates the view + empty storage table. First refresh materializes. */
+  def create(spark: SparkSession, catalog: Catalog, ident: TableIdent, sql: String): Unit = {
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    val out = fullCompute(spark, catalog, ident, sql)
+    val (struct, _) = IceType.fromSparkAssignIds(out.schema)
+    val keyIds = classify(plan) match {
+      case IncrementalAggregate(groupNames, _) =>
+        struct.fields.filter(f => groupNames.contains(f.name)).map(_.id)
+      case _ => Nil
+    }
+    val schema = IceSchema(0, struct.fields, identifierFieldIds = keyIds)
+    catalog.createTable(storageIdent(ident), schema, PartitionSpec(0, Nil))
+    catalog.createView(ident, sql, out.schema.json)
+  }
+
+  /** MV read = MoR scan of the storage table (stale until refreshed). */
+  def read(spark: SparkSession, catalog: Catalog, ident: TableIdent): DataFrame = {
+    val storage = catalog.loadTable(storageIdent(ident))
+      .getOrElse(throw new IllegalArgumentException(s"no materialized view $ident"))
+    IceScan.scan(spark, storage)
+  }
+
+  /** Plain (non-materialized) view read: inline the SQL over current-snapshot
+    * sources (D5, table.rs:170-190). */
+  def readView(spark: SparkSession, catalog: Catalog, ident: TableIdent): DataFrame = {
+    val (sql, _) = catalog.loadView(ident)
+      .getOrElse(throw new IllegalArgumentException(s"no view $ident"))
+    fullCompute(spark, catalog, ident, sql)
+  }
+
+  // -------------------------------------------------------------------
+  // refresh (M1, materialized_view/mod.rs:32-214)
+  // -------------------------------------------------------------------
+
+  def refresh(spark: SparkSession, catalog: Catalog, ident: TableIdent): RefreshResult = {
+    val (sql, _) = catalog.loadView(ident)
+      .getOrElse(throw new IllegalArgumentException(s"no materialized view $ident"))
+    val storage = catalog.loadTable(storageIdent(ident))
+      .getOrElse(throw new IllegalArgumentException(s"no storage table for $ident"))
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    val occurrenceIdents = sourceOccurrences(plan)
+    val sources: Seq[IceTable] = occurrenceIdents.map(resolve(catalog, ident, _))
+
+    val state = readState(storage)
+    // freshness per source (mod.rs:291-358): fresh / outdated / invalid
+    val freshCheck = sources.forall { t =>
+      val cur = t.currentSnapshot(None).map(_.snapshotId.toString)
+      state.get(t.metadata.tableUuid) == cur
+    }
+    if (freshCheck && state.nonEmpty) return RefreshResult(Fresh, 0L)
+
+    // a source whose stored snapshot has been expired/unknown, or that has
+    // never been seen, can't diff — degrade to full recompute
+    val invalid = sources.exists { t =>
+      state.get(t.metadata.tableUuid).exists(s => t.snapshotById(s.toLong).isEmpty)
+    }
+    val firstRefresh = sources.exists(t => !state.contains(t.metadata.tableUuid))
+
+    val strategy0 = classify(plan)
+    val strategy = if (invalid || firstRefresh) FullOverwrite else strategy0
+
+    val newState: Map[String, String] = sources.map(t =>
+      t.metadata.tableUuid -> t.currentSnapshot(None).map(_.snapshotId.toString).getOrElse("")).toMap
+    val stateProps = Map(StatePropKey -> writeState(newState))
+
+    strategy match {
+      case FullOverwrite | IncrementalOverwrite =>
+        val out = fullCompute(spark, catalog, ident, sql).cache()
+        val files = IceWrite.writeDataFiles(spark, storage, out, storage.schema)
+        storage.newTransaction(None).replace(files).updateProperties(stateProps).commit()
+        val n = files.map(_.recordCount).sum
+        out.unpersist()
+        RefreshResult(strategy, n)
+
+      case IncrementalAppend =>
+        val delta = deltaCompute(spark, plan, sources, state)
+        val files = IceWrite.writeDataFiles(spark, storage, delta, storage.schema)
+        storage.newTransaction(None).appendData(files).updateProperties(stateProps).commit()
+        RefreshResult(strategy, files.map(_.recordCount).sum)
+
+      case agg @ IncrementalAggregate(groupNames, merges) =>
+        val aggNode = plan.asInstanceOf[Aggregate]
+        val deltaChild = deltaCompute(spark, aggNode.child, sources, state)
+        val deltaAgg = buildAggregate(aggNode, deltaChild).cache() // M3: cache ≈ ForkNode
+        val stored = IceScan.scan(spark, storage)
+        val outCols = storage.schema.fields.map(_.name)
+
+        // J4 merge joins (transform.rs:107-196): inner → merged groups,
+        // left_anti → brand-new groups
+        val merged = deltaAgg.as("d").join(stored.as("s"), groupNames, "inner")
+          .select(outCols.map { c =>
+            if (groupNames.contains(c)) col(c)
+            else merges.find(_._1 == c) match {
+              // count/sum → stored + delta (null-safe); min/max → least/greatest
+              // (aggregate_functions.rs:5-100)
+              case Some((_, "count")) | Some((_, "sum")) =>
+                coalesce(col(s"s.$c") + col(s"d.$c"), col(s"s.$c"), col(s"d.$c")).as(c)
+              case Some((_, "min")) => least(col(s"s.$c"), col(s"d.$c")).as(c)
+              case Some((_, "max")) => greatest(col(s"s.$c"), col(s"d.$c")).as(c)
+              case other => throw new IllegalStateException(s"unmergeable column $c: $other")
+            }
+          }: _*)
+        val fresh = deltaAgg.join(stored, groupNames, "left_anti").select(outCols.map(col): _*)
+        val pos = merged.unionByName(fresh)
+
+        // changed groups get their previous generation masked by an equality
+        // delete on the group keys, committed with the SAME sequence number
+        // as the merged rows (so the delete applies strictly below it)
+        val changedKeys = deltaAgg.select(groupNames.map(col): _*)
+          .join(stored.select(groupNames.map(col): _*), groupNames, "left_semi").distinct()
+
+        val keyIds = storage.schema.fields.filter(f => groupNames.contains(f.name)).map(_.id)
+        val dataFiles = IceWrite.writeDataFiles(spark, storage, pos, storage.schema)
+        val delFiles = IceWrite.writeDataFiles(spark, storage, changedKeys,
+          storage.schema.project(keyIds), content = ManifestModel.ContentEqualityDeletes,
+          equalityIds = keyIds)
+        storage.newTransaction(None)
+          .appendData(dataFiles).appendDeletes(delFiles)
+          .updateProperties(stateProps).commit()
+        deltaAgg.unpersist()
+        RefreshResult(agg, dataFiles.map(_.recordCount).sum)
+
+      case Fresh => RefreshResult(Fresh, 0L)
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // plan analysis
+  // -------------------------------------------------------------------
+
+  /** Source-table occurrences in deterministic pre-order (one entry per
+    * leaf, not per distinct table — multilinearity is per occurrence). */
+  private[graft] def sourceOccurrences(plan: LogicalPlan): Seq[TableIdent] =
+    plan.collect { case r: UnresolvedRelation => TableIdent.parse(r.multipartIdentifier.mkString(".")) }
+
+  /** Bare names resolve in the MV's own namespace (reference views carry a
+    * default_namespace, view_metadata.rs:307-380). */
+  private def resolve(catalog: Catalog, mv: TableIdent, src: TableIdent): IceTable = {
+    val candidates = Seq(src, TableIdent(mv.namespace ++ src.namespace, src.name))
+    candidates.flatMap(catalog.loadTable).headOption
+      .getOrElse(throw new IllegalArgumentException(s"unknown MV source table $src"))
+  }
+
+  /** A3 classification. Anything outside {Project, Filter, inner/cross Join,
+    * Union, SubqueryAlias, Aggregate, Sort, Limit, TableScan} → full
+    * recompute (the reference degrades Window the same way,
+    * materialized_view/mod.rs:377-408). */
+  private[graft] def classify(plan: LogicalPlan): Strategy = {
+    var supported = true
+    var sorts = 0
+    var aggs = 0
+    plan.foreach {
+      case _: UnresolvedRelation | _: SubqueryAlias | _: Project | _: Filter | _: Union =>
+      case j: Join =>
+        if (!(j.joinType == Inner || j.joinType == Cross)) supported = false
+      case _: Sort | _: GlobalLimit | _: LocalLimit => sorts += 1
+      case _: Aggregate => aggs += 1
+      case _ => supported = false
+    }
+    // window functions and subqueries hide INSIDE expression lists at parse
+    // time (no Window node until the analyzer runs ExtractWindowExpressions)
+    plan.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case _: org.apache.spark.sql.catalyst.expressions.WindowExpression => supported = false
+        case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => supported = false
+        case e if e.nodeName == "UnresolvedWindowExpression" => supported = false
+        case _ =>
+      })
+    }
+    if (!supported) return FullOverwrite
+    if (aggs > 1) return FullOverwrite
+    if (aggs == 1) {
+      plan match {
+        case a: Aggregate => aggInfo(a).getOrElse(FullOverwrite)
+        case _ => if (sorts > 0) IncrementalOverwrite else FullOverwrite
+      }
+    } else if (sorts > 0) IncrementalOverwrite
+    else IncrementalAppend
+  }
+
+  /** Mergeable-aggregate check: group exprs are plain columns
+    * (transform.rs:499-515) and every other output is an aliased
+    * count/sum/min/max (aggregate_functions.rs rejects the rest). */
+  private def aggInfo(a: Aggregate): Option[IncrementalAggregate] = {
+    val groupNames = a.groupingExpressions.map {
+      case att: UnresolvedAttribute => att.nameParts.last
+      case _ => return None
+    }
+    val merges = a.aggregateExpressions.flatMap {
+      case att: UnresolvedAttribute =>
+        if (groupNames.contains(att.nameParts.last)) None else return None
+      case Alias(att: UnresolvedAttribute, name) =>
+        if (groupNames.contains(att.nameParts.last)) None else return None
+      case Alias(f: UnresolvedFunction, name) =>
+        val fn = f.nameParts.last.toLowerCase
+        if (f.isDistinct || !Seq("count", "sum", "min", "max").contains(fn)) return None
+        Some(name -> fn)
+      case _ => return None
+    }
+    Some(IncrementalAggregate(groupNames, merges))
+  }
+
+  // -------------------------------------------------------------------
+  // plan execution over bindings
+  // -------------------------------------------------------------------
+
+  /** Full recompute path: sources registered as temp views → spark.sql, so
+    * EVERY SQL shape (windows, outer joins, subqueries) works at
+    * full-refresh fidelity even when deltas can't. */
+  private def fullCompute(spark: SparkSession, catalog: Catalog, mv: TableIdent, sql: String): DataFrame = {
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    sourceOccurrences(plan).distinct.foreach { src =>
+      IceScan.scan(spark, resolve(catalog, mv, src)).createOrReplaceTempView(src.name)
+    }
+    spark.sql(sql)
+  }
+
+  /** Δ(plan) over the changed sources: union over all non-empty subsets of
+    * changed occurrences, each term the plan rebuilt with subset→delta-scan
+    * and rest→old-snapshot-scan bindings (J2/J3 algebra generalized). */
+  private def deltaCompute(spark: SparkSession, plan: LogicalPlan,
+                           sources: Seq[IceTable], state: Map[String, String]): DataFrame = {
+    // occurrences of `plan` are a suffix of the full query's occurrence list
+    // only when plan IS the full query; recompute for this subtree
+    val occs = sourceOccurrences(plan)
+    val tables = occs.zipWithIndex.map { case (_, i) => sources(i) }
+    val oldSnap: Seq[Option[Long]] = tables.map(t =>
+      state.get(t.metadata.tableUuid).map(_.toLong))
+    val curSnap: Seq[Option[Long]] = tables.map(_.currentSnapshot(None).map(_.snapshotId))
+    val changed: Seq[Int] = tables.indices.filter(i => oldSnap(i) != curSnap(i))
+    require(changed.size <= 5, s"delta expansion over ${changed.size} changed occurrences too wide")
+
+    def oldScan(i: Int): DataFrame = oldSnap(i) match {
+      case Some(id) => IceScan.scan(spark, tables(i),
+        options = IceScan.ScanOptions(snapshotId = Some(id)))
+      case None => emptyLike(spark, tables(i))
+    }
+    def deltaScan(i: Int): DataFrame = {
+      val afterSeq = oldSnap(i).flatMap(id => tables(i).snapshotById(id)).map(_.sequenceNumber)
+      IceScan.scan(spark, tables(i), options = IceScan.ScanOptions(
+        snapshotId = curSnap(i), afterSequence = afterSeq.orElse(Some(0L))))
+    }
+
+    val cachedDelta: Map[Int, DataFrame] = changed.map(i => i -> deltaScan(i).cache()).toMap
+    val terms = for {
+      mask <- 1 until (1 << changed.size)
+      subset = changed.zipWithIndex.collect { case (occ, bit) if (mask & (1 << bit)) != 0 => occ }.toSet
+    } yield build(plan, i => if (subset.contains(i)) cachedDelta(i) else oldScan(i))
+    terms.reduce(_ unionByName _)
+  }
+
+  private def emptyLike(spark: SparkSession, t: IceTable): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      t.schema.toSpark)
+
+  private def colOf(e: Expression): Column = GraftShim.column(e)
+
+  /** Rebuilds an unresolved SPJU(+Agg/Sort/Limit) plan as DataFrame ops, with
+    * leaf i bound via `bind(i)` (i = pre-order occurrence index). The
+    * analyzer resolves every wrapped expression against the rebuilt
+    * children — names behave exactly as in the original SQL. */
+  private[graft] def build(plan: LogicalPlan, bind: Int => DataFrame): DataFrame = {
+    var next = -1
+    def go(p: LogicalPlan): DataFrame = p match {
+      case _: UnresolvedRelation => next += 1; bind(next)
+      case SubqueryAlias(id, child) => go(child).alias(id.name)
+      case Project(list, child) => go(child).select(list.map(colOf): _*)
+      case Filter(cond, child) => go(child).filter(colOf(cond))
+      case j: Join =>
+        val l = go(j.left); val r = go(j.right)
+        j.condition match {
+          case Some(c) => l.join(r, colOf(c), j.joinType.sql.toLowerCase.replace(" ", "_"))
+          case None => l.crossJoin(r)
+        }
+      case u: Union => u.children.map(go).reduce(_ union _)
+      case a: Aggregate => buildAggregate(a, go(a.child))
+      case s: Sort => go(s.child).sort(s.order.map(colOf): _*)
+      case g: GlobalLimit => g.limitExpr match {
+        case lit: Literal => go(g.child).limit(lit.value.toString.toInt)
+        case other => throw new UnsupportedOperationException(s"non-literal limit: $other")
+      }
+      case l: LocalLimit => go(l.child)
+      case Distinct(child) => go(child).distinct()
+      case other => throw new UnsupportedOperationException(
+        s"unsupported plan node for delta rebuild: ${other.nodeName}")
+    }
+    go(plan)
+  }
+
+  /** Aggregate node → groupBy().agg(), output reordered to SQL order. */
+  private[graft] def buildAggregate(a: Aggregate, child: DataFrame): DataFrame = {
+    val groupCols = a.groupingExpressions.map(colOf)
+    val groupSql = a.groupingExpressions.map(_.sql).toSet
+    val outNames: Seq[String] = a.aggregateExpressions.map {
+      case Alias(_, name) => name
+      case att: UnresolvedAttribute => att.nameParts.last
+      case e => throw new UnsupportedOperationException(
+        s"aggregate output must be a column or aliased aggregate: ${e.sql}")
+    }
+    val aggExprs = a.aggregateExpressions.filter {
+      case att: UnresolvedAttribute => !groupSql.contains(att.sql)
+      case Alias(att: UnresolvedAttribute, _) => !groupSql.contains(att.sql)
+      case _ => true
+    }.map(colOf)
+    val grouped = child.groupBy(groupCols: _*)
+    val out = aggExprs match {
+      case head +: tail => grouped.agg(head, tail: _*)
+      case _ => throw new UnsupportedOperationException("aggregate with no aggregate expressions")
+    }
+    out.select(outNames.map(col): _*)
+  }
+
+  // -------------------------------------------------------------------
+  // refresh state (M4)
+  // -------------------------------------------------------------------
+
+  private def readState(storage: IceTable): Map[String, String] =
+    storage.metadata.properties.get(StatePropKey) match {
+      case None => Map.empty
+      case Some(json) =>
+        val n = mapper.readTree(json)
+        import scala.jdk.CollectionConverters._
+        n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+
+  private def writeState(state: Map[String, String]): String = {
+    val n = mapper.createObjectNode()
+    state.foreach { case (k, v) => n.put(k, v) }
+    mapper.writeValueAsString(n)
+  }
+}

@@ -9,4 +9,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Wraps a (possibly unresolved) Catalyst expression as a public Column —
+    * lets graft rebuild parsed SQL plans node-by-node as DataFrame ops, with
+    * the analyzer resolving names against the rebuilt children.
+    */
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }
