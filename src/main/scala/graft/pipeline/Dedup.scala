@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * 100 TB posture:
+  *  - exact dedup is one hash aggregate on a content hash (shuffle keyed by
+  *    hash — uniform by construction, no skew);
+  *  - MinHash signatures are computed with k aggregate columns in a SINGLE
+  *    shuffle (not k passes); LSH banding turns all-pairs O(n²) into
+  *    per-bucket self-joins, and exact Jaccard runs only over LSH survivors;
+  *  - SimHash blocking uses the pigeonhole principle (hamming ≤ k pairs
+  *    share ≥ 1 of k+1 signature segments) so candidate generation is again
+  *    an equi-join, never a cross join.
+  * Hashes are md5-hex for engine-portable determinism.
+  */
+object Dedup {
+
+  /** Exact duplicate clusters by content hash: one row per distinct content,
+    * with the surviving (minimum) id and the duplicate count. */
+  def exactClusters(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word `n`-gram shingles per document. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = TextOps.tokens(col(textCol))
+    df.select(col(idCol),
+      explode(transform(
+        sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(w, i, lit(n))))).as("sh"))
+      .distinct()
+  }
+
+  /** MinHash signature: for hash index h, min over shingles of
+    * md5(h ':' shingle). All `numHashes` minima come out of ONE aggregation
+    * (k agg columns), so the whole signature costs a single shuffle keyed by
+    * document id. */
+  def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(h =>
+      min(md5(concat(lit(h.toString), lit(":"), col("sh")).cast("binary"))).as(s"mh$h"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: group `rows` consecutive minhashes per band, hash the band
+    * to a signature; documents sharing any (band, signature) are candidate
+    * near-duplicates. */
+  def lshBands(sigs: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val stackArgs: Seq[Column] = (0 until bands).flatMap { b =>
+      val sig = md5(concat_ws("|", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*).cast("binary"))
+      Seq(lit(b), sig)
+    }
+    sigs.select(col(idCol), stack((Seq(lit(bands)) ++ stackArgs): _*).as(Seq("band", "sig")))
+  }
+
+  /** Candidate pairs from LSH buckets (id_a < id_b, deduplicated across
+    * bands). The join is an equi-join on (band, sig) — at scale, a bucket
+    * with pathological size means near-identical mass duplicates; cap with
+    * a count filter if needed. */
+  def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col("band"), col("sig"), col(idCol).as("id_a"))
+    val b = bands.select(col("band"), col("sig"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Exact n-gram Jaccard for given candidate pairs: |A∩B| via a shingle
+    * equi-join restricted to candidates, |A∪B| = |A|+|B|−|A∩B|. Runs only
+    * over LSH survivors — the verify stage of the classic pipeline. */
+  def jaccardVerify(sh: DataFrame, candidates: DataFrame, idCol: String): DataFrame = {
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val shA = sh.select(col(idCol).as("id_a"), col("sh"))
+    val shB = sh.select(col(idCol).as("id_b"), col("sh"))
+    val inter = candidates.join(shA, "id_a").join(shB, Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    candidates
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (coalesce(col("inter"), lit(0L)).cast("double")
+          / (col("na") + col("nb") - coalesce(col("inter"), lit(0L)))).as("jaccard"))
+  }
+
+  /** Full MinHash near-dup pipeline: shingle → sign → band → bucket-join →
+    * exact-verify, returning pairs with Jaccard ≥ `threshold`. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleSize).cache()
+    val cand = lshCandidates(lshBands(minhashSignatures(sh, idCol, numHashes), idCol, numHashes, bands), idCol)
+    jaccardVerify(sh, cand, idCol).filter(col("jaccard") >= threshold)
+  }
+
+  /** 16-bit SimHash signature per document: bit b is the sign of the sum of
+    * ±1 votes from bit b of each token's md5 (tokens counted with
+    * multiplicity). Two shuffles: (doc, bit) partial sums, then doc. The
+    * 16-bit width is the engine-portable demonstration size; widen by using
+    * more md5 nibbles. */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+    val bits = toks.select(col(idCol), explode(sequence(lit(0), lit(15))).as("b"), col("tok"))
+      .withColumn("vote", expr(
+        """CASE WHEN ((instr('0123456789abcdef', substr(md5(cast(tok AS binary)), b DIV 4 + 1, 1)) - 1)
+          |  >> (3 - b % 4)) & 1 = 1 THEN 1 ELSE -1 END""".stripMargin))
+      .groupBy(col(idCol), col("b")).agg(sum(col("vote")).as("s"))
+    bits.groupBy(col(idCol))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1, b)")).otherwise(lit(0))).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` via pigeonhole blocking on
+    * 4-bit signature segments (hamming ≤ 3 ⇒ at least one of 4 nibbles
+    * matches exactly — an equi-join, no cross product). */
+  def simhashNearDups(sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val nib = sigs.select(col(idCol), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("n"))
+      .withColumn("nv", expr("shiftright(simhash, n * 4) & 15"))
+    val a = nib.select(col("n"), col("nv"), col(idCol).as("id_a"), col("simhash").as("sim_a"))
+    val b = nib.select(col("n"), col("nv"), col(idCol).as("id_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("n", "nv")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sim_a ^ sim_b)").as("hamming")).distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: language
+  * ID, quality scoring, token counting, document fingerprinting.
+  *
+  * Everything here is pure narrow `Column` algebra or a single hash-keyed
+  * aggregation — no UDFs, no collect, no driver-side loops — so plans stay
+  * inside whole-stage codegen and scale linearly with executors. Hashes are
+  * md5-hex (an engine-portable primitive) so results are reproducible across
+  * engines and runs; swap in xxhash64 for raw throughput when cross-engine
+  * reproducibility is not needed.
+  */
+object TextOps {
+
+  /** Whitespace tokens of a lowercase text column. */
+  def tokens(text: Column): Column = filter(split(lower(text), " "), t => t =!= "")
+
+  /** BPE-ish regex token count: word runs, digit runs, and single
+    * non-alphanumeric marks each count as one token (the usual pre-tokenizer
+    * shape of byte-pair encoders). */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+
+  /** Per-document surface statistics used by quality filters. */
+  def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars_m"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_types"),
+      (size(array_distinct(t)).cast("double") / size(t)).as("ttr"),
+      ((length(col(textCol)) - size(t) + 1).cast("double") / size(t)).as("mean_tok_len"))
+  }
+
+  /** Composite quality score in [0,100]: type-token ratio (lexical
+    * diversity) + a length prior. Deterministic rational arithmetic. */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    textStats(df, idCol, textCol).select(
+      col(idCol),
+      (col("ttr") * 50.0
+        + least(col("n_tokens").cast("double") / lit(4.0), lit(25.0))
+        + least(col("mean_tok_len") * lit(5.0), lit(25.0))).as("quality"))
+
+  /** Tiny per-language stopword profiles for n-gram-free heuristic language
+    * ID. Real pipelines use larger profiles; the mechanism (token ∈ profile
+    * voting via a broadcast join) is the 100 TB-scalable part. */
+  val stopwordProfiles: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "to", "en" -> "in", "en" -> "is", "en" -> "it",
+    "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und", "de" -> "ist", "de" -> "von", "de" -> "mit", "de" -> "ein",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "y", "es" -> "en", "es" -> "es", "es" -> "un", "es" -> "por",
+    "fr" -> "le", "fr" -> "la", "fr" -> "et", "fr" -> "les", "fr" -> "des", "fr" -> "en", "fr" -> "un", "fr" -> "est")
+
+  /** Predicts a language per document by stopword voting: explode tokens,
+    * broadcast-join the profile table, count hits per candidate language,
+    * argmax with deterministic ties (score desc, language asc). Documents
+    * with zero hits predict "unknown".
+    *
+    * Scale shape: one explode + one broadcast join + one hash aggregate on
+    * (doc, lang) — no skew risk beyond token fan-out.
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val profiles = spark.createDataset(stopwordProfiles).toDF("cand_lang", "word")
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val votes = toks.join(broadcast(profiles), col("tok") === col("word"))
+      .groupBy(col(idCol), col("cand_lang")).agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("hits").desc, col("cand_lang").asc)
+    val best = votes.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col(idCol), col("cand_lang").as("pred_lang"))
+    df.select(col(idCol)).join(best, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("pred_lang"), lit("unknown")).as("pred_lang"))
+  }
+
+  /** Document fingerprint: whole-document content hash plus the minimum
+    * 5-char-gram hash (a 1-hash winnowing sketch — stable under small edits
+    * away from the minimizing window). Both computed without explode via
+    * array transforms inside codegen. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      md5(col(textCol).cast("binary")).as("content_hash"),
+      array_min(transform(
+        sequence(lit(1), greatest(length(col(textCol)) - 4, lit(1))),
+        i => md5(col(textCol).substr(i, lit(5)).cast("binary")))).as("min_gram_hash"))
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, Embeddings, Multimodal, TextOps}
+
+/** Unit tests of the training-data pipeline operators on hand-built inputs
+  * with known answers (the DuckDB oracle gate covers the testdata scale).
+  */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("pipeline-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup clusters identical texts under one keeper") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val got = Dedup.exactClusters(d, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.size == 2)
+    assert(got.exists { case (_, keeper, n) => keeper == 1L && n == 2L })
+    assert(got.exists { case (_, keeper, n) => keeper == 3L && n == 1L })
+  }
+
+  test("minhash near-dup finds a planted duplicate and skips unrelated text") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 28).map(i => s"tok$i") ++ Seq("other", "words")).mkString(" ")
+    val unrelated = (1 to 30).map(i => s"zzz$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
+    val pairs = Dedup.minhashNearDups(d, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("jaccard verify computes exact overlap") {
+    val d = docs(1L -> "a b c d e f", 2L -> "a b c d e z")
+    val sh = Dedup.shingles(d, "doc_id", "text", 3)
+    import spark.implicits._
+    val cand = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val j = Dedup.jaccardVerify(sh, cand, "doc_id").collect().head.getDouble(2)
+    // shingles: doc1 {abc,bcd,cde,def}, doc2 {abc,bcd,cde,dez}: inter 3, union 5
+    assert(math.abs(j - 0.6) < 1e-12)
+  }
+
+  test("simhash of identical docs is identical; blocking finds the pair") {
+    val d = docs(1L -> "spark fast table scan", 2L -> "spark fast table scan", 3L -> "x q j w")
+    val sigs = Dedup.simhash16(d, "doc_id", "text")
+    val byId = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) == byId(2L))
+    val pairs = Dedup.simhashNearDups(sigs, "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("brute-force top-k ranks by exact cosine with deterministic ties") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.01f)),  // nearly parallel to 0
+      (2L, Array(0.0f, 1.0f)),   // orthogonal to 0
+      (3L, Array(-1.0f, 0.0f))). // opposite to 0
+      toDF("vec_id", "embedding")
+    val prepared = Embeddings.prepare(vecs, "vec_id", "embedding")
+    val got = Embeddings.bruteForceTopK(prepared, "vec_id", 3, col("vec_id") === 0)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toList
+    assert(got == List((1, 1L), (2, 2L), (3, 3L)))
+  }
+
+  test("lsh ann retrieves same-bucket neighbors") {
+    import spark.implicits._
+    val base = (0 until 64).map(i => math.sin(i * 1.7).toFloat).toArray
+    val near = base.map(x => x * 1.01f)
+    val vecs = Seq((0L, base), (1L, near)).toDF("vec_id", "embedding")
+    val prepared = Embeddings.prepare(vecs, "vec_id", "embedding")
+    val got = Embeddings.annTopK(prepared, "vec_id", 1, planes = 6, col("vec_id") === 0)
+      .collect()
+    // a scaled copy lands in the same sign-LSH bucket and ranks first
+    assert(got.length == 1 && got.head.getLong(2) == 1L)
+  }
+
+  test("language id votes by stopwords with unknown fallback") {
+    val d = docs(
+      1L -> "the cat and the dog of the house",
+      2L -> "der hund und die katze ist von mir",
+      3L -> "qqq www eee")
+    val got = TextOps.langId(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "unknown"))
+  }
+
+  test("multimodal stub decode and frame sampling are deterministic") {
+    val d = docs(7L -> "abcdefghijklmnop")
+    val media = Multimodal.asMedia(d, "doc_id", "text", "text/plain")
+    val feats = Multimodal.decodeFeatures(media, 4).collect().head
+    assert(feats.doc_id == 7L && feats.n_bytes == 16L && feats.head_byte == 'a'.toInt)
+    val frames = Multimodal.sampleFrames(media, 4, 4).collect().sortBy(_.frame_no)
+    assert(frames.map(_.offset).toList == List(0L, 5L, 10L, 15L))
+    assert(frames.map(_.head_byte).toList == List('a'.toInt, 'f'.toInt, 'k'.toInt, 'p'.toInt))
+  }
+}
