@@ -24,15 +24,19 @@ object Dedup {
     df.groupBy(md5(col(contentCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word `n`-gram shingles per document. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  /** Word `n`-gram shingles per document WITH multiplicity (no shuffle —
+    * a pure projection+explode). */
+  def shinglesRaw(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val w = TextOps.tokens(col(textCol))
     df.select(col(idCol),
       explode(transform(
         sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
         i => concat_ws(" ", slice(w, i, lit(n))))).as("sh"))
-      .distinct()
   }
+
+  /** Distinct word `n`-gram shingles per document. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shinglesRaw(df, idCol, textCol, n).distinct()
 
   /** MinHash signature: for hash index h, min over shingles of
     * md5(h ':' shingle). All `numHashes` minima come out of ONE aggregation
@@ -90,9 +94,21 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleSize).cache()
-    val cand = lshCandidates(lshBands(minhashSignatures(sh, idCol, numHashes), idCol, numHashes, bands), idCol)
-    jaccardVerify(sh, cand, idCol).filter(col("jaccard") >= threshold)
+    // signatures are duplicate-insensitive (min over a multiset == min over
+    // its set), so they read the RAW shingle stream — no distinct shuffle on
+    // the full corpus. The distinct shingle SETS needed for exact Jaccard
+    // are built only for documents that survived LSH (a semi-join — tiny).
+    // Band rows and candidates are cached: each feeds two joins.
+    // The input is spread first: a corpus arriving as few parquet splits
+    // would otherwise run the whole shingle+hash kernel in one task.
+    val par = df.sparkSession.sessionState.conf.numShufflePartitions
+    val raw = shinglesRaw(df.repartition(par), idCol, textCol, shingleSize)
+    val banded = lshBands(minhashSignatures(raw, idCol, numHashes), idCol, numHashes, bands).cache()
+    val cand = lshCandidates(banded, idCol).cache()
+    val candDocs = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol))).distinct()
+    val shSets = raw.join(broadcast(candDocs), Seq(idCol), "left_semi").distinct().cache()
+    jaccardVerify(shSets, cand, idCol).filter(col("jaccard") >= threshold)
   }
 
   /** 16-bit SimHash signature per document: bit b is the sign of the sum of
@@ -101,23 +117,34 @@ object Dedup {
     * 16-bit width is the engine-portable demonstration size; widen by using
     * more md5 nibbles. */
   def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
-    val bits = toks.select(col(idCol), explode(sequence(lit(0), lit(15))).as("b"), col("tok"))
-      .withColumn("vote", expr(
-        """CASE WHEN ((instr('0123456789abcdef', substr(md5(cast(tok AS binary)), b DIV 4 + 1, 1)) - 1)
-          |  >> (3 - b % 4)) & 1 = 1 THEN 1 ELSE -1 END""".stripMargin))
-      .groupBy(col(idCol), col("b")).agg(sum(col("vote")).as("s"))
-    bits.groupBy(col(idCol))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1, b)")).otherwise(lit(0))).as("simhash"))
+    // md5 once per token; the 16 bit-votes are cheap nibble ops on that one
+    // hash, aggregated as 16 sum columns in a single shuffle. Repartition
+    // first: few input splits would serialize the hash kernel.
+    val par = df.sparkSession.sessionState.conf.numShufflePartitions
+    val toks = df.repartition(par)
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+    val votes = (0 until 16).map { b =>
+      sum(expr(
+        s"""CASE WHEN ((instr('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1)
+           |  >> ${3 - b % 4}) & 1 = 1 THEN 1 ELSE -1 END""".stripMargin)).as(s"s$b")
+    }
+    toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 16).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs within `maxHamming` via pigeonhole blocking on
     * 4-bit signature segments (hamming ≤ 3 ⇒ at least one of 4 nibbles
     * matches exactly — an equi-join, no cross product). */
   def simhashNearDups(sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    // both sides of the self-join read nib: cache it (4 small rows per doc)
+    // so the signature aggregation runs once
     val nib = sigs.select(col(idCol), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("n"))
       .withColumn("nv", expr("shiftright(simhash, n * 4) & 15"))
+      .cache()
     val a = nib.select(col("n"), col("nv"), col(idCol).as("id_a"), col("simhash").as("sim_a"))
     val b = nib.select(col("n"), col("nv"), col(idCol).as("id_b"), col("simhash").as("sim_b"))
     a.join(b, Seq("n", "nv")).filter(col("id_a") < col("id_b"))

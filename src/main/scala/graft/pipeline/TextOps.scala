@@ -81,11 +81,17 @@ object TextOps {
     * 5-char-gram hash (a 1-hash winnowing sketch — stable under small edits
     * away from the minimizing window). Both computed without explode via
     * array transforms inside codegen. */
-  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
-      col(idCol),
-      md5(col(textCol).cast("binary")).as("content_hash"),
-      array_min(transform(
-        sequence(lit(1), greatest(length(col(textCol)) - 4, lit(1))),
-        i => md5(col(textCol).substr(i, lit(5)).cast("binary")))).as("min_gram_hash"))
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // explode + codegen'd md5 + hash-aggregate min beats the interpreted
+    // array-transform formulation by ~an order of magnitude on long docs;
+    // repartition first so the gram kernel parallelizes off few input splits
+    val par = df.sparkSession.sessionState.conf.numShufflePartitions
+    val grams = df.repartition(par).select(col(idCol),
+      explode(sequence(lit(1), greatest(length(col(textCol)) - 4, lit(1)))).as("i"),
+      col(textCol).as("_t"))
+      .select(col(idCol), md5(col("_t").substr(col("i"), lit(5)).cast("binary")).as("g"))
+      .groupBy(col(idCol)).agg(min(col("g")).as("min_gram_hash"))
+    df.select(col(idCol), md5(col(textCol).cast("binary")).as("content_hash"))
+      .join(grams, Seq(idCol))
+  }
 }
