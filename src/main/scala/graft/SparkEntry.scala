@@ -15,12 +15,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.IcebergQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.IcebergQueries.oracle ++
-      graft.queries.PipelineQueries.oracle
+      graft.queries.PipelineQueries.oracle ++
+      graft.queries.StreamingQueries.oracle
 }

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.spark.IceWrite
+import graft.table.IceTable
+
+/** Structured Streaming integration. The reference's entire "streaming"
+  * story is snapshot-diff incrementality (SURVEY §2.10 — no watermarks or
+  * event-time state); this module keeps that contract for table IO and adds
+  * the Spark-native streaming operators a training-data pipeline needs:
+  * watermarked event-time windows and custom session state.
+  *
+  * - Ingestion: any stream → ACID Iceberg appends, one transaction per
+  *   micro-batch (`foreachBatch` + [[IceWrite.append]]), so readers see
+  *   atomic snapshot boundaries, and a crashed job resumes from the
+  *   checkpoint with the table state consistent at the last commit.
+  * - Tailing: an append-only Iceberg table is a valid file stream (data
+  *   files are immutable once committed); `streamTable` exposes it to
+  *   `readStream` for downstream jobs — the Spark analogue of the
+  *   reference's incremental `datafiles(start, end]` scan (S4).
+  */
+object IceStreaming {
+
+  /** Streams a stream into an Iceberg table: one ACID append commit per
+    * micro-batch. Use `Trigger.AvailableNow` for catch-up-and-stop jobs
+    * (the shape of an MV refresh), `ProcessingTime` for continuous ingest.
+    */
+  def writeStreamToTable(stream: DataFrame, table: IceTable, checkpoint: String,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IceWrite.append(batch.sparkSession, table.refresh(), batch): Unit
+      }
+      .start()
+
+  /** Tails an APPEND-ONLY Iceberg table as a streaming source (new data
+    * files become new micro-batch input). Unpartitioned tables only in v1 —
+    * partition values of partitioned tables live in directory names, which
+    * the recursive file stream does not re-derive. Replace/delete commits
+    * are not reflected; that mirrors the reference's append-only delta
+    * contract (transform.rs swaps NegDelta scans for EmptyTable).
+    */
+  def streamTable(spark: SparkSession, table: IceTable): DataFrame = {
+    require(table.spec.fields.isEmpty,
+      "streamTable supports unpartitioned tables (partition values live in dir names)")
+    spark.readStream
+      .schema(table.schema.toSpark)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"${table.location}/data")
+  }
+
+  /** Watermarked event-time windowed aggregation: the canonical streaming
+    * rollup (count + sum per window×key), late data dropped after
+    * `watermark`. */
+  def windowedAgg(stream: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+                  window: String, watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n"), col("sum_value"))
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  final case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int,
+                           total_value: Double)
+
+  /** Gap-based sessionization with custom keyed state
+    * (`flatMapGroupsWithState`): a session closes when a later event for the
+    * key arrives past `gapMs`, or — with `ProcessingTimeTimeout` (the
+    * production default) — when the state times out with no further events.
+    * Pass `NoTimeout` for run-to-completion jobs where only data-closed
+    * sessions should emit (a timeout keeps the query alive awaiting its
+    * deadline). */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout()): Dataset[Session] = {
+    val spark = events.sparkSession
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout()
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), timeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, s.start, s.last, s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(user, s.start, s.last, s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (useTimeout) state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

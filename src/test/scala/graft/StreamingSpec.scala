@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{FileCatalog, TableIdent}
+import graft.spark.IceScan
+import graft.spec._
+import graft.streaming.IceStreaming
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("streaming-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("stream → Iceberg table: one ACID commit per micro-batch, resumable") {
+    import spark.implicits._
+    val cat = new FileCatalog(Files.createTempDirectory("stwh").toString)
+    val schema = IceSchema(0, Seq(
+      NestedField(1, "id", required = false, IceType.LongT),
+      NestedField(2, "v", required = false, IceType.DoubleT)))
+    val table = cat.createTable(TableIdent(Seq("db"), "ingest"), schema, PartitionSpec(0, Nil))
+
+    val src = Files.createTempDirectory("stsrc").toString
+    val ckpt = Files.createTempDirectory("stckpt").toString
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").write.mode("append").parquet(src)
+
+    val stream = spark.readStream.schema("id LONG, v DOUBLE").parquet(src)
+    IceStreaming.writeStreamToTable(stream, table, ckpt, Trigger.AvailableNow())
+      .awaitTermination()
+    assert(IceScan.scan(spark, table.refresh()).count() == 2)
+
+    // second slice arrives; restarted AvailableNow job picks up ONLY it
+    Seq((3L, 3.0)).toDF("id", "v").write.mode("append").parquet(src)
+    IceStreaming.writeStreamToTable(
+      spark.readStream.schema("id LONG, v DOUBLE").parquet(src), table, ckpt,
+      Trigger.AvailableNow()).awaitTermination()
+    val t = table.refresh()
+    assert(IceScan.scan(spark, t).count() == 3)
+    // each micro-batch committed its own snapshot
+    assert(t.metadata.snapshots.size >= 2)
+  }
+
+  test("tail an append-only Iceberg table as a stream") {
+    import spark.implicits._
+    val cat = new FileCatalog(Files.createTempDirectory("stwh2").toString)
+    val schema = IceSchema(0, Seq(
+      NestedField(1, "id", required = false, IceType.LongT),
+      NestedField(2, "v", required = false, IceType.DoubleT)))
+    var table = cat.createTable(TableIdent(Seq("db"), "tail"), schema, PartitionSpec(0, Nil))
+    table = graft.spark.IceWrite.append(spark, table, Seq((1L, 5.0), (2L, 6.0)).toDF("id", "v"))
+
+    val q = IceStreaming.streamTable(spark, table)
+      .writeStream.format("memory").queryName("tailed")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.sql("SELECT count(*) FROM tailed").head().getLong(0) == 2)
+  }
+
+  test("watermarked windowed aggregation matches batch computation") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("wmsrc").toString
+    val rows = Seq(
+      ("2024-01-01 00:05:00", "a", 1.0), ("2024-01-01 00:20:00", "a", 2.0),
+      ("2024-01-01 00:40:00", "b", 3.0), ("2024-01-01 01:10:00", "a", 4.0))
+    rows.toDF("ts_s", "k", "v").withColumn("ts", to_timestamp(col("ts_s")))
+      .select("ts", "k", "v").write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream.schema("ts TIMESTAMP, k STRING, v DOUBLE").parquet(src)
+    val q = IceStreaming.windowedAgg(stream, "ts", "k", "v", "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("wagg").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // AvailableNow + append mode emits only FINALIZED windows; batch
+    // equivalence on the finalized subset
+    val got = spark.sql("SELECT window_start, k, n, sum_value FROM wagg")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val expect = spark.read.parquet(src)
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_value"))
+      .select(col("window.start"), col("k"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got.subsetOf(expect) && got.nonEmpty)
+  }
+
+  test("gap sessionization closes sessions and aggregates state") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("sesssrc").toString
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // user 1: events at 0,1,2 then 60 → two sessions; user 2: single event
+    Seq(
+      IceStreaming.Event(1L, ts(0), 1.0), IceStreaming.Event(1L, ts(1), 2.0),
+      IceStreaming.Event(1L, ts(2), 3.0), IceStreaming.Event(1L, ts(60), 4.0),
+      IceStreaming.Event(2L, ts(5), 9.0))
+      .toDF().write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .parquet(src).as[IceStreaming.Event]
+    // NoTimeout: a registered processing-time timeout keeps the query alive
+    // waiting for its deadline; here only data-closed sessions should emit
+    val q = IceStreaming.sessionize(stream, gapMs = 10 * 60000L,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      .writeStream.format("memory").queryName("sessions").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // only user 1's FIRST session is closed by arriving data (the second,
+    // and user 2's, stay open awaiting timeout)
+    val got = spark.sql("SELECT user_id, n_events, total_value FROM sessions")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 3, 6.0)))
+  }
+}
