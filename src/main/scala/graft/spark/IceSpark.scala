@@ -24,6 +24,9 @@ import graft.table.{IceTable, ParquetStats}
   */
 object IceWrite {
 
+  /** Reserved prefix for physical partition-directory column names. */
+  private[graft] val PartColPrefix = "__gp_"
+
   /** Appends `df` to the table; returns the updated table. */
   def append(spark: SparkSession, table: IceTable, df: DataFrame,
              branch: Option[String] = None): IceTable = {
@@ -81,15 +84,20 @@ object IceWrite {
     }: _*)
 
     val partFields = if (content == ContentData) spec.fields else Nil
+    // physical partition-dir columns carry a reserved prefix: partitionBy
+    // REMOVES its columns from the file contents, and an identity-transform
+    // partition field shares its source column's name — without the prefix
+    // the source column itself would vanish from the data files
+    def physName(pf: graft.spec.PartitionField): String = PartColPrefix + pf.name
     val writer = if (partFields.nonEmpty) {
       val sparkSchema = aligned.schema
       val withParts = partFields.foldLeft(aligned) { (acc, pf) =>
         val srcName = writeSchema.fieldById(pf.sourceId).get.name
-        acc.withColumn(pf.name, pf.transform.column(col(srcName), sparkSchema(srcName).dataType))
+        acc.withColumn(physName(pf), pf.transform.column(col(srcName), sparkSchema(srcName).dataType))
       }
       withParts
-        .repartition(partFields.map(pf => col(pf.name)): _*)
-        .write.partitionBy(partFields.map(_.name): _*)
+        .repartition(partFields.map(pf => col(physName(pf))): _*)
+        .write.partitionBy(partFields.map(physName): _*)
     } else aligned.coalesce(math.max(1, aligned.rdd.getNumPartitions / 4)).write
 
     try writer
@@ -129,7 +137,7 @@ object IceWrite {
         val i = seg.indexOf('=')
         if (i < 0) None
         else {
-          val name = seg.take(i)
+          val name = seg.take(i).stripPrefix(PartColPrefix)
           val raw = URLDecoder.decode(seg.drop(i + 1), "UTF-8")
           val v: Any =
             if (raw == "__HIVE_DEFAULT_PARTITION__") null

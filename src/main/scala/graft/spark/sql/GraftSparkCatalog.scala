@@ -1,0 +1,191 @@
+package graft.spark.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{BucketTransform, FieldReference, IdentityTransform, Literal => V2Literal, Transform}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.catalog.{FileCatalog, TableIdent}
+import graft.core.{Transform => IceTransform}
+import graft.spark.IceWrite
+import graft.spec.{IceSchema, IceType, PartitionField, PartitionSpec}
+import graft.table.IceTable
+
+/** Spark `TableCatalog` plugin over the graft filesystem catalog (SURVEY
+  * §2.8 D1–D4): registers as a first-class Spark catalog so plain SQL works —
+  *
+  * {{{
+  *   spark.sql.catalog.graft = graft.spark.sql.GraftSparkCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  *   // + GraftExtensions for the read path
+  *   CREATE TABLE graft.db.orders (id BIGINT, d DATE) PARTITIONED BY (months(d));
+  *   INSERT INTO graft.db.orders VALUES ...;
+  *   SELECT count(*) FROM graft.db.orders WHERE d >= '2020-02-01';
+  * }}}
+  *
+  * Reads resolve through [[GraftExtensions]], which swaps the relation for a
+  * pruned [[graft.spark.IceScan]] plan during analysis (so time travel, MoR
+  * deletes and statistics pruning all apply). Writes use the V1 insert
+  * bridge — one ACID append/replace transaction per INSERT.
+  */
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private[sql] var catalog: FileCatalog = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val wh = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+    catalog = new FileCatalog(wh)
+  }
+
+  override def name(): String = catalogName
+
+  private def toIdent(ident: Identifier): TableIdent =
+    TableIdent(ident.namespace.toSeq, ident.name)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    catalog.listTables(namespace.toSeq)
+      .map(t => Identifier.of(t.namespace.toArray, t.name)).toArray
+
+  override def loadTable(ident: Identifier): Table =
+    catalog.loadTable(toIdent(ident)) match {
+      case Some(t) => new GraftSparkTable(t)
+      case None => throw new NoSuchTableException(ident)
+    }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (catalog.tableExists(toIdent(ident))) throw new TableAlreadyExistsException(ident)
+    val (struct, nextId) = IceType.fromSparkAssignIds(schema)
+    val ice = IceSchema(0, struct.fields)
+    val fields = partitions.zipWithIndex.map { case (t, i) =>
+      val (srcName, iceT, nameSuffix) = toIceTransform(t)
+      val src = ice.fieldByName(srcName).getOrElse(
+        throw new IllegalArgumentException(s"partition source column $srcName not in schema"))
+      val pname = if (iceT == IceTransform.Identity) src.name else s"${src.name}_$nameSuffix"
+      PartitionField(src.id, 1000 + i, pname, iceT)
+    }
+    // ignore provider/options in properties; graft tables are parquet
+    val props = properties.asScala.toMap -- Seq("provider", "location", "owner")
+    val t = catalog.createTable(toIdent(ident), ice, PartitionSpec(0, fields.toSeq), props)
+    new GraftSparkTable(t)
+  }
+
+  /** Spark connector transform → graft transform (+ conventional partition
+    * field name suffix, mirroring the reference's `parse_transform`,
+    * planner.rs:804-850). */
+  private def toIceTransform(t: Transform): (String, IceTransform, String) = {
+    val ref: String = t.references()(0).fieldNames()(0)
+    def intArg: Int = t.arguments().collectFirst { case l: V2Literal[_] => l.value().toString.toInt }
+      .getOrElse(throw new IllegalArgumentException(s"transform needs an integer argument: $t"))
+    t.name() match {
+      case "identity" => (ref, IceTransform.Identity, "")
+      case "bucket" => val n = intArg; (ref, IceTransform.Bucket(n), s"bucket_$n")
+      case "years" | "year" => (ref, IceTransform.Year, "year")
+      case "months" | "month" => (ref, IceTransform.Month, "month")
+      case "days" | "day" => (ref, IceTransform.Day, "day")
+      case "hours" | "hour" => (ref, IceTransform.Hour, "hour")
+      case "truncate" => val w = intArg; (ref, IceTransform.Truncate(w), s"trunc_$w")
+      case x => throw new IllegalArgumentException(s"unsupported partition transform: $x")
+    }
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE: use the programmatic transaction API (Transaction.setSchema)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val exists = catalog.tableExists(toIdent(ident))
+    if (exists) catalog.dropTable(toIdent(ident))
+    exists
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+
+  // ---- namespaces ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    catalog.listNamespaces().map(_.toArray).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) Map.empty[String, String].asJava
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    catalog.listNamespaces().contains(namespace.toSeq)
+
+  override def createNamespace(namespace: Array[String], metadata: util.Map[String, String]): Unit =
+    catalog.createNamespace(namespace.toSeq)
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit = ()
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    catalog.dropNamespace(namespace.toSeq); true
+  }
+}
+
+/** DSv2 table handle. Reads are served by the [[GraftExtensions]] analyzer
+  * rule (which replaces the relation with a pruned scan plan); the
+  * ScanBuilder here only reports the missing-extension misconfiguration.
+  * Writes go through the V1 insert bridge: the incoming DataFrame is
+  * appended (or, for INSERT OVERWRITE, replaces content) in one ACID
+  * transaction.
+  */
+class GraftSparkTable(@transient val ice: IceTable) extends Table
+    with SupportsRead with SupportsWrite {
+
+  override def name(): String = ice.ident.toString
+  override def schema(): StructType = ice.schema.toSpark
+
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    ice.spec.fields.map { pf =>
+      val src = ice.schema.fieldById(pf.sourceId).map(_.name).getOrElse(pf.name)
+      pf.transform match {
+        case IceTransform.Identity => Expressions.identity(src)
+        case IceTransform.Bucket(n) => Expressions.bucket(n, src)
+        case IceTransform.Truncate(w) => Expressions.apply("truncate", Expressions.literal(w), Expressions.column(src))
+        case IceTransform.Year => Expressions.years(src)
+        case IceTransform.Month => Expressions.months(src)
+        case IceTransform.Day => Expressions.days(src)
+        case IceTransform.Hour => Expressions.hours(src)
+        case IceTransform.Void => Expressions.apply("void", Expressions.column(src))
+      }
+    }.toArray
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    throw new UnsupportedOperationException(
+      "graft reads require GraftExtensions (spark.sql.extensions=graft.spark.sql.GraftExtensions)")
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data, overwriteFlag) => {
+            val fresh = ice.refresh()
+            if (overwrite || overwriteFlag) IceWrite.replaceWith(data.sparkSession, fresh, data)
+            else IceWrite.append(data.sparkSession, fresh, data)
+            ()
+          }
+      }
+    }
+}

@@ -127,6 +127,29 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 3)
   }
 
+  test("identity partitioning keeps the source column in data files") {
+    implicit val s: SparkSession = spark
+    val cat = freshCatalog()
+    val spec = PartitionSpec(0, Seq(PartitionField(3, 1000, "product_id", Transform.Identity)))
+    var table = cat.createTable(TableIdent(Seq("test"), "idpart"), ordersSchema, spec)
+    table = IceWrite.append(spark, table, batch1)
+    val snap = table.currentSnapshot(None).get
+    assert(table.dataFiles(snap).size == 3) // products 1, 2, 3
+    val df = IceScan.scan(spark, table)
+    // the identity-partitioned column must round-trip with its values (a
+    // name collision with the partition dir column would null it out)
+    assert(df.filter(col("product_id").isNull).count() == 0)
+    assert(df.groupBy("product_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 4L, 2L -> 1L, 3L -> 1L))
+    // pruning on the identity column hits one file
+    val pruned = IceScan.scan(spark, table, Seq(col("product_id") === 2))
+    val files = pruned.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location.inputFiles.length
+    }.sum
+    assert(files == 1, s"expected 1 surviving file, got $files")
+    assert(pruned.count() == 1)
+  }
+
   test("equality delete masks older rows only (MoR anti-join)") {
     implicit val s: SparkSession = spark
     val cat = freshCatalog()
