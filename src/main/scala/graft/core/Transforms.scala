@@ -159,26 +159,14 @@ sealed trait Transform {
   }
 
   private def bucketColumn(c: Column, sourceType: DataType, n: Int): Column = {
-    // Iceberg-compatible murmur3(seed 0) over the single-value encoding;
-    // implemented as typed UDFs (a codegen Expression would be the next step).
+    // native Catalyst expression (codegen) — murmur3(seed 0) over the
+    // Iceberg single-value encoding; dates hash their int days, timestamps
+    // their long µs, exactly as the reference row path does
     sourceType match {
-      case IntegerType =>
-        udf((i: java.lang.Integer) => if (i == null) null
-          else Int.box(Integer.remainderUnsigned(Murmur3.hash32(ValueCodec.toBytes(i.intValue())), n))).apply(c)
-      case LongType =>
-        udf((l: java.lang.Long) => if (l == null) null
-          else Int.box(Integer.remainderUnsigned(Murmur3.hash32(ValueCodec.toBytes(l.longValue())), n))).apply(c)
-      case StringType =>
-        udf((s: String) => if (s == null) null
-          else Int.box(Integer.remainderUnsigned(Murmur3.hash32(ValueCodec.toBytes(s)), n))).apply(c)
-      case DateType =>
-        udf((d: java.sql.Date) => if (d == null) null
-          else Int.box(Integer.remainderUnsigned(
-            Murmur3.hash32(ValueCodec.toBytes(d.toLocalDate.toEpochDay.toInt)), n))).apply(c)
-      case TimestampType | TimestampNTZType =>
-        udf((micros: java.lang.Long) => if (micros == null) null
-          else Int.box(Integer.remainderUnsigned(Murmur3.hash32(ValueCodec.toBytes(micros.longValue())), n)))
-          .apply(unix_micros(c.cast(TimestampType)))
+      case IntegerType | DateType | LongType | TimestampType | TimestampNTZType |
+           StringType | BinaryType =>
+        org.apache.spark.sql.GraftShim.column(
+          graft.spark.expressions.IcebergBucket(org.apache.spark.sql.GraftShim.expression(c), n))
       case other => throw new IllegalArgumentException(s"bucket unsupported for $other")
     }
   }

@@ -228,6 +228,34 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IceScan.scan(spark, table).count() == 6) // main unaffected
   }
 
+  test("IcebergBucket codegen expression matches the row-level transform") {
+    import spark.implicits._
+    val df = Seq(
+      (34, 34L, "iceberg", "2020-02-02", "2020-02-02T12:34:56"),
+      (0, 0L, "", "1970-01-01", "1970-01-01T00:00:00"),
+      (-7, -7L, "ablation", "1999-12-31", "2038-01-19T03:14:07"))
+      .toDF("i", "l", "s", "d_s", "ts_s")
+      .withColumn("d", to_date(col("d_s")))
+      .withColumn("ts", to_timestamp(col("ts_s")).cast("timestamp_ntz"))
+    val b = Transform.Bucket(16)
+    val got = df.select(
+      b.column(col("i"), org.apache.spark.sql.types.IntegerType).as("bi"),
+      b.column(col("l"), org.apache.spark.sql.types.LongType).as("bl"),
+      b.column(col("s"), org.apache.spark.sql.types.StringType).as("bs"),
+      b.column(col("d"), org.apache.spark.sql.types.DateType).as("bd"),
+      b.column(col("ts"), org.apache.spark.sql.types.TimestampNTZType).as("bts"),
+      col("i"), col("l"), col("s"), col("d"), col("ts")).collect()
+    got.foreach { r =>
+      assert(r.getInt(0) == b(r.getInt(5)))
+      assert(r.getInt(1) == b(r.getLong(6)))
+      assert(r.getInt(2) == b(r.getString(7)))
+      assert(r.getInt(3) == b(r.getDate(8).toLocalDate.toEpochDay.toInt))
+      val micros = r.getAs[java.time.LocalDateTime](9)
+        .toInstant(java.time.ZoneOffset.UTC)
+      assert(r.getInt(4) == b(micros.getEpochSecond * 1000000L + micros.getNano / 1000L))
+    }
+  }
+
   test("metadata JSON round-trips") {
     val cat = freshCatalog()
     val ident = TableIdent(Seq("test"), "json")
