@@ -62,6 +62,30 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       case None => throw new NoSuchTableException(ident)
     }
 
+  /** SQL time travel: `SELECT ... FROM graft.db.t VERSION AS OF <snapshotId>`
+    * pins the scan to that snapshot (T6). */
+  override def loadTable(ident: Identifier, version: String): Table =
+    catalog.loadTable(toIdent(ident)) match {
+      case Some(t) =>
+        require(t.snapshotById(version.toLong).isDefined,
+          s"table $ident has no snapshot $version")
+        new GraftSparkTable(t, Some(version.toLong))
+      case None => throw new NoSuchTableException(ident)
+    }
+
+  /** `TIMESTAMP AS OF`: latest snapshot at or before the timestamp (µs). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    catalog.loadTable(toIdent(ident)) match {
+      case Some(t) =>
+        val tsMs = timestampMicros / 1000L
+        val snap = t.metadata.snapshotLog.filter(_.timestampMs <= tsMs).lastOption
+          .map(_.snapshotId)
+          .getOrElse(throw new IllegalArgumentException(
+            s"table $ident has no snapshot at or before $tsMs ms"))
+        new GraftSparkTable(t, Some(snap))
+      case None => throw new NoSuchTableException(ident)
+    }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (catalog.tableExists(toIdent(ident))) throw new TableAlreadyExistsException(ident)
@@ -143,10 +167,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   * appended (or, for INSERT OVERWRITE, replaces content) in one ACID
   * transaction.
   */
-class GraftSparkTable(@transient val ice: IceTable) extends Table
+class GraftSparkTable(@transient val ice: IceTable,
+                      val snapshotId: Option[Long] = None) extends Table
     with SupportsRead with SupportsWrite {
 
-  override def name(): String = ice.ident.toString
+  override def name(): String =
+    ice.ident.toString + snapshotId.map(id => s"@$id").getOrElse("")
   override def schema(): StructType = ice.schema.toSpark
 
   override def partitioning(): Array[Transform] = {

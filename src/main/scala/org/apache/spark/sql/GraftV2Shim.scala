@@ -30,9 +30,12 @@ class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case i: InsertIntoStatement => i.copy(query = rewrite(i.query))
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSparkTable] =>
       // re-load for snapshot isolation: each analysis pins the table's
-      // current snapshot at that moment
-      val ice = r.table.asInstanceOf[GraftSparkTable].ice.refresh()
-      val scanned = IceScan.scan(spark, ice).queryExecution.analyzed
+      // current snapshot at that moment (or the VERSION/TIMESTAMP AS OF pin)
+      val gt = r.table.asInstanceOf[GraftSparkTable]
+      val ice = gt.ice.refresh()
+      val scanned = IceScan.scan(spark, ice,
+        options = IceScan.ScanOptions(snapshotId = gt.snapshotId))
+        .queryExecution.analyzed
       Project(r.output.zip(scanned.output).map { case (o, n) =>
         Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
       }, scanned)

@@ -81,6 +81,18 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parts.forall(p => p.contains("id_bucket_4") && p.contains("name_trunc_2")))
   }
 
+  test("VERSION AS OF time travel via SQL") {
+    spark.sql("CREATE TABLE graft.db.tt (x BIGINT)")
+    spark.sql("INSERT INTO graft.db.tt VALUES (1), (2)")
+    val t = new graft.catalog.FileCatalog(warehouse)
+      .loadTable(graft.catalog.TableIdent(Seq("db"), "tt")).get
+    val snap1 = t.currentSnapshot(None).get.snapshotId
+    spark.sql("INSERT INTO graft.db.tt VALUES (3)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.tt").head().getLong(0) == 3)
+    assert(spark.sql(s"SELECT count(*) FROM graft.db.tt VERSION AS OF $snap1")
+      .head().getLong(0) == 2)
+  }
+
   test("SHOW TABLES and DROP TABLE work") {
     spark.sql("CREATE TABLE graft.db.ephemeral (x INT)")
     val tables = spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1)).toSet
