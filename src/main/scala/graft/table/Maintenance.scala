@@ -1,0 +1,94 @@
+package graft.table
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.catalog.{CommitTable, TableRequirement, TableUpdate}
+import graft.table.ManifestModel._
+
+/** Table maintenance: snapshot expiration with physical file cleanup and
+  * compaction (reference: `delete_all_table_files`,
+  * iceberg-rust/src/table/mod.rs:359-411 + the replace op's cleanup,
+  * transaction/mod.rs:339-353).
+  *
+  * All driver-side and O(manifests): the referenced-file set is computed
+  * from manifest metadata, never by listing data directories (which at
+  * 100 TB may hold millions of objects — directory listings are the thing
+  * to avoid).
+  */
+object Maintenance {
+
+  /** Expires all snapshots except the `keepLast` most recent (by sequence
+    * number) and any snapshot still referenced by a branch/tag, then
+    * physically deletes every data file, manifest, and manifest list only
+    * reachable from the expired snapshots. Time travel to expired snapshots
+    * becomes unavailable (that is the point — bounded metadata + storage).
+    */
+  def expireSnapshots(spark: SparkSession, table: IceTable, keepLast: Int): IceTable = {
+    val m = table.metadata
+    val bySeq = m.snapshots.values.toSeq.sortBy(_.sequenceNumber)
+    val keepIds: Set[Long] =
+      (bySeq.takeRight(keepLast).map(_.snapshotId) ++
+        m.refs.values.map(_.snapshotId) ++ m.currentSnapshotId).toSet
+    val expire = bySeq.filterNot(s => keepIds.contains(s.snapshotId))
+    if (expire.isEmpty) return table
+
+    def filesOf(snapIds: Set[Long]): (Set[String], Set[String], Set[String]) = {
+      val snaps = snapIds.flatMap(m.snapshotById)
+      val lists = snaps.map(_.manifestList)
+      val manifests = snaps.flatMap(s => table.manifests(s)).map(_.manifestPath)
+      val data = snaps.flatMap(s => table.entries(s)).map(_.dataFile.filePath)
+      (lists, manifests, data)
+    }
+    val (keepLists, keepManifests, keepData) = filesOf(keepIds.intersect(m.snapshots.keySet))
+    val (expLists, expManifests, expData) = filesOf(expire.map(_.snapshotId).toSet)
+
+    val committed = table.catalog.updateTable(CommitTable(table.ident,
+      Seq(TableRequirement.AssertRefSnapshotId(m.MainBranch, m.currentSnapshotId)),
+      Seq(TableUpdate.RemoveSnapshots(expire.map(_.snapshotId)))))
+    table.metadata = committed
+
+    // physical deletes AFTER the metadata commit: a failure here leaks
+    // orphans (re-runnable) instead of corrupting a live snapshot
+    val conf = spark.sparkContext.hadoopConfiguration
+    def rm(paths: Set[String]): Unit = paths.foreach { p =>
+      val path = new Path(p)
+      path.getFileSystem(conf).delete(path, false)
+    }
+    rm(expData -- keepData)
+    rm(expManifests -- keepManifests)
+    rm(expLists -- keepLists)
+    table
+  }
+
+  /** Compaction: rewrites current content as one balanced file set (replace
+    * transaction — which already drops the old snapshots from metadata),
+    * then physically deletes the files only the old snapshots referenced —
+    * the remove-old-files half of the reference's replace op. The old files
+    * are captured BEFORE the rewrite and deleted after the commit (they
+    * must exist while the rewrite reads them). */
+  def compact(spark: SparkSession, table: IceTable): IceTable = {
+    if (table.currentSnapshot(None).isEmpty) return table
+    val m = table.metadata
+    val oldSnaps = m.snapshots.values.toSet
+    val oldLists = oldSnaps.map(_.manifestList)
+    val oldManifests = oldSnaps.flatMap(s => table.manifests(s)).map(_.manifestPath)
+    val oldData = oldSnaps.flatMap(s => table.entries(s)).map(_.dataFile.filePath)
+
+    val replaced = graft.spark.IceWrite.replaceWith(spark, table,
+      graft.spark.IceScan.scan(spark, table))
+    val newSnap = replaced.currentSnapshot(None).get
+    val newManifests = replaced.manifests(newSnap).map(_.manifestPath).toSet
+    val newData = replaced.entries(newSnap).map(_.dataFile.filePath).toSet
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    def rm(paths: Set[String]): Unit = paths.foreach { p =>
+      val path = new Path(p)
+      path.getFileSystem(conf).delete(path, false)
+    }
+    rm(oldData -- newData)
+    rm(oldManifests -- newManifests)
+    rm(oldLists - newSnap.manifestList)
+    replaced
+  }
+}

@@ -228,6 +228,48 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IceScan.scan(spark, table).count() == 6) // main unaffected
   }
 
+  test("expireSnapshots bounds history and deletes only unreferenced files") {
+    implicit val s: SparkSession = spark
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "expire"), ordersSchema, daySpec)
+    table = IceWrite.append(spark, table, batch1)
+    val snap1 = table.currentSnapshot(None).get.snapshotId
+    table = IceWrite.append(spark, table, batch2)
+    table = IceWrite.append(spark, table, batch1.withColumn("id", col("id") + 100))
+    assert(table.metadata.snapshots.size == 3)
+
+    table = graft.table.Maintenance.expireSnapshots(spark, table, keepLast = 1)
+    assert(table.metadata.snapshots.size == 1)
+    // live content is intact (15 rows across the three appends)
+    assert(IceScan.scan(spark, table).count() == 15)
+    // time travel to the expired snapshot no longer resolves
+    assert(table.snapshotById(snap1).isEmpty)
+    // current data files still on disk
+    val snap = table.currentSnapshot(None).get
+    table.entries(snap).foreach { e =>
+      assert(new java.io.File(e.dataFile.filePath).exists(), e.dataFile.filePath)
+    }
+  }
+
+  test("compact rewrites to a smaller file set and removes old files") {
+    implicit val s: SparkSession = spark
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "compact"), ordersSchema, daySpec)
+    table = IceWrite.append(spark, table, batch1)
+    table = IceWrite.append(spark, table, batch2)
+    val before = table.dataFiles(table.currentSnapshot(None).get)
+    val beforePaths = before.map(_.dataFile.filePath)
+    table = graft.table.Maintenance.compact(spark, table)
+    val after = table.dataFiles(table.currentSnapshot(None).get)
+    assert(after.size <= before.size)
+    assert(IceScan.scan(spark, table).count() == 9)
+    // every pre-compaction file not reused is physically gone
+    val afterPaths = after.map(_.dataFile.filePath).toSet
+    beforePaths.filterNot(afterPaths).foreach { p =>
+      assert(!new java.io.File(p).exists(), p)
+    }
+  }
+
   test("IcebergBucket codegen expression matches the row-level transform") {
     import spark.implicits._
     val df = Seq(
