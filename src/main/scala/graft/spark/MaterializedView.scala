@@ -128,9 +128,20 @@ object IceMV {
       state.get(t.metadata.tableUuid).exists(s => t.snapshotById(s.toLong).isEmpty)
     }
     val firstRefresh = sources.exists(t => !state.contains(t.metadata.tableUuid))
+    // deletes in the delta range are RETRACTIONS of rows outside it — the
+    // positive-delta algebra can't express them (the reference's NegDelta
+    // scan is EmptyTable for the same reason, transform.rs) → full recompute
+    val sawDeletes = sources.exists { t =>
+      val oldSeq = state.get(t.metadata.tableUuid)
+        .flatMap(s => t.snapshotById(s.toLong)).map(_.sequenceNumber)
+      t.currentSnapshot(None).exists { snap =>
+        t.deleteFiles(snap).exists(d =>
+          d.sequenceNumber.exists(seq => oldSeq.forall(seq > _)))
+      }
+    }
 
     val strategy0 = classify(plan)
-    val strategy = if (invalid || firstRefresh) FullOverwrite else strategy0
+    val strategy = if (invalid || firstRefresh || sawDeletes) FullOverwrite else strategy0
 
     val newState: Map[String, String] = sources.map(t =>
       t.metadata.tableUuid -> t.currentSnapshot(None).map(_.snapshotId.toString).getOrElse("")).toMap

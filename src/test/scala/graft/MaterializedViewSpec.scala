@@ -139,6 +139,24 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((1L, 5L), (3L, 8L)))
   }
 
+  test("source deletes force full recompute (retractions beat append-only deltas)") {
+    val cat = newCatalog()
+    var orders = cat.createTable(TableIdent(Seq("db"), "orders"), ordersSchema, PartitionSpec(0, Nil))
+    orders = IceWrite.append(spark, orders, ordersDf(Seq((1L, 1L, 5L), (2L, 1L, 2L), (3L, 2L, 9L))))
+    val mv = TableIdent(Seq("db"), "totals")
+    IceMV.create(spark, cat, mv,
+      "SELECT product_id, sum(amount) AS total FROM orders GROUP BY product_id")
+    IceMV.refresh(spark, cat, mv)
+    // equality-delete id=1 from the source: an incremental append would keep
+    // its contribution in the MV — refresh must degrade to full overwrite
+    import spark.implicits._
+    orders = IceWrite.appendEqualityDeletes(spark, orders.refresh(), Seq(1L).toDF("id"), Seq(1))
+    val r = IceMV.refresh(spark, cat, mv)
+    assert(r.strategy == IceMV.FullOverwrite)
+    val got = IceMV.read(spark, cat, mv).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 9L))
+  }
+
   test("plain view reads inline current data") {
     val cat = newCatalog()
     var orders = cat.createTable(TableIdent(Seq("db"), "orders"), ordersSchema, PartitionSpec(0, Nil))
