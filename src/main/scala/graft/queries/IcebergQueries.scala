@@ -50,6 +50,27 @@ object IcebergQueries {
       IceMV.read(s, cat, mv).orderBy("l_returnflag")
     }),
 
+    // Incremental avg maintenance (beyond the reference, which rejects avg):
+    // the MV stores an exact (sum, count) decomposition; after an
+    // incremental refresh the reconstructed avg must equal a direct
+    // aggregate of the whole source. n_chars is integral, so double
+    // accumulation is exact in any order and matches DuckDB bit-for-bit.
+    "q34_mv_avg" -> ((s, d) => {
+      val cat = tempCatalog()
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      var t = createFrom(cat, "docs", docs)
+      t = IceWrite.append(s, t, docs.filter(col("doc_id") % 2 === 0))
+      val mv = TableIdent(Seq("bench"), "lang_chars")
+      IceMV.create(s, cat, mv,
+        "SELECT lang, count(*) AS n, avg(n_chars) AS avg_chars, sum(n_chars) AS sum_chars FROM docs GROUP BY lang")
+      IceMV.refresh(s, cat, mv)
+      t = IceWrite.append(s, t.refresh(), docs.filter(col("doc_id") % 2 === 1))
+      val r = IceMV.refresh(s, cat, mv)
+      require(r.strategy.isInstanceOf[IceMV.IncrementalAggregate],
+        s"expected incremental aggregate refresh, got ${r.strategy}")
+      IceMV.read(s, cat, mv).orderBy("lang")
+    }),
+
     // Merge-on-read equality deletes (S9/J1): delete all F-status orders by
     // key, scan must mask exactly those rows.
     "q15_mor_delete" -> ((s, d) => {
@@ -111,6 +132,10 @@ object IcebergQueries {
         |  min(CAST(l_quantity AS DECIMAL(18,2))) AS min_qty,
         |  max(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q34_mv_avg" ->
+      """SELECT lang, count(*) AS n, avg(n_chars) AS avg_chars,
+        |  sum(n_chars) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q15_mor_delete" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total

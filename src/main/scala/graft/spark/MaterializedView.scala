@@ -62,7 +62,17 @@ object IceMV {
   final case class RefreshResult(strategy: Strategy, rowsWritten: Long)
 
   private val StatePropKey = "graft.mv.refresh-state"
+  private val AvgPropKey = "graft.mv.avg-cols"
   private val mapper = new ObjectMapper()
+
+  /** (visibleName, sumCol, cntCol, visibleTypeJson) for decomposed avgs. */
+  private def readAvgCols(storage: IceTable): Seq[(String, String, String, String)] =
+    storage.metadata.properties.get(AvgPropKey).toSeq.flatMap { json =>
+      import scala.jdk.CollectionConverters._
+      mapper.readTree(json).elements().asScala.map(n =>
+        (n.get("vis").asText(), n.get("sum").asText(), n.get("cnt").asText(),
+          n.get("type").asText())).toSeq
+    }
 
   def storageIdent(ident: TableIdent): TableIdent =
     TableIdent(ident.namespace, ident.name + "__storage")
@@ -71,26 +81,70 @@ object IceMV {
   // create / read
   // -------------------------------------------------------------------
 
-  /** Creates the view + empty storage table. First refresh materializes. */
+  /** Creates the view + empty storage table. First refresh materializes.
+    * Aggregate MVs with avg outputs store an exact (sum, count)
+    * decomposition instead of the avg itself — unless the avg is
+    * decimal-typed (double division would lose exactness), in which case
+    * the MV stays whole and refreshes recompute in full. */
   def create(spark: SparkSession, catalog: Catalog, ident: TableIdent, sql: String): Unit = {
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
     val out = fullCompute(spark, catalog, ident, sql)
-    val (struct, _) = IceType.fromSparkAssignIds(out.schema)
-    val keyIds = classify(plan) match {
-      case IncrementalAggregate(groupNames, _) =>
+
+    val strategy = classify(plan)
+    val avgVis: Seq[String] = strategy match {
+      case IncrementalAggregate(_, merges) => merges.collect { case (n, "avg") => n }
+      case _ => Nil
+    }
+    val decompose = avgVis.nonEmpty && avgVis.forall(n =>
+      !out.schema(n).dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+
+    val storageDf =
+      if (decompose) {
+        val a = plan.asInstanceOf[Aggregate]
+        buildStorageAggregate(a, build(a.child, i =>
+          IceScan.scan(spark, resolve(catalog, ident, sourceOccurrences(a.child)(i)))))
+      } else out
+    val (struct, _) = IceType.fromSparkAssignIds(storageDf.schema)
+    val keyIds = strategy match {
+      case IncrementalAggregate(groupNames, _) if decompose || avgVis.isEmpty =>
         struct.fields.filter(f => groupNames.contains(f.name)).map(_.id)
       case _ => Nil
     }
+    val props: Map[String, String] =
+      if (decompose) {
+        val arr = mapper.createArrayNode()
+        avgVis.foreach { n =>
+          val o = arr.addObject()
+          o.put("vis", n); o.put("sum", avgSumName(n)); o.put("cnt", avgCntName(n))
+          o.put("type", out.schema(n).dataType.json)
+        }
+        Map(AvgPropKey -> mapper.writeValueAsString(arr))
+      } else Map.empty
     val schema = IceSchema(0, struct.fields, identifierFieldIds = keyIds)
-    catalog.createTable(storageIdent(ident), schema, PartitionSpec(0, Nil))
+    catalog.createTable(storageIdent(ident), schema, PartitionSpec(0, Nil), props)
     catalog.createView(ident, sql, out.schema.json)
   }
 
-  /** MV read = MoR scan of the storage table (stale until refreshed). */
+  /** MV read = MoR scan of the storage table (stale until refreshed).
+    * Decomposed avgs are reconstructed as sum/count cast to the view's
+    * declared type, and hidden columns are projected away. */
   def read(spark: SparkSession, catalog: Catalog, ident: TableIdent): DataFrame = {
     val storage = catalog.loadTable(storageIdent(ident))
       .getOrElse(throw new IllegalArgumentException(s"no materialized view $ident"))
-    IceScan.scan(spark, storage)
+    val scan = IceScan.scan(spark, storage)
+    val avgCols = readAvgCols(storage)
+    if (avgCols.isEmpty) scan
+    else {
+      val (_, schemaJson) = catalog.loadView(ident)
+        .getOrElse(throw new IllegalStateException(s"no view metadata for $ident"))
+      val visible = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val withAvgs = avgCols.foldLeft(scan) { case (df, (vis, s, c, tpe)) =>
+        df.withColumn(vis, (col(s).cast("double") / col(c))
+          .cast(org.apache.spark.sql.types.DataType.fromJson(tpe)))
+      }
+      withAvgs.select(visible.fieldNames.map(col).toSeq: _*)
+    }
   }
 
   /** Plain (non-materialized) view read: inline the SQL over current-snapshot
@@ -140,16 +194,32 @@ object IceMV {
       }
     }
 
-    val strategy0 = classify(plan)
+    val avgCols = readAvgCols(storage)
+    val strategy0 = classify(plan) match {
+      // an avg MV whose storage was NOT decomposed (decimal avg) can't
+      // merge — recompute in full every time
+      case IncrementalAggregate(_, merges)
+        if merges.exists(_._2 == "avg") && avgCols.isEmpty => FullOverwrite
+      case s => s
+    }
     val strategy = if (invalid || firstRefresh || sawDeletes) FullOverwrite else strategy0
 
     val newState: Map[String, String] = sources.map(t =>
       t.metadata.tableUuid -> t.currentSnapshot(None).map(_.snapshotId.toString).getOrElse("")).toMap
     val stateProps = Map(StatePropKey -> writeState(newState))
 
+    // full materialization in the STORAGE shape (decomposed for avg MVs)
+    def materializeFull(): DataFrame =
+      if (avgCols.isEmpty) fullCompute(spark, catalog, ident, sql)
+      else {
+        val a = plan.asInstanceOf[Aggregate]
+        buildStorageAggregate(a, build(a.child,
+          i => IceScan.scan(spark, sources(i))))
+      }
+
     strategy match {
       case FullOverwrite | IncrementalOverwrite =>
-        val out = fullCompute(spark, catalog, ident, sql).cache()
+        val out = materializeFull().cache()
         val files = IceWrite.writeDataFiles(spark, storage, out, storage.schema)
         storage.newTransaction(None).replace(files).updateProperties(stateProps).commit()
         val n = files.map(_.recordCount).sum
@@ -162,10 +232,17 @@ object IceMV {
         storage.newTransaction(None).appendData(files).updateProperties(stateProps).commit()
         RefreshResult(strategy, files.map(_.recordCount).sum)
 
-      case agg @ IncrementalAggregate(groupNames, merges) =>
+      case agg @ IncrementalAggregate(groupNames, merges0) =>
         val aggNode = plan.asInstanceOf[Aggregate]
         val deltaChild = deltaCompute(spark, aggNode.child, sources, state)
-        val deltaAgg = buildAggregate(aggNode, deltaChild).cache() // M3: cache ≈ ForkNode
+        // avg outputs merge via their hidden exact (sum, count) pair
+        val merges = merges0.flatMap {
+          case (n, "avg") => Seq(avgSumName(n) -> "sum", avgCntName(n) -> "count")
+          case other => Seq(other)
+        }
+        val deltaAgg =
+          (if (avgCols.isEmpty) buildAggregate(aggNode, deltaChild)
+           else buildStorageAggregate(aggNode, deltaChild)).cache() // M3: cache ≈ ForkNode
         val stored = IceScan.scan(spark, storage)
         val outCols = storage.schema.fields.map(_.name)
 
@@ -277,11 +354,32 @@ object IceMV {
         if (groupNames.contains(att.nameParts.last)) None else return None
       case Alias(f: UnresolvedFunction, name) =>
         val fn = f.nameParts.last.toLowerCase
-        if (f.isDistinct || !Seq("count", "sum", "min", "max").contains(fn)) return None
+        // avg goes beyond the reference (aggregate_functions.rs rejects it):
+        // it merges via a (sum, count) decomposition in the storage table
+        if (f.isDistinct || !Seq("count", "sum", "min", "max", "avg").contains(fn)) return None
         Some(name -> fn)
       case _ => return None
     }
     Some(IncrementalAggregate(groupNames, merges))
+  }
+
+  /** Hidden storage column names for a decomposed avg output column. */
+  private def avgSumName(vis: String) = s"__avg_${vis}_s"
+  private def avgCntName(vis: String) = s"__avg_${vis}_c"
+
+  /** Aggregate node rebuilt for STORAGE: every `avg(e) AS a` becomes
+    * `sum(e) AS __avg_a_s, count(e) AS __avg_a_c` (exact, mergeable with
+    * `+`); everything else passes through. The visible avg is reconstructed
+    * at read as sum/count. */
+  private[graft] def buildStorageAggregate(a: Aggregate, child: DataFrame): DataFrame = {
+    val rewrittenExprs = a.aggregateExpressions.flatMap {
+      case al @ Alias(f: UnresolvedFunction, name) if f.nameParts.last.equalsIgnoreCase("avg") =>
+        Seq(
+          Alias(f.copy(nameParts = Seq("sum")), avgSumName(name))(),
+          Alias(f.copy(nameParts = Seq("count")), avgCntName(name))())
+      case other => Seq(other)
+    }
+    buildAggregate(a.copy(aggregateExpressions = rewrittenExprs), child)
   }
 
   // -------------------------------------------------------------------

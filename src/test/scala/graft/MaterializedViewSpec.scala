@@ -157,6 +157,27 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 2L, 2L -> 9L))
   }
 
+  test("avg MV merges incrementally via exact sum/count decomposition") {
+    val cat = newCatalog()
+    var orders = cat.createTable(TableIdent(Seq("db"), "orders"), ordersSchema, PartitionSpec(0, Nil))
+    orders = IceWrite.append(spark, orders, ordersDf(Seq((1L, 1L, 4L), (2L, 1L, 8L), (3L, 2L, 5L))))
+    val mv = TableIdent(Seq("db"), "avg_amount")
+    IceMV.create(spark, cat, mv,
+      "SELECT product_id, avg(amount) AS avg_amt, count(*) AS n FROM orders GROUP BY product_id")
+    IceMV.refresh(spark, cat, mv)
+    assert(IceMV.read(spark, cat, mv).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap == Map(1L -> 6.0, 2L -> 5.0))
+
+    orders = IceWrite.append(spark, orders.refresh(), ordersDf(Seq((4L, 1L, 3L), (5L, 3L, 7L))))
+    val r = IceMV.refresh(spark, cat, mv)
+    assert(r.strategy.isInstanceOf[IceMV.IncrementalAggregate])
+    val got = IceMV.read(spark, cat, mv).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (5.0, 3L), 2L -> (5.0, 1L), 3L -> (7.0, 1L)))
+    // the visible schema hides the decomposition
+    assert(IceMV.read(spark, cat, mv).columns.toSeq == Seq("product_id", "avg_amt", "n"))
+  }
+
   test("plain view reads inline current data") {
     val cat = newCatalog()
     var orders = cat.createTable(TableIdent(Seq("db"), "orders"), ordersSchema, PartitionSpec(0, Nil))
