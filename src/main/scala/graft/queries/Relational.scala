@@ -140,6 +140,33 @@ object Relational {
         .agg(count(lit(1)).as("n_inactive"))
     }),
 
+    // J5 (left outer): every nation with its customer count, including
+    // nations with none (null-extension + coalesce).
+    "q18_outer_join" -> ((s, d) => {
+      val custByNation = customer(s, d).groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"), sum(dec(col("c_acctbal"))).as("total_bal"))
+      nation(s, d)
+        .join(custByNation, col("n_nationkey") === col("nk"), "left_outer")
+        .select(col("n_name"), coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          col("total_bal"))
+        .orderBy("n_name")
+    }),
+
+    // §2.7 scalar-function surface: string + date built-ins composed.
+    "q19_scalar_funcs" -> ((s, d) => {
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 1, 4)).as("prio4"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
+          length(col("o_orderpriority")).as("prio_len"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          (dec(col("o_totalprice")) * lit(BigDecimal("0.10"))).as("fee"))
+        .filter(col("o_orderkey") <= 1000)
+        .orderBy("o_orderkey")
+    }),
+
     // Correlated-style aggregate subquery via join (parts above brand avg size).
     "q13_above_avg_parts" -> ((s, d) => {
       val avgSize = part(s, d).groupBy(col("p_brand").as("b"))
@@ -223,6 +250,22 @@ object Relational {
     "q12_customers_without_orders" ->
       """SELECT count(*) AS n_inactive FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q18_outer_join" ->
+      """SELECT n_name, coalesce(c.n_cust, 0) AS n_cust, c.total_bal
+        |FROM nation LEFT JOIN (
+        |  SELECT c_nationkey AS nk, count(*) AS n_cust,
+        |    sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+        |  FROM customer GROUP BY c_nationkey) c
+        |ON n_nationkey = c.nk
+        |ORDER BY n_name""".stripMargin,
+    "q19_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(substr(o_orderpriority, 1, 4)) AS prio4,
+        |  o_orderstatus || '-' || o_orderpriority AS tag,
+        |  length(o_orderpriority) AS prio_len,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.10 AS DECIMAL(18,2)) AS fee
+        |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin,
     "q13_above_avg_parts" ->
       """SELECT p_brand, count(*) AS n_above FROM part p
         |JOIN (SELECT p_brand AS b, avg(p_size) AS avg_size FROM part GROUP BY 1) a
