@@ -13,7 +13,11 @@ object Bench {
     // warm the JVM/codegen/shuffle machinery so the first timed query does
     // not absorb session startup cost
     spark.range(2000000).selectExpr("sum(id * 2)").write.mode("overwrite").format("noop").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset for local profiling (driver leaves unset)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full materialization of every output column (count()
       // would let Catalyst prune most of the computation away)

@@ -47,7 +47,14 @@ object IcebergQueries {
       val r = IceMV.refresh(s, cat, mv) // incremental: merge + new groups
       require(r.strategy.isInstanceOf[IceMV.IncrementalAggregate],
         s"expected incremental aggregate refresh, got ${r.strategy}")
-      IceMV.read(s, cat, mv).orderBy("l_returnflag")
+      // Result surface: exact decimals cast to double (single IEEE rounding on
+      // both engines) so the driver's hash is scale-independent.
+      IceMV.read(s, cat, mv)
+        .select(col("l_returnflag"), col("n"),
+          col("sum_qty").cast("double").as("sum_qty"),
+          col("min_qty").cast("double").as("min_qty"),
+          col("max_qty").cast("double").as("max_qty"))
+        .orderBy("l_returnflag")
     }),
 
     // Incremental avg maintenance (beyond the reference, which rejects avg):
@@ -84,7 +91,7 @@ object IcebergQueries {
       t = IceWrite.appendEqualityDeletes(s, t, fKeys, equalityIds = Seq(1))
       IceScan.scan(s, t)
         .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), sum(col("price")).as("total"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("total"))
         .orderBy("o_orderstatus")
     }),
 
@@ -101,7 +108,7 @@ object IcebergQueries {
       t = IceWrite.append(s, t.refresh(), o.filter(col("o_orderkey") % 2 === 1))
       val pinned = IceScan.scan(s, t, options = IceScan.ScanOptions(snapshotId = Some(snap1)))
       pinned.groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), sum(col("price")).as("total"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("total"))
         .orderBy("o_orderpriority")
     }),
 
@@ -121,33 +128,33 @@ object IcebergQueries {
       var t = cat.createTable(TableIdent(Seq("bench"), "ord_part"), schema, spec)
       t = IceWrite.append(s, t, o)
       IceScan.scan(s, t, filters = Seq(col("odate") >= lit("1996-06-01") && col("odate") < lit("1996-09-01")))
-        .agg(count(lit(1)).as("n"), sum(col("price")).as("total"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("total"))
     })
   )
 
   val oracle: Map[String, String] = Map(
     "q14_mv_incremental" ->
       """SELECT l_returnflag, count(*) AS n,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  min(CAST(l_quantity AS DECIMAL(18,2))) AS min_qty,
-        |  max(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(min(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+        |  CAST(max(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q34_mv_avg" ->
       """SELECT lang, count(*) AS n, avg(n_chars) AS avg_chars,
-        |  sum(n_chars) AS sum_chars
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q15_mor_delete" ->
       """SELECT o_orderstatus, count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus <> 'F'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q16_time_travel" ->
       """SELECT o_orderpriority, count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderkey % 2 = 0
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q17_partitioned_scan" ->
-      """SELECT count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      """SELECT count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-06-01'
         |  AND CAST(o_orderdate AS DATE) < DATE '1996-09-01'""".stripMargin

@@ -16,8 +16,13 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Text analysis: surface statistics per document.
+    // Int-valued surface columns are cast to BIGINT to match DuckDB's
+    // length()/len()/row_number() result types (arrow int64) exactly.
     "q20_text_stats" -> ((s, d) =>
       TextOps.textStats(Tables.documents(s, d), "doc_id", "text")
+        .withColumn("n_chars_m", col("n_chars_m").cast("long"))
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+        .withColumn("n_types", col("n_types").cast("long"))
         .orderBy("doc_id")),
 
     // Language ID (stopword voting) summarized as an actual × predicted matrix.
@@ -51,6 +56,7 @@ object PipelineQueries {
       Dedup.simhashNearDups(
         Dedup.simhash16(Tables.documents(s, d), "doc_id", "text"),
         "doc_id", maxHamming = 1)
+        .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("id_a", "id_b")),
 
     // Exact top-3 cosine neighbors for the first 20 vectors (quantized dots).
@@ -58,6 +64,7 @@ object PipelineQueries {
       Embeddings.bruteForceTopK(
         Embeddings.prepare(Tables.embeddings(s, d), "vec_id", "embedding"),
         "vec_id", k = 3, queryPred = col("vec_id") < 20)
+        .withColumn("rnk", col("rnk").cast("long"))
         .orderBy("query_id", "rnk")),
 
     // Embedding near-duplicate pairs (cosine ≥ 0.35).
@@ -73,6 +80,7 @@ object PipelineQueries {
       Embeddings.annTopK(
         Embeddings.prepare(Tables.embeddings(s, d), "vec_id", "embedding"),
         "vec_id", k = 3, planes = 6, queryPred = col("vec_id") < 20)
+        .withColumn("rnk", col("rnk").cast("long"))
         .orderBy("query_id", "rnk")),
 
     // Multimodal: payload features via the stubbed partition-local decoder.
@@ -87,6 +95,7 @@ object PipelineQueries {
       Multimodal.sampleFrames(
         Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text", "text/plain"),
         framesPerDoc = 4, frameLen = 16).toDF()
+        .withColumn("frame_no", col("frame_no").cast("long"))
         .orderBy("doc_id", "frame_no")),
 
     // Token counting (BPE-ish regex) rolled up per source.
@@ -254,7 +263,7 @@ object PipelineQueries {
         |FROM documents, UNNEST(range(0, 4)) AS t(f)
         |ORDER BY doc_id, frame_no""".stripMargin,
     "q31_token_count" ->
-      """SELECT source, sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS total_tokens,
+      """SELECT source, CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_tokens,
         |  count(*) AS n_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q32_quality" ->

@@ -11,13 +11,18 @@ import graft.Tables
   *
   * Numeric discipline: monetary doubles are cast to decimal at the SOURCE and
   * all arithmetic stays in decimal, so Spark and the DuckDB oracle both do
-  * exact arithmetic and hash-match regardless of summation order. Raw double
-  * columns pass through untouched (also exact).
+  * exact arithmetic regardless of summation order. The FINAL output column is
+  * then cast to double on BOTH sides (one IEEE rounding of the same exact
+  * value → identical bits), so result hashing is stable under any driver
+  * normalization — decimal outputs stringify scale-dependently
+  * ("506627.00" vs float "506627.0") and are avoided at the result surface.
+  * Int-valued aggregates surface as BIGINT on both sides for the same reason.
   */
 object Relational {
   import Tables._
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def dbl(c: Column): Column = c.cast("double")
 
   // revenue term: exact decimal l_extendedprice * (1 - l_discount)
   private def revenue(): Column =
@@ -30,9 +35,9 @@ object Relational {
         .filter(col("l_shipdate") <= lit("2000-12-01"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-          sum(revenue()).as("sum_disc_price"),
+          dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
+          dbl(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          dbl(sum(revenue())).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -44,7 +49,7 @@ object Relational {
           col("l_shipdate") < lit("1997-01-01") &&
           col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
           col("l_quantity") < 24)
-        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).as("revenue"))
+        .agg(dbl(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))).as("revenue"))
     }),
 
     // J5 + O1/O2: 3-way join, agg, deterministic top-k.
@@ -55,7 +60,7 @@ object Relational {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(sum(revenue()).as("rev"))
+        .agg(dbl(sum(revenue())).as("rev"))
         .orderBy(col("rev").desc, col("o_orderkey").asc)
         .limit(10)
     }),
@@ -82,7 +87,7 @@ object Relational {
         .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(revenue()).as("rev"))
+        .agg(dbl(sum(revenue())).as("rev"))
         .orderBy(col("rev").desc, col("n_name"))
     }),
 
@@ -92,7 +97,7 @@ object Relational {
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
       customer(s, d)
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .select(col("c_nationkey"), col("rnk"), col("c_custkey"), col("c_acctbal"))
         .orderBy(col("c_nationkey"), col("rnk"))
@@ -121,7 +126,7 @@ object Relational {
     "q10_rollup" -> ((s, d) => {
       lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("l_quantity")))).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
@@ -129,7 +134,7 @@ object Relational {
     "q11_events_hourly" -> ((s, d) => {
       events(s, d)
         .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("value")))).as("sum_value"))
         .orderBy("hour", "event_type")
     }),
 
@@ -144,7 +149,7 @@ object Relational {
     // nations with none (null-extension + coalesce).
     "q18_outer_join" -> ((s, d) => {
       val custByNation = customer(s, d).groupBy(col("c_nationkey").as("nk"))
-        .agg(count(lit(1)).as("n_cust"), sum(dec(col("c_acctbal"))).as("total_bal"))
+        .agg(count(lit(1)).as("n_cust"), dbl(sum(dec(col("c_acctbal")))).as("total_bal"))
       nation(s, d)
         .join(custByNation, col("n_nationkey") === col("nk"), "left_outer")
         .select(col("n_name"), coalesce(col("n_cust"), lit(0L)).as("n_cust"),
@@ -159,10 +164,10 @@ object Relational {
           col("o_orderkey"),
           upper(substring(col("o_orderpriority"), 1, 4)).as("prio4"),
           concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
-          length(col("o_orderpriority")).as("prio_len"),
-          year(col("o_orderdate")).as("y"),
-          month(col("o_orderdate")).as("m"),
-          (dec(col("o_totalprice")) * lit(BigDecimal("0.10"))).as("fee"))
+          length(col("o_orderpriority")).cast("long").as("prio_len"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dbl(dec(col("o_totalprice")) * lit(BigDecimal("0.10"))).as("fee"))
         .filter(col("o_orderkey") <= 1000)
         .orderBy("o_orderkey")
     }),
@@ -181,21 +186,21 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q6_forecast_revenue" ->
-      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT o_orderkey, o_orderdate,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS rev
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -210,7 +215,7 @@ object Relational {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS rev
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -240,12 +245,12 @@ object Relational {
         |ORDER BY k""".stripMargin,
     "q10_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q11_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q12_customers_without_orders" ->
       """SELECT count(*) AS n_inactive FROM customer
@@ -254,7 +259,7 @@ object Relational {
       """SELECT n_name, coalesce(c.n_cust, 0) AS n_cust, c.total_bal
         |FROM nation LEFT JOIN (
         |  SELECT c_nationkey AS nk, count(*) AS n_cust,
-        |    sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |  FROM customer GROUP BY c_nationkey) c
         |ON n_nationkey = c.nk
         |ORDER BY n_name""".stripMargin,
@@ -264,7 +269,7 @@ object Relational {
         |  o_orderstatus || '-' || o_orderpriority AS tag,
         |  length(o_orderpriority) AS prio_len,
         |  year(o_orderdate) AS y, month(o_orderdate) AS m,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.10 AS DECIMAL(18,2)) AS fee
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.10 AS DECIMAL(18,2)) AS DOUBLE) AS fee
         |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin,
     "q13_above_avg_parts" ->
       """SELECT p_brand, count(*) AS n_above FROM part p

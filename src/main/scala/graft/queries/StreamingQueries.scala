@@ -43,7 +43,7 @@ object StreamingQueries {
       IceScan.scan(s, table.refresh())
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).as("sum_value"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
     })
@@ -52,7 +52,7 @@ object StreamingQueries {
   val oracle: Map[String, String] = Map(
     "q33_stream_ingest" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
