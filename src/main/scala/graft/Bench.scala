@@ -23,8 +23,15 @@ object Bench {
       // would let Catalyst prune most of the computation away)
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      finally spark.catalog.clearCache() // operator-internal caches must not leak across queries
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // per-query isolation, OUTSIDE the timed window: operator-internal
+      // caches must not leak across queries, and dropped broadcasts/shuffles
+      // are only reclaimed when a GC notifies the ContextCleaner — without
+      // this, later queries pay earlier queries' memory pressure (observed
+      // 3-9x inflation on the vector queries late in the full suite).
+      spark.catalog.clearCache()
+      System.gc()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

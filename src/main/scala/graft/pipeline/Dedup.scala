@@ -27,11 +27,18 @@ object Dedup {
   /** Word `n`-gram shingles per document WITH multiplicity (no shuffle —
     * a pure projection+explode). */
   def shinglesRaw(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    // explode window STARTS, then assemble each shingle with get()/concat_ws —
+    // all codegen operators. (The transform(sequence, i -> concat_ws(slice))
+    // formulation is a higher-order function: interpreted per element, it was
+    // the single hottest stage of the minhash pipeline.) get() is 0-based and
+    // null past the end; concat_ws skips nulls, which reproduces slice()'s
+    // shorter-tail-window semantics exactly.
     val w = TextOps.tokens(col(textCol))
-    df.select(col(idCol),
-      explode(transform(
-        sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
-        i => concat_ws(" ", slice(w, i, lit(n))))).as("sh"))
+    df.select(col(idCol), w.as("_w"))
+      .select(col(idCol), col("_w"),
+        explode(sequence(lit(1), greatest(size(col("_w")) - (n - 1), lit(1)))).as("_i"))
+      .select(col(idCol),
+        concat_ws(" ", (0 until n).map(j => get(col("_w"), col("_i") + lit(j) - 1)): _*).as("sh"))
   }
 
   /** Distinct word `n`-gram shingles per document. */

@@ -3,6 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.spark.expressions.VectorFunctions.{dotq, normSq}
+
 /** Similarity search over an embedding column (`Array[Float]`).
   *
   * All scores are computed over int64-QUANTIZED vectors (×1e6, rounded):
@@ -28,10 +30,11 @@ object Embeddings {
   def prepare(df: DataFrame, idCol: String, embCol: String): DataFrame =
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col(idCol), quantize(col(embCol)).as("q"))
-      .withColumn("n2", aggregate(transform(col("q"), x => x * x), lit(0L), (a, x) => a + x))
+      .withColumn("n2", normSq(col("q")))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  // native codegen kernel (LongArrayDot): a lambda aggregate(zip_with(...))
+  // here is interpreted per element and dominates all-pairs scoring
+  private def dot(a: Column, b: Column): Column = dotq(a, b)
 
   private def cosine(dotCol: Column, na: Column, nb: Column): Column =
     dotCol.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
@@ -59,29 +62,16 @@ object Embeddings {
     * form; at scale feed LSH bucket candidates instead of the full square. */
   def nearDupPairs(prepared: DataFrame, idCol: String, threshold: Double): DataFrame = {
     val par = prepared.sparkSession.sessionState.conf.numShufflePartitions
-    val dim = vectorDim(prepared)
-    // flatten vectors to scalar columns: the O(n²) scoring loop then runs as
-    // whole-stage-codegen multiply-adds instead of interpreted array lambdas
-    // (~10× on the all-pairs kernel)
-    val a = flat(prepared, dim, "a").withColumnRenamed(idCol, "id_a").repartition(par)
-    val b = flat(prepared, dim, "b").withColumnRenamed(idCol, "id_b")
-    val dotCol = (0 until dim).map(i => col(s"a$i") * col(s"b$i")).reduce(_ + _)
+    val a = prepared.select(col(idCol).as("id_a"), col("q").as("qa"), col("n2").as("na"))
+      .repartition(par)
+    val b = prepared.select(col(idCol).as("id_b"), col("q").as("qb"), col("n2").as("nb"))
     // broadcast keeps this a BroadcastNestedLoopJoin (codegen) rather than a
-    // CartesianProduct evaluating the scoring expression row-at-a-time
+    // CartesianProduct evaluating the scoring expression row-at-a-time; rows
+    // stay narrow (id, vector, norm) and the dot is the native codegen kernel
     a.join(broadcast(b), col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(dotCol, col("na"), col("nb")).as("cos"))
+      .select(col("id_a"), col("id_b"), cosine(dot(col("qa"), col("qb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
-
-  /** Embedding dimensionality (one tiny driver-side metadata job). */
-  private def vectorDim(prepared: DataFrame): Int =
-    prepared.select(size(col("q"))).head.getInt(0)
-
-  /** id, prefix0..prefixN scalar vector columns, n{prefix} squared norm. */
-  private def flat(prepared: DataFrame, dim: Int, prefix: String): DataFrame =
-    prepared.select(
-      Seq(col(prepared.columns.head), col("n2").as(s"n$prefix")) ++
-        (0 until dim).map(i => col("q").getItem(i).as(s"$prefix$i")): _*)
 
   /** Sign-LSH bucket id per vector: bit j = sign of ⟨hyperplane_j, q⟩ over
     * `planes` deterministic pseudo-random hyperplanes. Hyperplane component
@@ -90,15 +80,26 @@ object Embeddings {
     * engine-portable buckets). One explode + one hash aggregate per vector.
     */
   def lshBucket(prepared: DataFrame, idCol: String, planes: Int): DataFrame = {
-    val planeDot = expr(
-      """aggregate(
-        |  zip_with(q, sequence(0, size(q) - 1),
-        |    (x, d) -> x * (cast(instr('0123456789abcdef',
-        |                  substr(md5(cast(concat(_p, ':', d) AS binary)), 1, 1)) - 1 AS bigint) * 2 - 15)),
-        |  cast(0 AS bigint), (acc, v) -> acc + v)""".stripMargin)
+    // hyperplanes depend only on (plane, dim): materialize them ONCE driver-
+    // side with the same md5-nibble formula (h ∈ odd {-15..15}), broadcast,
+    // and score with the native codegen dot — the inline-lambda alternative
+    // recomputes an md5 per (vector × plane × dimension)
+    val spark = prepared.sparkSession
+    val dim = prepared.select(size(col("q"))).head.getInt(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def component(p: Int, d: Int): Long = {
+      val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+      val firstNibble = (hex(0) >> 4) & 0xf
+      firstNibble.toLong * 2 - 15
+    }
+    import spark.implicits._
+    val planeDf = (0 until planes)
+      .map(p => (p, Array.tabulate(dim)(component(p, _))))
+      .toDF("_p", "_pv")
     prepared
-      .select(col(idCol), col("q"), col("n2"), explode(sequence(lit(0), lit(planes - 1))).as("_p"))
-      .withColumn("_pd", planeDot)
+      .select(col(idCol), col("q"), col("n2"))
+      .crossJoin(broadcast(planeDf))
+      .withColumn("_pd", dotq(col("q"), col("_pv")))
       .groupBy(col(idCol))
       .agg(sum(when(col("_pd") > 0, expr("shiftleft(1, _p)")).otherwise(lit(0))).as("bucket"),
         first(col("q")).as("q"), first(col("n2")).as("n2"))

@@ -123,8 +123,90 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE: use the programmatic transaction API (Transaction.setSchema)")
+  /** SQL schema evolution (reference capability: schema.rs evolution rules +
+    * id-based resolution). Field ids are PRESERVED across rename — data
+    * written before the rename keeps reading correctly because the scan
+    * resolves parquet columns by `PARQUET:field_id`, not name. Type changes
+    * accept only Iceberg's safe promotions (int→long, float→double, decimal
+    * precision widening at fixed scale); Spark 4's parquet readers widen the
+    * stored physical type on read.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import TableChange._
+    val t = catalog.loadTable(toIdent(ident)).getOrElse(throw new NoSuchTableException(ident))
+    val schema0 = t.schema
+    var fields = schema0.fields.toVector
+    // never reuse a field id, even one freed by an earlier drop in THIS call
+    var nextId = t.metadata.schemas.values.map(_.maxFieldId).max + 1
+    var schemaChanged = false
+    var setProps = Map.empty[String, String]
+    var rmProps = Vector.empty[String]
+
+    def topName(names: Array[String]): String = {
+      if (names.length != 1) throw new UnsupportedOperationException(
+        s"nested column changes are unsupported: ${names.mkString(".")}")
+      names(0)
+    }
+    def idx(name: String): Int = {
+      val i = fields.indexWhere(_.name == name)
+      if (i < 0) throw new IllegalArgumentException(s"no such column: $name")
+      i
+    }
+
+    changes.foreach {
+      case a: AddColumn =>
+        val name = topName(a.fieldNames)
+        require(!fields.exists(_.name == name), s"column already exists: $name")
+        val (st, next) = IceType.fromSparkAssignIds(
+          StructType(Seq(org.apache.spark.sql.types.StructField(name, a.dataType, a.isNullable))), nextId)
+        nextId = next
+        fields :+= st.fields.head.copy(doc = Option(a.comment))
+        schemaChanged = true
+      case d: DeleteColumn =>
+        val name = topName(d.fieldNames)
+        val srcOfPartition = t.spec.fields.exists(pf =>
+          schema0.fieldById(pf.sourceId).exists(_.name == name))
+        require(!srcOfPartition, s"cannot drop partition source column $name")
+        if (!d.ifExists) idx(name)
+        fields = fields.filterNot(_.name == name)
+        schemaChanged = true
+      case r: RenameColumn =>
+        val i = idx(topName(r.fieldNames))
+        require(!fields.exists(_.name == r.newName), s"column already exists: ${r.newName}")
+        fields = fields.updated(i, fields(i).copy(name = r.newName))
+        schemaChanged = true
+      case u: UpdateColumnType =>
+        val i = idx(topName(u.fieldNames))
+        val promoted = (fields(i).fieldType, u.newDataType) match {
+          case (IceType.IntT, org.apache.spark.sql.types.LongType) => IceType.LongT
+          case (IceType.FloatT, org.apache.spark.sql.types.DoubleType) => IceType.DoubleT
+          case (IceType.DecimalT(p, s), d: org.apache.spark.sql.types.DecimalType)
+            if d.scale == s && d.precision >= p => IceType.DecimalT(d.precision, s)
+          case (cur, target) => throw new UnsupportedOperationException(
+            s"illegal type promotion $cur -> $target (allowed: int->long, float->double, decimal widening)")
+        }
+        fields = fields.updated(i, fields(i).copy(fieldType = promoted))
+        schemaChanged = true
+      case n: UpdateColumnNullability =>
+        val i = idx(topName(n.fieldNames))
+        fields = fields.updated(i, fields(i).copy(required = !n.nullable()))
+        schemaChanged = true
+      case c: UpdateColumnComment =>
+        val i = idx(topName(c.fieldNames))
+        fields = fields.updated(i, fields(i).copy(doc = Option(c.newComment)))
+        schemaChanged = true
+      case p: SetProperty => setProps += p.property -> p.value
+      case p: RemoveProperty => rmProps :+= p.property
+      case other => throw new UnsupportedOperationException(s"unsupported table change: $other")
+    }
+
+    var tx = t.newTransaction(None)
+    if (schemaChanged) tx = tx.setSchema(IceSchema(schema0.schemaId, fields,
+      schema0.identifierFieldIds.filter(id => fields.exists(_.id == id))))
+    if (setProps.nonEmpty) tx = tx.updateProperties(setProps)
+    if (rmProps.nonEmpty) tx = tx.removeProperties(rmProps)
+    new GraftSparkTable(tx.commit())
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val exists = catalog.tableExists(toIdent(ident))

@@ -23,6 +23,7 @@ class Transaction(table: IceTable, branch: Option[String]) {
   private var appendedDeletes: Seq[DataFile] = Nil
   private var replaceFiles: Option[Seq[DataFile]] = None
   private var propertyUpdates: Map[String, String] = Map.empty
+  private var propertyRemovals: Seq[String] = Nil
   private var newSchema: Option[IceSchema] = None
   private var refUpdates: Map[String, Long] = Map.empty // tag/branch name -> snapshot id
 
@@ -31,6 +32,7 @@ class Transaction(table: IceTable, branch: Option[String]) {
   /** Replace all table content with `files` (compaction / full rewrite, T3). */
   def replace(files: Seq[DataFile]): Transaction = { replaceFiles = Some(files); this }
   def updateProperties(p: Map[String, String]): Transaction = { propertyUpdates ++= p; this }
+  def removeProperties(keys: Seq[String]): Transaction = { propertyRemovals ++= keys; this }
   /** Schema evolution: install a new current schema (add-column etc.). */
   def setSchema(s: IceSchema): Transaction = { newSchema = Some(s); this }
   def setRef(name: String, snapshotId: Long): Transaction = { refUpdates += name -> snapshotId; this }
@@ -55,6 +57,7 @@ class Transaction(table: IceTable, branch: Option[String]) {
       updates :+= TableUpdate.SetCurrentSchema(id)
     }
     if (propertyUpdates.nonEmpty) updates :+= TableUpdate.SetProperties(propertyUpdates)
+    if (propertyRemovals.nonEmpty) updates :+= TableUpdate.RemoveProperties(propertyRemovals)
     refUpdates.foreach { case (name, id) =>
       updates :+= TableUpdate.SetSnapshotRef(name, id, "tag")
     }

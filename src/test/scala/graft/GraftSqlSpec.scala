@@ -93,6 +93,43 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getLong(0) == 2)
   }
 
+  test("ALTER TABLE: add, rename (id-preserving), drop, type promotion, properties") {
+    spark.sql("CREATE TABLE graft.db.evo (id INT, name STRING)")
+    spark.sql("INSERT INTO graft.db.evo VALUES (1, 'a'), (2, 'b')")
+
+    // add a column: old rows read as null
+    spark.sql("ALTER TABLE graft.db.evo ADD COLUMN score DOUBLE")
+    spark.sql("INSERT INTO graft.db.evo VALUES (3, 'c', 1.5)")
+    val withScore = spark.sql("SELECT id, score FROM graft.db.evo ORDER BY id").collect()
+    assert(withScore.map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1))).toSeq ==
+      Seq(None, None, Some(1.5)))
+
+    // rename: files written BEFORE the rename keep reading (field-id
+    // resolution, not name) — the core rename-safety property
+    spark.sql("ALTER TABLE graft.db.evo RENAME COLUMN name TO label")
+    val labels = spark.sql("SELECT label FROM graft.db.evo ORDER BY id").collect().map(_.getString(0))
+    assert(labels.toSeq == Seq("a", "b", "c"))
+
+    // int -> bigint promotion; old int32 files widen on read
+    spark.sql("ALTER TABLE graft.db.evo ALTER COLUMN id TYPE BIGINT")
+    assert(spark.sql("SELECT sum(id) FROM graft.db.evo").head().getLong(0) == 6L)
+
+    // drop a column
+    spark.sql("ALTER TABLE graft.db.evo DROP COLUMN score")
+    assert(!spark.table("graft.db.evo").columns.contains("score"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.evo").head().getLong(0) == 3)
+
+    // properties round-trip
+    spark.sql("ALTER TABLE graft.db.evo SET TBLPROPERTIES ('write.parquet.compression-codec'='snappy')")
+    val t = new graft.catalog.FileCatalog(warehouse)
+      .loadTable(graft.catalog.TableIdent(Seq("db"), "evo")).get
+    assert(t.metadata.properties("write.parquet.compression-codec") == "snappy")
+    spark.sql("ALTER TABLE graft.db.evo UNSET TBLPROPERTIES ('write.parquet.compression-codec')")
+    val t2 = new graft.catalog.FileCatalog(warehouse)
+      .loadTable(graft.catalog.TableIdent(Seq("db"), "evo")).get
+    assert(!t2.metadata.properties.contains("write.parquet.compression-codec"))
+  }
+
   test("SHOW TABLES and DROP TABLE work") {
     spark.sql("CREATE TABLE graft.db.ephemeral (x INT)")
     val tables = spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1)).toSet
