@@ -142,18 +142,46 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Full-width 64-bit SimHash signature per document: bit b is the sign of
+    * the ±1 votes from bit b of each token's md5 (first 16 hex chars = 64
+    * bits; tokens counted with multiplicity). Same two-shuffle shape as
+    * [[simhash16]]; the OR of 64 disjoint powers assembles the signature
+    * (bit 63 via the min-long literal — both engines reject `1 << 63`).
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val par = df.sparkSession.sessionState.conf.numShufflePartitions
+    val toks = df.repartition(par)
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+    val votes = (0 until 64).map { b =>
+      sum(expr(
+        s"""CASE WHEN ((instr('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1)
+           |  >> ${3 - b % 4}) & 1 = 1 THEN 1 ELSE -1 END""".stripMargin)).as(s"s$b")
+    }
+    toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b =>
+          when(col(s"s$b") > 0, lit(if (b == 63) Long.MinValue else 1L << b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("simhash"))
+  }
+
   /** SimHash near-dup pairs within `maxHamming` via pigeonhole blocking on
-    * 4-bit signature segments (hamming ≤ 3 ⇒ at least one of 4 nibbles
-    * matches exactly — an equi-join, no cross product). */
-  def simhashNearDups(sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
-    // both sides of the self-join read nib: cache it (4 small rows per doc)
-    // so the signature aggregation runs once
-    val nib = sigs.select(col(idCol), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("n"))
-      .withColumn("nv", expr("shiftright(simhash, n * 4) & 15"))
+    * `numSegments` signature segments of `segmentBits` bits each (hamming ≤
+    * numSegments−1 ⇒ at least one segment matches exactly — an equi-join,
+    * never a cross product). Defaults block a 16-bit signature on nibbles;
+    * use (4, 16) for [[simhash64]] signatures. */
+  def simhashNearDups(sigs: DataFrame, idCol: String, maxHamming: Int,
+                      numSegments: Int = 4, segmentBits: Int = 4): DataFrame = {
+    require(maxHamming < numSegments, "pigeonhole needs maxHamming < numSegments")
+    val mask = (1L << segmentBits) - 1
+    // both sides of the self-join read seg: cache it (numSegments small rows
+    // per doc) so the signature aggregation runs once
+    val seg = sigs.select(col(idCol), col("simhash"),
+      explode(sequence(lit(0), lit(numSegments - 1))).as("n"))
+      .withColumn("nv", expr(s"shiftright(simhash, n * $segmentBits) & $mask"))
       .cache()
-    val a = nib.select(col("n"), col("nv"), col(idCol).as("id_a"), col("simhash").as("sim_a"))
-    val b = nib.select(col("n"), col("nv"), col(idCol).as("id_b"), col("simhash").as("sim_b"))
+    val a = seg.select(col("n"), col("nv"), col(idCol).as("id_a"), col("simhash").as("sim_a"))
+    val b = seg.select(col("n"), col("nv"), col(idCol).as("id_b"), col("simhash").as("sim_b"))
     a.join(b, Seq("n", "nv")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sim_a ^ sim_b)").as("hamming")).distinct()

@@ -105,6 +105,42 @@ object Embeddings {
         first(col("q")).as("q"), first(col("n2")).as("n2"))
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is clustered into
+    * `cells` Voronoi cells around deterministic sampled centroids (every
+    * ⌊n/cells⌋-th id — at 100 TB swap in a k-means|| sample; the cell
+    * assignment and search shape are identical), each vector is assigned to
+    * its nearest centroid by exact quantized L2, and ranking runs only
+    * within the query's cell (nprobe = 1). All distances are exact integer
+    * arithmetic: d² = |v|² + |c|² − 2⟨v,c⟩ via the codegen dot kernel, so
+    * assignments are engine-portable. Centroids are broadcast; the
+    * candidate join is an equi-join on cell id.
+    */
+  def ivfTopK(prepared: DataFrame, idCol: String, k: Int, cells: Int,
+              queryPred: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = prepared.count() // one metadata-scale job; estimate via stats at scale
+    val m = math.max(n / cells, 1L)
+    val cents = prepared.filter(col(idCol) % m === 0 && col(idCol) < m * cells)
+      .select(expr(s"$idCol DIV $m").as("c"), col("q").as("cq"), col("n2").as("cn2"))
+    val dist = col("n2") + col("cn2") - lit(2L) * dotq(col("q"), col("cq"))
+    val wAssign = Window.partitionBy(col(idCol)).orderBy(dist.asc, col("c").asc)
+    // assigned feeds both join sides — cache so assignment runs once
+    val assigned = prepared.crossJoin(broadcast(cents))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col("q"), col("n2"), col("c"))
+      .cache()
+    val q = assigned.filter(queryPred)
+      .select(col(idCol).as("query_id"), col("c"), col("q").as("qa"), col("n2").as("na"))
+    val c = assigned.select(col(idCol).as("neighbor_id"), col("c"), col("q").as("qb"), col("n2").as("nb"))
+    val scored = q.join(c, Seq("c")).filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(dot(col("qa"), col("qb")), col("na"), col("nb")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+  }
+
   /** Approximate top-k: exact cosine ranking restricted to the query's LSH
     * bucket. Equi-join on bucket id replaces the full cross product — the
     * IVF-style scale path; recall is tunable via `planes`. */

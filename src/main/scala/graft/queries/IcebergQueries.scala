@@ -95,6 +95,24 @@ object IcebergQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // Positional (file, row-position) merge-on-read deletes — BEYOND the
+    // reference, which panics on content=1 files (table.rs:422-424): delete
+    // odd order keys by position, no data rewrite; the scan masks exactly
+    // those rows.
+    "q37_pos_delete" -> ((s, d) => {
+      val cat = tempCatalog()
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      var t = createFrom(cat, "ordp", o)
+      t = IceWrite.append(s, t, o)
+      t = IceWrite.appendPositionDeletes(s, t, col("o_orderkey") % 2 === 1)
+      IceScan.scan(s, t)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Time travel (T6): two appends; reading AS OF the first snapshot sees
     // only the first batch even though current has both.
     "q16_time_travel" -> ((s, d) => {
@@ -147,6 +165,11 @@ object IcebergQueries {
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q37_pos_delete" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 2 = 0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q16_time_travel" ->
       """SELECT o_orderpriority, count(*) AS n,

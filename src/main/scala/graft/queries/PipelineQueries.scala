@@ -109,7 +109,25 @@ object PipelineQueries {
     // Composite quality score per document.
     "q32_quality" -> ((s, d) =>
       TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Full-width 64-bit SimHash near-dups, pigeonhole-blocked on 16-bit
+    // segments (hamming ≤ 3 guaranteed covered by 4 segments).
+    "q35_simhash64" -> ((s, d) =>
+      Dedup.simhashNearDups(
+        Dedup.simhash64(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", maxHamming = 3, numSegments = 4, segmentBits = 16)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")),
+
+    // IVF top-3 within the query's nearest-centroid cell (8 sampled
+    // centroids, exact integer distances).
+    "q36_ivf_topk" -> ((s, d) =>
+      Embeddings.ivfTopK(
+        Embeddings.prepare(Tables.embeddings(s, d), "vec_id", "embedding"),
+        "vec_id", k = 3, cells = 8, queryPred = col("vec_id") < 20)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("query_id", "rnk"))
   )
 
   private val tokCte =
@@ -274,6 +292,52 @@ object PipelineQueries {
         |    (length(text) - len(string_split(text, ' ')) + 1) * 1.0 / len(string_split(text, ' ')) AS mean_tok_len
         |  FROM documents)
         |SELECT doc_id, ttr * 50.0 + least(n_tokens / 4.0, 25.0) + least(mean_tok_len * 5.0, 25.0) AS quality
-        |FROM stats ORDER BY doc_id""".stripMargin
+        |FROM stats ORDER BY doc_id""".stripMargin,
+    "q35_simhash64" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), b // 4 + 1, 1)) - 1)
+        |                   >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM toks, UNNEST(range(0, 64)) AS t(b) GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id, bit_or(CASE WHEN s <= 0 THEN 0::BIGINT
+        |      WHEN b = 63 THEN (-9223372036854775808)::BIGINT
+        |      ELSE (1::BIGINT << CAST(b AS INT)) END) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |seg AS (
+        |  SELECT doc_id, simhash, sg, (simhash >> (sg * 16)) & 65535 AS sv
+        |  FROM sig, UNNEST(range(0, 4)) AS t(sg)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |  FROM seg a JOIN seg b ON a.sg = b.sg AND a.sv = b.sv AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+    "q36_ivf_topk" ->
+      """WITH params AS (SELECT greatest(count(*) // 8, 1) AS m FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qv),
+        |cents AS (
+        |  SELECT vec_id // m AS c, q AS cq, n2 AS cn2 FROM norms, params
+        |  WHERE vec_id % m = 0 AND vec_id < m * 8),
+        |assigned AS (
+        |  SELECT vec_id, q, n2, c,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY
+        |      n2 + cn2 - 2 * list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * cq[i])) ASC, c ASC) AS rk
+        |  FROM norms, cents),
+        |cell AS (SELECT vec_id, q, n2, c FROM assigned WHERE rk = 1),
+        |scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+        |  FROM cell a JOIN cell b ON a.c = b.c AND a.vec_id < 20 AND b.vec_id != a.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        |  FROM scored)
+        |SELECT query_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin
   )
 }

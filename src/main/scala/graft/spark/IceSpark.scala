@@ -50,6 +50,34 @@ object IceWrite {
     table.newTransaction(branch).appendDeletes(files).commit()
   }
 
+  /** Iceberg-spec field ids of the positional-delete file columns. */
+  private[graft] val PosDeletePathId = 2147483546
+  private[graft] val PosDeletePosId = 2147483545
+  private[graft] val PosDeleteSchema = graft.spec.IceSchema(0, Seq(
+    graft.spec.NestedField(PosDeletePathId, "file_path", required = true, graft.spec.IceType.StringT),
+    graft.spec.NestedField(PosDeletePosId, "pos", required = true, graft.spec.IceType.LongT)))
+
+  /** Writes POSITIONAL delete files for the current-snapshot rows matching
+    * `predicate` (BEYOND the reference, which panics on content=1 files,
+    * table.rs:422-424): each matching row is identified by its
+    * (file path, row position) via Spark's `_metadata` columns — no data
+    * rewrite, the scan masks the positions at read (merge-on-read).
+    */
+  def appendPositionDeletes(spark: SparkSession, table: IceTable, predicate: org.apache.spark.sql.Column,
+                            branch: Option[String] = None): IceTable = {
+    val snap = table.currentSnapshot(branch)
+      .getOrElse(throw new IllegalStateException("cannot delete from an empty table"))
+    val paths = table.dataFiles(snap).map(_.dataFile.filePath)
+    if (paths.isEmpty) return table
+    val matches = spark.read.schema(table.schema.toSpark).parquet(paths: _*)
+      .filter(predicate)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+    val files = writeDataFiles(spark, table, matches, PosDeleteSchema,
+      content = ContentPositionDeletes)
+    table.newTransaction(branch).appendDeletes(files).commit()
+  }
+
   /** Compaction / full rewrite (T3): reads current content, rewrites it as
     * one balanced file set, commits a replace snapshot.
     */
@@ -277,13 +305,38 @@ object IceScan {
     */
   private def buildDataFrame(spark: SparkSession, table: IceTable, schema: IceSchema,
                              sparkSchema: org.apache.spark.sql.types.StructType,
-                             data: Seq[ManifestEntry], deletes: Seq[ManifestEntry]): DataFrame = {
-    def readFiles(paths: Seq[String]): DataFrame =
-      if (paths.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
-      else spark.read.schema(sparkSchema).parquet(paths: _*)
+                             data: Seq[ManifestEntry], allDeletes: Seq[ManifestEntry]): DataFrame = {
+    // positional deletes reference explicit (file path, row position) pairs;
+    // since paths are unique, one global anti-join at the end is exact — a
+    // path added after the delete can never appear in it
+    val (posDeletes, deletes) = allDeletes.partition(_.dataFile.content == ContentPositionDeletes)
+    val withPos = posDeletes.nonEmpty
 
-    if (deletes.isEmpty) return readFiles(data.map(_.dataFile.filePath))
+    def readFiles(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty) {
+        val sch = if (!withPos) sparkSchema else org.apache.spark.sql.types.StructType(
+          sparkSchema.fields :+
+            org.apache.spark.sql.types.StructField("__graft_path", org.apache.spark.sql.types.StringType) :+
+            org.apache.spark.sql.types.StructField("__graft_pos", org.apache.spark.sql.types.LongType))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      } else {
+        val df = spark.read.schema(sparkSchema).parquet(paths: _*)
+        if (!withPos) df
+        else df.withColumn("__graft_path", col("_metadata.file_path"))
+          .withColumn("__graft_pos", col("_metadata.row_index"))
+      }
+
+    def maskPositions(df: DataFrame): DataFrame =
+      if (!withPos) df
+      else {
+        val delDf = spark.read.schema(IceWrite.PosDeleteSchema.toSpark)
+          .parquet(posDeletes.map(_.dataFile.filePath): _*)
+          .select(col("file_path").as("__graft_path"), col("pos").as("__graft_pos"))
+        df.join(broadcast(delDf), Seq("__graft_path", "__graft_pos"), "left_anti")
+          .drop("__graft_path", "__graft_pos")
+      }
+
+    if (deletes.isEmpty) return maskPositions(readFiles(data.map(_.dataFile.filePath)))
 
     /** Sequence-ordered fold over one group of data + delete files
       * (table.rs:498-679): process in ascending sequence order, deletes
@@ -330,7 +383,7 @@ object IceScan {
       val p = d.dataFile.partition
       arity > 0 && p.size == arity && p.exists(_._2 != null)
     }
-    if (scoped.isEmpty) fold(data, global)
+    if (scoped.isEmpty) maskPositions(fold(data, global))
     else {
       // partition-scoped deletes: fold each affected partition separately,
       // clean partitions read as one scan (then global deletes on top)
@@ -342,7 +395,7 @@ object IceScan {
           affected.toSeq.map { case (pk, entries) =>
             fold(entries, deletesByPartition(pk) ++ global)
           }
-      parts.reduce(_ unionByName _)
+      maskPositions(parts.reduce(_ unionByName _))
     }
   }
 }

@@ -386,15 +386,23 @@ object IceMV {
   // plan execution over bindings
   // -------------------------------------------------------------------
 
-  /** Full recompute path: sources registered as temp views → spark.sql, so
-    * EVERY SQL shape (windows, outer joins, subqueries) works at
-    * full-refresh fidelity even when deltas can't. */
+  /** Full recompute path: sources registered as temp views and the parsed
+    * plan's relation names rewritten to them, so EVERY SQL shape (windows,
+    * outer joins, subqueries) works at full-refresh fidelity even when
+    * deltas can't — including namespace-qualified source names (`db.src`),
+    * which a plain temp-view registration could not resolve. */
   private def fullCompute(spark: SparkSession, catalog: Catalog, mv: TableIdent, sql: String): DataFrame = {
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    def mangled(parts: Seq[String]): String = "__graft_mv_src_" + parts.mkString("__")
     sourceOccurrences(plan).distinct.foreach { src =>
-      IceScan.scan(spark, resolve(catalog, mv, src)).createOrReplaceTempView(src.name)
+      IceScan.scan(spark, resolve(catalog, mv, src))
+        .createOrReplaceTempView(mangled(src.namespace :+ src.name))
     }
-    spark.sql(sql)
+    val rewritten = plan.transform {
+      case r: UnresolvedRelation =>
+        r.copy(multipartIdentifier = Seq(mangled(r.multipartIdentifier)))
+    }
+    GraftShim.ofRows(spark, rewritten)
   }
 
   /** Δ(plan) over the changed sources: union over all non-empty subsets of

@@ -7,9 +7,12 @@ import org.apache.spark.sql.SparkSessionExtensions
   * `SparkSession.builder.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule { session =>
       new org.apache.spark.sql.GraftReadRule(
         session.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
     }
+    // CREATE/REFRESH MATERIALIZED VIEW statements; delegates everything else
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+  }
 }

@@ -1,0 +1,89 @@
+package graft.spark.sql
+
+import org.apache.spark.sql.{GraftShim, Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+
+import graft.catalog.TableIdent
+import graft.spark.IceMV
+
+/** SQL surface for materialized views (reference capability:
+  * datafusion_iceberg/src/materialized_view/mod.rs — the reference drives MV
+  * refresh programmatically; graft additionally exposes it as SQL):
+  *
+  * {{{
+  *   CREATE MATERIALIZED VIEW graft.db.mv AS SELECT k, sum(v) AS s FROM db.src GROUP BY k
+  *   REFRESH MATERIALIZED VIEW graft.db.mv     -- returns (strategy, rows_written)
+  * }}}
+  *
+  * Injected via [[GraftExtensions]] `injectParser`; everything else delegates
+  * to Spark's parser. The first name part must be a registered
+  * [[GraftSparkCatalog]]; the MV and its source tables live in that catalog.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val CreateMV =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+AS\s+(.+)""".r
+  private val RefreshMV =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CreateMV(ident, query) =>
+      val (cat, ti) = splitIdent(ident)
+      CreateMaterializedViewCommand(cat, ti, query.trim)
+    case RefreshMV(ident) =>
+      val (cat, ti) = splitIdent(ident)
+      RefreshMaterializedViewCommand(cat, ti)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  private def splitIdent(raw: String): (String, TableIdent) = {
+    val parts = raw.replace("`", "").split('.').toSeq
+    require(parts.length >= 2,
+      s"materialized view name must be <catalog>.[<namespace>.]<name>: $raw")
+    (parts.head, TableIdent(parts.tail.init, parts.last))
+  }
+
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier = delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier = delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] = delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+}
+
+private[sql] object GraftSqlParser {
+  /** The graft `FileCatalog` behind a registered Spark catalog name. */
+  def fileCatalog(spark: SparkSession, name: String): graft.catalog.FileCatalog =
+    GraftShim.v2Catalog(spark, name) match {
+      case g: GraftSparkCatalog => g.catalog
+      case other => throw new IllegalArgumentException(
+        s"catalog $name is not a graft catalog: ${other.getClass.getName}")
+    }
+}
+
+final case class CreateMaterializedViewCommand(catalogName: String, ident: TableIdent,
+                                               query: String) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    IceMV.create(spark, GraftSqlParser.fileCatalog(spark, catalogName), ident, query)
+    Nil
+  }
+}
+
+final case class RefreshMaterializedViewCommand(catalogName: String,
+                                                ident: TableIdent) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("strategy", StringType, nullable = false)(),
+    AttributeReference("rows_written", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = IceMV.refresh(spark, GraftSqlParser.fileCatalog(spark, catalogName), ident)
+    Seq(Row(r.strategy.toString, r.rowsWritten))
+  }
+}

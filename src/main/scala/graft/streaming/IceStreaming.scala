@@ -40,21 +40,21 @@ object IceStreaming {
       .start()
 
   /** Tails an APPEND-ONLY Iceberg table as a streaming source (new data
-    * files become new micro-batch input). Unpartitioned tables only in v1 —
-    * partition values of partitioned tables live in directory names, which
-    * the recursive file stream does not re-derive. Replace/delete commits
-    * are not reflected; that mirrors the reference's append-only delta
-    * contract (transform.rs swaps NegDelta scans for EmptyTable).
+    * files become new micro-batch input). Works for partitioned tables too:
+    * graft's write path keeps every SOURCE column inside the data files (the
+    * physical partition dirs use reserved `__gp_`-prefixed names precisely
+    * so `partitionBy` never swallows a source column), and
+    * `recursiveFileLookup` disables directory-based partition inference, so
+    * rows stream back complete. Replace/delete commits are not reflected;
+    * that mirrors the reference's append-only delta contract (transform.rs
+    * swaps NegDelta scans for EmptyTable).
     */
-  def streamTable(spark: SparkSession, table: IceTable): DataFrame = {
-    require(table.spec.fields.isEmpty,
-      "streamTable supports unpartitioned tables (partition values live in dir names)")
+  def streamTable(spark: SparkSession, table: IceTable): DataFrame =
     spark.readStream
       .schema(table.schema.toSpark)
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.parquet")
       .parquet(s"${table.location}/data")
-  }
 
   /** Watermarked event-time windowed aggregation: the canonical streaming
     * rollup (count + sum per window×key), late data dropped after

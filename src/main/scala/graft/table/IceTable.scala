@@ -56,9 +56,9 @@ class IceTable(val ident: TableIdent, val catalog: Catalog,
   def dataFiles(snapshot: Snapshot, afterSequence: Option[Long] = None): Seq[ManifestEntry] =
     entries(snapshot, afterSequence).filter(_.dataFile.content == ContentData)
 
-  /** All live equality-delete files at a snapshot. */
+  /** All live delete files (equality OR positional) at a snapshot. */
   def deleteFiles(snapshot: Snapshot): Seq[ManifestEntry] =
-    entries(snapshot).filter(_.dataFile.content == ContentEqualityDeletes)
+    entries(snapshot).filter(_.dataFile.content != ContentData)
 
   def newTransaction(branch: Option[String] = None): Transaction =
     new Transaction(this, branch)

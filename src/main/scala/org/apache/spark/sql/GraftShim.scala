@@ -16,4 +16,19 @@ object GraftShim {
     */
   def column(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Resolves a registered DSv2 catalog plugin by name (`catalogManager` is
+    * `private[sql]`) — used by graft's SQL commands to reach the graft
+    * catalog instance behind `spark.sql.catalog.<name>`.
+    */
+  def v2Catalog(spark: SparkSession, name: String): org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    spark.sessionState.catalogManager.catalog(name)
+
+  /** Runs an unresolved logical plan through the session's analyzer
+    * (`Dataset.ofRows` is `private[sql]`) — lets graft execute a parsed and
+    * rewritten SQL plan without round-tripping through SQL text.
+    */
+  def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

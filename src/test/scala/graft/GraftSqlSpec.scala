@@ -130,6 +130,22 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!t2.metadata.properties.contains("write.parquet.compression-codec"))
   }
 
+  test("CREATE/REFRESH MATERIALIZED VIEW via SQL; incremental after append") {
+    spark.sql("CREATE TABLE graft.db.sales (k STRING, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.sales VALUES ('a', 1), ('a', 2), ('b', 10)")
+    spark.sql(
+      "CREATE MATERIALIZED VIEW graft.db.sales_mv AS SELECT k, count(*) AS n, sum(v) AS s FROM db.sales GROUP BY k")
+    val r1 = spark.sql("REFRESH MATERIALIZED VIEW graft.db.sales_mv").head()
+    assert(r1.getString(0) == "FullOverwrite") // first refresh materializes
+    spark.sql("INSERT INTO graft.db.sales VALUES ('a', 4), ('c', 7)")
+    val r2 = spark.sql("REFRESH MATERIALIZED VIEW graft.db.sales_mv").head()
+    assert(r2.getString(0).startsWith("IncrementalAggregate"))
+    val cat = new graft.catalog.FileCatalog(warehouse)
+    val mv = graft.spark.IceMV.read(spark, cat, graft.catalog.TableIdent(Seq("db"), "sales_mv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mv == Set(("a", 3L, 7L), ("b", 1L, 10L), ("c", 1L, 7L)))
+  }
+
   test("SHOW TABLES and DROP TABLE work") {
     spark.sql("CREATE TABLE graft.db.ephemeral (x INT)")
     val tables = spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1)).toSet

@@ -171,6 +171,26 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sums == Map(1L -> 4L, 2L -> 1L, 3L -> 3L))
   }
 
+  test("positional delete masks exactly the (file, pos) rows; later appends unaffected") {
+    implicit val s: SparkSession = spark
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "posdel"), ordersSchema, daySpec)
+    table = IceWrite.append(spark, table, batch1)
+    // positional delete by predicate: no data rewrite, content=1 delete file
+    table = IceWrite.appendPositionDeletes(spark, table, col("product_id") === 1)
+    // batch1 has four product_id=1 rows (ids 1, 2, 3, 5)
+    assert(IceScan.scan(spark, table).count() == 2)
+    assert(IceScan.scan(spark, table).filter(col("product_id") === 1).count() == 0)
+    // the delete pinned explicit paths — rows appended afterwards survive
+    // even when they match the original predicate
+    import s.implicits._
+    table = IceWrite.append(spark, table, batch1.filter($"product_id" === 1L))
+    assert(IceScan.scan(spark, table).filter(col("product_id") === 1).count() == 4)
+    // positional + equality deletes compose
+    table = IceWrite.appendEqualityDeletes(spark, table, Seq(4L).toDF("id"), equalityIds = Seq(1))
+    assert(IceScan.scan(spark, table).count() == 5)
+  }
+
   test("replace (compaction) rewrites content, results unchanged") {
     implicit val s: SparkSession = spark
     val cat = freshCatalog()

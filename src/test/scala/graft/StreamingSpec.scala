@@ -68,6 +68,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM tailed").head().getLong(0) == 2)
   }
 
+  test("tail a PARTITIONED table: source columns stream back complete") {
+    import spark.implicits._
+    val cat = new FileCatalog(Files.createTempDirectory("stwh3").toString)
+    val schema = IceSchema(0, Seq(
+      NestedField(1, "id", required = false, IceType.LongT),
+      NestedField(2, "bucket_key", required = false, IceType.LongT),
+      NestedField(3, "v", required = false, IceType.DoubleT)))
+    // identity partition: the partition dir uses the reserved __gp_ prefix,
+    // so bucket_key itself stays inside the data files and streams back
+    val spec = PartitionSpec(0, Seq(PartitionField(2, 1000, "bucket_key", graft.core.Transform.Identity)))
+    var table = cat.createTable(TableIdent(Seq("db"), "ptail"), schema, spec)
+    table = graft.spark.IceWrite.append(spark, table,
+      Seq((1L, 10L, 5.0), (2L, 20L, 6.0), (3L, 10L, 7.0)).toDF("id", "bucket_key", "v"))
+
+    val q = IceStreaming.streamTable(spark, table)
+      .writeStream.format("memory").queryName("ptailed")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.sql("SELECT id, bucket_key, v FROM ptailed").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, 10L, 5.0), (2L, 20L, 6.0), (3L, 10L, 7.0)))
+  }
+
   test("watermarked windowed aggregation matches batch computation") {
     import spark.implicits._
     val src = Files.createTempDirectory("wmsrc").toString
