@@ -50,6 +50,15 @@ object Profile {
         time("banded.noop")(mat(banded))
         val full = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 16, 4, 0.5)
         time("minhashNearDups full")(mat(full))
+      case "q35" =>
+        import graft.pipeline.Dedup
+        val docs = Tables.documents(spark, sfDir)
+        val sigs = Dedup.simhash64(docs, "doc_id", "text")
+        time("simhash64 sigs")(mat(sigs))
+        time("simhash64 sigs again")(mat(sigs))
+        val full = Dedup.simhashNearDups(sigs, "doc_id", 3, 4, 16)
+        time("neardups full")(mat(full))
+        time("neardups again")(mat(full))
       case "q27" =>
         import graft.pipeline.Embeddings
         val prep = Embeddings.prepare(Tables.embeddings(spark, sfDir), "vec_id", "embedding")

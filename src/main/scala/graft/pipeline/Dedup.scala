@@ -150,18 +150,25 @@ object Dedup {
     */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
+    // one md5 per token, parsed ONCE into four 16-bit integer chunks (hex
+    // char order: first char = high nibble, so chunk bit (15 - j) is global
+    // bit 16k + j) — each of the 64 bit-votes is then a shift/AND instead of
+    // a string probe, and the ±1 vote sum is derived from the bit-count:
+    // sum(±1) > 0  ⟺  2 * ones > n_tokens.
     val toks = df.repartition(par)
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
       .withColumn("h", md5(col("tok").cast("binary")))
-    val votes = (0 until 64).map { b =>
-      sum(expr(
-        s"""CASE WHEN ((instr('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1)
-           |  >> ${3 - b % 4}) & 1 = 1 THEN 1 ELSE -1 END""".stripMargin)).as(s"s$b")
+      .select(Seq(col(idCol)) ++ (0 until 4).map(k =>
+        expr(s"cast(conv(substr(h, ${k * 4 + 1}, 4), 16, 10) as int)").as(s"c$k")): _*)
+    val ones = (0 until 64).map { b =>
+      sum(shiftright(col(s"c${b / 16}"), 15 - b % 16).bitwiseAND(lit(1))).as(s"o$b")
     }
-    toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"), ones: _*)
       .select(col(idCol),
         (0 until 64).map(b =>
-          when(col(s"s$b") > 0, lit(if (b == 63) Long.MinValue else 1L << b)).otherwise(lit(0L)))
+          when(col(s"o$b") * 2 > col("__n"), lit(if (b == 63) Long.MinValue else 1L << b))
+            .otherwise(lit(0L)))
           .reduce(_ bitwiseOR _).as("simhash"))
   }
 

@@ -78,6 +78,27 @@ object IcebergQueries {
       IceMV.read(s, cat, mv).orderBy("lang")
     }),
 
+    // Incremental count(DISTINCT) maintenance (beyond the reference): the MV
+    // stores (groups, distinct-key) granularity so deltas merge additively;
+    // after an incremental refresh the reconstructed distinct counts must
+    // equal a direct aggregate of the whole source.
+    "q38_mv_distinct" -> ((s, d) => {
+      val cat = tempCatalog()
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      var t = createFrom(cat, "docs2", docs)
+      t = IceWrite.append(s, t, docs.filter(col("doc_id") % 2 === 0))
+      val mv = TableIdent(Seq("bench"), "src_stats")
+      IceMV.create(s, cat, mv,
+        "SELECT source, count(*) AS n, count(DISTINCT lang) AS n_langs, sum(n_chars) AS sum_chars, min(n_chars) AS min_chars FROM docs2 GROUP BY source")
+      IceMV.refresh(s, cat, mv)
+      t = IceWrite.append(s, t.refresh(), docs.filter(col("doc_id") % 2 === 1))
+      val r = IceMV.refresh(s, cat, mv)
+      require(r.strategy.isInstanceOf[IceMV.IncrementalAggregate],
+        s"expected incremental aggregate refresh, got ${r.strategy}")
+      IceMV.read(s, cat, mv).orderBy("source")
+    }),
+
     // Merge-on-read equality deletes (S9/J1): delete all F-status orders by
     // key, scan must mask exactly those rows.
     "q15_mor_delete" -> ((s, d) => {
@@ -161,6 +182,10 @@ object IcebergQueries {
       """SELECT lang, count(*) AS n, avg(n_chars) AS avg_chars,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q38_mv_distinct" ->
+      """SELECT source, count(*) AS n, count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(n_chars) AS min_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q15_mor_delete" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -63,7 +63,83 @@ object IceMV {
 
   private val StatePropKey = "graft.mv.refresh-state"
   private val AvgPropKey = "graft.mv.avg-cols"
+  private val DistinctPropKey = "graft.mv.distinct"
   private val mapper = new ObjectMapper()
+
+  /** Distinct-count MV metadata: the distinct-key storage column and the
+    * visible outputs as (name, kind) with kind ∈ group | count_distinct |
+    * count | sum | min | max. */
+  private def readDistinct(storage: IceTable): Option[(String, Seq[(String, String)])] =
+    storage.metadata.properties.get(DistinctPropKey).map { json =>
+      import scala.jdk.CollectionConverters._
+      val n = mapper.readTree(json)
+      (n.get("dk").asText(),
+        n.get("outs").elements().asScala.map(o =>
+          (o.get("vis").asText(), o.get("kind").asText())).toSeq)
+    }
+
+  private def writeDistinct(dk: String, outs: Seq[(String, String)]): String = {
+    val root = mapper.createObjectNode()
+    root.put("dk", dk)
+    val arr = root.putArray("outs")
+    outs.foreach { case (vis, kind) =>
+      val o = arr.addObject(); o.put("vis", vis); o.put("kind", kind)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  /** count(DISTINCT x) support (BEYOND the reference, whose
+    * aggregate_functions.rs rejects distinct): rewrites the aggregate to
+    * (groups, x) granularity — distinct counts are then DERIVABLE (row
+    * counts per group) and every other aggregate stays additively mergeable,
+    * so the standard incremental machinery applies to the rewritten plan.
+    * Returns (rewritten aggregate, distinct-key column, visible outputs);
+    * None when the plan has no distinct aggs or an unsupported shape (only
+    * single-column count(DISTINCT x) over ONE common column, combined with
+    * count/sum/min/max, qualifies — avg+distinct degrades to full refresh).
+    */
+  private[graft] def distinctRewrite(a: Aggregate): Option[(Aggregate, String, Seq[(String, String)])] = {
+    val hasDistinct = a.aggregateExpressions.exists {
+      case Alias(f: UnresolvedFunction, _) => f.isDistinct
+      case _ => false
+    }
+    if (!hasDistinct) return None
+    val groupNames = a.groupingExpressions.map {
+      case att: UnresolvedAttribute => att.nameParts.last
+      case _ => return None
+    }
+    var dkSrc: Option[String] = None
+    val outs: Seq[(String, String)] = a.aggregateExpressions.map {
+      case att: UnresolvedAttribute => att.nameParts.last -> "group"
+      case Alias(att: UnresolvedAttribute, nm) if groupNames.contains(att.nameParts.last) => nm -> "group"
+      case Alias(f: UnresolvedFunction, nm) =>
+        val fn = f.nameParts.last.toLowerCase
+        if (f.isDistinct) {
+          if (fn != "count" || f.arguments.size != 1) return None
+          f.arguments.head match {
+            case att: UnresolvedAttribute =>
+              val c = att.nameParts.last
+              if (dkSrc.exists(_ != c)) return None
+              dkSrc = Some(c)
+              nm -> "count_distinct"
+            case _ => return None
+          }
+        } else if (Seq("count", "sum", "min", "max").contains(fn)) nm -> fn
+        else return None
+      case _ => return None
+    }
+    val dk = dkSrc.getOrElse(return None)
+    // the distinct key doubles as a storage column under its own name — a
+    // visible output with the same name would collide
+    if (outs.exists(_._1 == dk)) return None
+    val rewritten = a.copy(
+      groupingExpressions = a.groupingExpressions :+ UnresolvedAttribute(Seq(dk)),
+      aggregateExpressions = a.aggregateExpressions.filter {
+        case Alias(f: UnresolvedFunction, _) => !f.isDistinct
+        case _ => true
+      } :+ UnresolvedAttribute(Seq(dk)))
+    Some((rewritten, dk, outs))
+  }
 
   /** (visibleName, sumCol, cntCol, visibleTypeJson) for decomposed avgs. */
   private def readAvgCols(storage: IceTable): Seq[(String, String, String, String)] =
@@ -90,7 +166,15 @@ object IceMV {
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
     val out = fullCompute(spark, catalog, ident, sql)
 
-    val strategy = classify(plan)
+    // count(DISTINCT x): persist at (groups, x) granularity — the rewritten
+    // plan is plain-mergeable, distinct counts derive at read
+    val distinctInfo = plan match {
+      case a: Aggregate => distinctRewrite(a)
+      case _ => None
+    }
+    val effectivePlan = distinctInfo.map(_._1).getOrElse(plan)
+
+    val strategy = classify(effectivePlan)
     val avgVis: Seq[String] = strategy match {
       case IncrementalAggregate(_, merges) => merges.collect { case (n, "avg") => n }
       case _ => Nil
@@ -99,8 +183,8 @@ object IceMV {
       !out.schema(n).dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
 
     val storageDf =
-      if (decompose) {
-        val a = plan.asInstanceOf[Aggregate]
+      if (decompose || distinctInfo.isDefined) {
+        val a = effectivePlan.asInstanceOf[Aggregate]
         buildStorageAggregate(a, build(a.child, i =>
           IceScan.scan(spark, resolve(catalog, ident, sourceOccurrences(a.child)(i)))))
       } else out
@@ -110,16 +194,19 @@ object IceMV {
         struct.fields.filter(f => groupNames.contains(f.name)).map(_.id)
       case _ => Nil
     }
-    val props: Map[String, String] =
-      if (decompose) {
-        val arr = mapper.createArrayNode()
-        avgVis.foreach { n =>
-          val o = arr.addObject()
-          o.put("vis", n); o.put("sum", avgSumName(n)); o.put("cnt", avgCntName(n))
-          o.put("type", out.schema(n).dataType.json)
-        }
-        Map(AvgPropKey -> mapper.writeValueAsString(arr))
-      } else Map.empty
+    var props: Map[String, String] = Map.empty
+    if (decompose) {
+      val arr = mapper.createArrayNode()
+      avgVis.foreach { n =>
+        val o = arr.addObject()
+        o.put("vis", n); o.put("sum", avgSumName(n)); o.put("cnt", avgCntName(n))
+        o.put("type", out.schema(n).dataType.json)
+      }
+      props += AvgPropKey -> mapper.writeValueAsString(arr)
+    }
+    distinctInfo.foreach { case (_, dk, outs) =>
+      props += DistinctPropKey -> writeDistinct(dk, outs)
+    }
     val schema = IceSchema(0, struct.fields, identifierFieldIds = keyIds)
     catalog.createTable(storageIdent(ident), schema, PartitionSpec(0, Nil), props)
     catalog.createView(ident, sql, out.schema.json)
@@ -132,6 +219,27 @@ object IceMV {
     val storage = catalog.loadTable(storageIdent(ident))
       .getOrElse(throw new IllegalArgumentException(s"no materialized view $ident"))
     val scan = IceScan.scan(spark, storage)
+    readDistinct(storage) match {
+      case Some((dk, outs)) =>
+        // roll the (groups, x)-granular storage up to the visible shape:
+        // count(DISTINCT x) = count of distinct-key rows (unique per group by
+        // construction), additive aggs re-sum, min/max re-extremize
+        val (_, schemaJson) = catalog.loadView(ident)
+          .getOrElse(throw new IllegalStateException(s"no view metadata for $ident"))
+        val visible = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val groupNames = outs.collect { case (n, "group") => n }
+        val aggs = outs.collect {
+          case (n, "count_distinct") => count(col(dk)).cast(visible(n).dataType).as(n)
+          case (n, kind) if kind == "count" || kind == "sum" =>
+            sum(col(n)).cast(visible(n).dataType).as(n)
+          case (n, "min") => min(col(n)).cast(visible(n).dataType).as(n)
+          case (n, "max") => max(col(n)).cast(visible(n).dataType).as(n)
+        }
+        return scan.groupBy(groupNames.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          .select(visible.fieldNames.map(col).toSeq: _*)
+      case None =>
+    }
     val avgCols = readAvgCols(storage)
     if (avgCols.isEmpty) scan
     else {
@@ -164,7 +272,14 @@ object IceMV {
       .getOrElse(throw new IllegalArgumentException(s"no materialized view $ident"))
     val storage = catalog.loadTable(storageIdent(ident))
       .getOrElse(throw new IllegalArgumentException(s"no storage table for $ident"))
-    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    val originalPlan = spark.sessionState.sqlParser.parsePlan(sql)
+    // distinct MV: all storage-side work happens on the (groups, x)-granular
+    // rewritten plan (same child, so source occurrences are unchanged)
+    val plan = (readDistinct(storage), originalPlan) match {
+      case (Some(_), a: Aggregate) => distinctRewrite(a)
+        .map(_._1).getOrElse(originalPlan)
+      case _ => originalPlan
+    }
     val occurrenceIdents = sourceOccurrences(plan)
     val sources: Seq[IceTable] = occurrenceIdents.map(resolve(catalog, ident, _))
 
@@ -208,9 +323,11 @@ object IceMV {
       t.metadata.tableUuid -> t.currentSnapshot(None).map(_.snapshotId.toString).getOrElse("")).toMap
     val stateProps = Map(StatePropKey -> writeState(newState))
 
-    // full materialization in the STORAGE shape (decomposed for avg MVs)
+    // full materialization in the STORAGE shape (decomposed for avg MVs,
+    // (groups, x)-granular for distinct MVs — `plan` is already rewritten)
     def materializeFull(): DataFrame =
-      if (avgCols.isEmpty) fullCompute(spark, catalog, ident, sql)
+      if (avgCols.isEmpty && readDistinct(storage).isEmpty)
+        fullCompute(spark, catalog, ident, sql)
       else {
         val a = plan.asInstanceOf[Aggregate]
         buildStorageAggregate(a, build(a.child,

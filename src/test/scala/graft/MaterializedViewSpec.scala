@@ -178,6 +178,29 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IceMV.read(spark, cat, mv).columns.toSeq == Seq("product_id", "avg_amt", "n"))
   }
 
+  test("count(DISTINCT) MV merges incrementally via (groups, key) granularity") {
+    val cat = newCatalog()
+    var orders = cat.createTable(TableIdent(Seq("db"), "orders"), ordersSchema, PartitionSpec(0, Nil))
+    orders = IceWrite.append(spark, orders, ordersDf(Seq((1L, 1L, 4L), (2L, 1L, 4L), (3L, 2L, 5L))))
+    val mv = TableIdent(Seq("db"), "dist_amount")
+    IceMV.create(spark, cat, mv,
+      "SELECT product_id, count(*) AS n, count(DISTINCT amount) AS n_amts, sum(amount) AS total FROM orders GROUP BY product_id")
+    IceMV.refresh(spark, cat, mv)
+    assert(IceMV.read(spark, cat, mv).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap ==
+      Map(1L -> (2L, 1L, 8L), 2L -> (1L, 1L, 5L)))
+
+    // new distinct value for p1, repeated value for p2, brand-new group p3
+    orders = IceWrite.append(spark, orders.refresh(), ordersDf(Seq((4L, 1L, 9L), (5L, 2L, 5L), (6L, 3L, 7L))))
+    val r = IceMV.refresh(spark, cat, mv)
+    assert(r.strategy.isInstanceOf[IceMV.IncrementalAggregate])
+    val got = IceMV.read(spark, cat, mv).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(1L -> (3L, 2L, 17L), 2L -> (2L, 1L, 10L), 3L -> (1L, 1L, 7L)))
+    // visible schema hides the distinct-key granularity
+    assert(IceMV.read(spark, cat, mv).columns.toSeq == Seq("product_id", "n", "n_amts", "total"))
+  }
+
   test("plain view reads inline current data") {
     val cat = newCatalog()
     var orders = cat.createTable(TableIdent(Seq("db"), "orders"), ordersSchema, PartitionSpec(0, Nil))
