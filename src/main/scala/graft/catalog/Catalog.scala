@@ -30,6 +30,8 @@ object TableUpdate {
   final case class SetProperties(updates: Map[String, String]) extends TableUpdate
   final case class RemoveProperties(removals: Seq[String]) extends TableUpdate
   final case class RemoveSnapshots(snapshotIds: Seq[Long]) extends TableUpdate
+  final case class AddSortOrder(order: SortOrder) extends TableUpdate
+  final case class SetDefaultSortOrder(orderId: Int) extends TableUpdate
 }
 
 final case class TableIdent(namespace: Seq[String], name: String) {
@@ -93,6 +95,8 @@ object CatalogOps {
           lastPartitionId = math.max(m.lastPartitionId,
             (s.fields.map(_.fieldId) :+ m.lastPartitionId).max))
         case SetDefaultSpec(id) => m.copy(defaultSpecId = id)
+        case AddSortOrder(o) => m.copy(sortOrders = m.sortOrders + (o.orderId -> o))
+        case SetDefaultSortOrder(id) => m.copy(defaultSortOrderId = id)
         case SetProperties(p) => m.copy(properties = m.properties ++ p)
         case RemoveProperties(ks) => m.copy(properties = m.properties -- ks)
         case RemoveSnapshots(ids) => m.copy(

@@ -116,6 +116,39 @@ object IcebergQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // SQL MERGE INTO upsert (beyond the reference): matched keys become one
+    // equality-delete file, updated+inserted rows one data-file set, both in
+    // a SINGLE transaction. Runs entirely through the SQL surface (catalog
+    // plugin + injected parser); the oracle reconstructs the post-merge
+    // table with plain SQL.
+    "q39_merge_upsert" -> ((s, d) => {
+      val wh = Files.createTempDirectory("graft_mwh").toString
+      s.conf.set("spark.sql.catalog.graft_m", "graft.spark.sql.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.graft_m.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_m.db")
+      s.sql("DROP TABLE IF EXISTS graft_m.db.morders")
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      o.createOrReplaceTempView("q39_src_orders")
+      s.sql("CREATE TABLE graft_m.db.morders (o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(18,2))")
+      s.sql("INSERT INTO graft_m.db.morders SELECT * FROM q39_src_orders")
+      // matched: double the price of every %3 key; not matched: re-insert
+      // those rows under negated keys
+      o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"), (col("price") * 2).as("p"))
+        .unionByName(o.filter(col("o_orderkey") % 3 === 0)
+          .select((-col("o_orderkey")).as("k"), col("o_orderstatus").as("st"), col("price").as("p")))
+        .createOrReplaceTempView("q39_changes")
+      s.sql(
+        """MERGE INTO graft_m.db.morders t USING q39_changes s ON t.o_orderkey = s.k
+          |WHEN MATCHED THEN UPDATE SET price = s.p
+          |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, price) VALUES (s.k, s.st, s.p)""".stripMargin)
+      s.table("graft_m.db.morders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Positional (file, row-position) merge-on-read deletes — BEYOND the
     // reference, which panics on content=1 files (table.rs:422-424): delete
     // odd order keys by position, no data rewrite; the scan masks exactly
@@ -191,6 +224,18 @@ object IcebergQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus <> 'F'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q39_merge_upsert" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
+        |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |)
+        |SELECT o_orderstatus, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q37_pos_delete" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -112,6 +112,23 @@ object IceWrite {
     }: _*)
 
     val partFields = if (content == ContentData) spec.fields else Nil
+    // default write sort order (clustering): range-partition + local sort on
+    // unpartitioned tables (disjoint per-file bounds → max statistics
+    // pruning); local sort inside each partition dir on partitioned tables
+    val sortCols: Seq[Column] =
+      if (content != ContentData) Nil
+      else table.metadata.sortOrders.getOrElse(table.metadata.defaultSortOrderId,
+        graft.spec.SortOrder.unsorted).fields.flatMap { sf =>
+        writeSchema.fieldById(sf.sourceId).map { src =>
+          val base = sf.transform.column(col(src.name), IceType.toSpark(src.fieldType))
+          (sf.direction, sf.nullOrder) match {
+            case ("desc", "nulls-last") => base.desc_nulls_last
+            case ("desc", _) => base.desc_nulls_first
+            case (_, "nulls-last") => base.asc_nulls_last
+            case _ => base.asc_nulls_first
+          }
+        }
+      }
     // physical partition-dir columns carry a reserved prefix: partitionBy
     // REMOVES its columns from the file contents, and an identity-transform
     // partition field shares its source column's name — without the prefix
@@ -123,12 +140,26 @@ object IceWrite {
         val srcName = writeSchema.fieldById(pf.sourceId).get.name
         acc.withColumn(physName(pf), pf.transform.column(col(srcName), sparkSchema(srcName).dataType))
       }
-      withParts
-        .repartition(partFields.map(pf => col(physName(pf))): _*)
+      val repart = withParts.repartition(partFields.map(pf => col(physName(pf))): _*)
+      (if (sortCols.nonEmpty) repart.sortWithinPartitions(sortCols: _*) else repart)
         .write.partitionBy(partFields.map(physName): _*)
-    } else aligned.coalesce(math.max(1, aligned.rdd.getNumPartitions / 4)).write
+    } else {
+      val nOut = math.max(1, aligned.rdd.getNumPartitions / 4)
+      (if (sortCols.nonEmpty)
+        aligned.repartitionByRange(nOut, sortCols: _*).sortWithinPartitions(sortCols: _*)
+      else aligned.coalesce(nOut)).write
+    }
 
-    try writer
+    // parquet bloom filters (point-lookup row-group skipping): table property
+    // write.parquet.bloom-filter-enabled.column.<col>=true feeds the writer's
+    // per-column option; parquet-mr then skips row groups on = predicates
+    val BloomProp = "write.parquet.bloom-filter-enabled.column."
+    val withBlooms = props.collect {
+      case (k, v) if k.startsWith(BloomProp) =>
+        s"parquet.bloom.filter.enabled#${k.stripPrefix(BloomProp)}" -> v
+    }.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }
+
+    try withBlooms
       .option("compression", props.getOrElse("write.parquet.compression-codec", "zstd"))
       .option("maxRecordsPerFile",
         props.getOrElse("write.max-records-per-file", "10000000"))

@@ -1,6 +1,10 @@
 package graft.spark.sql
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.spark.expressions.{IcebergBucket, LongArrayDot}
 
 /** Session extensions enabling graft's SQL read path. Install via
   * `spark.sql.extensions=graft.spark.sql.GraftExtensions` or
@@ -12,7 +16,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.GraftReadRule(
         session.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
     }
-    // CREATE/REFRESH MATERIALIZED VIEW statements; delegates everything else
-    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // CREATE/REFRESH MATERIALIZED VIEW + MERGE INTO interception; delegates
+    // everything else
+    ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+    // graft's native codegen expressions as SQL functions
+    ext.injectFunction((FunctionIdentifier("dotq"),
+      new ExpressionInfo(classOf[LongArrayDot].getName, "dotq"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dotq(a, b) takes two array<bigint> arguments")
+        LongArrayDot(args.head, args(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("iceberg_bucket"),
+      new ExpressionInfo(classOf[IcebergBucket].getName, "iceberg_bucket"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "iceberg_bucket(n, col) takes a bucket count and a column")
+        val n = args.head match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(s"bucket count must be a literal: $other")
+        }
+        IcebergBucket(args(1), n)
+      }))
   }
 }

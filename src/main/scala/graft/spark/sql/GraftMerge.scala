@@ -1,0 +1,169 @@
+package graft.spark.sql
+
+import org.apache.spark.sql.{Column, DataFrame, GraftShim, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.catalog.TableIdent
+import graft.spark.{IceScan, IceWrite}
+import graft.table.ManifestModel
+
+/** SQL `MERGE INTO` (upsert) over graft tables — BEYOND the reference, which
+  * has no row-level SQL mutation surface. Executed as merge-on-read: the
+  * fired matched rows' keys become ONE equality-delete file and the
+  * updated+inserted rows ONE set of data files, committed in a single
+  * transaction at the same sequence number (the delete masks only strictly
+  * older files, so the new generation survives — the invariant
+  * [[graft.spark.IceMV]] also builds on).
+  *
+  * v1 surface: `WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE` and
+  * `WHEN NOT MATCHED [AND cond] THEN INSERT ...` (star forms supported by
+  * name matching); `WHEN NOT MATCHED BY SOURCE` is rejected. The ON
+  * condition must be a conjunction of `t.col = s.expr` equalities —
+  * those target columns are the upsert key.
+  */
+/** Opaque (non-TreeNode-typed) holder: the merge pieces stay deliberately
+  * UNRESOLVED until run() aliases both sides — exposing them as command
+  * fields of Expression/LogicalPlan type would make CheckAnalysis reject
+  * the plan before run() ever executes.
+  */
+final class MergePayload(
+    val sourcePlan: LogicalPlan,
+    val condition: Expression,
+    val matchedActions: Seq[MergeAction],
+    val notMatchedActions: Seq[MergeAction]) extends Serializable {
+  override def toString: String =
+    s"ON ${condition.sql} [${matchedActions.size} matched, ${notMatchedActions.size} not-matched]"
+}
+
+final case class GraftMergeCommand(
+    catalogName: String,
+    ident: TableIdent,
+    targetAlias: String,
+    payload: MergePayload) extends LeafRunnableCommand {
+
+  private def sourcePlan = payload.sourcePlan
+  private def condition = payload.condition
+  private def matchedActions = payload.matchedActions
+  private def notMatchedActions = payload.notMatchedActions
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("rows_updated", LongType, nullable = false)(),
+    AttributeReference("rows_deleted", LongType, nullable = false)(),
+    AttributeReference("rows_inserted", LongType, nullable = false)())
+
+  private def colOf(e: Expression): Column = GraftShim.column(e)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftSqlParser.fileCatalog(spark, catalogName)
+    val table = cat.loadTable(ident)
+      .getOrElse(throw new IllegalArgumentException(s"no such table $ident"))
+    val schema = table.schema
+    val outCols = schema.fields.map(_.name)
+
+    val tDf = IceScan.scan(spark, table)
+      .withColumn("__t_present", lit(1)).alias(targetAlias)
+    val sDf = GraftShim.ofRows(spark, sourcePlan)
+
+    val joined = sDf.join(tDf, colOf(condition), "left_outer").cache()
+    try {
+      val matched = joined.filter(col("__t_present").isNotNull)
+      val notMatched = joined.filter(col("__t_present").isNull)
+
+      def tCol(c: String): Column = col(s"$targetAlias.$c")
+
+      // target key columns from the ON equalities (t.col = s.expr conjuncts)
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case x => Seq(x)
+      }
+      def isTargetAttr(a: UnresolvedAttribute): Boolean =
+        a.nameParts.length >= 2 && a.nameParts.init.last.equalsIgnoreCase(targetAlias)
+      val keyCols: Seq[String] = conjuncts(condition).map {
+        case EqualTo(a: UnresolvedAttribute, _) if isTargetAttr(a) => a.nameParts.last
+        case EqualTo(_, b: UnresolvedAttribute) if isTargetAttr(b) => b.nameParts.last
+        case other => throw new UnsupportedOperationException(
+          s"MERGE ON must be a conjunction of $targetAlias.<col> = <source expr>: ${other.sql}")
+      }.distinct
+
+      // first-matching-clause-wins per row: accumulate negations
+      def clauseRows(base: DataFrame, actions: Seq[MergeAction]): Seq[(MergeAction, DataFrame)] = {
+        var remaining = base
+        actions.map { a =>
+          val cond = actionCondition(a)
+          val fired = cond.map(c => remaining.filter(colOf(c))).getOrElse(remaining)
+          remaining = cond.map(c => remaining.filter(!colOf(c))).getOrElse(remaining.limit(0))
+          a -> fired
+        }
+      }
+      def actionCondition(a: MergeAction): Option[Expression] = a match {
+        case UpdateAction(c, _, _) => c
+        case DeleteAction(c) => c
+        case InsertAction(c, _) => c
+        case UpdateStarAction(c) => c
+        case InsertStarAction(c) => c
+        case other => throw new UnsupportedOperationException(s"unsupported MERGE action: $other")
+      }
+
+      // matched clauses → updated rows (aligned to schema) + fired keys
+      val matchedClauses = clauseRows(matched, matchedActions)
+      val updatedParts: Seq[DataFrame] = matchedClauses.collect {
+        case (UpdateAction(_, assignments, fromStar), rows) =>
+          if (fromStar || assignments.isEmpty) // UPDATE SET *: source col by name
+            rows.select(outCols.map(c => col(c).as(c)): _*)
+          else {
+            val byName: Map[String, Expression] =
+              assignments.map(as => nameOf(as.key) -> as.value).toMap
+            rows.select(outCols.map(c =>
+              byName.get(c).map(colOf).getOrElse(tCol(c)).as(c)): _*)
+          }
+        case (UpdateStarAction(_), rows) =>
+          rows.select(outCols.map(c => col(c).as(c)): _*) // source col by name
+      }
+      val firedMatched: Seq[DataFrame] = matchedClauses.map(_._2)
+
+      // not-matched clauses → inserted rows
+      val insertedParts: Seq[DataFrame] = clauseRows(notMatched, notMatchedActions).collect {
+        case (InsertAction(_, assignments), rows) =>
+          val byName: Map[String, Expression] =
+            assignments.map(as => nameOf(as.key) -> as.value).toMap
+          rows.select(outCols.map(c =>
+            byName.get(c).map(colOf).getOrElse(lit(null)).as(c)): _*)
+        case (InsertStarAction(_), rows) =>
+          rows.select(outCols.map(c => col(c).as(c)): _*)
+      }
+
+      val nUpdated = updatedParts.map(_.count()).sum
+      val nDeleted = matchedClauses.collect { case (DeleteAction(_), rows) => rows.count() }.sum
+      val nInserted = insertedParts.map(_.count()).sum
+
+      val newData: Option[DataFrame] = (updatedParts ++ insertedParts).reduceOption(_ unionByName _)
+      val delKeys: Option[DataFrame] = firedMatched
+        .map(_.select(keyCols.map(c => tCol(c).as(c)): _*))
+        .reduceOption(_ unionByName _).map(_.distinct())
+
+      val keyIds = schema.fields.filter(f => keyCols.contains(f.name)).map(_.id)
+      var tx = table.newTransaction(None)
+      newData.foreach { d =>
+        tx = tx.appendData(IceWrite.writeDataFiles(spark, table, d, schema))
+      }
+      delKeys.foreach { k =>
+        tx = tx.appendDeletes(IceWrite.writeDataFiles(spark, table, k,
+          schema.project(keyIds), content = ManifestModel.ContentEqualityDeletes,
+          equalityIds = keyIds))
+      }
+      tx.commit()
+      Seq(Row(nUpdated, nDeleted, nInserted))
+    } finally joined.unpersist()
+  }
+
+  private def nameOf(e: Expression): String = e match {
+    case a: UnresolvedAttribute => a.nameParts.last
+    case other => throw new UnsupportedOperationException(
+      s"MERGE assignment target must be a column: ${other.sql}")
+  }
+}

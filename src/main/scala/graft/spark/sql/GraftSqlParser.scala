@@ -24,7 +24,9 @@ import graft.spark.IceMV
   * to Spark's parser. The first name part must be a registered
   * [[GraftSparkCatalog]]; the MV and its source tables live in that catalog.
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends ParserInterface {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+  import org.apache.spark.sql.catalyst.plans.logical.{MergeIntoTable, SubqueryAlias}
 
   private val CreateMV =
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+AS\s+(.+)""".r
@@ -38,7 +40,31 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case RefreshMV(ident) =>
       val (cat, ti) = splitIdent(ident)
       RefreshMaterializedViewCommand(cat, ti)
-    case _ => delegate.parsePlan(sqlText)
+    case _ => delegate.parsePlan(sqlText) match {
+      case m: MergeIntoTable => graftMerge(m).getOrElse(m)
+      case p => p
+    }
+  }
+
+  /** Rewrites `MERGE INTO <graft table>` into [[GraftMergeCommand]]; leaves
+    * merges over non-graft targets to Spark. */
+  private def graftMerge(m: MergeIntoTable): Option[LogicalPlan] = {
+    val (alias, rel) = m.targetTable match {
+      case SubqueryAlias(id, r: UnresolvedRelation) => (Some(id.name), r)
+      case r: UnresolvedRelation => (None, r)
+      case _ => return None
+    }
+    val parts = rel.multipartIdentifier
+    if (parts.length < 2) return None
+    val isGraft =
+      try GraftShim.v2Catalog(session, parts.head).isInstanceOf[GraftSparkCatalog]
+      catch { case _: Exception => false }
+    if (!isGraft) return None
+    if (m.notMatchedBySourceActions.nonEmpty) throw new UnsupportedOperationException(
+      "MERGE ... WHEN NOT MATCHED BY SOURCE is not supported on graft tables")
+    Some(GraftMergeCommand(parts.head, TableIdent(parts.tail.init, parts.last),
+      alias.getOrElse(parts.last),
+      new MergePayload(m.sourceTable, m.mergeCondition, m.matchedActions, m.notMatchedActions)))
   }
 
   private def splitIdent(raw: String): (String, TableIdent) = {

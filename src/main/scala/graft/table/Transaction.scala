@@ -25,6 +25,7 @@ class Transaction(table: IceTable, branch: Option[String]) {
   private var propertyUpdates: Map[String, String] = Map.empty
   private var propertyRemovals: Seq[String] = Nil
   private var newSchema: Option[IceSchema] = None
+  private var newSortOrder: Option[graft.spec.SortOrder] = None
   private var refUpdates: Map[String, Long] = Map.empty // tag/branch name -> snapshot id
 
   def appendData(files: Seq[DataFile]): Transaction = { appendedData ++= files; this }
@@ -35,6 +36,10 @@ class Transaction(table: IceTable, branch: Option[String]) {
   def removeProperties(keys: Seq[String]): Transaction = { propertyRemovals ++= keys; this }
   /** Schema evolution: install a new current schema (add-column etc.). */
   def setSchema(s: IceSchema): Transaction = { newSchema = Some(s); this }
+  /** Installs a write sort order (clustering): subsequent data writes
+    * range-partition + locally sort on it, tightening per-file column
+    * bounds so statistics pruning skips more files. */
+  def setSortOrder(o: graft.spec.SortOrder): Transaction = { newSortOrder = Some(o); this }
   def setRef(name: String, snapshotId: Long): Transaction = { refUpdates += name -> snapshotId; this }
 
   def commit(): IceTable = {
@@ -58,6 +63,11 @@ class Transaction(table: IceTable, branch: Option[String]) {
     }
     if (propertyUpdates.nonEmpty) updates :+= TableUpdate.SetProperties(propertyUpdates)
     if (propertyRemovals.nonEmpty) updates :+= TableUpdate.RemoveProperties(propertyRemovals)
+    newSortOrder.foreach { o =>
+      val id = if (m.sortOrders.contains(o.orderId)) m.sortOrders.keys.max + 1 else o.orderId
+      updates :+= TableUpdate.AddSortOrder(o.copy(orderId = id))
+      updates :+= TableUpdate.SetDefaultSortOrder(id)
+    }
     refUpdates.foreach { case (name, id) =>
       updates :+= TableUpdate.SetSnapshotRef(name, id, "tag")
     }

@@ -146,6 +146,37 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mv == Set(("a", 3L, 7L), ("b", 1L, 10L), ("c", 1L, 7L)))
   }
 
+  test("MERGE INTO: update + delete + insert in one atomic commit") {
+    spark.sql("CREATE TABLE graft.db.inv (sku STRING, qty BIGINT, price DOUBLE)")
+    spark.sql("INSERT INTO graft.db.inv VALUES ('a', 10, 1.0), ('b', 5, 2.0), ('c', 1, 3.0)")
+    import spark.implicits._
+    Seq(("a", 7L, 1.5), ("c", 0L, 0.0), ("d", 4L, 4.0)).toDF("sku", "qty", "price")
+      .createOrReplaceTempView("changes")
+    val stats = spark.sql(
+      """MERGE INTO graft.db.inv t USING changes s ON t.sku = s.sku
+        |WHEN MATCHED AND s.qty = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET qty = t.qty + s.qty, price = s.price
+        |WHEN NOT MATCHED THEN INSERT (sku, qty, price) VALUES (s.sku, s.qty, s.price)""".stripMargin)
+      .head()
+    assert((stats.getLong(0), stats.getLong(1), stats.getLong(2)) == ((1L, 1L, 1L)))
+    val got = spark.sql("SELECT sku, qty, price FROM graft.db.inv ORDER BY sku").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // a updated (10+7, new price), b untouched, c deleted, d inserted
+    assert(got == Seq(("a", 17L, 1.5), ("b", 5L, 2.0), ("d", 4L, 4.0)))
+    // snapshot history shows ONE commit for the whole merge
+    val t = new graft.catalog.FileCatalog(warehouse)
+      .loadTable(graft.catalog.TableIdent(Seq("db"), "inv")).get
+    assert(t.metadata.snapshots.size == 2) // insert + merge
+  }
+
+  test("native expressions are SQL functions: dotq, iceberg_bucket") {
+    assert(spark.sql("SELECT dotq(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .head().getLong(0) == 32L)
+    // parity with the programmatic transform kernel
+    val viaSql = spark.sql("SELECT iceberg_bucket(8, CAST(42 AS BIGINT)) AS b").head().getInt(0)
+    assert(viaSql == graft.spark.expressions.BucketKernel.bucketLong(42L, 8))
+  }
+
   test("SHOW TABLES and DROP TABLE work") {
     spark.sql("CREATE TABLE graft.db.ephemeral (x INT)")
     val tables = spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1)).toSet

@@ -171,6 +171,53 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sums == Map(1L -> 4L, 2L -> 1L, 3L -> 3L))
   }
 
+  test("write sort order clusters files into disjoint ranges; pruning hits one file") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "sorted"), ordersSchema, PartitionSpec(0, Nil))
+    table = table.newTransaction(None).setSortOrder(graft.spec.SortOrder(1,
+      Seq(graft.spec.SortField(1, Transform.Identity, "asc", "nulls-first")))).commit()
+    val big = (1 to 1000).map(i =>
+      (i.toLong, i.toLong % 7, (i % 13).toLong, "2020-01-01", i % 5))
+      .toDF("id", "customer_id", "product_id", "date", "amount")
+      .withColumn("date", to_date($"date"))
+      .repartition(16) // ids spread across all input splits
+    table = IceWrite.append(spark, table, big)
+    val files = table.dataFiles(table.currentSnapshot(None).get)
+    assert(files.size > 1, s"expected multiple files, got ${files.size}")
+    // range-partitioned + sorted write → per-file id bounds are disjoint
+    val pruned = IceScan.scan(spark, table, Seq(col("id") === 42))
+    val read = pruned.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location.inputFiles.length
+    }.sum
+    assert(read == 1, s"expected pruning to 1 file, got $read")
+    assert(pruned.count() == 1)
+  }
+
+  test("bloom-filter table property produces parquet bloom filters") {
+    implicit val s: SparkSession = spark
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "bloomed"), ordersSchema,
+      PartitionSpec(0, Nil),
+      Map("write.parquet.bloom-filter-enabled.column.id" -> "true"))
+    table = IceWrite.append(spark, table, batch1)
+    val path = table.dataFiles(table.currentSnapshot(None).get).head.dataFile.filePath
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val idCol = reader.getFooter.getBlocks.get(0).getColumns.asScala
+        .find(_.getPath.toDotString == "id").get
+      assert(idCol.getBloomFilterOffset >= 0, "id column should carry a bloom filter")
+      val amtCol = reader.getFooter.getBlocks.get(0).getColumns.asScala
+        .find(_.getPath.toDotString == "amount").get
+      assert(amtCol.getBloomFilterOffset < 0, "amount column should NOT carry one")
+    } finally reader.close()
+  }
+
   test("positional delete masks exactly the (file, pos) rows; later appends unaffected") {
     implicit val s: SparkSession = spark
     val cat = freshCatalog()
