@@ -91,6 +91,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length == 1 && got.head.getLong(2) == 1L)
   }
 
+  test("simhash64 is full-width; 16-bit segment blocking finds near pairs") {
+    val d = docs(1L -> "spark fast table scan wide corpus",
+      2L -> "spark fast table scan wide corpus", 3L -> "x q j w z k")
+    val sigs = Dedup.simhash64(d, "doc_id", "text")
+    val byId = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) == byId(2L))
+    // signatures use (nearly) the full 64-bit range, not just low nibbles
+    assert(byId.values.exists(v => (v >>> 32) != 0L))
+    val pairs = Dedup.simhashNearDups(sigs, "doc_id", maxHamming = 0,
+      numSegments = 4, segmentBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ivf top-k searches only the query's centroid cell") {
+    import spark.implicits._
+    // two tight clusters far apart: cluster A around +e1, cluster B around -e1
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.05f)), (1L, Array(1.0f, 0.1f)), (2L, Array(0.9f, 0.0f)),
+      (3L, Array(-1.0f, 0.05f)), (4L, Array(-1.0f, 0.1f)), (5L, Array(-0.9f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val prepared = Embeddings.prepare(vecs, "vec_id", "embedding")
+    // cells = 2 → centroids at ids 0 and 3, one per cluster
+    val got = Embeddings.ivfTopK(prepared, "vec_id", k = 5, cells = 2, col("vec_id") === 1)
+      .collect().map(_.getLong(2)).toSet
+    // only same-cell (cluster A) neighbors are candidates
+    assert(got == Set(0L, 2L))
+  }
+
   test("language id votes by stopwords with unknown fallback") {
     val d = docs(
       1L -> "the cat and the dog of the house",
