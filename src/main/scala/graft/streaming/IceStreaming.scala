@@ -56,6 +56,27 @@ object IceStreaming {
       .option("pathGlobFilter", "*.parquet")
       .parquet(s"${table.location}/data")
 
+  /** Continuous materialized-view maintenance: tails `source` (a table the
+    * MV reads from) and triggers one [[graft.spark.IceMV.refresh]] per
+    * micro-batch — each a snapshot-diff INCREMENTAL merge, so the MV tracks
+    * the table with per-commit granularity. The streaming plumbing only
+    * schedules refreshes; correctness comes from the refresh algebra itself
+    * (a concurrent refresh from elsewhere just advances freshness — the
+    * snapshot-diff state keys on table UUID + snapshot id, reference:
+    * materialized_view_metadata.rs:40-90).
+    */
+  def streamRefresh(spark: SparkSession, catalog: graft.catalog.Catalog,
+                    mv: graft.catalog.TableIdent, source: IceTable, checkpoint: String,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    streamTable(spark, source).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        graft.spark.IceMV.refresh(spark, catalog, mv): Unit
+      }
+      .start()
+
   /** Watermarked event-time windowed aggregation: the canonical streaming
     * rollup (count + sum per window×key), late data dropped after
     * `watermark`. */

@@ -91,6 +91,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Set((1L, 10L, 5.0), (2L, 20L, 6.0), (3L, 10L, 7.0)))
   }
 
+  test("streamRefresh keeps a materialized view incrementally fresh") {
+    import spark.implicits._
+    val cat = new FileCatalog(Files.createTempDirectory("stwh4").toString)
+    val schema = IceSchema(0, Seq(
+      NestedField(1, "k", required = false, IceType.StringT),
+      NestedField(2, "v", required = false, IceType.LongT)))
+    var src = cat.createTable(TableIdent(Seq("db"), "sales"), schema, PartitionSpec(0, Nil))
+    src = graft.spark.IceWrite.append(spark, src, Seq(("a", 1L), ("b", 10L)).toDF("k", "v"))
+    val mv = TableIdent(Seq("db"), "sales_by_k")
+    graft.spark.IceMV.create(spark, cat, mv,
+      "SELECT k, count(*) AS n, sum(v) AS s FROM sales GROUP BY k")
+    val ckpt = Files.createTempDirectory("stck4").toString
+    graft.streaming.IceStreaming.streamRefresh(spark, cat, mv, src, ckpt).awaitTermination()
+    assert(graft.spark.IceMV.read(spark, cat, mv).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap == Map("a" -> 1L, "b" -> 10L))
+    // more data arrives; the next micro-batch triggers an INCREMENTAL merge
+    src = graft.spark.IceWrite.append(spark, src.refresh(), Seq(("a", 2L), ("c", 7L)).toDF("k", "v"))
+    graft.streaming.IceStreaming.streamRefresh(spark, cat, mv, src, ckpt).awaitTermination()
+    assert(graft.spark.IceMV.read(spark, cat, mv).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap == Map("a" -> 3L, "b" -> 10L, "c" -> 7L))
+  }
+
   test("watermarked windowed aggregation matches batch computation") {
     import spark.implicits._
     val src = Files.createTempDirectory("wmsrc").toString
