@@ -144,10 +144,15 @@ object IceWrite {
       (if (sortCols.nonEmpty) repart.sortWithinPartitions(sortCols: _*) else repart)
         .write.partitionBy(partFields.map(physName): _*)
     } else {
-      val nOut = math.max(1, aligned.rdd.getNumPartitions / 4)
+      // modest write fan-in: fewer, larger files keep driver-side footer
+      // scraping and the manifest tree small at bench scale; at cluster
+      // scale maxRecordsPerFile rolls files and parallelism comes from the
+      // repartition the caller already did
+      val inParts = aligned.rdd.getNumPartitions
+      val nOut = math.max(1, inParts / 4)
       (if (sortCols.nonEmpty)
         aligned.repartitionByRange(nOut, sortCols: _*).sortWithinPartitions(sortCols: _*)
-      else aligned.coalesce(nOut)).write
+      else if (nOut < inParts) aligned.coalesce(nOut) else aligned).write
     }
 
     // parquet bloom filters (point-lookup row-group skipping): table property
