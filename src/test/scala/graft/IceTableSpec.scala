@@ -195,6 +195,22 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.count() == 1)
   }
 
+  test("CSV ingestion: external CSV loads into a graft table (S6)") {
+    implicit val s: SparkSession = spark
+    val cat = freshCatalog()
+    val csvDir = java.nio.file.Files.createTempDirectory("csvsrc")
+    java.nio.file.Files.writeString(csvDir.resolve("in.csv"),
+      "1,1,1,2020-01-01,5\n2,2,1,2020-01-01,7\n3,1,2,2020-02-02,1\n")
+    val df = spark.read
+      .schema("id LONG, customer_id LONG, product_id LONG, date DATE, amount INT")
+      .csv(csvDir.toString)
+    var table = cat.createTable(TableIdent(Seq("test"), "fromcsv"), ordersSchema, daySpec)
+    table = IceWrite.append(spark, table, df)
+    val got = IceScan.scan(spark, table).groupBy("product_id")
+      .agg(sum("amount").as("s")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 12L, 2L -> 1L))
+  }
+
   test("bloom-filter table property produces parquet bloom filters") {
     implicit val s: SparkSession = spark
     val cat = freshCatalog()
