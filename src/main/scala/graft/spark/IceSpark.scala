@@ -79,17 +79,20 @@ object IceWrite {
   }
 
   /** Compaction / full rewrite (T3): reads current content, rewrites it as
-    * one balanced file set, commits a replace snapshot.
+    * one balanced file set, commits a replace snapshot. `keepLayout` writes
+    * the DataFrame's existing partitioning verbatim (the caller already
+    * arranged a clustering layout, e.g. z-order ranges).
     */
   def replaceWith(spark: SparkSession, table: IceTable, df: DataFrame,
-                  branch: Option[String] = None): IceTable = {
-    val files = writeDataFiles(spark, table, df, table.schema)
+                  branch: Option[String] = None, keepLayout: Boolean = false): IceTable = {
+    val files = writeDataFiles(spark, table, df, table.schema, keepLayout = keepLayout)
     table.newTransaction(branch).replace(files).commit()
   }
 
   private[graft] def writeDataFiles(spark: SparkSession, table: IceTable, df: DataFrame,
                                     writeSchema: IceSchema, content: Int = ContentData,
-                                    equalityIds: Seq[Int] = Nil): Seq[DataFile] = {
+                                    equalityIds: Seq[Int] = Nil,
+                                    keepLayout: Boolean = false): Seq[DataFile] = {
     val spec = table.spec
     val props = table.metadata.properties
     // session-scoped confs restored after the write — other queries in the
@@ -143,6 +146,8 @@ object IceWrite {
       val repart = withParts.repartition(partFields.map(pf => col(physName(pf))): _*)
       (if (sortCols.nonEmpty) repart.sortWithinPartitions(sortCols: _*) else repart)
         .write.partitionBy(partFields.map(physName): _*)
+    } else if (keepLayout) {
+      aligned.write
     } else {
       // modest write fan-in: fewer, larger files keep driver-side footer
       // scraping and the manifest tree small at bench scale; at cluster

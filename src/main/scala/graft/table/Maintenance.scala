@@ -67,7 +67,28 @@ object Maintenance {
     * the remove-old-files half of the reference's replace op. The old files
     * are captured BEFORE the rewrite and deleted after the commit (they
     * must exist while the rewrite reads them). */
-  def compact(spark: SparkSession, table: IceTable): IceTable = {
+  def compact(spark: SparkSession, table: IceTable): IceTable =
+    compactWith(spark, table, identity)
+
+  /** Z-order compaction (beyond the reference): rewrites current content
+    * clustered by the Morton key over `cols` — range-partitioned and sorted
+    * on the interleaved key, every rewritten file carries tight min/max
+    * bounds on ALL clustered columns, so statistics pruning skips files for
+    * filters on any of them (not just a single leading sort column).
+    */
+  def compactZOrder(spark: SparkSession, table: IceTable, cols: Seq[String],
+                    outFiles: Int = 0): IceTable =
+    compactWith(spark, table, { df =>
+      import graft.spark.expressions.ZOrderFunctions.zorder
+      import org.apache.spark.sql.functions.col
+      val key = zorder(cols.map(col): _*)
+      val n = if (outFiles > 0) outFiles
+        else math.max(1, spark.sparkContext.defaultParallelism / 4)
+      df.repartitionByRange(n, key).sortWithinPartitions(key)
+    })
+
+  private def compactWith(spark: SparkSession, table: IceTable,
+                          layout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): IceTable = {
     if (table.currentSnapshot(None).isEmpty) return table
     val m = table.metadata
     val oldSnaps = m.snapshots.values.toSet
@@ -75,8 +96,10 @@ object Maintenance {
     val oldManifests = oldSnaps.flatMap(s => table.manifests(s)).map(_.manifestPath)
     val oldData = oldSnaps.flatMap(s => table.entries(s)).map(_.dataFile.filePath)
 
-    val replaced = graft.spark.IceWrite.replaceWith(spark, table,
-      graft.spark.IceScan.scan(spark, table))
+    val scanned = graft.spark.IceScan.scan(spark, table)
+    val laidOut = layout(scanned)
+    val replaced = graft.spark.IceWrite.replaceWith(spark, table, laidOut,
+      keepLayout = laidOut ne scanned)
     val newSnap = replaced.currentSnapshot(None).get
     val newManifests = replaced.manifests(newSnap).map(_.manifestPath).toSet
     val newData = replaced.entries(newSnap).map(_.dataFile.filePath).toSet

@@ -195,6 +195,34 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.count() == 1)
   }
 
+  test("z-order compaction prunes on BOTH clustered columns") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "zordered"), ordersSchema, PartitionSpec(0, Nil))
+    // two independent-ish dimensions: id 1..1000, amount a scrambled 0..999
+    val big = (1 to 1000).map(i =>
+      (i.toLong, 0L, 0L, "2020-01-01", (i * 7919) % 1000))
+      .toDF("id", "customer_id", "product_id", "date", "amount")
+      .withColumn("date", to_date($"date"))
+      .repartition(8)
+    table = IceWrite.append(spark, table, big)
+    table = graft.table.Maintenance.compactZOrder(spark, table, Seq("id", "amount"), outFiles = 8)
+    val nFiles = table.dataFiles(table.currentSnapshot(None).get).size
+    assert(nFiles == 8, s"expected 8 z-ordered files, got $nFiles")
+    def filesRead(pred: org.apache.spark.sql.Column): Int =
+      IceScan.scan(spark, table, Seq(pred)).queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location.inputFiles.length
+      }.sum
+    // a single-column point filter must prune on EITHER dimension — the
+    // whole point of multi-dimensional clustering over a single sort key
+    // (probe values away from the z-curve quadrant edges, where range-sample
+    // jitter can make a boundary file straddle quadrants)
+    assert(filesRead(col("id") === 900) < nFiles, "no pruning on id")
+    assert(filesRead(col("amount") === 100) < nFiles, "no pruning on amount")
+    assert(IceScan.scan(spark, table).count() == 1000)
+  }
+
   test("CSV ingestion: external CSV loads into a graft table (S6)") {
     implicit val s: SparkSession = spark
     val cat = freshCatalog()
