@@ -1,0 +1,83 @@
+package graft.catalog
+
+import java.util.UUID
+
+import scala.collection.concurrent.TrieMap
+
+import graft.spec.{IceSchema, PartitionSpec, SortOrder, TableMetadata}
+import graft.table.IceTable
+
+/** In-memory catalog backend: the metadata POINTER lives in process memory
+  * with compare-and-swap commits, while data and manifest files live under
+  * the scratch warehouse directory — the same split a REST or JDBC catalog
+  * makes (pointer in the catalog service, files on the object store;
+  * reference CAS: catalogs/iceberg-sql-catalog/src/lib.rs:429-480). The
+  * `Catalog` trait is the backend seam: everything above it (transactions,
+  * scans, MVs, SQL plugin) runs unchanged against either backend.
+  * Useful for tests and ephemeral session-local tables.
+  */
+class MemoryCatalog(val warehouse: String) extends Catalog {
+
+  private val tables = TrieMap.empty[TableIdent, TableMetadata]
+  private val views = TrieMap.empty[TableIdent, (String, String)]
+  private val namespaces = TrieMap.empty[Seq[String], Unit]
+
+  override def createTable(ident: TableIdent, schema: IceSchema, spec: PartitionSpec,
+                           properties: Map[String, String]): IceTable = {
+    require(!tables.contains(ident), s"table $ident already exists")
+    val location = (Seq(warehouse) ++ ident.namespace :+ ident.name).mkString("/")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(location, "metadata"))
+    val m = TableMetadata(
+      formatVersion = 2,
+      tableUuid = UUID.randomUUID().toString,
+      location = location,
+      lastSequenceNumber = 0L,
+      lastUpdatedMs = System.currentTimeMillis(),
+      lastColumnId = schema.maxFieldId,
+      schemas = Map(schema.schemaId -> schema),
+      currentSchemaId = schema.schemaId,
+      partitionSpecs = Map(spec.specId -> spec),
+      defaultSpecId = spec.specId,
+      lastPartitionId = (spec.fields.map(_.fieldId) :+ 999).max,
+      properties = DefaultProperties.table ++ properties,
+      currentSnapshotId = None,
+      snapshots = Map.empty,
+      snapshotLog = Nil,
+      metadataLog = Nil,
+      sortOrders = Map(0 -> SortOrder.unsorted),
+      defaultSortOrderId = 0,
+      refs = Map.empty)
+    namespaces.put(ident.namespace, ())
+    tables.put(ident, m)
+    new IceTable(ident, this, m)
+  }
+
+  override def loadTable(ident: TableIdent): Option[IceTable] =
+    tables.get(ident).map(m => new IceTable(ident, this, m))
+
+  override def dropTable(ident: TableIdent): Unit = tables.remove(ident)
+
+  override def listTables(namespace: Seq[String]): Seq[TableIdent] =
+    tables.keys.filter(_.namespace == namespace).toSeq.sortBy(_.toString)
+
+  override def createNamespace(namespace: Seq[String]): Unit = namespaces.put(namespace, ())
+  override def dropNamespace(namespace: Seq[String]): Unit = namespaces.remove(namespace)
+  override def listNamespaces(): Seq[Seq[String]] = namespaces.keys.toSeq.sortBy(_.mkString("."))
+
+  /** CAS commit: requirements checked and the pointer swapped under one
+    * lock — concurrent stale committers fail with CommitConflictException
+    * exactly like the filesystem backend's version-file CAS. */
+  override def updateTable(commit: CommitTable): TableMetadata = synchronized {
+    val current = tables.getOrElse(commit.ident,
+      throw new IllegalArgumentException(s"no such table ${commit.ident}"))
+    CatalogOps.checkRequirements(current, commit.requirements)
+    val updated = CatalogOps.applyUpdates(current, commit.updates)
+    tables.put(commit.ident, updated)
+    updated
+  }
+
+  override def createView(ident: TableIdent, sql: String, schemaJson: String): Unit =
+    views.put(ident, (sql, schemaJson))
+  override def loadView(ident: TableIdent): Option[(String, String)] = views.get(ident)
+  override def dropView(ident: TableIdent): Unit = views.remove(ident)
+}

@@ -116,7 +116,15 @@ object Embeddings {
     * candidate join is an equi-join on cell id.
     */
   def ivfTopK(prepared: DataFrame, idCol: String, k: Int, cells: Int,
-              queryPred: Column): DataFrame = {
+              queryPred: Column): DataFrame =
+    ivfTopKProbed(prepared, idCol, k, cells, queryPred, nprobe = 1)
+
+  /** [[ivfTopK]] with the standard recall dial: each QUERY probes its
+    * `nprobe` nearest cells; corpus vectors still live in exactly one cell,
+    * so candidate volume (and cost) scales with nprobe/cells while recall
+    * recovers neighbors that fall just across a Voronoi boundary. */
+  def ivfTopKProbed(prepared: DataFrame, idCol: String, k: Int, cells: Int,
+                    queryPred: Column, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = prepared.count() // one metadata-scale job; estimate via stats at scale
     val m = math.max(n / cells, 1L)
@@ -124,13 +132,14 @@ object Embeddings {
       .select(expr(s"$idCol DIV $m").as("c"), col("q").as("cq"), col("n2").as("cn2"))
     val dist = col("n2") + col("cn2") - lit(2L) * dotq(col("q"), col("cq"))
     val wAssign = Window.partitionBy(col(idCol)).orderBy(dist.asc, col("c").asc)
-    // assigned feeds both join sides — cache so assignment runs once
-    val assigned = prepared.crossJoin(broadcast(cents))
+    // ranked (vector, cell) distances feed both the corpus assignment
+    // (rk = 1) and the query probe list (rk <= nprobe) — cache once
+    val ranked = prepared.crossJoin(broadcast(cents))
       .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col(idCol), col("q"), col("n2"), col("c"))
+      .select(col(idCol), col("q"), col("n2"), col("c"), col("rk"))
       .cache()
-    val q = assigned.filter(queryPred)
+    val assigned = ranked.filter(col("rk") === 1)
+    val q = ranked.filter(queryPred && col("rk") <= nprobe)
       .select(col(idCol).as("query_id"), col("c"), col("q").as("qa"), col("n2").as("na"))
     val c = assigned.select(col(idCol).as("neighbor_id"), col("c"), col("q").as("qb"), col("n2").as("nb"))
     val scored = q.join(c, Seq("c")).filter(col("query_id") =!= col("neighbor_id"))

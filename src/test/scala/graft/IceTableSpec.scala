@@ -195,6 +195,24 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.count() == 1)
   }
 
+  test("MemoryCatalog backend: same transaction/scan/MoR semantics, CAS conflicts") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val cat = new graft.catalog.MemoryCatalog(
+      java.nio.file.Files.createTempDirectory("memwh").toString)
+    var table = cat.createTable(TableIdent(Seq("mem"), "t"), ordersSchema, daySpec)
+    table = IceWrite.append(spark, table, batch1)
+    table = IceWrite.appendEqualityDeletes(spark, table, Seq(1L).toDF("id"), equalityIds = Seq(1))
+    assert(IceScan.scan(spark, table).count() == 5)
+    // stale handle commits against a moved pointer → CAS conflict
+    val stale = cat.loadTable(TableIdent(Seq("mem"), "t")).get
+    IceWrite.append(spark, table.refresh(), batch2)
+    intercept[graft.catalog.CommitConflictException] {
+      IceWrite.append(spark, stale, batch2)
+    }
+    assert(IceScan.scan(spark, cat.loadTable(TableIdent(Seq("mem"), "t")).get).count() == 8)
+  }
+
   test("z-order compaction prunes on BOTH clustered columns") {
     implicit val s: SparkSession = spark
     import s.implicits._

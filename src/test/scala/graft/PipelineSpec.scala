@@ -120,6 +120,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(0L, 2L))
   }
 
+  test("ivf nprobe > 1 recovers cross-boundary neighbors nprobe=1 misses") {
+    import spark.implicits._
+    // cluster A around +e1, cluster B around -e1; vector 2 sits just on the
+    // B side of the boundary but is still somewhat A-like
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.95f, 0.3f)),
+      (2L, Array(-0.1f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)), (4L, Array(-0.95f, 0.3f)), (5L, Array(-0.9f, -0.1f)))
+      .toDF("vec_id", "embedding")
+    val prepared = Embeddings.prepare(vecs, "vec_id", "embedding")
+    def neighbors(nprobe: Int): Set[Long] =
+      Embeddings.ivfTopKProbed(prepared, "vec_id", k = 5, cells = 2,
+        col("vec_id") === 2, nprobe).collect().map(_.getLong(2)).toSet
+    val single = neighbors(1)
+    val double = neighbors(2)
+    assert(single.subsetOf(double) && double.size > single.size,
+      s"nprobe=2 ($double) should strictly widen nprobe=1 ($single)")
+    assert(double == Set(0L, 1L, 3L, 4L, 5L)) // all other vectors reachable at nprobe=2
+  }
+
   test("language id votes by stopwords with unknown fallback") {
     val d = docs(
       1L -> "the cat and the dog of the house",
