@@ -20,10 +20,11 @@ import graft.table.ManifestModel
   * older files, so the new generation survives — the invariant
   * [[graft.spark.IceMV]] also builds on).
   *
-  * v1 surface: `WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE` and
+  * Surface: `WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE`,
   * `WHEN NOT MATCHED [AND cond] THEN INSERT ...` (star forms supported by
-  * name matching); `WHEN NOT MATCHED BY SOURCE` is rejected. The ON
-  * condition must be a conjunction of `t.col = s.expr` equalities —
+  * name matching), and `WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+  * UPDATE ... | DELETE` (target-anti-join rows; target columns only). The
+  * ON condition must be a conjunction of `t.col = s.expr` equalities —
   * those target columns are the upsert key.
   */
 /** Opaque (non-TreeNode-typed) holder: the merge pieces stay deliberately
@@ -35,9 +36,11 @@ final class MergePayload(
     val sourcePlan: LogicalPlan,
     val condition: Expression,
     val matchedActions: Seq[MergeAction],
-    val notMatchedActions: Seq[MergeAction]) extends Serializable {
+    val notMatchedActions: Seq[MergeAction],
+    val notMatchedBySourceActions: Seq[MergeAction] = Nil) extends Serializable {
   override def toString: String =
-    s"ON ${condition.sql} [${matchedActions.size} matched, ${notMatchedActions.size} not-matched]"
+    s"ON ${condition.sql} [${matchedActions.size} matched, ${notMatchedActions.size} not-matched, " +
+      s"${notMatchedBySourceActions.size} not-matched-by-source]"
 }
 
 final case class GraftMergeCommand(
@@ -50,6 +53,7 @@ final case class GraftMergeCommand(
   private def condition = payload.condition
   private def matchedActions = payload.matchedActions
   private def notMatchedActions = payload.notMatchedActions
+  private def notMatchedBySourceActions = payload.notMatchedBySourceActions
 
   override def output: Seq[Attribute] = Seq(
     AttributeReference("rows_updated", LongType, nullable = false)(),
@@ -137,12 +141,29 @@ final case class GraftMergeCommand(
           rows.select(outCols.map(c => col(c).as(c)): _*)
       }
 
-      val nUpdated = updatedParts.map(_.count()).sum
-      val nDeleted = matchedClauses.collect { case (DeleteAction(_), rows) => rows.count() }.sum
+      // not-matched-by-source clauses act on target rows with no source
+      // match (target LEFT ANTI source on the same condition); they may
+      // reference only target columns
+      val tOnlyClauses =
+        if (notMatchedBySourceActions.isEmpty) Nil
+        else clauseRows(tDf.join(sDf, colOf(condition), "left_anti"), notMatchedBySourceActions)
+      val nmsUpdatedParts: Seq[DataFrame] = tOnlyClauses.collect {
+        case (UpdateAction(_, assignments, _), rows) =>
+          val byName: Map[String, Expression] =
+            assignments.map(as => nameOf(as.key) -> as.value).toMap
+          rows.select(outCols.map(c =>
+            byName.get(c).map(colOf).getOrElse(tCol(c)).as(c)): _*)
+      }
+      val firedTOnly: Seq[DataFrame] = tOnlyClauses.map(_._2)
+
+      val nUpdated = (updatedParts ++ nmsUpdatedParts).map(_.count()).sum
+      val nDeleted = (matchedClauses ++ tOnlyClauses)
+        .collect { case (DeleteAction(_), rows) => rows.count() }.sum
       val nInserted = insertedParts.map(_.count()).sum
 
-      val newData: Option[DataFrame] = (updatedParts ++ insertedParts).reduceOption(_ unionByName _)
-      val delKeys: Option[DataFrame] = firedMatched
+      val newData: Option[DataFrame] =
+        (updatedParts ++ insertedParts ++ nmsUpdatedParts).reduceOption(_ unionByName _)
+      val delKeys: Option[DataFrame] = (firedMatched ++ firedTOnly)
         .map(_.select(keyCols.map(c => tCol(c).as(c)): _*))
         .reduceOption(_ unionByName _).map(_.distinct())
 

@@ -60,11 +60,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
       try GraftShim.v2Catalog(session, parts.head).isInstanceOf[GraftSparkCatalog]
       catch { case _: Exception => false }
     if (!isGraft) return None
-    if (m.notMatchedBySourceActions.nonEmpty) throw new UnsupportedOperationException(
-      "MERGE ... WHEN NOT MATCHED BY SOURCE is not supported on graft tables")
     Some(GraftMergeCommand(parts.head, TableIdent(parts.tail.init, parts.last),
       alias.getOrElse(parts.last),
-      new MergePayload(m.sourceTable, m.mergeCondition, m.matchedActions, m.notMatchedActions)))
+      new MergePayload(m.sourceTable, m.mergeCondition, m.matchedActions,
+        m.notMatchedActions, m.notMatchedBySourceActions)))
   }
 
   private def splitIdent(raw: String): (String, TableIdent) = {

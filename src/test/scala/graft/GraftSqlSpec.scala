@@ -169,6 +169,23 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.metadata.snapshots.size == 2) // insert + merge
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE updates/deletes unreferenced target rows") {
+    spark.sql("CREATE TABLE graft.db.stock (sku STRING, qty BIGINT)")
+    spark.sql("INSERT INTO graft.db.stock VALUES ('a', 1), ('b', 2), ('c', 3), ('d', 4)")
+    import spark.implicits._
+    Seq(("a", 10L)).toDF("sku", "qty").createOrReplaceTempView("fresh")
+    val stats = spark.sql(
+      """MERGE INTO graft.db.stock t USING fresh s ON t.sku = s.sku
+        |WHEN MATCHED THEN UPDATE SET qty = s.qty
+        |WHEN NOT MATCHED BY SOURCE AND t.qty > 3 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET qty = 0""".stripMargin).head()
+    assert((stats.getLong(0), stats.getLong(1), stats.getLong(2)) == ((3L, 1L, 0L)))
+    val got = spark.sql("SELECT sku, qty FROM graft.db.stock ORDER BY sku").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // a updated from source, b/c zeroed (not matched by source), d deleted
+    assert(got == Seq(("a", 10L), ("b", 0L), ("c", 0L)))
+  }
+
   test("native expressions are SQL functions: dotq, iceberg_bucket") {
     assert(spark.sql("SELECT dotq(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
       .head().getLong(0) == 32L)
