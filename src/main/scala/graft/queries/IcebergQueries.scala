@@ -134,9 +134,11 @@ object IcebergQueries {
       s.sql("INSERT INTO graft_m.db.morders SELECT * FROM q39_src_orders")
       // matched: double the price of every %3 key; not matched: re-insert
       // those rows under negated keys
+      // key 0 is excluded from the negated-insert arm: -0 = 0 would give the
+      // source two rows per target key — a MERGE cardinality violation
       o.filter(col("o_orderkey") % 3 === 0)
         .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"), (col("price") * 2).as("p"))
-        .unionByName(o.filter(col("o_orderkey") % 3 === 0)
+        .unionByName(o.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") =!= 0)
           .select((-col("o_orderkey")).as("k"), col("o_orderstatus").as("st"), col("price").as("p")))
         .createOrReplaceTempView("q39_changes")
       s.sql(
@@ -232,7 +234,7 @@ object IcebergQueries {
         |  FROM orders
         |  UNION ALL
         |  SELECT -o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2))
-        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey <> 0
         |)
         |SELECT o_orderstatus, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,

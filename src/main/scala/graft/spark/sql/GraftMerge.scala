@@ -94,15 +94,22 @@ final case class GraftMergeCommand(
           s"MERGE ON must be a conjunction of $targetAlias.<col> = <source expr>: ${other.sql}")
       }.distinct
 
-      // first-matching-clause-wins per row: accumulate negations
-      def clauseRows(base: DataFrame, actions: Seq[MergeAction]): Seq[(MergeAction, DataFrame)] = {
+      // first-matching-clause-wins per row: accumulate negations. A clause
+      // condition that is FALSE **or NULL** falls through to the next clause
+      // (SQL three-valued logic: `filter(!cond)` alone would drop NULL rows).
+      // Also returns the rows that fell through every clause — needed to
+      // preserve unfired duplicate-key siblings of fired rows (see below).
+      def clauseRows(base: DataFrame, actions: Seq[MergeAction])
+          : (Seq[(MergeAction, DataFrame)], DataFrame) = {
         var remaining = base
-        actions.map { a =>
+        val fired = actions.map { a =>
           val cond = actionCondition(a)
-          val fired = cond.map(c => remaining.filter(colOf(c))).getOrElse(remaining)
-          remaining = cond.map(c => remaining.filter(!colOf(c))).getOrElse(remaining.limit(0))
-          a -> fired
+          val hit = cond.map(c => remaining.filter(colOf(c))).getOrElse(remaining)
+          remaining = cond.map(c => remaining.filter(!coalesce(colOf(c), lit(false))))
+            .getOrElse(remaining.limit(0))
+          a -> hit
         }
+        (fired, remaining)
       }
       def actionCondition(a: MergeAction): Option[Expression] = a match {
         case UpdateAction(c, _, _) => c
@@ -113,12 +120,33 @@ final case class GraftMergeCommand(
         case other => throw new UnsupportedOperationException(s"unsupported MERGE action: $other")
       }
 
+      // SQL cardinality rule: a target row matched by >1 source row is an
+      // error, not a silent fan-out. With a key-equality ON, joined rows per
+      // key = (#source matches) × (#target rows), so matches-per-key >
+      // target-rows-per-key ⟺ some target row has multiple source matches.
+      if (matchedActions.nonEmpty) {
+        val jCnt = matched.groupBy(keyCols.map(c => tCol(c).as(c)): _*)
+          .count().withColumnRenamed("count", "__j")
+        val tCnt = tDf.groupBy(keyCols.map(c => tCol(c).as(c)): _*)
+          .count().withColumnRenamed("count", "__t")
+        val violation = jCnt.join(tCnt, keyCols).filter(col("__j") > col("__t"))
+          .limit(1).count() > 0
+        if (violation) throw new IllegalStateException(
+          "MERGE cardinality violation: a target row matched multiple source rows " +
+            s"on key (${keyCols.mkString(", ")})")
+      }
+
+      // star actions (`UPDATE SET *` / `INSERT *`) take source columns by
+      // name; the joined frame carries BOTH copies of shared names, so
+      // resolve through sDf's attribute ids, never a bare col(c)
+      def sCol(c: String): Column = sDf(c)
+
       // matched clauses → updated rows (aligned to schema) + fired keys
-      val matchedClauses = clauseRows(matched, matchedActions)
+      val (matchedClauses, matchedUnfired) = clauseRows(matched, matchedActions)
       val updatedParts: Seq[DataFrame] = matchedClauses.collect {
         case (UpdateAction(_, assignments, fromStar), rows) =>
           if (fromStar || assignments.isEmpty) // UPDATE SET *: source col by name
-            rows.select(outCols.map(c => col(c).as(c)): _*)
+            rows.select(outCols.map(c => sCol(c).as(c)): _*)
           else {
             val byName: Map[String, Expression] =
               assignments.map(as => nameOf(as.key) -> as.value).toMap
@@ -126,26 +154,26 @@ final case class GraftMergeCommand(
               byName.get(c).map(colOf).getOrElse(tCol(c)).as(c)): _*)
           }
         case (UpdateStarAction(_), rows) =>
-          rows.select(outCols.map(c => col(c).as(c)): _*) // source col by name
+          rows.select(outCols.map(c => sCol(c).as(c)): _*) // source col by name
       }
       val firedMatched: Seq[DataFrame] = matchedClauses.map(_._2)
 
       // not-matched clauses → inserted rows
-      val insertedParts: Seq[DataFrame] = clauseRows(notMatched, notMatchedActions).collect {
+      val insertedParts: Seq[DataFrame] = clauseRows(notMatched, notMatchedActions)._1.collect {
         case (InsertAction(_, assignments), rows) =>
           val byName: Map[String, Expression] =
             assignments.map(as => nameOf(as.key) -> as.value).toMap
           rows.select(outCols.map(c =>
             byName.get(c).map(colOf).getOrElse(lit(null)).as(c)): _*)
         case (InsertStarAction(_), rows) =>
-          rows.select(outCols.map(c => col(c).as(c)): _*)
+          rows.select(outCols.map(c => sCol(c).as(c)): _*)
       }
 
       // not-matched-by-source clauses act on target rows with no source
       // match (target LEFT ANTI source on the same condition); they may
       // reference only target columns
-      val tOnlyClauses =
-        if (notMatchedBySourceActions.isEmpty) Nil
+      val (tOnlyClauses, tOnlyUnfired) =
+        if (notMatchedBySourceActions.isEmpty) (Nil, joined.limit(0))
         else clauseRows(tDf.join(sDf, colOf(condition), "left_anti"), notMatchedBySourceActions)
       val nmsUpdatedParts: Seq[DataFrame] = tOnlyClauses.collect {
         case (UpdateAction(_, assignments, _), rows) =>
@@ -161,11 +189,23 @@ final case class GraftMergeCommand(
         .collect { case (DeleteAction(_), rows) => rows.count() }.sum
       val nInserted = insertedParts.map(_.count()).sum
 
-      val newData: Option[DataFrame] =
-        (updatedParts ++ insertedParts ++ nmsUpdatedParts).reduceOption(_ unionByName _)
       val delKeys: Option[DataFrame] = (firedMatched ++ firedTOnly)
         .map(_.select(keyCols.map(c => tCol(c).as(c)): _*))
         .reduceOption(_ unionByName _).map(_.distinct())
+
+      // the equality delete is key-WIDE: a target row that fired no clause
+      // but shares its key with a fired row would be silently lost — rewrite
+      // those survivors unchanged alongside the new generation
+      val unfiredSurvivors: Seq[DataFrame] = delKeys.toSeq.map { keys =>
+        Seq(matchedUnfired, tOnlyUnfired)
+          .map(_.select(outCols.map(c => tCol(c).as(c)): _*))
+          .reduce(_ unionByName _)
+          .join(keys, keyCols, "left_semi")
+      }
+
+      val newData: Option[DataFrame] =
+        (updatedParts ++ insertedParts ++ nmsUpdatedParts ++ unfiredSurvivors)
+          .reduceOption(_ unionByName _)
 
       val keyIds = schema.fields.filter(f => keyCols.contains(f.name)).map(_.id)
       var tx = table.newTransaction(None)

@@ -186,6 +186,66 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(("a", 10L), ("b", 0L), ("c", 0L)))
   }
 
+  test("MERGE clause with NULL condition falls through to next clause") {
+    spark.sql("CREATE TABLE graft.db.nullc (sku STRING, qty BIGINT)")
+    spark.sql("INSERT INTO graft.db.nullc VALUES ('a', 1), ('b', 2)")
+    import spark.implicits._
+    // flag is NULL for 'a': `AND s.flag > 0` is UNKNOWN there, so the row
+    // must fall through to the unconditional UPDATE, not be dropped
+    Seq(("a", Option.empty[Long]), ("b", Some(1L))).toDF("sku", "flag")
+      .createOrReplaceTempView("flags")
+    spark.sql(
+      """MERGE INTO graft.db.nullc t USING flags s ON t.sku = s.sku
+        |WHEN MATCHED AND s.flag > 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET qty = t.qty + 100""".stripMargin)
+    val got = spark.sql("SELECT sku, qty FROM graft.db.nullc ORDER BY sku").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 101L))) // b deleted (flag=1), a updated via fallthrough
+  }
+
+  test("MERGE throws on cardinality violation (one target row, two source matches)") {
+    spark.sql("CREATE TABLE graft.db.card (sku STRING, qty BIGINT)")
+    spark.sql("INSERT INTO graft.db.card VALUES ('a', 1)")
+    import spark.implicits._
+    Seq(("a", 5L), ("a", 9L)).toDF("sku", "qty").createOrReplaceTempView("dupsrc")
+    val e = intercept[IllegalStateException] {
+      spark.sql(
+        """MERGE INTO graft.db.card t USING dupsrc s ON t.sku = s.sku
+          |WHEN MATCHED THEN UPDATE SET qty = s.qty""".stripMargin)
+    }
+    assert(e.getMessage.contains("cardinality"))
+  }
+
+  test("MERGE UPDATE SET * and INSERT * resolve source columns by name") {
+    spark.sql("CREATE TABLE graft.db.star (sku STRING, qty BIGINT)")
+    spark.sql("INSERT INTO graft.db.star VALUES ('a', 1), ('b', 2)")
+    import spark.implicits._
+    Seq(("a", 10L), ("c", 30L)).toDF("sku", "qty").createOrReplaceTempView("starsrc")
+    val stats = spark.sql(
+      """MERGE INTO graft.db.star t USING starsrc s ON t.sku = s.sku
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+    assert((stats.getLong(0), stats.getLong(2)) == ((1L, 1L)))
+    val got = spark.sql("SELECT sku, qty FROM graft.db.star ORDER BY sku").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 10L), ("b", 2L), ("c", 30L)))
+  }
+
+  test("MERGE preserves unfired target rows sharing a key with a fired row") {
+    spark.sql("CREATE TABLE graft.db.dupkey (sku STRING, qty BIGINT)")
+    spark.sql("INSERT INTO graft.db.dupkey VALUES ('a', 1), ('a', 2), ('b', 5)")
+    import spark.implicits._
+    Seq("a").toDF("sku").createOrReplaceTempView("onekey")
+    // only the qty=1 sibling fires; the key-wide equality delete must not
+    // swallow the qty=2 sibling that fell through every clause
+    spark.sql(
+      """MERGE INTO graft.db.dupkey t USING onekey s ON t.sku = s.sku
+        |WHEN MATCHED AND t.qty = 1 THEN UPDATE SET qty = 100""".stripMargin)
+    val got = spark.sql("SELECT sku, qty FROM graft.db.dupkey ORDER BY sku, qty").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 2L), ("a", 100L), ("b", 5L)))
+  }
+
   test("native expressions are SQL functions: dotq, iceberg_bucket") {
     assert(spark.sql("SELECT dotq(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
       .head().getLong(0) == 32L)
