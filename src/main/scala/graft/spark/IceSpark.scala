@@ -69,13 +69,26 @@ object IceWrite {
       .getOrElse(throw new IllegalStateException("cannot delete from an empty table"))
     val paths = table.dataFiles(snap).map(_.dataFile.filePath)
     if (paths.isEmpty) return table
-    val matches = spark.read.schema(table.schema.toSpark).parquet(paths: _*)
-      .filter(predicate)
-      .select(col("_metadata.file_path").as("file_path"),
-        col("_metadata.row_index").as("pos"))
-    val files = writeDataFiles(spark, table, matches, PosDeleteSchema,
-      content = ContentPositionDeletes)
-    table.newTransaction(branch).appendDeletes(files).commit()
+    // resolve parquet columns by PARQUET:field_id like the scan path: files
+    // written before a RENAME COLUMN must still bind the predicate to the
+    // renamed column, not evaluate it against nulls. Restored in finally —
+    // unlike scan, every action completes inside this call.
+    val fieldIdConfs = Seq("spark.sql.parquet.fieldId.read.enabled",
+      "spark.sql.parquet.fieldId.read.ignoreMissing")
+    val prev = fieldIdConfs.map(k => k -> spark.conf.getOption(k))
+    fieldIdConfs.foreach(spark.conf.set(_, "true"))
+    try {
+      val matches = spark.read.schema(table.schema.toSpark).parquet(paths: _*)
+        .filter(predicate)
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("pos"))
+      val files = writeDataFiles(spark, table, matches, PosDeleteSchema,
+        content = ContentPositionDeletes)
+      table.newTransaction(branch).appendDeletes(files).commit()
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   /** Compaction / full rewrite (T3): reads current content, rewrites it as
@@ -149,12 +162,18 @@ object IceWrite {
     } else if (keepLayout) {
       aligned.write
     } else {
-      // modest write fan-in: fewer, larger files keep driver-side footer
-      // scraping and the manifest tree small at bench scale; at cluster
-      // scale maxRecordsPerFile rolls files and parallelism comes from the
-      // repartition the caller already did
+      // write fan-in gated on the optimizer's output-size estimate: small
+      // writes coalesce (fewer, larger files keep driver-side footer
+      // scraping and the manifest tree small), but a write whose estimated
+      // bytes already justify ≥inParts target-size files keeps FULL
+      // parallelism — unconditional /4 would quarter cluster-scale writes
       val inParts = aligned.rdd.getNumPartitions
-      val nOut = math.max(1, inParts / 4)
+      val targetFileBytes = props.getOrElse("write.target-file-size-bytes",
+        (512L << 20).toString).toLong
+      val estBytes = aligned.queryExecution.optimizedPlan.stats.sizeInBytes
+      val idealFiles = ((estBytes + targetFileBytes - 1) / targetFileBytes)
+        .min(BigInt(inParts)).max(BigInt(1)).toInt
+      val nOut = math.min(inParts, math.max(idealFiles, math.max(1, inParts / 4)))
       (if (sortCols.nonEmpty)
         aligned.repartitionByRange(nOut, sortCols: _*).sortWithinPartitions(sortCols: _*)
       else if (nOut < inParts) aligned.coalesce(nOut) else aligned).write
@@ -240,7 +259,12 @@ object IceScan {
 
   def scan(spark: SparkSession, table: IceTable, filters: Seq[Column] = Nil,
            options: ScanOptions = ScanOptions()): DataFrame = {
-    // id-based column resolution (rename-safe); tolerate id-less files
+    // id-based column resolution (rename-safe); tolerate id-less files.
+    // Deliberately NOT restored: the returned DataFrame plans lazily, and
+    // Spark reads these flags from the SESSION conf at physical-planning
+    // time — restoring here would silently revert the caller's later action
+    // to name-based resolution. Both flags are no-ops for schemas without
+    // field-id metadata, so leaving them set is safe for non-graft reads.
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
     val snapshot: Option[Snapshot] = options.snapshotId
@@ -353,6 +377,16 @@ object IceScan {
     val (posDeletes, deletes) = allDeletes.partition(_.dataFile.content == ContentPositionDeletes)
     val withPos = posDeletes.nonEmpty
 
+    // the reference always CollectLeft-broadcasts the delete side
+    // (table.rs:484-692); at 100 TB a large delete generation belongs in a
+    // shuffled anti-join instead — gate the hint on the manifest's
+    // file_size_in_bytes, which the driver already holds
+    val broadcastThreshold: Long = spark.conf
+      .getOption("spark.graft.delete.broadcast-threshold")
+      .map(_.toLong).getOrElse(64L << 20)
+    def maybeBroadcast(df: DataFrame, manifestBytes: Long): DataFrame =
+      if (manifestBytes <= broadcastThreshold) broadcast(df) else df
+
     def readFiles(paths: Seq[String]): DataFrame =
       if (paths.isEmpty) {
         val sch = if (!withPos) sparkSchema else org.apache.spark.sql.types.StructType(
@@ -373,7 +407,8 @@ object IceScan {
         val delDf = spark.read.schema(IceWrite.PosDeleteSchema.toSpark)
           .parquet(posDeletes.map(_.dataFile.filePath): _*)
           .select(col("file_path").as("__graft_path"), col("pos").as("__graft_pos"))
-        df.join(broadcast(delDf), Seq("__graft_path", "__graft_pos"), "left_anti")
+        df.join(maybeBroadcast(delDf, posDeletes.map(_.dataFile.fileSizeInBytes).sum),
+            Seq("__graft_path", "__graft_pos"), "left_anti")
           .drop("__graft_path", "__graft_pos")
       }
 
@@ -403,7 +438,7 @@ object IceScan {
               .schema(org.apache.spark.sql.types.StructType(
                 sparkSchema.fields.filter(f => eqCols.contains(f.name))))
               .parquet(del.dataFile.filePath)
-            acc = acc.join(broadcast(delDf), eqCols, "left_anti")
+            acc = acc.join(maybeBroadcast(delDf, del.dataFile.fileSizeInBytes), eqCols, "left_anti")
           }
         }
       }

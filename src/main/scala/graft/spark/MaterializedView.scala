@@ -407,9 +407,14 @@ object IceMV {
   // -------------------------------------------------------------------
 
   /** Source-table occurrences in deterministic pre-order (one entry per
-    * leaf, not per distinct table — multilinearity is per occurrence). */
+    * leaf, not per distinct table — multilinearity is per occurrence).
+    * Traverses INTO subquery expressions (scalar/IN/EXISTS): a source that
+    * only appears inside a subquery still drives freshness and must be
+    * registered/rewritten on the full-refresh path. */
   private[graft] def sourceOccurrences(plan: LogicalPlan): Seq[TableIdent] =
-    plan.collect { case r: UnresolvedRelation => TableIdent.parse(r.multipartIdentifier.mkString(".")) }
+    plan.collectWithSubqueries {
+      case r: UnresolvedRelation => TableIdent.parse(r.multipartIdentifier.mkString("."))
+    }
 
   /** Bare names resolve in the MV's own namespace (reference views carry a
     * default_namespace, view_metadata.rs:307-380). */
@@ -515,7 +520,9 @@ object IceMV {
       IceScan.scan(spark, resolve(catalog, mv, src))
         .createOrReplaceTempView(mangled(src.namespace :+ src.name))
     }
-    val rewritten = plan.transform {
+    // transformWithSubqueries: relations inside scalar/IN/EXISTS subqueries
+    // must be rewritten too, or they'd bind to unrelated session tables
+    val rewritten = plan.transformWithSubqueries {
       case r: UnresolvedRelation =>
         r.copy(multipartIdentifier = Seq(mangled(r.multipartIdentifier)))
     }

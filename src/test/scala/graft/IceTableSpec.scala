@@ -300,6 +300,22 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IceScan.scan(spark, table).count() == 5)
   }
 
+  test("positional delete resolves pre-rename files by field id") {
+    implicit val s: SparkSession = spark
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "posren"), ordersSchema, daySpec)
+    table = IceWrite.append(spark, table, batch1)
+    // rename product_id → pid keeping field id 3; the existing files carry
+    // the OLD name, so only field-id resolution can bind the predicate
+    val renamed = IceSchema(table.schema.schemaId, table.schema.fields.map(f =>
+      if (f.name == "product_id") f.copy(name = "pid") else f),
+      table.schema.identifierFieldIds)
+    table = table.newTransaction(None).setSchema(renamed).commit()
+    table = IceWrite.appendPositionDeletes(spark, table, col("pid") === 1)
+    assert(IceScan.scan(spark, table).filter(col("pid") === 1).count() == 0)
+    assert(IceScan.scan(spark, table).count() == 2)
+  }
+
   test("replace (compaction) rewrites content, results unchanged") {
     implicit val s: SparkSession = spark
     val cat = freshCatalog()

@@ -201,6 +201,33 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IceMV.read(spark, cat, mv).columns.toSeq == Seq("product_id", "n", "n_amts", "total"))
   }
 
+  test("MV with a subquery source refreshes it and tracks its freshness") {
+    val cat = newCatalog()
+    var orders = cat.createTable(TableIdent(Seq("db"), "orders"), ordersSchema, PartitionSpec(0, Nil))
+    var products = cat.createTable(TableIdent(Seq("db"), "products"), productSchema, PartitionSpec(0, Nil))
+    import spark.implicits._
+    orders = IceWrite.append(spark, orders,
+      ordersDf(Seq((1L, 1L, 5L), (2L, 2L, 2L), (3L, 3L, 9L))))
+    products = IceWrite.append(spark, products,
+      Seq((1L, "widget"), (3L, "gadget")).toDF("product_id", "name"))
+
+    // `products` appears ONLY inside the IN-subquery: it must still be
+    // registered on the full-refresh path and drive freshness
+    val mv = TableIdent(Seq("db"), "known_product_sales")
+    IceMV.create(spark, cat, mv,
+      "SELECT id, amount FROM orders WHERE product_id IN (SELECT product_id FROM products)")
+    val r1 = IceMV.refresh(spark, cat, mv)
+    assert(r1.strategy == IceMV.FullOverwrite) // subquery ⇒ no delta algebra
+    assert(IceMV.read(spark, cat, mv).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+
+    // changing ONLY the subquery's source must not report Fresh
+    products = IceWrite.append(spark, products.refresh(),
+      Seq((2L, "gizmo")).toDF("product_id", "name"))
+    val r2 = IceMV.refresh(spark, cat, mv)
+    assert(r2.strategy != IceMV.Fresh)
+    assert(IceMV.read(spark, cat, mv).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
   test("plain view reads inline current data") {
     val cat = newCatalog()
     var orders = cat.createTable(TableIdent(Seq("db"), "orders"), ordersSchema, PartitionSpec(0, Nil))

@@ -77,4 +77,40 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = physicalPlan(PipelineQueries.queries("q23_exact_dedup")(spark, sf))
     assert(plan.contains("*(1)"), s"hash kernel not codegen'd:\n$plan")
   }
+
+  test("MoR delete anti-join is NOT broadcast when deletes exceed the size gate") {
+    import org.apache.spark.sql.functions._
+    import graft.catalog.TableIdent
+    import graft.spark.{IceScan, IceWrite}
+    import graft.spec._
+    import spark.implicits._
+    val cat = new graft.catalog.FileCatalog(
+      java.nio.file.Files.createTempDirectory("gate-wh").toString)
+    val schema = IceSchema(0, Seq(
+      NestedField(1, "id", required = false, IceType.LongT),
+      NestedField(2, "v", required = false, IceType.LongT)))
+    var t = cat.createTable(TableIdent(Seq("db"), "gated"), schema, PartitionSpec(0, Nil))
+    t = IceWrite.append(spark, t, (1L to 100L).map(i => (i, i * 2)).toDF("id", "v"))
+    t = IceWrite.appendEqualityDeletes(spark, t,
+      (1L to 50L).toDF("id"), equalityIds = Seq(1))
+    def morPlan(): String = physicalPlan(IceScan.scan(spark, t))
+    // default threshold (64 MB): the tiny delete file broadcasts
+    assert(morPlan().contains("BroadcastHashJoin"), s"small deletes should broadcast:\n${morPlan()}")
+    // threshold forced to zero: same scan must fall back to a shuffled
+    // anti-join. autoBroadcastJoinThreshold is disabled too — at real scale
+    // a gate-exceeding delete side also exceeds Spark's 10 MB auto
+    // threshold, but this test's delete file is tiny
+    spark.conf.set("spark.graft.delete.broadcast-threshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = morPlan()
+      assert(!plan.contains("BroadcastHashJoin"), s"gated deletes must not broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected shuffled anti-join:\n$plan")
+      assert(IceScan.scan(spark, t).count() == 50) // plan change, same result
+    } finally {
+      spark.conf.unset("spark.graft.delete.broadcast-threshold")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
