@@ -259,6 +259,26 @@ object IceScan {
 
   def scan(spark: SparkSession, table: IceTable, filters: Seq[Column] = Nil,
            options: ScanOptions = ScanOptions()): DataFrame = {
+    val df = scanInternal(spark, table, options,
+      sch => resolveFilters(spark, sch, filters))
+    // re-apply (Inexact pruning semantics): stats pruning only removes IO
+    filters.foldLeft(df)(_ filter _)
+  }
+
+  /** SQL read-path entry ([[org.apache.spark.sql.GraftReadRule]]): prunes
+    * manifests and files with ALREADY-RESOLVED Catalyst predicates (the
+    * optimizer's conjuncts over the relation output) and does NOT re-apply
+    * them — the caller keeps its own `Filter` node on top, so graft's
+    * inexact stats pruning stays IO-only while Spark preserves exactness.
+    */
+  def scanResolved(spark: SparkSession, table: IceTable,
+                   exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+                   options: ScanOptions = ScanOptions()): DataFrame =
+    scanInternal(spark, table, options, _ => exprs)
+
+  private def scanInternal(spark: SparkSession, table: IceTable, options: ScanOptions,
+                           exprsFor: org.apache.spark.sql.types.StructType =>
+                             Seq[org.apache.spark.sql.catalyst.expressions.Expression]): DataFrame = {
     // id-based column resolution (rename-safe); tolerate id-less files.
     // Deliberately NOT restored: the returned DataFrame plans lazily, and
     // Spark reads these flags from the SESSION conf at physical-planning
@@ -281,11 +301,10 @@ object IceScan {
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
       case Some(snap) =>
-        val exprs = resolveFilters(spark, sparkSchema, filters)
+        val exprs = exprsFor(sparkSchema)
         val entries = prunedEntries(table, schema, snap, exprs, options.afterSequence)
         val (data, deletes) = entries.partition(_.dataFile.content == ContentData)
-        val df = buildDataFrame(spark, table, schema, sparkSchema, data, deletes)
-        filters.foldLeft(df)(_ filter _)
+        buildDataFrame(spark, table, schema, sparkSchema, data, deletes)
     }
   }
 

@@ -12,7 +12,10 @@ import graft.spark.expressions.{IcebergBucket, LongArrayDot}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectResolutionRule { session =>
+    // optimizer-time (not resolution-time) so the rule sees the Filter the
+    // operator-optimization batch has collapsed onto the relation and can
+    // hand its conjuncts to manifest/file pruning — see GraftReadRule docs
+    ext.injectOptimizerRule { session =>
       new org.apache.spark.sql.GraftReadRule(
         session.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
     }

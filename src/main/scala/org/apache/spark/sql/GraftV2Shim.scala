@@ -1,7 +1,8 @@
 package org.apache.spark.sql
 
-import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, Project, V2WriteCommand}
+import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.classic.SparkSession
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -9,36 +10,53 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import graft.spark.IceScan
 import graft.spark.sql.GraftSparkTable
 
-/** Analyzer rule backing graft's SQL read path: rewrites every
-  * `DataSourceV2Relation` over a [[GraftSparkTable]] (except write targets)
-  * into the pruned DataFrame plan produced by [[IceScan]] — manifest/file
-  * statistics pruning, merge-on-read equality deletes and snapshot pinning
-  * all apply to plain `SELECT ... FROM graft.db.t`. Output attribute ids are
-  * preserved via an aliasing projection so parents resolve untouched.
+/** Optimizer rule backing graft's SQL read path: rewrites every
+  * `DataSourceV2Relation` over a [[GraftSparkTable]] into the pruned
+  * DataFrame plan produced by [[IceScan]]. Running at OPTIMIZER time (inside
+  * the operator-optimization fixed point, after `PushDownPredicates` has
+  * collapsed the `Filter` onto the relation) lets the rule hand the query's
+  * conjuncts to graft's manifest/file statistics pruning — the reference's
+  * core scan value (`datafusion_iceberg/src/pruning_statistics.rs:47-234`) —
+  * so a SQL `WHERE day = X` reads O(partition) files, not O(table). The
+  * `Filter` node itself is left in place above the rewrite: stats pruning is
+  * Inexact and only ever removes IO, Catalyst keeps exactness.
+  *
+  * Filters that only become adjacent AFTER this batch (e.g. constraints from
+  * `InferFiltersFromConstraints`) still push into the parquet scans but miss
+  * manifest pruning — a deliberate trade; the user's own predicates are
+  * collapsed by `PushDownPredicates` earlier in the same fixed-point
+  * iteration and therefore always prune.
+  *
+  * Write targets need no special-casing here: `V2WriteCommand.table` is not
+  * a plan child, so `transformDown` never visits it. Output attribute ids
+  * are preserved via an aliasing projection so parents resolve untouched.
   *
   * Lives in the `org.apache.spark.sql` package to reach `private[sql]` plan
-  * nodes; semantically it is an ordinary injected resolution rule, the
+  * nodes; semantically it is an ordinary injected optimizer rule, the
   * `SparkSessionExtensions` route SURVEY §2.11 anticipates.
   */
-class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
+class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] with PredicateHelper {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
-
-  private def rewrite(p: LogicalPlan): LogicalPlan = p match {
-    // never rewrite the TARGET of a write — only the source query
-    case w: V2WriteCommand => w.withNewQuery(rewrite(w.query))
-    case i: InsertIntoStatement => i.copy(query = rewrite(i.query))
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transformDown {
+    case f @ Filter(cond, r: DataSourceV2Relation) if r.table.isInstanceOf[GraftSparkTable] =>
+      // only deterministic conjuncts consult stats; the full Filter stays on
+      // top regardless, so dropped conjuncts cost pruning, never correctness
+      f.copy(child = rewrite(r, splitConjunctivePredicates(cond).filter(_.deterministic)))
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSparkTable] =>
-      // re-load for snapshot isolation: each analysis pins the table's
-      // current snapshot at that moment (or the VERSION/TIMESTAMP AS OF pin)
-      val gt = r.table.asInstanceOf[GraftSparkTable]
-      val ice = gt.ice.refresh()
-      val scanned = IceScan.scan(spark, ice,
+      rewrite(r, Nil)
+  }
+
+  private def rewrite(r: DataSourceV2Relation, preds: Seq[Expression]): LogicalPlan = {
+    // re-load for snapshot isolation: each planning pins the table's current
+    // snapshot at that moment (or the VERSION/TIMESTAMP AS OF pin)
+    val gt = r.table.asInstanceOf[GraftSparkTable]
+    val ice = gt.ice.refresh()
+    val scanned = EliminateSubqueryAliases(
+      IceScan.scanResolved(spark, ice, preds,
         options = IceScan.ScanOptions(snapshotId = gt.snapshotId))
-        .queryExecution.analyzed
-      Project(r.output.zip(scanned.output).map { case (o, n) =>
-        Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
-      }, scanned)
-    case other => other.mapChildren(rewrite)
+        .queryExecution.analyzed)
+    Project(r.output.zip(scanned.output).map { case (o, n) =>
+      Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+    }, scanned)
   }
 }

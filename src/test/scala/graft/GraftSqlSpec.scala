@@ -59,6 +59,24 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 3)
   }
 
+  test("SQL partition filter prunes data files before the parquet scan") {
+    // the pruned file list is the InMemoryFileIndex the optimizer-time
+    // rewrite injected — count it from the optimized plan (IO-level gate;
+    // AQE-independent, unlike FileSourceScanExec traversal)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles.length
+      }.sum
+    val total = scannedFiles(spark.sql("SELECT id FROM graft.db.orders"))
+    val pruned = spark.sql("SELECT id FROM graft.db.orders WHERE d = DATE'2020-01-03'")
+    assert(total >= 3, s"expected one file per partition day, saw $total")
+    assert(scannedFiles(pruned) < total,
+      s"SQL WHERE on the partition column must skip files (${scannedFiles(pruned)} vs $total)")
+    assert(pruned.collect().map(_.getLong(0)).toSet == Set(7L, 8L, 9L))
+  }
+
   test("INSERT OVERWRITE replaces content in one transaction") {
     spark.sql("CREATE TABLE graft.db.tiny (k STRING, v BIGINT)")
     spark.sql("INSERT INTO graft.db.tiny VALUES ('a', 1), ('b', 2)")
