@@ -406,18 +406,25 @@ object IceScan {
     def maybeBroadcast(df: DataFrame, manifestBytes: Long): DataFrame =
       if (manifestBytes <= broadcastThreshold) broadcast(df) else df
 
-    def readFiles(paths: Seq[String]): DataFrame =
-      if (paths.isEmpty) {
+    def readFiles(entries: Seq[ManifestEntry]): DataFrame =
+      if (entries.isEmpty) {
         val sch = if (!withPos) sparkSchema else org.apache.spark.sql.types.StructType(
           sparkSchema.fields :+
             org.apache.spark.sql.types.StructField("__graft_path", org.apache.spark.sql.types.StringType) :+
             org.apache.spark.sql.types.StructField("__graft_pos", org.apache.spark.sql.types.LongType))
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
       } else {
-        val df = spark.read.schema(sparkSchema).parquet(paths: _*)
-        if (!withPos) df
-        else df.withColumn("__graft_path", col("_metadata.file_path"))
-          .withColumn("__graft_pos", col("_metadata.row_index"))
+        val df = spark.read.schema(sparkSchema).parquet(entries.map(_.dataFile.filePath): _*)
+        val withMeta =
+          if (!withPos) df
+          else df.withColumn("__graft_path", col("_metadata.file_path"))
+            .withColumn("__graft_pos", col("_metadata.row_index"))
+        // exact row/byte totals from the surviving manifest entries → the
+        // optimizer (SupportsReportStatistics analogue; rows × width sizing
+        // under CBO/planStats instead of compressed-bytes underestimates)
+        org.apache.spark.sql.GraftShim.withScanStats(spark, withMeta,
+          entries.iterator.map(e => BigInt(e.dataFile.recordCount)).sum,
+          entries.iterator.map(e => BigInt(e.dataFile.fileSizeInBytes)).sum)
       }
 
     def maskPositions(df: DataFrame): DataFrame =
@@ -431,7 +438,7 @@ object IceScan {
           .drop("__graft_path", "__graft_pos")
       }
 
-    if (deletes.isEmpty) return maskPositions(readFiles(data.map(_.dataFile.filePath)))
+    if (deletes.isEmpty) return maskPositions(readFiles(data))
 
     /** Sequence-ordered fold over one group of data + delete files
       * (table.rs:498-679): process in ascending sequence order, deletes
@@ -446,7 +453,7 @@ object IceScan {
       for (ds <- delSeqs) {
         val (older, newer) = remaining.partition(_.sequenceNumber.getOrElse(0L) < ds)
         if (older.nonEmpty) {
-          val df = readFiles(older.map(_.dataFile.filePath))
+          val df = readFiles(older)
           acc = if (acc == null) df else acc.unionByName(df)
         }
         remaining = newer
@@ -461,7 +468,7 @@ object IceScan {
           }
         }
       }
-      val newerDf = if (remaining.nonEmpty) Some(readFiles(remaining.map(_.dataFile.filePath))) else None
+      val newerDf = if (remaining.nonEmpty) Some(readFiles(remaining)) else None
       (Option(acc), newerDf) match {
         case (Some(a), Some(n)) => a.unionByName(n)
         case (Some(a), None) => a

@@ -31,4 +31,33 @@ object GraftShim {
   def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Feeds graft's manifest-aggregated statistics to the optimizer (the
+    * DSv2 `SupportsReportStatistics` analogue for graft's rewrite-based read
+    * path; reference: `datafusion_iceberg/src/statistics.rs:20-146`): the
+    * scan's file-group relations get a `CatalogStatistics` carrying the
+    * EXACT row count and on-disk byte sum from the surviving manifest
+    * entries. With `spark.sql.cbo.enabled` or planStats, Spark then sizes
+    * the plan from rows × row-width — the in-memory estimate — instead of
+    * zstd-compressed file bytes, which under-estimate broadcast memory
+    * several-fold at scale. With both off, the byte sum equals the file
+    * index's number, so default behavior is unchanged.
+    */
+  def withScanStats(spark: SparkSession, df: DataFrame,
+                    rowCount: BigInt, sizeInBytes: BigInt): DataFrame = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val planned = df.queryExecution.analyzed transform {
+      case l: LogicalRelation if l.catalogTable.isEmpty =>
+        l.copy(catalogTable = Some(CatalogTable(
+          identifier = TableIdentifier("__graft_scan"),
+          tableType = CatalogTableType.EXTERNAL,
+          storage = CatalogStorageFormat.empty,
+          schema = l.schema,
+          provider = Some("parquet"),
+          stats = Some(CatalogStatistics(sizeInBytes, Some(rowCount))))))
+    }
+    ofRows(spark, planned)
+  }
 }

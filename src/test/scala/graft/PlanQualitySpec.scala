@@ -78,6 +78,30 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("*(1)"), s"hash kernel not codegen'd:\n$plan")
   }
 
+  test("manifest statistics feed the optimizer: exact rowCount + size under CBO") {
+    import graft.catalog.TableIdent
+    import graft.spark.{IceScan, IceWrite}
+    import graft.spec._
+    import spark.implicits._
+    val cat = new graft.catalog.FileCatalog(
+      java.nio.file.Files.createTempDirectory("stats-wh").toString)
+    val schema = IceSchema(0, Seq(
+      NestedField(1, "id", required = false, IceType.LongT),
+      NestedField(2, "label", required = false, IceType.StringT)))
+    var t = cat.createTable(TableIdent(Seq("db"), "stats"), schema, PartitionSpec(0, Nil))
+    t = IceWrite.append(spark, t, (1L to 1000L).map(i => (i, s"row-$i")).toDF("id", "label"))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = IceScan.scan(spark, t).queryExecution.optimizedPlan.stats
+      // rowCount is the manifest's exact record_count sum, not a file-size guess
+      assert(stats.rowCount.contains(BigInt(1000)), s"manifest rowCount not fed: $stats")
+      // size is rows × row-width (in-memory estimate), not compressed bytes:
+      // 1000 rows × (8B long + ~20B string + overhead) must exceed the zstd
+      // footprint heuristic floor of raw file bytes
+      assert(stats.sizeInBytes > 1000L * 8, s"row-based sizing missing: $stats")
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
+
   test("MoR delete anti-join is NOT broadcast when deletes exceed the size gate") {
     import org.apache.spark.sql.functions._
     import graft.catalog.TableIdent
