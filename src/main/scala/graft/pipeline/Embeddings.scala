@@ -59,7 +59,8 @@ object Embeddings {
   }
 
   /** Near-duplicate pairs with cosine ≥ threshold (id_a < id_b). Brute-force
-    * form; at scale feed LSH bucket candidates instead of the full square. */
+    * form: broadcasts the WHOLE corpus, so it is only for bounded candidate
+    * sets (re-ranking); the scale path is [[nearDupPairsLSH]]. */
   def nearDupPairs(prepared: DataFrame, idCol: String, threshold: Double): DataFrame = {
     val par = prepared.sparkSession.sessionState.conf.numShufflePartitions
     val a = prepared.select(col(idCol).as("id_a"), col("q").as("qa"), col("n2").as("na"))
@@ -69,6 +70,26 @@ object Embeddings {
     // CartesianProduct evaluating the scoring expression row-at-a-time; rows
     // stay narrow (id, vector, norm) and the dot is the native codegen kernel
     a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(dot(col("qa"), col("qb")), col("na"), col("nb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Near-duplicate pairs over sign-LSH candidates (id_a < id_b): only pairs
+    * landing in the same LSH bucket are scored, so candidate generation is a
+    * shuffled EQUI-JOIN on bucket id — never an all-pairs product or a
+    * full-corpus broadcast — and the exact quantized cosine verifies the
+    * survivors. This is the 100 TB form of [[nearDupPairs]]; recall is the
+    * standard sign-LSH trade, tunable via `planes` (fewer planes → bigger
+    * buckets → higher recall and more verify work).
+    */
+  def nearDupPairsLSH(prepared: DataFrame, idCol: String, threshold: Double,
+                      planes: Int): DataFrame = {
+    // each vector lives in exactly ONE bucket, so a same-bucket pair arises
+    // exactly once — no candidate dedup pass needed (unlike banded minhash)
+    val buckets = lshBucket(prepared, idCol, planes).cache()
+    val a = buckets.select(col(idCol).as("id_a"), col("bucket"), col("q").as("qa"), col("n2").as("na"))
+    val b = buckets.select(col(idCol).as("id_b"), col("bucket"), col("q").as("qb"), col("n2").as("nb"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosine(dot(col("qa"), col("qb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
@@ -112,7 +133,8 @@ object Embeddings {
     * its nearest centroid by exact quantized L2, and ranking runs only
     * within the query's cell (nprobe = 1). All distances are exact integer
     * arithmetic: d² = |v|² + |c|² − 2⟨v,c⟩ via the codegen dot kernel, so
-    * assignments are engine-portable. Centroids are broadcast; the
+    * assignments are engine-portable. Centroids are driver-collected and
+    * inlined as literals (per-row argmin, no assignment shuffle); the
     * candidate join is an equi-join on cell id.
     */
   def ivfTopK(prepared: DataFrame, idCol: String, k: Int, cells: Int,
@@ -128,19 +150,29 @@ object Embeddings {
     import org.apache.spark.sql.expressions.Window
     val n = prepared.count() // one metadata-scale job; estimate via stats at scale
     val m = math.max(n / cells, 1L)
-    val cents = prepared.filter(col(idCol) % m === 0 && col(idCol) < m * cells)
+    // centroids come to the driver (≤ cells rows — metadata scale) and are
+    // inlined as literal columns: cell assignment is then a PER-ROW argmin
+    // over an array of (d², c) structs, entirely inside codegen — no
+    // n×cells crossJoin shuffle, no window. Struct ordering gives the same
+    // (distance asc, c asc) tie-break as the previous ranked form.
+    val cents: Array[(Long, Array[Long], Long)] = prepared
+      .filter(col(idCol) % m === 0 && col(idCol) < m * cells)
       .select(expr(s"$idCol DIV $m").as("c"), col("q").as("cq"), col("n2").as("cn2"))
-    val dist = col("n2") + col("cn2") - lit(2L) * dotq(col("q"), col("cq"))
-    val wAssign = Window.partitionBy(col(idCol)).orderBy(dist.asc, col("c").asc)
-    // ranked (vector, cell) distances feed both the corpus assignment
-    // (rk = 1) and the query probe list (rk <= nprobe) — cache once
-    val ranked = prepared.crossJoin(broadcast(cents))
-      .withColumn("rk", row_number().over(wAssign))
-      .select(col(idCol), col("q"), col("n2"), col("c"), col("rk"))
-      .cache()
-    val assigned = ranked.filter(col("rk") === 1)
-    val q = ranked.filter(queryPred && col("rk") <= nprobe)
-      .select(col(idCol).as("query_id"), col("c"), col("q").as("qa"), col("n2").as("na"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, s"no centroids sampled (n=$n, cells=$cells): ids must be dense from 0")
+    val distStructs = cents.map { case (cid, cq, cn2) =>
+      struct((col("n2") + lit(cn2) - lit(2L) * dotq(col("q"), typedLit(cq))).as("d2"),
+        lit(cid).as("c"))
+    }
+    val rankedCells = array_sort(array(distStructs.toSeq: _*))
+    val assigned = prepared.withColumn("c", element_at(rankedCells, 1).getField("c"))
+    // probe list only materializes on QUERY rows (filter first, then explode)
+    val q = prepared.filter(queryPred)
+      .select(col(idCol).as("query_id"),
+        explode(slice(rankedCells, 1, nprobe).getField("c")).as("c"),
+        col("q").as("qa"), col("n2").as("na"))
     val c = assigned.select(col(idCol).as("neighbor_id"), col("c"), col("q").as("qb"), col("n2").as("nb"))
     val scored = q.join(c, Seq("c")).filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -67,11 +67,14 @@ object PipelineQueries {
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy("query_id", "rnk")),
 
-    // Embedding near-duplicate pairs (cosine ≥ 0.35).
+    // Embedding near-duplicate pairs (cosine ≥ 0.35) over sign-LSH
+    // candidates (6 hyperplanes): bucket equi-join + exact cosine verify —
+    // the scale path; the brute all-pairs form stays available as
+    // Embeddings.nearDupPairs for bounded re-rank sets.
     "q27_embedding_neardup" -> ((s, d) =>
-      Embeddings.nearDupPairs(
+      Embeddings.nearDupPairsLSH(
         Embeddings.prepare(Tables.embeddings(s, d), "vec_id", "embedding"),
-        "vec_id", threshold = 0.35)
+        "vec_id", threshold = 0.35, planes = 6)
         .orderBy("id_a", "id_b")),
 
     // Approximate top-3 within sign-LSH buckets (6 hyperplanes) — the
@@ -238,11 +241,20 @@ object PipelineQueries {
         |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
         |  FROM embeddings),
         |norms AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qv),
+        |pdots AS (
+        |  SELECT vec_id, q, n2, p,
+        |    list_sum(list_transform(range(1, len(q) + 1),
+        |      i -> q[i] * ((strpos('0123456789abcdef', substr(md5(p || ':' || (i - 1)), 1, 1)) - 1) * 2 - 15))) AS pd
+        |  FROM norms, UNNEST(range(0, 6)) AS t(p)),
+        |buckets AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN pd > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket,
+        |    any_value(q) AS q, any_value(n2) AS n2
+        |  FROM pdots GROUP BY vec_id),
         |pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
-        |  FROM norms a JOIN norms b ON a.vec_id < b.vec_id)
+        |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin,
     "q28_topk_lsh" ->
       """WITH qv AS (

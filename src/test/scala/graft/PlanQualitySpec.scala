@@ -55,11 +55,27 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
-  test("vector scoring runs as broadcast nested loop, never CartesianProduct") {
+  test("near-dup candidates are a bucket equi-join, never a full-corpus broadcast") {
     val plan = physicalPlan(PipelineQueries.queries("q27_embedding_neardup")(spark, sf))
     assert(!plan.contains("CartesianProduct"),
       s"row-at-a-time cartesian product in scoring plan:\n$plan")
-    assert(plan.contains("BroadcastNestedLoopJoin"), s"expected BNLJ:\n$plan")
+    // the ONLY nested-loop join allowed is the 6-row hyperplane crossJoin
+    // (Cross build); an Inner BNLJ would mean the id_a < id_b pair product
+    // over the whole corpus is back
+    assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner"),
+      s"full-corpus pair broadcast in near-dup plan:\n$plan")
+    assert(plan.contains("Join [bucket") || plan.contains("Join bucket") ||
+      plan.contains("SortMergeJoin [bucket") || plan.contains("BroadcastHashJoin [bucket"),
+      s"candidate join not keyed on bucket:\n$plan")
+  }
+
+  test("IVF cell assignment has no per-row window or n-times-cells shuffle") {
+    val plan = physicalPlan(PipelineQueries.queries("q36_ivf_topk")(spark, sf))
+    // exactly one Window remains: the final per-query top-k ranking. The old
+    // assignment path added a second Window over the n×cells crossJoin.
+    assert(plan.split('\n').count(_.contains("Window [")) <= 1,
+      s"IVF assignment reintroduced a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in IVF plan:\n$plan")
   }
 
   test("LSH candidate generation is an equi-join on bucket id, not a cross join") {
