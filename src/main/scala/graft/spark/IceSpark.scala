@@ -399,12 +399,18 @@ object IceScan {
     // the reference always CollectLeft-broadcasts the delete side
     // (table.rs:484-692); at 100 TB a large delete generation belongs in a
     // shuffled anti-join instead — gate the hint on the manifest's
-    // file_size_in_bytes, which the driver already holds
+    // file_size_in_bytes, which the driver already holds. The gate compares
+    // the IN-MEMORY estimate (compressed bytes × an expansion factor — zstd
+    // delete files deserialize to several times their footprint), so a file
+    // just under the raw threshold can't still blow the executors up.
     val broadcastThreshold: Long = spark.conf
       .getOption("spark.graft.delete.broadcast-threshold")
       .map(_.toLong).getOrElse(64L << 20)
+    val expansionFactor: Long = spark.conf
+      .getOption("spark.graft.delete.broadcast-expansion")
+      .map(_.toLong).getOrElse(4L)
     def maybeBroadcast(df: DataFrame, manifestBytes: Long): DataFrame =
-      if (manifestBytes <= broadcastThreshold) broadcast(df) else df
+      if (manifestBytes * expansionFactor <= broadcastThreshold) broadcast(df) else df
 
     def readFiles(entries: Seq[ManifestEntry]): DataFrame =
       if (entries.isEmpty) {

@@ -69,8 +69,11 @@ final case class GraftMergeCommand(
     val schema = table.schema
     val outCols = schema.fields.map(_.name)
 
+    // cached for the whole merge: the target scan feeds the joined frame,
+    // the cardinality count, and the NOT MATCHED BY SOURCE anti-join — an
+    // uncached tDf re-reads the full target once per consumer
     val tDf = IceScan.scan(spark, table)
-      .withColumn("__t_present", lit(1)).alias(targetAlias)
+      .withColumn("__t_present", lit(1)).alias(targetAlias).cache()
     val sDf = GraftShim.ofRows(spark, sourcePlan)
 
     val joined = sDf.join(tDf, colOf(condition), "left_outer").cache()
@@ -196,8 +199,13 @@ final case class GraftMergeCommand(
       // the equality delete is key-WIDE: a target row that fired no clause
       // but shares its key with a fired row would be silently lost — rewrite
       // those survivors unchanged alongside the new generation
+      // with no matched clauses at all, matchedUnfired is the ENTIRE matched
+      // frame yet provably contributes nothing (matched keys are disjoint
+      // from the NMS-fired keys the delete covers) — skip it outright
+      val matchedSurvivorSide =
+        if (matchedActions.isEmpty) joined.limit(0) else matchedUnfired
       val unfiredSurvivors: Seq[DataFrame] = delKeys.toSeq.map { keys =>
-        Seq(matchedUnfired, tOnlyUnfired)
+        Seq(matchedSurvivorSide, tOnlyUnfired)
           .map(_.select(outCols.map(c => tCol(c).as(c)): _*))
           .reduce(_ unionByName _)
           .join(keys, keyCols, "left_semi")
@@ -219,7 +227,10 @@ final case class GraftMergeCommand(
       }
       tx.commit()
       Seq(Row(nUpdated, nDeleted, nInserted))
-    } finally joined.unpersist()
+    } finally {
+      joined.unpersist()
+      tDf.unpersist()
+    }
   }
 
   private def nameOf(e: Expression): String = e match {
