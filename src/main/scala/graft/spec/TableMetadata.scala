@@ -179,7 +179,7 @@ object TableMetadataJson {
     case prim => mapper.getNodeFactory.textNode(prim.jsonName)
   }
 
-  private def specNode(s: PartitionSpec): ObjectNode = {
+  def specNode(s: PartitionSpec): ObjectNode = {
     val n = mapper.createObjectNode()
     n.put("spec-id", s.specId)
     val fs = n.putArray("fields")
@@ -191,7 +191,7 @@ object TableMetadataJson {
     n
   }
 
-  private def sortOrderNode(o: SortOrder): ObjectNode = {
+  def sortOrderNode(o: SortOrder): ObjectNode = {
     val n = mapper.createObjectNode()
     n.put("order-id", o.orderId)
     val fs = n.putArray("fields")
@@ -203,7 +203,7 @@ object TableMetadataJson {
     n
   }
 
-  private def snapshotNode(s: Snapshot): ObjectNode = {
+  def snapshotNode(s: Snapshot): ObjectNode = {
     val n = mapper.createObjectNode()
     n.put("snapshot-id", s.snapshotId)
     s.parentSnapshotId.foreach(p => n.put("parent-snapshot-id", p))
@@ -218,28 +218,75 @@ object TableMetadataJson {
 
   // ---------- read ----------
 
+  /** Reads V2 metadata AND the V1 legacy shape (reference dual serde:
+    * table_metadata.rs:390-572). V1 files carry a singular `schema` (no
+    * schema-id), a bare `partition-spec` field array (no spec-id), no
+    * sequence numbers, `current-snapshot-id: -1` for "none", and optional
+    * sort orders — all normalized here into the V2-shaped model with id 0
+    * defaults, exactly like the reference's `try_from`. Required-field
+    * violations raise the same conditions the reference's broken golden
+    * fixtures (`testdata/table_metadata/TableMetadataV2Missing*.json`) pin.
+    */
   def fromJson(json: String): TableMetadata = {
     val n = mapper.readTree(json)
     def optLong(field: String): Option[Long] =
       Option(n.get(field)).filter(!_.isNull).map(_.asLong())
-    val schemas = n.get("schemas").elements().asScala.map(parseSchema).map(s => s.schemaId -> s).toMap
-    val specs = n.get("partition-specs").elements().asScala.map(parseSpec).map(s => s.specId -> s).toMap
+    def required(field: String): JsonNode =
+      Option(n.get(field)).filter(!_.isNull).getOrElse(
+        throw new IllegalArgumentException(s"metadata is missing required field $field"))
+    val fv = required("format-version").asInt()
+    if (fv != 1 && fv != 2)
+      throw new IllegalArgumentException(s"unsupported metadata format version $fv")
+    val schemas: Map[Int, IceSchema] = Option(n.get("schemas")) match {
+      case Some(arr) => arr.elements().asScala.map(parseSchema).map(s => s.schemaId -> s).toMap
+      case None if fv == 1 =>
+        val s = parseSchema(required("schema")) // V1 singular, schema-id defaults 0
+        Map(s.schemaId -> s)
+      case None => throw new IllegalArgumentException("V2 metadata is missing schemas")
+    }
+    val currentSchemaId = Option(n.get("current-schema-id")).map(_.asInt())
+      .getOrElse(if (fv == 1) schemas.keys.min
+        else throw new IllegalArgumentException("V2 metadata is missing current-schema-id"))
+    if (!schemas.contains(currentSchemaId))
+      throw new IllegalArgumentException(s"current schema $currentSchemaId not found in schemas")
+    val specs: Map[Int, PartitionSpec] = Option(n.get("partition-specs")) match {
+      case Some(arr) => arr.elements().asScala.map(parseSpec).map(s => s.specId -> s).toMap
+      case None if fv == 1 =>
+        // V1 singular: a bare array of partition FIELDS, normalized to spec 0
+        val fields = required("partition-spec").elements().asScala.map { f =>
+          PartitionField(
+            f.get("source-id").asInt(), f.get("field-id").asInt(),
+            f.get("name").asText(), graft.core.Transform.parse(f.get("transform").asText()))
+        }.toSeq
+        Map(0 -> PartitionSpec(0, fields))
+      case None => throw new IllegalArgumentException("V2 metadata is missing partition-specs")
+    }
+    val lastPartitionId = Option(n.get("last-partition-id")).map(_.asInt()).getOrElse {
+      if (fv == 1) (specs.values.flatMap(_.fields.map(_.fieldId)) ++ Seq(999)).max
+      else throw new IllegalArgumentException("V2 metadata is missing last-partition-id")
+    }
+    val sortOrders: Map[Int, SortOrder] = Option(n.get("sort-orders")) match {
+      case Some(arr) => arr.elements().asScala.map(parseSortOrder).map(o => o.orderId -> o).toMap
+      case None if fv == 1 => Map(0 -> SortOrder.unsorted)
+      case None => throw new IllegalArgumentException("V2 metadata is missing sort-orders")
+    }
     val snapshots = Option(n.get("snapshots")).map(_.elements().asScala.map(parseSnapshot)
       .map(s => s.snapshotId -> s).toMap).getOrElse(Map.empty)
-    val sortOrders = Option(n.get("sort-orders")).map(_.elements().asScala.map(parseSortOrder)
-      .map(o => o.orderId -> o).toMap).getOrElse(Map(0 -> SortOrder.unsorted))
     TableMetadata(
-      formatVersion = n.get("format-version").asInt(),
-      tableUuid = n.get("table-uuid").asText(),
-      location = n.get("location").asText(),
-      lastSequenceNumber = n.get("last-sequence-number").asLong(),
-      lastUpdatedMs = n.get("last-updated-ms").asLong(),
-      lastColumnId = n.get("last-column-id").asInt(),
+      formatVersion = fv,
+      tableUuid = required("table-uuid").asText(),
+      location = required("location").asText(),
+      lastSequenceNumber = optLong("last-sequence-number").getOrElse {
+        if (fv == 1) 0L
+        else throw new IllegalArgumentException("V2 metadata is missing last-sequence-number")
+      },
+      lastUpdatedMs = required("last-updated-ms").asLong(),
+      lastColumnId = required("last-column-id").asInt(),
       schemas = schemas,
-      currentSchemaId = n.get("current-schema-id").asInt(),
+      currentSchemaId = currentSchemaId,
       partitionSpecs = specs,
-      defaultSpecId = n.get("default-spec-id").asInt(),
-      lastPartitionId = Option(n.get("last-partition-id")).map(_.asInt()).getOrElse(999),
+      defaultSpecId = Option(n.get("default-spec-id")).map(_.asInt()).getOrElse(specs.keys.min),
+      lastPartitionId = lastPartitionId,
       properties = Option(n.get("properties")).map(p => p.properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
       currentSnapshotId = optLong("current-snapshot-id").filter(_ != -1),
@@ -286,7 +333,7 @@ object TableMetadataJson {
         parseType(n.get("value")))
     }
 
-  private def parseSpec(n: JsonNode): PartitionSpec =
+  def parseSpec(n: JsonNode): PartitionSpec =
     PartitionSpec(
       n.get("spec-id").asInt(),
       n.get("fields").elements().asScala.map { f =>
@@ -295,7 +342,7 @@ object TableMetadataJson {
           f.get("name").asText(), Transform.parse(f.get("transform").asText()))
       }.toSeq)
 
-  private def parseSortOrder(n: JsonNode): SortOrder =
+  def parseSortOrder(n: JsonNode): SortOrder =
     SortOrder(
       n.get("order-id").asInt(),
       n.get("fields").elements().asScala.map { f =>
@@ -304,13 +351,15 @@ object TableMetadataJson {
           f.get("direction").asText(), f.get("null-order").asText())
       }.toSeq)
 
-  private def parseSnapshot(n: JsonNode): Snapshot =
+  def parseSnapshot(n: JsonNode): Snapshot =
     Snapshot(
       snapshotId = n.get("snapshot-id").asLong(),
       parentSnapshotId = Option(n.get("parent-snapshot-id")).map(_.asLong()),
-      sequenceNumber = n.get("sequence-number").asLong(),
+      // V1 snapshots carry no sequence numbers (all 0 per spec V1→V2 rules)
+      sequenceNumber = Option(n.get("sequence-number")).map(_.asLong()).getOrElse(0L),
       timestampMs = n.get("timestamp-ms").asLong(),
-      manifestList = n.get("manifest-list").asText(),
+      // V1 may list manifests directly instead of a manifest-list file
+      manifestList = Option(n.get("manifest-list")).map(_.asText()).getOrElse(""),
       summary = Option(n.get("summary")).map(s => s.properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
       schemaId = Option(n.get("schema-id")).map(_.asInt()))

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog._
+import graft.core.Transform
+import graft.spec._
+import graft.spark.{IceScan, IceWrite}
+
+/** The REST catalog protocol end to end: a [[RestCatalog]] client talking
+  * HTTP to a [[RestCatalogServer]] wrapping a FileCatalog (protocol shape:
+  * reference `catalogs/iceberg-rest-catalog/src/` — commit = requirements +
+  * updates, conflict = 409). Metadata flows over the wire; data files go
+  * straight to storage via the table location, like a real deployment.
+  */
+class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val warehouse = Files.createTempDirectory("rest-wh").toString
+  private lazy val server = new RestCatalogServer(new FileCatalog(warehouse))
+  private lazy val cat: RestCatalog = {
+    server.start()
+    new RestCatalog(server.uri)
+  }
+
+  override def afterAll(): Unit = {
+    server.stop()
+    spark.stop()
+  }
+
+  private val schema = IceSchema(0, Seq(
+    NestedField(1, "id", required = false, IceType.LongT),
+    NestedField(2, "d", required = false, IceType.DateT),
+    NestedField(3, "v", required = false, IceType.LongT)))
+
+  test("namespace + table lifecycle over HTTP") {
+    cat.createNamespace(Seq("db"))
+    assert(cat.listNamespaces().contains(Seq("db")))
+    val spec = PartitionSpec(0, Seq(PartitionField(2, 1000, "d_day", Transform.Day)))
+    val t = cat.createTable(TableIdent(Seq("db"), "events"), schema, spec,
+      Map("owner" -> "rest-spec"))
+    assert(t.metadata.properties("owner") == "rest-spec")
+    assert(t.spec.fields.head.transform == Transform.Day)
+    assert(cat.listTables(Seq("db")) == Seq(TableIdent(Seq("db"), "events")))
+    assert(cat.loadTable(TableIdent(Seq("db"), "missing")).isEmpty)
+  }
+
+  test("append commits flow through the REST commit endpoint; scan sees them") {
+    import spark.implicits._
+    val ident = TableIdent(Seq("db"), "events")
+    var t = cat.loadTable(ident).get
+    val rows = Seq((1L, "2024-05-01", 10L), (2L, "2024-05-02", 20L))
+      .toDF("id", "d", "v").withColumn("d", to_date(col("d")))
+    t = IceWrite.append(spark, t, rows)
+    assert(t.currentSnapshot().isDefined)
+    // a FRESH client (new HTTP connection, no shared state) sees the commit
+    val t2 = new RestCatalog(server.uri).loadTable(ident).get
+    assert(t2.currentSnapshot().map(_.snapshotId) == t.currentSnapshot().map(_.snapshotId))
+    val got = IceScan.scan(spark, t2).orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 10L), (2L, 20L)))
+  }
+
+  test("MoR equality delete + second append over REST") {
+    import spark.implicits._
+    val ident = TableIdent(Seq("db"), "events")
+    var t = cat.loadTable(ident).get
+    t = IceWrite.appendEqualityDeletes(spark, t, Seq(1L).toDF("id"), equalityIds = Seq(1))
+    t = IceWrite.append(spark, t,
+      Seq((3L, "2024-05-03", 30L)).toDF("id", "d", "v").withColumn("d", to_date(col("d"))))
+    val got = IceScan.scan(spark, t.refresh()).orderBy("id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(2L, 3L))
+  }
+
+  test("stale commit is rejected with 409 -> CommitConflictException") {
+    import spark.implicits._
+    val ident = TableIdent(Seq("db"), "events")
+    val stale = cat.loadTable(ident).get // pins the current snapshot
+    // another client moves the table forward
+    val other = new RestCatalog(server.uri)
+    IceWrite.append(spark, other.loadTable(ident).get,
+      Seq((4L, "2024-05-04", 40L)).toDF("id", "d", "v").withColumn("d", to_date(col("d"))))
+    intercept[CommitConflictException] {
+      IceWrite.append(spark, stale,
+        Seq((5L, "2024-05-05", 50L)).toDF("id", "d", "v").withColumn("d", to_date(col("d"))))
+    }
+    // refresh() reloads over HTTP; the retry then succeeds
+    val retried = IceWrite.append(spark, stale.refresh(),
+      Seq((5L, "2024-05-05", 50L)).toDF("id", "d", "v").withColumn("d", to_date(col("d"))))
+    assert(IceScan.scan(spark, retried).count() == 4) // 2,3,4,5
+  }
+
+  test("views round-trip over REST") {
+    cat.createView(TableIdent(Seq("db"), "v_events"),
+      "SELECT id FROM events", """{"type":"struct","fields":[]}""")
+    val (sql, schemaJson) = cat.loadView(TableIdent(Seq("db"), "v_events")).get
+    assert(sql == "SELECT id FROM events")
+    assert(schemaJson.contains("struct"))
+    cat.dropView(TableIdent(Seq("db"), "v_events"))
+    assert(cat.loadView(TableIdent(Seq("db"), "v_events")).isEmpty)
+  }
+
+  test("drop table over REST removes it from the listing") {
+    val ident = TableIdent(Seq("db"), "tmp")
+    cat.createTable(ident, schema, PartitionSpec.unpartitioned)
+    assert(cat.tableExists(ident))
+    cat.dropTable(ident)
+    assert(!cat.tableExists(ident))
+    assert(!cat.listTables(Seq("db")).contains(ident))
+  }
+}
