@@ -22,7 +22,10 @@ object TableRequirement {
 sealed trait TableUpdate
 object TableUpdate {
   final case class AddSnapshot(snapshot: Snapshot) extends TableUpdate
-  final case class SetSnapshotRef(refName: String, snapshotId: Long, refType: String) extends TableUpdate
+  final case class SetSnapshotRef(refName: String, snapshotId: Long, refType: String,
+                                  maxRefAgeMs: Option[Long] = None,
+                                  minSnapshotsToKeep: Option[Int] = None) extends TableUpdate
+  final case class RemoveSnapshotRef(refName: String) extends TableUpdate
   final case class AddSchema(schema: IceSchema, lastColumnId: Int) extends TableUpdate
   final case class SetCurrentSchema(schemaId: Int) extends TableUpdate
   final case class AddPartitionSpec(spec: PartitionSpec) extends TableUpdate
@@ -83,9 +86,12 @@ object CatalogOps {
           lastSequenceNumber = math.max(m.lastSequenceNumber, s.sequenceNumber),
           snapshotLog = m.snapshotLog :+ SnapshotLogEntry(s.snapshotId, s.timestampMs),
           lastUpdatedMs = s.timestampMs)
-        case SetSnapshotRef(name, id, refType) =>
-          val m2 = m.copy(refs = m.refs + (name -> SnapshotReference(id, refType)))
+        case SetSnapshotRef(name, id, refType, maxAge, minKeep) =>
+          val m2 = m.copy(refs = m.refs + (name -> SnapshotReference(id, refType, maxAge, minKeep)))
           if (name == m.MainBranch) m2.copy(currentSnapshotId = Some(id)) else m2
+        case RemoveSnapshotRef(name) =>
+          val m2 = m.copy(refs = m.refs - name)
+          if (name == m.MainBranch) m2.copy(currentSnapshotId = None) else m2
         case AddSchema(s, lastCol) => m.copy(
           schemas = m.schemas + (s.schemaId -> s),
           lastColumnId = math.max(m.lastColumnId, lastCol))

@@ -54,9 +54,13 @@ object RestJson {
     u match {
       case TableUpdate.AddSnapshot(s) =>
         n.put("action", "add-snapshot"); n.set[JsonNode]("snapshot", snapshotNode(s))
-      case TableUpdate.SetSnapshotRef(name, id, refType) =>
+      case TableUpdate.SetSnapshotRef(name, id, refType, maxAge, minKeep) =>
         n.put("action", "set-snapshot-ref"); n.put("ref-name", name)
         n.put("snapshot-id", id); n.put("type", refType)
+        maxAge.foreach(v => n.put("max-ref-age-ms", v))
+        minKeep.foreach(v => n.put("min-snapshots-to-keep", v))
+      case TableUpdate.RemoveSnapshotRef(name) =>
+        n.put("action", "remove-snapshot-ref"); n.put("ref-name", name)
       case TableUpdate.AddSchema(s, lastCol) =>
         n.put("action", "add-schema"); n.set[JsonNode]("schema", schemaNode(s))
         n.put("last-column-id", lastCol)
@@ -86,7 +90,10 @@ object RestJson {
   def parseUpdate(n: JsonNode): TableUpdate = n.get("action").asText() match {
     case "add-snapshot" => TableUpdate.AddSnapshot(parseSnapshot(n.get("snapshot")))
     case "set-snapshot-ref" => TableUpdate.SetSnapshotRef(
-      n.get("ref-name").asText(), n.get("snapshot-id").asLong(), n.get("type").asText())
+      n.get("ref-name").asText(), n.get("snapshot-id").asLong(), n.get("type").asText(),
+      Option(n.get("max-ref-age-ms")).map(_.asLong()),
+      Option(n.get("min-snapshots-to-keep")).map(_.asInt()))
+    case "remove-snapshot-ref" => TableUpdate.RemoveSnapshotRef(n.get("ref-name").asText())
     case "add-schema" => TableUpdate.AddSchema(
       parseSchema(n.get("schema")),
       Option(n.get("last-column-id")).map(_.asInt()).getOrElse(0))

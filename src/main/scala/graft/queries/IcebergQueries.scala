@@ -186,6 +186,31 @@ object IcebergQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // CDC changelog read (S4 extension): three commits — even keys, odd
+    // keys, equality-delete of F-status keys. Window 1 (snap1→snap2) is
+    // append-only and streams inserts straight off the new files (no diff);
+    // window 2 (snap2→current) contains a delete commit and net-diffs the
+    // pinned snapshots into insert/delete events.
+    "q40_changelog" -> ((s, d) => {
+      val cat = tempCatalog()
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      var t = createFrom(cat, "ordc", o)
+      t = IceWrite.append(s, t, o.filter(col("o_orderkey") % 2 === 0))
+      val snap1 = t.currentSnapshot(None).get.snapshotId
+      t = IceWrite.append(s, t.refresh(), o.filter(col("o_orderkey") % 2 === 1))
+      val snap2 = t.currentSnapshot(None).get.snapshotId
+      val fKeys = o.filter(col("o_orderstatus") === "F").select("o_orderkey")
+      t = IceWrite.appendEqualityDeletes(s, t, fKeys, equalityIds = Seq(1))
+      val w1 = IceScan.changelog(s, t, snap1, Some(snap2)).withColumn("win", lit("w1"))
+      val w2 = IceScan.changelog(s, t, snap2).withColumn("win", lit("w2"))
+      w1.unionByName(w2)
+        .groupBy(col("win"), col("_change_type").as("change_type"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("total"))
+        .orderBy("win", "change_type", "o_orderstatus")
+    }),
+
     // Partitioned write + partition-pruned read (S8 + P3/P4): day-partitioned
     // table, filter on the source column must prune files (correctness
     // checked here; pruning itself asserted in IceTableSpec).
@@ -252,6 +277,20 @@ object IcebergQueries {
       """SELECT count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-06-01'
-        |  AND CAST(o_orderdate AS DATE) < DATE '1996-09-01'""".stripMargin
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-09-01'""".stripMargin,
+    "q40_changelog" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |changes AS (
+        |  SELECT 'w1' AS win, 'insert' AS change_type, o_orderstatus, price
+        |  FROM src WHERE o_orderkey % 2 = 1
+        |  UNION ALL
+        |  SELECT 'w2', 'delete', o_orderstatus, price
+        |  FROM src WHERE o_orderstatus = 'F')
+        |SELECT win, change_type, o_orderstatus, count(*) AS n,
+        |  CAST(sum(price) AS DOUBLE) AS total
+        |FROM changes GROUP BY win, change_type, o_orderstatus
+        |ORDER BY win, change_type, o_orderstatus""".stripMargin
   )
 }

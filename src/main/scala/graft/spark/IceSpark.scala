@@ -219,6 +219,34 @@ object IceWrite {
       val f = it.next()
       if (f.getPath.getName.endsWith(".parquet")) paths += f.getPath.toUri.getPath
     }
+
+    // distinct_counts population (A4; reference leaves the manifest field
+    // empty, parquet.rs:85-90): one extra per-file approx_count_distinct
+    // aggregation over the just-written files, opt-in via table property —
+    // unlike footer scraping it reads data pages, so it is priced as a
+    // deliberate write-time trade for optimizer NDV stats
+    val distinctByFile: Map[String, Map[Int, Long]] =
+      if (content != ContentData || paths.isEmpty ||
+          !table.metadata.properties.get("write.metadata.distinct-counts.enabled").contains("true"))
+        Map.empty
+      else {
+        val primFields = writeSchema.fields.filter(_.fieldType match {
+          case _: IceType.StructT | _: IceType.ListT | _: IceType.MapT => false
+          case _ => true
+        })
+        if (primFields.isEmpty) Map.empty
+        else {
+          val aggs = primFields.map(f => approx_count_distinct(col(f.name)).as(f.name))
+          spark.read.schema(writeSchema.toSpark).parquet(paths.toSeq: _*)
+            .groupBy(col("_metadata.file_path").as("__p"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect() // one row per written file — metadata scale
+            .map(r => new Path(r.getString(0)).getName ->
+              primFields.zipWithIndex.map { case (f, i) => f.id -> r.getLong(i + 1) }.toMap)
+            .toMap
+        }
+      }
+
     paths.toSeq.sorted.map { p =>
       val rel = p.stripPrefix(stagingDir).split('/').filter(_.nonEmpty)
       val partition: Seq[(String, Any)] = rel.init.flatMap { seg =>
@@ -237,7 +265,8 @@ object IceWrite {
           Some(name -> v)
         }
       }.toSeq
-      ParquetStats.dataFile(p, conf, writeSchema, partition, content, equalityIds)
+      ParquetStats.dataFile(p, conf, writeSchema, partition, content, equalityIds,
+        distinctCounts = distinctByFile.getOrElse(new Path(p).getName, Map.empty))
     }
   }
 }
@@ -305,6 +334,38 @@ object IceScan {
         val entries = prunedEntries(table, schema, snap, exprs, options.afterSequence)
         val (data, deletes) = entries.partition(_.dataFile.content == ContentData)
         buildDataFrame(spark, table, schema, sparkSchema, data, deletes)
+    }
+  }
+
+  /** CDC changelog read (natural S4 extension of the incremental scan;
+    * snapshot-diff semantics): every row visible at `until` but not at
+    * `after` carries `_change_type = 'insert'`, every row visible at `after`
+    * but not at `until` carries `'delete'` — net changes, like diffing the
+    * two snapshots. An append-only window never pays a diff: inserts stream
+    * straight off the window's new data files via the incremental scan (at
+    * 100 TB this is the common path — O(window), not O(table)); only a
+    * window containing delete commits falls back to the EXCEPT ALL diff of
+    * the two pinned scans.
+    */
+  def changelog(spark: SparkSession, table: IceTable, afterSnapshotId: Long,
+                untilSnapshotId: Option[Long] = None): DataFrame = {
+    val ChangeCol = "_change_type"
+    val from = table.snapshotById(afterSnapshotId).getOrElse(
+      throw new IllegalArgumentException(s"unknown snapshot $afterSnapshotId"))
+    val to = untilSnapshotId.flatMap(table.snapshotById)
+      .orElse(table.currentSnapshot(None))
+      .getOrElse(throw new IllegalStateException("table has no current snapshot"))
+    val windowEntries = table.entries(to, Some(from.sequenceNumber), _ => true)
+    val appendOnly = windowEntries.forall(_.dataFile.content == ContentData)
+    if (appendOnly)
+      scanResolved(spark, table, Nil, ScanOptions(
+        snapshotId = Some(to.snapshotId), afterSequence = Some(from.sequenceNumber)))
+        .withColumn(ChangeCol, lit("insert"))
+    else {
+      val before = scanResolved(spark, table, Nil, ScanOptions(snapshotId = Some(from.snapshotId)))
+      val after = scanResolved(spark, table, Nil, ScanOptions(snapshotId = Some(to.snapshotId)))
+      after.exceptAll(before).withColumn(ChangeCol, lit("insert"))
+        .unionByName(before.exceptAll(after).withColumn(ChangeCol, lit("delete")))
     }
   }
 

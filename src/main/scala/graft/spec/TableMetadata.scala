@@ -44,8 +44,13 @@ final case class Snapshot(
     summary: Map[String, String],
     schemaId: Option[Int])
 
-/** Branch/tag reference (snapshot.rs:258-307). */
-final case class SnapshotReference(snapshotId: Long, refType: String) // "branch" | "tag"
+/** Branch/tag reference with retention policy (snapshot.rs:258-307):
+  * `maxRefAgeMs` bounds how long the ref itself survives expiration;
+  * `minSnapshotsToKeep` protects that many ancestors of a branch head.
+  */
+final case class SnapshotReference(snapshotId: Long, refType: String, // "branch" | "tag"
+                                   maxRefAgeMs: Option[Long] = None,
+                                   minSnapshotsToKeep: Option[Int] = None)
 
 final case class SnapshotLogEntry(snapshotId: Long, timestampMs: Long)
 final case class MetadataLogEntry(metadataFile: String, timestampMs: Long)
@@ -139,6 +144,8 @@ object TableMetadataJson {
     val refs = root.putObject("refs")
     m.refs.toSeq.sortBy(_._1).foreach { case (name, r) =>
       val n = refs.putObject(name); n.put("snapshot-id", r.snapshotId); n.put("type", r.refType)
+      r.maxRefAgeMs.foreach(v => n.put("max-ref-age-ms", v))
+      r.minSnapshotsToKeep.foreach(v => n.put("min-snapshots-to-keep", v))
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
@@ -301,7 +308,9 @@ object TableMetadataJson {
       defaultSortOrderId = Option(n.get("default-sort-order-id")).map(_.asInt()).getOrElse(0),
       refs = Option(n.get("refs")).map(r => r.properties().asScala.map { e =>
         e.getKey -> SnapshotReference(
-          e.getValue.get("snapshot-id").asLong(), e.getValue.get("type").asText())
+          e.getValue.get("snapshot-id").asLong(), e.getValue.get("type").asText(),
+          Option(e.getValue.get("max-ref-age-ms")).map(_.asLong()),
+          Option(e.getValue.get("min-snapshots-to-keep")).map(_.asInt()))
       }.toMap).getOrElse(Map.empty))
   }
 

@@ -19,19 +19,42 @@ import graft.table.ManifestModel._
 object Maintenance {
 
   /** Expires all snapshots except the `keepLast` most recent (by sequence
-    * number) and any snapshot still referenced by a branch/tag, then
-    * physically deletes every data file, manifest, and manifest list only
-    * reachable from the expired snapshots. Time travel to expired snapshots
-    * becomes unavailable (that is the point — bounded metadata + storage).
+    * number) and any snapshot protected by a branch/tag, then physically
+    * deletes every data file, manifest, and manifest list only reachable
+    * from the expired snapshots. Time travel to expired snapshots becomes
+    * unavailable (that is the point — bounded metadata + storage).
+    *
+    * Per-ref retention policies (snapshot.rs:258-307) are honored first:
+    * a ref older than its `maxRefAgeMs` (age measured from its snapshot's
+    * commit timestamp against `nowMs`) is REMOVED in the same commit, so
+    * its snapshots lose protection; a surviving branch ref protects its
+    * head plus `minSnapshotsToKeep - 1` most recent ancestors along the
+    * parent chain.
     */
-  def expireSnapshots(spark: SparkSession, table: IceTable, keepLast: Int): IceTable = {
+  def expireSnapshots(spark: SparkSession, table: IceTable, keepLast: Int,
+                      nowMs: Long = System.currentTimeMillis()): IceTable = {
     val m = table.metadata
     val bySeq = m.snapshots.values.toSeq.sortBy(_.sequenceNumber)
+
+    // 1. refs past their max age die with this commit (main never expires)
+    val staleRefs: Seq[String] = m.refs.toSeq.collect {
+      case (name, r) if name != m.MainBranch && r.maxRefAgeMs.exists(age =>
+        m.snapshotById(r.snapshotId).exists(s => nowMs - s.timestampMs > age)) => name
+    }
+    val liveRefs = m.refs -- staleRefs
+
+    // 2. surviving branch refs protect min-snapshots-to-keep of ancestry
+    def ancestors(id: Long): Seq[Long] =
+      Iterator.iterate(m.snapshotById(id))(s => s.flatMap(_.parentSnapshotId).flatMap(m.snapshotById))
+        .takeWhile(_.isDefined).map(_.get.snapshotId).toSeq
+    val refProtected: Set[Long] = liveRefs.values.flatMap { r =>
+      ancestors(r.snapshotId).take(math.max(1, r.minSnapshotsToKeep.getOrElse(1)))
+    }.toSet
+
     val keepIds: Set[Long] =
-      (bySeq.takeRight(keepLast).map(_.snapshotId) ++
-        m.refs.values.map(_.snapshotId) ++ m.currentSnapshotId).toSet
+      (bySeq.takeRight(keepLast).map(_.snapshotId) ++ refProtected ++ m.currentSnapshotId).toSet
     val expire = bySeq.filterNot(s => keepIds.contains(s.snapshotId))
-    if (expire.isEmpty) return table
+    if (expire.isEmpty && staleRefs.isEmpty) return table
 
     def filesOf(snapIds: Set[Long]): (Set[String], Set[String], Set[String]) = {
       val snaps = snapIds.flatMap(m.snapshotById)
@@ -45,7 +68,8 @@ object Maintenance {
 
     val committed = table.catalog.updateTable(CommitTable(table.ident,
       Seq(TableRequirement.AssertRefSnapshotId(m.MainBranch, m.currentSnapshotId)),
-      Seq(TableUpdate.RemoveSnapshots(expire.map(_.snapshotId)))))
+      staleRefs.map(TableUpdate.RemoveSnapshotRef) :+
+        TableUpdate.RemoveSnapshots(expire.map(_.snapshotId))))
     table.metadata = committed
 
     // physical deletes AFTER the metadata commit: a failure here leaks

@@ -24,7 +24,8 @@ object ParquetStats {
 
   def dataFile(path: String, conf: Configuration, schema: IceSchema,
                partition: Seq[(String, Any)], content: Int = 0,
-               equalityIds: Seq[Int] = Nil): DataFile = {
+               equalityIds: Seq[Int] = Nil,
+               distinctCounts: Map[Int, Long] = Map.empty): DataFile = {
     val file = HadoopInputFile.fromPath(new Path(path), conf)
     val reader = ParquetFileReader.open(file)
     try {
@@ -80,6 +81,7 @@ object ParquetStats {
         columnSizes = columnSizes,
         valueCounts = valueCounts,
         nullValueCounts = nullCounts,
+        distinctCounts = distinctCounts,
         lowerBounds = lowerBounds.view.filterKeys(statsValid).toMap
           .map { case (k, v) => k -> ValueCodec.toBytes(v) },
         upperBounds = upperBounds.view.filterKeys(statsValid).toMap

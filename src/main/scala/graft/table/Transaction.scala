@@ -26,7 +26,8 @@ class Transaction(table: IceTable, branch: Option[String]) {
   private var propertyRemovals: Seq[String] = Nil
   private var newSchema: Option[IceSchema] = None
   private var newSortOrder: Option[graft.spec.SortOrder] = None
-  private var refUpdates: Map[String, Long] = Map.empty // tag/branch name -> snapshot id
+  // tag name -> (snapshot id, max-ref-age-ms, min-snapshots-to-keep)
+  private var refUpdates: Map[String, (Long, Option[Long], Option[Int])] = Map.empty
 
   def appendData(files: Seq[DataFile]): Transaction = { appendedData ++= files; this }
   def appendDeletes(files: Seq[DataFile]): Transaction = { appendedDeletes ++= files; this }
@@ -40,7 +41,10 @@ class Transaction(table: IceTable, branch: Option[String]) {
     * range-partition + locally sort on it, tightening per-file column
     * bounds so statistics pruning skips more files. */
   def setSortOrder(o: graft.spec.SortOrder): Transaction = { newSortOrder = Some(o); this }
-  def setRef(name: String, snapshotId: Long): Transaction = { refUpdates += name -> snapshotId; this }
+  def setRef(name: String, snapshotId: Long, maxRefAgeMs: Option[Long] = None,
+             minSnapshotsToKeep: Option[Int] = None): Transaction = {
+    refUpdates += name -> ((snapshotId, maxRefAgeMs, minSnapshotsToKeep)); this
+  }
 
   def commit(): IceTable = {
     val m = table.metadata
@@ -68,8 +72,8 @@ class Transaction(table: IceTable, branch: Option[String]) {
       updates :+= TableUpdate.AddSortOrder(o.copy(orderId = id))
       updates :+= TableUpdate.SetDefaultSortOrder(id)
     }
-    refUpdates.foreach { case (name, id) =>
-      updates :+= TableUpdate.SetSnapshotRef(name, id, "tag")
+    refUpdates.foreach { case (name, (id, maxAge, minKeep)) =>
+      updates :+= TableUpdate.SetSnapshotRef(name, id, "tag", maxAge, minKeep)
     }
 
     val schemaForWrite = newSchema.getOrElse(m.currentSchema)

@@ -453,4 +453,72 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(json.contains("\"format-version\" : 2"))
     assert(json.contains("\"transform\" : \"day\""))
   }
+
+  test("distinct_counts populate at write behind the table property and round-trip") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val schema = IceSchema(0, Seq(
+      NestedField(1, "k", required = false, IceType.LongT),
+      NestedField(2, "grp", required = false, IceType.StringT)))
+    var t = cat.createTable(TableIdent(Seq("test"), "ndv"), schema, PartitionSpec(0, Nil),
+      Map("write.metadata.distinct-counts.enabled" -> "true"))
+    // 100 rows, 100 distinct keys, 4 distinct groups
+    t = IceWrite.append(spark, t,
+      (1L to 100L).map(i => (i, s"g${i % 4}")).toDF("k", "grp"))
+    val entries = t.entries(t.currentSnapshot(None).get)
+    assert(entries.nonEmpty)
+    val dc = entries.map(_.dataFile.distinctCounts).reduce { (a, b) =>
+      (a.keySet ++ b.keySet).map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    }
+    assert(dc.nonEmpty, "distinct_counts not populated")
+    // approx_count_distinct is an HLL sketch (default 5% rsd) — assert the
+    // estimates land near the true NDVs (k: 100 unique, grp: 4 per file)
+    assert(dc(1) >= 90L && dc(1) <= 110L, s"key NDV: $dc")
+    assert(dc(2) >= 4L && dc(2) <= 5L * entries.size, s"group NDV: $dc")
+    // manifest round-trip: reload from catalog, counts survive Avro serde
+    val reloaded = cat.loadTable(TableIdent(Seq("test"), "ndv")).get
+    val back = reloaded.entries(reloaded.currentSnapshot(None).get)
+      .map(_.dataFile.distinctCounts).reduce((a, b) => a ++ b)
+    assert(back.nonEmpty && back(1) > 0)
+    // default-off: a table WITHOUT the property writes empty counts
+    var t2 = cat.createTable(TableIdent(Seq("test"), "nondv"), schema, PartitionSpec(0, Nil))
+    t2 = IceWrite.append(spark, t2, Seq((1L, "a")).toDF("k", "grp"))
+    assert(t2.entries(t2.currentSnapshot(None).get).forall(_.dataFile.distinctCounts.isEmpty))
+  }
+
+  test("expireSnapshots honors max-ref-age and min-snapshots-to-keep") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val schema = IceSchema(0, Seq(NestedField(1, "x", required = false, IceType.LongT)))
+    var t = cat.createTable(TableIdent(Seq("test"), "ret"), schema, PartitionSpec(0, Nil))
+    t = IceWrite.append(spark, t, Seq(1L).toDF("x"))
+    val snap1 = t.currentSnapshot(None).get
+    t = IceWrite.append(spark, t.refresh(), Seq(2L).toDF("x"))
+    val snap2 = t.currentSnapshot(None).get
+    t = IceWrite.append(spark, t.refresh(), Seq(3L).toDF("x"))
+    val snap3 = t.currentSnapshot(None).get
+    // tag snap1 with a 1-hour max age; branch-style ref on snap3 protecting
+    // 2 ancestors (snap3 + parent snap2)
+    t = t.newTransaction(None).setRef("old-tag", snap1.snapshotId,
+      maxRefAgeMs = Some(3600 * 1000L)).commit()
+    t = t.newTransaction(None).setRef("keeper", snap3.snapshotId,
+      minSnapshotsToKeep = Some(2)).commit()
+
+    // now = commit time + 10s: tag still young → its snapshot survives
+    // keepLast = 1, but min-snapshots-to-keep protects snap2 as well
+    t = graft.table.Maintenance.expireSnapshots(spark, t.refresh(), keepLast = 1,
+      nowMs = snap3.timestampMs + 10000L)
+    assert(t.metadata.refs.contains("old-tag"))
+    assert(t.metadata.snapshots.keySet ==
+      Set(snap1.snapshotId, snap2.snapshotId, snap3.snapshotId))
+
+    // now = +2 hours: the tag ages out, taking snap1's protection with it;
+    // snap2 stays (branch retention), snap3 stays (current + keepLast)
+    t = graft.table.Maintenance.expireSnapshots(spark, t.refresh(), keepLast = 1,
+      nowMs = snap3.timestampMs + 2 * 3600 * 1000L)
+    assert(!t.metadata.refs.contains("old-tag"))
+    assert(t.metadata.snapshots.keySet == Set(snap2.snapshotId, snap3.snapshotId))
+    // data reachable from the survivors is intact
+    assert(IceScan.scan(spark, t).orderBy("x").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
 }
