@@ -167,11 +167,14 @@ object Embeddings {
         lit(cid).as("c"))
     }
     val rankedCells = array_sort(array(distStructs.toSeq: _*))
-    val assigned = prepared.withColumn("c", element_at(rankedCells, 1).getField("c"))
+    // both join sides (corpus assignment + query probes) need the ranked
+    // cells — compute the cells × dots once and cache, like the LSH path
+    val withCells = prepared.withColumn("__cells", rankedCells).cache()
+    val assigned = withCells.withColumn("c", element_at(col("__cells"), 1).getField("c"))
     // probe list only materializes on QUERY rows (filter first, then explode)
-    val q = prepared.filter(queryPred)
+    val q = withCells.filter(queryPred)
       .select(col(idCol).as("query_id"),
-        explode(slice(rankedCells, 1, nprobe).getField("c")).as("c"),
+        explode(slice(col("__cells"), 1, nprobe).getField("c")).as("c"),
         col("q").as("qa"), col("n2").as("na"))
     val c = assigned.select(col(idCol).as("neighbor_id"), col("c"), col("q").as("qb"), col("n2").as("nb"))
     val scored = q.join(c, Seq("c")).filter(col("query_id") =!= col("neighbor_id"))
