@@ -186,6 +186,29 @@ object IcebergQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // SQL UPDATE + DELETE row-level mutations (beyond the reference, which
+    // panics on content=1 files): UPDATE commits positional deletes + the
+    // rewritten generation in ONE transaction; DELETE masks by position with
+    // no data rewrite. Both run purely through the SQL surface.
+    "q41_sql_update_delete" -> ((s, d) => {
+      val wh = Files.createTempDirectory("graft_uwh").toString
+      s.conf.set("spark.sql.catalog.graft_u", "graft.spark.sql.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.graft_u.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_u.db")
+      s.sql("DROP TABLE IF EXISTS graft_u.db.uorders")
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      o.createOrReplaceTempView("q41_src_orders")
+      s.sql("CREATE TABLE graft_u.db.uorders (o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(18,2))")
+      s.sql("INSERT INTO graft_u.db.uorders SELECT * FROM q41_src_orders")
+      s.sql("UPDATE graft_u.db.uorders SET price = price * 2 WHERE o_orderkey % 5 = 0")
+      s.sql("DELETE FROM graft_u.db.uorders WHERE o_orderstatus = 'P'")
+      s.table("graft_u.db.uorders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // CDC changelog read (S4 extension): three commits — even keys, odd
     // keys, equality-delete of F-status keys. Window 1 (snap1→snap2) is
     // append-only and streams inserts straight off the new files (no diff);
@@ -278,6 +301,15 @@ object IcebergQueries {
         |FROM orders
         |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-06-01'
         |  AND CAST(o_orderdate AS DATE) < DATE '1996-09-01'""".stripMargin,
+    "q41_sql_update_delete" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
+        |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total
+        |FROM upd WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q40_changelog" ->
       """WITH src AS (
         |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price

@@ -65,10 +65,22 @@ object IceWrite {
     */
   def appendPositionDeletes(spark: SparkSession, table: IceTable, predicate: org.apache.spark.sql.Column,
                             branch: Option[String] = None): IceTable = {
+    val files = positionDeleteFiles(spark, table, predicate, branch)
+    if (files.isEmpty) table
+    else table.newTransaction(branch).appendDeletes(files).commit()
+  }
+
+  /** The uncommitted half of [[appendPositionDeletes]]: writes the delete
+    * files and returns them so a caller (e.g. SQL UPDATE) can commit them
+    * TOGETHER with replacement data files in one atomic transaction.
+    */
+  private[graft] def positionDeleteFiles(spark: SparkSession, table: IceTable,
+                                         predicate: org.apache.spark.sql.Column,
+                                         branch: Option[String] = None): Seq[DataFile] = {
     val snap = table.currentSnapshot(branch)
       .getOrElse(throw new IllegalStateException("cannot delete from an empty table"))
     val paths = table.dataFiles(snap).map(_.dataFile.filePath)
-    if (paths.isEmpty) return table
+    if (paths.isEmpty) return Nil
     // resolve parquet columns by PARQUET:field_id like the scan path: files
     // written before a RENAME COLUMN must still bind the predicate to the
     // renamed column, not evaluate it against nulls. Restored in finally —
@@ -82,9 +94,8 @@ object IceWrite {
         .filter(predicate)
         .select(col("_metadata.file_path").as("file_path"),
           col("_metadata.row_index").as("pos"))
-      val files = writeDataFiles(spark, table, matches, PosDeleteSchema,
+      writeDataFiles(spark, table, matches, PosDeleteSchema,
         content = ContentPositionDeletes)
-      table.newTransaction(branch).appendDeletes(files).commit()
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)

@@ -239,3 +239,100 @@ final case class GraftMergeCommand(
       s"MERGE assignment target must be a column: ${other.sql}")
   }
 }
+
+/** Shared by SQL DELETE/UPDATE: opaque (non-TreeNode-typed) holder so the
+  * unresolved condition/assignments dodge CheckAnalysis until run(), same
+  * trick as [[MergePayload]]. `targetAlias`-qualified column references are
+  * stripped at run time so they bind against the bare table scan.
+  */
+final class RowFilterPayload(val condition: Option[Expression],
+                             val assignments: Seq[Assignment] = Nil) extends Serializable {
+  override def toString: String =
+    condition.map(c => s"WHERE ${c.sql}").getOrElse("WHERE true") +
+      (if (assignments.isEmpty) "" else s" SET ${assignments.size} columns")
+}
+
+object RowFilterPayload {
+  /** `t.col` → `col` when `t` is the statement's target alias/name. */
+  private[sql] def unqualify(e: Expression, targetAlias: String): Expression =
+    e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+        a.nameParts.init.last.equalsIgnoreCase(targetAlias) =>
+        UnresolvedAttribute(Seq(a.nameParts.last))
+    }
+}
+
+/** SQL `DELETE FROM <graft table> [WHERE cond]` — merge-on-read: matching
+  * rows become ONE positional-delete file commit (no data rewrite; the scan
+  * masks the (file, position) pairs), the row-level mutation surface the
+  * reference refuses (table.rs:422-424 panics on content=1).
+  */
+final case class GraftDeleteCommand(
+    catalogName: String,
+    ident: TableIdent,
+    targetAlias: String,
+    payload: RowFilterPayload) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("rows_deleted", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = GraftSqlParser.fileCatalog(spark, catalogName).loadTable(ident)
+      .getOrElse(throw new IllegalArgumentException(s"no such table $ident"))
+    val cond = payload.condition
+      .map(c => GraftShim.column(RowFilterPayload.unqualify(c, targetAlias)))
+      .getOrElse(lit(true))
+    // count against the MoR-masked scan (rows already dead don't count);
+    // the positional delete itself runs over raw files — re-deleting an
+    // already-masked position is a harmless no-op
+    val n = IceScan.scan(spark, table).filter(cond).count()
+    if (n > 0) IceWrite.appendPositionDeletes(spark, table, cond)
+    Seq(Row(n))
+  }
+}
+
+/** SQL `UPDATE <graft table> SET col = expr, ... [WHERE cond]` —
+  * merge-on-read: ONE transaction commits a positional-delete file masking
+  * the matched rows plus data files carrying their updated versions (the
+  * delete masks only strictly older files, so the new generation survives —
+  * the same invariant MERGE relies on, but keyed by position, needing no
+  * unique key).
+  */
+final case class GraftUpdateCommand(
+    catalogName: String,
+    ident: TableIdent,
+    targetAlias: String,
+    payload: RowFilterPayload) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("rows_updated", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = GraftSqlParser.fileCatalog(spark, catalogName).loadTable(ident)
+      .getOrElse(throw new IllegalArgumentException(s"no such table $ident"))
+    val schema = table.schema
+    val outCols = schema.fields.map(_.name)
+    def unq(e: Expression): Expression = RowFilterPayload.unqualify(e, targetAlias)
+    val cond = payload.condition.map(c => GraftShim.column(unq(c))).getOrElse(lit(true))
+    val byName: Map[String, Expression] = payload.assignments.map { as =>
+      (unq(as.key) match {
+        case a: UnresolvedAttribute => a.nameParts.last
+        case other => throw new UnsupportedOperationException(
+          s"UPDATE assignment target must be a column: ${other.sql}")
+      }) -> unq(as.value)
+    }.toMap
+    val updated = IceScan.scan(spark, table).filter(cond)
+      .select(outCols.map(c =>
+        byName.get(c).map(GraftShim.column).getOrElse(col(c)).as(c)): _*)
+      .cache()
+    try {
+      val n = updated.count()
+      if (n > 0) {
+        val delFiles = IceWrite.positionDeleteFiles(spark, table, cond)
+        val dataFiles = IceWrite.writeDataFiles(spark, table, updated, schema)
+        table.newTransaction(None).appendDeletes(delFiles).appendData(dataFiles).commit()
+      }
+      Seq(Row(n))
+    } finally updated.unpersist()
+  }
+}

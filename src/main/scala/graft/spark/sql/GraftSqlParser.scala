@@ -26,7 +26,7 @@ import graft.spark.IceMV
   */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends ParserInterface {
   import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-  import org.apache.spark.sql.catalyst.plans.logical.{MergeIntoTable, SubqueryAlias}
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, MergeIntoTable, SubqueryAlias, UpdateTable}
 
   private val CreateMV =
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+AS\s+(.+)""".r
@@ -42,6 +42,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
       RefreshMaterializedViewCommand(cat, ti)
     case _ => delegate.parsePlan(sqlText) match {
       case m: MergeIntoTable => graftMerge(m).getOrElse(m)
+      case d: DeleteFromTable =>
+        graftTarget(d.table).map { case (cat, ti, alias) =>
+          GraftDeleteCommand(cat, ti, alias, new RowFilterPayload(Some(d.condition)))
+        }.getOrElse(d)
+      case u: UpdateTable =>
+        graftTarget(u.table).map { case (cat, ti, alias) =>
+          GraftUpdateCommand(cat, ti, alias, new RowFilterPayload(u.condition, u.assignments))
+        }.getOrElse(u)
       case p => p
     }
   }
@@ -49,7 +57,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
   /** Rewrites `MERGE INTO <graft table>` into [[GraftMergeCommand]]; leaves
     * merges over non-graft targets to Spark. */
   private def graftMerge(m: MergeIntoTable): Option[LogicalPlan] = {
-    val (alias, rel) = m.targetTable match {
+    graftTarget(m.targetTable).map { case (cat, ti, alias) =>
+      GraftMergeCommand(cat, ti, alias,
+        new MergePayload(m.sourceTable, m.mergeCondition, m.matchedActions,
+          m.notMatchedActions, m.notMatchedBySourceActions))
+    }
+  }
+
+  /** (catalog, table ident, binding alias) when the statement target is a
+    * graft table; None leaves the statement to Spark. */
+  private def graftTarget(plan: LogicalPlan): Option[(String, TableIdent, String)] = {
+    val (alias, rel) = plan match {
       case SubqueryAlias(id, r: UnresolvedRelation) => (Some(id.name), r)
       case r: UnresolvedRelation => (None, r)
       case _ => return None
@@ -60,10 +78,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
       try GraftShim.v2Catalog(session, parts.head).isInstanceOf[GraftSparkCatalog]
       catch { case _: Exception => false }
     if (!isGraft) return None
-    Some(GraftMergeCommand(parts.head, TableIdent(parts.tail.init, parts.last),
-      alias.getOrElse(parts.last),
-      new MergePayload(m.sourceTable, m.mergeCondition, m.matchedActions,
-        m.notMatchedActions, m.notMatchedBySourceActions)))
+    Some((parts.head, TableIdent(parts.tail.init, parts.last), alias.getOrElse(parts.last)))
   }
 
   private def splitIdent(raw: String): (String, TableIdent) = {

@@ -264,6 +264,41 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(("a", 2L), ("a", 100L), ("b", 5L)))
   }
 
+  test("SQL DELETE masks rows via positional deletes; no data rewrite") {
+    spark.sql("CREATE TABLE graft.db.dels (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.dels VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    val r = spark.sql("DELETE FROM graft.db.dels WHERE k % 2 = 0").collect()
+    assert(r.head.getLong(0) == 2) // rows_deleted
+    assert(spark.sql("SELECT k FROM graft.db.dels").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // merge-on-read: original data files survive, only a delete file was added
+    val t = new graft.catalog.FileCatalog(warehouse)
+      .loadTable(graft.catalog.TableIdent(Seq("db"), "dels")).get
+    val entries = t.entries(t.currentSnapshot(None).get)
+    assert(entries.exists(_.dataFile.content == graft.table.ManifestModel.ContentPositionDeletes))
+    // alias-qualified predicate binds too; deleting the same rows again is 0
+    assert(spark.sql("DELETE FROM graft.db.dels t WHERE t.k = 100").head().getLong(0) == 0)
+  }
+
+  test("SQL UPDATE rewrites matched rows atomically (delete + new generation)") {
+    spark.sql("CREATE TABLE graft.db.upd (k BIGINT, v BIGINT, note STRING)")
+    spark.sql("INSERT INTO graft.db.upd VALUES (1, 10, 'x'), (2, 20, 'y'), (3, 30, 'z')")
+    val before = new graft.catalog.FileCatalog(warehouse)
+      .loadTable(graft.catalog.TableIdent(Seq("db"), "upd")).get
+    val snapsBefore = before.metadata.snapshots.size
+    val r = spark.sql("UPDATE graft.db.upd SET v = v * 10, note = concat(note, '!') WHERE k >= 2")
+    assert(r.head().getLong(0) == 2) // rows_updated
+    val got = spark.sql("SELECT k, v, note FROM graft.db.upd ORDER BY k").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(got.toSeq == Seq((1L, 10L, "x"), (2L, 200L, "y!"), (3L, 300L, "z!")))
+    // one transaction: exactly one new snapshot holds both delete + data files
+    val after = new graft.catalog.FileCatalog(warehouse)
+      .loadTable(graft.catalog.TableIdent(Seq("db"), "upd")).get
+    assert(after.metadata.snapshots.size == snapsBefore + 1)
+    // updating an updated row composes (reads through the MoR mask)
+    spark.sql("UPDATE graft.db.upd SET v = v + 1 WHERE k = 2")
+    assert(spark.sql("SELECT v FROM graft.db.upd WHERE k = 2").head().getLong(0) == 201L)
+  }
+
   test("native expressions are SQL functions: dotq, iceberg_bucket") {
     assert(spark.sql("SELECT dotq(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
       .head().getLong(0) == 32L)
