@@ -499,10 +499,18 @@ object IceScan {
             .withColumn("__graft_pos", col("_metadata.row_index"))
         // exact row/byte totals from the surviving manifest entries → the
         // optimizer (SupportsReportStatistics analogue; rows × width sizing
-        // under CBO/planStats instead of compressed-bytes underestimates)
+        // under CBO/planStats instead of compressed-bytes underestimates).
+        // Per-column NDVs (summed across files — a safe overestimate) ride
+        // along when the table populates distinct_counts at write.
+        val ndv: Map[String, Long] = entries.iterator
+          .flatMap(_.dataFile.distinctCounts).toSeq
+          .groupBy(_._1).flatMap { case (id, xs) =>
+            schema.fieldById(id).map(_.name -> xs.map(_._2).sum)
+          }
         org.apache.spark.sql.GraftShim.withScanStats(spark, withMeta,
           entries.iterator.map(e => BigInt(e.dataFile.recordCount)).sum,
-          entries.iterator.map(e => BigInt(e.dataFile.fileSizeInBytes)).sum)
+          entries.iterator.map(e => BigInt(e.dataFile.fileSizeInBytes)).sum,
+          ndv)
       }
 
     def maskPositions(df: DataFrame): DataFrame =

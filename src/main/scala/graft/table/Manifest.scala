@@ -312,7 +312,35 @@ object ManifestIO {
 
   private def str(v: Any): String = v match { case null => null; case s => s.toString }
 
-  def readManifest(path: String): Seq[ManifestEntry] = {
+  /** Immutable-file LRU caches: manifests and manifest lists are written
+    * once under UUID names and never mutated (rewrites get new names), so a
+    * cached parse is valid forever — repeated scans of the same snapshot
+    * (MV refresh, MoR planning, interactive sessions) skip the Avro decode
+    * entirely. Bounded per kind; evicts least-recently-used.
+    */
+  private val manifestCacheCap =
+    sys.props.get("graft.manifest.cache.entries").map(_.toInt).getOrElse(256)
+  private def lru[V](): java.util.LinkedHashMap[String, V] =
+    new java.util.LinkedHashMap[String, V](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
+        size() > manifestCacheCap
+    }
+  private val manifestCache = lru[Seq[ManifestEntry]]()
+  private val manifestListCache = lru[Seq[ManifestListEntry]]()
+  private def cached[V](cache: java.util.LinkedHashMap[String, V], path: String)(load: => V): V = {
+    val hit = cache.synchronized(cache.get(path))
+    if (hit != null) hit
+    else {
+      val v = load // outside the lock: a slow read must not serialize other paths
+      cache.synchronized(cache.put(path, v))
+      v
+    }
+  }
+
+  def readManifest(path: String): Seq[ManifestEntry] =
+    cached(manifestCache, path)(readManifestUncached(path))
+
+  private def readManifestUncached(path: String): Seq[ManifestEntry] = {
     val reader = new DataFileReader[GenericRecord](new File(path),
       new GenericDatumReader[GenericRecord]())
     try reader.iterator().asScala.map { r =>
@@ -353,7 +381,10 @@ object ManifestIO {
     }.toList finally reader.close()
   }
 
-  def readManifestList(path: String): Seq[ManifestListEntry] = {
+  def readManifestList(path: String): Seq[ManifestListEntry] =
+    cached(manifestListCache, path)(readManifestListUncached(path))
+
+  private def readManifestListUncached(path: String): Seq[ManifestListEntry] = {
     val reader = new DataFileReader[GenericRecord](new File(path),
       new GenericDatumReader[GenericRecord]())
     try reader.iterator().asScala.map { r =>

@@ -44,10 +44,16 @@ object GraftShim {
     * index's number, so default behavior is unchanged.
     */
   def withScanStats(spark: SparkSession, df: DataFrame,
-                    rowCount: BigInt, sizeInBytes: BigInt): DataFrame = {
+                    rowCount: BigInt, sizeInBytes: BigInt,
+                    ndv: Map[String, Long] = Map.empty): DataFrame = {
     import org.apache.spark.sql.catalyst.TableIdentifier
-    import org.apache.spark.sql.catalyst.catalog.{CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
+    import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
     import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // NDVs (from manifest distinct_counts, when the table populates them)
+    // become per-column catalog stats → CBO join-cardinality estimates
+    val colStats = ndv.map { case (name, n) =>
+      name -> CatalogColumnStat(distinctCount = Some(BigInt(n)))
+    }
     val planned = df.queryExecution.analyzed transform {
       case l: LogicalRelation if l.catalogTable.isEmpty =>
         l.copy(catalogTable = Some(CatalogTable(
@@ -56,7 +62,7 @@ object GraftShim {
           storage = CatalogStorageFormat.empty,
           schema = l.schema,
           provider = Some("parquet"),
-          stats = Some(CatalogStatistics(sizeInBytes, Some(rowCount))))))
+          stats = Some(CatalogStatistics(sizeInBytes, Some(rowCount), colStats)))))
     }
     ofRows(spark, planned)
   }

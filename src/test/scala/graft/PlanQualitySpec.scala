@@ -104,17 +104,24 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val schema = IceSchema(0, Seq(
       NestedField(1, "id", required = false, IceType.LongT),
       NestedField(2, "label", required = false, IceType.StringT)))
-    var t = cat.createTable(TableIdent(Seq("db"), "stats"), schema, PartitionSpec(0, Nil))
+    var t = cat.createTable(TableIdent(Seq("db"), "stats"), schema, PartitionSpec(0, Nil),
+      Map("write.metadata.distinct-counts.enabled" -> "true"))
     t = IceWrite.append(spark, t, (1L to 1000L).map(i => (i, s"row-$i")).toDF("id", "label"))
     spark.conf.set("spark.sql.cbo.enabled", "true")
     try {
-      val stats = IceScan.scan(spark, t).queryExecution.optimizedPlan.stats
+      val plan = IceScan.scan(spark, t).queryExecution.optimizedPlan
+      val stats = plan.stats
       // rowCount is the manifest's exact record_count sum, not a file-size guess
       assert(stats.rowCount.contains(BigInt(1000)), s"manifest rowCount not fed: $stats")
       // size is rows × row-width (in-memory estimate), not compressed bytes:
       // 1000 rows × (8B long + ~20B string + overhead) must exceed the zstd
       // footprint heuristic floor of raw file bytes
       assert(stats.sizeInBytes > 1000L * 8, s"row-based sizing missing: $stats")
+      // manifest distinct_counts surface as per-column NDVs for CBO
+      val idNdv = stats.attributeStats.collectFirst {
+        case (a, s) if a.name == "id" => s.distinctCount
+      }.flatten
+      assert(idNdv.exists(n => n >= 900 && n <= 1100), s"NDV not fed to CBO: $idNdv")
     } finally spark.conf.unset("spark.sql.cbo.enabled")
   }
 
