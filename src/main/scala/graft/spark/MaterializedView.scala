@@ -66,21 +66,22 @@ object IceMV {
   private val DistinctPropKey = "graft.mv.distinct"
   private val mapper = new ObjectMapper()
 
-  /** Distinct-count MV metadata: the distinct-key storage column and the
-    * visible outputs as (name, kind) with kind ∈ group | count_distinct |
-    * count | sum | min | max. */
-  private def readDistinct(storage: IceTable): Option[(String, Seq[(String, String)])] =
+  /** Distinct-count MV metadata: the distinct-key storage columns and the
+    * visible outputs as (name, kind) with kind ∈ group |
+    * count_distinct:<col> | count | sum | min | max. */
+  private def readDistinct(storage: IceTable): Option[(Seq[String], Seq[(String, String)])] =
     storage.metadata.properties.get(DistinctPropKey).map { json =>
       import scala.jdk.CollectionConverters._
       val n = mapper.readTree(json)
-      (n.get("dk").asText(),
+      (n.get("dks").elements().asScala.map(_.asText()).toSeq,
         n.get("outs").elements().asScala.map(o =>
           (o.get("vis").asText(), o.get("kind").asText())).toSeq)
     }
 
-  private def writeDistinct(dk: String, outs: Seq[(String, String)]): String = {
+  private def writeDistinct(dks: Seq[String], outs: Seq[(String, String)]): String = {
     val root = mapper.createObjectNode()
-    root.put("dk", dk)
+    val dkArr = root.putArray("dks")
+    dks.foreach(dkArr.add)
     val arr = root.putArray("outs")
     outs.foreach { case (vis, kind) =>
       val o = arr.addObject(); o.put("vis", vis); o.put("kind", kind)
@@ -93,12 +94,13 @@ object IceMV {
     * (groups, x) granularity — distinct counts are then DERIVABLE (row
     * counts per group) and every other aggregate stays additively mergeable,
     * so the standard incremental machinery applies to the rewritten plan.
-    * Returns (rewritten aggregate, distinct-key column, visible outputs);
-    * None when the plan has no distinct aggs or an unsupported shape (only
-    * single-column count(DISTINCT x) over ONE common column, combined with
-    * count/sum/min/max, qualifies — avg+distinct degrades to full refresh).
+    * Returns (rewritten aggregate, distinct-key columns, visible outputs);
+    * None when the plan has no distinct aggs or an unsupported shape
+    * (single-column count(DISTINCT x) aggs — over one OR SEVERAL distinct
+    * columns, stored at (groups, x, y, ...) granularity — combined with
+    * count/sum/min/max qualify; avg+distinct degrades to full refresh).
     */
-  private[graft] def distinctRewrite(a: Aggregate): Option[(Aggregate, String, Seq[(String, String)])] = {
+  private[graft] def distinctRewrite(a: Aggregate): Option[(Aggregate, Seq[String], Seq[(String, String)])] = {
     val hasDistinct = a.aggregateExpressions.exists {
       case Alias(f: UnresolvedFunction, _) => f.isDistinct
       case _ => false
@@ -108,7 +110,7 @@ object IceMV {
       case att: UnresolvedAttribute => att.nameParts.last
       case _ => return None
     }
-    var dkSrc: Option[String] = None
+    var dks = Vector.empty[String]
     val outs: Seq[(String, String)] = a.aggregateExpressions.map {
       case att: UnresolvedAttribute => att.nameParts.last -> "group"
       case Alias(att: UnresolvedAttribute, nm) if groupNames.contains(att.nameParts.last) => nm -> "group"
@@ -119,26 +121,26 @@ object IceMV {
           f.arguments.head match {
             case att: UnresolvedAttribute =>
               val c = att.nameParts.last
-              if (dkSrc.exists(_ != c)) return None
-              dkSrc = Some(c)
-              nm -> "count_distinct"
+              if (groupNames.contains(c)) return None // constant per group
+              if (!dks.contains(c)) dks :+= c
+              nm -> s"count_distinct:$c"
             case _ => return None
           }
         } else if (Seq("count", "sum", "min", "max").contains(fn)) nm -> fn
         else return None
       case _ => return None
     }
-    val dk = dkSrc.getOrElse(return None)
-    // the distinct key doubles as a storage column under its own name — a
+    if (dks.isEmpty) return None
+    // distinct keys double as storage columns under their own names — a
     // visible output with the same name would collide
-    if (outs.exists(_._1 == dk)) return None
+    if (outs.exists(o => dks.contains(o._1))) return None
     val rewritten = a.copy(
-      groupingExpressions = a.groupingExpressions :+ UnresolvedAttribute(Seq(dk)),
+      groupingExpressions = a.groupingExpressions ++ dks.map(c => UnresolvedAttribute(Seq(c))),
       aggregateExpressions = a.aggregateExpressions.filter {
         case Alias(f: UnresolvedFunction, _) => !f.isDistinct
         case _ => true
-      } :+ UnresolvedAttribute(Seq(dk)))
-    Some((rewritten, dk, outs))
+      } ++ dks.map(c => UnresolvedAttribute(Seq(c))))
+    Some((rewritten, dks, outs))
   }
 
   /** (visibleName, sumCol, cntCol, visibleTypeJson) for decomposed avgs. */
@@ -204,8 +206,8 @@ object IceMV {
       }
       props += AvgPropKey -> mapper.writeValueAsString(arr)
     }
-    distinctInfo.foreach { case (_, dk, outs) =>
-      props += DistinctPropKey -> writeDistinct(dk, outs)
+    distinctInfo.foreach { case (_, dks, outs) =>
+      props += DistinctPropKey -> writeDistinct(dks, outs)
     }
     val schema = IceSchema(0, struct.fields, identifierFieldIds = keyIds)
     catalog.createTable(storageIdent(ident), schema, PartitionSpec(0, Nil), props)
@@ -220,17 +222,19 @@ object IceMV {
       .getOrElse(throw new IllegalArgumentException(s"no materialized view $ident"))
     val scan = IceScan.scan(spark, storage)
     readDistinct(storage) match {
-      case Some((dk, outs)) =>
-        // roll the (groups, x)-granular storage up to the visible shape:
-        // count(DISTINCT x) = count of distinct-key rows (unique per group by
-        // construction), additive aggs re-sum, min/max re-extremize
+      case Some((dks, outs)) =>
+        // roll the (groups, x, y, ...)-granular storage up to the visible
+        // shape: count(DISTINCT x) = countDistinct over the compact key
+        // combinations, additive aggs re-sum, min/max re-extremize
         val (_, schemaJson) = catalog.loadView(ident)
           .getOrElse(throw new IllegalStateException(s"no view metadata for $ident"))
         val visible = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         val groupNames = outs.collect { case (n, "group") => n }
         val aggs = outs.collect {
-          case (n, "count_distinct") => count(col(dk)).cast(visible(n).dataType).as(n)
+          case (n, kind) if kind.startsWith("count_distinct:") =>
+            countDistinct(col(kind.stripPrefix("count_distinct:")))
+              .cast(visible(n).dataType).as(n)
           case (n, kind) if kind == "count" || kind == "sum" =>
             sum(col(n)).cast(visible(n).dataType).as(n)
           case (n, "min") => min(col(n)).cast(visible(n).dataType).as(n)

@@ -201,6 +201,30 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IceMV.read(spark, cat, mv).columns.toSeq == Seq("product_id", "n", "n_amts", "total"))
   }
 
+  test("multi-column count(DISTINCT) MV stores (groups, x, y) combos and merges") {
+    val cat = newCatalog()
+    var orders = cat.createTable(TableIdent(Seq("db"), "orders"), ordersSchema, PartitionSpec(0, Nil))
+    // (id, product_id, amount): distinct over BOTH id and amount per product
+    orders = IceWrite.append(spark, orders, ordersDf(Seq((1L, 1L, 4L), (2L, 1L, 4L), (3L, 2L, 5L))))
+    val mv = TableIdent(Seq("db"), "dist_two")
+    IceMV.create(spark, cat, mv,
+      "SELECT product_id, count(DISTINCT id) AS n_ids, count(DISTINCT amount) AS n_amts, count(*) AS n FROM orders GROUP BY product_id")
+    IceMV.refresh(spark, cat, mv)
+    assert(IceMV.read(spark, cat, mv).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap ==
+      Map(1L -> (2L, 1L, 2L), 2L -> (1L, 1L, 1L)))
+
+    // repeat (id 1, amount 4) pair for p1 (no NDV change), new amount for p2
+    orders = IceWrite.append(spark, orders.refresh(), ordersDf(Seq((1L, 1L, 4L), (4L, 2L, 9L))))
+    val r = IceMV.refresh(spark, cat, mv)
+    assert(r.strategy.isInstanceOf[IceMV.IncrementalAggregate],
+      s"expected incremental refresh, got ${r.strategy}")
+    val got = IceMV.read(spark, cat, mv).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(1L -> (2L, 1L, 3L), 2L -> (2L, 2L, 2L)))
+    assert(IceMV.read(spark, cat, mv).columns.toSeq == Seq("product_id", "n_ids", "n_amts", "n"))
+  }
+
   test("MV with a subquery source refreshes it and tracks its freshness") {
     val cat = newCatalog()
     var orders = cat.createTable(TableIdent(Seq("db"), "orders"), ordersSchema, PartitionSpec(0, Nil))
