@@ -145,31 +145,87 @@ object Embeddings {
     * `nprobe` nearest cells; corpus vectors still live in exactly one cell,
     * so candidate volume (and cost) scales with nprobe/cells while recall
     * recovers neighbors that fall just across a Voronoi boundary. */
-  def ivfTopKProbed(prepared: DataFrame, idCol: String, k: Int, cells: Int,
-                    queryPred: Column, nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Deterministic centroid sample: every ⌊n/cells⌋-th id (assumes dense
+    * ids from 0 — swap for [[trainCentroids]] output when data is clustered
+    * or ids are sparse). Returns (cell id, quantized centroid, |c|²). */
+  def sampleCentroids(prepared: DataFrame, idCol: String, cells: Int): Array[(Long, Array[Long], Long)] = {
     val n = prepared.count() // one metadata-scale job; estimate via stats at scale
     val m = math.max(n / cells, 1L)
-    // centroids come to the driver (≤ cells rows — metadata scale) and are
-    // inlined as literal columns: cell assignment is then a PER-ROW argmin
-    // over an array of (d², c) structs, entirely inside codegen — no
-    // n×cells crossJoin shuffle, no window. Struct ordering gives the same
-    // (distance asc, c asc) tie-break as the previous ranked form.
-    val cents: Array[(Long, Array[Long], Long)] = prepared
+    val cents = prepared
       .filter(col(idCol) % m === 0 && col(idCol) < m * cells)
       .select(expr(s"$idCol DIV $m").as("c"), col("q").as("cq"), col("n2").as("cn2"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
       .sortBy(_._1)
     require(cents.nonEmpty, s"no centroids sampled (n=$n, cells=$cells): ids must be dense from 0")
-    val distStructs = cents.map { case (cid, cq, cn2) =>
+    cents
+  }
+
+  /** Per-row nearest-cell argmin expression over inlined centroid literals:
+    * an array of exact (d², c) structs sorted ascending — struct ordering
+    * gives the (distance asc, c asc) tie-break — entirely inside codegen,
+    * no n×cells crossJoin shuffle, no window. */
+  private def rankedCellsExpr(cents: Array[(Long, Array[Long], Long)]): Column =
+    array_sort(array(cents.map { case (cid, cq, cn2) =>
       struct((col("n2") + lit(cn2) - lit(2L) * dotq(col("q"), typedLit(cq))).as("d2"),
         lit(cid).as("c"))
+    }.toSeq: _*))
+
+  /** Lloyd's k-means refinement of the IVF centroids (the trained-centroid
+    * scale path the sampled variant documents): starts from the
+    * deterministic sample, then each iteration assigns every vector to its
+    * nearest centroid (per-row argmin, one map — no shuffle) and recomputes
+    * cell means (one hash aggregate over (cell, dimension)). Means are
+    * re-quantized by rounding, so training is deterministic across
+    * partitionings and engines; empty cells keep their previous centroid.
+    */
+  def trainCentroids(prepared: DataFrame, idCol: String, cells: Int,
+                     iters: Int): Array[(Long, Array[Long], Long)] = {
+    var cents = sampleCentroids(prepared, idCol, cells)
+    for (_ <- 1 to iters) {
+      val assign = element_at(rankedCellsExpr(cents), 1).getField("c")
+      // (cell, dim) means: n×dim exploded rows through ONE partial-agg
+      // shuffle of at most cells×dim groups — the classic distributed Lloyd
+      val dims = prepared.withColumn("__c", assign)
+        .select(col("__c"), posexplode(col("q")).as(Seq("p", "v")))
+        .groupBy(col("__c"), col("p")).agg(avg(col("v")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (c, rows) => c -> rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap }
+      cents = cents.map { case (cid, oldQ, _) =>
+        val nq = dims.get(cid) match {
+          case Some(byDim) => Array.tabulate(oldQ.length)(i =>
+            byDim.get(i).map(math.round).getOrElse(oldQ(i)))
+          case None => oldQ
+        }
+        (cid, nq, nq.iterator.map(x => x * x).sum)
+      }
     }
-    val rankedCells = array_sort(array(distStructs.toSeq: _*))
+    cents
+  }
+
+  def ivfTopKProbed(prepared: DataFrame, idCol: String, k: Int, cells: Int,
+                    queryPred: Column, nprobe: Int): DataFrame =
+    searchCells(prepared, idCol, k, queryPred, nprobe,
+      sampleCentroids(prepared, idCol, cells))
+
+  /** [[ivfTopKProbed]] with k-means-trained centroids: tighter Voronoi
+    * cells → better recall at the same nprobe when the corpus is clustered
+    * (the data-dependent case where id-sampled centroids mis-bin). */
+  def ivfTopKTrained(prepared: DataFrame, idCol: String, k: Int, cells: Int,
+                     queryPred: Column, nprobe: Int, trainIters: Int = 3): DataFrame = {
+    val cached = prepared.cache() // training iterates over it; search reuses
+    searchCells(cached, idCol, k, queryPred, nprobe,
+      trainCentroids(cached, idCol, cells, trainIters))
+  }
+
+  private def searchCells(prepared: DataFrame, idCol: String, k: Int,
+                          queryPred: Column, nprobe: Int,
+                          cents: Array[(Long, Array[Long], Long)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // both join sides (corpus assignment + query probes) need the ranked
     // cells — compute the cells × dots once and cache, like the LSH path
-    val withCells = prepared.withColumn("__cells", rankedCells).cache()
+    val withCells = prepared.withColumn("__cells", rankedCellsExpr(cents)).cache()
     val assigned = withCells.withColumn("c", element_at(col("__cells"), 1).getField("c"))
     // probe list only materializes on QUERY rows (filter first, then explode)
     val q = withCells.filter(queryPred)

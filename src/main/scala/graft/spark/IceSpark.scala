@@ -108,15 +108,18 @@ object IceWrite {
     * arranged a clustering layout, e.g. z-order ranges).
     */
   def replaceWith(spark: SparkSession, table: IceTable, df: DataFrame,
-                  branch: Option[String] = None, keepLayout: Boolean = false): IceTable = {
-    val files = writeDataFiles(spark, table, df, table.schema, keepLayout = keepLayout)
+                  branch: Option[String] = None, keepLayout: Boolean = false,
+                  localSort: Seq[Column] = Nil): IceTable = {
+    val files = writeDataFiles(spark, table, df, table.schema, keepLayout = keepLayout,
+      localSort = localSort)
     table.newTransaction(branch).replace(files).commit()
   }
 
   private[graft] def writeDataFiles(spark: SparkSession, table: IceTable, df: DataFrame,
                                     writeSchema: IceSchema, content: Int = ContentData,
                                     equalityIds: Seq[Int] = Nil,
-                                    keepLayout: Boolean = false): Seq[DataFile] = {
+                                    keepLayout: Boolean = false,
+                                    localSort: Seq[Column] = Nil): Seq[DataFile] = {
     val spec = table.spec
     val props = table.metadata.properties
     // session-scoped confs restored after the write — other queries in the
@@ -168,7 +171,14 @@ object IceWrite {
         acc.withColumn(physName(pf), pf.transform.column(col(srcName), sparkSchema(srcName).dataType))
       }
       val repart = withParts.repartition(partFields.map(pf => col(physName(pf))): _*)
-      (if (sortCols.nonEmpty) repart.sortWithinPartitions(sortCols: _*) else repart)
+      // local sort prefixed by the partition-dir columns: one shuffle task
+      // may hold SEVERAL dirs, and each dir's files only get tight bounds /
+      // clustering (e.g. partitioned z-order) if its rows arrive contiguous
+      // and ordered
+      val effSort = localSort ++ sortCols
+      (if (effSort.nonEmpty)
+        repart.sortWithinPartitions(partFields.map(pf => col(physName(pf))) ++ effSort: _*)
+      else repart)
         .write.partitionBy(partFields.map(physName): _*)
     } else if (keepLayout) {
       aligned.write

@@ -95,24 +95,33 @@ object Maintenance {
     compactWith(spark, table, identity)
 
   /** Z-order compaction (beyond the reference): rewrites current content
-    * clustered by the Morton key over `cols` — range-partitioned and sorted
-    * on the interleaved key, every rewritten file carries tight min/max
-    * bounds on ALL clustered columns, so statistics pruning skips files for
-    * filters on any of them (not just a single leading sort column).
+    * clustered by the Morton key over `cols` — every rewritten file carries
+    * tight min/max bounds on ALL clustered columns, so statistics pruning
+    * skips files for filters on any of them (not just a single leading sort
+    * column). Unpartitioned tables range-partition on the key (disjoint
+    * global ranges); PARTITIONED tables z-cluster locally inside each
+    * partition directory (the partition layout itself is preserved — the
+    * key sorts rows within each dir, so file rolling yields z-contiguous
+    * files per partition).
     */
   def compactZOrder(spark: SparkSession, table: IceTable, cols: Seq[String],
-                    outFiles: Int = 0): IceTable =
-    compactWith(spark, table, { df =>
-      import graft.spark.expressions.ZOrderFunctions.zorder
-      import org.apache.spark.sql.functions.col
-      val key = zorder(cols.map(col): _*)
-      val n = if (outFiles > 0) outFiles
-        else math.max(1, spark.sparkContext.defaultParallelism / 4)
-      df.repartitionByRange(n, key).sortWithinPartitions(key)
-    })
+                    outFiles: Int = 0): IceTable = {
+    import graft.spark.expressions.ZOrderFunctions.zorder
+    import org.apache.spark.sql.functions.col
+    val key = zorder(cols.map(col): _*)
+    if (table.spec.fields.nonEmpty)
+      compactWith(spark, table, identity, localSort = Seq(key))
+    else
+      compactWith(spark, table, { df =>
+        val n = if (outFiles > 0) outFiles
+          else math.max(1, spark.sparkContext.defaultParallelism / 4)
+        df.repartitionByRange(n, key).sortWithinPartitions(key)
+      })
+  }
 
   private def compactWith(spark: SparkSession, table: IceTable,
-                          layout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): IceTable = {
+                          layout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                          localSort: Seq[org.apache.spark.sql.Column] = Nil): IceTable = {
     if (table.currentSnapshot(None).isEmpty) return table
     val m = table.metadata
     val oldSnaps = m.snapshots.values.toSet
@@ -123,7 +132,7 @@ object Maintenance {
     val scanned = graft.spark.IceScan.scan(spark, table)
     val laidOut = layout(scanned)
     val replaced = graft.spark.IceWrite.replaceWith(spark, table, laidOut,
-      keepLayout = laidOut ne scanned)
+      keepLayout = laidOut ne scanned, localSort = localSort)
     val newSnap = replaced.currentSnapshot(None).get
     val newManifests = replaced.manifests(newSnap).map(_.manifestPath).toSet
     val newData = replaced.entries(newSnap).map(_.dataFile.filePath).toSet

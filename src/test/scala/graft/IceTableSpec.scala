@@ -241,6 +241,43 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IceScan.scan(spark, table).count() == 1000)
   }
 
+  test("partitioned z-order compaction clusters inside each partition dir") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    // day-partitioned; small max-records forces several files per dir so
+    // within-partition pruning is observable
+    var table = cat.createTable(TableIdent(Seq("test"), "zpart"), ordersSchema, daySpec,
+      Map("write.max-records-per-file" -> "100"))
+    val big = (1 to 800).map(i =>
+      (i.toLong, 0L, 0L, if (i % 2 == 0) "2020-01-01" else "2020-02-02", (i * 7919) % 1000))
+      .toDF("id", "customer_id", "product_id", "date", "amount")
+      .withColumn("date", to_date($"date"))
+    table = IceWrite.append(spark, table, big)
+    table = graft.table.Maintenance.compactZOrder(spark, table, Seq("id", "amount"))
+    val snap = table.currentSnapshot(None).get
+    val files = table.dataFiles(snap)
+    // layout preserved: both partition dirs still present, multiple files each
+    val byPart = files.groupBy(_.dataFile.partition.map(_._2).toVector)
+    assert(byPart.size == 2, s"partition layout lost: ${byPart.keySet}")
+    assert(byPart.values.forall(_.size > 1), "need >1 file per dir to observe pruning")
+    def filesRead(pred: org.apache.spark.sql.Column): Int =
+      IceScan.scan(spark, table, Seq(pred)).queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location.inputFiles.length
+      }.sum
+    val total = files.size
+    // a partition-day filter plus a z-column point filter prunes BELOW the
+    // day's own file count — z-clustering works within the dir
+    val jan1EpochDay = java.time.LocalDate.of(2020, 1, 1).toEpochDay.toInt
+    val jan1Files = byPart.collectFirst {
+      case (k, fs) if k.exists(_ == jan1EpochDay) => fs.size
+    }.getOrElse(fail(s"no 2020-01-01 partition among ${byPart.keySet}"))
+    assert(filesRead(col("date") === lit("2020-01-01") && col("id") === 900) < jan1Files,
+      s"no within-partition pruning on id (day has $jan1Files files)")
+    assert(filesRead(col("amount") === 100) < total, "no pruning on amount")
+    assert(IceScan.scan(spark, table).count() == 800)
+  }
+
   test("CSV ingestion: external CSV loads into a graft table (S6)") {
     implicit val s: SparkSession = spark
     val cat = freshCatalog()

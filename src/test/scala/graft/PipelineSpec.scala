@@ -140,6 +140,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(double == Set(0L, 1L, 3L, 4L, 5L)) // all other vectors reachable at nprobe=2
   }
 
+  test("k-means training moves mis-sampled centroids onto the true clusters") {
+    import spark.implicits._
+    // two tight clusters, but ids are laid out so the deterministic sample
+    // (every n/2-th id → ids 0 and 4) lands BOTH initial centroids in
+    // cluster A — the data-dependent failure mode of id sampling
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.98f, 0.05f)), (2L, Array(1.02f, -0.05f)),
+      (3L, Array(0.99f, 0.02f)), (4L, Array(1.01f, 0.01f)),
+      (5L, Array(-1.0f, 0.0f)), (6L, Array(-0.98f, 0.05f)), (7L, Array(-1.02f, -0.05f)))
+      .toDF("vec_id", "embedding")
+    val prepared = Embeddings.prepare(vecs, "vec_id", "embedding")
+    val sampled = Embeddings.sampleCentroids(prepared, "vec_id", cells = 2)
+    assert(sampled.forall(_._2.head > 0), "test setup: both samples must sit in cluster A")
+    val trained = Embeddings.trainCentroids(prepared, "vec_id", cells = 2, iters = 4)
+    // the B points all assign to one of the A-sampled centroids, whose mean
+    // then walks toward (and within a few iterations into) cluster B —
+    // after training exactly one centroid sits on each cluster's side
+    assert(trained.map(_._2.head.signum).toSet == Set(1, -1),
+      s"training left both centroids in one cluster: ${trained.map(_._2.toSeq).toSeq}")
+    // determinism: same input → identical trained centroids
+    val again = Embeddings.trainCentroids(prepared, "vec_id", cells = 2, iters = 4)
+    assert(trained.map(t => (t._1, t._2.toSeq, t._3)).toSeq ==
+      again.map(t => (t._1, t._2.toSeq, t._3)).toSeq)
+    // trained search still returns exact same-cell neighbors for an A query
+    val got = Embeddings.ivfTopKTrained(prepared, "vec_id", k = 7, cells = 2,
+      col("vec_id") === 1, nprobe = 1, trainIters = 4)
+      .collect().map(_.getLong(2)).toSet
+    assert(got.contains(0L) && got.contains(2L), s"A-cluster neighbors missing: $got")
+  }
+
   test("language id votes by stopwords with unknown fallback") {
     val d = docs(
       1L -> "the cat and the dog of the house",
