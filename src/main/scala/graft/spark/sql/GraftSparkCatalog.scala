@@ -12,7 +12,7 @@ import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.catalog.{FileCatalog, TableIdent}
+import graft.catalog.{Catalog, FileCatalog, RestCatalog, TableIdent}
 import graft.core.{Transform => IceTransform}
 import graft.spark.IceWrite
 import graft.spec.{IceSchema, IceType, PartitionField, PartitionSpec}
@@ -38,13 +38,20 @@ import graft.table.IceTable
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
-  private[sql] var catalog: FileCatalog = _
+  private[sql] var catalog: Catalog = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    val wh = Option(options.get("warehouse")).getOrElse(
-      throw new IllegalArgumentException(s"catalog $name requires spark.sql.catalog.$name.warehouse"))
-    catalog = new FileCatalog(wh)
+    // backend selection: `uri` → REST catalog service, else `warehouse` →
+    // filesystem catalog. Data IO always goes straight to each table's
+    // `location`; only metadata operations differ.
+    catalog = Option(options.get("uri")) match {
+      case Some(uri) => new RestCatalog(uri)
+      case None =>
+        val wh = Option(options.get("warehouse")).getOrElse(throw new IllegalArgumentException(
+          s"catalog $name requires spark.sql.catalog.$name.warehouse or .uri"))
+        new FileCatalog(wh)
+    }
   }
 
   override def name(): String = catalogName

@@ -99,8 +99,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
 }
 
 private[sql] object GraftSqlParser {
-  /** The graft `FileCatalog` behind a registered Spark catalog name. */
-  def fileCatalog(spark: SparkSession, name: String): graft.catalog.FileCatalog =
+  /** The graft catalog backend behind a registered Spark catalog name. */
+  def fileCatalog(spark: SparkSession, name: String): graft.catalog.Catalog =
     GraftShim.v2Catalog(spark, name) match {
       case g: GraftSparkCatalog => g.catalog
       case other => throw new IllegalArgumentException(

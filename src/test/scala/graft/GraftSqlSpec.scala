@@ -264,6 +264,30 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(("a", 2L), ("a", 100L), ("b", 5L)))
   }
 
+  test("optimizer-time rewrite handles self-joins, subqueries, unions, insert-from-self") {
+    spark.sql("CREATE TABLE graft.db.edge (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.edge VALUES (1, 10), (2, 20), (3, 30)")
+    // self-join: two independent relation instances of the same table
+    val selfJoin = spark.sql(
+      """SELECT a.k, a.v, b.v AS v2 FROM graft.db.edge a
+        |JOIN graft.db.edge b ON a.k = b.k - 1""".stripMargin).collect()
+    assert(selfJoin.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set((1L, 10L, 20L), (2L, 20L, 30L)))
+    // IN-subquery over the same graft table
+    val sub = spark.sql(
+      "SELECT k FROM graft.db.edge WHERE k IN (SELECT k - 1 FROM graft.db.edge WHERE v > 15)")
+      .collect().map(_.getLong(0)).toSet
+    assert(sub == Set(1L, 2L))
+    // union of two filtered reads
+    val uni = spark.sql(
+      "SELECT k FROM graft.db.edge WHERE k = 1 UNION ALL SELECT k FROM graft.db.edge WHERE v = 30")
+      .collect().map(_.getLong(0)).toSet
+    assert(uni == Set(1L, 3L))
+    // INSERT ... SELECT from the SAME table: read pins the pre-insert snapshot
+    spark.sql("INSERT INTO graft.db.edge SELECT k + 10, v FROM graft.db.edge")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.edge").head().getLong(0) == 6)
+  }
+
   test("SQL DELETE masks rows via positional deletes; no data rewrite") {
     spark.sql("CREATE TABLE graft.db.dels (k BIGINT, v STRING)")
     spark.sql("INSERT INTO graft.db.dels VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")

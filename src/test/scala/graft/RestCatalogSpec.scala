@@ -25,6 +25,7 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.spark.sql.GraftExtensions)
     .getOrCreate()
 
   private lazy val warehouse = Files.createTempDirectory("rest-wh").toString
@@ -108,6 +109,20 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(schemaJson.contains("struct"))
     cat.dropView(TableIdent(Seq("db"), "v_events"))
     assert(cat.loadView(TableIdent(Seq("db"), "v_events")).isEmpty)
+  }
+
+  test("Spark SQL catalog plugin runs against the REST backend (uri option)") {
+    spark.conf.set("spark.sql.catalog.graft_r", "graft.spark.sql.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.graft_r.uri", server.uri)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_r.sqlns")
+    spark.sql("CREATE TABLE graft_r.sqlns.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_r.sqlns.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    assert(spark.sql("SELECT sum(k) AS s FROM graft_r.sqlns.t").head().getLong(0) == 6)
+    spark.sql("DELETE FROM graft_r.sqlns.t WHERE k = 2")
+    assert(spark.sql("SELECT sum(k) AS s FROM graft_r.sqlns.t").head().getLong(0) == 4)
+    // the commits really went over the wire: a direct REST client sees them
+    val t = new RestCatalog(server.uri).loadTable(TableIdent(Seq("sqlns"), "t")).get
+    assert(t.metadata.snapshots.size == 2) // insert + delete
   }
 
   test("drop table over REST removes it from the listing") {
