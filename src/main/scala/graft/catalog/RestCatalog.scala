@@ -159,7 +159,10 @@ class RestCatalog(baseUri: String) extends Catalog {
   private val http = HttpClient.newHttpClient()
   private val base = baseUri.stripSuffix("/")
 
-  private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
+  /** PATH percent-encoding: URLEncoder produces form encoding ('+' for
+    * space), which a URI-path decoder leaves literal — translate to %20 so
+    * the server's `URI.getPath` decode round-trips names with spaces. */
+  private def enc(s: String): String = URLEncoder.encode(s, "UTF-8").replace("+", "%20")
   /** Multi-level namespaces join with the %1F unit separator (REST spec). */
   private def nsPath(ns: Seq[String]): String = ns.map(enc).mkString("%1F")
 

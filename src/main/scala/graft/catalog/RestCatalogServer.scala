@@ -42,6 +42,14 @@ class RestCatalogServer(inner: Catalog, port: Int = 0) {
     ex.close()
   }
 
+  /** Error payloads go through jackson — a message containing quotes or
+    * newlines must still serialize as valid JSON. */
+  private def errorJson(e: Throwable): String = {
+    val n = mapper.createObjectNode()
+    n.put("error", Option(e.getMessage).getOrElse(e.getClass.getName))
+    n.toString
+  }
+
   private def tableJson(t: graft.table.IceTable): String = {
     val n = mapper.createObjectNode()
     n.put("metadata-location", s"${t.metadata.location}/metadata")
@@ -111,10 +119,8 @@ class RestCatalogServer(inner: Catalog, port: Int = 0) {
             mapper.readTree(TableMetadataJson.toJson(next)))
           respond(ex, 200, n.toString)
         } catch {
-          case e: CommitConflictException =>
-            respond(ex, 409, s"""{"error":"${e.getMessage}"}""")
-          case e: IllegalStateException =>
-            respond(ex, 404, s"""{"error":"${e.getMessage}"}""")
+          case e: CommitConflictException => respond(ex, 409, errorJson(e))
+          case e: IllegalStateException => respond(ex, 404, errorJson(e))
         }
 
       // ---- views ----
@@ -138,7 +144,6 @@ class RestCatalogServer(inner: Catalog, port: Int = 0) {
       case _ => respond(ex, 404, """{"error":"no such route"}""")
     }
   } catch {
-    case e: Exception =>
-      respond(ex, 500, s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName)}"}""")
+    case e: Exception => respond(ex, 500, errorJson(e))
   }
 }

@@ -18,6 +18,11 @@ import graft.spark.expressions.VectorFunctions.{dotq, normSq}
   * queries × corpus join (use for re-ranking candidate sets); the sign-LSH
   * bucketed variant prunes the corpus to one bucket per query via an
   * equi-join, the standard recall/throughput trade.
+  *
+  * The bucketed/IVF operators `.cache()` their shared intermediates (both
+  * join sides read them); in a long-lived session, call
+  * `spark.catalog.clearCache()` between unrelated workloads to release
+  * them — the bench/verify harnesses already do.
   */
 object Embeddings {
 
@@ -184,18 +189,25 @@ object Embeddings {
     var cents = sampleCentroids(prepared, idCol, cells)
     for (_ <- 1 to iters) {
       val assign = element_at(rankedCellsExpr(cents), 1).getField("c")
-      // (cell, dim) means: n×dim exploded rows through ONE partial-agg
-      // shuffle of at most cells×dim groups — the classic distributed Lloyd
+      // (cell, dim) sums: n×dim exploded rows through ONE partial-agg
+      // shuffle of at most cells×dim groups — the classic distributed Lloyd.
+      // EXACT Long sums + counts (not avg(): its Double accumulator goes
+      // order-dependent past 2^53, breaking cross-partitioning determinism);
+      // the mean is then ONE IEEE division of exact inputs on the driver.
       val dims = prepared.withColumn("__c", assign)
         .select(col("__c"), posexplode(col("q")).as(Seq("p", "v")))
-        .groupBy(col("__c"), col("p")).agg(avg(col("v")).as("m"))
+        .groupBy(col("__c"), col("p"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
         .collect()
         .groupBy(_.getLong(0))
-        .map { case (c, rows) => c -> rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap }
+        .map { case (c, rows) =>
+          c -> rows.map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+        }
       cents = cents.map { case (cid, oldQ, _) =>
         val nq = dims.get(cid) match {
           case Some(byDim) => Array.tabulate(oldQ.length)(i =>
-            byDim.get(i).map(math.round).getOrElse(oldQ(i)))
+            byDim.get(i).map { case (s, cnt) => math.round(s.toDouble / cnt) }
+              .getOrElse(oldQ(i)))
           case None => oldQ
         }
         (cid, nq, nq.iterator.map(x => x * x).sum)

@@ -373,9 +373,14 @@ object IceScan {
     val ChangeCol = "_change_type"
     val from = table.snapshotById(afterSnapshotId).getOrElse(
       throw new IllegalArgumentException(s"unknown snapshot $afterSnapshotId"))
-    val to = untilSnapshotId.flatMap(table.snapshotById)
-      .orElse(table.currentSnapshot(None))
-      .getOrElse(throw new IllegalStateException("table has no current snapshot"))
+    // an EXPLICIT until id must resolve — silently widening a mistyped or
+    // expired id to the current snapshot would misattribute changes
+    val to = untilSnapshotId match {
+      case Some(id) => table.snapshotById(id).getOrElse(
+        throw new IllegalArgumentException(s"unknown snapshot $id"))
+      case None => table.currentSnapshot(None)
+        .getOrElse(throw new IllegalStateException("table has no current snapshot"))
+    }
     val windowEntries = table.entries(to, Some(from.sequenceNumber), _ => true)
     val appendOnly = windowEntries.forall(_.dataFile.content == ContentData)
     if (appendOnly)

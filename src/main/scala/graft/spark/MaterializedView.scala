@@ -73,9 +73,18 @@ object IceMV {
     storage.metadata.properties.get(DistinctPropKey).map { json =>
       import scala.jdk.CollectionConverters._
       val n = mapper.readTree(json)
-      (n.get("dks").elements().asScala.map(_.asText()).toSeq,
-        n.get("outs").elements().asScala.map(o =>
-          (o.get("vis").asText(), o.get("kind").asText())).toSeq)
+      // legacy single-key layout: {"dk": "x", outs kind "count_distinct"}
+      val dks = Option(n.get("dks"))
+        .map(_.elements().asScala.map(_.asText()).toSeq)
+        .getOrElse(Seq(n.get("dk").asText()))
+      val outs = n.get("outs").elements().asScala.map { o =>
+        val kind = o.get("kind").asText() match {
+          case "count_distinct" => s"count_distinct:${dks.head}"
+          case k => k
+        }
+        (o.get("vis").asText(), kind)
+      }.toSeq
+      (dks, outs)
     }
 
   private def writeDistinct(dks: Seq[String], outs: Seq[(String, String)]): String = {

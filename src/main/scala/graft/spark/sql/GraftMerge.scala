@@ -321,6 +321,10 @@ final case class GraftUpdateCommand(
           s"UPDATE assignment target must be a column: ${other.sql}")
       }) -> unq(as.value)
     }.toMap
+    val unknown = byName.keySet -- outCols
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"UPDATE SET targets unknown column(s) ${unknown.mkString(", ")} on $ident " +
+        s"(columns: ${outCols.mkString(", ")})")
     val updated = IceScan.scan(spark, table).filter(cond)
       .select(outCols.map(c =>
         byName.get(c).map(GraftShim.column).getOrElse(col(c)).as(c)): _*)

@@ -367,8 +367,12 @@ object TableMetadataJson {
       // V1 snapshots carry no sequence numbers (all 0 per spec V1→V2 rules)
       sequenceNumber = Option(n.get("sequence-number")).map(_.asLong()).getOrElse(0L),
       timestampMs = n.get("timestamp-ms").asLong(),
-      // V1 may list manifests directly instead of a manifest-list file
-      manifestList = Option(n.get("manifest-list")).map(_.asText()).getOrElse(""),
+      // V1 may list manifests directly instead of a manifest-list file —
+      // a shape this reader does not support; fail AT PARSE with a clear
+      // error rather than letting "" crash the first scan far from the cause
+      manifestList = Option(n.get("manifest-list")).map(_.asText()).getOrElse(
+        throw new IllegalArgumentException(
+          "snapshot has no manifest-list (V1 legacy inline `manifests` arrays are not supported)")),
       summary = Option(n.get("summary")).map(s => s.properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
       schemaId = Option(n.get("schema-id")).map(_.asInt()))

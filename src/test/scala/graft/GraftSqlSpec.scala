@@ -321,6 +321,11 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     // updating an updated row composes (reads through the MoR mask)
     spark.sql("UPDATE graft.db.upd SET v = v + 1 WHERE k = 2")
     assert(spark.sql("SELECT v FROM graft.db.upd WHERE k = 2").head().getLong(0) == 201L)
+    // a typo'd SET target must error, not silently rewrite unchanged rows
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("UPDATE graft.db.upd SET vv = 0 WHERE k = 1")
+    }
+    assert(e.getMessage.contains("vv"))
   }
 
   test("native expressions are SQL functions: dotq, iceberg_bucket") {
