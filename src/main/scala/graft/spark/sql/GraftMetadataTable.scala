@@ -1,0 +1,119 @@
+package graft.spark.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.IceTable
+
+/** Iceberg-style metadata tables: `SELECT * FROM graft.db.t.snapshots`
+  * (also `history`, `files`, `manifests`, `refs`) — the inspection surface
+  * every Iceberg deployment leans on for debugging and ops. Driver-side and
+  * O(manifests): rows come from the already-loaded metadata / manifest
+  * caches, never from data files. Reads are served by [[GraftExtensions]]'s
+  * optimizer rule, which inlines the rows as a local relation.
+  */
+class GraftMetadataTable(@transient val ice: IceTable, val kind: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"${ice.ident}.$kind"
+
+  override def schema(): StructType = GraftMetadataTable.schemaOf(kind)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.Collections.singleton(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new UnsupportedOperationException(
+      "graft reads require GraftExtensions (spark.sql.extensions=graft.spark.sql.GraftExtensions)")
+}
+
+object GraftMetadataTable {
+  val Kinds: Set[String] = Set("snapshots", "history", "files", "manifests", "refs")
+
+  def schemaOf(kind: String): StructType = kind match {
+    case "snapshots" => StructType(Seq(
+      StructField("committed_at", TimestampType),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("parent_id", LongType),
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("operation", StringType),
+      StructField("manifest_list", StringType)))
+    case "history" => StructType(Seq(
+      StructField("made_current_at", TimestampType),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("is_current_ancestor", BooleanType, nullable = false)))
+    case "files" => StructType(Seq(
+      StructField("content", IntegerType, nullable = false),
+      StructField("file_path", StringType),
+      StructField("file_format", StringType),
+      StructField("partition", StringType),
+      StructField("record_count", LongType, nullable = false),
+      StructField("file_size_in_bytes", LongType, nullable = false),
+      StructField("sequence_number", LongType)))
+    case "manifests" => StructType(Seq(
+      StructField("path", StringType),
+      StructField("length", LongType, nullable = false),
+      StructField("partition_spec_id", IntegerType, nullable = false),
+      StructField("content", IntegerType, nullable = false),
+      StructField("added_snapshot_id", LongType, nullable = false),
+      StructField("added_data_files_count", IntegerType, nullable = false),
+      StructField("existing_data_files_count", IntegerType, nullable = false),
+      StructField("deleted_data_files_count", IntegerType, nullable = false)))
+    case "refs" => StructType(Seq(
+      StructField("name", StringType),
+      StructField("type", StringType),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("max_ref_age_ms", LongType),
+      StructField("min_snapshots_to_keep", IntegerType)))
+    case other => throw new IllegalArgumentException(s"unknown metadata table $other")
+  }
+
+  /** Materializes the metadata rows — driver-side, O(manifests). */
+  def rows(spark: SparkSession, ice: IceTable, kind: String): DataFrame = {
+    val m = ice.metadata
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val data: Seq[Row] = kind match {
+      case "snapshots" =>
+        m.snapshots.values.toSeq.sortBy(_.sequenceNumber).map { s =>
+          Row(ts(s.timestampMs), s.snapshotId, s.parentSnapshotId.orNull,
+            s.sequenceNumber, s.summary.get("operation").orNull, s.manifestList)
+        }
+      case "history" =>
+        // ancestry of the CURRENT snapshot via the parent chain
+        val ancestors = Iterator.iterate(m.currentSnapshot(None))(
+          _.flatMap(_.parentSnapshotId).flatMap(m.snapshotById))
+          .takeWhile(_.isDefined).map(_.get.snapshotId)
+          .take(m.snapshots.size).toSet
+        m.snapshotLog.map { e =>
+          Row(ts(e.timestampMs), e.snapshotId, ancestors.contains(e.snapshotId))
+        }
+      case "files" =>
+        ice.currentSnapshot(None).toSeq.flatMap(ice.entries(_)).map { e =>
+          val d = e.dataFile
+          val part = d.partition.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}")
+          Row(d.content, d.filePath, d.fileFormat, part, d.recordCount,
+            d.fileSizeInBytes, e.sequenceNumber.orNull)
+        }
+      case "manifests" =>
+        ice.currentSnapshot(None).toSeq.flatMap(ice.manifests(_)).map { ml =>
+          Row(ml.manifestPath, ml.manifestLength, ml.partitionSpecId, ml.content,
+            ml.addedSnapshotId, ml.addedFilesCount, ml.existingFilesCount,
+            ml.deletedFilesCount)
+        }
+      case "refs" =>
+        m.refs.toSeq.sortBy(_._1).map { case (name, r) =>
+          Row(name, r.refType, r.snapshotId, r.maxRefAgeMs.orNull,
+            r.minSnapshotsToKeep.orNull)
+        }
+      case other => throw new IllegalArgumentException(s"unknown metadata table $other")
+    }
+    spark.createDataFrame(data.asJava, schemaOf(kind))
+  }
+}

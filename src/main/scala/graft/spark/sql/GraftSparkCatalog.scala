@@ -66,7 +66,19 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table =
     catalog.loadTable(toIdent(ident)) match {
       case Some(t) => new GraftSparkTable(t)
-      case None => throw new NoSuchTableException(ident)
+      case None =>
+        // metadata tables: `db.t.snapshots` parses as namespace [db, t] +
+        // name "snapshots" — serve table t's metadata relation (Iceberg's
+        // inspection surface; reference exposes the same structs via its
+        // metadata APIs)
+        val kind = ident.name.toLowerCase
+        if (ident.namespace.length >= 2 && GraftMetadataTable.Kinds.contains(kind)) {
+          val base = TableIdent(ident.namespace.init.toSeq, ident.namespace.last)
+          catalog.loadTable(base) match {
+            case Some(t) => new GraftMetadataTable(t, kind)
+            case None => throw new NoSuchTableException(ident)
+          }
+        } else throw new NoSuchTableException(ident)
     }
 
   /** SQL time travel: `SELECT ... FROM graft.db.t VERSION AS OF <snapshotId>`

@@ -8,7 +8,7 @@ import org.apache.spark.sql.classic.SparkSession
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
 import graft.spark.IceScan
-import graft.spark.sql.GraftSparkTable
+import graft.spark.sql.{GraftMetadataTable, GraftSparkTable}
 
 /** Optimizer rule backing graft's SQL read path: rewrites every
   * `DataSourceV2Relation` over a [[GraftSparkTable]] into the pruned
@@ -44,6 +44,14 @@ class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
       f.copy(child = rewrite(r, splitConjunctivePredicates(cond).filter(_.deterministic)))
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSparkTable] =>
       rewrite(r, Nil)
+    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftMetadataTable] =>
+      // metadata tables inline as a local relation — driver-side rows
+      val mt = r.table.asInstanceOf[GraftMetadataTable]
+      val rowsDf = GraftMetadataTable.rows(spark, mt.ice.refresh(), mt.kind)
+      val scanned = EliminateSubqueryAliases(rowsDf.queryExecution.analyzed)
+      Project(r.output.zip(scanned.output).map { case (o, n) =>
+        Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+      }, scanned)
   }
 
   private def rewrite(r: DataSourceV2Relation, preds: Seq[Expression]): LogicalPlan = {

@@ -336,6 +336,31 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql == graft.spark.expressions.BucketKernel.bucketLong(42L, 8))
   }
 
+  test("metadata tables: snapshots, history, files, manifests, refs via SQL") {
+    spark.sql("CREATE TABLE graft.db.meta (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.meta VALUES (1, 'a')")
+    spark.sql("INSERT INTO graft.db.meta VALUES (2, 'b')")
+    val snaps = spark.sql(
+      "SELECT snapshot_id, parent_id, sequence_number, operation FROM graft.db.meta.snapshots ORDER BY sequence_number")
+      .collect()
+    assert(snaps.length == 2)
+    assert(snaps(0).isNullAt(1) && snaps(1).getLong(1) == snaps(0).getLong(0)) // parent chain
+    assert(snaps.forall(_.getString(3) == "append"))
+    val hist = spark.sql("SELECT snapshot_id, is_current_ancestor FROM graft.db.meta.history").collect()
+    assert(hist.length == 2 && hist.forall(_.getBoolean(1)))
+    val files = spark.sql(
+      "SELECT file_path, record_count FROM graft.db.meta.files WHERE content = 0").collect()
+    assert(files.length == 2 && files.map(_.getLong(1)).sum == 2)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.meta.manifests").head().getLong(0) >= 1)
+    val refs = spark.sql("SELECT name, type FROM graft.db.meta.refs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(refs.contains(("main", "branch")))
+    // filters compose with metadata relations like any other
+    val latest = spark.sql(
+      "SELECT max(snapshot_id) FROM graft.db.meta.snapshots WHERE sequence_number = 2").head().getLong(0)
+    assert(latest == snaps(1).getLong(0))
+  }
+
   test("SHOW TABLES and DROP TABLE work") {
     spark.sql("CREATE TABLE graft.db.ephemeral (x INT)")
     val tables = spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1)).toSet
