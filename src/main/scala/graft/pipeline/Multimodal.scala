@@ -59,6 +59,33 @@ object Multimodal {
     }
   }
 
+  /** Resized media row: payload transformed to the target "dimensions". */
+  final case class ResizedRow(doc_id: Long, mime: String, n_bytes: Long,
+                              payload: Array[Byte], orig_bytes: Long)
+
+  /** STUB resize: a real implementation decodes, scales to target pixel
+    * dimensions, and re-encodes; the stub deterministically down/up-samples
+    * the byte stream to `targetBytes` (every k-th byte on shrink, cyclic
+    * repeat on grow) so the plumbing — new payload column, size metadata,
+    * partition-local batch shape, no shuffle — is real and testable.
+    * The 100 TB contract is the same as decode: payloads never leave the
+    * executor that read them. */
+  def resizePayloads(media: Dataset[MediaRow], targetBytes: Int): Dataset[ResizedRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val out =
+          if (r.payload.isEmpty || targetBytes <= 0) Array.emptyByteArray
+          else Array.tabulate(targetBytes) { i =>
+            // nearest-neighbor over the byte axis (shrink) / cyclic (grow)
+            r.payload(((i.toLong * r.payload.length) / targetBytes).toInt % r.payload.length)
+          }
+        ResizedRow(r.doc_id, r.mime, out.length.toLong, out, r.n_bytes)
+      }
+    }
+  }
+
   /** Frame sampling: `framesPerDoc` evenly-spaced slices per payload —
     * the mapPartitions analogue of video frame extraction. Fan-out happens
     * executor-side; output is (doc, frame) keyed for downstream per-frame

@@ -189,4 +189,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.map(_.offset).toList == List(0L, 5L, 10L, 15L))
     assert(frames.map(_.head_byte).toList == List('a'.toInt, 'f'.toInt, 'k'.toInt, 'p'.toInt))
   }
+
+  test("multimodal stub resize shrinks and grows payloads deterministically") {
+    val d = docs(9L -> "abcdefghijklmnop") // 16 bytes
+    val media = Multimodal.asMedia(d, "doc_id", "text", "text/plain")
+    val small = Multimodal.resizePayloads(media, 4).collect().head
+    assert(small.n_bytes == 4L && small.orig_bytes == 16L)
+    // nearest-neighbor byte sampling: indices 0, 4, 8, 12
+    assert(new String(small.payload, "UTF-8") == "aeim")
+    val big = Multimodal.resizePayloads(media, 20).collect().head
+    assert(big.n_bytes == 20L)
+    // deterministic: same input → identical bytes
+    val again = Multimodal.resizePayloads(media, 20).collect().head
+    assert(java.util.Arrays.equals(big.payload, again.payload))
+  }
 }
