@@ -54,7 +54,10 @@ case class IcebergBucket(child: Expression, numBuckets: Int) extends UnaryExpres
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val kernel = BucketKernel.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // Static forwarder class of the Scala object: Janino can resolve
+    // `BucketKernel.bucketInt(...)` but NOT `BucketKernel.MODULE$` (MODULE$
+    // lives on the BucketKernel$ class, not the forwarder).
+    val kernel = BucketKernel.getClass.getName.stripSuffix("$")
     val fn = child.dataType match {
       case IntegerType | DateType => "bucketInt"
       case LongType | TimestampType | TimestampNTZType => "bucketLong"

@@ -86,7 +86,9 @@ case class ZOrderKey(children: Seq[Expression]) extends Expression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
-    val kernel = ZOrderKernel.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // Static forwarder class, not `.MODULE$` — Janino rejects MODULE$ on the
+    // forwarder class and the whole stage silently falls back to interpreted.
+    val kernel = ZOrderKernel.getClass.getName.stripSuffix("$")
     val arr = ctx.freshName("ranks")
     val evals = children.map(_.genCode(ctx))
     val fills = children.zip(evals).zipWithIndex.map { case ((c, e), i) =>

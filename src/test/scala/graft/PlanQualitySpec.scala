@@ -94,6 +94,57 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("*(1)"), s"hash kernel not codegen'd:\n$plan")
   }
 
+  test("IcebergBucket and ZOrderKey actually compile under codegen") {
+    // Value-parity tests can't catch a Janino compile failure: Spark falls
+    // back to interpreted eval with only a WARN, silently disabling
+    // whole-stage codegen for the enclosing stage. GenerateUnsafeProjection
+    // compiles directly and THROWS on a codegen defect.
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types._
+    import graft.spark.expressions.{IcebergBucket, ZOrderKey}
+    val bucketInputs = Seq(IntegerType, LongType, StringType, BinaryType,
+      DateType, TimestampType)
+    bucketInputs.foreach { dt =>
+      GenerateUnsafeProjection.generate(
+        Seq(IcebergBucket(BoundReference(0, dt, nullable = true), 16)))
+    }
+    GenerateUnsafeProjection.generate(Seq(ZOrderKey(Seq(
+      BoundReference(0, LongType, nullable = true),
+      BoundReference(1, DoubleType, nullable = true),
+      BoundReference(2, IntegerType, nullable = false),
+      BoundReference(3, FloatType, nullable = true)))))
+  }
+
+  test("bucket + zorder projections execute codegen-only with interpreted parity") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftShim
+    import graft.spark.expressions.{IcebergBucket, ZOrderFunctions}
+    import spark.implicits._
+    val df = (1L to 64L).map(i => (i, i * 1.5 - 40, s"doc-$i")).toDF("id", "x", "s")
+    def run(): Seq[org.apache.spark.sql.Row] = df.select(
+        GraftShim.column(IcebergBucket(GraftShim.expression(col("id")), 16)).as("b_long"),
+        GraftShim.column(IcebergBucket(GraftShim.expression(col("s")), 16)).as("b_str"),
+        ZOrderFunctions.zorder(col("id"), col("x")).as("zk"))
+      .orderBy("b_long", "b_str").collect().toSeq
+    // CODEGEN_ONLY + fallback off: a compile failure now throws instead of
+    // silently running interpreted
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val generated = try run() finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interpreted = run()
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.fallback")
+      assert(run() == interpreted) // default mode agrees with interpreted too
+    }
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try run() finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    assert(generated.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Byte](2))) ==
+      interpreted.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Byte](2))),
+      "codegen and interpreted bucket/zorder values diverge")
+  }
+
   test("manifest statistics feed the optimizer: exact rowCount + size under CBO") {
     import graft.catalog.TableIdent
     import graft.spark.{IceScan, IceWrite}
