@@ -17,9 +17,13 @@ object Bench {
     spark.range(2000000).selectExpr("sum(id * 2)").write.mode("overwrite").format("noop").save()
     // optional comma-separated subset for local profiling (driver leaves unset)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Single-shot numbers showed ~4x run-to-run noise on untouched code paths
+    // (q24 moved 3.7x, q28 6.5x between rounds) — report the per-query MEDIAN
+    // of `iters` runs plus the min/max spread so regressions are gradable.
+    val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(3)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink: full materialization of every output column (count()
       // would let Catalyst prune most of the computation away)
@@ -33,12 +37,27 @@ object Bench {
       // 3-9x inflation on the vector queries late in the full suite).
       spark.catalog.clearCache()
       System.gc()
-      name -> elapsed
+      elapsed
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // iterate suite-major (all queries, then repeat) so iteration i of one
+    // query does not warm iteration i+1 of the same query back-to-back
+    val samples: Seq[Seq[(String, Double)]] = (1 to iters).map { _ =>
+      names.map { case (name, fn) => name -> timeOne(name, fn) }
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val byQuery = names.map { case (name, _) =>
+      val runs = samples.map(_.find(_._1 == name).get._2)
+      (name, median(runs), runs.min, runs.max)
+    }
+    val qs = byQuery.map { case (k, med, _, _) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = byQuery.map { case (k, _, mn, mx) => s"\"" + k + "\":[" + mn + "," + mx + "]" }
+      .mkString("{", ",", "}")
+    val total = byQuery.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

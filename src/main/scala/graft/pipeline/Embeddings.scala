@@ -103,14 +103,16 @@ object Embeddings {
     * `planes` deterministic pseudo-random hyperplanes. Hyperplane component
     * h(plane, dim) = first md5 nibble of "plane:dim" mapped to the odd
     * integers {-15,…,15} (never zero → unambiguous signs; all-integer dots →
-    * engine-portable buckets). One explode + one hash aggregate per vector.
+    * engine-portable buckets).
+    *
+    * The hyperplanes are driver-computable (planes×dim small constants), so
+    * the bucket is a single per-row PROJECTION over inlined literals — a
+    * fold of `planes` codegen dot kernels — with zero shuffle and zero row
+    * expansion. The previous crossJoin(planes)+groupBy(id) formulation moved
+    * planes × corpus bytes (full vectors) through a shuffle; at 100 TB that
+    * amplification, not the arithmetic, was the cost.
     */
   def lshBucket(prepared: DataFrame, idCol: String, planes: Int): DataFrame = {
-    // hyperplanes depend only on (plane, dim): materialize them ONCE driver-
-    // side with the same md5-nibble formula (h ∈ odd {-15..15}), broadcast,
-    // and score with the native codegen dot — the inline-lambda alternative
-    // recomputes an md5 per (vector × plane × dimension)
-    val spark = prepared.sparkSession
     val dim = prepared.select(size(col("q"))).head.getInt(0)
     val md = java.security.MessageDigest.getInstance("MD5")
     def component(p: Int, d: Int): Long = {
@@ -118,17 +120,11 @@ object Embeddings {
       val firstNibble = (hex(0) >> 4) & 0xf
       firstNibble.toLong * 2 - 15
     }
-    import spark.implicits._
-    val planeDf = (0 until planes)
-      .map(p => (p, Array.tabulate(dim)(component(p, _))))
-      .toDF("_p", "_pv")
-    prepared
-      .select(col(idCol), col("q"), col("n2"))
-      .crossJoin(broadcast(planeDf))
-      .withColumn("_pd", dotq(col("q"), col("_pv")))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("_pd") > 0, expr("shiftleft(1, _p)")).otherwise(lit(0))).as("bucket"),
-        first(col("q")).as("q"), first(col("n2")).as("n2"))
+    val bucket = (0 until planes).map { p =>
+      val pv = Array.tabulate(dim)(component(p, _))
+      when(dotq(col("q"), typedLit(pv)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    prepared.select(col(idCol), bucket.as("bucket"), col("q"), col("n2"))
   }
 
   /** IVF (inverted-file) approximate top-k: the corpus is clustered into
@@ -187,27 +183,26 @@ object Embeddings {
   def trainCentroids(prepared: DataFrame, idCol: String, cells: Int,
                      iters: Int): Array[(Long, Array[Long], Long)] = {
     var cents = sampleCentroids(prepared, idCol, cells)
+    val dim = cents.head._2.length
     for (_ <- 1 to iters) {
       val assign = element_at(rankedCellsExpr(cents), 1).getField("c")
-      // (cell, dim) sums: n×dim exploded rows through ONE partial-agg
-      // shuffle of at most cells×dim groups — the classic distributed Lloyd.
+      // per-cell dim-array of sums in ONE hash aggregate: dim sum columns,
+      // map-side combined, at most `cells` result rows — no n×dim posexplode
+      // row expansion, and the driver collect is cells rows (not cells×dim).
       // EXACT Long sums + counts (not avg(): its Double accumulator goes
       // order-dependent past 2^53, breaking cross-partitioning determinism);
       // the mean is then ONE IEEE division of exact inputs on the driver.
-      val dims = prepared.withColumn("__c", assign)
-        .select(col("__c"), posexplode(col("q")).as(Seq("p", "v")))
-        .groupBy(col("__c"), col("p"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+      val byCell = prepared.withColumn("__c", assign)
+        .groupBy(col("__c"))
+        .agg(count(lit(1)).as("cnt"),
+          array((0 until dim).map(i => sum(element_at(col("q"), i + 1))): _*).as("s"))
         .collect()
-        .groupBy(_.getLong(0))
-        .map { case (c, rows) =>
-          c -> rows.map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
-        }
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toArray)))
+        .toMap
       cents = cents.map { case (cid, oldQ, _) =>
-        val nq = dims.get(cid) match {
-          case Some(byDim) => Array.tabulate(oldQ.length)(i =>
-            byDim.get(i).map { case (s, cnt) => math.round(s.toDouble / cnt) }
-              .getOrElse(oldQ(i)))
+        val nq = byCell.get(cid) match {
+          case Some((cnt, sums)) =>
+            Array.tabulate(oldQ.length)(i => math.round(sums(i).toDouble / cnt))
           case None => oldQ
         }
         (cid, nq, nq.iterator.map(x => x * x).sum)

@@ -59,11 +59,11 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = physicalPlan(PipelineQueries.queries("q27_embedding_neardup")(spark, sf))
     assert(!plan.contains("CartesianProduct"),
       s"row-at-a-time cartesian product in scoring plan:\n$plan")
-    // the ONLY nested-loop join allowed is the 6-row hyperplane crossJoin
-    // (Cross build); an Inner BNLJ would mean the id_a < id_b pair product
-    // over the whole corpus is back
-    assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner"),
-      s"full-corpus pair broadcast in near-dup plan:\n$plan")
+    // NO nested-loop join anywhere: the hyperplanes are inlined literals now,
+    // and an Inner BNLJ would mean the id_a < id_b pair product over the
+    // whole corpus is back
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in near-dup plan:\n$plan")
     assert(plan.contains("Join [bucket") || plan.contains("Join bucket") ||
       plan.contains("SortMergeJoin [bucket") || plan.contains("BroadcastHashJoin [bucket"),
       s"candidate join not keyed on bucket:\n$plan")
@@ -80,13 +80,29 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("LSH candidate generation is an equi-join on bucket id, not a cross join") {
     val plan = physicalPlan(PipelineQueries.queries("q28_topk_lsh")(spark, sf))
-    // the CANDIDATE join must be an equi-join keyed on the bucket (the tiny
-    // hyperplane broadcast earlier in the plan is an intentional 6-row BNLJ)
+    // the CANDIDATE join must be an equi-join keyed on the bucket
     assert(plan.contains("SortMergeJoin [bucket") || plan.contains("BroadcastHashJoin [bucket"),
       s"bucket join not an equi-join:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cross product in candidate plan:\n$plan")
     // Spark's rank-limit pushdown keeps per-query top-k out of full sorts
     assert(plan.contains("WindowGroupLimit"), s"top-k not limit-pushed:\n$plan")
+  }
+
+  test("LSH bucket computation is a pure projection: no shuffle, explode, or aggregate") {
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.Embeddings
+    // the hyperplanes are inlined literals, so bucketing must add NOTHING to
+    // the scan+repartition plan — the old crossJoin(planes)+groupBy(id) form
+    // moved planes × corpus bytes through a shuffle
+    val prepared = Embeddings.prepare(
+      graft.Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val plan = physicalPlan(Embeddings.lshBucket(prepared, "vec_id", 8))
+    val exchanges = plan.split('\n').count(_.contains("Exchange"))
+    assert(exchanges <= 1, // prepare()'s round-robin repartition is the one allowed
+      s"bucket computation introduced a shuffle ($exchanges exchanges):\n$plan")
+    assert(!plan.contains("HashAggregate"), s"bucket computation aggregates:\n$plan")
+    assert(!plan.contains("Generate"), s"bucket computation explodes rows:\n$plan")
+    assert(!plan.contains("Join"), s"bucket computation joins:\n$plan")
   }
 
   test("dedup signature aggregation stays inside whole-stage codegen") {
@@ -122,27 +138,31 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     import graft.spark.expressions.{IcebergBucket, ZOrderFunctions}
     import spark.implicits._
     val df = (1L to 64L).map(i => (i, i * 1.5 - 40, s"doc-$i")).toDF("id", "x", "s")
-    def run(): Seq[org.apache.spark.sql.Row] = df.select(
+    // `id` carried through as a tiebreaker: 64 rows hash into 16 buckets, so
+    // (b_long, b_str) alone is not a total order across independent runs.
+    def run(): Seq[(Int, Int, Seq[Byte], Long)] = df.select(
         GraftShim.column(IcebergBucket(GraftShim.expression(col("id")), 16)).as("b_long"),
         GraftShim.column(IcebergBucket(GraftShim.expression(col("s")), 16)).as("b_str"),
-        ZOrderFunctions.zorder(col("id"), col("x")).as("zk"))
-      .orderBy("b_long", "b_str").collect().toSeq
+        ZOrderFunctions.zorder(col("id"), col("x")).as("zk"),
+        col("id"))
+      .orderBy("b_long", "b_str", "id").collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq, r.getLong(3)))
     // CODEGEN_ONLY + fallback off: a compile failure now throws instead of
-    // silently running interpreted
+    // silently running interpreted. finally does conf cleanup ONLY, so a
+    // codegen failure surfaces as itself rather than a masked follow-on error.
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     val generated = try run() finally {
-      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-      val interpreted = run()
       spark.conf.unset("spark.sql.codegen.factoryMode")
       spark.conf.unset("spark.sql.codegen.fallback")
-      assert(run() == interpreted) // default mode agrees with interpreted too
     }
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     val interpreted = try run() finally spark.conf.unset("spark.sql.codegen.factoryMode")
-    assert(generated.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Byte](2))) ==
-      interpreted.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Byte](2))),
+    val default = run()
+    assert(generated == interpreted,
       "codegen and interpreted bucket/zorder values diverge")
+    assert(default == interpreted,
+      "default-mode and interpreted bucket/zorder values diverge")
   }
 
   test("manifest statistics feed the optimizer: exact rowCount + size under CBO") {
