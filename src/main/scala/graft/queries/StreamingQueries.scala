@@ -29,10 +29,9 @@ object StreamingQueries {
         graft.spec.NestedField(3, "event_type", required = false, IceType.StringT),
         graft.spec.NestedField(4, "value", required = false, IceType.DoubleT)))
       val table = cat.createTable(TableIdent(Seq("bench"), "ev"), schema, PartitionSpec(0, Nil))
-      // events.parquet carries TIMESTAMP(NANOS); read ts as long and drop it
-      // (the aggregation below is time-agnostic — Tables.events documents
-      // the µs-truncation path used where timestamps matter)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.parquet carries TIMESTAMP(NANOS); the explicit schema reads
+      // ts as long with no session conf (inference is what rejects NANOS —
+      // Tables.events documents the µs-truncation path where time matters)
       val stream = s.readStream
         .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
         .option("pathGlobFilter", "events.parquet")

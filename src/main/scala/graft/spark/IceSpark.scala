@@ -125,6 +125,7 @@ object IceWrite {
     // session-scoped confs restored after the write — other queries in the
     // same session must not inherit iceberg write settings
     val prevTsType = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    val prevFieldIdWrite = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     spark.sessionState.newHadoopConf() // ensure defaults materialized
@@ -214,9 +215,15 @@ object IceWrite {
       .option("maxRecordsPerFile",
         props.getOrElse("write.max-records-per-file", "10000000"))
       .parquet(stagingDir)
-    finally prevTsType match {
-      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
-      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    finally {
+      prevTsType match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+      prevFieldIdWrite match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+        case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+      }
     }
 
     collectDataFiles(spark, table, stagingDir, writeSchema, partFields.map(_.name), content, equalityIds)
@@ -333,7 +340,12 @@ object IceScan {
     // Deliberately NOT restored: the returned DataFrame plans lazily, and
     // Spark reads these flags from the SESSION conf at physical-planning
     // time — restoring here would silently revert the caller's later action
-    // to name-based resolution. Both flags are no-ops for schemas without
+    // to name-based resolution. A per-relation option map is NOT an
+    // alternative in stock Spark: ParquetFileFormat overwrites these keys
+    // from the session conf when it builds the reader, so
+    // `.option("spark.sql.parquet.fieldId.read.enabled", ...)` is silently
+    // ignored (verified empirically; ConfHygieneSpec pins the behavioral
+    // consequence instead). Both flags are no-ops for schemas without
     // field-id metadata, so leaving them set is safe for non-graft reads.
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
