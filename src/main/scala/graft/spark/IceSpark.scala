@@ -481,19 +481,39 @@ object IceScan {
   }
 
   /** Assembles the (possibly merge-on-read) DataFrame. Equality deletes are
-    * compiled to per-partition anti-join chains in sequence-number order
-    * (J1, table.rs:484-692): a delete file masks exactly the data files with
+    * compiled to anti-join chains in sequence-number order (J1,
+    * table.rs:484-692): a delete file masks exactly the data files with
     * strictly smaller sequence numbers in its partition. The delete side is
     * broadcast — the Spark analogue of the reference's CollectLeft hash join.
+    *
+    * Partition scoping lives in the JOIN KEY, not the plan shape: one global
+    * sequence-ordered fold covers every partition, with partition-scoped
+    * delete files anti-joining on (equality cols, partition tag) — the tag
+    * is a canonical rendering of the manifest's partition tuple, attached to
+    * both sides by broadcast (file path → tag) maps. Union width is
+    * therefore O(distinct delete sequence points), not O(delete-affected
+    * partitions): thousands of affected partitions at 100 TB no longer
+    * explode the logical plan.
     */
   private def buildDataFrame(spark: SparkSession, table: IceTable, schema: IceSchema,
                              sparkSchema: org.apache.spark.sql.types.StructType,
                              data: Seq[ManifestEntry], allDeletes: Seq[ManifestEntry]): DataFrame = {
+    import spark.implicits._
     // positional deletes reference explicit (file path, row position) pairs;
     // since paths are unique, one global anti-join at the end is exact — a
     // path added after the delete can never appear in it
     val (posDeletes, deletes) = allDeletes.partition(_.dataFile.content == ContentPositionDeletes)
     val withPos = posDeletes.nonEmpty
+
+    val arity = data.headOption.map(_.dataFile.partition.size).getOrElse(0)
+    // a delete file written unpartitioned (global equality delete) round-trips
+    // through the manifest's partition struct as all-null values — only a
+    // delete with a real partition tuple is scoped to that partition
+    val (scoped, global) = deletes.partition { d =>
+      val p = d.dataFile.partition
+      arity > 0 && p.size == arity && p.exists(_._2 != null)
+    }
+    val needPath = withPos || scoped.nonEmpty
 
     // the reference always CollectLeft-broadcasts the delete side
     // (table.rs:484-692); at 100 TB a large delete generation belongs in a
@@ -513,17 +533,20 @@ object IceScan {
 
     def readFiles(entries: Seq[ManifestEntry]): DataFrame =
       if (entries.isEmpty) {
-        val sch = if (!withPos) sparkSchema else org.apache.spark.sql.types.StructType(
-          sparkSchema.fields :+
-            org.apache.spark.sql.types.StructField("__graft_path", org.apache.spark.sql.types.StringType) :+
-            org.apache.spark.sql.types.StructField("__graft_pos", org.apache.spark.sql.types.LongType))
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+        var fields = sparkSchema.fields
+        if (needPath) fields = fields :+
+          org.apache.spark.sql.types.StructField("__graft_path", org.apache.spark.sql.types.StringType)
+        if (withPos) fields = fields :+
+          org.apache.spark.sql.types.StructField("__graft_pos", org.apache.spark.sql.types.LongType)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(fields))
       } else {
         val df = spark.read.schema(sparkSchema).parquet(entries.map(_.dataFile.filePath): _*)
+        val withMeta0 =
+          if (needPath) df.withColumn("__graft_path", col("_metadata.file_path")) else df
         val withMeta =
-          if (!withPos) df
-          else df.withColumn("__graft_path", col("_metadata.file_path"))
-            .withColumn("__graft_pos", col("_metadata.row_index"))
+          if (withPos) withMeta0.withColumn("__graft_pos", col("_metadata.row_index"))
+          else withMeta0
         // exact row/byte totals from the surviving manifest entries → the
         // optimizer (SupportsReportStatistics analogue; rows × width sizing
         // under CBO/planStats instead of compressed-bytes underestimates).
@@ -553,64 +576,105 @@ object IceScan {
 
     if (deletes.isEmpty) return maskPositions(readFiles(data))
 
-    /** Sequence-ordered fold over one group of data + delete files
-      * (table.rs:498-679): process in ascending sequence order, deletes
-      * before data at equal sequence (a delete masks only STRICTLY older
-      * files); data files between two delete sequence points are read as one
-      * multi-file scan to keep the join chain shallow.
+    // canonical partition tag: the manifest's raw Avro partition values
+    // rendered to one stable string. Byte arrays hex-encode (Object.toString
+    // is identity-based and would give the SAME partition different tags per
+    // manifest entry); null renders as a reserved sentinel.
+    val TagCol = "__graft_pk"
+    def pkTag(p: Seq[(String, Any)]): String = p.map {
+      case (_, null) => "\u0000"
+      case (_, b: Array[Byte]) => b.map("%02x".format(_)).mkString
+      case (_, b: java.nio.ByteBuffer) =>
+        val d = b.duplicate; val a = new Array[Byte](d.remaining); d.get(a)
+        a.map("%02x".format(_)).mkString
+      case (_, v) => v.toString
+    }.mkString("\u0001")
+
+    // tag-map keys must render exactly like `_metadata.file_path` (which is
+    // FileSystem-qualified, e.g. "file:/tmp/…"), while manifests may store
+    // raw paths — qualify driver-side with the same Hadoop resolution
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).makeQualified(hp).toString
+    }
+
+    // (data file path → tag) for files in delete-affected partitions ONLY:
+    // clean partitions keep a null tag and can never match a scoped delete
+    // (equi-join null semantics), so the broadcast map stays proportional to
+    // the affected region, not the table
+    val affectedTags: Set[String] = scoped.map(d => pkTag(d.dataFile.partition)).toSet
+    val dataTags: Seq[(String, String)] = data.flatMap { e =>
+      val t = pkTag(e.dataFile.partition)
+      if (affectedTags.contains(t)) Some(qualified(e.dataFile.filePath) -> t) else None
+    }
+    lazy val dataTagDf = broadcast(dataTags.toDF("__graft_tpath", TagCol))
+    def tagged(df: DataFrame): DataFrame =
+      if (scoped.isEmpty) df
+      else if (dataTags.isEmpty) df.withColumn(TagCol, lit(null).cast("string"))
+      else df.join(dataTagDf, df("__graft_path") === col("__graft_tpath"), "left")
+        .drop("__graft_tpath")
+
+    /** ONE sequence-ordered fold across all partitions (table.rs:498-679):
+      * ascending sequence order, deletes before data at equal sequence (a
+      * delete masks only STRICTLY older files); data files between two
+      * delete sequence points are read as one multi-file scan — partition
+      * scoping is enforced by the tag column in the anti-join key, so the
+      * plan never fans out per partition.
       */
-    def fold(dataEntries: Seq[ManifestEntry], dels: Seq[ManifestEntry]): DataFrame = {
-      val delSeqs = dels.map(_.sequenceNumber.getOrElse(0L)).distinct.sorted
+    def fold(): DataFrame = {
+      val allDels = scoped ++ global
+      val delSeqs = allDels.map(_.sequenceNumber.getOrElse(0L)).distinct.sorted
       var acc: DataFrame = null
-      var remaining = dataEntries.sortBy(_.sequenceNumber.getOrElse(0L))
+      var remaining = data.sortBy(_.sequenceNumber.getOrElse(0L))
       for (ds <- delSeqs) {
         val (older, newer) = remaining.partition(_.sequenceNumber.getOrElse(0L) < ds)
         if (older.nonEmpty) {
-          val df = readFiles(older)
+          val df = tagged(readFiles(older))
           acc = if (acc == null) df else acc.unionByName(df)
         }
         remaining = newer
         if (acc != null) {
-          for (del <- dels.filter(_.sequenceNumber.getOrElse(0L) == ds)) {
-            val eqCols = del.dataFile.equalityIds.flatMap(id => schema.fieldById(id)).map(_.name)
-            val delDf = spark.read
-              .schema(org.apache.spark.sql.types.StructType(
-                sparkSchema.fields.filter(f => eqCols.contains(f.name))))
-              .parquet(del.dataFile.filePath)
-            acc = acc.join(maybeBroadcast(delDf, del.dataFile.fileSizeInBytes), eqCols, "left_anti")
+          // delete files at this sequence, one anti-join per distinct
+          // (equality ids, scoped?) group — same-shaped files share a scan
+          def eqSchemaOf(eqCols: Seq[String]) = org.apache.spark.sql.types.StructType(
+            sparkSchema.fields.filter(f => eqCols.contains(f.name)))
+          val (scopedAt, globalAt) = allDels.filter(_.sequenceNumber.getOrElse(0L) == ds)
+            .partition(scoped.contains)
+          for ((eqIds, files) <- scopedAt.groupBy(_.dataFile.equalityIds).toSeq.sortBy(_._1.mkString(","))) {
+            val eqCols = eqIds.flatMap(id => schema.fieldById(id)).map(_.name)
+            val delTagDf = broadcast(
+              files.map(f => (qualified(f.dataFile.filePath), pkTag(f.dataFile.partition)))
+                .toDF("__graft_dpath", TagCol))
+            val delDf = spark.read.schema(eqSchemaOf(eqCols))
+              .parquet(files.map(_.dataFile.filePath): _*)
+              .withColumn("__graft_dfp", col("_metadata.file_path"))
+              .join(delTagDf, col("__graft_dfp") === col("__graft_dpath"))
+              .select((eqCols.map(col) :+ col(TagCol)): _*)
+            acc = acc.join(maybeBroadcast(delDf, files.map(_.dataFile.fileSizeInBytes).sum),
+              eqCols :+ TagCol, "left_anti")
+          }
+          for ((eqIds, files) <- globalAt.groupBy(_.dataFile.equalityIds).toSeq.sortBy(_._1.mkString(","))) {
+            val eqCols = eqIds.flatMap(id => schema.fieldById(id)).map(_.name)
+            val delDf = spark.read.schema(eqSchemaOf(eqCols))
+              .parquet(files.map(_.dataFile.filePath): _*)
+            acc = acc.join(maybeBroadcast(delDf, files.map(_.dataFile.fileSizeInBytes).sum),
+              eqCols, "left_anti")
           }
         }
       }
-      val newerDf = if (remaining.nonEmpty) Some(readFiles(remaining)) else None
+      val newerDf = if (remaining.nonEmpty) Some(tagged(readFiles(remaining))) else None
       (Option(acc), newerDf) match {
         case (Some(a), Some(n)) => a.unionByName(n)
         case (Some(a), None) => a
         case (None, Some(n)) => n
-        case (None, None) => readFiles(Nil)
+        case (None, None) => tagged(readFiles(Nil))
       }
     }
 
-    val arity = data.headOption.map(_.dataFile.partition.size).getOrElse(0)
-    // a delete file written unpartitioned (global equality delete) round-trips
-    // through the manifest's partition struct as all-null values — only a
-    // delete with a real partition tuple is scoped to that partition
-    val (scoped, global) = deletes.partition { d =>
-      val p = d.dataFile.partition
-      arity > 0 && p.size == arity && p.exists(_._2 != null)
-    }
-    if (scoped.isEmpty) maskPositions(fold(data, global))
-    else {
-      // partition-scoped deletes: fold each affected partition separately,
-      // clean partitions read as one scan (then global deletes on top)
-      val deletesByPartition = scoped.groupBy(_.dataFile.partition.map(_._2).toVector)
-      val dataByPartition = data.groupBy(_.dataFile.partition.map(_._2).toVector)
-      val (affected, clean) = dataByPartition.partition { case (k, _) => deletesByPartition.contains(k) }
-      val parts =
-        (if (clean.nonEmpty) Seq(fold(clean.values.flatten.toSeq, global)) else Nil) ++
-          affected.toSeq.map { case (pk, entries) =>
-            fold(entries, deletesByPartition(pk) ++ global)
-          }
-      maskPositions(parts.reduce(_ unionByName _))
-    }
+    val folded = fold()
+    val untagged = if (scoped.nonEmpty) folded.drop(TagCol) else folded
+    val result = maskPositions(untagged)
+    if (needPath && !withPos) result.drop("__graft_path") else result
   }
 }

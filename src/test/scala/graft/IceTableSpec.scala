@@ -171,6 +171,43 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sums == Map(1L -> 4L, 2L -> 1L, 3L -> 3L))
   }
 
+  test("partition-scoped deletes: one fold, O(1) unions, per-partition masking") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "scoped"), ordersSchema, daySpec)
+    // 8 partitions (dates), ids 1..10 in EVERY partition
+    val dates = (1 to 8).map(i => f"2021-03-$i%02d")
+    val rows = for (d <- dates; id <- 1L to 10L)
+      yield (id, id, id % 3, d, 1)
+    table = IceWrite.append(spark, table,
+      rows.toDF("id", "customer_id", "product_id", "date", "amount")
+        .withColumn("date", to_date($"date")))
+
+    // partition-scoped equality deletes: partition i masks id=i ONLY THERE.
+    // The public write path emits global deletes, so scope them by stamping
+    // the manifest partition tuple (what an external Iceberg writer produces).
+    val deleteFiles = dates.zipWithIndex.flatMap { case (d, i) =>
+      val day = java.time.LocalDate.parse(d).toEpochDay.toInt
+      IceWrite.writeDataFiles(spark, table, Seq(Tuple1((i + 1).toLong)).toDF("id"),
+          ordersSchema.project(Seq(1)),
+          content = graft.table.ManifestModel.ContentEqualityDeletes, equalityIds = Seq(1))
+        .map(_.copy(partition = Seq("date_day" -> day)))
+    }
+    table = table.newTransaction(None).appendDeletes(deleteFiles).commit()
+
+    val df = IceScan.scan(spark, table)
+    // id=i masked only in partition i: 80 rows - 8 masked
+    assert(df.count() == 72)
+    // id=1 survives in the 7 partitions that did NOT delete it
+    assert(df.filter($"id" === 1L).count() == 7)
+    // plan shape: ONE fold across all 8 affected partitions — scoping lives
+    // in the anti-join key, not in per-partition plan branches
+    val plan = df.queryExecution.executedPlan.toString
+    val unions = plan.split('\n').count(_.contains("Union"))
+    assert(unions <= 1, s"per-partition fan-out is back ($unions unions):\n$plan")
+  }
+
   test("write sort order clusters files into disjoint ranges; pruning hits one file") {
     implicit val s: SparkSession = spark
     import s.implicits._
