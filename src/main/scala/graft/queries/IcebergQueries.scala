@@ -209,6 +209,36 @@ object IcebergQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // Metadata tables as SQL relations (t.files / t.snapshots): identity
+    // lang-partitioned table, two append commits, then per-partition stats
+    // read FROM THE MANIFESTS ONLY (no data scan) — every number is
+    // reproducible in the oracle from the raw documents table because the
+    // partition tuple and record counts are data-derived.
+    "q42_metadata_tables" -> ((s, d) => {
+      val wh = Files.createTempDirectory("graft_mdwh").toString
+      s.conf.set("spark.sql.catalog.graft_md", "graft.spark.sql.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.graft_md.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_md.db")
+      s.sql("DROP TABLE IF EXISTS graft_md.db.docs")
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        .createOrReplaceTempView("q42_src_docs")
+      s.sql("""CREATE TABLE graft_md.db.docs (doc_id BIGINT, lang STRING, n_chars BIGINT)
+              |PARTITIONED BY (lang)""".stripMargin)
+      s.sql("INSERT INTO graft_md.db.docs SELECT * FROM q42_src_docs WHERE doc_id % 2 = 0")
+      s.sql("INSERT INTO graft_md.db.docs SELECT * FROM q42_src_docs WHERE doc_id % 2 = 1")
+      val files = s.table("graft_md.db.docs.files")
+      val snaps = s.table("graft_md.db.docs.snapshots")
+      val perLang = files.filter(col("content") === 0)
+        .select(regexp_extract(col("partition"), "^\\{lang=(.*)\\}$", 1).as("lang"),
+          col("record_count"), col("sequence_number"))
+        .groupBy(col("lang"))
+        .agg(sum(col("record_count")).as("n_rows"),
+          countDistinct(col("sequence_number")).as("n_batches"))
+      val snapStats = snaps.agg(count(lit(1)).as("n_snapshots"),
+        countDistinct(col("operation")).as("n_ops"))
+      perLang.crossJoin(snapStats).orderBy("lang")
+    }),
+
     // CDC changelog read (S4 extension): three commits — even keys, odd
     // keys, equality-delete of F-status keys. Window 1 (snap1→snap2) is
     // append-only and streams inserts straight off the new files (no diff);
@@ -310,6 +340,11 @@ object IcebergQueries {
         |SELECT o_orderstatus, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total
         |FROM upd WHERE o_orderstatus <> 'P'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q42_metadata_tables" ->
+      """SELECT lang, count(*) AS n_rows,
+        |  count(DISTINCT doc_id % 2) AS n_batches,
+        |  CAST(2 AS BIGINT) AS n_snapshots, CAST(1 AS BIGINT) AS n_ops
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q40_changelog" ->
       """WITH src AS (
         |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price
