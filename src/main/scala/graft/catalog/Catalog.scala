@@ -67,10 +67,22 @@ trait Catalog {
     * (commit.rs:417-490 + sql catalog CAS, iceberg-sql-catalog/src/lib.rs:429-480).
     */
   def updateTable(commit: CommitTable): TableMetadata
-  // ---- views (SURVEY §2.8 D2) ----
-  def createView(ident: TableIdent, sql: String, schemaJson: String): Unit
-  def loadView(ident: TableIdent): Option[(String, String)] // (sql, schemaJson)
+  // ---- views (SURVEY §2.8 D2; versioned metadata per view_metadata.rs) ----
+  /** Creates the view from full metadata; fails if it already exists. A
+    * blank `location` is filled in by the backend. */
+  def createView(ident: TableIdent, metadata: ViewMetadata): Unit
+  /** Replaces the stored metadata (REPLACE = a new version appended by the
+    * caller via [[ViewMetadata.replaced]]); fails if the view does not
+    * exist or the uuid changed. */
+  def replaceView(ident: TableIdent, metadata: ViewMetadata): Unit
+  def loadView(ident: TableIdent): Option[ViewMetadata]
   def dropView(ident: TableIdent): Unit
+
+  /** Convenience: create from SQL + schema with defaulted metadata. */
+  def createView(ident: TableIdent, sql: String, schema: IceSchema): Unit =
+    createView(ident, ViewMetadata.create(
+      java.util.UUID.randomUUID().toString, "", sql, schema,
+      System.currentTimeMillis(), defaultNamespace = ident.namespace))
 }
 
 object CatalogOps {
@@ -271,39 +283,37 @@ class FileCatalog(val warehouse: String) extends Catalog {
     next
   }
 
-  // ---- views: SQL text + output schema stored as versioned JSON ----
+  // ---- views: full versioned metadata JSON (view_metadata.rs shape) ----
 
   private def viewFile(ident: TableIdent): Path = metadataDir(ident).resolve("view.json")
 
-  override def createView(ident: TableIdent, sql: String, schemaJson: String): Unit = {
+  private def writeView(ident: TableIdent, metadata: ViewMetadata): Unit = {
     Files.createDirectories(metadataDir(ident))
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val n = mapper.createObjectNode()
-    n.put("view-uuid", UUID.randomUUID().toString)
-    n.put("format-version", 1)
-    n.put("location", tableDir(ident).toAbsolutePath.toString)
-    n.put("current-version-id", 1)
-    val versions = n.putArray("versions")
-    val v = versions.addObject()
-    v.put("version-id", 1)
-    v.put("timestamp-ms", System.currentTimeMillis())
-    val reps = v.putArray("representations")
-    val rep = reps.addObject()
-    rep.put("type", "sql"); rep.put("sql", sql); rep.put("dialect", "spark")
-    n.set[com.fasterxml.jackson.databind.JsonNode]("schema", mapper.readTree(schemaJson))
-    Files.write(viewFile(ident), mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsString(n).getBytes(StandardCharsets.UTF_8))
+    val m = if (metadata.location.isEmpty)
+      metadata.copy(location = tableDir(ident).toAbsolutePath.toString) else metadata
+    Files.write(viewFile(ident),
+      ViewMetadataJson.toJson(m).getBytes(StandardCharsets.UTF_8))
   }
 
-  override def loadView(ident: TableIdent): Option[(String, String)] = {
+  override def createView(ident: TableIdent, metadata: ViewMetadata): Unit = {
+    if (Files.exists(viewFile(ident)))
+      throw new IllegalStateException(s"view $ident already exists")
+    writeView(ident, metadata)
+  }
+
+  override def replaceView(ident: TableIdent, metadata: ViewMetadata): Unit = {
+    val prev = loadView(ident).getOrElse(
+      throw new IllegalArgumentException(s"no view $ident to replace"))
+    require(prev.viewUuid == metadata.viewUuid,
+      s"view uuid changed on replace: ${prev.viewUuid} -> ${metadata.viewUuid}")
+    writeView(ident, metadata)
+  }
+
+  override def loadView(ident: TableIdent): Option[ViewMetadata] = {
     val p = viewFile(ident)
     if (!Files.exists(p)) None
-    else {
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val n = mapper.readTree(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-      val sql = n.get("versions").get(0).get("representations").get(0).get("sql").asText()
-      Some(sql -> n.get("schema").toString)
-    }
+    else Some(ViewMetadataJson.fromJson(
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
   }
 
   override def dropView(ident: TableIdent): Unit = Files.deleteIfExists(viewFile(ident))

@@ -4,7 +4,7 @@ import java.util.UUID
 
 import scala.collection.concurrent.TrieMap
 
-import graft.spec.{IceSchema, PartitionSpec, SortOrder, TableMetadata}
+import graft.spec.{IceSchema, PartitionSpec, SortOrder, TableMetadata, ViewMetadata}
 import graft.table.IceTable
 
 /** In-memory catalog backend: the metadata POINTER lives in process memory
@@ -19,7 +19,7 @@ import graft.table.IceTable
 class MemoryCatalog(val warehouse: String) extends Catalog {
 
   private val tables = TrieMap.empty[TableIdent, TableMetadata]
-  private val views = TrieMap.empty[TableIdent, (String, String)]
+  private val views = TrieMap.empty[TableIdent, ViewMetadata]
   private val namespaces = TrieMap.empty[Seq[String], Unit]
 
   override def createTable(ident: TableIdent, schema: IceSchema, spec: PartitionSpec,
@@ -76,8 +76,19 @@ class MemoryCatalog(val warehouse: String) extends Catalog {
     updated
   }
 
-  override def createView(ident: TableIdent, sql: String, schemaJson: String): Unit =
-    views.put(ident, (sql, schemaJson))
-  override def loadView(ident: TableIdent): Option[(String, String)] = views.get(ident)
+  override def createView(ident: TableIdent, metadata: ViewMetadata): Unit = {
+    val m = if (metadata.location.isEmpty) metadata.copy(
+      location = (Seq(warehouse) ++ ident.namespace :+ ident.name).mkString("/")) else metadata
+    if (views.putIfAbsent(ident, m).isDefined)
+      throw new IllegalStateException(s"view $ident already exists")
+  }
+  override def replaceView(ident: TableIdent, metadata: ViewMetadata): Unit = {
+    val prev = views.getOrElse(ident,
+      throw new IllegalArgumentException(s"no view $ident to replace"))
+    require(prev.viewUuid == metadata.viewUuid,
+      s"view uuid changed on replace: ${prev.viewUuid} -> ${metadata.viewUuid}")
+    views.put(ident, metadata)
+  }
+  override def loadView(ident: TableIdent): Option[ViewMetadata] = views.get(ident)
   override def dropView(ident: TableIdent): Unit = views.remove(ident)
 }

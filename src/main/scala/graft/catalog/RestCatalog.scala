@@ -245,19 +245,25 @@ class RestCatalog(baseUri: String) extends Catalog {
   private def viewPath(ident: TableIdent): String =
     s"/v1/namespaces/${nsPath(ident.namespace)}/views/${enc(ident.name)}"
 
-  override def createView(ident: TableIdent, sql: String, schemaJson: String): Unit = {
+  override def createView(ident: TableIdent, metadata: ViewMetadata): Unit = {
     val n = mapper.createObjectNode()
-    n.put("name", ident.name); n.put("sql", sql)
-    n.set[JsonNode]("schema", mapper.readTree(schemaJson))
+    n.put("name", ident.name)
+    n.set[JsonNode]("metadata", mapper.readTree(ViewMetadataJson.toJson(metadata)))
     expect(send("POST", s"/v1/namespaces/${nsPath(ident.namespace)}/views", Some(n.toString)), 200)
   }
 
-  override def loadView(ident: TableIdent): Option[(String, String)] = {
+  override def replaceView(ident: TableIdent, metadata: ViewMetadata): Unit = {
+    val n = mapper.createObjectNode()
+    n.set[JsonNode]("metadata", mapper.readTree(ViewMetadataJson.toJson(metadata)))
+    expect(send("PUT", viewPath(ident), Some(n.toString)), 200)
+  }
+
+  override def loadView(ident: TableIdent): Option[ViewMetadata] = {
     val r = send("GET", viewPath(ident))
     if (r.statusCode() == 404) None
     else {
       val n = mapper.readTree(expect(r, 200).body())
-      Some(n.get("sql").asText() -> n.get("schema").toString)
+      Some(ViewMetadataJson.fromJson(n.get("metadata").toString))
     }
   }
 

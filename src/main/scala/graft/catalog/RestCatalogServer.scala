@@ -6,7 +6,7 @@ import java.nio.charset.StandardCharsets
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
-import graft.spec.TableMetadataJson
+import graft.spec.{TableMetadataJson, ViewMetadataJson}
 
 /** Minimal Iceberg-REST-protocol server over any [[Catalog]] backend —
   * serves a warehouse to [[RestCatalog]] clients (and is the in-process
@@ -123,18 +123,27 @@ class RestCatalogServer(inner: Catalog, port: Int = 0) {
           case e: IllegalStateException => respond(ex, 404, errorJson(e))
         }
 
-      // ---- views ----
+      // ---- views (full versioned metadata documents on the wire) ----
       case ("POST", Seq("namespaces", ns, "views")) =>
         val req = mapper.readTree(body())
         inner.createView(TableIdent(splitNs(ns), req.get("name").asText()),
-          req.get("sql").asText(), req.get("schema").toString)
+          ViewMetadataJson.fromJson(req.get("metadata").toString))
         respond(ex, 200, """{}""")
+      case ("PUT", Seq("namespaces", ns, "views", v)) =>
+        val req = mapper.readTree(body())
+        try {
+          inner.replaceView(TableIdent(splitNs(ns), v),
+            ViewMetadataJson.fromJson(req.get("metadata").toString))
+          respond(ex, 200, """{}""")
+        } catch {
+          case e: IllegalArgumentException => respond(ex, 404, errorJson(e))
+        }
       case ("GET", Seq("namespaces", ns, "views", v)) =>
         inner.loadView(TableIdent(splitNs(ns), v)) match {
-          case Some((sql, schemaJson)) =>
+          case Some(m) =>
             val n = mapper.createObjectNode()
-            n.put("sql", sql)
-            n.set[com.fasterxml.jackson.databind.JsonNode]("schema", mapper.readTree(schemaJson))
+            n.set[com.fasterxml.jackson.databind.JsonNode]("metadata",
+              mapper.readTree(ViewMetadataJson.toJson(m)))
             respond(ex, 200, n.toString)
           case None => respond(ex, 404, """{"error":"no such view"}""")
         }

@@ -220,7 +220,11 @@ object IceMV {
     }
     val schema = IceSchema(0, struct.fields, identifierFieldIds = keyIds)
     catalog.createTable(storageIdent(ident), schema, PartitionSpec(0, Nil), props)
-    catalog.createView(ident, sql, out.schema.json)
+    // VISIBLE view schema, versioned per view_metadata.rs (storage schema
+    // lives on the storage table; the view metadata records what a reader
+    // of the view sees)
+    val (visStruct, _) = IceType.fromSparkAssignIds(out.schema)
+    catalog.createView(ident, sql, IceSchema(1, visStruct.fields))
   }
 
   /** MV read = MoR scan of the storage table (stale until refreshed).
@@ -235,10 +239,9 @@ object IceMV {
         // roll the (groups, x, y, ...)-granular storage up to the visible
         // shape: count(DISTINCT x) = countDistinct over the compact key
         // combinations, additive aggs re-sum, min/max re-extremize
-        val (_, schemaJson) = catalog.loadView(ident)
+        val visible = catalog.loadView(ident)
           .getOrElse(throw new IllegalStateException(s"no view metadata for $ident"))
-        val visible = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .currentSchema.toSpark
         val groupNames = outs.collect { case (n, "group") => n }
         val aggs = outs.collect {
           case (n, kind) if kind.startsWith("count_distinct:") =>
@@ -256,10 +259,9 @@ object IceMV {
     val avgCols = readAvgCols(storage)
     if (avgCols.isEmpty) scan
     else {
-      val (_, schemaJson) = catalog.loadView(ident)
+      val visible = catalog.loadView(ident)
         .getOrElse(throw new IllegalStateException(s"no view metadata for $ident"))
-      val visible = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .currentSchema.toSpark
       val withAvgs = avgCols.foldLeft(scan) { case (df, (vis, s, c, tpe)) =>
         df.withColumn(vis, (col(s).cast("double") / col(c))
           .cast(org.apache.spark.sql.types.DataType.fromJson(tpe)))
@@ -271,9 +273,23 @@ object IceMV {
   /** Plain (non-materialized) view read: inline the SQL over current-snapshot
     * sources (D5, table.rs:170-190). */
   def readView(spark: SparkSession, catalog: Catalog, ident: TableIdent): DataFrame = {
-    val (sql, _) = catalog.loadView(ident)
-      .getOrElse(throw new IllegalArgumentException(s"no view $ident"))
+    val sql = catalog.loadView(ident)
+      .getOrElse(throw new IllegalArgumentException(s"no view $ident")).sql
     fullCompute(spark, catalog, ident, sql)
+  }
+
+  /** REPLACE VIEW: appends a new version to the view metadata (version log
+    * + history retained per view_metadata.rs) instead of dropping and
+    * recreating — readers pick up the new current version atomically.
+    */
+  def replaceView(spark: SparkSession, catalog: Catalog, ident: TableIdent,
+                  newSql: String): Unit = {
+    val prev = catalog.loadView(ident)
+      .getOrElse(throw new IllegalArgumentException(s"no view $ident to replace"))
+    val out = fullCompute(spark, catalog, ident, newSql)
+    val (visStruct, _) = IceType.fromSparkAssignIds(out.schema)
+    catalog.replaceView(ident, prev.replaced(newSql,
+      IceSchema(1, visStruct.fields), System.currentTimeMillis()))
   }
 
   // -------------------------------------------------------------------
@@ -281,8 +297,8 @@ object IceMV {
   // -------------------------------------------------------------------
 
   def refresh(spark: SparkSession, catalog: Catalog, ident: TableIdent): RefreshResult = {
-    val (sql, _) = catalog.loadView(ident)
-      .getOrElse(throw new IllegalArgumentException(s"no materialized view $ident"))
+    val sql = catalog.loadView(ident)
+      .getOrElse(throw new IllegalArgumentException(s"no materialized view $ident")).sql
     val storage = catalog.loadTable(storageIdent(ident))
       .getOrElse(throw new IllegalArgumentException(s"no storage table for $ident"))
     val originalPlan = spark.sessionState.sqlParser.parsePlan(sql)

@@ -257,9 +257,43 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     var orders = cat.createTable(TableIdent(Seq("db"), "orders"), ordersSchema, PartitionSpec(0, Nil))
     orders = IceWrite.append(spark, orders, ordersDf(Seq((1L, 1L, 5L))))
     val v = TableIdent(Seq("db"), "v_orders")
-    cat.createView(v, "SELECT id, amount * 2 AS amount2 FROM orders", "{}")
+    cat.createView(v, "SELECT id, amount * 2 AS amount2 FROM orders",
+      IceSchema(1, Seq(
+        NestedField(1, "id", required = false, IceType.LongT),
+        NestedField(2, "amount2", required = false, IceType.LongT))))
     assert(IceMV.readView(spark, cat, v).collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L)))
     orders = IceWrite.append(spark, orders.refresh(), ordersDf(Seq((2L, 1L, 3L))))
     assert(IceMV.readView(spark, cat, v).count() == 2)
+  }
+
+  test("REPLACE VIEW appends a version; reads run off the current version") {
+    val cat = newCatalog()
+    var orders = cat.createTable(TableIdent(Seq("db"), "orders"), ordersSchema, PartitionSpec(0, Nil))
+    orders = IceWrite.append(spark, orders, ordersDf(Seq((1L, 1L, 5L), (2L, 1L, 7L))))
+    val v = TableIdent(Seq("db"), "v_rep")
+    cat.createView(v, "SELECT id, amount FROM orders",
+      IceSchema(1, Seq(
+        NestedField(1, "id", required = false, IceType.LongT),
+        NestedField(2, "amount", required = false, IceType.LongT))))
+    val m1 = cat.loadView(v).get
+    assert(m1.currentVersionId == 1L && m1.versionLog.map(_.versionId) == Seq(1L))
+    assert(m1.currentVersion.summary.get("operation").contains("create"))
+
+    IceMV.replaceView(spark, cat, v, "SELECT id, amount * 10 AS amount10 FROM orders")
+    val m2 = cat.loadView(v).get
+    // new version appended, pointer moved, log extended, uuid stable,
+    // prior version retained for audit
+    assert(m2.viewUuid == m1.viewUuid)
+    assert(m2.currentVersionId == 2L)
+    assert(m2.versionLog.map(_.versionId) == Seq(1L, 2L))
+    assert(m2.versions.keySet == Set(1L, 2L))
+    assert(m2.currentVersion.summary.get("operation").contains("replace"))
+    assert(m2.currentSchema.fields.map(_.name) == Seq("id", "amount10"))
+    // the read runs the CURRENT version's SQL
+    assert(IceMV.readView(spark, cat, v).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 50L), (2L, 70L)))
+    // replace with a mismatched uuid is rejected
+    val forged = m2.copy(viewUuid = java.util.UUID.randomUUID().toString)
+    intercept[IllegalArgumentException] { cat.replaceView(v, forged) }
   }
 }

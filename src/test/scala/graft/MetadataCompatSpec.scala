@@ -68,6 +68,68 @@ class MetadataCompatSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported"))
   }
 
+  test("view metadata fixture round-trips (view_metadata.rs:476-522 shape)") {
+    // the reference's own V1 view-metadata deserialization fixture
+    val data = """
+      {
+      "view-uuid": "fa6506c3-7681-40c8-86dc-e36561f83385",
+      "format-version" : 1,
+      "location" : "s3://bucket/warehouse/default.db/event_agg",
+      "current-version-id" : 1,
+      "properties" : { "comment" : "Daily event counts" },
+      "versions" : [ {
+        "version-id" : 1,
+        "timestamp-ms" : 1573518431292,
+        "schema-id" : 1,
+        "default-catalog" : "prod",
+        "default-namespace" : [ "default" ],
+        "summary" : {
+          "operation" : "create", "engine-name" : "Spark", "engineVersion" : "3.3.2"
+        },
+        "representations" : [ {
+          "type" : "sql",
+          "sql" : "SELECT\n    COUNT(1), CAST(event_ts AS DATE)\nFROM events\nGROUP BY 2",
+          "dialect" : "spark"
+        } ]
+      } ],
+      "schemas": [ {
+        "schema-id": 1,
+        "type" : "struct",
+        "fields" : [ {
+          "id" : 1, "name" : "event_count", "required" : false,
+          "type" : "int", "doc" : "Count of events"
+        }, {
+          "id" : 2, "name" : "event_date", "required" : false, "type" : "date"
+        } ]
+      } ],
+      "version-log" : [ { "timestamp-ms" : 1573518431292, "version-id" : 1 } ]
+      }"""
+    val m = ViewMetadataJson.fromJson(data)
+    assert(m.viewUuid == "fa6506c3-7681-40c8-86dc-e36561f83385")
+    assert(m.currentVersionId == 1L)
+    assert(m.currentVersion.defaultCatalog.contains("prod"))
+    assert(m.currentVersion.defaultNamespace == Seq("default"))
+    assert(m.currentVersion.summary("engine-name") == "Spark")
+    assert(m.sql.startsWith("SELECT"))
+    assert(m.currentSchema.fields.map(_.name) == Seq("event_count", "event_date"))
+    assert(m.versionLog == Seq(ViewHistoryEntry(1573518431292L, 1L)))
+    // serialize → parse → identical model (the reference's round-trip check)
+    assert(ViewMetadataJson.fromJson(ViewMetadataJson.toJson(m)) == m)
+  }
+
+  test("view version history is capped by version.history.num-entries") {
+    val schema = IceSchema(1, Seq(NestedField(1, "x", required = false, IceType.LongT)))
+    var m = ViewMetadata.create("u-1", "/tmp/v", "SELECT 1 AS x", schema, 1000L,
+      properties = Map("version.history.num-entries" -> "2"))
+    for (i <- 2 to 5)
+      m = m.replaced(s"SELECT $i AS x", schema, 1000L + i)
+    assert(m.currentVersionId == 5L)
+    // only the 2 most recent versions retained; full log kept for audit
+    assert(m.versions.keySet == Set(4L, 5L))
+    assert(m.versionLog.map(_.versionId) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(m.sql == "SELECT 5 AS x")
+  }
+
   test("broken V2 fixtures fail loudly on their missing required field") {
     for ((name, needle) <- Seq(
       "TableMetadataV2MissingSchemas" -> "schemas",

@@ -101,14 +101,25 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IceScan.scan(spark, retried).count() == 4) // 2,3,4,5
   }
 
-  test("views round-trip over REST") {
-    cat.createView(TableIdent(Seq("db"), "v_events"),
-      "SELECT id FROM events", """{"type":"struct","fields":[]}""")
-    val (sql, schemaJson) = cat.loadView(TableIdent(Seq("db"), "v_events")).get
-    assert(sql == "SELECT id FROM events")
-    assert(schemaJson.contains("struct"))
-    cat.dropView(TableIdent(Seq("db"), "v_events"))
-    assert(cat.loadView(TableIdent(Seq("db"), "v_events")).isEmpty)
+  test("views round-trip over REST, including REPLACE versioning") {
+    val ident = TableIdent(Seq("db"), "v_events")
+    cat.createView(ident, "SELECT id FROM events",
+      IceSchema(1, Seq(NestedField(1, "id", required = false, IceType.LongT))))
+    val m = cat.loadView(ident).get
+    assert(m.sql == "SELECT id FROM events")
+    assert(m.currentVersionId == 1L)
+    assert(m.currentSchema.fields.map(_.name) == Seq("id"))
+    // REPLACE over the wire: version appended, uuid stable
+    cat.replaceView(ident, m.replaced("SELECT id, v FROM events",
+      IceSchema(1, Seq(
+        NestedField(1, "id", required = false, IceType.LongT),
+        NestedField(2, "v", required = false, IceType.LongT))), 12345L))
+    val m2 = cat.loadView(ident).get
+    assert(m2.viewUuid == m.viewUuid && m2.currentVersionId == 2L)
+    assert(m2.versionLog.map(_.versionId) == Seq(1L, 2L))
+    assert(m2.sql == "SELECT id, v FROM events")
+    cat.dropView(ident)
+    assert(cat.loadView(ident).isEmpty)
   }
 
   test("Spark SQL catalog plugin runs against the REST backend (uri option)") {
