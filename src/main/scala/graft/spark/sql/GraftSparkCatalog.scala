@@ -12,7 +12,7 @@ import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.catalog.{Catalog, FileCatalog, RestCatalog, TableIdent}
+import graft.catalog.{Catalog, FileCatalog, JdbcCatalog, RestCatalog, TableIdent}
 import graft.core.{Transform => IceTransform}
 import graft.spark.IceWrite
 import graft.spec.{IceSchema, IceType, PartitionField, PartitionSpec}
@@ -42,15 +42,16 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    // backend selection: `uri` → REST catalog service, else `warehouse` →
-    // filesystem catalog. Data IO always goes straight to each table's
-    // `location`; only metadata operations differ.
-    catalog = Option(options.get("uri")) match {
-      case Some(uri) => new RestCatalog(uri)
-      case None =>
-        val wh = Option(options.get("warehouse")).getOrElse(throw new IllegalArgumentException(
-          s"catalog $name requires spark.sql.catalog.$name.warehouse or .uri"))
-        new FileCatalog(wh)
+    // backend selection: `uri` → REST catalog service, `jdbc.url` → SQL
+    // database pointer catalog (Derby etc.), else `warehouse` → filesystem
+    // catalog. Data IO always goes straight to each table's `location`;
+    // only metadata operations differ.
+    def wh = Option(options.get("warehouse")).getOrElse(throw new IllegalArgumentException(
+      s"catalog $name requires spark.sql.catalog.$name.warehouse or .uri"))
+    catalog = (Option(options.get("uri")), Option(options.get("jdbc.url"))) match {
+      case (Some(uri), _) => new RestCatalog(uri)
+      case (None, Some(url)) => new JdbcCatalog(wh, url, name)
+      case _ => new FileCatalog(wh)
     }
   }
 

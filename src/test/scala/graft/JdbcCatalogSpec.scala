@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog._
+import graft.spec._
+import graft.spark.{IceScan, IceWrite}
+
+/** The SQL-database catalog backend on embedded Derby (reference:
+  * `catalogs/iceberg-sql-catalog/src/lib.rs:429-480`): pointer rows in the
+  * database, immutable metadata JSON files on storage, commit CAS = the
+  * affected-row count of a conditional UPDATE. The full table lifecycle,
+  * MoR semantics, commit conflicts, versioned views, and the Spark SQL
+  * plugin all run unchanged against this backend — the `Catalog` trait is
+  * the seam.
+  */
+class JdbcCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.spark.sql.GraftExtensions)
+    .getOrCreate()
+
+  private lazy val warehouse = Files.createTempDirectory("jdbc-wh").toString
+  private lazy val dbDir = Files.createTempDirectory("jdbc-db").toString + "/catalogdb"
+  private lazy val cat = new JdbcCatalog(warehouse, s"jdbc:derby:$dbDir;create=true")
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val schema = IceSchema(0, Seq(
+    NestedField(1, "id", required = false, IceType.LongT),
+    NestedField(2, "v", required = false, IceType.LongT)))
+
+  test("namespace + table lifecycle through Derby pointer rows") {
+    cat.createNamespace(Seq("db"))
+    assert(cat.listNamespaces().contains(Seq("db")))
+    val t = cat.createTable(TableIdent(Seq("db"), "events"), schema,
+      PartitionSpec(0, Nil), Map("owner" -> "jdbc-spec"))
+    assert(t.metadata.properties("owner") == "jdbc-spec")
+    assert(cat.listTables(Seq("db")) == Seq(TableIdent(Seq("db"), "events")))
+    assert(cat.loadTable(TableIdent(Seq("db"), "missing")).isEmpty)
+    intercept[IllegalArgumentException] {
+      cat.createTable(TableIdent(Seq("db"), "events"), schema, PartitionSpec(0, Nil))
+    }
+  }
+
+  test("appends + MoR equality delete commit through the conditional-UPDATE CAS") {
+    import spark.implicits._
+    var t = cat.loadTable(TableIdent(Seq("db"), "events")).get
+    t = IceWrite.append(spark, t, Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"))
+    t = IceWrite.append(spark, t, Seq((4L, 40L)).toDF("id", "v"))
+    assert(IceScan.scan(spark, t).count() == 4)
+    t = IceWrite.appendEqualityDeletes(spark, t, Seq(2L).toDF("id"), equalityIds = Seq(1))
+    assert(IceScan.scan(spark, t).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
+    // metadata documents are immutable versioned files; the DB holds one pointer
+    val metaFiles = Files.list(java.nio.file.Paths.get(s"$warehouse/db/events/metadata"))
+    val versions = try {
+      import scala.jdk.CollectionConverters._
+      metaFiles.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".metadata.json")).toSeq.sorted
+    } finally metaFiles.close()
+    assert(versions.size == 4) // create + 2 appends + delete
+  }
+
+  test("stale committer loses: requirement check raises CommitConflictException") {
+    import spark.implicits._
+    val ident = TableIdent(Seq("db"), "conflict")
+    val t0 = cat.createTable(ident, schema, PartitionSpec(0, Nil))
+    val t1 = IceWrite.append(spark, cat.loadTable(ident).get, Seq((1L, 1L)).toDF("id", "v"))
+    // a second writer committing from the PRE-append snapshot must fail
+    intercept[CommitConflictException] {
+      IceWrite.append(spark, t0, Seq((2L, 2L)).toDF("id", "v"))
+    }
+    // the fresh handle retries fine
+    val t2 = IceWrite.append(spark, t1.refresh(), Seq((3L, 3L)).toDF("id", "v"))
+    assert(IceScan.scan(spark, t2).count() == 2)
+  }
+
+  test("versioned views store/replace through pointer rows") {
+    val ident = TableIdent(Seq("db"), "v_events")
+    cat.createView(ident, "SELECT id FROM events",
+      IceSchema(1, Seq(NestedField(1, "id", required = false, IceType.LongT))))
+    val m = cat.loadView(ident).get
+    assert(m.sql == "SELECT id FROM events" && m.currentVersionId == 1L)
+    cat.replaceView(ident, m.replaced("SELECT id, v FROM events",
+      IceSchema(1, Seq(
+        NestedField(1, "id", required = false, IceType.LongT),
+        NestedField(2, "v", required = false, IceType.LongT))), 99L))
+    val m2 = cat.loadView(ident).get
+    assert(m2.currentVersionId == 2L && m2.versionLog.map(_.versionId) == Seq(1L, 2L))
+    cat.dropView(ident)
+    assert(cat.loadView(ident).isEmpty)
+  }
+
+  test("Spark SQL catalog plugin runs against the Derby backend (jdbc.url option)") {
+    spark.conf.set("spark.sql.catalog.graft_j", "graft.spark.sql.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.graft_j.warehouse", warehouse)
+    spark.conf.set("spark.sql.catalog.graft_j.jdbc.url", s"jdbc:derby:$dbDir")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_j.sqldb")
+    spark.sql("CREATE TABLE graft_j.sqldb.t (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft_j.sqldb.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft_j.sqldb.t VALUES (3, 'c')")
+    assert(spark.sql("SELECT count(*) FROM graft_j.sqldb.t").head().getLong(0) == 3)
+    assert(spark.sql("SELECT s FROM graft_j.sqldb.t WHERE k = 2").head().getString(0) == "b")
+    spark.sql("DROP TABLE graft_j.sqldb.t")
+  }
+}
