@@ -125,6 +125,16 @@ object CatalogOps {
     }
   }
 
+  /** Table property `format-version` selects the metadata wire format at
+    * create time (1 or 2, default 2 like current-format engines). */
+  def formatVersionFrom(properties: Map[String, String]): Int =
+    properties.get("format-version") match {
+      case Some("1") => 1
+      case Some("2") | None => 2
+      case Some(other) =>
+        throw new IllegalArgumentException(s"unsupported format-version $other")
+    }
+
   /** Requirement check against current metadata (commit.rs:198-239). */
   def checkRequirements(m: TableMetadata, reqs: Seq[TableRequirement]): Unit = {
     import TableRequirement._
@@ -202,7 +212,7 @@ class FileCatalog(val warehouse: String) extends Catalog {
     require(loadMetadata(ident).isEmpty, s"table $ident already exists")
     val now = System.currentTimeMillis()
     val m = TableMetadata(
-      formatVersion = 2,
+      formatVersion = CatalogOps.formatVersionFrom(properties),
       tableUuid = UUID.randomUUID().toString,
       location = tableDir(ident).toAbsolutePath.toString,
       lastSequenceNumber = 0L,

@@ -91,7 +91,7 @@ class JdbcCatalog(val warehouse: String, jdbcUrl: String,
                            properties: Map[String, String]): IceTable = synchronized {
     val now = System.currentTimeMillis()
     val m = TableMetadata(
-      formatVersion = 2,
+      formatVersion = CatalogOps.formatVersionFrom(properties),
       tableUuid = UUID.randomUUID().toString,
       location = tableDir(ident).toAbsolutePath.toString,
       lastSequenceNumber = 0L,

@@ -28,7 +28,7 @@ class MemoryCatalog(val warehouse: String) extends Catalog {
     val location = (Seq(warehouse) ++ ident.namespace :+ ident.name).mkString("/")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(location, "metadata"))
     val m = TableMetadata(
-      formatVersion = 2,
+      formatVersion = CatalogOps.formatVersionFrom(properties),
       tableUuid = UUID.randomUUID().toString,
       location = location,
       lastSequenceNumber = 0L,

@@ -110,7 +110,61 @@ object TableMetadataJson {
 
   // ---------- write ----------
 
-  def toJson(m: TableMetadata): String = {
+  def toJson(m: TableMetadata): String =
+    if (m.formatVersion == 1) toJsonV1(m) else toJsonV2(m)
+
+  /** V1 wire shape (table_metadata.rs:498-572 `TableMetadataV1`): singular
+    * `schema` + bare `partition-spec` FIELD array (the V1-required forms),
+    * with the modern plural forms alongside (they are optional in V1 and
+    * real V1 writers emit both); snapshots carry NO sequence numbers; no
+    * `last-sequence-number`, no `refs`. Round-trips tables owned by
+    * V1-pinned engines without forcing a format upgrade.
+    */
+  private def toJsonV1(m: TableMetadata): String = {
+    val root = mapper.createObjectNode()
+    root.put("format-version", 1)
+    root.put("table-uuid", m.tableUuid)
+    root.put("location", m.location)
+    root.put("last-updated-ms", m.lastUpdatedMs)
+    root.put("last-column-id", m.lastColumnId)
+    root.set[JsonNode]("schema", schemaNode(m.currentSchema))
+    val schemas = root.putArray("schemas")
+    m.schemas.values.toSeq.sortBy(_.schemaId).foreach(s => schemas.add(schemaNode(s)))
+    root.put("current-schema-id", m.currentSchemaId)
+    val psFields = root.putArray("partition-spec")
+    m.defaultSpec.fields.foreach { f =>
+      val fn = psFields.addObject()
+      fn.put("source-id", f.sourceId); fn.put("field-id", f.fieldId)
+      fn.put("name", f.name); fn.put("transform", f.transform.name)
+    }
+    val specs = root.putArray("partition-specs")
+    m.partitionSpecs.values.toSeq.sortBy(_.specId).foreach(s => specs.add(specNode(s)))
+    root.put("default-spec-id", m.defaultSpecId)
+    root.put("last-partition-id", m.lastPartitionId)
+    val props = root.putObject("properties")
+    m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
+    m.currentSnapshotId.foreach(id => root.put("current-snapshot-id", id))
+    val snaps = root.putArray("snapshots")
+    m.snapshots.values.toSeq.sortBy(_.timestampMs).foreach { s =>
+      val n = snapshotNode(s)
+      n.remove("sequence-number") // V1 snapshots have none
+      snaps.add(n)
+    }
+    val slog = root.putArray("snapshot-log")
+    m.snapshotLog.foreach { e =>
+      val n = slog.addObject(); n.put("snapshot-id", e.snapshotId); n.put("timestamp-ms", e.timestampMs)
+    }
+    val mlog = root.putArray("metadata-log")
+    m.metadataLog.foreach { e =>
+      val n = mlog.addObject(); n.put("metadata-file", e.metadataFile); n.put("timestamp-ms", e.timestampMs)
+    }
+    val orders = root.putArray("sort-orders")
+    m.sortOrders.values.toSeq.sortBy(_.orderId).foreach(o => orders.add(sortOrderNode(o)))
+    root.put("default-sort-order-id", m.defaultSortOrderId)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  private def toJsonV2(m: TableMetadata): String = {
     val root = mapper.createObjectNode()
     root.put("format-version", m.formatVersion)
     root.put("table-uuid", m.tableUuid)

@@ -30,7 +30,15 @@ class Transaction(table: IceTable, branch: Option[String]) {
   private var refUpdates: Map[String, (Long, Option[Long], Option[Int])] = Map.empty
 
   def appendData(files: Seq[DataFile]): Transaction = { appendedData ++= files; this }
-  def appendDeletes(files: Seq[DataFile]): Transaction = { appendedDeletes ++= files; this }
+  def appendDeletes(files: Seq[DataFile]): Transaction = {
+    // row-level (merge-on-read) deletes are a format V2 feature; a V1 table
+    // has no sequence numbers to order them against (Iceberg spec, and
+    // table_metadata.rs V1 serde omits sequence numbers entirely)
+    if (table.metadata.formatVersion < 2)
+      throw new IllegalStateException(
+        "row-level deletes require format-version 2 (V1 tables are copy-on-write only)")
+    appendedDeletes ++= files; this
+  }
   /** Replace all table content with `files` (compaction / full rewrite, T3). */
   def replace(files: Seq[DataFile]): Transaction = { replaceFiles = Some(files); this }
   def updateProperties(p: Map[String, String]): Transaction = { propertyUpdates ++= p; this }

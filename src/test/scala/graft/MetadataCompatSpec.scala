@@ -68,6 +68,93 @@ class MetadataCompatSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported"))
   }
 
+  test("V1 metadata WRITE: format-version=1 emits the V1 wire shape and round-trips") {
+    val schema = IceSchema(0, Seq(
+      NestedField(1, "id", required = false, IceType.LongT),
+      NestedField(2, "d", required = false, IceType.DateT)))
+    val m = TableMetadata(
+      formatVersion = 1,
+      tableUuid = "11111111-2222-3333-4444-555555555555",
+      location = "/tmp/v1t",
+      lastSequenceNumber = 0L,
+      lastUpdatedMs = 1700000000000L,
+      lastColumnId = 2,
+      schemas = Map(0 -> schema),
+      currentSchemaId = 0,
+      partitionSpecs = Map(0 -> PartitionSpec(0, Seq(
+        PartitionField(2, 1000, "d_day", graft.core.Transform.Day)))),
+      defaultSpecId = 0,
+      lastPartitionId = 1000,
+      properties = Map("format-version" -> "1"),
+      currentSnapshotId = Some(77L),
+      snapshots = Map(77L -> Snapshot(77L, None, 0L, 1700000000001L, "/tmp/v1t/metadata/ml.avro",
+        Map("operation" -> "append"), Some(0))),
+      snapshotLog = Seq(SnapshotLogEntry(77L, 1700000000001L)),
+      metadataLog = Nil,
+      sortOrders = Map(0 -> SortOrder.unsorted),
+      defaultSortOrderId = 0,
+      refs = Map.empty)
+    val json = TableMetadataJson.toJson(m)
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    // V1-required singular forms present
+    assert(tree.get("format-version").asInt() == 1)
+    assert(tree.get("schema").get("fields").size() == 2)
+    assert(tree.get("partition-spec").get(0).get("transform").asText() == "day")
+    // V2-only fields absent
+    assert(tree.get("last-sequence-number") == null)
+    assert(tree.get("refs") == null)
+    assert(tree.get("snapshots").get(0).get("sequence-number") == null)
+    // round-trips through our own reader (V1 normalization path)
+    val back = TableMetadataJson.fromJson(json)
+    assert(back.formatVersion == 1)
+    assert(back.currentSnapshotId.contains(77L))
+    assert(back.snapshots(77L).sequenceNumber == 0L)
+    assert(back.defaultSpec.fields.head.transform == graft.core.Transform.Day)
+    assert(back.currentSchema == schema)
+  }
+
+  test("V1 tables: full write/read lifecycle through the catalog; row-level deletes rejected") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val cat = new graft.catalog.FileCatalog(
+      java.nio.file.Files.createTempDirectory("v1-wh").toString)
+    val schema = IceSchema(0, Seq(
+      NestedField(1, "id", required = false, IceType.LongT),
+      NestedField(2, "v", required = false, IceType.LongT)))
+    val ident = graft.catalog.TableIdent(Seq("db"), "v1t")
+    var t = cat.createTable(ident, schema, PartitionSpec(0, Nil),
+      Map("format-version" -> "1"))
+    t = graft.spark.IceWrite.append(spark, t, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    t = graft.spark.IceWrite.append(spark, t.refresh(), Seq((3L, 30L)).toDF("id", "v"))
+    // the stored metadata FILE is V1-shaped
+    val metaDir = java.nio.file.Paths.get(t.location, "metadata")
+    val latest = {
+      val s = java.nio.file.Files.list(metaDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".metadata.json")).toSeq.sorted.last
+      } finally s.close()
+    }
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readAllBytes(metaDir.resolve(latest)))
+    assert(tree.get("format-version").asInt() == 1)
+    assert(tree.get("schema") != null && tree.get("partition-spec") != null)
+    assert(tree.get("last-sequence-number") == null)
+    // re-read through the catalog: content intact, still V1
+    val reread = cat.loadTable(ident).get
+    assert(reread.metadata.formatVersion == 1)
+    assert(graft.spark.IceScan.scan(spark, reread).count() == 3)
+    // V1 = copy-on-write only: row-level deletes must be rejected loudly
+    val e = intercept[IllegalStateException] {
+      graft.spark.IceWrite.appendEqualityDeletes(spark, reread, Seq(1L).toDF("id"),
+        equalityIds = Seq(1))
+    }
+    assert(e.getMessage.contains("format-version 2"))
+  }
+
   test("view metadata fixture round-trips (view_metadata.rs:476-522 shape)") {
     // the reference's own V1 view-metadata deserialization fixture
     val data = """
