@@ -278,6 +278,15 @@ object IceMV {
     fullCompute(spark, catalog, ident, sql)
   }
 
+  /** CREATE (plain, non-materialized) VIEW: computes the visible schema from
+    * the query and stores versioned view metadata. */
+  def createView(spark: SparkSession, catalog: Catalog, ident: TableIdent,
+                 sql: String): Unit = {
+    val out = fullCompute(spark, catalog, ident, sql)
+    val (visStruct, _) = IceType.fromSparkAssignIds(out.schema)
+    catalog.createView(ident, sql, IceSchema(1, visStruct.fields))
+  }
+
   /** REPLACE VIEW: appends a new version to the view metadata (version log
     * + history retained per view_metadata.rs) instead of dropping and
     * recreating — readers pick up the new current version atomically.

@@ -79,7 +79,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
             case Some(t) => new GraftMetadataTable(t, kind)
             case None => throw new NoSuchTableException(ident)
           }
-        } else throw new NoSuchTableException(ident)
+        } else catalog.loadView(toIdent(ident)) match {
+          // plain views resolve as relations (D5); tables take precedence
+          case Some(vm) => new GraftViewTable(catalog, toIdent(ident), vm)
+          case None => throw new NoSuchTableException(ident)
+        }
     }
 
   /** SQL time travel: `SELECT ... FROM graft.db.t VERSION AS OF <snapshotId>`

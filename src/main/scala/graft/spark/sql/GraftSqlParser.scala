@@ -32,6 +32,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+AS\s+(.+)""".r
   private val RefreshMV =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*""".r
+  private val CreateV =
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.`]+)\s+AS\s+(.+)""".r
+  private val DropV =
+    """(?is)\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*""".r
+
+  /** The first name part names a registered graft catalog? (Statements over
+    * other catalogs fall through to Spark untouched.) */
+  private def isGraftCatalog(name: String): Boolean =
+    try GraftShim.v2Catalog(session, name).isInstanceOf[GraftSparkCatalog]
+    catch { case _: Exception => false }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case CreateMV(ident, query) =>
@@ -40,6 +50,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     case RefreshMV(ident) =>
       val (cat, ti) = splitIdent(ident)
       RefreshMaterializedViewCommand(cat, ti)
+    case CreateV(orReplace, ident, query)
+        if ident.contains(".") && isGraftCatalog(ident.replace("`", "").split('.').head) =>
+      val (cat, ti) = splitIdent(ident)
+      CreateGraftViewCommand(cat, ti, query.trim, orReplace != null)
+    case DropV(ident)
+        if ident.contains(".") && isGraftCatalog(ident.replace("`", "").split('.').head) =>
+      val (cat, ti) = splitIdent(ident)
+      DropGraftViewCommand(cat, ti)
     case _ => delegate.parsePlan(sqlText) match {
       case m: MergeIntoTable => graftMerge(m).getOrElse(m)
       case d: DeleteFromTable =>
@@ -113,6 +131,28 @@ final case class CreateMaterializedViewCommand(catalogName: String, ident: Table
   override def output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
     IceMV.create(spark, GraftSqlParser.fileCatalog(spark, catalogName), ident, query)
+    Nil
+  }
+}
+
+final case class CreateGraftViewCommand(catalogName: String, ident: TableIdent,
+                                        query: String, orReplace: Boolean) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftSqlParser.fileCatalog(spark, catalogName)
+    if (orReplace && cat.loadView(ident).isDefined)
+      IceMV.replaceView(spark, cat, ident, query)
+    else
+      IceMV.createView(spark, cat, ident, query)
+    Nil
+  }
+}
+
+final case class DropGraftViewCommand(catalogName: String,
+                                      ident: TableIdent) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.fileCatalog(spark, catalogName).dropView(ident)
     Nil
   }
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.classic.SparkSession
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
 import graft.spark.IceScan
-import graft.spark.sql.{GraftMetadataTable, GraftSparkTable}
+import graft.spark.sql.{GraftMetadataTable, GraftSparkTable, GraftViewTable}
 
 /** Optimizer rule backing graft's SQL read path: rewrites every
   * `DataSourceV2Relation` over a [[GraftSparkTable]] into the pruned
@@ -51,6 +51,23 @@ class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
       val scanned = EliminateSubqueryAliases(rowsDf.queryExecution.analyzed)
       Project(r.output.zip(scanned.output).map { case (o, n) =>
         Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+      }, scanned)
+    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftViewTable] =>
+      // plain views inline the CURRENT version's SQL over current-snapshot
+      // sources (D5, table.rs:170-190); the cast pins the stored view schema
+      // in case the recomputed plan's types drifted (e.g. after source
+      // evolution widened a column)
+      val vt = r.table.asInstanceOf[GraftViewTable]
+      val viewDf = graft.spark.IceMV.readView(spark, vt.catalog, vt.ident)
+      // the inlined subtree still carries analyzer `View` wrappers (the
+      // outer optimizer's EliminateView batch already ran) — strip them here
+      val scanned = EliminateSubqueryAliases(
+        viewDf.queryExecution.analyzed.transformUp {
+          case v: org.apache.spark.sql.catalyst.plans.logical.View => v.child
+        })
+      Project(r.output.zip(scanned.output).map { case (o, n) =>
+        Alias(org.apache.spark.sql.catalyst.expressions.Cast(n, o.dataType), o.name)(
+          exprId = o.exprId, qualifier = o.qualifier)
       }, scanned)
   }
 

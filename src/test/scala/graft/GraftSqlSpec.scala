@@ -369,4 +369,29 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1)).toSet
     assert(!after.contains("ephemeral"))
   }
+
+  test("plain views over SQL: CREATE VIEW, SELECT inlines current data, OR REPLACE versions, DROP") {
+    spark.sql("CREATE TABLE graft.db.vsrc (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.vsrc VALUES (1, 10), (2, 20)")
+    spark.sql("CREATE VIEW graft.db.v_doubled AS SELECT k, v * 2 AS v2 FROM vsrc")
+    // the view reads CURRENT data at each query (D5)
+    assert(spark.sql("SELECT sum(v2) FROM graft.db.v_doubled").head().getLong(0) == 60)
+    spark.sql("INSERT INTO graft.db.vsrc VALUES (3, 30)")
+    assert(spark.sql("SELECT sum(v2) FROM graft.db.v_doubled").head().getLong(0) == 120)
+    // views compose with ordinary SQL (join back against the base table)
+    val joined = spark.sql(
+      """SELECT t.k, t.v, w.v2 FROM graft.db.vsrc t
+        |JOIN graft.db.v_doubled w ON t.k = w.k ORDER BY t.k""".stripMargin).collect()
+    assert(joined.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 10L, 20L), (2L, 20L, 40L), (3L, 30L, 60L)))
+    // OR REPLACE appends a metadata version and changes the definition
+    spark.sql("CREATE OR REPLACE VIEW graft.db.v_doubled AS SELECT k, v * 3 AS v2 FROM vsrc")
+    assert(spark.sql("SELECT sum(v2) FROM graft.db.v_doubled").head().getLong(0) == 180)
+    val cat = new graft.catalog.FileCatalog(warehouse)
+    val vm = cat.loadView(graft.catalog.TableIdent(Seq("db"), "v_doubled")).get
+    assert(vm.currentVersionId == 2L && vm.versionLog.map(_.versionId) == Seq(1L, 2L))
+    spark.sql("DROP VIEW graft.db.v_doubled")
+    assert(cat.loadView(graft.catalog.TableIdent(Seq("db"), "v_doubled")).isEmpty)
+    spark.sql("DROP TABLE graft.db.vsrc")
+  }
 }
