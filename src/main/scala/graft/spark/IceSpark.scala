@@ -79,7 +79,11 @@ object IceWrite {
                                          branch: Option[String] = None): Seq[DataFile] = {
     val snap = table.currentSnapshot(branch)
       .getOrElse(throw new IllegalStateException("cannot delete from an empty table"))
-    val paths = table.dataFiles(snap).map(_.dataFile.filePath)
+    // manifest/file pruning on the DELETE predicate: a file whose stats
+    // prove it cannot contain matching rows need not be read at all — a
+    // partition-scoped DELETE at 100 TB touches O(partition) files, not
+    // O(table). Pruning is inexact-safe (only removes never-matching files).
+    val paths = IceScan.prunedDataFilePaths(spark, table, Seq(predicate), snap)
     if (paths.isEmpty) return Nil
     // resolve parquet columns by PARQUET:field_id like the scan path: files
     // written before a RENAME COLUMN must still bind the predicate to the
@@ -370,6 +374,18 @@ object IceScan {
     }
   }
 
+  /** Data-file paths surviving manifest + file-stats pruning for `filters`
+    * at `snap` — the write paths (positional DELETE/UPDATE target reads)
+    * share the scan's pruning instead of reading every file. */
+  private[graft] def prunedDataFilePaths(spark: SparkSession, table: IceTable,
+                                         filters: Seq[Column], snap: Snapshot): Seq[String] = {
+    val schema = table.metadata.currentSchema
+    val exprs = resolveFilters(spark, schema.toSpark, filters)
+    prunedEntries(table, schema, snap, exprs, None)
+      .filter(_.dataFile.content == ContentData)
+      .map(_.dataFile.filePath)
+  }
+
   /** CDC changelog read (natural S4 extension of the incremental scan;
     * snapshot-diff semantics): every row visible at `until` but not at
     * `after` carries `_change_type = 'insert'`, every row visible at `after`
@@ -423,7 +439,15 @@ object IceScan {
     }
     val empty = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sparkSchema)
     val analyzed = filters.foldLeft(empty)(_ filter _).queryExecution.analyzed
-    analyzed.collect { case f: Filter => split(f.condition) }.flatten
+    // constant-fold so foldable scalar calls (to_date('…'), 1+2, …) become
+    // literals the pruning evaluator can compare against stats — the SQL
+    // route gets this for free from the optimizer; the programmatic route
+    // must fold here or silently read every file. RuntimeReplaceable calls
+    // (to_date et al.) only fold after ReplaceExpressions swaps in their
+    // runtime form, same order the real optimizer uses.
+    val folded = org.apache.spark.sql.catalyst.optimizer.ConstantFolding(
+      org.apache.spark.sql.catalyst.optimizer.ReplaceExpressions(analyzed))
+    folded.collect { case f: Filter => split(f.condition) }.flatten
   }
 
   /** Manifest pruning (partition space) + file pruning (column stats). */

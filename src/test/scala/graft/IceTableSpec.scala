@@ -374,6 +374,29 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IceScan.scan(spark, table).count() == 5)
   }
 
+  test("positional delete prunes to the predicate's partition before reading") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "pdprune"), ordersSchema, daySpec)
+    table = IceWrite.append(spark, table, batch1) // 2 partitions (2 dates)
+    val snap = table.currentSnapshot(None).get
+    val all = table.dataFiles(snap).map(_.dataFile.filePath)
+    val pruned = IceScan.prunedDataFilePaths(spark, table,
+      Seq(col("date") === lit("2020-01-01")), snap)
+    assert(pruned.nonEmpty && pruned.size < all.size,
+      s"delete-path pruning read ${pruned.size}/${all.size} files")
+    // foldable scalar calls must prune too (resolveFilters constant-folds)
+    val prunedFoldable = IceScan.prunedDataFilePaths(spark, table,
+      Seq(col("date") === to_date(lit("2020-01-01"))), snap)
+    assert(prunedFoldable.toSet == pruned.toSet,
+      s"foldable predicate did not prune: ${prunedFoldable.size}/${all.size}")
+    // and the delete itself is still exact
+    table = IceWrite.appendPositionDeletes(spark, table,
+      col("date") === to_date(lit("2020-01-01")) && col("id") === 1L)
+    assert(IceScan.scan(spark, table).count() == batch1.count() - 1)
+  }
+
   test("positional delete resolves pre-rename files by field id") {
     implicit val s: SparkSession = spark
     val cat = freshCatalog()
