@@ -69,12 +69,48 @@ final case class GraftMergeCommand(
     val schema = table.schema
     val outCols = schema.fields.map(_.name)
 
+    val sDf = GraftShim.ofRows(spark, sourcePlan)
+
+    // target key columns + their source-side expressions from the ON
+    // equalities (t.col = s.expr conjuncts)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def isTargetAttr(a: UnresolvedAttribute): Boolean =
+      a.nameParts.length >= 2 && a.nameParts.init.last.equalsIgnoreCase(targetAlias)
+    val keyPairs: Seq[(String, Expression)] = conjuncts(condition).map {
+      case EqualTo(a: UnresolvedAttribute, b) if isTargetAttr(a) => a.nameParts.last -> b
+      case EqualTo(b, a: UnresolvedAttribute) if isTargetAttr(a) => a.nameParts.last -> b
+      case other => throw new UnsupportedOperationException(
+        s"MERGE ON must be a conjunction of $targetAlias.<col> = <source expr>: ${other.sql}")
+    }
+    val keyCols: Seq[String] = keyPairs.map(_._1).distinct
+
+    // MERGE target pruning: without NOT MATCHED BY SOURCE clauses, only
+    // target rows whose keys appear in the source can fire a clause or need
+    // rewriting as survivors — bound each key column by the source's
+    // min/max and let manifest/file-stats pruning skip everything outside.
+    // At 100 TB with a small upsert batch this reads O(touched partitions),
+    // not the table. One extra aggregation job over the source pays for it;
+    // any analysis failure of the bounds falls back to the full scan.
+    val pruneFilters: Seq[Column] =
+      if (notMatchedBySourceActions.nonEmpty) Nil
+      else try {
+        val aggs = keyPairs.flatMap { case (_, e) => Seq(min(colOf(e)), max(colOf(e))) }
+        val row = sDf.agg(aggs.head, aggs.tail: _*).head()
+        keyPairs.zipWithIndex.flatMap { case ((tc, _), i) =>
+          val lo = row.get(2 * i); val hi = row.get(2 * i + 1)
+          if (lo == null || hi == null) None
+          else Some(col(tc) >= lit(lo) && col(tc) <= lit(hi))
+        }
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+
     // cached for the whole merge: the target scan feeds the joined frame,
     // the cardinality count, and the NOT MATCHED BY SOURCE anti-join — an
     // uncached tDf re-reads the full target once per consumer
-    val tDf = IceScan.scan(spark, table)
+    val tDf = IceScan.scan(spark, table, pruneFilters)
       .withColumn("__t_present", lit(1)).alias(targetAlias).cache()
-    val sDf = GraftShim.ofRows(spark, sourcePlan)
 
     val joined = sDf.join(tDf, colOf(condition), "left_outer").cache()
     try {
@@ -82,20 +118,6 @@ final case class GraftMergeCommand(
       val notMatched = joined.filter(col("__t_present").isNull)
 
       def tCol(c: String): Column = col(s"$targetAlias.$c")
-
-      // target key columns from the ON equalities (t.col = s.expr conjuncts)
-      def conjuncts(e: Expression): Seq[Expression] = e match {
-        case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
-        case x => Seq(x)
-      }
-      def isTargetAttr(a: UnresolvedAttribute): Boolean =
-        a.nameParts.length >= 2 && a.nameParts.init.last.equalsIgnoreCase(targetAlias)
-      val keyCols: Seq[String] = conjuncts(condition).map {
-        case EqualTo(a: UnresolvedAttribute, _) if isTargetAttr(a) => a.nameParts.last
-        case EqualTo(_, b: UnresolvedAttribute) if isTargetAttr(b) => b.nameParts.last
-        case other => throw new UnsupportedOperationException(
-          s"MERGE ON must be a conjunction of $targetAlias.<col> = <source expr>: ${other.sql}")
-      }.distinct
 
       // first-matching-clause-wins per row: accumulate negations. A clause
       // condition that is FALSE **or NULL** falls through to the next clause

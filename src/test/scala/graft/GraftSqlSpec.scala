@@ -370,6 +370,26 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!after.contains("ephemeral"))
   }
 
+  test("MERGE with pruned target scan: untouched-partition rows fully preserved") {
+    spark.sql("""CREATE TABLE graft.db.mprune (k BIGINT, grp STRING, v BIGINT)
+                |PARTITIONED BY (grp)""".stripMargin)
+    spark.sql("""INSERT INTO graft.db.mprune VALUES
+                |(1, 'a', 10), (2, 'a', 20), (100, 'b', 1000), (200, 'b', 2000)""".stripMargin)
+    // source touches only keys 1..2 (partition 'a'); the bounds-pruned
+    // target scan must not lose partition 'b' rows, matched siblings, or
+    // the not-matched insert
+    spark.sql("SELECT * FROM VALUES (2, 'a', 21), (3, 'a', 31) AS s(k, grp, v)")
+      .createOrReplaceTempView("mprune_src")
+    spark.sql("""MERGE INTO graft.db.mprune t USING mprune_src s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED THEN INSERT (k, grp, v) VALUES (s.k, s.grp, s.v)""".stripMargin)
+    val rows = spark.sql("SELECT k, grp, v FROM graft.db.mprune ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "a", 10L), (2L, "a", 21L), (3L, "a", 31L),
+      (100L, "b", 1000L), (200L, "b", 2000L)))
+    spark.sql("DROP TABLE graft.db.mprune")
+  }
+
   test("plain views over SQL: CREATE VIEW, SELECT inlines current data, OR REPLACE versions, DROP") {
     spark.sql("CREATE TABLE graft.db.vsrc (k BIGINT, v BIGINT)")
     spark.sql("INSERT INTO graft.db.vsrc VALUES (1, 10), (2, 20)")
