@@ -305,9 +305,10 @@ final case class GraftDeleteCommand(
       .map(c => GraftShim.column(RowFilterPayload.unqualify(c, targetAlias)))
       .getOrElse(lit(true))
     // count against the MoR-masked scan (rows already dead don't count);
-    // the positional delete itself runs over raw files — re-deleting an
-    // already-masked position is a harmless no-op
-    val n = IceScan.scan(spark, table).filter(cond).count()
+    // the predicate rides into the scan so manifest/file pruning skips
+    // never-matching files. The positional delete itself runs over raw
+    // files — re-deleting an already-masked position is a harmless no-op
+    val n = IceScan.scan(spark, table, Seq(cond)).count()
     if (n > 0) IceWrite.appendPositionDeletes(spark, table, cond)
     Seq(Row(n))
   }
@@ -347,7 +348,10 @@ final case class GraftUpdateCommand(
     if (unknown.nonEmpty) throw new IllegalArgumentException(
       s"UPDATE SET targets unknown column(s) ${unknown.mkString(", ")} on $ident " +
         s"(columns: ${outCols.mkString(", ")})")
-    val updated = IceScan.scan(spark, table).filter(cond)
+    // predicate into the scan: manifest/file pruning bounds the rewrite
+    // read to files that can contain matched rows (exactness preserved —
+    // scan re-applies the filter on the surviving files)
+    val updated = IceScan.scan(spark, table, Seq(cond))
       .select(outCols.map(c =>
         byName.get(c).map(GraftShim.column).getOrElse(col(c)).as(c)): _*)
       .cache()
