@@ -35,7 +35,7 @@ class GraftMetadataTable(@transient val ice: IceTable, val kind: String)
 }
 
 object GraftMetadataTable {
-  val Kinds: Set[String] = Set("snapshots", "history", "files", "manifests", "refs")
+  val Kinds: Set[String] = Set("snapshots", "history", "files", "manifests", "refs", "partitions")
 
   def schemaOf(kind: String): StructType = kind match {
     case "snapshots" => StructType(Seq(
@@ -72,6 +72,15 @@ object GraftMetadataTable {
       StructField("snapshot_id", LongType, nullable = false),
       StructField("max_ref_age_ms", LongType),
       StructField("min_snapshots_to_keep", IntegerType)))
+    case "partitions" => StructType(Seq(
+      StructField("partition", StringType),
+      StructField("spec_id", IntegerType, nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("file_count", IntegerType, nullable = false),
+      StructField("total_data_file_size_in_bytes", LongType, nullable = false),
+      StructField("position_delete_file_count", IntegerType, nullable = false),
+      StructField("equality_delete_file_count", IntegerType, nullable = false),
+      StructField("last_sequence_number", LongType)))
     case other => throw new IllegalArgumentException(s"unknown metadata table $other")
   }
 
@@ -112,6 +121,20 @@ object GraftMetadataTable {
           Row(name, r.refType, r.snapshotId, r.maxRefAgeMs.orNull,
             r.minSnapshotsToKeep.orNull)
         }
+      case "partitions" =>
+        // per-partition rollup of the live entries (data + delete files),
+        // grouped on the rendered partition tuple — mirrors Iceberg's
+        // `partitions` table; record counts are pre-delete-masking
+        val entries = ice.currentSnapshot(None).toSeq.flatMap(ice.entries(_))
+        entries.groupBy(_.dataFile.partition.map { case (k, v) => s"$k=$v" }
+            .mkString("{", ", ", "}"))
+          .toSeq.sortBy(_._1).map { case (part, es) =>
+            val data = es.filter(_.dataFile.content == 0)
+            Row(part, m.defaultSpecId, data.map(_.dataFile.recordCount).sum,
+              data.size, data.map(_.dataFile.fileSizeInBytes).sum,
+              es.count(_.dataFile.content == 1), es.count(_.dataFile.content == 2),
+              es.flatMap(_.sequenceNumber).maxOption.orNull)
+          }
       case other => throw new IllegalArgumentException(s"unknown metadata table $other")
     }
     spark.createDataFrame(data.asJava, schemaOf(kind))

@@ -275,11 +275,17 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   */
 class GraftSparkTable(@transient val ice: IceTable,
                       val snapshotId: Option[Long] = None) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite with SupportsPartitionManagement {
 
   override def name(): String =
     ice.ident.toString + snapshotId.map(id => s"@$id").getOrElse("")
   override def schema(): StructType = ice.schema.toSpark
+
+  /** Live data-file entries at the (possibly pinned) snapshot — driver-side
+    * O(manifests) off the manifest LRU cache. */
+  private def liveDataEntries: Seq[graft.table.ManifestModel.ManifestEntry] =
+    snapshotId.flatMap(ice.snapshotById).orElse(ice.currentSnapshot(None))
+      .toSeq.flatMap(ice.dataFiles(_))
 
   override def partitioning(): Array[Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions
@@ -302,9 +308,89 @@ class GraftSparkTable(@transient val ice: IceTable,
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
+  /** Statistics-only scan: `DESCRIBE EXTENDED` (and anything else asking the
+    * DSv2 table for size estimates) gets EXACT row/byte totals from the
+    * manifests — no data IO. Actual reads are planned by [[GraftExtensions]],
+    * which replaces the relation before physical planning ever asks for a
+    * Batch; `toBatch` therefore only fires on a misconfigured session and
+    * keeps the actionable error message. Totals are pre-delete-masking (MoR
+    * equality/positional deletes are not subtracted), i.e. an upper bound —
+    * same contract as the reference's manifest statistics
+    * (datafusion_iceberg/src/statistics.rs:20-146).
+    */
   override def newScanBuilder(options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.Scan
+        with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+      override def readSchema(): StructType = GraftSparkTable.this.schema()
+      override def description(): String = s"graft stats scan ${name()}"
+      override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+        val entries = liveDataEntries
+        val rows = entries.iterator.map(_.dataFile.recordCount).sum
+        val bytes = entries.iterator.map(_.dataFile.fileSizeInBytes).sum
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+          override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+        }
+      }
+      override def toBatch: org.apache.spark.sql.connector.read.Batch =
+        throw new UnsupportedOperationException(
+          "graft reads require GraftExtensions (spark.sql.extensions=graft.spark.sql.GraftExtensions)")
+    }
+
+  // ---- SupportsPartitionManagement (read-only: SHOW PARTITIONS) ----
+  // Iceberg partitions are DERIVED from data through the spec's transforms;
+  // they cannot be added or dropped independently of rows, so the mutation
+  // surface rejects loudly while the listing surface serves SHOW PARTITIONS
+  // from the manifests (driver-side, no data IO).
+
+  override def partitionSchema(): StructType =
+    graft.spec.IceType.toSpark(ice.spec.partitionType(ice.schema))
+      .asInstanceOf[StructType]
+
+  /** Canonical manifest partition value → Catalyst internal value. Dates
+    * (epoch days, Int) and timestamps (micros, Long) already ARE the internal
+    * form; only strings and decimals re-wrap. */
+  private def toCatalyst(v: Any): Any = v match {
+    case null => null
+    case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case d: java.math.BigDecimal => org.apache.spark.sql.types.Decimal(d)
+    case b: java.nio.ByteBuffer =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case x => x
+  }
+
+  override def listPartitionIdentifiers(names: Array[String],
+                                        ident: org.apache.spark.sql.catalyst.InternalRow): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val ps = partitionSchema()
+    val nameIdx = names.map(ps.fieldIndex)
+    val tuples = liveDataEntries.map(_.dataFile.partition.map(p => toCatalyst(p._2))).distinct
+    tuples.filter { vs =>
+        nameIdx.iterator.zipWithIndex.forall { case (pi, ii) =>
+          vs(pi) == ident.get(ii, ps(pi).dataType)
+        }
+      }
+      .map(vs => org.apache.spark.sql.catalyst.InternalRow.fromSeq(vs))
+      .toArray
+  }
+
+  override def partitionExists(ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    listPartitionIdentifiers(partitionSchema().fieldNames, ident).nonEmpty
+
+  override def createPartition(ident: org.apache.spark.sql.catalyst.InternalRow,
+                               properties: util.Map[String, String]): Unit =
     throw new UnsupportedOperationException(
-      "graft reads require GraftExtensions (spark.sql.extensions=graft.spark.sql.GraftExtensions)")
+      "graft partitions are derived from data via the partition spec's transforms; INSERT rows instead")
+
+  override def dropPartition(ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    throw new UnsupportedOperationException(
+      "graft partitions are derived from data; DELETE the partition's rows instead")
+
+  override def replacePartitionMetadata(ident: org.apache.spark.sql.catalyst.InternalRow,
+                                        properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("graft partitions carry no mutable metadata")
+
+  override def loadPartitionMetadata(ident: org.apache.spark.sql.catalyst.InternalRow): util.Map[String, String] =
+    util.Collections.emptyMap()
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

@@ -414,4 +414,73 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.loadView(graft.catalog.TableIdent(Seq("db"), "v_doubled")).isEmpty)
     spark.sql("DROP TABLE graft.db.vsrc")
   }
+
+  test("CTAS and REPLACE TABLE AS SELECT, plain and partitioned") {
+    spark.sql("CREATE TABLE graft.db.ctas AS SELECT id, id * 2 AS v FROM range(10)")
+    assert(spark.table("graft.db.ctas").count() == 10)
+    // RTAS swaps schema and content
+    spark.sql("REPLACE TABLE graft.db.ctas AS SELECT id, CAST(id AS STRING) AS s FROM range(5)")
+    val replaced = spark.table("graft.db.ctas")
+    assert(replaced.columns.toSeq == Seq("id", "s") && replaced.count() == 5)
+    // partitioned CTAS: transform survives into the table's spec and writes
+    spark.sql(
+      """CREATE TABLE graft.db.pctas PARTITIONED BY (bucket(4, id))
+        |AS SELECT id, id * 3 AS v FROM range(20)""".stripMargin)
+    assert(spark.table("graft.db.pctas").count() == 20)
+    val cat = new graft.catalog.FileCatalog(warehouse)
+    val t = cat.loadTable(graft.catalog.TableIdent(Seq("db"), "pctas")).get
+    assert(t.spec.fields.map(_.transform) == Seq(graft.core.Transform.Bucket(4)))
+    spark.sql("DROP TABLE graft.db.ctas")
+    spark.sql("DROP TABLE graft.db.pctas")
+  }
+
+  test("DESCRIBE EXTENDED reports manifest-exact statistics without data IO") {
+    spark.sql("CREATE TABLE graft.db.dstats (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.dstats VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val rows = spark.sql("DESCRIBE EXTENDED graft.db.dstats").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.contains("k") && rows.contains("v"))
+    // DescribeTableExec asks the DSv2 scan for estimateStatistics — served
+    // from the manifests (exact rows + bytes), not a data scan
+    val stats = rows.getOrElse("Statistics", "")
+    assert(stats.contains("3 rows"), s"expected manifest row count in: $stats")
+    spark.sql("DROP TABLE graft.db.dstats")
+  }
+
+  test("SHOW PARTITIONS lists manifest-derived partition tuples") {
+    spark.sql(
+      """CREATE TABLE graft.db.showp (k BIGINT, lang STRING, d DATE)
+        |PARTITIONED BY (lang, days(d))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.db.showp VALUES
+        |(1, 'en', DATE'2024-01-01'), (2, 'en', DATE'2024-01-02'),
+        |(3, 'fr', DATE'2024-01-01')""".stripMargin)
+    // day-transform values surface as epoch-day ordinals — the transform's
+    // Iceberg result type is int (reference types.rs:454), same as the
+    // manifest representation (2024-01-01 = day 19723)
+    val parts = spark.sql("SHOW PARTITIONS graft.db.showp")
+      .collect().map(_.getString(0)).toSet
+    assert(parts == Set(
+      "lang=en/d_day=19723", "lang=en/d_day=19724", "lang=fr/d_day=19723"),
+      s"unexpected partitions: $parts")
+    // mutation surface rejects: partitions are data-derived
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.showp DROP PARTITION (lang='en', d_day=19723)"))
+    assert(e.getMessage.contains("derived from data"))
+    spark.sql("DROP TABLE graft.db.showp")
+  }
+
+  test("partitions metadata table rolls up live files per partition") {
+    spark.sql(
+      """CREATE TABLE graft.db.pmeta (k BIGINT, grp STRING)
+        |PARTITIONED BY (grp)""".stripMargin)
+    spark.sql("INSERT INTO graft.db.pmeta VALUES (1, 'a'), (2, 'a'), (3, 'b')")
+    spark.sql("INSERT INTO graft.db.pmeta VALUES (4, 'a')")
+    val rows = spark.sql(
+      """SELECT partition, record_count, file_count FROM graft.db.pmeta.partitions
+        |ORDER BY partition""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(rows.toSeq == Seq(("{grp=a}", 3L, 2), ("{grp=b}", 1L, 1)), rows.mkString(", "))
+    spark.sql("DROP TABLE graft.db.pmeta")
+  }
 }
