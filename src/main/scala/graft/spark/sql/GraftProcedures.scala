@@ -1,0 +1,161 @@
+package graft.spark.sql
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+import graft.catalog.{CommitTable, TableIdent, TableRequirement, TableUpdate}
+import graft.table.{IceTable, Maintenance}
+
+/** SQL maintenance procedures (DSv2 `ProcedureCatalog`): the ops surface a
+  * table format needs day-2 —
+  *
+  * {{{
+  *   CALL graft.system.expire_snapshots(`table` => 'db.t', retain_last => 3)
+  *   CALL graft.system.compact(`table` => 'db.t')
+  *   CALL graft.system.compact_zorder(`table` => 'db.t', columns => 'a,b')
+  *   CALL graft.system.rollback_to_snapshot(`table` => 'db.t', snapshot_id => 42)
+  * }}}
+  *
+  * Each wraps the programmatic [[graft.table.Maintenance]] /
+  * commit-protocol entry points (reference: the transaction surface of
+  * iceberg-rust/src/table/mod.rs:359-411 — the reference exposes these only
+  * as library calls; the SQL surface is Spark-side value-add) and returns a
+  * one-row summary relation. Work is driver-orchestrated but data movement
+  * (compaction rewrite) runs as ordinary distributed Spark jobs.
+  */
+object GraftProcedures {
+
+  def names: Seq[String] =
+    Seq("expire_snapshots", "compact", "compact_zorder", "rollback_to_snapshot")
+
+  def load(cat: GraftSparkCatalog, name: String): UnboundProcedure = name match {
+    case "expire_snapshots" => new ExpireSnapshots(cat)
+    case "compact" => new Compact(cat)
+    case "compact_zorder" => new CompactZOrder(cat)
+    case "rollback_to_snapshot" => new RollbackToSnapshot(cat)
+    case other => throw new IllegalArgumentException(
+      s"unknown procedure $other (available: ${names.mkString(", ")})")
+  }
+
+  def identifiers(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
+
+  private abstract class GraftProcedure(cat: GraftSparkCatalog,
+                                        procName: String,
+                                        params: Seq[ProcedureParameter],
+                                        resultSchema: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+
+    /** Args arrive in `parameters()` order, defaults already applied. */
+    protected def run(spark: SparkSession, args: InternalRow): InternalRow
+
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val row = run(SparkSession.active, input)
+      util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = resultSchema
+        override def description(): String = s"graft procedure $procName result"
+      }).iterator()
+    }
+
+    protected def table(args: InternalRow): IceTable = {
+      val ident = TableIdent.parse(args.getUTF8String(0).toString)
+      cat.catalog.loadTable(ident).getOrElse(
+        throw new IllegalArgumentException(s"no such table: $ident"))
+    }
+  }
+
+  private final class ExpireSnapshots(cat: GraftSparkCatalog)
+      extends GraftProcedure(cat, "expire_snapshots",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("retain_last", IntegerType).defaultValue("1").build()),
+        StructType(Seq(
+          StructField("expired_snapshots", LongType, nullable = false),
+          StructField("remaining_snapshots", LongType, nullable = false)))) {
+    override def description(): String =
+      "Expire all but the newest N snapshots (branch/tag retention honored) and delete unreachable files"
+    override protected def run(spark: SparkSession, args: InternalRow): InternalRow = {
+      val t = table(args)
+      val before = t.metadata.snapshots.size
+      Maintenance.expireSnapshots(spark, t, keepLast = args.getInt(1))
+      val after = t.metadata.snapshots.size
+      InternalRow((before - after).toLong, after.toLong)
+    }
+  }
+
+  private final class Compact(cat: GraftSparkCatalog)
+      extends GraftProcedure(cat, "compact",
+        Seq(ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(
+          StructField("files_before", LongType, nullable = false),
+          StructField("files_after", LongType, nullable = false)))) {
+    override def description(): String =
+      "Rewrite current content as one balanced file set and drop superseded files"
+    override protected def run(spark: SparkSession, args: InternalRow): InternalRow = {
+      val t = table(args)
+      val before = t.currentSnapshot(None).map(t.dataFiles(_).size).getOrElse(0)
+      val after = Maintenance.compact(spark, t)
+      InternalRow(before.toLong,
+        after.currentSnapshot(None).map(after.dataFiles(_).size).getOrElse(0).toLong)
+    }
+  }
+
+  private final class CompactZOrder(cat: GraftSparkCatalog)
+      extends GraftProcedure(cat, "compact_zorder",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("columns", StringType).build()),
+        StructType(Seq(
+          StructField("files_before", LongType, nullable = false),
+          StructField("files_after", LongType, nullable = false)))) {
+    override def description(): String =
+      "Rewrite current content z-order-clustered on the given comma-separated columns"
+    override protected def run(spark: SparkSession, args: InternalRow): InternalRow = {
+      val t = table(args)
+      val cols = args.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty)
+      require(cols.nonEmpty, "compact_zorder requires at least one column")
+      val before = t.currentSnapshot(None).map(t.dataFiles(_).size).getOrElse(0)
+      val after = Maintenance.compactZOrder(spark, t, cols.toSeq)
+      InternalRow(before.toLong,
+        after.currentSnapshot(None).map(after.dataFiles(_).size).getOrElse(0).toLong)
+    }
+  }
+
+  private final class RollbackToSnapshot(cat: GraftSparkCatalog)
+      extends GraftProcedure(cat, "rollback_to_snapshot",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("snapshot_id", LongType).build()),
+        StructType(Seq(
+          StructField("previous_snapshot_id", LongType),
+          StructField("current_snapshot_id", LongType, nullable = false)))) {
+    override def description(): String =
+      "Point the main branch back at an existing snapshot (time-travel state becomes current)"
+    override protected def run(spark: SparkSession, args: InternalRow): InternalRow = {
+      val t = table(args)
+      val target = args.getLong(1)
+      require(t.snapshotById(target).isDefined,
+        s"table ${t.ident} has no snapshot $target")
+      val m = t.metadata
+      val prev = m.currentSnapshotId
+      // CAS on the main ref: a concurrent commit between load and rollback
+      // fails the requirement instead of silently clobbering it
+      t.metadata = t.catalog.updateTable(CommitTable(t.ident,
+        Seq(TableRequirement.AssertRefSnapshotId(m.MainBranch, prev)),
+        Seq(TableUpdate.SetSnapshotRef(m.MainBranch, target, "branch",
+          m.refs.get(m.MainBranch).flatMap(_.maxRefAgeMs),
+          m.refs.get(m.MainBranch).flatMap(_.minSnapshotsToKeep)))))
+      InternalRow(prev.map(Long.box).orNull, target)
+    }
+  }
+}

@@ -35,7 +35,7 @@ import graft.table.IceTable
   * deletes and statistics pruning all apply). Writes use the V1 insert
   * bridge — one ACID append/replace transaction per INSERT.
   */
-class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private[sql] var catalog: Catalog = _
@@ -240,6 +240,17 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE is not supported")
+
+  // ---- maintenance procedures: CALL graft.system.<proc>(...) ----
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live in the system namespace: CALL $catalogName.system.${ident.name}(...)")
+    GraftProcedures.load(this, ident.name)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.identifiers(namespace)
 
   // ---- namespaces ----
 

@@ -470,6 +470,52 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.db.showp")
   }
 
+  test("CALL procedures: expire_snapshots, compact, rollback_to_snapshot, zorder") {
+    spark.sql("CREATE TABLE graft.db.proc (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.proc VALUES (1, 10)")
+    spark.sql("INSERT INTO graft.db.proc VALUES (2, 20)")
+    spark.sql("INSERT INTO graft.db.proc VALUES (3, 30)")
+    val cat = new graft.catalog.FileCatalog(warehouse)
+    def t = cat.loadTable(graft.catalog.TableIdent(Seq("db"), "proc")).get
+    // commit order = sequence order (snapshot IDs themselves are random)
+    val snaps = t.metadata.snapshots.values.toSeq.sortBy(_.sequenceNumber).map(_.snapshotId)
+
+    // rollback: second snapshot's state becomes current
+    val rb = spark.sql(
+      s"CALL graft.system.rollback_to_snapshot(`table` => 'db.proc', snapshot_id => ${snaps(1)})")
+      .head()
+    assert(rb.getLong(1) == snaps(1))
+    assert(spark.table("graft.db.proc").count() == 2)
+    // roll forward again
+    spark.sql(s"CALL graft.system.rollback_to_snapshot(`table` => 'db.proc', snapshot_id => ${snaps(2)})")
+    assert(spark.table("graft.db.proc").count() == 3)
+
+    // compact: three single-row files become one balanced set
+    val c = spark.sql("CALL graft.system.compact(`table` => 'db.proc')").head()
+    assert(c.getLong(0) == 3 && c.getLong(1) < 3, s"compact: $c")
+    assert(spark.table("graft.db.proc").count() == 3)
+
+    // expire: compaction's replace left a single snapshot lineage; after two
+    // more appends, retain_last = 1 expires the rest
+    spark.sql("INSERT INTO graft.db.proc VALUES (4, 40)")
+    spark.sql("INSERT INTO graft.db.proc VALUES (5, 50)")
+    val e = spark.sql(
+      "CALL graft.system.expire_snapshots(`table` => 'db.proc', retain_last => 1)").head()
+    assert(e.getLong(1) == 1, s"expected one remaining snapshot: $e")
+    assert(spark.table("graft.db.proc").count() == 5)
+
+    // zorder compaction through SQL; content intact, files clustered
+    val z = spark.sql(
+      "CALL graft.system.compact_zorder(`table` => 'db.proc', columns => 'k,v')").head()
+    assert(z.getLong(1) >= 1)
+    assert(spark.sql("SELECT sum(v) FROM graft.db.proc").head().getLong(0) == 150)
+
+    // discovery surface
+    val procs = spark.sql("SHOW PROCEDURES IN graft.system").collect()
+    assert(procs.length == 4, procs.mkString(", "))
+    spark.sql("DROP TABLE graft.db.proc")
+  }
+
   test("partitions metadata table rolls up live files per partition") {
     spark.sql(
       """CREATE TABLE graft.db.pmeta (k BIGINT, grp STRING)
