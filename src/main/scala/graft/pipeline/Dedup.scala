@@ -45,14 +45,28 @@ object Dedup {
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     shinglesRaw(df, idCol, textCol, n).distinct()
 
-  /** MinHash signature: for hash index h, min over shingles of
-    * md5(h ':' shingle). All `numHashes` minima come out of ONE aggregation
-    * (k agg columns), so the whole signature costs a single shuffle keyed by
-    * document id. */
+  /** Largest prime below 2^31 — the Carter–Wegman modulus for minhash
+    * permutations. (a·h + b) mod p with a ≠ 0 is a pairwise-independent
+    * hash family; products stay under 2^36, far from Long overflow in Spark
+    * and from DuckDB's checked BIGINT arithmetic. */
+  val MinhashPrime: Long = 2147483647L
+
+  /** MinHash signature: ONE md5 per shingle (60 bits of it parsed as an
+    * integer), then `numHashes` Carter–Wegman permutations
+    * (a_h·x + b_h) mod p derived arithmetically — not `numHashes` separate
+    * md5 calls, which cost ~k× the whole pipeline's hash budget (and string
+    * minima aggregate ~4× slower than Long minima). All minima come out of
+    * ONE aggregation (k agg columns), so the signature costs a single
+    * shuffle keyed by document id. a_h = 2h+1, b_h = h+1 are fixed seeds;
+    * any nonzero a works — the family's pairwise independence is over
+    * (a, b), and the oracle mirrors the same constants. */
   def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val p = MinhashPrime
+    val withH = sh.select(col(idCol),
+      (expr("cast(conv(substr(md5(cast(sh as binary)), 1, 15), 16, 10) as bigint)") % p).as("h0"))
     val aggs = (0 until numHashes).map(h =>
-      min(md5(concat(lit(h.toString), lit(":"), col("sh")).cast("binary"))).as(s"mh$h"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      min((col("h0") * (2L * h + 1) + (h + 1)) % p).as(s"mh$h"))
+    withH.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: group `rows` consecutive minhashes per band, hash the band
@@ -61,7 +75,8 @@ object Dedup {
   def lshBands(sigs: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     val stackArgs: Seq[Column] = (0 until bands).flatMap { b =>
-      val sig = md5(concat_ws("|", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*).cast("binary"))
+      val sig = md5(concat_ws("|",
+        (0 until rows).map(r => col(s"mh${b * rows + r}").cast("string")): _*).cast("binary"))
       Seq(lit(b), sig)
     }
     sigs.select(col(idCol), stack((Seq(lit(bands)) ++ stackArgs): _*).as(Seq("band", "sig")))

@@ -180,10 +180,12 @@ object PipelineQueries {
       s"""WITH $tokCte,
         |$shingleCte,
         |hashed AS (
-        |  SELECT doc_id, h, min(md5(h || ':' || sh)) AS mh
+        |  SELECT doc_id, h,
+        |    min(((2 * h + 1) * (('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647)
+        |         + (h + 1)) % 2147483647) AS mh
         |  FROM shingles, UNNEST(range(0, 16)) AS t(h) GROUP BY doc_id, h),
         |bands AS (
-        |  SELECT doc_id, h // 4 AS band, md5(string_agg(mh, '|' ORDER BY h)) AS sig
+        |  SELECT doc_id, h // 4 AS band, md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY h)) AS sig
         |  FROM hashed GROUP BY doc_id, h // 4),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

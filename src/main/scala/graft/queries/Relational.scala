@@ -122,11 +122,17 @@ object Relational {
         .orderBy("k")
     }),
 
-    // A5: rollup grouping sets.
+    // A5: rollup grouping sets. Partial-aggregate FIRST, then rollup over
+    // the partials: count/sum are distributive, so rolling up pre-aggregated
+    // groups is algebraically identical — and the 3× grouping-set Expand
+    // runs over the handful of base groups instead of the corpus (at 100 TB,
+    // Expand×sets multiplies the shuffle; this caps it at base-group count).
     "q10_rollup" -> ((s, d) => {
-      lineitem(s, d)
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("l_quantity")))).as("sum_qty"))
+      val base = lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("_n"), sum(dec(col("l_quantity"))).as("_sq"))
+      base.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("_n")).as("n"), dbl(sum(col("_sq"))).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
