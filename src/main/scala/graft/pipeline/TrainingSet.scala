@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-set assembly operators: deterministic sampling, deterministic
+  * global shuffle, and token-budget sequence packing — the steps between a
+  * cleaned corpus and an actual training mix.
+  *
+  * Everything is keyed on md5 fractions, not `rand()`: at 100 TB a sample
+  * must be REPRODUCIBLE (rerunning the pipeline, or re-deriving the same
+  * split on another engine, must select the same documents), and hash-based
+  * sampling is also stable under repartitioning, retries, and speculative
+  * execution, where per-row `rand()` is not. All operators are pure column
+  * algebra + one window/aggregation — no UDFs, no driver-side loops.
+  */
+object TrainingSet {
+
+  /** 2^60 as a double — denominator of the 15-hex-digit md5 fraction. */
+  private val HashSpace: Double = (1L << 60).toDouble
+
+  /** Deterministic uniform [0, 1) fraction from a key: the first 60 bits of
+    * md5(key ':' salt). Engine-portable — DuckDB computes the same value as
+    * (('0x' || substr(md5(key || ':salt'), 1, 15))::BIGINT / 2^60). The salt
+    * decorrelates independent decisions on the same key (sample vs shuffle
+    * vs split), exactly like reseeding a PRNG.
+    */
+  def hashFraction(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(s":$salt")).cast("binary")), 1, 15),
+      16, 10).cast("long") / lit(HashSpace)
+
+  /** Uniform deterministic sample: keeps a row iff its key's md5 fraction is
+    * below `rate`. Selection is per-row independent — no shuffle at all, the
+    * filter rides the scan. */
+  def sample(df: DataFrame, keyCol: String, rate: Double,
+             salt: String = "sample"): DataFrame =
+    df.filter(hashFraction(col(keyCol), salt) < rate)
+
+  /** Stratified deterministic sample: per-stratum rates (e.g. per language
+    * or per source), `defaultRate` for strata not listed. The rate lookup is
+    * a literal CASE chain — strata tables are small and driver-known; the
+    * filter stays a pure scan-side projection with NO join and NO shuffle,
+    * which is the whole point at corpus scale. */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String = "sample"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (stratum, r)) =>
+      when(col(stratumCol) === stratum, lit(r)).otherwise(acc)
+    }
+    df.filter(hashFraction(col(keyCol), salt) < rate)
+  }
+
+  /** Deterministic global shuffle key: ordering by it (plus the key itself
+    * as tiebreaker) is a reproducible corpus-wide permutation — the
+    * "shuffle once, stream in order" step of training-data prep. Use with
+    * `repartitionByRange(shuffleKey, key)` to materialize shards. */
+  def shuffleKey(key: Column, salt: String = "shuffle"): Column =
+    md5(concat(key.cast("string"), lit(s":$salt")).cast("binary"))
+
+  /** Token-budget sequence packing: assigns documents to contiguous packs of
+    * ~`budgetTokens` tokens (a pack may overflow by at most one document —
+    * the concat-then-chunk packing used for LM pretraining batches).
+    *
+    * Order within a pack is the deterministic shuffle order. Packing is
+    * inherently sequential, so it runs per (stratum, bucket): the stratum
+    * keeps mixes separable, and `buckets` hash-buckets per stratum bound
+    * each sequential window's size — at corpus scale parallelism is
+    * strata × buckets, not 1. Output adds `bucket`, `pack_id` (dense from 0
+    * per (stratum, bucket)), and `pack_pos` (position within the pack).
+    */
+  def packSequences(df: DataFrame, keyCol: String, tokensCol: String,
+                    stratumCol: String, budgetTokens: Long,
+                    buckets: Int = 16): DataFrame = {
+    val key = shuffleKey(col(keyCol), "pack")
+    val bucket = (conv(substring(key, 1, 2), 16, 10).cast("int") % buckets).as("bucket")
+    val w = Window.partitionBy(col(stratumCol), col("bucket"))
+      .orderBy(key, col(keyCol))
+    val withBucket = df.withColumn("bucket", bucket)
+    withBucket
+      .withColumn("__start", sum(col(tokensCol)).over(w) - col(tokensCol))
+      .withColumn("pack_id", floor(col("__start") / lit(budgetTokens)).cast("long"))
+      .withColumn("pack_pos",
+        (row_number().over(Window.partitionBy(col(stratumCol), col("bucket"), col("pack_id"))
+          .orderBy(key, col(keyCol))) - 1).cast("long"))
+      .drop("__start")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Dedup, Embeddings, Multimodal, TextOps}
+import graft.pipeline.{Dedup, Embeddings, Multimodal, TextOps, TrainingSet}
 
 /** Judge-visible training-data pipeline operators over `documents` and
   * `embeddings` (BASELINE.json north star: dedup, similarity search,
@@ -130,7 +130,32 @@ object PipelineQueries {
         Embeddings.prepare(Tables.embeddings(s, d), "vec_id", "embedding"),
         "vec_id", k = 3, cells = 8, queryPred = col("vec_id") < 20)
         .withColumn("rnk", col("rnk").cast("long"))
-        .orderBy("query_id", "rnk"))
+        .orderBy("query_id", "rnk")),
+
+    // Deterministic stratified sampling (md5-fraction thresholds per lang):
+    // reproducible across engines/retries, zero shuffle — the id_sum pins
+    // the exact sampled membership, not just the counts.
+    "q43_stratified_sample" -> ((s, d) =>
+      TrainingSet.stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")),
+
+    // Token-budget sequence packing over the deterministic shuffle order
+    // (budget 512, 4 hash-buckets per source): pack membership, sizes and
+    // exact id sums must reproduce in the oracle.
+    "q44_pack_sequences" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+      TrainingSet.packSequences(docs, "doc_id", "n_tokens", "source",
+        budgetTokens = 512, buckets = 4)
+        .groupBy(col("source"), col("bucket").cast("long").as("bucket"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("source", "bucket", "pack_id")
+    })
   )
 
   private val tokCte =
@@ -352,6 +377,30 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
         |  FROM scored)
         |SELECT query_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= 3
-        |ORDER BY query_id, rnk""".stripMargin
+        |ORDER BY query_id, rnk""".stripMargin,
+    "q43_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 15))::BIGINT
+        |       / 1152921504606846976.0)
+        |  < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.25 ELSE 0.1 END)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q44_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR) || ':pack') AS key
+        |  FROM documents),
+        |b AS (
+        |  SELECT *, ('0x' || substr(key, 1, 2))::BIGINT % 4 AS bucket FROM t),
+        |w AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY source, bucket ORDER BY key, doc_id)
+        |    - n_tokens AS pstart
+        |  FROM b)
+        |SELECT source, bucket, CAST(pstart // 512 AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM w GROUP BY source, bucket, CAST(pstart // 512 AS BIGINT)
+        |ORDER BY source, bucket, pack_id""".stripMargin
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.{Dedup, Embeddings, Multimodal, TextOps}
+import graft.pipeline.{Dedup, Embeddings, Multimodal, TextOps, TrainingSet}
 
 /** Unit tests of the training-data pipeline operators on hand-built inputs
   * with known answers (the DuckDB oracle gate covers the testdata scale).
@@ -202,5 +202,55 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // deterministic: same input → identical bytes
     val again = Multimodal.resizePayloads(media, 20).collect().head
     assert(java.util.Arrays.equals(big.payload, again.payload))
+  }
+
+  test("stratified sampling is deterministic, per-row, and rate-faithful") {
+    import spark.implicits._
+    val d = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+    val s1 = TrainingSet.stratifiedSample(d, "id", "lang", Map("en" -> 0.5), defaultRate = 0.1)
+    val got = s1.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // reproducible: identical membership on rerun
+    assert(got == TrainingSet.stratifiedSample(d, "id", "lang", Map("en" -> 0.5), 0.1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // rates hold within binomial noise (en: 500±~70, de: 100±~45 at 3σ)
+    val en = got.count(_._2 == "en"); val de = got.count(_._2 == "de")
+    assert(en > 400 && en < 600, s"en sample $en far from 500")
+    assert(de > 55 && de < 145, s"de sample $de far from 100")
+    // subset property with a shared salt: raising a rate only ADDS documents
+    val wider = TrainingSet.stratifiedSample(d, "id", "lang", Map("en" -> 0.8), 0.1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.subsetOf(wider))
+  }
+
+  test("sequence packing fills token budgets contiguously and deterministically") {
+    import spark.implicits._
+    val d = (1L to 300L).map(i => (i, "s" + (i % 2), 10L + i % 7)).toDF("id", "src", "toks")
+    val packed = TrainingSet.packSequences(d, "id", "toks", "src", budgetTokens = 100, buckets = 2)
+    val rows = packed.select("src", "bucket", "pack_id", "pack_pos", "toks", "id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length == 300) // packing is an assignment, not a filter
+    // within each (stratum, bucket): pack ids dense from 0, every pack but
+    // the last reaches the budget including its overflow document
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((src, b), group) =>
+      val packs = group.groupBy(_._3)
+      val ids = packs.keys.toSeq.sorted
+      assert(ids == (0L until ids.length).toSeq, s"pack ids not dense in ($src,$b): $ids")
+      // non-final packs span the budget within one max-document (16 tokens)
+      // on each side: the previous pack's overflow may eat into the start,
+      // and this pack's own overflow extends past the end
+      ids.init.foreach { pid =>
+        val tok = packs(pid).map(_._5).sum
+        assert(tok > 100 - 17 && tok < 100 + 17,
+          s"non-final pack ($src,$b,$pid) off-budget: $tok")
+      }
+      // pack_pos dense within each pack
+      packs.foreach { case (pid, ds) =>
+        assert(ds.map(_._4).sorted.toSeq == (0L until ds.length).toSeq)
+      }
+    }
+    // deterministic on rerun
+    val again = TrainingSet.packSequences(d, "id", "toks", "src", 100, 2)
+      .select("id", "pack_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == rows.map(t => (t._6, t._3)).toSet)
   }
 }
