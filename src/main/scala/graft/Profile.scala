@@ -66,6 +66,44 @@ object Profile {
         val full = Embeddings.nearDupPairs(prep, "vec_id", 0.35)
         time("nearDupPairs full")(mat(full))
         time("nearDupPairs again")(mat(full))
+      case "q14" =>
+        import graft.catalog.{FileCatalog, TableIdent}
+        import graft.spark.{IceMV, IceWrite}
+        import graft.spec.{IceSchema, IceType, PartitionSpec}
+        val cat = new FileCatalog(
+          java.nio.file.Files.createTempDirectory("prof_wh").toString)
+        val li = Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_quantity").cast("decimal(18,2)").as("qty"))
+        val (struct, _) = IceType.fromSparkAssignIds(li.schema)
+        var t = time("createTable")(cat.createTable(
+          TableIdent(Seq("bench"), "li"), IceSchema(0, struct.fields), PartitionSpec(0, Nil)))
+        t = time("append even half")(IceWrite.append(spark, t, li.filter(col("l_orderkey") % 2 === 0)))
+        val mv = TableIdent(Seq("bench"), "flag_stats")
+        time("mv create")(IceMV.create(spark, cat, mv,
+          "SELECT l_returnflag, count(*) AS n, sum(qty) AS sum_qty, min(qty) AS min_qty, max(qty) AS max_qty FROM li GROUP BY l_returnflag"))
+        time("mv full refresh")(IceMV.refresh(spark, cat, mv))
+        t = time("append odd half")(IceWrite.append(spark, t.refresh(), li.filter(col("l_orderkey") % 2 === 1)))
+        time("mv incremental refresh")(IceMV.refresh(spark, cat, mv))
+        time("mv read")(mat(IceMV.read(spark, cat, mv)))
+      case "q17" =>
+        import graft.catalog.{FileCatalog, TableIdent}
+        import graft.spark.{IceScan, IceWrite}
+        import graft.spec.{IceSchema, IceType, PartitionSpec}
+        val cat = new FileCatalog(
+          java.nio.file.Files.createTempDirectory("prof_wh").toString)
+        val o = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderdate").cast("date").as("odate"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"))
+        val (struct, _) = IceType.fromSparkAssignIds(o.schema)
+        val dateId = struct.fields.find(_.name == "odate").get.id
+        val spec = PartitionSpec(0, Seq(graft.spec.PartitionField(
+          dateId, 1000, "odate_month", graft.core.Transform.Month)))
+        var t = time("createTable")(cat.createTable(
+          TableIdent(Seq("bench"), "ord_part"), IceSchema(0, struct.fields), spec))
+        t = time("partitioned append")(IceWrite.append(spark, t, o))
+        time("pruned scan")(mat(IceScan.scan(spark, t,
+          filters = Seq(col("odate") >= lit("1996-06-01") && col("odate") < lit("1996-09-01")))))
     }
     spark.stop()
   }

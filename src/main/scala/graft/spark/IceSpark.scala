@@ -279,7 +279,12 @@ object IceWrite {
         }
       }
 
-    paths.toSeq.sorted.map { p =>
+    // footer scraping is per-file independent driver IO — a partitioned
+    // write emits one file per (task, dir) and a serial scrape of hundreds
+    // of footers dominates small-table commit latency (measured: ~60% of a
+    // month-partitioned append). Bounded thread pool; result order stays
+    // the sorted path order, so manifests are deterministic.
+    def statsOf(p: String): DataFile = {
       val rel = p.stripPrefix(stagingDir).split('/').filter(_.nonEmpty)
       val partition: Seq[(String, Any)] = rel.init.flatMap { seg =>
         val i = seg.indexOf('=')
@@ -299,6 +304,19 @@ object IceWrite {
       }.toSeq
       ParquetStats.dataFile(p, conf, writeSchema, partition, content, equalityIds,
         distinctCounts = distinctByFile.getOrElse(new Path(p).getName, Map.empty))
+    }
+    val sortedPaths = paths.toSeq.sorted
+    if (sortedPaths.size <= 1) sortedPaths.map(statsOf)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, sortedPaths.size))
+      try {
+        sortedPaths
+          .map(p => pool.submit(new java.util.concurrent.Callable[DataFile] {
+            override def call(): DataFile = statsOf(p)
+          }))
+          .map(_.get())
+      } finally pool.shutdown()
     }
   }
 }
