@@ -118,18 +118,23 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     // signatures are duplicate-insensitive (min over a multiset == min over
     // its set), so they read the RAW shingle stream — no distinct shuffle on
-    // the full corpus. The distinct shingle SETS needed for exact Jaccard
-    // are built only for documents that survived LSH (a semi-join — tiny).
-    // Band rows and candidates are cached: each feeds two joins.
-    // The input is spread first: a corpus arriving as few parquet splits
-    // would otherwise run the whole shingle+hash kernel in one task.
+    // the full corpus. Band rows and candidates are cached: each feeds two
+    // joins. The input is spread first: a corpus arriving as few parquet
+    // splits would otherwise run the whole shingle+hash kernel in one task.
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
-    val raw = shinglesRaw(df.repartition(par), idCol, textCol, shingleSize)
+    val spread = df.repartition(par)
+    val raw = shinglesRaw(spread, idCol, textCol, shingleSize)
     val banded = lshBands(minhashSignatures(raw, idCol, numHashes), idCol, numHashes, bands).cache()
     val cand = lshCandidates(banded, idCol).cache()
     val candDocs = cand.select(col("id_a").as(idCol))
       .union(cand.select(col("id_b").as(idCol))).distinct()
-    val shSets = raw.join(broadcast(candDocs), Seq(idCol), "left_semi").distinct().cache()
+    // the distinct shingle SETS needed for exact Jaccard are re-derived from
+    // the SURVIVING documents only: a semi-join cannot push through the
+    // shingle explode, so filtering the raw stream would re-run the whole
+    // corpus's shingle kernel a second time — semi-join the documents first,
+    // then shingle just those (verify work scales with survivors, not corpus)
+    val shSets = shinglesRaw(spread.join(broadcast(candDocs), Seq(idCol), "left_semi"),
+      idCol, textCol, shingleSize).distinct().cache()
     jaccardVerify(shSets, cand, idCol).filter(col("jaccard") >= threshold)
   }
 
