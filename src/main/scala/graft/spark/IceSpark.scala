@@ -94,7 +94,7 @@ object IceWrite {
     val prev = fieldIdConfs.map(k => k -> spark.conf.getOption(k))
     fieldIdConfs.foreach(spark.conf.set(_, "true"))
     try {
-      val matches = spark.read.schema(table.schema.toSpark).parquet(paths: _*)
+      val matches = spark.read.schema(IceScan.readSparkSchema(table, table.schema)).parquet(paths: _*)
         .filter(predicate)
         .select(col("_metadata.file_path").as("file_path"),
           col("_metadata.row_index").as("pos"))
@@ -245,12 +245,7 @@ object IceWrite {
       table.spec.partitionType(table.schema).fields.map(f => f.name -> f.fieldType).toMap
     } else Map.empty
 
-    val it = fs.listFiles(new Path(stagingDir), true)
-    val paths = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) paths += f.getPath.toUri.getPath
-    }
+    val paths = sortedPathsOf(fs, stagingDir)
 
     // distinct_counts population (A4; reference leaves the manifest field
     // empty, parquet.rs:85-90): one extra per-file approx_count_distinct
@@ -269,7 +264,7 @@ object IceWrite {
         if (primFields.isEmpty) Map.empty
         else {
           val aggs = primFields.map(f => approx_count_distinct(col(f.name)).as(f.name))
-          spark.read.schema(writeSchema.toSpark).parquet(paths.toSeq: _*)
+          spark.read.schema(writeSchema.toSpark).parquet(paths: _*)
             .groupBy(col("_metadata.file_path").as("__p"))
             .agg(aggs.head, aggs.tail: _*)
             .collect() // one row per written file — metadata scale
@@ -279,13 +274,98 @@ object IceWrite {
         }
       }
 
+    statsFiles(paths, stagingDir, conf, writeSchema,
+      partTypes, content, equalityIds, distinctByFile)
+  }
+
+  /** Imports EXISTING parquet files into the table IN PLACE (no copy, no
+    * rewrite): footer-scrapes each file under `sourceDir` (hive-style
+    * `name=value` dirs map to identity partition values), appends them in
+    * one transaction, and marks the table name-mapped
+    * ([[IceScan.NameMappingProp]]) so reads resolve the id-less files by
+    * column name. The migration path for data born outside the table format
+    * — at 100 TB, rewriting is the thing to avoid.
+    */
+  def addFiles(spark: SparkSession, table: IceTable, sourceDir: String,
+               branch: Option[String] = None): (IceTable, Seq[DataFile]) = {
+    val m = table.metadata
+    // name resolution requires stable names: a past RENAME means old files
+    // carry old names — importing would silently mis-resolve them
+    val renamed = m.schemas.values.flatMap(_.fields.map(f => f.id -> f.name))
+      .groupBy(_._1).exists(_._2.map(_._2).toSet.size > 1)
+    require(!renamed,
+      "add_files requires a rename-free schema history: imported files resolve by column name")
+    require(table.spec.fields.forall(_.transform == Transform.Identity),
+      "add_files supports identity-partitioned or unpartitioned tables " +
+        "(transform values cannot be derived from directory names)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(sourceDir), conf)
+    val partTypes: Map[String, IceType] =
+      table.spec.partitionType(table.schema).fields.map(f => f.name -> f.fieldType).toMap
+    val paths = sortedPathsOf(fs, sourceDir)
+    require(paths.nonEmpty, s"no parquet files under $sourceDir")
+    val files = statsFiles(paths, sourceDir.stripSuffix("/"), conf, table.schema,
+      partTypes, ContentData, Nil, Map.empty)
+    // every required column AND every partition source column must exist in
+    // every imported file: a missing optional column reads as null (fine),
+    // a missing required one is corruption waiting for a scan — and unlike
+    // Iceberg readers, this scan does NOT constant-fill identity partition
+    // columns from partition metadata, so hive layouts that strip the
+    // partition column from file contents are rejected rather than read as
+    // nulls
+    val requiredIds = (table.schema.fields.filter(_.required).map(_.id) ++
+      table.spec.fields.map(_.sourceId)).toSet
+    files.foreach { f =>
+      val present = f.valueCounts.keySet
+      val missing = requiredIds -- present
+      require(missing.isEmpty,
+        s"${f.filePath} lacks required column(s) ${missing.flatMap(table.schema.fieldById).map(_.name).mkString(", ")} " +
+          "(imported files must physically contain partition source columns)")
+      // identity-partitioned: the dir-derived partition tuple must be complete
+      require(f.partition.map(_._1).toSet == partTypes.keySet,
+        s"${f.filePath}: partition dirs ${f.partition.map(_._1).mkString(",")} do not match spec ${partTypes.keySet.mkString(",")}")
+    }
+    val committed = table.newTransaction(branch).appendData(files)
+      .updateProperties(Map(IceScan.NameMappingProp -> "identity")).commit()
+    (committed, files)
+  }
+
+  /** Hive partition-dir string → canonical JVM value. Transform outputs are
+    * ints/longs/strings, but identity partitions keep the SOURCE type:
+    * Spark renders a DateType dir as ISO "2020-01-01", which must parse back
+    * to Iceberg's canonical epoch days. */
+  private[graft] def parsePartitionValue(t: Option[IceType], raw: String): Any = t match {
+    case Some(IceType.IntT) => raw.toInt
+    case Some(IceType.DateT) =>
+      if (raw.forall(c => c.isDigit || c == '-') && !raw.contains("--") && raw.count(_ == '-') == 2)
+        java.time.LocalDate.parse(raw).toEpochDay.toInt
+      else raw.toInt // transform outputs (year/month/day ordinals) are plain ints
+    case Some(IceType.LongT) => raw.toLong
+    case _ => raw
+  }
+
+  private def sortedPathsOf(fs: FileSystem, dir: String): Seq[String] = {
+    val it = fs.listFiles(new Path(dir), true)
+    val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) paths += f.getPath.toUri.getPath
+    }
+    paths.toSeq.sorted
+  }
+
+  private def statsFiles(sortedPaths: Seq[String], baseDir: String,
+                         conf: org.apache.hadoop.conf.Configuration,
+                         writeSchema: IceSchema, partTypes: Map[String, IceType],
+                         content: Int, equalityIds: Seq[Int],
+                         distinctByFile: Map[String, Map[Int, Long]]): Seq[DataFile] = {
     // footer scraping is per-file independent driver IO — a partitioned
     // write emits one file per (task, dir) and a serial scrape of hundreds
     // of footers dominates small-table commit latency (measured: ~60% of a
     // month-partitioned append). Bounded thread pool; result order stays
     // the sorted path order, so manifests are deterministic.
     def statsOf(p: String): DataFile = {
-      val rel = p.stripPrefix(stagingDir).split('/').filter(_.nonEmpty)
+      val rel = p.stripPrefix(baseDir).split('/').filter(_.nonEmpty)
       val partition: Seq[(String, Any)] = rel.init.flatMap { seg =>
         val i = seg.indexOf('=')
         if (i < 0) None
@@ -294,18 +374,13 @@ object IceWrite {
           val raw = URLDecoder.decode(seg.drop(i + 1), "UTF-8")
           val v: Any =
             if (raw == "__HIVE_DEFAULT_PARTITION__") null
-            else partTypes.get(name) match {
-              case Some(IceType.IntT | IceType.DateT) => raw.toInt
-              case Some(IceType.LongT) => raw.toLong
-              case _ => raw
-            }
+            else parsePartitionValue(partTypes.get(name), raw)
           Some(name -> v)
         }
       }.toSeq
       ParquetStats.dataFile(p, conf, writeSchema, partition, content, equalityIds,
         distinctCounts = distinctByFile.getOrElse(new Path(p).getName, Map.empty))
     }
-    val sortedPaths = paths.toSeq.sorted
     if (sortedPaths.size <= 1) sortedPaths.map(statsOf)
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -335,6 +410,38 @@ object IceScan {
       branch: Option[String] = None,
       /** Incremental: only files with sequence number in (after, until]. */
       afterSequence: Option[Long] = None)
+
+  /** Iceberg name-mapping property: set (to "identity") when the table
+    * holds files WITHOUT parquet field ids — e.g. imported in place by
+    * `CALL system.add_files` — so reads must resolve columns by NAME.
+    * (Reference models the property on table metadata;
+    * iceberg-rust-spec/src/spec/table_metadata.rs properties.)
+    */
+  val NameMappingProp = "schema.name-mapping.default"
+
+  /** The Spark schema a scan should read with: field-id metadata drives
+    * id-based (rename-safe) resolution, EXCEPT on name-mapped tables, where
+    * id-less imported files would resolve every column to null — there the
+    * ids are stripped so Spark falls back to name resolution for ALL files
+    * (rename is rejected on such tables, so names are stable).
+    */
+  private[graft] def readSparkSchema(table: IceTable, schema: IceSchema): org.apache.spark.sql.types.StructType =
+    if (!table.metadata.properties.contains(NameMappingProp)) schema.toSpark
+    else stripFieldIds(schema.toSpark).asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  private def stripFieldIds(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        val md = new MetadataBuilder().withMetadata(f.metadata).remove("parquet.field.id").build()
+        f.copy(dataType = stripFieldIds(f.dataType), metadata = md)
+      })
+      case a: ArrayType => a.copy(elementType = stripFieldIds(a.elementType))
+      case m: MapType => m.copy(keyType = stripFieldIds(m.keyType),
+        valueType = stripFieldIds(m.valueType))
+      case other => other
+    }
+  }
 
   def scan(spark: SparkSession, table: IceTable, filters: Seq[Column] = Nil,
            options: ScanOptions = ScanOptions()): DataFrame = {
@@ -379,7 +486,7 @@ object IceScan {
     val schema =
       if (options.snapshotId.isDefined) table.metadata.schemaAt(snapshot)
       else table.metadata.currentSchema
-    val sparkSchema = schema.toSpark
+    val sparkSchema = readSparkSchema(table, schema)
 
     snapshot match {
       case None => spark.createDataFrame(

@@ -32,13 +32,18 @@ import graft.table.{IceTable, Maintenance}
 object GraftProcedures {
 
   def names: Seq[String] =
-    Seq("expire_snapshots", "compact", "compact_zorder", "rollback_to_snapshot")
+    Seq("expire_snapshots", "compact", "compact_zorder", "rollback_to_snapshot",
+      "create_tag", "create_branch", "drop_ref", "add_files")
 
   def load(cat: GraftSparkCatalog, name: String): UnboundProcedure = name match {
     case "expire_snapshots" => new ExpireSnapshots(cat)
     case "compact" => new Compact(cat)
     case "compact_zorder" => new CompactZOrder(cat)
     case "rollback_to_snapshot" => new RollbackToSnapshot(cat)
+    case "create_tag" => new CreateRef(cat, "create_tag", "tag")
+    case "create_branch" => new CreateRef(cat, "create_branch", "branch")
+    case "drop_ref" => new DropRef(cat)
+    case "add_files" => new AddFiles(cat)
     case other => throw new IllegalArgumentException(
       s"unknown procedure $other (available: ${names.mkString(", ")})")
   }
@@ -156,6 +161,75 @@ object GraftProcedures {
           m.refs.get(m.MainBranch).flatMap(_.maxRefAgeMs),
           m.refs.get(m.MainBranch).flatMap(_.minSnapshotsToKeep)))))
       InternalRow(prev.map(Long.box).orNull, target)
+    }
+  }
+
+  /** Tag or branch creation: `CALL graft.system.create_tag(table => 'db.t',
+    * name => 'v1', snapshot_id => 42)` (snapshot_id defaults to current).
+    * Refs protect their snapshots from expiration (T7 retention rules). */
+  private final class CreateRef(cat: GraftSparkCatalog, procName: String, refType: String)
+      extends GraftProcedure(cat, procName,
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("snapshot_id", LongType).defaultValue("-1").build()),
+        StructType(Seq(
+          StructField("ref_name", StringType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = false)))) {
+    override def description(): String = s"Create a $refType pointing at a snapshot (default: current)"
+    override protected def run(spark: SparkSession, args: InternalRow): InternalRow = {
+      val t = table(args)
+      val refName = args.getUTF8String(1).toString
+      val m = t.metadata
+      val target = args.getLong(2) match {
+        case -1L => m.currentSnapshotId.getOrElse(
+          throw new IllegalStateException(s"table ${t.ident} has no current snapshot"))
+        case id => id
+      }
+      require(t.snapshotById(target).isDefined, s"table ${t.ident} has no snapshot $target")
+      require(!m.refs.contains(refName), s"ref $refName already exists")
+      t.metadata = t.catalog.updateTable(CommitTable(t.ident,
+        Seq(TableRequirement.AssertRefSnapshotId(m.MainBranch, m.currentSnapshotId)),
+        Seq(TableUpdate.SetSnapshotRef(refName, target, refType))))
+      InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(refName), target)
+    }
+  }
+
+  private final class DropRef(cat: GraftSparkCatalog)
+      extends GraftProcedure(cat, "drop_ref",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build()),
+        StructType(Seq(StructField("dropped", StringType, nullable = false)))) {
+    override def description(): String = "Drop a tag or branch (its snapshots lose expiration protection)"
+    override protected def run(spark: SparkSession, args: InternalRow): InternalRow = {
+      val t = table(args)
+      val refName = args.getUTF8String(1).toString
+      val m = t.metadata
+      require(m.refs.contains(refName), s"no such ref: $refName")
+      require(refName != m.MainBranch, "cannot drop the main branch")
+      t.metadata = t.catalog.updateTable(CommitTable(t.ident,
+        Seq(TableRequirement.AssertRefSnapshotId(m.MainBranch, m.currentSnapshotId)),
+        Seq(TableUpdate.RemoveSnapshotRef(refName))))
+      InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(refName))
+    }
+  }
+
+  /** In-place import of existing parquet: `CALL graft.system.add_files(
+    * table => 'db.t', source_dir => '/data/legacy')` — no copy, no rewrite;
+    * the table becomes name-mapped for reads (see [[graft.spark.IceWrite.addFiles]]). */
+  private final class AddFiles(cat: GraftSparkCatalog)
+      extends GraftProcedure(cat, "add_files",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("source_dir", StringType).build()),
+        StructType(Seq(
+          StructField("added_files", LongType, nullable = false),
+          StructField("added_records", LongType, nullable = false)))) {
+    override def description(): String =
+      "Register existing parquet files as table data in place (footer stats, one transaction, no rewrite)"
+    override protected def run(spark: SparkSession, args: InternalRow): InternalRow = {
+      val t = table(args)
+      val (_, files) = graft.spark.IceWrite.addFiles(spark, t,
+        args.getUTF8String(1).toString)
+      InternalRow(files.size.toLong, files.map(_.recordCount).sum)
     }
   }
 }

@@ -195,6 +195,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
         fields = fields.filterNot(_.name == name)
         schemaChanged = true
       case r: RenameColumn =>
+        // name-mapped tables (files imported without field ids via
+        // add_files) resolve columns by NAME — a rename would silently
+        // null out every imported file's column
+        require(!t.metadata.properties.contains(graft.spark.IceScan.NameMappingProp),
+          "cannot rename columns on a name-mapped table (files imported by add_files resolve by name)")
         val i = idx(topName(r.fieldNames))
         require(!fields.exists(_.name == r.newName), s"column already exists: ${r.newName}")
         fields = fields.updated(i, fields(i).copy(name = r.newName))

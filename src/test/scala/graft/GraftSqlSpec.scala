@@ -512,8 +512,58 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // discovery surface
     val procs = spark.sql("SHOW PROCEDURES IN graft.system").collect()
-    assert(procs.length == 4, procs.mkString(", "))
+    assert(procs.length == graft.spark.sql.GraftProcedures.names.size, procs.mkString(", "))
     spark.sql("DROP TABLE graft.db.proc")
+  }
+
+  test("add_files imports external parquet in place; reads resolve by name") {
+    import org.apache.spark.sql.functions._
+    // external data WITHOUT parquet field ids, flat layout
+    val ext = warehouse + "/external_flat"
+    spark.range(10).select(col("id"), (col("id") * 7).as("v"))
+      .repartition(2).write.mode("overwrite").parquet(ext)
+    spark.sql("CREATE TABLE graft.db.imported (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.imported VALUES (100, 700)")
+    val r = spark.sql(
+      s"CALL graft.system.add_files(`table` => 'db.imported', source_dir => '$ext')").head()
+    assert(r.getLong(0) >= 1 && r.getLong(1) == 10, s"add_files summary: $r")
+    // imported files lack field ids → the name-mapped scan must read VALUES,
+    // not nulls; the native pre-import row must still be there too
+    val rows = spark.sql("SELECT id, v FROM graft.db.imported ORDER BY id").collect()
+    assert(rows.length == 11)
+    assert(rows.take(10).forall(x => x.getLong(1) == x.getLong(0) * 7), rows.mkString(","))
+    assert(rows.last.getLong(0) == 100 && rows.last.getLong(1) == 700)
+    // native writes after import also read fine (mixed file population)
+    spark.sql("INSERT INTO graft.db.imported VALUES (200, 1400)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.imported").head().getLong(0) == 12)
+    assert(spark.sql("SELECT sum(v) FROM graft.db.imported").head().getLong(0)
+      == (0 until 10).map(_ * 7).sum + 700 + 1400)
+    // rename is rejected on a name-mapped table
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.imported RENAME COLUMN v TO w"))
+    assert(e.getMessage.contains("name-mapped"), e.getMessage)
+    spark.sql("DROP TABLE graft.db.imported")
+  }
+
+  test("create_tag, create_branch, drop_ref procedures manage snapshot refs") {
+    spark.sql("CREATE TABLE graft.db.refproc (k BIGINT)")
+    spark.sql("INSERT INTO graft.db.refproc VALUES (1)")
+    spark.sql("INSERT INTO graft.db.refproc VALUES (2)")
+    val cat = new graft.catalog.FileCatalog(warehouse)
+    def t = cat.loadTable(graft.catalog.TableIdent(Seq("db"), "refproc")).get
+    val firstSnap = t.metadata.snapshots.values.toSeq.sortBy(_.sequenceNumber).head.snapshotId
+    spark.sql(s"CALL graft.system.create_tag(`table` => 'db.refproc', name => 'v1', snapshot_id => $firstSnap)")
+    spark.sql("CALL graft.system.create_branch(`table` => 'db.refproc', name => 'dev')")
+    val refs = spark.sql("SELECT name, type, snapshot_id FROM graft.db.refproc.refs").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(refs.exists(r => r._1 == "v1" && r._2 == "tag" && r._3 == firstSnap), refs)
+    assert(refs.exists(r => r._1 == "dev" && r._2 == "branch"), refs)
+    // the tag protects its snapshot from expiration
+    spark.sql("CALL graft.system.expire_snapshots(`table` => 'db.refproc', retain_last => 1)")
+    assert(t.snapshotById(firstSnap).isDefined, "tagged snapshot must survive expiration")
+    spark.sql("CALL graft.system.drop_ref(`table` => 'db.refproc', name => 'v1')")
+    assert(!t.metadata.refs.contains("v1"))
+    spark.sql("DROP TABLE graft.db.refproc")
   }
 
   test("partitions metadata table rolls up live files per partition") {
