@@ -87,13 +87,18 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
     }
 
   /** SQL time travel: `SELECT ... FROM graft.db.t VERSION AS OF <snapshotId>`
-    * pins the scan to that snapshot (T6). */
+    * pins the scan to that snapshot (T6); a non-numeric version resolves as
+    * a tag or branch name (`VERSION AS OF 'v1'`). */
   override def loadTable(ident: Identifier, version: String): Table =
     catalog.loadTable(toIdent(ident)) match {
       case Some(t) =>
-        require(t.snapshotById(version.toLong).isDefined,
+        val snapId = version.toLongOption.getOrElse {
+          t.metadata.refs.getOrElse(version, throw new IllegalArgumentException(
+            s"table $ident has no ref '$version'")).snapshotId
+        }
+        require(t.snapshotById(snapId).isDefined,
           s"table $ident has no snapshot $version")
-        new GraftSparkTable(t, Some(version.toLong))
+        new GraftSparkTable(t, Some(snapId))
       case None => throw new NoSuchTableException(ident)
     }
 

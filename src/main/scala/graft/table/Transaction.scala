@@ -54,7 +54,36 @@ class Transaction(table: IceTable, branch: Option[String]) {
     refUpdates += name -> ((snapshotId, maxRefAgeMs, minSnapshotsToKeep)); this
   }
 
+  /** Commits with bounded optimistic retry for PURE DATA APPENDS: two
+    * writers appending concurrently do not semantically conflict — the
+    * loser's CAS failure just means its manifest merge was built on a stale
+    * base, so it refreshes and re-merges (the written data files themselves
+    * stay valid; only driver-side manifest work repeats). Everything else —
+    * replace (a concurrent append would be silently clobbered), row-level
+    * deletes (re-basing raises their sequence number, widening what they
+    * mask), schema/property/ref changes (read-modify-write semantics) —
+    * surfaces the conflict to the caller, matching the reference's
+    * no-auto-retry commit (commit.rs:417-490).
+    */
   def commit(): IceTable = {
+    val pureDataAppend = replaceFiles.isEmpty && newSchema.isEmpty &&
+      newSortOrder.isEmpty && propertyUpdates.isEmpty && propertyRemovals.isEmpty &&
+      refUpdates.isEmpty && appendedDeletes.isEmpty && appendedData.nonEmpty
+    val maxAttempts = if (pureDataAppend) 4 else 1
+    var attempt = 1
+    while (true) {
+      try return commitOnce()
+      catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+          table.refresh()
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def commitOnce(): IceTable = {
     val m = table.metadata
     val branchName = branch.getOrElse(m.MainBranch)
     // parent falls back to main when the branch is new (branch forks from

@@ -558,6 +558,9 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(refs.exists(r => r._1 == "v1" && r._2 == "tag" && r._3 == firstSnap), refs)
     assert(refs.exists(r => r._1 == "dev" && r._2 == "branch"), refs)
+    // time travel by ref NAME: the tag pins the one-row first snapshot
+    assert(spark.sql("SELECT count(*) FROM graft.db.refproc VERSION AS OF 'v1'")
+      .head().getLong(0) == 1)
     // the tag protects its snapshot from expiration
     spark.sql("CALL graft.system.expire_snapshots(`table` => 'db.refproc', retain_last => 1)")
     assert(t.snapshotById(firstSnap).isDefined, "tagged snapshot must survive expiration")

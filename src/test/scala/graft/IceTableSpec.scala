@@ -241,13 +241,19 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     table = IceWrite.append(spark, table, batch1)
     table = IceWrite.appendEqualityDeletes(spark, table, Seq(1L).toDF("id"), equalityIds = Seq(1))
     assert(IceScan.scan(spark, table).count() == 5)
-    // stale handle commits against a moved pointer → CAS conflict
+    // stale handle, PURE DATA APPEND: the CAS failure is retried against the
+    // refreshed base (appends never semantically conflict) — both batches land
     val stale = cat.loadTable(TableIdent(Seq("mem"), "t")).get
     IceWrite.append(spark, table.refresh(), batch2)
+    IceWrite.append(spark, stale, batch2)
+    assert(IceScan.scan(spark, cat.loadTable(TableIdent(Seq("mem"), "t")).get).count() == 11)
+    // stale handle, row-level DELETE: re-basing would widen what the delete
+    // masks (its sequence number rises past concurrent appends) → surfaced
+    val stale2 = cat.loadTable(TableIdent(Seq("mem"), "t")).get
+    IceWrite.append(spark, cat.loadTable(TableIdent(Seq("mem"), "t")).get, batch2)
     intercept[graft.catalog.CommitConflictException] {
-      IceWrite.append(spark, stale, batch2)
+      IceWrite.appendEqualityDeletes(spark, stale2, Seq(2L).toDF("id"), equalityIds = Seq(1))
     }
-    assert(IceScan.scan(spark, cat.loadTable(TableIdent(Seq("mem"), "t")).get).count() == 8)
   }
 
   test("z-order compaction prunes on BOTH clustered columns") {
@@ -453,11 +459,18 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     table = IceWrite.append(spark, table, batch1)
     val stale = cat.loadTable(table.ident).get
     IceWrite.append(spark, table, batch2) // moves the ref
-    // stale handle still thinks parent is snapshot 1
+    // stale handle still thinks parent is snapshot 1; a commit carrying
+    // NON-append changes (here a property update) must NOT auto-retry —
+    // read-modify-write semantics belong to the caller
     intercept[CommitConflictException] {
       val files = IceWrite.writeDataFiles(spark, stale, batch2, stale.schema)
-      stale.newTransaction().appendData(files).commit()
+      stale.newTransaction().appendData(files)
+        .updateProperties(Map("owner" -> "stale")).commit()
     }
+    // the SAME stale handle's pure data append retries internally and lands
+    val files2 = IceWrite.writeDataFiles(spark, stale, batch2, stale.schema)
+    stale.newTransaction().appendData(files2).commit()
+    assert(IceScan.scan(spark, cat.loadTable(table.ident).get).count() == 12)
   }
 
   test("branch write/read isolation") {

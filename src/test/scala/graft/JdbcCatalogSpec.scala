@@ -75,13 +75,16 @@ class JdbcCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ident = TableIdent(Seq("db"), "conflict")
     val t0 = cat.createTable(ident, schema, PartitionSpec(0, Nil))
     val t1 = IceWrite.append(spark, cat.loadTable(ident).get, Seq((1L, 1L)).toDF("id", "v"))
-    // a second writer committing from the PRE-append snapshot must fail
+    // a second writer committing NON-append changes from the PRE-append
+    // snapshot must fail (pure data appends auto-retry; property changes
+    // carry read-modify-write semantics and must not)
     intercept[CommitConflictException] {
-      IceWrite.append(spark, t0, Seq((2L, 2L)).toDF("id", "v"))
+      val files = IceWrite.writeDataFiles(spark, t0, Seq((2L, 2L)).toDF("id", "v"), t0.schema)
+      t0.newTransaction().appendData(files).updateProperties(Map("owner" -> "stale")).commit()
     }
-    // the fresh handle retries fine
-    val t2 = IceWrite.append(spark, t1.refresh(), Seq((3L, 3L)).toDF("id", "v"))
-    assert(IceScan.scan(spark, t2).count() == 2)
+    // the stale handle's PURE append retries through the conditional UPDATE
+    val t2 = IceWrite.append(spark, t0, Seq((3L, 3L)).toDF("id", "v"))
+    assert(IceScan.scan(spark, t2.refresh()).count() == 2)
   }
 
   test("versioned views store/replace through pointer rows") {

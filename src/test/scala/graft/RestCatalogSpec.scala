@@ -91,14 +91,18 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val other = new RestCatalog(server.uri)
     IceWrite.append(spark, other.loadTable(ident).get,
       Seq((4L, "2024-05-04", 40L)).toDF("id", "d", "v").withColumn("d", to_date(col("d"))))
+    // a stale NON-append commit surfaces the server's 409 (no auto-retry)
     intercept[CommitConflictException] {
-      IceWrite.append(spark, stale,
-        Seq((5L, "2024-05-05", 50L)).toDF("id", "d", "v").withColumn("d", to_date(col("d"))))
+      val files = IceWrite.writeDataFiles(spark, stale,
+        Seq((5L, "2024-05-05", 50L)).toDF("id", "d", "v").withColumn("d", to_date(col("d"))),
+        stale.schema)
+      stale.newTransaction().appendData(files)
+        .updateProperties(Map("owner" -> "stale")).commit()
     }
-    // refresh() reloads over HTTP; the retry then succeeds
-    val retried = IceWrite.append(spark, stale.refresh(),
+    // a stale PURE data append retries: refresh over HTTP + re-merge inside commit
+    val retried = IceWrite.append(spark, stale,
       Seq((5L, "2024-05-05", 50L)).toDF("id", "d", "v").withColumn("d", to_date(col("d"))))
-    assert(IceScan.scan(spark, retried).count() == 4) // 2,3,4,5
+    assert(IceScan.scan(spark, retried.refresh()).count() == 4) // 2,3,4,5
   }
 
   test("views round-trip over REST, including REPLACE versioning") {
