@@ -444,6 +444,12 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     // from the manifests (exact rows + bytes), not a data scan
     val stats = rows.getOrElse("Statistics", "")
     assert(stats.contains("3 rows"), s"expected manifest row count in: $stats")
+    // DESCRIBE also works on metadata tables and views (the same
+    // DescribeTableExec stats probe hits their scan builders)
+    assert(spark.sql("DESCRIBE EXTENDED graft.db.dstats.snapshots").collect().nonEmpty)
+    spark.sql("CREATE VIEW graft.db.dstats_v AS SELECT k FROM dstats")
+    assert(spark.sql("DESCRIBE EXTENDED graft.db.dstats_v").collect().nonEmpty)
+    spark.sql("DROP VIEW graft.db.dstats_v")
     spark.sql("DROP TABLE graft.db.dstats")
   }
 

@@ -231,4 +231,27 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("stratified sampling is a scan-side filter: no join, no shuffle before the agg") {
+    val plan = physicalPlan(PipelineQueries.queries("q43_stratified_sample")(spark, sf))
+    assert(!plan.contains("Join"), s"sampling must not join a rates table:\n$plan")
+    assert(!plan.contains("Generate"), s"sampling must not explode rows:\n$plan")
+    // exactly the aggregation + ordering exchanges; the sample filter itself
+    // adds none (it rides the scan stage)
+    val exchanges = plan.split('\n').count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"sampling introduced shuffles ($exchanges):\n$plan")
+  }
+
+  test("sequence packing parallelizes by (stratum, bucket), never one global window") {
+    val plan = physicalPlan(PipelineQueries.queries("q44_pack_sequences")(spark, sf))
+    assert(!plan.contains("Join"), s"packing must not join:\n$plan")
+    // both windows must partition by stratum AND bucket — a window keyed on
+    // a constant (or stratum alone at low stratum count) serializes the
+    // corpus through a handful of tasks at scale
+    val windowLines = plan.split('\n').filter(_.contains("Window"))
+    assert(windowLines.nonEmpty, s"expected window operators:\n$plan")
+    windowLines.filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(l.contains("bucket"), s"window not bucket-partitioned: $l")
+    }
+  }
 }
