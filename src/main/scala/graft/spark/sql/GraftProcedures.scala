@@ -33,7 +33,7 @@ object GraftProcedures {
 
   def names: Seq[String] =
     Seq("expire_snapshots", "compact", "compact_zorder", "rollback_to_snapshot",
-      "create_tag", "create_branch", "drop_ref", "add_files")
+      "create_tag", "create_branch", "drop_ref", "add_files", "remove_orphan_files")
 
   def load(cat: GraftSparkCatalog, name: String): UnboundProcedure = name match {
     case "expire_snapshots" => new ExpireSnapshots(cat)
@@ -44,6 +44,7 @@ object GraftProcedures {
     case "create_branch" => new CreateRef(cat, "create_branch", "branch")
     case "drop_ref" => new DropRef(cat)
     case "add_files" => new AddFiles(cat)
+    case "remove_orphan_files" => new RemoveOrphanFiles(cat)
     case other => throw new IllegalArgumentException(
       s"unknown procedure $other (available: ${names.mkString(", ")})")
   }
@@ -230,6 +231,22 @@ object GraftProcedures {
       val (_, files) = graft.spark.IceWrite.addFiles(spark, t,
         args.getUTF8String(1).toString)
       InternalRow(files.size.toLong, files.map(_.recordCount).sum)
+    }
+  }
+
+  private final class RemoveOrphanFiles(cat: GraftSparkCatalog)
+      extends GraftProcedure(cat, "remove_orphan_files",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("older_than_ms", LongType)
+            .defaultValue((24L * 3600 * 1000).toString).build()),
+        StructType(Seq(
+          StructField("deleted_files", LongType, nullable = false),
+          StructField("reclaimed_bytes", LongType, nullable = false)))) {
+    override def description(): String =
+      "Delete unreferenced files under the table location (failed-write leftovers) older than the horizon"
+    override protected def run(spark: SparkSession, args: InternalRow): InternalRow = {
+      val (n, bytes) = Maintenance.removeOrphanFiles(spark, table(args), args.getLong(1))
+      InternalRow(n.toLong, bytes)
     }
   }
 }

@@ -88,6 +88,55 @@ object Maintenance {
     table
   }
 
+  /** Deletes files under the table location that NO snapshot references —
+    * leftovers of failed writes (staged data files whose commit lost or
+    * crashed) and of interrupted maintenance. `olderThanMs` protects
+    * in-flight writes: a staged file younger than the horizon may belong to
+    * a commit that has not happened yet, so it is never touched (Iceberg's
+    * remove_orphan_files has the same contract for the same reason).
+    *
+    * The referenced set comes from manifest metadata (including DELETED
+    * entries — their files may still serve time travel); the table location
+    * walk is the one inherently O(files) listing in maintenance, which is
+    * why this is a deliberate, explicitly-invoked op rather than part of any
+    * commit path. Metadata JSONs and the version hint are always kept (the
+    * catalog owns their lifecycle).
+    *
+    * Returns (files deleted, bytes reclaimed).
+    */
+  def removeOrphanFiles(spark: SparkSession, table: IceTable,
+                        olderThanMs: Long = 24L * 3600 * 1000,
+                        nowMs: Long = System.currentTimeMillis()): (Int, Long) = {
+    val m = table.metadata
+    val snaps = m.snapshots.values.toSet
+    val manifestPaths = snaps.flatMap(s => table.manifests(s)).map(_.manifestPath)
+    val referenced: Set[String] =
+      snaps.map(_.manifestList) ++
+        manifestPaths ++
+        manifestPaths.flatMap(p => ManifestIO.readManifest(p).map(_.dataFile.filePath))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(m.location)
+    val fs = root.getFileSystem(conf)
+    val cutoff = nowMs - olderThanMs
+    var count = 0
+    var bytes = 0L
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath
+      val raw = p.toUri.getPath
+      val keep = referenced.contains(raw) || referenced.contains(p.toString) ||
+        raw.endsWith(".metadata.json") || p.getName.startsWith("version-hint") ||
+        f.getModificationTime >= cutoff
+      if (!keep) {
+        bytes += f.getLen
+        fs.delete(p, false)
+        count += 1
+      }
+    }
+    (count, bytes)
+  }
+
   /** Compaction: rewrites current content as one balanced file set (replace
     * transaction — which already drops the old snapshots from metadata),
     * then physically deletes the files only the old snapshots referenced —

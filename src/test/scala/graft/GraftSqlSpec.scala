@@ -575,6 +575,29 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.db.refproc")
   }
 
+  test("remove_orphan_files deletes failed-write leftovers, keeps live data") {
+    spark.sql("CREATE TABLE graft.db.orph (k BIGINT)")
+    spark.sql("INSERT INTO graft.db.orph VALUES (1), (2)")
+    spark.sql("INSERT INTO graft.db.orph VALUES (3)")
+    // plant a stale staged file — a crashed write's leftover
+    val stray = new java.io.File(s"$warehouse/db/orph/data/00000000-dead-beef/part-0.parquet")
+    stray.getParentFile.mkdirs()
+    java.nio.file.Files.write(stray.toPath, Array[Byte](1, 2, 3))
+    stray.setLastModified(System.currentTimeMillis() - 10 * 60 * 1000)
+    val r = spark.sql(
+      "CALL graft.system.remove_orphan_files(`table` => 'db.orph', older_than_ms => 60000)").head()
+    assert(r.getLong(0) == 1 && r.getLong(1) == 3, s"orphan summary: $r")
+    assert(!stray.exists)
+    // live data intact, and BOTH snapshots still read (history untouched)
+    assert(spark.sql("SELECT count(*) FROM graft.db.orph").head().getLong(0) == 3)
+    val cat = new graft.catalog.FileCatalog(warehouse)
+    val first = cat.loadTable(graft.catalog.TableIdent(Seq("db"), "orph")).get
+      .metadata.snapshots.values.toSeq.sortBy(_.sequenceNumber).head.snapshotId
+    assert(spark.sql(s"SELECT count(*) FROM graft.db.orph VERSION AS OF $first")
+      .head().getLong(0) == 2)
+    spark.sql("DROP TABLE graft.db.orph")
+  }
+
   test("partitions metadata table rolls up live files per partition") {
     spark.sql(
       """CREATE TABLE graft.db.pmeta (k BIGINT, grp STRING)
