@@ -579,29 +579,43 @@ object IceScan {
   private def prunedEntries(table: IceTable, schema: IceSchema, snap: Snapshot,
                             exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
                             afterSequence: Option[Long]): Seq[ManifestEntry] = {
-    val spec = table.spec
-    val partType = spec.partitionType(schema).fields
-    val partBySource: Map[String, (Transform, String, IceType)] =
-      spec.fields.flatMap { pf =>
-        schema.fieldById(pf.sourceId).map(src => src.name -> (pf.transform, pf.name, src.fieldType))
-      }.toMap
-    val partTypeByName = partType.map(f => f.name -> f.fieldType).toMap
-
     // ---- manifest-level pruning against FieldSummary bounds ----
-    val partExprs = exprs.map(e => Pruning.transformPredicate(e, partBySource))
+    // each manifest's FieldSummary order follows the spec it was WRITTEN
+    // under (spec evolution leaves old manifests intact), so predicate
+    // rewrite + summary decoding resolve per manifest spec id; a manifest
+    // under an unknown spec is kept (pruning may only remove IO)
+    case class SpecCtx(partType: Seq[graft.spec.NestedField],
+                       partTypeByName: Map[String, IceType],
+                       partExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    val ctxBySpec = scala.collection.mutable.Map.empty[Int, Option[SpecCtx]]
+    // Try: an OLD spec may reference a column since dropped from the
+    // current schema — its manifests are then simply not pruned
+    def ctxOf(specId: Int): Option[SpecCtx] = ctxBySpec.getOrElseUpdate(specId, {
+      table.metadata.partitionSpecs.get(specId).flatMap { spec => scala.util.Try {
+        val partType = spec.partitionType(schema).fields
+        val partBySource: Map[String, (Transform, String, IceType)] =
+          spec.fields.flatMap { pf =>
+            schema.fieldById(pf.sourceId).map(src => src.name -> (pf.transform, pf.name, src.fieldType))
+          }.toMap
+        SpecCtx(partType, partType.map(f => f.name -> f.fieldType).toMap,
+          exprs.map(e => Pruning.transformPredicate(e, partBySource)))
+      }.toOption }
+    })
     val manifestFilter: ManifestListEntry => Boolean = ml => {
       if (ml.partitions.isEmpty || exprs.isEmpty) true
-      else {
-        val statsByName: Map[String, Pruning.ColStats] =
-          partType.zipWithIndex.flatMap { case (f, i) =>
-            ml.partitions.lift(i).map { s =>
-              f.name -> Pruning.ColStats(
-                s.lowerBound.map(graft.core.ValueCodec.fromBytes(f.fieldType, _)),
-                s.upperBound.map(graft.core.ValueCodec.fromBytes(f.fieldType, _)),
-                if (s.containsNull) None else Some(0L), None)
-            }
-          }.toMap
-        Pruning.mayMatch(partExprs, statsByName.get, partTypeByName.get)
+      else ctxOf(ml.partitionSpecId) match {
+        case None => true
+        case Some(ctx) =>
+          val statsByName: Map[String, Pruning.ColStats] =
+            ctx.partType.zipWithIndex.flatMap { case (f, i) =>
+              ml.partitions.lift(i).map { s =>
+                f.name -> Pruning.ColStats(
+                  s.lowerBound.map(graft.core.ValueCodec.fromBytes(f.fieldType, _)),
+                  s.upperBound.map(graft.core.ValueCodec.fromBytes(f.fieldType, _)),
+                  if (s.containsNull) None else Some(0L), None)
+              }
+            }.toMap
+          Pruning.mayMatch(ctx.partExprs, statsByName.get, ctx.partTypeByName.get)
       }
     }
 

@@ -384,7 +384,13 @@ class GraftSparkTable(@transient val ice: IceTable,
                                         ident: org.apache.spark.sql.catalyst.InternalRow): Array[org.apache.spark.sql.catalyst.InternalRow] = {
     val ps = partitionSchema()
     val nameIdx = names.map(ps.fieldIndex)
-    val tuples = liveDataEntries.map(_.dataFile.partition.map(p => toCatalyst(p._2))).distinct
+    // spec evolution: only files written under the CURRENT spec list here
+    // (old-spec tuples have different fields; `partitions` metadata table
+    // shows every layout)
+    val curNames = ps.fieldNames.toSeq
+    val tuples = liveDataEntries.map(_.dataFile.partition)
+      .filter(_.map(_._1) == curNames)
+      .map(_.map(p => toCatalyst(p._2))).distinct
     tuples.filter { vs =>
         nameIdx.iterator.zipWithIndex.forall { case (pi, ii) =>
           vs(pi) == ident.get(ii, ps(pi).dataType)

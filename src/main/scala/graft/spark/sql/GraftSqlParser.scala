@@ -36,6 +36,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.`]+)\s+AS\s+(.+)""".r
   private val DropV =
     """(?is)\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*""".r
+  private val AddPartField =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
+  private val DropPartField =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
 
   /** The first name part names a registered graft catalog? (Statements over
     * other catalogs fall through to Spark untouched.) */
@@ -58,6 +62,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
         if ident.contains(".") && isGraftCatalog(ident.replace("`", "").split('.').head) =>
       val (cat, ti) = splitIdent(ident)
       DropGraftViewCommand(cat, ti)
+    case AddPartField(ident, field)
+        if ident.contains(".") && isGraftCatalog(ident.replace("`", "").split('.').head) =>
+      val (cat, ti) = splitIdent(ident)
+      AlterPartitionFieldCommand(cat, ti, field.trim, add = true)
+    case DropPartField(ident, field)
+        if ident.contains(".") && isGraftCatalog(ident.replace("`", "").split('.').head) =>
+      val (cat, ti) = splitIdent(ident)
+      AlterPartitionFieldCommand(cat, ti, field.trim, add = false)
     case _ => delegate.parsePlan(sqlText) match {
       case m: MergeIntoTable => graftMerge(m).getOrElse(m)
       case d: DeleteFromTable =>
@@ -153,6 +165,80 @@ final case class DropGraftViewCommand(catalogName: String,
   override def output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlParser.fileCatalog(spark, catalogName).dropView(ident)
+    Nil
+  }
+}
+
+/** Partition spec evolution (`ALTER TABLE t ADD/DROP PARTITION FIELD ...`):
+  * installs a new default spec; existing data keeps its layout (per-spec
+  * manifest pruning handles the mix), only new writes use the new one —
+  * mirroring the Iceberg evolution contract the reference's metadata model
+  * carries (partition_specs + default_spec_id, table_metadata.rs).
+  * Accepted field forms: `col`, `bucket(n, col)`, `truncate(w, col)`,
+  * `year(col)`/`years(col)` (same for month/day/hour), `void(col)`.
+  * DROP accepts the partition field NAME (e.g. `d_day`) or the same
+  * transform form.
+  */
+final case class AlterPartitionFieldCommand(catalogName: String, ident: TableIdent,
+                                            fieldSpec: String, add: Boolean) extends LeafRunnableCommand {
+  import graft.core.{Transform => IceTransform}
+  import graft.spec.PartitionField
+
+  override def output: Seq[Attribute] = Nil
+
+  private val WithArg = """(?i)(\w+)\s*\(\s*(\d+)\s*,\s*`?(\w+)`?\s*\)""".r
+  private val NoArg = """(?i)(\w+)\s*\(\s*`?(\w+)`?\s*\)""".r
+  private val Bare = """`?(\w+)`?""".r
+
+  /** (source column name, transform, partition-field name suffix). */
+  private def parseField(s: String): (String, IceTransform, String) = s match {
+    case WithArg(fn, arg, col) => fn.toLowerCase match {
+      case "bucket" => (col, IceTransform.Bucket(arg.toInt), s"bucket_$arg")
+      case "truncate" => (col, IceTransform.Truncate(arg.toInt), s"trunc_$arg")
+      case other => throw new IllegalArgumentException(s"unknown transform $other")
+    }
+    case NoArg(fn, col) => fn.toLowerCase match {
+      case "year" | "years" => (col, IceTransform.Year, "year")
+      case "month" | "months" => (col, IceTransform.Month, "month")
+      case "day" | "days" => (col, IceTransform.Day, "day")
+      case "hour" | "hours" => (col, IceTransform.Hour, "hour")
+      case "void" => (col, IceTransform.Void, "void")
+      case "identity" => (col, IceTransform.Identity, "")
+      case other => throw new IllegalArgumentException(s"unknown transform $other")
+    }
+    case Bare(col) => (col, IceTransform.Identity, "")
+    case other => throw new IllegalArgumentException(s"cannot parse partition field: $other")
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftSqlParser.fileCatalog(spark, catalogName)
+    val t = cat.loadTable(ident).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $ident"))
+    val cur = t.spec.fields
+    val next: Seq[PartitionField] =
+      if (add) {
+        val (colName, tr, suffix) = parseField(fieldSpec)
+        val src = t.schema.fieldByName(colName).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $colName"))
+        val pname = if (suffix.isEmpty) src.name else s"${src.name}_$suffix"
+        require(!cur.exists(f => f.sourceId == src.id && f.transform == tr),
+          s"partition field already exists: $fieldSpec")
+        require(!cur.exists(_.name == pname), s"partition field name collides: $pname")
+        cur :+ PartitionField(src.id, 0, pname, tr) // field id assigned at commit
+      } else {
+        val byName = cur.filterNot(_.name == fieldSpec.replace("`", ""))
+        val remaining =
+          if (byName.size < cur.size) byName
+          else {
+            val (colName, tr, _) = parseField(fieldSpec)
+            val src = t.schema.fieldByName(colName).getOrElse(
+              throw new IllegalArgumentException(s"no such column: $colName"))
+            cur.filterNot(f => f.sourceId == src.id && f.transform == tr)
+          }
+        require(remaining.size < cur.size, s"no such partition field: $fieldSpec")
+        remaining
+      }
+    t.newTransaction(None).setSpec(next).commit()
     Nil
   }
 }

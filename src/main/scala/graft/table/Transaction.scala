@@ -4,7 +4,7 @@ import java.util.UUID
 
 import graft.catalog._
 import graft.core.ValueCodec
-import graft.spec.{IceSchema, PartitionSpec, Snapshot}
+import graft.spec.{IceSchema, PartitionField, PartitionSpec, Snapshot}
 import graft.table.ManifestModel._
 
 /** ACID table transaction (reference: iceberg-rust/src/table/transaction/
@@ -25,6 +25,7 @@ class Transaction(table: IceTable, branch: Option[String]) {
   private var propertyUpdates: Map[String, String] = Map.empty
   private var propertyRemovals: Seq[String] = Nil
   private var newSchema: Option[IceSchema] = None
+  private var newSpecFields: Option[Seq[PartitionField]] = None
   private var newSortOrder: Option[graft.spec.SortOrder] = None
   // tag name -> (snapshot id, max-ref-age-ms, min-snapshots-to-keep)
   private var refUpdates: Map[String, (Long, Option[Long], Option[Int])] = Map.empty
@@ -45,6 +46,11 @@ class Transaction(table: IceTable, branch: Option[String]) {
   def removeProperties(keys: Seq[String]): Transaction = { propertyRemovals ++= keys; this }
   /** Schema evolution: install a new current schema (add-column etc.). */
   def setSchema(s: IceSchema): Transaction = { newSchema = Some(s); this }
+  /** Partition spec evolution: install a new DEFAULT spec. Existing data
+    * keeps its old layout (manifests remember their spec id; the scan prunes
+    * each against its own spec); only new writes use the new spec. Compact
+    * to migrate old files. */
+  def setSpec(fields: Seq[PartitionField]): Transaction = { newSpecFields = Some(fields); this }
   /** Installs a write sort order (clustering): subsequent data writes
     * range-partition + locally sort on it, tightening per-file column
     * bounds so statistics pruning skips more files. */
@@ -67,7 +73,8 @@ class Transaction(table: IceTable, branch: Option[String]) {
     */
   def commit(): IceTable = {
     val pureDataAppend = replaceFiles.isEmpty && newSchema.isEmpty &&
-      newSortOrder.isEmpty && propertyUpdates.isEmpty && propertyRemovals.isEmpty &&
+      newSpecFields.isEmpty && newSortOrder.isEmpty &&
+      propertyUpdates.isEmpty && propertyRemovals.isEmpty &&
       refUpdates.isEmpty && appendedDeletes.isEmpty && appendedData.nonEmpty
     val maxAttempts = if (pureDataAppend) 4 else 1
     var attempt = 1
@@ -101,6 +108,24 @@ class Transaction(table: IceTable, branch: Option[String]) {
       val sch = s.copy(schemaId = id)
       updates :+= TableUpdate.AddSchema(sch, sch.maxFieldId)
       updates :+= TableUpdate.SetCurrentSchema(id)
+    }
+    newSpecFields.foreach { fields =>
+      // field ids: reuse the id of an identical (source, transform) field
+      // from ANY prior spec (Iceberg's evolution rule — the field means the
+      // same thing), else continue from last-partition-id
+      var nextFieldId = m.lastPartitionId
+      val existing: Map[(Int, graft.core.Transform), Int] =
+        m.partitionSpecs.values.flatMap(_.fields.map(f => (f.sourceId, f.transform) -> f.fieldId)).toMap
+      val assigned = fields.map { f =>
+        existing.get((f.sourceId, f.transform)) match {
+          case Some(id) => f.copy(fieldId = id)
+          case None => nextFieldId += 1; f.copy(fieldId = nextFieldId)
+        }
+      }
+      val specId = m.partitionSpecs.keys.max + 1
+      requirements :+= TableRequirement.AssertDefaultSpecId(m.defaultSpecId)
+      updates :+= TableUpdate.AddPartitionSpec(PartitionSpec(specId, assigned))
+      updates :+= TableUpdate.SetDefaultSpec(specId)
     }
     if (propertyUpdates.nonEmpty) updates :+= TableUpdate.SetProperties(propertyUpdates)
     if (propertyRemovals.nonEmpty) updates :+= TableUpdate.RemoveProperties(propertyRemovals)
@@ -254,22 +279,28 @@ object Transaction {
                                  snapshotId: Long, seq: Long): Seq[ManifestListEntry] = {
     val newEntries = newFiles.map(f =>
       ManifestEntry(StatusAdded, Some(snapshotId), Some(seq), Some(seq), f))
-    if (dataManifests.isEmpty)
-      return writeSplitManifests(table, schema, newEntries, snapshotId, seq, 0)
+    // merge candidates: ONLY manifests written under the CURRENT default
+    // spec — merging would re-encode a foreign spec's partition records
+    // under this spec's Avro schema (spec evolution keeps old manifests
+    // intact; compaction migrates them)
+    val specId = table.metadata.defaultSpecId
+    val mergeable = dataManifests.filter(_.partitionSpecId == specId)
+    if (mergeable.isEmpty)
+      return dataManifests ++ writeSplitManifests(table, schema, newEntries, snapshotId, seq, 0)
 
     val partitioned = table.metadata.defaultSpec.fields.nonEmpty
     val newRect = rectOf(newFiles)
     val target: ManifestListEntry =
       if (partitioned && newRect.isDefined) {
         // smallest extent of union(manifest bounds, new files bounds)
-        dataManifests.minBy { ml =>
+        mergeable.minBy { ml =>
           val entries = ManifestIO.readManifest(ml.manifestPath)
           rectOf(entries.map(_.dataFile)) match {
             case Some(r) => r.union(newRect.get).extent
             case None => Double.MaxValue
           }
         }
-      } else dataManifests.minBy(ml => ml.addedRowsCount + ml.existingRowsCount)
+      } else mergeable.minBy(ml => ml.addedRowsCount + ml.existingRowsCount)
 
     val targetEntries = ManifestIO.readManifest(target.manifestPath).map { e =>
       e.copy(status = StatusExisting,

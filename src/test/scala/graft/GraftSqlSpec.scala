@@ -575,6 +575,45 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.db.refproc")
   }
 
+  test("ALTER TABLE ADD/DROP PARTITION FIELD evolves the spec; mixed layouts read and prune") {
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles.length
+      }.sum
+    spark.sql(
+      """CREATE TABLE graft.db.specevo (k BIGINT, lang STRING, d DATE)
+        |PARTITIONED BY (lang)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.db.specevo VALUES
+        |(1, 'en', DATE'2024-01-01'), (2, 'fr', DATE'2024-02-01')""".stripMargin)
+    spark.sql("ALTER TABLE graft.db.specevo ADD PARTITION FIELD days(d)")
+    spark.sql(
+      """INSERT INTO graft.db.specevo VALUES
+        |(3, 'en', DATE'2024-03-01'), (4, 'fr', DATE'2024-04-01')""".stripMargin)
+    val cat = new graft.catalog.FileCatalog(warehouse)
+    def t = cat.loadTable(graft.catalog.TableIdent(Seq("db"), "specevo")).get
+    assert(t.spec.fields.map(_.name) == Seq("lang", "d_day"))
+    // every row from both layouts reads
+    assert(spark.sql("SELECT sum(k) FROM graft.db.specevo").head().getLong(0) == 10)
+    // pruning still works per spec: a lang filter prunes across BOTH layouts
+    val all = scannedFiles(spark.sql("SELECT k FROM graft.db.specevo"))
+    val byLang = scannedFiles(spark.sql("SELECT k FROM graft.db.specevo WHERE lang = 'en'"))
+    assert(byLang < all, s"lang filter should prune files ($byLang vs $all)")
+    // a d filter prunes new-layout files; old-layout files are kept (their
+    // manifests cannot prove absence) — never LOST
+    val byDay = spark.sql("SELECT k FROM graft.db.specevo WHERE d = DATE'2024-03-01'")
+    assert(byDay.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // DROP returns to the original spec; the reused field keeps its id
+    spark.sql("ALTER TABLE graft.db.specevo DROP PARTITION FIELD d_day")
+    assert(t.spec.fields.map(_.name) == Seq("lang"))
+    assert(t.metadata.partitionSpecs.size == 3) // original, +day, back
+    spark.sql("INSERT INTO graft.db.specevo VALUES (5, 'en', DATE'2024-05-01')")
+    assert(spark.sql("SELECT sum(k) FROM graft.db.specevo").head().getLong(0) == 15)
+    spark.sql("DROP TABLE graft.db.specevo")
+  }
+
   test("remove_orphan_files deletes failed-write leftovers, keeps live data") {
     spark.sql("CREATE TABLE graft.db.orph (k BIGINT)")
     spark.sql("INSERT INTO graft.db.orph VALUES (1), (2)")
