@@ -58,6 +58,23 @@ object TrainingSet {
   def shuffleKey(key: Column, salt: String = "shuffle"): Column =
     md5(concat(key.cast("string"), lit(s":$salt")).cast("binary"))
 
+  /** Benchmark decontamination: ids of `train` documents sharing at least
+    * one word `ngram`-shingle with any `eval` document — the standard
+    * test-set-overlap flag computed before training. Candidate generation is
+    * a shingle equi-join (never a cross product): the eval side collapses to
+    * its DISTINCT shingle set (eval suites are corpus-tiny, so Spark
+    * broadcast-joins it from its stats), and train shingles stream through a
+    * left-semi probe with no full-corpus shuffle of document text.
+    */
+  def contaminatedIds(train: DataFrame, eval: DataFrame, idCol: String,
+                      textCol: String, ngram: Int = 3): DataFrame = {
+    val evalShingles = Dedup.shingles(eval, idCol, textCol, ngram)
+      .select(col("sh")).distinct()
+    Dedup.shinglesRaw(train, idCol, textCol, ngram)
+      .join(evalShingles, Seq("sh"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
   /** Token-budget sequence packing: assigns documents to contiguous packs of
     * ~`budgetTokens` tokens (a pack may overflow by at most one document —
     * the concat-then-chunk packing used for LM pretraining batches).

@@ -155,6 +155,25 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
           sum(col("doc_id")).as("id_sum"))
         .orderBy("source", "bucket", "pack_id")
+    }),
+
+    // Benchmark decontamination: flag train docs sharing any 3-gram with the
+    // eval split (doc_id % 10 == 0); per-lang contamination summary with the
+    // exact flagged membership pinned by the id sum.
+    "q45_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bad = TrainingSet.contaminatedIds(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", ngram = 3)
+        .withColumn("bad", lit(1L))
+      docs.filter(col("doc_id") % 10 =!= 0)
+        .join(bad, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_train"),
+          sum(when(col("bad").isNotNull, 1L).otherwise(0L)).as("n_contaminated"),
+          coalesce(sum(when(col("bad").isNotNull, col("doc_id"))), lit(0L))
+            .as("contaminated_id_sum"))
+        .orderBy("lang")
     })
   )
 
@@ -401,6 +420,19 @@ object PipelineQueries {
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM w GROUP BY source, bucket, CAST(pstart // 512 AS BIGINT)
-        |ORDER BY source, bucket, pack_id""".stripMargin
+        |ORDER BY source, bucket, pack_id""".stripMargin,
+    "q45_decontaminate" ->
+      s"""WITH $tokCte,
+        |$shingleCte,
+        |evalsh AS (SELECT DISTINCT sh FROM shingles WHERE doc_id % 10 = 0),
+        |bad AS (
+        |  SELECT DISTINCT s.doc_id FROM shingles s JOIN evalsh e ON s.sh = e.sh
+        |  WHERE s.doc_id % 10 <> 0)
+        |SELECT d.lang, count(*) AS n_train,
+        |  count(b.doc_id) AS n_contaminated,
+        |  CAST(coalesce(sum(b.doc_id), 0) AS BIGINT) AS contaminated_id_sum
+        |FROM documents d LEFT JOIN bad b ON d.doc_id = b.doc_id
+        |WHERE d.doc_id % 10 <> 0
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   )
 }
