@@ -79,6 +79,25 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
             case Some(t) => new GraftMetadataTable(t, kind)
             case None => throw new NoSuchTableException(ident)
           }
+        } else if (ident.namespace.length >= 2 &&
+            (kind.startsWith("branch_") || kind.startsWith("tag_"))) {
+          // Iceberg's branch/tag identifier convention: `db.t.branch_dev`
+          // reads AND writes the branch; `db.t.tag_v1` is a read-only pin
+          val base = TableIdent(ident.namespace.init.toSeq, ident.namespace.last)
+          val refName = ident.name.substring(ident.name.indexOf('_') + 1)
+          catalog.loadTable(base) match {
+            case Some(t) =>
+              val ref = t.metadata.refs.getOrElse(refName,
+                throw new IllegalArgumentException(s"table $base has no ref '$refName'"))
+              if (kind.startsWith("tag_")) {
+                require(ref.refType == "tag", s"'$refName' is a ${ref.refType}, not a tag")
+                new GraftSparkTable(t, Some(ref.snapshotId), None, readOnlyPin = true)
+              } else {
+                require(ref.refType == "branch", s"'$refName' is a ${ref.refType}, not a branch")
+                new GraftSparkTable(t, Some(ref.snapshotId), Some(refName))
+              }
+            case None => throw new NoSuchTableException(ident)
+          }
         } else catalog.loadView(toIdent(ident)) match {
           // plain views resolve as relations (D5); tables take precedence
           case Some(vm) => new GraftViewTable(catalog, toIdent(ident), vm)
@@ -295,7 +314,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
   * transaction.
   */
 class GraftSparkTable(@transient val ice: IceTable,
-                      val snapshotId: Option[Long] = None) extends Table
+                      val snapshotId: Option[Long] = None,
+                      val branch: Option[String] = None,
+                      readOnlyPin: Boolean = false) extends Table
     with SupportsRead with SupportsWrite with SupportsPartitionManagement {
 
   override def name(): String =
@@ -419,7 +440,9 @@ class GraftSparkTable(@transient val ice: IceTable,
   override def loadPartitionMetadata(ident: org.apache.spark.sql.catalyst.InternalRow): util.Map[String, String] =
     util.Collections.emptyMap()
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (readOnlyPin) throw new UnsupportedOperationException(
+      s"${name()} is a read-only pin (tag or snapshot); write to the table or a branch")
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -427,10 +450,11 @@ class GraftSparkTable(@transient val ice: IceTable,
         override def toInsertableRelation: InsertableRelation =
           (data, overwriteFlag) => {
             val fresh = ice.refresh()
-            if (overwrite || overwriteFlag) IceWrite.replaceWith(data.sparkSession, fresh, data)
-            else IceWrite.append(data.sparkSession, fresh, data)
+            if (overwrite || overwriteFlag) IceWrite.replaceWith(data.sparkSession, fresh, data, branch)
+            else IceWrite.append(data.sparkSession, fresh, data, branch)
             ()
           }
       }
     }
+  }
 }

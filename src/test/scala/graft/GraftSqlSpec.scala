@@ -575,6 +575,26 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.db.refproc")
   }
 
+  test("branch_/tag_ identifiers: branch writes isolate from main; tags are read-only") {
+    spark.sql("CREATE TABLE graft.db.brt (k BIGINT)")
+    spark.sql("INSERT INTO graft.db.brt VALUES (1), (2)")
+    spark.sql("CALL graft.system.create_branch(`table` => 'db.brt', name => 'dev')")
+    spark.sql("CALL graft.system.create_tag(`table` => 'db.brt', name => 'v1')")
+    // write to the branch: main stays put, the branch sees both generations
+    spark.sql("INSERT INTO graft.db.brt.branch_dev VALUES (3), (4)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.brt").head().getLong(0) == 2)
+    assert(spark.sql("SELECT sum(k) FROM graft.db.brt.branch_dev").head().getLong(0) == 10)
+    // tag pins the creation-time state and rejects writes
+    assert(spark.sql("SELECT count(*) FROM graft.db.brt.tag_v1").head().getLong(0) == 2)
+    val e = intercept[Exception](spark.sql("INSERT INTO graft.db.brt.tag_v1 VALUES (9)"))
+    assert(e.getMessage.contains("read-only"), e.getMessage)
+    // writing to main afterwards does not disturb the branch
+    spark.sql("INSERT INTO graft.db.brt VALUES (5)")
+    assert(spark.sql("SELECT sum(k) FROM graft.db.brt.branch_dev").head().getLong(0) == 10)
+    assert(spark.sql("SELECT sum(k) FROM graft.db.brt").head().getLong(0) == 8)
+    spark.sql("DROP TABLE graft.db.brt")
+  }
+
   test("ALTER TABLE ADD/DROP PARTITION FIELD evolves the spec; mixed layouts read and prune") {
     def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.optimizedPlan.collect {
