@@ -123,7 +123,8 @@ object IceWrite {
                                     writeSchema: IceSchema, content: Int = ContentData,
                                     equalityIds: Seq[Int] = Nil,
                                     keepLayout: Boolean = false,
-                                    localSort: Seq[Column] = Nil): Seq[DataFile] = {
+                                    localSort: Seq[Column] = Nil,
+                                    outFiles: Option[Int] = None): Seq[DataFile] = {
     val spec = table.spec
     val props = table.metadata.properties
     // session-scoped confs restored after the write — other queries in the
@@ -193,16 +194,23 @@ object IceWrite {
       // scraping and the manifest tree small), but a write whose estimated
       // bytes already justify ≥inParts target-size files keeps FULL
       // parallelism — unconditional /4 would quarter cluster-scale writes
-      val inParts = aligned.rdd.getNumPartitions
-      val targetFileBytes = props.getOrElse("write.target-file-size-bytes",
-        (512L << 20).toString).toLong
-      val estBytes = aligned.queryExecution.optimizedPlan.stats.sizeInBytes
-      val idealFiles = ((estBytes + targetFileBytes - 1) / targetFileBytes)
-        .min(BigInt(inParts)).max(BigInt(1)).toInt
-      val nOut = math.min(inParts, math.max(idealFiles, math.max(1, inParts / 4)))
+      // an explicit outFiles hint wins: callers that KNOW the output
+      // cardinality (MV merges bounded by group count + manifest-exact
+      // stored rows) skip the optimizer's join-size guesses — which
+      // over-estimate badly and fan tiny outputs across the cluster — AND
+      // the physical-planning pass that .rdd forces just to count partitions
+      val nOut = outFiles.getOrElse {
+        val inParts = aligned.rdd.getNumPartitions
+        val targetFileBytes = props.getOrElse("write.target-file-size-bytes",
+          (512L << 20).toString).toLong
+        val estBytes = aligned.queryExecution.optimizedPlan.stats.sizeInBytes
+        val idealFiles = ((estBytes + targetFileBytes - 1) / targetFileBytes)
+          .min(BigInt(inParts)).max(BigInt(1)).toInt
+        math.min(inParts, math.max(idealFiles, math.max(1, inParts / 4)))
+      }
       (if (sortCols.nonEmpty)
         aligned.repartitionByRange(nOut, sortCols: _*).sortWithinPartitions(sortCols: _*)
-      else if (nOut < inParts) aligned.coalesce(nOut) else aligned).write
+      else aligned.coalesce(nOut)).write // coalesce above inParts is a no-op
     }
 
     // parquet bloom filters (point-lookup row-group skipping): table property

@@ -372,10 +372,18 @@ object IceMV {
           i => IceScan.scan(spark, sources(i))))
       }
 
+    // known-cardinality writes: one ~4M-row file chunk per write instead of
+    // the optimizer's join-size guess (which fans tiny MV outputs over the
+    // whole cluster) — cardinality comes from the materialized cache and the
+    // manifest-exact stored row count, no extra data pass
+    def fileHint(rows: Long): Option[Int] =
+      Some(math.max(1L, rows / 4000000L).min(Int.MaxValue).toInt)
+
     strategy match {
       case FullOverwrite | IncrementalOverwrite =>
         val out = materializeFull().cache()
-        val files = IceWrite.writeDataFiles(spark, storage, out, storage.schema)
+        val files = IceWrite.writeDataFiles(spark, storage, out, storage.schema,
+          outFiles = fileHint(out.count()))
         storage.newTransaction(None).replace(files).updateProperties(stateProps).commit()
         val n = files.map(_.recordCount).sum
         out.unpersist()
@@ -426,10 +434,16 @@ object IceMV {
           .join(stored.select(groupNames.map(col): _*), groupNames, "left_semi").distinct()
 
         val keyIds = storage.schema.fields.filter(f => groupNames.contains(f.name)).map(_.id)
-        val dataFiles = IceWrite.writeDataFiles(spark, storage, pos, storage.schema)
+        // counting the cached delta materializes it ONCE here; merged/fresh/
+        // changedKeys then all reuse the in-memory relation
+        val deltaRows = deltaAgg.count()
+        val storedRows = storage.currentSnapshot(None).toSeq
+          .flatMap(storage.dataFiles(_)).map(_.dataFile.recordCount).sum
+        val dataFiles = IceWrite.writeDataFiles(spark, storage, pos, storage.schema,
+          outFiles = fileHint(deltaRows + storedRows))
         val delFiles = IceWrite.writeDataFiles(spark, storage, changedKeys,
           storage.schema.project(keyIds), content = ManifestModel.ContentEqualityDeletes,
-          equalityIds = keyIds)
+          equalityIds = keyIds, outFiles = fileHint(deltaRows))
         storage.newTransaction(None)
           .appendData(dataFiles).appendDeletes(delFiles)
           .updateProperties(stateProps).commit()
