@@ -243,9 +243,12 @@ final case class GraftMergeCommand(
         tx = tx.appendData(IceWrite.writeDataFiles(spark, table, d, schema))
       }
       delKeys.foreach { k =>
+        // the key set is bounded by the already-counted fired rows — size
+        // the write from that instead of the optimizer's join guess
         tx = tx.appendDeletes(IceWrite.writeDataFiles(spark, table, k,
           schema.project(keyIds), content = ManifestModel.ContentEqualityDeletes,
-          equalityIds = keyIds))
+          equalityIds = keyIds,
+          outFiles = Some(math.max(1L, (nUpdated + nDeleted) / 4000000L).toInt)))
       }
       tx.commit()
       Seq(Row(nUpdated, nDeleted, nInserted))
