@@ -33,7 +33,8 @@ object GraftProcedures {
 
   def names: Seq[String] =
     Seq("expire_snapshots", "compact", "compact_zorder", "rollback_to_snapshot",
-      "create_tag", "create_branch", "drop_ref", "add_files", "remove_orphan_files")
+      "create_tag", "create_branch", "drop_ref", "add_files", "remove_orphan_files",
+      "fast_forward")
 
   def load(cat: GraftSparkCatalog, name: String): UnboundProcedure = name match {
     case "expire_snapshots" => new ExpireSnapshots(cat)
@@ -45,6 +46,7 @@ object GraftProcedures {
     case "drop_ref" => new DropRef(cat)
     case "add_files" => new AddFiles(cat)
     case "remove_orphan_files" => new RemoveOrphanFiles(cat)
+    case "fast_forward" => new FastForward(cat)
     case other => throw new IllegalArgumentException(
       s"unknown procedure $other (available: ${names.mkString(", ")})")
   }
@@ -231,6 +233,54 @@ object GraftProcedures {
       val (_, files) = graft.spark.IceWrite.addFiles(spark, t,
         args.getUTF8String(1).toString)
       InternalRow(files.size.toLong, files.map(_.recordCount).sum)
+    }
+  }
+
+  /** Write-audit-publish's publish step: fast-forwards `branch` to another
+    * ref's head, REQUIRING the branch's current head to be an ancestor of
+    * the target (a true fast-forward — diverged branches need an explicit
+    * rollback or merge, never a silent clobber). `branch => 'main'`
+    * publishes audited branch work atomically.
+    */
+  private final class FastForward(cat: GraftSparkCatalog)
+      extends GraftProcedure(cat, "fast_forward",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("branch", StringType).build(),
+          ProcedureParameter.in("to", StringType).build()),
+        StructType(Seq(
+          StructField("branch", StringType, nullable = false),
+          StructField("previous_snapshot_id", LongType),
+          StructField("current_snapshot_id", LongType, nullable = false)))) {
+    override def description(): String =
+      "Fast-forward a branch to another ref's head (its current head must be an ancestor)"
+    override protected def run(spark: SparkSession, args: InternalRow): InternalRow = {
+      val t = table(args)
+      val m = t.metadata
+      val branchName = args.getUTF8String(1).toString
+      val toName = args.getUTF8String(2).toString
+      val target = m.refs.getOrElse(toName,
+        throw new IllegalArgumentException(s"no such ref: $toName")).snapshotId
+      val cur: Option[Long] =
+        if (branchName == m.MainBranch) m.currentSnapshotId
+        else m.refs.get(branchName).map { r =>
+          require(r.refType == "branch", s"'$branchName' is a ${r.refType}, not a branch")
+          r.snapshotId
+        }
+      // ancestor walk bounded by snapshot count (corrupt parent cycles must
+      // not hang the procedure)
+      val ancestors = Iterator.iterate(t.snapshotById(target))(
+        _.flatMap(_.parentSnapshotId).flatMap(t.snapshotById))
+        .takeWhile(_.isDefined).map(_.get.snapshotId)
+        .take(m.snapshots.size).toSet
+      require(cur.forall(ancestors.contains),
+        s"$branchName (at ${cur.orNull}) is not an ancestor of $toName ($target): not a fast-forward")
+      val keep = m.refs.get(branchName)
+      t.metadata = t.catalog.updateTable(CommitTable(t.ident,
+        Seq(TableRequirement.AssertRefSnapshotId(branchName, cur)),
+        Seq(TableUpdate.SetSnapshotRef(branchName, target, "branch",
+          keep.flatMap(_.maxRefAgeMs), keep.flatMap(_.minSnapshotsToKeep)))))
+      InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(branchName),
+        cur.map(Long.box).orNull, target)
     }
   }
 

@@ -40,6 +40,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
   private val DropPartField =
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
+  private val WriteOrdered =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*;?\s*""".r
+  private val WriteUnordered =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+UNORDERED\s*;?\s*""".r
 
   /** The first name part names a registered graft catalog? (Statements over
     * other catalogs fall through to Spark untouched.) */
@@ -70,6 +74,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
         if ident.contains(".") && isGraftCatalog(ident.replace("`", "").split('.').head) =>
       val (cat, ti) = splitIdent(ident)
       AlterPartitionFieldCommand(cat, ti, field.trim, add = false)
+    case WriteOrdered(ident, order)
+        if ident.contains(".") && isGraftCatalog(ident.replace("`", "").split('.').head) =>
+      val (cat, ti) = splitIdent(ident)
+      SetWriteOrderCommand(cat, ti, order.trim)
+    case WriteUnordered(ident)
+        if ident.contains(".") && isGraftCatalog(ident.replace("`", "").split('.').head) =>
+      val (cat, ti) = splitIdent(ident)
+      SetWriteOrderCommand(cat, ti, "")
     case _ => delegate.parsePlan(sqlText) match {
       case m: MergeIntoTable => graftMerge(m).getOrElse(m)
       case d: DeleteFromTable =>
@@ -239,6 +251,43 @@ final case class AlterPartitionFieldCommand(catalogName: String, ident: TableIde
         remaining
       }
     t.newTransaction(None).setSpec(next).commit()
+    Nil
+  }
+}
+
+/** Write sort order DDL (`ALTER TABLE t WRITE ORDERED BY a DESC, b` /
+  * `WRITE UNORDERED`): installs the default sort order; subsequent appends
+  * range-partition + locally sort on it so per-file column bounds tighten
+  * and statistics pruning skips more files (T1 sort-order metadata;
+  * iceberg-rust-spec/src/spec/sort.rs).
+  */
+final case class SetWriteOrderCommand(catalogName: String, ident: TableIdent,
+                                      orderSpec: String) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+
+  private val Field =
+    """(?i)`?(\w+)`?(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?""".r
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftSqlParser.fileCatalog(spark, catalogName)
+    val t = cat.loadTable(ident).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $ident"))
+    val order =
+      if (orderSpec.isEmpty) graft.spec.SortOrder.unsorted
+      else {
+        val fields = orderSpec.split(',').map(_.trim).map {
+          case Field(col, dir, nulls) =>
+            val src = t.schema.fieldByName(col).getOrElse(
+              throw new IllegalArgumentException(s"no such column: $col"))
+            val direction = Option(dir).map(_.toLowerCase).getOrElse("asc")
+            val nullOrder = Option(nulls).map(n => s"nulls-${n.toLowerCase}")
+              .getOrElse(if (direction == "asc") "nulls-first" else "nulls-last")
+            graft.spec.SortField(src.id, graft.core.Transform.Identity, direction, nullOrder)
+          case other => throw new IllegalArgumentException(s"cannot parse sort field: $other")
+        }
+        graft.spec.SortOrder(1, fields.toSeq)
+      }
+    t.newTransaction(None).setSortOrder(order).commit()
     Nil
   }
 }

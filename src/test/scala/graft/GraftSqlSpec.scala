@@ -634,6 +634,46 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.db.specevo")
   }
 
+  test("write-audit-publish: branch write, audit, fast_forward main") {
+    spark.sql("CREATE TABLE graft.db.wap (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.wap VALUES (1, 10)")
+    spark.sql("CALL graft.system.create_branch(`table` => 'db.wap', name => 'staging')")
+    // WRITE: new data lands on the branch only
+    spark.sql("INSERT INTO graft.db.wap.branch_staging VALUES (2, 20), (3, 30)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.wap").head().getLong(0) == 1)
+    // AUDIT: validate the staged state through plain SQL
+    assert(spark.sql("SELECT sum(v) FROM graft.db.wap.branch_staging").head().getLong(0) == 60)
+    // PUBLISH: fast-forward main atomically
+    val r = spark.sql(
+      "CALL graft.system.fast_forward(`table` => 'db.wap', branch => 'main', to => 'staging')").head()
+    assert(r.getString(0) == "main")
+    assert(spark.sql("SELECT sum(v) FROM graft.db.wap").head().getLong(0) == 60)
+    // a DIVERGED branch refuses to fast-forward (not an ancestor)
+    spark.sql("INSERT INTO graft.db.wap VALUES (4, 40)") // main moves ahead
+    spark.sql("INSERT INTO graft.db.wap.branch_staging VALUES (5, 50)") // staging diverges
+    val e = intercept[Exception](spark.sql(
+      "CALL graft.system.fast_forward(`table` => 'db.wap', branch => 'main', to => 'staging')"))
+    assert(e.getMessage.contains("not a fast-forward"), e.getMessage)
+    spark.sql("DROP TABLE graft.db.wap")
+  }
+
+  test("ALTER TABLE WRITE ORDERED BY installs a sort order that tightens file bounds") {
+    spark.sql("CREATE TABLE graft.db.wsort (id BIGINT, v BIGINT)")
+    spark.sql("ALTER TABLE graft.db.wsort WRITE ORDERED BY id DESC NULLS LAST")
+    val cat = new graft.catalog.FileCatalog(warehouse)
+    def t = cat.loadTable(graft.catalog.TableIdent(Seq("db"), "wsort")).get
+    val o = t.metadata.sortOrders(t.metadata.defaultSortOrderId)
+    assert(o.fields.map(f => (f.sourceId, f.direction, f.nullOrder)) ==
+      Seq((1, "desc", "nulls-last")))
+    // clustered write: disjoint per-file id ranges under the sorted path
+    spark.range(1, 1001).selectExpr("id", "id AS v").createOrReplaceTempView("wsrc")
+    spark.sql("INSERT INTO graft.db.wsort SELECT * FROM wsrc")
+    assert(spark.sql("SELECT count(*) FROM graft.db.wsort").head().getLong(0) == 1000)
+    spark.sql("ALTER TABLE graft.db.wsort WRITE UNORDERED")
+    assert(t.metadata.sortOrders(t.metadata.defaultSortOrderId).fields.isEmpty)
+    spark.sql("DROP TABLE graft.db.wsort")
+  }
+
   test("remove_orphan_files deletes failed-write leftovers, keeps live data") {
     spark.sql("CREATE TABLE graft.db.orph (k BIGINT)")
     spark.sql("INSERT INTO graft.db.orph VALUES (1), (2)")
