@@ -34,7 +34,7 @@ object GraftProcedures {
   def names: Seq[String] =
     Seq("expire_snapshots", "compact", "compact_zorder", "rollback_to_snapshot",
       "create_tag", "create_branch", "drop_ref", "add_files", "remove_orphan_files",
-      "fast_forward")
+      "fast_forward", "rewrite_manifests", "compute_stats")
 
   def load(cat: GraftSparkCatalog, name: String): UnboundProcedure = name match {
     case "expire_snapshots" => new ExpireSnapshots(cat)
@@ -47,6 +47,8 @@ object GraftProcedures {
     case "add_files" => new AddFiles(cat)
     case "remove_orphan_files" => new RemoveOrphanFiles(cat)
     case "fast_forward" => new FastForward(cat)
+    case "rewrite_manifests" => new RewriteManifests(cat)
+    case "compute_stats" => new ComputeStats(cat)
     case other => throw new IllegalArgumentException(
       s"unknown procedure $other (available: ${names.mkString(", ")})")
   }
@@ -234,6 +236,30 @@ object GraftProcedures {
         args.getUTF8String(1).toString)
       InternalRow(files.size.toLong, files.map(_.recordCount).sum)
     }
+  }
+
+  private final class RewriteManifests(cat: GraftSparkCatalog)
+      extends GraftProcedure(cat, "rewrite_manifests",
+        Seq(ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(
+          StructField("manifests_before", LongType, nullable = false),
+          StructField("manifests_after", LongType, nullable = false)))) {
+    override def description(): String =
+      "Rebalance the data manifest tree (metadata-only snapshot; data untouched)"
+    override protected def run(spark: SparkSession, args: InternalRow): InternalRow = {
+      val (before, after) = Maintenance.rewriteManifests(table(args))
+      InternalRow(before.toLong, after.toLong)
+    }
+  }
+
+  private final class ComputeStats(cat: GraftSparkCatalog)
+      extends GraftProcedure(cat, "compute_stats",
+        Seq(ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(StructField("files_updated", LongType, nullable = false)))) {
+    override def description(): String =
+      "Backfill per-file NDV statistics into the manifests (one data pass, metadata-only commit)"
+    override protected def run(spark: SparkSession, args: InternalRow): InternalRow =
+      InternalRow(Maintenance.computeStats(spark, table(args)).toLong)
   }
 
   /** Write-audit-publish's publish step: fast-forwards `branch` to another

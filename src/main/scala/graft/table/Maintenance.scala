@@ -137,6 +137,55 @@ object Maintenance {
     (count, bytes)
   }
 
+  /** Rebalances the data manifest tree without touching data: many small
+    * manifests (the residue of many small commits) slow O(manifests) scan
+    * planning; this rewrites them as a fresh sqrt-law-balanced set in one
+    * metadata-only snapshot. Returns (manifests before, after). */
+  def rewriteManifests(table: IceTable): (Int, Int) = {
+    val snap = table.currentSnapshot(None).getOrElse(return (0, 0))
+    val before = table.manifests(snap).count(_.content == 0)
+    val entries = table.dataFiles(snap)
+    if (entries.isEmpty) return (before, before)
+    val committed = table.newTransaction(None).rewriteManifests(entries).commit()
+    val after = committed.currentSnapshot(None)
+      .map(committed.manifests(_).count(_.content == 0)).getOrElse(0)
+    (before, after)
+  }
+
+  /** Backfills per-file NDV statistics (`distinct_counts`) for tables that
+    * did not opt in at write time: ONE distributed aggregation over the
+    * current data files, then a metadata-only manifest rewrite attaches the
+    * counts — the optimizer's CBO join-cardinality estimates pick them up on
+    * the next scan. Data is read once; no data file is rewritten. */
+  def computeStats(spark: SparkSession, table: IceTable): Int = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col}
+    val snap = table.currentSnapshot(None).getOrElse(return 0)
+    val entries = table.dataFiles(snap)
+    if (entries.isEmpty) return 0
+    val primFields = table.schema.fields.filter(_.fieldType match {
+      case _: graft.spec.IceType.StructT | _: graft.spec.IceType.ListT |
+           _: graft.spec.IceType.MapT => false
+      case _ => true
+    })
+    if (primFields.isEmpty) return 0
+    val aggs = primFields.map(f => approx_count_distinct(col(f.name)).as(f.name))
+    val ndvByFile: Map[String, Map[Int, Long]] =
+      spark.read.schema(graft.spark.IceScan.readSparkSchema(table, table.schema))
+        .parquet(entries.map(_.dataFile.filePath): _*)
+        .groupBy(col("_metadata.file_path").as("__p"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect() // one row per data file — metadata scale
+        .map(r => new Path(r.getString(0)).toUri.getPath ->
+          primFields.zipWithIndex.map { case (f, i) => f.id -> r.getLong(i + 1) }.toMap)
+        .toMap
+    val enriched = entries.map { e =>
+      val ndv = ndvByFile.getOrElse(new Path(e.dataFile.filePath).toUri.getPath, Map.empty)
+      e.copy(dataFile = e.dataFile.copy(distinctCounts = ndv))
+    }
+    table.newTransaction(None).rewriteManifests(enriched).commit()
+    enriched.count(_.dataFile.distinctCounts.nonEmpty)
+  }
+
   /** Compaction: rewrites current content as one balanced file set (replace
     * transaction — which already drops the old snapshots from metadata),
     * then physically deletes the files only the old snapshots referenced —

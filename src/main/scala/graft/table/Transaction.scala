@@ -22,6 +22,7 @@ class Transaction(table: IceTable, branch: Option[String]) {
   private var appendedData: Seq[DataFile] = Nil
   private var appendedDeletes: Seq[DataFile] = Nil
   private var replaceFiles: Option[Seq[DataFile]] = None
+  private var rewriteEntries: Option[Seq[ManifestEntry]] = None
   private var propertyUpdates: Map[String, String] = Map.empty
   private var propertyRemovals: Seq[String] = Nil
   private var newSchema: Option[IceSchema] = None
@@ -42,6 +43,16 @@ class Transaction(table: IceTable, branch: Option[String]) {
   }
   /** Replace all table content with `files` (compaction / full rewrite, T3). */
   def replace(files: Seq[DataFile]): Transaction = { replaceFiles = Some(files); this }
+  /** Rewrite the DATA manifest tree only: a new snapshot referencing the
+    * SAME data files through freshly balanced manifests — entries keep their
+    * sequence/snapshot numbers (MoR delete ordering depends on them), delete
+    * manifests carry over untouched, and history is preserved (unlike
+    * `replace`, no snapshots are removed). Zero data IO. */
+  def rewriteManifests(entries: Seq[ManifestEntry]): Transaction = {
+    require(entries.forall(e => e.sequenceNumber.isDefined && e.dataFile.content == ContentData),
+      "rewriteManifests takes inherited DATA entries (explicit sequence numbers)")
+    rewriteEntries = Some(entries); this
+  }
   def updateProperties(p: Map[String, String]): Transaction = { propertyUpdates ++= p; this }
   def removeProperties(keys: Seq[String]): Transaction = { propertyRemovals ++= keys; this }
   /** Schema evolution: install a new current schema (add-column etc.). */
@@ -157,6 +168,25 @@ class Transaction(table: IceTable, branch: Option[String]) {
         Some(m.currentSchemaId))
       requirements :+= TableRequirement.AssertRefSnapshotId(branchName, expectedRef)
       updates :+= TableUpdate.RemoveSnapshots(m.snapshots.keys.toSeq)
+      updates :+= TableUpdate.AddSnapshot(snap)
+      updates :+= TableUpdate.SetSnapshotRef(branchName, snapshotId, "branch")
+    } else if (rewriteEntries.isDefined) {
+      val entries = rewriteEntries.get
+      val snapshotId = newSnapshotId()
+      val seq = m.lastSequenceNumber + 1
+      val dataManifests = writeSplitManifests(table, schemaForWrite,
+        entries.map(_.copy(status = StatusExisting)), snapshotId, seq, entries.size)
+      val deleteManifests = parent.map(p => table.manifests(p)).getOrElse(Nil)
+        .filter(_.content != 0)
+      val listPath = s"${m.location}/metadata/snap-$snapshotId-$seq-${UUID.randomUUID()}.avro"
+      ManifestIO.writeManifestList(listPath, dataManifests ++ deleteManifests)
+      val snap = Snapshot(snapshotId, parent.map(_.snapshotId), seq,
+        System.currentTimeMillis(), listPath,
+        Map("operation" -> "replace",
+          "rewritten-data-manifests" -> dataManifests.size.toString,
+          "total-data-files" -> entries.size.toString),
+        Some(m.currentSchemaId))
+      requirements :+= TableRequirement.AssertRefSnapshotId(branchName, expectedRef)
       updates :+= TableUpdate.AddSnapshot(snap)
       updates :+= TableUpdate.SetSnapshotRef(branchName, snapshotId, "branch")
     } else if (appendedData.nonEmpty || appendedDeletes.nonEmpty) {

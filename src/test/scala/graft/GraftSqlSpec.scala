@@ -674,6 +674,31 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.db.wsort")
   }
 
+  test("rewrite_manifests and compute_stats: metadata-only commits, MoR preserved") {
+    spark.sql("CREATE TABLE graft.db.rman (k BIGINT, v BIGINT)")
+    (1 to 5).foreach(i => spark.sql(s"INSERT INTO graft.db.rman VALUES ($i, ${i * 10})"))
+    spark.sql("DELETE FROM graft.db.rman WHERE k = 2") // MoR positional delete
+    assert(spark.sql("SELECT sum(v) FROM graft.db.rman").head().getLong(0) == 130)
+    val cat = new graft.catalog.FileCatalog(warehouse)
+    def t = cat.loadTable(graft.catalog.TableIdent(Seq("db"), "rman")).get
+    val dataPaths = t.dataFiles(t.currentSnapshot(None).get).map(_.dataFile.filePath).toSet
+
+    val r = spark.sql("CALL graft.system.rewrite_manifests(`table` => 'db.rman')").head()
+    assert(r.getLong(1) <= r.getLong(0), s"rewrite summary: $r")
+    // SAME data files, fresh manifests, delete still masks row 2 (sequence
+    // numbers survived the rewrite), history intact
+    assert(t.dataFiles(t.currentSnapshot(None).get).map(_.dataFile.filePath).toSet == dataPaths)
+    assert(spark.sql("SELECT sum(v) FROM graft.db.rman").head().getLong(0) == 130)
+    assert(t.metadata.snapshots.size >= 7) // nothing expired
+
+    val s = spark.sql("CALL graft.system.compute_stats(`table` => 'db.rman')").head()
+    assert(s.getLong(0) == 5, s"files_updated: $s")
+    val ndvs = t.dataFiles(t.currentSnapshot(None).get).map(_.dataFile.distinctCounts)
+    assert(ndvs.forall(_.nonEmpty), "every data file should carry NDVs")
+    assert(spark.sql("SELECT sum(v) FROM graft.db.rman").head().getLong(0) == 130)
+    spark.sql("DROP TABLE graft.db.rman")
+  }
+
   test("remove_orphan_files deletes failed-write leftovers, keeps live data") {
     spark.sql("CREATE TABLE graft.db.orph (k BIGINT)")
     spark.sql("INSERT INTO graft.db.orph VALUES (1), (2)")
