@@ -144,7 +144,12 @@ object Maintenance {
   def rewriteManifests(table: IceTable): (Int, Int) = {
     val snap = table.currentSnapshot(None).getOrElse(return (0, 0))
     val before = table.manifests(snap).count(_.content == 0)
-    val entries = table.dataFiles(snap)
+    // only manifests under the CURRENT spec rebalance; foreign-spec
+    // manifests carry over (their partition records cannot be re-encoded)
+    val entries = table.entries(snap,
+        manifestFilter = ml => ml.content == 0 &&
+          ml.partitionSpecId == table.metadata.defaultSpecId)
+      .filter(_.dataFile.content == ContentData)
     if (entries.isEmpty) return (before, before)
     val committed = table.newTransaction(None).rewriteManifests(entries).commit()
     val after = committed.currentSnapshot(None)
@@ -160,7 +165,12 @@ object Maintenance {
   def computeStats(spark: SparkSession, table: IceTable): Int = {
     import org.apache.spark.sql.functions.{approx_count_distinct, col}
     val snap = table.currentSnapshot(None).getOrElse(return 0)
-    val entries = table.dataFiles(snap)
+    // current-spec files only — the stats rewrite rides rewriteManifests,
+    // which cannot re-encode foreign-spec partition records
+    val entries = table.entries(snap,
+        manifestFilter = ml => ml.content == 0 &&
+          ml.partitionSpecId == table.metadata.defaultSpecId)
+      .filter(_.dataFile.content == ContentData)
     if (entries.isEmpty) return 0
     val primFields = table.schema.fields.filter(_.fieldType match {
       case _: graft.spec.IceType.StructT | _: graft.spec.IceType.ListT |

@@ -176,10 +176,14 @@ class Transaction(table: IceTable, branch: Option[String]) {
       val seq = m.lastSequenceNumber + 1
       val dataManifests = writeSplitManifests(table, schemaForWrite,
         entries.map(_.copy(status = StatusExisting)), snapshotId, seq, entries.size)
-      val deleteManifests = parent.map(p => table.manifests(p)).getOrElse(Nil)
-        .filter(_.content != 0)
+      // carry over untouched: delete manifests AND data manifests under a
+      // FOREIGN spec — their partition records cannot be re-encoded under
+      // the current spec's Avro schema (spec evolution; compaction migrates)
+      val carried = parent.map(p => table.manifests(p)).getOrElse(Nil)
+        .filter(ml => ml.content != 0 ||
+          (ml.content == 0 && ml.partitionSpecId != m.defaultSpecId))
       val listPath = s"${m.location}/metadata/snap-$snapshotId-$seq-${UUID.randomUUID()}.avro"
-      ManifestIO.writeManifestList(listPath, dataManifests ++ deleteManifests)
+      ManifestIO.writeManifestList(listPath, dataManifests ++ carried)
       val snap = Snapshot(snapshotId, parent.map(_.snapshotId), seq,
         System.currentTimeMillis(), listPath,
         Map("operation" -> "replace",

@@ -631,6 +631,10 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.metadata.partitionSpecs.size == 3) // original, +day, back
     spark.sql("INSERT INTO graft.db.specevo VALUES (5, 'en', DATE'2024-05-01')")
     assert(spark.sql("SELECT sum(k) FROM graft.db.specevo").head().getLong(0) == 15)
+    // manifest rewrite on a MIXED-spec table: foreign-spec manifests carry
+    // over untouched (their partition records cannot be re-encoded)
+    spark.sql("CALL graft.system.rewrite_manifests(`table` => 'db.specevo')")
+    assert(spark.sql("SELECT sum(k) FROM graft.db.specevo").head().getLong(0) == 15)
     spark.sql("DROP TABLE graft.db.specevo")
   }
 
