@@ -147,8 +147,12 @@ object PipelineQueries {
     // (budget 512, 4 hash-buckets per source): pack membership, sizes and
     // exact id sums must reproduce in the oracle.
     "q44_pack_sequences" -> ((s, d) => {
+      // size(split(...)) — NOT TextOps.tokens, which filters empty strings:
+      // the oracle's len(string_split(...)) counts them, and the two must
+      // agree on ANY input (not just single-spaced corpora) because one
+      // divergent count shifts every later pack boundary in its window
       val docs = Tables.documents(s, d)
-        .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       TrainingSet.packSequences(docs, "doc_id", "n_tokens", "source",
         budgetTokens = 512, buckets = 4)
         .groupBy(col("source"), col("bucket").cast("long").as("bucket"), col("pack_id"))

@@ -27,6 +27,12 @@ object IceWrite {
   /** Reserved prefix for physical partition-directory column names. */
   private[graft] val PartColPrefix = "__gp_"
 
+  /** Known-cardinality write sizing: rows → `writeDataFiles(outFiles)` hint
+    * at ~4M rows per file — callers that can bound their output (MV merges,
+    * MERGE key sets) use this instead of the optimizer's join estimates. */
+  private[graft] def fileCountHint(rows: Long): Option[Int] =
+    Some(math.max(1L, rows / 4000000L).min(Int.MaxValue).toInt)
+
   /** Appends `df` to the table; returns the updated table. */
   def append(spark: SparkSession, table: IceTable, df: DataFrame,
              branch: Option[String] = None): IceTable = {
@@ -312,7 +318,8 @@ object IceWrite {
       table.spec.partitionType(table.schema).fields.map(f => f.name -> f.fieldType).toMap
     val paths = sortedPathsOf(fs, sourceDir)
     require(paths.nonEmpty, s"no parquet files under $sourceDir")
-    val files = statsFiles(paths, sourceDir.stripSuffix("/"), conf, table.schema,
+    val specOrder = table.spec.fields.map(_.name)
+    val files0 = statsFiles(paths, sourceDir.stripSuffix("/"), conf, table.schema,
       partTypes, ContentData, Nil, Map.empty)
     // every required column AND every partition source column must exist in
     // every imported file: a missing optional column reads as null (fine),
@@ -323,7 +330,7 @@ object IceWrite {
     // nulls
     val requiredIds = (table.schema.fields.filter(_.required).map(_.id) ++
       table.spec.fields.map(_.sourceId)).toSet
-    files.foreach { f =>
+    files0.foreach { f =>
       val present = f.valueCounts.keySet
       val missing = requiredIds -- present
       require(missing.isEmpty,
@@ -333,6 +340,12 @@ object IceWrite {
       require(f.partition.map(_._1).toSet == partTypes.keySet,
         s"${f.filePath}: partition dirs ${f.partition.map(_._1).mkString(",")} do not match spec ${partTypes.keySet.mkString(",")}")
     }
+    // normalize each (validated-complete) partition tuple to SPEC FIELD
+    // ORDER: external layouts may nest dirs in any order, but FieldSummary
+    // bounds are positional against the spec — an out-of-order tuple would
+    // attribute one field's bounds to another and silently mis-prune
+    val files = files0.map(f =>
+      f.copy(partition = specOrder.flatMap(n => f.partition.find(_._1 == n))))
     val committed = table.newTransaction(branch).appendData(files)
       .updateProperties(Map(IceScan.NameMappingProp -> "identity")).commit()
     (committed, files)

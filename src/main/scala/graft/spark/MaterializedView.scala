@@ -376,8 +376,7 @@ object IceMV {
     // the optimizer's join-size guess (which fans tiny MV outputs over the
     // whole cluster) — cardinality comes from the materialized cache and the
     // manifest-exact stored row count, no extra data pass
-    def fileHint(rows: Long): Option[Int] =
-      Some(math.max(1L, rows / 4000000L).min(Int.MaxValue).toInt)
+    def fileHint(rows: Long): Option[Int] = IceWrite.fileCountHint(rows)
 
     strategy match {
       case FullOverwrite | IncrementalOverwrite =>

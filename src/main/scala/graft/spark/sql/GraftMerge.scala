@@ -248,7 +248,7 @@ final case class GraftMergeCommand(
         tx = tx.appendDeletes(IceWrite.writeDataFiles(spark, table, k,
           schema.project(keyIds), content = ManifestModel.ContentEqualityDeletes,
           equalityIds = keyIds,
-          outFiles = Some(math.max(1L, (nUpdated + nDeleted) / 4000000L).toInt)))
+          outFiles = IceWrite.fileCountHint(nUpdated + nDeleted)))
       }
       tx.commit()
       Seq(Row(nUpdated, nDeleted, nInserted))

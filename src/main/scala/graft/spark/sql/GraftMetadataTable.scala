@@ -29,13 +29,20 @@ class GraftMetadataTable(@transient val ice: IceTable, val kind: String)
   override def capabilities(): util.Set[TableCapability] =
     util.Collections.singleton(TableCapability.BATCH_READ)
 
-  // DESCRIBE (DescribeTableExec.addTableStats) probes the scan builder on
-  // every SupportsRead table — serve a schema-only scan; actual reads are
-  // planned by GraftExtensions, so toBatch only fires on a misconfigured
-  // session and keeps the actionable error.
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    SchemaOnlyScan.builder(() => schema(), s"graft metadata scan ${name()}")
+}
+
+/** DESCRIBE (DescribeTableExec.addTableStats) probes the scan builder on
+  * every SupportsRead table — this serves a schema-only scan; actual reads
+  * are planned by GraftExtensions, so toBatch only fires on a misconfigured
+  * session and keeps the actionable error.
+  */
+private[sql] object SchemaOnlyScan {
+  def builder(schemaThunk: () => StructType, desc: String): ScanBuilder =
     () => new org.apache.spark.sql.connector.read.Scan {
-      override def readSchema() = schema()
+      override def readSchema(): StructType = schemaThunk()
+      override def description(): String = desc
       override def toBatch: org.apache.spark.sql.connector.read.Batch =
         throw new UnsupportedOperationException(
           "graft reads require GraftExtensions (spark.sql.extensions=graft.spark.sql.GraftExtensions)")
@@ -104,10 +111,8 @@ object GraftMetadataTable {
         }
       case "history" =>
         // ancestry of the CURRENT snapshot via the parent chain
-        val ancestors = Iterator.iterate(m.currentSnapshot(None))(
-          _.flatMap(_.parentSnapshotId).flatMap(m.snapshotById))
-          .takeWhile(_.isDefined).map(_.get.snapshotId)
-          .take(m.snapshots.size).toSet
+        val ancestors = m.currentSnapshot(None)
+          .map(s => m.ancestorsOf(s.snapshotId).toSet).getOrElse(Set.empty[Long])
         m.snapshotLog.map { e =>
           Row(ts(e.timestampMs), e.snapshotId, ancestors.contains(e.snapshotId))
         }
@@ -131,14 +136,25 @@ object GraftMetadataTable {
         }
       case "partitions" =>
         // per-partition rollup of the live entries (data + delete files),
-        // grouped on the rendered partition tuple — mirrors Iceberg's
-        // `partitions` table; record counts are pre-delete-masking
-        val entries = ice.currentSnapshot(None).toSeq.flatMap(ice.entries(_))
-        entries.groupBy(_.dataFile.partition.map { case (k, v) => s"$k=$v" }
-            .mkString("{", ", ", "}"))
-          .toSeq.sortBy(_._1).map { case (part, es) =>
+        // grouped on (spec id, rendered partition tuple) — after spec
+        // evolution the spec_id column is what tells layouts apart, so each
+        // entry carries its own MANIFEST's spec id, not the default;
+        // record counts are pre-delete-masking
+        val tagged: Seq[(Int, graft.table.ManifestModel.ManifestEntry)] =
+          ice.currentSnapshot(None).toSeq.flatMap { s =>
+            ice.manifests(s).flatMap { ml =>
+              ice.entries(s, manifestFilter = _.manifestPath == ml.manifestPath)
+                .map(ml.partitionSpecId -> _)
+            }
+          }
+        tagged.groupBy { case (sid, e) =>
+            (sid, e.dataFile.partition.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}"))
+          }
+          .toSeq.sortBy { case ((sid, p), _) => (p, sid) }
+          .map { case ((sid, part), tes) =>
+            val es = tes.map(_._2)
             val data = es.filter(_.dataFile.content == 0)
-            Row(part, m.defaultSpecId, data.map(_.dataFile.recordCount).sum,
+            Row(part, sid, data.map(_.dataFile.recordCount).sum,
               data.size, data.map(_.dataFile.fileSizeInBytes).sum,
               es.count(_.dataFile.content == 1), es.count(_.dataFile.content == 2),
               es.flatMap(_.sequenceNumber).maxOption.orNull)

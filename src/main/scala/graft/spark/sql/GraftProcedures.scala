@@ -292,12 +292,7 @@ object GraftProcedures {
           require(r.refType == "branch", s"'$branchName' is a ${r.refType}, not a branch")
           r.snapshotId
         }
-      // ancestor walk bounded by snapshot count (corrupt parent cycles must
-      // not hang the procedure)
-      val ancestors = Iterator.iterate(t.snapshotById(target))(
-        _.flatMap(_.parentSnapshotId).flatMap(t.snapshotById))
-        .takeWhile(_.isDefined).map(_.get.snapshotId)
-        .take(m.snapshots.size).toSet
+      val ancestors = m.ancestorsOf(target).toSet
       require(cur.forall(ancestors.contains),
         s"$branchName (at ${cur.orNull}) is not an ancestor of $toName ($target): not a fast-forward")
       val keep = m.refs.get(branchName)

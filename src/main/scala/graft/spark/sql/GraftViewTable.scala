@@ -27,15 +27,6 @@ class GraftViewTable(@transient val catalog: Catalog, val ident: TableIdent,
   override def capabilities(): util.Set[TableCapability] =
     util.Collections.singleton(TableCapability.BATCH_READ)
 
-  // DESCRIBE (DescribeTableExec.addTableStats) probes the scan builder on
-  // every SupportsRead table — serve a schema-only scan; actual reads are
-  // planned by GraftExtensions, so toBatch only fires on a misconfigured
-  // session and keeps the actionable error.
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new org.apache.spark.sql.connector.read.Scan {
-      override def readSchema() = schema()
-      override def toBatch: org.apache.spark.sql.connector.read.Batch =
-        throw new UnsupportedOperationException(
-          "graft reads require GraftExtensions (spark.sql.extensions=graft.spark.sql.GraftExtensions)")
-    }
+    SchemaOnlyScan.builder(() => schema(), s"graft view scan ${name()}")
 }

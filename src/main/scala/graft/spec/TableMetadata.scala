@@ -100,6 +100,14 @@ final case class TableMetadata(
     snapshot.flatMap(_.schemaId).flatMap(schemas.get).getOrElse(currentSchema)
 
   def snapshotById(id: Long): Option[Snapshot] = snapshots.get(id)
+
+  /** Ancestor chain of `id` (inclusive) via parent pointers. Bounded by the
+    * snapshot count so corrupted metadata with a parent cycle cannot hang
+    * maintenance, history, or fast-forward walks. */
+  def ancestorsOf(id: Long): Seq[Long] =
+    Iterator.iterate(snapshotById(id))(_.flatMap(_.parentSnapshotId).flatMap(snapshotById))
+      .takeWhile(_.isDefined).map(_.get.snapshotId)
+      .take(snapshots.size).toSeq
 }
 
 /** JSON codecs for the V2 metadata file. Hand-rolled over jackson so the

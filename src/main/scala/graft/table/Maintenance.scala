@@ -44,14 +44,8 @@ object Maintenance {
     val liveRefs = m.refs -- staleRefs
 
     // 2. surviving branch refs protect min-snapshots-to-keep of ancestry
-    // (chain walk bounded by the snapshot count — corrupted metadata with a
-    // parent cycle must not hang maintenance)
-    def ancestors(id: Long): Seq[Long] =
-      Iterator.iterate(m.snapshotById(id))(s => s.flatMap(_.parentSnapshotId).flatMap(m.snapshotById))
-        .takeWhile(_.isDefined).map(_.get.snapshotId)
-        .take(m.snapshots.size).toSeq
     val refProtected: Set[Long] = liveRefs.values.flatMap { r =>
-      ancestors(r.snapshotId).take(math.max(1, r.minSnapshotsToKeep.getOrElse(1)))
+      m.ancestorsOf(r.snapshotId).take(math.max(1, r.minSnapshotsToKeep.getOrElse(1)))
     }.toSet
 
     val keepIds: Set[Long] =

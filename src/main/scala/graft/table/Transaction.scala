@@ -28,10 +28,15 @@ class Transaction(table: IceTable, branch: Option[String]) {
   private var newSchema: Option[IceSchema] = None
   private var newSpecFields: Option[Seq[PartitionField]] = None
   private var newSortOrder: Option[graft.spec.SortOrder] = None
+  private var resetSortOrder: Boolean = false
   // tag name -> (snapshot id, max-ref-age-ms, min-snapshots-to-keep)
   private var refUpdates: Map[String, (Long, Option[Long], Option[Int])] = Map.empty
 
-  def appendData(files: Seq[DataFile]): Transaction = { appendedData ++= files; this }
+  def appendData(files: Seq[DataFile]): Transaction = {
+    require(rewriteEntries.isEmpty,
+      "rewriteManifests cannot combine with appends or replace in one transaction")
+    appendedData ++= files; this
+  }
   def appendDeletes(files: Seq[DataFile]): Transaction = {
     // row-level (merge-on-read) deletes are a format V2 feature; a V1 table
     // has no sequence numbers to order them against (Iceberg spec, and
@@ -51,6 +56,8 @@ class Transaction(table: IceTable, branch: Option[String]) {
   def rewriteManifests(entries: Seq[ManifestEntry]): Transaction = {
     require(entries.forall(e => e.sequenceNumber.isDefined && e.dataFile.content == ContentData),
       "rewriteManifests takes inherited DATA entries (explicit sequence numbers)")
+    require(appendedData.isEmpty && appendedDeletes.isEmpty && replaceFiles.isEmpty,
+      "rewriteManifests cannot combine with appends or replace in one transaction")
     rewriteEntries = Some(entries); this
   }
   def updateProperties(p: Map[String, String]): Transaction = { propertyUpdates ++= p; this }
@@ -64,8 +71,13 @@ class Transaction(table: IceTable, branch: Option[String]) {
   def setSpec(fields: Seq[PartitionField]): Transaction = { newSpecFields = Some(fields); this }
   /** Installs a write sort order (clustering): subsequent data writes
     * range-partition + locally sort on it, tightening per-file column
-    * bounds so statistics pruning skips more files. */
-  def setSortOrder(o: graft.spec.SortOrder): Transaction = { newSortOrder = Some(o); this }
+    * bounds so statistics pruning skips more files. Passing the unsorted
+    * order resets the default to the built-in order 0 instead of minting a
+    * duplicate empty order per toggle. */
+  def setSortOrder(o: graft.spec.SortOrder): Transaction = {
+    if (o.fields.isEmpty) resetSortOrder = true else newSortOrder = Some(o)
+    this
+  }
   def setRef(name: String, snapshotId: Long, maxRefAgeMs: Option[Long] = None,
              minSnapshotsToKeep: Option[Int] = None): Transaction = {
     refUpdates += name -> ((snapshotId, maxRefAgeMs, minSnapshotsToKeep)); this
@@ -83,9 +95,9 @@ class Transaction(table: IceTable, branch: Option[String]) {
     * no-auto-retry commit (commit.rs:417-490).
     */
   def commit(): IceTable = {
-    val pureDataAppend = replaceFiles.isEmpty && newSchema.isEmpty &&
-      newSpecFields.isEmpty && newSortOrder.isEmpty &&
-      propertyUpdates.isEmpty && propertyRemovals.isEmpty &&
+    val pureDataAppend = replaceFiles.isEmpty && rewriteEntries.isEmpty &&
+      newSchema.isEmpty && newSpecFields.isEmpty && newSortOrder.isEmpty &&
+      !resetSortOrder && propertyUpdates.isEmpty && propertyRemovals.isEmpty &&
       refUpdates.isEmpty && appendedDeletes.isEmpty && appendedData.nonEmpty
     val maxAttempts = if (pureDataAppend) 4 else 1
     var attempt = 1
@@ -145,6 +157,7 @@ class Transaction(table: IceTable, branch: Option[String]) {
       updates :+= TableUpdate.AddSortOrder(o.copy(orderId = id))
       updates :+= TableUpdate.SetDefaultSortOrder(id)
     }
+    if (resetSortOrder) updates :+= TableUpdate.SetDefaultSortOrder(0)
     refUpdates.foreach { case (name, (id, maxAge, minKeep)) =>
       updates :+= TableUpdate.SetSnapshotRef(name, id, "tag", maxAge, minKeep)
     }
