@@ -58,6 +58,19 @@ object TrainingSet {
   def shuffleKey(key: Column, salt: String = "shuffle"): Column =
     md5(concat(key.cast("string"), lit(s":$salt")).cast("binary"))
 
+  /** Keeps the `k` best rows per stratum by `scoreCol` (descending, ties
+    * broken by `keyCol` ascending) with their dense `rnk` — the
+    * "best documents per domain" selection step of quality-filtered corpus
+    * assembly. One window per stratum; Spark's WindowGroupLimit pushes the
+    * top-k below the sort at scale. */
+  def topKByScore(df: DataFrame, stratumCol: String, scoreCol: String,
+                  keyCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col(scoreCol).desc, col(keyCol).asc)
+    df.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Benchmark decontamination: ids of `train` documents sharing at least
     * one word `ngram`-shingle with any `eval` document — the standard
     * test-set-overlap flag computed before training. Candidate generation is

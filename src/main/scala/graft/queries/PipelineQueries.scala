@@ -178,6 +178,18 @@ object PipelineQueries {
           coalesce(sum(when(col("bad").isNotNull, col("doc_id"))), lit(0L))
             .as("contaminated_id_sum"))
         .orderBy("lang")
+    }),
+
+    // Per-stratum quality selection: the 3 best-scoring documents per lang
+    // (quality formula shared with q32, so both engines rank identical
+    // doubles; doc_id breaks ties deterministically).
+    "q46_topk_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = TextOps.qualityScore(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      TrainingSet.topKByScore(scored, "lang", "quality", "doc_id", 3)
+        .select(col("lang"), col("rnk"), col("doc_id"), col("quality"))
+        .orderBy("lang", "rnk")
     })
   )
 
@@ -437,6 +449,22 @@ object PipelineQueries {
         |  CAST(coalesce(sum(b.doc_id), 0) AS BIGINT) AS contaminated_id_sum
         |FROM documents d LEFT JOIN bad b ON d.doc_id = b.doc_id
         |WHERE d.doc_id % 10 <> 0
-        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "q46_topk_quality" ->
+      """WITH stats AS (
+        |  SELECT doc_id,
+        |    len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) AS ttr,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    (length(text) - len(string_split(text, ' ')) + 1) * 1.0 / len(string_split(text, ' ')) AS mean_tok_len
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, ttr * 50.0 + least(n_tokens / 4.0, 25.0) + least(mean_tok_len * 5.0, 25.0) AS quality
+        |  FROM stats),
+        |r AS (
+        |  SELECT d.lang, q.doc_id, q.quality,
+        |    row_number() OVER (PARTITION BY d.lang ORDER BY q.quality DESC, q.doc_id ASC) AS rnk
+        |  FROM q JOIN documents d ON q.doc_id = d.doc_id)
+        |SELECT lang, rnk, doc_id, quality FROM r WHERE rnk <= 3
+        |ORDER BY lang, rnk""".stripMargin
   )
 }

@@ -59,7 +59,9 @@ object GraftMetadataTable {
       StructField("parent_id", LongType),
       StructField("sequence_number", LongType, nullable = false),
       StructField("operation", StringType),
-      StructField("manifest_list", StringType)))
+      StructField("manifest_list", StringType),
+      StructField("total_records", LongType),
+      StructField("total_data_files", LongType)))
     case "history" => StructType(Seq(
       StructField("made_current_at", TimestampType),
       StructField("snapshot_id", LongType, nullable = false),
@@ -107,7 +109,9 @@ object GraftMetadataTable {
       case "snapshots" =>
         m.snapshots.values.toSeq.sortBy(_.sequenceNumber).map { s =>
           Row(ts(s.timestampMs), s.snapshotId, s.parentSnapshotId.orNull,
-            s.sequenceNumber, s.summary.get("operation").orNull, s.manifestList)
+            s.sequenceNumber, s.summary.get("operation").orNull, s.manifestList,
+            s.summary.get("total-records").map(_.toLong).orNull,
+            s.summary.get("total-data-files").map(_.toLong).orNull)
         }
       case "history" =>
         // ancestry of the CURRENT snapshot via the parent chain

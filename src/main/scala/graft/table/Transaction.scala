@@ -177,7 +177,9 @@ class Transaction(table: IceTable, branch: Option[String]) {
         System.currentTimeMillis(), listPath,
         Map("operation" -> "replace",
           "added-data-files" -> files.size.toString,
-          "added-records" -> files.map(_.recordCount).sum.toString),
+          "added-records" -> files.map(_.recordCount).sum.toString,
+          "total-records" -> files.map(_.recordCount).sum.toString,
+          "total-data-files" -> files.size.toString),
         Some(m.currentSchemaId))
       requirements :+= TableRequirement.AssertRefSnapshotId(branchName, expectedRef)
       updates :+= TableUpdate.RemoveSnapshots(m.snapshots.keys.toSeq)
@@ -234,12 +236,18 @@ class Transaction(table: IceTable, branch: Option[String]) {
         if (appendedDeletes.nonEmpty && appendedData.nonEmpty) "overwrite"
         else if (appendedDeletes.nonEmpty) "delete"
         else "append"
+      // running totals from the DATA manifest list entries (added + existing
+      // counts are already aggregated per manifest — no file-level scan)
+      val totalRecords = mergedData.map(ml => ml.addedRowsCount + ml.existingRowsCount).sum
+      val totalFiles = mergedData.map(ml => ml.addedFilesCount + ml.existingFilesCount).sum
       val snap = Snapshot(snapshotId, parent.map(_.snapshotId), seq,
         System.currentTimeMillis(), listPath,
         Map("operation" -> op,
           "added-data-files" -> appendedData.size.toString,
           "added-delete-files" -> appendedDeletes.size.toString,
-          "added-records" -> appendedData.map(_.recordCount).sum.toString),
+          "added-records" -> appendedData.map(_.recordCount).sum.toString,
+          "total-records" -> totalRecords.toString,
+          "total-data-files" -> totalFiles.toString),
         Some(m.currentSchemaId))
       requirements :+= TableRequirement.AssertRefSnapshotId(branchName, expectedRef)
       updates :+= TableUpdate.AddSnapshot(snap)
