@@ -111,6 +111,22 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getLong(0) == 2)
   }
 
+  test("TIMESTAMP AS OF time travel via SQL") {
+    spark.sql("CREATE TABLE graft.db.tst (x BIGINT)")
+    spark.sql("INSERT INTO graft.db.tst VALUES (1), (2)")
+    Thread.sleep(20) // commit timestamps have ms resolution
+    val between = java.time.Instant.now()
+    Thread.sleep(20)
+    spark.sql("INSERT INTO graft.db.tst VALUES (3)")
+    // render in UTC explicitly: the literal parses in the SESSION timezone
+    // (UTC here), not the JVM default
+    val ts = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC).format(between)
+    assert(spark.sql(s"SELECT count(*) FROM graft.db.tst TIMESTAMP AS OF '$ts'")
+      .head().getLong(0) == 2)
+    spark.sql("DROP TABLE graft.db.tst")
+  }
+
   test("ALTER TABLE: add, rename (id-preserving), drop, type promotion, properties") {
     spark.sql("CREATE TABLE graft.db.evo (id INT, name STRING)")
     spark.sql("INSERT INTO graft.db.evo VALUES (1, 'a'), (2, 'b')")

@@ -503,6 +503,30 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IceScan.scan(spark, table).filter(col("meta.a") > 5).count() == 5)
   }
 
+  test("concurrent appenders all land under real contention (bounded retry)") {
+    implicit val s: SparkSession = spark
+    val cat = freshCatalog()
+    val ident = TableIdent(Seq("test"), "race")
+    cat.createTable(ident, ordersSchema, PartitionSpec(0, Nil))
+    // pre-write each thread's files OUTSIDE the race so the contention is
+    // purely on the commit CAS, then fire all commits at once
+    val fileSets = (1 to 4).map { i =>
+      val t = cat.loadTable(ident).get
+      val df = batch1.withColumn("id", col("id") + lit(i * 100L))
+      (t, IceWrite.writeDataFiles(spark, t, df, t.schema))
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = fileSets.map { case (t, files) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = { t.newTransaction().appendData(files).commit(); () }
+        })
+      }
+      futures.foreach(_.get()) // any unresolved conflict rethrows here
+    } finally pool.shutdown()
+    assert(IceScan.scan(spark, cat.loadTable(ident).get).count() == 24) // 4 x 6 rows
+  }
+
   test("branch write/read isolation") {
     implicit val s: SparkSession = spark
     val cat = freshCatalog()
