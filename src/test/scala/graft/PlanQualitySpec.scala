@@ -242,6 +242,18 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges <= 2, s"sampling introduced shuffles ($exchanges):\n$plan")
   }
 
+  test("decontamination candidates are a shingle equi-join, never a cross product") {
+    val plan = physicalPlan(PipelineQueries.queries("q45_decontaminate")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"decontamination went all-pairs:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"non-equi join crept in:\n$plan")
+  }
+
+  test("quality top-k pushes the rank limit below the sort (WindowGroupLimit)") {
+    val plan = physicalPlan(PipelineQueries.queries("q46_topk_quality")(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not pushed into the window sort:\n$plan")
+  }
+
   test("sequence packing parallelizes by (stratum, bucket), never one global window") {
     val plan = physicalPlan(PipelineQueries.queries("q44_pack_sequences")(spark, sf))
     assert(!plan.contains("Join"), s"packing must not join:\n$plan")
