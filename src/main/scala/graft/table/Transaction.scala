@@ -93,19 +93,26 @@ class Transaction(table: IceTable, branch: Option[String]) {
     * mask), schema/property/ref changes (read-modify-write semantics) —
     * surfaces the conflict to the caller, matching the reference's
     * no-auto-retry commit (commit.rs:417-490).
+    *
+    * One adverse commit can cost a retrier TWO failures (the winner claims
+    * the version lock before its metadata is visible: first a version-claim
+    * race, then a ref-moved failure once the metadata lands), so the budget
+    * is 2× a small contention fan-in plus slack, with linear backoff to let
+    * in-flight metadata writes surface before the re-read.
     */
   def commit(): IceTable = {
     val pureDataAppend = replaceFiles.isEmpty && rewriteEntries.isEmpty &&
       newSchema.isEmpty && newSpecFields.isEmpty && newSortOrder.isEmpty &&
       !resetSortOrder && propertyUpdates.isEmpty && propertyRemovals.isEmpty &&
       refUpdates.isEmpty && appendedDeletes.isEmpty && appendedData.nonEmpty
-    val maxAttempts = if (pureDataAppend) 4 else 1
+    val maxAttempts = if (pureDataAppend) 10 else 1
     var attempt = 1
     while (true) {
       try return commitOnce()
       catch {
         case e: CommitConflictException =>
           if (attempt >= maxAttempts) throw e
+          Thread.sleep(attempt * 2L)
           attempt += 1
           table.refresh()
       }
