@@ -50,7 +50,8 @@ private[sql] object SchemaOnlyScan {
 }
 
 object GraftMetadataTable {
-  val Kinds: Set[String] = Set("snapshots", "history", "files", "manifests", "refs", "partitions")
+  val Kinds: Set[String] =
+    Set("snapshots", "history", "files", "manifests", "refs", "partitions", "entries")
 
   def schemaOf(kind: String): StructType = kind match {
     case "snapshots" => StructType(Seq(
@@ -89,6 +90,16 @@ object GraftMetadataTable {
       StructField("snapshot_id", LongType, nullable = false),
       StructField("max_ref_age_ms", LongType),
       StructField("min_snapshots_to_keep", IntegerType)))
+    case "entries" => StructType(Seq(
+      StructField("status", IntegerType, nullable = false),
+      StructField("snapshot_id", LongType),
+      StructField("sequence_number", LongType),
+      StructField("file_sequence_number", LongType),
+      StructField("content", IntegerType, nullable = false),
+      StructField("file_path", StringType),
+      StructField("partition", StringType),
+      StructField("record_count", LongType, nullable = false),
+      StructField("equality_ids", StringType)))
     case "partitions" => StructType(Seq(
       StructField("partition", StringType),
       StructField("spec_id", IntegerType, nullable = false),
@@ -137,6 +148,18 @@ object GraftMetadataTable {
         m.refs.toSeq.sortBy(_._1).map { case (name, r) =>
           Row(name, r.refType, r.snapshotId, r.maxRefAgeMs.orNull,
             r.minSnapshotsToKeep.orNull)
+        }
+      case "entries" =>
+        // raw manifest entries at the current snapshot (inheritance applied,
+        // deletes included) — the merge-on-read debugging surface: which
+        // delete file masks which sequence range
+        ice.currentSnapshot(None).toSeq.flatMap(ice.entries(_)).map { e =>
+          val d = e.dataFile
+          Row(e.status, e.snapshotId.orNull, e.sequenceNumber.orNull,
+            e.fileSequenceNumber.orNull, d.content, d.filePath,
+            d.partition.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}"),
+            d.recordCount,
+            if (d.equalityIds.isEmpty) null else d.equalityIds.mkString(","))
         }
       case "partitions" =>
         // per-partition rollup of the live entries (data + delete files),

@@ -375,6 +375,14 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val latest = spark.sql(
       "SELECT max(snapshot_id) FROM graft.db.meta.snapshots WHERE sequence_number = 2").head().getLong(0)
     assert(latest == snaps(1).getLong(0))
+    // entries: the raw MoR surface — a DELETE adds a content=1 entry whose
+    // sequence number exceeds the masked data entries'
+    spark.sql("DELETE FROM graft.db.meta WHERE k = 1")
+    val entries = spark.sql(
+      "SELECT content, sequence_number FROM graft.db.meta.entries ORDER BY sequence_number")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(entries.count(_._1 == 1) == 1, entries.mkString(","))
+    assert(entries.filter(_._1 == 1).head._2 > entries.filter(_._1 == 0).map(_._2).max)
   }
 
   test("SHOW TABLES and DROP TABLE work") {
