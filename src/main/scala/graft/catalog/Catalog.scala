@@ -189,8 +189,13 @@ class FileCatalog(val warehouse: String) extends Catalog {
     val lock = dir.resolve(f"$version%05d.version.lock")
     Files.write(lock, path.getFileName.toString.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE) // throws if claimed
-    Files.write(path, TableMetadataJson.toJson(m).getBytes(StandardCharsets.UTF_8),
+    // stage + atomic move: a concurrent reader listing *.metadata.json must
+    // NEVER see a partially-written file — a half-flushed JSON would surface
+    // as a parse error instead of a clean older-version read
+    val stage = dir.resolve(path.getFileName.toString + ".tmp")
+    Files.write(stage, TableMetadataJson.toJson(m).getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    Files.move(stage, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     val hint = dir.resolve("version-hint.text")
     val tmp = dir.resolve(s"version-hint.${UUID.randomUUID()}.tmp")
     Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))

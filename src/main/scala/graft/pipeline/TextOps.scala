@@ -38,12 +38,21 @@ object TextOps {
 
   /** Composite quality score in [0,100]: type-token ratio (lexical
     * diversity) + a length prior. Deterministic rational arithmetic. */
-  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    textStats(df, idCol, textCol).select(
-      col(idCol),
-      (col("ttr") * 50.0
-        + least(col("n_tokens").cast("double") / lit(4.0), lit(25.0))
-        + least(col("mean_tok_len") * lit(5.0), lit(25.0))).as("quality"))
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+                   carry: Seq[String] = Nil): DataFrame = {
+    // carry: extra columns to keep (e.g. the stratum) so callers don't pay
+    // a second corpus scan + join just to recover them
+    val t = tokens(col(textCol))
+    val stats = Seq(
+      (size(array_distinct(t)).cast("double") / size(t)).as("ttr"),
+      size(t).as("n_tokens"),
+      ((length(col(textCol)) - size(t) + 1).cast("double") / size(t)).as("mean_tok_len"))
+    df.select(col(idCol) +: carry.map(col) :+ struct(stats: _*).as("__s"): _*)
+      .select(col(idCol) +: carry.map(col) :+
+        (col("__s.ttr") * 50.0
+          + least(col("__s.n_tokens").cast("double") / lit(4.0), lit(25.0))
+          + least(col("__s.mean_tok_len") * lit(5.0), lit(25.0))).as("quality"): _*)
+  }
 
   /** Tiny per-language stopword profiles for n-gram-free heuristic language
     * ID. Real pipelines use larger profiles; the mechanism (token ∈ profile

@@ -59,16 +59,17 @@ object TrainingSet {
     md5(concat(key.cast("string"), lit(s":$salt")).cast("binary"))
 
   /** Keeps the `k` best rows per stratum by `scoreCol` (descending, ties
-    * broken by `keyCol` ascending) with their dense `rnk` — the
+    * broken by `keyCol` ascending, so tied scores get DISTINCT ranks) — the
     * "best documents per domain" selection step of quality-filtered corpus
-    * assembly. One window per stratum; Spark's WindowGroupLimit pushes the
-    * top-k below the sort at scale. */
+    * assembly. Adds the 1-based rank as `rankCol` (replacing any existing
+    * column of that name). One window per stratum; Spark's WindowGroupLimit
+    * pushes the top-k below the sort at scale. */
   def topKByScore(df: DataFrame, stratumCol: String, scoreCol: String,
-                  keyCol: String, k: Int): DataFrame = {
+                  keyCol: String, k: Int, rankCol: String = "rnk"): DataFrame = {
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(col(scoreCol).desc, col(keyCol).asc)
-    df.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    df.withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= k)
   }
 
   /** Benchmark decontamination: ids of `train` documents sharing at least

@@ -184,9 +184,9 @@ object PipelineQueries {
     // (quality formula shared with q32, so both engines rank identical
     // doubles; doc_id breaks ties deterministically).
     "q46_topk_quality" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val scored = TextOps.qualityScore(docs, "doc_id", "text")
-        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      // lang rides the scoring projection (carry) — one corpus scan, no join
+      val scored = TextOps.qualityScore(
+        Tables.documents(s, d), "doc_id", "text", carry = Seq("lang"))
       TrainingSet.topKByScore(scored, "lang", "quality", "doc_id", 3)
         .select(col("lang"), col("rnk"), col("doc_id"), col("quality"))
         .orderBy("lang", "rnk")

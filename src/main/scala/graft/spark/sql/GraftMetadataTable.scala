@@ -112,6 +112,10 @@ object GraftMetadataTable {
     case other => throw new IllegalArgumentException(s"unknown metadata table $other")
   }
 
+  /** Canonical partition-tuple rendering shared by files/entries/partitions. */
+  private def renderPartition(d: graft.table.ManifestModel.DataFile): String =
+    d.partition.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}")
+
   /** Materializes the metadata rows — driver-side, O(manifests). */
   def rows(spark: SparkSession, ice: IceTable, kind: String): DataFrame = {
     val m = ice.metadata
@@ -134,7 +138,7 @@ object GraftMetadataTable {
       case "files" =>
         ice.currentSnapshot(None).toSeq.flatMap(ice.entries(_)).map { e =>
           val d = e.dataFile
-          val part = d.partition.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}")
+          val part = renderPartition(d)
           Row(d.content, d.filePath, d.fileFormat, part, d.recordCount,
             d.fileSizeInBytes, e.sequenceNumber.orNull)
         }
@@ -157,7 +161,7 @@ object GraftMetadataTable {
           val d = e.dataFile
           Row(e.status, e.snapshotId.orNull, e.sequenceNumber.orNull,
             e.fileSequenceNumber.orNull, d.content, d.filePath,
-            d.partition.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}"),
+            renderPartition(d),
             d.recordCount,
             if (d.equalityIds.isEmpty) null else d.equalityIds.mkString(","))
         }
@@ -175,7 +179,7 @@ object GraftMetadataTable {
             }
           }
         tagged.groupBy { case (sid, e) =>
-            (sid, e.dataFile.partition.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}"))
+            (sid, renderPartition(e.dataFile))
           }
           .toSeq.sortBy { case ((sid, p), _) => (p, sid) }
           .map { case ((sid, part), tes) =>

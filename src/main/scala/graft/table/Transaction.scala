@@ -38,6 +38,8 @@ class Transaction(table: IceTable, branch: Option[String]) {
     appendedData ++= files; this
   }
   def appendDeletes(files: Seq[DataFile]): Transaction = {
+    require(rewriteEntries.isEmpty,
+      "rewriteManifests cannot combine with appends or replace in one transaction")
     // row-level (merge-on-read) deletes are a format V2 feature; a V1 table
     // has no sequence numbers to order them against (Iceberg spec, and
     // table_metadata.rs V1 serde omits sequence numbers entirely)
@@ -47,7 +49,11 @@ class Transaction(table: IceTable, branch: Option[String]) {
     appendedDeletes ++= files; this
   }
   /** Replace all table content with `files` (compaction / full rewrite, T3). */
-  def replace(files: Seq[DataFile]): Transaction = { replaceFiles = Some(files); this }
+  def replace(files: Seq[DataFile]): Transaction = {
+    require(rewriteEntries.isEmpty,
+      "rewriteManifests cannot combine with appends or replace in one transaction")
+    replaceFiles = Some(files); this
+  }
   /** Rewrite the DATA manifest tree only: a new snapshot referencing the
     * SAME data files through freshly balanced manifests — entries keep their
     * sequence/snapshot numbers (MoR delete ordering depends on them), delete
@@ -206,11 +212,15 @@ class Transaction(table: IceTable, branch: Option[String]) {
           (ml.content == 0 && ml.partitionSpecId != m.defaultSpecId))
       val listPath = s"${m.location}/metadata/snap-$snapshotId-$seq-${UUID.randomUUID()}.avro"
       ManifestIO.writeManifestList(listPath, dataManifests ++ carried)
+      // totals include CARRIED data manifests (foreign-spec layouts), not
+      // just the rewritten current-spec entries — same contract as append
+      val allData = dataManifests ++ carried.filter(_.content == 0)
       val snap = Snapshot(snapshotId, parent.map(_.snapshotId), seq,
         System.currentTimeMillis(), listPath,
         Map("operation" -> "replace",
           "rewritten-data-manifests" -> dataManifests.size.toString,
-          "total-data-files" -> entries.size.toString),
+          "total-records" -> allData.map(ml => ml.addedRowsCount + ml.existingRowsCount).sum.toString,
+          "total-data-files" -> allData.map(ml => ml.addedFilesCount + ml.existingFilesCount).sum.toString),
         Some(m.currentSchemaId))
       requirements :+= TableRequirement.AssertRefSnapshotId(branchName, expectedRef)
       updates :+= TableUpdate.AddSnapshot(snap)
