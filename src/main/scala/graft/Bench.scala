@@ -52,12 +52,18 @@ object Bench {
       val runs = samples.map(_.find(_._1 == name).get._2)
       (name, median(runs), runs.min, runs.max)
     }
-    val qs = byQuery.map { case (k, med, _, _) => s"\"" + k + "\":" + med }
+    // The driver captures only a bounded TAIL of the output: the final JSON
+    // line must stay short enough to survive intact (round 6's inline
+    // min/max spread doubled the line and pushed the medians out of the
+    // window). Medians rounded to ms; the spread goes to stderr FIRST.
+    def r3(x: Double): String = f"$x%.3f"
+    val spread = byQuery.map { case (k, _, mn, mx) => s"\"$k\":[${r3(mn)},${r3(mx)}]" }
       .mkString("{", ",", "}")
-    val spread = byQuery.map { case (k, _, mn, mx) => s"\"" + k + "\":[" + mn + "," + mx + "]" }
+    System.err.println(s"""[bench-spread iters=$iters] $spread""")
+    val qs = byQuery.map { case (k, med, _, _) => s"\"$k\":${r3(med)}" }
       .mkString("{", ",", "}")
     val total = byQuery.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"spread":$spread,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

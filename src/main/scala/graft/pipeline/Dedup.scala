@@ -51,21 +51,43 @@ object Dedup {
     * and from DuckDB's checked BIGINT arithmetic. */
   val MinhashPrime: Long = 2147483647L
 
+  /** splitmix64 finalizer — decorrelates the per-permutation (a_h, b_h)
+    * seeds. Tiny sequential seeds (a=2h+1: h=0 is the identity permutation,
+    * and small correlated multipliers cluster) weaken the pairwise-
+    * independence LSH banding relies on; mixed 31-bit constants restore it
+    * while staying deterministic. h ≤ 16, so the constants are computed on
+    * the driver and INLINED as literals in both the Spark plan and the
+    * DuckDB oracle SQL — no runtime mixing anywhere. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Multiplier for permutation h: mixed into [1, p-1] (never 0 — a=0 is a
+    * constant function). a < 2^31 and x < p < 2^31 keep a·x+b < 2^63, inside
+    * checked BIGINT arithmetic in DuckDB and Long in Spark. */
+  def permA(h: Int): Long = (mix64(2L * h) & 0x7FFFFFFFL) % (MinhashPrime - 1) + 1
+
+  /** Additive constant for permutation h, mixed into [0, p-1]. */
+  def permB(h: Int): Long = (mix64(2L * h + 1) & 0x7FFFFFFFL) % MinhashPrime
+
   /** MinHash signature: ONE md5 per shingle (60 bits of it parsed as an
     * integer), then `numHashes` Carter–Wegman permutations
     * (a_h·x + b_h) mod p derived arithmetically — not `numHashes` separate
     * md5 calls, which cost ~k× the whole pipeline's hash budget (and string
     * minima aggregate ~4× slower than Long minima). All minima come out of
     * ONE aggregation (k agg columns), so the signature costs a single
-    * shuffle keyed by document id. a_h = 2h+1, b_h = h+1 are fixed seeds;
-    * any nonzero a works — the family's pairwise independence is over
-    * (a, b), and the oracle mirrors the same constants. */
+    * shuffle keyed by document id. (a_h, b_h) are splitmix-mixed per-h
+    * constants ([[permA]]/[[permB]]) — decorrelated, deterministic, and
+    * mirrored literal-for-literal by the oracle. */
   def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     val p = MinhashPrime
     val withH = sh.select(col(idCol),
       (expr("cast(conv(substr(md5(cast(sh as binary)), 1, 15), 16, 10) as bigint)") % p).as("h0"))
     val aggs = (0 until numHashes).map(h =>
-      min((col("h0") * (2L * h + 1) + (h + 1)) % p).as(s"mh$h"))
+      min((col("h0") * permA(h) + permB(h)) % p).as(s"mh$h"))
     withH.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -136,6 +158,46 @@ object Dedup {
     val shSets = shinglesRaw(spread.join(broadcast(candDocs), Seq(idCol), "left_semi"),
       idCol, textCol, shingleSize).distinct().cache()
     jaccardVerify(shSets, cand, idCol).filter(col("jaccard") >= threshold)
+  }
+
+  /** Groups near-duplicate PAIRS into duplicate CLUSTERS (connected
+    * components): cluster id = the minimum doc id transitively reachable
+    * through the pair graph, so "A≈B, B≈C" collapses to one keep-one-drop-
+    * the-rest cluster even when A and C were never directly compared.
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * smallest label among itself and its neighbors; converges in O(graph
+    * diameter) rounds — dup clusters are dense near-cliques, so the
+    * diameter (and the round count) is tiny in practice. Each round is one
+    * shuffle over the EDGE list — never all-pairs — and `localCheckpoint`
+    * truncates lineage per round so the plan stays flat however many rounds
+    * run. Rows: (cluster_id, node id). Nodes outside any pair are absent
+    * (they are their own singleton clusters by definition).
+    */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                  maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("nmin") < col("label")).as("moved"))
+        .localCheckpoint(true)
+      converged = next.filter(col("moved")).limit(1).isEmpty
+      labels = next.select(col("id"), col("label"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("label").as("cluster_id"), col("id"))
   }
 
   /** 16-bit SimHash signature per document: bit b is the sign of the sum of

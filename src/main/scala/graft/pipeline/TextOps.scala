@@ -36,6 +36,52 @@ object TextOps {
       ((length(col(textCol)) - size(t) + 1).cast("double") / size(t)).as("mean_tok_len"))
   }
 
+  /** Gopher-style repetition signals per document: the fraction of word
+    * n-grams that are repeats (n = 2, 3) and the share of tokens taken by
+    * the single most frequent word — the cheap detectors for boilerplate,
+    * keyword stuffing, and decoding loops in web-scale corpora (Rae et al.
+    * 2021 §A1.1 use the same family of thresholds).
+    *
+    * Pure per-row array algebra — n-grams via `transform`+`element_at`,
+    * repeats via `array_distinct`, the top-word run via a fold over the
+    * sorted token array — so the whole operator is a zero-shuffle projection
+    * inside whole-stage codegen; nothing leaves the row. Thresholds flag
+    * `repetitive` (defaults from the Gopher rules). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      maxDup2: Double = 0.20, maxDup3: Double = 0.18,
+                      maxTopWord: Double = 0.20): DataFrame = {
+    val t = tokens(col(textCol))
+    def ngrams(n: Int): Column =
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+    def dupFrac(n: Int): Column = {
+      val g = ngrams(n)
+      when(size(g) > 0,
+        (size(g) - size(array_distinct(g))).cast("double") / size(g))
+        .otherwise(lit(0.0))
+    }
+    // most-frequent-word count = longest run in the SORTED token array:
+    // a linear fold replaces the per-row quadratic count-each-type scan
+    val top = aggregate(array_sort(t),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    df.select(
+      col(idCol),
+      size(t).cast("long").as("n_tokens"),
+      (top.cast("double") / size(t)).as("top_word_frac"),
+      dupFrac(2).as("dup_2gram_frac"),
+      dupFrac(3).as("dup_3gram_frac"))
+      .withColumn("repetitive",
+        col("dup_2gram_frac") > maxDup2 or col("dup_3gram_frac") > maxDup3 or
+          col("top_word_frac") > maxTopWord)
+  }
+
   /** Composite quality score in [0,100]: type-token ratio (lexical
     * diversity) + a length prior. Deterministic rational arithmetic. */
   def qualityScore(df: DataFrame, idCol: String, textCol: String,

@@ -239,11 +239,13 @@ object PipelineQueries {
     "q24_minhash_dedup" ->
       s"""WITH $tokCte,
         |$shingleCte,
+        |perm(h, a, b) AS (VALUES ${(0 until 16).map(h =>
+             s"(${h}, ${graft.pipeline.Dedup.permA(h)}, ${graft.pipeline.Dedup.permB(h)})").mkString(", ")}),
         |hashed AS (
         |  SELECT doc_id, h,
-        |    min(((2 * h + 1) * (('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647)
-        |         + (h + 1)) % 2147483647) AS mh
-        |  FROM shingles, UNNEST(range(0, 16)) AS t(h) GROUP BY doc_id, h),
+        |    min((a * (('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647)
+        |         + b) % 2147483647) AS mh
+        |  FROM shingles, perm GROUP BY doc_id, h),
         |bands AS (
         |  SELECT doc_id, h // 4 AS band, md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY h)) AS sig
         |  FROM hashed GROUP BY doc_id, h // 4),

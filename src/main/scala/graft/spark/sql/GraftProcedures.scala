@@ -192,8 +192,12 @@ object GraftProcedures {
       }
       require(t.snapshotById(target).isDefined, s"table ${t.ident} has no snapshot $target")
       require(!m.refs.contains(refName), s"ref $refName already exists")
+      // the requirement asserts the REF is still absent at commit time (not
+      // just in the locally loaded metadata): two concurrent create_tag('v1')
+      // calls race the CAS and the loser fails instead of silently
+      // overwriting the winner's snapshot pointer
       t.metadata = t.catalog.updateTable(CommitTable(t.ident,
-        Seq(TableRequirement.AssertRefSnapshotId(m.MainBranch, m.currentSnapshotId)),
+        Seq(TableRequirement.AssertRefSnapshotId(refName, None)),
         Seq(TableUpdate.SetSnapshotRef(refName, target, refType))))
       InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(refName), target)
     }
@@ -211,8 +215,11 @@ object GraftProcedures {
       val m = t.metadata
       require(m.refs.contains(refName), s"no such ref: $refName")
       require(refName != m.MainBranch, "cannot drop the main branch")
+      // assert the ref still points where we saw it: a concurrent move of
+      // the same ref (e.g. fast_forward) surfaces as a conflict, not a drop
+      // of a snapshot pointer we never observed
       t.metadata = t.catalog.updateTable(CommitTable(t.ident,
-        Seq(TableRequirement.AssertRefSnapshotId(m.MainBranch, m.currentSnapshotId)),
+        Seq(TableRequirement.AssertRefSnapshotId(refName, Some(m.refs(refName).snapshotId))),
         Seq(TableUpdate.RemoveSnapshotRef(refName))))
       InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(refName))
     }

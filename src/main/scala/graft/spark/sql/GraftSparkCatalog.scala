@@ -111,10 +111,14 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
   override def loadTable(ident: Identifier, version: String): Table =
     catalog.loadTable(toIdent(ident)) match {
       case Some(t) =>
-        val snapId = version.toLongOption.getOrElse {
-          t.metadata.refs.getOrElse(version, throw new IllegalArgumentException(
-            s"table $ident has no ref '$version'")).snapshotId
-        }
+        // ref names win over numeric snapshot ids: a tag named '123' would
+        // otherwise be unreachable (misread as a snapshot-id lookup), while
+        // real snapshot ids are 63-bit randoms that essentially never
+        // collide with a human-chosen ref name
+        val snapId = t.metadata.refs.get(version).map(_.snapshotId)
+          .orElse(version.toLongOption.filter(t.snapshotById(_).isDefined))
+          .getOrElse(throw new IllegalArgumentException(
+            s"table $ident has no ref or snapshot '$version'"))
         require(t.snapshotById(snapId).isDefined,
           s"table $ident has no snapshot $version")
         new GraftSparkTable(t, Some(snapId))
@@ -409,12 +413,20 @@ class GraftSparkTable(@transient val ice: IceTable,
     // (old-spec tuples have different fields; `partitions` metadata table
     // shows every layout)
     val curNames = ps.fieldNames.toSeq
+    // binary partition values surface as Array[Byte], whose == is reference
+    // equality — compare and dedupe structurally or SHOW PARTITIONS both
+    // re-lists duplicates and filters to false negatives
+    def structEq(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+      case _ => a == b
+    }
     val tuples = liveDataEntries.map(_.dataFile.partition)
       .filter(_.map(_._1) == curNames)
-      .map(_.map(p => toCatalyst(p._2))).distinct
+      .map(_.map(p => toCatalyst(p._2)))
+      .distinctBy(_.map { case a: Array[Byte] => a.toSeq; case x => x })
     tuples.filter { vs =>
         nameIdx.iterator.zipWithIndex.forall { case (pi, ii) =>
-          vs(pi) == ident.get(ii, ps(pi).dataType)
+          structEq(vs(pi), ident.get(ii, ps(pi).dataType))
         }
       }
       .map(vs => org.apache.spark.sql.catalyst.InternalRow.fromSeq(vs))

@@ -119,8 +119,15 @@ object Maintenance {
       val f = it.next()
       val p = f.getPath
       val raw = p.toUri.getPath
+      // catalog-internal files under metadata/ are never orphans: version
+      // locks are the FileCatalog's CAS claim markers (deleting an old one
+      // would let a committer holding a stale listing re-claim an already-
+      // committed version number → two metadata files for one version), and
+      // .tmp files are staged writes owned by an in-flight commit
+      val name = p.getName
       val keep = referenced.contains(raw) || referenced.contains(p.toString) ||
-        raw.endsWith(".metadata.json") || p.getName.startsWith("version-hint") ||
+        raw.endsWith(".metadata.json") || name.startsWith("version-hint") ||
+        name.endsWith(".version.lock") || name.endsWith(".tmp") ||
         f.getModificationTime >= cutoff
       if (!keep) {
         bytes += f.getLen

@@ -596,6 +596,19 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.snapshotById(firstSnap).isDefined, "tagged snapshot must survive expiration")
     spark.sql("CALL graft.system.drop_ref(`table` => 'db.refproc', name => 'v1')")
     assert(!t.metadata.refs.contains("v1"))
+    // digits-only ref names stay reachable: VERSION AS OF tries refs first,
+    // so tag '123' must not be misread as a snapshot-id lookup
+    spark.sql(s"CALL graft.system.create_tag(`table` => 'db.refproc', name => '123', snapshot_id => $firstSnap)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.refproc VERSION AS OF '123'")
+      .head().getLong(0) == 1)
+    // ref creation is validated at COMMIT time, not just against the loaded
+    // copy: a second create of the same name racing the first must conflict
+    val m = t.metadata
+    intercept[graft.catalog.CommitConflictException] {
+      cat.updateTable(graft.catalog.CommitTable(t.ident,
+        Seq(graft.catalog.TableRequirement.AssertRefSnapshotId("123", None)),
+        Seq(graft.catalog.TableUpdate.SetSnapshotRef("123", m.currentSnapshotId.get, "tag"))))
+    }
     spark.sql("DROP TABLE graft.db.refproc")
   }
 
@@ -736,10 +749,19 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     stray.getParentFile.mkdirs()
     java.nio.file.Files.write(stray.toPath, Array[Byte](1, 2, 3))
     stray.setLastModified(System.currentTimeMillis() - 10 * 60 * 1000)
+    // catalog-internal CAS artifacts are NOT orphans even when old: deleting
+    // a version lock would let a stale committer re-claim that version
+    val metaDir = new java.io.File(s"$warehouse/db/orph/metadata")
+    val lock = metaDir.listFiles().filter(_.getName.endsWith(".version.lock")).head
+    val staged = new java.io.File(metaDir, "99999-feed.metadata.json.tmp")
+    java.nio.file.Files.write(staged.toPath, Array[Byte](7))
+    Seq(lock, staged).foreach(_.setLastModified(System.currentTimeMillis() - 10 * 60 * 1000))
     val r = spark.sql(
       "CALL graft.system.remove_orphan_files(`table` => 'db.orph', older_than_ms => 60000)").head()
     assert(r.getLong(0) == 1 && r.getLong(1) == 3, s"orphan summary: $r")
     assert(!stray.exists)
+    assert(lock.exists && staged.exists, "catalog CAS files must survive orphan cleanup")
+    staged.delete()
     // live data intact, and BOTH snapshots still read (history untouched)
     assert(spark.sql("SELECT count(*) FROM graft.db.orph").head().getLong(0) == 3)
     val cat = new graft.catalog.FileCatalog(warehouse)
