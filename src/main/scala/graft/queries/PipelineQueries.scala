@@ -190,7 +190,24 @@ object PipelineQueries {
       TrainingSet.topKByScore(scored, "lang", "quality", "doc_id", 3)
         .select(col("lang"), col("rnk"), col("doc_id"), col("quality"))
         .orderBy("lang", "rnk")
-    })
+    }),
+
+    // Near-dup PAIRS → duplicate CLUSTERS: connected components via
+    // iterative min-label propagation over the minhash pair graph, so
+    // chains of pairwise matches collapse to one keep-group each.
+    "q47_dup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      Dedup.dupClusters(pairs)
+        .select(col("cluster_id"), col("id").as("doc_id"))
+        .orderBy("cluster_id", "doc_id")
+    }),
+
+    // Gopher-style repetition filters: duplicate n-gram fractions and
+    // top-word share as a zero-shuffle projection.
+    "q48_repetition" -> ((s, d) =>
+      TextOps.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   private val tokCte =
@@ -201,6 +218,42 @@ object PipelineQueries {
       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
       |  FROM toks, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)
       |)""".stripMargin
+
+  /** The full minhash near-dup pipeline as a CTE chain ending in `pairs`
+    * (id_a, id_b, jaccard ≥ 0.5) — the oracle for q24, and the pair input
+    * q47's recursive connected-components clustering builds on. The
+    * (a, b) permutation constants are [[graft.pipeline.Dedup.permA]]/
+    * [[Dedup.permB]] inlined as literals — identical to the Spark plan. */
+  private lazy val minhashPairCtes =
+    s"""$tokCte,
+      |$shingleCte,
+      |perm(h, a, b) AS (VALUES ${(0 until 16).map(h =>
+           s"(${h}, ${graft.pipeline.Dedup.permA(h)}, ${graft.pipeline.Dedup.permB(h)})").mkString(", ")}),
+      |hashed AS (
+      |  SELECT doc_id, h,
+      |    min((a * (('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647)
+      |         + b) % 2147483647) AS mh
+      |  FROM shingles, perm GROUP BY doc_id, h),
+      |bands AS (
+      |  SELECT doc_id, h // 4 AS band, md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY h)) AS sig
+      |  FROM hashed GROUP BY doc_id, h // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      |counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS i
+      |  FROM cand c JOIN shingles sa ON sa.doc_id = c.id_a
+      |    JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+      |  GROUP BY c.id_a, c.id_b),
+      |pairs AS (
+      |  SELECT c.id_a, c.id_b,
+      |    coalesce(i.i, 0) * 1.0 / (ca.n_sh + cb.n_sh - coalesce(i.i, 0)) AS jaccard
+      |  FROM cand c
+      |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      |  JOIN counts ca ON ca.doc_id = c.id_a
+      |  JOIN counts cb ON cb.doc_id = c.id_b
+      |  WHERE coalesce(i.i, 0) * 1.0 / (ca.n_sh + cb.n_sh - coalesce(i.i, 0)) >= 0.5)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q20_text_stats" ->
@@ -237,35 +290,8 @@ object PipelineQueries {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
     "q24_minhash_dedup" ->
-      s"""WITH $tokCte,
-        |$shingleCte,
-        |perm(h, a, b) AS (VALUES ${(0 until 16).map(h =>
-             s"(${h}, ${graft.pipeline.Dedup.permA(h)}, ${graft.pipeline.Dedup.permB(h)})").mkString(", ")}),
-        |hashed AS (
-        |  SELECT doc_id, h,
-        |    min((a * (('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647)
-        |         + b) % 2147483647) AS mh
-        |  FROM shingles, perm GROUP BY doc_id, h),
-        |bands AS (
-        |  SELECT doc_id, h // 4 AS band, md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY h)) AS sig
-        |  FROM hashed GROUP BY doc_id, h // 4),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-        |counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
-        |inter AS (
-        |  SELECT c.id_a, c.id_b, count(*) AS i
-        |  FROM cand c JOIN shingles sa ON sa.doc_id = c.id_a
-        |    JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
-        |  GROUP BY c.id_a, c.id_b)
-        |SELECT c.id_a, c.id_b,
-        |  coalesce(i.i, 0) * 1.0 / (ca.n_sh + cb.n_sh - coalesce(i.i, 0)) AS jaccard
-        |FROM cand c
-        |LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-        |JOIN counts ca ON ca.doc_id = c.id_a
-        |JOIN counts cb ON cb.doc_id = c.id_b
-        |WHERE coalesce(i.i, 0) * 1.0 / (ca.n_sh + cb.n_sh - coalesce(i.i, 0)) >= 0.5
-        |ORDER BY c.id_a, c.id_b""".stripMargin,
+      s"""WITH $minhashPairCtes
+        |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin,
     "q25_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |bits AS (
@@ -467,6 +493,37 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY d.lang ORDER BY q.quality DESC, q.doc_id ASC) AS rnk
         |  FROM q JOIN documents d ON q.doc_id = d.doc_id)
         |SELECT lang, rnk, doc_id, quality FROM r WHERE rnk <= 3
-        |ORDER BY lang, rnk""".stripMargin
+        |ORDER BY lang, rnk""".stripMargin,
+
+    "q47_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
+        |SELECT min(r) AS cluster_id, id AS doc_id FROM reach GROUP BY id
+        |ORDER BY cluster_id, doc_id""".stripMargin,
+
+    "q48_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |feats AS (
+        |  SELECT doc_id,
+        |    len(w) AS n_tokens,
+        |    CAST(list_aggregate(list_transform(list_distinct(w),
+        |        x -> len(list_filter(w, y -> y = x))), 'max') AS DOUBLE) / len(w) AS top_word_frac,
+        |    CASE WHEN len(w) >= 2 THEN
+        |      CAST(len(w) - 1 - len(list_distinct(list_transform(range(1, len(w)),
+        |        i -> w[i] || ' ' || w[i+1]))) AS DOUBLE) / (len(w) - 1)
+        |      ELSE 0.0 END AS dup_2gram_frac,
+        |    CASE WHEN len(w) >= 3 THEN
+        |      CAST(len(w) - 2 - len(list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS DOUBLE) / (len(w) - 2)
+        |      ELSE 0.0 END AS dup_3gram_frac
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, top_word_frac, dup_2gram_frac, dup_3gram_frac,
+        |  (dup_2gram_frac > 0.20 OR dup_3gram_frac > 0.18 OR top_word_frac > 0.20) AS repetitive
+        |FROM feats ORDER BY doc_id""".stripMargin
   )
 }

@@ -45,6 +45,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("dup clusters collapse transitive pair chains to min-id components") {
+    import spark.implicits._
+    // chain 1-2, 2-3, 3-4 (diameter 3: needs real propagation, not one hop)
+    // plus isolated pair 10-11; node 4 never directly paired with 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L), (10L, 10L), (10L, 11L)), got)
+  }
+
+  test("repetition stats: dup n-gram fractions and top-word share") {
+    // "a a a a b": 4 bigrams {aa,aa,aa,ab} -> 2 dup of 4; top word a = 4/5
+    val d = docs(1L -> "a a a a b", 2L -> "u v w x y")
+    val got = graft.pipeline.TextOps.repetitionStats(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert(r1.getLong(1) == 5L)
+    assert(math.abs(r1.getDouble(2) - 0.8) < 1e-12)          // top_word_frac
+    assert(math.abs(r1.getDouble(3) - 0.5) < 1e-12)          // dup_2gram: {aa x3, ab}: 4 total, 2 distinct
+    assert(math.abs(r1.getDouble(4) - (1.0 / 3)) < 1e-12)    // dup_3gram: {aaa,aaa,aab}: 3 total, 2 distinct
+    assert(r1.getBoolean(5), "stuffed doc must flag repetitive")
+    val r2 = got(1)
+    assert(r2.getDouble(3) == 0.0 && r2.getDouble(4) == 0.0 && !r2.getBoolean(5))
+  }
+
   test("jaccard verify computes exact overlap") {
     val d = docs(1L -> "a b c d e f", 2L -> "a b c d e z")
     val sh = Dedup.shingles(d, "doc_id", "text", 3)
