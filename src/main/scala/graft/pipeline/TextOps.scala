@@ -44,9 +44,12 @@ object TextOps {
     *
     * Pure per-row array algebra — n-grams via `transform`+`element_at`,
     * repeats via `array_distinct`, the top-word run via a fold over the
-    * sorted token array — so the whole operator is a zero-shuffle projection
-    * inside whole-stage codegen; nothing leaves the row. Thresholds flag
-    * `repetitive` (defaults from the Gopher rules). */
+    * sorted token array — so the whole operator is a zero-shuffle, zero-
+    * explode projection: nothing leaves the row, and cost is linear in
+    * document length. (Spark evaluates higher-order functions via
+    * CodegenFallback, so the projection itself sits between codegen stages;
+    * the scan and everything downstream stay columnar/codegen.) Thresholds
+    * flag `repetitive` (defaults from the Gopher rules). */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       maxDup2: Double = 0.20, maxDup3: Double = 0.18,
                       maxTopWord: Double = 0.20): DataFrame = {

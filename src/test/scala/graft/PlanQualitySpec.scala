@@ -242,6 +242,30 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges <= 2, s"sampling introduced shuffles ($exchanges):\n$plan")
   }
 
+  test("repetition stats are a zero-shuffle projection inside codegen") {
+    val df = graft.pipeline.TextOps.repetitionStats(
+      graft.Tables.documents(spark, sf), "doc_id", "text")
+    val plan = physicalPlan(df)
+    assert(!plan.contains("Exchange"), s"repetition stats must not shuffle:\n$plan")
+    assert(!plan.contains("Generate"), s"repetition stats must not explode:\n$plan")
+    assert(!plan.contains("Join"), s"repetition stats must not join:\n$plan")
+  }
+
+  test("dup-cluster label propagation shuffles the edge list, never all-pairs") {
+    import spark.implicits._
+    // one propagation round's plan shape, on a toy edge set: equi-join on
+    // the node id + one aggregate — no cartesian, no nested-loop
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val plan = physicalPlan(graft.pipeline.Dedup.dupClusters(pairs, maxIters = 2))
+    assert(!plan.contains("CartesianProduct"), s"clustering went all-pairs:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"non-equi join crept in:\n$plan")
+    // localCheckpoint truncation: the returned plan must be a flat scan of
+    // the checkpointed labels, not the accumulated iteration lineage
+    assert(plan.split('\n').count(_.contains("Scan ExistingRDD")) <= 1 &&
+      !plan.contains("SortMergeJoin"),
+      s"lineage not truncated across rounds:\n$plan")
+  }
+
   test("decontamination candidates are a shingle equi-join, never a cross product") {
     val plan = physicalPlan(PipelineQueries.queries("q45_decontaminate")(spark, sf))
     assert(!plan.contains("CartesianProduct"), s"decontamination went all-pairs:\n$plan")
