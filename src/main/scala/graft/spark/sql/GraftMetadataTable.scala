@@ -51,7 +51,8 @@ private[sql] object SchemaOnlyScan {
 
 object GraftMetadataTable {
   val Kinds: Set[String] =
-    Set("snapshots", "history", "files", "manifests", "refs", "partitions", "entries")
+    Set("snapshots", "history", "files", "manifests", "refs", "partitions", "entries",
+      "all_data_files", "all_manifests", "metadata_log_entries")
 
   def schemaOf(kind: String): StructType = kind match {
     case "snapshots" => StructType(Seq(
@@ -100,6 +101,26 @@ object GraftMetadataTable {
       StructField("partition", StringType),
       StructField("record_count", LongType, nullable = false),
       StructField("equality_ids", StringType)))
+    case "all_data_files" => StructType(Seq(
+      StructField("reference_snapshot_id", LongType, nullable = false),
+      StructField("content", IntegerType, nullable = false),
+      StructField("file_path", StringType),
+      StructField("file_format", StringType),
+      StructField("partition", StringType),
+      StructField("record_count", LongType, nullable = false),
+      StructField("file_size_in_bytes", LongType, nullable = false),
+      StructField("sequence_number", LongType)))
+    case "all_manifests" => StructType(Seq(
+      StructField("reference_snapshot_id", LongType, nullable = false),
+      StructField("path", StringType),
+      StructField("length", LongType, nullable = false),
+      StructField("partition_spec_id", IntegerType, nullable = false),
+      StructField("content", IntegerType, nullable = false),
+      StructField("added_snapshot_id", LongType, nullable = false)))
+    case "metadata_log_entries" => StructType(Seq(
+      StructField("timestamp", TimestampType),
+      StructField("file", StringType),
+      StructField("latest_snapshot_id", LongType)))
     case "partitions" => StructType(Seq(
       StructField("partition", StringType),
       StructField("spec_id", IntegerType, nullable = false),
@@ -164,6 +185,35 @@ object GraftMetadataTable {
             renderPartition(d),
             d.recordCount,
             if (d.equalityIds.isEmpty) null else d.equalityIds.mkString(","))
+        }
+      case "all_data_files" =>
+        // files across EVERY valid snapshot (time-travel surface): one row
+        // per (snapshot, file) reference, so a file alive in k snapshots
+        // appears k times — matching the upstream contract ("may contain
+        // duplicates"); dedupe with DISTINCT file_path when needed
+        m.snapshots.values.toSeq.sortBy(_.sequenceNumber).flatMap { s =>
+          ice.entries(s).map { e =>
+            val d = e.dataFile
+            Row(s.snapshotId, d.content, d.filePath, d.fileFormat,
+              renderPartition(d), d.recordCount, d.fileSizeInBytes,
+              e.sequenceNumber.orNull)
+          }
+        }
+      case "all_manifests" =>
+        m.snapshots.values.toSeq.sortBy(_.sequenceNumber).flatMap { s =>
+          ice.manifests(s).map { ml =>
+            Row(s.snapshotId, ml.manifestPath, ml.manifestLength,
+              ml.partitionSpecId, ml.content, ml.addedSnapshotId)
+          }
+        }
+      case "metadata_log_entries" =>
+        // latest_snapshot_id = the newest snapshot committed at or before
+        // the metadata write (the snapshot that metadata version made
+        // current), from the snapshot log
+        m.metadataLog.map { e =>
+          val latest = m.snapshotLog.filter(_.timestampMs <= e.timestampMs)
+            .lastOption.map(_.snapshotId)
+          Row(ts(e.timestampMs), e.metadataFile, latest.orNull)
         }
       case "partitions" =>
         // per-partition rollup of the live entries (data + delete files),

@@ -383,6 +383,24 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     assert(entries.count(_._1 == 1) == 1, entries.mkString(","))
     assert(entries.filter(_._1 == 1).head._2 > entries.filter(_._1 == 0).map(_._2).max)
+    // all_data_files spans every snapshot: snapshot 1 references 1 file,
+    // snapshot 2 references 2, snapshot 3 (the delete) re-references both
+    // data files plus the delete file — rows accumulate per reference
+    val all = spark.sql(
+      """SELECT reference_snapshot_id, count(*) AS n
+        |FROM graft.db.meta.all_data_files GROUP BY 1 ORDER BY n""".stripMargin)
+      .collect().map(_.getLong(1))
+    assert(all.toSeq == Seq(1L, 2L, 3L), all.mkString(","))
+    assert(spark.sql("SELECT count(DISTINCT path) FROM graft.db.meta.all_manifests")
+      .head().getLong(0) >=
+      spark.sql("SELECT count(*) FROM graft.db.meta.manifests").head().getLong(0))
+    // metadata_log_entries: one row per superseded metadata version, the
+    // newest carrying the pre-delete snapshot as its latest
+    val log = spark.sql(
+      "SELECT file, latest_snapshot_id FROM graft.db.meta.metadata_log_entries ORDER BY timestamp")
+      .collect()
+    assert(log.length >= 3, s"expected >=3 metadata log rows, got ${log.length}")
+    assert(log.head.isNullAt(1), "creation-time metadata has no snapshot")
   }
 
   test("SHOW TABLES and DROP TABLE work") {
