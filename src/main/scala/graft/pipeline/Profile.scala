@@ -1,0 +1,40 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Corpus profiling: per-column row/null/distinct counts and min/max in ONE
+  * distributed aggregation — the data-quality health check that runs before
+  * (and after) every large pipeline stage, answering "did a source go null",
+  * "did a column collapse to one value", "what's the id range" without N
+  * separate scans.
+  *
+  * All requested columns aggregate in a single `agg` (Catalyst plans the
+  * multi-distinct via one Expand pass), then a `stack` unpivots the single
+  * result row into one row per column. Values render as strings so the
+  * output schema is uniform across column types. Distinct counts are EXACT
+  * (engine-portable, oracle-reproducible); at extreme cardinalities swap
+  * `countDistinct` for `approx_count_distinct` — same shape, one pass, no
+  * Expand.
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs: Seq[Column] =
+      count(lit(1)).as("__n") +: cols.flatMap { c =>
+        Seq(count(col(c)).as(s"__nn_$c"),
+          countDistinct(col(c)).as(s"__nd_$c"),
+          min(col(c)).cast("string").as(s"__min_$c"),
+          max(col(c)).cast("string").as(s"__max_$c"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs: Seq[Column] = cols.flatMap { c =>
+      Seq(lit(c), col("__n"), col(s"__nn_$c"), col(s"__nd_$c"),
+        col(s"__min_$c"), col(s"__max_$c"))
+    }
+    one.select(stack((lit(cols.size) +: stackArgs): _*)
+        .as(Seq("column_name", "n_rows", "n_nonnull", "n_distinct",
+          "min_value", "max_value")))
+  }
+}

@@ -53,18 +53,23 @@ object TextOps {
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       maxDup2: Double = 0.20, maxDup3: Double = 0.18,
                       maxTopWord: Double = 0.20): DataFrame = {
-    val t = tokens(col(textCol))
+    // STAGED projections, deliberately: every heavy array (tokens, each
+    // n-gram list) is materialized under an alias in its own Project and
+    // only the alias is referenced downstream. Inlining instead (one big
+    // expression) makes each HOF lambda re-evaluate the whole
+    // split+filter chain per ELEMENT — O(tokens²) per row; measured 70s at
+    // sf0.1 vs ~1s staged. CollapseProject keeps the stages apart because
+    // the aliases are non-cheap and multiply referenced.
+    val t = col("__toks")
     def ngrams(n: Int): Column =
       when(size(t) >= n,
         transform(sequence(lit(0), size(t) - n),
           i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
         .otherwise(array().cast("array<string>"))
-    def dupFrac(n: Int): Column = {
-      val g = ngrams(n)
+    def dupFrac(g: Column): Column =
       when(size(g) > 0,
         (size(g) - size(array_distinct(g))).cast("double") / size(g))
         .otherwise(lit(0.0))
-    }
     // most-frequent-word count = longest run in the SORTED token array:
     // a linear fold replaces the per-row quadratic count-each-type scan
     val top = aggregate(array_sort(t),
@@ -74,12 +79,16 @@ object TextOps {
         struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    df.select(
-      col(idCol),
-      size(t).cast("long").as("n_tokens"),
-      (top.cast("double") / size(t)).as("top_word_frac"),
-      dupFrac(2).as("dup_2gram_frac"),
-      dupFrac(3).as("dup_3gram_frac"))
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        size(t).cast("long").as("n_tokens"),
+        top.as("__top"),
+        ngrams(2).as("__g2"),
+        ngrams(3).as("__g3"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__top").cast("double") / col("n_tokens")).as("top_word_frac"),
+        dupFrac(col("__g2")).as("dup_2gram_frac"),
+        dupFrac(col("__g3")).as("dup_3gram_frac"))
       .withColumn("repetitive",
         col("dup_2gram_frac") > maxDup2 or col("dup_3gram_frac") > maxDup3 or
           col("top_word_frac") > maxTopWord)

@@ -51,6 +51,32 @@ object TrainingSet {
     df.filter(hashFraction(col(keyCol), salt) < rate)
   }
 
+  /** Deterministic source mixing: downsample each source so the OUTPUT
+    * follows the target mixture `weights` (e.g. web 0.6 / books 0.3 / code
+    * 0.1) while keeping as much data as possible without upsampling. The
+    * scaling constant C = min over sources of n_s/w_s makes the binding
+    * source keep rate exactly 1.0 and every other source's rate
+    * C·w_s/n_s < 1; sources not in `weights` are dropped.
+    *
+    * One counting aggregation collects #sources rows to the driver
+    * (metadata-scale — mixtures have tens of sources, never millions), then
+    * selection is the same zero-shuffle scan-side md5-fraction filter as
+    * [[stratifiedSample]]. Engine-portable: an oracle recomputes identical
+    * rates from the same counts in double arithmetic. */
+  def mixSources(df: DataFrame, keyCol: String, sourceCol: String,
+                 weights: Map[String, Double], salt: String = "mix"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixSources needs positive weights")
+    val weighted = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+    val counts = weighted.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c = weights.collect { case (s, w) if counts.contains(s) =>
+      counts(s).toDouble / w }.min
+    val rates = weights.collect { case (s, w) if counts.contains(s) =>
+      s -> math.min(1.0, c * w / counts(s)) }.toMap
+    stratifiedSample(weighted, keyCol, sourceCol, rates, defaultRate = 0.0, salt)
+  }
+
   /** Deterministic global shuffle key: ordering by it (plus the key itself
     * as tiebreaker) is a reproducible corpus-wide permutation — the
     * "shuffle once, stream in order" step of training-data prep. Use with

@@ -207,7 +207,22 @@ object PipelineQueries {
     // top-word share as a zero-shuffle projection.
     "q48_repetition" -> ((s, d) =>
       TextOps.repetitionStats(Tables.documents(s, d), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Deterministic source mixing toward a 0.6/0.3/0.1 target: the binding
+    // source keeps everything, the rest downsample by md5 fraction.
+    "q49_mix_sources" -> ((s, d) =>
+      TrainingSet.mixSources(Tables.documents(s, d), "doc_id", "source",
+        Map("src0" -> 0.6, "src1" -> 0.3, "src2" -> 0.1))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("source")),
+
+    // Corpus profiling: per-column health stats in one aggregation.
+    "q50_profile" -> ((s, d) =>
+      graft.pipeline.Profile.profile(Tables.documents(s, d),
+        Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("column_name"))
   )
 
   private val tokCte =
@@ -524,6 +539,35 @@ object PipelineQueries {
         |  FROM toks)
         |SELECT doc_id, n_tokens, top_word_frac, dup_2gram_frac, dup_3gram_frac,
         |  (dup_2gram_frac > 0.20 OR dup_3gram_frac > 0.18 OR top_word_frac > 0.20) AS repetitive
-        |FROM feats ORDER BY doc_id""".stripMargin
+        |FROM feats ORDER BY doc_id""".stripMargin,
+
+    "q49_mix_sources" ->
+      """WITH w(source, wt) AS (VALUES
+        |    ('src0', CAST(0.6 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)), ('src2', CAST(0.1 AS DOUBLE))),
+        |n AS (SELECT source, count(*) AS n FROM documents JOIN w USING (source) GROUP BY source),
+        |c AS (SELECT min(CAST(n AS DOUBLE) / wt) AS c FROM n JOIN w USING (source)),
+        |r AS (SELECT source, least(1.0, c.c * wt / n) AS rate FROM n JOIN w USING (source), c)
+        |SELECT d.source, count(*) AS n_kept, CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 15))::BIGINT
+        |       / 1152921504606846976.0) < r.rate
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q50_profile" ->
+      """SELECT 'doc_id' AS column_name, count(*) AS n_rows, count(doc_id) AS n_nonnull,
+        |  count(DISTINCT doc_id) AS n_distinct, CAST(min(doc_id) AS VARCHAR) AS min_value,
+        |  CAST(max(doc_id) AS VARCHAR) AS max_value
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*), count(lang), count(DISTINCT lang), min(lang), max(lang)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*), count(source), count(DISTINCT source), min(source), max(source)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars),
+        |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |FROM documents
+        |ORDER BY column_name""".stripMargin
   )
 }

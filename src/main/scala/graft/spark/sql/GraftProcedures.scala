@@ -34,7 +34,8 @@ object GraftProcedures {
   def names: Seq[String] =
     Seq("expire_snapshots", "compact", "compact_zorder", "rollback_to_snapshot",
       "create_tag", "create_branch", "drop_ref", "add_files", "remove_orphan_files",
-      "fast_forward", "rewrite_manifests", "compute_stats")
+      "fast_forward", "rewrite_manifests", "compute_stats", "ancestors_of",
+      "create_changelog_view")
 
   def load(cat: GraftSparkCatalog, name: String): UnboundProcedure = name match {
     case "expire_snapshots" => new ExpireSnapshots(cat)
@@ -49,6 +50,8 @@ object GraftProcedures {
     case "fast_forward" => new FastForward(cat)
     case "rewrite_manifests" => new RewriteManifests(cat)
     case "compute_stats" => new ComputeStats(cat)
+    case "ancestors_of" => new AncestorsOf(cat)
+    case "create_changelog_view" => new CreateChangelogView(cat)
     case other => throw new IllegalArgumentException(
       s"unknown procedure $other (available: ${names.mkString(", ")})")
   }
@@ -69,12 +72,17 @@ object GraftProcedures {
     override def isDeterministic: Boolean = false
 
     /** Args arrive in `parameters()` order, defaults already applied. */
-    protected def run(spark: SparkSession, args: InternalRow): InternalRow
+    protected def run(spark: SparkSession, args: InternalRow): InternalRow =
+      throw new UnsupportedOperationException(s"$procName must override run or runRows")
+
+    /** Multi-row results (e.g. lineage listings) override this instead. */
+    protected def runRows(spark: SparkSession, args: InternalRow): Array[InternalRow] =
+      Array(run(spark, args))
 
     override def call(input: InternalRow): util.Iterator[Scan] = {
-      val row = run(SparkSession.active, input)
+      val out = runRows(SparkSession.active, input)
       util.Collections.singletonList[Scan](new LocalScan {
-        override def rows(): Array[InternalRow] = Array(row)
+        override def rows(): Array[InternalRow] = out
         override def readSchema(): StructType = resultSchema
         override def description(): String = s"graft procedure $procName result"
       }).iterator()
@@ -222,6 +230,57 @@ object GraftProcedures {
         Seq(TableRequirement.AssertRefSnapshotId(refName, Some(m.refs(refName).snapshotId))),
         Seq(TableUpdate.RemoveSnapshotRef(refName))))
       InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(refName))
+    }
+  }
+
+  /** Snapshot lineage listing: `CALL graft.system.ancestors_of(table =>
+    * 'db.t' [, snapshot_id => 42])` — the parent chain newest-first from the
+    * given (default current) snapshot. */
+  private final class AncestorsOf(cat: GraftSparkCatalog)
+      extends GraftProcedure(cat, "ancestors_of",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("snapshot_id", LongType).defaultValue("-1").build()),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("committed_at", TimestampType)))) {
+    override def description(): String =
+      "List the parent-chain ancestors of a snapshot (default: current), newest first"
+    override protected def runRows(spark: SparkSession, args: InternalRow): Array[InternalRow] = {
+      val t = table(args)
+      val m = t.metadata
+      val start = args.getLong(1) match {
+        case -1L => m.currentSnapshotId.getOrElse(return Array.empty)
+        case id => id
+      }
+      require(t.snapshotById(start).isDefined, s"table ${t.ident} has no snapshot $start")
+      m.ancestorsOf(start).map { id =>
+        InternalRow(id, m.snapshots.get(id).map(_.timestampMs * 1000L).map(Long.box).orNull)
+      }.toArray
+    }
+  }
+
+  /** CDC as SQL: `CALL graft.system.create_changelog_view(table => 'db.t',
+    * after_snapshot_id => 42 [, until_snapshot_id => 43]
+    * [, view_name => 'v'])` registers a temp view of the net row changes in
+    * (after, until] with a `_change_type` column ('insert'/'delete') —
+    * append-only windows stream straight off the new files with no diff. */
+  private final class CreateChangelogView(cat: GraftSparkCatalog)
+      extends GraftProcedure(cat, "create_changelog_view",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("after_snapshot_id", LongType).build(),
+          ProcedureParameter.in("until_snapshot_id", LongType).defaultValue("-1").build(),
+          ProcedureParameter.in("view_name", StringType).defaultValue("''").build()),
+        StructType(Seq(StructField("view_name", StringType, nullable = false)))) {
+    override def description(): String =
+      "Register a temp view of net row changes between two snapshots (_change_type insert/delete)"
+    override protected def run(spark: SparkSession, args: InternalRow): InternalRow = {
+      val t = table(args)
+      val until = args.getLong(2) match { case -1L => None; case id => Some(id) }
+      val requested = if (args.isNullAt(3)) "" else args.getUTF8String(3).toString
+      val viewName = if (requested.isEmpty) s"${t.ident.name}_changes" else requested
+      graft.spark.IceScan.changelog(spark, t, args.getLong(1), until)
+        .createOrReplaceTempView(viewName)
+      InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(viewName))
     }
   }
 

@@ -403,6 +403,43 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.head.isNullAt(1), "creation-time metadata has no snapshot")
   }
 
+  test("ancestors_of and create_changelog_view procedures") {
+    spark.sql("CREATE TABLE graft.db.lineage (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.lineage VALUES (1, 'a')")
+    spark.sql("INSERT INTO graft.db.lineage VALUES (2, 'b')")
+    spark.sql("INSERT INTO graft.db.lineage VALUES (3, 'c')")
+    val anc = spark.sql("CALL graft.system.ancestors_of(`table` => 'db.lineage')")
+      .collect().map(_.getLong(0))
+    assert(anc.length == 3, s"expected 3 ancestors, got ${anc.length}")
+    // newest first, each row's parent is the next row
+    val cat = new graft.catalog.FileCatalog(warehouse)
+    val t = cat.loadTable(graft.catalog.TableIdent(Seq("db"), "lineage")).get
+    assert(anc.head == t.metadata.currentSnapshotId.get)
+    // pinning to the middle snapshot lists only its chain
+    assert(spark.sql(
+      s"CALL graft.system.ancestors_of(`table` => 'db.lineage', snapshot_id => ${anc(1)})")
+      .collect().length == 2)
+    // changelog view over (first, current]: rows 2 and 3 as inserts
+    val first = anc.last
+    val vn = spark.sql(
+      s"CALL graft.system.create_changelog_view(`table` => 'db.lineage', after_snapshot_id => $first)")
+      .head().getString(0)
+    assert(vn == "lineage_changes")
+    val changes = spark.sql(s"SELECT k, _change_type FROM $vn ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(changes == Seq((2L, "insert"), (3L, "insert")), changes.mkString(","))
+    // a delete makes the next window produce a 'delete' row
+    val mid = t.metadata.currentSnapshotId.get
+    spark.sql("DELETE FROM graft.db.lineage WHERE k = 1")
+    spark.sql(
+      s"""CALL graft.system.create_changelog_view(`table` => 'db.lineage',
+         |after_snapshot_id => $mid, view_name => 'del_window')""".stripMargin)
+    val dels = spark.sql("SELECT k, _change_type FROM del_window").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(dels == Seq((1L, "delete")), dels.mkString(","))
+    spark.sql("DROP TABLE graft.db.lineage")
+  }
+
   test("SHOW TABLES and DROP TABLE work") {
     spark.sql("CREATE TABLE graft.db.ephemeral (x INT)")
     val tables = spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1)).toSet

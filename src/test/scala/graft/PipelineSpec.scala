@@ -45,6 +45,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("profile: per-column counts, nulls, distincts, min/max in one pass") {
+    import spark.implicits._
+    val d = Seq((1L, Some("x")), (2L, Some("y")), (3L, None), (4L, Some("x")))
+      .toDF("id", "tag")
+    val got = graft.pipeline.Profile.profile(d, Seq("id", "tag"))
+      .orderBy("column_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(got.toSeq == Seq(
+      ("id", 4L, 4L, 4L, "1", "4"),
+      ("tag", 4L, 3L, 2L, "x", "y")), got.mkString(", "))
+  }
+
+  test("source mixing: binding source keeps rate 1.0, others scale by weight") {
+    import spark.implicits._
+    // 100 'a' rows, 100 'b' rows; weights 3:1 → a binds (rate 1.0),
+    // b keeps ~1/3 (c = 100/0.75 = 133.3; rate_b = 133.3*0.25/100 = 1/3)
+    val d = ((1 to 100).map(i => (i.toLong, "a")) ++ (101 to 200).map(i => (i.toLong, "b")))
+      .toDF("doc_id", "source")
+    val kept = graft.pipeline.TrainingSet
+      .mixSources(d, "doc_id", "source", Map("a" -> 0.75, "b" -> 0.25))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("a") == 100L, s"binding source must keep everything: $kept")
+    assert(kept("b") > 15 && kept("b") < 55, s"b should keep ~1/3: $kept")
+    // unlisted sources are dropped entirely
+    val d2 = d.union(Seq((999L, "junk")).toDF("doc_id", "source"))
+    val srcs = graft.pipeline.TrainingSet
+      .mixSources(d2, "doc_id", "source", Map("a" -> 0.75, "b" -> 0.25))
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(!srcs.contains("junk"))
+  }
+
   test("dup clusters collapse transitive pair chains to min-id components") {
     import spark.implicits._
     // chain 1-2, 2-3, 3-4 (diameter 3: needs real propagation, not one hop)
