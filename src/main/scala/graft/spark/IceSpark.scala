@@ -430,7 +430,10 @@ object IceScan {
       snapshotId: Option[Long] = None,
       branch: Option[String] = None,
       /** Incremental: only files with sequence number in (after, until]. */
-      afterSequence: Option[Long] = None)
+      afterSequence: Option[Long] = None,
+      /** Restrict the scan to specific DATA files (delete files still
+        * apply) — maintenance rewrites read exactly their input set. */
+      dataFileFilter: Option[String => Boolean] = None)
 
   /** Iceberg name-mapping property: set (to "identity") when the table
     * holds files WITHOUT parquet field ids — e.g. imported in place by
@@ -515,7 +518,9 @@ object IceScan {
       case Some(snap) =>
         val exprs = exprsFor(sparkSchema)
         val entries = prunedEntries(table, schema, snap, exprs, options.afterSequence)
-        val (data, deletes) = entries.partition(_.dataFile.content == ContentData)
+        val (data0, deletes) = entries.partition(_.dataFile.content == ContentData)
+        val data = options.dataFileFilter
+          .map(f => data0.filter(e => f(e.dataFile.filePath))).getOrElse(data0)
         buildDataFrame(spark, table, schema, sparkSchema, data, deletes)
     }
   }

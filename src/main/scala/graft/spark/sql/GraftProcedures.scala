@@ -35,7 +35,7 @@ object GraftProcedures {
     Seq("expire_snapshots", "compact", "compact_zorder", "rollback_to_snapshot",
       "create_tag", "create_branch", "drop_ref", "add_files", "remove_orphan_files",
       "fast_forward", "rewrite_manifests", "compute_stats", "ancestors_of",
-      "create_changelog_view")
+      "create_changelog_view", "rewrite_data_files")
 
   def load(cat: GraftSparkCatalog, name: String): UnboundProcedure = name match {
     case "expire_snapshots" => new ExpireSnapshots(cat)
@@ -52,6 +52,7 @@ object GraftProcedures {
     case "compute_stats" => new ComputeStats(cat)
     case "ancestors_of" => new AncestorsOf(cat)
     case "create_changelog_view" => new CreateChangelogView(cat)
+    case "rewrite_data_files" => new RewriteDataFiles(cat)
     case other => throw new IllegalArgumentException(
       s"unknown procedure $other (available: ${names.mkString(", ")})")
   }
@@ -230,6 +231,27 @@ object GraftProcedures {
         Seq(TableRequirement.AssertRefSnapshotId(refName, Some(m.refs(refName).snapshotId))),
         Seq(TableUpdate.RemoveSnapshotRef(refName))))
       InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(refName))
+    }
+  }
+
+  /** Selective binpack compaction: `CALL graft.system.rewrite_data_files(
+    * table => 'db.t' [, target_size_bytes => N, min_input_files => K])`
+    * rewrites only each partition's small-file residue; well-sized files
+    * are untouched (the 100 TB-safe alternative to full `compact`). */
+  private final class RewriteDataFiles(cat: GraftSparkCatalog)
+      extends GraftProcedure(cat, "rewrite_data_files",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("target_size_bytes", LongType).defaultValue("134217728").build(),
+          ProcedureParameter.in("min_input_files", IntegerType).defaultValue("2").build()),
+        StructType(Seq(
+          StructField("files_before", LongType, nullable = false),
+          StructField("files_after", LongType, nullable = false)))) {
+    override def description(): String =
+      "Binpack-compact small files per partition (full files untouched; run compact for MoR tables)"
+    override protected def run(spark: SparkSession, args: InternalRow): InternalRow = {
+      val (before, after) = Maintenance.rewriteDataFiles(spark, table(args),
+        targetSizeBytes = args.getLong(1), minInputFiles = args.getInt(2))
+      InternalRow(before.toLong, after.toLong)
     }
   }
 

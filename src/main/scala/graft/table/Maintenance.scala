@@ -138,6 +138,54 @@ object Maintenance {
     (count, bytes)
   }
 
+  /** Selective binpack compaction: rewrites ONLY partitions' small-file
+    * residue (files under `targetSizeBytes`, at least `minInputFiles` of
+    * them per partition) into merged files; everything already well-sized
+    * is untouched — at 100 TB a full rewrite (`compact`) over a mostly-
+    * healthy table is exactly the job you cannot afford, while the
+    * append-heavy small-file tail is small and cheap. Commits via
+    * [[Transaction.rewriteFiles]]: kept entries preserve their sequence
+    * numbers, history stays reachable (superseded originals are cleaned by
+    * `expireSnapshots`, not here).
+    *
+    * Tables carrying row-level delete files must `compact` first (a
+    * partial rewrite under equality/positional deletes would need
+    * delete-aware sequencing per group): this op refuses rather than
+    * silently corrupting MoR semantics. Foreign-spec files are skipped
+    * (compaction migrates layouts, binpack does not).
+    *
+    * Returns (data files before, after).
+    */
+  def rewriteDataFiles(spark: SparkSession, table: IceTable,
+                       targetSizeBytes: Long = 134217728L,
+                       minInputFiles: Int = 2): (Int, Int) = {
+    val snap = table.currentSnapshot(None).getOrElse(return (0, 0))
+    val all = table.entries(snap)
+    val before = all.count(_.dataFile.content == ContentData)
+    if (all.exists(_.dataFile.content != ContentData))
+      throw new IllegalStateException(
+        "rewriteDataFiles on a table with row-level deletes: run compact() to fold them first")
+    val m = table.metadata
+    val current = table.entries(snap,
+        manifestFilter = ml => ml.content == 0 && ml.partitionSpecId == m.defaultSpecId)
+      .filter(_.dataFile.content == ContentData)
+    val toRewrite: Seq[ManifestEntry] = current.groupBy(_.dataFile.partition).values
+      .flatMap { es =>
+        val small = es.filter(_.dataFile.fileSizeInBytes < targetSizeBytes)
+        if (small.size >= minInputFiles) small else Nil
+      }.toSeq
+    if (toRewrite.isEmpty) return (before, before)
+    val rewritePaths = toRewrite.map(_.dataFile.filePath).toSet
+    val df = graft.spark.IceScan.scan(spark, table,
+      options = graft.spark.IceScan.ScanOptions(dataFileFilter = Some(rewritePaths.contains)))
+    val newFiles = graft.spark.IceWrite.writeDataFiles(spark, table, df, table.schema)
+    val kept = current.filterNot(e => rewritePaths(e.dataFile.filePath))
+    val committed = table.newTransaction(None).rewriteFiles(kept, newFiles).commit()
+    val after = committed.currentSnapshot(None)
+      .map(committed.entries(_).count(_.dataFile.content == ContentData)).getOrElse(0)
+    (before, after)
+  }
+
   /** Rebalances the data manifest tree without touching data: many small
     * manifests (the residue of many small commits) slow O(manifests) scan
     * planning; this rewrites them as a fresh sqrt-law-balanced set in one

@@ -23,6 +23,7 @@ class Transaction(table: IceTable, branch: Option[String]) {
   private var appendedDeletes: Seq[DataFile] = Nil
   private var replaceFiles: Option[Seq[DataFile]] = None
   private var rewriteEntries: Option[Seq[ManifestEntry]] = None
+  private var rewriteAdded: Seq[DataFile] = Nil
   private var propertyUpdates: Map[String, String] = Map.empty
   private var propertyRemovals: Seq[String] = Nil
   private var newSchema: Option[IceSchema] = None
@@ -65,6 +66,17 @@ class Transaction(table: IceTable, branch: Option[String]) {
     require(appendedData.isEmpty && appendedDeletes.isEmpty && replaceFiles.isEmpty,
       "rewriteManifests cannot combine with appends or replace in one transaction")
     rewriteEntries = Some(entries); this
+  }
+  /** Partial data-file rewrite (binpack compaction): a new snapshot where
+    * `keep` entries survive with their ORIGINAL sequence numbers (MoR
+    * ordering preserved) and `added` files replace the rewritten originals
+    * at the new snapshot's sequence number. Unlike `replace`, history is
+    * untouched — superseded files stay reachable through older snapshots
+    * until expiration; unlike `rewriteManifests`, the data file set
+    * changes. */
+  def rewriteFiles(keep: Seq[ManifestEntry], added: Seq[DataFile]): Transaction = {
+    rewriteManifests(keep)
+    rewriteAdded = added; this
   }
   def updateProperties(p: Map[String, String]): Transaction = { propertyUpdates ++= p; this }
   def removeProperties(keys: Seq[String]): Transaction = { propertyRemovals ++= keys; this }
@@ -202,8 +214,13 @@ class Transaction(table: IceTable, branch: Option[String]) {
       val entries = rewriteEntries.get
       val snapshotId = newSnapshotId()
       val seq = m.lastSequenceNumber + 1
+      // binpack additions enter at THIS snapshot's sequence number; kept
+      // entries keep their inherited numbers (both written explicitly)
+      val addedEntries = rewriteAdded.map(f =>
+        ManifestEntry(StatusAdded, Some(snapshotId), Some(seq), Some(seq), f))
       val dataManifests = writeSplitManifests(table, schemaForWrite,
-        entries.map(_.copy(status = StatusExisting)), snapshotId, seq, entries.size)
+        entries.map(_.copy(status = StatusExisting)) ++ addedEntries,
+        snapshotId, seq, entries.size + addedEntries.size)
       // carry over untouched: delete manifests AND data manifests under a
       // FOREIGN spec — their partition records cannot be re-encoded under
       // the current spec's Avro schema (spec evolution; compaction migrates)
@@ -219,6 +236,8 @@ class Transaction(table: IceTable, branch: Option[String]) {
         System.currentTimeMillis(), listPath,
         Map("operation" -> "replace",
           "rewritten-data-manifests" -> dataManifests.size.toString,
+          "added-data-files" -> rewriteAdded.size.toString,
+          "added-records" -> rewriteAdded.map(_.recordCount).sum.toString,
           "total-records" -> allData.map(ml => ml.addedRowsCount + ml.existingRowsCount).sum.toString,
           "total-data-files" -> allData.map(ml => ml.addedFilesCount + ml.existingFilesCount).sum.toString),
         Some(m.currentSchemaId))

@@ -403,6 +403,39 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.head.isNullAt(1), "creation-time metadata has no snapshot")
   }
 
+  test("rewrite_data_files binpacks small files, keeps history and MoR safety") {
+    spark.sql("""CREATE TABLE graft.db.binp (k BIGINT, grp STRING)
+                |PARTITIONED BY (grp)""".stripMargin)
+    // partition a: 3 small files; partition b: 1 file (untouched)
+    spark.sql("INSERT INTO graft.db.binp VALUES (1, 'a'), (10, 'b')")
+    spark.sql("INSERT INTO graft.db.binp VALUES (2, 'a')")
+    spark.sql("INSERT INTO graft.db.binp VALUES (3, 'a')")
+    val cat = new graft.catalog.FileCatalog(warehouse)
+    def t = cat.loadTable(graft.catalog.TableIdent(Seq("db"), "binp")).get
+    val preSnap = t.metadata.currentSnapshotId.get
+    val bPath = t.entries(t.currentSnapshot(None).get)
+      .map(_.dataFile).find(_.partition.exists(p => p._2 == "b")).get.filePath
+    val r = spark.sql("CALL graft.system.rewrite_data_files(`table` => 'db.binp')").head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 2, s"binpack summary: $r")
+    // partition b's file survived byte-identical (same path, not rewritten)
+    val after = t
+    val afterFiles = after.entries(after.currentSnapshot(None).get).map(_.dataFile)
+    assert(afterFiles.map(_.filePath).contains(bPath), "untouched partition must keep its file")
+    // data intact, history still readable at the pre-compaction snapshot
+    assert(spark.sql("SELECT sum(k) FROM graft.db.binp").head().getLong(0) == 16)
+    assert(spark.sql(s"SELECT count(*) FROM graft.db.binp VERSION AS OF $preSnap")
+      .head().getLong(0) == 4)
+    // a second run is a no-op (nothing left to binpack)
+    val r2 = spark.sql("CALL graft.system.rewrite_data_files(`table` => 'db.binp')").head()
+    assert(r2.getLong(0) == 2 && r2.getLong(1) == 2, s"idempotent summary: $r2")
+    // MoR tables refuse (deletes must be folded by full compact first)
+    spark.sql("DELETE FROM graft.db.binp WHERE k = 2")
+    val e = intercept[Exception](
+      spark.sql("CALL graft.system.rewrite_data_files(`table` => 'db.binp')"))
+    assert(e.getMessage.contains("compact"), e.getMessage)
+    spark.sql("DROP TABLE graft.db.binp")
+  }
+
   test("ancestors_of and create_changelog_view procedures") {
     spark.sql("CREATE TABLE graft.db.lineage (k BIGINT, v STRING)")
     spark.sql("INSERT INTO graft.db.lineage VALUES (1, 'a')")
