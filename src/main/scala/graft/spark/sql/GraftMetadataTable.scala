@@ -75,7 +75,10 @@ object GraftMetadataTable {
       StructField("partition", StringType),
       StructField("record_count", LongType, nullable = false),
       StructField("file_size_in_bytes", LongType, nullable = false),
-      StructField("sequence_number", LongType)))
+      StructField("sequence_number", LongType),
+      StructField("null_value_counts", StringType),
+      StructField("lower_bounds", StringType),
+      StructField("upper_bounds", StringType)))
     case "manifests" => StructType(Seq(
       StructField("path", StringType),
       StructField("length", LongType, nullable = false),
@@ -157,11 +160,25 @@ object GraftMetadataTable {
           Row(ts(e.timestampMs), e.snapshotId, ancestors.contains(e.snapshotId))
         }
       case "files" =>
+        // per-column metrics render as {name=value} maps decoded from the
+        // Iceberg single-value byte encodings — the human-readable form of
+        // what statistics pruning consumes
+        val schema = ice.metadata.currentSchema
+        def renderById[A](kv: Map[Int, A])(show: (graft.spec.NestedField, A) => String): String =
+          if (kv.isEmpty) null
+          else kv.toSeq.flatMap { case (id, v) =>
+            schema.fieldById(id).map(f => s"${f.name}=${show(f, v)}")
+          }.sorted.mkString("{", ", ", "}")
         ice.currentSnapshot(None).toSeq.flatMap(ice.entries(_)).map { e =>
           val d = e.dataFile
           val part = renderPartition(d)
           Row(d.content, d.filePath, d.fileFormat, part, d.recordCount,
-            d.fileSizeInBytes, e.sequenceNumber.orNull)
+            d.fileSizeInBytes, e.sequenceNumber.orNull,
+            renderById(d.nullValueCounts)((_, n) => n.toString),
+            renderById(d.lowerBounds)((f, b) =>
+              String.valueOf(graft.core.ValueCodec.fromBytes(f.fieldType, b))),
+            renderById(d.upperBounds)((f, b) =>
+              String.valueOf(graft.core.ValueCodec.fromBytes(f.fieldType, b))))
         }
       case "manifests" =>
         ice.currentSnapshot(None).toSeq.flatMap(ice.manifests(_)).map { ml =>

@@ -35,7 +35,7 @@ object GraftProcedures {
     Seq("expire_snapshots", "compact", "compact_zorder", "rollback_to_snapshot",
       "create_tag", "create_branch", "drop_ref", "add_files", "remove_orphan_files",
       "fast_forward", "rewrite_manifests", "compute_stats", "ancestors_of",
-      "create_changelog_view", "rewrite_data_files")
+      "create_changelog_view", "rewrite_data_files", "rollback_to_timestamp")
 
   def load(cat: GraftSparkCatalog, name: String): UnboundProcedure = name match {
     case "expire_snapshots" => new ExpireSnapshots(cat)
@@ -53,6 +53,7 @@ object GraftProcedures {
     case "ancestors_of" => new AncestorsOf(cat)
     case "create_changelog_view" => new CreateChangelogView(cat)
     case "rewrite_data_files" => new RewriteDataFiles(cat)
+    case "rollback_to_timestamp" => new RollbackToTimestamp(cat)
     case other => throw new IllegalArgumentException(
       s"unknown procedure $other (available: ${names.mkString(", ")})")
   }
@@ -231,6 +232,38 @@ object GraftProcedures {
         Seq(TableRequirement.AssertRefSnapshotId(refName, Some(m.refs(refName).snapshotId))),
         Seq(TableUpdate.RemoveSnapshotRef(refName))))
       InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(refName))
+    }
+  }
+
+  /** Time-based rollback: `CALL graft.system.rollback_to_timestamp(table =>
+    * 'db.t', timestamp_ms => 1700000000000)` points main at the newest
+    * snapshot made current at or before the timestamp (same CAS guard as
+    * rollback_to_snapshot). */
+  private final class RollbackToTimestamp(cat: GraftSparkCatalog)
+      extends GraftProcedure(cat, "rollback_to_timestamp",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("timestamp_ms", LongType).build()),
+        StructType(Seq(
+          StructField("previous_snapshot_id", LongType),
+          StructField("current_snapshot_id", LongType, nullable = false)))) {
+    override def description(): String =
+      "Point the main branch at the newest snapshot at or before a timestamp (ms)"
+    override protected def run(spark: SparkSession, args: InternalRow): InternalRow = {
+      val t = table(args)
+      val tsMs = args.getLong(1)
+      val m = t.metadata
+      val target = m.snapshotLog.filter(_.timestampMs <= tsMs).lastOption
+        .map(_.snapshotId)
+        .filter(id => t.snapshotById(id).isDefined)
+        .getOrElse(throw new IllegalArgumentException(
+          s"table ${t.ident} has no live snapshot at or before $tsMs ms"))
+      val prev = m.currentSnapshotId
+      t.metadata = t.catalog.updateTable(CommitTable(t.ident,
+        Seq(TableRequirement.AssertRefSnapshotId(m.MainBranch, prev)),
+        Seq(TableUpdate.SetSnapshotRef(m.MainBranch, target, "branch",
+          m.refs.get(m.MainBranch).flatMap(_.maxRefAgeMs),
+          m.refs.get(m.MainBranch).flatMap(_.minSnapshotsToKeep)))))
+      InternalRow(prev.map(Long.box).orNull, target)
     }
   }
 

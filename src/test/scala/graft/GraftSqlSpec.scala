@@ -367,6 +367,14 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val files = spark.sql(
       "SELECT file_path, record_count FROM graft.db.meta.files WHERE content = 0").collect()
     assert(files.length == 2 && files.map(_.getLong(1)).sum == 2)
+    // readable per-column metrics decoded from the stats bytes
+    val metrics = spark.sql(
+      "SELECT lower_bounds, upper_bounds, null_value_counts FROM graft.db.meta.files WHERE content = 0 ORDER BY file_path")
+      .collect()
+    assert(metrics.exists(r => r.getString(0).contains("k=1") && r.getString(0).contains("v=a")),
+      metrics.map(_.getString(0)).mkString("; "))
+    assert(metrics.forall(r => r.getString(2).contains("k=0")),
+      metrics.map(_.getString(2)).mkString("; "))
     assert(spark.sql("SELECT count(*) AS n FROM graft.db.meta.manifests").head().getLong(0) >= 1)
     val refs = spark.sql("SELECT name, type FROM graft.db.meta.refs").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
@@ -470,6 +478,11 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dels = spark.sql("SELECT k, _change_type FROM del_window").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(dels == Seq((1L, "delete")), dels.mkString(","))
+    // rollback_to_timestamp: the second snapshot's commit time restores k<=2
+    val midTs = t.metadata.snapshots(anc(1)).timestampMs
+    spark.sql(
+      s"CALL graft.system.rollback_to_timestamp(`table` => 'db.lineage', timestamp_ms => $midTs)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.lineage").head().getLong(0) == 2)
     spark.sql("DROP TABLE graft.db.lineage")
   }
 
