@@ -49,12 +49,20 @@ object IceStreaming {
     * that mirrors the reference's append-only delta contract (transform.rs
     * swaps NegDelta scans for EmptyTable).
     */
-  def streamTable(spark: SparkSession, table: IceTable): DataFrame =
-    spark.readStream
+  def streamTable(spark: SparkSession, table: IceTable,
+                  maxFilesPerTrigger: Int = 0): DataFrame = {
+    val base = spark.readStream
       .schema(table.schema.toSpark)
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.parquet")
-      .parquet(s"${table.location}/data")
+    // rate limiting: a tail starting against a large existing table must
+    // not materialize the whole backlog in micro-batch 1 — bound each batch
+    // and let the engine drain the history at a sustainable pace
+    val limited =
+      if (maxFilesPerTrigger > 0) base.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else base
+    limited.parquet(s"${table.location}/data")
+  }
 
   /** Continuous materialized-view maintenance: tails `source` (a table the
     * MV reads from) and triggers one [[graft.spark.IceMV.refresh]] per

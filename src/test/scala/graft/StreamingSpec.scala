@@ -68,6 +68,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM tailed").head().getLong(0) == 2)
   }
 
+  test("rate-limited tail drains a backlog across bounded micro-batches") {
+    import spark.implicits._
+    val cat = new FileCatalog(Files.createTempDirectory("stwh4").toString)
+    val schema = IceSchema(0, Seq(
+      NestedField(1, "id", required = false, IceType.LongT)))
+    var table = cat.createTable(TableIdent(Seq("db"), "rated"), schema, PartitionSpec(0, Nil))
+    // three separate commits → three data files of backlog
+    (1 to 3).foreach { i =>
+      table = graft.spark.IceWrite.append(spark, table, Seq(i.toLong).toDF("id"))
+    }
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = IceStreaming.streamTable(spark, table, maxFilesPerTrigger = 1)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += df.count() }: Unit
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batchSizes.sum == 3, s"all rows must arrive: $batchSizes")
+    assert(batchSizes.count(_ > 0) == 3 && batchSizes.forall(_ <= 1),
+      s"1-file cap must split the backlog into singleton batches: $batchSizes")
+  }
+
   test("tail a PARTITIONED table: source columns stream back complete") {
     import spark.implicits._
     val cat = new FileCatalog(Files.createTempDirectory("stwh3").toString)
