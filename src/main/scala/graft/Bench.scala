@@ -56,7 +56,9 @@ object Bench {
     // line must stay short enough to survive intact (round 6's inline
     // min/max spread doubled the line and pushed the medians out of the
     // window). Medians rounded to ms; the spread goes to stderr FIRST.
-    def r3(x: Double): String = f"$x%.3f"
+    // Locale.ROOT: f"%.3f" uses the default locale — a comma-decimal JVM
+    // would emit invalid JSON
+    def r3(x: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     val spread = byQuery.map { case (k, _, mn, mx) => s"\"$k\":[${r3(mn)},${r3(mx)}]" }
       .mkString("{", ",", "}")
     System.err.println(s"""[bench-spread iters=$iters] $spread""")

@@ -99,6 +99,12 @@ object CatalogOps {
           snapshotLog = m.snapshotLog :+ SnapshotLogEntry(s.snapshotId, s.timestampMs),
           lastUpdatedMs = s.timestampMs)
         case SetSnapshotRef(name, id, refType, maxAge, minKeep) =>
+          // liveness at APPLY time, against the committed base plus this
+          // commit's own AddSnapshot: a ref created from stale metadata must
+          // not dangle at a snapshot a concurrent expire already removed
+          if (!m.snapshots.contains(id))
+            throw new CommitConflictException(
+              s"ref $name targets snapshot $id, which no longer exists")
           val m2 = m.copy(refs = m.refs + (name -> SnapshotReference(id, refType, maxAge, minKeep)))
           if (name == m.MainBranch) m2.copy(currentSnapshotId = Some(id)) else m2
         case RemoveSnapshotRef(name) =>

@@ -173,9 +173,16 @@ object Dedup {
     * truncates lineage per round so the plan stays flat however many rounds
     * run. Rows: (cluster_id, node id). Nodes outside any pair are absent
     * (they are their own singleton clusters by definition).
+    *
+    * If the graph has not converged after `maxIters` rounds (a pair CHAIN
+    * longer than the budget — e.g. hundreds of incrementally-edited
+    * versions), this THROWS rather than silently returning split clusters:
+    * a keep-one-per-cluster dedup built on partial components would keep
+    * extra duplicates with no signal. Raise `maxIters` for such graphs
+    * (cost is linear per round over the edge list).
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                  maxIters: Int = 20): DataFrame = {
+                  maxIters: Int = 100): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().cache()
@@ -197,6 +204,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge after $maxIters rounds — the pair graph has a " +
+          s"chain longer than the iteration budget; re-run with a larger maxIters")
     labels.select(col("label").as("cluster_id"), col("id"))
   }
 

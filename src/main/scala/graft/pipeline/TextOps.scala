@@ -86,7 +86,13 @@ object TextOps {
         ngrams(2).as("__g2"),
         ngrams(3).as("__g3"))
       .select(col(idCol), col("n_tokens"),
-        (col("__top").cast("double") / col("n_tokens")).as("top_word_frac"),
+        // zero-token guard: 0/0 is null in Spark's non-ANSI division, and a
+        // null flag would silently vanish from BOTH keep and drop filters —
+        // an empty document is defined as not repetitive. (The q48 oracle
+        // contract assumes ≥1 token per document, as the testdata
+        // guarantees: DuckDB's string_split('') yields [''], not [].)
+        when(col("n_tokens") > 0, col("__top").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)).as("top_word_frac"),
         dupFrac(col("__g2")).as("dup_2gram_frac"),
         dupFrac(col("__g3")).as("dup_3gram_frac"))
       .withColumn("repetitive",

@@ -70,6 +70,9 @@ object TrainingSet {
     val weighted = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
     val counts = weighted.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty,
+      s"mixSources found no rows in any weighted source (${weights.keys.mkString(", ")}) — " +
+        "check source names against the data")
     val c = weights.collect { case (s, w) if counts.contains(s) =>
       counts(s).toDouble / w }.min
     val rates = weights.collect { case (s, w) if counts.contains(s) =>

@@ -561,7 +561,16 @@ object IceScan {
         .getOrElse(throw new IllegalStateException("table has no current snapshot"))
     }
     val windowEntries = table.entries(to, Some(from.sequenceNumber), _ => true)
-    val appendOnly = windowEntries.forall(_.dataFile.content == ContentData)
+    // the fast path requires every commit in the window to be a pure
+    // APPEND: a rewrite (binpack rewrite_data_files, rewrite_manifests)
+    // introduces files at a NEW sequence number that carry only OLD rows —
+    // sequence-keyed streaming would re-emit them as inserts. The snapshot
+    // chain's operation summaries are the authority, not just file content.
+    val windowOps = table.metadata.ancestorsOf(to.snapshotId)
+      .takeWhile(_ != from.snapshotId)
+      .flatMap(table.snapshotById).flatMap(_.summary.get("operation"))
+    val appendOnly = windowEntries.forall(_.dataFile.content == ContentData) &&
+      windowOps.forall(_ == "append")
     if (appendOnly)
       scanResolved(spark, table, Nil, ScanOptions(
         snapshotId = Some(to.snapshotId), afterSequence = Some(from.sequenceNumber)))

@@ -52,7 +52,8 @@ private[sql] object SchemaOnlyScan {
 object GraftMetadataTable {
   val Kinds: Set[String] =
     Set("snapshots", "history", "files", "manifests", "refs", "partitions", "entries",
-      "all_data_files", "all_manifests", "metadata_log_entries")
+      "all_data_files", "all_delete_files", "all_files", "all_manifests",
+      "metadata_log_entries")
 
   def schemaOf(kind: String): StructType = kind match {
     case "snapshots" => StructType(Seq(
@@ -104,7 +105,7 @@ object GraftMetadataTable {
       StructField("partition", StringType),
       StructField("record_count", LongType, nullable = false),
       StructField("equality_ids", StringType)))
-    case "all_data_files" => StructType(Seq(
+    case "all_data_files" | "all_delete_files" | "all_files" => StructType(Seq(
       StructField("reference_snapshot_id", LongType, nullable = false),
       StructField("content", IntegerType, nullable = false),
       StructField("file_path", StringType),
@@ -203,13 +204,20 @@ object GraftMetadataTable {
             d.recordCount,
             if (d.equalityIds.isEmpty) null else d.equalityIds.mkString(","))
         }
-      case "all_data_files" =>
+      case "all_data_files" | "all_delete_files" | "all_files" =>
         // files across EVERY valid snapshot (time-travel surface): one row
         // per (snapshot, file) reference, so a file alive in k snapshots
         // appears k times — matching the upstream contract ("may contain
-        // duplicates"); dedupe with DISTINCT file_path when needed
+        // duplicates"); dedupe with DISTINCT file_path when needed.
+        // Upstream semantics: all_data_files excludes delete files,
+        // all_delete_files is only them, all_files is both.
+        val want: Int => Boolean = kind match {
+          case "all_data_files" => _ == 0
+          case "all_delete_files" => _ != 0
+          case _ => _ => true
+        }
         m.snapshots.values.toSeq.sortBy(_.sequenceNumber).flatMap { s =>
-          ice.entries(s).map { e =>
+          ice.entries(s).filter(e => want(e.dataFile.content)).map { e =>
             val d = e.dataFile
             Row(s.snapshotId, d.content, d.filePath, d.fileFormat,
               renderPartition(d), d.recordCount, d.fileSizeInBytes,

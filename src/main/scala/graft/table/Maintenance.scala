@@ -169,7 +169,15 @@ object Maintenance {
     val current = table.entries(snap,
         manifestFilter = ml => ml.content == 0 && ml.partitionSpecId == m.defaultSpecId)
       .filter(_.dataFile.content == ContentData)
-    val toRewrite: Seq[ManifestEntry] = current.groupBy(_.dataFile.partition).values
+    // group key normalizes binary partition values: Array[Byte] compares by
+    // reference, which would split equal partitions into singleton groups
+    // and silently binpack nothing
+    def partKey(e: ManifestEntry): Seq[(String, Any)] =
+      e.dataFile.partition.map {
+        case (k, v: Array[Byte]) => (k, v.toSeq)
+        case kv => kv
+      }
+    val toRewrite: Seq[ManifestEntry] = current.groupBy(partKey).values
       .flatMap { es =>
         val small = es.filter(_.dataFile.fileSizeInBytes < targetSizeBytes)
         if (small.size >= minInputFiles) small else Nil

@@ -391,14 +391,17 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     assert(entries.count(_._1 == 1) == 1, entries.mkString(","))
     assert(entries.filter(_._1 == 1).head._2 > entries.filter(_._1 == 0).map(_._2).max)
-    // all_data_files spans every snapshot: snapshot 1 references 1 file,
-    // snapshot 2 references 2, snapshot 3 (the delete) re-references both
-    // data files plus the delete file — rows accumulate per reference
+    // all_data_files spans every snapshot (DATA files only): snapshot 1
+    // references 1 file, snapshot 2 and the delete snapshot reference 2;
+    // the delete file itself lives in all_delete_files / all_files
     val all = spark.sql(
       """SELECT reference_snapshot_id, count(*) AS n
         |FROM graft.db.meta.all_data_files GROUP BY 1 ORDER BY n""".stripMargin)
       .collect().map(_.getLong(1))
-    assert(all.toSeq == Seq(1L, 2L, 3L), all.mkString(","))
+    assert(all.toSeq == Seq(1L, 2L, 2L), all.mkString(","))
+    assert(spark.sql("SELECT count(*) FROM graft.db.meta.all_delete_files")
+      .head().getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM graft.db.meta.all_files").head().getLong(0) == 6)
     assert(spark.sql("SELECT count(DISTINCT path) FROM graft.db.meta.all_manifests")
       .head().getLong(0) >=
       spark.sql("SELECT count(*) FROM graft.db.meta.manifests").head().getLong(0))
@@ -436,6 +439,14 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a second run is a no-op (nothing left to binpack)
     val r2 = spark.sql("CALL graft.system.rewrite_data_files(`table` => 'db.binp')").head()
     assert(r2.getLong(0) == 2 && r2.getLong(1) == 2, s"idempotent summary: $r2")
+    // CDC across the rewrite window is NET EMPTY: the rewritten files enter
+    // at a new sequence number but carry only old rows — the changelog must
+    // not re-emit them as inserts (the append-only fast path is op-gated)
+    spark.sql(
+      s"""CALL graft.system.create_changelog_view(`table` => 'db.binp',
+         |after_snapshot_id => $preSnap, view_name => 'binp_w')""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM binp_w").head().getLong(0) == 0,
+      "binpack rewrite must produce no changelog events")
     // MoR tables refuse (deletes must be folded by full compact first)
     spark.sql("DELETE FROM graft.db.binp WHERE k = 2")
     val e = intercept[Exception](
@@ -709,6 +720,13 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       cat.updateTable(graft.catalog.CommitTable(t.ident,
         Seq(graft.catalog.TableRequirement.AssertRefSnapshotId("123", None)),
         Seq(graft.catalog.TableUpdate.SetSnapshotRef("123", m.currentSnapshotId.get, "tag"))))
+    }
+    // a ref can never dangle: pointing at a snapshot that does not exist
+    // (e.g. concurrently expired) conflicts at apply time
+    intercept[graft.catalog.CommitConflictException] {
+      cat.updateTable(graft.catalog.CommitTable(t.ident,
+        Seq(graft.catalog.TableRequirement.AssertRefSnapshotId("ghost", None)),
+        Seq(graft.catalog.TableUpdate.SetSnapshotRef("ghost", 987654321L, "tag"))))
     }
     spark.sql("DROP TABLE graft.db.refproc")
   }

@@ -101,6 +101,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1.getBoolean(5), "stuffed doc must flag repetitive")
     val r2 = got(1)
     assert(r2.getDouble(3) == 0.0 && r2.getDouble(4) == 0.0 && !r2.getBoolean(5))
+    // zero-token documents: defined fractions (0.0) and a non-null flag —
+    // a null would silently vanish from both keep and drop filters
+    val empty = graft.pipeline.TextOps.repetitionStats(
+      docs(9L -> ""), "doc_id", "text").collect().head
+    assert(empty.getLong(1) == 0L && empty.getDouble(2) == 0.0 && !empty.getBoolean(5))
   }
 
   test("jaccard verify computes exact overlap") {

@@ -256,7 +256,7 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     // one propagation round's plan shape, on a toy edge set: equi-join on
     // the node id + one aggregate — no cartesian, no nested-loop
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
-    val plan = physicalPlan(graft.pipeline.Dedup.dupClusters(pairs, maxIters = 2))
+    val plan = physicalPlan(graft.pipeline.Dedup.dupClusters(pairs, maxIters = 5))
     assert(!plan.contains("CartesianProduct"), s"clustering went all-pairs:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"non-equi join crept in:\n$plan")
     // localCheckpoint truncation: the returned plan must be a flat scan of
