@@ -160,6 +160,38 @@ object Dedup {
     jaccardVerify(shSets, cand, idCol).filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup detection: probes a NEW batch of documents
+    * against an existing corpus — the per-ingest shape of dedup at scale,
+    * where re-pairing the whole corpus for every arriving batch would be
+    * O(corpus) per batch instead of O(batch). Candidates come from the LSH
+    * band equi-join between the batch's signatures and the corpus's (in a
+    * standing pipeline the corpus side is precomputed once and stored);
+    * exact Jaccard verifies survivors only. Returns (id_new, dup_of,
+    * jaccard ≥ threshold): the batch rows to drop and what they duplicate.
+    * Batch and corpus ids must be disjoint. */
+  def probeNearDups(newDf: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+                    shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                    threshold: Double = 0.5): DataFrame = {
+    val par = newDf.sparkSession.sessionState.conf.numShufflePartitions
+    def bandsOf(df: DataFrame): DataFrame =
+      lshBands(minhashSignatures(
+        shinglesRaw(df.repartition(par), idCol, textCol, shingleSize), idCol, numHashes),
+        idCol, numHashes, bands)
+    val nb = bandsOf(newDf)
+    val cb = bandsOf(corpus)
+    val cand = nb.select(col("band"), col("sig"), col(idCol).as("id_a"))
+      .join(cb.select(col("band"), col("sig"), col(idCol).as("id_b")), Seq("band", "sig"))
+      .select(col("id_a"), col("id_b")).distinct().cache()
+    val candDocs = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol))).distinct()
+    val survivors = newDf.unionByName(corpus)
+      .join(broadcast(candDocs), Seq(idCol), "left_semi")
+    val shSets = shinglesRaw(survivors.repartition(par), idCol, textCol, shingleSize)
+      .distinct().cache()
+    jaccardVerify(shSets, cand, idCol).filter(col("jaccard") >= threshold)
+      .select(col("id_a").as("id_new"), col("id_b").as("dup_of"), col("jaccard"))
+  }
+
   /** Groups near-duplicate PAIRS into duplicate CLUSTERS (connected
     * components): cluster id = the minimum doc id transitively reachable
     * through the pair graph, so "A≈B, B≈C" collapses to one keep-one-drop-

@@ -222,7 +222,18 @@ object PipelineQueries {
     "q50_profile" -> ((s, d) =>
       graft.pipeline.Profile.profile(Tables.documents(s, d),
         Seq("doc_id", "lang", "source", "n_chars"))
-        .orderBy("column_name"))
+        .orderBy("column_name")),
+
+    // Incremental dedup: a simulated arriving batch (doc_id % 10 == 7)
+    // probes the existing corpus via the LSH band join — O(batch) work per
+    // ingest, never a corpus re-pair.
+    "q51_probe_neardups" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.probeNearDups(
+        docs.filter(col("doc_id") % 10 === 7),
+        docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", threshold = 0.5)
+        .orderBy("id_new", "dup_of")
+    })
   )
 
   private val tokCte =
@@ -239,7 +250,9 @@ object PipelineQueries {
     * q47's recursive connected-components clustering builds on. The
     * (a, b) permutation constants are [[graft.pipeline.Dedup.permA]]/
     * [[Dedup.permB]] inlined as literals — identical to the Spark plan. */
-  private lazy val minhashPairCtes =
+  /** Shared signature chain: tokens → shingles → permuted minhashes →
+    * LSH bands (+ per-doc shingle counts). */
+  private lazy val minhashSigCtes =
     s"""$tokCte,
       |$shingleCte,
       |perm(h, a, b) AS (VALUES ${(0 until 16).map(h =>
@@ -252,10 +265,13 @@ object PipelineQueries {
       |bands AS (
       |  SELECT doc_id, h // 4 AS band, md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY h)) AS sig
       |  FROM hashed GROUP BY doc_id, h // 4),
+      |counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id)""".stripMargin
+
+  private lazy val minhashPairCtes =
+    s"""$minhashSigCtes,
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-      |counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
       |inter AS (
       |  SELECT c.id_a, c.id_b, count(*) AS i
       |  FROM cand c JOIN shingles sa ON sa.doc_id = c.id_a
@@ -568,6 +584,26 @@ object PipelineQueries {
         |SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars),
         |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
         |FROM documents
-        |ORDER BY column_name""".stripMargin
+        |ORDER BY column_name""".stripMargin,
+
+    "q51_probe_neardups" ->
+      s"""WITH $minhashSigCtes,
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS dup_of
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+        |inter AS (
+        |  SELECT c.id_new, c.dup_of, count(*) AS i
+        |  FROM cand c JOIN shingles sa ON sa.doc_id = c.id_new
+        |    JOIN shingles sb ON sb.doc_id = c.dup_of AND sb.sh = sa.sh
+        |  GROUP BY c.id_new, c.dup_of)
+        |SELECT c.id_new, c.dup_of,
+        |  coalesce(i.i, 0) * 1.0 / (ca.n_sh + cb.n_sh - coalesce(i.i, 0)) AS jaccard
+        |FROM cand c
+        |LEFT JOIN inter i ON i.id_new = c.id_new AND i.dup_of = c.dup_of
+        |JOIN counts ca ON ca.doc_id = c.id_new
+        |JOIN counts cb ON cb.doc_id = c.dup_of
+        |WHERE coalesce(i.i, 0) * 1.0 / (ca.n_sh + cb.n_sh - coalesce(i.i, 0)) >= 0.5
+        |ORDER BY c.id_new, c.dup_of""".stripMargin
   )
 }

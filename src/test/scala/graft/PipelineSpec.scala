@@ -78,6 +78,20 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!srcs.contains("junk"))
   }
 
+  test("probe dedup flags batch docs duplicating the corpus, not corpus pairs") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 28).map(i => s"tok$i") ++ Seq("other", "words")).mkString(" ")
+    // corpus contains TWO near-identical docs (1, 2) — an intra-corpus pair
+    // that the probe must NOT report; batch doc 100 duplicates them
+    val corpus = docs(1L -> base, 2L -> nearDup, 3L -> "z q j w unrelated text entirely")
+    val batch = docs(100L -> base, 101L -> "completely fresh content here")
+    val got = Dedup.probeNearDups(batch, corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((100L, 1L)), got)
+    assert(got.forall(_._1 >= 100L), s"only batch ids may appear as id_new: $got")
+    assert(!got.exists(_._1 == 101L), s"fresh doc must not match: $got")
+  }
+
   test("dup clusters collapse transitive pair chains to min-id components") {
     import spark.implicits._
     // chain 1-2, 2-3, 3-4 (diameter 3: needs real propagation, not one hop)
