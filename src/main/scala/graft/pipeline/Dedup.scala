@@ -145,8 +145,7 @@ object Dedup {
     // splits would otherwise run the whole shingle+hash kernel in one task.
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
     val spread = df.repartition(par)
-    val raw = shinglesRaw(spread, idCol, textCol, shingleSize)
-    val banded = lshBands(minhashSignatures(raw, idCol, numHashes), idCol, numHashes, bands).cache()
+    val banded = bandChain(df, idCol, textCol, shingleSize, numHashes, bands).cache()
     val cand = lshCandidates(banded, idCol).cache()
     val candDocs = cand.select(col("id_a").as(idCol))
       .union(cand.select(col("id_b").as(idCol))).distinct()
@@ -160,34 +159,79 @@ object Dedup {
     jaccardVerify(shSets, cand, idCol).filter(col("jaccard") >= threshold)
   }
 
+  /** The shingle → minhash → LSH-band chain for one document set: the
+    * signature computation shared by whole-corpus pairing
+    * ([[minhashNearDups]]) and incremental probing ([[probeNearDups]]).
+    * Spread first: a corpus arriving as few parquet splits would otherwise
+    * run the whole shingle+hash kernel in one task. */
+  private def bandChain(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
+    val par = df.sparkSession.sessionState.conf.numShufflePartitions
+    lshBands(minhashSignatures(
+      shinglesRaw(df.repartition(par), idCol, textCol, shingleSize), idCol, numHashes),
+      idCol, numHashes, bands)
+  }
+
+  /** Precomputed corpus side of incremental dedup: band signatures (the
+    * candidate-join key) and distinct shingle sets (the verify side). Build
+    * once, store/cache, then probe every arriving batch against it —
+    * per-ingest work becomes O(batch). */
+  final case class NearDupIndex(bands: DataFrame, shingleSets: DataFrame)
+
+  def buildNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 16,
+                        bands: Int = 4): NearDupIndex = {
+    val par = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    NearDupIndex(
+      bandChain(corpus, idCol, textCol, shingleSize, numHashes, bands),
+      shinglesRaw(corpus.repartition(par), idCol, textCol, shingleSize).distinct())
+  }
+
   /** Incremental near-dup detection: probes a NEW batch of documents
-    * against an existing corpus — the per-ingest shape of dedup at scale,
-    * where re-pairing the whole corpus for every arriving batch would be
-    * O(corpus) per batch instead of O(batch). Candidates come from the LSH
-    * band equi-join between the batch's signatures and the corpus's (in a
-    * standing pipeline the corpus side is precomputed once and stored);
-    * exact Jaccard verifies survivors only. Returns (id_new, dup_of,
-    * jaccard ≥ threshold): the batch rows to drop and what they duplicate.
-    * Batch and corpus ids must be disjoint. */
+    * against an existing corpus — the per-ingest shape of dedup at scale.
+    * Candidates come from the LSH band equi-join between the batch's
+    * signatures and the index's; exact Jaccard verifies survivors only.
+    * Returns (id_new, dup_of, jaccard ≥ threshold): the batch rows to drop
+    * and what they duplicate. Batch and corpus ids must be DISJOINT — an
+    * overlapping id would merge two different documents' shingle sets into
+    * one, silently corrupting every Jaccard it touches, so the convenience
+    * overload fails fast instead (the indexed variant trusts the caller:
+    * the index does not retain raw ids to check against cheaply). */
   def probeNearDups(newDf: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
                     shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
                     threshold: Double = 0.5): DataFrame = {
+    require(newDf.select(col(idCol))
+      .join(corpus.select(col(idCol)), Seq(idCol), "left_semi").isEmpty,
+      "probeNearDups: batch and corpus ids overlap — re-ingested ids would " +
+        "merge two documents' shingle sets and corrupt the Jaccard scores")
+    probeNearDupsIndexed(newDf,
+      buildNearDupIndex(corpus, idCol, textCol, shingleSize, numHashes, bands),
+      idCol, textCol, shingleSize, numHashes, bands, threshold)
+  }
+
+  /** [[probeNearDups]] against a prebuilt [[NearDupIndex]] — the standing-
+    * pipeline entry point where the corpus side is computed ONCE: each call
+    * pays the batch's signature chain plus survivor verification only. */
+  def probeNearDupsIndexed(newDf: DataFrame, index: NearDupIndex,
+                           idCol: String, textCol: String,
+                           shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                           threshold: Double = 0.5): DataFrame = {
     val par = newDf.sparkSession.sessionState.conf.numShufflePartitions
-    def bandsOf(df: DataFrame): DataFrame =
-      lshBands(minhashSignatures(
-        shinglesRaw(df.repartition(par), idCol, textCol, shingleSize), idCol, numHashes),
-        idCol, numHashes, bands)
-    val nb = bandsOf(newDf)
-    val cb = bandsOf(corpus)
+    val nb = bandChain(newDf, idCol, textCol, shingleSize, numHashes, bands)
     val cand = nb.select(col("band"), col("sig"), col(idCol).as("id_a"))
-      .join(cb.select(col("band"), col("sig"), col(idCol).as("id_b")), Seq("band", "sig"))
+      .join(index.bands.select(col("band"), col("sig"), col(idCol).as("id_b")),
+        Seq("band", "sig"))
       .select(col("id_a"), col("id_b")).distinct().cache()
-    val candDocs = cand.select(col("id_a").as(idCol))
-      .union(cand.select(col("id_b").as(idCol))).distinct()
-    val survivors = newDf.unionByName(corpus)
-      .join(broadcast(candDocs), Seq(idCol), "left_semi")
-    val shSets = shinglesRaw(survivors.repartition(par), idCol, textCol, shingleSize)
-      .distinct().cache()
+    // verify shingles: the batch side re-shingles its survivors (semi-join
+    // first — the semi-join cannot push through the shingle explode); the
+    // corpus side reads the INDEX, restricted to surviving ids
+    val newSurvivors = newDf.join(
+      broadcast(cand.select(col("id_a").as(idCol)).distinct()), Seq(idCol), "left_semi")
+    val newSh = shinglesRaw(newSurvivors.repartition(par), idCol, textCol, shingleSize)
+      .distinct()
+    val corpusSh = index.shingleSets.join(
+      broadcast(cand.select(col("id_b").as(idCol)).distinct()), Seq(idCol), "left_semi")
+    val shSets = newSh.unionByName(corpusSh).cache()
     jaccardVerify(shSets, cand, idCol).filter(col("jaccard") >= threshold)
       .select(col("id_a").as("id_new"), col("id_b").as("dup_of"), col("jaccard"))
   }

@@ -236,8 +236,12 @@ object PipelineQueries {
     })
   )
 
+  // mirrors TextOps.tokens EXACTLY (lowercase, empty tokens dropped): the
+  // shingle-based oracles must agree with Spark on ANY input, not just the
+  // single-space lowercase testdata
   private val tokCte =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"""
+    """toks AS (SELECT doc_id,
+      |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents)""".stripMargin
 
   private val shingleCte =
     """shingles AS (
@@ -245,13 +249,10 @@ object PipelineQueries {
       |  FROM toks, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)
       |)""".stripMargin
 
-  /** The full minhash near-dup pipeline as a CTE chain ending in `pairs`
-    * (id_a, id_b, jaccard ≥ 0.5) — the oracle for q24, and the pair input
-    * q47's recursive connected-components clustering builds on. The
-    * (a, b) permutation constants are [[graft.pipeline.Dedup.permA]]/
-    * [[Dedup.permB]] inlined as literals — identical to the Spark plan. */
   /** Shared signature chain: tokens → shingles → permuted minhashes →
-    * LSH bands (+ per-doc shingle counts). */
+    * LSH bands (+ per-doc shingle counts). The (a, b) permutation constants
+    * are [[graft.pipeline.Dedup.permA]]/[[Dedup.permB]] inlined as
+    * literals — identical to the Spark plan. */
   private lazy val minhashSigCtes =
     s"""$tokCte,
       |$shingleCte,
@@ -267,6 +268,10 @@ object PipelineQueries {
       |  FROM hashed GROUP BY doc_id, h // 4),
       |counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id)""".stripMargin
 
+  /** The full whole-corpus near-dup pipeline as a CTE chain ending in
+    * `pairs` (id_a < id_b, jaccard ≥ 0.5) — the oracle for q24, and the
+    * pair input q47's recursive connected-components clustering builds
+    * on. */
   private lazy val minhashPairCtes =
     s"""$minhashSigCtes,
       |cand AS (
@@ -299,7 +304,8 @@ object PipelineQueries {
         |  ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),('de','von'),('de','mit'),('de','ein'),
         |  ('es','el'),('es','la'),('es','de'),('es','y'),('es','en'),('es','es'),('es','un'),('es','por'),
         |  ('fr','le'),('fr','la'),('fr','et'),('fr','les'),('fr','des'),('fr','en'),('fr','un'),('fr','est')),
-        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok FROM documents),
         |votes AS (
         |  SELECT doc_id, cand_lang, count(*) AS hits
         |  FROM toks JOIN profiles ON tok = word GROUP BY doc_id, cand_lang),
@@ -324,7 +330,8 @@ object PipelineQueries {
       s"""WITH $minhashPairCtes
         |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin,
     "q25_simhash" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok FROM documents),
         |bits AS (
         |  SELECT doc_id, b,
         |    sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), b // 4 + 1, 1)) - 1)
@@ -427,7 +434,8 @@ object PipelineQueries {
         |SELECT doc_id, ttr * 50.0 + least(n_tokens / 4.0, 25.0) + least(mean_tok_len * 5.0, 25.0) AS quality
         |FROM stats ORDER BY doc_id""".stripMargin,
     "q35_simhash64" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok FROM documents),
         |bits AS (
         |  SELECT doc_id, b,
         |    sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), b // 4 + 1, 1)) - 1)
