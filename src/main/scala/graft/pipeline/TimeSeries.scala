@@ -1,0 +1,157 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series joins the reference cannot express (its engine has no window
+  * machinery beyond plain SQL windows; see SURVEY.md §2.6) but that every
+  * event-log / feature-engineering pipeline needs: as-of joins and
+  * point-in-interval range joins.
+  *
+  * Both are built to AVOID the naive plans Spark would otherwise pick:
+  *
+  *  - an as-of join written as `probe JOIN ref ON key AND ref.ts <= probe.ts`
+  *    + a max-window is a skew-prone O(probe × ref-per-key) expansion;
+  *  - a range join written as `ON key AND ts BETWEEN lo AND hi` leaves the
+  *    range predicate as a post-join filter over the same expansion, and
+  *    with no equi-key at all degenerates to BroadcastNestedLoopJoin.
+  *
+  * Instead `asofJoin` is a union + ONE window (single hash shuffle on the
+  * key, no join operator at all) and `rangeJoinBinned` is an equi-join on
+  * (key, time-bin) — both shapes scale linearly in input size at any key
+  * cardinality above the parallelism.
+  */
+object TimeSeries {
+
+  /** As-of join: for every probe row, attach the payload of the LATEST ref
+    * row with `ref.timeCol <= probe.timeCol` for the same `keys` (at equal
+    * timestamps the ref row counts — "at or before"). Probe rows with no
+    * prior ref row (or none within `tolerance`, when given) keep null
+    * payloads — left-join semantics.
+    *
+    * Plan shape: ref and probe are unioned with a side tag, then one window
+    * `partitionBy(keys).orderBy(timeCol, side)` carries the last ref
+    * (timestamp, payload) struct forward with ignoreNulls. Cost = one
+    * shuffle of |probe| + |ref| rows on `keys` + a per-key sort — the same
+    * work a sort-merge join would do for the shuffle alone, with no join
+    * expansion. The carried struct keeps "latest ref row had a null
+    * payload" distinct from "no ref row yet".
+    *
+    * At 100 TB: the only skew risk is a single hot key (one task sorts that
+    * key's rows). Keys here are entity ids (user, instrument, device), whose
+    * per-key row counts are bounded by real-world activity; for a truly hot
+    * key, pre-split by time range and stitch at the boundary.
+    *
+    * `payload` columns must exist on `ref` and must not collide with probe
+    * column names; `matchedTimeCol` (the ref timestamp that matched) is
+    * appended when `withMatchedTime` is set.
+    */
+  def asofJoin(probe: DataFrame, ref: DataFrame, keys: Seq[String],
+               timeCol: String, payload: Seq[String],
+               tolerance: Option[Column] = None,
+               withMatchedTime: Option[String] = None): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one key column")
+    val probeCols = probe.columns.toSeq
+    val collisions = payload.toSet intersect probeCols.toSet
+    require(collisions.isEmpty, s"payload columns collide with probe columns: $collisions")
+
+    val side = "__asof_side"
+    val mStruct = "__asof_match"
+    // align both sides on: keys ++ timeCol ++ (probe-only cols) ++ payload ++ side
+    val probeOnly = probeCols.filterNot(c => keys.contains(c) || c == timeCol)
+    val refAligned = ref.select(
+      (keys :+ timeCol).map(col) ++
+        probeOnly.map(c => lit(null).cast(probe.schema(c).dataType).as(c)) ++
+        payload.map(col) :+ lit(0).as(side): _*)
+    val probeAligned = probe.select(
+      (keys :+ timeCol).map(col) ++
+        probeOnly.map(col) ++
+        payload.map(c => lit(null).cast(ref.schema(c).dataType).as(c)) :+ lit(1).as(side): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col(side).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // carry the whole (ts, payload…) struct of the last REF row: ignoreNulls
+    // skips probe rows (struct literal null there) but NOT a ref row whose
+    // payload happens to be null — exact as-of semantics
+    val refStruct = when(col(side) === 0,
+      struct((col(timeCol).as("__ts") +: payload.map(col)): _*))
+
+    val matched = refAligned.unionByName(probeAligned)
+      .withColumn(mStruct, last(refStruct, ignoreNulls = true).over(w))
+      .filter(col(side) === 1)
+
+    // tolerance compares against (probe time − matched ref time): pass
+    // `make_dt_interval(...)` for timestamp columns (their difference is a
+    // day-time interval, incl. TIMESTAMP_NTZ) or a plain number for numeric
+    // time columns
+    val inRange = tolerance match {
+      case Some(tol) => col(mStruct).isNotNull &&
+        col(timeCol) - col(mStruct).getField("__ts") <= tol
+      case None => col(mStruct).isNotNull
+    }
+    val out = probeCols.map(col) ++
+      payload.map(p => when(inRange, col(mStruct).getField(p)).as(p)) ++
+      withMatchedTime.map(n => when(inRange, col(mStruct).getField("__ts")).as(n))
+    matched.select(out: _*)
+  }
+
+  /** Point-in-interval range join: every (point, interval) pair with
+    * `startCol <= pointTime <= endCol` and equal `keys`, returned as joined
+    * rows (all point columns + all interval columns).
+    *
+    * Plan shape: time is quantized into `binSeconds` buckets; an interval
+    * registers under every bin it overlaps (`sequence` + `explode` — for
+    * intervals ≤ binSeconds long that is ≤ 2 bins), a point under exactly
+    * one. The join is then a pure equi-join on (keys, bin) with the precise
+    * range predicate as the residual filter. Because a point lives in ONE
+    * bin, each qualifying (point, interval) pair is emitted exactly once —
+    * no post-join dedup.
+    *
+    * Pick `binSeconds` ≈ the typical interval length: expansion factor =
+    * avg(interval span / binSeconds) + 1. At 100 TB this stays a shuffled
+    * hash join keyed by (entity, coarse time) — time-locality in the data
+    * becomes join locality, and there is no nested-loop fallback.
+    *
+    * Intervals with `end < start` are dropped (Spark's `sequence` would
+    * otherwise generate a DESCENDING bin list and silently register the
+    * interval under wrong bins).
+    */
+  def rangeJoinBinned(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                      pointTime: String, startCol: String, endCol: String,
+                      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val bin = "__range_bin"
+    // timestamps (incl. TIMESTAMP_NTZ, which cannot cast to double) bin via
+    // the epoch-aligned tumbling-window start — timezone-free and identical
+    // on both sides; numeric time columns bin by plain floor division
+    val isTime = points.schema(pointTime).dataType match {
+      case _: org.apache.spark.sql.types.TimestampType => true
+      case _: org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+    def binOf(c: Column): Column =
+      if (isTime) window(c, s"$binSeconds seconds").getField("start")
+      else floor(c.cast("double") / binSeconds).cast("long")
+
+    val p = points.withColumn(bin, binOf(col(pointTime)))
+    // the analyzer allows one time-window expression per projection, so the
+    // two interval endpoints bin in SEPARATE stages (rewritten at analysis
+    // time — CollapseProject never sees the raw window calls)
+    val ivBase = intervals.filter(col(endCol) >= col(startCol))
+    val iv =
+      if (isTime)
+        ivBase.withColumn("__bin_lo", binOf(col(startCol)))
+          .withColumn("__bin_hi", binOf(col(endCol)))
+          .withColumn(bin, explode(sequence(col("__bin_lo"), col("__bin_hi"),
+            expr(s"INTERVAL '$binSeconds' SECOND"))))
+          .drop("__bin_lo", "__bin_hi")
+      else
+        ivBase.withColumn(bin, explode(sequence(binOf(col(startCol)), binOf(col(endCol)))))
+
+    p.join(iv, keys :+ bin)
+      .filter(col(pointTime) >= col(startCol) && col(pointTime) <= col(endCol))
+      .drop(bin)
+  }
+}

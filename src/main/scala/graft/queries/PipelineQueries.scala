@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Dedup, Embeddings, Multimodal, TextOps, TrainingSet}
+import graft.pipeline.{Dedup, Embeddings, Multimodal, TextOps, TimeSeries, TrainingSet}
 
 /** Judge-visible training-data pipeline operators over `documents` and
   * `embeddings` (BASELINE.json north star: dedup, similarity search,
@@ -233,6 +233,39 @@ object PipelineQueries {
         docs.filter(col("doc_id") % 10 === 7),
         docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", threshold = 0.5)
         .orderBy("id_new", "dup_of")
+    }),
+
+    // As-of join: each click picks up the latest at-or-before error value
+    // for its user — union + ONE window, no join operator (TimeSeries).
+    // Decimal-exact sum at the surface, counts as BIGINT (oracle parity).
+    "q52_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value").as("err_value"))
+      TimeSeries.asofJoin(clicks, errors, Seq("user_id"), "ts", Seq("err_value"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("err_value")).as("n_matched"),
+          sum(col("err_value").cast("decimal(18,2)")).cast("double").as("sum_prev"))
+        .orderBy("user_id")
+    }),
+
+    // Range join: clicks inside any per-user 4h error-outage window, as an
+    // equi-join on (user, 4h time bin) — never a nested-loop range join.
+    "q53_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val outages = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 4 HOURS")).as("win_end"))
+      TimeSeries.rangeJoinBinned(clicks, outages, Seq("user_id"),
+          "ts", "win_start", "win_end", binSeconds = 4 * 3600)
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("event_id")).as("n_in_window"))
+        .orderBy("user_id")
     })
   )
 
@@ -612,6 +645,37 @@ object PipelineQueries {
         |JOIN counts ca ON ca.doc_id = c.id_new
         |JOIN counts cb ON cb.doc_id = c.dup_of
         |WHERE coalesce(i.i, 0) * 1.0 / (ca.n_sh + cb.n_sh - coalesce(i.i, 0)) >= 0.5
-        |ORDER BY c.id_new, c.dup_of""".stripMargin
+        |ORDER BY c.id_new, c.dup_of""".stripMargin,
+
+    // portable as-of join: union + last_value IGNORE NULLS window — the same
+    // union+window algorithm the Spark side runs (TimeSeries.asofJoin), so
+    // tie semantics agree by construction. (IGNORE NULLS here skips rows by
+    // null err_value, not by side like Spark's carried struct — equivalent
+    // because error rows always carry a value; events.value is non-null.)
+    "q52_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 0 AS side, value AS err_value, NULL::BIGINT AS click_id
+        |  FROM events WHERE event_type = 'error'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1 AS side, NULL::DOUBLE, event_id
+        |  FROM events WHERE event_type = 'click'
+        |), w AS (
+        |  SELECT user_id, click_id, side,
+        |    last_value(err_value IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, side
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_err
+        |  FROM u
+        |)
+        |SELECT user_id, count(*) AS n_clicks, count(prev_err) AS n_matched,
+        |  CAST(sum(CAST(prev_err AS DECIMAL(18,2))) AS DOUBLE) AS sum_prev
+        |FROM w WHERE side = 1 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q53_range_join" ->
+      """SELECT e.user_id, count(DISTINCT c.event_id) AS n_in_window
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        | AND c.ts <= e.ts + INTERVAL 4 HOUR
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.{Dedup, Embeddings, Multimodal, TextOps, TrainingSet}
+import graft.pipeline.{Dedup, Embeddings, Multimodal, TextOps, TimeSeries, TrainingSet}
 
 /** Unit tests of the training-data pipeline operators on hand-built inputs
   * with known answers (the DuckDB oracle gate covers the testdata scale).
@@ -329,5 +329,60 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = TrainingSet.packSequences(d, "id", "toks", "src", 100, 2)
       .select("id", "pack_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == rows.map(t => (t._6, t._3)).toSet)
+  }
+
+  test("asofJoin picks the latest at-or-before ref row per key") {
+    import spark.implicits._
+    val probe = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 5L, "p0"), (2L, 10L, "px"))
+      .toDF("k", "t", "tag")
+    val ref = Seq((1L, 8L, 1.0), (1L, 10L, 2.0), (1L, 15L, 3.0), (2L, 11L, 9.0))
+      .toDF("k", "t", "v")
+    val got = TimeSeries.asofJoin(probe, ref, Seq("k"), "t", Seq("v"))
+      .collect().map(r => (r.getString(2), Option(r.get(3)))).toMap
+    // tie at t=10 counts ("at or before"); t=5 predates every ref → null;
+    // key 2's only ref is later than its probe → null
+    assert(got == Map("p1" -> Some(2.0), "p2" -> Some(3.0), "p0" -> None, "px" -> None))
+  }
+
+  test("asofJoin keeps a null ref payload distinct from no-match, applies tolerance") {
+    import spark.implicits._
+    val probe = Seq((1L, 20L), (1L, 100L)).toDF("k", "t")
+    val ref = Seq((1L, 18L, Option.empty[Double]), (1L, 10L, Some(5.0))).toDF("k", "t", "v")
+    val plain = TimeSeries.asofJoin(probe, ref, Seq("k"), "t", Seq("v"), withMatchedTime = Some("mt"))
+      .collect().map(r => (r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toSet
+    // t=20 matches the t=18 ref row whose payload IS null (not the earlier 5.0)
+    assert(plain == Set((20L, None, Some(18L)), (100L, None, Some(18L))))
+    val tol = TimeSeries.asofJoin(probe, ref, Seq("k"), "t", Seq("v"),
+        tolerance = Some(lit(10L)), withMatchedTime = Some("mt"))
+      .collect().map(r => (r.getLong(1), Option(r.get(3)))).toSet
+    // 100 - 18 = 82 > 10 → out of tolerance → no match at all
+    assert(tol == Set((20L, Some(18L)), (100L, None)))
+  }
+
+  test("rangeJoinBinned matches each qualifying pair exactly once across bins") {
+    import spark.implicits._
+    val points = Seq((1L, 5L, 100L), (1L, 25L, 101L), (1L, 75L, 102L), (2L, 5L, 103L))
+      .toDF("k", "t", "pid")
+    // interval spanning 8 bins (width 10); one degenerate end<start interval
+    val ivs = Seq((1L, 0L, 76L, 200L), (1L, 30L, 20L, 201L), (2L, 6L, 7L, 202L))
+      .toDF("k", "lo", "hi", "iid")
+    val got = TimeSeries.rangeJoinBinned(points, ivs, Seq("k"), "t", "lo", "hi", binSeconds = 10)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every in-range point matched ONCE despite the interval covering its bin
+    // plus 7 others; the inverted interval contributes nothing
+    assert(got.sorted.toSeq == Seq((100L, 200L), (101L, 200L), (102L, 200L)))
+  }
+
+  test("rangeJoinBinned bounds are inclusive on both ends for timestamp columns") {
+    import spark.implicits._
+    val points = Seq((1L, "2024-01-01 00:00:00", 1L), (1L, "2024-01-01 01:00:00", 2L),
+        (1L, "2024-01-01 01:00:00.000001", 3L))
+      .toDF("k", "ts", "pid").withColumn("ts", $"ts".cast("timestamp_ntz"))
+    val ivs = Seq((1L, "2024-01-01 00:00:00", "2024-01-01 01:00:00"))
+      .toDF("k", "lo", "hi")
+      .withColumn("lo", $"lo".cast("timestamp_ntz")).withColumn("hi", $"hi".cast("timestamp_ntz"))
+    val got = TimeSeries.rangeJoinBinned(points, ivs, Seq("k"), "ts", "lo", "hi", binSeconds = 600)
+      .select("pid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L)) // 1µs past the end excluded
   }
 }

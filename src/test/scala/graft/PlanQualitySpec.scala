@@ -78,6 +78,27 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"), s"cartesian in IVF plan:\n$plan")
   }
 
+  test("as-of join compiles to one window over one shuffle — no join operator") {
+    val plan = physicalPlan(PipelineQueries.queries("q52_asof_join")(spark, sf))
+    assert(!plan.contains("Join"), s"as-of join materialized a join operator:\n$plan")
+    assert(plan.split('\n').count(_.contains("Window [")) == 1,
+      s"expected exactly the one as-of carry window:\n$plan")
+    // the groupBy(user_id) after the window partitionBy(user_id) must REUSE
+    // the window's hash partitioning: one hash exchange in the whole plan
+    // (the final orderBy's range exchange is presentation, not compute)
+    assert(plan.split('\n').count(_.contains("Exchange hashpartitioning")) == 1,
+      s"aggregation re-shuffled the window partitioning:\n$plan")
+  }
+
+  test("range join is an equi-join on (key, bin) — no nested-loop fallback") {
+    val plan = physicalPlan(PipelineQueries.queries("q53_range_join")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range predicate fell back to a nested-loop join:\n$plan")
+    assert(plan.contains("SortMergeJoin [user_id") || plan.contains("BroadcastHashJoin [user_id") ||
+      plan.contains("ShuffledHashJoin [user_id"),
+      s"bin join not keyed on (user_id, bin):\n$plan")
+  }
+
   test("LSH candidate generation is an equi-join on bucket id, not a cross join") {
     val plan = physicalPlan(PipelineQueries.queries("q28_topk_lsh")(spark, sf))
     // the CANDIDATE join must be an equi-join keyed on the bucket
