@@ -248,6 +248,36 @@ object Embeddings {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus into IVF Voronoi cells, then mark
+    * as duplicates all but the lowest-id member of every within-cell group
+    * whose pairwise cosine reaches `threshold`. Returns the DROPPED rows:
+    * (id, cell, dup_of = lowest earlier same-cell near-dup, max_cos).
+    *
+    * Scale shape: cell assignment is the same per-row argmin over inlined
+    * centroid literals as [[ivfTopK]] (zero shuffle), and the pair join is
+    * an equi-join on cell id. Cost is Σ|cell|², so `cells` must grow with
+    * the corpus to bound cell size (SemDeDup uses ~10⁵ clusters at
+    * billion-scale); cross-cell near-dups are the standard recall trade —
+    * semantically-placed cells miss fewer of them than random LSH buckets.
+    */
+  def semanticDedup(prepared: DataFrame, idCol: String, cells: Int,
+                    threshold: Double): DataFrame = {
+    val cents = sampleCentroids(prepared, idCol, cells)
+    // both join sides read the assignment — cache, like the LSH/IVF paths
+    val assigned = prepared
+      .withColumn("cell", element_at(rankedCellsExpr(cents), 1).getField("c"))
+      .cache()
+    val a = assigned.select(col(idCol).as("id_a"), col("cell"), col("q").as("qa"), col("n2").as("na"))
+    val b = assigned.select(col(idCol).as("id_b"), col("cell"), col("q").as("qb"), col("n2").as("nb"))
+    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .select(col("id_b").as(idCol), col("cell"), col("id_a"),
+        cosine(dot(col("qa"), col("qb")), col("na"), col("nb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col(idCol), col("cell"))
+      .agg(min(col("id_a")).as("dup_of"), max(col("cos")).as("max_cos"))
+  }
+
   /** Approximate top-k: exact cosine ranking restricted to the query's LSH
     * bucket. Equi-join on bucket id replaces the full cross product — the
     * IVF-style scale path; recall is tunable via `planes`. */

@@ -266,7 +266,15 @@ object PipelineQueries {
         .groupBy(col("user_id"))
         .agg(countDistinct(col("event_id")).as("n_in_window"))
         .orderBy("user_id")
-    })
+    }),
+
+    // SemDeDup: semantic near-dups resolved inside IVF Voronoi cells —
+    // the embedding-space answer to q24's lexical minhash dedup.
+    "q54_semantic_dedup" -> ((s, d) =>
+      Embeddings.semanticDedup(
+        Embeddings.prepare(Tables.embeddings(s, d), "vec_id", "embedding"),
+        "vec_id", cells = 8, threshold = 0.35)
+        .orderBy("vec_id"))
   )
 
   // mirrors TextOps.tokens EXACTLY (lowercase, empty tokens dropped): the
@@ -323,6 +331,27 @@ object PipelineQueries {
       |  JOIN counts ca ON ca.doc_id = c.id_a
       |  JOIN counts cb ON cb.doc_id = c.id_b
       |  WHERE coalesce(i.i, 0) * 1.0 / (ca.n_sh + cb.n_sh - coalesce(i.i, 0)) >= 0.5)""".stripMargin
+
+  /** Shared IVF chain: quantize → norms → deterministic sampled centroids
+    * (8 cells) → per-vector nearest-cell assignment, ending in `cell`
+    * (vec_id, q, n2, c) — the oracle analogue of
+    * [[graft.pipeline.Embeddings.sampleCentroids]] + `rankedCellsExpr`.
+    * Used by q36 (IVF search) and q54 (semantic dedup). */
+  private lazy val ivfCellCtes =
+    """params AS (SELECT greatest(count(*) // 8, 1) AS m FROM embeddings),
+      |qv AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |norms AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qv),
+      |cents AS (
+      |  SELECT vec_id // m AS c, q AS cq, n2 AS cn2 FROM norms, params
+      |  WHERE vec_id % m = 0 AND vec_id < m * 8),
+      |assigned AS (
+      |  SELECT vec_id, q, n2, c,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY
+      |      n2 + cn2 - 2 * list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * cq[i])) ASC, c ASC) AS rk
+      |  FROM norms, cents),
+      |cell AS (SELECT vec_id, q, n2, c FROM assigned WHERE rk = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q20_text_stats" ->
@@ -488,20 +517,7 @@ object PipelineQueries {
         |  FROM seg a JOIN seg b ON a.sg = b.sg AND a.sv = b.sv AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
     "q36_ivf_topk" ->
-      """WITH params AS (SELECT greatest(count(*) // 8, 1) AS m FROM embeddings),
-        |qv AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
-        |  FROM embeddings),
-        |norms AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qv),
-        |cents AS (
-        |  SELECT vec_id // m AS c, q AS cq, n2 AS cn2 FROM norms, params
-        |  WHERE vec_id % m = 0 AND vec_id < m * 8),
-        |assigned AS (
-        |  SELECT vec_id, q, n2, c,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY
-        |      n2 + cn2 - 2 * list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * cq[i])) ASC, c ASC) AS rk
-        |  FROM norms, cents),
-        |cell AS (SELECT vec_id, q, n2, c FROM assigned WHERE rk = 1),
+      s"""WITH $ivfCellCtes,
         |scored AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |    CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
@@ -676,6 +692,16 @@ object PipelineQueries {
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON c.user_id = e.user_id AND c.ts >= e.ts
         | AND c.ts <= e.ts + INTERVAL 4 HOUR
-        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+
+    "q54_semantic_dedup" ->
+      s"""WITH $ivfCellCtes,
+        |pairs AS (
+        |  SELECT b.vec_id AS vec_id, b.c AS cell, a.vec_id AS id_a,
+        |    CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+        |  FROM cell a JOIN cell b ON a.c = b.c AND a.vec_id < b.vec_id)
+        |SELECT vec_id, cell, min(id_a) AS dup_of, max(cos) AS max_cos
+        |FROM pairs WHERE cos >= 0.35 GROUP BY vec_id, cell ORDER BY vec_id""".stripMargin
   )
 }

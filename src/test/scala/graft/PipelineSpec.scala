@@ -331,6 +331,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == rows.map(t => (t._6, t._3)).toSet)
   }
 
+  test("semanticDedup drops only the later member of a within-cell near-dup pair") {
+    import spark.implicits._
+    // cells = 2 over dense ids 0..7 → centroids are ids 0 and 4: group A
+    // points cluster on the x axis, group B on y; ids 1 and 5 are planted
+    // near-copies of their cell's centroid, the rest stay below threshold
+    val emb = Seq(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(1f, 0.001f, 0f, 0f),
+      2L -> Seq(0.9f, 0.3f, 0f, 0f), 3L -> Seq(0.9f, -0.3f, 0f, 0f),
+      4L -> Seq(0f, 1f, 0f, 0f), 5L -> Seq(0.001f, 1f, 0f, 0f),
+      6L -> Seq(0.3f, 0.9f, 0f, 0f), 7L -> Seq(0f, 0.9f, 0.3f, 0f)
+    ).toDF("vec_id", "embedding")
+    val dropped = Embeddings.semanticDedup(
+        Embeddings.prepare(emb, "vec_id", "embedding"), "vec_id", cells = 2, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(dropped == Set((1L, 0L), (5L, 4L)))
+  }
+
   test("asofJoin picks the latest at-or-before ref row per key") {
     import spark.implicits._
     val probe = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 5L, "p0"), (2L, 10L, "px"))

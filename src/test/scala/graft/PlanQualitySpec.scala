@@ -99,6 +99,15 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bin join not keyed on (user_id, bin):\n$plan")
   }
 
+  test("semantic dedup scores pairs through a cell equi-join, not all-pairs") {
+    val plan = physicalPlan(PipelineQueries.queries("q54_semantic_dedup")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"within-cell pairing fell back to an all-pairs product:\n$plan")
+    assert(plan.contains("SortMergeJoin [cell") || plan.contains("BroadcastHashJoin [cell") ||
+      plan.contains("ShuffledHashJoin [cell"),
+      s"pair join not keyed on the IVF cell:\n$plan")
+  }
+
   test("LSH candidate generation is an equi-join on bucket id, not a cross join") {
     val plan = physicalPlan(PipelineQueries.queries("q28_topk_lsh")(spark, sf))
     // the CANDIDATE join must be an equi-join keyed on the bucket
