@@ -35,7 +35,8 @@ object GraftProcedures {
     Seq("expire_snapshots", "compact", "compact_zorder", "rollback_to_snapshot",
       "create_tag", "create_branch", "drop_ref", "add_files", "remove_orphan_files",
       "fast_forward", "rewrite_manifests", "compute_stats", "ancestors_of",
-      "create_changelog_view", "rewrite_data_files", "rollback_to_timestamp")
+      "create_changelog_view", "rewrite_data_files", "rollback_to_timestamp",
+      "rewrite_position_delete_files")
 
   def load(cat: GraftSparkCatalog, name: String): UnboundProcedure = name match {
     case "expire_snapshots" => new ExpireSnapshots(cat)
@@ -54,6 +55,7 @@ object GraftProcedures {
     case "create_changelog_view" => new CreateChangelogView(cat)
     case "rewrite_data_files" => new RewriteDataFiles(cat)
     case "rollback_to_timestamp" => new RollbackToTimestamp(cat)
+    case "rewrite_position_delete_files" => new RewritePositionDeleteFiles(cat)
     case other => throw new IllegalArgumentException(
       s"unknown procedure $other (available: ${names.mkString(", ")})")
   }
@@ -285,6 +287,26 @@ object GraftProcedures {
       val (before, after) = Maintenance.rewriteDataFiles(spark, table(args),
         targetSizeBytes = args.getLong(1), minInputFiles = args.getInt(2))
       InternalRow(before.toLong, after.toLong)
+    }
+  }
+
+  /** Positional-delete compaction: `CALL graft.system.
+    * rewrite_position_delete_files(table => 'db.t')` consolidates the
+    * per-DELETE positional delete files into one balanced set and drops
+    * rows referencing no-longer-live data files — MoR read cost returns to
+    * O(1) anti-join inputs. */
+  private final class RewritePositionDeleteFiles(cat: GraftSparkCatalog)
+      extends GraftProcedure(cat, "rewrite_position_delete_files",
+        Seq(ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(
+          StructField("files_before", LongType, nullable = false),
+          StructField("files_after", LongType, nullable = false),
+          StructField("dangling_rows_dropped", LongType, nullable = false)))) {
+    override def description(): String =
+      "Consolidate positional delete files and drop masks for dead data files"
+    override protected def run(spark: SparkSession, args: InternalRow): InternalRow = {
+      val (before, after, dropped) = Maintenance.rewritePositionDeleteFiles(spark, table(args))
+      InternalRow(before.toLong, after.toLong, dropped)
     }
   }
 

@@ -194,6 +194,53 @@ object Maintenance {
     (before, after)
   }
 
+  /** Positional-delete compaction: every DELETE/UPDATE leaves another small
+    * (file_path, pos) delete file, and each one is a separate anti-join
+    * input for every subsequent read — MoR read cost grows with DELETE
+    * count, not delete volume. This consolidates all positional delete
+    * files into one balanced set, dropping entries that reference data
+    * files no longer live in the current snapshot (dangling masks from
+    * compacted/rewritten files). Equality delete entries keep their
+    * original manifests' sequence numbers untouched (their masking is
+    * order-sensitive); positional rows are sequence-independent — they name
+    * explicit unique paths — so the consolidated file can safely enter at
+    * the new snapshot's sequence number. Superseded delete files stay
+    * reachable through older snapshots until expiration.
+    *
+    * Returns (positional delete files before, after, dangling rows
+    * dropped). */
+  def rewritePositionDeleteFiles(spark: SparkSession, table: IceTable): (Int, Int, Long) = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val snap = table.currentSnapshot(None).getOrElse(return (0, 0, 0L))
+    val all = table.entries(snap)
+    val pos = all.filter(_.dataFile.content == ContentPositionDeletes)
+    if (pos.isEmpty) return (0, 0, 0L)
+    val eq = all.filter(_.dataFile.content == ContentEqualityDeletes)
+    // live-path filter joins against the manifest-derived path list (driver
+    // metadata already in hand — never a storage listing); _metadata paths
+    // are file: URIs while manifests store plain paths, so normalize the
+    // scheme off the delete rows before comparing
+    import spark.implicits._
+    val live = all.filter(_.dataFile.content == ContentData)
+      .map(e => new Path(e.dataFile.filePath).toUri.getPath).toDF("live_path")
+    val total = pos.map(_.dataFile.recordCount).sum
+    val kept = spark.read.parquet(pos.map(_.dataFile.filePath): _*)
+      .join(live, regexp_replace(col("file_path"), "^file:(//)?", "") === col("live_path"),
+        "left_semi")
+    val keptCount = kept.count()
+    val dropped = total - keptCount
+    if (pos.size <= 1 && dropped == 0L) return (pos.size, pos.size, 0L)
+    val files =
+      if (keptCount == 0L) Nil
+      else graft.spark.IceWrite.writeDataFiles(spark, table, kept,
+        graft.spark.IceWrite.PosDeleteSchema, content = ContentPositionDeletes,
+        outFiles = graft.spark.IceWrite.fileCountHint(keptCount))
+    val committed = table.newTransaction(None).rewriteDeletes(eq, files).commit()
+    val after = committed.currentSnapshot(None)
+      .map(committed.entries(_).count(_.dataFile.content == ContentPositionDeletes)).getOrElse(0)
+    (pos.size, after, dropped)
+  }
+
   /** Rebalances the data manifest tree without touching data: many small
     * manifests (the residue of many small commits) slow O(manifests) scan
     * planning; this rewrites them as a fresh sqrt-law-balanced set in one

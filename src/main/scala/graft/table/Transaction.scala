@@ -24,6 +24,8 @@ class Transaction(table: IceTable, branch: Option[String]) {
   private var replaceFiles: Option[Seq[DataFile]] = None
   private var rewriteEntries: Option[Seq[ManifestEntry]] = None
   private var rewriteAdded: Seq[DataFile] = Nil
+  private var rewriteDeleteEntries: Option[Seq[ManifestEntry]] = None
+  private var rewriteDeleteAdded: Seq[DataFile] = Nil
   private var propertyUpdates: Map[String, String] = Map.empty
   private var propertyRemovals: Seq[String] = Nil
   private var newSchema: Option[IceSchema] = None
@@ -34,13 +36,13 @@ class Transaction(table: IceTable, branch: Option[String]) {
   private var refUpdates: Map[String, (Long, Option[Long], Option[Int])] = Map.empty
 
   def appendData(files: Seq[DataFile]): Transaction = {
-    require(rewriteEntries.isEmpty,
-      "rewriteManifests cannot combine with appends or replace in one transaction")
+    require(rewriteEntries.isEmpty && rewriteDeleteEntries.isEmpty,
+      "manifest rewrites cannot combine with appends or replace in one transaction")
     appendedData ++= files; this
   }
   def appendDeletes(files: Seq[DataFile]): Transaction = {
-    require(rewriteEntries.isEmpty,
-      "rewriteManifests cannot combine with appends or replace in one transaction")
+    require(rewriteEntries.isEmpty && rewriteDeleteEntries.isEmpty,
+      "manifest rewrites cannot combine with appends or replace in one transaction")
     // row-level (merge-on-read) deletes are a format V2 feature; a V1 table
     // has no sequence numbers to order them against (Iceberg spec, and
     // table_metadata.rs V1 serde omits sequence numbers entirely)
@@ -51,8 +53,8 @@ class Transaction(table: IceTable, branch: Option[String]) {
   }
   /** Replace all table content with `files` (compaction / full rewrite, T3). */
   def replace(files: Seq[DataFile]): Transaction = {
-    require(rewriteEntries.isEmpty,
-      "rewriteManifests cannot combine with appends or replace in one transaction")
+    require(rewriteEntries.isEmpty && rewriteDeleteEntries.isEmpty,
+      "manifest rewrites cannot combine with appends or replace in one transaction")
     replaceFiles = Some(files); this
   }
   /** Rewrite the DATA manifest tree only: a new snapshot referencing the
@@ -63,7 +65,8 @@ class Transaction(table: IceTable, branch: Option[String]) {
   def rewriteManifests(entries: Seq[ManifestEntry]): Transaction = {
     require(entries.forall(e => e.sequenceNumber.isDefined && e.dataFile.content == ContentData),
       "rewriteManifests takes inherited DATA entries (explicit sequence numbers)")
-    require(appendedData.isEmpty && appendedDeletes.isEmpty && replaceFiles.isEmpty,
+    require(appendedData.isEmpty && appendedDeletes.isEmpty && replaceFiles.isEmpty &&
+      rewriteDeleteEntries.isEmpty,
       "rewriteManifests cannot combine with appends or replace in one transaction")
     rewriteEntries = Some(entries); this
   }
@@ -77,6 +80,25 @@ class Transaction(table: IceTable, branch: Option[String]) {
   def rewriteFiles(keep: Seq[ManifestEntry], added: Seq[DataFile]): Transaction = {
     rewriteManifests(keep)
     rewriteAdded = added; this
+  }
+  /** Rewrite the DELETE manifest tree only (positional-delete compaction):
+    * a new snapshot where `keep` delete entries survive with their ORIGINAL
+    * sequence numbers (equality deletes mask strictly-OLDER data files, so
+    * renumbering them would silently widen their scope) and `added`
+    * consolidated files enter at the new snapshot's sequence number — safe
+    * for POSITIONAL deletes only, whose masking set is an explicit
+    * (path, pos) list independent of sequencing. Data manifests carry over
+    * untouched; re-encoding kept entries is safe because this engine writes
+    * every delete file with an empty (global) partition tuple. */
+  def rewriteDeletes(keep: Seq[ManifestEntry], added: Seq[DataFile]): Transaction = {
+    require(keep.forall(e => e.sequenceNumber.isDefined && e.dataFile.content != ContentData),
+      "rewriteDeletes takes inherited DELETE entries (explicit sequence numbers)")
+    require(added.forall(_.content == ContentPositionDeletes),
+      "only positional delete files may enter at a fresh sequence number")
+    require(appendedData.isEmpty && appendedDeletes.isEmpty && replaceFiles.isEmpty &&
+      rewriteEntries.isEmpty,
+      "rewriteDeletes cannot combine with other content operations in one transaction")
+    rewriteDeleteEntries = Some(keep); rewriteDeleteAdded = added; this
   }
   def updateProperties(p: Map[String, String]): Transaction = { propertyUpdates ++= p; this }
   def removeProperties(keys: Seq[String]): Transaction = { propertyRemovals ++= keys; this }
@@ -120,6 +142,7 @@ class Transaction(table: IceTable, branch: Option[String]) {
     */
   def commit(): IceTable = {
     val pureDataAppend = replaceFiles.isEmpty && rewriteEntries.isEmpty &&
+      rewriteDeleteEntries.isEmpty &&
       newSchema.isEmpty && newSpecFields.isEmpty && newSortOrder.isEmpty &&
       !resetSortOrder && propertyUpdates.isEmpty && propertyRemovals.isEmpty &&
       refUpdates.isEmpty && appendedDeletes.isEmpty && appendedData.nonEmpty
@@ -240,6 +263,31 @@ class Transaction(table: IceTable, branch: Option[String]) {
           "added-records" -> rewriteAdded.map(_.recordCount).sum.toString,
           "total-records" -> allData.map(ml => ml.addedRowsCount + ml.existingRowsCount).sum.toString,
           "total-data-files" -> allData.map(ml => ml.addedFilesCount + ml.existingFilesCount).sum.toString),
+        Some(m.currentSchemaId))
+      requirements :+= TableRequirement.AssertRefSnapshotId(branchName, expectedRef)
+      updates :+= TableUpdate.AddSnapshot(snap)
+      updates :+= TableUpdate.SetSnapshotRef(branchName, snapshotId, "branch")
+    } else if (rewriteDeleteEntries.isDefined) {
+      val keep = rewriteDeleteEntries.get
+      val snapshotId = newSnapshotId()
+      val seq = m.lastSequenceNumber + 1
+      val addedEntries = rewriteDeleteAdded.map(f =>
+        ManifestEntry(StatusAdded, Some(snapshotId), Some(seq), Some(seq), f))
+      val allDel = keep.map(_.copy(status = StatusExisting)) ++ addedEntries
+      val deleteManifests: Seq[ManifestListEntry] =
+        if (allDel.isEmpty) Nil
+        else Seq(writeManifest(table, schemaForWrite, allDel, snapshotId, seq, content = 1))
+      // data manifests carry over untouched (any spec) — this op never
+      // changes what data exists, only how its delete masks are stored
+      val carried = parent.map(p => table.manifests(p)).getOrElse(Nil).filter(_.content == 0)
+      val listPath = s"${m.location}/metadata/snap-$snapshotId-$seq-${UUID.randomUUID()}.avro"
+      ManifestIO.writeManifestList(listPath, carried ++ deleteManifests)
+      val snap = Snapshot(snapshotId, parent.map(_.snapshotId), seq,
+        System.currentTimeMillis(), listPath,
+        Map("operation" -> "delete",
+          "rewritten-delete-files" -> rewriteDeleteAdded.size.toString,
+          "total-records" -> carried.map(ml => ml.addedRowsCount + ml.existingRowsCount).sum.toString,
+          "total-data-files" -> carried.map(ml => ml.addedFilesCount + ml.existingFilesCount).sum.toString),
         Some(m.currentSchemaId))
       requirements :+= TableRequirement.AssertRefSnapshotId(branchName, expectedRef)
       updates :+= TableUpdate.AddSnapshot(snap)

@@ -455,6 +455,25 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.db.binp")
   }
 
+  test("rewrite_position_delete_files consolidates DELETE residue via SQL") {
+    spark.sql("CREATE TABLE graft.db.pdrw (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.pdrw VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    // three row-level DELETEs → three positional delete files
+    spark.sql("DELETE FROM graft.db.pdrw WHERE k = 1")
+    spark.sql("DELETE FROM graft.db.pdrw WHERE k = 2")
+    spark.sql("DELETE FROM graft.db.pdrw WHERE k = 3")
+    def posFiles = spark.sql(
+      "SELECT count(*) FROM graft.db.pdrw.entries WHERE content = 1 AND status != 2")
+      .head().getLong(0)
+    assert(posFiles == 3, s"expected 3 delete files, saw $posFiles")
+    val r = spark.sql(
+      "CALL graft.system.rewrite_position_delete_files(`table` => 'db.pdrw')").head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 1 && r.getLong(2) == 0, s"summary: $r")
+    assert(posFiles == 1, s"expected 1 consolidated delete file, saw $posFiles")
+    assert(spark.sql("SELECT k FROM graft.db.pdrw").collect().map(_.getLong(0)).toSeq == Seq(4L))
+    spark.sql("DROP TABLE graft.db.pdrw")
+  }
+
   test("ancestors_of and create_changelog_view procedures") {
     spark.sql("CREATE TABLE graft.db.lineage (k BIGINT, v STRING)")
     spark.sql("INSERT INTO graft.db.lineage VALUES (1, 'a')")

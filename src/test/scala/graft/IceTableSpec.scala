@@ -419,6 +419,68 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IceScan.scan(spark, table).count() == 2)
   }
 
+  test("rewrite_position_delete_files consolidates masks; reads and eq-delete sequencing unchanged") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    import graft.table.ManifestModel.ContentPositionDeletes
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "posrw"), ordersSchema, daySpec)
+    table = IceWrite.append(spark, table, batch1)
+    table = IceWrite.append(spark, table, batch2)
+    // two DELETEs → two positional delete files; one equality delete on id=4
+    table = IceWrite.appendPositionDeletes(spark, table, col("id") === 1L)
+    table = IceWrite.appendPositionDeletes(spark, table, col("id") === 2L)
+    table = IceWrite.appendEqualityDeletes(spark, table, Seq(4L).toDF("id"), equalityIds = Seq(1))
+    val before = IceScan.scan(spark, table).orderBy("id").collect().toSeq
+    assert(before.map(_.getLong(0)) == Seq(3L, 5L, 6L, 7L, 8L, 9L))
+    def posEntries = table.entries(table.currentSnapshot(None).get)
+      .filter(_.dataFile.content == ContentPositionDeletes)
+    val eqSeqBefore = table.entries(table.currentSnapshot(None).get)
+      .filter(_.dataFile.content == graft.table.ManifestModel.ContentEqualityDeletes)
+      .map(_.sequenceNumber)
+    assert(posEntries.size == 2)
+
+    val (b, a, dropped) = graft.table.Maintenance.rewritePositionDeleteFiles(spark, table)
+    assert((b, a, dropped) == (2, 1, 0L), s"got ($b, $a, $dropped)")
+    assert(IceScan.scan(spark, table).orderBy("id").collect().toSeq == before)
+    // the equality delete kept its ORIGINAL sequence number: a row appended
+    // after it (higher sequence) still survives the mask
+    assert(table.entries(table.currentSnapshot(None).get)
+      .filter(_.dataFile.content == graft.table.ManifestModel.ContentEqualityDeletes)
+      .map(_.sequenceNumber) == eqSeqBefore)
+    table = IceWrite.append(spark, table, batch1.filter($"id" === 4L))
+    assert(IceScan.scan(spark, table).filter($"id" === 4L).count() == 1)
+    // idempotent: a second run has one file and nothing dangling → no-op
+    val again = graft.table.Maintenance.rewritePositionDeleteFiles(spark, table)
+    assert(again == ((1, 1, 0L)))
+  }
+
+  test("rewrite_position_delete_files drops masks referencing dead data files") {
+    implicit val s: SparkSession = spark
+    import graft.table.ManifestModel.{ContentData, ContentPositionDeletes}
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "posdang"), ordersSchema, daySpec)
+    table = IceWrite.append(spark, table, batch1) // 2 partitions → 2 files
+    table = IceWrite.appendPositionDeletes(spark, table, col("id").isin(1L, 4L))
+    val snap = table.currentSnapshot(None).get
+    val deleteRows = table.entries(snap)
+      .filter(_.dataFile.content == ContentPositionDeletes).map(_.dataFile.recordCount).sum
+    assert(deleteRows == 2) // ids 1 and 4 live in different files
+    // drop the 2020-02-02 data file from the current snapshot (metadata-only
+    // rewrite keeping a subset) — its mask row is now dangling
+    // day-transform partition values are epoch-day ints
+    val d0 = java.time.LocalDate.parse("2020-01-01").toEpochDay.toInt
+    val keepData = table.entries(snap).filter(e => e.dataFile.content == ContentData &&
+      e.dataFile.partition.exists { case (_, v) => v == d0 })
+    assert(keepData.size == 1)
+    table = table.newTransaction(None).rewriteManifests(keepData).commit()
+    val (b, a, dropped) = graft.table.Maintenance.rewritePositionDeleteFiles(spark, table)
+    assert(b == 1 && a == 1 && dropped == 1L, s"got ($b, $a, $dropped)")
+    // the surviving mask still hides id=1 in the kept file
+    assert(IceScan.scan(spark, table).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(2L, 3L))
+  }
+
   test("replace (compaction) rewrites content, results unchanged") {
     implicit val s: SparkSession = spark
     val cat = freshCatalog()
