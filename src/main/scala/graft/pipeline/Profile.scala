@@ -37,4 +37,30 @@ object Profile {
         .as(Seq("column_name", "n_rows", "n_nonnull", "n_distinct",
           "min_value", "max_value")))
   }
+
+  /** Per-group EXACT interpolated percentiles of a numeric column — the
+    * sequence-length planning stat (context-window budgeting, pack-size
+    * tuning) run per source/stratum before training-set assembly.
+    *
+    * One hash aggregate: Spark's `percentile` accumulates a value→count map
+    * per group, so memory tracks the DISTINCT value count, not the row
+    * count — document/token lengths are a small bounded domain, so this
+    * stays cheap at 100 TB. For unbounded continuous domains swap in
+    * `approx_percentile` (same plan shape, t-digest sketch, no exact
+    * oracle). Output: one row per group with a `p<nn>` double column per
+    * requested fraction.
+    */
+  def groupedPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+                         fractions: Seq[Double]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(f => f >= 0 && f <= 1),
+      "fractions must be within [0, 1]")
+    val named = fractions.zipWithIndex.map { case (f, i) =>
+      col("__ps").getItem(i).as(s"p${math.round(f * 100)}")
+    }
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valueCol)).as("sum_value"),
+        percentile(col(valueCol), typedLit(fractions.toArray)).as("__ps"))
+      .select(col(groupCol) +: col("n_rows") +: col("sum_value") +: named: _*)
+  }
 }

@@ -274,7 +274,16 @@ object PipelineQueries {
       Embeddings.semanticDedup(
         Embeddings.prepare(Tables.embeddings(s, d), "vec_id", "embedding"),
         "vec_id", cells = 8, threshold = 0.35)
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // Sequence-length planning: exact per-source length percentiles in one
+    // counts-map aggregate (context-window / pack-budget tuning input).
+    "q55_length_stats" -> ((s, d) =>
+      graft.pipeline.Profile.groupedPercentiles(
+        Tables.documents(s, d), "source", "n_chars", Seq(0.5, 0.9, 0.99))
+        .withColumnRenamed("n_rows", "n_docs")
+        .withColumnRenamed("sum_value", "sum_chars")
+        .orderBy("source"))
   )
 
   // mirrors TextOps.tokens EXACTLY (lowercase, empty tokens dropped): the
@@ -702,6 +711,15 @@ object PipelineQueries {
         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
         |  FROM cell a JOIN cell b ON a.c = b.c AND a.vec_id < b.vec_id)
         |SELECT vec_id, cell, min(id_a) AS dup_of, max(cos) AS max_cos
-        |FROM pairs WHERE cos >= 0.35 GROUP BY vec_id, cell ORDER BY vec_id""".stripMargin
+        |FROM pairs WHERE cos >= 0.35 GROUP BY vec_id, cell ORDER BY vec_id""".stripMargin,
+
+    // both engines interpolate lower + (upper-lower)*frac at pos = q*(n-1)
+    // over exact integer inputs — one IEEE expression, identical bits
+    "q55_length_stats" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.9) AS p90,
+        |  quantile_cont(n_chars, 0.99) AS p99
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

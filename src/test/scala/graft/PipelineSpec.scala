@@ -331,6 +331,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == rows.map(t => (t._6, t._3)).toSet)
   }
 
+  test("groupedPercentiles interpolates at q*(n-1) with exact group totals") {
+    import spark.implicits._
+    val d = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L), ("b", 5L))
+      .toDF("g", "v")
+    val got = graft.pipeline.Profile.groupedPercentiles(d, "g", "v", Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    // group a: pos(0.5) = 1.5 → 25.0; pos(0.9) = 2.7 → 30 + 0.7*10 = 37.0
+    assert(got == Set(("a", 4L, 100L, 25.0, 37.0), ("b", 1L, 5L, 5.0, 5.0)))
+  }
+
   test("semanticDedup drops only the later member of a within-cell near-dup pair") {
     import spark.implicits._
     // cells = 2 over dense ids 0..7 → centroids are ids 0 and 4: group A
