@@ -167,4 +167,38 @@ object TextOps {
     df.select(col(idCol), md5(col(textCol).cast("binary")).as("content_hash"))
       .join(grams, Seq(idCol))
   }
+
+  /** Cross-document span duplication stats — the token-window approximation
+    * of exact-substring dedup (Lee et al. 2022, arXiv:2107.06499): for each
+    * document, how many of its `span`-token windows also occur in at least
+    * one OTHER document, and the duplicated fraction. High-dup_frac docs are
+    * boilerplate/mirror candidates that document-level near-dup (q24) misses
+    * when the surrounding text differs.
+    *
+    * Plan shape: window instances are a zero-shuffle projection
+    * ([[Dedup.shinglesRaw]]), immediately hashed to a 60-bit md5 prefix so
+    * both shuffles — the per-window doc-count aggregate and the semi-join
+    * back — move 8-byte keys instead of span-token strings (shuffle volume
+    * ≈ tokens × 8B, independent of span). One groupBy over the corpus token
+    * count is the honest price of exact span dedup; the suffix-array
+    * original is the single-machine form, this is the shuffle form.
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   span: Int = 10): DataFrame = {
+    val wins = Dedup.shinglesRaw(df, idCol, textCol, span)
+      .select(col(idCol),
+        expr("cast(conv(substr(md5(cast(sh as binary)), 1, 15), 16, 10) as bigint)").as("wh"))
+      .cache() // read twice: doc-count aggregate + semi-join probe
+    val shared = wins.groupBy(col("wh"))
+      .agg(countDistinct(col(idCol)).as("nd")).filter(col("nd") >= 2).select("wh")
+    val dupCounts = wins.join(shared, Seq("wh"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__nd"))
+    // window total mirrors shinglesRaw: short docs yield one tail window
+    val totals = df.select(col(idCol),
+      greatest(size(tokens(col(textCol))) - (span - 1), lit(1)).cast("long").as("n_windows"))
+    totals.join(dupCounts, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("__nd"), lit(0L)).as("n_dup_windows"),
+        (coalesce(col("__nd"), lit(0L)) * lit(1.0) / col("n_windows")).as("dup_frac"))
+  }
 }

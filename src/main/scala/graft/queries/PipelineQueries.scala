@@ -283,7 +283,13 @@ object PipelineQueries {
         Tables.documents(s, d), "source", "n_chars", Seq(0.5, 0.9, 0.99))
         .withColumnRenamed("n_rows", "n_docs")
         .withColumnRenamed("sum_value", "sum_chars")
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // Cross-document span dedup: fraction of each doc's 10-token windows
+    // shared with another doc — the window form of exact-substring dedup.
+    "q56_dup_spans" -> ((s, d) =>
+      TextOps.dupSpanStats(Tables.documents(s, d), "doc_id", "text", span = 10)
+        .orderBy("doc_id"))
   )
 
   // mirrors TextOps.tokens EXACTLY (lowercase, empty tokens dropped): the
@@ -720,6 +726,24 @@ object PipelineQueries {
         |  quantile_cont(n_chars, 0.5) AS p50,
         |  quantile_cont(n_chars, 0.9) AS p90,
         |  quantile_cont(n_chars, 0.99) AS p99
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // window instances (with multiplicity) hashed exactly like the Spark
+    // side; a window is duplicated when ≥2 distinct docs contain it
+    "q56_dup_spans" ->
+      s"""WITH $tokCte,
+        |wins AS (
+        |  SELECT doc_id, ('0x' || substr(md5(array_to_string(w[i:i+9], ' ')), 1, 15))::BIGINT AS wh
+        |  FROM toks, UNNEST(range(1, greatest(len(w) - 8, 2))) AS t(i)),
+        |shared AS (SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+        |dupc AS (
+        |  SELECT w.doc_id, count(*) AS n_dup
+        |  FROM wins w JOIN shared s ON s.wh = w.wh GROUP BY w.doc_id),
+        |tot AS (SELECT doc_id, greatest(len(w) - 9, 1) AS n_windows FROM toks)
+        |SELECT t.doc_id, CAST(t.n_windows AS BIGINT) AS n_windows,
+        |  CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_windows,
+        |  coalesce(d.n_dup, 0) * 1.0 / t.n_windows AS dup_frac
+        |FROM tot t LEFT JOIN dupc d ON d.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin
   )
 }

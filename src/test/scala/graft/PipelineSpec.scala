@@ -331,6 +331,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == rows.map(t => (t._6, t._3)).toSet)
   }
 
+  test("dupSpanStats counts windows shared across docs, not within-doc repeats") {
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val d = docs(
+      1L -> (shared + " aaa bbb ccc"),            // 4 windows, 1 shared
+      2L -> ("xxx yyy zzz " + shared),            // 4 windows, 1 shared
+      3L -> "solo words only",                    // short doc: 1 tail window
+      4L -> (shared + " " + shared))              // within-doc repeat also cross-doc shared
+    val got = TextOps.dupSpanStats(d, "doc_id", "text", span = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // docs 1/2/4 share the tok1..tok10 window; doc 4 contains it twice
+    // (positions 1 and 11) and both instances count
+    assert(got.contains((1L, 4L, 1L)), s"got $got")
+    assert(got.contains((2L, 4L, 1L)), s"got $got")
+    assert(got.contains((3L, 1L, 0L)), s"got $got")
+    val d4 = got.find(_._1 == 4L).get
+    assert(d4._2 == 11L && d4._3 >= 2L, s"doc4 stats: $d4")
+  }
+
   test("groupedPercentiles interpolates at q*(n-1) with exact group totals") {
     import spark.implicits._
     val d = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L), ("b", 5L))
