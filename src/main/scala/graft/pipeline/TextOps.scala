@@ -183,6 +183,37 @@ object TextOps {
     * count is the honest price of exact span dedup; the suffix-array
     * original is the single-machine form, this is the shuffle form.
     */
+  /** TF-IDF top-k salient terms per document. The idf factor is
+    * INTEGER-QUANTIZED: idf = ⌊log2(N / docfreq)⌋ computed as
+    * `length(bin(N DIV nd)) - 1` — pure integer arithmetic, so scores are
+    * exact BIGINTs and rankings reproduce bit-for-bit on any engine. (A
+    * float `ln` differs across libm implementations in the last ulp, which
+    * breaks cross-engine score hashing; the quantized form trades smooth
+    * weighting for determinism, in line with this library's quantized
+    * vector math.) Terms present in more than half the corpus quantize to
+    * idf 0 and are dropped — they are not "salient" under any idf.
+    *
+    * Plan shape: explode → (doc, term) count → term docfreq → equi-join on
+    * term → per-doc top-k window (rank-limit pushed down). All shuffles are
+    * keyed on (doc, term) or term — linear in corpus token count.
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.count() // one count job; the N in idf — driver literal
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .cache() // read twice: docfreq aggregate + score join
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("nd"))
+    val scored = tf.join(dfreq, "tok")
+      .withColumn("score",
+        (col("tf") * (length(bin(expr(s"$nDocs DIV nd"))) - 1)).cast("long"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("tok").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k && col("score") > 0)
+      .select(col(idCol), col("rnk").cast("long").as("rnk"), col("tok"),
+        col("tf"), col("nd"), col("score"))
+  }
+
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
                    span: Int = 10): DataFrame = {
     val wins = Dedup.shinglesRaw(df, idCol, textCol, span)

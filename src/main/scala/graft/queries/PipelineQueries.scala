@@ -289,7 +289,12 @@ object PipelineQueries {
     // shared with another doc — the window form of exact-substring dedup.
     "q56_dup_spans" -> ((s, d) =>
       TextOps.dupSpanStats(Tables.documents(s, d), "doc_id", "text", span = 10)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // TF-IDF salient terms (integer-quantized idf → exact BIGINT scores).
+    "q57_tfidf" -> ((s, d) =>
+      TextOps.tfidfTopK(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rnk"))
   )
 
   // mirrors TextOps.tokens EXACTLY (lowercase, empty tokens dropped): the
@@ -744,6 +749,26 @@ object PipelineQueries {
         |  CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_windows,
         |  coalesce(d.n_dup, 0) * 1.0 / t.n_windows AS dup_frac
         |FROM tot t LEFT JOIN dupc d ON d.doc_id = t.doc_id
-        |ORDER BY t.doc_id""".stripMargin
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // idf quantized to ⌊log2(N/nd)⌋ via binary-string length — integer-exact
+    // on both engines (see TextOps.tfidfTopK)
+    "q57_tfidf" ->
+      s"""WITH $tokCte,
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks, UNNEST(w) AS t(tok)
+        |  GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, count(*) AS nd FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, d.nd,
+        |    CAST(tf.tf * (length(bin(n.n_docs // d.nd)) - 1) AS BIGINT) AS score
+        |  FROM tf JOIN dfreq d ON d.tok = tf.tok, n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok, CAST(tf AS BIGINT) AS tf,
+        |  CAST(nd AS BIGINT) AS nd, score
+        |FROM ranked WHERE rnk <= 3 AND score > 0 ORDER BY doc_id, rnk""".stripMargin
   )
 }

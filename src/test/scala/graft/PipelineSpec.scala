@@ -331,6 +331,20 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == rows.map(t => (t._6, t._3)).toSet)
   }
 
+  test("tfidfTopK ranks rare terms first with exact integer scores") {
+    // 4 docs: "common" in all (idf 0, dropped); "rare" in 1 (idf log2(4)=2);
+    // "half" in 2 (idf log2(2)=1)
+    val d = docs(
+      1L -> "common rare rare half", 2L -> "common half",
+      3L -> "common", 4L -> "common")
+    val got = TextOps.tfidfTopK(d, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(5)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: rare tf=2 → score 4; half tf=1 → score 1. docs 3/4: nothing salient
+    assert(got.toSeq == Seq((1L, 1L, "rare", 4L), (1L, 2L, "half", 1L), (2L, 1L, "half", 1L)),
+      s"got ${got.toSeq}")
+  }
+
   test("dupSpanStats counts windows shared across docs, not within-doc repeats") {
     val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
     val d = docs(
