@@ -232,4 +232,54 @@ object TextOps {
         coalesce(col("__nd"), lit(0L)).as("n_dup_windows"),
         (coalesce(col("__nd"), lit(0L)) * lit(1.0) / col("n_windows")).as("dup_frac"))
   }
+
+  /** PII patterns shared by detection and redaction. Kept to syntax that
+    * behaves identically under Java regex (Spark) and RE2 (DuckDB, and most
+    * other engines a redaction audit would re-run in): character classes,
+    * bounded repetition, ASCII `\b`/`\d` — no backrefs, no lookaround. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII detection + redaction: per-document match counts for the three
+    * canonical scrubber targets (emails, NANP-style phone numbers, IPv4
+    * addresses) and the text with each span replaced by a typed mask token —
+    * the pre-training scrub step every public web corpus documents (C4,
+    * Dolma, FineWeb all ship exactly this email/phone/IP regex family).
+    *
+    * Counts are measured on the ORIGINAL text, independently per pattern;
+    * redaction applies email → phone → IP in that fixed order so overlapping
+    * candidates resolve deterministically (an IPv4-looking substring inside
+    * an email is consumed by the email mask first).
+    *
+    * Scale: a pure per-row projection — `regexp_count`/`regexp_replace` are
+    * codegen'd, nothing shuffles, cost is linear in corpus bytes, and the
+    * regexes are fixed (compiled once per task, not per row). */
+  def piiStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      regexp_count(t, lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(t, lit(PhonePattern)).cast("long").as("n_phones"),
+      regexp_count(t, lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>"),
+        Ipv4Pattern, "<IP>").as("redacted"))
+  }
+
+  /** Corpus vocabulary table: per token, total occurrences (`tf`) and the
+    * number of distinct documents containing it (`df`) — the frequency table
+    * behind stopword lists, tokenizer-vocab audits, and LM-filter lexicons.
+    *
+    * Plan shape: explode → ONE hash aggregate keyed on (token, doc) partial-
+    * deduped map-side, then token-keyed count + countDistinct. Token keys are
+    * near-uniform (Zipf head keys are hot but partial aggregation collapses
+    * them map-side), so the single shuffle carries at most one row per
+    * distinct (token, doc) pair. */
+  def vocabStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("df"))
 }

@@ -294,7 +294,35 @@ object PipelineQueries {
     // TF-IDF salient terms (integer-quantized idf → exact BIGINT scores).
     "q57_tfidf" -> ((s, d) =>
       TextOps.tfidfTopK(Tables.documents(s, d), "doc_id", "text", k = 3)
-        .orderBy("doc_id", "rnk"))
+        .orderBy("doc_id", "rnk")),
+
+    // PII detect + redact. The synthetic corpus carries no natural PII, so
+    // the query plants deterministic emails/phones/IPs keyed off doc_id —
+    // identical construction in the oracle — before scrubbing; counts and
+    // the masked text are both compared.
+    "q58_pii_redaction" -> ((s, d) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(""),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), (col("doc_id") % 100).cast("string"))).otherwise(""))
+      TextOps.piiStats(
+        Tables.documents(s, d).select(col("doc_id"), planted.as("text")),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Corpus vocabulary: top tokens by total frequency with doc frequency.
+    "q59_vocab" -> ((s, d) =>
+      TextOps.vocabStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("tf").desc, col("tok"))
+        .limit(30))
   )
 
   // mirrors TextOps.tokens EXACTLY (lowercase, empty tokens dropped): the
@@ -769,6 +797,35 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok, CAST(tf AS BIGINT) AS tf,
         |  CAST(nd AS BIGINT) AS nd, score
-        |FROM ranked WHERE rnk <= 3 AND score > 0 ORDER BY doc_id, rnk""".stripMargin
+        |FROM ranked WHERE rnk <= 3 AND score > 0 ORDER BY doc_id, rnk""".stripMargin,
+
+    // patterns restricted to the Java-regex ∩ RE2 common subset (classes,
+    // bounded repeats, ASCII \b and \d) so both engines match identically;
+    // counts on the pre-redaction text, masks applied email → phone → IP
+    "q58_pii_redaction" ->
+      raw"""WITH enriched AS (
+        |  SELECT doc_id,
+        |    text
+        |      || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+        |      || CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |            || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |      || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM enriched ORDER BY doc_id""".stripMargin,
+
+    "q59_vocab" ->
+      s"""WITH $tokCte,
+        |t2 AS (SELECT doc_id, unnest(w) AS tok FROM toks)
+        |SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM t2 GROUP BY tok ORDER BY tf DESC, tok LIMIT 30""".stripMargin
   )
 }

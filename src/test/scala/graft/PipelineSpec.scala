@@ -363,6 +363,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d4._2 == 11L && d4._3 >= 2L, s"doc4 stats: $d4")
   }
 
+  test("piiStats counts each pattern independently and masks in fixed order") {
+    val d = docs(
+      1L -> "mail bob.smith+x@corp.example.org and alice@site.io ok",
+      2L -> "call 555-123-4567 or 555.987.6543 today",
+      3L -> "host 192.168.1.10 and 10.0.0.1 up",
+      4L -> "mixed a@b.co 555-111-2222 127.0.0.1",
+      5L -> "nothing here 12.34 and user at example dot com")
+    val got = TextOps.piiStats(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1)
+    assert(got(0) == ((1L, 2L, 0L, 0L, "mail <EMAIL> and <EMAIL> ok")), got(0))
+    assert(got(1) == ((2L, 0L, 2L, 0L, "call <PHONE> or <PHONE> today")), got(1))
+    assert(got(2) == ((3L, 0L, 0L, 2L, "host <IP> and <IP> up")), got(2))
+    assert(got(3) == ((4L, 1L, 1L, 1L, "mixed <EMAIL> <PHONE> <IP>")), got(3))
+    assert(got(4) == ((5L, 0L, 0L, 0L, "nothing here 12.34 and user at example dot com")), got(4))
+  }
+
+  test("vocabStats reports corpus tf and per-doc df") {
+    val d = docs(1L -> "a a b", 2L -> "a c", 3L -> "c")
+    val got = TextOps.vocabStats(d, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 3L, 2L), ("b", 1L, 1L), ("c", 2L, 2L)), got)
+  }
+
   test("groupedPercentiles interpolates at q*(n-1) with exact group totals") {
     import spark.implicits._
     val d = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L), ("b", 5L))
