@@ -282,4 +282,50 @@ object TextOps {
     df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("df"))
+
+  /** Compression-ratio quality signal: DEFLATE(level 6) bytes over raw UTF-8
+    * bytes per document. Highly compressible text is boilerplate/templating;
+    * incompressible text is often binary junk or hash dumps — web-corpus
+    * pipelines threshold both tails (the RefinedWeb/Gopher family of
+    * repetition filters, measured by the compressor instead of n-grams).
+    *
+    * Genuinely imperative per-row work (zlib), so this is the documented
+    * `mapPartitions` exception: one reused `Deflater` per partition (reset
+    * per document, native buffers released on exhaustion), nothing shuffles,
+    * and the operator composes with any downstream filter as a plain column.
+    * Output is deterministic for a fixed zlib, which the single-container
+    * spec gate pins; no DuckDB oracle (SQL has no compressor) → the driver
+    * records the weaker rows-only check for q60.
+    */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](8192)
+        var ended = false
+        new Iterator[(Long, Long, Long)] {
+          def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h && !ended) { deflater.end(); ended = true }
+            h
+          }
+          def next(): (Long, Long, Long) = {
+            val (id, text) = it.next()
+            val in = (if (text == null) "" else text)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            deflater.reset()
+            deflater.setInput(in)
+            deflater.finish()
+            var n = 0L
+            while (!deflater.finished()) n += deflater.deflate(buf)
+            (id, in.length.toLong, n)
+          }
+        }
+      }
+    out.toDF(idCol, "n_bytes", "n_deflated")
+      .withColumn("ratio",
+        col("n_deflated").cast("double") / greatest(col("n_bytes"), lit(1L)))
+  }
 }

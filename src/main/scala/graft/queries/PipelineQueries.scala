@@ -322,7 +322,13 @@ object PipelineQueries {
     "q59_vocab" -> ((s, d) =>
       TextOps.vocabStats(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("tf").desc, col("tok"))
-        .limit(30))
+        .limit(30)),
+
+    // Compression-ratio quality signal (no SQL compressor → rows-only gate;
+    // the unit spec pins the ordering invariants).
+    "q60_compression_ratio" -> ((s, d) =>
+      TextOps.compressionRatio(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   // mirrors TextOps.tokens EXACTLY (lowercase, empty tokens dropped): the

@@ -380,6 +380,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4) == ((5L, 0L, 0L, 0L, "nothing here 12.34 and user at example dot com")), got(4))
   }
 
+  test("compressionRatio orders repetitive < natural < random text") {
+    val rng = new scala.util.Random(7)
+    val repetitive = Array.fill(200)("spam").mkString(" ")
+    val natural = (1 to 200).map(i => s"tok${i % 37}w${i % 11}").mkString(" ")
+    val random = Array.fill(200)(rng.alphanumeric.take(8).mkString).mkString(" ")
+    val d = docs(1L -> repetitive, 2L -> natural, 3L -> random)
+    val got = TextOps.compressionRatio(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L)._1 == repetitive.getBytes("UTF-8").length.toLong)
+    assert(got.values.forall(v => v._2 > 0 && v._3 > 0))
+    assert(got(1L)._3 < got(2L)._3 && got(2L)._3 < got(3L)._3, got)
+    // determinism: a second run produces identical byte counts
+    val again = TextOps.compressionRatio(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == got.view.mapValues(_._2).toMap)
+  }
+
   test("vocabStats reports corpus tf and per-doc df") {
     val d = docs(1L -> "a a b", 2L -> "a c", 3L -> "c")
     val got = TextOps.vocabStats(d, "doc_id", "text").collect()
