@@ -175,8 +175,13 @@ object Dedup {
   /** Precomputed corpus side of incremental dedup: band signatures (the
     * candidate-join key) and distinct shingle sets (the verify side). Build
     * once, store/cache, then probe every arriving batch against it —
-    * per-ingest work becomes O(batch). */
-  final case class NearDupIndex(bands: DataFrame, shingleSets: DataFrame)
+    * per-ingest work becomes O(batch). The index pins the parameters it was
+    * built with: a probe whose signature chain used different constants
+    * would band-join against incomparable signatures and silently report
+    * zero duplicates, so [[probeNearDupsIndexed]] reuses these instead of
+    * accepting its own. */
+  final case class NearDupIndex(bands: DataFrame, shingleSets: DataFrame,
+                                shingleSize: Int, numHashes: Int, numBands: Int)
 
   def buildNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, numHashes: Int = 16,
@@ -184,7 +189,8 @@ object Dedup {
     val par = corpus.sparkSession.sessionState.conf.numShufflePartitions
     NearDupIndex(
       bandChain(corpus, idCol, textCol, shingleSize, numHashes, bands),
-      shinglesRaw(corpus.repartition(par), idCol, textCol, shingleSize).distinct())
+      shinglesRaw(corpus.repartition(par), idCol, textCol, shingleSize).distinct(),
+      shingleSize, numHashes, bands)
   }
 
   /** Incremental near-dup detection: probes a NEW batch of documents
@@ -206,17 +212,19 @@ object Dedup {
         "merge two documents' shingle sets and corrupt the Jaccard scores")
     probeNearDupsIndexed(newDf,
       buildNearDupIndex(corpus, idCol, textCol, shingleSize, numHashes, bands),
-      idCol, textCol, shingleSize, numHashes, bands, threshold)
+      idCol, textCol, threshold)
   }
 
   /** [[probeNearDups]] against a prebuilt [[NearDupIndex]] — the standing-
     * pipeline entry point where the corpus side is computed ONCE: each call
-    * pays the batch's signature chain plus survivor verification only. */
+    * pays the batch's signature chain plus survivor verification only. The
+    * batch's signature chain runs with the INDEX's pinned parameters. */
   def probeNearDupsIndexed(newDf: DataFrame, index: NearDupIndex,
                            idCol: String, textCol: String,
-                           shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
                            threshold: Double = 0.5): DataFrame = {
     val par = newDf.sparkSession.sessionState.conf.numShufflePartitions
+    val (shingleSize, numHashes, bands) =
+      (index.shingleSize, index.numHashes, index.numBands)
     val nb = bandChain(newDf, idCol, textCol, shingleSize, numHashes, bands)
     val cand = nb.select(col("band"), col("sig"), col(idCol).as("id_a"))
       .join(index.bands.select(col("band"), col("sig"), col(idCol).as("id_b")),

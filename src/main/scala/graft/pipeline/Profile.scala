@@ -54,8 +54,17 @@ object Profile {
                          fractions: Seq[Double]): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(f => f >= 0 && f <= 1),
       "fractions must be within [0, 1]")
+    // p50, p99, p99_9: decimals keep their digits (never rounded away —
+    // 0.995 and 1.0 must not both label as p100)
+    def label(f: Double): String = {
+      val s = BigDecimal(f * 100).underlying.stripTrailingZeros.toPlainString
+      "p" + s.replace("-", "m").replace(".", "_")
+    }
+    val labels = fractions.map(label)
+    require(labels.distinct.size == labels.size,
+      s"fractions produce duplicate column labels: ${labels.mkString(", ")}")
     val named = fractions.zipWithIndex.map { case (f, i) =>
-      col("__ps").getItem(i).as(s"p${math.round(f * 100)}")
+      col("__ps").getItem(i).as(label(f))
     }
     df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"),

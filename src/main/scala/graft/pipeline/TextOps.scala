@@ -168,21 +168,6 @@ object TextOps {
       .join(grams, Seq(idCol))
   }
 
-  /** Cross-document span duplication stats — the token-window approximation
-    * of exact-substring dedup (Lee et al. 2022, arXiv:2107.06499): for each
-    * document, how many of its `span`-token windows also occur in at least
-    * one OTHER document, and the duplicated fraction. High-dup_frac docs are
-    * boilerplate/mirror candidates that document-level near-dup (q24) misses
-    * when the surrounding text differs.
-    *
-    * Plan shape: window instances are a zero-shuffle projection
-    * ([[Dedup.shinglesRaw]]), immediately hashed to a 60-bit md5 prefix so
-    * both shuffles — the per-window doc-count aggregate and the semi-join
-    * back — move 8-byte keys instead of span-token strings (shuffle volume
-    * ≈ tokens × 8B, independent of span). One groupBy over the corpus token
-    * count is the honest price of exact span dedup; the suffix-array
-    * original is the single-machine form, this is the shuffle form.
-    */
   /** TF-IDF top-k salient terms per document. The idf factor is
     * INTEGER-QUANTIZED: idf = ⌊log2(N / docfreq)⌋ computed as
     * `length(bin(N DIV nd)) - 1` — pure integer arithmetic, so scores are
@@ -214,9 +199,27 @@ object TextOps {
         col("tf"), col("nd"), col("score"))
   }
 
+  /** Cross-document span duplication stats — the token-window approximation
+    * of exact-substring dedup (Lee et al. 2022, arXiv:2107.06499): for each
+    * document, how many of its `span`-token windows also occur in at least
+    * one OTHER document, and the duplicated fraction. High-dup_frac docs are
+    * boilerplate/mirror candidates that document-level near-dup (q24) misses
+    * when the surrounding text differs.
+    *
+    * Plan shape: window instances are a zero-shuffle projection
+    * ([[Dedup.shinglesRaw]]) over the spread input (few parquet splits would
+    * otherwise serialize the hash kernel in one task), immediately hashed to
+    * a 60-bit md5 prefix so both shuffles — the per-window doc-count
+    * aggregate and the semi-join back — move 8-byte keys instead of
+    * span-token strings (shuffle volume ≈ tokens × 8B, independent of span).
+    * One groupBy over the corpus token count is the honest price of exact
+    * span dedup; the suffix-array original is the single-machine form, this
+    * is the shuffle form.
+    */
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
                    span: Int = 10): DataFrame = {
-    val wins = Dedup.shinglesRaw(df, idCol, textCol, span)
+    val par = df.sparkSession.sessionState.conf.numShufflePartitions
+    val wins = Dedup.shinglesRaw(df.repartition(par), idCol, textCol, span)
       .select(col(idCol),
         expr("cast(conv(substr(md5(cast(sh as binary)), 1, 15), 16, 10) as bigint)").as("wh"))
       .cache() // read twice: doc-count aggregate + semi-join probe
@@ -305,10 +308,15 @@ object TextOps {
         val deflater = new java.util.zip.Deflater(6)
         val buf = new Array[Byte](8192)
         var ended = false
+        def end(): Unit = if (!ended) { deflater.end(); ended = true }
+        // a limit/take may abandon the iterator mid-partition: release the
+        // native zlib buffers at task end, not only on exhaustion
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => end()))
         new Iterator[(Long, Long, Long)] {
           def hasNext: Boolean = {
             val h = it.hasNext
-            if (!h && !ended) { deflater.end(); ended = true }
+            if (!h) end()
             h
           }
           def next(): (Long, Long, Long) = {

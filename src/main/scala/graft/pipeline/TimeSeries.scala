@@ -46,11 +46,17 @@ object TimeSeries {
     * `payload` columns must exist on `ref` and must not collide with probe
     * column names; `matchedTimeCol` (the ref timestamp that matched) is
     * appended when `withMatchedTime` is set.
+    *
+    * When two REF rows share a (key, timestamp), which one "wins" is
+    * undefined by ordering alone; pass `tieBreak` (payload column names,
+    * highest-precedence first) to pin the winner deterministically — the
+    * LAST row under that ordering carries.
     */
   def asofJoin(probe: DataFrame, ref: DataFrame, keys: Seq[String],
                timeCol: String, payload: Seq[String],
                tolerance: Option[Column] = None,
-               withMatchedTime: Option[String] = None): DataFrame = {
+               withMatchedTime: Option[String] = None,
+               tieBreak: Seq[String] = Nil): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
     val probeCols = probe.columns.toSeq
     val collisions = payload.toSet intersect probeCols.toSet
@@ -69,8 +75,12 @@ object TimeSeries {
         probeOnly.map(col) ++
         payload.map(c => lit(null).cast(ref.schema(c).dataType).as(c)) :+ lit(1).as(side): _*)
 
+    // tie-break columns order ASC NULLS FIRST explicitly (engines disagree
+    // on default null placement; probe rows are all-null there and sort
+    // together regardless, so only ref-vs-ref ties are affected)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc, col(side).asc)
+      .orderBy(col(timeCol).asc +: col(side).asc +:
+        tieBreak.map(c => col(c).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // carry the whole (ts, payload…) struct of the last REF row: ignoreNulls
     // skips probe rows (struct literal null there) but NOT a ref row whose

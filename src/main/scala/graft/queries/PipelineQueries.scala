@@ -244,7 +244,8 @@ object PipelineQueries {
         .select(col("event_id"), col("user_id"), col("ts"))
       val errors = ev.filter(col("event_type") === "error")
         .select(col("user_id"), col("ts"), col("value").as("err_value"))
-      TimeSeries.asofJoin(clicks, errors, Seq("user_id"), "ts", Seq("err_value"))
+      TimeSeries.asofJoin(clicks, errors, Seq("user_id"), "ts", Seq("err_value"),
+        tieBreak = Seq("err_value"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_clicks"),
           count(col("err_value")).as("n_matched"),
@@ -732,7 +733,7 @@ object PipelineQueries {
         |), w AS (
         |  SELECT user_id, click_id, side,
         |    last_value(err_value IGNORE NULLS) OVER (
-        |      PARTITION BY user_id ORDER BY ts, side
+        |      PARTITION BY user_id ORDER BY ts, side, err_value ASC NULLS FIRST
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_err
         |  FROM u
         |)

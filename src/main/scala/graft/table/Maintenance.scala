@@ -210,31 +210,38 @@ object Maintenance {
     * Returns (positional delete files before, after, dangling rows
     * dropped). */
   def rewritePositionDeleteFiles(spark: SparkSession, table: IceTable): (Int, Int, Long) = {
-    import org.apache.spark.sql.functions.{col, regexp_replace}
+    import org.apache.spark.sql.functions.col
     val snap = table.currentSnapshot(None).getOrElse(return (0, 0, 0L))
     val all = table.entries(snap)
     val pos = all.filter(_.dataFile.content == ContentPositionDeletes)
     if (pos.isEmpty) return (0, 0, 0L)
     val eq = all.filter(_.dataFile.content == ContentEqualityDeletes)
     // live-path filter joins against the manifest-derived path list (driver
-    // metadata already in hand — never a storage listing); _metadata paths
-    // are file: URIs while manifests store plain paths, so normalize the
-    // scheme off the delete rows before comparing
+    // metadata already in hand — never a storage listing). Delete rows store
+    // `_metadata.file_path` verbatim (FileSystem-qualified, any scheme), so
+    // the manifest paths qualify driver-side through the SAME Hadoop
+    // resolution the MoR scan uses — exact string equality on any
+    // filesystem, local or remote
     import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
     val live = all.filter(_.dataFile.content == ContentData)
-      .map(e => new Path(e.dataFile.filePath).toUri.getPath).toDF("live_path")
+      .map { e =>
+        val hp = new Path(e.dataFile.filePath)
+        hp.getFileSystem(hconf).makeQualified(hp).toString
+      }.toDF("live_path")
     val total = pos.map(_.dataFile.recordCount).sum
     val kept = spark.read.parquet(pos.map(_.dataFile.filePath): _*)
-      .join(live, regexp_replace(col("file_path"), "^file:(//)?", "") === col("live_path"),
-        "left_semi")
+      .join(live, col("file_path") === col("live_path"), "left_semi")
+      .cache() // read twice: the dangling count + the consolidated write
     val keptCount = kept.count()
     val dropped = total - keptCount
-    if (pos.size <= 1 && dropped == 0L) return (pos.size, pos.size, 0L)
+    if (pos.size <= 1 && dropped == 0L) { kept.unpersist(); return (pos.size, pos.size, 0L) }
     val files =
       if (keptCount == 0L) Nil
       else graft.spark.IceWrite.writeDataFiles(spark, table, kept,
         graft.spark.IceWrite.PosDeleteSchema, content = ContentPositionDeletes,
         outFiles = graft.spark.IceWrite.fileCountHint(keptCount))
+    kept.unpersist()
     val committed = table.newTransaction(None).rewriteDeletes(eq, files).commit()
     val after = committed.currentSnapshot(None)
       .map(committed.entries(_).count(_.dataFile.content == ContentPositionDeletes)).getOrElse(0)
