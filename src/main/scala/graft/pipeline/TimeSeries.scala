@@ -107,6 +107,33 @@ object TimeSeries {
     matched.select(out: _*)
   }
 
+  /** Gap-based sessionization: within each `keys` group, rows ordered by
+    * (`timeCol`, `tieBreak`…) start a new session whenever the gap from the
+    * previous row exceeds `gap` (pass `expr("INTERVAL '30' MINUTE")` for
+    * timestamp columns, a plain number for numeric time). Adds a 1-based
+    * `session_idx` per key — the classic event-log operator behind session
+    * analytics, funnel windows, and per-visit aggregation.
+    *
+    * Plan shape: ONE shuffle + sort on (`keys`; time, tieBreak) serving two
+    * stacked window projections (lag → is-start flag, then a running sum) —
+    * Spark plans both over the same sort, so cost equals a single window.
+    * Skew follows key activity, same bound as [[asofJoin]].
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], timeCol: String,
+                 gap: Column, tieBreak: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "sessionize needs at least one key column")
+    val ord = col(timeCol).asc +: tieBreak.map(c => col(c).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val prev = lag(col(timeCol), 1).over(w)
+    val isStart = when(prev.isNull || (col(timeCol) - prev > gap), 1).otherwise(0)
+    df.withColumn("__session_start", isStart)
+      .withColumn("session_idx",
+        sum(col("__session_start"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .drop("__session_start")
+  }
+
   /** Point-in-interval range join: every (point, interval) pair with
     * `startCol <= pointTime <= endCol` and equal `keys`, returned as joined
     * rows (all point columns + all interval columns).

@@ -118,6 +118,43 @@ object TrainingSet {
       .select(col(idCol)).distinct()
   }
 
+  /** Deterministic global enumeration + fixed-size shard assignment — the
+    * exporter shape: every row gets a dense `global_idx` (0-based, in
+    * deterministic shuffle order) and `shard` = idx ÷ `rowsPerShard`, so a
+    * training run can address "shard 17, row 3" reproducibly and shards can
+    * be written with `partitionBy("shard")`.
+    *
+    * A naive `row_number() OVER (ORDER BY key)` funnels the corpus through
+    * ONE partition. Instead: the md5 shuffle key's leading hex nibbles form
+    * 256 RANGE buckets (order-aligned with the key by construction), bucket
+    * counts collect driver-side (≤256 rows — the same metadata-scale collect
+    * as [[mixSources]]), and each bucket's rows enumerate locally under its
+    * broadcast prefix offset. Parallelism is 256 × within-bucket, the
+    * enumeration is exactly the global (key, tiebreak) order, and no stage
+    * sees more than corpus/256 rows in one task. */
+  def shardAssignments(df: DataFrame, keyCol: String, rowsPerShard: Long,
+                       salt: String = "shard"): DataFrame = {
+    require(rowsPerShard > 0, "rowsPerShard must be positive")
+    val key = shuffleKey(col(keyCol), salt)
+    val b = conv(substring(key, 1, 2), 16, 10).cast("int")
+    val withB = df.withColumn("__sk", key).withColumn("__b", b)
+    val counts = withB.groupBy(col("__b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      (0 until 256).map { i =>
+        val o = i -> acc; acc += counts.getOrElse(i, 0L); o
+      }.toMap
+    }
+    val w = Window.partitionBy(col("__b")).orderBy(col("__sk").asc, col(keyCol).asc)
+    withB
+      .withColumn("global_idx",
+        (row_number().over(w).cast("long") - 1L +
+          element_at(typedLit(offsets), col("__b"))))
+      .withColumn("shard", expr(s"CAST(global_idx DIV $rowsPerShard AS BIGINT)"))
+      .drop("__sk", "__b")
+  }
+
   /** Token-budget sequence packing: assigns documents to contiguous packs of
     * ~`budgetTokens` tokens (a pack may overflow by at most one document —
     * the concat-then-chunk packing used for LM pretraining batches).

@@ -329,6 +329,23 @@ object PipelineQueries {
     // the unit spec pins the ordering invariants).
     "q60_compression_ratio" -> ((s, d) =>
       TextOps.compressionRatio(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Gap-based sessionization: per-user sessions split at 6h-idle
+    // boundaries, one shuffle + sort total.
+    "q61_sessions" -> ((s, d) =>
+      TimeSeries.sessionize(Tables.events(s, d), Seq("user_id"), "ts",
+        expr("INTERVAL '6' HOUR"), tieBreak = Seq("event_id"))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+        .orderBy("user_id", "session_idx")),
+
+    // Deterministic global enumeration + fixed-size shards (the exporter
+    // shape) — the full per-row assignment is compared, not a summary.
+    "q62_shards" -> ((s, d) =>
+      TrainingSet.shardAssignments(Tables.documents(s, d), "doc_id", 64)
+        .select(col("doc_id"), col("global_idx"), col("shard"))
         .orderBy("doc_id"))
   )
 
@@ -833,6 +850,37 @@ object PipelineQueries {
       s"""WITH $tokCte,
         |t2 AS (SELECT doc_id, unnest(w) AS tok FROM toks)
         |SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
-        |FROM t2 GROUP BY tok ORDER BY tf DESC, tok LIMIT 30""".stripMargin
+        |FROM t2 GROUP BY tok ORDER BY tf DESC, tok LIMIT 30""".stripMargin,
+
+    // same two-window algorithm (lag → is-start flag → running sum), same
+    // (ts, event_id) ordering — session boundaries agree by construction
+    "q61_sessions" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS is_start
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), g AS (
+        |  SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM s
+        |)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end
+        |FROM g GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    // the oracle states the SPEC (one global row_number over the shuffle
+    // key); the Spark side must reproduce it with its distributed
+    // bucket-offset enumeration — the gate proves the decomposition exact
+    "q62_shards" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':shard') AS sk FROM documents),
+        |e AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) - 1 AS global_idx FROM k)
+        |SELECT doc_id, CAST(global_idx AS BIGINT) AS global_idx,
+        |  CAST(global_idx // 64 AS BIGINT) AS shard
+        |FROM e ORDER BY doc_id""".stripMargin
   )
 }

@@ -404,6 +404,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(("a", 3L, 2L), ("b", 1L, 1L), ("c", 2L, 2L)), got)
   }
 
+  test("sessionize splits at gap boundaries per key, 1-based and ordered") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 100L, 10L), (1L, 101L, 150L), (1L, 102L, 170L), // gap 50: new session at 150
+      (2L, 200L, 10L)
+    ).toDF("user", "id", "t")
+    val got = TimeSeries.sessionize(ev, Seq("user"), "t", lit(40), tieBreak = Seq("id"))
+      .select(col("user"), col("id"), col("session_idx")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 100L, 1L), (1L, 101L, 2L), (1L, 102L, 2L), (2L, 200L, 1L)), got)
+  }
+
+  test("sessionize gap is exclusive: exactly-gap spacing stays one session") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L, 0L), (1L, 2L, 40L), (1L, 3L, 80L)).toDF("user", "id", "t")
+    val got = TimeSeries.sessionize(ev, Seq("user"), "t", lit(40), tieBreak = Seq("id"))
+      .agg(max("session_idx")).collect().head.getLong(0)
+    assert(got == 1L)
+  }
+
+  test("shardAssignments reproduces the global row_number spec distributed") {
+    import spark.implicits._
+    val d = (0L until 500L).toDF("k")
+    val got = TrainingSet.shardAssignments(d, "k", rowsPerShard = 64)
+      .select(col("k"), col("global_idx"), col("shard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // spec: one global sort by (md5(k || ":shard"), k)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(k: Long): String = {
+      md.reset()
+      md.digest(s"$k:shard".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val want = (0L until 500L).sortBy(k => (key(k), k)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong, i.toLong / 64) }.toSet
+    assert(got.toSet == want)
+    assert(got.map(_._2).sorted.toSeq == (0L until 500L).toSeq) // dense, no dups
+  }
+
   test("groupedPercentiles interpolates at q*(n-1) with exact group totals") {
     import spark.implicits._
     val d = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L), ("b", 5L))
