@@ -308,6 +308,38 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rank filter not pushed into the window sort:\n$plan")
   }
 
+  test("pii redaction is a zero-shuffle projection") {
+    val df = graft.pipeline.TextOps.piiStats(
+      graft.Tables.documents(spark, sf), "doc_id", "text")
+    val plan = physicalPlan(df)
+    assert(!plan.contains("Exchange"), s"pii stats must not shuffle:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Generate"),
+      s"pii stats must stay a per-row projection:\n$plan")
+  }
+
+  test("sessionization is ONE shuffle + sort serving both windows") {
+    val plan = physicalPlan(PipelineQueries.queries("q61_sessions")(spark, sf))
+    assert(!plan.contains("Join"), s"sessionize must not join:\n$plan")
+    // lag-window and running-sum window share partitioning and ordering:
+    // one hash exchange total (plus the presentation range exchange), and
+    // the session aggregation reuses it too
+    assert(plan.split('\n').count(_.contains("Exchange hashpartitioning")) == 1,
+      s"sessionize re-shuffled between its windows or aggregate:\n$plan")
+    assert(plan.split('\n').count(_.contains("Sort [")) <= 2,
+      s"windows did not share one sort:\n$plan")
+  }
+
+  test("shard assignment enumerates per range-bucket, never one global window") {
+    val plan = physicalPlan(PipelineQueries.queries("q62_shards")(spark, sf))
+    assert(!plan.contains("Join"), s"offsets must broadcast as literals, not join:\n$plan")
+    val windowLines = plan.split('\n')
+      .filter(l => l.contains("windowspecdefinition"))
+    assert(windowLines.nonEmpty, s"expected the per-bucket window:\n$plan")
+    windowLines.foreach { l =>
+      assert(l.contains("__b"), s"window not bucket-partitioned: $l")
+    }
+  }
+
   test("sequence packing parallelizes by (stratum, bucket), never one global window") {
     val plan = physicalPlan(PipelineQueries.queries("q44_pack_sequences")(spark, sf))
     assert(!plan.contains("Join"), s"packing must not join:\n$plan")
