@@ -134,6 +134,75 @@ object TimeSeries {
       .drop("__session_start")
   }
 
+  /** Ordered-step conversion funnel: for each `keys` entity, the earliest
+    * time of step 1, then the earliest step-2 event AT OR AFTER that (and
+    * within `window`, when given), and so on — the standard product-analytics
+    * funnel with per-step timeout. Returns one row per entity that reached
+    * step 1, with columns `t1..tN` (null from the first step not reached;
+    * `stepNames` renames them).
+    *
+    * Plan shape: N rounds of (type-filtered scan → key-keyed min-aggregate →
+    * join with the previous step's table). The step tables are one row per
+    * surviving entity — orders of magnitude smaller than the event log — so
+    * every join is a key-keyed shuffle (or broadcast, once stats see the
+    * shrink) of aggregates, never an event-by-event expansion; the event
+    * scan per round carries its `stepCol` filter down to the source.
+    */
+  def funnel(events: DataFrame, keys: Seq[String], timeCol: String,
+             stepCol: String, steps: Seq[String],
+             window: Option[Column] = None,
+             stepNames: Seq[String] = Nil): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    require(stepNames.isEmpty || stepNames.size == steps.size,
+      "stepNames must match steps")
+    val names = if (stepNames.nonEmpty) stepNames
+                else steps.indices.map(i => s"t${i + 1}")
+    val first = events.filter(col(stepCol) === steps.head)
+      .groupBy(keys.map(col): _*).agg(min(col(timeCol)).as(names.head))
+    val completed = steps.zip(names).zipWithIndex.drop(1)
+      .foldLeft(first) { case (prev, ((step, name), i)) =>
+        val prevT = col(names(i - 1))
+        val bound = window match {
+          case Some(w) => col(timeCol) >= prevT && col(timeCol) <= prevT + w
+          case None => col(timeCol) >= prevT
+        }
+        val next = events.filter(col(stepCol) === step)
+          .join(prev.select((keys.map(col) :+ prevT): _*), keys)
+          .filter(bound)
+          .groupBy(keys.map(col): _*).agg(min(col(timeCol)).as(name))
+        prev.join(next, keys, "left")
+      }
+    completed
+  }
+
+  /** Cohort retention: entities are grouped by the period of their first
+    * `anchorPred` event (e.g. signup week), and each subsequent period in
+    * which they show ANY activity marks them retained. Returns
+    * (cohort_period DATE, period_idx, n_active) — the classic retention
+    * triangle. `periodDays` must divide the truncation evenly; with `week`
+    * truncation both the cohort anchor and activity periods align on Monday
+    * boundaries, so the day-difference is an exact multiple of 7.
+    *
+    * Plan shape: one anchor aggregate (rows = entities), one
+    * entity-period distinct over the activity log (map-side partial
+    * dedup), a key-keyed join between them, and the final small aggregate.
+    */
+  def cohortRetention(events: DataFrame, keys: Seq[String], timeCol: String,
+                      anchorPred: Column): DataFrame = {
+    val cohort = events.filter(anchorPred)
+      .groupBy(keys.map(col): _*)
+      .agg(date_trunc("week", min(col(timeCol))).cast("date").as("__w0"))
+    val act = events
+      .join(cohort, keys)
+      .filter(col(timeCol) >= col("__w0"))
+      .select((keys.map(col) :+ col("__w0") :+
+        (datediff(date_trunc("week", col(timeCol)).cast("date"), col("__w0")) / 7)
+          .cast("long").as("period_idx")): _*)
+      .distinct()
+    act.groupBy(col("__w0").as("cohort_week"), col("period_idx"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Point-in-interval range join: every (point, interval) pair with
     * `startCol <= pointTime <= endCol` and equal `keys`, returned as joined
     * rows (all point columns + all interval columns).

@@ -346,7 +346,21 @@ object PipelineQueries {
     "q62_shards" -> ((s, d) =>
       TrainingSet.shardAssignments(Tables.documents(s, d), "doc_id", 64)
         .select(col("doc_id"), col("global_idx"), col("shard"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Conversion funnel view → click → purchase with a 1-day per-step
+    // timeout; one row per user reaching step 1, nulls where they drop.
+    "q63_funnel" -> ((s, d) =>
+      TimeSeries.funnel(Tables.events(s, d), Seq("user_id"), "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        window = Some(expr("INTERVAL '1' DAY")))
+        .orderBy("user_id")),
+
+    // Cohort retention triangle: signup-week cohorts × active week index.
+    "q64_retention" -> ((s, d) =>
+      TimeSeries.cohortRetention(Tables.events(s, d), Seq("user_id"), "ts",
+        col("event_type") === "signup")
+        .orderBy("cohort_week", "period_idx"))
   )
 
   // mirrors TextOps.tokens EXACTLY (lowercase, empty tokens dropped): the
@@ -881,6 +895,39 @@ object PipelineQueries {
         |  SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) - 1 AS global_idx FROM k)
         |SELECT doc_id, CAST(global_idx AS BIGINT) AS global_idx,
         |  CAST(global_idx // 64 AS BIGINT) AS shard
-        |FROM e ORDER BY doc_id""".stripMargin
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    // same step-cascade algebra: each step's min-ts is bounded by the
+    // previous step's time + window
+    "q63_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 1 DAY GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        |    AND e.ts <= s2.t2 + INTERVAL 1 DAY GROUP BY 1)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s2.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
+
+    // week-truncated anchors align on Monday boundaries, so the day
+    // difference is an exact multiple of 7 on both engines
+    "q64_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS w0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT c.user_id, c.w0,
+        |    CAST(date_diff('day', c.w0, CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT)
+        |      AS period_idx
+        |  FROM events e JOIN cohort c ON e.user_id = c.user_id
+        |  WHERE e.ts >= c.w0)
+        |SELECT w0 AS cohort_week, period_idx, count(*) AS n_active
+        |FROM act GROUP BY 1, 2 ORDER BY cohort_week, period_idx""".stripMargin
   )
 }

@@ -424,6 +424,42 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == 1L)
   }
 
+  test("funnel cascades min-times forward with per-step window drop-off") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "a", 10L), (1L, "b", 20L), (1L, "c", 25L),   // completes within window
+      (2L, "a", 10L), (2L, "b", 200L),                  // b outside window 50
+      (3L, "b", 5L), (3L, "a", 10L),                    // b BEFORE a: no step 2
+      (4L, "a", 10L), (4L, "b", 30L)                    // no c at all
+    ).toDF("user", "typ", "t")
+    val got = TimeSeries.funnel(ev, Seq("user"), "t", "typ", Seq("a", "b", "c"),
+      window = Some(lit(50)))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got == Set((1L, 10L, 20L, 25L), (2L, 10L, -1L, -1L),
+      (3L, 10L, -1L, -1L), (4L, 10L, 30L, -1L)), got)
+  }
+
+  test("cohortRetention buckets by anchor week and counts distinct actives") {
+    import spark.implicits._
+    val ts = (d: String) => java.sql.Timestamp.valueOf(s"$d 12:00:00")
+    val ev = Seq(
+      (1L, "signup", ts("2024-01-01")), (1L, "click", ts("2024-01-10")),
+      (1L, "click", ts("2024-01-11")), // same period as above: one active mark
+      (2L, "signup", ts("2024-01-02")), // same cohort week as user 1
+      (3L, "signup", ts("2024-01-08")), (3L, "click", ts("2024-01-09"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = TimeSeries.cohortRetention(ev, Seq("user_id"), "ts",
+      col("event_type") === "signup")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    // users 1+2 cohort 2024-01-01: both active period 0; user 1 also period 1
+    // user 3 cohort 2024-01-08: active period 0 only
+    assert(got == Set(("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L),
+      ("2024-01-08", 0L, 1L)), got)
+  }
+
   test("shardAssignments reproduces the global row_number spec distributed") {
     import spark.implicits._
     val d = (0L until 500L).toDF("k")
