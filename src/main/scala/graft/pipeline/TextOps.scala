@@ -286,6 +286,35 @@ object TextOps {
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("df"))
 
+  /** Corpus-trained bigram LM quality score — the shape of CCNet/CC-100's
+    * "LM perplexity filter" with the LM trained on the corpus itself: a
+    * document whose word bigrams are common across the corpus reads like the
+    * corpus (high score); one full of never-seen-again bigrams is an outlier
+    * (low score). The per-bigram log-probability surrogate is INTEGER-
+    * QUANTIZED — ⌊log2(corpus count)⌋ via binary-string length, as in
+    * [[tfidfTopK]] — so sums are exact BIGINTs and the final mean is one
+    * IEEE division of two exact integers: engine-portable bit-for-bit.
+    *
+    * Documents with fewer than two tokens have no bigrams and are excluded.
+    *
+    * Plan shape: bigram instances are a zero-shuffle projection
+    * ([[Dedup.shinglesRaw]], cached — it feeds the count aggregate AND the
+    * score join), counts one bigram-keyed aggregate, scoring one
+    * bigram-keyed join + doc-keyed aggregate. Zipf-hot bigrams partially
+    * aggregate map-side; nothing exceeds corpus-token-count rows.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val par = df.sparkSession.sessionState.conf.numShufflePartitions
+    val eligible = df.filter(size(tokens(col(textCol))) >= 2).repartition(par)
+    val bg = Dedup.shinglesRaw(eligible, idCol, textCol, 2).cache()
+    val counts = bg.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
+    bg.join(counts, "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(length(bin(col("cnt"))) - 1).cast("long").as("sum_log2"))
+      .withColumn("lm_score", col("sum_log2") * lit(1.0) / col("n_bigrams"))
+  }
+
   /** Compression-ratio quality signal: DEFLATE(level 6) bytes over raw UTF-8
     * bytes per document. Highly compressible text is boilerplate/templating;
     * incompressible text is often binary junk or hash dumps — web-corpus

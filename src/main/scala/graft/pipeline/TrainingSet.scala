@@ -155,6 +155,28 @@ object TrainingSet {
       .drop("__sk", "__b")
   }
 
+  /** Materializes [[shardAssignments]] as on-disk training shards: parquet
+    * under `outDir/shard=N/`, rows of each shard laid down in global order
+    * (`sortWithinPartitions` after a shard repartition → one ordered file
+    * per shard), plus a `_manifest` directory with per-shard row counts and
+    * index ranges — what a loader needs to address "shard 17, row 3"
+    * without opening data files. Returns the manifest (shard, n_rows,
+    * min_idx, max_idx). */
+  def exportShards(df: DataFrame, keyCol: String, rowsPerShard: Long,
+                   outDir: String, salt: String = "shard"): DataFrame = {
+    val assigned = shardAssignments(df, keyCol, rowsPerShard, salt).cache()
+    assigned
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("global_idx"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    val manifest = assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("global_idx")).as("min_idx"), max(col("global_idx")).as("max_idx"))
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
+    assigned.unpersist()
+    manifest
+  }
+
   /** Token-budget sequence packing: assigns documents to contiguous packs of
     * ~`budgetTokens` tokens (a pack may overflow by at most one document —
     * the concat-then-chunk packing used for LM pretraining batches).

@@ -360,7 +360,12 @@ object PipelineQueries {
     "q64_retention" -> ((s, d) =>
       TimeSeries.cohortRetention(Tables.events(s, d), Seq("user_id"), "ts",
         col("event_type") === "signup")
-        .orderBy("cohort_week", "period_idx"))
+        .orderBy("cohort_week", "period_idx")),
+
+    // Corpus-trained bigram LM quality score (integer-quantized log2).
+    "q65_lm_score" -> ((s, d) =>
+      TextOps.lmScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   // mirrors TextOps.tokens EXACTLY (lowercase, empty tokens dropped): the
@@ -928,6 +933,21 @@ object PipelineQueries {
         |  FROM events e JOIN cohort c ON e.user_id = c.user_id
         |  WHERE e.ts >= c.w0)
         |SELECT w0 AS cohort_week, period_idx, count(*) AS n_active
-        |FROM act GROUP BY 1, 2 ORDER BY cohort_week, period_idx""".stripMargin
+        |FROM act GROUP BY 1, 2 ORDER BY cohort_week, period_idx""".stripMargin,
+
+    // ⌊log2(count)⌋ via binary-string length — integer-exact on both
+    // engines; the mean is one IEEE division of two exact integers
+    "q65_lm_score" ->
+      s"""WITH $tokCte,
+        |big AS (
+        |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS sh
+        |  FROM toks, UNNEST(range(1, len(w))) AS t(i)
+        |  WHERE len(w) >= 2),
+        |cnts AS (SELECT sh, count(*) AS cnt FROM big GROUP BY sh)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(length(bin(cnt)) - 1) AS BIGINT) AS sum_log2,
+        |  CAST(sum(length(bin(cnt)) - 1) AS BIGINT) * 1.0 / count(*) AS lm_score
+        |FROM big JOIN cnts USING (sh)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

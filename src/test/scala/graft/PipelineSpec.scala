@@ -460,6 +460,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("2024-01-08", 0L, 1L)), got)
   }
 
+  test("lmScore quantizes bigram counts to floor-log2 with exact means") {
+    val d = docs(1L -> "a b a b", 2L -> "a b", 3L -> "x")
+    val got = TextOps.lmScore(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // counts: "a b" -> 3 (log2=1), "b a" -> 1 (log2=0); doc 3 has no bigrams
+    assert(got == Set((1L, 3L, 2L, 2.0 / 3), (2L, 1L, 1L, 1.0)), got)
+  }
+
+  test("exportShards writes ordered shard dirs plus a usable manifest") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val d = (0L until 300L).toDF("k")
+    val manifest = TrainingSet.exportShards(d, "k", rowsPerShard = 128, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(manifest.toSeq == Seq((0L, 128L, 0L, 127L), (1L, 128L, 128L, 255L),
+      (2L, 44L, 256L, 299L)), manifest.mkString(", "))
+    // round-trip: shard dirs exist, each shard's rows match its manifest
+    // count, and the union reproduces the full assignment
+    val back = spark.read.parquet(s"$dir/shard=1")
+    assert(back.count() == 128L)
+    val full = spark.read.parquet(dir)
+    assert(full.count() == 300L &&
+      full.select("global_idx").distinct().count() == 300L)
+  }
+
   test("shardAssignments reproduces the global row_number spec distributed") {
     import spark.implicits._
     val d = (0L until 500L).toDF("k")
