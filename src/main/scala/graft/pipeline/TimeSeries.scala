@@ -134,6 +134,30 @@ object TimeSeries {
       .drop("__session_start")
   }
 
+  /** Daily activity series with a trailing `windowDays`-day rolling event
+    * sum: (day, n_events, dau, n_<w>d). The rolling frame is a RANGE window
+    * over an integer day number, so gap days (no events) still bound the
+    * frame correctly — a ROWS frame would silently span across gaps.
+    *
+    * Plan shape: the heavy lifting is the per-day aggregate (day-keyed
+    * shuffle with map-side partials, plus the distinct-entity expansion for
+    * dau); the rolling window then runs over ROWS = #days — metadata-scale
+    * (a decade is ~3.7k rows), so its single-partition sort is free by
+    * construction. */
+  def rollingDailyStats(events: DataFrame, timeCol: String, entityCol: String,
+                        windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be at least 1")
+    val daily = events
+      .groupBy(date_trunc("day", col(timeCol)).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col(entityCol)).as("dau"))
+    val w = Window.orderBy(col("__dn")).rangeBetween(-(windowDays - 1), 0)
+    daily
+      .withColumn("__dn", datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))))
+      .withColumn(s"n_${windowDays}d", sum(col("n_events")).over(w).cast("long"))
+      .drop("__dn")
+  }
+
   /** Ordered-step conversion funnel: for each `keys` entity, the earliest
     * time of step 1, then the earliest step-2 event AT OR AFTER that (and
     * within `window`, when given), and so on — the standard product-analytics

@@ -365,7 +365,12 @@ object PipelineQueries {
     // Corpus-trained bigram LM quality score (integer-quantized log2).
     "q65_lm_score" -> ((s, d) =>
       TextOps.lmScore(Tables.documents(s, d), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Daily activity + trailing 7-day rolling event volume.
+    "q66_rolling_daily" -> ((s, d) =>
+      TimeSeries.rollingDailyStats(Tables.events(s, d), "ts", "user_id")
+        .orderBy("day"))
   )
 
   // mirrors TextOps.tokens EXACTLY (lowercase, empty tokens dropped): the
@@ -948,6 +953,18 @@ object PipelineQueries {
         |  CAST(sum(length(bin(cnt)) - 1) AS BIGINT) AS sum_log2,
         |  CAST(sum(length(bin(cnt)) - 1) AS BIGINT) * 1.0 / count(*) AS lm_score
         |FROM big JOIN cnts USING (sh)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // RANGE frame over calendar days on both engines (gap days bound the
+    // trailing window; a ROWS frame would span across them)
+    "q66_rolling_daily" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_events,
+        |    count(DISTINCT user_id) AS dau
+        |  FROM events GROUP BY 1)
+        |SELECT day, n_events, dau,
+        |  CAST(sum(n_events) OVER (ORDER BY day
+        |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+        |FROM daily ORDER BY day""".stripMargin
   )
 }

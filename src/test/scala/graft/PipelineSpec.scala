@@ -460,6 +460,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("2024-01-08", 0L, 1L)), got)
   }
 
+  test("rollingDailyStats trailing window respects gap days (RANGE not ROWS)") {
+    import spark.implicits._
+    val ts = (d: String) => java.sql.Timestamp.valueOf(s"$d 10:00:00")
+    // days 1,2 then a gap to day 9: day 9's 7-day window must NOT see day 1/2
+    val ev = Seq((1L, ts("2024-01-01")), (2L, ts("2024-01-01")), (1L, ts("2024-01-02")),
+      (3L, ts("2024-01-09"))).toDF("user_id", "ts")
+    val got = TimeSeries.rollingDailyStats(ev, "ts", "user_id").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(("2024-01-01", 2L, 2L, 2L), ("2024-01-02", 1L, 1L, 3L),
+      ("2024-01-09", 1L, 1L, 1L)), got)
+  }
+
   test("lmScore quantizes bigram counts to floor-log2 with exact means") {
     val d = docs(1L -> "a b a b", 2L -> "a b", 3L -> "x")
     val got = TextOps.lmScore(d, "doc_id", "text").collect()
