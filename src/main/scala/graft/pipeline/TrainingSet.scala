@@ -51,6 +51,28 @@ object TrainingSet {
     df.filter(hashFraction(col(keyCol), salt) < rate)
   }
 
+  /** Deterministic train/val/test split: each row lands in the named split
+    * whose cumulative hash-fraction interval contains its key's md5
+    * fraction — stable under corpus growth (a row's split never changes
+    * when other rows arrive, unlike any count-based partition), disjoint
+    * and exhaustive by construction, and a pure scan-side projection (NO
+    * shuffle, NO join). `splits` maps name → fraction and must sum to ~1. */
+  def splitAssign(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Double)], salt: String = "split",
+                  splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0), "fractions must be >= 0")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val f = hashFraction(col(keyCol), salt)
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail
+    // the last interval is open-ended: fp summation error must never leave
+    // a sliver of [0,1) unassigned
+    val assigned = splits.init.zip(cuts.init)
+      .foldRight(lit(splits.last._1): Column) { case (((name, _), hi), acc) =>
+        when(f < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn(splitCol, assigned)
+  }
+
   /** Deterministic source mixing: downsample each source so the OUTPUT
     * follows the target mixture `weights` (e.g. web 0.6 / books 0.3 / code
     * 0.1) while keeping as much data as possible without upsampling. The

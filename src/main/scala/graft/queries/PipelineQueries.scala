@@ -370,7 +370,14 @@ object PipelineQueries {
     // Daily activity + trailing 7-day rolling event volume.
     "q66_rolling_daily" -> ((s, d) =>
       TimeSeries.rollingDailyStats(Tables.events(s, d), "ts", "user_id")
-        .orderBy("day"))
+        .orderBy("day")),
+
+    // Deterministic 80/10/10 split assignment — per-row, growth-stable.
+    "q67_split" -> ((s, d) =>
+      TrainingSet.splitAssign(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id"))
   )
 
   // mirrors TextOps.tokens EXACTLY (lowercase, empty tokens dropped): the
@@ -965,6 +972,19 @@ object PipelineQueries {
         |SELECT day, n_events, dau,
         |  CAST(sum(n_events) OVER (ORDER BY day
         |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
-        |FROM daily ORDER BY day""".stripMargin
+        |FROM daily ORDER BY day""".stripMargin,
+
+    // same cumulative md5-fraction intervals as TrainingSet.hashFraction
+    "q67_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN frac < 0.8 THEN 'train'
+        |       WHEN frac < 0.8 + 0.1 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15))::BIGINT
+        |      / 1152921504606846976.0) AS frac
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin
   )
 }

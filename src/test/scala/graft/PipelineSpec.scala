@@ -472,6 +472,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("2024-01-09", 1L, 1L, 1L)), got)
   }
 
+  test("splitAssign is disjoint, exhaustive, and growth-stable") {
+    import spark.implicits._
+    val d = (0L until 1000L).toDF("k")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = TrainingSet.splitAssign(d, "k", splits).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 1000)
+    val hist = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(hist.keySet == Set("train", "val", "test"), hist)
+    assert(hist("train") > 700 && hist("train") < 900, hist) // ~80%
+    // growth stability: the first 100 keys keep their split in a larger corpus
+    val small = TrainingSet.splitAssign((0L until 100L).toDF("k"), "k", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small.forall { case (k, s) => got(k) == s })
+  }
+
   test("lmScore quantizes bigram counts to floor-log2 with exact means") {
     val d = docs(1L -> "a b a b", 2L -> "a b", 3L -> "x")
     val got = TextOps.lmScore(d, "doc_id", "text").collect()
