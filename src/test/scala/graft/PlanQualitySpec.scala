@@ -340,6 +340,30 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("funnel pushes each step's type filter into the scan, no expansion joins") {
+    val plan = physicalPlan(PipelineQueries.queries("q63_funnel")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"funnel degenerated to an expansion join:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)") ||
+      plan.contains("EqualTo(event_type,view)"),
+      s"step filter not pushed to the event scan:\n$plan")
+  }
+
+  test("split assignment is a scan-side projection: no shuffle, no join") {
+    val df = graft.pipeline.TrainingSet.splitAssign(
+      graft.Tables.documents(spark, sf), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val plan = physicalPlan(df)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"splitAssign must ride the scan:\n$plan")
+  }
+
+  test("lm score joins bigrams on the shingle key, never all-pairs") {
+    val plan = physicalPlan(PipelineQueries.queries("q65_lm_score")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"lm score must equi-join on the bigram key:\n$plan")
+  }
+
   test("sequence packing parallelizes by (stratum, bucket), never one global window") {
     val plan = physicalPlan(PipelineQueries.queries("q44_pack_sequences")(spark, sf))
     assert(!plan.contains("Join"), s"packing must not join:\n$plan")
