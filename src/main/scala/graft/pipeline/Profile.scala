@@ -55,9 +55,11 @@ object Profile {
     require(fractions.nonEmpty && fractions.forall(f => f >= 0 && f <= 1),
       "fractions must be within [0, 1]")
     // p50, p99, p99_9: decimals keep their digits (never rounded away —
-    // 0.995 and 1.0 must not both label as p100)
+    // 0.995 and 1.0 must not both label as p100). Scale in DECIMAL space:
+    // BigDecimal(0.29 * 100) would preserve the binary artifact
+    // 28.999999999999996 in the column name
     def label(f: Double): String = {
-      val s = BigDecimal(f * 100).underlying.stripTrailingZeros.toPlainString
+      val s = (BigDecimal(f.toString) * 100).underlying.stripTrailingZeros.toPlainString
       "p" + s.replace("-", "m").replace(".", "_")
     }
     val labels = fractions.map(label)

@@ -305,8 +305,14 @@ object TextOps {
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
-    val eligible = df.filter(size(tokens(col(textCol))) >= 2).repartition(par)
-    val bg = Dedup.shinglesRaw(eligible, idCol, textCol, 2).cache()
+    // eligibility (≥ 2 tokens) falls out of the assembled windows instead of
+    // a size(tokens(…)) pre-filter: a pre-filter's predicate pushes below
+    // the token projection and re-runs the tokenizer per row. Tokens never
+    // contain the separator, so every TRUE bigram has one space, while the
+    // single tail window of a 0/1-token document has none — one cheap
+    // post-projection filter, one tokenization.
+    val bg = Dedup.shinglesRaw(df.repartition(par), idCol, textCol, 2)
+      .filter(col("sh").contains(" ")).cache()
     val counts = bg.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
     bg.join(counts, "sh")
       .groupBy(col(idCol))

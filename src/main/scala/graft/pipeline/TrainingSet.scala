@@ -191,12 +191,15 @@ object TrainingSet {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("global_idx"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
-    val manifest = assigned.groupBy(col("shard"))
+    assigned.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("global_idx")).as("min_idx"), max(col("global_idx")).as("max_idx"))
-    manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
     assigned.unpersist()
-    manifest
+    // serve the returned manifest from the file just written — an action on
+    // a plan over the now-unpersisted `assigned` would re-run the whole
+    // enumeration job
+    df.sparkSession.read.parquet(s"$outDir/_manifest")
   }
 
   /** Token-budget sequence packing: assigns documents to contiguous packs of

@@ -443,6 +443,18 @@ object IceScan {
     */
   val NameMappingProp = "schema.name-mapping.default"
 
+  /** Renders a manifest-stored path exactly like `_metadata.file_path`
+    * (FileSystem-qualified, any scheme) — the ONE definition of path
+    * equality between manifest entries and rows derived from scans. Both
+    * the MoR delete tag-map and the positional-delete rewrite compare
+    * through this; a second inline copy drifting (e.g. on URI encoding)
+    * would make them silently disagree. */
+  private[graft] def qualifiedPath(hconf: org.apache.hadoop.conf.Configuration,
+                                   p: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(hconf).makeQualified(hp).toString
+  }
+
   /** The Spark schema a scan should read with: field-id metadata drives
     * id-based (rename-safe) resolution, EXCEPT on name-mapped tables, where
     * id-less imported files would resolve every column to null — there the
@@ -792,10 +804,7 @@ object IceScan {
     // FileSystem-qualified, e.g. "file:/tmp/…"), while manifests may store
     // raw paths — qualify driver-side with the same Hadoop resolution
     val hconf = spark.sparkContext.hadoopConfiguration
-    def qualified(p: String): String = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(hconf).makeQualified(hp).toString
-    }
+    def qualified(p: String): String = IceScan.qualifiedPath(hconf, p)
 
     // (data file path → tag) for files in delete-affected partitions ONLY:
     // clean partitions keep a null tag and can never match a scoped delete

@@ -225,10 +225,8 @@ object Maintenance {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
     val live = all.filter(_.dataFile.content == ContentData)
-      .map { e =>
-        val hp = new Path(e.dataFile.filePath)
-        hp.getFileSystem(hconf).makeQualified(hp).toString
-      }.toDF("live_path")
+      .map(e => graft.spark.IceScan.qualifiedPath(hconf, e.dataFile.filePath))
+      .toDF("live_path")
     val total = pos.map(_.dataFile.recordCount).sum
     val kept = spark.read.parquet(pos.map(_.dataFile.filePath): _*)
       .join(live, col("file_path") === col("live_path"), "left_semi")
