@@ -67,6 +67,13 @@ trait Catalog {
     * (commit.rs:417-490 + sql catalog CAS, iceberg-sql-catalog/src/lib.rs:429-480).
     */
   def updateTable(commit: CommitTable): TableMetadata
+  /** Attaches an EXISTING table to this catalog from its on-storage metadata
+    * JSON document (the Iceberg register_table operation). No data movement:
+    * manifests and data files stay where the metadata's absolute paths point
+    * — the metadata's own `location` is preserved, so subsequent writes keep
+    * landing there; only the catalog's pointer is created. Fails if the
+    * identifier already exists. */
+  def registerTable(ident: TableIdent, metadataLocation: String): IceTable
   // ---- views (SURVEY §2.8 D2; versioned metadata per view_metadata.rs) ----
   /** Creates the view from full metadata; fails if it already exists. A
     * blank `location` is filled in by the backend. */
@@ -248,6 +255,17 @@ class FileCatalog(val warehouse: String) extends Catalog {
 
   override def loadTable(ident: TableIdent): Option[IceTable] =
     loadMetadata(ident).map(m => new IceTable(ident, this, m))
+
+  override def registerTable(ident: TableIdent, metadataLocation: String): IceTable = {
+    require(loadMetadata(ident).isEmpty, s"table $ident already exists")
+    val m = TableMetadataJson.fromJson(new String(
+      Files.readAllBytes(Paths.get(metadataLocation)), StandardCharsets.UTF_8))
+    // pointer = this catalog's version-file chain; the metadata body keeps
+    // its original `location`, so data/manifest paths (absolute) and future
+    // writes stay rooted at the source table directory
+    writeVersion(ident, listVersions(ident).lastOption.map(_._1 + 1).getOrElse(1), m)
+    new IceTable(ident, this, m)
+  }
 
   override def dropTable(ident: TableIdent): Unit = {
     def rm(p: Path): Unit = {

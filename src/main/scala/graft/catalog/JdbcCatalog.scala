@@ -59,8 +59,13 @@ class JdbcCatalog(val warehouse: String, jdbcUrl: String,
     Paths.get((warehouse +: ident.namespace :+ ident.name).mkString("/"))
 
   /** Immutable metadata document write: `%05d-<uuid>.metadata.json`. */
-  private def writeMetadataFile(ident: TableIdent, version: Int, json: String): Path = {
-    val dir = tableDir(ident).resolve("metadata")
+  private def writeMetadataFile(ident: TableIdent, version: Int, json: String): Path =
+    writeMetadataFileAt(tableDir(ident), version, json)
+
+  /** Registered tables keep their metadata chain under their own location
+    * (which may sit outside this catalog's warehouse). */
+  private def writeMetadataFileAt(tableRoot: Path, version: Int, json: String): Path = {
+    val dir = tableRoot.resolve("metadata")
     Files.createDirectories(dir)
     val path = dir.resolve(f"$version%05d-${UUID.randomUUID()}.metadata.json")
     Files.write(path, json.getBytes(StandardCharsets.UTF_8))
@@ -68,8 +73,10 @@ class JdbcCatalog(val warehouse: String, jdbcUrl: String,
   }
 
   private def versionOf(location: String): Int = {
+    // registered tables may point at foreign-named documents; fall back to 0
+    // so their first catalog-owned successor becomes version 1
     val name = Paths.get(location).getFileName.toString
-    name.take(5).toInt
+    scala.util.Try(name.take(5).toInt).getOrElse(0)
   }
 
   private def pointer(table: String, nsCol: String, nameCol: String,
@@ -129,6 +136,25 @@ class JdbcCatalog(val warehouse: String, jdbcUrl: String,
   override def loadTable(ident: TableIdent): Option[IceTable] =
     pointer("iceberg_tables", "table_namespace", "table_name", ident)
       .map(loc => new IceTable(ident, this, readTableMetadata(loc)))
+
+  /** The purest register form: the pointer row references the source
+    * metadata document directly — zero copies; the next commit's CAS swings
+    * the pointer to a catalog-written successor file as usual. */
+  override def registerTable(ident: TableIdent, metadataLocation: String): IceTable = synchronized {
+    val m = readTableMetadata(metadataLocation) // validates the document first
+    val ps = conn.prepareStatement(
+      "INSERT INTO iceberg_tables (catalog_name, table_namespace, table_name, metadata_location) VALUES (?, ?, ?, ?)")
+    try {
+      ps.setString(1, catalogName); ps.setString(2, ns(ident))
+      ps.setString(3, ident.name); ps.setString(4, metadataLocation)
+      ps.executeUpdate()
+    } catch {
+      case e: SQLException if e.getSQLState != null && e.getSQLState.startsWith("23") =>
+        throw new IllegalArgumentException(s"table $ident already exists", e)
+    } finally ps.close()
+    createNamespace(ident.namespace)
+    new IceTable(ident, this, m)
+  }
 
   override def dropTable(ident: TableIdent): Unit = synchronized {
     val ps = conn.prepareStatement(
@@ -203,7 +229,7 @@ class JdbcCatalog(val warehouse: String, jdbcUrl: String,
     val next = CatalogOps.applyUpdates(current, commit.updates)
       .copy(metadataLog = current.metadataLog :+
         MetadataLogEntry(prevLoc, current.lastUpdatedMs))
-    val nextPath = writeMetadataFile(commit.ident, versionOf(prevLoc) + 1,
+    val nextPath = writeMetadataFileAt(Paths.get(next.location), versionOf(prevLoc) + 1,
       TableMetadataJson.toJson(next))
     val ps = conn.prepareStatement(
       """UPDATE iceberg_tables SET metadata_location = ?, previous_metadata_location = ?

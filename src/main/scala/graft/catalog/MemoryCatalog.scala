@@ -55,6 +55,15 @@ class MemoryCatalog(val warehouse: String) extends Catalog {
   override def loadTable(ident: TableIdent): Option[IceTable] =
     tables.get(ident).map(m => new IceTable(ident, this, m))
 
+  override def registerTable(ident: TableIdent, metadataLocation: String): IceTable = {
+    val m = graft.spec.TableMetadataJson.fromJson(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(metadataLocation)),
+      java.nio.charset.StandardCharsets.UTF_8))
+    require(tables.putIfAbsent(ident, m).isEmpty, s"table $ident already exists")
+    namespaces.put(ident.namespace, ())
+    new IceTable(ident, this, m)
+  }
+
   override def dropTable(ident: TableIdent): Unit = tables.remove(ident)
 
   override def listTables(namespace: Seq[String]): Seq[TableIdent] =

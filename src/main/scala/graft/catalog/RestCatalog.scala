@@ -203,6 +203,17 @@ class RestCatalog(baseUri: String) extends Catalog {
     else Some(parseTableResponse(ident, expect(r, 200).body()))
   }
 
+  /** Iceberg REST register endpoint: the server attaches the existing
+    * metadata document (it shares the metadata's storage) to its backend. */
+  override def registerTable(ident: TableIdent, metadataLocation: String): IceTable = {
+    val n = mapper.createObjectNode()
+    n.put("name", ident.name)
+    n.put("metadata-location", metadataLocation)
+    val r = expect(send("POST",
+      s"/v1/namespaces/${nsPath(ident.namespace)}/register", Some(n.toString)), 200)
+    parseTableResponse(ident, r.body())
+  }
+
   override def dropTable(ident: TableIdent): Unit =
     expect(send("DELETE", tablePath(ident)), 200, 204)
 

@@ -107,6 +107,11 @@ class RestCatalogServer(inner: Catalog, port: Int = 0) {
           case Some(tab) => respond(ex, 200, tableJson(tab))
           case None => respond(ex, 404, """{"error":"no such table"}""")
         }
+      case ("POST", Seq("namespaces", ns, "register")) =>
+        val req = mapper.readTree(body())
+        val ident = TableIdent(splitNs(ns), req.get("name").asText())
+        val t = inner.registerTable(ident, req.get("metadata-location").asText())
+        respond(ex, 200, tableJson(t))
       case ("DELETE", Seq("namespaces", ns, "tables", t)) =>
         inner.dropTable(TableIdent(splitNs(ns), t)); respond(ex, 204)
       case ("POST", Seq("namespaces", ns, "tables", t)) =>

@@ -36,7 +36,7 @@ object GraftProcedures {
       "create_tag", "create_branch", "drop_ref", "add_files", "remove_orphan_files",
       "fast_forward", "rewrite_manifests", "compute_stats", "ancestors_of",
       "create_changelog_view", "rewrite_data_files", "rollback_to_timestamp",
-      "rewrite_position_delete_files")
+      "rewrite_position_delete_files", "register_table", "cherrypick_snapshot")
 
   def load(cat: GraftSparkCatalog, name: String): UnboundProcedure = name match {
     case "expire_snapshots" => new ExpireSnapshots(cat)
@@ -56,6 +56,8 @@ object GraftProcedures {
     case "rewrite_data_files" => new RewriteDataFiles(cat)
     case "rollback_to_timestamp" => new RollbackToTimestamp(cat)
     case "rewrite_position_delete_files" => new RewritePositionDeleteFiles(cat)
+    case "register_table" => new RegisterTable(cat)
+    case "cherrypick_snapshot" => new CherrypickSnapshot(cat)
     case other => throw new IllegalArgumentException(
       s"unknown procedure $other (available: ${names.mkString(", ")})")
   }
@@ -445,6 +447,72 @@ object GraftProcedures {
           keep.flatMap(_.maxRefAgeMs), keep.flatMap(_.minSnapshotsToKeep)))))
       InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(branchName),
         cur.map(Long.box).orNull, target)
+    }
+  }
+
+  /** Catalog attach of an existing table: `CALL graft.system.register_table(
+    * `table` => 'db.t', metadata_location => '/wh/db/t/metadata/00003-….metadata.json')`
+    * — no data movement, no rewrite; the catalog pointer is created and the
+    * metadata's own location keeps owning data and future writes. The
+    * cross-catalog migration primitive (e.g. file → JDBC/REST). */
+  private final class RegisterTable(cat: GraftSparkCatalog)
+      extends GraftProcedure(cat, "register_table",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("metadata_location", StringType).build()),
+        StructType(Seq(
+          StructField("current_snapshot_id", LongType),
+          StructField("total_data_files", LongType, nullable = false)))) {
+    override def description(): String =
+      "Attach an existing table's metadata document to this catalog (no data movement)"
+    override protected def run(spark: SparkSession, args: InternalRow): InternalRow = {
+      val ident = TableIdent.parse(args.getUTF8String(0).toString)
+      val t = cat.catalog.registerTable(ident, args.getUTF8String(1).toString)
+      InternalRow(t.metadata.currentSnapshotId.map(Long.box).orNull,
+        t.currentSnapshot(None).map(t.dataFiles(_).size.toLong).getOrElse(0L))
+    }
+  }
+
+  /** Cherry-pick of a staged snapshot onto the main head: `CALL graft.system.
+    * cherrypick_snapshot(table => 'db.t', snapshot_id => N)`. If the target's
+    * parent IS the current head the publish is a pointer move (the audit-
+    * branch WAP case); otherwise the target must be a pure append and its
+    * added files are re-appended as a NEW snapshot on main — existing history
+    * is never rewritten. Non-append snapshots on a diverged head are
+    * rejected (their row-level effects cannot be replayed safely). */
+  private final class CherrypickSnapshot(cat: GraftSparkCatalog)
+      extends GraftProcedure(cat, "cherrypick_snapshot",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("snapshot_id", LongType).build()),
+        StructType(Seq(
+          StructField("source_snapshot_id", LongType, nullable = false),
+          StructField("current_snapshot_id", LongType, nullable = false)))) {
+    override def description(): String =
+      "Apply a staged append snapshot onto the main head (pointer move when parent matches, else re-append)"
+    override protected def run(spark: SparkSession, args: InternalRow): InternalRow = {
+      val t = table(args)
+      val target = args.getLong(1)
+      val snap = t.snapshotById(target).getOrElse(
+        throw new IllegalArgumentException(s"table ${t.ident} has no snapshot $target"))
+      val m = t.metadata
+      if (m.currentSnapshotId.contains(target)) return InternalRow(target, target)
+      if (snap.parentSnapshotId == m.currentSnapshotId) {
+        // based on the current head already: publish = CAS pointer move
+        val keep = m.refs.get(m.MainBranch)
+        t.metadata = t.catalog.updateTable(CommitTable(t.ident,
+          Seq(TableRequirement.AssertRefSnapshotId(m.MainBranch, m.currentSnapshotId)),
+          Seq(TableUpdate.SetSnapshotRef(m.MainBranch, target, "branch",
+            keep.flatMap(_.maxRefAgeMs), keep.flatMap(_.minSnapshotsToKeep)))))
+        InternalRow(target, target)
+      } else {
+        require(snap.summary.get("operation").contains("append"),
+          s"snapshot $target is '${snap.summary.getOrElse("operation", "?")}' — only " +
+            "pure append snapshots can be cherry-picked onto a diverged head")
+        val added = t.entries(snap).filter(e =>
+          e.snapshotId.contains(target) && e.status == graft.table.ManifestModel.StatusAdded)
+        require(added.nonEmpty, s"snapshot $target added no live files to cherry-pick")
+        val after = t.newTransaction().appendData(added.map(_.dataFile)).commit()
+        InternalRow(target, after.metadata.currentSnapshotId.get)
+      }
     }
   }
 

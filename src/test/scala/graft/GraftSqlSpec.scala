@@ -836,6 +836,66 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.db.wap")
   }
 
+  test("register_table attaches an existing table to a second catalog without data movement") {
+    spark.sql("CREATE TABLE graft.db.regsrc (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.regsrc VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val mdPath = new java.io.File(s"$warehouse/db/regsrc/metadata").listFiles()
+      .filter(_.getName.endsWith(".metadata.json")).map(_.getAbsolutePath).sorted.last
+    val wh2 = Files.createTempDirectory("regwh2").toString
+    spark.conf.set("spark.sql.catalog.graft2", "graft.spark.sql.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.graft2.warehouse", wh2)
+    val row = spark.sql(s"CALL graft2.system.register_table(`table` => 'db.regsrc', " +
+      s"metadata_location => '$mdPath')").head()
+    assert(row.getLong(1) >= 1, "registered table must report its data files")
+    // full read through the NEW catalog — zero files were copied
+    assert(spark.sql("SELECT sum(k) FROM graft2.db.regsrc").head().getLong(0) == 6)
+    // the pointers are independent after registration: a write through the
+    // second catalog is invisible to the first
+    spark.sql("INSERT INTO graft2.db.regsrc VALUES (4, 'd')")
+    assert(spark.sql("SELECT count(*) FROM graft2.db.regsrc").head().getLong(0) == 4)
+    assert(spark.sql("SELECT count(*) FROM graft.db.regsrc").head().getLong(0) == 3)
+    // double registration is rejected
+    intercept[Exception](spark.sql(
+      s"CALL graft2.system.register_table(`table` => 'db.regsrc', metadata_location => '$mdPath')"))
+    spark.sql("DROP TABLE graft.db.regsrc")
+  }
+
+  test("cherrypick_snapshot publishes staged appends onto main") {
+    spark.sql("CREATE TABLE graft.db.cherry (k BIGINT)")
+    spark.sql("INSERT INTO graft.db.cherry VALUES (1)")
+    val cat = new graft.catalog.FileCatalog(warehouse)
+    def t = cat.loadTable(graft.catalog.TableIdent(Seq("db"), "cherry")).get
+    spark.sql("CALL graft.system.create_branch(`table` => 'db.cherry', name => 'audit')")
+    spark.sql("INSERT INTO graft.db.cherry.branch_audit VALUES (2)")
+    val staged = t.metadata.refs("audit").snapshotId
+    // staged parent IS the current head → publish is a pointer move
+    val r1 = spark.sql(s"CALL graft.system.cherrypick_snapshot(`table` => 'db.cherry', " +
+      s"snapshot_id => $staged)").head()
+    assert(r1.getLong(1) == staged)
+    assert(spark.sql("SELECT sum(k) FROM graft.db.cherry").head().getLong(0) == 3)
+    // diverge: stage more branch work, then advance main independently
+    spark.sql("INSERT INTO graft.db.cherry.branch_audit VALUES (3)")
+    val staged2 = t.metadata.refs("audit").snapshotId
+    spark.sql("INSERT INTO graft.db.cherry VALUES (10)")
+    assert(!t.metadata.currentSnapshotId.contains(staged2))
+    val r2 = spark.sql(s"CALL graft.system.cherrypick_snapshot(`table` => 'db.cherry', " +
+      s"snapshot_id => $staged2)").head()
+    // re-appended as a NEW snapshot — history is not rewritten
+    assert(r2.getLong(0) == staged2 && r2.getLong(1) != staged2)
+    assert(spark.sql("SELECT sum(k) FROM graft.db.cherry").head().getLong(0) == 16)
+    // a non-append snapshot on a diverged head is rejected: UPDATE makes an
+    // overwrite snapshot; roll main back, diverge it, then try to replay
+    spark.sql("UPDATE graft.db.cherry SET k = 100 WHERE k = 10")
+    val overwriteSnap = t.metadata.currentSnapshotId.get
+    val priorSnap = t.snapshotById(overwriteSnap).get.parentSnapshotId.get
+    spark.sql(s"CALL graft.system.rollback_to_snapshot(`table` => 'db.cherry', snapshot_id => $priorSnap)")
+    spark.sql("INSERT INTO graft.db.cherry VALUES (20)") // diverge past the rollback
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft.system.cherrypick_snapshot(`table` => 'db.cherry', snapshot_id => $overwriteSnap)"))
+    assert(e.getMessage.contains("append"), e.getMessage)
+    spark.sql("DROP TABLE graft.db.cherry")
+  }
+
   test("ALTER TABLE WRITE ORDERED BY installs a sort order that tightens file bounds") {
     spark.sql("CREATE TABLE graft.db.wsort (id BIGINT, v BIGINT)")
     spark.sql("ALTER TABLE graft.db.wsort WRITE ORDERED BY id DESC NULLS LAST")

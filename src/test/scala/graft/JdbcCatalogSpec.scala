@@ -70,6 +70,35 @@ class JdbcCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(versions.size == 4) // create + 2 appends + delete
   }
 
+  test("register_table points a pointer row at an existing metadata document") {
+    import spark.implicits._
+    // source table owned by a FILE catalog in another warehouse
+    val srcWh = Files.createTempDirectory("jdbc-reg-src").toString
+    val srcCat = new graft.catalog.FileCatalog(srcWh)
+    var src = srcCat.createTable(TableIdent(Seq("ext"), "docs"), schema, PartitionSpec(0, Nil))
+    src = IceWrite.append(spark, src, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    val mdPath = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(java.nio.file.Paths.get(s"$srcWh/ext/docs/metadata"))
+      try s.iterator().asScala.map(_.toAbsolutePath.toString)
+        .filter(_.endsWith(".metadata.json")).toSeq.sorted.last
+      finally s.close()
+    }
+    // zero-copy attach: the Derby pointer row references the source document
+    val reg = cat.registerTable(TableIdent(Seq("ext"), "docs"), mdPath)
+    assert(IceScan.scan(spark, reg).count() == 2)
+    intercept[IllegalArgumentException](cat.registerTable(TableIdent(Seq("ext"), "docs"), mdPath))
+    // a commit through the JDBC catalog CAS-swings the pointer; successor
+    // metadata stays under the table's OWN location, not this warehouse
+    val after = IceWrite.append(spark, reg, Seq((3L, 30L)).toDF("id", "v"))
+    assert(IceScan.scan(spark, after).count() == 3)
+    assert(after.metadata.location.startsWith(srcWh))
+    // the metadata CHAIN is shared (documents live under the table's own
+    // location), so a reader of the source directory sees the new commit too
+    assert(IceScan.scan(spark,
+      srcCat.loadTable(TableIdent(Seq("ext"), "docs")).get).count() == 3)
+  }
+
   test("stale committer loses: requirement check raises CommitConflictException") {
     import spark.implicits._
     val ident = TableIdent(Seq("db"), "conflict")

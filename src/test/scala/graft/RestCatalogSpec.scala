@@ -72,6 +72,31 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((1L, 10L), (2L, 20L)))
   }
 
+  test("register_table attaches an existing metadata document over REST") {
+    import spark.implicits._
+    val srcWh = Files.createTempDirectory("rest-reg-src").toString
+    val srcCat = new FileCatalog(srcWh)
+    var src = srcCat.createTable(TableIdent(Seq("ext"), "regdocs"),
+      schema, PartitionSpec(0, Nil))
+    src = IceWrite.append(spark, src,
+      Seq((1L, "2024-05-01", 10L), (2L, "2024-05-01", 20L))
+        .toDF("id", "d", "v").withColumn("d", to_date(col("d"))))
+    val mdPath = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(java.nio.file.Paths.get(s"$srcWh/ext/regdocs/metadata"))
+      try s.iterator().asScala.map(_.toAbsolutePath.toString)
+        .filter(_.endsWith(".metadata.json")).toSeq.sorted.last
+      finally s.close()
+    }
+    cat.createNamespace(Seq("ext"))
+    val reg = cat.registerTable(TableIdent(Seq("ext"), "regdocs"), mdPath)
+    assert(reg.metadata.location.startsWith(srcWh))
+    assert(IceScan.scan(spark, reg).count() == 2)
+    // a fresh client resolves the registered table through the server backend
+    assert(new RestCatalog(server.uri).loadTable(TableIdent(Seq("ext"), "regdocs")).isDefined)
+    intercept[Exception](cat.registerTable(TableIdent(Seq("ext"), "regdocs"), mdPath))
+  }
+
   test("MoR equality delete + second append over REST") {
     import spark.implicits._
     val ident = TableIdent(Seq("db"), "events")
