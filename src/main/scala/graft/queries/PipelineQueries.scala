@@ -377,7 +377,13 @@ object PipelineQueries {
       TrainingSet.splitAssign(Tables.documents(s, d), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Quantized-PMI collocation extraction (phrase candidates for
+    // tokenizer/vocabulary builds).
+    "q68_collocations" -> ((s, d) =>
+      TextOps.collocations(Tables.documents(s, d), "doc_id", "text",
+        minCount = 5, k = 20))
   )
 
   // mirrors TextOps.tokens EXACTLY (lowercase, empty tokens dropped): the
@@ -985,6 +991,28 @@ object PipelineQueries {
         |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15))::BIGINT
         |      / 1152921504606846976.0) AS frac
         |  FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // PMI with every log2 as an exact integer bit length (len(bin(x)) =
+    // ⌊log2 x⌋ + 1) — BIGINT arithmetic end to end; the (pmi_q desc,
+    // pair_cnt desc, bigram) order is total, so LIMIT is deterministic
+    "q68_collocations" ->
+      s"""WITH $tokCte,
+        |tok AS (SELECT unnest(w) AS tok FROM toks),
+        |uni AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+        |tot AS (SELECT count(*) AS t_total FROM tok),
+        |big AS (SELECT array_to_string(w[i:i+1], ' ') AS sh
+        |        FROM toks, UNNEST(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |bgc AS (SELECT sh, count(*) AS pair_cnt FROM big GROUP BY sh
+        |        HAVING count(*) >= 5)
+        |SELECT sh AS bigram, CAST(pair_cnt AS BIGINT) AS pair_cnt,
+        |  CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2, pmi_q FROM (
+        |  SELECT b.sh, b.pair_cnt, u1.cnt AS c1, u2.cnt AS c2,
+        |    CAST(length(bin(b.pair_cnt)) + length(bin(t.t_total))
+        |      - length(bin(u1.cnt)) - length(bin(u2.cnt)) AS BIGINT) AS pmi_q
+        |  FROM bgc b CROSS JOIN tot t
+        |  JOIN uni u1 ON split_part(b.sh, ' ', 1) = u1.tok
+        |  JOIN uni u2 ON split_part(b.sh, ' ', 2) = u2.tok
+        |) ORDER BY pmi_q DESC, pair_cnt DESC, bigram LIMIT 20""".stripMargin
   )
 }

@@ -496,6 +496,20 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((1L, 3L, 2L, 2.0 / 3), (2L, 1L, 1L, 1.0)), got)
   }
 
+  test("collocations rank always-co-occurring pairs above frequent independent pairs") {
+    // 8 docs "aa bb" and 16 docs "cc dd"; T = 48 tokens. Quantized PMI:
+    // pmi_q(aa bb) = len(bin 8) + len(bin 48) - len(bin 8) - len(bin 8)
+    //              = 4 + 6 - 4 - 4 = 2
+    // pmi_q(cc dd) = 5 + 6 - 5 - 5 = 1 — the twice-as-frequent pair ranks
+    // BELOW the perfectly-associated one, which raw counts would invert
+    val d = docs(((1L to 8L).map(i => i -> "aa bb") ++
+      (9L to 24L).map(i => i -> "cc dd")): _*)
+    val got = TextOps.collocations(d, "doc_id", "text", minCount = 2, k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("aa bb", 8L, 8L, 8L, 2L), ("cc dd", 16L, 16L, 16L, 1L)),
+      got.mkString(", "))
+  }
+
   test("exportShards writes ordered shard dirs plus a usable manifest") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("shards").toString

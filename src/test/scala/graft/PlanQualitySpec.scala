@@ -281,6 +281,17 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Join"), s"repetition stats must not join:\n$plan")
   }
 
+  test("collocations: equi-joins on the vocabulary, single-row total broadcast, top-k take") {
+    val plan = physicalPlan(PipelineQueries.queries("q68_collocations")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in collocation plan:\n$plan")
+    // exactly one nested-loop is legal: the broadcast single-row corpus
+    // total; the two vocabulary joins must stay equi-joins
+    assert(plan.split('\n').count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"vocabulary join degenerated to nested-loop:\n$plan")
+    // global top-k is a TakeOrdered, never a full sort of the bigram table
+    assert(plan.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$plan")
+  }
+
   test("dup-cluster label propagation shuffles the edge list, never all-pairs") {
     import spark.implicits._
     // one propagation round's plan shape, on a toy edge set: equi-join on
