@@ -158,6 +158,42 @@ object TimeSeries {
       .drop("__dn")
   }
 
+  /** Per-entity activity spike detection: flags (entity, day) pairs whose
+    * event count exceeds `factor ×` the entity's trailing `trailDays`-day
+    * daily AVERAGE — the test is kept in exact integer form
+    * (`n × trailDays > factor × trail_sum`), so both engines agree bitwise;
+    * no IEEE mean, no stddev. Entities need `minTrailDays` distinct active
+    * days of history before a spike can be called (cold starts are not
+    * anomalies). The trailing frame EXCLUDES the current day (a spike must
+    * not raise its own baseline) and is a RANGE frame over an integer day
+    * number, so calendar gap days shrink the baseline window correctly.
+    *
+    * Plan shape (100 TB): the event log collapses to (entity, day) counts
+    * in ONE map-side-combining shuffle; the window then runs over active
+    * entity-days — orders of magnitude smaller than the log. One further
+    * hash shuffle re-keys those counts by entity alone. Nothing about the
+    * raw event stream is sorted or carried past the first aggregate.
+    */
+  def spikeDays(events: DataFrame, entityCol: String, timeCol: String,
+                factor: Int = 3, trailDays: Int = 7,
+                minTrailDays: Int = 3): DataFrame = {
+    require(factor >= 1 && trailDays >= 1 && minTrailDays >= 1,
+      "factor, trailDays and minTrailDays must be positive")
+    val daily = events
+      .groupBy(col(entityCol), date_trunc("day", col(timeCol)).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("__dn", datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))))
+    val w = Window.partitionBy(col(entityCol)).orderBy(col("__dn"))
+      .rangeBetween(-trailDays, -1)
+    daily
+      .withColumn("trail_sum", coalesce(sum(col("n_events")).over(w), lit(0L)))
+      .withColumn("trail_days", count(col("n_events")).over(w))
+      .filter(col("trail_days") >= minTrailDays &&
+        col("n_events") * lit(trailDays.toLong) > lit(factor.toLong) * col("trail_sum"))
+      .select(col(entityCol), col("day"), col("n_events"),
+        col("trail_sum").cast("long").as("trail_sum"))
+  }
+
   /** Ordered-step conversion funnel: for each `keys` entity, the earliest
     * time of step 1, then the earliest step-2 event AT OR AFTER that (and
     * within `window`, when given), and so on — the standard product-analytics

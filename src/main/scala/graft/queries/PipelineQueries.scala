@@ -383,7 +383,12 @@ object PipelineQueries {
     // tokenizer/vocabulary builds).
     "q68_collocations" -> ((s, d) =>
       TextOps.collocations(Tables.documents(s, d), "doc_id", "text",
-        minCount = 5, k = 20))
+        minCount = 5, k = 20)),
+
+    // Per-user activity spike days (integer trailing-average anomaly test).
+    "q69_spikes" -> ((s, d) =>
+      TimeSeries.spikeDays(Tables.events(s, d), "user_id", "ts")
+        .orderBy("user_id", "day"))
   )
 
   // mirrors TextOps.tokens EXACTLY (lowercase, empty tokens dropped): the
@@ -1013,6 +1018,28 @@ object PipelineQueries {
         |  FROM bgc b CROSS JOIN tot t
         |  JOIN uni u1 ON split_part(b.sh, ' ', 1) = u1.tok
         |  JOIN uni u2 ON split_part(b.sh, ' ', 2) = u2.tok
-        |) ORDER BY pmi_q DESC, pair_cnt DESC, bigram LIMIT 20""".stripMargin
+        |) ORDER BY pmi_q DESC, pair_cnt DESC, bigram LIMIT 20""".stripMargin,
+
+    // the spike test stays in exact integers (n × 7 > 3 × trail_sum); the
+    // trailing RANGE frame excludes the current day and runs over calendar
+    // days, mirroring Spark's integer day-number frame
+    "q69_spikes" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT user_id, day, n_events,
+        |    COALESCE(sum(n_events) OVER (PARTITION BY user_id ORDER BY day
+        |      RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND INTERVAL 1 DAY PRECEDING), 0)
+        |      AS trail_sum,
+        |    count(n_events) OVER (PARTITION BY user_id ORDER BY day
+        |      RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND INTERVAL 1 DAY PRECEDING)
+        |      AS trail_days
+        |  FROM daily)
+        |SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(trail_sum AS BIGINT) AS trail_sum
+        |FROM win WHERE trail_days >= 3 AND n_events * 7 > 3 * trail_sum
+        |ORDER BY user_id, day""".stripMargin
   )
 }

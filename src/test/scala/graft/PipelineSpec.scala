@@ -472,6 +472,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("2024-01-09", 1L, 1L, 1L)), got)
   }
 
+  test("spikeDays flags only spikes with enough history; gaps empty the baseline") {
+    import spark.implicits._
+    val ts = (d: String) => java.sql.Timestamp.valueOf(s"$d 12:00:00")
+    def burst(u: Long, day: String, n: Int) = Seq.fill(n)((u, ts(day)))
+    val ev = (
+      // user 1: three 2-event baseline days, then a 10-event spike, then a
+      // quiet day that must NOT be flagged against the spike-raised sum
+      burst(1L, "2024-01-01", 2) ++ burst(1L, "2024-01-02", 2) ++
+        burst(1L, "2024-01-03", 2) ++ burst(1L, "2024-01-04", 10) ++
+        burst(1L, "2024-01-05", 2) ++
+        // user 2: a cold-start burst with zero history — not an anomaly
+        burst(2L, "2024-01-01", 50) ++
+        // user 3: history, then a burst AFTER a >7-day gap: the RANGE frame
+        // is empty by then, so no baseline and no flag
+        burst(3L, "2024-01-01", 1) ++ burst(3L, "2024-01-02", 1) ++
+        burst(3L, "2024-01-03", 1) ++ burst(3L, "2024-01-20", 50)
+      ).toDF("user_id", "ts")
+    val got = TimeSeries.spikeDays(ev, "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2), r.getLong(3)))
+    // only user 1's day 4: 10 × 7 = 70 > 3 × (2+2+2) = 18, with 3 trail days
+    assert(got.toSeq == Seq((1L, "2024-01-04", 10L, 6L)), got.mkString(", "))
+  }
+
   test("splitAssign is disjoint, exhaustive, and growth-stable") {
     import spark.implicits._
     val d = (0L until 1000L).toDF("k")
