@@ -64,6 +64,63 @@ object IceStreaming {
     limited.parquet(s"${table.location}/data")
   }
 
+  /** Continuous DEDUPLICATING ingest: tails an append-only `source` table
+    * and, per micro-batch, (1) drops exact in-batch duplicates (content-md5
+    * hash-aggregate, earliest id wins), (2) probes the survivors against a
+    * STANDING near-dup index of everything already committed to `target`
+    * (LSH band equi-join + exact-Jaccard verify — O(batch) work per batch,
+    * never O(corpus)), then (3) appends only the novel rows in one ACID
+    * commit and extends the index with exactly those rows' signatures.
+    * Index extensions are localCheckpoint-truncated unions, so batch N's
+    * probe plan never re-derives batches 1..N−1.
+    *
+    * Near-duplicates WITHIN one batch (beyond exact equality) are accepted —
+    * the same per-batch granularity as [[graft.pipeline.Dedup.probeNearDups]]
+    * (q51); a periodic offline dedup pass resolves them when it matters.
+    * Source and target ids must be disjoint (probeNearDups' id contract) —
+    * natural for monotone document ids.
+    */
+  def streamDedupIngest(spark: SparkSession, source: IceTable, target: IceTable,
+                        idCol: String, textCol: String, checkpoint: String,
+                        threshold: Double = 0.5,
+                        trigger: Trigger = Trigger.AvailableNow(),
+                        maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    import graft.pipeline.Dedup
+    val base = Dedup.buildNearDupIndex(
+      graft.spark.IceScan.scan(spark, target.refresh()), idCol, textCol)
+    // every batch probes the index: pin both sides, lineage truncated
+    var index = base.copy(
+      bands = base.bands.localCheckpoint(true),
+      shingleSets = base.shingleSets.localCheckpoint(true))
+    streamTable(spark, source, maxFilesPerTrigger).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val keepers = batch
+          .groupBy(md5(col(textCol).cast("binary")).as("__h"))
+          .agg(min(col(idCol)).as(idCol))
+          .select(col(idCol))
+        val deduped = batch.join(keepers, Seq(idCol), "left_semi").cache()
+        val dups = Dedup.probeNearDupsIndexed(deduped, index, idCol, textCol, threshold)
+        // materialize the novel set BEFORE the append: the commit must not
+        // re-run the probe, and the index extension reuses the same rows
+        val novel = deduped.join(dups.select(col("id_new").as(idCol)),
+          Seq(idCol), "left_anti").localCheckpoint(true)
+        if (!novel.isEmpty) {
+          IceWrite.append(spark, target.refresh(), novel)
+          val add = Dedup.buildNearDupIndex(novel, idCol, textCol,
+            index.shingleSize, index.numHashes, index.numBands)
+          index = index.copy(
+            bands = index.bands.union(add.bands.localCheckpoint(true)),
+            shingleSets = index.shingleSets.union(add.shingleSets.localCheckpoint(true)))
+        }
+        deduped.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Continuous materialized-view maintenance: tails `source` (a table the
     * MV reads from) and triggers one [[graft.spark.IceMV.refresh]] per
     * micro-batch — each a snapshot-diff INCREMENTAL merge, so the MV tracks

@@ -91,6 +91,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"1-file cap must split the backlog into singleton batches: $batchSizes")
   }
 
+  test("streamDedupIngest appends only novel docs; the index grows mid-stream") {
+    import spark.implicits._
+    val cat = new FileCatalog(Files.createTempDirectory("ddwh").toString)
+    val schema = IceSchema(0, Seq(
+      NestedField(1, "doc_id", required = false, IceType.LongT),
+      NestedField(2, "text", required = false, IceType.StringT)))
+    val src = cat.createTable(TableIdent(Seq("db"), "ddsrc"), schema, PartitionSpec(0, Nil))
+    val tgt = cat.createTable(TableIdent(Seq("db"), "ddtgt"), schema, PartitionSpec(0, Nil))
+    val a = "the quick brown fox jumps over the lazy dog while the owl watches from a tall oak tree nearby"
+    val b = "completely different content about spark iceberg tables and the commit protocol they share today"
+    graft.spark.IceWrite.append(spark, tgt, Seq((1L, a), (2L, b)).toDF("doc_id", "text"))
+    // batch wave 1: a near-dup of corpus doc A (one appended word), an exact
+    // in-batch duplicate pair of novel doc C
+    val c = "novel words entirely unrelated to anything stored so far with plenty of fresh tokens to shingle upon"
+    graft.spark.IceWrite.append(spark, src.refresh(),
+      Seq((10L, a + " indeed"), (11L, c), (12L, c)).toDF("doc_id", "text"))
+    Thread.sleep(1200) // distinct file mtimes: wave 2 must stream AFTER wave 1
+    // batch wave 2: a near-dup of C — accepted mid-stream, so this probes
+    // the EXTENDED index — plus a genuinely novel doc D
+    val d = "and finally one last document carrying its own vocabulary so nothing here resembles the others at all"
+    graft.spark.IceWrite.append(spark, src.refresh(),
+      Seq((20L, c + " truly"), (21L, d)).toDF("doc_id", "text"))
+    val ckpt = Files.createTempDirectory("ddckpt").toString
+    IceStreaming.streamDedupIngest(spark, src.refresh(), tgt, "doc_id", "text",
+      ckpt, maxFilesPerTrigger = 1).awaitTermination()
+    val texts = IceScan.scan(spark, tgt.refresh())
+      .select("text").as[String].collect().sorted.toSeq
+    assert(texts == Seq(a, b, c, d).sorted, texts.mkString("\n"))
+  }
+
   test("tail a PARTITIONED table: source columns stream back complete") {
     import spark.implicits._
     val cat = new FileCatalog(Files.createTempDirectory("stwh3").toString)
