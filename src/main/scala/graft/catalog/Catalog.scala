@@ -260,10 +260,11 @@ class FileCatalog(val warehouse: String) extends Catalog {
     require(loadMetadata(ident).isEmpty, s"table $ident already exists")
     val m = TableMetadataJson.fromJson(new String(
       Files.readAllBytes(Paths.get(metadataLocation)), StandardCharsets.UTF_8))
-    // pointer = this catalog's version-file chain; the metadata body keeps
+    // pointer = this catalog's version-file chain (necessarily starting at 1
+    // — the require above means no versions exist); the metadata body keeps
     // its original `location`, so data/manifest paths (absolute) and future
     // writes stay rooted at the source table directory
-    writeVersion(ident, listVersions(ident).lastOption.map(_._1 + 1).getOrElse(1), m)
+    writeVersion(ident, 1, m)
     new IceTable(ident, this, m)
   }
 

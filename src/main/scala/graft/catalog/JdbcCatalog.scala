@@ -63,11 +63,34 @@ class JdbcCatalog(val warehouse: String, jdbcUrl: String,
     writeMetadataFileAt(tableDir(ident), version, json)
 
   /** Registered tables keep their metadata chain under their own location
-    * (which may sit outside this catalog's warehouse). */
+    * (which may sit outside this catalog's warehouse — e.g. a FileCatalog
+    * table dir). The FileCatalog-compatible `NNNNN.version.lock` is claimed
+    * before each write so a SHARED directory can never end up holding two
+    * metadata files of the same version number (FileCatalog.listVersions
+    * would tie them and pick nondeterministically); a claimed number is
+    * skipped, not fought over. The row CAS in [[updateTable]] remains the
+    * commit arbiter for THIS catalog — with two catalogs actively writing
+    * the same chain, last-pointer-wins divergence is still possible, so a
+    * registered table should have one writing catalog at a time. */
   private def writeMetadataFileAt(tableRoot: Path, version: Int, json: String): Path = {
     val dir = tableRoot.resolve("metadata")
     Files.createDirectories(dir)
-    val path = dir.resolve(f"$version%05d-${UUID.randomUUID()}.metadata.json")
+    var v = version
+    var name: String = null
+    while (name == null) {
+      require(v < version + 100000, s"could not claim a metadata version under $dir")
+      val candidate = f"$v%05d-${UUID.randomUUID()}.metadata.json"
+      try {
+        Files.write(dir.resolve(f"$v%05d.version.lock"),
+          candidate.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        name = candidate
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => v += 1
+      }
+    }
+    val path = dir.resolve(name)
     Files.write(path, json.getBytes(StandardCharsets.UTF_8))
     path
   }

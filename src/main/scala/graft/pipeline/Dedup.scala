@@ -218,7 +218,12 @@ object Dedup {
   /** [[probeNearDups]] against a prebuilt [[NearDupIndex]] — the standing-
     * pipeline entry point where the corpus side is computed ONCE: each call
     * pays the batch's signature chain plus survivor verification only. The
-    * batch's signature chain runs with the INDEX's pinned parameters. */
+    * batch's signature chain runs with the INDEX's pinned parameters.
+    *
+    * EAGER: the result is materialized (localCheckpoint) before returning so
+    * the two internal caches (candidate pairs, survivor shingle sets) can be
+    * released — a standing pipeline calling this per micro-batch must not
+    * accumulate one cache entry pair per batch forever. */
   def probeNearDupsIndexed(newDf: DataFrame, index: NearDupIndex,
                            idCol: String, textCol: String,
                            threshold: Double = 0.5): DataFrame = {
@@ -230,18 +235,23 @@ object Dedup {
       .join(index.bands.select(col("band"), col("sig"), col(idCol).as("id_b")),
         Seq("band", "sig"))
       .select(col("id_a"), col("id_b")).distinct().cache()
-    // verify shingles: the batch side re-shingles its survivors (semi-join
-    // first — the semi-join cannot push through the shingle explode); the
-    // corpus side reads the INDEX, restricted to surviving ids
-    val newSurvivors = newDf.join(
-      broadcast(cand.select(col("id_a").as(idCol)).distinct()), Seq(idCol), "left_semi")
-    val newSh = shinglesRaw(newSurvivors.repartition(par), idCol, textCol, shingleSize)
-      .distinct()
-    val corpusSh = index.shingleSets.join(
-      broadcast(cand.select(col("id_b").as(idCol)).distinct()), Seq(idCol), "left_semi")
-    val shSets = newSh.unionByName(corpusSh).cache()
-    jaccardVerify(shSets, cand, idCol).filter(col("jaccard") >= threshold)
-      .select(col("id_a").as("id_new"), col("id_b").as("dup_of"), col("jaccard"))
+    try {
+      // verify shingles: the batch side re-shingles its survivors (semi-join
+      // first — the semi-join cannot push through the shingle explode); the
+      // corpus side reads the INDEX, restricted to surviving ids
+      val newSurvivors = newDf.join(
+        broadcast(cand.select(col("id_a").as(idCol)).distinct()), Seq(idCol), "left_semi")
+      val newSh = shinglesRaw(newSurvivors.repartition(par), idCol, textCol, shingleSize)
+        .distinct()
+      val corpusSh = index.shingleSets.join(
+        broadcast(cand.select(col("id_b").as(idCol)).distinct()), Seq(idCol), "left_semi")
+      val shSets = newSh.unionByName(corpusSh).cache()
+      try {
+        jaccardVerify(shSets, cand, idCol).filter(col("jaccard") >= threshold)
+          .select(col("id_a").as("id_new"), col("id_b").as("dup_of"), col("jaccard"))
+          .localCheckpoint(true)
+      } finally shSets.unpersist()
+    } finally cand.unpersist()
   }
 
   /** Groups near-duplicate PAIRS into duplicate CLUSTERS (connected

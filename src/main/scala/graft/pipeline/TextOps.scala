@@ -303,47 +303,6 @@ object TextOps {
     * bigram-keyed join + doc-keyed aggregate. Zipf-hot bigrams partially
     * aggregate map-side; nothing exceeds corpus-token-count rows.
     */
-  /** Quantized-PMI collocation extraction: corpus bigrams scored by
-    * pointwise mutual information with every log2 replaced by the integer
-    * bit length (`length(bin(x))` = ⌊log2 x⌋ + 1), so
-    * `pmi_q = ⌊log2 c_ab⌋ + ⌊log2 T⌋ − ⌊log2 c_a⌋ − ⌊log2 c_b⌋` — exact
-    * BIGINT arithmetic on both engines (no IEEE log anywhere), ranking
-    * phrase candidates for tokenizer/phrase-vocabulary builds. PMI
-    * discriminates where raw counts cannot: a pair that ALWAYS co-occurs
-    * outranks a frequent pair of independently-frequent words.
-    *
-    * Scale shape (100 TB): one bigram-keyed aggregate and one token-keyed
-    * aggregate over the token stream (tokenization is re-run rather than
-    * cached — it is pure codegen, and materializing a corpus-scale token
-    * stream would cost more than the second scan); the min-count filter
-    * shrinks the bigram side BEFORE its two vocabulary equi-joins; the
-    * corpus total joins as a broadcast single row; the global top-k is a
-    * TakeOrdered, never a full sort. Ties are totally ordered
-    * (pmi_q desc, pair_cnt desc, bigram) so results are reproducible.
-    */
-  def collocations(df: DataFrame, idCol: String, textCol: String,
-                   minCount: Long = 5, k: Int = 20): DataFrame = {
-    val par = df.sparkSession.sessionState.conf.numShufflePartitions
-    val bg = Dedup.shinglesRaw(df.repartition(par), idCol, textCol, 2)
-      .filter(col("sh").contains(" ")) // true bigrams only (see lmScore)
-    val toks = df.repartition(par).select(explode(tokens(col(textCol))).as("tok"))
-    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val tot = toks.agg(count(lit(1)).as("t_total"))
-    val bgc = bg.groupBy(col("sh")).agg(count(lit(1)).as("pair_cnt"))
-      .filter(col("pair_cnt") >= minCount)
-      .withColumn("w1", substring_index(col("sh"), " ", 1))
-      .withColumn("w2", substring_index(col("sh"), " ", -1))
-    bgc
-      .join(uni.select(col("tok").as("w1"), col("cnt").as("c1")), "w1")
-      .join(uni.select(col("tok").as("w2"), col("cnt").as("c2")), "w2")
-      .crossJoin(broadcast(tot))
-      .select(col("sh").as("bigram"), col("pair_cnt"), col("c1"), col("c2"),
-        (length(bin(col("pair_cnt"))) + length(bin(col("t_total")))
-          - length(bin(col("c1"))) - length(bin(col("c2")))).cast("long").as("pmi_q"))
-      .orderBy(col("pmi_q").desc, col("pair_cnt").desc, col("bigram"))
-      .limit(k)
-  }
-
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
     // eligibility (≥ 2 tokens) falls out of the assembled windows instead of
@@ -360,6 +319,48 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(length(bin(col("cnt"))) - 1).cast("long").as("sum_log2"))
       .withColumn("lm_score", col("sum_log2") * lit(1.0) / col("n_bigrams"))
+  }
+
+  /** Quantized-PMI collocation extraction: corpus bigrams scored by
+    * pointwise mutual information with every log2 replaced by the integer
+    * bit length (`length(bin(x))` = ⌊log2 x⌋ + 1), so
+    * `pmi_q = ⌊log2 c_ab⌋ + ⌊log2 T⌋ − ⌊log2 c_a⌋ − ⌊log2 c_b⌋` — exact
+    * BIGINT arithmetic on both engines (no IEEE log anywhere), ranking
+    * phrase candidates for tokenizer/phrase-vocabulary builds. PMI
+    * discriminates where raw counts cannot: a pair that ALWAYS co-occurs
+    * outranks a frequent pair of independently-frequent words.
+    *
+    * Scale shape (100 TB): one bigram-keyed aggregate and one token-keyed
+    * aggregate over the token stream (tokenization is re-run rather than
+    * cached — it is pure codegen, and materializing a corpus-scale token
+    * stream would cost more than the second scan); the corpus total T is
+    * derived from the vocabulary aggregate (sum of counts — the exchange is
+    * reused, no third scan); the min-count filter shrinks the bigram side
+    * BEFORE its two vocabulary equi-joins; the global top-k is a
+    * TakeOrdered, never a full sort. Ties are totally ordered
+    * (pmi_q desc, pair_cnt desc, bigram) so results are reproducible.
+    */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+                   minCount: Long = 5, k: Int = 20): DataFrame = {
+    val par = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bg = Dedup.shinglesRaw(df.repartition(par), idCol, textCol, 2)
+      .filter(col("sh").contains(" ")) // true bigrams only (see lmScore)
+    val toks = df.repartition(par).select(explode(tokens(col(textCol))).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = uni.agg(sum(col("cnt")).as("t_total"))
+    val bgc = bg.groupBy(col("sh")).agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minCount)
+      .withColumn("w1", substring_index(col("sh"), " ", 1))
+      .withColumn("w2", substring_index(col("sh"), " ", -1))
+    bgc
+      .join(uni.select(col("tok").as("w1"), col("cnt").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("cnt").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("sh").as("bigram"), col("pair_cnt"), col("c1"), col("c2"),
+        (length(bin(col("pair_cnt"))) + length(bin(col("t_total")))
+          - length(bin(col("c1"))) - length(bin(col("c2")))).cast("long").as("pmi_q"))
+      .orderBy(col("pmi_q").desc, col("pair_cnt").desc, col("bigram"))
+      .limit(k)
   }
 
   /** Compression-ratio quality signal: DEFLATE(level 6) bytes over raw UTF-8

@@ -179,6 +179,10 @@ object TimeSeries {
                 minTrailDays: Int = 3): DataFrame = {
     require(factor >= 1 && trailDays >= 1 && minTrailDays >= 1,
       "factor, trailDays and minTrailDays must be positive")
+    require(minTrailDays <= trailDays,
+      s"minTrailDays ($minTrailDays) cannot exceed trailDays ($trailDays): the " +
+        s"$trailDays-day frame can never hold that many history rows, so no day " +
+        "could ever be flagged")
     val daily = events
       .groupBy(col(entityCol), date_trunc("day", col(timeCol)).cast("date").as("day"))
       .agg(count(lit(1)).as("n_events"))

@@ -495,6 +495,15 @@ object GraftProcedures {
         throw new IllegalArgumentException(s"table ${t.ident} has no snapshot $target"))
       val m = t.metadata
       if (m.currentSnapshotId.contains(target)) return InternalRow(target, target)
+      // double-apply guard: a retried or repeated cherry-pick must fail, not
+      // silently duplicate rows — the target may already sit in main's
+      // ancestry (pointer-move path) or have been re-applied as a new
+      // snapshot carrying its id in source-snapshot-id (re-append path)
+      val ancestry = m.currentSnapshotId.map(c => m.ancestorsOf(c).toSeq).getOrElse(Nil)
+      require(!ancestry.contains(target) && !ancestry.exists(a =>
+        m.snapshots.get(a).exists(
+          _.summary.get("source-snapshot-id").contains(target.toString))),
+        s"snapshot $target has already been applied to main")
       if (snap.parentSnapshotId == m.currentSnapshotId) {
         // based on the current head already: publish = CAS pointer move
         val keep = m.refs.get(m.MainBranch)
@@ -510,7 +519,8 @@ object GraftProcedures {
         val added = t.entries(snap).filter(e =>
           e.snapshotId.contains(target) && e.status == graft.table.ManifestModel.StatusAdded)
         require(added.nonEmpty, s"snapshot $target added no live files to cherry-pick")
-        val after = t.newTransaction().appendData(added.map(_.dataFile)).commit()
+        val after = t.newTransaction().appendData(added.map(_.dataFile))
+          .summaryExtra("source-snapshot-id" -> target.toString).commit()
         InternalRow(target, after.metadata.currentSnapshotId.get)
       }
     }

@@ -102,20 +102,21 @@ object IceStreaming {
           .agg(min(col(idCol)).as(idCol))
           .select(col(idCol))
         val deduped = batch.join(keepers, Seq(idCol), "left_semi").cache()
-        val dups = Dedup.probeNearDupsIndexed(deduped, index, idCol, textCol, threshold)
-        // materialize the novel set BEFORE the append: the commit must not
-        // re-run the probe, and the index extension reuses the same rows
-        val novel = deduped.join(dups.select(col("id_new").as(idCol)),
-          Seq(idCol), "left_anti").localCheckpoint(true)
-        if (!novel.isEmpty) {
-          IceWrite.append(spark, target.refresh(), novel)
-          val add = Dedup.buildNearDupIndex(novel, idCol, textCol,
-            index.shingleSize, index.numHashes, index.numBands)
-          index = index.copy(
-            bands = index.bands.union(add.bands.localCheckpoint(true)),
-            shingleSets = index.shingleSets.union(add.shingleSets.localCheckpoint(true)))
-        }
-        deduped.unpersist()
+        try {
+          val dups = Dedup.probeNearDupsIndexed(deduped, index, idCol, textCol, threshold)
+          // materialize the novel set BEFORE the append: the commit must not
+          // re-run the probe, and the index extension reuses the same rows
+          val novel = deduped.join(dups.select(col("id_new").as(idCol)),
+            Seq(idCol), "left_anti").localCheckpoint(true)
+          if (!novel.isEmpty) {
+            IceWrite.append(spark, target.refresh(), novel)
+            val add = Dedup.buildNearDupIndex(novel, idCol, textCol,
+              index.shingleSize, index.numHashes, index.numBands)
+            index = index.copy(
+              bands = index.bands.union(add.bands.localCheckpoint(true)),
+              shingleSets = index.shingleSets.union(add.shingleSets.localCheckpoint(true)))
+          }
+        } finally deduped.unpersist()
         ()
       }
       .start()

@@ -34,6 +34,14 @@ class Transaction(table: IceTable, branch: Option[String]) {
   private var resetSortOrder: Boolean = false
   // tag name -> (snapshot id, max-ref-age-ms, min-snapshots-to-keep)
   private var refUpdates: Map[String, (Long, Option[Long], Option[Int])] = Map.empty
+  private var extraSummary: Map[String, String] = Map.empty
+
+  /** Extra key-values merged into the append snapshot's summary — provenance
+    * the commit should carry (e.g. cherry-pick source ids; the reference's
+    * additional-summary hook carries MV refresh state the same way). */
+  def summaryExtra(kv: (String, String)*): Transaction = {
+    extraSummary ++= kv; this
+  }
 
   def appendData(files: Seq[DataFile]): Transaction = {
     require(rewriteEntries.isEmpty && rewriteDeleteEntries.isEmpty,
@@ -331,7 +339,7 @@ class Transaction(table: IceTable, branch: Option[String]) {
           "added-delete-files" -> appendedDeletes.size.toString,
           "added-records" -> appendedData.map(_.recordCount).sum.toString,
           "total-records" -> totalRecords.toString,
-          "total-data-files" -> totalFiles.toString),
+          "total-data-files" -> totalFiles.toString) ++ extraSummary,
         Some(m.currentSchemaId))
       requirements :+= TableRequirement.AssertRefSnapshotId(branchName, expectedRef)
       updates :+= TableUpdate.AddSnapshot(snap)

@@ -883,6 +883,15 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     // re-appended as a NEW snapshot — history is not rewritten
     assert(r2.getLong(0) == staged2 && r2.getLong(1) != staged2)
     assert(spark.sql("SELECT sum(k) FROM graft.db.cherry").head().getLong(0) == 16)
+    // a RETRIED cherry-pick must reject, not duplicate rows: the pointer-
+    // moved snapshot is in main's ancestry, the re-appended one is recorded
+    // in source-snapshot-id provenance
+    for (sid <- Seq(staged, staged2)) {
+      val dup = intercept[Exception](spark.sql(
+        s"CALL graft.system.cherrypick_snapshot(`table` => 'db.cherry', snapshot_id => $sid)"))
+      assert(dup.getMessage.contains("already been applied"), dup.getMessage)
+    }
+    assert(spark.sql("SELECT sum(k) FROM graft.db.cherry").head().getLong(0) == 16)
     // a non-append snapshot on a diverged head is rejected: UPDATE makes an
     // overwrite snapshot; roll main back, diverge it, then try to replay
     spark.sql("UPDATE graft.db.cherry SET k = 100 WHERE k = 10")
