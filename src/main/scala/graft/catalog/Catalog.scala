@@ -74,6 +74,14 @@ trait Catalog {
     * landing there; only the catalog's pointer is created. Fails if the
     * identifier already exists. */
   def registerTable(ident: TableIdent, metadataLocation: String): IceTable
+  /** Moves the catalog's name→metadata pointer from `from` to `to` (the REST
+    * protocol's rename_table, catalog_api_api.rs:879-898). Metadata
+    * documents, manifests and data files stay where the table's `location`
+    * points — only the catalog mapping changes, so a rename is O(1) in data
+    * size. Fails if `from` is missing or `to` already exists. */
+  def renameTable(from: TableIdent, to: TableIdent): Unit
+  /** View counterpart (rename_view, catalog_api_api.rs:900-918). */
+  def renameView(from: TableIdent, to: TableIdent): Unit
   // ---- views (SURVEY §2.8 D2; versioned metadata per view_metadata.rs) ----
   /** Creates the view from full metadata; fails if it already exists. A
     * blank `location` is filled in by the backend. */
@@ -280,14 +288,61 @@ class FileCatalog(val warehouse: String) extends Catalog {
     rm(tableDir(ident))
   }
 
+  /** Pointer move: the current metadata document is re-anchored as version 1
+    * of a fresh chain at the target ident (exactly registerTable's shape —
+    * the body keeps its `location`, so manifests/data stay put and future
+    * writes keep landing there), then the SOURCE pointer chain is retired.
+    * Only pointer artifacts are deleted — manifest Avro files sharing the
+    * source metadata/ directory survive, since the renamed table's snapshots
+    * still reference them by absolute path. The CREATE_NEW version-1 lock at
+    * the target arbitrates two racing renames to the same name. */
+  override def renameTable(from: TableIdent, to: TableIdent): Unit = {
+    val (_, cur) = currentVersion(from).getOrElse(
+      throw new IllegalArgumentException(s"no such table $from"))
+    require(loadMetadata(to).isEmpty, s"table $to already exists")
+    val m = TableMetadataJson.fromJson(
+      new String(Files.readAllBytes(cur), StandardCharsets.UTF_8))
+    writeVersion(to, 1, m)
+    retirePointerChain(from)
+  }
+
+  override def renameView(from: TableIdent, to: TableIdent): Unit = {
+    require(Files.exists(viewFile(from)), s"no such view $from")
+    require(!Files.exists(viewFile(to)), s"view $to already exists")
+    Files.createDirectories(metadataDir(to))
+    Files.move(viewFile(from), viewFile(to))
+  }
+
+  /** Deletes the catalog-pointer artifacts (metadata documents, version
+    * locks, version hint) of `ident` without touching manifests or data. */
+  private def retirePointerChain(ident: TableIdent): Unit = {
+    val dir = metadataDir(ident)
+    if (!Files.isDirectory(dir)) return
+    val s = Files.list(dir)
+    val pointerFiles =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          n.endsWith(".metadata.json") || n.endsWith(".version.lock") ||
+            n.startsWith("version-hint")
+        }.toList
+      } finally s.close()
+    pointerFiles.foreach(Files.deleteIfExists(_))
+  }
+
   override def listTables(namespace: Seq[String]): Seq[TableIdent] = {
     val dir = Paths.get((warehouse +: namespace).mkString("/"))
     if (!Files.isDirectory(dir)) return Nil
     val s = Files.list(dir)
     try {
       import scala.jdk.CollectionConverters._
+      // a retired rename source keeps its metadata/ dir (manifests live
+      // there) but has no version files — only dirs with a live pointer
+      // chain are tables
       s.iterator().asScala.filter(p => Files.isDirectory(p.resolve("metadata")))
-        .map(p => TableIdent(namespace, p.getFileName.toString)).toSeq
+        .map(p => TableIdent(namespace, p.getFileName.toString))
+        .filter(id => currentVersion(id).isDefined).toSeq
     } finally s.close()
   }
 

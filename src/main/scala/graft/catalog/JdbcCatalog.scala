@@ -197,6 +197,36 @@ class JdbcCatalog(val warehouse: String, jdbcUrl: String,
     rm(tableDir(ident))
   }
 
+  /** Rename = an UPDATE of the identifier columns on the pointer row (the
+    * metadata-location column is untouched, so the document chain and all
+    * data stay in place). The primary key rejects a taken destination
+    * (SQLState 23505 → IllegalArgumentException); affected-rows 0 means the
+    * source vanished. */
+  private def renameRow(table: String, nsCol: String, nameCol: String,
+                        from: TableIdent, to: TableIdent): Unit = synchronized {
+    val ps = conn.prepareStatement(
+      s"""UPDATE $table SET $nsCol = ?, $nameCol = ?
+         | WHERE catalog_name = ? AND $nsCol = ? AND $nameCol = ?""".stripMargin)
+    val updated =
+      try {
+        ps.setString(1, ns(to)); ps.setString(2, to.name)
+        ps.setString(3, catalogName); ps.setString(4, ns(from)); ps.setString(5, from.name)
+        ps.executeUpdate()
+      } catch {
+        case e: SQLException if e.getSQLState != null && e.getSQLState.startsWith("23") =>
+          throw new IllegalArgumentException(s"$to already exists", e)
+      } finally ps.close()
+    if (updated == 0) throw new IllegalArgumentException(s"no such $table entry $from")
+  }
+
+  override def renameTable(from: TableIdent, to: TableIdent): Unit = {
+    renameRow("iceberg_tables", "table_namespace", "table_name", from, to)
+    createNamespace(to.namespace)
+  }
+
+  override def renameView(from: TableIdent, to: TableIdent): Unit =
+    renameRow("iceberg_views", "view_namespace", "view_name", from, to)
+
   override def listTables(namespace: Seq[String]): Seq[TableIdent] = synchronized {
     val ps = conn.prepareStatement(
       "SELECT table_name FROM iceberg_tables WHERE catalog_name = ? AND table_namespace = ? ORDER BY table_name")

@@ -66,6 +66,23 @@ class MemoryCatalog(val warehouse: String) extends Catalog {
 
   override def dropTable(ident: TableIdent): Unit = tables.remove(ident)
 
+  /** Pointer move under the commit lock: a rename can't interleave with a
+    * CAS commit, so the metadata re-keyed to `to` is always the latest. */
+  override def renameTable(from: TableIdent, to: TableIdent): Unit = synchronized {
+    val m = tables.getOrElse(from, throw new IllegalArgumentException(s"no such table $from"))
+    require(!tables.contains(to), s"table $to already exists")
+    tables.put(to, m)
+    tables.remove(from)
+    namespaces.put(to.namespace, ())
+  }
+
+  override def renameView(from: TableIdent, to: TableIdent): Unit = synchronized {
+    val m = views.getOrElse(from, throw new IllegalArgumentException(s"no such view $from"))
+    require(!views.contains(to), s"view $to already exists")
+    views.put(to, m)
+    views.remove(from)
+  }
+
   override def listTables(namespace: Seq[String]): Seq[TableIdent] =
     tables.keys.filter(_.namespace == namespace).toSeq.sortBy(_.toString)
 

@@ -217,6 +217,42 @@ class RestCatalog(baseUri: String) extends Catalog {
   override def dropTable(ident: TableIdent): Unit =
     expect(send("DELETE", tablePath(ident)), 200, 204)
 
+  /** Wire shape per the Iceberg REST OpenAPI rename operation:
+    * POST /v1/tables/rename {"source": {"namespace": [...], "name": ...},
+    * "destination": {...}}. */
+  private def renameBody(from: TableIdent, to: TableIdent): String = {
+    val n = mapper.createObjectNode()
+    def identNode(id: TableIdent): ObjectNode = {
+      val e = mapper.createObjectNode()
+      val nsArr = e.putArray("namespace"); id.namespace.foreach(nsArr.add)
+      e.put("name", id.name)
+      e
+    }
+    n.set[JsonNode]("source", identNode(from))
+    n.set[JsonNode]("destination", identNode(to))
+    n.toString
+  }
+
+  override def renameTable(from: TableIdent, to: TableIdent): Unit = {
+    val r = send("POST", "/v1/tables/rename", Some(renameBody(from, to)))
+    r.statusCode() match {
+      case 200 | 204 => ()
+      case 404 => throw new IllegalArgumentException(s"no such table $from: ${r.body()}")
+      case 409 => throw new IllegalArgumentException(s"table $to already exists: ${r.body()}")
+      case code => throw new IllegalStateException(s"REST rename failed ($code): ${r.body()}")
+    }
+  }
+
+  override def renameView(from: TableIdent, to: TableIdent): Unit = {
+    val r = send("POST", "/v1/views/rename", Some(renameBody(from, to)))
+    r.statusCode() match {
+      case 200 | 204 => ()
+      case 404 => throw new IllegalArgumentException(s"no such view $from: ${r.body()}")
+      case 409 => throw new IllegalArgumentException(s"view $to already exists: ${r.body()}")
+      case code => throw new IllegalStateException(s"REST rename failed ($code): ${r.body()}")
+    }
+  }
+
   override def listTables(namespace: Seq[String]): Seq[TableIdent] = {
     import scala.jdk.CollectionConverters._
     val r = expect(send("GET", s"/v1/namespaces/${nsPath(namespace)}/tables"), 200)

@@ -128,6 +128,29 @@ class RestCatalogServer(inner: Catalog, port: Int = 0) {
           case e: IllegalStateException => respond(ex, 404, errorJson(e))
         }
 
+      // ---- rename (REST OpenAPI renameTable/renameView shape) ----
+      case ("POST", Seq("tables", "rename")) | ("POST", Seq("views", "rename")) =>
+        import scala.jdk.CollectionConverters._
+        val req = mapper.readTree(body())
+        def ident(field: String): TableIdent = {
+          val n = req.get(field)
+          TableIdent(n.get("namespace").elements().asScala.map(_.asText()).toSeq,
+            n.get("name").asText())
+        }
+        try {
+          if (parts.head == "tables") inner.renameTable(ident("source"), ident("destination"))
+          else inner.renameView(ident("source"), ident("destination"))
+          respond(ex, 204)
+        } catch {
+          // "already exists" → 409 (destination conflict); anything else
+          // the backends raise for rename is a missing source → 404
+          case e: IllegalArgumentException if
+            Option(e.getMessage).exists(_.contains("already exists")) =>
+            respond(ex, 409, errorJson(e))
+          case e @ (_: IllegalArgumentException | _: IllegalStateException) =>
+            respond(ex, 404, errorJson(e))
+        }
+
       // ---- views (full versioned metadata documents on the wire) ----
       case ("POST", Seq("namespaces", ns, "views")) =>
         val req = mapper.readTree(body())

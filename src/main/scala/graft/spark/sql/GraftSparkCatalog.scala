@@ -271,8 +271,17 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
     exists
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+  /** ALTER TABLE … RENAME TO …: a catalog pointer move — metadata documents,
+    * manifests and data files stay at the table's `location` (Iceberg rename
+    * semantics; REST protocol rename_table). Also serves views, since Spark
+    * routes ALTER VIEW … RENAME TO through the same TableCatalog hook. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = toIdent(oldIdent)
+    val to = toIdent(newIdent)
+    if (catalog.tableExists(from)) catalog.renameTable(from, to)
+    else if (catalog.loadView(from).isDefined) catalog.renameView(from, to)
+    else throw new NoSuchTableException(oldIdent)
+  }
 
   // ---- maintenance procedures: CALL graft.system.<proc>(...) ----
 

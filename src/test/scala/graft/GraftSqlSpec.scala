@@ -979,6 +979,28 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.db.orph")
   }
 
+  test("ALTER TABLE RENAME TO moves the catalog pointer, not the data") {
+    spark.sql("CREATE TABLE graft.db.rnsrc (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.rnsrc VALUES (1, 'a'), (2, 'b')")
+    val dataFilesBefore = new java.io.File(s"$warehouse/db/rnsrc/data").listFiles().toSet
+    spark.sql("ALTER TABLE graft.db.rnsrc RENAME TO db.rndst")
+    // old name is gone from catalog + listings; new name reads the same rows
+    intercept[Exception](spark.sql("SELECT * FROM graft.db.rnsrc").collect())
+    assert(!spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1)).contains("rnsrc"))
+    assert(spark.sql("SELECT sum(k) FROM graft.db.rndst").head().getLong(0) == 3)
+    // zero data movement: files still under the ORIGINAL location
+    assert(new java.io.File(s"$warehouse/db/rnsrc/data").listFiles().toSet == dataFilesBefore)
+    // writes after the rename land at the original location too, and read back
+    spark.sql("INSERT INTO graft.db.rndst VALUES (3, 'c')")
+    assert(spark.sql("SELECT sum(k) FROM graft.db.rndst").head().getLong(0) == 6)
+    // destination collision is rejected
+    spark.sql("CREATE TABLE graft.db.rnother (k BIGINT)")
+    val e = intercept[Exception](spark.sql("ALTER TABLE graft.db.rndst RENAME TO db.rnother"))
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    spark.sql("DROP TABLE graft.db.rnother")
+    spark.sql("DROP TABLE graft.db.rndst")
+  }
+
   test("partitions metadata table rolls up live files per partition") {
     spark.sql(
       """CREATE TABLE graft.db.pmeta (k BIGINT, grp STRING)

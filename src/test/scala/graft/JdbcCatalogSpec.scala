@@ -132,6 +132,27 @@ class JdbcCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.loadView(ident).isEmpty)
   }
 
+  test("rename updates the pointer row; document chain and commits continue") {
+    import spark.implicits._
+    val from = TableIdent(Seq("db"), "rn_a")
+    val to = TableIdent(Seq("db"), "rn_b")
+    var t = cat.createTable(from, schema, PartitionSpec(0, Nil))
+    t = IceWrite.append(spark, t, Seq((1L, 10L)).toDF("id", "v"))
+    cat.renameTable(from, to)
+    assert(cat.loadTable(from).isEmpty)
+    assert(cat.listTables(Seq("db")).contains(to))
+    val renamed = cat.loadTable(to).get
+    assert(IceScan.scan(spark, renamed).count() == 1)
+    // the conditional-UPDATE CAS still works against the renamed row
+    IceWrite.append(spark, renamed, Seq((2L, 20L)).toDF("id", "v"))
+    assert(IceScan.scan(spark, cat.loadTable(to).get).count() == 2)
+    // missing source / taken destination both reject
+    intercept[IllegalArgumentException](cat.renameTable(from, TableIdent(Seq("db"), "rn_c")))
+    cat.createTable(TableIdent(Seq("db"), "rn_taken"), schema, PartitionSpec(0, Nil))
+    intercept[IllegalArgumentException](
+      cat.renameTable(to, TableIdent(Seq("db"), "rn_taken")))
+  }
+
   test("Spark SQL catalog plugin runs against the Derby backend (jdbc.url option)") {
     spark.conf.set("spark.sql.catalog.graft_j", "graft.spark.sql.GraftSparkCatalog")
     spark.conf.set("spark.sql.catalog.graft_j.warehouse", warehouse)

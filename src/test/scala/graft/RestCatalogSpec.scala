@@ -165,6 +165,30 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.metadata.snapshots.size == 2) // insert + delete
   }
 
+  test("rename over REST moves the pointer; data and further commits follow") {
+    import spark.implicits._
+    cat.createNamespace(Seq("rndb"))
+    val from = TableIdent(Seq("rndb"), "a")
+    val to = TableIdent(Seq("rndb"), "b")
+    var t = cat.createTable(from, schema, PartitionSpec.unpartitioned)
+    t = IceWrite.append(spark, t,
+      Seq((1L, "2024-05-01", 10L)).toDF("id", "d", "v").withColumn("d", to_date(col("d"))))
+    cat.renameTable(from, to)
+    assert(cat.loadTable(from).isEmpty)
+    val renamed = cat.loadTable(to).get
+    assert(IceScan.scan(spark, renamed).count() == 1)
+    // commits keep flowing through the renamed identity
+    IceWrite.append(spark, renamed,
+      Seq((2L, "2024-05-02", 20L)).toDF("id", "d", "v").withColumn("d", to_date(col("d"))))
+    assert(IceScan.scan(spark, cat.loadTable(to).get).count() == 2)
+    // missing source → 404; taken destination → 409 (both IllegalArgument)
+    intercept[IllegalArgumentException](cat.renameTable(from, TableIdent(Seq("rndb"), "c")))
+    val other = TableIdent(Seq("rndb"), "taken")
+    cat.createTable(other, schema, PartitionSpec.unpartitioned)
+    val e = intercept[IllegalArgumentException](cat.renameTable(to, other))
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+  }
+
   test("drop table over REST removes it from the listing") {
     val ident = TableIdent(Seq("db"), "tmp")
     cat.createTable(ident, schema, PartitionSpec.unpartitioned)
