@@ -278,6 +278,40 @@ object Embeddings {
       .agg(min(col("id_a")).as("dup_of"), max(col("cos")).as("max_cos"))
   }
 
+  /** Mutual k-NN graph within IVF Voronoi cells: an undirected edge
+    * (id_a < id_b, cosine) exists iff each endpoint is in the other's
+    * within-cell top-k — the neighborhood graph that seeds graph-based
+    * dedup clustering and diversity sampling over embedding corpora.
+    *
+    * Scale shape: cell assignment is the zero-shuffle per-row argmin over
+    * inlined centroid literals ([[ivfTopK]]'s), candidates come from a cell
+    * equi-join (cost Σ|cell|², bounded by growing `cells` with the corpus),
+    * directed top-k is one rank-limited window per endpoint, and the mutual
+    * check is a self-join on the (k·n)-row edge list — every shuffle moves
+    * edges, never vectors × cells. Cross-cell neighbors are the standard
+    * IVF recall trade. */
+  def knnGraph(prepared: DataFrame, idCol: String, k: Int, cells: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = sampleCentroids(prepared, idCol, cells)
+    // both join sides read the assignment — cache, like the IVF search path
+    val assigned = prepared
+      .withColumn("c", element_at(rankedCellsExpr(cents), 1).getField("c"))
+      .cache()
+    val a = assigned.select(col(idCol).as("id_a"), col("c"), col("q").as("qa"), col("n2").as("na"))
+    val b = assigned.select(col(idCol).as("id_b"), col("c"), col("q").as("qb"), col("n2").as("nb"))
+    val scored = a.join(b, Seq("c")).filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(dot(col("qa"), col("qb")), col("na"), col("nb")).as("cos"))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b").asc)
+    val knn = scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("id_a"), col("id_b"), col("cos"))
+    // mutual = the reversed edge also survives its endpoint's top-k
+    val rev = knn.select(col("id_b").as("id_a"), col("id_a").as("id_b"))
+    knn.join(rev, Seq("id_a", "id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Approximate top-k: exact cosine ranking restricted to the query's LSH
     * bucket. Equi-join on bucket id replaces the full cross product — the
     * IVF-style scale path; recall is tunable via `planes`. */

@@ -38,6 +38,49 @@ object Profile {
           "min_value", "max_value")))
   }
 
+  /** KMV (k-minimum-values) bottom-k sketch per group with the classic
+    * distinct-count estimate — the mergeable cardinality sketch
+    * (Bar-Yossef et al. 2002) that answers "roughly how many distinct
+    * values per source" in one bounded-memory pass, where exact
+    * countDistinct would shuffle the full domain.
+    *
+    * Hash = the 60-bit md5 fraction in [0,1) the samplers use (exact,
+    * engine-portable). Estimate: (k-1)/f_k where f_k is the k-th smallest
+    * fraction; groups with fewer than k distinct hashes report their exact
+    * count. Scale shape: one distinct on (group, 8-byte fraction) with
+    * map-side partial dedup, then a per-group bottom-k window —
+    * `row_number() <= k` is rank-limit-pushed (WindowGroupLimit), so each
+    * map task forwards at most k rows per group to the shuffle. */
+  def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
+                k: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "KMV needs k >= 2")
+    val f = conv(substring(md5(col(valueCol).cast("binary")), 1, 15), 16, 10)
+      .cast("long") / lit(1152921504606846976.0)
+    val h = df.select(col(groupCol), f.as("f")).distinct()
+    val counts = h.groupBy(col(groupCol)).agg(count(lit(1)).as("n_distinct"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("f").asc)
+    h.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .join(broadcast(counts), Seq(groupCol))
+      .groupBy(col(groupCol), col("n_distinct"))
+      .agg(max(col("f")).as("fk"))
+      .select(col(groupCol),
+        least(col("n_distinct"), lit(k.toLong)).as("k_used"),
+        when(col("n_distinct") < k, col("n_distinct").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("fk")).as("est_distinct"))
+  }
+
+  /** Equal-width histogram: bin = ⌊value / width⌋, with count, exact
+    * min/max, and the bin's sum (decimal-exact for 2-dp monetary data,
+    * surfaced as double). One hash aggregate — the distributed binning
+    * primitive behind range-partition planning and distribution checks. */
+  def histogram(df: DataFrame, valueCol: String, width: Double): DataFrame =
+    df.groupBy(floor(col(valueCol) / width).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).cast("double").as("lo"),
+        max(col(valueCol)).cast("double").as("hi"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_value"))
+
   /** Per-group EXACT interpolated percentiles of a numeric column — the
     * sequence-length planning stat (context-window budgeting, pack-size
     * tuning) run per source/stratum before training-set assembly.

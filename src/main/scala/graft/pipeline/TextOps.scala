@@ -363,6 +363,46 @@ object TextOps {
       .limit(k)
   }
 
+  /** BM25 relevance ranking of the corpus against a fixed query-term set
+    * (Robertson & Zaragoza 2009) — the retrieval scorer behind quality-
+    * targeted corpus selection ("rank documents by closeness to this probe
+    * query"). Classic saturation (k1 = 1.2, b = 0.75) over an
+    * integer-quantized idf: idf_q = ⌊log₂(2N/df)⌋ via bit length — the
+    * factor 2 keeps idf ≥ 1 even for terms present in every document, and
+    * the per-(doc, term) score is micro-quantized (×1e6, rounded) to a
+    * BIGINT so the per-doc sum is exact integer arithmetic, engine-portable
+    * regardless of addition order.
+    *
+    * Scale shape: tokens materialize once (staged projection — HOF-lambda
+    * rule), corpus stats and the |terms|-row idf table broadcast, the only
+    * corpus-wide exchange is the final top-k (TakeOrdered). Cost is
+    * O(docs × |terms|) row expansion before the tf > 0 cut. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int = 50): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("w"))
+      .select(col(idCol), col("w"), size(col("w")).cast("long").as("dl"))
+    val stats = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+      .select(col("n"), (col("sum_dl").cast("double") / col("n")).as("avgdl"))
+    val tf = toks
+      .select(col(idCol), col("dl"), col("w"),
+        explode(array(terms.map(lit(_)): _*)).as("term"))
+      .select(col(idCol), col("dl"), col("term"),
+        size(filter(col("w"), t => t === col("term"))).cast("long").as("tf"))
+      .filter(col("tf") > 0)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = dfreq.crossJoin(broadcast(stats))
+      .select(col("term"), (length(bin(expr("2 * n DIV df"))) - 1).cast("long").as("idf_q"))
+    tf.join(broadcast(idf), Seq("term")).crossJoin(broadcast(stats))
+      .select(col(idCol),
+        round(col("idf_q") * (col("tf").cast("double") * lit(2.2))
+          / (col("tf").cast("double")
+            + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+          * lit(1000000)).cast("bigint").as("s"))
+      .groupBy(col(idCol)).agg(sum(col("s")).cast("bigint").as("bm25_q"))
+      .orderBy(col("bm25_q").desc, col(idCol).asc).limit(k)
+  }
+
   /** Compression-ratio quality signal: DEFLATE(level 6) bytes over raw UTF-8
     * bytes per document. Highly compressible text is boilerplate/templating;
     * incompressible text is often binary junk or hash dumps — web-corpus

@@ -388,7 +388,24 @@ object PipelineQueries {
     // Per-user activity spike days (integer trailing-average anomaly test).
     "q69_spikes" -> ((s, d) =>
       TimeSeries.spikeDays(Tables.events(s, d), "user_id", "ts")
-        .orderBy("user_id", "day"))
+        .orderBy("user_id", "day")),
+
+    // Mutual k-NN graph within IVF cells (graph-based dedup/diversity seed).
+    "q73_knn_graph" -> ((s, d) =>
+      Embeddings.knnGraph(
+        Embeddings.prepare(Tables.embeddings(s, d), "vec_id", "embedding"),
+        "vec_id", k = 3, cells = 8)
+        .orderBy("id_a", "id_b")),
+
+    // KMV bottom-k cardinality sketch per source (k = 16).
+    "q74_kmv" -> ((s, d) =>
+      graft.pipeline.Profile.kmvSketch(Tables.documents(s, d), "source", "text", k = 16)
+        .orderBy("source")),
+
+    // BM25 top-50 against a fixed probe-term set (quantized idf).
+    "q75_bm25" -> ((s, d) =>
+      TextOps.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("dup", "table", "query"), k = 50))
   )
 
   // mirrors TextOps.tokens EXACTLY (lowercase, empty tokens dropped): the
@@ -1040,6 +1057,62 @@ object PipelineQueries {
         |SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events,
         |  CAST(trail_sum AS BIGINT) AS trail_sum
         |FROM win WHERE trail_days >= 3 AND n_events * 7 > 3 * trail_sum
-        |ORDER BY user_id, day""".stripMargin
+        |ORDER BY user_id, day""".stripMargin,
+
+    // mutual = both directed edges survive their endpoint's within-cell
+    // top-3; shares the q36/q54 IVF cell chain
+    "q73_knn_graph" ->
+      s"""WITH $ivfCellCtes,
+        |scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+        |  FROM cell a JOIN cell b ON a.c = b.c AND a.vec_id != b.vec_id),
+        |ranked AS (
+        |  SELECT id_a, id_b, cos,
+        |    row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rnk
+        |  FROM scored),
+        |knn AS (SELECT id_a, id_b, cos FROM ranked WHERE rnk <= 3)
+        |SELECT x.id_a AS id_a, x.id_b AS id_b, x.cos AS cos
+        |FROM knn x JOIN knn y ON x.id_a = y.id_b AND x.id_b = y.id_a
+        |WHERE x.id_a < x.id_b ORDER BY id_a, id_b""".stripMargin,
+
+    // 60-bit md5 fraction (the sampler hash space); estimate = (k-1)/f_k,
+    // exact count when the group has fewer than k distinct hashes
+    "q74_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT / 1152921504606846976.0 AS f
+        |  FROM documents),
+        |r AS (SELECT source, f,
+        |    row_number() OVER (PARTITION BY source ORDER BY f ASC) AS rk FROM h),
+        |g AS (SELECT source, count(*) AS n_distinct FROM h GROUP BY source)
+        |SELECT g.source AS source, least(g.n_distinct, 16) AS k_used,
+        |  CASE WHEN g.n_distinct < 16 THEN CAST(g.n_distinct AS DOUBLE)
+        |       ELSE 15.0 / max(r.f) END AS est_distinct
+        |FROM g JOIN r ON g.source = r.source AND r.rk <= 16
+        |GROUP BY g.source, g.n_distinct ORDER BY source""".stripMargin,
+
+    // idf_q = floor(log2(2N/df)) via bit length (integer-exact); the
+    // saturation-term float chain is identical op-for-op on both engines,
+    // micro-quantized per (doc, term) so the doc-level sum is exact BIGINT
+    "q75_bm25" ->
+      """WITH terms(term) AS (VALUES ('dup'), ('table'), ('query')),
+        |tok AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+        |dl AS (SELECT doc_id, len(w) AS dl, w FROM tok),
+        |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT d.doc_id, terms.term, len(list_filter(d.w, x -> x = terms.term)) AS tf, d.dl
+        |  FROM dl d, terms),
+        |df AS (SELECT term, count(*) AS df FROM tf WHERE tf > 0 GROUP BY term),
+        |idf AS (SELECT term, length(bin(CAST(2 * (SELECT n FROM stats) // df AS BIGINT))) - 1 AS idf_q FROM df),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(idf.idf_q * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / stats.avgdl))) * 1000000) AS BIGINT) AS s
+        |  FROM tf, stats, idf
+        |  WHERE tf.term = idf.term AND tf.tf > 0)
+        |SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_q FROM scored GROUP BY doc_id
+        |ORDER BY bm25_q DESC, doc_id ASC LIMIT 50""".stripMargin
   )
 }

@@ -136,6 +136,46 @@ object Relational {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // PIVOT: long→wide reshape over a known value set. Pre-aggregate FIRST
+    // (month × status base groups), THEN pivot the handful of partials —
+    // same partial-then-reshape trick as q10's rollup, so the Expand/pivot
+    // machinery never touches the corpus. Counts coalesce to 0 (absent
+    // combinations), sums stay NULL (SQL empty-sum), both mirrored in the
+    // oracle's FILTER form.
+    "q70_pivot" -> ((s, d) => {
+      orders(s, d)
+        .groupBy(month(col("o_orderdate")).cast("long").as("m"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("o_totalprice")))).as("s"))
+        .select(col("m"),
+          coalesce(col("F_n"), lit(0L)).as("n_f"),
+          coalesce(col("O_n"), lit(0L)).as("n_o"),
+          coalesce(col("P_n"), lit(0L)).as("n_p"),
+          col("F_s").as("sum_f"), col("O_s").as("sum_o"), col("P_s").as("sum_p"))
+        .orderBy("m")
+    }),
+
+    // W1 widening: ranking-family window functions (ntile buckets,
+    // percent_rank, cume_dist) in ONE window pass — all three share a
+    // single sort/shuffle on the partition key.
+    "q71_ranks" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").asc, col("s_suppkey").asc)
+      supplier(s, d).select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy("s_nationkey", "s_suppkey")
+    }),
+
+    // Distributed equal-width histogram (Profile.histogram): one hash
+    // aggregate, bins derived per-row — no sort, no window.
+    "q72_histogram" -> ((s, d) =>
+      graft.pipeline.Profile.histogram(lineitem(s, d), "l_extendedprice", 5000.0)
+        .withColumnRenamed("sum_value", "sum_price")
+        .orderBy("bin")),
+
     // Time-bucketed aggregation over the events stream table.
     "q11_events_hourly" -> ((s, d) => {
       events(s, d)
@@ -282,6 +322,29 @@ object Relational {
         |JOIN (SELECT p_brand AS b, avg(p_size) AS avg_size FROM part GROUP BY 1) a
         |  ON p.p_brand = a.b
         |WHERE p_size > avg_size
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q70_pivot" ->
+      """SELECT month(o_orderdate) AS m,
+        |  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (o_orderstatus = 'P') AS n_p,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS sum_f,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DOUBLE) AS sum_o,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS sum_p
+        |FROM orders GROUP BY 1 ORDER BY m""".stripMargin,
+    "q71_ranks" ->
+      """SELECT s_nationkey, s_suppkey, s_acctbal,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
+    "q72_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin, count(*) AS n,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+        |  CAST(max(l_extendedprice) AS DOUBLE) AS hi,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin
   )
 }

@@ -597,6 +597,59 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dropped == Set((1L, 0L), (5L, 4L)))
   }
 
+  test("knnGraph keeps only mutual within-cell top-k edges") {
+    import spark.implicits._
+    // one cell (cells = 1): a tight trio (0, 1, 2) plus two outliers (3, 4)
+    // that each rank the trio highly but are nobody's top choice back when
+    // k = 1 — with k = 1, only the single best-reciprocated pair survives
+    val emb = Seq(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0.99f, 0.14f, 0f, 0f),
+      2L -> Seq(0.99f, -0.14f, 0f, 0f),
+      3L -> Seq(0.7f, 0.7f, 0.14f, 0f), 4L -> Seq(0f, 0f, 1f, 0f)
+    ).toDF("vec_id", "embedding")
+    val prepared = Embeddings.prepare(emb, "vec_id", "embedding")
+    val k1 = Embeddings.knnGraph(prepared, "vec_id", k = 1, cells = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k1 == Set((0L, 1L)), s"k=1 must keep only the best reciprocated pair, got $k1")
+    // with k = 4 every directed edge exists, so mutual = all C(5,2) pairs
+    val k4 = Embeddings.knnGraph(prepared, "vec_id", k = 4, cells = 1).count()
+    assert(k4 == 10, s"k=n-1 must yield the complete graph, got $k4")
+  }
+
+  test("kmvSketch estimates within tolerance and is exact under k distinct") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => ("big", s"value-$i")) ++
+      (1 to 7).map(i => ("small", s"v$i")) ++
+      Seq(("small", "v1")) // duplicate — distinct must collapse it
+    val got = graft.pipeline.Profile.kmvSketch(
+        rows.toDF("source", "text"), "source", "text", k = 16)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("small") == ((7L, 7.0)), s"exact path: ${got("small")}")
+    val (kUsed, est) = got("big")
+    assert(kUsed == 16L)
+    // KMV standard error ≈ 1/sqrt(k-2) ≈ 27% at k=16; accept 3σ
+    assert(est > 100 && est < 1500, s"estimate off: $est for true 500")
+  }
+
+  test("bm25TopK ranks saturated tf and rare terms sensibly") {
+    import spark.implicits._
+    // 'rare' appears in one doc of four → max idf; doc 1 is pure spam of a
+    // common term and must not outrank the rare-term doc (saturation)
+    val d = Seq(
+      1L -> "common common common common common common common common",
+      2L -> "common rare filler words here",
+      3L -> "common filler words",
+      4L -> "other text entirely"
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(d, "doc_id", "text", Seq("common", "rare"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.head._1 == 2L, s"rare-term doc must rank first: ${got.toSeq}")
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L), "doc 4 has no query term")
+    // scores strictly ordered and positive
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted(Ordering[Long].reverse).toSeq)
+    assert(got.forall(_._2 > 0))
+  }
+
   test("asofJoin picks the latest at-or-before ref row per key") {
     import spark.implicits._
     val probe = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 5L, "p0"), (2L, 10L, "px"))

@@ -387,4 +387,30 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(l.contains("bucket"), s"window not bucket-partitioned: $l")
     }
   }
+
+  test("knn graph: cell equi-join candidates, rank-limited top-k, edge-list mutual join") {
+    val plan = physicalPlan(PipelineQueries.queries("q73_knn_graph")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"knn candidates fell back to all-pairs:\n$plan")
+    assert(plan.contains("SortMergeJoin [c") || plan.contains("BroadcastHashJoin [c") ||
+      plan.contains("ShuffledHashJoin [c"),
+      s"candidate join not keyed on the IVF cell:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"directed top-k not limit-pushed:\n$plan")
+  }
+
+  test("kmv sketch: bottom-k window is rank-limit-pushed, counts join broadcasts") {
+    val plan = physicalPlan(PipelineQueries.queries("q74_kmv")(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      s"bottom-k not pushed below the per-group sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-group distinct counts should broadcast:\n$plan")
+  }
+
+  test("bm25: idf and corpus stats broadcast; only the top-k take is corpus-wide") {
+    val plan = physicalPlan(PipelineQueries.queries("q75_bm25")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in bm25 plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"idf/stats tables must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must be a take, not a sort:\n$plan")
+  }
 }
