@@ -381,4 +381,99 @@ object Dedup {
         expr("bit_count(sim_a ^ sim_b)").as("hamming")).distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** EXACT n-gram Jaccard similarity join via prefix filtering (the
+    * AllPairs/PPJoin family, Bayardo et al. 2007; Chaudhuri et al. 2006) —
+    * the zero-false-negative counterpart to [[minhashNearDups]]: every pair
+    * with Jaccard ≥ tNum/tDen is guaranteed returned, no signature
+    * probability involved.
+    *
+    * Prefix filter: order each document's shingles by a GLOBAL total order
+    * (document frequency asc, shingle asc — rarest first) and keep only the
+    * first |S| − ⌈t·|S|⌉ + 1 as its "prefix". Two sets with Jaccard ≥ t must
+    * share at least one token inside both prefixes (sharing none bounds the
+    * intersection below t·max(|A|,|B|)), so the candidate join is an
+    * equi-join on PREFIX tokens only — and because the order puts rare
+    * tokens in the prefix, the inverted lists being joined are the SHORT
+    * ones. ⌈t·n⌉ is computed as (tNum·n + tDen − 1) DIV tDen — exact integer
+    * arithmetic, bit-identical on any engine.
+    *
+    * 100 TB shape: shingle sets are cached (they feed the per-doc counts,
+    * the document-frequency aggregate, the prefix ranking, and the verify
+    * stage); shuffles are keyed on doc id (window) and shingle (df + join) —
+    * both near-uniform; verification reuses [[jaccardVerify]] over
+    * candidates only. The worst case (a corpus-wide hot shingle in many
+    * prefixes) is bounded by the df-asc ordering: a token lands in prefixes
+    * only when a document has few rarer alternatives.
+    */
+  def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3, tNum: Long = 1, tDen: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen must be in (0, 1]")
+    val par = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sh = shingles(df.repartition(par), idCol, textCol, shingleSize).cache()
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("df").asc, col("sh").asc)
+    val prefix = sh.join(dfreq, "sh")
+      .withColumn("rn", row_number().over(w))
+      .join(counts, idCol)
+      .filter(col("rn") <=
+        col("n_sh") - expr(s"CAST((n_sh * $tNum + ${tDen - 1}) DIV $tDen AS BIGINT)") + 1)
+      .select(col(idCol), col("sh"))
+    val cand = prefix.select(col("sh"), col(idCol).as("id_a"))
+      .join(prefix.select(col("sh"), col(idCol).as("id_b")), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    jaccardVerify(sh, cand, idCol)
+      .filter(col("jaccard") >= lit(tNum.toDouble / tDen))
+  }
+
+  /** Containment join — quote/subset detection: ordered pairs where at
+    * least `tNum/tDen` of the SOURCE document's n-gram shingles also occur
+    * in the superset document (C(A→B) = |A∩B| / |A|). Jaccard misses a
+    * short document quoted inside a long one (the union is dominated by the
+    * long side); containment is the asymmetric measure built for it.
+    *
+    * Candidate generation blocks on RARE shingles (document frequency ≤
+    * `maxDf`): a pair is considered when it shares at least one shingle
+    * that few other documents have — an equi-join over short inverted
+    * lists, never all-pairs. This is standard rare-token blocking: recall
+    * is complete for any pair sharing ≥ 1 sub-`maxDf` shingle (pairs whose
+    * every common shingle is corpus-hot are boilerplate, not quotes).
+    *
+    * 100 TB shape: one shingle cache feeding df-aggregate + verify, the
+    * block join keyed on rare shingles only, verification only over
+    * blocked candidates. `maxDf` directly caps inverted-list length, so
+    * candidate volume is ≤ maxDf² per rare shingle. */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, maxDf: Long = 10,
+                      tNum: Long = 4, tDen: Long = 5): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen must be in (0, 1]")
+    val par = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sh = shingles(df.repartition(par), idCol, textCol, shingleSize).cache()
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("sh")
+    val blocked = sh.join(rare, "sh")
+    val cand = blocked.select(col("sh"), col(idCol).as("id_a"))
+      .join(blocked.select(col("sh"), col(idCol).as("id_b")), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val shA = sh.select(col(idCol).as("id_a"), col("sh"))
+    val shB = sh.select(col(idCol).as("id_b"), col("sh"))
+    val inter = cand.join(shA, "id_a").join(shB, Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    val sized = inter
+      .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("nb")), "id_b")
+    // both directions of each unordered candidate, filtered independently:
+    // integer cross-multiplication keeps the threshold test exact
+    sized.select(col("id_a").as("src_id"), col("id_b").as("sup_id"),
+        col("inter"), col("na").as("n_src"))
+      .union(sized.select(col("id_b"), col("id_a"), col("inter"), col("nb")))
+      .filter(col("inter") * tDen >= col("n_src") * tNum)
+      .select(col("src_id"), col("sup_id"),
+        (col("inter").cast("double") / col("n_src")).as("containment"))
+  }
 }

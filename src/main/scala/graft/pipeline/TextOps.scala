@@ -100,6 +100,51 @@ object TextOps {
           col("top_word_frac") > maxTopWord)
   }
 
+  /** The Gopher rule stopword probe (Rae et al. 2021 §A1.1): a document is
+    * expected to contain at least two of these function words. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style OUTLIER rules per document (Rae et al. 2021 §A1.1) — the
+    * structural companion to [[repetitionStats]]'s repetition rules: word
+    * count bounds, mean word length bounds, symbol-to-word ratio, and the
+    * stopword probe. Together they form the standard web-corpus "quality
+    * rules" gate (Gopher, RefinedWeb, FineWeb and Dolma all ship this rule
+    * family with these default thresholds).
+    *
+    * Flags are emitted per rule plus the combined `keep`, so downstream
+    * audits can attribute drop volume to individual rules instead of one
+    * opaque boolean. Pure zero-shuffle projection: tokens materialize once
+    * under an alias (HOF-lambda staging rule — see [[repetitionStats]]),
+    * every rule is column algebra on that alias, cost linear in corpus
+    * bytes. Thresholds are exact rationals: mean word length is compared by
+    * integer cross-multiplication, never a rounded double. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50, maxWords: Long = 100000,
+                  minMeanLen: Long = 3, maxMeanLen: Long = 10,
+                  maxSymbolRatio: Double = 0.1, minStopwords: Long = 2): DataFrame = {
+    val t = col("__toks")
+    df.select(col(idCol), col(textCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        size(t).cast("long").as("n_words"),
+        // letters-per-word without re-splitting: chars minus the n−1
+        // separating spaces, over n words (same identity as textStats)
+        (length(col(textCol)) - size(t) + 1).as("__letters"),
+        regexp_count(col(textCol), lit("#|\\.\\.\\.")).cast("long").as("n_symbols"),
+        size(array_intersect(array_distinct(t),
+          array(GopherStopwords.map(lit(_)): _*))).cast("long").as("stop_hits"))
+      .select(col(idCol), col("n_words"),
+        (col("__letters").cast("double") / col("n_words")).as("mean_word_len"),
+        col("n_symbols"), col("stop_hits"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords).as("ok_word_count"),
+        (col("__letters") >= col("n_words") * minMeanLen &&
+          col("__letters") <= col("n_words") * maxMeanLen).as("ok_mean_len"),
+        (col("n_symbols").cast("double") <= col("n_words") * maxSymbolRatio).as("ok_symbols"),
+        (col("stop_hits") >= minStopwords).as("ok_stopwords"))
+      .withColumn("keep",
+        col("ok_word_count") && col("ok_mean_len") && col("ok_symbols") && col("ok_stopwords"))
+  }
+
   /** Composite quality score in [0,100]: type-token ratio (lexical
     * diversity) + a length prior. Deterministic rational arithmetic. */
   def qualityScore(df: DataFrame, idCol: String, textCol: String,

@@ -123,6 +123,34 @@ object TrainingSet {
       .filter(col(rankCol) <= k)
   }
 
+  /** Token-budget corpus selection: per stratum (source/domain), keep the
+    * best documents by `scoreCol` (desc, `keyCol` asc tiebreak) until the
+    * running token total REACHES `budget` — i.e. every document whose
+    * preceding better-ranked documents sum to < budget tokens. This is the
+    * "fill each domain's token quota with its best documents" step of
+    * training-mix assembly (the token-counted analogue of [[topKByScore]]):
+    * budgets are set in tokens, not document counts, because training cost
+    * is token-denominated.
+    *
+    * The boundary document (the one that crosses the budget) is INCLUDED —
+    * the quota is a target to reach, not a hard cap — so selection is
+    * well-defined even when a single document exceeds the whole budget.
+    *
+    * One window per stratum (cumulative token sum in rank order), exactly
+    * [[topKByScore]]'s shuffle shape; the running sum uses rowsBetween
+    * preceding-only so each row's test depends on strictly-better rows. */
+  def tokenBudgetSelect(df: DataFrame, stratumCol: String, scoreCol: String,
+                        keyCol: String, tokensCol: String, budget: Long,
+                        rankCol: String = "rnk"): DataFrame = {
+    val order = Window.partitionBy(col(stratumCol))
+      .orderBy(col(scoreCol).desc, col(keyCol).asc)
+    val prior = order.rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn(rankCol, row_number().over(order).cast("long"))
+      .withColumn("__prior_tokens", coalesce(sum(col(tokensCol)).over(prior), lit(0L)))
+      .filter(col("__prior_tokens") < budget)
+      .drop("__prior_tokens")
+  }
+
   /** Benchmark decontamination: ids of `train` documents sharing at least
     * one word `ngram`-shingle with any `eval` document — the standard
     * test-set-overlap flag computed before training. Candidate generation is

@@ -405,7 +405,66 @@ object PipelineQueries {
     // BM25 top-50 against a fixed probe-term set (quantized idf).
     "q75_bm25" -> ((s, d) =>
       TextOps.bm25TopK(Tables.documents(s, d), "doc_id", "text",
-        terms = Seq("dup", "table", "query"), k = 50))
+        terms = Seq("dup", "table", "query"), k = 50)),
+
+    // Gopher outlier rules per document (word count, mean word length,
+    // symbol ratio, stopword probe), per-rule flags + combined keep.
+    // Thresholds tuned to where this corpus actually has signal (words
+    // 10-99, mean len 3.7-5.3, stop hits 0-1).
+    "q76_gopher_rules" -> ((s, d) =>
+      TextOps.gopherRules(Tables.documents(s, d), "doc_id", "text",
+        minWords = 30, maxWords = 100000, minMeanLen = 4, maxMeanLen = 5,
+        maxSymbolRatio = 0.1, minStopwords = 1)
+        .orderBy("doc_id")),
+
+    // EXACT Jaccard similarity join via prefix filtering (AllPairs) — the
+    // zero-false-negative counterpart to q24's probabilistic minhash-LSH.
+    "q77_jaccard_join" -> ((s, d) =>
+      Dedup.jaccardJoinExact(Tables.documents(s, d), "doc_id", "text",
+        shingleSize = 3, tNum = 1, tDen = 2)
+        .orderBy("id_a", "id_b")),
+
+    // Containment join (quote/subset detection): ordered pairs where ≥ 20%
+    // of the source doc's shingles occur in the superset doc, blocked on
+    // rare shingles (df ≤ 10) — the asymmetric measure Jaccard misses.
+    "q78_containment" -> ((s, d) =>
+      Dedup.containmentJoin(Tables.documents(s, d), "doc_id", "text",
+        shingleSize = 3, maxDf = 10, tNum = 1, tDen = 5)
+        .orderBy("src_id", "sup_id")),
+
+    // Token-budget corpus selection: each source's best documents by the
+    // q32 quality score until the 2000-token quota is reached; exact
+    // membership pinned by the id sum.
+    "q79_token_budget" -> ((s, d) => {
+      val t = col("__toks")
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"),
+          TextOps.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), col("source"),
+          size(t).cast("long").as("n_tokens"),
+          ((size(array_distinct(t)).cast("double") / size(t)) * 50.0
+            + least(size(t).cast("double") / lit(4.0), lit(25.0))
+            + least(((length(col("text")) - size(t) + 1).cast("double") / size(t))
+                * lit(5.0), lit(25.0))).as("quality"))
+      TrainingSet.tokenBudgetSelect(scored, "source", "quality", "doc_id",
+          "n_tokens", budget = 2000)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("source")
+    }),
+
+    // Semi-structured extraction: JSON props parsed per event, aggregated
+    // per event type (the "typed metadata out of a string column" step).
+    "q80_json_props" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+        .orderBy("event_type"))
   )
 
   // mirrors TextOps.tokens EXACTLY (lowercase, empty tokens dropped): the
@@ -1113,6 +1172,101 @@ object PipelineQueries {
         |  FROM tf, stats, idf
         |  WHERE tf.term = idf.term AND tf.tf > 0)
         |SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_q FROM scored GROUP BY doc_id
-        |ORDER BY bm25_q DESC, doc_id ASC LIMIT 50""".stripMargin
+        |ORDER BY bm25_q DESC, doc_id ASC LIMIT 50""".stripMargin,
+    "q76_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(w) AS n_words,
+        |  length(text) - len(w) + 1 AS letters,
+        |  len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols,
+        |  len(list_intersect(list_distinct(w),
+        |    ['the','be','to','of','and','that','have','with'])) AS stop_hits
+        |  FROM t)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  letters * 1.0 / n_words AS mean_word_len,
+        |  CAST(n_symbols AS BIGINT) AS n_symbols,
+        |  CAST(stop_hits AS BIGINT) AS stop_hits,
+        |  (n_words >= 30 AND n_words <= 100000) AS ok_word_count,
+        |  (letters >= n_words * 4 AND letters <= n_words * 5) AS ok_mean_len,
+        |  (n_symbols * 1.0 <= n_words * 0.1) AS ok_symbols,
+        |  (stop_hits >= 1) AS ok_stopwords,
+        |  ((n_words >= 30 AND n_words <= 100000)
+        |    AND (letters >= n_words * 4 AND letters <= n_words * 5)
+        |    AND (n_symbols * 1.0 <= n_words * 0.1)
+        |    AND stop_hits >= 1) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q77_jaccard_join" ->
+      s"""WITH $tokCte,
+        |$shingleCte,
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+        |dfreq AS (SELECT sh, count(*) AS df FROM shingles GROUP BY sh),
+        |ranked AS (
+        |  SELECT s.doc_id, s.sh,
+        |    row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df ASC, s.sh ASC) AS rn,
+        |    c.n_sh
+        |  FROM shingles s JOIN dfreq d USING (sh) JOIN counts c USING (doc_id)),
+        |prefix AS (SELECT doc_id, sh FROM ranked WHERE rn <= n_sh - (n_sh * 1 + 1) // 2 + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+        |  FROM cand c JOIN shingles sa ON sa.doc_id = c.id_a
+        |    JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+        |  GROUP BY c.id_a, c.id_b),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b,
+        |    coalesce(i.i, 0) * 1.0 / (ca.n_sh + cb.n_sh - coalesce(i.i, 0)) AS jaccard
+        |  FROM cand c
+        |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        |  JOIN counts ca ON ca.doc_id = c.id_a
+        |  JOIN counts cb ON cb.doc_id = c.id_b
+        |  WHERE coalesce(i.i, 0) * 1.0 / (ca.n_sh + cb.n_sh - coalesce(i.i, 0)) >= 0.5)
+        |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    "q78_containment" ->
+      s"""WITH $tokCte,
+        |$shingleCte,
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+        |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM shingles GROUP BY sh)
+        |  WHERE df <= 10),
+        |blocked AS (SELECT s.doc_id, s.sh FROM shingles s JOIN rare USING (sh)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM blocked a JOIN blocked b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+        |  FROM cand c JOIN shingles sa ON sa.doc_id = c.id_a
+        |    JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+        |  GROUP BY c.id_a, c.id_b),
+        |sized AS (SELECT i.id_a, i.id_b, i.i, ca.n_sh AS na, cb.n_sh AS nb
+        |  FROM inter i JOIN counts ca ON ca.doc_id = i.id_a
+        |  JOIN counts cb ON cb.doc_id = i.id_b),
+        |dirs AS (
+        |  SELECT id_a AS src_id, id_b AS sup_id, i, na AS n_src FROM sized
+        |  UNION ALL
+        |  SELECT id_b, id_a, i, nb FROM sized)
+        |SELECT src_id, sup_id, i * 1.0 / n_src AS containment
+        |FROM dirs WHERE i * 5 >= n_src * 1 ORDER BY src_id, sup_id""".stripMargin,
+    "q79_token_budget" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+        |scored AS (SELECT doc_id, source, len(w) AS n_tokens,
+        |  (len(list_distinct(w)) * 1.0 / len(w)) * 50.0
+        |  + least(len(w) / 4.0, 25.0)
+        |  + least(((length(text) - len(w) + 1) * 1.0 / len(w)) * 5.0, 25.0) AS quality
+        |  FROM t),
+        |ranked AS (SELECT *,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY quality DESC, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM scored)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM ranked WHERE prior < 2000 GROUP BY source ORDER BY source""".stripMargin,
+    "q80_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |  CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -704,4 +704,77 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("pid").collect().map(_.getLong(0)).sorted.toSeq
     assert(got == Seq(1L, 2L)) // 1µs past the end excluded
   }
+
+  test("jaccardJoinExact finds every pair at or above the threshold (no false negatives)") {
+    // 8 docs with engineered 3-gram shingle overlaps; ground truth brute-forced
+    val texts = Seq(
+      1L -> "a b c d e f g h i j",     // 8 shingles
+      2L -> "a b c d e f g h i x",     // ∩1 = 7, ∪ = 9 → J = 0.778
+      3L -> "a b c d e f q r s t",     // ∩1 = 4, ∪ = 12 → J = 0.33
+      4L -> "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10",
+      5L -> "z1 z2 z3 z4 z5 z6 z7 z8 z9 z11", // J(4,5) = 0.778
+      6L -> "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10", // unrelated
+      7L -> "t1 t2 t3 t4 t5 t6 x1 x2",  // 6 shingles
+      8L -> "t1 t2 t3 t4 t5 t6 y1 y2")  // ∩7 = 4, ∪ = 8 → J = 0.5 EXACTLY
+    val d = docs(texts: _*)
+    def sh(t: String): Set[String] = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val truth = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+      i = (sh(ta) & sh(tb)).size; u = (sh(ta) | sh(tb)).size
+      if i.toDouble / u >= 0.5
+    } yield (ia, ib, i.toDouble / u)).toSet
+    assert(truth.map(p => (p._1, p._2)) == Set((1L, 2L), (4L, 5L), (7L, 8L)))
+    val got = Dedup.jaccardJoinExact(d, "doc_id", "text", shingleSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == truth, s"got $got, want $truth")
+  }
+
+  test("containment join finds a quote inside a long document that Jaccard misses") {
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val quote = (10 to 17).map(i => s"w$i").mkString(" ") // 6 shingles, all inside `long`
+    val other = (1 to 40).map(i => s"q$i").mkString(" ")
+    val d = docs(1L -> long, 2L -> quote, 3L -> other)
+    val got = Dedup.containmentJoin(d, "doc_id", "text",
+        shingleSize = 3, maxDf = 10, tNum = 4, tDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // quote→long passes at containment 1.0; long→quote is 6/38 and fails
+    assert(got == Set((2L, 1L, 1.0)), got.mkString(", "))
+    // the symmetric Jaccard join cannot see it: union dominated by the long side
+    assert(Dedup.jaccardJoinExact(d, "doc_id", "text").collect().isEmpty)
+  }
+
+  test("gopher rules flag each outlier family independently") {
+    val d = docs(
+      1L -> "the alpha beta gamma delta",      // all rules pass
+      2L -> "the cat",                          // too few words
+      3L -> "aa bb cc dd ee",                   // mean word length 2 < 3
+      4L -> "the napkin randomly ... ... ...")  // symbol ratio 3/6 > 0.2
+    val got = TextOps.gopherRules(d, "doc_id", "text",
+        minWords = 5, maxWords = 10, minMeanLen = 3, maxMeanLen = 5,
+        maxSymbolRatio = 0.2, minStopwords = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7),
+        r.getBoolean(8), r.getBoolean(9)))
+    //            (id, ok_words, ok_mean_len, ok_symbols, ok_stop, keep)
+    assert(got(0) == ((1L, true, true, true, true, true)))
+    assert(got(1) == ((2L, false, true, true, true, false)))
+    assert((got(2)._1, got(2)._3, got(2)._6) == ((3L, false, false)))
+    assert(got(3) == ((4L, true, true, false, true, false)))
+  }
+
+  test("tokenBudgetSelect fills each stratum best-first and includes the boundary doc") {
+    import spark.implicits._
+    val rows = Seq(
+      ("s1", 1L, 100L, 5.0), ("s1", 2L, 100L, 4.0),
+      ("s1", 3L, 100L, 3.0), ("s1", 4L, 100L, 2.0),
+      ("s2", 5L, 300L, 9.0), ("s2", 6L, 50L, 8.0))
+      .toDF("source", "doc_id", "n_tokens", "quality")
+    val got = TrainingSet.tokenBudgetSelect(rows, "source", "quality", "doc_id",
+        "n_tokens", budget = 250)
+      .select("doc_id").as[Long].collect().toSet
+    // s1: docs 1,2 sum to 200 < 250, doc 3 crosses the quota (prior 200 < 250
+    // → INCLUDED), doc 4's prior 300 ≥ 250 → excluded. s2: doc 5 alone
+    // overshoots the whole budget (prior 0) and is kept; doc 6 is not.
+    assert(got == Set(1L, 2L, 3L, 5L), got.mkString(", "))
+  }
 }

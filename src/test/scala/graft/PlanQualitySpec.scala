@@ -413,4 +413,47 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"idf/stats tables must broadcast:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must be a take, not a sort:\n$plan")
   }
+
+  test("gopher rules are a zero-shuffle projection (aside from the output ordering)") {
+    val plan = physicalPlan(PipelineQueries.queries("q76_gopher_rules")(spark, sf))
+    assert(!plan.contains("Join"), s"gopher rules must not join:\n$plan")
+    assert(!plan.contains("Generate"), s"gopher rules must not explode:\n$plan")
+    // only the final orderBy may exchange
+    val exchanges = plan.split('\n').count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"gopher rules introduced shuffles ($exchanges):\n$plan")
+  }
+
+  test("exact jaccard join: every join is an equi-join (prefix/shingle/id keys)") {
+    val plan = physicalPlan(PipelineQueries.queries("q77_jaccard_join")(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"prefix filtering degenerated to all-pairs:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the similarity-join plan:\n$plan")
+  }
+
+  test("containment join: rare-shingle blocking keeps every join an equi-join") {
+    val plan = physicalPlan(PipelineQueries.queries("q78_containment")(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"containment blocking degenerated to all-pairs:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the containment plan:\n$plan")
+  }
+
+  test("token-budget selection: one window per stratum, no join, no explode") {
+    val plan = physicalPlan(PipelineQueries.queries("q79_token_budget")(spark, sf))
+    assert(!plan.contains("Join"), s"budget selection must not join:\n$plan")
+    assert(!plan.contains("Generate"), s"budget selection must not explode:\n$plan")
+  }
+
+  test("json props extraction is a projection + one aggregate, no join") {
+    val plan = physicalPlan(PipelineQueries.queries("q80_json_props")(spark, sf))
+    assert(!plan.contains("Join"), s"json extraction must not join:\n$plan")
+    // three exchanges exactly: the exact count-distinct expands into a
+    // (event_type, k)-keyed pre-aggregate (duplicates collapse map-side)
+    // before the event_type aggregate, plus the final ordering
+    val exchanges = plan.split('\n').count(_.contains("Exchange"))
+    assert(exchanges <= 3, s"json extraction introduced shuffles ($exchanges):\n$plan")
+    // the parse itself stays in the scan stage's codegen projection
+    assert(plan.contains("get_json_object"), s"json parse not in the projection:\n$plan")
+  }
 }
