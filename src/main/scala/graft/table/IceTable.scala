@@ -37,9 +37,14 @@ class IceTable(val ident: TableIdent, val catalog: Catalog,
     * path powering MV delta sources (S4, table/mod.rs:293-356).
     */
   def entries(snapshot: Snapshot, afterSequence: Option[Long] = None,
-              manifestFilter: ManifestListEntry => Boolean = _ => true): Seq[ManifestEntry] =
-    manifests(snapshot, afterSequence).filter(manifestFilter).flatMap { ml =>
-      ManifestIO.readManifest(ml.manifestPath).flatMap { e =>
+              manifestFilter: ManifestListEntry => Boolean = _ => true): Seq[ManifestEntry] = {
+    val mls = manifests(snapshot, afterSequence).filter(manifestFilter)
+    // Fetch all manifests concurrently on ManifestIO's bounded pool (the
+    // reference's concurrent manifest stream, table/mod.rs:327); results come
+    // back in manifest-list order so entry order is deterministic.
+    val perManifest = ManifestIO.readManifests(mls.map(_.manifestPath))
+    mls.lazyZip(perManifest).flatMap { (ml, read) =>
+      read.flatMap { e =>
         val seq = e.sequenceNumber.getOrElse(ml.sequenceNumber)
         val inherited = e.copy(
           sequenceNumber = Some(seq),
@@ -51,6 +56,7 @@ class IceTable(val ident: TableIdent, val catalog: Catalog,
         }
       }
     }
+  }
 
   /** All live data files at a snapshot (content == data). */
   def dataFiles(snapshot: Snapshot, afterSequence: Option[Long] = None): Seq[ManifestEntry] =

@@ -340,7 +340,67 @@ object ManifestIO {
   def readManifest(path: String): Seq[ManifestEntry] =
     cached(manifestCache, path)(readManifestUncached(path))
 
+  /** Bounded IO pool for concurrent manifest fetches during scan planning —
+    * the reference streams manifests with unbounded concurrency
+    * (iceberg-rust/src/table/mod.rs:327 `flat_map_unordered`); we bound it so
+    * a thousand-manifest table can't exhaust driver file handles. Daemon
+    * threads so the JVM exits cleanly.
+    */
+  private val manifestReadParallelism =
+    sys.props.get("graft.manifest.read.parallelism").map(_.toInt)
+      .getOrElse(math.min(16, Runtime.getRuntime.availableProcessors()))
+  private lazy val manifestPool = java.util.concurrent.Executors.newFixedThreadPool(
+    manifestReadParallelism,
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-manifest-io-${n.getAndIncrement()}")
+        t.setDaemon(true); t
+      }
+    })
+
+  // Test instrumentation: physical (cache-missing) reads and the distinct
+  // threads that performed them — lets a spec assert cold planning actually
+  // fans out across the pool.
+  private val uncachedReadCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private val uncachedReadThreads =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def uncachedManifestReads: Long = uncachedReadCounter.get
+  def uncachedManifestReadThreads: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    uncachedReadThreads.asScala.toSet
+  }
+  private[graft] def resetReadInstrumentation(): Unit = {
+    uncachedReadCounter.set(0); uncachedReadThreads.clear()
+  }
+  private[graft] def clearCachesForTesting(): Unit = {
+    manifestCache.synchronized(manifestCache.clear())
+    manifestListCache.synchronized(manifestListCache.clear())
+  }
+
+  /** Reads many manifests concurrently on the bounded pool, returning results
+    * in input order so scan planning stays deterministic. Cache hits
+    * short-circuit inside readManifest; a single path skips the pool. Calls
+    * already running on a pool thread read inline to avoid self-deadlock.
+    */
+  def readManifests(paths: Seq[String]): Seq[Seq[ManifestEntry]] = {
+    if (paths.lengthCompare(2) < 0 ||
+        Thread.currentThread().getName.startsWith("graft-manifest-io")) {
+      paths.map(readManifest)
+    } else {
+      val futures = paths.map { p =>
+        manifestPool.submit(new java.util.concurrent.Callable[Seq[ManifestEntry]] {
+          def call(): Seq[ManifestEntry] = readManifest(p)
+        })
+      }
+      try futures.map(_.get())
+      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+    }
+  }
+
   private def readManifestUncached(path: String): Seq[ManifestEntry] = {
+    uncachedReadCounter.incrementAndGet()
+    uncachedReadThreads.add(Thread.currentThread().getName)
     val reader = new DataFileReader[GenericRecord](new File(path),
       new GenericDatumReader[GenericRecord]())
     try reader.iterator().asScala.map { r =>

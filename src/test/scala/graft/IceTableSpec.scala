@@ -747,4 +747,59 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     // data reachable from the survivors is intact
     assert(IceScan.scan(spark, t).orderBy("x").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("cold scan planning reads manifests concurrently on the bounded pool, in order") {
+    import graft.table.ManifestModel._
+    import graft.table.ManifestIO
+    // 200 synthetic single-entry manifests — a thousand-file table's planning
+    // shape without paying 200 commits.
+    val dir = Files.createTempDirectory("graft-manifests").toString
+    val n = 200
+    val paths = (0 until n).map { i =>
+      val p = s"$dir/m$i.avro"
+      val entry = ManifestEntry(
+        status = 1, snapshotId = Some(7L), sequenceNumber = Some(i.toLong),
+        fileSequenceNumber = Some(i.toLong),
+        dataFile = DataFile(
+          content = 0, filePath = s"$dir/data-$i.parquet", fileFormat = "PARQUET",
+          partition = Seq("date_day" -> java.lang.Integer.valueOf(18000 + i)),
+          recordCount = 10L, fileSizeInBytes = 100L))
+      ManifestIO.writeManifest(p, daySpec, ordersSchema, Seq(entry))
+      p
+    }
+
+    ManifestIO.clearCachesForTesting()
+    ManifestIO.resetReadInstrumentation()
+    val cold = ManifestIO.readManifests(paths)
+    // every manifest physically read exactly once, fanned across >1 pool thread
+    assert(ManifestIO.uncachedManifestReads == n.toLong)
+    assert(ManifestIO.uncachedManifestReadThreads.size > 1,
+      s"expected concurrent reads, got threads=${ManifestIO.uncachedManifestReadThreads}")
+    assert(ManifestIO.uncachedManifestReadThreads.forall(_.startsWith("graft-manifest-io")))
+    // deterministic: results in input order, identical to warm (cached) reads
+    assert(cold.flatten.map(_.dataFile.filePath) == (0 until n).map(i => s"$dir/data-$i.parquet"))
+    val warm = ManifestIO.readManifests(paths)
+    assert(warm == cold)
+    assert(ManifestIO.uncachedManifestReads == n.toLong) // no re-reads when warm
+  }
+
+  test("multi-manifest table.entries is identical cold vs warm (parallel read determinism)") {
+    implicit val s: SparkSession = spark
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "par"), ordersSchema, daySpec)
+    table = IceWrite.append(spark, table, batch1)
+    table = IceWrite.append(spark, table, batch2)
+    val snap = table.currentSnapshot(None).get
+    // compare a canonical projection (Array[Byte] bounds are reference-equal only)
+    def key(es: Seq[graft.table.ManifestModel.ManifestEntry]) =
+      es.map(e => (e.status, e.snapshotId, e.sequenceNumber, e.dataFile.filePath,
+        e.dataFile.recordCount,
+        e.dataFile.lowerBounds.view.mapValues(_.toSeq).toMap,
+        e.dataFile.upperBounds.view.mapValues(_.toSeq).toMap))
+    val warm = key(table.entries(snap))
+    graft.table.ManifestIO.clearCachesForTesting()
+    val cold = key(table.entries(snap))
+    assert(cold == warm)
+    assert(cold.nonEmpty)
+  }
 }
