@@ -407,26 +407,56 @@ object Dedup {
     * only when a document has few rarer alternatives.
     */
   def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
-                       shingleSize: Int = 3, tNum: Long = 1, tDen: Long = 2): DataFrame = {
+                       shingleSize: Int = 3, tNum: Long = 1, tDen: Long = 2): DataFrame =
+    jaccardJoinImpl(df, idCol, textCol, shingleSize, tNum, tDen, eager = true)
+
+  /** Lazy [[jaccardJoinExact]] (no cache, no checkpoint) — exposes the full
+    * logical plan for the plan-shape gates; production callers want the
+    * eager variant, which releases its caches on return. */
+  private[graft] def jaccardJoinExactLazy(df: DataFrame, idCol: String, textCol: String,
+                                          shingleSize: Int = 3, tNum: Long = 1, tDen: Long = 2): DataFrame =
+    jaccardJoinImpl(df, idCol, textCol, shingleSize, tNum, tDen, eager = false)
+
+  private def jaccardJoinImpl(df: DataFrame, idCol: String, textCol: String,
+                              shingleSize: Int, tNum: Long, tDen: Long,
+                              eager: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen must be in (0, 1]")
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
-    val sh = shingles(df.repartition(par), idCol, textCol, shingleSize).cache()
-    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("df").asc, col("sh").asc)
-    val prefix = sh.join(dfreq, "sh")
-      .withColumn("rn", row_number().over(w))
-      .join(counts, idCol)
-      .filter(col("rn") <=
-        col("n_sh") - expr(s"CAST((n_sh * $tNum + ${tDen - 1}) DIV $tDen AS BIGINT)") + 1)
-      .select(col(idCol), col("sh"))
-    val cand = prefix.select(col("sh"), col(idCol).as("id_a"))
-      .join(prefix.select(col("sh"), col(idCol).as("id_b")), "sh")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    jaccardVerify(sh, cand, idCol)
-      .filter(col("jaccard") >= lit(tNum.toDouble / tDen))
+    val sh0 = shingles(df.repartition(par), idCol, textCol, shingleSize)
+    val sh = if (eager) sh0.cache() else sh0
+    try {
+      val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      // rank and set size come out of ONE partition-by-doc exchange: the
+      // count runs as an unordered frame over the same partitioning, so no
+      // separate counts aggregate + join-back is needed
+      val w = Window.partitionBy(col(idCol)).orderBy(col("df").asc, col("sh").asc)
+      val prefix = sh.join(dfreq, "sh")
+        .select(col(idCol), col("sh"), row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy(col(idCol))).as("n_sh"))
+        .filter(col("rn") <=
+          col("n_sh") - expr(s"CAST((n_sh * $tNum + ${tDen - 1}) DIV $tDen AS BIGINT)") + 1)
+        .select(col(idCol), col("sh"), col("n_sh"))
+      // PPJoin length filter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a pair
+      // can reach t = tNum/tDen only when na·tNum ≤ nb·tDen in BOTH
+      // directions — size-incompatible candidates are dropped before the
+      // distinct and the 3-join verify ever see them. Exact integer
+      // cross-multiplication, no false negatives.
+      val cand = prefix.select(col("sh"), col(idCol).as("id_a"), col("n_sh").as("na"))
+        .join(prefix.select(col("sh"), col(idCol).as("id_b"), col("n_sh").as("nb")), "sh")
+        .filter(col("id_a") < col("id_b") &&
+          col("na") * tNum <= col("nb") * tDen && col("nb") * tNum <= col("na") * tDen)
+        .select(col("id_a"), col("id_b")).distinct()
+      // eager (localCheckpoint) so the shingle cache can be released here
+      // instead of accumulating across calls in a long-lived session.
+      // (A survivor-restricted verify — minhashNearDups' broadcast
+      // semi-join — was measured SLOWER here: prefix-filter candidates
+      // cover most of the corpus, so the restriction saves no shuffle and
+      // adds a distinct + broadcast.)
+      val res = jaccardVerify(sh, cand, idCol)
+        .filter(col("jaccard") >= lit(tNum.toDouble / tDen))
+      if (eager) res.localCheckpoint(true) else res
+    } finally if (eager) sh.unpersist()
   }
 
   /** Containment join — quote/subset detection: ordered pairs where at
@@ -448,32 +478,51 @@ object Dedup {
     * candidate volume is ≤ maxDf² per rare shingle. */
   def containmentJoin(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, maxDf: Long = 10,
-                      tNum: Long = 4, tDen: Long = 5): DataFrame = {
+                      tNum: Long = 4, tDen: Long = 5): DataFrame =
+    containmentJoinImpl(df, idCol, textCol, shingleSize, maxDf, tNum, tDen, eager = true)
+
+  /** Lazy [[containmentJoin]] (no cache, no checkpoint) — plan-shape gates. */
+  private[graft] def containmentJoinLazy(df: DataFrame, idCol: String, textCol: String,
+                                         shingleSize: Int = 3, maxDf: Long = 10,
+                                         tNum: Long = 4, tDen: Long = 5): DataFrame =
+    containmentJoinImpl(df, idCol, textCol, shingleSize, maxDf, tNum, tDen, eager = false)
+
+  private def containmentJoinImpl(df: DataFrame, idCol: String, textCol: String,
+                                  shingleSize: Int, maxDf: Long,
+                                  tNum: Long, tDen: Long, eager: Boolean): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen must be in (0, 1]")
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
-    val sh = shingles(df.repartition(par), idCol, textCol, shingleSize).cache()
-    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("sh")
-    val blocked = sh.join(rare, "sh")
-    val cand = blocked.select(col("sh"), col(idCol).as("id_a"))
-      .join(blocked.select(col("sh"), col(idCol).as("id_b")), "sh")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val shA = sh.select(col(idCol).as("id_a"), col("sh"))
-    val shB = sh.select(col(idCol).as("id_b"), col("sh"))
-    val inter = cand.join(shA, "id_a").join(shB, Seq("id_b", "sh"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    val sized = inter
-      .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("na")), "id_a")
-      .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("nb")), "id_b")
-    // both directions of each unordered candidate, filtered independently:
-    // integer cross-multiplication keeps the threshold test exact
-    sized.select(col("id_a").as("src_id"), col("id_b").as("sup_id"),
-        col("inter"), col("na").as("n_src"))
-      .union(sized.select(col("id_b"), col("id_a"), col("inter"), col("nb")))
-      .filter(col("inter") * tDen >= col("n_src") * tNum)
-      .select(col("src_id"), col("sup_id"),
-        (col("inter").cast("double") / col("n_src")).as("containment"))
+    val sh0 = shingles(df.repartition(par), idCol, textCol, shingleSize)
+    val sh = if (eager) sh0.cache() else sh0
+    try {
+      val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+      val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("sh")
+      val blocked = sh.join(rare, "sh")
+      val cand = blocked.select(col("sh"), col(idCol).as("id_a"))
+        .join(blocked.select(col("sh"), col(idCol).as("id_b")), "sh")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val shA = sh.select(col(idCol).as("id_a"), col("sh"))
+      val shB = sh.select(col(idCol).as("id_b"), col("sh"))
+      val inter = cand.join(shA, "id_a").join(shB, Seq("id_b", "sh"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      val sized = inter
+        .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("na")), "id_a")
+        .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("nb")), "id_b")
+      // both directions of each unordered candidate, filtered independently:
+      // integer cross-multiplication keeps the threshold test exact.
+      // (No pair-level length filter exists for containment: the smaller
+      // side is ALWAYS a feasible source — C(min→max) can reach 1.0 at any
+      // size ratio — unlike Jaccard's symmetric min/max bound.)
+      // eager (localCheckpoint) so the shingle cache can be released here
+      val res = sized.select(col("id_a").as("src_id"), col("id_b").as("sup_id"),
+          col("inter"), col("na").as("n_src"))
+        .union(sized.select(col("id_b"), col("id_a"), col("inter"), col("nb")))
+        .filter(col("inter") * tDen >= col("n_src") * tNum)
+        .select(col("src_id"), col("sup_id"),
+          (col("inter").cast("double") / col("n_src")).as("containment"))
+      if (eager) res.localCheckpoint(true) else res
+    } finally if (eager) sh.unpersist()
   }
 }

@@ -134,9 +134,12 @@ object Embeddings {
     * its nearest centroid by exact quantized L2, and ranking runs only
     * within the query's cell (nprobe = 1). All distances are exact integer
     * arithmetic: d² = |v|² + |c|² − 2⟨v,c⟩ via the codegen dot kernel, so
-    * assignments are engine-portable. Centroids are driver-collected and
-    * inlined as literals (per-row argmin, no assignment shuffle); the
-    * candidate join is an equi-join on cell id.
+    * assignments are engine-portable. Centroids are driver-collected; up to
+    * `graft.ivf.inline.cells.max` (default 64) they're inlined as plan
+    * literals, above that the matrix rides in one constant-size codegen
+    * node ([[graft.spark.expressions.NearestCells]]) — either way a per-row
+    * argmin with no assignment shuffle; the candidate join is an equi-join
+    * on cell id.
     */
   def ivfTopK(prepared: DataFrame, idCol: String, k: Int, cells: Int,
               queryPred: Column): DataFrame =
@@ -172,6 +175,23 @@ object Embeddings {
         lit(cid).as("c"))
     }.toSeq: _*))
 
+  /** Literal inlining is ideal while the plan stays small, but plan size and
+    * per-row codegen cost grow linearly with cells; above this threshold the
+    * centroid matrix moves out of the plan into a single
+    * [[graft.spark.expressions.NearestCells]] node (constant plan size,
+    * same exact arithmetic). Overridable for tests/tuning. */
+  private def inlineCellsMax: Int =
+    sys.props.get("graft.ivf.inline.cells.max").map(_.toInt).getOrElse(64)
+
+  /** Array of the `m` nearest cell ids by (d² asc, id asc) for the current
+    * row's (q, n2) — both paths produce bit-identical results; neither
+    * shuffles, windows, or joins: one projection expression per row. */
+  private def rankedCellIds(cents: Array[(Long, Array[Long], Long)], m: Int): Column =
+    if (cents.length <= inlineCellsMax)
+      slice(rankedCellsExpr(cents), 1, math.min(m, cents.length)).getField("c")
+    else
+      graft.spark.expressions.NearestCells.nearestCellIds(col("q"), col("n2"), cents, m)
+
   /** Lloyd's k-means refinement of the IVF centroids (the trained-centroid
     * scale path the sampled variant documents): starts from the
     * deterministic sample, then each iteration assigns every vector to its
@@ -185,7 +205,7 @@ object Embeddings {
     var cents = sampleCentroids(prepared, idCol, cells)
     val dim = cents.head._2.length
     for (_ <- 1 to iters) {
-      val assign = element_at(rankedCellsExpr(cents), 1).getField("c")
+      val assign = element_at(rankedCellIds(cents, 1), 1)
       // per-cell dim-array of sums in ONE hash aggregate: dim sum columns,
       // map-side combined, at most `cells` result rows — no n×dim posexplode
       // row expansion, and the driver collect is cells rows (not cells×dim).
@@ -232,12 +252,12 @@ object Embeddings {
     import org.apache.spark.sql.expressions.Window
     // both join sides (corpus assignment + query probes) need the ranked
     // cells — compute the cells × dots once and cache, like the LSH path
-    val withCells = prepared.withColumn("__cells", rankedCellsExpr(cents)).cache()
-    val assigned = withCells.withColumn("c", element_at(col("__cells"), 1).getField("c"))
+    val withCells = prepared.withColumn("__cells", rankedCellIds(cents, nprobe)).cache()
+    val assigned = withCells.withColumn("c", element_at(col("__cells"), 1))
     // probe list only materializes on QUERY rows (filter first, then explode)
     val q = withCells.filter(queryPred)
       .select(col(idCol).as("query_id"),
-        explode(slice(col("__cells"), 1, nprobe).getField("c")).as("c"),
+        explode(col("__cells")).as("c"),
         col("q").as("qa"), col("n2").as("na"))
     val c = assigned.select(col(idCol).as("neighbor_id"), col("c"), col("q").as("qb"), col("n2").as("nb"))
     val scored = q.join(c, Seq("c")).filter(col("query_id") =!= col("neighbor_id"))
@@ -266,7 +286,7 @@ object Embeddings {
     val cents = sampleCentroids(prepared, idCol, cells)
     // both join sides read the assignment — cache, like the LSH/IVF paths
     val assigned = prepared
-      .withColumn("cell", element_at(rankedCellsExpr(cents), 1).getField("c"))
+      .withColumn("cell", element_at(rankedCellIds(cents, 1), 1))
       .cache()
     val a = assigned.select(col(idCol).as("id_a"), col("cell"), col("q").as("qa"), col("n2").as("na"))
     val b = assigned.select(col(idCol).as("id_b"), col("cell"), col("q").as("qb"), col("n2").as("nb"))
@@ -290,26 +310,40 @@ object Embeddings {
     * check is a self-join on the (k·n)-row edge list — every shuffle moves
     * edges, never vectors × cells. Cross-cell neighbors are the standard
     * IVF recall trade. */
-  def knnGraph(prepared: DataFrame, idCol: String, k: Int, cells: Int): DataFrame = {
+  def knnGraph(prepared: DataFrame, idCol: String, k: Int, cells: Int): DataFrame =
+    knnGraphImpl(prepared, idCol, k, cells, eager = true)
+
+  /** Lazy [[knnGraph]] (no cache, no checkpoint) — exposes the full plan for
+    * the plan-shape gates; production callers want the eager variant, which
+    * releases its assignment cache on return. */
+  private[graft] def knnGraphLazy(prepared: DataFrame, idCol: String, k: Int, cells: Int): DataFrame =
+    knnGraphImpl(prepared, idCol, k, cells, eager = false)
+
+  private def knnGraphImpl(prepared: DataFrame, idCol: String, k: Int, cells: Int,
+                           eager: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = sampleCentroids(prepared, idCol, cells)
     // both join sides read the assignment — cache, like the IVF search path
-    val assigned = prepared
-      .withColumn("c", element_at(rankedCellsExpr(cents), 1).getField("c"))
-      .cache()
-    val a = assigned.select(col(idCol).as("id_a"), col("c"), col("q").as("qa"), col("n2").as("na"))
-    val b = assigned.select(col(idCol).as("id_b"), col("c"), col("q").as("qb"), col("n2").as("nb"))
-    val scored = a.join(b, Seq("c")).filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        cosine(dot(col("qa"), col("qb")), col("na"), col("nb")).as("cos"))
-    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b").asc)
-    val knn = scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
-      .select(col("id_a"), col("id_b"), col("cos"))
-    // mutual = the reversed edge also survives its endpoint's top-k
-    val rev = knn.select(col("id_b").as("id_a"), col("id_a").as("id_b"))
-    knn.join(rev, Seq("id_a", "id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("cos"))
+    val assigned0 = prepared
+      .withColumn("c", element_at(rankedCellIds(cents, 1), 1))
+    val assigned = if (eager) assigned0.cache() else assigned0
+    try {
+      val a = assigned.select(col(idCol).as("id_a"), col("c"), col("q").as("qa"), col("n2").as("na"))
+      val b = assigned.select(col(idCol).as("id_b"), col("c"), col("q").as("qb"), col("n2").as("nb"))
+      val scored = a.join(b, Seq("c")).filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          cosine(dot(col("qa"), col("qb")), col("na"), col("nb")).as("cos"))
+      val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b").asc)
+      val knn = scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+        .select(col("id_a"), col("id_b"), col("cos"))
+      // mutual = the reversed edge also survives its endpoint's top-k;
+      // eager (localCheckpoint) so the assignment cache can be released here
+      val rev = knn.select(col("id_b").as("id_a"), col("id_a").as("id_b"))
+      val res = knn.join(rev, Seq("id_a", "id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("cos"))
+      if (eager) res.localCheckpoint(true) else res
+    } finally if (eager) assigned.unpersist()
   }
 
   /** Approximate top-k: exact cosine ranking restricted to the query's LSH

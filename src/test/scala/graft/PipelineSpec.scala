@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -215,6 +215,42 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(single.subsetOf(double) && double.size > single.size,
       s"nprobe=2 ($double) should strictly widen nprobe=1 ($single)")
     assert(double == Set(0L, 1L, 3L, 4L, 5L)) // all other vectors reachable at nprobe=2
+  }
+
+  test("NearestCells path (cells above inline threshold) matches the literal path exactly") {
+    import spark.implicits._
+    // 12 vectors across 3 loose clusters; cells = 3 so both paths rank
+    // multiple centroids, including (d², id) ties via duplicate vectors
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.1f)), (1L, Array(0.9f, 0.1f, 0.0f)), (2L, Array(1.0f, 0.0f, 0.1f)),
+      (3L, Array(0.0f, 1.0f, 0.1f)), (4L, Array(0.1f, 0.9f, 0.0f)), (5L, Array(0.0f, 1.0f, 0.1f)),
+      (6L, Array(0.1f, 0.0f, 1.0f)), (7L, Array(0.0f, 0.1f, 0.9f)), (8L, Array(0.1f, 0.0f, 1.0f)),
+      (9L, Array(0.6f, 0.6f, 0.0f)), (10L, Array(0.0f, 0.6f, 0.6f)), (11L, Array(0.6f, 0.0f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val prepared = Embeddings.prepare(vecs, "vec_id", "embedding")
+    val prop = "graft.ivf.inline.cells.max"
+    def allFour(): (Seq[Row], Seq[Row], Seq[Row], Seq[(Long, Seq[Long], Long)]) = (
+      Embeddings.ivfTopKProbed(prepared, "vec_id", k = 4, cells = 3,
+        col("vec_id") === 9, nprobe = 2).orderBy("query_id", "rnk").collect().toSeq,
+      Embeddings.semanticDedup(prepared, "vec_id", cells = 3, threshold = 0.98)
+        .orderBy("vec_id").collect().toSeq,
+      Embeddings.knnGraph(prepared, "vec_id", k = 2, cells = 3)
+        .orderBy("id_a", "id_b").collect().toSeq,
+      Embeddings.trainCentroids(prepared, "vec_id", cells = 3, iters = 2)
+        .toSeq.map(t => (t._1, t._2.toSeq, t._3)))
+    val literal = allFour() // default threshold 64 → literal struct-sort path
+    sys.props(prop) = "0"   // force every call through the NearestCells node
+    try {
+      val native = allFour()
+      assert(native == literal, "NearestCells path diverged from literal path")
+      // the assignment is a pure projection in both paths: no window, no join
+      val assignedPlan = prepared
+        .withColumn("c", element_at(graft.spark.expressions.NearestCells.nearestCellIds(
+          col("q"), col("n2"), Embeddings.sampleCentroids(prepared, "vec_id", 3), 1), 1))
+        .queryExecution.executedPlan.toString
+      assert(!assignedPlan.contains("Window") && !assignedPlan.contains("Join"),
+        s"cell assignment must stay a per-row projection:\n$assignedPlan")
+    } finally sys.props.remove(prop)
   }
 
   test("k-means training moves mis-sampled centroids onto the true clusters") {

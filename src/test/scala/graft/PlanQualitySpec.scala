@@ -389,7 +389,12 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("knn graph: cell equi-join candidates, rank-limited top-k, edge-list mutual join") {
-    val plan = physicalPlan(PipelineQueries.queries("q73_knn_graph")(spark, sf))
+    // lazy variant: the production function localCheckpoints (cache release),
+    // which would hide the join plan behind an RDD scan
+    import graft.pipeline.Embeddings
+    val plan = physicalPlan(Embeddings.knnGraphLazy(
+      Embeddings.prepare(graft.Tables.embeddings(spark, sf), "vec_id", "embedding"),
+      "vec_id", k = 3, cells = 8).orderBy("id_a", "id_b"))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"knn candidates fell back to all-pairs:\n$plan")
     assert(plan.contains("SortMergeJoin [c") || plan.contains("BroadcastHashJoin [c") ||
@@ -424,7 +429,10 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("exact jaccard join: every join is an equi-join (prefix/shingle/id keys)") {
-    val plan = physicalPlan(PipelineQueries.queries("q77_jaccard_join")(spark, sf))
+    // lazy variant: the production function localCheckpoints (cache release)
+    val plan = physicalPlan(graft.pipeline.Dedup.jaccardJoinExactLazy(
+      graft.Tables.documents(spark, sf), "doc_id", "text",
+      shingleSize = 3, tNum = 1, tDen = 2).orderBy("id_a", "id_b"))
     assert(!plan.contains("CartesianProduct"),
       s"prefix filtering degenerated to all-pairs:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
@@ -432,7 +440,10 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("containment join: rare-shingle blocking keeps every join an equi-join") {
-    val plan = physicalPlan(PipelineQueries.queries("q78_containment")(spark, sf))
+    // lazy variant: the production function localCheckpoints (cache release)
+    val plan = physicalPlan(graft.pipeline.Dedup.containmentJoinLazy(
+      graft.Tables.documents(spark, sf), "doc_id", "text",
+      shingleSize = 3, maxDf = 10, tNum = 1, tDen = 5).orderBy("src_id", "sup_id"))
     assert(!plan.contains("CartesianProduct"),
       s"containment blocking degenerated to all-pairs:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
