@@ -21,20 +21,67 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4's schema
-    * INFERENCE rejects by default. A user-specified schema reading ts as
-    * BIGINT (ns since epoch) skips inference entirely — no session conf
-    * touched (`spark.sql.legacy.parquet.nanosAsLong` is only consulted on
-    * the inference path) — then truncate to µs and surface as
-    * TIMESTAMP_NTZ, the same µs truncation DuckDB applies. Integer
-    * division (`DIV`) keeps ns exact (> 2^53).
+  /** events.ts surfaces as TIMESTAMP_NTZ regardless of the PHYSICAL unit
+    * the generator chose — driver regenerations have shipped both
+    * TIMESTAMP(NANOS) and TIMESTAMP(MICROS) footers, and a hard-coded unit
+    * silently scales every timestamp 1000× when the file flips. The unit is
+    * read from the parquet footer of ONE file (few-KB footer-only IO,
+    * memoized per path):
+    *  - NANOS: Spark 4's schema inference rejects NANOS, so a
+    *    user-specified schema reads ts as BIGINT (skipping inference — no
+    *    session conf; `spark.sql.legacy.parquet.nanosAsLong` is only
+    *    consulted on the inference path), then truncates to µs — the same
+    *    µs truncation DuckDB applies. Integer `DIV` keeps ns exact
+    *    (> 2^53).
+    *  - MICROS/MILLIS: native vectorized read; isAdjustedToUTC=false infers
+    *    TIMESTAMP_NTZ directly, and the cast is a no-op normalization.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    s.read.schema(
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .parquet(s"$d/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val path = s"$d/events.parquet"
+    tsUnit(s, path, "ts") match {
+      case TimeUnit.NANOS =>
+        s.read.schema(
+            "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+          .parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+      case _ =>
+        s.read.parquet(path).withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
+  }
+
+  private val tsUnitCache = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** TIMESTAMP logical-type unit of `column` from the footer of one parquet
+    * file under `path` (a file or a directory of part files). An
+    * unannotated INT64 falls back to NANOS — the one historical layout that
+    * carried no readable annotation through Spark's inference.
+    */
+  private[graft] def tsUnit(s: SparkSession, path: String,
+                            column: String): org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    tsUnitCache.computeIfAbsent(s"$path#$column", { _ =>
+      val conf = s.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+            .minBy(_.getName)
+        else p
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      try {
+        reader.getFooter.getFileMetaData.getSchema.getType(Seq(column): _*)
+          .getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit
+          case _ => TimeUnit.NANOS
+        }
+      } finally reader.close()
+    }).asInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit]
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

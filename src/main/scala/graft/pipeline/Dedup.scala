@@ -259,14 +259,20 @@ object Dedup {
     * through the pair graph, so "A≈B, B≈C" collapses to one keep-one-drop-
     * the-rest cluster even when A and C were never directly compared.
     *
-    * Iterative min-label propagation: each round every node adopts the
-    * smallest label among itself and its neighbors; converges in O(graph
-    * diameter) rounds — dup clusters are dense near-cliques, so the
-    * diameter (and the round count) is tiny in practice. Each round is one
-    * shuffle over the EDGE list — never all-pairs — and `localCheckpoint`
-    * truncates lineage per round so the plan stays flat however many rounds
-    * run. Rows: (cluster_id, node id). Nodes outside any pair are absent
-    * (they are their own singleton clusters by definition).
+    * Min-label propagation with POINTER JUMPING: each round every node
+    * first adopts the smallest label among itself and its neighbors (one
+    * edge-list join), then adopts its label's label (one node-list
+    * self-join). The jump step makes the known-min distance roughly double
+    * per round, so even a pure chain of n pairwise-linked docs converges in
+    * O(log n) rounds — not the O(n) of plain neighbor-min — while dense
+    * near-clique dup clusters still finish in 2-3 rounds. Each round
+    * shuffles the EDGE list and the node list — never all-pairs — and
+    * `localCheckpoint` truncates lineage per round so the plan stays flat
+    * however many rounds run. Labels only ever move to ids already known to
+    * be in the same component (neighbor labels, or labels reached through
+    * them), so the fixed point is exactly the per-component minimum id.
+    * Rows: (cluster_id, node id). Nodes outside any pair are absent (they
+    * are their own singleton clusters by definition).
     *
     * If the graph has not converged after `maxIters` rounds (a pair CHAIN
     * longer than the budget — e.g. hundreds of incrementally-edited
@@ -289,9 +295,21 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-      val next = labels.join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (col("nmin") < col("label")).as("moved"))
+      val stepped = labels
+        .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"), col("label").as("prev"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // pointer jump: label := label's label. Every label is a node id (it
+      // started as one and only ever moves to another node's label), so the
+      // self-join always matches; `left` guards the empty-frame edge only.
+      val next = stepped
+        .join(stepped.select(col("id").as("__lid"), col("label").as("__llabel")),
+          stepped("label") === col("__lid"), "left")
+        .select(stepped("id"),
+          least(stepped("label"), coalesce(col("__llabel"), stepped("label"))).as("label"),
+          col("prev"))
+        .withColumn("moved", col("label") < col("prev"))
+        .select(col("id"), col("label"), col("moved"))
         .localCheckpoint(true)
       converged = next.filter(col("moved")).limit(1).isEmpty
       labels = next.select(col("id"), col("label"))

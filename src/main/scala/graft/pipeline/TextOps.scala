@@ -458,9 +458,11 @@ object TextOps {
     * `mapPartitions` exception: one reused `Deflater` per partition (reset
     * per document, native buffers released on exhaustion), nothing shuffles,
     * and the operator composes with any downstream filter as a plain column.
-    * Output is deterministic for a fixed zlib, which the single-container
-    * spec gate pins; no DuckDB oracle (SQL has no compressor) → the driver
-    * records the weaker rows-only check for q60.
+    * Output is deterministic for a fixed zlib at a fixed level, which lets
+    * q60 carry a full rows+schema+hash gate against a checked-in GOLDEN
+    * parquet (SQL has no compressor, so the oracle pins the exact sf0.01
+    * output instead); TextOpsGoldenSpec recomputes against live data so a
+    * testdata or zlib drift fails loudly before the driver's compare.
     */
   def compressionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession

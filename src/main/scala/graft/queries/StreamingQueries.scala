@@ -29,9 +29,10 @@ object StreamingQueries {
         graft.spec.NestedField(3, "event_type", required = false, IceType.StringT),
         graft.spec.NestedField(4, "value", required = false, IceType.DoubleT)))
       val table = cat.createTable(TableIdent(Seq("bench"), "ev"), schema, PartitionSpec(0, Nil))
-      // events.parquet carries TIMESTAMP(NANOS); the explicit schema reads
-      // ts as long with no session conf (inference is what rejects NANOS —
-      // Tables.events documents the µs-truncation path where time matters)
+      // ts is read as a raw LONG and immediately dropped — this query never
+      // interprets time, so the physical unit (nanos or micros; the
+      // generator has shipped both) is irrelevant here. Where time matters,
+      // Tables.events sniffs the footer's logical-type unit.
       val stream = s.readStream
         .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
         .option("pathGlobFilter", "events.parquet")

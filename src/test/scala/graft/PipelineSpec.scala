@@ -102,6 +102,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L), (10L, 10L), (10L, 11L)), got)
   }
 
+  test("dup clusters converge on a 1000-link chain within 15 rounds (pointer jumping)") {
+    import spark.implicits._
+    // worst-case topology for plain neighbor-min (diameter 1000); the jump
+    // step must close it in O(log n) rounds — maxIters=15 makes the bound a
+    // hard assertion (dupClusters THROWS if it has not converged by then)
+    val pairs = (0L until 1000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs, maxIters = 15).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 1001)
+    assert(got.forall(_._1 == 0L), "all chain nodes must share the min-id cluster")
+  }
+
   test("repetition stats: dup n-gram fractions and top-word share") {
     // "a a a a b": 4 bigrams {aa,aa,aa,ab} -> 2 dup of 4; top word a = 4/5
     val d = docs(1L -> "a a a a b", 2L -> "u v w x y")
