@@ -181,7 +181,16 @@ object Dedup {
     * zero duplicates, so [[probeNearDupsIndexed]] reuses these instead of
     * accepting its own. */
   final case class NearDupIndex(bands: DataFrame, shingleSets: DataFrame,
-                                shingleSize: Int, numHashes: Int, numBands: Int)
+                                shingleSize: Int, numHashes: Int, numBands: Int) {
+    /** Standing-pipeline form: both sides eagerly computed and pinned as
+      * localCheckpoints, so every later probe pays the batch chain plus the
+      * band join only — never a corpus re-shingle. This is the state a
+      * long-lived ingest service holds between batches (at cluster scale,
+      * a persisted table plays this role; in one JVM the checkpoint does). */
+    def materialize(): NearDupIndex =
+      copy(bands = bands.localCheckpoint(true),
+        shingleSets = shingleSets.localCheckpoint(true))
+  }
 
   def buildNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, numHashes: Int = 16,

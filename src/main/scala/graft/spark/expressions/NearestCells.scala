@@ -16,11 +16,28 @@ import org.apache.spark.sql.types._
   */
 final class CentroidSet(val ids: Array[Long], val flat: Array[Long],
                         val n2: Array[Long], val dim: Int) extends Serializable {
+  require(ids.length.toLong * dim <= CentroidSet.MaxInlineLongs,
+    s"CentroidSet of ${ids.length} cells × $dim dims exceeds the " +
+      s"${CentroidSet.MaxInlineLongs}-long inline bound — ship the matrix as " +
+      "a Broadcast variable and resolve it inside the kernel instead of " +
+      "riding the serialized task binary (see MaxInlineLongs)")
   def count: Int = ids.length
   override def toString: String = s"CentroidSet(${ids.length} cells, dim=$dim)"
 }
 
 object CentroidSet {
+  /** Ceiling on cells × dim for the PLAN-CARRIED form. A referenced object
+    * serializes into every task binary, so the practical bound is what each
+    * executor can afford to deserialize per stage: 2^24 longs = 128 MiB —
+    * ~10⁵ cells at dim 128, far above any IVF cell count this engine
+    * trains (cells ≈ √n). Beyond it the matrix must move to a
+    * `SparkContext.broadcast` shipped ONCE per executor and fetched inside
+    * the kernel by id; the expression shape (one constant-size node, static
+    * kernel call) stays identical, only the reference changes. The guard
+    * fails fast at construction so the cost cliff is an explicit error, not
+    * a silent slow plan. */
+  val MaxInlineLongs: Long = 1L << 24
+
   def apply(cents: Array[(Long, Array[Long], Long)]): CentroidSet = {
     val dim = cents.head._2.length
     val flat = new Array[Long](cents.length * dim)

@@ -305,12 +305,11 @@ object Maintenance {
     enriched.count(_.dataFile.distinctCounts.nonEmpty)
   }
 
-  /** Compaction: rewrites current content as one balanced file set (replace
-    * transaction — which already drops the old snapshots from metadata),
-    * then physically deletes the files only the old snapshots referenced —
-    * the remove-old-files half of the reference's replace op. The old files
-    * are captured BEFORE the rewrite and deleted after the commit (they
-    * must exist while the rewrite reads them). */
+  /** Compaction: rewrites current content as one balanced file set via a
+    * replace transaction. The replace commit drops the superseded snapshots
+    * from metadata AND physically deletes the files only they referenced
+    * (Transaction.deleteReplacedFiles — ref-shared files survive), so
+    * compaction is metadata-clean and disk-clean in one step. */
   def compact(spark: SparkSession, table: IceTable): IceTable =
     compactWith(spark, table, identity)
 
@@ -343,28 +342,11 @@ object Maintenance {
                           layout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
                           localSort: Seq[org.apache.spark.sql.Column] = Nil): IceTable = {
     if (table.currentSnapshot(None).isEmpty) return table
-    val m = table.metadata
-    val oldSnaps = m.snapshots.values.toSet
-    val oldLists = oldSnaps.map(_.manifestList)
-    val oldManifests = oldSnaps.flatMap(s => table.manifests(s)).map(_.manifestPath)
-    val oldData = oldSnaps.flatMap(s => table.entries(s)).map(_.dataFile.filePath)
-
     val scanned = graft.spark.IceScan.scan(spark, table)
     val laidOut = layout(scanned)
-    val replaced = graft.spark.IceWrite.replaceWith(spark, table, laidOut,
+    // the replace COMMIT itself deletes the superseded files (T3 — with the
+    // branch/tag guard), so compaction needs no cleanup pass of its own
+    graft.spark.IceWrite.replaceWith(spark, table, laidOut,
       keepLayout = laidOut ne scanned, localSort = localSort)
-    val newSnap = replaced.currentSnapshot(None).get
-    val newManifests = replaced.manifests(newSnap).map(_.manifestPath).toSet
-    val newData = replaced.entries(newSnap).map(_.dataFile.filePath).toSet
-
-    val conf = spark.sparkContext.hadoopConfiguration
-    def rm(paths: Set[String]): Unit = paths.foreach { p =>
-      val path = new Path(p)
-      path.getFileSystem(conf).delete(path, false)
-    }
-    rm(oldData -- newData)
-    rm(oldManifests -- newManifests)
-    rm(oldLists - newSnap.manifestList)
-    replaced
   }
 }

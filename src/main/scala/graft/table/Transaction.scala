@@ -155,9 +155,16 @@ class Transaction(table: IceTable, branch: Option[String]) {
       !resetSortOrder && propertyUpdates.isEmpty && propertyRemovals.isEmpty &&
       refUpdates.isEmpty && appendedDeletes.isEmpty && appendedData.nonEmpty
     val maxAttempts = if (pureDataAppend) 10 else 1
+    // captured BEFORE the commit mutates table.metadata: the pre-commit
+    // metadata is what knows which snapshots a replace supersedes
+    val oldMeta = if (replaceFiles.isDefined) Some(table.metadata) else None
     var attempt = 1
     while (true) {
-      try return commitOnce()
+      try {
+        val committed = commitOnce()
+        oldMeta.foreach(old => deleteReplacedFiles(old, committed.metadata))
+        return committed
+      }
       catch {
         case e: CommitConflictException =>
           if (attempt >= maxAttempts) throw e
@@ -167,6 +174,41 @@ class Transaction(table: IceTable, branch: Option[String]) {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Physical cleanup after a REPLACE commit (T3 reference parity: the
+    * reference deletes the superseded data/manifest/list files once the
+    * commit lands, transaction/mod.rs:339-353 → table/mod.rs:359-411).
+    * Deletes only files of snapshots the commit actually REMOVED, minus
+    * anything a surviving snapshot (the new head, or a branch/tag lineage
+    * the replace guard kept) still references — a file shared across refs
+    * survives. Runs strictly AFTER the metadata commit and best-effort
+    * per file: a failed delete leaks a re-runnable orphan (see
+    * Maintenance.removeOrphanFiles), never a corrupt live snapshot.
+    */
+  private def deleteReplacedFiles(oldMeta: graft.spec.TableMetadata,
+                                  newMeta: graft.spec.TableMetadata): Unit = {
+    val removedIds = oldMeta.snapshots.keySet -- newMeta.snapshots.keySet
+    if (removedIds.isEmpty) return
+    def filesOf(meta: graft.spec.TableMetadata, ids: Set[Long]): (Set[String], Set[String], Set[String]) = {
+      val snaps = ids.flatMap(meta.snapshotById)
+      val lists = snaps.map(_.manifestList)
+      val mans = snaps.flatMap(s => table.manifests(s)).map(_.manifestPath)
+      val data = snaps.flatMap(s => table.entries(s)).map(_.dataFile.filePath)
+      (lists, mans, data)
+    }
+    val (expLists, expMans, expData) = filesOf(oldMeta, removedIds)
+    val (keepLists, keepMans, keepData) = filesOf(newMeta, newMeta.snapshots.keySet)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def rm(paths: Set[String]): Unit = paths.foreach { p =>
+      try {
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(conf).delete(path, false)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    rm(expData -- keepData)
+    rm(expMans -- keepMans)
+    rm(expLists -- keepLists)
   }
 
   private def commitOnce(): IceTable = {
@@ -238,7 +280,17 @@ class Transaction(table: IceTable, branch: Option[String]) {
           "total-data-files" -> files.size.toString),
         Some(m.currentSchemaId))
       requirements :+= TableRequirement.AssertRefSnapshotId(branchName, expectedRef)
-      updates :+= TableUpdate.RemoveSnapshots(m.snapshots.keys.toSeq)
+      // a bare replace supersedes the table's history (reference semantics:
+      // transaction/mod.rs:339-353 captures old metadata and deletes its
+      // files post-commit) — but only the history no OTHER ref still
+      // reaches: a branch or tag pointing into the old lineage keeps its
+      // snapshots (and, downstream, their files) alive. Without this guard
+      // RemoveSnapshots would also silently drop those refs.
+      val refProtected: Set[Long] = m.refs.collect {
+        case (name, r) if name != branchName => m.ancestorsOf(r.snapshotId)
+      }.flatten.toSet
+      updates :+= TableUpdate.RemoveSnapshots(
+        m.snapshots.keys.filterNot(refProtected).toSeq)
       updates :+= TableUpdate.AddSnapshot(snap)
       updates :+= TableUpdate.SetSnapshotRef(branchName, snapshotId, "branch")
     } else if (rewriteEntries.isDefined) {

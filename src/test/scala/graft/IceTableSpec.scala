@@ -494,6 +494,53 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(table.metadata.snapshots.size == 1) // old snapshots removed
   }
 
+  test("bare replace physically deletes superseded files (T3 reference parity)") {
+    implicit val s: SparkSession = spark
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "repl_clean"), ordersSchema, daySpec)
+    table = IceWrite.append(spark, table, batch1)
+    table = IceWrite.append(spark, table, batch2)
+    val oldSnaps = table.metadata.snapshots.values.toSeq
+    val oldLists = oldSnaps.map(_.manifestList)
+    val oldMans = oldSnaps.flatMap(sn => table.manifests(sn)).map(_.manifestPath)
+    val oldData = oldSnaps.flatMap(sn => table.entries(sn)).map(_.dataFile.filePath)
+    assert(oldData.nonEmpty)
+    table = IceWrite.replaceWith(spark, table,
+      IceScan.scan(spark, table).filter(col("id") <= 7))
+    assert(IceScan.scan(spark, table).count() == 7)
+    assert(table.metadata.snapshots.size == 1)
+    // every superseded data/manifest/list file is physically gone
+    (oldData ++ oldMans ++ oldLists).foreach { p =>
+      assert(!new java.io.File(p).exists(), s"replace left superseded file $p")
+    }
+    // the new snapshot's own files are intact (scan above already proved it)
+    val newSnap = table.currentSnapshot(None).get
+    table.entries(newSnap).foreach(e =>
+      assert(new java.io.File(e.dataFile.filePath).exists(), e.dataFile.filePath))
+  }
+
+  test("replace keeps snapshots and files a branch ref still reaches") {
+    implicit val s: SparkSession = spark
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "repl_branch"), ordersSchema, daySpec)
+    table = IceWrite.append(spark, table, batch1)
+    val mainSnap1 = table.currentSnapshot(None).get
+    // fork a branch whose lineage includes main's first snapshot
+    table = IceWrite.append(spark, table, batch2, branch = Some("dev"))
+    val devHead = table.metadata.refs("dev").snapshotId
+    val snap1Data = table.entries(mainSnap1).map(_.dataFile.filePath)
+    table = IceWrite.replaceWith(spark, table,
+      IceScan.scan(spark, table).filter(col("id") === 1))
+    // main is replaced; the dev branch and its whole ancestry survive
+    assert(IceScan.scan(spark, table).count() == 1)
+    assert(table.metadata.refs.contains("dev"))
+    assert(table.metadata.refs("dev").snapshotId == devHead)
+    assert(table.metadata.snapshots.contains(mainSnap1.snapshotId),
+      "branch-reachable snapshot must not be removed by a main replace")
+    snap1Data.foreach(p =>
+      assert(new java.io.File(p).exists(), s"branch-referenced file deleted: $p"))
+  }
+
   test("schema evolution: add column, old files read as null") {
     implicit val s: SparkSession = spark
     val cat = freshCatalog()

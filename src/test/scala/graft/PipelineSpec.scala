@@ -265,6 +265,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sys.props.remove(prop)
   }
 
+  test("CentroidSet enforces the plan-inline size bound at construction") {
+    import graft.spark.expressions.CentroidSet
+    val max = CentroidSet.MaxInlineLongs
+    // exactly at the bound: constructs (one 128 MiB flat array)
+    val dim = (max / 16L).toInt
+    val atBound = CentroidSet((0L until 16L).map(i => (i, new Array[Long](dim), 0L)).toArray)
+    assert(atBound.count == 16 && atBound.dim == dim)
+    // one cell past it: must fail fast with the broadcast guidance, not
+    // silently ride a >128 MiB object into every task binary
+    val e = intercept[IllegalArgumentException] {
+      CentroidSet((0L until 17L).map(i => (i, new Array[Long](dim), 0L)).toArray)
+    }
+    assert(e.getMessage.contains("Broadcast"))
+  }
+
   test("k-means training moves mis-sampled centroids onto the true clusters") {
     import spark.implicits._
     // two tight clusters, but ids are laid out so the deterministic sample
