@@ -463,16 +463,29 @@ object Dedup {
           count(lit(1)).over(Window.partitionBy(col(idCol))).as("n_sh"))
         .filter(col("rn") <=
           col("n_sh") - expr(s"CAST((n_sh * $tNum + ${tDen - 1}) DIV $tDen AS BIGINT)") + 1)
-        .select(col(idCol), col("sh"), col("n_sh"))
+        .select(col(idCol), col("sh"), col("rn"), col("n_sh"))
       // PPJoin length filter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a pair
       // can reach t = tNum/tDen only when na·tNum ≤ nb·tDen in BOTH
       // directions — size-incompatible candidates are dropped before the
-      // distinct and the 3-join verify ever see them. Exact integer
-      // cross-multiplication, no false negatives.
-      val cand = prefix.select(col("sh"), col(idCol).as("id_a"), col("n_sh").as("na"))
-        .join(prefix.select(col("sh"), col(idCol).as("id_b"), col("n_sh").as("nb")), "sh")
+      // distinct and the 3-join verify ever see them.
+      //
+      // PPJoin POSITIONAL filter on top: a match at ordered positions
+      // (i, j) bounds the overlap by min(na−i, nb−j)+1 (every further
+      // shared token sits strictly after the match in BOTH ordered sets),
+      // and J ≥ t needs overlap·(tNum+tDen) ≥ (na+nb)·tNum. The first
+      // (globally smallest) shared token of a qualifying pair — the one
+      // AllPairs guarantees inside both prefixes — always satisfies the
+      // bound, so dropping failing INSTANCES loses no pair; it only stops
+      // late-prefix coincidences from reaching the distinct and the
+      // 3-join verify. Both filters are exact integer cross-multiplication.
+      val cand = prefix.select(col("sh"), col(idCol).as("id_a"),
+          col("rn").as("ra"), col("n_sh").as("na"))
+        .join(prefix.select(col("sh"), col(idCol).as("id_b"),
+          col("rn").as("rb"), col("n_sh").as("nb")), "sh")
         .filter(col("id_a") < col("id_b") &&
-          col("na") * tNum <= col("nb") * tDen && col("nb") * tNum <= col("na") * tDen)
+          col("na") * tNum <= col("nb") * tDen && col("nb") * tNum <= col("na") * tDen &&
+          (least(col("na") - col("ra"), col("nb") - col("rb")) + 1) * (tNum + tDen) >=
+            (col("na") + col("nb")) * tNum)
         .select(col("id_a"), col("id_b")).distinct()
       // eager (localCheckpoint) so the shingle cache can be released here
       // instead of accumulating across calls in a long-lived session.
