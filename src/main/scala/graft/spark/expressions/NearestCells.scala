@@ -16,27 +16,24 @@ import org.apache.spark.sql.types._
   */
 final class CentroidSet(val ids: Array[Long], val flat: Array[Long],
                         val n2: Array[Long], val dim: Int) extends Serializable {
-  require(ids.length.toLong * dim <= CentroidSet.MaxInlineLongs,
-    s"CentroidSet of ${ids.length} cells × $dim dims exceeds the " +
-      s"${CentroidSet.MaxInlineLongs}-long inline bound — ship the matrix as " +
-      "a Broadcast variable and resolve it inside the kernel instead of " +
-      "riding the serialized task binary (see MaxInlineLongs)")
   def count: Int = ids.length
+  def longs: Long = ids.length.toLong * dim
   override def toString: String = s"CentroidSet(${ids.length} cells, dim=$dim)"
 }
 
 object CentroidSet {
-  /** Ceiling on cells × dim for the PLAN-CARRIED form. A referenced object
-    * serializes into every task binary, so the practical bound is what each
-    * executor can afford to deserialize per stage: 2^24 longs = 128 MiB —
-    * ~10⁵ cells at dim 128, far above any IVF cell count this engine
-    * trains (cells ≈ √n). Beyond it the matrix must move to a
-    * `SparkContext.broadcast` shipped ONCE per executor and fetched inside
-    * the kernel by id; the expression shape (one constant-size node, static
-    * kernel call) stays identical, only the reference changes. The guard
-    * fails fast at construction so the cost cliff is an explicit error, not
-    * a silent slow plan. */
-  val MaxInlineLongs: Long = 1L << 24
+  /** Ceiling on cells × dim for the PLAN-CARRIED form ([[NearestCells]]).
+    * A referenced object serializes into every task binary, so the
+    * practical bound is what each task launch can afford to ship and
+    * deserialize: 2^24 longs = 128 MiB — ~10⁵ cells at dim 128, far above
+    * any IVF cell count this engine trains (cells ≈ √n). Beyond it
+    * [[NearestCells.nearestCellIds]] automatically moves the matrix into a
+    * `SparkContext.broadcast` fetched inside the kernel
+    * ([[NearestCellsBcast]]) — shipped ONCE per executor instead of per
+    * task; the expression shape (one constant-size node, static kernel
+    * call, identical arithmetic) does not change. Overridable for tests. */
+  def maxInlineLongs: Long =
+    sys.props.get("graft.ivf.inline.longs.max").map(_.toLong).getOrElse(1L << 24)
 
   def apply(cents: Array[(Long, Array[Long], Long)]): CentroidSet = {
     val dim = cents.head._2.length
@@ -99,6 +96,10 @@ object NearestCellsKernel {
   */
 case class NearestCells(left: Expression, right: Expression,
                         cents: CentroidSet, m: Int) extends BinaryExpression {
+  require(cents.longs <= CentroidSet.maxInlineLongs,
+    s"$cents exceeds the ${CentroidSet.maxInlineLongs}-long plan-inline bound — " +
+      "use NearestCells.nearestCellIds, which routes oversized matrices " +
+      "through a Broadcast (NearestCellsBcast) instead of the task binary")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -123,9 +124,56 @@ case class NearestCells(left: Expression, right: Expression,
   override def prettyName: String = "nearest_cells"
 }
 
+/** [[NearestCells]] with the centroid matrix behind a `Broadcast` — the
+  * beyond-[[CentroidSet.maxInlineLongs]] form: the matrix ships to each
+  * executor ONCE (torrent blocks) and every task resolves it by id, instead
+  * of riding serialized inside every task binary. Same kernel, bit-identical
+  * output.
+  */
+case class NearestCellsBcast(left: Expression, right: Expression,
+                             bc: org.apache.spark.broadcast.Broadcast[CentroidSet],
+                             m: Int) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells_bcast expects (array<bigint>, bigint), got $other")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NearestCellsKernel.topCells(a.asInstanceOf[ArrayData], b.asInstanceOf[Long], bc.value, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("centroidsBc", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val centCls = classOf[CentroidSet].getName
+    val kernel = NearestCellsKernel.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $kernel.topCells($a, $b, ($centCls) $bcRef.value(), $m);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): NearestCellsBcast =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "nearest_cells_bcast"
+}
+
 object NearestCells {
-  /** Top-`m` nearest-cell ids of a prepared (q, n2) row. */
-  def nearestCellIds(q: Column, n2: Column, cents: Array[(Long, Array[Long], Long)], m: Int): Column =
-    GraftShim.column(NearestCells(GraftShim.expression(q), GraftShim.expression(n2),
-      CentroidSet(cents), m))
+  /** Top-`m` nearest-cell ids of a prepared (q, n2) row. Matrices within
+    * [[CentroidSet.maxInlineLongs]] ride the plan directly; larger ones are
+    * broadcast once per executor and resolved inside the kernel — same
+    * arithmetic, same (d², id) ordering, different transport.
+    */
+  def nearestCellIds(q: Column, n2: Column, cents: Array[(Long, Array[Long], Long)], m: Int): Column = {
+    val set = CentroidSet(cents)
+    val (l, r) = (GraftShim.expression(q), GraftShim.expression(n2))
+    if (set.longs <= CentroidSet.maxInlineLongs)
+      GraftShim.column(NearestCells(l, r, set, m))
+    else {
+      val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(set)
+      GraftShim.column(NearestCellsBcast(l, r, bc, m))
+    }
+  }
 }

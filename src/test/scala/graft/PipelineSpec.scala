@@ -265,19 +265,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sys.props.remove(prop)
   }
 
-  test("CentroidSet enforces the plan-inline size bound at construction") {
-    import graft.spark.expressions.CentroidSet
-    val max = CentroidSet.MaxInlineLongs
-    // exactly at the bound: constructs (one 128 MiB flat array)
-    val dim = (max / 16L).toInt
-    val atBound = CentroidSet((0L until 16L).map(i => (i, new Array[Long](dim), 0L)).toArray)
-    assert(atBound.count == 16 && atBound.dim == dim)
-    // one cell past it: must fail fast with the broadcast guidance, not
-    // silently ride a >128 MiB object into every task binary
-    val e = intercept[IllegalArgumentException] {
-      CentroidSet((0L until 17L).map(i => (i, new Array[Long](dim), 0L)).toArray)
-    }
-    assert(e.getMessage.contains("Broadcast"))
+  test("centroid matrices above the inline bound route through a Broadcast, bit-identically") {
+    import spark.implicits._
+    import graft.spark.expressions.{NearestCells, NearestCellsBcast}
+    val cents = (0L until 8L).map(i =>
+      (i, Array(i * 3 + 1, 7 - i, i * i), i)).toArray // 8 cells × dim 3 = 24 longs
+    val rows = Seq(
+      (1L, Seq(5L, 2L, 9L), 110L), (2L, Seq(0L, 0L, 0L), 0L),
+      (3L, Seq(-4L, 13L, 1L), 186L), (4L, Seq(22L, 22L, 22L), 1452L))
+      .toDF("id", "q", "n2")
+    def topCells(): Seq[(Long, Seq[Long])] = rows
+      .select(col("id"), NearestCells.nearestCellIds(col("q"), col("n2"), cents, 3).as("c"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    def exprClass(): Class[_] = org.apache.spark.sql.GraftShim.expression(
+      NearestCells.nearestCellIds(col("q"), col("n2"), cents, 3)).getClass
+    val prop = "graft.ivf.inline.longs.max"
+    val inline = topCells()
+    assert(exprClass() == classOf[NearestCells]) // 24 ≤ default 2^24 bound
+    sys.props(prop) = "23" // one long below this matrix → broadcast path
+    try {
+      assert(exprClass() == classOf[NearestCellsBcast])
+      assert(topCells() == inline, "broadcast path diverged from inline path")
+      // the plan-carried form refuses oversized matrices outright
+      intercept[IllegalArgumentException] {
+        NearestCells(org.apache.spark.sql.GraftShim.expression(col("q")),
+          org.apache.spark.sql.GraftShim.expression(col("n2")),
+          graft.spark.expressions.CentroidSet(cents), 3)
+      }
+    } finally sys.props.remove(prop)
   }
 
   test("k-means training moves mis-sampled centroids onto the true clusters") {
