@@ -292,44 +292,72 @@ object Dedup {
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                   maxIters: Int = 100): DataFrame = {
+    val spark = pairs.sparkSession
+    // no edge distinct: candidate pairs arrive deduplicated (id_a < id_b,
+    // one row per pair), so the two-direction union has no duplicates — and
+    // even a caller-supplied duplicate only repeats a min() input. Dropping
+    // the distinct removes a full shuffle before the loop ever starts.
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIters) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("label")), "dst")
-        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-      val stepped = labels
-        .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
-        .select(col("id"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      // pointer jump: label := label's label. Every label is a node id (it
-      // started as one and only ever moves to another node's label), so the
-      // self-join always matches; `left` guards the empty-frame edge only.
-      val next = stepped
-        .join(stepped.select(col("id").as("__lid"), col("label").as("__llabel")),
-          stepped("label") === col("__lid"), "left")
-        .select(stepped("id"),
-          least(stepped("label"), coalesce(col("__llabel"), stepped("label"))).as("label"),
-          col("prev"))
-        .withColumn("moved", col("label") < col("prev"))
-        .select(col("id"), col("label"), col("moved"))
+      .cache()
+    // LOOP-SIZED execution: each round is a fresh tiny query, so the
+    // session's shuffle width and AQE re-planning dominate small graphs
+    // (measured at sf0.1: 8.3 s → 2.5 s for a ~100-edge graph). The edge
+    // count — the cache materialization round 0 pays anyway — sizes the
+    // loop's shuffles at ~4M edges/partition, and AQE is turned off only
+    // when the whole graph fits a few partitions (its skew/coalescing value
+    // is nil there; its per-stage re-optimization is the dominant cost).
+    // Large graphs keep the session width and AQE. Confs are restored
+    // before returning; the returned frame reads checkpoints, no shuffle.
+    val edgeCount = edges.count()
+    val par = spark.sessionState.conf.numShufflePartitions
+    val loopParts = math.min(par.toLong, edgeCount / 4000000L + 1L).toInt
+    val loopConfs = Seq("spark.sql.shuffle.partitions" -> loopParts.toString) ++
+      (if (edgeCount <= 16000000L) Seq("spark.sql.adaptive.enabled" -> "false") else Nil)
+    val prevConfs = loopConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    loopConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label"))
         .localCheckpoint(true)
-      converged = next.filter(col("moved")).limit(1).isEmpty
-      labels = next.select(col("id"), col("label"))
-      iter += 1
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        val neighborMin = edges
+          .join(labels.select(col("id").as("dst"), col("label")), "dst")
+          .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+        val stepped = labels
+          .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+          .select(col("id"), col("label").as("prev"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        // pointer jump: label := label's label. Every label is a node id (it
+        // started as one and only ever moves to another node's label), so the
+        // self-join always matches; `left` guards the empty-frame edge only.
+        val next = stepped
+          .join(stepped.select(col("id").as("__lid"), col("label").as("__llabel")),
+            stepped("label") === col("__lid"), "left")
+          .select(stepped("id"),
+            least(stepped("label"), coalesce(col("__llabel"), stepped("label"))).as("label"),
+            col("prev"))
+          .withColumn("moved", col("label") < col("prev"))
+          .select(col("id"), col("label"), col("moved"))
+          .localCheckpoint(true)
+        converged = next.filter(col("moved")).limit(1).isEmpty
+        labels = next.select(col("id"), col("label"))
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"dupClusters did not converge after $maxIters rounds — the pair graph has a " +
+            s"chain longer than the iteration budget; re-run with a larger maxIters")
+      labels.select(col("label").as("cluster_id"), col("id"))
+    } finally {
+      prevConfs.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      edges.unpersist()
     }
-    edges.unpersist()
-    if (!converged)
-      throw new IllegalStateException(
-        s"dupClusters did not converge after $maxIters rounds — the pair graph has a " +
-          s"chain longer than the iteration budget; re-run with a larger maxIters")
-    labels.select(col("label").as("cluster_id"), col("id"))
   }
 
   /** 16-bit SimHash signature per document: bit b is the sign of the sum of
