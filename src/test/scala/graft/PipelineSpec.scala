@@ -114,6 +114,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(_._1 == 0L), "all chain nodes must share the min-id cluster")
   }
 
+  test("dup clusters restore loop confs on both return and non-convergence throw") {
+    import spark.implicits._
+    val before = ("spark.sql.shuffle.partitions" -> spark.conf.get("spark.sql.shuffle.partitions"),
+      "spark.sql.adaptive.enabled" -> spark.conf.getOption("spark.sql.adaptive.enabled"))
+    // normal return path
+    Dedup.dupClusters(Seq((1L, 2L)).toDF("id_a", "id_b")).collect()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before._1._2)
+    assert(spark.conf.getOption("spark.sql.adaptive.enabled") == before._2._2)
+    // throw path: a 60-link chain cannot converge in 2 rounds
+    intercept[IllegalStateException] {
+      Dedup.dupClusters((0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b"), maxIters = 2)
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before._1._2)
+    assert(spark.conf.getOption("spark.sql.adaptive.enabled") == before._2._2)
+  }
+
   test("repetition stats: dup n-gram fractions and top-word share") {
     // "a a a a b": 4 bigrams {aa,aa,aa,ab} -> 2 dup of 4; top word a = 4/5
     val d = docs(1L -> "a a a a b", 2L -> "u v w x y")
