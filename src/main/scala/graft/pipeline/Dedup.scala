@@ -480,18 +480,24 @@ object Dedup {
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
     val sh0 = shingles(df.repartition(par), idCol, textCol, shingleSize)
     val sh = if (eager) sh0.cache() else sh0
+    var cached: List[DataFrame] = if (eager) List(sh) else Nil
     try {
       val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       // rank and set size come out of ONE partition-by-doc exchange: the
       // count runs as an unordered frame over the same partitioning, so no
       // separate counts aggregate + join-back is needed
       val w = Window.partitionBy(col(idCol)).orderBy(col("df").asc, col("sh").asc)
-      val prefix = sh.join(dfreq, "sh")
+      // cached: the candidate self-join consumes the prefix twice, and
+      // exchange reuse does not deduplicate the aliased branches — without
+      // the cache each side re-runs the df-aggregate, its join, and the
+      // ranking window
+      val prefix0 = sh.join(dfreq, "sh")
         .select(col(idCol), col("sh"), row_number().over(w).as("rn"),
           count(lit(1)).over(Window.partitionBy(col(idCol))).as("n_sh"))
         .filter(col("rn") <=
           col("n_sh") - expr(s"CAST((n_sh * $tNum + ${tDen - 1}) DIV $tDen AS BIGINT)") + 1)
         .select(col(idCol), col("sh"), col("rn"), col("n_sh"))
+      val prefix = if (eager) { cached ::= prefix0.cache(); prefix0 } else prefix0
       // PPJoin length filter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a pair
       // can reach t = tNum/tDen only when na·tNum ≤ nb·tDen in BOTH
       // directions — size-incompatible candidates are dropped before the
@@ -524,7 +530,7 @@ object Dedup {
       val res = jaccardVerify(sh, cand, idCol)
         .filter(col("jaccard") >= lit(tNum.toDouble / tDen))
       if (eager) res.localCheckpoint(true) else res
-    } finally if (eager) sh.unpersist()
+    } finally cached.foreach(_.unpersist())
   }
 
   /** Containment join — quote/subset detection: ordered pairs where at
@@ -562,11 +568,16 @@ object Dedup {
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
     val sh0 = shingles(df.repartition(par), idCol, textCol, shingleSize)
     val sh = if (eager) sh0.cache() else sh0
+    var cached: List[DataFrame] = if (eager) List(sh) else Nil
     try {
       val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
       val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select("sh")
-      val blocked = sh.join(rare, "sh")
+      // cached: the self-join consumes it twice, and exchange reuse does
+      // not deduplicate the two aliased subplans — without the cache each
+      // side re-runs the df-aggregate and the rare join
+      val blocked0 = sh.join(rare, "sh")
+      val blocked = if (eager) { cached ::= blocked0.cache(); blocked0 } else blocked0
       val cand = blocked.select(col("sh"), col(idCol).as("id_a"))
         .join(blocked.select(col("sh"), col(idCol).as("id_b")), "sh")
         .filter(col("id_a") < col("id_b"))
@@ -579,18 +590,24 @@ object Dedup {
         .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("na")), "id_a")
         .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("nb")), "id_b")
       // both directions of each unordered candidate, filtered independently:
-      // integer cross-multiplication keeps the threshold test exact.
+      // integer cross-multiplication keeps the threshold test exact. The
+      // directions come from ONE pass (explode of a 2-struct array) — a
+      // self-union here would re-execute the whole inter/sized chain per
+      // branch, since exchange reuse does not fire across the aliased
+      // branches.
       // (No pair-level length filter exists for containment: the smaller
       // side is ALWAYS a feasible source — C(min→max) can reach 1.0 at any
       // size ratio — unlike Jaccard's symmetric min/max bound.)
       // eager (localCheckpoint) so the shingle cache can be released here
-      val res = sized.select(col("id_a").as("src_id"), col("id_b").as("sup_id"),
-          col("inter"), col("na").as("n_src"))
-        .union(sized.select(col("id_b"), col("id_a"), col("inter"), col("nb")))
-        .filter(col("inter") * tDen >= col("n_src") * tNum)
-        .select(col("src_id"), col("sup_id"),
-          (col("inter").cast("double") / col("n_src")).as("containment"))
+      val res = sized.select(explode(array(
+          struct(col("id_a").as("src_id"), col("id_b").as("sup_id"),
+            col("inter"), col("na").as("n_src")),
+          struct(col("id_b").as("src_id"), col("id_a").as("sup_id"),
+            col("inter"), col("nb").as("n_src")))).as("dir"))
+        .filter(col("dir.inter") * tDen >= col("dir.n_src") * tNum)
+        .select(col("dir.src_id").as("src_id"), col("dir.sup_id").as("sup_id"),
+          (col("dir.inter").cast("double") / col("dir.n_src")).as("containment"))
       if (eager) res.localCheckpoint(true) else res
-    } finally if (eager) sh.unpersist()
+    } finally cached.foreach(_.unpersist())
   }
 }
