@@ -500,4 +500,50 @@ object TextOps {
       .withColumn("ratio",
         col("n_deflated").cast("double") / greatest(col("n_bytes"), lit(1L)))
   }
+
+  /** Per-source token-distribution drift: the total-variation distance
+    * between each source's unigram distribution and the whole corpus's —
+    * the data-mixing diagnostic that flags a source whose language no
+    * longer looks like the blend it feeds (domain shift, template floods,
+    * encoding rot). TV = ½ Σ_tok |p_s(tok) − p(tok)|.
+    *
+    * Exact integer arithmetic on a common denominator: with per-source
+    * count c_s, corpus count c, source total N_s and corpus total N,
+    *   l1 = Σ_tok |c_s·N − c·N_s|
+    * and tokens ABSENT from the source contribute c·N_s each, so the
+    * absent mass folds in closed form (Σ_all c = N):
+    *   l1 = Σ_present (|c_s·N − c·N_s| − c·N_s) + N_s·N
+    * — no source×vocab expansion, one (source, tok) aggregate + one tok
+    * aggregate + a broadcast 1-row total. Products stay ≤ N² (< 2^63 up to
+    * ~3·10⁹ corpus tokens); the only division is one IEEE double at the
+    * surface, so the result is bit-reproducible against the oracle.
+    * Rows: (source, n_toks, n_types, l1, tv) — tv = l1 / (2·N_s·N).
+    */
+  def sourceDivergence(df: DataFrame, textCol: String, srcCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val par = spark.sessionState.conf.numShufflePartitions
+    val perSrcTok = df.repartition(par)
+      .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_s"))
+      .cache() // feeds the corpus-count aggregate, the totals, and the join
+    try {
+      val perTok = perSrcTok.groupBy(col("tok")).agg(sum(col("c_s")).as("c"))
+      val totals = perSrcTok.groupBy(col("source"))
+        .agg(sum(col("c_s")).as("n_s"), count(lit(1)).as("n_types"))
+      val grand = perSrcTok.agg(sum(col("c_s")).as("n"))
+      val res = perSrcTok.join(perTok, "tok")
+        .join(broadcast(totals), "source")
+        .crossJoin(broadcast(grand))
+        .groupBy(col("source"))
+        .agg(first(col("n_s")).as("n_toks"), first(col("n_types")).as("n_types"),
+          (sum(abs(col("c_s") * col("n") - col("c") * col("n_s"))
+            - col("c") * col("n_s")) + first(col("n_s")) * first(col("n"))).as("l1"),
+          first(col("n_s")).as("__ns"), first(col("n")).as("__n"))
+        .select(col("source"), col("n_toks"), col("n_types"), col("l1"),
+          (col("l1").cast("double") / (lit(2L) * col("__ns") * col("__n")).cast("double"))
+            .as("tv"))
+        .localCheckpoint(true)
+      res
+    } finally perSrcTok.unpersist()
+  }
 }

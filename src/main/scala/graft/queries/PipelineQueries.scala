@@ -477,7 +477,15 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"),
           countDistinct(col("k")).as("n_distinct_k"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Source drift: per-source unigram total-variation distance vs the
+    // corpus blend — the data-mixing diagnostic that flags a domain-shifted
+    // or template-flooded source. Exact integer L1 numerator; one IEEE
+    // division at the surface.
+    "q81_source_divergence" -> ((s, d) =>
+      TextOps.sourceDivergence(Tables.documents(s, d), "text", "source")
+        .orderBy("source"))
   )
 
   // mirrors TextOps.tokens EXACTLY (lowercase, empty tokens dropped): the
@@ -1292,6 +1300,24 @@ object PipelineQueries {
         |  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
         |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
         |  CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // exact-integer TV distance on the common denominator N_s·N; the absent
+    // tokens' mass folds in closed form (see TextOps.sourceDivergence) —
+    // the sum runs over PRESENT (source, tok) rows only on both engines
+    "q81_source_divergence" ->
+      """WITH t AS (SELECT source,
+        |  unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok FROM documents),
+        |pst AS (SELECT source, tok, count(*) AS c_s FROM t GROUP BY 1, 2),
+        |pt AS (SELECT tok, CAST(sum(c_s) AS BIGINT) AS c FROM pst GROUP BY 1),
+        |tot AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s, count(*) AS n_types FROM pst GROUP BY 1),
+        |g AS (SELECT CAST(sum(c_s) AS BIGINT) AS n FROM pst)
+        |SELECT p.source, t2.n_s AS n_toks, t2.n_types AS n_types,
+        |  CAST(sum(abs(p.c_s * g.n - pt.c * t2.n_s) - pt.c * t2.n_s) + t2.n_s * g.n AS BIGINT) AS l1,
+        |  CAST(CAST(sum(abs(p.c_s * g.n - pt.c * t2.n_s) - pt.c * t2.n_s) + t2.n_s * g.n AS BIGINT) AS DOUBLE)
+        |    / CAST(2 * t2.n_s * g.n AS DOUBLE) AS tv
+        |FROM pst p JOIN pt USING (tok) JOIN tot t2 USING (source) CROSS JOIN g
+        |GROUP BY p.source, t2.n_s, t2.n_types, g.n
+        |ORDER BY p.source""".stripMargin
   )
 }

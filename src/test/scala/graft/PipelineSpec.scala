@@ -130,6 +130,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.conf.getOption("spark.sql.adaptive.enabled") == before._2._2)
   }
 
+  test("source divergence: exact TV distance with absent-token mass folded") {
+    import spark.implicits._
+    // src A = "a a b" (N_A=3), src B = "a c" (N_B=2); corpus a:3 b:1 c:1, N=5
+    // TV(A) = (|2/3−3/5| + |1/3−1/5| + |0−1/5|)/2 = 0.2 → l1 = 6 over 2·3·5
+    // TV(B) = (|1/2−3/5| + |0−1/5| + |1/2−1/5|)/2 = 0.3 → l1 = 6 over 2·2·5
+    val d = Seq(("A", "a a b"), ("B", "a c")).toDF("source", "text")
+    val got = graft.pipeline.TextOps.sourceDivergence(d, "text", "source")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(("A", 3L, 2L, 6L, 0.2), ("B", 2L, 2L, 6L, 0.3)), got.toSeq)
+  }
+
   test("repetition stats: dup n-gram fractions and top-word share") {
     // "a a a a b": 4 bigrams {aa,aa,aa,ab} -> 2 dup of 4; top word a = 4/5
     val d = docs(1L -> "a a a a b", 2L -> "u v w x y")
