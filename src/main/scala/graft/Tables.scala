@@ -67,11 +67,12 @@ object Tables {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(conf)
       val file =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).map(_.getPath)
+        if (fs.getFileStatus(p).isDirectory) {
+          val parts = fs.listStatus(p).map(_.getPath)
             .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-            .minBy(_.getName)
-        else p
+          require(parts.nonEmpty, s"no parquet part files under $path to sniff $column's unit from")
+          parts.minBy(_.getName)
+        } else p
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
       try {

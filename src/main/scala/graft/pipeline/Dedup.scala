@@ -309,6 +309,9 @@ object Dedup {
     // is nil there; its per-stage re-optimization is the dominant cost).
     // Large graphs keep the session width and AQE. Confs are restored
     // before returning; the returned frame reads checkpoints, no shuffle.
+    // Session confs are session-global: like IceWrite.writeDataFiles'
+    // set/restore, this assumes no concurrent queries on the same session
+    // during the loop (the engine's single-driver-thread usage model).
     val edgeCount = edges.count()
     val par = spark.sessionState.conf.numShufflePartitions
     val loopParts = math.min(par.toLong, edgeCount / 4000000L + 1L).toInt

@@ -187,29 +187,38 @@ class Transaction(table: IceTable, branch: Option[String]) {
     * Maintenance.removeOrphanFiles), never a corrupt live snapshot.
     */
   private def deleteReplacedFiles(oldMeta: graft.spec.TableMetadata,
-                                  newMeta: graft.spec.TableMetadata): Unit = {
-    val removedIds = oldMeta.snapshots.keySet -- newMeta.snapshots.keySet
-    if (removedIds.isEmpty) return
-    def filesOf(meta: graft.spec.TableMetadata, ids: Set[Long]): (Set[String], Set[String], Set[String]) = {
-      val snaps = ids.flatMap(meta.snapshotById)
-      val lists = snaps.map(_.manifestList)
-      val mans = snaps.flatMap(s => table.manifests(s)).map(_.manifestPath)
-      val data = snaps.flatMap(s => table.entries(s)).map(_.dataFile.filePath)
-      (lists, mans, data)
-    }
-    val (expLists, expMans, expData) = filesOf(oldMeta, removedIds)
-    val (keepLists, keepMans, keepData) = filesOf(newMeta, newMeta.snapshots.keySet)
-    val conf = new org.apache.hadoop.conf.Configuration()
-    def rm(paths: Set[String]): Unit = paths.foreach { p =>
-      try {
-        val path = new org.apache.hadoop.fs.Path(p)
-        path.getFileSystem(conf).delete(path, false)
-      } catch { case scala.util.control.NonFatal(_) => () }
-    }
-    rm(expData -- keepData)
-    rm(expMans -- keepMans)
-    rm(expLists -- keepLists)
-  }
+                                  newMeta: graft.spec.TableMetadata): Unit =
+    // the COMMIT has already landed: nothing in this cleanup may propagate —
+    // a read hiccup on an old manifest would otherwise make the caller
+    // believe a committed replace failed (and e.g. re-run a compaction).
+    // Any skipped deletion is a re-runnable orphan, not a correctness loss.
+    try {
+      val removedIds = oldMeta.snapshots.keySet -- newMeta.snapshots.keySet
+      if (removedIds.isEmpty) return
+      def filesOf(meta: graft.spec.TableMetadata, ids: Set[Long]): (Set[String], Set[String], Set[String]) = {
+        val snaps = ids.flatMap(meta.snapshotById)
+        val lists = snaps.map(_.manifestList)
+        val mans = snaps.flatMap(s => table.manifests(s)).map(_.manifestPath)
+        val data = snaps.flatMap(s => table.entries(s)).map(_.dataFile.filePath)
+        (lists, mans, data)
+      }
+      val (expLists, expMans, expData) = filesOf(oldMeta, removedIds)
+      val (keepLists, keepMans, keepData) = filesOf(newMeta, newMeta.snapshots.keySet)
+      // the active session's Hadoop conf carries filesystem credentials /
+      // endpoints (s3a, custom defaultFS) a bare Configuration would lack
+      val conf = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      def rm(paths: Set[String]): Unit = paths.foreach { p =>
+        try {
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(conf).delete(path, false)
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+      rm(expData -- keepData)
+      rm(expMans -- keepMans)
+      rm(expLists -- keepLists)
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private def commitOnce(): IceTable = {
     val m = table.metadata
@@ -401,10 +410,8 @@ class Transaction(table: IceTable, branch: Option[String]) {
     if (updates.isEmpty) return table
     val committed = table.catalog.updateTable(CommitTable(table.ident, requirements, updates))
     table.metadata = committed
-
-    // replace op: physically delete files of removed snapshots
-    // (delete_all_table_files, table/mod.rs:359-411)
-    if (replaceFiles.isDefined) { /* old files kept for time travel safety in v1 */ }
+    // replace-op physical file cleanup happens in commit(), strictly after
+    // this method returns the landed metadata (deleteReplacedFiles)
     table
   }
 }
