@@ -116,6 +116,12 @@ object IceWrite {
     * one balanced file set, commits a replace snapshot. `keepLayout` writes
     * the DataFrame's existing partitioning verbatim (the caller already
     * arranged a clustering layout, e.g. z-order ranges).
+    *
+    * Reference semantics: the replace commit REMOVES the superseded
+    * snapshots (branch/tag-reachable lineage excepted) and physically
+    * deletes their unshared files — a DataFrame planned over the
+    * pre-replace snapshot must be acted on before the replace lands, and
+    * time travel across a bare replace requires a protecting ref.
     */
   def replaceWith(spark: SparkSession, table: IceTable, df: DataFrame,
                   branch: Option[String] = None, keepLayout: Boolean = false,
