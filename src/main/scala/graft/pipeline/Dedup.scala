@@ -159,6 +159,36 @@ object Dedup {
     jaccardVerify(shSets, cand, idCol).filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-source duplicate leakage: [[minhashNearDups]] pairs rolled up
+    * by UNORDERED source pair — the governance view that shows where
+    * duplicated mass lives: the diagonal (src, src) is within-source
+    * redundancy, off-diagonal cells are leakage ACROSS sources (mirror
+    * sites, shared upstreams, a benchmark split bleeding into a training
+    * source). One broadcast join of the (id, source) projection onto the
+    * pair list, then a #sources²-bounded aggregate; `id_sum` pins the exact
+    * pair membership, not just the counts. */
+  def crossSourceLeakage(df: DataFrame, idCol: String, textCol: String, srcCol: String,
+                         shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                         threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
+    // the corpus-wide (id, source) projection is NOT broadcastable at
+    // scale; restrict it to pair participants first (≤ 2·|pairs| rows, and
+    // pairs are checkpointed so the id list is a cheap scan) — THAT is the
+    // broadcast side
+    val pairIds = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol))).distinct()
+    val src = df.select(col(idCol), col(srcCol))
+      .join(broadcast(pairIds), Seq(idCol), "left_semi")
+    pairs
+      .join(broadcast(src.select(col(idCol).as("id_a"), col(srcCol).as("__sa"))), "id_a")
+      .join(broadcast(src.select(col(idCol).as("id_b"), col(srcCol).as("__sb"))), "id_b")
+      .select(least(col("__sa"), col("__sb")).as("src_lo"),
+        greatest(col("__sa"), col("__sb")).as("src_hi"),
+        col("id_a"), col("id_b"))
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("id_a") + col("id_b")).as("id_sum"))
+  }
+
   /** The shingle → minhash → LSH-band chain for one document set: the
     * signature computation shared by whole-corpus pairing
     * ([[minhashNearDups]]) and incremental probing ([[probeNearDups]]).

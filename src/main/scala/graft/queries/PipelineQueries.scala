@@ -494,7 +494,15 @@ object PipelineQueries {
     // division at the surface.
     "q81_source_divergence" -> ((s, d) =>
       TextOps.sourceDivergence(Tables.documents(s, d), "text", "source")
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // Cross-source duplicate leakage: the near-dup pair mass by unordered
+    // source pair — diagonal = within-source redundancy, off-diagonal =
+    // duplication leaking across sources.
+    "q82_cross_source_dups" -> ((s, d) =>
+      Dedup.crossSourceLeakage(Tables.documents(s, d), "doc_id", "text", "source",
+        threshold = 0.5)
+        .orderBy("src_lo", "src_hi"))
   )
 
   // mirrors TextOps.tokens EXACTLY (lowercase, empty tokens dropped): the
@@ -1329,6 +1337,16 @@ object PipelineQueries {
         |    / CAST(2 * t2.n_s * g.n AS DOUBLE) AS tv
         |FROM pst p JOIN pt USING (tok) JOIN tot t2 USING (source) CROSS JOIN g
         |GROUP BY p.source, t2.n_s, t2.n_types, g.n
-        |ORDER BY p.source""".stripMargin
+        |ORDER BY p.source""".stripMargin,
+
+    "q82_cross_source_dups" ->
+      s"""WITH $minhashPairCtes
+        |SELECT least(da.source, db.source) AS src_lo,
+        |  greatest(da.source, db.source) AS src_hi,
+        |  count(*) AS n_pairs, CAST(sum(p.id_a + p.id_b) AS BIGINT) AS id_sum
+        |FROM pairs p
+        |JOIN documents da ON da.doc_id = p.id_a
+        |JOIN documents db ON db.doc_id = p.id_b
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -130,6 +130,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.conf.getOption("spark.sql.adaptive.enabled") == before._2._2)
   }
 
+  test("cross-source leakage: planted cross-source near-dup lands off-diagonal") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 28).map(i => s"tok$i") ++ Seq("other", "words")).mkString(" ")
+    val unrelated = (100 to 130).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, base, "web"), (2L, nearDup, "books"), (3L, unrelated, "web"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceLeakage(d, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(("books", "web", 1L, 3L)), got)
+  }
+
   test("source divergence: exact TV distance with absent-token mass folded") {
     import spark.implicits._
     // src A = "a a b" (N_A=3), src B = "a c" (N_B=2); corpus a:3 b:1 c:1, N=5
