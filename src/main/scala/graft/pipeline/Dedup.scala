@@ -170,7 +170,10 @@ object Dedup {
   def crossSourceLeakage(df: DataFrame, idCol: String, textCol: String, srcCol: String,
                          shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
                          threshold: Double = 0.5): DataFrame = {
+    // checkpointed: the pair list is consumed three times below (id list +
+    // both label joins) and must not re-execute the verify chain per use
     val pairs = minhashNearDups(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
+      .localCheckpoint(true)
     // the corpus-wide (id, source) projection is NOT broadcastable at
     // scale; restrict it to pair participants first (≤ 2·|pairs| rows, and
     // pairs are checkpointed so the id list is a cheap scan) — THAT is the
