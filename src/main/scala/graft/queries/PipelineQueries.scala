@@ -502,7 +502,17 @@ object PipelineQueries {
     "q82_cross_source_dups" -> ((s, d) =>
       Dedup.crossSourceLeakage(Tables.documents(s, d), "doc_id", "text", "source",
         threshold = 0.5)
-        .orderBy("src_lo", "src_hi"))
+        .orderBy("src_lo", "src_hi")),
+
+    // Skew-resistant distinct aggregation: event_type is the canonical hot
+    // key (a handful of values over the whole event log); the salted
+    // two-phase plan spreads each key's users over 32 reducers and sums
+    // disjoint partial distinct counts — identical result, no hot reducer.
+    "q83_salted_distinct" -> ((s, d) =>
+      graft.spark.SkewOps.saltedCountDistinct(Tables.events(s, d),
+        Seq("event_type"), "user_id", buckets = 32,
+        distinctAs = "n_users", countAs = "n_events")
+        .orderBy("event_type"))
   )
 
   // mirrors TextOps.tokens EXACTLY (lowercase, empty tokens dropped): the
@@ -1347,6 +1357,13 @@ object PipelineQueries {
         |FROM pairs p
         |JOIN documents da ON da.doc_id = p.id_a
         |JOIN documents db ON db.doc_id = p.id_b
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the oracle states the SPEC (plain distinct count); the salted
+    // two-phase decomposition must reproduce it exactly
+    "q83_salted_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

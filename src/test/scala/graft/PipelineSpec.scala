@@ -130,6 +130,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.conf.getOption("spark.sql.adaptive.enabled") == before._2._2)
   }
 
+  test("salted count-distinct matches the plain aggregate and salts the first shuffle") {
+    import spark.implicits._
+    import graft.spark.SkewOps
+    // one hot key (k=hot gets 200 rows over 37 users), one cold key
+    val d = ((1 to 200).map(i => ("hot", (i % 37).toLong)) ++
+      (1 to 5).map(i => ("cold", i.toLong))).toDF("k", "v")
+    val salted = SkewOps.saltedCountDistinct(d, Seq("k"), "v", buckets = 8)
+    val got = salted.orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("cold", 5L, 5L), ("hot", 37L, 200L)), got.toSeq)
+    // the FIRST exchange must be keyed by (k, salt) — that is the spread
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt missing from plan:\n$plan")
+  }
+
+  test("salted join is row-identical to the plain join for inner and left") {
+    import spark.implicits._
+    import graft.spark.SkewOps
+    val big = ((1 to 100).map(i => ("hot", i.toLong)) ++ Seq(("cold", 0L), ("miss", 9L)))
+      .toDF("k", "payload")
+    val small = Seq(("hot", "H1"), ("hot", "H2"), ("cold", "C")).toDF("k", "label")
+    for (jt <- Seq("inner", "left")) {
+      val plain = big.join(small, Seq("k"), jt)
+        .collect().map(_.toString).sorted.toSeq
+      val salted = SkewOps.saltedJoin(big, small, Seq("k"), col("payload"), buckets = 4, joinType = jt)
+        .select(big.columns.map(col) ++ Seq(col("label")): _*)
+        .collect().map(_.toString).sorted.toSeq
+      assert(salted == plain, s"saltedJoin($jt) diverged")
+    }
+  }
+
   test("cross-source leakage: planted cross-source near-dup lands off-diagonal") {
     import spark.implicits._
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
