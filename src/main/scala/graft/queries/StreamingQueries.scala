@@ -46,6 +46,41 @@ object StreamingQueries {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
+    }),
+
+    // Watermarked event-time windowed aggregation, replayed through
+    // Structured Streaming and compared against the batch spec: hourly
+    // window × event type. The stream reads ts as a raw LONG and converts
+    // by the footer's physical unit (Tables.tsUnit — streaming schemas are
+    // user-supplied, so the same nanos/micros flip applies here). Complete
+    // output mode: AvailableNow never advances the watermark past the last
+    // window, so append would hold the final windows back forever.
+    // Decimal-exact sums (IEEE double only at the surface, like q33).
+    "q84_stream_window" -> ((s, d) => {
+      import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+      val unit = graft.Tables.tsUnit(s, s"$d/events.parquet", "ts")
+      val raw = s.readStream
+        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+      // watermarks demand TIMESTAMP (not NTZ); the session runs UTC, so
+      // the instant values match the NTZ file values and the surface casts
+      // window_start back to TIMESTAMP_NTZ for oracle parity
+      val usCol = if (unit == TimeUnit.NANOS) expr("ts DIV 1000") else col("ts")
+      val ev = raw
+        .withColumn("ts", timestamp_micros(usCol.cast("long")))
+        .withColumn("dvalue", col("value").cast("decimal(18,2)"))
+      val agg = IceStreaming.windowedAgg(ev, "ts", "event_type", "dvalue",
+        window = "1 hour", watermark = "2 hours")
+      val sink = "q84_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.table(sink)
+        .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("window_start", "event_type")
     })
   )
 
@@ -54,6 +89,13 @@ object StreamingQueries {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // epoch-aligned 1h tumbling windows == date_trunc hour
+    "q84_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
