@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata; decode / feature-extraction /
   * frame-sampling run as partition-local batch functions.
   *
-  * The DECODE step is a clearly-marked deterministic STUB (no media codecs
-  * in this environment); everything around it — the schema contract, the
-  * `mapPartitions` batch shape, partition-local execution with no shuffle,
-  * and the frame-sampling fan-out — is the real 100 TB plumbing: payloads
-  * never leave the executor that read them, and feature extraction
-  * parallelizes per input split.
+  * IMAGES have a REAL codec path: [[imageFeatures]] and [[resizeImages]]
+  * decode PNG/JPEG payloads with the JDK's ImageIO, operate on actual
+  * pixels (area-average resize, DCT perceptual hash — [[ImageOps]]), and
+  * re-encode losslessly. Non-image media (audio/video — no JDK codec
+  * exists offline) keep the deterministic byte-level stand-ins
+  * ([[decodeFeatures]]/[[resizePayloads]]/[[sampleFrames]]), with the same
+  * schema contract and `mapPartitions` batch shape. Either way the 100 TB
+  * plumbing is identical: payloads never leave the executor that read
+  * them, and per-payload work parallelizes per input split.
   */
 object Multimodal {
 
@@ -63,13 +66,12 @@ object Multimodal {
   final case class ResizedRow(doc_id: Long, mime: String, n_bytes: Long,
                               payload: Array[Byte], orig_bytes: Long)
 
-  /** STUB resize: a real implementation decodes, scales to target pixel
-    * dimensions, and re-encodes; the stub deterministically down/up-samples
-    * the byte stream to `targetBytes` (every k-th byte on shrink, cyclic
-    * repeat on grow) so the plumbing — new payload column, size metadata,
-    * partition-local batch shape, no shuffle — is real and testable.
-    * The 100 TB contract is the same as decode: payloads never leave the
-    * executor that read them. */
+  /** BYTE-level resample for NON-image media (no JDK codec exists for
+    * audio/video offline): deterministically down/up-samples the byte
+    * stream to `targetBytes` (every k-th byte on shrink, cyclic repeat on
+    * grow). IMAGE payloads should use [[resizeImages]], which decodes and
+    * scales real pixels. The 100 TB contract is the same either way:
+    * payloads never leave the executor that read them. */
   def resizePayloads(media: Dataset[MediaRow], targetBytes: Int): Dataset[ResizedRow] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -82,6 +84,84 @@ object Multimodal {
             r.payload(((i.toLong * r.payload.length) / targetBytes).toInt % r.payload.length)
           }
         ResizedRow(r.doc_id, r.mime, out.length.toLong, out, r.n_bytes)
+      }
+    }
+  }
+
+  /** Decoded per-image features from a REAL ImageIO decode: dimensions,
+    * integer-luma mean, and the DCT perceptual hash ([[ImageOps.phash64]]).
+    * `phash` feeds Hamming-distance image near-dup via the same pigeonhole
+    * blocking as SimHash ([[Dedup.simhashNearDups]] with 16-bit segments) —
+    * byte-level dedup misses re-encoded/re-exposed copies entirely; this
+    * catches them. Payloads no installed reader recognizes surface as
+    * decoded=false with zeroed features rather than poisoning the stage. */
+  final case class ImageRow(doc_id: Long, decoded: Boolean, width: Int, height: Int,
+                            mean_luma: Double, phash: Long)
+
+  /** Real image decode + feature extraction (partition-local, no shuffle). */
+  def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        ImageOps.decodeRgb(r.payload) match {
+          case Some((w, h, px)) =>
+            var lum = 0L
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              lum += 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+              i += 1
+            }
+            ImageRow(r.doc_id, decoded = true, w, h,
+              lum.toDouble / (1000.0 * px.length), ImageOps.phash64(w, h, px))
+          case None => ImageRow(r.doc_id, decoded = false, 0, 0, 0.0, 0L)
+        }
+      }
+    }
+  }
+
+  /** REAL pixel resize: ImageIO decode → area-average (box-filter) scale to
+    * `targetW`×`targetH` → lossless PNG re-encode. Partition-local; payloads
+    * an installed reader cannot decode pass through unchanged (documented
+    * pass-through beats silently emitting garbage bytes). */
+  def resizeImages(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[ResizedRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        ImageOps.decodeRgb(r.payload) match {
+          case Some((w, h, px)) =>
+            val out = ImageOps.encodePng(targetW, targetH,
+              ImageOps.resizeRgb(w, h, px, targetW, targetH))
+            ResizedRow(r.doc_id, "image/png", out.length.toLong, out, r.n_bytes)
+          case None => ResizedRow(r.doc_id, r.mime, r.n_bytes, r.payload, r.n_bytes)
+        }
+      }
+    }
+  }
+
+  /** Deterministic PNG fixture corpus derived from a document id column —
+    * the stand-in for a real image table (this container ships none). Each
+    * id renders a seeded gradient+rectangles image ([[ImageOps.synthPixels]]);
+    * ids with `id % dupStride == 1` instead render a PERTURBED copy of
+    * id−1's image (brightness shift + sparse noise — a re-encode-style
+    * near-duplicate whose md5 differs but whose pHash is Hamming-close).
+    * Real PNG bytes out: the downstream decode exercises the actual codec.
+    */
+  def syntheticImages(df: DataFrame, idCol: String, dupStride: Int = 25,
+                      w: Int = 64, h: Int = 48): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val px =
+          if (dupStride > 1 && id % dupStride == 1)
+            ImageOps.perturbPixels(ImageOps.synthPixels(id - 1, w, h),
+              seed = id, brightness = 4, noisePixels = w * h / 100)
+          else ImageOps.synthPixels(id, w, h)
+        val bytes = ImageOps.encodePng(w, h, px)
+        MediaRow(id, "image/png", bytes.length.toLong, bytes)
       }
     }
   }

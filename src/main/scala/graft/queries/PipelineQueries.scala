@@ -512,7 +512,24 @@ object PipelineQueries {
       graft.spark.SkewOps.saltedCountDistinct(Tables.events(s, d),
         Seq("event_type"), "user_id", buckets = 32,
         distinctAs = "n_users", countAs = "n_events")
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Perceptual-hash IMAGE near-dup: deterministic PNG fixtures (real
+    // encode) → REAL ImageIO decode → 32×32 DCT pHash → Hamming ≤ 3 pairs
+    // via the same 16-bit-segment pigeonhole blocking as q35. Catches the
+    // planted re-encode-style duplicates (brightness + sparse noise) that
+    // byte-level dedup (q23) is blind to. SQL cannot decode images, so the
+    // oracle is a checked-in golden parquet (see the oracle map below);
+    // ImageGoldenSpec recomputes against live sf0.01 to keep it honest.
+    "q85_image_dedup" -> ((s, d) => {
+      val media = Multimodal.syntheticImages(Tables.documents(s, d), "doc_id")
+      val sigs = Multimodal.imageFeatures(media).toDF()
+        .select(col("doc_id"), col("phash").as("simhash"))
+      Dedup.simhashNearDups(sigs, "doc_id", maxHamming = 3,
+        numSegments = 4, segmentBits = 16)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    })
   )
 
   // mirrors TextOps.tokens EXACTLY (lowercase, empty tokens dropped): the
@@ -1364,6 +1381,18 @@ object PipelineQueries {
     "q83_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  count(*) AS n_events
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // SQL cannot decode PNGs, so — like q60 — the oracle is a checked-in
+    // GOLDEN parquet of the exact sf0.01 result, pinned by the determinism
+    // of the whole chain (splitmix fixtures, lossless PNG, StrictMath DCT).
+    // ImageGoldenSpec recomputes against live sf0.01 and fails loudly on
+    // drift; regenerate via
+    //   sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/v" and copy
+    //   /tmp/v/q85_image_dedup/part-*.parquet over the golden file.
+    "q85_image_dedup" ->
+      """SELECT id_a, id_b, hamming
+        |FROM read_parquet('/root/repo/src/test/resources/golden/q85_image_dedup.parquet')
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -33,11 +33,15 @@ object IceWrite {
   private[graft] def fileCountHint(rows: Long): Option[Int] =
     Some(math.max(1L, rows / 4000000L).min(Int.MaxValue).toInt)
 
-  /** Appends `df` to the table; returns the updated table. */
+  /** Appends `df` to the table; returns the updated table. `summary` rides
+    * the snapshot summary in the SAME commit — provenance that must be
+    * atomic with the data (e.g. streaming batch ids for exactly-once). */
   def append(spark: SparkSession, table: IceTable, df: DataFrame,
-             branch: Option[String] = None): IceTable = {
+             branch: Option[String] = None,
+             summary: Map[String, String] = Map.empty): IceTable = {
     val files = writeDataFiles(spark, table, df, table.schema)
-    table.newTransaction(branch).appendData(files).commit()
+    table.newTransaction(branch).appendData(files)
+      .summaryExtra(summary.toSeq: _*).commit()
   }
 
   /** Writes equality-delete files for the rows of `df` projected onto

@@ -24,9 +24,49 @@ import graft.table.IceTable
   */
 object IceStreaming {
 
+  /** Snapshot-summary keys that make streaming ingest EXACTLY-once: every
+    * micro-batch commit stamps its (stream id, batch id) into the snapshot
+    * summary ATOMICALLY with the data, and a restarted query skips batch
+    * ids the table already carries. Structured Streaming alone is only
+    * at-least-once across a foreachBatch sink — a crash between the table
+    * commit and the checkpoint's commit marker replays the batch — so the
+    * table itself is the idempotence ledger (the standard Iceberg sink
+    * design; same snapshot-summary channel the MV refresh state rides). */
+  private[graft] val StreamIdKey = "streaming.stream-id"
+  private[graft] val BatchIdKey = "streaming.batch-id"
+
+  /** Highest batch id `streamId` has committed on the table's CURRENT
+    * lineage (a batch committed on an abandoned branch must not suppress
+    * its replay here). Driver-side metadata walk — O(snapshots). */
+  private[graft] def lastCommittedBatch(table: IceTable, streamId: String): Option[Long] = {
+    val m = table.metadata
+    m.currentSnapshotId.toSeq
+      .flatMap(id => m.ancestorsOf(id))
+      .flatMap(m.snapshotById)
+      .filter(_.summary.get(StreamIdKey).contains(streamId))
+      .flatMap(_.summary.get(BatchIdKey))
+      .map(_.toLong)
+      .reduceOption(math.max)
+  }
+
+  /** The per-batch exactly-once guard: refresh, skip if `batchId` already
+    * landed for this stream, else run `commit` (which must append with the
+    * stream/batch summary in its ONE transaction). */
+  private def commitBatchOnce(table: IceTable, streamId: String, batchId: Long)
+                             (commit: Map[String, String] => Unit): Unit = {
+    val t = table.refresh()
+    if (!lastCommittedBatch(t, streamId).exists(_ >= batchId))
+      commit(Map(StreamIdKey -> streamId, BatchIdKey -> batchId.toString))
+  }
+
   /** Streams a stream into an Iceberg table: one ACID append commit per
-    * micro-batch. Use `Trigger.AvailableNow` for catch-up-and-stop jobs
-    * (the shape of an MV refresh), `ProcessingTime` for continuous ingest.
+    * micro-batch, EXACTLY-once across restarts (the batch id rides the
+    * snapshot summary in the same commit; replayed batches are skipped —
+    * see [[lastCommittedBatch]]). The checkpoint path doubles as the
+    * stream's identity, so resuming from the same checkpoint dedupes and
+    * a fresh checkpoint starts a fresh ledger. Use `Trigger.AvailableNow`
+    * for catch-up-and-stop jobs (the shape of an MV refresh),
+    * `ProcessingTime` for continuous ingest.
     */
   def writeStreamToTable(stream: DataFrame, table: IceTable, checkpoint: String,
                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -34,8 +74,10 @@ object IceStreaming {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        IceWrite.append(batch.sparkSession, table.refresh(), batch): Unit
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatchOnce(table, checkpoint, batchId) { summary =>
+          IceWrite.append(batch.sparkSession, table.refresh(), batch, summary = summary): Unit
+        }
       }
       .start()
 
