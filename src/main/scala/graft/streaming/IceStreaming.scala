@@ -15,8 +15,10 @@ import graft.table.IceTable
   *
   * - Ingestion: any stream → ACID Iceberg appends, one transaction per
   *   micro-batch (`foreachBatch` + [[IceWrite.append]]), so readers see
-  *   atomic snapshot boundaries, and a crashed job resumes from the
-  *   checkpoint with the table state consistent at the last commit.
+  *   atomic snapshot boundaries — and EXACTLY-once across crashes: the
+  *   batch id rides the snapshot summary in the same commit, so a crash
+  *   between the table commit and the checkpoint's commit marker replays
+  *   the batch into a no-op skip, never a duplicate append.
   * - Tailing: an append-only Iceberg table is a valid file stream (data
   *   files are immutable once committed); `streamTable` exposes it to
   *   `readStream` for downstream jobs — the Spark analogue of the
@@ -46,7 +48,7 @@ object IceStreaming {
       .filter(_.summary.get(StreamIdKey).contains(streamId))
       .flatMap(_.summary.get(BatchIdKey))
       .map(_.toLong)
-      .reduceOption(math.max)
+      .maxOption
   }
 
   /** The per-batch exactly-once guard: refresh, skip if `batchId` already
@@ -121,6 +123,12 @@ object IceStreaming {
     * (q51); a periodic offline dedup pass resolves them when it matters.
     * Source and target ids must be disjoint (probeNearDups' id contract) —
     * natural for monotone document ids.
+    *
+    * EXACTLY-once across restarts, like [[writeStreamToTable]]: the commit
+    * carries the (checkpoint, batch id) summary, and a replayed batch whose
+    * commit already landed is skipped wholesale — safe for the index too,
+    * because a restart rebuilds the index from the committed TARGET table,
+    * which already contains the replayed batch's novel rows.
     */
   def streamDedupIngest(spark: SparkSession, source: IceTable, target: IceTable,
                         idCol: String, textCol: String, checkpoint: String,
@@ -138,27 +146,29 @@ object IceStreaming {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val keepers = batch
-          .groupBy(md5(col(textCol).cast("binary")).as("__h"))
-          .agg(min(col(idCol)).as(idCol))
-          .select(col(idCol))
-        val deduped = batch.join(keepers, Seq(idCol), "left_semi").cache()
-        try {
-          val dups = Dedup.probeNearDupsIndexed(deduped, index, idCol, textCol, threshold)
-          // materialize the novel set BEFORE the append: the commit must not
-          // re-run the probe, and the index extension reuses the same rows
-          val novel = deduped.join(dups.select(col("id_new").as(idCol)),
-            Seq(idCol), "left_anti").localCheckpoint(true)
-          if (!novel.isEmpty) {
-            IceWrite.append(spark, target.refresh(), novel)
-            val add = Dedup.buildNearDupIndex(novel, idCol, textCol,
-              index.shingleSize, index.numHashes, index.numBands)
-            index = index.copy(
-              bands = index.bands.union(add.bands.localCheckpoint(true)),
-              shingleSets = index.shingleSets.union(add.shingleSets.localCheckpoint(true)))
-          }
-        } finally deduped.unpersist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatchOnce(target, checkpoint, batchId) { summary =>
+          val keepers = batch
+            .groupBy(md5(col(textCol).cast("binary")).as("__h"))
+            .agg(min(col(idCol)).as(idCol))
+            .select(col(idCol))
+          val deduped = batch.join(keepers, Seq(idCol), "left_semi").cache()
+          try {
+            val dups = Dedup.probeNearDupsIndexed(deduped, index, idCol, textCol, threshold)
+            // materialize the novel set BEFORE the append: the commit must not
+            // re-run the probe, and the index extension reuses the same rows
+            val novel = deduped.join(dups.select(col("id_new").as(idCol)),
+              Seq(idCol), "left_anti").localCheckpoint(true)
+            if (!novel.isEmpty) {
+              IceWrite.append(spark, target.refresh(), novel, summary = summary)
+              val add = Dedup.buildNearDupIndex(novel, idCol, textCol,
+                index.shingleSize, index.numHashes, index.numBands)
+              index = index.copy(
+                bands = index.bands.union(add.bands.localCheckpoint(true)),
+                shingleSets = index.shingleSets.union(add.shingleSets.localCheckpoint(true)))
+            }
+          } finally deduped.unpersist()
+        }
         ()
       }
       .start()

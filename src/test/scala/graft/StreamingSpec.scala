@@ -52,6 +52,83 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.metadata.snapshots.size >= 2)
   }
 
+  /** Simulates the crash window: the TABLE commit landed but the
+    * checkpoint's commit marker for the last batch never got written, so a
+    * restarted query REPLAYS that batch (its offsets entry survives). The
+    * local filesystem's `.crc` sidecar must go with it or the replayed
+    * marker write trips ChecksumFS's rename-collision check. */
+  private def deleteLastCommitMarker(ckpt: String): Unit = {
+    val commitsDir = new java.io.File(s"$ckpt/commits")
+    val last = commitsDir.listFiles().filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    assert(last.delete(), s"could not delete ${last.getPath}")
+    val crc = new java.io.File(commitsDir, s".${last.getName}.crc")
+    if (crc.exists()) crc.delete()
+  }
+
+  test("exactly-once: a crash between table commit and checkpoint commit does not duplicate") {
+    import spark.implicits._
+    val cat = new FileCatalog(Files.createTempDirectory("stwh_eo").toString)
+    val schema = IceSchema(0, Seq(
+      NestedField(1, "id", required = false, IceType.LongT),
+      NestedField(2, "v", required = false, IceType.DoubleT)))
+    val table = cat.createTable(TableIdent(Seq("db"), "eo"), schema, PartitionSpec(0, Nil))
+
+    val src = Files.createTempDirectory("stsrc_eo").toString
+    val ckpt = Files.createTempDirectory("stckpt_eo").toString
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").write.mode("append").parquet(src)
+    IceStreaming.writeStreamToTable(
+      spark.readStream.schema("id LONG, v DOUBLE").parquet(src), table, ckpt,
+      Trigger.AvailableNow()).awaitTermination()
+    assert(IceScan.scan(spark, table.refresh()).count() == 2)
+
+    // simulate the crash window: the TABLE commit landed, but the
+    // checkpoint's commit marker for the last batch never got written —
+    // deleting commits/<last> makes a restarted query REPLAY that batch
+    // (offsets/<last> still exists). This is the exact at-least-once hole.
+    deleteLastCommitMarker(ckpt)
+
+    IceStreaming.writeStreamToTable(
+      spark.readStream.schema("id LONG, v DOUBLE").parquet(src), table, ckpt,
+      Trigger.AvailableNow()).awaitTermination()
+    // the replayed batch is skipped: zero duplicate rows
+    val afterReplay = IceScan.scan(spark, table.refresh())
+    assert(afterReplay.count() == 2, "replayed batch was appended twice")
+    assert(afterReplay.groupBy("id").count().filter(col("count") > 1).isEmpty)
+
+    // the ledger does NOT over-suppress: fresh data after the replay ingests
+    Seq((3L, 3.0)).toDF("id", "v").write.mode("append").parquet(src)
+    IceStreaming.writeStreamToTable(
+      spark.readStream.schema("id LONG, v DOUBLE").parquet(src), table, ckpt,
+      Trigger.AvailableNow()).awaitTermination()
+    assert(IceScan.scan(spark, table.refresh()).orderBy("id").select("id").as[Long].collect()
+      .toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("exactly-once: streamDedupIngest skips a replayed batch wholesale") {
+    import spark.implicits._
+    val cat = new FileCatalog(Files.createTempDirectory("stwh_eod").toString)
+    val schema = IceSchema(0, Seq(
+      NestedField(1, "doc_id", required = false, IceType.LongT),
+      NestedField(2, "text", required = false, IceType.StringT)))
+    val source = cat.createTable(TableIdent(Seq("db"), "eod_src"), schema, PartitionSpec(0, Nil))
+    val target = cat.createTable(TableIdent(Seq("db"), "eod_tgt"), schema, PartitionSpec(0, Nil))
+    val ckpt = Files.createTempDirectory("stckpt_eod").toString
+
+    val texts = (1 to 30).map(i => s"tok$i").mkString(" ")
+    graft.spark.IceWrite.append(spark, source,
+      Seq((1L, texts), (2L, (31 to 60).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text"))
+    IceStreaming.streamDedupIngest(spark, source.refresh(), target, "doc_id", "text", ckpt,
+      trigger = Trigger.AvailableNow()).awaitTermination()
+    assert(IceScan.scan(spark, target.refresh()).count() == 2)
+
+    deleteLastCommitMarker(ckpt)
+
+    IceStreaming.streamDedupIngest(spark, source.refresh(), target, "doc_id", "text", ckpt,
+      trigger = Trigger.AvailableNow()).awaitTermination()
+    assert(IceScan.scan(spark, target.refresh()).count() == 2,
+      "replayed dedup batch re-appended rows")
+  }
+
   test("tail an append-only Iceberg table as a stream") {
     import spark.implicits._
     val cat = new FileCatalog(Files.createTempDirectory("stwh2").toString)
