@@ -70,15 +70,14 @@ object Maintenance {
     table.metadata = committed
 
     // physical deletes AFTER the metadata commit: a failure here leaks
-    // orphans (re-runnable) instead of corrupting a live snapshot
+    // orphans (re-runnable) instead of corrupting a live snapshot — and is
+    // logged + counted (Cleanup.rm), never thrown: the expiration COMMIT
+    // has landed, so an IO hiccup here must not look like a failed expire
     val conf = spark.sparkContext.hadoopConfiguration
-    def rm(paths: Set[String]): Unit = paths.foreach { p =>
-      val path = new Path(p)
-      path.getFileSystem(conf).delete(path, false)
-    }
-    rm(expData -- keepData)
-    rm(expManifests -- keepManifests)
-    rm(expLists -- keepLists)
+    val ctx = s"snapshot expiration of ${table.ident}"
+    Cleanup.rm(conf, expData -- keepData, ctx)
+    Cleanup.rm(conf, expManifests -- keepManifests, ctx)
+    Cleanup.rm(conf, expLists -- keepLists, ctx)
     table
   }
 

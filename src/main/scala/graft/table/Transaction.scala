@@ -191,7 +191,10 @@ class Transaction(table: IceTable, branch: Option[String]) {
     // the COMMIT has already landed: nothing in this cleanup may propagate —
     // a read hiccup on an old manifest would otherwise make the caller
     // believe a committed replace failed (and e.g. re-run a compaction).
-    // Any skipped deletion is a re-runnable orphan, not a correctness loss.
+    // Any skipped deletion is a re-runnable orphan, not a correctness loss —
+    // but never a SILENT one: Cleanup.rm WARNs per path and counts failures
+    // so a chronically failing cleanup is visible before remove_orphan_files
+    // is ever run by hand.
     try {
       val removedIds = oldMeta.snapshots.keySet -- newMeta.snapshots.keySet
       if (removedIds.isEmpty) return
@@ -209,16 +212,18 @@ class Transaction(table: IceTable, branch: Option[String]) {
       val conf = org.apache.spark.sql.SparkSession.getActiveSession
         .map(_.sparkContext.hadoopConfiguration)
         .getOrElse(new org.apache.hadoop.conf.Configuration())
-      def rm(paths: Set[String]): Unit = paths.foreach { p =>
-        try {
-          val path = new org.apache.hadoop.fs.Path(p)
-          path.getFileSystem(conf).delete(path, false)
-        } catch { case scala.util.control.NonFatal(_) => () }
-      }
-      rm(expData -- keepData)
-      rm(expMans -- keepMans)
-      rm(expLists -- keepLists)
-    } catch { case scala.util.control.NonFatal(_) => () }
+      val ctx = s"replace cleanup of ${table.ident}"
+      Cleanup.rm(conf, expData -- keepData, ctx)
+      Cleanup.rm(conf, expMans -- keepMans, ctx)
+      Cleanup.rm(conf, expLists -- keepLists, ctx)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Cleanup.failedDeletes.incrementAndGet()
+        org.slf4j.LoggerFactory.getLogger("graft.table.Cleanup").warn(
+          s"replace cleanup of ${table.ident} aborted before deleting " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}) — superseded files " +
+            "remain as re-collectable orphans (see remove_orphan_files)")
+    }
 
   private def commitOnce(): IceTable = {
     val m = table.metadata

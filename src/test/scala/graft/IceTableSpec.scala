@@ -519,6 +519,28 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(new java.io.File(e.dataFile.filePath).exists(), e.dataFile.filePath))
   }
 
+  test("replace cleanup counts and survives an injected delete failure") {
+    import graft.table.ManifestModel.DataFile
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "repl_fail"),
+      IceSchema(0, Seq(NestedField(1, "id", required = false, IceType.LongT))),
+      PartitionSpec(0, Nil))
+    // metadata-only append of a file on an unresolvable filesystem scheme:
+    // the replace commit itself must succeed, the cleanup's delete of this
+    // path must fail, be COUNTED, and not propagate
+    val bogus = DataFile(content = 0, filePath = "graftnofs://nowhere/x.parquet",
+      fileFormat = "PARQUET", partition = Nil, recordCount = 1L, fileSizeInBytes = 10L)
+    table = table.newTransaction().appendData(Seq(bogus)).commit()
+    val replacement = DataFile(content = 0,
+      filePath = s"${table.location}/data/repl.parquet",
+      fileFormat = "PARQUET", partition = Nil, recordCount = 1L, fileSizeInBytes = 10L)
+    val before = graft.table.Cleanup.failedDeletes.get()
+    table = table.newTransaction().replace(Seq(replacement)).commit() // must not throw
+    assert(table.metadata.snapshots.size == 1)
+    assert(graft.table.Cleanup.failedDeletes.get() > before,
+      "failed post-commit deletion was not counted")
+  }
+
   test("replace keeps snapshots and files a branch ref still reaches") {
     implicit val s: SparkSession = spark
     val cat = freshCatalog()
