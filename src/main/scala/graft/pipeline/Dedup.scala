@@ -325,34 +325,49 @@ object Dedup {
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                   maxIters: Int = 100): DataFrame = {
-    val spark = pairs.sparkSession
+    val caller = pairs.sparkSession
+    // ISOLATED LOOP-SIZED execution: the loop runs on a CHILD session
+    // (shared SparkContext / catalog / cache manager, fresh SQLConf) so its
+    // width and AQE overrides are invisible to any concurrent query on the
+    // caller's session — e.g. a streaming micro-batch planned mid-loop. The
+    // caller's conf is never touched; nothing to restore, even on throw.
+    // Loop sizing itself: each round is a fresh tiny query, so the session's
+    // shuffle width and AQE re-planning dominate small graphs (measured at
+    // sf0.1: 8.3 s → 2.5 s for a ~100-edge graph). The edge count — the
+    // cache materialization round 0 pays anyway — sizes the loop's shuffles
+    // at ~4M edges/partition, and AQE is turned off only when the whole
+    // graph fits a few partitions (its skew/coalescing value is nil there;
+    // its per-stage re-optimization is the dominant cost). Large graphs
+    // keep the caller's width and AQE.
+    val spark = caller.newSession()
+    val input = org.apache.spark.sql.GraftShim.ofRows(spark, pairs.queryExecution.analyzed)
     // no edge distinct: candidate pairs arrive deduplicated (id_a < id_b,
     // one row per pair), so the two-direction union has no duplicates — and
     // even a caller-supplied duplicate only repeats a min() input. Dropping
     // the distinct removes a full shuffle before the loop ever starts.
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    val edges = input.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(input.select(col(idB).as("src"), col(idA).as("dst")))
       .cache()
-    // LOOP-SIZED execution: each round is a fresh tiny query, so the
-    // session's shuffle width and AQE re-planning dominate small graphs
-    // (measured at sf0.1: 8.3 s → 2.5 s for a ~100-edge graph). The edge
-    // count — the cache materialization round 0 pays anyway — sizes the
-    // loop's shuffles at ~4M edges/partition, and AQE is turned off only
-    // when the whole graph fits a few partitions (its skew/coalescing value
-    // is nil there; its per-stage re-optimization is the dominant cost).
-    // Large graphs keep the session width and AQE. Confs are restored
-    // before returning; the returned frame reads checkpoints, no shuffle.
-    // Session confs are session-global: like IceWrite.writeDataFiles'
-    // set/restore, this assumes no concurrent queries on the same session
-    // during the loop (the engine's single-driver-thread usage model).
-    val edgeCount = edges.count()
-    val par = spark.sessionState.conf.numShufflePartitions
-    val loopParts = math.min(par.toLong, edgeCount / 4000000L + 1L).toInt
-    val loopConfs = Seq("spark.sql.shuffle.partitions" -> loopParts.toString) ++
-      (if (edgeCount <= 16000000L) Seq("spark.sql.adaptive.enabled" -> "false") else Nil)
-    val prevConfs = loopConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    loopConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
+      val edgeCount = edges.count()
+      val par = caller.sessionState.conf.numShufflePartitions
+      val loopParts = math.min(par.toLong, edgeCount / 4000000L + 1L).toInt
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      if (edgeCount <= 16000000L) spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // convergence rides an ACCUMULATOR folded into the round's ONE
+      // materializing action (the eager localCheckpoint), not a second
+      // probe job per round: a round is converged when the checkpoint's
+      // tasks reported zero moved labels. At-least-once task accounting
+      // cannot flip the test — a retry re-adds only nonzero counts, and
+      // zero stays zero.
+      val acc = spark.sparkContext.longAccumulator("graft.dupClusters.moved")
+      // labels keep the caller's id type (the encoder mirrors it): the
+      // operator is type-generic, ids are only compared and carried
+      val idType = edges.schema("src").dataType
+      val rowEnc = org.apache.spark.sql.Encoders.row(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("label", idType))))
       var labels = edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("label"))
         .localCheckpoint(true)
@@ -369,31 +384,35 @@ object Dedup {
         // pointer jump: label := label's label. Every label is a node id (it
         // started as one and only ever moves to another node's label), so the
         // self-join always matches; `left` guards the empty-frame edge only.
+        val movedBefore = acc.value
         val next = stepped
           .join(stepped.select(col("id").as("__lid"), col("label").as("__llabel")),
             stepped("label") === col("__lid"), "left")
-          .select(stepped("id"),
+          .select(stepped("id").as("id"),
             least(stepped("label"), coalesce(col("__llabel"), stepped("label"))).as("label"),
-            col("prev"))
-          .withColumn("moved", col("label") < col("prev"))
-          .select(col("id"), col("label"), col("moved"))
+            (least(stepped("label"), coalesce(col("__llabel"), stepped("label")))
+              < col("prev")).as("moved"))
+          .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+            it.map { r =>
+              if (r.getBoolean(2)) acc.add(1L)
+              org.apache.spark.sql.Row(r.get(0), r.get(1))
+            }
+          }(rowEnc)
           .localCheckpoint(true)
-        converged = next.filter(col("moved")).limit(1).isEmpty
-        labels = next.select(col("id"), col("label"))
+        converged = acc.value == movedBefore
+        labels = next
         iter += 1
       }
       if (!converged)
         throw new IllegalStateException(
           s"dupClusters did not converge after $maxIters rounds — the pair graph has a " +
             s"chain longer than the iteration budget; re-run with a larger maxIters")
-      labels.select(col("label").as("cluster_id"), col("id"))
-    } finally {
-      prevConfs.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
-      edges.unpersist()
-    }
+      // rebind the (checkpoint-backed) result to the CALLER's session: the
+      // child exists only to scope the loop's confs
+      org.apache.spark.sql.GraftShim.ofRows(caller,
+        labels.select(col("label").as("cluster_id"), col("id"))
+          .queryExecution.analyzed)
+    } finally edges.unpersist()
   }
 
   /** 16-bit SimHash signature per document: bit b is the sign of the sum of

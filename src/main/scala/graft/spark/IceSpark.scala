@@ -143,13 +143,19 @@ object IceWrite {
                                     outFiles: Option[Int] = None): Seq[DataFile] = {
     val spec = table.spec
     val props = table.metadata.properties
-    // session-scoped confs restored after the write — other queries in the
-    // same session must not inherit iceberg write settings
-    val prevTsType = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
-    val prevFieldIdWrite = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    spark.sessionState.newHadoopConf() // ensure defaults materialized
+    // ISOLATED write session (shared SparkContext / catalog / cache
+    // manager, fresh SQLConf): the iceberg write settings live and die
+    // with the child, so a CONCURRENT query on the caller's session — a
+    // streaming micro-batch, another thread's scan — can never be planned
+    // under them. Nothing to restore, even on throw. (The zstd level on
+    // the context-global hadoopConfiguration is kept: it only applies
+    // where the codec is zstd, which non-graft writes don't set.)
+    val writeSession = spark.newSession()
+    val dfw = org.apache.spark.sql.GraftShim.ofRows(writeSession,
+      df.queryExecution.analyzed)
+    writeSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    writeSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    writeSession.sessionState.newHadoopConf() // ensure defaults materialized
     spark.sparkContext.hadoopConfiguration.set("parquet.compression.codec.zstd.level",
       props.getOrElse("write.parquet.compression-level", "1"))
 
@@ -158,7 +164,7 @@ object IceWrite {
     // parquet writer emits PARQUET:field_id (id-based column resolution —
     // the rename-safe read path, SURVEY §7 hard-part 1)
     val targetSchema = writeSchema.toSpark
-    val aligned = df.select(writeSchema.fields.map { f =>
+    val aligned = dfw.select(writeSchema.fields.map { f =>
       col(f.name).cast(IceType.toSpark(f.fieldType))
         .as(f.name, targetSchema(f.name).metadata)
     }: _*)
@@ -238,21 +244,11 @@ object IceWrite {
         s"parquet.bloom.filter.enabled#${k.stripPrefix(BloomProp)}" -> v
     }.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }
 
-    try withBlooms
+    withBlooms
       .option("compression", props.getOrElse("write.parquet.compression-codec", "zstd"))
       .option("maxRecordsPerFile",
         props.getOrElse("write.max-records-per-file", "10000000"))
       .parquet(stagingDir)
-    finally {
-      prevTsType match {
-        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
-        case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
-      }
-      prevFieldIdWrite match {
-        case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
-        case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
-      }
-    }
 
     collectDataFiles(spark, table, stagingDir, writeSchema, partFields.map(_.name), content, equalityIds)
   }

@@ -56,6 +56,47 @@ class ConfHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after == before, s"write leaked session confs: before=$before after=$after")
   }
 
+  test("dupClusters loop confs are invisible to a concurrent query on the caller session") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a chain long enough that the loop spans many rounds (and real wall
+    // time), so the concurrent probes below genuinely overlap it
+    val n = 2000
+    val pairs = (0 until n).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val parBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val loop = scala.concurrent.Future {
+      graft.pipeline.Dedup.dupClusters(pairs, maxIters = 100)
+        .groupBy("cluster_id").count().collect()
+    }(scala.concurrent.ExecutionContext.global)
+    // while the loop runs (it sizes ITS shuffles to 1 partition and turns
+    // AQE off on ITS child session), the caller session must keep planning
+    // with its own width — both the conf values and an actual shuffle
+    var probes = 0
+    while (!loop.isCompleted) {
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == parBefore,
+        "loop leaked shuffle width into the caller session")
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == aqeBefore,
+        "loop leaked AQE toggle into the caller session")
+      // inspect the PLANNED shuffle width (exchanges appear in executedPlan;
+      // AQE legitimately coalesces tiny shuffles at RUNTIME, so the leak
+      // under test is the hashpartitioning width the planner wrote down)
+      val shuffled = spark.range(100).groupBy(col("id") % 10).count()
+      val widths = """hashpartitioning\([^)]*, (\d+)\)""".r
+        .findAllMatchIn(shuffled.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).toList
+      assert(widths.nonEmpty && widths.forall(_ == parBefore.toInt),
+        s"concurrent query was PLANNED under the loop's shuffle width: $widths")
+      probes += 1
+    }
+    val clusters = scala.concurrent.Await.result(
+      loop, scala.concurrent.duration.Duration.Inf)
+    assert(clusters.map(_.getLong(1)).sum == n + 1) // one chain, all nodes
+    assert(probes > 0, "loop finished before any concurrent probe ran")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == parBefore)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == aqeBefore)
+  }
+
   test("non-graft parquet reads behave identically after a graft scan planned AND executed") {
     import spark.implicits._
     import graft.catalog.{FileCatalog, TableIdent}
