@@ -174,9 +174,19 @@ object Dedup {
     // both label joins) and must not re-execute the verify chain per use
     val pairs = minhashNearDups(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
       .localCheckpoint(true)
+    crossSourceLeakageFromPairs(pairs, df, idCol, srcCol)
+  }
+
+  /** [[crossSourceLeakage]] over an ALREADY-materialized pair frame — the
+    * standing-state entry point: one near-dup pass per corpus feeds q24's
+    * pair listing, q47's clustering, AND this rollup, instead of each
+    * re-running the whole shingle→sign→band→verify chain. `pairs` must be
+    * checkpointed/cached (it is consumed three times below). */
+  def crossSourceLeakageFromPairs(pairs: DataFrame, df: DataFrame,
+                                  idCol: String, srcCol: String): DataFrame = {
     // the corpus-wide (id, source) projection is NOT broadcastable at
     // scale; restrict it to pair participants first (≤ 2·|pairs| rows, and
-    // pairs are checkpointed so the id list is a cheap scan) — THAT is the
+    // pairs are materialized so the id list is a cheap scan) — THAT is the
     // broadcast side
     val pairIds = pairs.select(col("id_a").as(idCol))
       .union(pairs.select(col("id_b").as(idCol))).distinct()
