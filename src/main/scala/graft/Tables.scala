@@ -57,22 +57,32 @@ object Tables {
     * file under `path` (a file or a directory of part files). An
     * unannotated INT64 falls back to NANOS — the one historical layout that
     * carried no readable annotation through Spark's inference.
+    *
+    * Memoized per (resolved file, column, mtime, length): the cheap FS
+    * status runs every call, only the footer read is cached — so an
+    * in-place testdata regeneration that flips the physical unit mid-JVM
+    * invalidates the entry instead of serving the stale unit (which would
+    * reintroduce the exact 1000× scaling this sniff exists to prevent).
     */
   private[graft] def tsUnit(s: SparkSession, path: String,
                             column: String): org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
-    tsUnitCache.computeIfAbsent(s"$path#$column", { _ =>
-      val conf = s.sessionState.newHadoopConf()
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(conf)
-      val file =
-        if (fs.getFileStatus(p).isDirectory) {
-          val parts = fs.listStatus(p).map(_.getPath)
-            .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-          require(parts.nonEmpty, s"no parquet part files under $path to sniff $column's unit from")
-          parts.minBy(_.getName)
-        } else p
+    val conf = s.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = {
+      val root = fs.getFileStatus(p)
+      if (root.isDirectory) {
+        val parts = fs.listStatus(p)
+          .filter(f => f.getPath.getName.endsWith(".parquet") && !f.getPath.getName.startsWith("_"))
+        require(parts.nonEmpty, s"no parquet part files under $path to sniff $column's unit from")
+        parts.minBy(_.getPath.getName)
+      } else root
+    }
+    val file = st.getPath
+    tsUnitCache.computeIfAbsent(
+      s"$file#$column#${st.getModificationTime}#${st.getLen}", { _ =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
       try {

@@ -398,6 +398,14 @@ object ManifestIO {
     }
   }
 
+  /** GenericData.Record.get THROWS on a field the writer's schema lacks;
+    * optional fields must tolerate absence — the reference's V2 entry schema
+    * (manifest.rs:231-275) has no file_sequence_number, and V1 manifests
+    * lack content/sequence numbers entirely.
+    */
+  private def opt(r: GenericRecord, name: String): Any =
+    if (r.getSchema.getField(name) == null) null else r.get(name)
+
   private def readManifestUncached(path: String): Seq[ManifestEntry] = {
     uncachedReadCounter.incrementAndGet()
     uncachedReadThreads.add(Thread.currentThread().getName)
@@ -416,27 +424,27 @@ object ManifestIO {
       }.toSeq
       ManifestEntry(
         status = r.get("status").asInstanceOf[Int],
-        snapshotId = Option(r.get("snapshot_id")).map(_.asInstanceOf[Long]),
-        sequenceNumber = Option(r.get("sequence_number")).map(_.asInstanceOf[Long]),
-        fileSequenceNumber = Option(r.get("file_sequence_number")).map(_.asInstanceOf[Long]),
+        snapshotId = Option(opt(r, "snapshot_id")).map(_.asInstanceOf[Long]),
+        sequenceNumber = Option(opt(r, "sequence_number")).map(_.asInstanceOf[Long]),
+        fileSequenceNumber = Option(opt(r, "file_sequence_number")).map(_.asInstanceOf[Long]),
         dataFile = DataFile(
-          content = d.get("content").asInstanceOf[Int],
+          content = Option(opt(d, "content")).map(_.asInstanceOf[Int]).getOrElse(ContentData),
           filePath = str(d.get("file_path")),
           fileFormat = str(d.get("file_format")),
           partition = partition,
           recordCount = d.get("record_count").asInstanceOf[Long],
           fileSizeInBytes = d.get("file_size_in_bytes").asInstanceOf[Long],
-          columnSizes = readIntMap(d.get("column_sizes"))(_.asInstanceOf[Long]),
-          valueCounts = readIntMap(d.get("value_counts"))(_.asInstanceOf[Long]),
-          nullValueCounts = readIntMap(d.get("null_value_counts"))(_.asInstanceOf[Long]),
-          nanValueCounts = readIntMap(d.get("nan_value_counts"))(_.asInstanceOf[Long]),
-          distinctCounts = readIntMap(d.get("distinct_counts"))(_.asInstanceOf[Long]),
-          lowerBounds = readIntMap(d.get("lower_bounds"))(bytesOf),
-          upperBounds = readIntMap(d.get("upper_bounds"))(bytesOf),
-          equalityIds = Option(d.get("equality_ids"))
+          columnSizes = readIntMap(opt(d, "column_sizes"))(_.asInstanceOf[Long]),
+          valueCounts = readIntMap(opt(d, "value_counts"))(_.asInstanceOf[Long]),
+          nullValueCounts = readIntMap(opt(d, "null_value_counts"))(_.asInstanceOf[Long]),
+          nanValueCounts = readIntMap(opt(d, "nan_value_counts"))(_.asInstanceOf[Long]),
+          distinctCounts = readIntMap(opt(d, "distinct_counts"))(_.asInstanceOf[Long]),
+          lowerBounds = readIntMap(opt(d, "lower_bounds"))(bytesOf),
+          upperBounds = readIntMap(opt(d, "upper_bounds"))(bytesOf),
+          equalityIds = Option(opt(d, "equality_ids"))
             .map(_.asInstanceOf[java.util.Collection[Int]].asScala.toSeq).getOrElse(Nil),
-          sortOrderId = Option(d.get("sort_order_id")).map(_.asInstanceOf[Int]),
-          splitOffsets = Option(d.get("split_offsets"))
+          sortOrderId = Option(opt(d, "sort_order_id")).map(_.asInstanceOf[Int]),
+          splitOffsets = Option(opt(d, "split_offsets"))
             .map(_.asInstanceOf[java.util.Collection[Long]].asScala.toSeq).getOrElse(Nil)))
     }.toList finally reader.close()
   }
@@ -452,9 +460,10 @@ object ManifestIO {
         manifestPath = str(r.get("manifest_path")),
         manifestLength = r.get("manifest_length").asInstanceOf[Long],
         partitionSpecId = r.get("partition_spec_id").asInstanceOf[Int],
-        content = r.get("content").asInstanceOf[Int],
-        sequenceNumber = r.get("sequence_number").asInstanceOf[Long],
-        minSequenceNumber = r.get("min_sequence_number").asInstanceOf[Long],
+        // V1 list files carry none of these three; default data-content/seq-0
+        content = Option(opt(r, "content")).map(_.asInstanceOf[Int]).getOrElse(ContentData),
+        sequenceNumber = Option(opt(r, "sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L),
+        minSequenceNumber = Option(opt(r, "min_sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L),
         addedSnapshotId = r.get("added_snapshot_id").asInstanceOf[Long],
         addedFilesCount = r.get("added_files_count").asInstanceOf[Int],
         existingFilesCount = r.get("existing_files_count").asInstanceOf[Int],

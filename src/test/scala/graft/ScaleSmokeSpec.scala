@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Dedup
+
+/** Self-scale smoke for the dedup tail (q24 / q47 / q77 / q78): derives a
+  * ~10× documents corpus locally and confirms the pipelines stay
+  * near-linear — pair volume scales with the data, clustering converges,
+  * and no driver-side state explodes.
+  *
+  * The 10× corpus is 10 CAESAR-SHIFTED copies of the base: a per-copy
+  * bijective letter map preserves every intra-copy shingle relationship
+  * exactly (token n-gram sets map 1:1, so Jaccard/containment values are
+  * identical per copy) while cross-copy token overlap collapses to
+  * punctuation and digits — the scaled corpus is 10 independent replicas
+  * of the SAME similarity structure, which makes expected output sizes
+  * checkable: the exact algorithms (q77/q78) must emit exactly 10× the
+  * base pairs; the LSH pipeline (q24) draws independent candidate sets
+  * per copy so its count is asserted structurally (no cross-copy pairs)
+  * rather than numerically.
+  *
+  * Suite default: sf0.01 base (500 → 5,000 docs) to keep CI fast. The
+  * bench-scale run documented in SURVEY §bench uses
+  *   -Dgraft.scale.smoke.dir=/root/testdata/sf0.1  (5,000 → 50,000 docs).
+  * Wall-times print as `[scale-smoke]` lines; they are documentation, not
+  * assertions — a loaded box must not flake the suite.
+  */
+class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("scale-smoke").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sfDir = sys.props.getOrElse("graft.scale.smoke.dir", "/root/testdata/sf0.01")
+  private val copies = sys.props.get("graft.scale.smoke.copies").map(_.toInt).getOrElse(10)
+  private val CopyStride = 100000000L
+
+  private val alpha = "abcdefghijklmnopqrstuvwxyz"
+  private val digits = "0123456789"
+
+  // copy 0 is the identity shift == the base corpus, so 1× and 10× are
+  // directly comparable (both lower-cased through the same path). Digits
+  // shift too: numeric tokens must not collide across copies, or shared
+  // number-heavy shingles would couple the replicas (and inflate their df
+  // in the scaled corpus, perturbing q78's rarity blocking).
+  private def copyK(base: DataFrame, k: Int): DataFrame = {
+    val shifted = alpha.drop(k % 26) + alpha.take(k % 26) +
+      digits.drop(k % 10) + digits.take(k % 10)
+    base.select(
+      (col("doc_id") + lit(k * CopyStride)).as("doc_id"),
+      translate(lower(col("text")), alpha + digits, shifted).as("text"))
+  }
+
+  private lazy val base1x: DataFrame = {
+    val d = copyK(Tables.documents(spark, sfDir), 0).cache()
+    d.count()
+    d
+  }
+  private lazy val base10x: DataFrame = {
+    val d = (0 until copies).map(copyK(Tables.documents(spark, sfDir), _))
+      .reduce(_ unionByName _).repartition(8).cache()
+    d.count()
+    d
+  }
+
+  // one tiny pass through each kernel so codegen/JIT warmup is not billed
+  // to the 1x timer (the ratio, not the absolute, is the signal here)
+  private lazy val warm: Unit = {
+    val tiny = base1x.limit(50)
+    Dedup.minhashNearDups(tiny, "doc_id", "text").count()
+    Dedup.jaccardJoinExact(tiny, "doc_id", "text").count()
+    Dedup.containmentJoin(tiny, "doc_id", "text", maxDf = 10).count()
+  }
+
+  private def timed[T](label: String)(f: => T): T = {
+    warm
+    val t0 = System.nanoTime()
+    val r = f
+    info(f"[scale-smoke] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    println(f"[scale-smoke] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  private def crossCopy(pairs: DataFrame, a: String = "id_a", b: String = "id_b"): Long =
+    pairs.filter(col(a).divide(CopyStride).cast("long")
+      =!= col(b).divide(CopyStride).cast("long")).count()
+
+  test("q24 minhash near-dup pipeline scales: pair volume per copy, zero cross-copy leakage") {
+    val p1 = timed("q24 minhash 1x") {
+      Dedup.minhashNearDups(base1x, "doc_id", "text").count()
+    }
+    // construction + count timed together: the eager internals (caches,
+    // checkpoints) run at call time, not first-action time
+    val (pairs10, p10) = timed(s"q24 minhash ${copies}x") {
+      val p = Dedup.minhashNearDups(base10x, "doc_id", "text").cache()
+      (p, p.count())
+    }
+    assert(p1 > 0, "base corpus must contain near-dups for the smoke to mean anything")
+    // Caesar copies share only digit/punctuation shingles — a cross-copy
+    // pair would mean the blocking leaks unrelated content at scale
+    assert(crossCopy(pairs10) == 0, "cross-copy near-dup pairs found")
+    // LSH candidate recall is an independent draw per copy; the count is
+    // banded, not exact (borderline-threshold pairs flicker per copy)
+    assert(p10 >= copies * p1 / 2 && p10 <= copies * p1 * 2,
+      s"pair volume $p10 is far from ${copies}x the base $p1 — super-linear blowup or collapse")
+    pairs10.unpersist()
+  }
+
+  test("q47 clustering over the scaled pair graph converges with loop-sized rounds") {
+    val pairs10 = Dedup.minhashNearDups(base10x, "doc_id", "text").localCheckpoint(true)
+    val ids = pairs10.select(col("id_a").as("id"))
+      .union(pairs10.select(col("id_b").as("id"))).distinct().count()
+    val clusters = timed(s"q47 dupClusters ${copies}x") {
+      Dedup.dupClusters(pairs10).cache()
+    }
+    assert(clusters.count() == ids, "every paired doc must receive exactly one cluster label")
+    // labels are canonical minima: no label may exceed its member's id
+    assert(clusters.filter(col("cluster_id") > col("id")).count() == 0)
+    clusters.unpersist()
+  }
+
+  test("q77 exact Jaccard join is deterministic under scale: exactly 10x the base pairs") {
+    val p1 = timed("q77 jaccardJoinExact 1x") {
+      Dedup.jaccardJoinExact(base1x, "doc_id", "text").count()
+    }
+    val (pairs10, p10) = timed(s"q77 jaccardJoinExact ${copies}x") {
+      val p = Dedup.jaccardJoinExact(base10x, "doc_id", "text").cache()
+      (p, p.count())
+    }
+    val cross = crossCopy(pairs10)
+    assert(cross == 0, s"$cross cross-copy Jaccard pairs — blocking admits unrelated content")
+    // exact algorithm + bijective shingle maps ⇒ each copy contributes the
+    // base pair set verbatim
+    assert(p10 == copies * p1, s"expected ${copies}x$p1 pairs, got $p10")
+    pairs10.unpersist()
+  }
+
+  test("q78 containment join is deterministic under scale: exactly 10x the base pairs") {
+    // The copies carry DISJOINT shingle strings, so every shingle's df in
+    // the scaled corpus equals its per-copy df — the same maxDf reproduces
+    // the base blocking decisions verbatim inside each copy.
+    val p1 = timed("q78 containmentJoin 1x") {
+      Dedup.containmentJoin(base1x, "doc_id", "text", maxDf = 10).count()
+    }
+    val (pairs10, p10) = timed(s"q78 containmentJoin ${copies}x") {
+      val p = Dedup.containmentJoin(base10x, "doc_id", "text", maxDf = 10).cache()
+      (p, p.count())
+    }
+    assert(crossCopy(pairs10, "src_id", "sup_id") == 0, "cross-copy containment pairs found")
+    assert(p10 == copies * p1, s"expected ${copies}x$p1 pairs, got $p10")
+    pairs10.unpersist()
+  }
+}

@@ -60,14 +60,19 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     d
   }
 
-  private def writeNanosDir(): String = {
-    // Spark cannot write TIMESTAMP(NANOS); drop to parquet-hadoop's example
-    // writer to reproduce the historical file layout exactly.
-    val d = Files.createTempDirectory("graft_ev_ns").toString
+  /** Writes the logical events as ONE parquet FILE at `$dir/events.parquet`
+    * (the driver's layout — pathGlobFilter in the streaming readers matches
+    * the leaf file name, so a directory-of-parts layout is invisible to
+    * them) with `ts` annotated in the given unit. Spark cannot write
+    * TIMESTAMP(NANOS); parquet-hadoop's example writer reproduces both
+    * historical layouts exactly.
+    */
+  private def writeRawFile(dir: String, unit: TimeUnit): Unit = {
+    val unitName = unit.name // NANOS | MICROS
     val schema = MessageTypeParser.parseMessageType(
-      """message events {
+      s"""message events {
         |  optional int64 event_id;
-        |  optional int64 ts (TIMESTAMP(NANOS,false));
+        |  optional int64 ts (TIMESTAMP($unitName,false));
         |  optional int64 user_id;
         |  optional binary event_type (STRING);
         |  optional double value;
@@ -76,24 +81,37 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val conf = new Configuration()
     GroupWriteSupport.setSchema(schema, conf)
     val writer = ExampleParquetWriter
-      .builder(new org.apache.hadoop.fs.Path(s"$d/events.parquet"))
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
       .withConf(conf).withType(schema).build()
     val f = new SimpleGroupFactory(schema)
+    val scale = if (unit == TimeUnit.NANOS) 1000L else 1L
     try logical.foreach { case (id, us, uid, et, v, p) =>
       val g = f.newGroup()
       g.add("event_id", id)
-      g.add("ts", us * 1000L)
+      g.add("ts", us * scale)
       g.add("user_id", uid)
       g.add("event_type", et)
       g.add("value", v)
       g.add("props", p)
       writer.write(g)
     } finally writer.close()
+  }
+
+  private def writeNanosDir(): String = {
+    val d = Files.createTempDirectory("graft_ev_ns").toString
+    writeRawFile(d, TimeUnit.NANOS)
     d
   }
 
   private lazy val microsDir = writeMicrosDir()
   private lazy val nanosDir = writeNanosDir()
+  // single-FILE micros layout for the streaming readers (microsDir is a
+  // directory of part files, which their pathGlobFilter cannot see)
+  private lazy val microsFileDir: String = {
+    val d = Files.createTempDirectory("graft_ev_usf").toString
+    writeRawFile(d, TimeUnit.MICROS)
+    d
+  }
 
   private def sortedRows(df: DataFrame): Seq[String] =
     df.orderBy("event_id").collect().map(_.toString).toSeq
@@ -113,6 +131,36 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val days = Tables.events(spark, microsDir)
       .select(countDistinct(to_date(col("ts")))).head().getLong(0)
     assert(days == 4, s"expected 4 distinct days, got $days")
+  }
+
+  test("tsUnit re-sniffs after an in-place file regeneration (mtime/length cache key)") {
+    val d = Files.createTempDirectory("graft_ev_flip").toString
+    writeRawFile(d, TimeUnit.NANOS)
+    assert(Tables.tsUnit(spark, s"$d/events.parquet", "ts") == TimeUnit.NANOS)
+    // regenerate IN PLACE with the other physical unit — the memoized entry
+    // must not survive the flip (a stale NANOS would 1000×-scale every read)
+    new java.io.File(s"$d/events.parquet").delete()
+    Thread.sleep(10) // ensure a distinct mtime even on coarse-grained filesystems
+    writeRawFile(d, TimeUnit.MICROS)
+    assert(Tables.tsUnit(spark, s"$d/events.parquet", "ts") == TimeUnit.MICROS)
+  }
+
+  test("streaming LONG-schema readers (q33/q84) are unit-invariant across physical units") {
+    // These read ts as a raw LONG through a USER-SPECIFIED streaming schema
+    // — a different parquet decode path (vectorized INT64-as-long over an
+    // annotated TIMESTAMP column) than the batch Tables.events read, so the
+    // micros/nanos flip is pinned here independently.
+    import graft.queries.StreamingQueries
+    def run(name: String, d: String): Seq[String] =
+      StreamingQueries.queries(name)(spark, d).collect().map(_.toString).toSeq
+    val w84us = run("q84_stream_window", microsFileDir)
+    val w84ns = run("q84_stream_window", nanosDir)
+    assert(w84us.nonEmpty && w84us == w84ns,
+      "q84 windowed aggregation differs between physical timestamp units")
+    val w33us = run("q33_stream_ingest", microsFileDir)
+    val w33ns = run("q33_stream_ingest", nanosDir)
+    assert(w33us.nonEmpty && w33us == w33ns,
+      "q33 stream ingest differs between physical timestamp units")
   }
 
   test("TimeSeries entry points are unit-invariant (sessionize/funnel/retention/rolling)") {
