@@ -22,6 +22,12 @@ import javax.imageio.ImageIO
   */
 object ImageOps {
 
+  // ImageIO defaults to a DISK-backed stream cache (a temp file per
+  // encode/decode) — pure overhead for in-memory byte-array payloads and a
+  // temp-dir dependency executors may not want. Memory caching is strictly
+  // better for the ≤ a-few-MB payloads this pipeline handles per row.
+  ImageIO.setUseCache(false)
+
   /** splitmix64 — the same finalizer family as [[Dedup.permA]]'s seed mixer:
     * well-distributed streams from tiny sequential seeds. */
   private def mix64(z0: Long): Long = {

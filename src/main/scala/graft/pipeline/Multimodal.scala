@@ -153,7 +153,16 @@ object Multimodal {
                       w: Int = 64, h: Int = 48): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id")).as[Long].mapPartitions { ids =>
+    // The render below is CPU-bound per id (PNG encode is the cost), but the
+    // id column usually arrives as ONE input split (a small parquet file ≪
+    // maxPartitionBytes), which would serialize the whole corpus render on a
+    // single core. Repartitioning the bare ids is a shuffle of longs — free —
+    // and payloads are still BORN distributed, never moved. (A real image
+    // corpus at 100 TB arrives as many splits and needs no such step; this is
+    // fixture-generation plumbing, not the operator's data path.)
+    df.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { ids =>
       ids.map { id =>
         val px =
           if (dupStride > 1 && id % dupStride == 1)
