@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over pair frames (near-dup pairs, mutual k-NN edges):
+  * importance scoring for data-selection — e.g. PageRank over the
+  * similarity graph surfaces "hub" documents whose content a corpus
+  * over-represents, complementing [[Dedup.dupClusters]]' connected
+  * components (membership) with a per-node weight (centrality).
+  */
+object GraphOps {
+
+  /** Fixed-iteration PageRank with INTEGER arithmetic — engine-exact.
+    *
+    * Ranks are fixed-point longs (`scale` = 1.0). Each round:
+    * `r' = (15·scale) div 100 + (85 · Σ_in (r div deg)) div 100` — floor
+    * division per term, so every intermediate is a positive long computed
+    * identically by any engine (no float summation-order drift; doubles
+    * lose exactness past 2^53, which `85 · Σ` here exceeds). Damping 0.85
+    * is the standard public constant (Brin & Page 1998).
+    *
+    * Undirected input: each pair `(a, b)` contributes both directed edges.
+    * Isolated nodes (no edges) are out of scope — they'd hold the base
+    * rank forever and never appear in a pair frame anyway.
+    *
+    * 100 TB posture: per round, one equi-join of the edge list with the
+    * current rank vector (both keyed by source id — the shuffle reuses the
+    * edge partitioning across rounds) and one hash aggregate keyed by
+    * destination. The edge list is consumed `iters` times, so it is cached
+    * and released after the (eagerly materialized) final vector — the
+    * dupClusters loop pattern. High-degree hubs are map-side-combined by
+    * the partial aggregate, not a hot reducer.
+    *
+    * Output: `id BIGINT, pr BIGINT` (fixed-point rank).
+    */
+  def pageRank(edges: DataFrame, aCol: String, bCol: String,
+               iters: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && scale >= 100, s"iters=$iters scale=$scale")
+    val dir = edges.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("t"))
+      .unionByName(edges.select(col(bCol).cast("long").as("s"), col(aCol).cast("long").as("t")))
+    val deg = dir.groupBy(col("s")).agg(count(lit(1)).as("d"))
+    val e = dir.join(deg, "s").cache()
+    try {
+      val base = scale / 100 * 15
+      var r = deg.select(col("s").as("id"), lit(scale).as("r"))
+      var it = 0
+      while (it < iters) {
+        r = e.join(r, e("s") === r("id"))
+          .select(col("t"), expr("r div d").as("contrib"))
+          .groupBy(col("t"))
+          .agg(sum(col("contrib")).as("insum"))
+          .select(col("t").as("id"),
+            (lit(base) + expr("(85 * insum) div 100")).as("r"))
+        it += 1
+      }
+      r.select(col("id"), col("r").cast("long").as("pr")).localCheckpoint(true)
+    } finally e.unpersist()
+  }
+}

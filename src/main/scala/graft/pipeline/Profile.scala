@@ -117,4 +117,67 @@ object Profile {
         percentile(col(valueCol), typedLit(fractions.toArray)).as("__ps"))
       .select(col(groupCol) +: col("n_rows") +: col("sum_value") +: named: _*)
   }
+
+  /** Robust per-group outlier detection: flag rows whose value deviates
+    * from the group MEDIAN by more than `sigma` times the group MAD
+    * (median absolute deviation) — the standard heavy-tail-safe anomaly
+    * test (mean/stddev z-scores are poisoned by the outliers themselves).
+    *
+    * Engine-exact by integer construction: values are floor-quantized to
+    * centi-units up front, medians are carried DOUBLED (lower middle +
+    * upper middle of the ranked values — integers for both odd and even
+    * group sizes, no float interpolation anywhere), and the flag test
+    * `2·dev2 > sigma·mad22` is a pure integer comparison, so any SQL
+    * engine reproduces the result bit-for-bit.
+    *
+    * Plan: two window passes (rank within group) + two group-local joins —
+    * every shuffle is keyed by `keyCol` and the key partitioning is REUSED
+    * across the window, the aggregate, and the join (no re-shuffle; a
+    * group's rows never leave their partition). Skewed groups are ordinary
+    * sort-merge-join/window skew, handled by AQE.
+    *
+    * Output per group: `n`, `med2` (2x median, centi-units), `mad22`
+    * (4x MAD, centi-units), `n_outliers`, `outlier_id_sum` (id checksum of
+    * the flagged rows) — all BIGINT.
+    */
+  def robustOutliers(df: DataFrame, keyCol: String, valCol: String,
+                     idCol: String, sigma: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vq = floor(col(valCol) * 100).cast("long")
+    val base = df.select(col(keyCol).as("k"), col(idCol).cast("long").as("id"),
+      vq.as("vq"))
+
+    val med = base
+      .join(doubledMedianLong(base, "vq", "med2"), Seq("k"))
+      .withColumn("dev2", abs(col("vq") * 2 - col("med2")))
+    val mad = med
+      .join(doubledMedianLong(med.select(col("k"), col("id"), col("dev2")), "dev2", "mad22"),
+        Seq("k"))
+
+    mad.groupBy(col("k").as(keyCol))
+      .agg(count(lit(1)).as("n"),
+        max(col("med2")).as("med2"),
+        max(col("mad22")).as("mad22"),
+        sum(when(col("dev2") * 2 > col("mad22") * sigma, 1L).otherwise(0L))
+          .as("n_outliers"),
+        coalesce(sum(when(col("dev2") * 2 > col("mad22") * sigma, col("id"))),
+          lit(0L)).as("outlier_id_sum"))
+  }
+
+  /** [[robustOutliers]]' doubled-median kernel with exact LONG floor
+    * division on the rank indices (Column./ is double division; doubles
+    * are exact for any realistic rank, but the comparison must be integral
+    * to mirror the oracle's `//`). */
+  private def doubledMedianLong(in: DataFrame, c: String, as: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("k")).orderBy(col(c), col("id"))
+    in.select(col("k"), col(c),
+        row_number().over(w).cast("long").as("_rn"),
+        count(lit(1)).over(Window.partitionBy(col("k"))).as("_n"))
+      .groupBy(col("k"))
+      .agg((sum(when(col("_rn") === floor((col("_n") + 1) / 2).cast("long"), col(c))
+          .otherwise(lit(0L))) +
+        sum(when(col("_rn") === floor(col("_n") / 2).cast("long") + 1, col(c))
+          .otherwise(lit(0L)))).as(as))
+  }
 }

@@ -168,6 +168,57 @@ object TrainingSet {
       .select(col(idCol)).distinct()
   }
 
+  /** [[contaminatedIds]] with a BROADCAST-BLOOM prefilter — the scale path
+    * when the eval shingle set outgrows the auto-broadcast threshold
+    * (multi-benchmark suites, contamination-vs-held-out-corpus checks):
+    *
+    *  1. the eval shingles fold into a Bloom filter executor-side
+    *     (`treeAggregate` of sketch partials — the driver merges fixed-size
+    *     bit arrays, never rows: ~1.2 MB per million entries at 1% fpp vs
+    *     tens of MB of broadcast-hashed strings);
+    *  2. train shingles stream through `BloomFilterMightContain` (the
+    *     codegen'd kernel behind Spark's own runtime row-level filtering) —
+    *     ≥ (1−fpp) of the corpus dies map-side, BEFORE any join machinery;
+    *  3. the survivors (true matches + fpp false positives) go through the
+    *     exact semi-join, which removes the false positives.
+    *
+    * The result is therefore EXACTLY [[contaminatedIds]]' answer — the
+    * Bloom filter only prunes, never decides — which is what the shared
+    * DuckDB oracle checks. Same hash family on both ends by construction:
+    * the filter stores `xxhash64(sh)` via `putLong`, the probe evaluates
+    * `mightContainLong(xxhash64(sh))`.
+    */
+  def contaminatedIdsBloom(train: DataFrame, eval: DataFrame, idCol: String,
+                           textCol: String, ngram: Int = 3,
+                           fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.util.sketch.BloomFilter
+
+    val spark = train.sparkSession
+    import spark.implicits._
+    val evalShingles = Dedup.shingles(eval, idCol, textCol, ngram)
+      .select(col("sh")).distinct()
+    val hashed = evalShingles.select(xxhash64(col("sh")).as("h")).as[Long]
+    // sizing count + sketch fold: two metadata-scale actions over the
+    // (corpus-tiny by definition) eval side
+    val n = math.max(hashed.count(), 1L)
+    val bf = hashed.rdd.treeAggregate(BloomFilter.create(n, fpp))(
+      (f, v) => { f.putLong(v); f },
+      (a, b) => { a.mergeInPlace(b); a })
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val mightContain = GraftShim.column(BloomFilterMightContain(
+      Literal(bos.toByteArray, BinaryType),
+      GraftShim.expression(xxhash64(col("sh")))))
+
+    Dedup.shinglesRaw(train, idCol, textCol, ngram)
+      .filter(mightContain)
+      .join(evalShingles, Seq("sh"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
   /** Deterministic global enumeration + fixed-size shard assignment — the
     * exporter shape: every row gets a dense `global_idx` (0-based, in
     * deterministic shuffle order) and `shard` = idx ÷ `rowsPerShard`, so a

@@ -559,6 +559,56 @@ object PipelineQueries {
         numSegments = 4, segmentBits = 16)
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // PassJoin edit-distance self-join (record linkage / fuzzy entity
+    // matching): segment-blocked equi-join + thresholded-Levenshtein
+    // verify, complete by pigeonhole — never all-pairs. The %3 subset
+    // keeps the oracle's brute-force cross join (candidate-complete by
+    // definition) tractable in DuckDB while the Spark side runs the real
+    // blocked plan.
+    "q86_fuzzy_join" -> ((s, d) =>
+      graft.pipeline.FuzzyJoin.editDistanceJoin(
+        Tables.customer(s, d).filter(col("c_custkey") % 3 === 0),
+        "c_custkey", "c_name", maxDist = 2)
+        .orderBy("id_a", "id_b")),
+
+    // Robust (median/MAD) per-type outlier detection on event values —
+    // heavy-tail-safe anomaly scoring with doubled-median integer math,
+    // engine-exact (no float interpolation anywhere).
+    "q87_mad_outliers" -> ((s, d) =>
+      graft.pipeline.Profile.robustOutliers(Tables.events(s, d),
+        "event_type", "value", "event_id", sigma = 3)
+        .orderBy("event_type")),
+
+    // Integer fixed-point PageRank (3 rounds, damping 0.85) over the
+    // mutual k-NN similarity graph — per-document centrality for data
+    // selection, complementing q47's membership-only clustering.
+    "q88_pagerank" -> ((s, d) => {
+      val edges = Embeddings.knnGraph(
+        Embeddings.prepare(Tables.embeddings(s, d), "vec_id", "embedding"),
+        "vec_id", k = 3, cells = 8)
+      graft.pipeline.GraphOps.pageRank(edges, "id_a", "id_b", iters = 3)
+        .orderBy("id")
+    }),
+
+    // Broadcast-Bloom decontamination (q45's scale path): eval shingles
+    // fold into a ~MB Bloom filter, train shingles die map-side in a
+    // codegen'd mightContain BEFORE the exact semi-join kills the false
+    // positives — same exact answer, per-source rollup.
+    "q89_bloom_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+      val bad = TrainingSet.contaminatedIdsBloom(train, evalDocs, "doc_id", "text",
+        ngram = 3).withColumn("bad", lit(1L))
+      train.join(bad, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_train"),
+          sum(when(col("bad").isNotNull, 1L).otherwise(0L)).as("n_contaminated"),
+          coalesce(sum(when(col("bad").isNotNull, col("doc_id"))), lit(0L))
+            .as("contaminated_id_sum"))
+        .orderBy("source")
     })
   )
 
@@ -1423,6 +1473,104 @@ object PipelineQueries {
     "q85_image_dedup" ->
       """SELECT id_a, id_b, hamming
         |FROM read_parquet('/root/repo/src/test/resources/golden/q85_image_dedup.parquet')
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Brute-force cross join with a length prefilter: candidate-complete by
+    // definition, so it checks BOTH the blocking's completeness and the
+    // verify's exactness. DuckDB and Spark implement the same classic
+    // unit-cost Levenshtein.
+    "q86_fuzzy_join" ->
+      """SELECT CAST(a.c_custkey AS BIGINT) AS id_a,
+        |  CAST(b.c_custkey AS BIGINT) AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE a.c_custkey % 3 = 0 AND b.c_custkey % 3 = 0
+        |  AND abs(length(a.c_name) - length(b.c_name)) <= 2
+        |  AND levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Doubled-median trick mirrored exactly: lower middle (rank (n+1)//2)
+    // plus upper middle (rank n//2+1), each CASE firing once — odd n hits
+    // the same rank twice, doubling it as required. All-integer, so the
+    // hash gate is exact.
+    "q87_mad_outliers" ->
+      """WITH base AS (
+        |  SELECT event_type AS k, event_id AS id,
+        |    CAST(floor(value * 100) AS BIGINT) AS vq FROM events
+        |),
+        |r1 AS (
+        |  SELECT k, id, vq, row_number() OVER (PARTITION BY k ORDER BY vq, id) AS rn,
+        |    count(*) OVER (PARTITION BY k) AS n FROM base
+        |),
+        |med AS (
+        |  SELECT k, CAST(sum(CASE WHEN rn = (n+1)//2 THEN vq ELSE 0 END)
+        |    + sum(CASE WHEN rn = n//2 + 1 THEN vq ELSE 0 END) AS BIGINT) AS med2
+        |  FROM r1 GROUP BY k
+        |),
+        |dev AS (
+        |  SELECT b.k, b.id, b.vq, abs(b.vq*2 - m.med2) AS dev2, m.med2
+        |  FROM base b JOIN med m ON b.k = m.k
+        |),
+        |r2 AS (
+        |  SELECT k, id, dev2, row_number() OVER (PARTITION BY k ORDER BY dev2, id) AS rn,
+        |    count(*) OVER (PARTITION BY k) AS n FROM dev
+        |),
+        |mad AS (
+        |  SELECT k, CAST(sum(CASE WHEN rn = (n+1)//2 THEN dev2 ELSE 0 END)
+        |    + sum(CASE WHEN rn = n//2+1 THEN dev2 ELSE 0 END) AS BIGINT) AS mad22
+        |  FROM r2 GROUP BY k
+        |)
+        |SELECT d.k AS event_type, count(*) AS n, max(d.med2) AS med2,
+        |  max(ma.mad22) AS mad22,
+        |  CAST(sum(CASE WHEN d.dev2*2 > ma.mad22*3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(coalesce(sum(CASE WHEN d.dev2*2 > ma.mad22*3 THEN d.id END), 0) AS BIGINT) AS outlier_id_sum
+        |FROM dev d JOIN mad ma ON d.k = ma.k
+        |GROUP BY d.k ORDER BY event_type""".stripMargin,
+
+    // q73's mutual-kNN CTE chain, then the three PageRank rounds unrolled.
+    // All-integer floor division per term (`//` here, `div` in Spark —
+    // identical on positives), so the ranks hash-match exactly.
+    "q88_pagerank" ->
+      s"""WITH $ivfCellCtes,
+        |scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+        |  FROM cell a JOIN cell b ON a.c = b.c AND a.vec_id != b.vec_id),
+        |ranked AS (
+        |  SELECT id_a, id_b, cos,
+        |    row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rnk
+        |  FROM scored),
+        |knn AS (SELECT id_a, id_b, cos FROM ranked WHERE rnk <= 3),
+        |mut AS (SELECT x.id_a, x.id_b FROM knn x JOIN knn y
+        |        ON x.id_a = y.id_b AND x.id_b = y.id_a WHERE x.id_a < x.id_b),
+        |e AS (SELECT id_a AS s, id_b AS t FROM mut UNION ALL SELECT id_b, id_a FROM mut),
+        |deg AS (SELECT s, count(*) AS dd FROM e GROUP BY s),
+        |ed AS (SELECT e.s, e.t, deg.dd FROM e JOIN deg ON e.s = deg.s),
+        |r0 AS (SELECT s AS id, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+        |r1 AS (SELECT ed.t AS id, CAST(150000000000 + (85 * sum(r0.r // ed.dd)) // 100 AS BIGINT) AS r
+        |       FROM ed JOIN r0 ON ed.s = r0.id GROUP BY ed.t),
+        |r2 AS (SELECT ed.t AS id, CAST(150000000000 + (85 * sum(r1.r // ed.dd)) // 100 AS BIGINT) AS r
+        |       FROM ed JOIN r1 ON ed.s = r1.id GROUP BY ed.t),
+        |r3 AS (SELECT ed.t AS id, CAST(150000000000 + (85 * sum(r2.r // ed.dd)) // 100 AS BIGINT) AS r
+        |       FROM ed JOIN r2 ON ed.s = r2.id GROUP BY ed.t)
+        |SELECT id, r AS pr FROM r3 ORDER BY id""".stripMargin,
+
+    // The Bloom prefilter only prunes (false positives are removed by the
+    // exact semi-join), so the oracle is the EXACT contamination answer —
+    // q45's shape, rolled up per source.
+    "q89_bloom_decontaminate" ->
+      s"""WITH $tokCte,
+        |$shingleCte,
+        |evalsh AS (SELECT DISTINCT sh FROM shingles WHERE doc_id % 10 = 0),
+        |bad AS (
+        |  SELECT DISTINCT s.doc_id FROM shingles s JOIN evalsh e ON s.sh = e.sh
+        |  WHERE s.doc_id % 10 <> 0)
+        |SELECT d.source, count(*) AS n_train,
+        |  count(b.doc_id) AS n_contaminated,
+        |  CAST(coalesce(sum(b.doc_id), 0) AS BIGINT) AS contaminated_id_sum
+        |FROM documents d LEFT JOIN bad b ON d.doc_id = b.doc_id
+        |WHERE d.doc_id % 10 <> 0
+        |GROUP BY d.source ORDER BY d.source""".stripMargin
   )
 }

@@ -925,4 +925,53 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // overshoots the whole budget (prior 0) and is kept; doc 6 is not.
     assert(got == Set(1L, 2L, 3L, 5L), got.mkString(", "))
   }
+
+  test("robustOutliers: hand-computed doubled-median/MAD on odd and even groups") {
+    import spark.implicits._
+    val rows = Seq(
+      // odd group: vq = 100,200,300,350,1000 → med2=600; dev2 = 400,200,0,
+      // 100,1400 → mad22 = 400; outlier iff dev2*2 > 1200 → only id 4
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 10.0), ("a", 5L, 3.5),
+      // even group: vq = 0,100 → med2=100; dev2 = 100,100 → mad22=200; none
+      ("b", 10L, 0.0), ("b", 11L, 1.0))
+      .toDF("k", "id", "v")
+    val got = graft.pipeline.Profile.robustOutliers(rows, "k", "v", "id", sigma = 3)
+      .orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got(0) == (("a", 5L, 600L, 400L, 1L, 4L)), got.mkString("; "))
+    assert(got(1) == (("b", 2L, 100L, 200L, 0L, 0L)), got.mkString("; "))
+  }
+
+  test("pageRank: hand-computed 3-round ranks on a path graph, fixed point on a cycle") {
+    import spark.implicits._
+    // path 1—2—3: endpoints feed the hub; hand-unrolled integer recurrence
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = graft.pipeline.GraphOps.pageRank(path, "id_a", "id_b", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 629187500000L, 2L -> 1741625000000L, 3L -> 629187500000L),
+      got.toString)
+    // triangle: fully symmetric, scale is a fixed point of the recurrence
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val gotTri = graft.pipeline.GraphOps.pageRank(tri, "id_a", "id_b", iters = 3)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(gotTri == Set(1000000000000L), gotTri.toString)
+  }
+
+  test("bloom decontaminate returns exactly the exact-join answer") {
+    val train = docs(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "one two three four five six",
+      3L -> "totally unrelated training text here")
+    val eval = docs(
+      100L -> "beta gamma delta overlap probe",
+      101L -> "four five six overlap probe")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val exact = ids(TrainingSet.contaminatedIds(train, eval, "doc_id", "text", 3))
+    val bloom = ids(graft.pipeline.TrainingSet.contaminatedIdsBloom(
+      train, eval, "doc_id", "text", 3))
+    assert(exact == Set(1L, 2L))
+    assert(bloom == exact)
+  }
 }
