@@ -7,91 +7,133 @@ import org.apache.spark.sql.functions._
   * record-linkage blocking for a training-data pipeline (near-identical
   * titles, URLs, author strings, product names).
   *
-  * Algorithm: PassJoin-style segment blocking (Li, Deng, Feng — "PASS-JOIN:
-  * a partition-based method for similarity joins", PVLDB 5(3), public).
-  * Partition every string into `k+1` contiguous segments; by pigeonhole, if
-  * `ed(s, t) <= k` then `t` contains at least one of `s`'s segments as an
-  * EXACT substring, displaced by at most `k` positions. Candidate
-  * generation is therefore a pure EQUI-join on `(source length, segment
-  * index, segment text)` — never an all-pairs comparison — followed by an
-  * exact banded-Levenshtein verify on the survivors.
+  * Candidate generation is a pure EQUI-join in every branch — never an
+  * all-pairs comparison — followed by an exact thresholded-Levenshtein
+  * verify on the survivors. Three complete-by-construction branches keyed
+  * on string length (`k` = the distance budget, `q` = `k+1`):
   *
-  * 100 TB posture:
-  *  - index side emits `k+1` rows per string, probe side at most
-  *    `(2k+1)^2 (k+1)` substrings per string — constant fan-out, one
-  *    shuffle each, equi-join only (no cross join, no BNLJ);
-  *  - the verify is `levenshtein(s, t, k)` — the THRESHOLDED kernel (banded
-  *    DP, O(k·len)) — and runs only on blocked candidates;
-  *  - segment keys of frequent boilerplate prefixes can run hot; the join
-  *    is a standard shuffled equi-join, so AQE skew-join splitting applies
-  *    as-is (and the `(length, index)` key components already spread the
-  *    hottest text segment across partitions).
+  *  - **len > (k+1)²−1 — Ed-Join prefix filtering** (Xiao, Wang, Lin,
+  *    "Ed-Join", PVLDB 1(1), public): one edit destroys at most `q`
+  *    positional q-grams, so two strings within distance `k` share a gram
+  *    among their `k·q+1` RAREST grams under a single global
+  *    (document-frequency asc) order. Rare-first prefixes make the join
+  *    keys the most selective grams in the corpus — shared boilerplate
+  *    ("Customer#…", "http://www.") is frequent, lands OUTSIDE every
+  *    prefix, and never becomes a join key. (A pure segment scheme — see
+  *    next branch — degrades quadratically exactly there: a segment
+  *    falling inside the boilerplate region is one full-corpus bucket.)
+  *  - **k+1 ≤ len ≤ (k+1)²−1 — PassJoin segments** (Li, Deng, Feng,
+  *    PVLDB 5(3), public): such strings have too few grams for the prefix
+  *    bound to bite (`|G| ≤ k·q` makes the count filter vacuous), but the
+  *    pigeonhole partition into `k+1` segments is complete at any length
+  *    ≥ k+1: a within-distance match contains some segment exactly,
+  *    displaced at most `k`. Applied only to this bounded-length band,
+  *    where segment keys are short but the row population is a corpus
+  *    sliver and boilerplate-collision risk is structurally low.
+  *  - **len ≤ k — tiny**: every such string is within distance `k` of any
+  *    string of length ≤ 2k (and can never match a longer one), so the
+  *    candidate set IS (tiny × ≤2k) — quadratic in a set that is
+  *    degenerate by construction (strings shorter than the edit budget).
   *
-  * Reference analogue: the reference engine has no string-similarity join;
-  * this extends the dedup pillar (datafusion_iceberg-style pipelines stop
-  * at exact/minhash matching) with the character-level variant.
+  * A pair is routed by its SHORTER side (min-length ≤ k → tiny;
+  * ≤ (k+1)²−1 → segments; else prefix), so the branches are disjoint and
+  * jointly exhaustive; results union without cross-branch dedup.
+  *
+  * 100 TB posture: every shuffle is keyed by gram / segment / length
+  * metadata, never by pair; prefix keys are globally rarest-first (hot
+  * keys structurally excluded); the verify is the banded `levenshtein(s,
+  * t, k)` kernel on blocked candidates only. Remaining skew is ordinary
+  * equi-join skew — AQE splits it.
   */
 object FuzzyJoin {
 
   /** All pairs `(id_a < id_b, dist)` with `levenshtein <= maxDist`.
-    *
-    * Exact and complete: segment blocking covers every pair whose BOTH
-    * strings have `length >= maxDist+1` (the pigeonhole partition needs
-    * `k+1` non-empty segments — indexing is symmetric, so the shorter
-    * string of a pair may fall below the bound only if both do); pairs of
-    * "tiny" strings (`length <= maxDist`) are ALWAYS within distance
-    * `maxDist` of each other, and are emitted by a dedicated
-    * constant-key join over that (by construction degenerate) subset.
-    *
-    * Output: `id_a BIGINT, id_b BIGINT, dist BIGINT`, one row per pair.
-    */
+    * Output: `id_a BIGINT, id_b BIGINT, dist BIGINT`, one row per pair. */
   def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
                        maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val k = maxDist
-    val kp1 = k + 1
+    val q = k + 1            // gram size; also the segment count
+    val prefLen = k * q + 1  // Ed-Join prefix: k·q + 1 rarest grams
+    val medMax = (k + 1) * (k + 1) - 1 // last length where |G| <= k·q
 
     val base = df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
       .withColumn("len", length(col("s")))
 
+    // ---- branch 1: Ed-Join rarest-gram prefixes (both sides len > medMax)
+    val long = base.filter(col("len") > medMax)
+    val grams = long
+      .select(col("id"), col("s"), col("len"),
+        explode(sequence(lit(1), col("len") - (q - 1))).as("pos"))
+      .select(col("id"), col("s"), col("len"), col("pos"),
+        col("s").substr(col("pos"), lit(q)).as("g"))
+    val gdf = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    // one partition-by-id exchange ranks the grams rarest-first; ties break
+    // on (gram, pos) so the global order is total and both join sides of a
+    // pair rank identically
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("gdf").asc, col("g").asc, col("pos").asc)
+    // NARROW prefix rows (id, len, gram — no strings): on boilerplate-heavy
+    // fixed-format corpora the prefix buckets can degenerate toward
+    // all-pairs (every string carries the same near-constant grams), so the
+    // candidate join must shuffle the absolute minimum bytes per row; the
+    // strings re-attach AFTER the pair-level distinct, via two joins
+    // against the (comparatively tiny) base relation. Cached: the
+    // self-join consumes the gram/df/window chain twice.
+    val prefix = grams.join(gdf, "g")
+      .select(col("id"), col("len"), col("g"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= prefLen)
+      .select(col("id"), col("len"), col("g"))
+      .cache()
+    val prefixPairs = prefix.select(col("g"), col("id").as("id_x"), col("len").as("len_x"))
+      .join(prefix.select(col("g"), col("id").as("id_y"), col("len").as("len_y")), "g")
+      .filter(col("id_x") < col("id_y") &&
+        abs(col("len_x") - col("len_y")) <= k)
+      .select(col("id_x").as("id_a"), col("id_y").as("id_b"))
+      .distinct()
+    val prefixCand = prefixPairs
+      .join(long.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(long.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+
+    // ---- branch 2: PassJoin segments (shorter side in [k+1, medMax]).
     // Even partition of a length-L string: segment i in [0, k] has length
     // floor(L/(k+1)) (+1 for the first L mod (k+1) segments) and 0-based
-    // start i*floor(L/(k+1)) + min(i, L mod (k+1)). Integer arithmetic on
-    // columns via floor() — Column./ is double division.
+    // start i*floor(L/(k+1)) + min(i, L mod (k+1)).
     def segLen(lc: Column, i: Column): Column =
-      (floor(lc / kp1) + when(i < lc % kp1, 1).otherwise(0)).cast("int")
+      (floor(lc / q) + when(i < lc % q, 1).otherwise(0)).cast("int")
     def segStart(lc: Column, i: Column): Column =
-      (i * floor(lc / kp1) + least(i, lc % kp1)).cast("int")
+      (i * floor(lc / q) + least(i, lc % q)).cast("int")
 
-    // Index side: the k+1 segments of every string long enough to have
-    // non-empty segments.
-    val idx = base.filter(col("len") >= kp1)
+    val idx = base.filter(col("len") >= q && col("len") <= medMax)
       .select(col("id"), col("s"), col("len"),
         explode(sequence(lit(0), lit(k))).as("i"))
       .select(col("id").as("id_x"), col("s").as("s_x"), col("len").as("len_x"),
         col("i"),
         col("s").substr(segStart(col("len"), col("i")) + 1,
           segLen(col("len"), col("i"))).as("seg"))
-
-    // Probe side: for every candidate SOURCE length Ls within +-k of this
-    // string's own length, the substrings that could equal source segment i
-    // — the segment's own span displaced by at most k (the complete
-    // PassJoin position window).
-    val probe = base
+    // probe side: any string a segment-indexed string could match (its own
+    // length within +-k of an indexed length) emits, for every candidate
+    // source length Ls, the substrings that could equal source segment i —
+    // the segment's own span displaced by at most k (the complete PassJoin
+    // position window)
+    val segProbe = base.filter(col("len") >= q - k && col("len") <= medMax + k)
       .withColumn("Ls", explode(sequence(col("len") - k, col("len") + k)))
-      .filter(col("Ls") >= kp1)
+      .filter(col("Ls") >= q && col("Ls") <= medMax)
       .withColumn("i", explode(sequence(lit(0), lit(k))))
       .withColumn("slen", segLen(col("Ls"), col("i")))
       .withColumn("p_lo", greatest(segStart(col("Ls"), col("i")) - k, lit(0)))
       .withColumn("p_hi", least(segStart(col("Ls"), col("i")) + k, col("len") - col("slen")))
       .filter(col("p_lo") <= col("p_hi"))
       .withColumn("p", explode(sequence(col("p_lo"), col("p_hi"))))
-      .select(col("id").as("id_y"), col("s").as("s_y"), col("Ls"), col("i"),
-        col("s").substr(col("p") + 1, col("slen")).as("sub"))
-
-    val blocked = idx.join(probe,
-        idx("len_x") === probe("Ls") && idx("i") === probe("i") &&
-          idx("seg") === probe("sub") && idx("id_x") =!= probe("id_y"))
+      .select(col("id").as("id_y"), col("s").as("s_y"), col("len").as("len_y"),
+        col("Ls"), col("i"), col("s").substr(col("p") + 1, col("slen")).as("sub"))
+    val segCand = idx.join(segProbe,
+        idx("len_x") === segProbe("Ls") && idx("i") === segProbe("i") &&
+          idx("seg") === segProbe("sub") && idx("id_x") =!= segProbe("id_y"))
+      // route by the pair's SHORTER side: it must fall in the indexed band
+      // [q, medMax] — below q the pair belongs to the tiny branch, above
+      // medMax to the prefix branch (keeps the three branches disjoint)
+      .filter(least(col("len_x"), col("len_y")).between(q, medMax))
       .select(
         least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"),
@@ -99,23 +141,34 @@ object FuzzyJoin {
         when(col("id_x") < col("id_y"), col("s_y")).otherwise(col("s_x")).as("s_b"))
       .distinct()
 
-    val verified = blocked
+    // ---- branch 3: tiny (shorter side len <= k) — see scaladoc
+    val tiny = base.filter(col("len") <= k).withColumn("_one", lit(1))
+    val tinyOther = base.filter(col("len") <= 2 * k)
+      .select(lit(1).as("_one"), col("id").as("id_y"), col("s").as("s_y"),
+        col("len").as("len_y"))
+    val tinyCand = tiny.join(tinyOther, "_one")
+      .filter(col("id") =!= col("id_y") &&
+        // shorter side must be the tiny side (dedup vs branch 2)
+        least(col("len"), col("len_y")) <= k)
+      .select(
+        least(col("id"), col("id_y")).as("id_a"),
+        greatest(col("id"), col("id_y")).as("id_b"),
+        when(col("id") < col("id_y"), col("s")).otherwise(col("s_y")).as("s_a"),
+        when(col("id") < col("id_y"), col("s_y")).otherwise(col("s")).as("s_b"))
+      .distinct()
+
+    def verify(cand: DataFrame): DataFrame = cand
       // thresholded Levenshtein: banded DP, returns -1 past the threshold
       .withColumn("dist", levenshtein(col("s_a"), col("s_b"), k))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
 
-    // Tiny strings (len <= k): every pair qualifies unconditionally
-    // (ed <= max(len) <= k), so the quadratic output IS the answer and the
-    // constant-key self-join below is the minimal complete plan. The subset
-    // is degenerate by construction (strings shorter than the edit budget).
-    val tiny = base.filter(col("len") <= k).withColumn("_one", lit(1))
-    val t2 = tiny.select(col("_one"), col("id").as("id_y"), col("s").as("s_y"))
-    val tinyPairs = tiny.join(t2, "_one")
-      .filter(col("id") < col("id_y"))
-      .select(col("id").as("id_a"), col("id_y").as("id_b"),
-        levenshtein(col("s"), col("s_y")).cast("long").as("dist"))
-
-    verified.unionByName(tinyPairs)
+    // eager: the prefix cache must not outlive the call in a long-lived
+    // session (the jaccardJoinExact pattern)
+    try verify(prefixCand)
+      .unionByName(verify(segCand))
+      .unionByName(verify(tinyCand))
+      .localCheckpoint(true)
+    finally prefix.unpersist()
   }
 }
