@@ -50,7 +50,18 @@ object FuzzyJoin {
   /** All pairs `(id_a < id_b, dist)` with `levenshtein <= maxDist`.
     * Output: `id_a BIGINT, id_b BIGINT, dist BIGINT`, one row per pair. */
   def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
-                       maxDist: Int): DataFrame = {
+                       maxDist: Int): DataFrame =
+    editDistanceJoinImpl(df, idCol, strCol, maxDist, eager = true)
+
+  /** Lazy [[editDistanceJoin]] (no cache, no checkpoint) — exposes the full
+    * logical plan for the plan-shape gates; production callers want the
+    * eager variant, which releases its caches on return. */
+  private[graft] def editDistanceJoinLazy(df: DataFrame, idCol: String, strCol: String,
+                                          maxDist: Int): DataFrame =
+    editDistanceJoinImpl(df, idCol, strCol, maxDist, eager = false)
+
+  private def editDistanceJoinImpl(df: DataFrame, idCol: String, strCol: String,
+                                   maxDist: Int, eager: Boolean): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val k = maxDist
     val q = k + 1            // gram size; also the segment count
@@ -80,11 +91,11 @@ object FuzzyJoin {
     // strings re-attach AFTER the pair-level distinct, via two joins
     // against the (comparatively tiny) base relation. Cached: the
     // self-join consumes the gram/df/window chain twice.
-    val prefix = grams.join(gdf, "g")
+    val prefix0 = grams.join(gdf, "g")
       .select(col("id"), col("len"), col("g"), row_number().over(w).as("rn"))
       .filter(col("rn") <= prefLen)
       .select(col("id"), col("len"), col("g"))
-      .cache()
+    val prefix = if (eager) prefix0.cache() else prefix0
     val prefixPairs = prefix.select(col("g"), col("id").as("id_x"), col("len").as("len_x"))
       .join(prefix.select(col("g"), col("id").as("id_y"), col("len").as("len_y")), "g")
       .filter(col("id_x") < col("id_y") &&
@@ -141,11 +152,14 @@ object FuzzyJoin {
         when(col("id_x") < col("id_y"), col("s_y")).otherwise(col("s_x")).as("s_b"))
       .distinct()
 
-    // ---- branch 3: tiny (shorter side len <= k) — see scaladoc
-    val tiny = base.filter(col("len") <= k).withColumn("_one", lit(1))
+    // ---- branch 3: tiny (shorter side len <= k) — see scaladoc.
+    // The constant bucket key is pmod(id, 1) — always 0, but NOT
+    // constant-foldable: a literal key would fold to `true` and the join
+    // would plan as a nested loop instead of a (single-key) hash join.
+    val tiny = base.filter(col("len") <= k).withColumn("_one", pmod(col("id"), lit(1)))
     val tinyOther = base.filter(col("len") <= 2 * k)
-      .select(lit(1).as("_one"), col("id").as("id_y"), col("s").as("s_y"),
-        col("len").as("len_y"))
+      .select(pmod(col("id"), lit(1)).as("_one"), col("id").as("id_y"),
+        col("s").as("s_y"), col("len").as("len_y"))
     val tinyCand = tiny.join(tinyOther, "_one")
       .filter(col("id") =!= col("id_y") &&
         // shorter side must be the tiny side (dedup vs branch 2)
@@ -163,12 +177,12 @@ object FuzzyJoin {
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
 
-    // eager: the prefix cache must not outlive the call in a long-lived
-    // session (the jaccardJoinExact pattern)
-    try verify(prefixCand)
+    val res = verify(prefixCand)
       .unionByName(verify(segCand))
       .unionByName(verify(tinyCand))
-      .localCheckpoint(true)
-    finally prefix.unpersist()
+    // eager: the prefix cache must not outlive the call in a long-lived
+    // session (the jaccardJoinExact pattern)
+    if (eager) try res.localCheckpoint(true) finally prefix.unpersist()
+    else res
   }
 }

@@ -35,12 +35,24 @@ object GraphOps {
     * Output: `id BIGINT, pr BIGINT` (fixed-point rank).
     */
   def pageRank(edges: DataFrame, aCol: String, bCol: String,
-               iters: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+               iters: Int = 3, scale: Long = 1000000000000L): DataFrame =
+    pageRankImpl(edges, aCol, bCol, iters, scale, eager = true)
+
+  /** Lazy [[pageRank]] (no cache, no checkpoint) — exposes the full plan
+    * for the plan-shape gates; production callers want the eager variant,
+    * which releases the edge cache on return. */
+  private[graft] def pageRankLazy(edges: DataFrame, aCol: String, bCol: String,
+                                  iters: Int = 3, scale: Long = 1000000000000L): DataFrame =
+    pageRankImpl(edges, aCol, bCol, iters, scale, eager = false)
+
+  private def pageRankImpl(edges: DataFrame, aCol: String, bCol: String,
+                           iters: Int, scale: Long, eager: Boolean): DataFrame = {
     require(iters >= 1 && scale >= 100, s"iters=$iters scale=$scale")
     val dir = edges.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("t"))
       .unionByName(edges.select(col(bCol).cast("long").as("s"), col(aCol).cast("long").as("t")))
     val deg = dir.groupBy(col("s")).agg(count(lit(1)).as("d"))
-    val e = dir.join(deg, "s").cache()
+    val e0 = dir.join(deg, "s")
+    val e = if (eager) e0.cache() else e0
     try {
       val base = scale / 100 * 15
       var r = deg.select(col("s").as("id"), lit(scale).as("r"))
@@ -54,7 +66,8 @@ object GraphOps {
             (lit(base) + expr("(85 * insum) div 100")).as("r"))
         it += 1
       }
-      r.select(col("id"), col("r").cast("long").as("pr")).localCheckpoint(true)
-    } finally e.unpersist()
+      val res = r.select(col("id"), col("r").cast("long").as("pr"))
+      if (eager) res.localCheckpoint(true) else res
+    } finally if (eager) e.unpersist()
   }
 }

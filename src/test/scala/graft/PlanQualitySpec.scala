@@ -456,6 +456,49 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Generate"), s"budget selection must not explode:\n$plan")
   }
 
+  test("fuzzy join: every branch is an equi-join (gram/segment/bucket keys)") {
+    // lazy variant: the production function localCheckpoints (cache release)
+    val plan = physicalPlan(graft.pipeline.FuzzyJoin.editDistanceJoinLazy(
+      graft.Tables.customer(spark, sf), "c_custkey", "c_name", maxDist = 2)
+      .orderBy("id_a", "id_b"))
+    assert(!plan.contains("CartesianProduct"),
+      s"fuzzy blocking degenerated to a cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the fuzzy-join plan:\n$plan")
+  }
+
+  test("pagerank: edge/rank joins are equi-joins, contributions combine map-side") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    // lazy variant: the production function localCheckpoints (cache release)
+    val plan = physicalPlan(
+      graft.pipeline.GraphOps.pageRankLazy(edges, "id_a", "id_b", iters = 2))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the pagerank plan:\n$plan")
+    // the per-destination sum must partially aggregate before the exchange
+    // (high-degree hubs combine map-side, never a hot reducer)
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      s"contribution aggregate not map-side combined:\n$plan")
+  }
+
+  test("bloom decontaminate: mightContain prefilter sits below the exact semi-join") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+    val plan = physicalPlan(graft.pipeline.TrainingSet.contaminatedIdsBloom(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", ngram = 3))
+    assert(plan.contains("might_contain"),
+      s"bloom prefilter optimized away:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"exact false-positive-removing semi-join missing:\n$plan")
+    // the bloom filter must be evaluated in the scan-side stage, BEFORE the
+    // shuffle/broadcast for the semi-join — assert it appears in a Filter,
+    // not only inside the join condition
+    val filterLines = plan.split('\n').filter(l =>
+      l.contains("Filter") && l.contains("might_contain"))
+    assert(filterLines.nonEmpty, s"might_contain not a standalone prefilter:\n$plan")
+  }
+
   test("json props extraction is a projection + one aggregate, no join") {
     val plan = physicalPlan(PipelineQueries.queries("q80_json_props")(spark, sf))
     assert(!plan.contains("Join"), s"json extraction must not join:\n$plan")
