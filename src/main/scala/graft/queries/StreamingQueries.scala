@@ -81,6 +81,39 @@ object StreamingQueries {
           col("event_type"), col("n"),
           col("sum_value").cast("double").as("sum_value"))
         .orderBy("window_start", "event_type")
+    }),
+
+    // STATEFUL streaming sessionization (flatMapGroupsWithState), judge-
+    // visible: events replay through the custom keyed-state operator with
+    // NoTimeout, so exactly the DATA-closed sessions emit — every session
+    // of a user except the last, a deterministic set the batch oracle
+    // reproduces with a gap-break window. Values are floor-quantized to
+    // cents BEFORE the stateful sum (integer-valued doubles add exactly in
+    // any order), so totals hash-match the oracle's BIGINT sums.
+    "q90_stream_sessions" -> ((s, d) => {
+      import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+      import s.implicits._
+      val unit = graft.Tables.tsUnit(s, s"$d/events.parquet", "ts")
+      val raw = s.readStream
+        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+      val usCol = if (unit == TimeUnit.NANOS) expr("ts DIV 1000") else col("ts")
+      val ev = raw.select(col("user_id"),
+          timestamp_micros(usCol.cast("long")).as("ts"),
+          floor(col("value") * 100).cast("double").as("value"))
+        .as[IceStreaming.Event]
+      val sess = IceStreaming.sessionize(ev, gapMs = 3600000L,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      val sink = "q90_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      sess.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.table(sink)
+        .select(col("user_id"), col("start_ms"), col("end_ms"),
+          col("n_events").cast("long").as("n_events"),
+          col("total_value").cast("long").as("total_cents"))
+        .orderBy("user_id", "start_ms")
     })
   )
 
@@ -96,6 +129,35 @@ object StreamingQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // batch replica of gap sessionization; the stream emits only
+    // DATA-closed sessions (NoTimeout), i.e. all but each user's last —
+    // reproduced here by dropping the max session index per user. Ties in
+    // ts are gap-0 (same session) on both engines, and per-session sums
+    // are integers, so the ordering inside a user is irrelevant.
+    "q90_stream_sessions" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ms(ts) AS t,
+        |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |g AS (
+        |  SELECT user_id, t, v,
+        |    CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |      OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 3600000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM ev),
+        |s AS (
+        |  SELECT user_id, t, v,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g),
+        |agg AS (
+        |  SELECT user_id, sess, min(t) AS start_ms, max(t) AS end_ms,
+        |    count(*) AS n_events, CAST(sum(v) AS BIGINT) AS total_cents
+        |  FROM s GROUP BY user_id, sess),
+        |last AS (SELECT user_id, max(sess) AS last_sess FROM agg GROUP BY user_id)
+        |SELECT a.user_id AS user_id, a.start_ms, a.end_ms, a.n_events, a.total_cents
+        |FROM agg a JOIN last l ON a.user_id = l.user_id AND a.sess < l.last_sess
+        |ORDER BY a.user_id, a.start_ms""".stripMargin
   )
 }
