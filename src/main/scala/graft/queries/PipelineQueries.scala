@@ -58,6 +58,26 @@ object PipelineQueries {
     }
   }
 
+  // The mutual k-NN similarity graph is likewise STANDING state with two
+  // consumers — q73 (the edge listing) and q88 (PageRank centrality over
+  // the edges) — built once per (session, dir) and read from the
+  // checkpoint thereafter (knnGraph already localCheckpoints internally).
+  // Same bench-honesty note and eviction rules as pairsCache above.
+  private val knnGraphCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
+
+  private def mutualKnnGraph(s: SparkSession, d: String): DataFrame = {
+    val cur = knnGraphCache.get(d)
+    if (cur != null && cur._1.sparkContext.isStopped) knnGraphCache.remove(d, cur)
+    if (cur != null && (cur._1 eq s) && !s.sparkContext.isStopped) cur._2
+    else {
+      val g = Embeddings.knnGraph(
+        Embeddings.prepare(Tables.embeddings(s, d), "vec_id", "embedding"),
+        "vec_id", k = 3, cells = 8)
+      knnGraphCache.put(d, (s, g)); g
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Text analysis: surface statistics per document.
     // Int-valued surface columns are cast to BIGINT to match DuckDB's
@@ -442,10 +462,7 @@ object PipelineQueries {
 
     // Mutual k-NN graph within IVF cells (graph-based dedup/diversity seed).
     "q73_knn_graph" -> ((s, d) =>
-      Embeddings.knnGraph(
-        Embeddings.prepare(Tables.embeddings(s, d), "vec_id", "embedding"),
-        "vec_id", k = 3, cells = 8)
-        .orderBy("id_a", "id_b")),
+      mutualKnnGraph(s, d).orderBy("id_a", "id_b")),
 
     // KMV bottom-k cardinality sketch per source (k = 16).
     "q74_kmv" -> ((s, d) =>
@@ -584,13 +601,9 @@ object PipelineQueries {
     // Integer fixed-point PageRank (3 rounds, damping 0.85) over the
     // mutual k-NN similarity graph — per-document centrality for data
     // selection, complementing q47's membership-only clustering.
-    "q88_pagerank" -> ((s, d) => {
-      val edges = Embeddings.knnGraph(
-        Embeddings.prepare(Tables.embeddings(s, d), "vec_id", "embedding"),
-        "vec_id", k = 3, cells = 8)
-      graft.pipeline.GraphOps.pageRank(edges, "id_a", "id_b", iters = 3)
-        .orderBy("id")
-    }),
+    "q88_pagerank" -> ((s, d) =>
+      graft.pipeline.GraphOps.pageRank(mutualKnnGraph(s, d), "id_a", "id_b", iters = 3)
+        .orderBy("id")),
 
     // Broadcast-Bloom decontamination (q45's scale path): eval shingles
     // fold into a ~MB Bloom filter, train shingles die map-side in a

@@ -159,4 +159,31 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p10 == copies * p1, s"expected ${copies}x$p1 pairs, got $p10")
     pairs10.unpersist()
   }
+
+  // Levenshtein distance is invariant under a global character bijection,
+  // so each caesar copy contributes the base pair set verbatim; cross-copy
+  // names differ in every letter position (≥ 8 edits ≫ the budget).
+  private def custCopy(k: Int): DataFrame = {
+    val shifted = alpha.drop(k % 26) + alpha.take(k % 26) +
+      digits.drop(k % 10) + digits.take(k % 10)
+    Tables.customer(spark, sfDir).filter(col("c_custkey") % 3 === 0)
+      .select((col("c_custkey") + lit(k * CopyStride)).as("id"),
+        translate(lower(col("c_name")), alpha + digits, shifted).as("name"))
+  }
+
+  test("q86 fuzzy join is deterministic under scale: exactly 10x the base pairs") {
+    val cust1x = custCopy(0)
+    val cust10x = (0 until copies).map(custCopy).reduce(_ unionByName _).repartition(8)
+    val p1 = timed("q86 editDistanceJoin 1x") {
+      graft.pipeline.FuzzyJoin.editDistanceJoin(cust1x, "id", "name", maxDist = 2).count()
+    }
+    val (pairs10, p10) = timed(s"q86 editDistanceJoin ${copies}x") {
+      val p = graft.pipeline.FuzzyJoin.editDistanceJoin(cust10x, "id", "name", maxDist = 2)
+        .cache()
+      (p, p.count())
+    }
+    assert(crossCopy(pairs10) == 0, "cross-copy fuzzy pairs found")
+    assert(p10 == copies * p1, s"expected ${copies}x$p1 pairs, got $p10")
+    pairs10.unpersist()
+  }
 }
