@@ -27,6 +27,28 @@ object IceWrite {
   /** Reserved prefix for physical partition-directory column names. */
   private[graft] val PartColPrefix = "__gp_"
 
+  // One standing write child per parent session (weak keys: a stopped and
+  // dereferenced parent must not pin its child). The child's conf set is
+  // CONSTANT, so every write can share it — and a concurrent write on the
+  // same parent shares it safely for the same reason.
+  private val writeSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
+
+  private[graft] def writeSessionFor(spark: SparkSession): SparkSession =
+    writeSessions.synchronized {
+      val cur = writeSessions.get(spark)
+      if (cur != null) cur
+      else {
+        val ws = spark.newSession()
+        ws.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        ws.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        ws.sessionState.newHadoopConf() // ensure defaults materialized
+        writeSessions.put(spark, ws)
+        ws
+      }
+    }
+
   /** Known-cardinality write sizing: rows → `writeDataFiles(outFiles)` hint
     * at ~4M rows per file — callers that can bound their output (MV merges,
     * MERGE key sets) use this instead of the optimizer's join estimates. */
@@ -150,12 +172,13 @@ object IceWrite {
     // under them. Nothing to restore, even on throw. (The zstd level on
     // the context-global hadoopConfiguration is kept: it only applies
     // where the codec is zstd, which non-graft writes don't set.)
-    val writeSession = spark.newSession()
+    // The child is MEMOIZED per parent: its confs are constant across
+    // calls, and building a SessionState per write (analyzer, optimizer,
+    // catalog wrappers) showed up as a 30-60% tax on every write-path
+    // query in the round-10 bench.
+    val writeSession = IceWrite.writeSessionFor(spark)
     val dfw = org.apache.spark.sql.GraftShim.ofRows(writeSession,
       df.queryExecution.analyzed)
-    writeSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    writeSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    writeSession.sessionState.newHadoopConf() // ensure defaults materialized
     spark.sparkContext.hadoopConfiguration.set("parquet.compression.codec.zstd.level",
       props.getOrElse("write.parquet.compression-level", "1"))
 
