@@ -76,11 +76,17 @@ object StreamingQueries {
       agg.writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow())
         .start().awaitTermination()
-      s.table(sink)
+      // materialize, then DROP the memory sink: a suite that runs many
+      // streaming queries must not accumulate pinned sink tables in the
+      // driver for its whole lifetime
+      val out = s.table(sink)
         .select(col("window_start").cast("timestamp_ntz").as("window_start"),
           col("event_type"), col("n"),
           col("sum_value").cast("double").as("sum_value"))
         .orderBy("window_start", "event_type")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
     }),
 
     // STATEFUL streaming sessionization (flatMapGroupsWithState), judge-
@@ -109,11 +115,15 @@ object StreamingQueries {
       sess.writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow())
         .start().awaitTermination()
-      s.table(sink)
+      // materialize + drop the sink (see q84)
+      val out = s.table(sink)
         .select(col("user_id"), col("start_ms"), col("end_ms"),
           col("n_events").cast("long").as("n_events"),
           col("total_value").cast("long").as("total_cents"))
         .orderBy("user_id", "start_ms")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
     })
   )
 
