@@ -425,6 +425,35 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Canonical-document selection per duplicate cluster — the step AFTER
+    * clustering in a dedup pipeline: of each cluster's members, KEEP the
+    * highest-scoring document (quality score, length, recency — any
+    * caller-supplied ranking) and record the cluster's size and membership
+    * checksum for the drop audit. Deterministic: ties break on ascending
+    * id, and the caller's score column is expected to be engine-exact (the
+    * quality/LM scores in this repo all are).
+    *
+    * One shuffle keyed by cluster id serves both the argmax window and the
+    * membership aggregate. `clusters` is [[dupClusters]]' output
+    * (`cluster_id`, `id`); `scored` maps `idCol` → `scoreCol`.
+    *
+    * Output: `cluster_id, n_members, member_id_sum, keeper, keeper_score`.
+    */
+  def clusterRepresentatives(clusters: DataFrame, scored: DataFrame,
+                             idCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = clusters.join(
+      scored.select(col(idCol).cast("long").as("id"), col(scoreCol).as("__score")), "id")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__score").desc, col("id").asc)
+    joined.withColumn("__rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("id")).as("member_id_sum"),
+        max(when(col("__rn") === 1, col("id"))).as("keeper"),
+        max(when(col("__rn") === 1, col("__score"))).as("keeper_score"))
+  }
+
   /** 16-bit SimHash signature per document: bit b is the sign of the sum of
     * ±1 votes from bit b of each token's md5 (tokens counted with
     * multiplicity). Two shuffles: (doc, bit) partial sums, then doc. The

@@ -605,6 +605,17 @@ object PipelineQueries {
       graft.pipeline.GraphOps.pageRank(mutualKnnGraph(s, d), "id_a", "id_b", iters = 3)
         .orderBy("id")),
 
+    // Canonical-doc selection per duplicate cluster: clustering (q47's
+    // standing pair frame) × quality scoring (q32's formula) → keep the
+    // best-quality member, audit the rest. The post-clustering step every
+    // dedup pipeline actually ships.
+    "q91_canonical_docs" -> ((s, d) => {
+      val clusters = Dedup.dupClusters(nearDupPairs(s, d))
+      val quality = TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text")
+      Dedup.clusterRepresentatives(clusters, quality, "doc_id", "quality")
+        .orderBy("cluster_id")
+    }),
+
     // Broadcast-Bloom decontamination (q45's scale path): eval shingles
     // fold into a ~MB Bloom filter, train shingles die map-side in a
     // codegen'd mightContain BEFORE the exact semi-join kills the false
@@ -1568,6 +1579,37 @@ object PipelineQueries {
         |r3 AS (SELECT ed.t AS id, CAST(150000000000 + (85 * sum(r2.r // ed.dd)) // 100 AS BIGINT) AS r
         |       FROM ed JOIN r2 ON ed.s = r2.id GROUP BY ed.t)
         |SELECT id, r AS pr FROM r3 ORDER BY id""".stripMargin,
+
+    // q47's recursive connected components + q32's quality formula,
+    // argmax per cluster (ties on ascending doc_id).
+    "q91_canonical_docs" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+        |clus AS (SELECT min(r) AS cluster_id, id AS doc_id FROM reach GROUP BY id),
+        |qstats AS (
+        |  SELECT doc_id,
+        |    len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) AS ttr,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    (length(text) - len(string_split(text, ' ')) + 1) * 1.0 / len(string_split(text, ' ')) AS mean_tok_len
+        |  FROM documents),
+        |quality AS (
+        |  SELECT doc_id, ttr * 50.0 + least(n_tokens / 4.0, 25.0)
+        |    + least(mean_tok_len * 5.0, 25.0) AS quality FROM qstats),
+        |j AS (
+        |  SELECT c.cluster_id, c.doc_id, q.quality,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |      ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+        |  FROM clus c JOIN quality q ON c.doc_id = q.doc_id)
+        |SELECT cluster_id, count(*) AS n_members,
+        |  CAST(sum(doc_id) AS BIGINT) AS member_id_sum,
+        |  max(CASE WHEN rn = 1 THEN doc_id END) AS keeper,
+        |  max(CASE WHEN rn = 1 THEN quality END) AS keeper_score
+        |FROM j GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     // The Bloom prefilter only prunes (false positives are removed by the
     // exact semi-join), so the oracle is the EXACT contamination answer —

@@ -958,6 +958,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotTri == Set(1000000000000L), gotTri.toString)
   }
 
+  test("clusterRepresentatives keeps the best-scored member, ties break on id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (1L, 2L), (1L, 3L), (7L, 7L), (7L, 9L))
+      .toDF("cluster_id", "id")
+    val scored = Seq((1L, 2.0), (2L, 9.0), (3L, 9.0), (7L, 1.0), (9L, 0.5))
+      .toDF("doc_id", "quality")
+    val got = Dedup.clusterRepresentatives(clusters, scored, "doc_id", "quality")
+      .orderBy("cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // cluster 1: docs 2 and 3 tie at 9.0 → keeper 2 (lower id)
+    assert(got(0) == ((1L, 3L, 6L, 2L, 9.0)), got.mkString("; "))
+    assert(got(1) == ((7L, 2L, 16L, 7L, 1.0)), got.mkString("; "))
+  }
+
   test("bloom decontaminate returns exactly the exact-join answer") {
     val train = docs(
       1L -> "alpha beta gamma delta epsilon",
