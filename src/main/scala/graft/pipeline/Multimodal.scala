@@ -175,6 +175,67 @@ object Multimodal {
     }
   }
 
+  /** Decoded per-clip features from a REAL WAV decode: sample rate, sample
+    * count, peak amplitude, zero crossings, and the delta-sign energy
+    * fingerprint ([[AudioOps.fingerprint64]]) — which feeds Hamming-blocked
+    * audio near-dup via the same pigeonhole machinery as SimHash/pHash.
+    * Payloads no parser recognizes surface as decoded=false with zeroed
+    * features (the [[imageFeatures]] contract). */
+  final case class AudioRow(doc_id: Long, decoded: Boolean, sample_rate: Int,
+                            n_samples: Long, peak: Int, zero_crossings: Long,
+                            fingerprint: Long)
+
+  /** Real WAV decode + feature extraction (partition-local, no shuffle). */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        AudioOps.decodeWav(r.payload) match {
+          case Some((rate, samples)) =>
+            var peak = 0
+            var zc = 0L
+            var i = 0
+            while (i < samples.length) {
+              val a = math.abs(samples(i).toInt)
+              if (a > peak) peak = a
+              if (i > 0 && (samples(i) < 0) != (samples(i - 1) < 0)) zc += 1
+              i += 1
+            }
+            AudioRow(r.doc_id, decoded = true, rate, samples.length.toLong,
+              peak, zc, AudioOps.fingerprint64(samples))
+          case None => AudioRow(r.doc_id, decoded = false, 0, 0L, 0, 0L, 0L)
+        }
+      }
+    }
+  }
+
+  /** Deterministic WAV fixture corpus derived from a document id column —
+    * the audio analogue of [[syntheticImages]], with the same planted
+    * near-duplicate shape: ids with `id % dupStride == 1` render a
+    * RE-MASTERED copy of id−1's clip (gain change + sparse sample noise —
+    * md5 differs in every byte, fingerprint stays Hamming-close). Real WAV
+    * bytes out: the downstream decode exercises the actual RIFF parser.
+    * Ids repartition before the CPU-bound render, as in syntheticImages. */
+  def syntheticAudio(df: DataFrame, idCol: String, dupStride: Int = 25,
+                     nSamples: Int = 8000): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val samples =
+            if (dupStride > 1 && id % dupStride == 1)
+              AudioOps.perturbSamples(AudioOps.synthSamples(id - 1, nSamples),
+                seed = id, gainPerMille = 1080, noiseSamples = nSamples / 200)
+            else AudioOps.synthSamples(id, nSamples)
+          val bytes = AudioOps.encodeWav(samples)
+          MediaRow(id, "audio/wav", bytes.length.toLong, bytes)
+        }
+      }
+  }
+
   /** Frame sampling: `framesPerDoc` evenly-spaced slices per payload —
     * the mapPartitions analogue of video frame extraction. Fan-out happens
     * executor-side; output is (doc, frame) keyed for downstream per-frame

@@ -616,6 +616,23 @@ object PipelineQueries {
         .orderBy("cluster_id")
     }),
 
+    // Acoustic-fingerprint AUDIO near-dup: deterministic WAV fixtures
+    // (real RIFF/PCM16 encode) → REAL WAV decode → delta-sign energy
+    // fingerprint → Hamming ≤ 3 pairs via the q35 pigeonhole blocking.
+    // Catches the planted re-mastered duplicates (gain change + sparse
+    // sample noise) that byte-level dedup is blind to. SQL cannot parse
+    // WAV, so the oracle is a checked-in golden parquet (see the oracle
+    // map below); AudioDedupSpec recomputes against live sf0.01.
+    "q92_audio_dedup" -> ((s, d) => {
+      val media = Multimodal.syntheticAudio(Tables.documents(s, d), "doc_id")
+      val sigs = Multimodal.audioFeatures(media).toDF()
+        .select(col("doc_id"), col("fingerprint").as("simhash"))
+      Dedup.simhashNearDups(sigs, "doc_id", maxHamming = 3,
+        numSegments = 4, segmentBits = 16)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Broadcast-Bloom decontamination (q45's scale path): eval shingles
     // fold into a ~MB Bloom filter, train shingles die map-side in a
     // codegen'd mightContain BEFORE the exact semi-join kills the false
@@ -1579,6 +1596,16 @@ object PipelineQueries {
         |r3 AS (SELECT ed.t AS id, CAST(150000000000 + (85 * sum(r2.r // ed.dd)) // 100 AS BIGINT) AS r
         |       FROM ed JOIN r2 ON ed.s = r2.id GROUP BY ed.t)
         |SELECT id, r AS pr FROM r3 ORDER BY id""".stripMargin,
+
+    // Golden parquet (the q60/q85 contract): DuckDB cannot parse WAV, so
+    // the oracle reads a checked-in result whose freshness AudioDedupSpec
+    // re-verifies against live sf0.01 testdata. Regenerate via
+    //   sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/v" and copy
+    //   /tmp/v/q92_audio_dedup/part-*.parquet over the golden file.
+    "q92_audio_dedup" ->
+      """SELECT id_a, id_b, hamming
+        |FROM read_parquet('/root/repo/src/test/resources/golden/q92_audio_dedup.parquet')
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // q47's recursive connected components + q32's quality formula,
     // argmax per cluster (ties on ascending doc_id).
