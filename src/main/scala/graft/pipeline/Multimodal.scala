@@ -236,6 +236,68 @@ object Multimodal {
       }
   }
 
+  /** Decoded per-clip features from a REAL AVI parse + per-frame ImageIO
+    * decode: dimensions, frame count, fps, and the clip fingerprint — the
+    * perceptual hash of the per-pixel temporal MEAN frame
+    * ([[VideoOps.meanFrame]] → [[ImageOps.phash64]]), which feeds
+    * Hamming-blocked video near-dup via the same pigeonhole machinery as
+    * SimHash/pHash. Payloads the parser does not recognize surface as
+    * decoded=false with zeroed features (the [[imageFeatures]] contract). */
+  final case class VideoRow(doc_id: Long, decoded: Boolean, width: Int, height: Int,
+                            n_frames: Int, fps: Int, fingerprint: Long)
+
+  /** Real video decode + feature extraction (partition-local, no shuffle). */
+  def videoFeatures(media: Dataset[MediaRow]): Dataset[VideoRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        (for {
+          (w, h, fps, frames) <- VideoOps.decodeAvi(r.payload)
+          pixelFrames = frames.flatMap(f => ImageOps.decodeRgb(f).map(_._3))
+          if pixelFrames.nonEmpty
+        } yield VideoRow(r.doc_id, decoded = true, w, h, frames.size, fps,
+          ImageOps.phash64(w, h, VideoOps.meanFrame(w, h, pixelFrames))))
+          .getOrElse(VideoRow(r.doc_id, decoded = false, 0, 0, 0, 0, 0L))
+      }
+    }
+  }
+
+  /** Deterministic AVI/MPNG fixture corpus derived from a document id
+    * column — the video analogue of [[syntheticImages]]/[[syntheticAudio]],
+    * with the same planted near-duplicate shape: ids with
+    * `id % dupStride == 1` render a RE-ENCODED copy of id−1's clip (every
+    * frame brightness-shifted + sparsely noised — every byte differs, the
+    * temporal-mean pHash stays Hamming-close). Each clip's frames derive
+    * from one base image with per-frame exposure drift standing in for
+    * motion. Real AVI bytes out: the downstream parse exercises the
+    * actual RIFF walker and PNG decoder. */
+  def syntheticVideos(df: DataFrame, idCol: String, dupStride: Int = 25,
+                      nFrames: Int = 6, w: Int = 32, h: Int = 24): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val dup = dupStride > 1 && id % dupStride == 1
+          val baseSeed = if (dup) id - 1 else id
+          val base = ImageOps.synthPixels(baseSeed, w, h)
+          val frames = (0 until nFrames).map { f =>
+            val frame = ImageOps.perturbPixels(base, seed = baseSeed * 131 + f,
+              brightness = f * 3 - nFrames, noisePixels = w * h / 50)
+            val fin = if (dup)
+              ImageOps.perturbPixels(frame, seed = id * 977 + f,
+                brightness = 4, noisePixels = w * h / 100)
+            else frame
+            ImageOps.encodePng(w, h, fin)
+          }
+          val bytes = VideoOps.encodeAvi(frames, w, h, fps = 10)
+          MediaRow(id, "video/x-msvideo", bytes.length.toLong, bytes)
+        }
+      }
+  }
+
   /** Frame sampling: `framesPerDoc` evenly-spaced slices per payload —
     * the mapPartitions analogue of video frame extraction. Fan-out happens
     * executor-side; output is (doc, frame) keyed for downstream per-frame

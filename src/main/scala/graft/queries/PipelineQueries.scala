@@ -633,6 +633,23 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Perceptual VIDEO near-dup: deterministic AVI/MPNG fixtures (real
+    // RIFF container, real PNG frames) → REAL container parse + per-frame
+    // ImageIO decode → temporal-mean-frame pHash → Hamming ≤ 3 pairs via
+    // the q35 pigeonhole blocking. Catches the planted re-encoded clips
+    // (per-frame exposure shift + sparse noise) byte dedup cannot see.
+    // SQL cannot parse AVI, so the oracle is a checked-in golden parquet;
+    // VideoDedupSpec recomputes against live sf0.01.
+    "q93_video_dedup" -> ((s, d) => {
+      val media = Multimodal.syntheticVideos(Tables.documents(s, d), "doc_id")
+      val sigs = Multimodal.videoFeatures(media).toDF()
+        .select(col("doc_id"), col("fingerprint").as("simhash"))
+      Dedup.simhashNearDups(sigs, "doc_id", maxHamming = 3,
+        numSegments = 4, segmentBits = 16)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Broadcast-Bloom decontamination (q45's scale path): eval shingles
     // fold into a ~MB Bloom filter, train shingles die map-side in a
     // codegen'd mightContain BEFORE the exact semi-join kills the false
@@ -1605,6 +1622,12 @@ object PipelineQueries {
     "q92_audio_dedup" ->
       """SELECT id_a, id_b, hamming
         |FROM read_parquet('/root/repo/src/test/resources/golden/q92_audio_dedup.parquet')
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Golden parquet (the q60/q85/q92 contract); regenerate like q92's.
+    "q93_video_dedup" ->
+      """SELECT id_a, id_b, hamming
+        |FROM read_parquet('/root/repo/src/test/resources/golden/q93_video_dedup.parquet')
         |ORDER BY id_a, id_b""".stripMargin,
 
     // q47's recursive connected components + q32's quality formula,
