@@ -298,6 +298,33 @@ object Multimodal {
       }
   }
 
+  /** One REAL decoded frame per row: evenly-spaced frame indices from the
+    * parsed container, each with its own perceptual hash — the per-frame
+    * feature feed (frame-level dedup, scene search) that [[sampleFrames]]
+    * can only approximate for opaque codecs. Partition-local fan-out. */
+  final case class VideoFrame(doc_id: Long, frame_no: Int, width: Int, height: Int,
+                              phash: Long)
+
+  def sampleVideoFrames(media: Dataset[MediaRow], framesPerDoc: Int): Dataset[VideoFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        VideoOps.decodeAvi(r.payload).toSeq.flatMap { case (w, h, _, frames) =>
+          val n = frames.size
+          val picks =
+            if (framesPerDoc >= n) 0 until n
+            else (0 until framesPerDoc).map(f => (f.toLong * (n - 1) / math.max(framesPerDoc - 1, 1)).toInt)
+          picks.distinct.flatMap { idx =>
+            ImageOps.decodeRgb(frames(idx)).map { case (fw, fh, px) =>
+              VideoFrame(r.doc_id, idx, fw, fh, ImageOps.phash64(fw, fh, px))
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** Frame sampling: `framesPerDoc` evenly-spaced slices per payload —
     * the mapPartitions analogue of video frame extraction. Fan-out happens
     * executor-side; output is (doc, frame) keyed for downstream per-frame

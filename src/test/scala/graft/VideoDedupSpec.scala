@@ -69,6 +69,20 @@ class VideoDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sampleVideoFrames returns decoded frames at evenly-spaced indices") {
+    import spark.implicits._
+    val media = Multimodal.syntheticVideos(Seq(5L).toDF("doc_id"), "doc_id") // 6 frames
+    val got = Multimodal.sampleVideoFrames(media, framesPerDoc = 3)
+      .collect().sortBy(_.frame_no)
+    assert(got.map(_.frame_no).toSeq == Seq(0, 2, 5), got.mkString("; "))
+    got.foreach { f =>
+      assert(f.width == 32 && f.height == 24 && f.phash != 0L)
+    }
+    // asking for more frames than exist returns them all, once each
+    val all = Multimodal.sampleVideoFrames(media, framesPerDoc = 99).collect()
+    assert(all.map(_.frame_no).sorted.toSeq == (0 until 6))
+  }
+
   test("q93 golden parquet matches a live recompute on sf0.01") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
     assume(new java.io.File(goldenPath).exists(), s"$goldenPath not generated yet")
