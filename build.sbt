@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // single-JVM local[32] driver+executors: the 93-query bench suite ages
+  // an 8g heap badly (GC pressure grew the shared-query total ~15% as the
+  // suite grew); the box has 128 GiB, so give the fork real headroom
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )
