@@ -126,11 +126,12 @@ object AudioOps {
       if (len < 0 || len > bb.remaining()) return None
       tag match {
         case "fmt " =>
+          if (len < 16) return None // malformed payload is a SKIP, not a crash
           val fmt = bb.getShort; val ch = bb.getShort
           rate = bb.getInt; bb.getInt; bb.getShort
           val bits = bb.getShort
           ok = fmt == 1 && ch == 1 && bits == 16
-          bb.position(bb.position() + len - 16)
+          bb.position(bb.position() + len - 16 + (len & 1))
         case "data" =>
           if (!ok) return None
           val n = len / 2

@@ -254,7 +254,12 @@ object Multimodal {
       rows.map { r =>
         (for {
           (w, h, fps, frames) <- VideoOps.decodeAvi(r.payload)
-          pixelFrames = frames.flatMap(f => ImageOps.decodeRgb(f).map(_._3))
+          // frames whose decoded dims disagree with the container header
+          // are dropped (a malformed payload must be a skip, never an
+          // out-of-bounds crash in meanFrame)
+          pixelFrames = frames.flatMap(f => ImageOps.decodeRgb(f).collect {
+            case (fw, fh, px) if fw == w && fh == h => px
+          })
           if pixelFrames.nonEmpty
         } yield VideoRow(r.doc_id, decoded = true, w, h, frames.size, fps,
           ImageOps.phash64(w, h, VideoOps.meanFrame(w, h, pixelFrames))))

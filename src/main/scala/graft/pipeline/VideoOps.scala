@@ -82,7 +82,7 @@ object VideoOps {
           case "LIST" =>
             val kind = fourcc(bb)
             if (kind == "hdrl" || kind == "movi" || kind == "strl") walk(bb.position() + len - 4)
-          case "avih" =>
+          case "avih" if len >= 40 => // short avih is skipped, not fatal
             val mpf = bb.getInt
             bb.getInt; bb.getInt; bb.getInt; bb.getInt; bb.getInt; bb.getInt; bb.getInt
             w = bb.getInt; h = bb.getInt

@@ -53,6 +53,15 @@ class AudioDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(decoded2.toSeq == samples.toSeq, "LIST chunk must be skipped, not fatal")
     // garbage is a skip, not a crash
     assert(AudioOps.decodeWav("not a wav at all".getBytes).isEmpty)
+    // a truncated fmt chunk is a skip, not a crash
+    val shortFmt = {
+      val w2 = AudioOps.encodeWav(samples)
+      // patch fmt chunk length down to 8 (header at offset 16, len at 20)
+      val bb2 = java.nio.ByteBuffer.wrap(w2.clone()).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb2.putInt(20, 8)
+      bb2.array()
+    }
+    assert(AudioOps.decodeWav(shortFmt).isEmpty)
   }
 
   test("planted re-mastered clips are found; byte hashes differ; no false pairs") {

@@ -41,6 +41,18 @@ class VideoDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VideoOps.decodeAvi("definitely not an avi".getBytes).isEmpty)
   }
 
+  test("frames whose dims disagree with the container header are skipped, not fatal") {
+    import spark.implicits._
+    // declare 32x24 in the container but pack 16x12 frames
+    val frames = (0 until 3).map(f =>
+      ImageOps.encodePng(16, 12, ImageOps.synthPixels(f.toLong, 16, 12)))
+    val avi = VideoOps.encodeAvi(frames, 32, 24, fps = 10)
+    val media = Seq(Multimodal.MediaRow(1L, "video/x-msvideo", avi.length.toLong, avi))
+      .toDS()
+    val row = Multimodal.videoFeatures(media).collect().head
+    assert(!row.decoded, "mismatched frames must yield decoded=false, not a crash")
+  }
+
   test("planted re-encoded clips are found; byte hashes differ; no false pairs") {
     import spark.implicits._
     val ids = (0L until 100L)
