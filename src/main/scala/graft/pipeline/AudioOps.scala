@@ -35,7 +35,10 @@ object AudioOps {
     * low-amplitude seeded noise floor, PCM16 samples. */
   def synthSamples(seed: Long, n: Int): Array[Short] = {
     val s0 = mix64(seed)
-    val nPart = 2 + (mix64(s0 ^ 1) >>> 1).toInt % 2
+    // parity on the LONG before truncating: (long >>> 1).toInt is negative
+    // for about half of seeds, and a negative % 2 is -1 — which silently
+    // made nPart range 1..3 instead of the intended 2..3
+    val nPart = 2 + ((mix64(s0 ^ 1) >>> 1) % 2).toInt
     val freqs = Array.tabulate(nPart)(i => 80.0 + ((mix64(s0 ^ (2 + i)) >>> 1) % 3000))
     val amps = Array.tabulate(nPart)(i => 2000 + ((mix64(s0 ^ (16 + i)) >>> 1) % 6000).toInt)
     // seeded PIECEWISE DYNAMICS (a new amplitude step every 97 samples —
@@ -131,7 +134,10 @@ object AudioOps {
           rate = bb.getInt; bb.getInt; bb.getShort
           val bits = bb.getShort
           ok = fmt == 1 && ch == 1 && bits == 16
-          bb.position(bb.position() + len - 16 + (len & 1))
+          // clamp: an odd-length chunk ending exactly at the payload end
+          // passes the bounds check but its +1 pad byte would overflow
+          // position() — malformed payloads are skips, never crashes
+          bb.position(math.min(bb.limit(), bb.position() + len - 16 + (len & 1)))
         case "data" =>
           if (!ok) return None
           val n = len / 2
@@ -140,7 +146,9 @@ object AudioOps {
           while (i < n) { out(i) = bb.getShort; i += 1 }
           samples = out
         case _ =>
-          bb.position(bb.position() + len + (len & 1)) // chunks pad to even
+          // chunks pad to even; clamp like the fmt skip — the pad byte of a
+          // final odd-length chunk may not exist in a truncated payload
+          bb.position(math.min(bb.limit(), bb.position() + len + (len & 1)))
       }
     }
     if (samples == null) None else Some((rate, samples))

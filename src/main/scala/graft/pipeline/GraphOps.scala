@@ -20,6 +20,14 @@ object GraphOps {
     * lose exactness past 2^53, which `85 · Σ` here exceeds). Damping 0.85
     * is the standard public constant (Brin & Page 1998).
     *
+    * Exactness precondition: `85 · maxInDegree · scale < 2^63` — i.e.
+    * maxInDegree < ~1.08e5 at the default scale. Spark's non-ANSI `85 *
+    * insum` silently wraps on overflow while strict engines raise, so the
+    * engine-exactness claim holds only under this bound (the mutual-kNN
+    * graphs this ships on are degree-bounded by k). Callers with hub-heavy
+    * graphs should lower `scale` to fit. `scale` must be a multiple of 100
+    * so the base term `15·scale/100` is exact.
+    *
     * Undirected input: each pair `(a, b)` contributes both directed edges.
     * Isolated nodes (no edges) are out of scope — they'd hold the base
     * rank forever and never appear in a pair frame anyway.
@@ -47,14 +55,15 @@ object GraphOps {
 
   private def pageRankImpl(edges: DataFrame, aCol: String, bCol: String,
                            iters: Int, scale: Long, eager: Boolean): DataFrame = {
-    require(iters >= 1 && scale >= 100, s"iters=$iters scale=$scale")
+    require(iters >= 1 && scale >= 100 && scale % 100 == 0,
+      s"iters=$iters scale=$scale (scale must be a positive multiple of 100)")
     val dir = edges.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("t"))
       .unionByName(edges.select(col(bCol).cast("long").as("s"), col(aCol).cast("long").as("t")))
     val deg = dir.groupBy(col("s")).agg(count(lit(1)).as("d"))
     val e0 = dir.join(deg, "s")
     val e = if (eager) e0.cache() else e0
     try {
-      val base = scale / 100 * 15
+      val base = scale * 15 / 100 // exact: scale % 100 == 0 is required above
       var r = deg.select(col("s").as("id"), lit(scale).as("r"))
       var it = 0
       while (it < iters) {

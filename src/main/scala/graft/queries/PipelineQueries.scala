@@ -570,7 +570,10 @@ object PipelineQueries {
     // ImageGoldenSpec recomputes against live sf0.01 to keep it honest.
     "q85_image_dedup" -> ((s, d) => {
       val media = Multimodal.syntheticImages(Tables.documents(s, d), "doc_id")
+      // decoded=false rows carry a zero hash — without this filter any two
+      // undecodable payloads would pair as Hamming-0 "near-duplicates"
       val sigs = Multimodal.imageFeatures(media).toDF()
+        .filter(col("decoded"))
         .select(col("doc_id"), col("phash").as("simhash"))
       Dedup.simhashNearDups(sigs, "doc_id", maxHamming = 3,
         numSegments = 4, segmentBits = 16)
@@ -625,7 +628,9 @@ object PipelineQueries {
     // map below); AudioDedupSpec recomputes against live sf0.01.
     "q92_audio_dedup" -> ((s, d) => {
       val media = Multimodal.syntheticAudio(Tables.documents(s, d), "doc_id")
+      // see q85: undecodable payloads must not pair on their zero hash
       val sigs = Multimodal.audioFeatures(media).toDF()
+        .filter(col("decoded"))
         .select(col("doc_id"), col("fingerprint").as("simhash"))
       Dedup.simhashNearDups(sigs, "doc_id", maxHamming = 3,
         numSegments = 4, segmentBits = 16)
@@ -642,7 +647,9 @@ object PipelineQueries {
     // VideoDedupSpec recomputes against live sf0.01.
     "q93_video_dedup" -> ((s, d) => {
       val media = Multimodal.syntheticVideos(Tables.documents(s, d), "doc_id")
+      // see q85: undecodable payloads must not pair on their zero hash
       val sigs = Multimodal.videoFeatures(media).toDF()
+        .filter(col("decoded"))
         .select(col("doc_id"), col("fingerprint").as("simhash"))
       Dedup.simhashNearDups(sigs, "doc_id", maxHamming = 3,
         numSegments = 4, segmentBits = 16)

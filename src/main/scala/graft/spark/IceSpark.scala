@@ -35,18 +35,34 @@ object IceWrite {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, SparkSession]())
 
+  // Parent confs that change the BYTES we write — re-synced from the parent
+  // on every write so the memoized child does not freeze the parent's conf
+  // state as of the first write (newSession() clones confs only once).
+  private val ResyncedConfs = Seq(
+    "spark.sql.session.timeZone",
+    "spark.sql.parquet.compression.codec",
+    "spark.sql.datetime.java8API.enabled")
+
   private[graft] def writeSessionFor(spark: SparkSession): SparkSession =
     writeSessions.synchronized {
       val cur = writeSessions.get(spark)
-      if (cur != null) cur
-      else {
-        val ws = spark.newSession()
-        ws.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        ws.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-        ws.sessionState.newHadoopConf() // ensure defaults materialized
-        writeSessions.put(spark, ws)
-        ws
+      val ws =
+        if (cur != null) cur
+        else {
+          val fresh = spark.newSession()
+          fresh.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+          fresh.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+          fresh.sessionState.newHadoopConf() // ensure defaults materialized
+          writeSessions.put(spark, fresh)
+          fresh
+        }
+      ResyncedConfs.foreach { k =>
+        spark.conf.getOption(k) match {
+          case Some(v) if !ws.conf.getOption(k).contains(v) => ws.conf.set(k, v)
+          case _ => ()
+        }
       }
+      ws
     }
 
   /** Known-cardinality write sizing: rows → `writeDataFiles(outFiles)` hint
