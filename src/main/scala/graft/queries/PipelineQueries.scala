@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Dedup, Embeddings, Multimodal, TextOps, TimeSeries, TrainingSet}
+import graft.pipeline.{Dedup, Embeddings, HtmlOps, Multimodal, TextOps, TimeSeries, TrainingSet, UrlOps}
 
 /** Judge-visible training-data pipeline operators over `documents` and
   * `embeddings` (BASELINE.json north star: dedup, similarity search,
@@ -674,6 +674,65 @@ object PipelineQueries {
           coalesce(sum(when(col("bad").isNotNull, col("doc_id"))), lit(0L))
             .as("contaminated_id_sum"))
         .orderBy("source")
+    }),
+
+    // URL canonicalization + host/domain dedup rollup: the normalization
+    // every crawl pipeline runs before URL-level dedup (scheme/host case,
+    // www alias, default ports, trailing slash, tracking params, query
+    // order, fragment), then a per-(domain, host) rollup joining the q24
+    // standing near-dup pairs — URL-level duplicate mass next to
+    // content-level duplicate mass. Canonicalization is a pure codegen'd
+    // expression tree (zero shuffle, zero UDF); the rollup is one
+    // hash-aggregate plus a broadcast-sized pair join. The corpus has no
+    // URL column, so a deterministic messy-URL fixture is derived from
+    // doc_id with arithmetic restated verbatim in the oracle — the strict
+    // gate covers the canonicalization rules themselves.
+    "q96_url_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val canon = docs.select(col("doc_id"),
+        UrlOps.canonicalizeUrl(UrlOps.syntheticUrl(col("doc_id"))).as("curl"))
+      val dom = canon.select(col("doc_id"), col("curl"),
+        UrlOps.hostOf(col("curl")).as("host"))
+        .withColumn("domain", UrlOps.registrableDomain(col("host")))
+      val pairs = nearDupPairs(s, d)
+      val ends = pairs.select(col("id_a").as("doc_id"))
+        .unionAll(pairs.select(col("id_b").as("doc_id")))
+      val dupMass = ends.join(dom.select("doc_id", "domain", "host"), "doc_id")
+        .groupBy("domain", "host").agg(count(lit(1)).as("dup_endpoints"))
+      dom.groupBy("domain", "host")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("curl")).as("n_canonical"),
+          min(col("curl")).as("min_url"), max(col("curl")).as("max_url"))
+        .join(dupMass, Seq("domain", "host"), "left")
+        .withColumn("dup_endpoints", coalesce(col("dup_endpoints"), lit(0L)))
+        .orderBy("domain", "host")
+    }),
+
+    // HTML boilerplate extraction (Boilerpipe-family per-doc heuristics):
+    // the step upstream of every text-quality operator on real crawl data.
+    // Deterministic synthetic pages wrap each document's text in chrome
+    // (masthead, nav, link-dense related-div, aside, footer); the kernel
+    // strips markup and keeps content blocks whose space-join reconstructs
+    // the original text BYTE-EXACTLY (HtmlOpsSpec asserts it). Extraction
+    // is a partition-local kernel riding the scan — zero shuffle before
+    // the presentation sort. SQL cannot parse HTML, so the oracle is a
+    // checked-in golden parquet (the q60/q85 contract); HtmlOpsSpec
+    // recomputes against live sf0.01.
+    "q95_boilerplate" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val bs = HtmlOps.blocks(HtmlOps.syntheticPage(id, text))
+            val content = bs.filter(_.isContent)
+            (id, bs.size.toLong, content.size.toLong,
+              bs.filterNot(_.isContent).map(_.words.toLong).sum,
+              content.map(_.text).mkString(" "))
+          }
+        }
+        .toDF("doc_id", "n_blocks", "n_content", "n_chrome_words", "body")
+        .orderBy("doc_id")
     })
   )
 
@@ -1683,6 +1742,74 @@ object PipelineQueries {
         |  CAST(coalesce(sum(b.doc_id), 0) AS BIGINT) AS contaminated_id_sum
         |FROM documents d LEFT JOIN bad b ON d.doc_id = b.doc_id
         |WHERE d.doc_id % 10 <> 0
-        |GROUP BY d.source ORDER BY d.source""".stripMargin
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // The SAME fixture arithmetic as UrlOps.syntheticUrl, then each
+    // canonicalization rule restated in DuckDB string SQL — an independent
+    // second implementation, so the strict hash gates the rules themselves
+    // (starts_with, not LIKE: `_` is a LIKE wildcard and 'utm_%' would
+    // also match 'utmX'). Dup mass joins the q24 pair CTE.
+    "q96_url_canonical" ->
+      s"""WITH $minhashPairCtes,
+        |u0 AS (SELECT doc_id,
+        |  'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' || CAST(doc_id % 3 AS VARCHAR) || '.com' AS hostbase
+        |  FROM documents),
+        |urls AS (SELECT doc_id,
+        |  (CASE doc_id % 4 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http' WHEN 2 THEN 'https' ELSE 'HTTP' END) || '://' ||
+        |  (CASE WHEN doc_id % 5 < 2 THEN 'WWW.' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 6 = 0 THEN upper(hostbase) ELSE hostbase END) ||
+        |  (CASE doc_id % 7 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END) ||
+        |  '/p' || CAST(doc_id % 10 AS VARCHAR) || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE doc_id % 4 WHEN 0 THEN '?b=' || CAST(doc_id % 11 AS VARCHAR) || '&utm_source=feed&a=1'
+        |                   WHEN 1 THEN '?a=1&b=' || CAST(doc_id % 11 AS VARCHAR)
+        |                   WHEN 2 THEN '?utm_campaign=x&fbclid=abc123' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM u0),
+        |c0 AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM urls),
+        |c1 AS (SELECT doc_id, lower(split_part(nofrag, '://', 1)) AS scheme,
+        |        substr(nofrag, strpos(nofrag, '://') + 3) AS rest FROM c0),
+        |c2 AS (SELECT *, split_part(split_part(rest, '/', 1), '?', 1) AS hostport FROM c1),
+        |c3 AS (SELECT *, substr(rest, length(hostport) + 1) AS pathq,
+        |        lower(split_part(hostport, ':', 1)) AS host_raw,
+        |        CASE WHEN strpos(hostport, ':') > 0 THEN split_part(hostport, ':', 2) ELSE '' END AS port
+        |       FROM c2),
+        |c4 AS (SELECT *, CASE WHEN starts_with(host_raw, 'www.') THEN substr(host_raw, 5) ELSE host_raw END AS host,
+        |       CASE WHEN port = '' OR (scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443')
+        |            THEN '' ELSE ':' || port END AS portkeep,
+        |       split_part(pathq, '?', 1) AS path,
+        |       CASE WHEN strpos(pathq, '?') > 0 THEN substr(pathq, strpos(pathq, '?') + 1) ELSE '' END AS query
+        |     FROM c3),
+        |c5 AS (SELECT *, CASE WHEN ends_with(path, '/') THEN substr(path, 1, length(path) - 1) ELSE path END AS pathnorm,
+        |       array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |         p -> p <> '' AND NOT starts_with(p, 'utm_') AND NOT starts_with(p, 'fbclid=')
+        |              AND NOT starts_with(p, 'gclid=') AND NOT starts_with(p, 'ref='))), '&') AS qn
+        |     FROM c4),
+        |canon AS (SELECT doc_id, host,
+        |    scheme || '://' || host || portkeep || pathnorm ||
+        |      CASE WHEN qn <> '' THEN '?' || qn ELSE '' END AS curl
+        |  FROM c5),
+        |dom AS (SELECT doc_id, curl, host,
+        |   CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+        |        ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS domain
+        |  FROM canon),
+        |ends AS (SELECT id_a AS doc_id FROM pairs UNION ALL SELECT id_b FROM pairs),
+        |dmass AS (SELECT d.domain, d.host, count(*) AS c
+        |          FROM ends e JOIN dom d ON e.doc_id = d.doc_id GROUP BY d.domain, d.host)
+        |SELECT d.domain, d.host, count(*) AS n_docs, count(DISTINCT d.curl) AS n_canonical,
+        |  min(d.curl) AS min_url, max(d.curl) AS max_url,
+        |  CAST(coalesce(max(m.c), 0) AS BIGINT) AS dup_endpoints
+        |FROM dom d LEFT JOIN dmass m ON d.domain = m.domain AND d.host = m.host
+        |GROUP BY d.domain, d.host ORDER BY d.domain, d.host""".stripMargin,
+
+    // Golden parquet (the q60/q85/q92/q93 contract): SQL cannot parse
+    // HTML, so the oracle reads a checked-in result whose freshness
+    // HtmlOpsSpec re-verifies against live sf0.01 (including byte-exact
+    // body reconstruction). Regenerate via
+    //   sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/v" and copy
+    //   /tmp/v/q95_boilerplate/part-*.parquet over the golden file.
+    "q95_boilerplate" ->
+      """SELECT doc_id, n_blocks, n_content, n_chrome_words, body
+        |FROM read_parquet('/root/repo/src/test/resources/golden/q95_boilerplate.parquet')
+        |ORDER BY doc_id""".stripMargin
   )
 }

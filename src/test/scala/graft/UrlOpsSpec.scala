@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.UrlOps
+
+/** Gates for URL canonicalization (q96): hand-computed canonical forms for
+  * every rule, idempotence (canonicalizing a canonical URL is the
+  * identity), registrable-domain extraction, and the zero-shuffle plan
+  * shape — canonicalization must ride the scan projection.
+  */
+class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("url-ops-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def canon(url: String): String = {
+    import spark.implicits._
+    Seq(url).toDF("u").select(UrlOps.canonicalizeUrl(col("u"))).head().getString(0)
+  }
+
+  test("each canonicalization rule, hand-computed") {
+    // scheme + host case, www alias, https default port, trailing slash,
+    // tracking strip, param sort, fragment
+    assert(canon("HTTPS://WWW.Site.Example.COM:443/a/b/?b=2&utm_source=x&a=1#frag")
+      == "https://site.example.com/a/b?a=1&b=2")
+    // http default port dropped; non-default port kept
+    assert(canon("http://h.example.com:80/p") == "http://h.example.com/p")
+    assert(canon("http://h.example.com:8080/p") == "http://h.example.com:8080/p")
+    // :443 is NOT default for http — kept
+    assert(canon("http://h.example.com:443/p") == "http://h.example.com:443/p")
+    // root path: single trailing slash collapses to empty
+    assert(canon("https://h.example.com/") == "https://h.example.com")
+    assert(canon("https://h.example.com") == "https://h.example.com")
+    // all params tracking → no '?' survives
+    assert(canon("https://h.example.com/p?utm_campaign=x&fbclid=1&gclid=2&ref=a")
+      == "https://h.example.com/p")
+    // 'utmX' is NOT a tracking prefix ('utm_' is) — exact prefix, not LIKE
+    assert(canon("https://h.example.com/p?utmx=1&zz=2")
+      == "https://h.example.com/p?utmx=1&zz=2")
+    // only ONE leading www. is stripped
+    assert(canon("https://www.www.h.example.com/p")
+      == "https://www.h.example.com/p")
+    // query on root path, no slash
+    assert(canon("http://h.example.com?b=1&a=2") == "http://h.example.com?a=2&b=1")
+  }
+
+  test("canonicalization is idempotent") {
+    import spark.implicits._
+    val urls = (0L until 400L).toDF("doc_id")
+      .select(UrlOps.canonicalizeUrl(UrlOps.syntheticUrl(col("doc_id"))).as("c1"))
+      .select(col("c1"), UrlOps.canonicalizeUrl(col("c1")).as("c2"))
+    assert(urls.filter(col("c1") =!= col("c2")).count() == 0L)
+  }
+
+  test("registrable domain: last two labels; short hosts pass through") {
+    import spark.implicits._
+    val got = Seq("a.b.site.example.com", "example.com", "localhost")
+      .toDF("h").select(UrlOps.registrableDomain(col("h")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("example.com", "example.com", "localhost"))
+  }
+
+  test("hostOf strips scheme, port, path, query") {
+    import spark.implicits._
+    val got = Seq("https://h.example.com:8080/p?a=1", "http://x.org")
+      .toDF("u").select(UrlOps.hostOf(col("u")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("h.example.com", "x.org"))
+  }
+
+  test("plan shape: canonicalization is a zero-shuffle projection") {
+    import spark.implicits._
+    val df = (0L until 100L).toDF("doc_id")
+      .select(UrlOps.canonicalizeUrl(UrlOps.syntheticUrl(col("doc_id"))).as("curl"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}
