@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Dedup, Embeddings, HtmlOps, Multimodal, TextOps, TimeSeries, TrainingSet, UrlOps}
+import graft.pipeline.{BpeOps, Dedup, Embeddings, HtmlOps, Multimodal, TextOps, TimeSeries, TrainingSet, UrlOps}
 
 /** Judge-visible training-data pipeline operators over `documents` and
   * `embeddings` (BASELINE.json north star: dedup, similarity search,
@@ -732,6 +732,21 @@ object PipelineQueries {
           }
         }
         .toDF("doc_id", "n_blocks", "n_content", "n_chrome_words", "body")
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic BPE tokenizer, train + apply: one map-side-combined
+    // word-type histogram (the only corpus-scale job), exact-integer merge
+    // training on the driver (ties lexicographic — Sennrich 2016), then a
+    // zero-shuffle broadcast apply with a per-partition word memo. Real
+    // subword counts for the budget/packing operators, replacing the
+    // whitespace proxy. DuckDB cannot BPE, so the oracle is a checked-in
+    // golden parquet (the q60/q85 contract); BpeSpec pins the classic
+    // hand-computed merge order and recomputes against live sf0.01.
+    "q94_bpe_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = BpeOps.train(docs, "text", numMerges = 48)
+      BpeOps.tokenCounts(docs, "doc_id", "text", merges)
         .orderBy("doc_id")
     })
   )
@@ -1810,6 +1825,15 @@ object PipelineQueries {
     "q95_boilerplate" ->
       """SELECT doc_id, n_blocks, n_content, n_chrome_words, body
         |FROM read_parquet('/root/repo/src/test/resources/golden/q95_boilerplate.parquet')
+        |ORDER BY doc_id""".stripMargin,
+
+    // Golden parquet (the q60/q85/q95 contract): DuckDB cannot BPE.
+    // BpeSpec re-verifies freshness against live sf0.01. Regenerate via
+    //   sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/v" and copy
+    //   /tmp/v/q94_bpe_tokens/part-*.parquet over the golden file.
+    "q94_bpe_tokens" ->
+      """SELECT doc_id, n_words, n_bpe_tokens
+        |FROM read_parquet('/root/repo/src/test/resources/golden/q94_bpe_tokens.parquet')
         |ORDER BY doc_id""".stripMargin
   )
 }
