@@ -149,20 +149,49 @@ object Embeddings {
     * `nprobe` nearest cells; corpus vectors still live in exactly one cell,
     * so candidate volume (and cost) scales with nprobe/cells while recall
     * recovers neighbors that fall just across a Voronoi boundary. */
-  /** Deterministic centroid sample: every ⌊n/cells⌋-th id (assumes dense
-    * ids from 0 — swap for [[trainCentroids]] output when data is clustered
-    * or ids are sparse). Returns (cell id, quantized centroid, |c|²). */
+  /** Deterministic centroid sample, any id space. Two tiers:
+    *
+    * FAST PATH — dense ids from 0: every ⌊n/cells⌋-th id by value, one
+    * filtered scan (this is the arithmetic the q36/q54 oracles restate).
+    * Detected by the sample coming back complete (`min(cells, n)` rows);
+    * sparse or gapped ids undersample the modulus filter and fall through.
+    *
+    * GENERAL PATH — every ⌊n/cells⌋-th row by ID RANK
+    * (`sortBy(id).zipWithIndex`): layout-independent and deterministic on
+    * ANY id space, and under an order-preserving id remap it selects
+    * exactly the rows the dense path selects (rank k·m has id k·m when ids
+    * are dense — the PipelineSpec parity gate). Costs one range shuffle of
+    * the prepared (id, q, |v|²) projection — the same size class as a
+    * single Lloyd iteration of [[trainCentroids]]; corpora too large to
+    * range-shuffle even once swap in a k-means|| sample here, as the class
+    * doc notes.
+    *
+    * Returns (cell id, quantized centroid, |c|²). */
   def sampleCentroids(prepared: DataFrame, idCol: String, cells: Int): Array[(Long, Array[Long], Long)] = {
     val n = prepared.count() // one metadata-scale job; estimate via stats at scale
     val m = math.max(n / cells, 1L)
-    val cents = prepared
+    val dense = prepared
       .filter(col(idCol) % m === 0 && col(idCol) < m * cells)
       .select(expr(s"$idCol DIV $m").as("c"), col("q").as("cq"), col("n2").as("cn2"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
       .sortBy(_._1)
-    require(cents.nonEmpty, s"no centroids sampled (n=$n, cells=$cells): ids must be dense from 0")
-    cents
+    if (dense.length == math.min(cells.toLong, n)) dense
+    else {
+      val cents = prepared
+        .select(col(idCol).cast("long"), col("q"), col("n2")).rdd
+        .sortBy(_.getLong(0))
+        .zipWithIndex()
+        .flatMap { case (row, pos) =>
+          if (pos % m == 0 && pos < m * cells)
+            Some((pos / m, row.getSeq[Long](1).toArray, row.getLong(2)))
+          else None
+        }
+        .collect()
+        .sortBy(_._1)
+      require(cents.nonEmpty, s"no centroids sampled (n=$n, cells=$cells)")
+      cents
+    }
   }
 
   /** Per-row nearest-cell argmin expression over inlined centroid literals:

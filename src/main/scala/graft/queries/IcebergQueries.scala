@@ -78,6 +78,33 @@ object IcebergQueries {
       IceMV.read(s, cat, mv).orderBy("lang")
     }),
 
+    // Incremental DECIMAL avg maintenance (closes the one incremental-merge
+    // gap a SQL user could hit): the MV stores an exact (sum DECIMAL, count
+    // LONG) pair and reconstructs avg(decimal) by decimal division at read
+    // — bit-exact with a full recompute. Final outputs cast to DOUBLE for
+    // the oracle (the q1 monetary convention); the oracle reproduces
+    // Spark's scale-6 HALF_UP quotient in integer cents.
+    "q97_mv_decimal_avg" -> ((s, d) => {
+      val cat = tempCatalog()
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      var t = createFrom(cat, "li_dec", li)
+      t = IceWrite.append(s, t, li.filter(col("l_orderkey") % 2 === 0))
+      val mv = TableIdent(Seq("bench"), "flag_price")
+      IceMV.create(s, cat, mv,
+        "SELECT l_returnflag, count(*) AS n, avg(price) AS avg_price, sum(price) AS sum_price FROM li_dec GROUP BY l_returnflag")
+      IceMV.refresh(s, cat, mv)
+      t = IceWrite.append(s, t.refresh(), li.filter(col("l_orderkey") % 2 === 1))
+      val r = IceMV.refresh(s, cat, mv)
+      require(r.strategy.isInstanceOf[IceMV.IncrementalAggregate],
+        s"expected incremental aggregate refresh, got ${r.strategy}")
+      IceMV.read(s, cat, mv)
+        .select(col("l_returnflag"), col("n"),
+          col("avg_price").cast("double").as("avg_price"),
+          col("sum_price").cast("double").as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Incremental count(DISTINCT) maintenance (beyond the reference): the MV
     // stores (groups, distinct-key) granularity so deltas merge additively;
     // after an incremental refresh the reconstructed distinct counts must
@@ -305,6 +332,22 @@ object IcebergQueries {
       """SELECT lang, count(*) AS n, avg(n_chars) AS avg_chars,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // Spark's avg(decimal(18,2)) is the scale-6 HALF_UP quotient; in exact
+    // integer cents that is (2·sum_cents·10⁴ + n) // (2·n) — the
+    // half-up-by-floor identity for positive operands. Final DOUBLE casts
+    // are exact-value→nearest-double on both engines.
+    "q97_mv_decimal_avg" ->
+      """WITH cents AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+        |  FROM lineitem),
+        |agg AS (
+        |  SELECT l_returnflag, count(*) AS n, CAST(sum(pc) AS BIGINT) AS sc
+        |  FROM cents GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST((2 * sc * 10000 + n) // (2 * n) AS DOUBLE) / 1000000.0 AS avg_price,
+        |  CAST(sc AS DOUBLE) / 100.0 AS sum_price
+        |FROM agg ORDER BY l_returnflag""".stripMargin,
     "q38_mv_distinct" ->
       """SELECT source, count(*) AS n, count(DISTINCT lang) AS n_langs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(n_chars) AS min_chars

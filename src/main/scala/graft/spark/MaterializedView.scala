@@ -170,9 +170,9 @@ object IceMV {
 
   /** Creates the view + empty storage table. First refresh materializes.
     * Aggregate MVs with avg outputs store an exact (sum, count)
-    * decomposition instead of the avg itself — unless the avg is
-    * decimal-typed (double division would lose exactness), in which case
-    * the MV stays whole and refreshes recompute in full. */
+    * decomposition instead of the avg itself; DECIMAL avgs reconstruct by
+    * decimal division at read, everything else through double — both
+    * bit-exact with a full recompute. */
   def create(spark: SparkSession, catalog: Catalog, ident: TableIdent, sql: String): Unit = {
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
     val out = fullCompute(spark, catalog, ident, sql)
@@ -190,8 +190,11 @@ object IceMV {
       case IncrementalAggregate(_, merges) => merges.collect { case (n, "avg") => n }
       case _ => Nil
     }
-    val decompose = avgVis.nonEmpty && avgVis.forall(n =>
-      !out.schema(n).dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+    // every avg decomposes — including DECIMAL, whose exact (sum DECIMAL,
+    // count LONG) pair reconstructs the declared type by decimal division
+    // at read (legacy non-decomposed decimal-avg MVs still full-refresh
+    // via the avgCols.isEmpty guard in refresh)
+    val decompose = avgVis.nonEmpty
 
     val storageDf =
       if (decompose || distinctInfo.isDefined) {
@@ -263,8 +266,18 @@ object IceMV {
         .getOrElse(throw new IllegalStateException(s"no view metadata for $ident"))
         .currentSchema.toSpark
       val withAvgs = avgCols.foldLeft(scan) { case (df, (vis, s, c, tpe)) =>
-        df.withColumn(vis, (col(s).cast("double") / col(c))
-          .cast(org.apache.spark.sql.types.DataType.fromJson(tpe)))
+        val declared = org.apache.spark.sql.types.DataType.fromJson(tpe)
+        val rebuilt = declared match {
+          // DECIMAL avg: divide the exact decimal sum by the long count in
+          // DECIMAL arithmetic (the analyzer applies the same
+          // DecimalPrecision-widened Divide that Average itself evaluates),
+          // then cast to the declared result type — bit-exact with a full
+          // recompute; routing through double would lose low digits
+          case _: org.apache.spark.sql.types.DecimalType =>
+            (col(s) / col(c)).cast(declared)
+          case _ => (col(s).cast("double") / col(c)).cast(declared)
+        }
+        df.withColumn(vis, rebuilt)
       }
       withAvgs.select(visible.fieldNames.map(col).toSeq: _*)
     }

@@ -178,6 +178,45 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IceMV.read(spark, cat, mv).columns.toSeq == Seq("product_id", "avg_amt", "n"))
   }
 
+  test("DECIMAL avg MV merges incrementally; read is bit-exact with native avg") {
+    import spark.implicits._
+    val cat = newCatalog()
+    val priceSchema = IceSchema(0, Seq(
+      NestedField(1, "id", required = false, IceType.LongT),
+      NestedField(2, "product_id", required = false, IceType.LongT),
+      NestedField(3, "price", required = false, IceType.DecimalT(18, 2))))
+    def priceDf(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("id", "product_id", "price")
+        .withColumn("price", col("price").cast("decimal(18,2)"))
+    var sales = cat.createTable(TableIdent(Seq("db"), "sales"), priceSchema, PartitionSpec(0, Nil))
+    // sums chosen so the division does NOT terminate (10.00 / 3) — the case
+    // double routing gets wrong in the low digits
+    sales = IceWrite.append(spark, sales,
+      priceDf(Seq((1L, 1L, "4.00"), (2L, 1L, "2.50"), (3L, 2L, "5.25"))))
+    val mv = TableIdent(Seq("db"), "avg_price")
+    IceMV.create(spark, cat, mv,
+      "SELECT product_id, avg(price) AS avg_price, count(*) AS n FROM sales GROUP BY product_id")
+    IceMV.refresh(spark, cat, mv)
+
+    sales = IceWrite.append(spark, sales.refresh(),
+      priceDf(Seq((4L, 1L, "3.50"), (5L, 3L, "7.77"))))
+    val r = IceMV.refresh(spark, cat, mv)
+    assert(r.strategy.isInstanceOf[IceMV.IncrementalAggregate],
+      s"DECIMAL avg must merge incrementally, got ${r.strategy}")
+
+    val got = IceMV.read(spark, cat, mv)
+    // declared type survives: avg(decimal(18,2)) = decimal(22,6)
+    assert(got.schema("avg_price").dataType ==
+      org.apache.spark.sql.types.DecimalType(22, 6))
+    val expect = IceScan.scan(spark, sales.refresh())
+      .groupBy("product_id")
+      .agg(avg(col("price")).as("avg_price"), count(lit(1)).as("n"))
+    val gotM = got.collect().map(x => x.getLong(0) -> (x.getDecimal(1), x.getLong(2))).toMap
+    val expM = expect.collect().map(x => x.getLong(0) -> (x.getDecimal(1), x.getLong(2))).toMap
+    assert(gotM == expM, "incremental read must be bit-exact with native avg recompute")
+    assert(gotM(1L)._1.toString == "3.333333", "10.00/3 at scale 6, HALF_UP")
+  }
+
   test("count(DISTINCT) MV merges incrementally via (groups, key) granularity") {
     val cat = newCatalog()
     var orders = cat.createTable(TableIdent(Seq("db"), "orders"), ordersSchema, PartitionSpec(0, Nil))

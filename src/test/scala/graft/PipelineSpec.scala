@@ -238,6 +238,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == List((1, 1L), (2, 2L), (3, 3L)))
   }
 
+  test("sampleCentroids: sparse ids select the same rows as dense ids") {
+    import spark.implicits._
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(4)(j => math.sin(i * 2.3 + j).toFloat)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val dense = Embeddings.prepare(vecs, "vec_id", "embedding")
+    // order-preserving sparse remap (ids ~1e9 apart, gapped): the general
+    // path samples by stable scan position, so it must pick the SAME rows
+    // the dense modulus path picks — seed parity under id remapping
+    val sparse = Embeddings.prepare(
+      vecs.withColumn("vec_id", col("vec_id") * 1000000007L + 13L),
+      "vec_id", "embedding")
+    val a = Embeddings.sampleCentroids(dense, "vec_id", 5)
+    val b = Embeddings.sampleCentroids(sparse, "vec_id", 5)
+    assert(a.length == 5 && b.length == 5)
+    assert(a.map(_._1).toSeq == b.map(_._1).toSeq, "cell ids must agree")
+    a.zip(b).foreach { case ((_, qa, na), (_, qb, nb)) =>
+      assert(qa.toSeq == qb.toSeq && na == nb, "centroid vectors must agree")
+    }
+    // end-to-end: IVF search works on the sparse id space (no dense require)
+    val q = 7L * 1000000007L + 13L
+    val got = Embeddings.ivfTopK(sparse, "vec_id", k = 3, cells = 5,
+      col("vec_id") === q).collect()
+    assert(got.nonEmpty && got.forall(_.getLong(0) == q))
+  }
+
   test("lsh ann retrieves same-bucket neighbors") {
     import spark.implicits._
     val base = (0 until 64).map(i => math.sin(i * 1.7).toFloat).toArray
