@@ -72,6 +72,20 @@ object HtmlOps {
       if (linkDepth > 0) linkWords += 1
       inWord = false
     }
+    // end of the tag whose '<' is at `from - 1`: first '>' OUTSIDE quoted
+    // attribute values (href="/x?a>b" is legal and common in real crawls)
+    def tagEnd(from: Int): Int = {
+      var j = from
+      var quote: Char = 0
+      while (j < n) {
+        val ch = html.charAt(j)
+        if (quote != 0) { if (ch == quote) quote = 0 }
+        else if (ch == '"' || ch == '\'') quote = ch
+        else if (ch == '>') return j
+        j += 1
+      }
+      -1
+    }
     def flush(chrome: Boolean): Unit = {
       endWord()
       val t = text.toString.trim.replaceAll("\\s+", " ")
@@ -86,7 +100,7 @@ object HtmlOps {
           val end = html.indexOf("-->", i + 4)
           i = if (end < 0) n else end + 3
         } else {
-          val close = html.indexOf('>', i + 1)
+          val close = tagEnd(i + 1)
           if (close < 0) { text.append(c); inWord = true; i += 1 } // stray '<'
           else {
             val body = html.substring(i + 1, close)

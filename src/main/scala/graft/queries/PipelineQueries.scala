@@ -689,22 +689,32 @@ object PipelineQueries {
     // gate covers the canonicalization rules themselves.
     "q96_url_canonical" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val canon = docs.select(col("doc_id"),
-        UrlOps.canonicalizeUrl(UrlOps.syntheticUrl(col("doc_id"))).as("curl"))
+      // staged canonicalization: the single-Column form inlines each
+      // intermediate at every use site and the tree explodes (28 s for 5k
+      // rows); the staged form materializes each once (sub-second)
+      val urls = docs.select(col("doc_id"),
+        UrlOps.syntheticUrl(col("doc_id")).as("url"))
+      val canon = UrlOps.withCanonicalUrl(urls, col("url"), "curl")
+        .select("doc_id", "curl")
       val dom = canon.select(col("doc_id"), col("curl"),
         UrlOps.hostOf(col("curl")).as("host"))
         .withColumn("domain", UrlOps.registrableDomain(col("host")))
       val pairs = nearDupPairs(s, d)
       val ends = pairs.select(col("id_a").as("doc_id"))
         .unionAll(pairs.select(col("id_b").as("doc_id")))
-      val dupMass = ends.join(dom.select("doc_id", "domain", "host"), "doc_id")
-        .groupBy("domain", "host").agg(count(lit(1)).as("dup_endpoints"))
-      dom.groupBy("domain", "host")
+      // dup mass folds in as per-doc endpoint counts so `dom` is consumed
+      // ONCE: joining two aggregates derived from the same deep projection
+      // lineage made InferFiltersFromConstraints explode combinatorially —
+      // 12 s of DRIVER planning per execution for 15 output rows (measured;
+      // 0.5 s with constraint propagation off). One pass is also the right
+      // shape at corpus scale: no second evaluation of the canonical chain.
+      val endCounts = ends.groupBy("doc_id").agg(count(lit(1)).as("n_ends"))
+      dom.join(endCounts, Seq("doc_id"), "left")
+        .groupBy("domain", "host")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("curl")).as("n_canonical"),
-          min(col("curl")).as("min_url"), max(col("curl")).as("max_url"))
-        .join(dupMass, Seq("domain", "host"), "left")
-        .withColumn("dup_endpoints", coalesce(col("dup_endpoints"), lit(0L)))
+          min(col("curl")).as("min_url"), max(col("curl")).as("max_url"),
+          sum(coalesce(col("n_ends"), lit(0L))).as("dup_endpoints"))
         .orderBy("domain", "host")
     }),
 

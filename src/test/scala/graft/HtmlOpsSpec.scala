@@ -55,6 +55,14 @@ class HtmlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "footer prose passes the density rule — only the tag context catches it")
   }
 
+  test("parser: '>' inside quoted attribute values does not close the tag") {
+    val bs = HtmlOps.blocks(
+      "<p><a href=\"/x?a>b\" title='y>z'>link text</a> tail words here</p>")
+    assert(bs.length == 1)
+    assert(bs.head.text == "link text tail words here")
+    assert(bs.head.linkWords == 2, "only the anchor's words count as link words")
+  }
+
   test("parser: malformed input degrades, never throws") {
     assert(HtmlOps.blocks("no tags at all").nonEmpty)
     assert(HtmlOps.blocks("<p>unclosed everything").head.text == "unclosed everything")

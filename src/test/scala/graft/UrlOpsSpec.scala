@@ -54,6 +54,19 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon("http://h.example.com?b=1&a=2") == "http://h.example.com?a=2&b=1")
   }
 
+  test("staged and single-Column canonicalization agree on the fixture corpus") {
+    import spark.implicits._
+    val urls = (0L until 500L).toDF("doc_id")
+      .select(col("doc_id"), UrlOps.syntheticUrl(col("doc_id")).as("url"))
+    val staged = UrlOps.withCanonicalUrl(urls, col("url"), "curl")
+    assert(staged.columns.toSeq == Seq("doc_id", "url", "curl"),
+      "no staging temporaries may leak into the output schema")
+    val diff = staged
+      .withColumn("inline", UrlOps.canonicalizeUrl(col("url")))
+      .filter(col("curl") =!= col("inline")).count()
+    assert(diff == 0L, "the two evaluation strategies must be byte-identical")
+  }
+
   test("canonicalization is idempotent") {
     import spark.implicits._
     val urls = (0L until 400L).toDF("doc_id")
