@@ -308,4 +308,43 @@ object TrainingSet {
           .orderBy(key, col(keyCol))) - 1).cast("long"))
       .drop("__start")
   }
+
+  /** Leakage-free train/val/test split: a per-DOCUMENT split ([[splitAssign]])
+    * puts near-duplicates of training documents into the test set — the
+    * classic contamination path — so the split key must be the duplicate
+    * CLUSTER, not the document. Every member of a [[Dedup.dupClusters]]
+    * component shares its cluster id as the hash key (singletons key on
+    * their own id); by construction no near-dup pair can ever straddle
+    * splits, and assignment stays growth-stable per GROUP (a cluster's
+    * split never changes when unrelated documents arrive).
+    *
+    * Output: input columns + `group_id` + `split`. One broadcast-sized
+    * left join (the cluster table only holds docs that HAVE duplicates)
+    * and the same zero-shuffle hash projection as splitAssign. */
+  def leakageFreeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       splits: Seq[(String, Double)],
+                       salt: String = "gsplit"): DataFrame = {
+    val clusters = Dedup.dupClusters(pairs)
+      .select(col("id").as(idCol), col("cluster_id"))
+    val withGroup = docs.join(broadcast(clusters), Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col(idCol)).cast("long"))
+      .drop("cluster_id")
+    splitAssign(withGroup, "group_id", splits, salt)
+  }
+
+  /** Per-group quota cap (anti-spam / domain balancing): keep at most `k`
+    * rows per group, best `scoreCol` first, ties broken by ascending
+    * `idCol` — deterministic under any partitioning. One group-keyed
+    * shuffle; the rank ≤ k filter compiles to WindowGroupLimit, so each
+    * partition keeps a bounded top-k buffer instead of sorting whole
+    * groups (the hot-domain skew path at crawl scale). */
+  def capPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                  idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    df.withColumn("__cap_rn", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col(scoreCol).desc, col(idCol).asc)))
+      .filter(col("__cap_rn") <= k)
+      .drop("__cap_rn")
+  }
 }

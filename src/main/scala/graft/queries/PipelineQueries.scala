@@ -32,6 +32,20 @@ object PipelineQueries {
     else { val i = build; q51IndexCache.put(d, (s, i)); i }
   }
 
+  // (doc_id, curl, host, domain) from the deterministic messy-URL fixture:
+  // staged canonicalization (the single-Column form inlines each
+  // intermediate at every use site and the expression tree explodes — 28 s
+  // for 5k rows, sub-second staged), then host/domain off the materialized
+  // canonical column. Shared by q96 (rollup) and q99 (domain cap).
+  private def urlDomains(s: SparkSession, d: String): DataFrame = {
+    val urls = Tables.documents(s, d).select(col("doc_id"),
+      graft.pipeline.UrlOps.syntheticUrl(col("doc_id")).as("url"))
+    graft.pipeline.UrlOps.withCanonicalUrl(urls, col("url"), "curl")
+      .select(col("doc_id"), col("curl"))
+      .withColumn("host", graft.pipeline.UrlOps.hostOf(col("curl")))
+      .withColumn("domain", graft.pipeline.UrlOps.registrableDomain(col("host")))
+  }
+
   // The whole-corpus near-dup PAIR frame — q24's result before its ORDER
   // BY — is STANDING state shared by three consumers: q24 (the pair
   // listing), q47 (clustering over the pairs), and q82 (the cross-source
@@ -688,17 +702,7 @@ object PipelineQueries {
     // doc_id with arithmetic restated verbatim in the oracle — the strict
     // gate covers the canonicalization rules themselves.
     "q96_url_canonical" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      // staged canonicalization: the single-Column form inlines each
-      // intermediate at every use site and the tree explodes (28 s for 5k
-      // rows); the staged form materializes each once (sub-second)
-      val urls = docs.select(col("doc_id"),
-        UrlOps.syntheticUrl(col("doc_id")).as("url"))
-      val canon = UrlOps.withCanonicalUrl(urls, col("url"), "curl")
-        .select("doc_id", "curl")
-      val dom = canon.select(col("doc_id"), col("curl"),
-        UrlOps.hostOf(col("curl")).as("host"))
-        .withColumn("domain", UrlOps.registrableDomain(col("host")))
+      val dom = urlDomains(s, d)
       val pairs = nearDupPairs(s, d)
       val ends = pairs.select(col("id_a").as("doc_id"))
         .unionAll(pairs.select(col("id_b").as("doc_id")))
@@ -758,6 +762,35 @@ object PipelineQueries {
       val merges = BpeOps.train(docs, "text", numMerges = 48)
       BpeOps.tokenCounts(docs, "doc_id", "text", merges)
         .orderBy("doc_id")
+    }),
+
+    // Leakage-free split: near-duplicates of training documents landing in
+    // the test set is the classic contamination path a per-doc split
+    // cannot prevent — the hash key must be the duplicate CLUSTER. Reuses
+    // the q47 clustering over the standing pair frame; no pair can
+    // straddle splits by construction (spec-asserted).
+    "q98_leakage_split" -> ((s, d) =>
+      TrainingSet.leakageFreeSplit(Tables.documents(s, d), nearDupPairs(s, d),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("group_id"), col("split"))
+        .orderBy("doc_id")),
+
+    // Per-domain quota cap (anti-spam / domain balancing): keep the best
+    // `k` docs per registrable domain by quality score, deterministic
+    // doc-id tie-break. The rank ≤ k filter compiles to WindowGroupLimit
+    // (bounded per-partition top-k buffers — the hot-domain skew path).
+    // Rollup over the KEPT side only: one lineage, one window, one
+    // aggregate (joining kept vs total aggregates of the same deep URL
+    // lineage would re-trip the q96 constraint-propagation blowup).
+    "q99_domain_cap" -> ((s, d) => {
+      val base = urlDomains(s, d).select("doc_id", "domain")
+        .join(TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text"), "doc_id")
+      TrainingSet.capPerGroup(base, "domain", "quality", "doc_id", k = 100)
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("kept_id_sum"),
+          min(col("quality")).as("cutoff_quality"))
+        .orderBy("domain")
     })
   )
 
@@ -797,6 +830,55 @@ object PipelineQueries {
     * `pairs` (id_a < id_b, jaccard ≥ 0.5) — the oracle for q24, and the
     * pair input q47's recursive connected-components clustering builds
     * on. */
+  /** Shared canonical-URL chain (the UrlOps fixture arithmetic + every
+    * canonicalization rule restated in DuckDB string SQL — an independent
+    * second implementation, so the strict hash gates the rules). Ends in
+    * `dom` (doc_id, curl, host, domain). Used by q96 and q99.
+    * `starts_with`, not LIKE: `_` is a LIKE wildcard and 'utm_%' would
+    * also match 'utmX'. */
+  private lazy val urlCanonCtes =
+    """u0 AS (SELECT doc_id,
+      |  'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' || CAST(doc_id % 3 AS VARCHAR) || '.com' AS hostbase
+      |  FROM documents),
+      |urls AS (SELECT doc_id,
+      |  (CASE doc_id % 4 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http' WHEN 2 THEN 'https' ELSE 'HTTP' END) || '://' ||
+      |  (CASE WHEN doc_id % 5 < 2 THEN 'WWW.' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 6 = 0 THEN upper(hostbase) ELSE hostbase END) ||
+      |  (CASE doc_id % 7 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END) ||
+      |  '/p' || CAST(doc_id % 10 AS VARCHAR) || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+      |  (CASE doc_id % 4 WHEN 0 THEN '?b=' || CAST(doc_id % 11 AS VARCHAR) || '&utm_source=feed&a=1'
+      |                   WHEN 1 THEN '?a=1&b=' || CAST(doc_id % 11 AS VARCHAR)
+      |                   WHEN 2 THEN '?utm_campaign=x&fbclid=abc123' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+      |  FROM u0),
+      |c0 AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM urls),
+      |c1 AS (SELECT doc_id, lower(split_part(nofrag, '://', 1)) AS scheme,
+      |        substr(nofrag, strpos(nofrag, '://') + 3) AS rest FROM c0),
+      |c2 AS (SELECT *, split_part(split_part(rest, '/', 1), '?', 1) AS hostport FROM c1),
+      |c3 AS (SELECT *, substr(rest, length(hostport) + 1) AS pathq,
+      |        lower(split_part(hostport, ':', 1)) AS host_raw,
+      |        CASE WHEN strpos(hostport, ':') > 0 THEN split_part(hostport, ':', 2) ELSE '' END AS port
+      |       FROM c2),
+      |c4 AS (SELECT *, CASE WHEN starts_with(host_raw, 'www.') THEN substr(host_raw, 5) ELSE host_raw END AS host,
+      |       CASE WHEN port = '' OR (scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443')
+      |            THEN '' ELSE ':' || port END AS portkeep,
+      |       split_part(pathq, '?', 1) AS path,
+      |       CASE WHEN strpos(pathq, '?') > 0 THEN substr(pathq, strpos(pathq, '?') + 1) ELSE '' END AS query
+      |     FROM c3),
+      |c5 AS (SELECT *, CASE WHEN ends_with(path, '/') THEN substr(path, 1, length(path) - 1) ELSE path END AS pathnorm,
+      |       array_to_string(list_sort(list_filter(string_split(query, '&'),
+      |         p -> p <> '' AND NOT starts_with(p, 'utm_') AND NOT starts_with(p, 'fbclid=')
+      |              AND NOT starts_with(p, 'gclid=') AND NOT starts_with(p, 'ref='))), '&') AS qn
+      |     FROM c4),
+      |canon AS (SELECT doc_id, host,
+      |    scheme || '://' || host || portkeep || pathnorm ||
+      |      CASE WHEN qn <> '' THEN '?' || qn ELSE '' END AS curl
+      |  FROM c5),
+      |dom AS (SELECT doc_id, curl, host,
+      |   CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+      |        ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS domain
+      |  FROM canon)""".stripMargin
+
   private lazy val minhashPairCtes =
     s"""$minhashSigCtes,
       |cand AS (
@@ -1776,47 +1858,7 @@ object PipelineQueries {
     // also match 'utmX'). Dup mass joins the q24 pair CTE.
     "q96_url_canonical" ->
       s"""WITH $minhashPairCtes,
-        |u0 AS (SELECT doc_id,
-        |  'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' || CAST(doc_id % 3 AS VARCHAR) || '.com' AS hostbase
-        |  FROM documents),
-        |urls AS (SELECT doc_id,
-        |  (CASE doc_id % 4 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http' WHEN 2 THEN 'https' ELSE 'HTTP' END) || '://' ||
-        |  (CASE WHEN doc_id % 5 < 2 THEN 'WWW.' ELSE '' END) ||
-        |  (CASE WHEN doc_id % 6 = 0 THEN upper(hostbase) ELSE hostbase END) ||
-        |  (CASE doc_id % 7 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END) ||
-        |  '/p' || CAST(doc_id % 10 AS VARCHAR) || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
-        |  (CASE doc_id % 4 WHEN 0 THEN '?b=' || CAST(doc_id % 11 AS VARCHAR) || '&utm_source=feed&a=1'
-        |                   WHEN 1 THEN '?a=1&b=' || CAST(doc_id % 11 AS VARCHAR)
-        |                   WHEN 2 THEN '?utm_campaign=x&fbclid=abc123' ELSE '' END) ||
-        |  (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
-        |  FROM u0),
-        |c0 AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM urls),
-        |c1 AS (SELECT doc_id, lower(split_part(nofrag, '://', 1)) AS scheme,
-        |        substr(nofrag, strpos(nofrag, '://') + 3) AS rest FROM c0),
-        |c2 AS (SELECT *, split_part(split_part(rest, '/', 1), '?', 1) AS hostport FROM c1),
-        |c3 AS (SELECT *, substr(rest, length(hostport) + 1) AS pathq,
-        |        lower(split_part(hostport, ':', 1)) AS host_raw,
-        |        CASE WHEN strpos(hostport, ':') > 0 THEN split_part(hostport, ':', 2) ELSE '' END AS port
-        |       FROM c2),
-        |c4 AS (SELECT *, CASE WHEN starts_with(host_raw, 'www.') THEN substr(host_raw, 5) ELSE host_raw END AS host,
-        |       CASE WHEN port = '' OR (scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443')
-        |            THEN '' ELSE ':' || port END AS portkeep,
-        |       split_part(pathq, '?', 1) AS path,
-        |       CASE WHEN strpos(pathq, '?') > 0 THEN substr(pathq, strpos(pathq, '?') + 1) ELSE '' END AS query
-        |     FROM c3),
-        |c5 AS (SELECT *, CASE WHEN ends_with(path, '/') THEN substr(path, 1, length(path) - 1) ELSE path END AS pathnorm,
-        |       array_to_string(list_sort(list_filter(string_split(query, '&'),
-        |         p -> p <> '' AND NOT starts_with(p, 'utm_') AND NOT starts_with(p, 'fbclid=')
-        |              AND NOT starts_with(p, 'gclid=') AND NOT starts_with(p, 'ref='))), '&') AS qn
-        |     FROM c4),
-        |canon AS (SELECT doc_id, host,
-        |    scheme || '://' || host || portkeep || pathnorm ||
-        |      CASE WHEN qn <> '' THEN '?' || qn ELSE '' END AS curl
-        |  FROM c5),
-        |dom AS (SELECT doc_id, curl, host,
-        |   CASE WHEN len(string_split(host, '.')) <= 2 THEN host
-        |        ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS domain
-        |  FROM canon),
+        |$urlCanonCtes,
         |ends AS (SELECT id_a AS doc_id FROM pairs UNION ALL SELECT id_b FROM pairs),
         |dmass AS (SELECT d.domain, d.host, count(*) AS c
         |          FROM ends e JOIN dom d ON e.doc_id = d.doc_id GROUP BY d.domain, d.host)
@@ -1844,6 +1886,54 @@ object PipelineQueries {
     "q94_bpe_tokens" ->
       """SELECT doc_id, n_words, n_bpe_tokens
         |FROM read_parquet('/root/repo/src/test/resources/golden/q94_bpe_tokens.parquet')
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q47's recursive clustering, then the q67 md5-fraction split keyed on
+    // the GROUP (cluster id for clustered docs, own id for singletons).
+    // `0.8 + 0.1` stays unevaluated so the literal matches Spark's double
+    // cumulative sum bit-for-bit (the q67 convention).
+    "q98_leakage_split" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+        |clus AS (SELECT min(r) AS cluster_id, id AS doc_id FROM reach GROUP BY id),
+        |g AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_id
+        |      FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id),
+        |f AS (SELECT doc_id, group_id,
+        |  (('0x' || substr(md5(CAST(group_id AS VARCHAR) || ':gsplit'), 1, 15))::BIGINT
+        |    / 1152921504606846976.0) AS frac FROM g)
+        |SELECT doc_id, CAST(group_id AS BIGINT) AS group_id,
+        |  CASE WHEN frac < 0.8 THEN 'train'
+        |       WHEN frac < 0.8 + 0.1 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // The q96 canonical-URL chain for domains × the q91 quality formula,
+    // ranked per domain (quality DESC, doc_id ASC), kept-side rollup.
+    "q99_domain_cap" ->
+      s"""WITH $urlCanonCtes,
+        |qstats AS (
+        |  SELECT doc_id,
+        |    len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) AS ttr,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    (length(text) - len(string_split(text, ' ')) + 1) * 1.0 / len(string_split(text, ' ')) AS mean_tok_len
+        |  FROM documents),
+        |quality AS (
+        |  SELECT doc_id, ttr * 50.0 + least(n_tokens / 4.0, 25.0)
+        |    + least(mean_tok_len * 5.0, 25.0) AS quality FROM qstats),
+        |ranked AS (
+        |  SELECT dm.domain, dm.doc_id, q.quality,
+        |    row_number() OVER (PARTITION BY dm.domain
+        |      ORDER BY q.quality DESC, dm.doc_id ASC) AS rn
+        |  FROM dom dm JOIN quality q ON dm.doc_id = q.doc_id)
+        |SELECT domain, count(*) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS kept_id_sum,
+        |  min(quality) AS cutoff_quality
+        |FROM ranked WHERE rn <= 100
+        |GROUP BY domain ORDER BY domain""".stripMargin
   )
 }

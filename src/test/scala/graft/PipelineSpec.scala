@@ -685,6 +685,46 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(small.forall { case (k, s) => got(k) == s })
   }
 
+  test("leakageFreeSplit: no near-dup pair ever straddles splits") {
+    import spark.implicits._
+    val docs = (0L until 200L).toDF("doc_id")
+    // two chains (0-1-2, 10-11) plus a far-apart pair (50, 150)
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L), (50L, 150L))
+      .toDF("id_a", "id_b")
+    val got = TrainingSet.leakageFreeSplit(docs, pairs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "group_id", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.size == 200)
+    // cluster members share group (= min member) and split
+    assert(Seq(0L, 1L, 2L).map(got(_)) == Seq.fill(3)((0L, got(0L)._2)))
+    assert(got(10L) == got(11L) && got(10L)._1 == 10L)
+    assert(got(50L) == got(150L) && got(50L)._1 == 50L)
+    // singletons key on their own id and match the per-doc splitAssign
+    val plain = TrainingSet.splitAssign((0L until 200L).toDF("group_id"),
+      "group_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "gsplit")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clustered = Set(0L, 1L, 2L, 10L, 11L, 50L, 150L)
+    got.filterNot(kv => clustered(kv._1)).foreach { case (id, (g, s)) =>
+      assert(g == id && s == plain(id))
+    }
+  }
+
+  test("capPerGroup keeps exactly the top-k per group, deterministic ties") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 7.0), ("a", 4L, 1.0),
+      ("b", 5L, 2.0)).toDF("g", "id", "score")
+    val got = TrainingSet.capPerGroup(d, "g", "score", "id", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // a: 7.0 first, then the 5.0 tie breaks to the LOWER id
+    assert(got == Set(("a", 3L), ("a", 1L), ("b", 5L)))
+    // rank<=k compiles to WindowGroupLimit (bounded top-k buffers)
+    val plan = TrainingSet.capPerGroup(d, "g", "score", "id", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"top-k not limit-pushed:\n$plan")
+  }
+
   test("lmScore quantizes bigram counts to floor-log2 with exact means") {
     val d = docs(1L -> "a b a b", 2L -> "a b", 3L -> "x")
     val got = TextOps.lmScore(d, "doc_id", "text").collect()
