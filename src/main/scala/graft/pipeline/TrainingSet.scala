@@ -323,10 +323,17 @@ object TrainingSet {
     * and the same zero-shuffle hash projection as splitAssign. */
   def leakageFreeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
                        splits: Seq[(String, Double)],
-                       salt: String = "gsplit"): DataFrame = {
-    val clusters = Dedup.dupClusters(pairs)
-      .select(col("id").as(idCol), col("cluster_id"))
-    val withGroup = docs.join(broadcast(clusters), Seq(idCol), "left")
+                       salt: String = "gsplit"): DataFrame =
+    leakageFreeSplitFromClusters(docs, Dedup.dupClusters(pairs), idCol, splits, salt)
+
+  /** [[leakageFreeSplit]] over an already-computed cluster frame
+    * (`cluster_id, id` — [[Dedup.dupClusters]]' shape): callers holding
+    * clustering as standing state skip the pointer-jumping loop. */
+  def leakageFreeSplitFromClusters(docs: DataFrame, clusters: DataFrame,
+                                   idCol: String, splits: Seq[(String, Double)],
+                                   salt: String = "gsplit"): DataFrame = {
+    val keyed = clusters.select(col("id").as(idCol), col("cluster_id"))
+    val withGroup = docs.join(broadcast(keyed), Seq(idCol), "left")
       .withColumn("group_id", coalesce(col("cluster_id"), col(idCol)).cast("long"))
       .drop("cluster_id")
     splitAssign(withGroup, "group_id", splits, salt)
