@@ -186,4 +186,52 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p10 == copies * p1, s"expected ${copies}x$p1 pairs, got $p10")
     pairs10.unpersist()
   }
+
+  test("zero-shuffle text/url kernels scale linearly with structure preserved") {
+    import graft.pipeline.{BpeOps, HtmlOps, UrlOps}
+    // BPE: train on the BASE corpus, apply the frozen merge table at 10× —
+    // the production shape (tokenizers are trained once, applied forever).
+    // Copy 0 must reproduce base counts exactly; caesar copies carry a
+    // shifted alphabet the merges don't know and degrade toward characters
+    // (still deterministic, still linear).
+    val merges = BpeOps.train(base1x, "text", numMerges = 48)
+    val counts1 = BpeOps.tokenCounts(base1x, "doc_id", "text", merges).cache()
+    val (counts10, n10) = timed(s"bpe apply ${copies}x") {
+      val c = BpeOps.tokenCounts(base10x, "doc_id", "text", merges).cache()
+      (c, c.count())
+    }
+    val n1 = counts1.count()
+    assert(n10 == copies * n1, s"expected ${copies}x$n1 rows, got $n10")
+    val diverged = counts10.filter(col("doc_id") < CopyStride).as("c10")
+      .join(counts1.as("c1"), "doc_id")
+      .filter(col("c10.n_bpe_tokens") =!= col("c1.n_bpe_tokens")).count()
+    assert(diverged == 0, "copy 0 must tokenize exactly like the base corpus")
+    counts1.unpersist(); counts10.unpersist()
+
+    // HTML extraction: every one of the 10× pages must reconstruct its
+    // body byte-exactly (chrome volume grows linearly with the corpus)
+    timed(s"html extract ${copies}x") {
+      import spark.implicits._
+      val bad = base10x.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          (id, HtmlOps.contentBlocks(HtmlOps.syntheticPage(id, t)).mkString(" ") == t)
+        }).toDF("doc_id", "ok").filter(!col("ok")).count()
+      assert(bad == 0L, s"$bad of the ${copies}x pages failed byte-exact reconstruction")
+    }
+
+    // URL canonicalization: idempotent at 10× (canonical output is a fixed
+    // point for every row). The checkpoint between the two applications is
+    // deliberate: stacking two staged chains in ONE plan re-trips the
+    // InferFiltersFromConstraints blowup the q96 rewrite documented — the
+    // optimizer, not the data, was the hang.
+    timed(s"url canonical ${copies}x") {
+      val urls = base10x.select(col("doc_id"),
+        UrlOps.syntheticUrl(col("doc_id")).as("url"))
+      val once = UrlOps.withCanonicalUrl(urls, col("url"), "c1")
+        .select("doc_id", "c1").localCheckpoint(true)
+      val twice = UrlOps.withCanonicalUrl(once, col("c1"), "c2")
+      assert(twice.filter(col("c1") =!= col("c2")).count() == 0L)
+      once.unpersist()
+    }
+  }
 }
