@@ -77,6 +77,29 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("sequence packing runs on real BPE subword counts") {
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.{BpeOps, TrainingSet}
+    val docs = Tables.documents(spark, sfDir)
+    val merges = BpeOps.train(docs, "text", numMerges = 48)
+    val counts = BpeOps.tokenCounts(docs, "doc_id", "text", merges)
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val packed = TrainingSet.packSequences(counts, "doc_id", "n_bpe_tokens",
+      "source", budgetTokens = 2048, buckets = 4)
+    // every doc lands in exactly one pack; pack token sums respect the
+    // budget except where a single long doc overflows alone
+    assert(packed.count() == docs.count())
+    val over = packed.groupBy("source", "bucket", "pack_id")
+      .agg(sum(col("n_bpe_tokens")).as("toks"), count(lit(1)).as("n"))
+      .filter(col("toks") > 2048 + 400 && col("n") > 1).count()
+    assert(over == 0L, "multi-doc packs must stay near the subword budget")
+    // deterministic: same corpus, same merges → same packing
+    val again = TrainingSet.packSequences(counts, "doc_id", "n_bpe_tokens",
+      "source", 2048, 4)
+    assert(packed.exceptAll(again).count() == 0L)
+  }
+
   test("q94 golden parquet matches a live recompute on sf0.01") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
     assume(new java.io.File(goldenPath).exists(), s"$goldenPath not generated yet")
