@@ -31,6 +31,19 @@ object UrlOps {
     p.startsWith("utm_") || p.startsWith("fbclid=") ||
       p.startsWith("gclid=") || p.startsWith("ref=")
 
+  /** RFC 3986 §6.2.2 percent-escape normalization: decode escapes of
+    * UNRESERVED characters (`%7E` ≡ `~`), uppercase the hex of every other
+    * escape (`%3f` → `%3F`), copy malformed percents verbatim. A native
+    * codegen'd kernel ([[graft.spark.expressions.NormalizePercentEscapes]])
+    * — the per-character scan no built-in string function composition can
+    * express. Safe to apply to a whole path?query region: reserved escapes
+    * (`%26` = `&`, `%3F` = `?`, `%2F` = `/`) never decode, so no new
+    * delimiter can appear. */
+  def normalizePercent(c: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      graft.spark.expressions.NormalizePercentEscapes(
+        org.apache.spark.sql.GraftShim.expression(c)))
+
   /** `url` → canonical form:
     * lower(scheme) `://` lower(host minus one leading `www.`) [`:port`
     * unless it is the scheme default] path-minus-one-trailing-slash
@@ -49,7 +62,7 @@ object UrlOps {
     // everything after the first "://" (instr is 1-based; +3 skips it)
     val rest = nofrag.substr(instr(nofrag, "://") + lit(3), length(nofrag))
     val hostport = substring_index(substring_index(rest, "/", 1), "?", 1)
-    val pathq = rest.substr(length(hostport) + lit(1), length(rest))
+    val pathq = normalizePercent(rest.substr(length(hostport) + lit(1), length(rest)))
     val hostRaw = lower(substring_index(hostport, ":", 1))
     val host = when(hostRaw.startsWith("www."), hostRaw.substr(lit(5), length(hostRaw)))
       .otherwise(hostRaw)
@@ -91,8 +104,8 @@ object UrlOps {
         c("nofrag").substr(instr(c("nofrag"), "://") + lit(3), length(c("nofrag"))))
       .withColumn(p + "hostport",
         substring_index(substring_index(c("rest"), "/", 1), "?", 1))
-      .withColumn(p + "pathq",
-        c("rest").substr(length(c("hostport")) + lit(1), length(c("rest"))))
+      .withColumn(p + "pathq", normalizePercent(
+        c("rest").substr(length(c("hostport")) + lit(1), length(c("rest")))))
       .withColumn(p + "hostraw", lower(substring_index(c("hostport"), ":", 1)))
       .withColumn(p + "host",
         when(c("hostraw").startsWith("www."),
@@ -151,7 +164,11 @@ object UrlOps {
     val hostCased = when(id % 6 === 0, upper(hostBase)).otherwise(hostBase)
     val host = when(id % 5 < 2, concat(lit("WWW."), hostCased)).otherwise(hostCased)
     val port = when(id % 7 === 0, ":443").when(id % 7 === 1, ":8080").otherwise("")
-    val path = concat(lit("/p"), idStr(id % 10),
+    // planted percent escapes: %7e decodes (unreserved ~), %3f stays but
+    // uppercases (reserved ?), %5a decodes (unreserved Z)
+    val esc = when(id % 8 === 0, "%7ehome").when(id % 8 === 1, "x%3fq")
+      .when(id % 8 === 5, "y%5a").otherwise("")
+    val path = concat(lit("/p"), idStr(id % 10), esc,
       when(id % 3 === 0, "/").otherwise(""))
     val query = when(id % 4 === 0,
       concat(lit("?b="), idStr(id % 11), lit("&utm_source=feed&a=1")))

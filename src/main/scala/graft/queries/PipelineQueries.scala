@@ -865,7 +865,9 @@ object PipelineQueries {
       |  (CASE WHEN doc_id % 5 < 2 THEN 'WWW.' ELSE '' END) ||
       |  (CASE WHEN doc_id % 6 = 0 THEN upper(hostbase) ELSE hostbase END) ||
       |  (CASE doc_id % 7 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END) ||
-      |  '/p' || CAST(doc_id % 10 AS VARCHAR) || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+      |  '/p' || CAST(doc_id % 10 AS VARCHAR) ||
+      |  (CASE doc_id % 8 WHEN 0 THEN '%7ehome' WHEN 1 THEN 'x%3fq' WHEN 5 THEN 'y%5a' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
       |  (CASE doc_id % 4 WHEN 0 THEN '?b=' || CAST(doc_id % 11 AS VARCHAR) || '&utm_source=feed&a=1'
       |                   WHEN 1 THEN '?a=1&b=' || CAST(doc_id % 11 AS VARCHAR)
       |                   WHEN 2 THEN '?utm_campaign=x&fbclid=abc123' ELSE '' END) ||
@@ -875,7 +877,9 @@ object PipelineQueries {
       |c1 AS (SELECT doc_id, lower(split_part(nofrag, '://', 1)) AS scheme,
       |        substr(nofrag, strpos(nofrag, '://') + 3) AS rest FROM c0),
       |c2 AS (SELECT *, split_part(split_part(rest, '/', 1), '?', 1) AS hostport FROM c1),
-      |c3 AS (SELECT *, substr(rest, length(hostport) + 1) AS pathq,
+      |c3 AS (SELECT *,
+      |        replace(replace(replace(substr(rest, length(hostport) + 1),
+      |          '%7e', '~'), '%3f', '%3F'), '%5a', 'Z') AS pathq,
       |        lower(split_part(hostport, ':', 1)) AS host_raw,
       |        CASE WHEN strpos(hostport, ':') > 0 THEN split_part(hostport, ':', 2) ELSE '' END AS port
       |       FROM c2),

@@ -67,6 +67,32 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diff == 0L, "the two evaluation strategies must be byte-identical")
   }
 
+  test("percent-escape normalization: decode unreserved, uppercase reserved") {
+    import graft.spark.expressions.PercentKernel
+    import org.apache.spark.unsafe.types.UTF8String
+    def n(s: String) = PercentKernel.normalize(UTF8String.fromString(s)).toString
+    assert(n("/a%7eb") == "/a~b", "unreserved escape decodes")
+    assert(n("/a%5A%5ab") == "/aZZb", "hex case does not matter for decoding")
+    assert(n("/x%3fq=%2Fv") == "/x%3Fq=%2Fv", "reserved escapes stay, hex uppercased")
+    assert(n("/plain") == "/plain")
+    assert(n("100%") == "100%", "trailing bare percent copied verbatim")
+    assert(n("%zz5") == "%zz5", "malformed escape copied verbatim")
+    assert(n("%7e%3f%7e") == "~%3F~", "mixed run")
+    assert(n(n("/a%7e%3f")) == n("/a%7e%3f"), "idempotent")
+    // Column path agrees with the kernel (exercises codegen evaluation)
+    import spark.implicits._
+    val via = Seq("/a%7eb", "/x%3fq", "100%", "%zz5").toDF("s")
+      .select(graft.pipeline.UrlOps.normalizePercent(col("s")))
+      .collect().map(_.getString(0)).toSeq
+    assert(via == Seq("/a~b", "/x%3Fq", "100%", "%zz5"))
+  }
+
+  test("canonicalization applies escape normalization to path and query") {
+    assert(canon("https://h.example.com/a%7eb?c%5a=1&b=2")
+      == "https://h.example.com/a~b?b=2&cZ=1")
+    assert(canon("https://h.example.com/x%3fq") == "https://h.example.com/x%3Fq")
+  }
+
   test("canonicalization is idempotent") {
     import spark.implicits._
     val urls = (0L until 400L).toDF("doc_id")
