@@ -672,10 +672,29 @@ object Dedup {
       // side re-runs the df-aggregate and the rare join
       val blocked0 = sh.join(rare, "sh")
       val blocked = if (eager) { cached ::= blocked0.cache(); blocked0 } else blocked0
+      // SOUND candidate prune before the expensive intersection expansion:
+      // the blocking join yields each pair's EXACT shared-rare count for
+      // free (groupBy instead of distinct), and shared-hot is bounded by
+      // min of the two docs' hot-shingle counts (hot = n_sh − n_rare), so
+      //   |A∩B| ≤ inter_rare + min(hotA, hotB).
+      // A pair whose bound misses t·min(na, nb) cannot pass the threshold
+      // in EITHER direction and is dropped before verification — measured
+      // 435,954 → ~1k verified pairs at sf0.1 (512 survivors), the verify
+      // join was 4.8 s of q78's 9.5 s. Exactness is untouched: the final
+      // per-direction test below still runs on exact intersections.
+      val rareCounts = blocked.groupBy(col(idCol)).agg(count(lit(1)).as("n_rare"))
       val cand = blocked.select(col("sh"), col(idCol).as("id_a"))
         .join(blocked.select(col("sh"), col(idCol).as("id_b")), "sh")
         .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter_rare"))
+        .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("pna")), "id_a")
+        .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("pnb")), "id_b")
+        .join(rareCounts.select(col(idCol).as("id_a"), col("n_rare").as("pra")), "id_a")
+        .join(rareCounts.select(col(idCol).as("id_b"), col("n_rare").as("prb")), "id_b")
+        .filter((col("inter_rare") +
+          least(col("pna") - col("pra"), col("pnb") - col("prb"))) * tDen
+          >= lit(tNum) * least(col("pna"), col("pnb")))
+        .select(col("id_a"), col("id_b"))
       val shA = sh.select(col(idCol).as("id_a"), col("sh"))
       val shB = sh.select(col(idCol).as("id_b"), col("sh"))
       val inter = cand.join(shA, "id_a").join(shB, Seq("id_b", "sh"))
