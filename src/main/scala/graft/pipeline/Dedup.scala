@@ -678,10 +678,14 @@ object Dedup {
       // min of the two docs' hot-shingle counts (hot = n_sh − n_rare), so
       //   |A∩B| ≤ inter_rare + min(hotA, hotB).
       // A pair whose bound misses t·min(na, nb) cannot pass the threshold
-      // in EITHER direction and is dropped before verification — measured
-      // 435,954 → ~1k verified pairs at sf0.1 (512 survivors), the verify
-      // join was 4.8 s of q78's 9.5 s. Exactness is untouched: the final
-      // per-direction test below still runs on exact intersections.
+      // in EITHER direction and is dropped before verification. How much
+      // prunes depends on the threshold relative to the corpus hot-shingle
+      // fraction: at t = 4/5 nearly everything dies (435,954 candidates →
+      // ~1k verified at sf0.1; the verify join was 4.8 s of 9.5 s, total
+      // 9.5 → 3.4 s warm), at the q78-benched t = 1/5 the bound rarely
+      // fires and the extra aggregation is noise-level (broadcast-sized
+      // joins). Exactness is untouched either way: the final per-direction
+      // test below still runs on exact intersections.
       val rareCounts = blocked.groupBy(col(idCol)).agg(count(lit(1)).as("n_rare"))
       val cand = blocked.select(col("sh"), col(idCol).as("id_a"))
         .join(blocked.select(col("sh"), col(idCol).as("id_b")), "sh")
