@@ -16,13 +16,15 @@ object Bench {
     * Globbed from the local-dir root (DiskBlockManager's fields are
     * private[spark]); local mode puts blockmgr-* under spark.local.dir. */
   private def localDirBytes(spark: SparkSession): Long = {
-    val root = new java.io.File(
-      spark.sparkContext.getConf.get("spark.local.dir",
-        System.getProperty("java.io.tmpdir", "/tmp")))
+    // spark.local.dir is documented as a comma-separated list — sum
+    // blockmgr-* across every root, not a File of the joined string
+    val roots = spark.sparkContext.getConf.get("spark.local.dir",
+      System.getProperty("java.io.tmpdir", "/tmp")).split(',').map(_.trim)
+      .filter(_.nonEmpty).map(new java.io.File(_))
     def size(f: java.io.File): Long =
       if (f.isFile) f.length()
       else Option(f.listFiles()).map(_.map(size).sum).getOrElse(0L)
-    Option(root.listFiles()).getOrElse(Array.empty)
+    roots.flatMap(r => Option(r.listFiles()).getOrElse(Array.empty[java.io.File]))
       .filter(f => f.getName.startsWith("blockmgr-")).map(size).sum
   }
 
@@ -112,7 +114,14 @@ object Bench {
     // file — whichever line survives the tail window parses.
     val spread = byQuery.map(r => s""""${r.name}":[${r3(r.mn)},${r3(r.mx)}]""")
       .mkString("{", ",", "}")
-    val fullPath = "/root/repo/BENCH_full.json"
+    // BENCH_full.json is the OFFICIAL full-suite record: a
+    // SPARK_GRAFT_BENCH_ONLY subset run (local profiling, judge isolation
+    // re-runs) must never clobber it — an r11 subset run overwrote the
+    // committed 98-query record with a single-query file. Subset runs get
+    // their own scratch artifact.
+    val fullPath =
+      if (only.isEmpty) "/root/repo/BENCH_full.json"
+      else "/root/repo/BENCH_only.json"
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":$iters,""" +
       s""""queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),

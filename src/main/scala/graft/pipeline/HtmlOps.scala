@@ -48,9 +48,34 @@ object HtmlOps {
     case "quot" => "\""
     case "nbsp" => " "
     case e if e.startsWith("#") =>
-      try String.valueOf(Integer.parseInt(e.drop(1)).toChar)
-      catch { case _: Throwable => "&" + e + ";" }
+      // decimal or hex (&#x...;) reference; supplementary-plane codepoints
+      // (emoji, &#128512;) need toChars — a bare .toChar would keep only
+      // the low 16 bits and silently corrupt the text. Out-of-range or
+      // malformed references pass through verbatim, never wrap.
+      val hex = e.length > 1 && (e.charAt(1) == 'x' || e.charAt(1) == 'X')
+      val digits = if (hex) e.drop(2) else e.drop(1)
+      try {
+        val cp = Integer.parseInt(digits, if (hex) 16 else 10)
+        if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp))
+        else "&" + e + ";"
+      } catch { case _: Throwable => "&" + e + ";" }
     case e => "&" + e + ";" // unknown entities pass through verbatim
+  }
+
+  /** Locale-independent case-insensitive indexOf (ASCII tag names): a
+    * forward regionMatches scan from `from`, so each raw-text skip costs
+    * O(skipped region), not an O(document) whole-page toLowerCase per tag
+    * (quadratic on script-heavy crawl pages, and default-locale
+    * toLowerCase breaks tag matching on e.g. a Turkish-locale JVM). */
+  private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
+    val nl = needle.length
+    var j = math.max(from, 0)
+    val last = hay.length - nl
+    while (j <= last) {
+      if (hay.regionMatches(true, j, needle, 0, nl)) return j
+      j += 1
+    }
+    -1
   }
 
   /** Single-pass parse: markup → classified text blocks. Malformed input
@@ -105,11 +130,12 @@ object HtmlOps {
           else {
             val body = html.substring(i + 1, close)
             val isEnd = body.startsWith("/")
-            val name = body.dropWhile(_ == '/').takeWhile(ch => ch.isLetterOrDigit).toLowerCase
+            val name = body.dropWhile(_ == '/').takeWhile(ch => ch.isLetterOrDigit)
+              .toLowerCase(java.util.Locale.ROOT)
             if (!isEnd && RawTextTags.contains(name)) {
               // swallow raw content up to the matching close tag
               val endTag = "</" + name
-              val stop = html.toLowerCase.indexOf(endTag, close + 1)
+              val stop = indexOfIgnoreCase(html, endTag, close + 1)
               if (stop < 0) i = n
               else i = math.max(close + 1, html.indexOf('>', stop) + 1)
             } else {

@@ -17,9 +17,14 @@ import org.apache.spark.sql.functions._
   * so an independent engine (the DuckDB oracle) reproduces the result
   * byte-for-byte — the q96 strict gate.
   *
-  * Scope: HTTP(S) URLs with a `scheme://` prefix, no userinfo, no percent
-  * re-encoding (case-normalizing %XX escapes needs a per-char loop —
-  * a later Expression if real corpora demand it).
+  * Scope: HTTP(S) URLs with a `scheme://` prefix. Userinfo
+  * (`user:pass@host` — RFC 3986 §3.2.1) is stripped: dedup must not split
+  * on credentials. Percent normalization applies to the host as well as
+  * the path?query region; a host still carrying an escape AFTER
+  * normalization (only reserved/non-ASCII escapes survive — a legal host
+  * never needs those) is kept verbatim (lowercased) rather than
+  * half-normalized, so obfuscated hosts stay distinguishable for
+  * downstream flagging.
   */
 object UrlOps {
 
@@ -61,11 +66,20 @@ object UrlOps {
     val scheme = lower(substring_index(nofrag, "://", 1))
     // everything after the first "://" (instr is 1-based; +3 skips it)
     val rest = nofrag.substr(instr(nofrag, "://") + lit(3), length(nofrag))
-    val hostport = substring_index(substring_index(rest, "/", 1), "?", 1)
-    val pathq = normalizePercent(rest.substr(length(hostport) + lit(1), length(rest)))
+    // authority = [userinfo "@"] host [":" port]; a raw '@' is illegal in
+    // userinfo (must be escaped), so the first '@' is the delimiter
+    val auth = substring_index(substring_index(rest, "/", 1), "?", 1)
+    val pathq = normalizePercent(rest.substr(length(auth) + lit(1), length(rest)))
+    val hostport = when(instr(auth, "@") > 0,
+      auth.substr(instr(auth, "@") + lit(1), length(auth))).otherwise(auth)
     val hostRaw = lower(substring_index(hostport, ":", 1))
-    val host = when(hostRaw.startsWith("www."), hostRaw.substr(lit(5), length(hostRaw)))
-      .otherwise(hostRaw)
+    // %2E-obfuscated hosts must dedup with their plain form; a host where
+    // escapes REMAIN after normalization is malformed/suspicious — keep it
+    // verbatim (lowercased) instead of emitting a half-normalized mix
+    val hostDec = normalizePercent(hostRaw)
+    val hostSafe = when(instr(hostDec, "%") > 0, hostRaw).otherwise(hostDec)
+    val host = when(hostSafe.startsWith("www."), hostSafe.substr(lit(5), length(hostSafe)))
+      .otherwise(hostSafe)
     val port = when(instr(hostport, ":") > 0, substring_index(hostport, ":", -1))
       .otherwise(lit(""))
     val portKeep = when(
@@ -96,20 +110,32 @@ object UrlOps {
   def withCanonicalUrl(df: org.apache.spark.sql.DataFrame, url: Column,
                        out: String): org.apache.spark.sql.DataFrame = {
     val p = "__urlc_"
+    // collisions with caller columns must fail loudly — the final drop
+    // removes EVERY __urlc_* column, so a pre-existing one would silently
+    // vanish from the output
+    require(!df.columns.exists(_.startsWith(p)),
+      s"input already carries $p* columns — rename them before calling withCanonicalUrl")
     def c(n: String) = col(p + n)
     val staged = df
       .withColumn(p + "nofrag", substring_index(url, "#", 1))
       .withColumn(p + "scheme", lower(substring_index(c("nofrag"), "://", 1)))
       .withColumn(p + "rest",
         c("nofrag").substr(instr(c("nofrag"), "://") + lit(3), length(c("nofrag"))))
-      .withColumn(p + "hostport",
+      .withColumn(p + "auth",
         substring_index(substring_index(c("rest"), "/", 1), "?", 1))
       .withColumn(p + "pathq", normalizePercent(
-        c("rest").substr(length(c("hostport")) + lit(1), length(c("rest")))))
+        c("rest").substr(length(c("auth")) + lit(1), length(c("rest")))))
+      .withColumn(p + "hostport",
+        when(instr(c("auth"), "@") > 0,
+          c("auth").substr(instr(c("auth"), "@") + lit(1), length(c("auth"))))
+          .otherwise(c("auth")))
       .withColumn(p + "hostraw", lower(substring_index(c("hostport"), ":", 1)))
+      .withColumn(p + "hostdec", normalizePercent(c("hostraw")))
+      .withColumn(p + "hostsafe",
+        when(instr(c("hostdec"), "%") > 0, c("hostraw")).otherwise(c("hostdec")))
       .withColumn(p + "host",
-        when(c("hostraw").startsWith("www."),
-          c("hostraw").substr(lit(5), length(c("hostraw")))).otherwise(c("hostraw")))
+        when(c("hostsafe").startsWith("www."),
+          c("hostsafe").substr(lit(5), length(c("hostsafe")))).otherwise(c("hostsafe")))
       .withColumn(p + "port",
         when(instr(c("hostport"), ":") > 0, substring_index(c("hostport"), ":", -1))
           .otherwise(lit("")))
@@ -134,35 +160,77 @@ object UrlOps {
     staged.drop(staged.columns.filter(_.startsWith(p)).toIndexedSeq: _*)
   }
 
-  /** Host (minus any explicit port) of a `scheme://`-prefixed URL. */
+  /** Host (minus any userinfo or explicit port) of a `scheme://`-prefixed
+    * URL. Splits on the FIRST `://` — mirroring [[canonicalizeUrl]] — so a
+    * URL whose query embeds another URL (`http://a.com/?r=http://b.com/x`)
+    * still reports `a.com`. */
   def hostOf(url: Column): Column = {
-    val rest = substring_index(url, "://", -1)
-    substring_index(substring_index(substring_index(rest, "/", 1), "?", 1), ":", 1)
+    val rest = url.substr(instr(url, "://") + lit(3), length(url))
+    val auth = substring_index(substring_index(rest, "/", 1), "?", 1)
+    val hostport = when(instr(auth, "@") > 0,
+      auth.substr(instr(auth, "@") + lit(1), length(auth))).otherwise(auth)
+    substring_index(hostport, ":", 1)
   }
 
-  /** Last two host labels — the registrable-domain approximation every
-    * rollup that lacks the public-suffix list uses (`a.b.site.example.com`
-    * → `example.com`). Hosts with fewer than two labels pass through. */
+  /** Second-level public suffixes (the ccTLD core of the public-suffix
+    * list — the registries under which names are registered one level
+    * deeper, e.g. `example.co.uk` not `co.uk`). A static literal set, not
+    * the full Mozilla PSL: these few dozen cover the ccTLD families that
+    * dominate real crawls; everything else falls back to the two-label
+    * rule. Shared with the q96/q99 oracle SQL, which interpolates this
+    * same constant. */
+  val secondLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp", "lg.jp",
+    "co.nz", "org.nz", "net.nz", "govt.nz", "ac.nz", "school.nz", "gen.nz",
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "com.ar", "com.tr", "com.tw", "com.hk", "com.sg", "com.my",
+    "co.kr", "or.kr", "co.id", "co.th", "com.vn", "com.ph", "com.pk",
+    "com.eg", "com.sa", "co.il", "org.il", "ac.il", "co.ke", "co.tz",
+    "com.ng", "com.gh")
+
+  /** Registrable domain: last two host labels, EXCEPT when those two
+    * labels are themselves a second-level public suffix (`co.uk` family) —
+    * then the last three (`shop.example.co.uk` → `example.co.uk`, never
+    * `co.uk`, which would pool every UK site into one bucket). Hosts with
+    * too few labels pass through. */
   def registrableDomain(host: Column): Column = {
     val labels = split(host, "\\.")
+    val last2 = array_join(slice(labels, -2, 2), ".")
     when(size(labels) <= 2, host)
-      .otherwise(array_join(slice(labels, -2, 2), "."))
+      .when(last2.isInCollection(secondLevelSuffixes),
+        array_join(slice(labels, -3, 3), "."))
+      .otherwise(last2)
   }
 
   /** Deterministic messy-URL FIXTURE for a bigint id column (this corpus
     * carries no URL field): mixed-case schemes and hosts, `www.` aliases,
-    * default and explicit ports, trailing slashes, shuffled query params
-    * with planted tracking keys, fragments. The same arithmetic is
-    * restated in the q96 oracle SQL, so the strict gate covers exactly the
-    * canonicalization rules, not the fixture. */
+    * planted userinfo, `%2E`-obfuscated hosts, `co.uk`-family hosts
+    * (exercising the public-suffix rule), default and explicit ports,
+    * trailing slashes, shuffled query params with planted tracking keys,
+    * fragments. The same arithmetic is restated in the q96 oracle SQL, so
+    * the strict gate covers exactly the canonicalization rules, not the
+    * fixture. */
   def syntheticUrl(id: Column): Column = {
     val idStr = (n: Column) => n.cast("string")
     val scheme = when(id % 4 === 0, "HTTPS").when(id % 4 === 1, "http")
       .when(id % 4 === 2, "https").otherwise("HTTP")
-    val hostBase = concat(lit("site"), idStr(id % 5), lit(".example"),
-      idStr(id % 3), lit(".com"))
+    val hostBase =
+      when(id % 10 === 7, // %2E-obfuscated: must dedup with the plain form
+        concat(lit("site"), idStr(id % 5), lit("%2Eexample"), idStr(id % 3), lit(".com")))
+      .when(id % 10 === 3, // ccTLD family: registrable = example{k}.co.uk
+        concat(lit("shop"), idStr(id % 5), lit(".example"), idStr(id % 3), lit(".co.uk")))
+      .otherwise(concat(lit("site"), idStr(id % 5), lit(".example"),
+        idStr(id % 3), lit(".com")))
     val hostCased = when(id % 6 === 0, upper(hostBase)).otherwise(hostBase)
-    val host = when(id % 5 < 2, concat(lit("WWW."), hostCased)).otherwise(hostCased)
+    val hostWww = when(id % 5 < 2, concat(lit("WWW."), hostCased)).otherwise(hostCased)
+    val host = when(id % 9 === 4, concat(lit("u:pw@"), hostWww)).otherwise(hostWww)
     val port = when(id % 7 === 0, ":443").when(id % 7 === 1, ":8080").otherwise("")
     // planted percent escapes: %7e decodes (unreserved ~), %3f stays but
     // uppercases (reserved ?), %5a decodes (unreserved Z)

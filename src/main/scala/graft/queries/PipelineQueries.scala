@@ -857,11 +857,14 @@ object PipelineQueries {
     * `starts_with`, not LIKE: `_` is a LIKE wildcard and 'utm_%' would
     * also match 'utmX'. */
   private lazy val urlCanonCtes =
-    """u0 AS (SELECT doc_id,
-      |  'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' || CAST(doc_id % 3 AS VARCHAR) || '.com' AS hostbase
+    s"""u0 AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 10 = 7 THEN 'site' || CAST(doc_id % 5 AS VARCHAR) || '%2Eexample' || CAST(doc_id % 3 AS VARCHAR) || '.com'
+      |       WHEN doc_id % 10 = 3 THEN 'shop' || CAST(doc_id % 5 AS VARCHAR) || '.example' || CAST(doc_id % 3 AS VARCHAR) || '.co.uk'
+      |       ELSE 'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' || CAST(doc_id % 3 AS VARCHAR) || '.com' END AS hostbase
       |  FROM documents),
       |urls AS (SELECT doc_id,
       |  (CASE doc_id % 4 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http' WHEN 2 THEN 'https' ELSE 'HTTP' END) || '://' ||
+      |  (CASE WHEN doc_id % 9 = 4 THEN 'u:pw@' ELSE '' END) ||
       |  (CASE WHEN doc_id % 5 < 2 THEN 'WWW.' ELSE '' END) ||
       |  (CASE WHEN doc_id % 6 = 0 THEN upper(hostbase) ELSE hostbase END) ||
       |  (CASE doc_id % 7 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END) ||
@@ -876,13 +879,15 @@ object PipelineQueries {
       |c0 AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM urls),
       |c1 AS (SELECT doc_id, lower(split_part(nofrag, '://', 1)) AS scheme,
       |        substr(nofrag, strpos(nofrag, '://') + 3) AS rest FROM c0),
-      |c2 AS (SELECT *, split_part(split_part(rest, '/', 1), '?', 1) AS hostport FROM c1),
+      |c2 AS (SELECT *, split_part(split_part(rest, '/', 1), '?', 1) AS auth FROM c1),
+      |c2b AS (SELECT *, CASE WHEN strpos(auth, '@') > 0 THEN substr(auth, strpos(auth, '@') + 1)
+      |                       ELSE auth END AS hostport FROM c2),
       |c3 AS (SELECT *,
-      |        replace(replace(replace(substr(rest, length(hostport) + 1),
+      |        replace(replace(replace(substr(rest, length(auth) + 1),
       |          '%7e', '~'), '%3f', '%3F'), '%5a', 'Z') AS pathq,
-      |        lower(split_part(hostport, ':', 1)) AS host_raw,
+      |        replace(lower(split_part(hostport, ':', 1)), '%2e', '.') AS host_raw,
       |        CASE WHEN strpos(hostport, ':') > 0 THEN split_part(hostport, ':', 2) ELSE '' END AS port
-      |       FROM c2),
+      |       FROM c2b),
       |c4 AS (SELECT *, CASE WHEN starts_with(host_raw, 'www.') THEN substr(host_raw, 5) ELSE host_raw END AS host,
       |       CASE WHEN port = '' OR (scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443')
       |            THEN '' ELSE ':' || port END AS portkeep,
@@ -900,6 +905,9 @@ object PipelineQueries {
       |  FROM c5),
       |dom AS (SELECT doc_id, curl, host,
       |   CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+      |        WHEN array_to_string(string_split(host, '.')[-2:], '.') IN (${
+              graft.pipeline.UrlOps.secondLevelSuffixes.map(x => s"'$x'").mkString(", ")})
+      |        THEN array_to_string(string_split(host, '.')[-3:], '.')
       |        ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS domain
       |  FROM canon)""".stripMargin
 

@@ -63,6 +63,28 @@ class HtmlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bs.head.linkWords == 2, "only the anchor's words count as link words")
   }
 
+  test("parser: mixed-case raw-text tags are skipped case-insensitively") {
+    val bs = HtmlOps.blocks(
+      "<SCRIPT>var leaked=1;</ScRiPt><p>visible content here</p>" +
+        "<STYLE>p{color:red}</style><p>more visible words</p>")
+    assert(!bs.exists(_.text.contains("leaked")))
+    assert(!bs.exists(_.text.contains("color")))
+    assert(bs.map(_.text) == Vector("visible content here", "more visible words"))
+  }
+
+  test("parser: numeric entities — hex, supplementary plane, out-of-range verbatim") {
+    // hex reference
+    assert(HtmlOps.blocks("<p>a &#xA9; b</p>").head.text == "a © b")
+    // supplementary plane (emoji) must not truncate to the low 16 bits
+    assert(HtmlOps.blocks("<p>hi &#128512; yo</p>").head.text
+      == "hi " + new String(Character.toChars(128512)) + " yo")
+    assert(HtmlOps.blocks("<p>hx &#x1F600; yo</p>").head.text
+      == "hx " + new String(Character.toChars(0x1F600)) + " yo")
+    // out-of-range / malformed pass through verbatim, never wrap
+    assert(HtmlOps.blocks("<p>bad &#9999999; x</p>").head.text == "bad &#9999999; x")
+    assert(HtmlOps.blocks("<p>bad &#xZZ; x</p>").head.text == "bad &#xZZ; x")
+  }
+
   test("parser: malformed input degrades, never throws") {
     assert(HtmlOps.blocks("no tags at all").nonEmpty)
     assert(HtmlOps.blocks("<p>unclosed everything").head.text == "unclosed everything")

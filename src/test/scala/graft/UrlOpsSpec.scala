@@ -54,6 +54,24 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon("http://h.example.com?b=1&a=2") == "http://h.example.com?a=2&b=1")
   }
 
+  test("userinfo is stripped (RFC 3986 §3.2.1 — dedup must not split on credentials)") {
+    assert(canon("https://u:pw@h.example.com/p") == "https://h.example.com/p")
+    // userinfo + www + explicit port: the port is the one AFTER the '@'
+    assert(canon("http://u:pw@WWW.h.example.com:8080/p")
+      == "http://h.example.com:8080/p")
+    // userinfo only (no path): authority parse still clean
+    assert(canon("https://alice@h.example.com") == "https://h.example.com")
+  }
+
+  test("host percent-escapes: decode unreserved, verbatim fallback when escapes remain") {
+    // %2E-obfuscated host dedups with the plain form
+    assert(canon("https://site%2Eexample.com/p") == "https://site.example.com/p")
+    assert(canon("https://SITE%2Eexample.com/p") == "https://site.example.com/p")
+    // a host still escaped after normalization (reserved %2F) is kept
+    // verbatim (lowercased), never half-normalized
+    assert(canon("https://h%2Fexample.com/p") == "https://h%2fexample.com/p")
+  }
+
   test("staged and single-Column canonicalization agree on the fixture corpus") {
     import spark.implicits._
     val urls = (0L until 500L).toDF("doc_id")
@@ -109,12 +127,34 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq("example.com", "example.com", "localhost"))
   }
 
-  test("hostOf strips scheme, port, path, query") {
+  test("registrable domain: second-level public suffixes take three labels") {
     import spark.implicits._
-    val got = Seq("https://h.example.com:8080/p?a=1", "http://x.org")
+    val got = Seq("shop.example.co.uk", "example.co.uk", "co.uk",
+      "a.b.news.com.au", "x.co.jp", "plain.org.nz")
+      .toDF("h").select(UrlOps.registrableDomain(col("h")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("example.co.uk", "example.co.uk", "co.uk",
+      "news.com.au", "x.co.jp", "plain.org.nz"))
+  }
+
+  test("hostOf strips scheme, userinfo, port, path, query") {
+    import spark.implicits._
+    val got = Seq("https://h.example.com:8080/p?a=1", "http://x.org",
+      // embedded URL in the query must NOT shadow the real host
+      "http://a.example.com/?r=http://b.example.com/x",
+      "https://u:pw@h.example.com/p")
       .toDF("u").select(UrlOps.hostOf(col("u")))
       .collect().map(_.getString(0)).toSeq
-    assert(got == Seq("h.example.com", "x.org"))
+    assert(got == Seq("h.example.com", "x.org", "a.example.com", "h.example.com"))
+  }
+
+  test("withCanonicalUrl rejects colliding __urlc_ input columns loudly") {
+    import spark.implicits._
+    val df = Seq(("http://h.example.com/p", "x")).toDF("u", "__urlc_host")
+    val e = intercept[IllegalArgumentException] {
+      UrlOps.withCanonicalUrl(df, col("u"), "curl")
+    }
+    assert(e.getMessage.contains("__urlc_"))
   }
 
   test("plan shape: canonicalization is a zero-shuffle projection") {
