@@ -1,15 +1,17 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType}
 
 /** Deterministic byte-pair-encoding tokenizer: train + apply — real
-  * subword token counts for the budget/packing operators instead of
-  * whitespace word counts. The algorithm is the public Sennrich et al.
-  * 2016 formulation (arXiv 1508.07909): start from characters plus an
-  * end-of-word marker, repeatedly merge the most frequent adjacent symbol
-  * pair (ties broken by lexicographically smallest pair — the exactness
-  * contract every engine can reproduce), to a fixed merge budget.
+  * subword token counts AND packed token-id sequences for the
+  * budget/packing operators instead of whitespace word counts. The
+  * algorithm is the public Sennrich et al. 2016 formulation (arXiv
+  * 1508.07909): start from characters plus an end-of-word marker,
+  * repeatedly merge the most frequent adjacent symbol pair (ties broken by
+  * lexicographically smallest pair — the exactness contract every engine
+  * can reproduce), to a fixed merge budget.
   *
   * 100 TB posture, in three strictly separated phases:
   *   1. WORD-TYPE HISTOGRAM — one map-side-combined hash aggregate over
@@ -21,67 +23,148 @@ import org.apache.spark.sql.functions._
   *      scale path: a 100 TB corpus has unbounded distinct types (typos,
   *      ids), and every public BPE trainer bounds or pre-filters its
   *      histogram; the cap rule is part of the algorithm definition, so
-  *      the result stays engine-exact. O(V·L·merges) integer work.
+  *      the result stays engine-exact. The trainer maintains pair counts
+  *      INCREMENTALLY around each merge (only pairs adjacent to a merged
+  *      occurrence change — the standard BPE-trainer optimization) with a
+  *      lazy-invalidation priority queue for the argmax: O(V·L +
+  *      merges·touched·log P) vs the naive O(merges·V·L) full recount.
   *   3. APPLY — the merge table (a few KB) broadcasts; each executor
-  *      tokenizes per partition with a per-partition word→count memo
+  *      tokenizes per partition with a SIZE-BOUNDED word→result memo
   *      (word types repeat massively, so apply is amortized O(1) per
-  *      occurrence). No shuffle at all.
+  *      occurrence; the bound keeps a long-lived partition iterator over
+  *      dirty 100 TB tokens — ids, hashes, typos — from growing an
+  *      executor-memory leak). No shuffle at all.
   */
 object BpeOps {
 
   /** End-of-word marker symbol (the Sennrich formulation). */
   val Eow = "</w>"
 
+  /** Vocabulary id 0: a symbol outside the training charset (only unseen
+    * CHARACTERS can be unknown — merged symbols are always in-vocab). */
+  val Unk = "<unk>"
+
+  /** Apply-side memo bound (word types per partition). The memo is a pure
+    * cache — clearing costs only recompute — so a full clear at the cap
+    * is sound and keeps worst-case memory O(cap · word length). */
+  val MemoCap = 1 << 18
+
   /** Ordered merge list: element i is the pair merged at rank i. */
   type Merges = Vector[(String, String)]
 
+  /** Trained model: the merge table plus the deterministic id-assigned
+    * symbol vocabulary (index = token id). `symbols(0)` is [[Unk]]. */
+  final case class BpeModel(merges: Merges, symbols: Vector[String])
+
   /** Exact-integer BPE merge training over a word-type histogram.
     * `wordCounts`: (word type, occurrence count); the histogram order does
-    * not matter — ties are broken by pair content, never input order. */
+    * not matter — ties are broken by pair content, never input order.
+    *
+    * Incremental: pair counts and a pair→words inverted index are built
+    * once (O(V·L)), then each merge touches only the words that contain
+    * the merged pair; the argmax is a priority queue with lazy
+    * invalidation (an entry is valid iff its count still matches the
+    * live table). Output is bit-identical to the naive
+    * recount-every-round formulation (parity-gated in BpeSpec). */
   def trainMerges(wordCounts: Seq[(String, Long)], numMerges: Int): Merges = {
-    // symbol sequences per word type (chars + end-of-word marker)
-    var words: Vector[(Array[String], Long)] = wordCounts.toVector.map {
-      case (w, c) => (w.map(_.toString).toArray :+ Eow, c)
+    val words: Array[Array[String]] = wordCounts.iterator
+      .map { case (w, _) => w.map(_.toString).toArray :+ Eow }.toArray
+    val wcount: Array[Long] = wordCounts.iterator.map(_._2).toArray
+
+    final case class Entry(a: String, b: String, c: Long)
+    // count desc, then lexicographically smallest (a, b) — exactly the
+    // naive argmax's tie rule
+    val pq = new java.util.PriorityQueue[Entry](64,
+      new java.util.Comparator[Entry] {
+        def compare(x: Entry, y: Entry): Int = {
+          if (x.c != y.c) java.lang.Long.compare(y.c, x.c)
+          else {
+            val r = x.a.compareTo(y.a)
+            if (r != 0) r else x.b.compareTo(y.b)
+          }
+        }
+      })
+    val counts = new java.util.HashMap[(String, String), Long]()
+    // pair → indices of words that (at some point) contained it; entries
+    // go stale after merges — validated against the live word before use.
+    // ArrayBuffer not BitSet: pairs are sparse, duplicates are skipped by
+    // the same staleness check.
+    val where = new java.util.HashMap[(String, String), scala.collection.mutable.ArrayBuffer[Int]]()
+
+    def bump(p: (String, String), d: Long): Unit = {
+      val n = counts.merge(p, d, (x, y) => x + y)
+      if (n == 0L) counts.remove(p)
+      else pq.add(Entry(p._1, p._2, n)) // push on every change → the live
+      // count always has a matching queue entry; stale ones are discarded
+      // at poll time
     }
+
+    var wi = 0
+    while (wi < words.length) {
+      val syms = words(wi)
+      val c = wcount(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        bump(p, c)
+        where.computeIfAbsent(p, _ => scala.collection.mutable.ArrayBuffer.empty[Int]) += wi
+        i += 1
+      }
+      wi += 1
+    }
+
     val out = Vector.newBuilder[(String, String)]
     var m = 0
     var done = false
     while (m < numMerges && !done) {
-      // exact pair counts this round
-      val counts = new java.util.HashMap[(String, String), Long]()
-      words.foreach { case (syms, c) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          counts.merge((syms(i), syms(i + 1)), c, _ + _)
-          i += 1
-        }
-      }
-      if (counts.isEmpty) done = true
+      // poll to the first VALID entry (count matches the live table)
+      var top = pq.poll()
+      while (top != null && counts.getOrDefault((top.a, top.b), 0L) != top.c)
+        top = pq.poll()
+      if (top == null) done = true
       else {
-        // argmax by count, ties by lexicographically smallest (a, b)
-        var best: (String, String) = null
-        var bestC = -1L
-        counts.forEach { (p, c) =>
-          if (c > bestC || (c == bestC &&
-            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
-            best = p; bestC = c
-          }
-        }
+        val best = (top.a, top.b)
         out += best
-        val merged = best._1 + best._2
-        words = words.map { case (syms, c) =>
-          if (syms.length < 2) (syms, c)
-          else {
+        val merged = top.a + top.b
+        val hits = where.get(best)
+        var h = 0
+        while (h < hits.length) {
+          val w = hits(h)
+          val syms = words(w)
+          // staleness / duplicate-entry check: does the pair still occur?
+          var has = false
+          var i = 0
+          while (!has && i < syms.length - 1) {
+            has = syms(i) == top.a && syms(i + 1) == top.b
+            i += 1
+          }
+          if (has) {
+            val c = wcount(w)
+            // subtract the word's whole old adjacent-pair multiset, apply
+            // the left-to-right non-overlapping merge, add the new one —
+            // exact bookkeeping independent of overlap subtleties
+            i = 0
+            while (i < syms.length - 1) { bump((syms(i), syms(i + 1)), -c); i += 1 }
             val b = Array.newBuilder[String]
-            var i = 0
+            i = 0
             while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+              if (i < syms.length - 1 && syms(i) == top.a && syms(i + 1) == top.b) {
                 b += merged; i += 2
               } else { b += syms(i); i += 1 }
             }
-            (b.result(), c)
+            val rebuilt = b.result()
+            words(w) = rebuilt
+            i = 0
+            while (i < rebuilt.length - 1) {
+              val p = (rebuilt(i), rebuilt(i + 1))
+              bump(p, c)
+              where.computeIfAbsent(p, _ => scala.collection.mutable.ArrayBuffer.empty[Int]) += w
+              i += 1
+            }
           }
+          h += 1
         }
+        where.remove(best) // fully merged away; (a, b) can never recur
         m += 1
       }
     }
@@ -109,12 +192,30 @@ object BpeOps {
     syms
   }
 
-  /** Phase 1+2: corpus → trained merges. `tokens(textCol)` must match
-    * [[TextOps]] tokenization (lowercase split on single spaces, empties
-    * dropped) so word types agree with every other text operator. */
-  def train(docs: DataFrame, textCol: String, numMerges: Int,
-            maxWordTypes: Int = 1 << 16): Merges = {
-    val hist = docs
+  /** Deterministic vocabulary from the training histogram + merge table:
+    * id 0 = [[Unk]], id 1 = [[Eow]], then the histogram's distinct
+    * characters ascending, then each merge's product in rank order
+    * (duplicates — two merge paths producing the same string — keep their
+    * first id). Engine-exact: a pure function of (histogram, merges). */
+  def buildVocab(histWords: Iterable[String], merges: Merges): Vector[String] = {
+    val chars = scala.collection.mutable.SortedSet.empty[String]
+    histWords.foreach(w => w.foreach(ch => chars += ch.toString))
+    val b = Vector.newBuilder[String]
+    val seen = scala.collection.mutable.HashSet[String](Unk, Eow)
+    b += Unk
+    b += Eow
+    chars.foreach { s => if (seen.add(s)) b += s }
+    merges.foreach { case (x, y) => val p = x + y; if (seen.add(p)) b += p }
+    b.result()
+  }
+
+  /** Phase 1: the capped word-type histogram — the only corpus-scale job.
+    * `tokens(textCol)` must match [[TextOps]] tokenization (lowercase
+    * split on single spaces, empties dropped) so word types agree with
+    * every other text operator. */
+  private def histogram(docs: DataFrame, textCol: String,
+                        maxWordTypes: Int): Seq[(String, Long)] =
+    docs
       .select(explode(filter(split(lower(col(textCol)), " "), t => t =!= "")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       // deterministic cap: most frequent first, ties by word ascending.
@@ -122,12 +223,23 @@ object BpeOps {
       .orderBy(col("c").desc, col("w").asc)
       .limit(maxWordTypes)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    trainMerges(hist, numMerges)
+
+  /** Phase 1+2: corpus → trained merges. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            maxWordTypes: Int = 1 << 16): Merges =
+    trainMerges(histogram(docs, textCol, maxWordTypes), numMerges)
+
+  /** Phase 1+2 retaining the vocabulary: corpus → merges + id table. */
+  def trainModel(docs: DataFrame, textCol: String, numMerges: Int,
+                 maxWordTypes: Int = 1 << 16): BpeModel = {
+    val hist = histogram(docs, textCol, maxWordTypes)
+    val merges = trainMerges(hist, numMerges)
+    BpeModel(merges, buildVocab(hist.map(_._1), merges))
   }
 
   /** Phase 3: per-document BPE token counts. Output: `idCol, n_words
     * BIGINT, n_bpe_tokens BIGINT` — one zero-shuffle projection with the
-    * broadcast merge table and a per-partition word memo. */
+    * broadcast merge table and a bounded per-partition word memo. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
                   merges: Merges): DataFrame = {
     val spark = docs.sparkSession
@@ -144,6 +256,7 @@ object BpeOps {
           text.split(' ').foreach { w =>
             if (w.nonEmpty) {
               words += 1
+              if (memo.size >= MemoCap) memo.clear()
               toks += memo.computeIfAbsent(w, w1 => tokenizeWord(w1, rank).length)
             }
           }
@@ -151,5 +264,57 @@ object BpeOps {
         }
       }
       .toDF(idCol, "n_words", "n_bpe_tokens")
+  }
+
+  /** Phase 3, id-emitting: appends `out` (`array<int>` token ids — the
+    * actual deliverable of a training-data pipeline's tail) to `docs`.
+    * Same broadcast + bounded-memo zero-shuffle shape as [[tokenCounts]];
+    * characters outside the training charset map to [[Unk]]'s id 0. All
+    * other input columns pass through untouched. */
+  def withTokenIds(docs: DataFrame, textCol: String, model: BpeModel,
+                   out: String): DataFrame = {
+    val spark = docs.sparkSession
+    val bcRank = spark.sparkContext.broadcast(model.merges.zipWithIndex.toMap)
+    val bcIds = spark.sparkContext.broadcast(model.symbols.zipWithIndex.toMap)
+    // lowercase with Spark's own lower() (appended as the LAST column and
+    // dropped below) so word types agree bit-exactly with tokenCounts /
+    // TextOps tokenization — a JVM-side toLowerCase could diverge on
+    // Unicode edge cases
+    val tmp = "__bpe_lower"
+    require(!docs.columns.contains(tmp), s"input already carries a $tmp column")
+    val staged = docs.withColumn(tmp, lower(col(textCol)))
+    val li = staged.schema.fieldIndex(tmp)
+    // containsNull = true, nullable = true: ids are never actually null,
+    // but the driver's arrow-level hash compares the ORACLE side through
+    // DuckDB, whose arrow output is always a nullable list<int32> — a
+    // non-null declaration here fails the strict type compare
+    val outSchema = docs.schema.add(out, ArrayType(IntegerType, containsNull = true),
+      nullable = true)
+    staged.mapPartitions { it =>
+      val rank = bcRank.value
+      val idOf = bcIds.value
+      val memo = new java.util.HashMap[String, Array[Int]]()
+      it.map { r =>
+        val text = r.getString(li)
+        val ids = Array.newBuilder[Int]
+        text.split(' ').foreach { w =>
+          if (w.nonEmpty) {
+            if (memo.size >= MemoCap) memo.clear()
+            ids ++= memo.computeIfAbsent(w,
+              w1 => tokenizeWord(w1, rank).map(s => idOf.getOrElse(s, 0)).toArray)
+          }
+        }
+        Row.fromSeq(r.toSeq.dropRight(1) :+ ids.result().toSeq)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Inverse of [[withTokenIds]] for one document: token ids → the word
+    * stream (the round-trip gate — every non-[[Unk]] id sequence must
+    * reconstruct the lowercased whitespace tokens exactly). */
+  def decode(ids: Seq[Int], symbols: Vector[String]): Vector[String] = {
+    val sb = new StringBuilder
+    ids.foreach(i => sb.append(symbols(i)))
+    sb.toString.split(Eow, -1).toVector.filter(_.nonEmpty)
   }
 }

@@ -111,6 +111,18 @@ object PipelineQueries {
     }
   }
 
+  // The trained BPE model (merge table + vocabulary) is STANDING state
+  // shared by q94 (subword counts) and q100 (packed token-id sequences):
+  // the capped histogram job + driver training run once per dir. Plain
+  // driver-side data (a few KB), not a DataFrame — no session eviction
+  // needed; testdata dirs are immutable.
+  private val bpeModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, BpeOps.BpeModel]()
+
+  private def bpeModel(s: SparkSession, d: String): BpeOps.BpeModel =
+    bpeModelCache.computeIfAbsent(d,
+      _ => BpeOps.trainModel(Tables.documents(s, d), "text", numMerges = 48))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Text analysis: surface statistics per document.
     // Int-valued surface columns are cast to BIGINT to match DuckDB's
@@ -778,9 +790,32 @@ object PipelineQueries {
     // hand-computed merge order and recomputes against live sf0.01.
     "q94_bpe_tokens" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = BpeOps.train(docs, "text", numMerges = 48)
-      BpeOps.tokenCounts(docs, "doc_id", "text", merges)
+      BpeOps.tokenCounts(docs, "doc_id", "text", bpeModel(s, d).merges)
         .orderBy("doc_id")
+    }),
+
+    // The training-data pipeline's actual tail deliverable: packed
+    // token-ID sequences. The standing BPE model tokenizes each document
+    // to `array<int>` ids (broadcast merge table + vocab, bounded memo,
+    // zero shuffle), the q44 packer assigns ~2048-token packs per
+    // (source, bucket), and each pack concatenates its documents' ids in
+    // pack order. DuckDB cannot BPE, so the oracle is a checked-in golden
+    // parquet (the q60/q85/q94 contract); BpeSpec round-trips decode(ids)
+    // back to the exact word stream and re-verifies freshness on sf0.01.
+    "q100_pack_token_ids" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      val withIds = BpeOps.withTokenIds(docs, "text", bpeModel(s, d), "tok")
+        .drop("text")
+        .withColumn("n_bpe_tokens", size(col("tok")).cast("long"))
+      TrainingSet.packSequences(withIds, "doc_id", "n_bpe_tokens", "source",
+        budgetTokens = 2048, buckets = 4)
+        .groupBy(col("source"), col("bucket").cast("long").as("bucket"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bpe_tokens")).as("n_tokens"),
+          flatten(transform(
+            array_sort(collect_list(struct(col("pack_pos"), col("tok")))),
+            x => x.getField("tok"))).as("token_ids"))
+        .orderBy("source", "bucket", "pack_id")
     }),
 
     // Leakage-free split: near-duplicates of training documents landing in
@@ -1919,6 +1954,16 @@ object PipelineQueries {
       """SELECT doc_id, n_words, n_bpe_tokens
         |FROM read_parquet('/root/repo/src/test/resources/golden/q94_bpe_tokens.parquet')
         |ORDER BY doc_id""".stripMargin,
+
+    // Golden parquet (the q60/q85/q94 contract): DuckDB cannot BPE.
+    // BpeSpec round-trips decode(token_ids) to the word stream and
+    // re-verifies freshness against live sf0.01. Regenerate via
+    //   sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/v" and copy
+    //   /tmp/v/q100_pack_token_ids/part-*.parquet over the golden file.
+    "q100_pack_token_ids" ->
+      """SELECT source, bucket, pack_id, n_docs, n_tokens, token_ids
+        |FROM read_parquet('/root/repo/src/test/resources/golden/q100_pack_token_ids.parquet')
+        |ORDER BY source, bucket, pack_id""".stripMargin,
 
     // q47's recursive clustering, then the q67 md5-fraction split keyed on
     // the GROUP (cluster id for clustered docs, own id for singletons).

@@ -100,6 +100,168 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(packed.exceptAll(again).count() == 0L)
   }
 
+  /** The naive recount-every-round Sennrich trainer — the reference the
+    * incremental production trainer must match bit-for-bit. */
+  private def trainMergesNaive(wordCounts: Seq[(String, Long)],
+                               numMerges: Int): BpeOps.Merges = {
+    var words: Vector[(Array[String], Long)] = wordCounts.toVector.map {
+      case (w, c) => (w.map(_.toString).toArray :+ BpeOps.Eow, c)
+    }
+    val out = Vector.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < numMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge((syms(i), syms(i + 1)), c, _ + _); i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var best: (String, String) = null
+        var bestC = -1L
+        counts.forEach { (p, c) =>
+          if (c > bestC || (c == bestC &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+            best = p; bestC = c
+          }
+        }
+        out += best
+        val merged = best._1 + best._2
+        words = words.map { case (syms, c) =>
+          val b = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+              b += merged; i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          (b.result(), c)
+        }
+        m += 1
+      }
+    }
+    out.result()
+  }
+
+  test("incremental trainer is bit-identical to the naive recount reference") {
+    // deterministic pseudo-random histograms over a small alphabet so pair
+    // ties (the argmax's hard case) occur constantly
+    val rng = new scala.util.Random(42)
+    (0 until 5).foreach { trial =>
+      val hist = (0 until 200).map { _ =>
+        val len = 1 + rng.nextInt(8)
+        (Vector.fill(len)(('a' + rng.nextInt(4)).toChar).mkString,
+          1L + rng.nextInt(9))
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+      val n = 10 + trial * 25
+      assert(BpeOps.trainMerges(hist, n) == trainMergesNaive(hist, n),
+        s"divergence on trial $trial")
+    }
+    // and on the classic vector at a budget beyond exhaustion
+    assert(BpeOps.trainMerges(classic, 64) == trainMergesNaive(classic, 64))
+  }
+
+  test("incremental trainer handles a 64k-type histogram at 512 merges") {
+    // the sf0.01 corpus has a tiny synthetic vocabulary (exhausts after
+    // ~106 merges), so the scale/speed claim needs a SYNTHETIC histogram:
+    // 64k deterministic pseudo-random word types over a 26-char alphabet
+    val rng = new scala.util.Random(7)
+    val hist = (0 until (1 << 16)).map { i =>
+      val len = 3 + rng.nextInt(10)
+      (Vector.fill(len)(('a' + rng.nextInt(26)).toChar).mkString + i,
+        1L + rng.nextInt(1000))
+    }
+    val t0 = System.nanoTime()
+    val merges = BpeOps.trainMerges(hist, 512)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.size == 512)
+    // the incremental trainer's whole point: 512 merges on 64k types must
+    // fit the old 48-merge budget (generous CI bound; measured ~2 s)
+    assert(secs < 30.0, f"512 merges took $secs%.1f s — incremental path regressed")
+  }
+
+  test("incremental trainer matches naive to exhaustion on the real sf0.01 histogram") {
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val hist = docs
+      .select(explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(1 << 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // 512-merge budget exhausts this corpus's vocabulary — BOTH trainers
+    // must stop at the same point with identical merges (the q94 golden
+    // depends on the 48-prefix; exhaustion pins the termination rule too)
+    val inc = BpeOps.trainMerges(hist, 512)
+    assert(inc == trainMergesNaive(hist, 512))
+    assert(inc.take(48) == trainMergesNaive(hist, 48))
+  }
+
+  test("vocab ids: deterministic layout, unknown chars map to <unk>") {
+    val merges = BpeOps.trainMerges(classic, 5)
+    val vocab = BpeOps.buildVocab(classic.map(_._1), merges)
+    assert(vocab(0) == BpeOps.Unk && vocab(1) == BpeOps.Eow)
+    // chars ascending after the two specials, then merge products in rank
+    val chars = classic.map(_._1).flatMap(_.toSeq).distinct.sorted.map(_.toString)
+    assert(vocab.slice(2, 2 + chars.size) == chars.toVector)
+    assert(vocab.drop(2 + chars.size) == merges.map(p => p._1 + p._2))
+    assert(vocab.distinct == vocab)
+  }
+
+  test("withTokenIds + decode round-trips the word stream; zero shuffle") {
+    import spark.implicits._
+    val docs = Seq((1L, "low lower"), (2L, "Newest  widest low"), (3L, "zq"))
+      .toDF("doc_id", "text")
+    val hist = Seq("low" -> 6L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val model = BpeOps.BpeModel(BpeOps.trainMerges(hist, 5),
+      BpeOps.buildVocab(hist.map(_._1), BpeOps.trainMerges(hist, 5)))
+    val got = BpeOps.withTokenIds(docs, "text", model, "tok")
+    assert(got.columns.toSeq == Seq("doc_id", "text", "tok"))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    val rows = got.orderBy("doc_id").collect()
+    // docs 1-2 use only in-charset chars → decode reconstructs the
+    // lowercased token stream exactly (double spaces collapse: empties drop)
+    assert(BpeOps.decode(rows(0).getSeq[Int](2), model.symbols)
+      == Vector("low", "lower"))
+    assert(BpeOps.decode(rows(1).getSeq[Int](2), model.symbols)
+      == Vector("newest", "widest", "low"))
+    // 'z'/'q' are outside the training charset → unk id 0
+    assert(rows(2).getSeq[Int](2).toVector == Vector(0, 0, 1))
+  }
+
+  test("q100: every sf0.01 document round-trips through its packed ids") {
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val model = BpeOps.trainModel(docs, "text", 48)
+    val withIds = BpeOps.withTokenIds(
+      docs.select("doc_id", "text"), "text", model, "tok")
+    val bad = withIds.collect().count { r =>
+      val words = r.getString(1).toLowerCase(java.util.Locale.ROOT)
+        .split(' ').filter(_.nonEmpty).toVector
+      BpeOps.decode(r.getSeq[Int](2), model.symbols) != words
+    }
+    assert(bad == 0, s"$bad documents failed the id round-trip")
+  }
+
+  test("q100 golden parquet matches a live recompute on sf0.01") {
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    val golden100 = "src/test/resources/golden/q100_pack_token_ids.parquet"
+    assume(new java.io.File(golden100).exists(), s"$golden100 not generated yet")
+    val live = SparkEntry.queries("q100_pack_token_ids")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val golden = spark.read.parquet(golden100)
+      .orderBy("source", "bucket", "pack_id").collect().map(_.toString).toSeq
+    assert(golden.nonEmpty, "golden file is empty")
+    assert(live == golden,
+      "q100 golden is STALE — regenerate per the q100 oracle comment in " +
+        "PipelineQueries before the driver's compare runs")
+  }
+
   test("q94 golden parquet matches a live recompute on sf0.01") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
     assume(new java.io.File(goldenPath).exists(), s"$goldenPath not generated yet")
