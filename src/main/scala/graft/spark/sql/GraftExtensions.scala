@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "dotq(a, b) takes two array<bigint> arguments")
         LongArrayDot(args.head, args(1))
       }))
+    // pipeline operators (dedup / split / quality / URL) as SQL scalar +
+    // table-valued functions — the Scala API's own plans, SQL-reachable
+    GraftPipelineFunctions.register(ext)
     ext.injectFunction((FunctionIdentifier("iceberg_bucket"),
       new ExpressionInfo(classOf[IcebergBucket].getName, "iceberg_bucket"),
       (args: Seq[Expression]) => {

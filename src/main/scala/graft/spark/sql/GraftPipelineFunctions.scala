@@ -1,0 +1,155 @@
+package graft.spark.sql
+
+import org.apache.spark.sql.{GraftShim, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{Decimal, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.pipeline.{Dedup, TextOps, TrainingSet, UrlOps}
+
+/** SQL reachability for the LLM-data-pipeline operators (the reference
+  * exposes its whole surface through SQL — `datafusion_iceberg/src/
+  * planner.rs:81-116`; graft's table/MV surface already is, this closes
+  * the gap for dedup/similarity/text/training-set operators).
+  *
+  * Two seams, both in the session's function registry via
+  * [[org.apache.spark.sql.SparkSessionExtensions]]:
+  *
+  *   - SCALAR functions (`canonical_url`, `host_of`,
+  *     `registrable_domain`): the [[UrlOps]] Column trees re-rooted on
+  *     the caller's argument expression — pure codegen'd projections,
+  *     exactly what the Scala API plans.
+  *   - TABLE-VALUED functions (`minhash_pairs`, `dup_clusters`,
+  *     `leakage_split`, `quality_score`, `cap_per_group`): the operator's
+  *     DataFrame pipeline over `spark.table(name)` — table/view NAMES as
+  *     string literals, because Spark's injected TVFs receive scalar
+  *     expressions, not relations. The returned plan is the SAME logical
+  *     plan the Scala API builds, so every plan-shape gate (bucketed
+  *     joins, WindowGroupLimit, zero-cartesian) carries over verbatim.
+  *
+  * GraftSqlSpec gates a pure-SQL session reproducing q24/q47/q98/q99
+  * hash-equal to the Scala API.
+  */
+object GraftPipelineFunctions {
+
+  def register(ext: SparkSessionExtensions): Unit = {
+    // ---- scalar: URL canonicalization family -------------------------
+    scalar(ext, "canonical_url", 1) { args =>
+      UrlOps.canonicalizeUrl(GraftShim.column(args.head))
+    }
+    scalar(ext, "host_of", 1) { args =>
+      UrlOps.hostOf(GraftShim.column(args.head))
+    }
+    scalar(ext, "registrable_domain", 1) { args =>
+      UrlOps.registrableDomain(GraftShim.column(args.head))
+    }
+
+    // ---- table-valued: dedup / training-set operators ----------------
+    tvf(ext, "minhash_pairs",
+      "minhash_pairs(table, id_col, text_col, threshold) — near-duplicate " +
+        "pairs (id_a < id_b, jaccard) via shingle→minhash→LSH-band blocking") { args =>
+      require(args.length == 4, "minhash_pairs(table, id_col, text_col, threshold)")
+      Dedup.minhashNearDups(tableArg(args, 0, "minhash_pairs"),
+        strArg(args, 1, "minhash_pairs"), strArg(args, 2, "minhash_pairs"),
+        threshold = dblArg(args, 3, "minhash_pairs"))
+    }
+
+    tvf(ext, "dup_clusters",
+      "dup_clusters(table, id_col, text_col, threshold) — duplicate " +
+        "clusters (cluster_id, id): connected components over the minhash pairs") { args =>
+      require(args.length == 4, "dup_clusters(table, id_col, text_col, threshold)")
+      Dedup.dupClusters(Dedup.minhashNearDups(tableArg(args, 0, "dup_clusters"),
+        strArg(args, 1, "dup_clusters"), strArg(args, 2, "dup_clusters"),
+        threshold = dblArg(args, 3, "dup_clusters")))
+    }
+
+    tvf(ext, "leakage_split",
+      "leakage_split(table, id_col, text_col, threshold, train, val, test) — " +
+        "cluster-keyed train/val/test split: no near-dup pair straddles splits") { args =>
+      require(args.length == 7,
+        "leakage_split(table, id_col, text_col, threshold, train_frac, val_frac, test_frac)")
+      TrainingSet.leakageFreeSplit(tableArg(args, 0, "leakage_split"),
+        Dedup.minhashNearDups(tableArg(args, 0, "leakage_split"),
+          strArg(args, 1, "leakage_split"), strArg(args, 2, "leakage_split"),
+          threshold = dblArg(args, 3, "leakage_split")),
+        strArg(args, 1, "leakage_split"),
+        Seq("train" -> dblArg(args, 4, "leakage_split"),
+          "val" -> dblArg(args, 5, "leakage_split"),
+          "test" -> dblArg(args, 6, "leakage_split")))
+    }
+
+    tvf(ext, "quality_score",
+      "quality_score(table, id_col, text_col) — per-document quality " +
+        "score (type-token ratio, stopword/punct/length heuristics)") { args =>
+      require(args.length == 3, "quality_score(table, id_col, text_col)")
+      TextOps.qualityScore(tableArg(args, 0, "quality_score"),
+        strArg(args, 1, "quality_score"), strArg(args, 2, "quality_score"))
+    }
+
+    tvf(ext, "cap_per_group",
+      "cap_per_group(table, group_col, score_col, id_col, k) — keep the " +
+        "best k rows per group (WindowGroupLimit top-k; hot-key safe)") { args =>
+      require(args.length == 5, "cap_per_group(table, group_col, score_col, id_col, k)")
+      TrainingSet.capPerGroup(tableArg(args, 0, "cap_per_group"),
+        strArg(args, 1, "cap_per_group"), strArg(args, 2, "cap_per_group"),
+        strArg(args, 3, "cap_per_group"), intArg(args, 4, "cap_per_group"))
+    }
+  }
+
+  // ---- plumbing ------------------------------------------------------
+
+  private def scalar(ext: SparkSessionExtensions, name: String, arity: Int)
+                    (build: Seq[Expression] => org.apache.spark.sql.Column): Unit =
+    ext.injectFunction((FunctionIdentifier(name),
+      new ExpressionInfo(getClass.getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == arity, s"$name takes $arity argument(s)")
+        // eager node→expression conversion: the lazy wrapper
+        // GraftShim.expression returns cannot be codegen'd inside a
+        // parsed plan
+        GraftShim.resolvableExpression(build(args))
+      }))
+
+  private def tvf(ext: SparkSessionExtensions, name: String, usage: String)
+                 (build: Seq[Expression] => org.apache.spark.sql.DataFrame): Unit =
+    ext.injectTableFunction((FunctionIdentifier(name),
+      new ExpressionInfo(getClass.getName, null, name, usage, ""),
+      (args: Seq[Expression]) => plan(build(args))))
+
+  private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.queryExecution.logical
+
+  /** Resolves a table/view NAME literal to its DataFrame (temp views,
+    * catalog tables, and graft tables all resolve through
+    * `spark.table`). */
+  private def tableArg(args: Seq[Expression], i: Int, fn: String) =
+    SparkSession.active.table(strArg(args, i, fn))
+
+  private def strArg(args: Seq[Expression], i: Int, fn: String): String =
+    args(i) match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a string literal, got $other")
+    }
+
+  private def dblArg(args: Seq[Expression], i: Int, fn: String): Double =
+    args(i) match {
+      case Literal(d: Decimal, _) => d.toDouble // SQL `0.5` parses as DECIMAL
+      case Literal(d: java.lang.Double, _) => d.doubleValue()
+      case Literal(f: java.lang.Float, _) => f.doubleValue()
+      case Literal(n: java.lang.Integer, _) => n.doubleValue()
+      case Literal(n: java.lang.Long, _) => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a numeric literal, got $other")
+    }
+
+  private def intArg(args: Seq[Expression], i: Int, fn: String): Int =
+    args(i) match {
+      case Literal(n: java.lang.Integer, _) => n.intValue()
+      case Literal(n: java.lang.Long, _) => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an integer literal, got $other")
+    }
+}

@@ -10,6 +10,15 @@ object GraftShim {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Eagerly converts a Column's node tree to a Catalyst expression
+    * (`ColumnNodeToExpressionConverter` is `private[sql]`). Unlike
+    * [[expression]], whose lazy `ColumnNodeExpression` wrapper only
+    * unwraps on Dataset API paths, the result can be spliced into a
+    * PARSED plan — the seam graft's injected SQL functions use to re-root
+    * a Column-tree operator on the caller's argument expressions. */
+  def resolvableExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Wraps a (possibly unresolved) Catalyst expression as a public Column —
     * lets graft rebuild parsed SQL plans node-by-node as DataFrame ops, with
     * the analyzer resolving names against the rebuilt children.

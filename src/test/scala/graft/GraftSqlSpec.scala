@@ -1014,4 +1014,73 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == Seq(("{grp=a}", 3L, 2), ("{grp=b}", 1L, 1)), rows.mkString(", "))
     spark.sql("DROP TABLE graft.db.pmeta")
   }
+
+  test("pipeline operators are SQL-reachable: q24/q47/q98/q99 parity") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.{Dedup, TrainingSet, UrlOps}
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    Tables.documents(spark, sfDir).createOrReplaceTempView("documents_v")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+
+    // q24: near-dup pairs — pure SQL vs the Scala API, hash-equal
+    val sqlPairs = spark.sql(
+      "SELECT * FROM minhash_pairs('documents_v', 'doc_id', 'text', 0.5) ORDER BY id_a, id_b")
+    val apiPairs = Dedup.minhashNearDups(Tables.documents(spark, sfDir),
+      "doc_id", "text", threshold = 0.5).orderBy("id_a", "id_b")
+    assert(rows(sqlPairs) == rows(apiPairs))
+    assert(sqlPairs.count() > 0, "parity is vacuous on an empty pair set")
+
+    // q47: duplicate clusters
+    val sqlClus = spark.sql(
+      "SELECT cluster_id, id AS doc_id FROM dup_clusters('documents_v', 'doc_id', 'text', 0.5) " +
+        "ORDER BY cluster_id, doc_id")
+    val apiClus = Dedup.dupClusters(Dedup.minhashNearDups(
+        Tables.documents(spark, sfDir), "doc_id", "text", threshold = 0.5))
+      .select(col("cluster_id"), col("id").as("doc_id"))
+      .orderBy("cluster_id", "doc_id")
+    assert(rows(sqlClus) == rows(apiClus))
+    assert(sqlClus.count() > 0)
+
+    // q98: leakage-free split
+    val sqlSplit = spark.sql(
+      "SELECT doc_id, group_id, split FROM " +
+        "leakage_split('documents_v', 'doc_id', 'text', 0.5, 0.8, 0.1, 0.1) ORDER BY doc_id")
+    val apiSplit = TrainingSet.leakageFreeSplit(Tables.documents(spark, sfDir),
+        Dedup.minhashNearDups(Tables.documents(spark, sfDir), "doc_id", "text",
+          threshold = 0.5),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("group_id"), col("split")).orderBy("doc_id")
+    assert(rows(sqlSplit) == rows(apiSplit))
+
+    // q99: per-domain quota cap, composed ENTIRELY in SQL from the scalar
+    // URL functions + quality_score + cap_per_group (the fixture URL frame
+    // is the only Scala-side input — the operators are what's under test)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), UrlOps.syntheticUrl(col("doc_id")).as("url"))
+      .createOrReplaceTempView("urls_v")
+    spark.sql("CREATE OR REPLACE TEMP VIEW dom_v AS " +
+      "SELECT doc_id, registrable_domain(host_of(canonical_url(url))) AS domain FROM urls_v")
+    spark.sql("CREATE OR REPLACE TEMP VIEW scored_v AS " +
+      "SELECT d.doc_id, d.domain, q.quality FROM dom_v d " +
+      "JOIN quality_score('documents_v', 'doc_id', 'text') q ON d.doc_id = q.doc_id")
+    val sqlCap = spark.sql(
+      """SELECT domain, count(1) AS n_kept, sum(doc_id) AS kept_id_sum,
+        |       min(quality) AS cutoff_quality
+        |FROM cap_per_group('scored_v', 'domain', 'quality', 'doc_id', 100)
+        |GROUP BY domain ORDER BY domain""".stripMargin)
+    val apiCap = SparkEntry.queries("q99_domain_cap")(spark, sfDir)
+    assert(rows(sqlCap) == rows(apiCap))
+    assert(sqlCap.count() > 0)
+  }
+
+  test("SQL pipeline functions reject non-literal or wrong-arity arguments loudly") {
+    val e1 = intercept[Exception](
+      spark.sql("SELECT * FROM minhash_pairs('documents_v', 'doc_id', 'text')"))
+    assert(e1.getMessage.contains("minhash_pairs"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM cap_per_group('documents_v', 'a', 'b', 'c', 'notanint')"))
+    assert(e2.getMessage.contains("cap_per_group"), e2.getMessage)
+  }
 }
