@@ -660,52 +660,54 @@ object Dedup {
                                   tNum: Long, tDen: Long, eager: Boolean): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen must be in (0, 1]")
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
-    val sh0 = shingles(df.repartition(par), idCol, textCol, shingleSize)
-    val sh = if (eager) sh0.cache() else sh0
-    var cached: List[DataFrame] = if (eager) List(sh) else Nil
+    // per-doc shingle SET as one array row (collect_set — no separate
+    // corpus-wide distinct shuffle): the single corpus-scale aggregate.
+    // It feeds the blocking chain (re-exploded, shuffle-free off the
+    // cache), the n_sh counts (size(arr)), and the array-intersect
+    // verify. Row size is bounded by the document's own length (the doc
+    // text was already a row).
+    val docArr0 = shinglesRaw(df.repartition(par), idCol, textCol, shingleSize)
+      .groupBy(col(idCol)).agg(collect_set(col("sh")).as("arr"))
+    val docArr = if (eager) docArr0.cache() else docArr0
+    val cached: List[DataFrame] = if (eager) List(docArr) else Nil
     try {
-      val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-      val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select("sh")
-      // cached: the self-join consumes it twice, and exchange reuse does
-      // not deduplicate the two aliased subplans — without the cache each
-      // side re-runs the df-aggregate and the rare join
-      val blocked0 = sh.join(rare, "sh")
-      val blocked = if (eager) { cached ::= blocked0.cache(); blocked0 } else blocked0
-      // SOUND candidate prune before the expensive intersection expansion:
-      // the blocking join yields each pair's EXACT shared-rare count for
-      // free (groupBy instead of distinct), and shared-hot is bounded by
-      // min of the two docs' hot-shingle counts (hot = n_sh − n_rare), so
-      //   |A∩B| ≤ inter_rare + min(hotA, hotB).
-      // A pair whose bound misses t·min(na, nb) cannot pass the threshold
-      // in EITHER direction and is dropped before verification. How much
-      // prunes depends on the threshold relative to the corpus hot-shingle
-      // fraction: at t = 4/5 nearly everything dies (435,954 candidates →
-      // ~1k verified at sf0.1; the verify join was 4.8 s of 9.5 s, total
-      // 9.5 → 3.4 s warm), at the q78-benched t = 1/5 the bound rarely
-      // fires and the extra aggregation is noise-level (broadcast-sized
-      // joins). Exactness is untouched either way: the final per-direction
-      // test below still runs on exact intersections.
-      val rareCounts = blocked.groupBy(col(idCol)).agg(count(lit(1)).as("n_rare"))
-      val cand = blocked.select(col("sh"), col(idCol).as("id_a"))
-        .join(blocked.select(col("sh"), col(idCol).as("id_b")), "sh")
-        .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter_rare"))
-        .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("pna")), "id_a")
-        .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("pnb")), "id_b")
-        .join(rareCounts.select(col(idCol).as("id_a"), col("n_rare").as("pra")), "id_a")
-        .join(rareCounts.select(col(idCol).as("id_b"), col("n_rare").as("prb")), "id_b")
-        .filter((col("inter_rare") +
-          least(col("pna") - col("pra"), col("pnb") - col("prb"))) * tDen
-          >= lit(tNum) * least(col("pna"), col("pnb")))
-        .select(col("id_a"), col("id_b"))
-      val shA = sh.select(col(idCol).as("id_a"), col("sh"))
-      val shB = sh.select(col(idCol).as("id_b"), col("sh"))
-      val inter = cand.join(shA, "id_a").join(shB, Seq("id_b", "sh"))
-        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-      val sized = inter
-        .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("na")), "id_a")
-        .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("nb")), "id_b")
+      val shD = docArr.select(col(idCol), explode(col("arr")).as("sh"))
+      // rare = blocking shingles: document frequency in [2, maxDf] (df = 1
+      // shingles cannot witness a pair; df is counted over distinct
+      // (doc, sh), which the set-arrays guarantee). Two-pass on purpose:
+      // the df-filter runs BEFORE any id-list collection, so a corpus-hot
+      // shingle (df in the millions at 100 TB) is never collected into an
+      // executor-side list.
+      val rare = shD.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= maxDf).select("sh")
+      // candidate pairs by ENUMERATING each rare shingle's inverted list
+      // (≤ maxDf ids, sorted → id_a < id_b by construction) instead of a
+      // self-join: the join output and its shuffle never materialize; the
+      // groupBy(sh) after the rare join reuses the join's partitioning.
+      val rareLists = shD.join(rare, "sh")
+        .groupBy(col("sh")).agg(sort_array(collect_list(col(idCol))).as("ids"))
+      val cand = rareLists.select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+            struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b")).distinct()
+      // EXACT intersection via the per-doc arrays: two equi-joins keyed on
+      // the candidate ids (AQE upgrades them to broadcasts when the array
+      // side is small), then one codegen'd array_intersect per pair —
+      // instead of expanding every candidate by ALL of A's shingles
+      // (|cand|·|A| rows through two shuffles and a re-aggregate, the old
+      // shape and q78's dominant cost). Same |A∩B| bit-for-bit: the
+      // arrays ARE the distinct shingle sets. na/nb ride along as
+      // size(arr) — no separate count joins. (The r11 intersection-bound
+      // prune is gone with the expansion it protected: per-pair verify
+      // cost is now O(|A|+|B|) hashing, cheaper than the prune's four
+      // joins + aggregate at every threshold.)
+      val sized = cand
+        .join(docArr.select(col(idCol).as("id_a"), col("arr").as("__ca")), "id_a")
+        .join(docArr.select(col(idCol).as("id_b"), col("arr").as("__cb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("__ca"), col("__cb"))).cast("long").as("inter"),
+          size(col("__ca")).cast("long").as("na"),
+          size(col("__cb")).cast("long").as("nb"))
       // both directions of each unordered candidate, filtered independently:
       // integer cross-multiplication keeps the threshold test exact. The
       // directions come from ONE pass (explode of a 2-struct array) — a
