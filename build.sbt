@@ -31,3 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // suite grew); the box has 128 GiB, so give the fork real headroom
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )
+// forward graft.* sysprops (e.g. -Dgraft.scale.smoke.dir=...) into the
+// forked test/run JVMs — sbt -D only reaches sbt's own JVM
+javaOptions ++= sys.props.toSeq.collect {
+  case (k, v) if k.startsWith("graft.") => s"-D$k=$v"
+}

@@ -31,14 +31,48 @@ import graft.pipeline.Dedup
   */
 class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
+  // CI default: 8 cores. The bench-scale record (SURVEY §6, committed
+  // SCALE_SMOKE.json) runs -Dgraft.scale.smoke.cpus=32 like the bench.
+  private val cpus = sys.props.getOrElse("graft.scale.smoke.cpus", "8").toInt
+
   private lazy val spark = SparkSession.builder()
-    .master("local[8]")
-    .config("spark.sql.shuffle.partitions", "8")
+    .master(s"local[$cpus]")
+    .config("spark.sql.shuffle.partitions", cpus.toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .appName("scale-smoke").getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  // Machine-checkable run record (VERDICT r11 #8): every timed phase and
+  // every named assertion lands in SCALE_SMOKE.json at suite end, so the
+  // near-linearity claim is a committed artifact, not a hand-transcribed
+  // table. The record carries dir + copies — a CI run at sf0.01 is
+  // distinguishable from the bench-scale sf0.1 record at a glance.
+  private val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+  private val checks = scala.collection.mutable.LinkedHashMap[String, Boolean]()
+
+  private def check(name: String, cond: Boolean, clue: => String): Unit = {
+    checks(name) = cond
+    assert(cond, clue)
+  }
+
+  private def writeRecord(): Unit = {
+    def j(s: String) = "\"" + s.replace("\"", "'") + "\""
+    val t = timings.map { case (k, v) => s"${j(k)}:${f"$v%.2f"}" }.mkString("{", ",", "}")
+    val a = checks.map { case (k, v) => s"${j(k)}:$v" }.mkString("{", ",", "}")
+    val json = s"""{"dir":${j(sfDir)},"copies":$copies,"cpus":$cpus,"timings_sec":$t,"asserts":$a}"""
+    // the BENCH_full/BENCH_only convention: only an EXPLICIT bench-scale
+    // run (-Dgraft.scale.smoke.dir=...) may write the committed record; a
+    // default CI pass writes a scratch file so `sbt test` cannot clobber
+    // the official sf0.1 artifact
+    val path = if (sys.props.contains("graft.scale.smoke.dir"))
+      "/root/repo/SCALE_SMOKE.json" else "/root/repo/SCALE_SMOKE_ci.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  override def afterAll(): Unit = {
+    try writeRecord() finally spark.stop()
+  }
 
   private val sfDir = sys.props.getOrElse("graft.scale.smoke.dir", "/root/testdata/sf0.01")
   private val copies = sys.props.get("graft.scale.smoke.copies").map(_.toInt).getOrElse(10)
@@ -67,7 +101,7 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   private lazy val base10x: DataFrame = {
     val d = (0 until copies).map(copyK(Tables.documents(spark, sfDir), _))
-      .reduce(_ unionByName _).repartition(8).cache()
+      .reduce(_ unionByName _).repartition(cpus).cache()
     d.count()
     d
   }
@@ -83,10 +117,16 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def timed[T](label: String)(f: => T): T = {
     warm
+    // the Bench r10 lesson: drain the async ContextCleaner backlog and
+    // settle before timing, or earlier tests' cache/broadcast cleanup
+    // lands inside this window (measured 3x inflation on q78-in-suite)
+    System.gc(); Thread.sleep(150); System.gc()
     val t0 = System.nanoTime()
     val r = f
-    info(f"[scale-smoke] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    println(f"[scale-smoke] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val secs = (System.nanoTime() - t0) / 1e9
+    timings(label) = secs
+    info(f"[scale-smoke] $label: $secs%.2f s")
+    println(f"[scale-smoke] $label: $secs%.2f s")
     r
   }
 
@@ -104,13 +144,14 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
       val p = Dedup.minhashNearDups(base10x, "doc_id", "text").cache()
       (p, p.count())
     }
-    assert(p1 > 0, "base corpus must contain near-dups for the smoke to mean anything")
+    check("q24_base_nonempty", p1 > 0,
+      "base corpus must contain near-dups for the smoke to mean anything")
     // Caesar copies share only digit/punctuation shingles — a cross-copy
     // pair would mean the blocking leaks unrelated content at scale
-    assert(crossCopy(pairs10) == 0, "cross-copy near-dup pairs found")
+    check("q24_zero_cross_copy", crossCopy(pairs10) == 0, "cross-copy near-dup pairs found")
     // LSH candidate recall is an independent draw per copy; the count is
     // banded, not exact (borderline-threshold pairs flicker per copy)
-    assert(p10 >= copies * p1 / 2 && p10 <= copies * p1 * 2,
+    check("q24_volume_banded", p10 >= copies * p1 / 2 && p10 <= copies * p1 * 2,
       s"pair volume $p10 is far from ${copies}x the base $p1 — super-linear blowup or collapse")
     pairs10.unpersist()
   }
@@ -122,9 +163,12 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val clusters = timed(s"q47 dupClusters ${copies}x") {
       Dedup.dupClusters(pairs10).cache()
     }
-    assert(clusters.count() == ids, "every paired doc must receive exactly one cluster label")
+    check("q47_one_label_per_doc", clusters.count() == ids,
+      "every paired doc must receive exactly one cluster label")
     // labels are canonical minima: no label may exceed its member's id
-    assert(clusters.filter(col("cluster_id") > col("id")).count() == 0)
+    check("q47_labels_canonical",
+      clusters.filter(col("cluster_id") > col("id")).count() == 0,
+      "a cluster label exceeds a member id")
     clusters.unpersist()
   }
 
@@ -137,10 +181,11 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
       (p, p.count())
     }
     val cross = crossCopy(pairs10)
-    assert(cross == 0, s"$cross cross-copy Jaccard pairs — blocking admits unrelated content")
+    check("q77_zero_cross_copy", cross == 0,
+      s"$cross cross-copy Jaccard pairs — blocking admits unrelated content")
     // exact algorithm + bijective shingle maps ⇒ each copy contributes the
     // base pair set verbatim
-    assert(p10 == copies * p1, s"expected ${copies}x$p1 pairs, got $p10")
+    check("q77_exact_10x", p10 == copies * p1, s"expected ${copies}x$p1 pairs, got $p10")
     pairs10.unpersist()
   }
 
@@ -155,8 +200,9 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
       val p = Dedup.containmentJoin(base10x, "doc_id", "text", maxDf = 10).cache()
       (p, p.count())
     }
-    assert(crossCopy(pairs10, "src_id", "sup_id") == 0, "cross-copy containment pairs found")
-    assert(p10 == copies * p1, s"expected ${copies}x$p1 pairs, got $p10")
+    check("q78_zero_cross_copy", crossCopy(pairs10, "src_id", "sup_id") == 0,
+      "cross-copy containment pairs found")
+    check("q78_exact_10x", p10 == copies * p1, s"expected ${copies}x$p1 pairs, got $p10")
     pairs10.unpersist()
   }
 
@@ -173,7 +219,7 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("q86 fuzzy join is deterministic under scale: exactly 10x the base pairs") {
     val cust1x = custCopy(0)
-    val cust10x = (0 until copies).map(custCopy).reduce(_ unionByName _).repartition(8)
+    val cust10x = (0 until copies).map(custCopy).reduce(_ unionByName _).repartition(cpus)
     val p1 = timed("q86 editDistanceJoin 1x") {
       graft.pipeline.FuzzyJoin.editDistanceJoin(cust1x, "id", "name", maxDist = 2).count()
     }
@@ -182,8 +228,8 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
         .cache()
       (p, p.count())
     }
-    assert(crossCopy(pairs10) == 0, "cross-copy fuzzy pairs found")
-    assert(p10 == copies * p1, s"expected ${copies}x$p1 pairs, got $p10")
+    check("q86_zero_cross_copy", crossCopy(pairs10) == 0, "cross-copy fuzzy pairs found")
+    check("q86_exact_10x", p10 == copies * p1, s"expected ${copies}x$p1 pairs, got $p10")
     pairs10.unpersist()
   }
 
@@ -201,11 +247,11 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
       (c, c.count())
     }
     val n1 = counts1.count()
-    assert(n10 == copies * n1, s"expected ${copies}x$n1 rows, got $n10")
+    check("bpe_rows_10x", n10 == copies * n1, s"expected ${copies}x$n1 rows, got $n10")
     val diverged = counts10.filter(col("doc_id") < CopyStride).as("c10")
       .join(counts1.as("c1"), "doc_id")
       .filter(col("c10.n_bpe_tokens") =!= col("c1.n_bpe_tokens")).count()
-    assert(diverged == 0, "copy 0 must tokenize exactly like the base corpus")
+    check("bpe_copy0_exact", diverged == 0, "copy 0 must tokenize exactly like the base corpus")
     counts1.unpersist(); counts10.unpersist()
 
     // HTML extraction: every one of the 10× pages must reconstruct its
@@ -216,7 +262,8 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
         .mapPartitions(_.map { case (id, t) =>
           (id, HtmlOps.contentBlocks(HtmlOps.syntheticPage(id, t)).mkString(" ") == t)
         }).toDF("doc_id", "ok").filter(!col("ok")).count()
-      assert(bad == 0L, s"$bad of the ${copies}x pages failed byte-exact reconstruction")
+      check("html_byte_exact_10x", bad == 0L,
+        s"$bad of the ${copies}x pages failed byte-exact reconstruction")
     }
 
     // URL canonicalization: idempotent at 10× (canonical output is a fixed
@@ -230,7 +277,8 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
       val once = UrlOps.withCanonicalUrl(urls, col("url"), "c1")
         .select("doc_id", "c1").localCheckpoint(true)
       val twice = UrlOps.withCanonicalUrl(once, col("c1"), "c2")
-      assert(twice.filter(col("c1") =!= col("c2")).count() == 0L)
+      check("url_idempotent_10x", twice.filter(col("c1") =!= col("c2")).count() == 0L,
+        "canonical output is not a fixed point")
       once.unpersist()
     }
   }
