@@ -115,22 +115,25 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
-  /** Exact n-gram Jaccard for given candidate pairs: |A∩B| via a shingle
-    * equi-join restricted to candidates, |A∪B| = |A|+|B|−|A∩B|. Runs only
-    * over LSH survivors — the verify stage of the classic pipeline. */
+  /** Exact n-gram Jaccard for given candidate pairs: per-doc shingle-SET
+    * arrays joined onto each candidate, |A∩B| via one codegen'd
+    * array_intersect, |A∪B| = |A|+|B|−|A∩B|. Runs only over LSH
+    * survivors — the verify stage of the classic pipeline. The array
+    * shape (vs expanding each candidate by all of A's shingles through
+    * two shuffles and a re-aggregate — the pre-r12 plan) keeps the verify
+    * at two AQE-broadcastable equi-joins plus O(|A|+|B|) per pair; a
+    * candidate with no shared shingle (LSH false positive) gets
+    * jaccard 0 from the empty intersection, same as the old left-join
+    * coalesce. */
   def jaccardVerify(sh: DataFrame, candidates: DataFrame, idCol: String): DataFrame = {
-    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val shA = sh.select(col(idCol).as("id_a"), col("sh"))
-    val shB = sh.select(col(idCol).as("id_b"), col("sh"))
-    val inter = candidates.join(shA, "id_a").join(shB, Seq("id_b", "sh"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    val docArr = sh.groupBy(col(idCol)).agg(collect_list(col("sh")).as("__arr"))
     candidates
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("na")), "id_a")
-      .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("nb")), "id_b")
+      .join(docArr.select(col(idCol).as("id_a"), col("__arr").as("__ca")), "id_a")
+      .join(docArr.select(col(idCol).as("id_b"), col("__arr").as("__cb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (coalesce(col("inter"), lit(0L)).cast("double")
-          / (col("na") + col("nb") - coalesce(col("inter"), lit(0L)))).as("jaccard"))
+        (size(array_intersect(col("__ca"), col("__cb"))).cast("double")
+          / (size(col("__ca")) + size(col("__cb"))
+            - size(array_intersect(col("__ca"), col("__cb"))))).as("jaccard"))
   }
 
   /** Full MinHash near-dup pipeline: shingle → sign → band → bucket-join →
