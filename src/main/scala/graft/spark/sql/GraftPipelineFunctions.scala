@@ -80,6 +80,61 @@ object GraftPipelineFunctions {
           "test" -> dblArg(args, 6, "leakage_split")))
     }
 
+    tvf(ext, "jaccard_join",
+      "jaccard_join(table, id_col, text_col, t_num, t_den) — EXACT n-gram " +
+        "Jaccard self-join (AllPairs prefix + PPJoin positional filter); " +
+        "integer threshold t_num/t_den keeps the test exact") { args =>
+      require(args.length == 5, "jaccard_join(table, id_col, text_col, t_num, t_den)")
+      Dedup.jaccardJoinExact(tableArg(args, 0, "jaccard_join"),
+        strArg(args, 1, "jaccard_join"), strArg(args, 2, "jaccard_join"),
+        tNum = intArg(args, 3, "jaccard_join").toLong,
+        tDen = intArg(args, 4, "jaccard_join").toLong)
+    }
+
+    tvf(ext, "containment_join",
+      "containment_join(table, id_col, text_col, max_df, t_num, t_den) — " +
+        "quote/subset detection: ordered pairs with |A∩B|/|A| ≥ t, blocked " +
+        "on rare shingles (document frequency ≤ max_df)") { args =>
+      require(args.length == 6,
+        "containment_join(table, id_col, text_col, max_df, t_num, t_den)")
+      Dedup.containmentJoin(tableArg(args, 0, "containment_join"),
+        strArg(args, 1, "containment_join"), strArg(args, 2, "containment_join"),
+        maxDf = intArg(args, 3, "containment_join").toLong,
+        tNum = intArg(args, 4, "containment_join").toLong,
+        tDen = intArg(args, 5, "containment_join").toLong)
+    }
+
+    tvf(ext, "simhash_pairs",
+      "simhash_pairs(table, id_col, text_col, max_hamming) — SimHash-16 " +
+        "near-dup pairs via pigeonhole segment blocking") { args =>
+      require(args.length == 4, "simhash_pairs(table, id_col, text_col, max_hamming)")
+      Dedup.simhashNearDups(
+        Dedup.simhash16(tableArg(args, 0, "simhash_pairs"),
+          strArg(args, 1, "simhash_pairs"), strArg(args, 2, "simhash_pairs")),
+        strArg(args, 1, "simhash_pairs"),
+        maxHamming = intArg(args, 3, "simhash_pairs"))
+    }
+
+    tvf(ext, "exact_clusters",
+      "exact_clusters(table, id_col, content_col) — exact-duplicate groups " +
+        "by content hash (md5), one row per group with members and count") { args =>
+      require(args.length == 3, "exact_clusters(table, id_col, content_col)")
+      Dedup.exactClusters(tableArg(args, 0, "exact_clusters"),
+        strArg(args, 1, "exact_clusters"), strArg(args, 2, "exact_clusters"))
+    }
+
+    tvf(ext, "bpe_token_counts",
+      "bpe_token_counts(table, id_col, text_col, num_merges) — train a " +
+        "deterministic BPE tokenizer on the table (capped histogram, " +
+        "Sennrich merges) and emit per-row word + subword counts") { args =>
+      require(args.length == 4, "bpe_token_counts(table, id_col, text_col, num_merges)")
+      val t = tableArg(args, 0, "bpe_token_counts")
+      graft.pipeline.BpeOps.tokenCounts(t, strArg(args, 1, "bpe_token_counts"),
+        strArg(args, 2, "bpe_token_counts"),
+        graft.pipeline.BpeOps.train(t, strArg(args, 2, "bpe_token_counts"),
+          intArg(args, 3, "bpe_token_counts")))
+    }
+
     tvf(ext, "quality_score",
       "quality_score(table, id_col, text_col) — per-document quality " +
         "score (type-token ratio, stopword/punct/length heuristics)") { args =>

@@ -1075,6 +1075,43 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sqlCap.count() > 0)
   }
 
+  test("dedup/tokenizer TVFs are SQL-reachable and parity-equal to the Scala API") {
+    import graft.pipeline.{BpeOps, Dedup}
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    Tables.documents(spark, sfDir).createOrReplaceTempView("documents_v")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+
+    assert(rows(spark.sql(
+      "SELECT * FROM jaccard_join('documents_v', 'doc_id', 'text', 1, 2) ORDER BY id_a, id_b"))
+      == rows(Dedup.jaccardJoinExact(Tables.documents(spark, sfDir), "doc_id", "text",
+        tNum = 1, tDen = 2).orderBy("id_a", "id_b")))
+
+    assert(rows(spark.sql(
+      "SELECT * FROM containment_join('documents_v', 'doc_id', 'text', 10, 1, 5) " +
+        "ORDER BY src_id, sup_id"))
+      == rows(Dedup.containmentJoin(Tables.documents(spark, sfDir), "doc_id", "text",
+        maxDf = 10, tNum = 1, tDen = 5).orderBy("src_id", "sup_id")))
+
+    assert(rows(spark.sql(
+      "SELECT * FROM simhash_pairs('documents_v', 'doc_id', 'text', 1) ORDER BY id_a, id_b"))
+      == rows(Dedup.simhashNearDups(
+        Dedup.simhash16(Tables.documents(spark, sfDir), "doc_id", "text"),
+        "doc_id", maxHamming = 1).orderBy("id_a", "id_b")))
+
+    assert(rows(spark.sql(
+      "SELECT * FROM exact_clusters('documents_v', 'doc_id', 'text') ORDER BY content_hash"))
+      == rows(Dedup.exactClusters(Tables.documents(spark, sfDir), "doc_id", "text")
+        .orderBy("content_hash")))
+
+    val merges = BpeOps.train(Tables.documents(spark, sfDir), "text", 32)
+    assert(rows(spark.sql(
+      "SELECT * FROM bpe_token_counts('documents_v', 'doc_id', 'text', 32) ORDER BY doc_id"))
+      == rows(BpeOps.tokenCounts(Tables.documents(spark, sfDir), "doc_id", "text", merges)
+        .orderBy("doc_id")))
+  }
+
   test("SQL pipeline functions reject non-literal or wrong-arity arguments loudly") {
     val e1 = intercept[Exception](
       spark.sql("SELECT * FROM minhash_pairs('documents_v', 'doc_id', 'text')"))
