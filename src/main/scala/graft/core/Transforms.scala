@@ -212,7 +212,7 @@ object Transform {
   /** Parses both `bucket[16]` (metadata JSON, partition.rs:55-126) and
     * `bucket(16)` (DDL call form, planner.rs:804-850).
     */
-  def parse(s: String): Transform = s.trim.toLowerCase match {
+  def parse(s: String): Transform = s.trim.toLowerCase(java.util.Locale.ROOT) match {
     case "identity" => Identity
     case "void" => Void
     case "year" | "years" => Year

@@ -124,7 +124,7 @@ object IceMV {
       case att: UnresolvedAttribute => att.nameParts.last -> "group"
       case Alias(att: UnresolvedAttribute, nm) if groupNames.contains(att.nameParts.last) => nm -> "group"
       case Alias(f: UnresolvedFunction, nm) =>
-        val fn = f.nameParts.last.toLowerCase
+        val fn = f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
         if (f.isDistinct) {
           if (fn != "count" || f.arguments.size != 1) return None
           f.arguments.head match {
@@ -539,7 +539,7 @@ object IceMV {
       case Alias(att: UnresolvedAttribute, name) =>
         if (groupNames.contains(att.nameParts.last)) None else return None
       case Alias(f: UnresolvedFunction, name) =>
-        val fn = f.nameParts.last.toLowerCase
+        val fn = f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
         // avg goes beyond the reference (aggregate_functions.rs rejects it):
         // it merges via a (sum, count) decomposition in the storage table
         if (f.isDistinct || !Seq("count", "sum", "min", "max", "avg").contains(fn)) return None
@@ -647,7 +647,7 @@ object IceMV {
       case j: Join =>
         val l = go(j.left); val r = go(j.right)
         j.condition match {
-          case Some(c) => l.join(r, colOf(c), j.joinType.sql.toLowerCase.replace(" ", "_"))
+          case Some(c) => l.join(r, colOf(c), j.joinType.sql.toLowerCase(java.util.Locale.ROOT).replace(" ", "_"))
           case None => l.crossJoin(r)
         }
       case u: Union => u.children.map(go).reduce(_ union _)

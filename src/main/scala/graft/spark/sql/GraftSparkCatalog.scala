@@ -72,7 +72,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
         // name "snapshots" — serve table t's metadata relation (Iceberg's
         // inspection surface; reference exposes the same structs via its
         // metadata APIs)
-        val kind = ident.name.toLowerCase
+        val kind = ident.name.toLowerCase(java.util.Locale.ROOT)
         if (ident.namespace.length >= 2 && GraftMetadataTable.Kinds.contains(kind)) {
           val base = TableIdent(ident.namespace.init.toSeq, ident.namespace.last)
           catalog.loadTable(base) match {

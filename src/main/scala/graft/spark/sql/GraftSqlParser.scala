@@ -204,12 +204,12 @@ final case class AlterPartitionFieldCommand(catalogName: String, ident: TableIde
 
   /** (source column name, transform, partition-field name suffix). */
   private def parseField(s: String): (String, IceTransform, String) = s match {
-    case WithArg(fn, arg, col) => fn.toLowerCase match {
+    case WithArg(fn, arg, col) => fn.toLowerCase(java.util.Locale.ROOT) match {
       case "bucket" => (col, IceTransform.Bucket(arg.toInt), s"bucket_$arg")
       case "truncate" => (col, IceTransform.Truncate(arg.toInt), s"trunc_$arg")
       case other => throw new IllegalArgumentException(s"unknown transform $other")
     }
-    case NoArg(fn, col) => fn.toLowerCase match {
+    case NoArg(fn, col) => fn.toLowerCase(java.util.Locale.ROOT) match {
       case "year" | "years" => (col, IceTransform.Year, "year")
       case "month" | "months" => (col, IceTransform.Month, "month")
       case "day" | "days" => (col, IceTransform.Day, "day")
@@ -279,8 +279,8 @@ final case class SetWriteOrderCommand(catalogName: String, ident: TableIdent,
           case Field(col, dir, nulls) =>
             val src = t.schema.fieldByName(col).getOrElse(
               throw new IllegalArgumentException(s"no such column: $col"))
-            val direction = Option(dir).map(_.toLowerCase).getOrElse("asc")
-            val nullOrder = Option(nulls).map(n => s"nulls-${n.toLowerCase}")
+            val direction = Option(dir).map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("asc")
+            val nullOrder = Option(nulls).map(n => s"nulls-${n.toLowerCase(java.util.Locale.ROOT)}")
               .getOrElse(if (direction == "asc") "nulls-first" else "nulls-last")
             graft.spec.SortField(src.id, graft.core.Transform.Identity, direction, nullOrder)
           case other => throw new IllegalArgumentException(s"cannot parse sort field: $other")
