@@ -130,11 +130,17 @@ object Profile {
     * `2·dev2 > sigma·mad22` is a pure integer comparison, so any SQL
     * engine reproduces the result bit-for-bit.
     *
-    * Plan: two window passes (rank within group) + two group-local joins —
-    * every shuffle is keyed by `keyCol` and the key partitioning is REUSED
-    * across the window, the aggregate, and the join (no re-shuffle; a
-    * group's rows never leave their partition). Skewed groups are ordinary
-    * sort-merge-join/window skew, handled by AQE.
+    * Plan: every statistic here depends on a row only through its
+    * QUANTIZED VALUE, so the rows fold into a per-(group, value) WEIGHTED
+    * HISTOGRAM first (one map-side-combined hash aggregate carrying count
+    * + id-sum per bucket) and both medians come from cumulative-weight
+    * windows over the histogram. At 100 TB this is the difference between
+    * ranking every event inside a handful of hot key partitions (a
+    * per-key single-task sort over the whole corpus — the previous shape)
+    * and windowing over (groups × distinct quantized values), which is
+    * bounded by the value DOMAIN, not the row count. Bit-identical
+    * output: value-at-rank over the cumulative weights selects exactly
+    * the values per-row ranking selects.
     *
     * Output per group: `n`, `med2` (2x median, centi-units), `mad22`
     * (4x MAD, centi-units), `n_outliers`, `outlier_id_sum` (id checksum of
@@ -142,42 +148,54 @@ object Profile {
     */
   def robustOutliers(df: DataFrame, keyCol: String, valCol: String,
                      idCol: String, sigma: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val vq = floor(col(valCol) * 100).cast("long")
     val base = df.select(col(keyCol).as("k"), col(idCol).cast("long").as("id"),
       vq.as("vq"))
+    // the ONLY corpus-scale job: rows → (k, vq) buckets with count + id-sum
+    val hist = base.groupBy(col("k"), col("vq"))
+      .agg(count(lit(1)).as("c"), sum(col("id")).as("idsum"))
 
-    val med = base
-      .join(doubledMedianLong(base, "vq", "med2"), Seq("k"))
-      .withColumn("dev2", abs(col("vq") * 2 - col("med2")))
-    val mad = med
-      .join(doubledMedianLong(med.select(col("k"), col("id"), col("dev2")), "dev2", "mad22"),
+    val dev = hist
+      .join(weightedDoubledMedian(hist.select(col("k"), col("vq").as("v"), col("c")), "med2"),
         Seq("k"))
+      .withColumn("dev2", abs(col("vq") * 2 - col("med2")))
+    // distinct vq buckets can collapse to the same deviation — re-weigh
+    val devHist = dev.groupBy(col("k"), col("dev2")).agg(sum(col("c")).as("c"))
+    val mad = weightedDoubledMedian(
+      devHist.select(col("k"), col("dev2").as("v"), col("c")), "mad22")
 
-    mad.groupBy(col("k").as(keyCol))
-      .agg(count(lit(1)).as("n"),
+    dev.join(mad, Seq("k"))
+      .groupBy(col("k").as(keyCol))
+      .agg(sum(col("c")).as("n"),
         max(col("med2")).as("med2"),
         max(col("mad22")).as("mad22"),
-        sum(when(col("dev2") * 2 > col("mad22") * sigma, 1L).otherwise(0L))
+        sum(when(col("dev2") * 2 > col("mad22") * sigma, col("c")).otherwise(0L))
           .as("n_outliers"),
-        coalesce(sum(when(col("dev2") * 2 > col("mad22") * sigma, col("id"))),
+        coalesce(sum(when(col("dev2") * 2 > col("mad22") * sigma, col("idsum"))),
           lit(0L)).as("outlier_id_sum"))
   }
 
-  /** [[robustOutliers]]' doubled-median kernel with exact LONG floor
-    * division on the rank indices (Column./ is double division; doubles
-    * are exact for any realistic rank, but the comparison must be integral
-    * to mirror the oracle's `//`). */
-  private def doubledMedianLong(in: DataFrame, c: String, as: String): DataFrame = {
+  /** Doubled median (lower middle + upper middle) of a weighted value
+    * histogram `(k, v, c)`: rank r lives in the bucket whose cumulative
+    * weight first reaches r, and the two middle ranks are
+    * floor((n+1)/2) and floor(n/2)+1 — exact LONG arithmetic throughout
+    * (Column./ is double division; the comparison must be integral to
+    * mirror the oracle's `//`). Each rank hits exactly one bucket, so the
+    * two conditional sums each select one value. */
+  private def weightedDoubledMedian(hist: DataFrame, as: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("k")).orderBy(col(c), col("id"))
-    in.select(col("k"), col(c),
-        row_number().over(w).cast("long").as("_rn"),
-        count(lit(1)).over(Window.partitionBy(col("k"))).as("_n"))
+    val wCum = Window.partitionBy(col("k")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("k"))
+    hist.select(col("k"), col("v"), col("c"),
+        sum(col("c")).over(wCum).as("_cum"),
+        sum(col("c")).over(wAll).as("_n"))
+      .withColumn("_r1", floor((col("_n") + 1) / 2).cast("long"))
+      .withColumn("_r2", floor(col("_n") / 2).cast("long") + 1)
       .groupBy(col("k"))
-      .agg((sum(when(col("_rn") === floor((col("_n") + 1) / 2).cast("long"), col(c))
-          .otherwise(lit(0L))) +
-        sum(when(col("_rn") === floor(col("_n") / 2).cast("long") + 1, col(c))
-          .otherwise(lit(0L)))).as(as))
+      .agg((sum(when(col("_cum") - col("c") < col("_r1") && col("_r1") <= col("_cum"),
+          col("v")).otherwise(lit(0L))) +
+        sum(when(col("_cum") - col("c") < col("_r2") && col("_r2") <= col("_cum"),
+          col("v")).otherwise(lit(0L)))).as(as))
   }
 }
