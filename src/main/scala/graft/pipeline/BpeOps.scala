@@ -317,4 +317,58 @@ object BpeOps {
     ids.foreach(i => sb.append(symbols(i)))
     sb.toString.split(Eow, -1).toVector.filter(_.nonEmpty)
   }
+
+  /** Packed token-ID sequences — the training-data pipeline's tail
+    * deliverable: tokenize each document to ids ([[withTokenIds]], zero
+    * shuffle), assign ~`budgetTokens`-token packs per (stratum, bucket)
+    * with [[TrainingSet.packSequences]]'s deterministic shuffle order,
+    * and concatenate each pack's ids in pack order. Output one row per
+    * pack: stratum, bucket, pack_id, n_docs, n_tokens, token_ids. */
+  def packTokenIds(docs: DataFrame, idCol: String, textCol: String,
+                   stratumCol: String, model: BpeModel,
+                   budgetTokens: Long, buckets: Int): DataFrame = {
+    val withIds = withTokenIds(
+        docs.select(col(idCol), col(stratumCol), col(textCol)), textCol, model, "tok")
+      .drop(textCol)
+      .withColumn("n_bpe_tokens", size(col("tok")).cast("long"))
+    TrainingSet.packSequences(withIds, idCol, "n_bpe_tokens", stratumCol,
+      budgetTokens, buckets)
+      .groupBy(col(stratumCol), col("bucket").cast("long").as("bucket"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe_tokens")).as("n_tokens"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("pack_pos"), col("tok")))),
+          x => x.getField("tok"))).as("token_ids"))
+  }
+
+  /** Persists a trained model as two parquet tables under `path`
+    * (`merges`: rank/left/right, `vocab`: id/symbol) — a production
+    * pipeline trains ONCE and ships the model to every later job, so the
+    * model must round-trip through storage, not a JVM. Plain parquet:
+    * any engine (or the DuckDB oracle) can read the tables. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: BpeModel,
+                path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left", "right")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/merges")
+    model.symbols.zipWithIndex.map { case (s, i) => (i, s) }
+      .toDF("id", "symbol")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Loads a [[saveModel]] model; merge rank order and id assignment are
+    * restored exactly (both tables carry explicit ordinals — parquet row
+    * order is not part of the contract). */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): BpeModel = {
+    val merges = spark.read.parquet(s"$path/merges")
+      .select("rank", "left", "right").collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toVector
+    val symbols = spark.read.parquet(s"$path/vocab")
+      .select("id", "symbol").collect()
+      .sortBy(_.getInt(0)).map(_.getString(1)).toVector
+    require(symbols.nonEmpty && symbols(0) == Unk,
+      s"$path/vocab is not a graft BPE vocab (id 0 must be $Unk)")
+    BpeModel(merges, symbols)
+  }
 }

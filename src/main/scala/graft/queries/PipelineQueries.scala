@@ -802,21 +802,10 @@ object PipelineQueries {
     // pack order. DuckDB cannot BPE, so the oracle is a checked-in golden
     // parquet (the q60/q85/q94 contract); BpeSpec round-trips decode(ids)
     // back to the exact word stream and re-verifies freshness on sf0.01.
-    "q100_pack_token_ids" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
-      val withIds = BpeOps.withTokenIds(docs, "text", bpeModel(s, d), "tok")
-        .drop("text")
-        .withColumn("n_bpe_tokens", size(col("tok")).cast("long"))
-      TrainingSet.packSequences(withIds, "doc_id", "n_bpe_tokens", "source",
-        budgetTokens = 2048, buckets = 4)
-        .groupBy(col("source"), col("bucket").cast("long").as("bucket"), col("pack_id"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_bpe_tokens")).as("n_tokens"),
-          flatten(transform(
-            array_sort(collect_list(struct(col("pack_pos"), col("tok")))),
-            x => x.getField("tok"))).as("token_ids"))
-        .orderBy("source", "bucket", "pack_id")
-    }),
+    "q100_pack_token_ids" -> ((s, d) =>
+      BpeOps.packTokenIds(Tables.documents(s, d), "doc_id", "text", "source",
+        bpeModel(s, d), budgetTokens = 2048, buckets = 4)
+        .orderBy("source", "bucket", "pack_id")),
 
     // Leakage-free split: near-duplicates of training documents landing in
     // the test set is the classic contamination path a per-doc split

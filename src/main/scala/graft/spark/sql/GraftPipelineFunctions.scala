@@ -135,6 +135,21 @@ object GraftPipelineFunctions {
           intArg(args, 3, "bpe_token_counts")))
     }
 
+    tvf(ext, "pack_token_ids",
+      "pack_token_ids(table, id_col, text_col, stratum_col, num_merges, " +
+        "budget_tokens, buckets) — train a BPE tokenizer on the table and " +
+        "emit packed token-id sequences (one row per ~budget-token pack)") { args =>
+      require(args.length == 7,
+        "pack_token_ids(table, id_col, text_col, stratum_col, num_merges, budget_tokens, buckets)")
+      val t = tableArg(args, 0, "pack_token_ids")
+      val model = graft.pipeline.BpeOps.trainModel(t,
+        strArg(args, 2, "pack_token_ids"), intArg(args, 4, "pack_token_ids"))
+      graft.pipeline.BpeOps.packTokenIds(t, strArg(args, 1, "pack_token_ids"),
+        strArg(args, 2, "pack_token_ids"), strArg(args, 3, "pack_token_ids"),
+        model, intArg(args, 5, "pack_token_ids").toLong,
+        intArg(args, 6, "pack_token_ids"))
+    }
+
     tvf(ext, "quality_score",
       "quality_score(table, id_col, text_col) — per-document quality " +
         "score (type-token ratio, stopword/punct/length heuristics)") { args =>

@@ -248,6 +248,27 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0, s"$bad documents failed the id round-trip")
   }
 
+  test("model save/load round-trips exactly; loaded model tokenizes identically") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val hist = Seq("low" -> 6L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = BpeOps.trainMerges(hist, 5)
+    val model = BpeOps.BpeModel(merges, BpeOps.buildVocab(hist.map(_._1), merges))
+    val dir = java.nio.file.Files.createTempDirectory("bpe-model").toString
+    BpeOps.saveModel(spark, model, dir)
+    val loaded = BpeOps.loadModel(spark, dir)
+    assert(loaded == model)
+    val docs = Seq((1L, "low lowest newest")).toDF("doc_id", "text")
+    assert(BpeOps.withTokenIds(docs, "text", loaded, "tok").collect().map(_.toString).toSeq
+      == BpeOps.withTokenIds(docs, "text", model, "tok").collect().map(_.toString).toSeq)
+    // a foreign parquet dir is rejected loudly, not half-loaded
+    val bogus = java.nio.file.Files.createTempDirectory("bpe-bogus").toString
+    Seq((0, "notunk")).toDF("id", "symbol").write.parquet(s"$bogus/vocab")
+    Seq((0, "a", "b")).toDF("rank", "left", "right").write.parquet(s"$bogus/merges")
+    val e = intercept[IllegalArgumentException](BpeOps.loadModel(spark, bogus))
+    assert(e.getMessage.contains("vocab"))
+  }
+
   test("q100 golden parquet matches a live recompute on sf0.01") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
     val golden100 = "src/test/resources/golden/q100_pack_token_ids.parquet"

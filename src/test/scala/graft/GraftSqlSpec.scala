@@ -1110,6 +1110,13 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT * FROM bpe_token_counts('documents_v', 'doc_id', 'text', 32) ORDER BY doc_id"))
       == rows(BpeOps.tokenCounts(Tables.documents(spark, sfDir), "doc_id", "text", merges)
         .orderBy("doc_id")))
+
+    val model = BpeOps.trainModel(Tables.documents(spark, sfDir), "text", 32)
+    assert(rows(spark.sql(
+      "SELECT * FROM pack_token_ids('documents_v', 'doc_id', 'text', 'source', 32, 512, 2) " +
+        "ORDER BY source, bucket, pack_id"))
+      == rows(BpeOps.packTokenIds(Tables.documents(spark, sfDir), "doc_id", "text",
+        "source", model, 512, 2).orderBy("source", "bucket", "pack_id")))
   }
 
   test("SQL pipeline functions reject non-literal or wrong-arity arguments loudly") {
