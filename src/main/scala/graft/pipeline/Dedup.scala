@@ -124,9 +124,11 @@ object Dedup {
     * at two AQE-broadcastable equi-joins plus O(|A|+|B|) per pair; a
     * candidate with no shared shingle (LSH false positive) gets
     * jaccard 0 from the empty intersection, same as the old left-join
-    * coalesce. */
+    * coalesce. Input multiplicity is ignored (collect_set builds the
+    * SETS), so callers can feed the raw shingle stream without paying a
+    * corpus-wide distinct shuffle first. */
   def jaccardVerify(sh: DataFrame, candidates: DataFrame, idCol: String): DataFrame = {
-    val docArr = sh.groupBy(col(idCol)).agg(collect_list(col("sh")).as("__arr"))
+    val docArr = sh.groupBy(col(idCol)).agg(collect_set(col("sh")).as("__arr"))
     candidates
       .join(docArr.select(col(idCol).as("id_a"), col("__arr").as("__ca")), "id_a")
       .join(docArr.select(col(idCol).as("id_b"), col("__arr").as("__cb")), "id_b")
@@ -152,13 +154,15 @@ object Dedup {
     val cand = lshCandidates(banded, idCol).cache()
     val candDocs = cand.select(col("id_a").as(idCol))
       .union(cand.select(col("id_b").as(idCol))).distinct()
-    // the distinct shingle SETS needed for exact Jaccard are re-derived from
-    // the SURVIVING documents only: a semi-join cannot push through the
+    // the shingle streams needed for exact Jaccard are re-derived from the
+    // SURVIVING documents only: a semi-join cannot push through the
     // shingle explode, so filtering the raw stream would re-run the whole
     // corpus's shingle kernel a second time — semi-join the documents first,
-    // then shingle just those (verify work scales with survivors, not corpus)
+    // then shingle just those (verify work scales with survivors, not
+    // corpus). No distinct, no cache: jaccardVerify set-aggregates the raw
+    // stream in its one consuming pass.
     val shSets = shinglesRaw(spread.join(broadcast(candDocs), Seq(idCol), "left_semi"),
-      idCol, textCol, shingleSize).distinct().cache()
+      idCol, textCol, shingleSize)
     jaccardVerify(shSets, cand, idCol).filter(col("jaccard") >= threshold)
   }
 
@@ -297,15 +301,15 @@ object Dedup {
       val newSurvivors = newDf.join(
         broadcast(cand.select(col("id_a").as(idCol)).distinct()), Seq(idCol), "left_semi")
       val newSh = shinglesRaw(newSurvivors.repartition(par), idCol, textCol, shingleSize)
-        .distinct()
       val corpusSh = index.shingleSets.join(
         broadcast(cand.select(col("id_b").as(idCol)).distinct()), Seq(idCol), "left_semi")
-      val shSets = newSh.unionByName(corpusSh).cache()
-      try {
-        jaccardVerify(shSets, cand, idCol).filter(col("jaccard") >= threshold)
-          .select(col("id_a").as("id_new"), col("id_b").as("dup_of"), col("jaccard"))
-          .localCheckpoint(true)
-      } finally shSets.unpersist()
+      // no distinct, no cache: jaccardVerify set-aggregates its one
+      // consuming pass (batch and corpus ids are disjoint, so the union's
+      // per-doc groups are well-defined)
+      val shSets = newSh.unionByName(corpusSh)
+      jaccardVerify(shSets, cand, idCol).filter(col("jaccard") >= threshold)
+        .select(col("id_a").as("id_new"), col("id_b").as("dup_of"), col("jaccard"))
+        .localCheckpoint(true)
     } finally cand.unpersist()
   }
 

@@ -22,12 +22,23 @@ import graft.pipeline.{Dedup, TextOps, TrainingSet, UrlOps}
   *     the caller's argument expression — pure codegen'd projections,
   *     exactly what the Scala API plans.
   *   - TABLE-VALUED functions (`minhash_pairs`, `dup_clusters`,
-  *     `leakage_split`, `quality_score`, `cap_per_group`): the operator's
-  *     DataFrame pipeline over `spark.table(name)` — table/view NAMES as
-  *     string literals, because Spark's injected TVFs receive scalar
-  *     expressions, not relations. The returned plan is the SAME logical
-  *     plan the Scala API builds, so every plan-shape gate (bucketed
-  *     joins, WindowGroupLimit, zero-cartesian) carries over verbatim.
+  *     `leakage_split`, `jaccard_join`, `containment_join`,
+  *     `simhash_pairs`, `exact_clusters`, `bpe_token_counts`,
+  *     `pack_token_ids`, `quality_score`, `cap_per_group`): the
+  *     operator's DataFrame pipeline over `spark.table(name)` —
+  *     table/view NAMES as string literals, because Spark's injected
+  *     TVFs receive scalar expressions, not relations. The returned plan
+  *     is the SAME logical plan the Scala API builds, so every
+  *     plan-shape gate (bucketed joins, WindowGroupLimit,
+  *     zero-cartesian) carries over verbatim.
+  *
+  * CALL semantics, not view semantics: a TVF builder runs at ANALYSIS
+  * time, and the stateful operators do driver-side work there —
+  * `dup_clusters`/`leakage_split` run the clustering loop,
+  * `bpe_token_counts`/`pack_token_ids` train the tokenizer. Re-analyzing
+  * the same SQL (a fresh `spark.sql(...)` call, an EXPLAIN) re-runs that
+  * work, exactly like re-issuing a `CALL`. Hold the result in a cached
+  * DataFrame or write it out rather than re-parsing the query in a loop.
   *
   * GraftSqlSpec gates a pure-SQL session reproducing q24/q47/q98/q99
   * hash-equal to the Scala API.
