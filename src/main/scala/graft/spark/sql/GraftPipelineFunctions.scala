@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{Decimal, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.pipeline.{Dedup, TextOps, TrainingSet, UrlOps}
+import graft.pipeline.{Dedup, Embeddings, TextOps, TrainingSet, UrlOps}
 
 /** SQL reachability for the LLM-data-pipeline operators (the reference
   * exposes its whole surface through SQL — `datafusion_iceberg/src/
@@ -144,6 +144,55 @@ object GraftPipelineFunctions {
         strArg(args, 2, "bpe_token_counts"),
         graft.pipeline.BpeOps.train(t, strArg(args, 2, "bpe_token_counts"),
           intArg(args, 3, "bpe_token_counts")))
+    }
+
+    tvf(ext, "ann_brute",
+      "ann_brute(table, id_col, emb_col, k, query_pred) — exact cosine " +
+        "top-k neighbors for every row matching the query predicate " +
+        "(a SQL boolean expression over the table's columns)") { args =>
+      require(args.length == 5, "ann_brute(table, id_col, emb_col, k, query_pred)")
+      Embeddings.bruteForceTopK(
+        Embeddings.prepare(tableArg(args, 0, "ann_brute"),
+          strArg(args, 1, "ann_brute"), strArg(args, 2, "ann_brute")),
+        strArg(args, 1, "ann_brute"), intArg(args, 3, "ann_brute"),
+        org.apache.spark.sql.functions.expr(strArg(args, 4, "ann_brute")))
+    }
+
+    tvf(ext, "ann_ivf",
+      "ann_ivf(table, id_col, emb_col, k, cells, nprobe, query_pred) — " +
+        "IVF-bucketed approximate cosine top-k: corpus vectors live in one " +
+        "Voronoi cell each, queries probe their nprobe nearest cells") { args =>
+      require(args.length == 7,
+        "ann_ivf(table, id_col, emb_col, k, cells, nprobe, query_pred)")
+      Embeddings.ivfTopKProbed(
+        Embeddings.prepare(tableArg(args, 0, "ann_ivf"),
+          strArg(args, 1, "ann_ivf"), strArg(args, 2, "ann_ivf")),
+        strArg(args, 1, "ann_ivf"), intArg(args, 3, "ann_ivf"),
+        intArg(args, 4, "ann_ivf"),
+        org.apache.spark.sql.functions.expr(strArg(args, 6, "ann_ivf")),
+        intArg(args, 5, "ann_ivf"))
+    }
+
+    tvf(ext, "knn_graph",
+      "knn_graph(table, id_col, emb_col, k, cells) — mutual k-NN cosine " +
+        "similarity graph over IVF cells (one row per undirected edge)") { args =>
+      require(args.length == 5, "knn_graph(table, id_col, emb_col, k, cells)")
+      Embeddings.knnGraph(
+        Embeddings.prepare(tableArg(args, 0, "knn_graph"),
+          strArg(args, 1, "knn_graph"), strArg(args, 2, "knn_graph")),
+        strArg(args, 1, "knn_graph"), intArg(args, 3, "knn_graph"),
+        intArg(args, 4, "knn_graph"))
+    }
+
+    tvf(ext, "semantic_dedup",
+      "semantic_dedup(table, id_col, emb_col, cells, threshold) — SemDeDup: " +
+        "within-cell embedding pairs with cosine ≥ threshold") { args =>
+      require(args.length == 5, "semantic_dedup(table, id_col, emb_col, cells, threshold)")
+      Embeddings.semanticDedup(
+        Embeddings.prepare(tableArg(args, 0, "semantic_dedup"),
+          strArg(args, 1, "semantic_dedup"), strArg(args, 2, "semantic_dedup")),
+        strArg(args, 1, "semantic_dedup"), intArg(args, 3, "semantic_dedup"),
+        dblArg(args, 4, "semantic_dedup"))
     }
 
     tvf(ext, "pack_token_ids",

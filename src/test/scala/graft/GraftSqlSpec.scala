@@ -1119,6 +1119,39 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
         "source", model, 512, 2).orderBy("source", "bucket", "pack_id")))
   }
 
+  test("similarity-search TVFs are SQL-reachable and parity-equal to the Scala API") {
+    import graft.pipeline.Embeddings
+    import org.apache.spark.sql.functions.col
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("embeddings_v")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    def prep = Embeddings.prepare(Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+
+    assert(rows(spark.sql(
+      "SELECT * FROM ann_brute('embeddings_v', 'vec_id', 'embedding', 3, 'vec_id < 10') " +
+        "ORDER BY query_id, rnk"))
+      == rows(Embeddings.bruteForceTopK(prep, "vec_id", 3, col("vec_id") < 10)
+        .orderBy("query_id", "rnk")))
+
+    assert(rows(spark.sql(
+      "SELECT * FROM ann_ivf('embeddings_v', 'vec_id', 'embedding', 3, 4, 2, 'vec_id < 10') " +
+        "ORDER BY query_id, rnk"))
+      == rows(Embeddings.ivfTopKProbed(prep, "vec_id", 3, 4, col("vec_id") < 10, 2)
+        .orderBy("query_id", "rnk")))
+
+    assert(rows(spark.sql(
+      "SELECT * FROM knn_graph('embeddings_v', 'vec_id', 'embedding', 3, 4) " +
+        "ORDER BY id_a, id_b"))
+      == rows(Embeddings.knnGraph(prep, "vec_id", 3, 4).orderBy("id_a", "id_b")))
+
+    assert(rows(spark.sql(
+      "SELECT * FROM semantic_dedup('embeddings_v', 'vec_id', 'embedding', 4, 0.35) " +
+        "ORDER BY vec_id"))
+      == rows(Embeddings.semanticDedup(prep, "vec_id", 4, 0.35).orderBy("vec_id")))
+  }
+
   test("SQL pipeline functions reject non-literal or wrong-arity arguments loudly") {
     val e1 = intercept[Exception](
       spark.sql("SELECT * FROM minhash_pairs('documents_v', 'doc_id', 'text')"))
