@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{Decimal, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.pipeline.{Dedup, Embeddings, TextOps, TrainingSet, UrlOps}
+import graft.pipeline.{Dedup, Embeddings, TextOps, TimeSeries, TrainingSet, UrlOps}
 
 /** SQL reachability for the LLM-data-pipeline operators (the reference
   * exposes its whole surface through SQL — `datafusion_iceberg/src/
@@ -146,6 +146,42 @@ object GraftPipelineFunctions {
           intArg(args, 3, "bpe_token_counts")))
     }
 
+    tvf(ext, "asof_join",
+      "asof_join(probe_table, ref_table, keys_csv, time_col, payload_csv, " +
+        "tiebreak_csv) — for each probe row, the latest ref row at-or-before " +
+        "its time per key; '' tiebreak for none") { args =>
+      require(args.length == 6,
+        "asof_join(probe_table, ref_table, keys_csv, time_col, payload_csv, tiebreak_csv)")
+      TimeSeries.asofJoin(tableArg(args, 0, "asof_join"), tableArg(args, 1, "asof_join"),
+        csvArg(args, 2, "asof_join"), strArg(args, 3, "asof_join"),
+        csvArg(args, 4, "asof_join"),
+        tieBreak = csvArg(args, 5, "asof_join"))
+    }
+
+    tvf(ext, "range_join",
+      "range_join(points_table, intervals_table, keys_csv, point_time, " +
+        "start_col, end_col, bin_seconds) — points joined to every " +
+        "containing [start, end] interval via epoch-bin blocking") { args =>
+      require(args.length == 7, "range_join(points_table, intervals_table, " +
+        "keys_csv, point_time, start_col, end_col, bin_seconds)")
+      TimeSeries.rangeJoinBinned(tableArg(args, 0, "range_join"),
+        tableArg(args, 1, "range_join"), csvArg(args, 2, "range_join"),
+        strArg(args, 3, "range_join"), strArg(args, 4, "range_join"),
+        strArg(args, 5, "range_join"), intArg(args, 6, "range_join").toLong)
+    }
+
+    tvf(ext, "sessionize",
+      "sessionize(table, keys_csv, time_col, gap_expr, tiebreak_csv) — " +
+        "gap-based session assignment; gap_expr is a SQL expression " +
+        "(e.g. \"INTERVAL '6' HOUR\")") { args =>
+      require(args.length == 5,
+        "sessionize(table, keys_csv, time_col, gap_expr, tiebreak_csv)")
+      TimeSeries.sessionize(tableArg(args, 0, "sessionize"),
+        csvArg(args, 1, "sessionize"), strArg(args, 2, "sessionize"),
+        org.apache.spark.sql.functions.expr(strArg(args, 3, "sessionize")),
+        tieBreak = csvArg(args, 4, "sessionize"))
+    }
+
     tvf(ext, "ann_brute",
       "ann_brute(table, id_col, emb_col, k, query_pred) — exact cosine " +
         "top-k neighbors for every row matching the query predicate " +
@@ -256,6 +292,10 @@ object GraftPipelineFunctions {
     * `spark.table`). */
   private def tableArg(args: Seq[Expression], i: Int, fn: String) =
     SparkSession.active.table(strArg(args, i, fn))
+
+  /** Comma-separated column list; empty string → Nil. */
+  private def csvArg(args: Seq[Expression], i: Int, fn: String): Seq[String] =
+    strArg(args, i, fn).split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
   private def strArg(args: Seq[Expression], i: Int, fn: String): String =
     args(i) match {

@@ -1152,6 +1152,51 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       == rows(Embeddings.semanticDedup(prep, "vec_id", 4, 0.35).orderBy("vec_id")))
   }
 
+  test("time-series TVFs are SQL-reachable and parity-equal to the Scala API") {
+    import graft.pipeline.TimeSeries
+    import org.apache.spark.sql.functions.{col, expr}
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    val ev = Tables.events(spark, sfDir)
+    ev.createOrReplaceTempView("events_v")
+    spark.sql("CREATE OR REPLACE TEMP VIEW clicks_v AS " +
+      "SELECT event_id, user_id, ts FROM events_v WHERE event_type = 'click'")
+    spark.sql("CREATE OR REPLACE TEMP VIEW errors_v AS " +
+      "SELECT user_id, ts, value AS err_value FROM events_v WHERE event_type = 'error'")
+    spark.sql("CREATE OR REPLACE TEMP VIEW outages_v AS " +
+      "SELECT user_id, ts AS win_start, ts + INTERVAL 4 HOURS AS win_end " +
+      "FROM events_v WHERE event_type = 'error'")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("value").as("err_value"))
+    assert(rows(spark.sql(
+      "SELECT * FROM asof_join('clicks_v', 'errors_v', 'user_id', 'ts', " +
+        "'err_value', 'err_value') ORDER BY event_id"))
+      == rows(TimeSeries.asofJoin(clicks, errors, Seq("user_id"), "ts",
+        Seq("err_value"), tieBreak = Seq("err_value")).orderBy("event_id")))
+
+    val outages = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("win_start"),
+        (col("ts") + expr("INTERVAL 4 HOURS")).as("win_end"))
+    assert(rows(spark.sql(
+      "SELECT * FROM range_join('clicks_v', 'outages_v', 'user_id', 'ts', " +
+        "'win_start', 'win_end', 14400) ORDER BY event_id, win_start"))
+      == rows(TimeSeries.rangeJoinBinned(clicks, outages, Seq("user_id"),
+        "ts", "win_start", "win_end", binSeconds = 4 * 3600)
+        .orderBy("event_id", "win_start")))
+
+    assert(rows(spark.sql(
+      "SELECT * FROM sessionize('events_v', 'user_id', 'ts', " +
+        "\"INTERVAL '6' HOUR\", 'event_id') ORDER BY user_id, ts, event_id"))
+      == rows(TimeSeries.sessionize(ev, Seq("user_id"), "ts",
+        expr("INTERVAL '6' HOUR"), tieBreak = Seq("event_id"))
+        .orderBy("user_id", "ts", "event_id")))
+  }
+
   test("SQL pipeline functions reject non-literal or wrong-arity arguments loudly") {
     val e1 = intercept[Exception](
       spark.sql("SELECT * FROM minhash_pairs('documents_v', 'doc_id', 'text')"))
