@@ -85,13 +85,17 @@ object Profile {
     * sequence-length planning stat (context-window budgeting, pack-size
     * tuning) run per source/stratum before training-set assembly.
     *
-    * One hash aggregate: Spark's `percentile` accumulates a value→count map
-    * per group, so memory tracks the DISTINCT value count, not the row
-    * count — document/token lengths are a small bounded domain, so this
-    * stays cheap at 100 TB. For unbounded continuous domains swap in
-    * `approx_percentile` (same plan shape, t-digest sketch, no exact
-    * oracle). Output: one row per group with a `p<nn>` double column per
-    * requested fraction.
+    * Weighted-histogram formulation: rows fold into per-(group, value)
+    * counts (a codegen'd hash aggregate with map-side combine), then each
+    * fraction reads value-at-rank over cumulative weights. Spark's own
+    * `percentile` aggregate reaches the same distinct-value memory bound
+    * but holds each group's value→count map as ONE agg-buffer object
+    * (ObjectHashAggregate: no codegen, whole maps through the shuffle,
+    * fallback sorts on buffer pressure); the histogram spreads the same
+    * state over ordinary spillable rows. For unbounded continuous domains
+    * swap in `approx_percentile` (t-digest sketch, no exact oracle).
+    * Output: one row per group with a `p<nn>` double column per requested
+    * fraction, interpolated bit-identically to `percentile`.
     */
   def groupedPercentiles(df: DataFrame, groupCol: String, valueCol: String,
                          fractions: Seq[Double]): DataFrame = {
@@ -108,13 +112,36 @@ object Profile {
     val labels = fractions.map(label)
     require(labels.distinct.size == labels.size,
       s"fractions produce duplicate column labels: ${labels.mkString(", ")}")
-    val named = fractions.zipWithIndex.map { case (f, i) =>
-      col("__ps").getItem(i).as(label(f))
+    // The interpolation below reproduces Percentile.getPercentile
+    // bit-for-bit (same vlo·(hi−pos) + vhi·(pos−lo) double expression,
+    // same take-the-value short-circuit on integral positions), so
+    // results are unchanged vs the builtin aggregate.
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"), sum(col(valueCol)).as("__s"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    val staged = hist.select(col(groupCol), col("__v"), col("__c"), col("__s"),
+      sum(col("__c")).over(wCum).as("__cum"),
+      sum(col("__c")).over(wAll).as("__n"))
+    // value-at-rank r (1-based): the bucket where cum − c < r ≤ cum; each
+    // rank hits exactly one bucket, so the conditional sum IS the value
+    def atRank(r: Column): Column =
+      sum(when(col("__cum") - col("__c") < r && r <= col("__cum"), col("__v"))
+        .otherwise(lit(0.0)))
+    val bounds = fractions.zipWithIndex.flatMap { case (f, i) =>
+      val pos = lit(f) * (col("__n") - 1)
+      Seq(atRank(floor(pos) + 1).as(s"__lo$i"), atRank(ceil(pos) + 1).as(s"__hi$i"))
     }
-    df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col(valueCol)).as("sum_value"),
-        percentile(col(valueCol), typedLit(fractions.toArray)).as("__ps"))
+    val aggs = Seq(max(col("__n")).as("n_rows"), sum(col("__s")).as("sum_value")) ++ bounds
+    val named = fractions.zipWithIndex.map { case (f, i) =>
+      val pos = lit(f) * (col("n_rows") - 1)
+      when(floor(pos) === ceil(pos), col(s"__lo$i"))
+        .otherwise(col(s"__lo$i") * (ceil(pos) - pos) + col(s"__hi$i") * (pos - floor(pos)))
+        .as(label(f))
+    }
+    staged.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(groupCol) +: col("n_rows") +: col("sum_value") +: named: _*)
   }
 
