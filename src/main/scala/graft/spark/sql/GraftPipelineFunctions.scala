@@ -146,6 +146,40 @@ object GraftPipelineFunctions {
           intArg(args, 3, "bpe_token_counts")))
     }
 
+    tvf(ext, "text_stats",
+      "text_stats(table, id_col, text_col) — per-document surface " +
+        "statistics (chars, tokens, type-token ratio, punct/digit ratios)") { args =>
+      require(args.length == 3, "text_stats(table, id_col, text_col)")
+      TextOps.textStats(tableArg(args, 0, "text_stats"),
+        strArg(args, 1, "text_stats"), strArg(args, 2, "text_stats"))
+    }
+
+    tvf(ext, "lang_id",
+      "lang_id(table, id_col, text_col) — heuristic language ID by " +
+        "stopword-profile voting (deterministic ties)") { args =>
+      require(args.length == 3, "lang_id(table, id_col, text_col)")
+      TextOps.langId(tableArg(args, 0, "lang_id"),
+        strArg(args, 1, "lang_id"), strArg(args, 2, "lang_id"))
+    }
+
+    tvf(ext, "gopher_rules",
+      "gopher_rules(table, id_col, text_col) — Gopher-style repetition / " +
+        "quality filter flags per document") { args =>
+      require(args.length == 3, "gopher_rules(table, id_col, text_col)")
+      TextOps.gopherRules(tableArg(args, 0, "gopher_rules"),
+        strArg(args, 1, "gopher_rules"), strArg(args, 2, "gopher_rules"))
+    }
+
+    tvf(ext, "decontaminate",
+      "decontaminate(train_table, eval_table, id_col, text_col, ngram) — " +
+        "ids of train documents sharing any word n-gram with the eval set") { args =>
+      require(args.length == 5,
+        "decontaminate(train_table, eval_table, id_col, text_col, ngram)")
+      TrainingSet.contaminatedIds(tableArg(args, 0, "decontaminate"),
+        tableArg(args, 1, "decontaminate"), strArg(args, 2, "decontaminate"),
+        strArg(args, 3, "decontaminate"), intArg(args, 4, "decontaminate"))
+    }
+
     tvf(ext, "asof_join",
       "asof_join(probe_table, ref_table, keys_csv, time_col, payload_csv, " +
         "tiebreak_csv) — for each probe row, the latest ref row at-or-before " +

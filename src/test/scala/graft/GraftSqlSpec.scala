@@ -1197,6 +1197,35 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
         .orderBy("user_id", "ts", "event_id")))
   }
 
+  test("text-analysis TVFs are SQL-reachable and parity-equal to the Scala API") {
+    import graft.pipeline.{TextOps, TrainingSet}
+    import org.apache.spark.sql.functions.col
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    val docs = Tables.documents(spark, sfDir)
+    docs.createOrReplaceTempView("documents_v")
+    spark.sql("CREATE OR REPLACE TEMP VIEW train_v AS " +
+      "SELECT * FROM documents_v WHERE doc_id % 10 <> 0")
+    spark.sql("CREATE OR REPLACE TEMP VIEW eval_v AS " +
+      "SELECT * FROM documents_v WHERE doc_id % 10 = 0")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+
+    assert(rows(spark.sql(
+      "SELECT * FROM text_stats('documents_v', 'doc_id', 'text') ORDER BY doc_id"))
+      == rows(TextOps.textStats(docs, "doc_id", "text").orderBy("doc_id")))
+    assert(rows(spark.sql(
+      "SELECT * FROM lang_id('documents_v', 'doc_id', 'text') ORDER BY doc_id"))
+      == rows(TextOps.langId(docs, "doc_id", "text").orderBy("doc_id")))
+    assert(rows(spark.sql(
+      "SELECT * FROM gopher_rules('documents_v', 'doc_id', 'text') ORDER BY doc_id"))
+      == rows(TextOps.gopherRules(docs, "doc_id", "text").orderBy("doc_id")))
+    assert(rows(spark.sql(
+      "SELECT * FROM decontaminate('train_v', 'eval_v', 'doc_id', 'text', 3) ORDER BY doc_id"))
+      == rows(TrainingSet.contaminatedIds(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 3).orderBy("doc_id")))
+  }
+
   test("SQL pipeline functions reject non-literal or wrong-arity arguments loudly") {
     val e1 = intercept[Exception](
       spark.sql("SELECT * FROM minhash_pairs('documents_v', 'doc_id', 'text')"))
