@@ -85,6 +85,20 @@ class HtmlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(HtmlOps.blocks("<p>bad &#xZZ; x</p>").head.text == "bad &#xZZ; x")
   }
 
+  test("parser survives random tag soup without throwing or leaking raw text") {
+    val rng = new scala.util.Random(7)
+    val pieces = Seq("<div>", "</div>", "<p ", "a=\">\"", ">", "<", "&", "&#x",
+      "&#", ";", "<script>", "</ScRiPt>", "<!--", "-->", "text ", "&amp;",
+      "\"", "'", "<style", "LEAKME", "</style>", "&#x1F600;", "&#999999999;")
+    (0 until 300).foreach { _ =>
+      val s = Vector.fill(rng.nextInt(40))(pieces(rng.nextInt(pieces.length))).mkString
+      HtmlOps.blocks(s) // must never throw, whatever the soup
+    }
+    // a well-formed raw-text region never leaks, regardless of close-tag case
+    val bs = HtmlOps.blocks("<script>var LEAKME=1;</SCRIPT><p>ok words</p>")
+    assert(!bs.exists(_.text.contains("LEAKME")))
+  }
+
   test("parser: malformed input degrades, never throws") {
     assert(HtmlOps.blocks("no tags at all").nonEmpty)
     assert(HtmlOps.blocks("<p>unclosed everything").head.text == "unclosed everything")

@@ -157,6 +157,35 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("__urlc_"))
   }
 
+  test("canonicalization never yields null and is idempotent on adversarial inputs") {
+    import spark.implicits._
+    // deterministic pseudo-random messy URLs: escaped userinfo, %-hosts,
+    // ccTLD hosts, mixed case, default/odd ports, escapes in path/query,
+    // fragments with stray '%' — well beyond the q96 fixture's shapes
+    val rng = new scala.util.Random(99)
+    def randUrl(): String = {
+      val sb = new StringBuilder
+      sb.append(Seq("http", "HTTP", "https", "HtTpS")(rng.nextInt(4))).append("://")
+      if (rng.nextBoolean()) sb.append("u%40ser:p@")
+      if (rng.nextBoolean()) sb.append("WWW.")
+      sb.append(Seq("ex%2Eample.com", "EXAMPLE.co.uk", "h%2Fost.org",
+        "a.b.c.example.com")(rng.nextInt(4)))
+      if (rng.nextBoolean()) sb.append(":" + Seq("80", "443", "8080")(rng.nextInt(3)))
+      if (rng.nextBoolean()) sb.append("/p%7Eath/" + rng.nextInt(10))
+      if (rng.nextBoolean()) sb.append("/")
+      if (rng.nextBoolean()) sb.append("?b=2&utm_source=x&a=%5a1")
+      if (rng.nextBoolean()) sb.append("#frag%ment")
+      sb.toString
+    }
+    val urls = Vector.fill(300)(randUrl())
+    val once = urls.toDF("u").select(UrlOps.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(once.forall(c => c != null && c.nonEmpty))
+    val twice = once.toDF("c").select(UrlOps.canonicalizeUrl(col("c")))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == once, "canonical output must be a fixed point")
+  }
+
   test("plan shape: canonicalization is a zero-shuffle projection") {
     import spark.implicits._
     val df = (0L until 100L).toDF("doc_id")
