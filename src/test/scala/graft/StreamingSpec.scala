@@ -294,4 +294,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
     assert(got == Set((1L, 3, 6.0)))
   }
+
+  test("zero-shuffle pipeline kernels run unchanged over a stream") {
+    // the URL canonicalization and BPE token-id kernels are stateless
+    // projections, so the SAME operators a batch pipeline uses must apply
+    // to readStream without modification — and produce batch-identical
+    // rows. (This is the streaming face of the 100 TB posture: ingest-time
+    // canonicalization/tokenization with no separate code path.)
+    import spark.implicits._
+    import graft.pipeline.{BpeOps, UrlOps}
+    val src = Files.createTempDirectory("kstream").toString
+    val docs = Seq(
+      (1L, "low lower newest", "http://WWW.Example.com:80/a/?utm_source=x&b=1"),
+      (2L, "newest widest low", "https://u:pw@shop.example.co.uk/p%7E/"),
+      (3L, "low low widest", "HTTPS://site%2Eexample.com/?z=2&a=1#frag"))
+      .toDF("doc_id", "text", "url")
+    docs.write.mode("overwrite").parquet(src)
+
+    val hist = Seq("low" -> 6L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = BpeOps.trainMerges(hist, 5)
+    val model = BpeOps.BpeModel(merges, BpeOps.buildVocab(hist.map(_._1), merges))
+    def kernels(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      BpeOps.withTokenIds(
+        UrlOps.withCanonicalUrl(df, col("url"), "curl"),
+        "text", model, "tok")
+        .select(col("doc_id"), col("curl"),
+          UrlOps.registrableDomain(UrlOps.hostOf(col("curl"))).as("domain"),
+          col("tok").cast("string").as("tok_s"))
+
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, url STRING").parquet(src)
+    val q = kernels(stream)
+      .writeStream.format("memory").queryName("kern").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT * FROM kern").collect().map(_.toString).toSet
+    val batch = kernels(spark.read.parquet(src)).collect().map(_.toString).toSet
+    assert(got == batch && got.size == 3,
+      "streaming and batch kernel outputs must be identical")
+  }
 }
