@@ -245,7 +245,9 @@ object BpeOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
-    docs.select(col(idCol).cast("long"), lower(col(textCol)))
+    // null text tokenizes as empty (coalesce BEFORE the kernel — a null
+    // Scala String would NPE the split on real dirty corpora)
+    docs.select(col(idCol).cast("long"), coalesce(lower(col(textCol)), lit("")))
       .as[(Long, String)]
       .mapPartitions { it =>
         val rank = bc.value
@@ -282,7 +284,8 @@ object BpeOps {
     // Unicode edge cases
     val tmp = "__bpe_lower"
     require(!docs.columns.contains(tmp), s"input already carries a $tmp column")
-    val staged = docs.withColumn(tmp, lower(col(textCol)))
+    // coalesce: null text yields an empty id array, not a kernel NPE
+    val staged = docs.withColumn(tmp, coalesce(lower(col(textCol)), lit("")))
     val li = staged.schema.fieldIndex(tmp)
     // containsNull = true, nullable = true: ids are never actually null,
     // but the driver's arrow-level hash compares the ORACLE side through

@@ -248,6 +248,20 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0, s"$bad documents failed the id round-trip")
   }
 
+  test("null text tokenizes as empty — no kernel NPE on dirty corpora") {
+    import spark.implicits._
+    val docs = Seq((1L, "low lower"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val merges = BpeOps.trainMerges(classic, 4)
+    val counts = BpeOps.tokenCounts(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+    assert(counts(1).getLong(1) == 0L && counts(1).getLong(2) == 0L)
+    val model = BpeOps.BpeModel(merges, BpeOps.buildVocab(classic.map(_._1), merges))
+    val ids = BpeOps.withTokenIds(docs, "text", model, "tok")
+      .orderBy("doc_id").collect()
+    assert(ids(1).getSeq[Int](2).isEmpty)
+  }
+
   test("model save/load round-trips exactly; loaded model tokenizes identically") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
