@@ -38,9 +38,15 @@ object Multimodal {
   def asMedia(df: DataFrame, idCol: String, bytesCol: String, mime: String): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._
+    // null payloads become empty ones HERE, the single entry point: the
+    // downstream kernels (digest, codec probes, byte resampling) follow
+    // the decode-failure skip contract for empty payloads, whereas a null
+    // would fail the non-nullable n_bytes encoder on real dirty corpora
+    val bytes = coalesce(col(bytesCol).cast("binary"),
+      lit(Array.emptyByteArray))
     df.select(col(idCol).cast("long").as("doc_id"), lit(mime).as("mime"),
-      octet_length(col(bytesCol).cast("binary")).cast("long").as("n_bytes"),
-      col(bytesCol).cast("binary").as("payload")).as[MediaRow]
+      octet_length(bytes).cast("long").as("n_bytes"),
+      bytes.as("payload")).as[MediaRow]
   }
 
   /** STUB decoder: a real implementation would parse the codec here
