@@ -216,6 +216,31 @@ object GraftPipelineFunctions {
         tieBreak = csvArg(args, 4, "sessionize"))
     }
 
+    tvf(ext, "funnel",
+      "funnel(table, keys_csv, time_col, step_col, steps_csv, window_expr) — " +
+        "ordered step-completion times per key; window_expr is a SQL " +
+        "interval expression string ('' for unbounded)") { args =>
+      require(args.length == 6,
+        "funnel(table, keys_csv, time_col, step_col, steps_csv, window_expr)")
+      val w = strArg(args, 5, "funnel").trim
+      TimeSeries.funnel(tableArg(args, 0, "funnel"), csvArg(args, 1, "funnel"),
+        strArg(args, 2, "funnel"), strArg(args, 3, "funnel"),
+        csvArg(args, 4, "funnel"),
+        window = if (w.isEmpty) None
+                 else Some(org.apache.spark.sql.functions.expr(w)))
+    }
+
+    tvf(ext, "cohort_retention",
+      "cohort_retention(table, keys_csv, time_col, signup_pred) — weekly " +
+        "cohort retention triangle; signup_pred is a SQL boolean " +
+        "expression string marking the cohort-defining events") { args =>
+      require(args.length == 4,
+        "cohort_retention(table, keys_csv, time_col, signup_pred)")
+      TimeSeries.cohortRetention(tableArg(args, 0, "cohort_retention"),
+        csvArg(args, 1, "cohort_retention"), strArg(args, 2, "cohort_retention"),
+        org.apache.spark.sql.functions.expr(strArg(args, 3, "cohort_retention")))
+    }
+
     tvf(ext, "ann_brute",
       "ann_brute(table, id_col, emb_col, k, query_pred) — exact cosine " +
         "top-k neighbors for every row matching the query predicate " +

@@ -1195,6 +1195,19 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       == rows(TimeSeries.sessionize(ev, Seq("user_id"), "ts",
         expr("INTERVAL '6' HOUR"), tieBreak = Seq("event_id"))
         .orderBy("user_id", "ts", "event_id")))
+
+    assert(rows(spark.sql(
+      "SELECT * FROM funnel('events_v', 'user_id', 'ts', 'event_type', " +
+        "'view,click,purchase', \"INTERVAL '1' DAY\") ORDER BY user_id"))
+      == rows(TimeSeries.funnel(ev, Seq("user_id"), "ts", "event_type",
+        Seq("view", "click", "purchase"),
+        window = Some(expr("INTERVAL '1' DAY"))).orderBy("user_id")))
+
+    assert(rows(spark.sql(
+      "SELECT * FROM cohort_retention('events_v', 'user_id', 'ts', " +
+        "\"event_type = 'signup'\") ORDER BY cohort_week, period_idx"))
+      == rows(TimeSeries.cohortRetention(ev, Seq("user_id"), "ts",
+        col("event_type") === "signup").orderBy("cohort_week", "period_idx")))
   }
 
   test("text-analysis TVFs are SQL-reachable and parity-equal to the Scala API") {
