@@ -86,6 +86,37 @@ object Profile {
         t = time("append odd half")(IceWrite.append(spark, t.refresh(), li.filter(col("l_orderkey") % 2 === 1)))
         time("mv incremental refresh")(IceMV.refresh(spark, cat, mv))
         time("mv read")(mat(IceMV.read(spark, cat, mv)))
+      case "q14v" =>
+        // decomposes the MV refresh wall-time: how much is the aggregate
+        // itself vs the ACID write machinery vs classification overhead
+        import graft.catalog.{FileCatalog, TableIdent}
+        import graft.spark.{IceMV, IceScan, IceWrite}
+        import graft.spec.{IceSchema, IceType, PartitionSpec}
+        val cat = new FileCatalog(
+          java.nio.file.Files.createTempDirectory("prof_wh").toString)
+        val li = Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_quantity").cast("decimal(18,2)").as("qty"))
+        val (struct, _) = IceType.fromSparkAssignIds(li.schema)
+        var t = cat.createTable(TableIdent(Seq("bench"), "li"),
+          IceSchema(0, struct.fields), PartitionSpec(0, Nil))
+        t = time("append half")(IceWrite.append(spark, t, li.filter(col("l_orderkey") % 2 === 0)))
+        val agg = IceScan.scan(spark, t.refresh())
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"))
+        time("bare aggregate (collect)")(agg.collect())
+        time("bare aggregate again")(agg.collect())
+        val (s2, _) = IceType.fromSparkAssignIds(agg.schema)
+        val scratch = cat.createTable(TableIdent(Seq("bench"), "scratch"),
+          IceSchema(0, s2.fields), PartitionSpec(0, Nil))
+        time("bare IceWrite of the aggregate")(IceWrite.append(spark, scratch, agg))
+        val mv = TableIdent(Seq("bench"), "flag_stats2")
+        IceMV.create(spark, cat, mv,
+          "SELECT l_returnflag, count(*) AS n, sum(qty) AS sum_qty FROM li GROUP BY l_returnflag")
+        time("full refresh")(IceMV.refresh(spark, cat, mv))
+        t = IceWrite.append(spark, t.refresh(), li.filter(col("l_orderkey") % 2 === 1))
+        time("incremental refresh")(IceMV.refresh(spark, cat, mv))
+        time("noop refresh (fresh)")(IceMV.refresh(spark, cat, mv))
       case "q17" =>
         import graft.catalog.{FileCatalog, TableIdent}
         import graft.spark.{IceScan, IceWrite}
