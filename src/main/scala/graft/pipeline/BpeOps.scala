@@ -284,6 +284,9 @@ object BpeOps {
     // Unicode edge cases
     val tmp = "__bpe_lower"
     require(!docs.columns.contains(tmp), s"input already carries a $tmp column")
+    require(!docs.columns.contains(out),
+      s"input already carries a '$out' column — a silent duplicate field " +
+        "would shadow it; pick another output name")
     // coalesce: null text yields an empty id array, not a kernel NPE
     val staged = docs.withColumn(tmp, coalesce(lower(col(textCol)), lit("")))
     val li = staged.schema.fieldIndex(tmp)

@@ -56,7 +56,11 @@ object HtmlOps {
       val digits = if (hex) e.drop(2) else e.drop(1)
       try {
         val cp = Integer.parseInt(digits, if (hex) 16 else 10)
-        if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp))
+        // surrogate code points (U+D800-U+DFFF) pass isValidCodePoint but
+        // toChars would emit an unpaired surrogate — invalid UTF-16 that
+        // UTF8String mangles to U+FFFD; verbatim pass-through instead
+        if (Character.isValidCodePoint(cp) && !(cp >= 0xD800 && cp <= 0xDFFF))
+          new String(Character.toChars(cp))
         else "&" + e + ";"
       } catch { case _: Throwable => "&" + e + ";" }
     case e => "&" + e + ";" // unknown entities pass through verbatim

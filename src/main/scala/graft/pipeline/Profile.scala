@@ -119,10 +119,19 @@ object Profile {
     import org.apache.spark.sql.expressions.Window
     val hist = df.groupBy(col(groupCol), col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__c"), sum(col(valueCol)).as("__s"))
+    // builtin-percentile null semantics: percentiles rank NON-NULL values
+    // only, while n_rows counts every row (count(lit(1))) and sum skips
+    // nulls — so the rank machinery runs on the null-free histogram and a
+    // base aggregate over ALL buckets supplies n_rows/sum_value (a group
+    // whose values are all null keeps its row with null percentiles, via
+    // the left join below)
+    val base = hist.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_rows"), sum(col("__s")).as("sum_value"))
+    val histNN = hist.filter(col("__v").isNotNull)
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col(groupCol))
-    val staged = hist.select(col(groupCol), col("__v"), col("__c"), col("__s"),
+    val staged = histNN.select(col(groupCol), col("__v"), col("__c"),
       sum(col("__c")).over(wCum).as("__cum"),
       sum(col("__c")).over(wAll).as("__n"))
     // value-at-rank r (1-based): the bucket where cum − c < r ≤ cum; each
@@ -134,14 +143,17 @@ object Profile {
       val pos = lit(f) * (col("__n") - 1)
       Seq(atRank(floor(pos) + 1).as(s"__lo$i"), atRank(ceil(pos) + 1).as(s"__hi$i"))
     }
-    val aggs = Seq(max(col("__n")).as("n_rows"), sum(col("__s")).as("sum_value")) ++ bounds
+    // interpolation positions rank over the NON-NULL count (__nn), never
+    // n_rows — the two differ exactly when nulls exist
+    val aggs = Seq(max(col("__n")).as("__nn")) ++ bounds
     val named = fractions.zipWithIndex.map { case (f, i) =>
-      val pos = lit(f) * (col("n_rows") - 1)
+      val pos = lit(f) * (col("__nn") - 1)
       when(floor(pos) === ceil(pos), col(s"__lo$i"))
         .otherwise(col(s"__lo$i") * (ceil(pos) - pos) + col(s"__hi$i") * (pos - floor(pos)))
         .as(label(f))
     }
-    staged.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val percs = staged.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    base.join(percs, Seq(groupCol), "left")
       .select(col(groupCol) +: col("n_rows") +: col("sum_value") +: named: _*)
   }
 

@@ -66,12 +66,14 @@ object UrlOps {
     val scheme = lower(substring_index(nofrag, "://", 1))
     // everything after the first "://" (instr is 1-based; +3 skips it)
     val rest = nofrag.substr(instr(nofrag, "://") + lit(3), length(nofrag))
-    // authority = [userinfo "@"] host [":" port]; a raw '@' is illegal in
-    // userinfo (must be escaped), so the first '@' is the delimiter
+    // authority = [userinfo "@"] host [":" port]; the LAST '@' delimits —
+    // WHATWG semantics, and the only choice that keeps canonicalization
+    // idempotent on multi-'@' inputs ('u@x@evil.com' must not leave a
+    // partial '@' for a second pass to strip differently).
+    // substring_index(-1) returns the whole string when no '@' exists.
     val auth = substring_index(substring_index(rest, "/", 1), "?", 1)
     val pathq = normalizePercent(rest.substr(length(auth) + lit(1), length(rest)))
-    val hostport = when(instr(auth, "@") > 0,
-      auth.substr(instr(auth, "@") + lit(1), length(auth))).otherwise(auth)
+    val hostport = substring_index(auth, "@", -1)
     val hostRaw = lower(substring_index(hostport, ":", 1))
     // %2E-obfuscated hosts must dedup with their plain form; a host where
     // escapes REMAIN after normalization is malformed/suspicious — keep it
@@ -125,10 +127,7 @@ object UrlOps {
         substring_index(substring_index(c("rest"), "/", 1), "?", 1))
       .withColumn(p + "pathq", normalizePercent(
         c("rest").substr(length(c("auth")) + lit(1), length(c("rest")))))
-      .withColumn(p + "hostport",
-        when(instr(c("auth"), "@") > 0,
-          c("auth").substr(instr(c("auth"), "@") + lit(1), length(c("auth"))))
-          .otherwise(c("auth")))
+      .withColumn(p + "hostport", substring_index(c("auth"), "@", -1))
       .withColumn(p + "hostraw", lower(substring_index(c("hostport"), ":", 1)))
       .withColumn(p + "hostdec", normalizePercent(c("hostraw")))
       .withColumn(p + "hostsafe",
@@ -160,16 +159,16 @@ object UrlOps {
     staged.drop(staged.columns.filter(_.startsWith(p)).toIndexedSeq: _*)
   }
 
-  /** Host (minus any userinfo or explicit port) of a `scheme://`-prefixed
-    * URL. Splits on the FIRST `://` — mirroring [[canonicalizeUrl]] — so a
-    * URL whose query embeds another URL (`http://a.com/?r=http://b.com/x`)
-    * still reports `a.com`. */
+  /** Host (minus any userinfo or explicit port) of a URL. Splits on the
+    * FIRST `://` — mirroring [[canonicalizeUrl]] — so a URL whose query
+    * embeds another URL (`http://a.com/?r=http://b.com/x`) still reports
+    * `a.com`; scheme-less input is treated as starting at the authority
+    * (`example.com/x` → `example.com`), never silently truncated. */
   def hostOf(url: Column): Column = {
-    val rest = url.substr(instr(url, "://") + lit(3), length(url))
+    val rest = when(instr(url, "://") > 0,
+      url.substr(instr(url, "://") + lit(3), length(url))).otherwise(url)
     val auth = substring_index(substring_index(rest, "/", 1), "?", 1)
-    val hostport = when(instr(auth, "@") > 0,
-      auth.substr(instr(auth, "@") + lit(1), length(auth))).otherwise(auth)
-    substring_index(hostport, ":", 1)
+    substring_index(substring_index(auth, "@", -1), ":", 1)
   }
 
   /** Second-level public suffixes (the ccTLD core of the public-suffix

@@ -904,8 +904,7 @@ object PipelineQueries {
       |c1 AS (SELECT doc_id, lower(split_part(nofrag, '://', 1)) AS scheme,
       |        substr(nofrag, strpos(nofrag, '://') + 3) AS rest FROM c0),
       |c2 AS (SELECT *, split_part(split_part(rest, '/', 1), '?', 1) AS auth FROM c1),
-      |c2b AS (SELECT *, CASE WHEN strpos(auth, '@') > 0 THEN substr(auth, strpos(auth, '@') + 1)
-      |                       ELSE auth END AS hostport FROM c2),
+      |c2b AS (SELECT *, string_split(auth, '@')[-1] AS hostport FROM c2),
       |c3 AS (SELECT *,
       |        replace(replace(replace(substr(rest, length(auth) + 1),
       |          '%7e', '~'), '%3f', '%3F'), '%5a', 'Z') AS pathq,

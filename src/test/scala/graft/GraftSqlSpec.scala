@@ -1240,11 +1240,16 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("SQL pipeline functions reject non-literal or wrong-arity arguments loudly") {
+    // self-contained view: the test must not depend on earlier tests (or
+    // testdata presence) having created documents_v — arity/literal errors
+    // should surface, not TABLE_OR_VIEW_NOT_FOUND
+    import spark.implicits._
+    Seq((1L, "a")).toDF("doc_id", "text").createOrReplaceTempView("reject_v")
     val e1 = intercept[Exception](
-      spark.sql("SELECT * FROM minhash_pairs('documents_v', 'doc_id', 'text')"))
+      spark.sql("SELECT * FROM minhash_pairs('reject_v', 'doc_id', 'text')"))
     assert(e1.getMessage.contains("minhash_pairs"), e1.getMessage)
     val e2 = intercept[Exception](
-      spark.sql("SELECT * FROM cap_per_group('documents_v', 'a', 'b', 'c', 'notanint')"))
+      spark.sql("SELECT * FROM cap_per_group('reject_v', 'a', 'b', 'c', 'notanint')"))
     assert(e2.getMessage.contains("cap_per_group"), e2.getMessage)
   }
 }

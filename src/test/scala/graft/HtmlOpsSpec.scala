@@ -83,6 +83,10 @@ class HtmlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // out-of-range / malformed pass through verbatim, never wrap
     assert(HtmlOps.blocks("<p>bad &#9999999; x</p>").head.text == "bad &#9999999; x")
     assert(HtmlOps.blocks("<p>bad &#xZZ; x</p>").head.text == "bad &#xZZ; x")
+    // surrogate code points are valid-per-isValidCodePoint but would emit
+    // unpaired UTF-16 — verbatim pass-through, not a lone surrogate
+    assert(HtmlOps.blocks("<p>s &#xD800; y</p>").head.text == "s &#xD800; y")
+    assert(HtmlOps.blocks("<p>s &#57343; y</p>").head.text == "s &#57343; y")
   }
 
   test("parser survives random tag soup without throwing or leaking raw text") {

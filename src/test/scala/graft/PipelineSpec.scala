@@ -794,6 +794,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(("a", 4L, 100L, 25.0, 37.0), ("b", 1L, 5L, 5.0, 5.0)))
   }
 
+  test("groupedPercentiles matches the builtin aggregate's null semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, percentile, sum, typedLit}
+    // nulls count in n_rows, are skipped by sum, and are INVISIBLE to the
+    // percentile ranks; an all-null group keeps its row with null stats
+    val d = Seq(("a", Some(10L)), ("a", None), ("a", Some(20L)),
+      ("b", None), ("b", None)).toDF("g", "v")
+    val got = graft.pipeline.Profile.groupedPercentiles(d, "g", "v", Seq(0.5))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+    val want = d.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        percentile(col("v"), typedLit(Array(0.5))).getItem(0).as("p"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+    assert(got == want, s"got $got want $want")
+  }
+
   test("semanticDedup drops only the later member of a within-cell near-dup pair") {
     import spark.implicits._
     // cells = 2 over dense ids 0..7 → centroids are ids 0 and 4: group A

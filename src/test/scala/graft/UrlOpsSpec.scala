@@ -56,6 +56,13 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("userinfo is stripped (RFC 3986 §3.2.1 — dedup must not split on credentials)") {
     assert(canon("https://u:pw@h.example.com/p") == "https://h.example.com/p")
+    // multi-'@' (phishing-style user@trusted.com@evil.com): the LAST '@'
+    // delimits (WHATWG), so ONE pass reaches the real host — anything else
+    // breaks idempotence and splits dedup keys by application count
+    assert(canon("http://user@trusted.example.com@evil.example.org/x")
+      == "http://evil.example.org/x")
+    assert(canon(canon("http://a@b@evil.example.org/"))
+      == canon("http://a@b@evil.example.org/"))
     // userinfo + www + explicit port: the port is the one AFTER the '@'
     assert(canon("http://u:pw@WWW.h.example.com:8080/p")
       == "http://h.example.com:8080/p")
@@ -142,10 +149,15 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = Seq("https://h.example.com:8080/p?a=1", "http://x.org",
       // embedded URL in the query must NOT shadow the real host
       "http://a.example.com/?r=http://b.example.com/x",
-      "https://u:pw@h.example.com/p")
+      "https://u:pw@h.example.com/p",
+      // scheme-less input starts at the authority — never truncated
+      "example.com/path",
+      // multi-'@': the LAST one delimits
+      "http://u@t.example.com@evil.example.org/x")
       .toDF("u").select(UrlOps.hostOf(col("u")))
       .collect().map(_.getString(0)).toSeq
-    assert(got == Seq("h.example.com", "x.org", "a.example.com", "h.example.com"))
+    assert(got == Seq("h.example.com", "x.org", "a.example.com", "h.example.com",
+      "example.com", "evil.example.org"))
   }
 
   test("withCanonicalUrl rejects colliding __urlc_ input columns loudly") {
