@@ -152,8 +152,12 @@ object Profile {
         .otherwise(col(s"__lo$i") * (ceil(pos) - pos) + col(s"__hi$i") * (pos - floor(pos)))
         .as(label(f))
     }
+    // null-SAFE join key: a null GROUP (the builtin aggregate groups null
+    // keys like any other value) must still pick up its percentiles — a
+    // plain using-column join would drop them (NULL = NULL is never true)
     val percs = staged.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
-    base.join(percs, Seq(groupCol), "left")
+      .withColumnRenamed(groupCol, "__pg")
+    base.join(percs, col(groupCol) <=> col("__pg"), "left")
       .select(col(groupCol) +: col("n_rows") +: col("sum_value") +: named: _*)
   }
 

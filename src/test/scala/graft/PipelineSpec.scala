@@ -800,7 +800,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // nulls count in n_rows, are skipped by sum, and are INVISIBLE to the
     // percentile ranks; an all-null group keeps its row with null stats
     val d = Seq(("a", Some(10L)), ("a", None), ("a", Some(20L)),
-      ("b", None), ("b", None)).toDF("g", "v")
+      ("b", None), ("b", None),
+      // null GROUP KEY: the builtin groups it like any value — the
+      // histogram path must too (null-safe join)
+      (null.asInstanceOf[String], Some(10L)),
+      (null.asInstanceOf[String], Some(20L))).toDF("g", "v")
     val got = graft.pipeline.Profile.groupedPercentiles(d, "g", "v", Seq(0.5))
       .orderBy("g").collect()
       .map(r => (r.getString(0), r.getLong(1),

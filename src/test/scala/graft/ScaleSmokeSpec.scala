@@ -55,10 +55,20 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cond, clue)
   }
 
-  // set by the suite's LAST test (FunSuite runs tests in definition
-  // order): a partial run — failed assert, -z subset, crash mid-suite —
-  // must never write the official record (the BENCH_full clobber class)
-  @volatile private var suiteComplete = false
+  // The COMPLETE assertion inventory: the official record requires every
+  // one of these to have run and passed, so a -z subset, a test that died
+  // before its checks, or any red assert can never clobber the committed
+  // artifact (the BENCH_full clobber class). Adding a check() to a test
+  // means adding its name here, or bench-scale runs drop to the scratch
+  // file — a loud, safe failure mode.
+  private val ExpectedChecks = Set(
+    "q24_base_nonempty", "q24_zero_cross_copy", "q24_volume_banded",
+    "q47_one_label_per_doc", "q47_labels_canonical",
+    "q77_zero_cross_copy", "q77_exact_10x",
+    "q78_zero_cross_copy", "q78_exact_10x",
+    "q86_zero_cross_copy", "q86_exact_10x",
+    "bpe_rows_10x", "bpe_copy0_exact",
+    "html_byte_exact_10x", "url_idempotent_10x")
 
   private def writeRecord(): Unit = {
     def j(s: String) = "\"" + s.replace("\"", "'") + "\""
@@ -66,12 +76,12 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val a = checks.map { case (k, v) => s"${j(k)}:$v" }.mkString("{", ",", "}")
     val json = s"""{"dir":${j(sfDir)},"copies":$copies,"cpus":$cpus,"timings_sec":$t,"asserts":$a}"""
     // the BENCH_full/BENCH_only convention: only an EXPLICIT bench-scale
-    // run (-Dgraft.scale.smoke.dir=...) that COMPLETED the whole suite
-    // with every assertion green may write the committed record; anything
-    // else writes a scratch file so no partial/CI pass can clobber the
-    // official sf0.1 artifact
+    // run (-Dgraft.scale.smoke.dir=...) that produced the COMPLETE
+    // assertion inventory, all green, may write the committed record;
+    // anything else writes a scratch file so no partial/CI pass can
+    // clobber the official sf0.1 artifact
     val official = sys.props.contains("graft.scale.smoke.dir") &&
-      suiteComplete && checks.nonEmpty && checks.values.forall(identity)
+      checks.keySet == ExpectedChecks && checks.values.forall(identity)
     val path = if (official) "/root/repo/SCALE_SMOKE.json"
                else "/root/repo/SCALE_SMOKE_ci.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
@@ -288,7 +298,6 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
       check("url_idempotent_10x", twice.filter(col("c1") =!= col("c2")).count() == 0L,
         "canonical output is not a fixed point")
       once.unpersist()
-      suiteComplete = true // this is the suite's final timed phase
     }
   }
 }
