@@ -22,8 +22,26 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // The driver's pandas comparator sorts rows cell-by-cell and
+        // cannot hash/sort nested cells (array/map/struct) — an
+        // oracle-visible nested column is an automatic `err` row (r12's
+        // q100). Fail HERE, loudly, so the class of defect cannot ship.
+        if (SparkEntry.oracleSql.contains(name)) {
+          val nested = df.schema.fields.collect {
+            case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+                      f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+                      f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+              s"${f.name}: ${f.dataType.simpleString}"
+          }
+          require(nested.isEmpty,
+            s"oracle-visible schema of $name carries nested column(s) " +
+              s"${nested.mkString(", ")} — scalar-encode them " +
+              "(array_join / md5) on BOTH the Spark and oracle sides")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -802,9 +802,15 @@ object PipelineQueries {
     // pack order. DuckDB cannot BPE, so the oracle is a checked-in golden
     // parquet (the q60/q85/q94 contract); BpeSpec round-trips decode(ids)
     // back to the exact word stream and re-verifies freshness on sf0.01.
+    // The ids reach the oracle as a space-joined STRING, not array<int>:
+    // the driver's pandas comparator cannot sort array cells (r12's one
+    // red row), and Verify now rejects nested oracle-visible types
+    // outright. The array form stays in the packTokenIds API.
     "q100_pack_token_ids" -> ((s, d) =>
       BpeOps.packTokenIds(Tables.documents(s, d), "doc_id", "text", "source",
         bpeModel(s, d), budgetTokens = 2048, buckets = 4)
+        .withColumn("token_ids_csv", array_join(col("token_ids"), " "))
+        .drop("token_ids")
         .orderBy("source", "bucket", "pack_id")),
 
     // Leakage-free split: near-duplicates of training documents landing in
@@ -1949,7 +1955,7 @@ object PipelineQueries {
     //   sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/v" and copy
     //   /tmp/v/q100_pack_token_ids/part-*.parquet over the golden file.
     "q100_pack_token_ids" ->
-      """SELECT source, bucket, pack_id, n_docs, n_tokens, token_ids
+      """SELECT source, bucket, pack_id, n_docs, n_tokens, token_ids_csv
         |FROM read_parquet('/root/repo/src/test/resources/golden/q100_pack_token_ids.parquet')
         |ORDER BY source, bucket, pack_id""".stripMargin,
 
