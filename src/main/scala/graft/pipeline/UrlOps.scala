@@ -171,28 +171,192 @@ object UrlOps {
     substring_index(substring_index(auth, "@", -1), ":", 1)
   }
 
-  /** Second-level public suffixes (the ccTLD core of the public-suffix
-    * list — the registries under which names are registered one level
-    * deeper, e.g. `example.co.uk` not `co.uk`). A static literal set, not
-    * the full Mozilla PSL: these few dozen cover the ccTLD families that
-    * dominate real crawls; everything else falls back to the two-label
-    * rule. Shared with the q96/q99 oracle SQL, which interpolates this
-    * same constant. */
+  /** Second-level public suffixes — the ICANN ccTLD core of the
+    * public-suffix list (the registries under which names are registered
+    * one level deeper, e.g. `example.co.uk` not `co.uk`). A static literal
+    * set covering the government/academic/commercial families of every
+    * major ccTLD registry, drawn from the ICANN section of the public
+    * suffix list; exotic third-level and private-section entries fall back
+    * to the two-label rule. Shared with the q96/q99 oracle SQL, which
+    * interpolates this same constant. Compiles to an `InSet` hash probe
+    * (Catalyst switches In → InSet above 10 items), so membership is O(1)
+    * per row regardless of list size. */
   val secondLevelSuffixes: Seq[String] = Seq(
+    // United Kingdom
     "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
-    "plc.uk", "sch.uk", "nhs.uk",
+    "plc.uk", "sch.uk", "nhs.uk", "police.uk",
+    // Australia / New Zealand / Pacific
     "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
-    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp", "lg.jp",
     "co.nz", "org.nz", "net.nz", "govt.nz", "ac.nz", "school.nz", "gen.nz",
-    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
-    "com.br", "net.br", "org.br", "gov.br", "edu.br",
-    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in",
-    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "geek.nz", "maori.nz", "iwi.nz", "health.nz", "mil.nz", "cri.nz",
+    "com.fj", "net.fj", "org.fj", "ac.fj", "gov.fj", "biz.fj", "info.fj",
+    "com.pg", "net.pg", "org.pg", "ac.pg", "gov.pg", "mil.pg",
+    // Japan / Korea / Greater China
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp", "lg.jp",
+    "gr.jp",
+    "co.kr", "or.kr", "ne.kr", "re.kr", "pe.kr", "go.kr", "mil.kr",
+    "ac.kr", "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr", "seoul.kr",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw", "game.tw",
+    "ebiz.tw", "club.tw", "mil.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.mo", "net.mo", "org.mo", "edu.mo", "gov.mo",
+    // South / Southeast Asia
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in", "edu.in",
+    "res.in", "ac.in", "gov.in", "mil.in", "nic.in",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my", "mil.my", "name.my",
+    "co.id", "or.id", "net.id", "ac.id", "web.id", "sch.id", "go.id",
+    "mil.id", "biz.id", "my.id", "desa.id",
+    "co.th", "or.th", "net.th", "ac.th", "go.th", "in.th", "mi.th",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn", "ac.vn",
+    "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph", "mil.ph", "ngo.ph",
+    "i.ph",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk", "fam.pk", "biz.pk",
+    "web.pk", "gob.pk", "gok.pk", "gon.pk", "gop.pk", "gos.pk",
+    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd", "ac.bd", "mil.bd",
+    "com.lk", "net.lk", "org.lk", "edu.lk", "gov.lk", "ac.lk", "sch.lk",
+    "int.lk", "ltd.lk", "assn.lk", "grp.lk", "hotel.lk", "ngo.lk",
+    "soc.lk", "web.lk",
+    "com.np", "net.np", "org.np", "edu.np", "gov.np", "mil.np", "biz.np",
+    "coop.np", "info.np", "name.np", "pro.np",
+    "com.mm", "net.mm", "org.mm", "edu.mm", "gov.mm",
+    "com.kh", "net.kh", "org.kh", "edu.kh", "gov.kh", "mil.kh", "per.kh",
+    "com.la", "net.la", "org.la", "edu.la", "gov.la", "int.la", "info.la",
+    "per.la",
+    "com.bt", "net.bt", "org.bt", "edu.bt", "gov.bt",
+    "com.mv", "net.mv", "org.mv", "edu.mv", "gov.mv", "biz.mv", "coop.mv",
+    "info.mv", "int.mv", "mil.mv", "name.mv", "pro.mv",
+    "com.af", "net.af", "org.af", "edu.af", "gov.af",
+    "com.kz", "net.kz", "org.kz", "edu.kz", "gov.kz", "mil.kz",
+    "com.uz", "co.uz", "net.uz", "org.uz",
+    // Middle East / Central Asia
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "idf.il", "k12.il",
+    "muni.il",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa", "pub.sa",
+    "sch.sa",
+    "co.ae", "net.ae", "org.ae", "ac.ae", "gov.ae", "mil.ae", "sch.ae",
+    "com.qa", "net.qa", "org.qa", "edu.qa", "gov.qa", "mil.qa", "name.qa",
+    "sch.qa",
+    "com.kw", "net.kw", "org.kw", "edu.kw", "gov.kw", "ind.kw", "emb.kw",
+    "com.om", "net.om", "org.om", "edu.om", "gov.om", "co.om", "med.om",
+    "pro.om",
+    "com.bh", "net.bh", "org.bh", "edu.bh", "gov.bh",
+    "com.jo", "net.jo", "org.jo", "edu.jo", "gov.jo", "mil.jo", "name.jo",
+    "sch.jo",
+    "com.lb", "net.lb", "org.lb", "edu.lb", "gov.lb",
+    "com.iq", "net.iq", "org.iq", "edu.iq", "gov.iq", "mil.iq",
+    "com.ir", "net.ir", "org.ir", "ac.ir", "co.ir", "gov.ir", "id.ir",
+    "sch.ir",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "av.tr", "bbs.tr",
+    "bel.tr", "biz.tr", "dr.tr", "gen.tr", "info.tr", "k12.tr", "mil.tr",
+    "name.tr", "pol.tr", "tel.tr", "tv.tr", "web.tr",
+    "com.ge", "net.ge", "org.ge", "edu.ge", "gov.ge", "mil.ge", "pvt.ge",
+    "com.am", "net.am", "org.am", "co.am",
+    "com.az", "net.az", "org.az", "edu.az", "gov.az", "mil.az", "int.az",
+    "biz.az", "info.az", "name.az", "pro.az", "pp.az",
+    // Africa
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za", "edu.za",
+    "mil.za", "nom.za",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "mil.eg", "sci.eg",
+    "name.eg",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "me.ke",
+    "mobi.ke", "info.ke",
+    "co.tz", "or.tz", "ne.tz", "go.tz", "ac.tz", "sc.tz", "hotel.tz",
+    "info.tz", "me.tz", "mil.tz", "mobi.tz", "tv.tz",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng", "name.ng", "sch.ng",
+    "mil.ng", "mobi.ng", "i.ng",
+    "com.gh", "edu.gh", "gov.gh", "org.gh", "mil.gh",
+    "co.ma", "net.ma", "org.ma", "ac.ma", "gov.ma", "press.ma",
+    "com.tn", "net.tn", "org.tn", "gov.tn", "ens.tn", "fin.tn", "ind.tn",
+    "info.tn", "intl.tn", "nat.tn", "perso.tn", "tourism.tn",
+    "com.dz", "net.dz", "org.dz", "edu.dz", "gov.dz", "asso.dz", "art.dz",
+    "pol.dz", "soc.dz", "tm.dz",
+    "com.et", "gov.et", "org.et", "edu.et", "net.et", "biz.et", "name.et",
+    "info.et",
+    "co.ug", "or.ug", "ac.ug", "sc.ug", "go.ug", "ne.ug", "com.ug",
+    "org.ug",
+    "com.zm", "co.zm", "org.zm", "gov.zm", "ac.zm", "edu.zm", "net.zm",
+    "mil.zm", "info.zm", "biz.zm", "sch.zm",
+    "co.zw", "ac.zw", "gov.zw", "org.zw", "mil.zw", "school.zw",
+    "co.mz", "net.mz", "org.mz", "ac.mz", "edu.mz", "gov.mz", "adv.mz",
+    "co.bw", "org.bw",
+    "com.na", "co.na", "org.na", "edu.na",
+    "co.rw", "gov.rw", "net.rw", "ac.rw", "org.rw", "int.rw", "mil.rw",
+    "com.mu", "net.mu", "org.mu", "co.mu", "or.mu", "ac.mu", "gov.mu",
+    "com.sn", "edu.sn", "org.sn", "gouv.sn", "perso.sn", "univ.sn",
+    "art.sn",
+    "com.ci", "net.ci", "org.ci", "co.ci", "ed.ci", "ac.ci", "edu.ci",
+    "go.ci", "int.ci",
+    "com.cm", "co.cm", "net.cm", "gov.cm",
+    // Latin America / Caribbean
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br", "art.br",
+    "adv.br", "eco.br", "esp.br", "ind.br", "inf.br", "jus.br", "leg.br",
+    "med.br", "mus.br", "not.br", "odo.br", "psi.br", "rec.br", "srv.br",
+    "tur.br", "tv.br", "vet.br", "agr.br",
     "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
-    "com.ar", "com.tr", "com.tw", "com.hk", "com.sg", "com.my",
-    "co.kr", "or.kr", "co.id", "co.th", "com.vn", "com.ph", "com.pk",
-    "com.eg", "com.sa", "co.il", "org.il", "ac.il", "co.ke", "co.tz",
-    "com.ng", "com.gh")
+    "com.ar", "net.ar", "org.ar", "gob.ar", "gov.ar", "edu.ar", "int.ar",
+    "mil.ar", "tur.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "mil.co", "nom.co",
+    "gob.cl", "gov.cl", "co.cl", "mil.cl",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe", "mil.pe", "nom.pe",
+    "com.ve", "net.ve", "org.ve", "edu.ve", "gob.ve", "mil.ve", "web.ve",
+    "co.ve", "info.ve",
+    "com.ec", "net.ec", "org.ec", "edu.ec", "gob.ec", "gov.ec", "mil.ec",
+    "fin.ec", "med.ec", "pro.ec", "info.ec",
+    "com.uy", "net.uy", "org.uy", "edu.uy", "gub.uy", "mil.uy",
+    "com.bo", "net.bo", "org.bo", "edu.bo", "gob.bo", "gov.bo", "mil.bo",
+    "int.bo", "tv.bo", "web.bo",
+    "com.py", "net.py", "org.py", "edu.py", "gov.py", "mil.py", "coop.py",
+    "co.cr", "ed.cr", "fi.cr", "go.cr", "or.cr", "sa.cr", "ac.cr",
+    "com.gt", "net.gt", "org.gt", "edu.gt", "gob.gt", "mil.gt", "ind.gt",
+    "com.do", "net.do", "org.do", "edu.do", "gob.do", "gov.do", "mil.do",
+    "web.do", "sld.do", "art.do",
+    "com.cu", "net.cu", "org.cu", "edu.cu", "gov.cu", "inf.cu",
+    "com.ni", "net.ni", "org.ni", "edu.ni", "gob.ni", "mil.ni", "ac.ni",
+    "biz.ni", "info.ni", "int.ni", "in.ni", "nom.ni", "web.ni", "co.ni",
+    "com.hn", "net.hn", "org.hn", "edu.hn", "gob.hn", "mil.hn",
+    "com.sv", "edu.sv", "gob.sv", "org.sv", "red.sv",
+    "com.pa", "net.pa", "org.pa", "edu.pa", "gob.pa", "ac.pa", "sld.pa",
+    "abo.pa", "ing.pa", "med.pa", "nom.pa",
+    "com.tt", "net.tt", "org.tt", "edu.tt", "gov.tt", "co.tt", "biz.tt",
+    "info.tt", "pro.tt", "name.tt",
+    "com.jm", "net.jm", "org.jm", "edu.jm", "gov.jm", "mil.jm",
+    "com.bb", "net.bb", "org.bb", "edu.bb", "gov.bb", "biz.bb", "co.bb",
+    "info.bb", "store.bb", "tv.bb",
+    "com.bs", "net.bs", "org.bs", "edu.bs", "gov.bs",
+    "co.gy", "com.gy", "edu.gy", "gov.gy", "net.gy", "org.gy",
+    "com.ag", "net.ag", "org.ag", "co.ag", "nom.ag",
+    "com.bz", "net.bz", "org.bz", "edu.bz", "gov.bz",
+    // Europe
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl", "biz.pl",
+    "waw.pl",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "gov.it", "edu.it",
+    "gouv.fr", "asso.fr", "com.fr", "nom.fr", "prd.fr", "tm.fr",
+    "avocat.fr", "aeroport.fr",
+    "com.gr", "edu.gr", "net.gr", "org.gr", "gov.gr",
+    "com.pt", "edu.pt", "gov.pt", "int.pt", "net.pt", "org.pt", "publ.pt",
+    "com.ro", "org.ro", "tm.ro", "nt.ro", "nom.ro", "info.ro", "rec.ro",
+    "arts.ro", "firm.ro", "store.ro",
+    "ac.at", "co.at", "gv.at", "or.at",
+    "ac.be",
+    "co.hu", "org.hu", "info.hu", "priv.hu", "tm.hu",
+    "com.cy", "net.cy", "org.cy", "ac.cy", "gov.cy", "biz.cy", "ltd.cy",
+    "mil.cy", "name.cy", "press.cy", "pro.cy", "tm.cy",
+    "com.mt", "net.mt", "org.mt", "edu.mt", "gov.mt",
+    "co.rs", "org.rs", "edu.rs", "ac.rs", "gov.rs", "in.rs",
+    "com.ba", "net.ba", "org.ba", "edu.ba", "gov.ba", "mil.ba",
+    "com.mk", "net.mk", "org.mk", "edu.mk", "gov.mk", "inf.mk", "name.mk",
+    "com.al", "net.al", "org.al", "edu.al", "gov.al", "mil.al",
+    "com.ee", "org.ee", "edu.ee", "gov.ee", "fie.ee", "med.ee", "pri.ee",
+    "riik.ee", "lib.ee", "aip.ee",
+    "com.lv", "net.lv", "org.lv", "edu.lv", "gov.lv", "mil.lv", "asn.lv",
+    "conf.lv", "id.lv",
+    "com.by", "net.by", "org.by", "gov.by", "mil.by", "of.by",
+    "gov.ie", "gc.ca", "gov.sk", "gov.lt", "aland.fi")
 
   /** Registrable domain: last two host labels, EXCEPT when those two
     * labels are themselves a second-level public suffix (`co.uk` family) —
@@ -225,6 +389,10 @@ object UrlOps {
         concat(lit("site"), idStr(id % 5), lit("%2Eexample"), idStr(id % 3), lit(".com")))
       .when(id % 10 === 3, // ccTLD family: registrable = example{k}.co.uk
         concat(lit("shop"), idStr(id % 5), lit(".example"), idStr(id % 3), lit(".co.uk")))
+      .when(id % 10 === 9, // academic family: registrable = uni{k}.ac.uk
+        concat(lit("dept"), idStr(id % 5), lit(".uni"), idStr(id % 3), lit(".ac.uk")))
+      .when(id % 10 === 5, // government family: registrable = agency{k}.gov.br
+        concat(lit("unit"), idStr(id % 5), lit(".agency"), idStr(id % 3), lit(".gov.br")))
       .otherwise(concat(lit("site"), idStr(id % 5), lit(".example"),
         idStr(id % 3), lit(".com")))
     val hostCased = when(id % 6 === 0, upper(hostBase)).otherwise(hostBase)

@@ -890,6 +890,8 @@ object PipelineQueries {
     s"""u0 AS (SELECT doc_id,
       |  CASE WHEN doc_id % 10 = 7 THEN 'site' || CAST(doc_id % 5 AS VARCHAR) || '%2Eexample' || CAST(doc_id % 3 AS VARCHAR) || '.com'
       |       WHEN doc_id % 10 = 3 THEN 'shop' || CAST(doc_id % 5 AS VARCHAR) || '.example' || CAST(doc_id % 3 AS VARCHAR) || '.co.uk'
+      |       WHEN doc_id % 10 = 9 THEN 'dept' || CAST(doc_id % 5 AS VARCHAR) || '.uni' || CAST(doc_id % 3 AS VARCHAR) || '.ac.uk'
+      |       WHEN doc_id % 10 = 5 THEN 'unit' || CAST(doc_id % 5 AS VARCHAR) || '.agency' || CAST(doc_id % 3 AS VARCHAR) || '.gov.br'
       |       ELSE 'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' || CAST(doc_id % 3 AS VARCHAR) || '.com' END AS hostbase
       |  FROM documents),
       |urls AS (SELECT doc_id,

@@ -137,11 +137,22 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("registrable domain: second-level public suffixes take three labels") {
     import spark.implicits._
     val got = Seq("shop.example.co.uk", "example.co.uk", "co.uk",
-      "a.b.news.com.au", "x.co.jp", "plain.org.nz")
+      "a.b.news.com.au", "x.co.jp", "plain.org.nz",
+      // government / academic families (the r12 gap): must take THREE labels
+      "dept.uni.ac.uk", "portal.hmrc.gov.uk", "lab.usp.edu.br",
+      "x.y.agency.gov.br", "tax.gob.mx", "eng.snu.ac.kr", "dmv.gov.in",
+      // ccTLD long tail added with the ICANN-core extension
+      "a.firm.com.np", "news.co.tz", "shop.com.ve", "uni.edu.pl",
+      // NOT suffixes: two-label rule applies
+      "sub.gov.example", "deep.co.us")
       .toDF("h").select(UrlOps.registrableDomain(col("h")))
       .collect().map(_.getString(0)).toSeq
     assert(got == Seq("example.co.uk", "example.co.uk", "co.uk",
-      "news.com.au", "x.co.jp", "plain.org.nz"))
+      "news.com.au", "x.co.jp", "plain.org.nz",
+      "uni.ac.uk", "hmrc.gov.uk", "usp.edu.br",
+      "agency.gov.br", "tax.gob.mx", "snu.ac.kr", "dmv.gov.in",
+      "firm.com.np", "news.co.tz", "shop.com.ve", "uni.edu.pl",
+      "gov.example", "co.us"))
   }
 
   test("hostOf strips scheme, userinfo, port, path, query") {
