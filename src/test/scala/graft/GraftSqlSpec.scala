@@ -1252,4 +1252,49 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql("SELECT * FROM cap_per_group('reject_v', 'a', 'b', 'c', 'notanint')"))
     assert(e2.getMessage.contains("cap_per_group"), e2.getMessage)
   }
+
+  test("expensive TVF builds memoize per (args, table-version); mutation invalidates") {
+    import graft.spark.sql.GraftPipelineFunctions
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    def builds() = GraftPipelineFunctions.tvfBuilds.get()
+
+    Tables.documents(spark, sfDir).createOrReplaceTempView("memo_docs")
+    val q = "SELECT * FROM dup_clusters('memo_docs', 'doc_id', 'text', 0.5)"
+    val b0 = builds()
+    val first = spark.sql(q).collect().map(_.toString).sorted.toSeq
+    assert(first.nonEmpty, "memo gate is vacuous on an empty cluster set")
+    assert(builds() == b0 + 1, "first issue must run the clustering build")
+    // verbatim re-issue AND an EXPLAIN both re-analyze — the r12 footgun —
+    // and must now plan from the memo without re-running the loop
+    val second = spark.sql(q).collect().map(_.toString).sorted.toSeq
+    spark.sql("EXPLAIN " + q).collect()
+    assert(second == first)
+    assert(builds() == b0 + 1, "re-issue/EXPLAIN must not rebuild")
+    // different literal args are a different memo entry
+    spark.sql("SELECT * FROM dup_clusters('memo_docs', 'doc_id', 'text', 0.4)").collect()
+    assert(builds() == b0 + 2)
+    // re-registering the view with a DIFFERENT definition invalidates
+    Tables.documents(spark, sfDir).limit(30).createOrReplaceTempView("memo_docs")
+    spark.sql(q).collect()
+    assert(builds() == b0 + 3, "view redefinition must invalidate the memo")
+
+    // graft-table mutation: an INSERT moves the snapshot and invalidates
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.memo_t (doc_id BIGINT, text STRING)")
+    spark.sql("INSERT INTO graft.db.memo_t VALUES " +
+      "(1, 'aa bb cc dd ee'), (2, 'aa bb cc dd ee')")
+    val qt = "SELECT * FROM dup_clusters('graft.db.memo_t', 'doc_id', 'text', 0.2)"
+    val b1 = builds()
+    val preRows = spark.sql(qt).collect().length
+    assert(builds() == b1 + 1)
+    assert(preRows == 2, "both planted duplicates cluster")
+    spark.sql(qt).collect()
+    assert(builds() == b1 + 1, "unchanged snapshot must memo-hit")
+    spark.sql("INSERT INTO graft.db.memo_t VALUES (3, 'aa bb cc dd ee')")
+    val postRows = spark.sql(qt).collect().length
+    assert(builds() == b1 + 2, "snapshot moved — the memo must rebuild")
+    assert(postRows == 3, "the rebuilt result must see the inserted row")
+    spark.sql("DROP TABLE graft.db.memo_t")
+  }
 }
