@@ -86,6 +86,27 @@ object Profile {
         t = time("append odd half")(IceWrite.append(spark, t.refresh(), li.filter(col("l_orderkey") % 2 === 1)))
         time("mv incremental refresh")(IceMV.refresh(spark, cat, mv))
         time("mv read")(mat(IceMV.read(spark, cat, mv)))
+      case "write3" =>
+        // decomposes the per-ACID-write constant (VERDICT r12 #4): a 3-row
+        // append's wall-time split into the Spark write job, the footer
+        // scrape, and the metadata commit — run the cycle several times so
+        // steady-state cost (what q97/q14's refresh loops pay) is visible
+        // past first-call class loading.
+        import graft.catalog.{FileCatalog, TableIdent}
+        import graft.spark.IceWrite
+        import graft.spec.{IceSchema, IceType, PartitionSpec}
+        import spark.implicits._
+        val cat = new FileCatalog(
+          java.nio.file.Files.createTempDirectory("prof_wh").toString)
+        val rows = Seq(("a", 1L, BigDecimal("1.50")), ("b", 2L, BigDecimal("2.25")),
+          ("c", 3L, BigDecimal("3.75"))).toDF("k", "n", "amt")
+          .select(col("k"), col("n"), col("amt").cast("decimal(18,2)").as("amt"))
+        val (struct, _) = IceType.fromSparkAssignIds(rows.schema)
+        var t = cat.createTable(TableIdent(Seq("bench"), "w3"),
+          IceSchema(0, struct.fields), PartitionSpec(0, Nil))
+        (1 to 6).foreach { i =>
+          t = time(s"append#$i 3 rows")(IceWrite.append(spark, t.refresh(), rows))
+        }
       case "q14v" =>
         // decomposes the MV refresh wall-time: how much is the aggregate
         // itself vs the ACID write machinery vs classification overhead

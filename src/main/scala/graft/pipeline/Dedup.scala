@@ -127,8 +127,15 @@ object Dedup {
     * coalesce. Input multiplicity is ignored (collect_set builds the
     * SETS), so callers can feed the raw shingle stream without paying a
     * corpus-wide distinct shuffle first. */
-  def jaccardVerify(sh: DataFrame, candidates: DataFrame, idCol: String): DataFrame = {
-    val docArr = sh.groupBy(col(idCol)).agg(collect_set(col("sh")).as("__arr"))
+  def jaccardVerify(sh: DataFrame, candidates: DataFrame, idCol: String): DataFrame =
+    jaccardVerifyArr(sh.groupBy(col(idCol)).agg(collect_set(col("sh")).as("__arr")),
+      candidates, idCol)
+
+  /** [[jaccardVerify]] over PRE-AGGREGATED per-doc shingle-set arrays
+    * (`idCol, __arr`) — the seam that lets a caller holding a cached
+    * doc-array frame (q77/q78's standing shape) verify without a second
+    * corpus-scale collect_set aggregate. */
+  def jaccardVerifyArr(docArr: DataFrame, candidates: DataFrame, idCol: String): DataFrame =
     candidates
       .join(docArr.select(col(idCol).as("id_a"), col("__arr").as("__ca")), "id_a")
       .join(docArr.select(col(idCol).as("id_b"), col("__arr").as("__cb")), "id_b")
@@ -136,7 +143,6 @@ object Dedup {
         (size(array_intersect(col("__ca"), col("__cb"))).cast("double")
           / (size(col("__ca")) + size(col("__cb"))
             - size(array_intersect(col("__ca"), col("__cb"))))).as("jaccard"))
-  }
 
   /** Full MinHash near-dup pipeline: shingle → sign → band → bucket-join →
     * exact-verify, returning pairs with Jaccard ≥ `threshold`. */
@@ -579,10 +585,18 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen must be in (0, 1]")
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
-    val sh0 = shingles(df.repartition(par), idCol, textCol, shingleSize)
-    val sh = if (eager) sh0.cache() else sh0
-    var cached: List[DataFrame] = if (eager) List(sh) else Nil
+    // per-doc shingle-SET arrays (one row per doc) are the ONLY cached
+    // frame: the exploded (doc, shingle) stream this used to cache was the
+    // suite's largest transient memory consumer (the r12 driver-record
+    // outliers traced to exactly that footprint under box contention).
+    // The exploded view re-derives from the cache shuffle-free, and the
+    // verify reads the arrays directly — no second collect_set aggregate.
+    val docArr0 = shinglesRaw(df.repartition(par), idCol, textCol, shingleSize)
+      .groupBy(col(idCol)).agg(collect_set(col("sh")).as("__arr"))
+    val docArr = if (eager) docArr0.cache() else docArr0
+    var cached: List[DataFrame] = if (eager) List(docArr) else Nil
     try {
+      val sh = docArr.select(col(idCol), explode(col("__arr")).as("sh"))
       val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       // rank and set size come out of ONE partition-by-doc exchange: the
       // count runs as an unordered frame over the same partitioning, so no
@@ -622,13 +636,13 @@ object Dedup {
           (least(col("na") - col("ra"), col("nb") - col("rb")) + 1) * (tNum + tDen) >=
             (col("na") + col("nb")) * tNum)
         .select(col("id_a"), col("id_b")).distinct()
-      // eager (localCheckpoint) so the shingle cache can be released here
+      // eager (localCheckpoint) so the doc-array cache can be released here
       // instead of accumulating across calls in a long-lived session.
       // (A survivor-restricted verify — minhashNearDups' broadcast
       // semi-join — was measured SLOWER here: prefix-filter candidates
       // cover most of the corpus, so the restriction saves no shuffle and
       // adds a distinct + broadcast.)
-      val res = jaccardVerify(sh, cand, idCol)
+      val res = jaccardVerifyArr(docArr, cand, idCol)
         .filter(col("jaccard") >= lit(tNum.toDouble / tDen))
       if (eager) res.localCheckpoint(true) else res
     } finally cached.foreach(_.unpersist())

@@ -27,6 +27,20 @@ object IceWrite {
   /** Reserved prefix for physical partition-directory column names. */
   private[graft] val PartColPrefix = "__gp_"
 
+  /** `-Dgraft.write.profile=true` prints per-stage write-path timings to
+    * stderr (dev observability for the per-ACID-write constant; build.sbt
+    * forwards graft.* sysprops into forked JVMs). */
+  private[graft] val ProfileWrites = java.lang.Boolean.getBoolean("graft.write.profile")
+  private[graft] def ptime[A](label: String)(f: => A): A =
+    if (!ProfileWrites) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[iceprof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.3fs")
+      r
+    }
+
   // One standing write child per parent session (weak keys: a stopped and
   // dereferenced parent must not pin its child). The child's conf set is
   // CONSTANT, so every write can share it — and a concurrent write on the
@@ -52,6 +66,16 @@ object IceWrite {
           val fresh = spark.newSession()
           fresh.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
           fresh.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+          // AQE OFF for write plans: their shapes are explicit
+          // (repartition(partCols) / repartitionByRange / coalesce(nOut)),
+          // so AQE has nothing to improve — but its stage-materialization
+          // makes the pre-write partition-count probe EXECUTE the producing
+          // query (measured 0.44 s of a 0.95 s three-row MV write), and its
+          // per-stage scheduling adds a constant to every tiny ACID write
+          // (the q14/q97/q39-q41 latency class). Broadcast decisions in
+          // write plans still fire statically off IceScan's manifest-exact
+          // stats and the explicit MoR broadcast hints.
+          fresh.conf.set("spark.sql.adaptive.enabled", "false")
           fresh.sessionState.newHadoopConf() // ensure defaults materialized
           writeSessions.put(spark, fresh)
           fresh
@@ -78,8 +102,8 @@ object IceWrite {
              branch: Option[String] = None,
              summary: Map[String, String] = Map.empty): IceTable = {
     val files = writeDataFiles(spark, table, df, table.schema)
-    table.newTransaction(branch).appendData(files)
-      .summaryExtra(summary.toSeq: _*).commit()
+    ptime("commit")(table.newTransaction(branch).appendData(files)
+      .summaryExtra(summary.toSeq: _*).commit())
   }
 
   /** Writes equality-delete files for the rows of `df` projected onto
@@ -261,7 +285,7 @@ object IceWrite {
       // over-estimate badly and fan tiny outputs across the cluster — AND
       // the physical-planning pass that .rdd forces just to count partitions
       val nOut = outFiles.getOrElse {
-        val inParts = aligned.rdd.getNumPartitions
+        val inParts = ptime("plan: rdd partition count")(aligned.rdd.getNumPartitions)
         val targetFileBytes = props.getOrElse("write.target-file-size-bytes",
           (512L << 20).toString).toLong
         val estBytes = aligned.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -283,13 +307,14 @@ object IceWrite {
         s"parquet.bloom.filter.enabled#${k.stripPrefix(BloomProp)}" -> v
     }.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }
 
-    withBlooms
+    ptime("write job")(withBlooms
       .option("compression", props.getOrElse("write.parquet.compression-codec", "zstd"))
       .option("maxRecordsPerFile",
         props.getOrElse("write.max-records-per-file", "10000000"))
-      .parquet(stagingDir)
+      .parquet(stagingDir))
 
-    collectDataFiles(spark, table, stagingDir, writeSchema, partFields.map(_.name), content, equalityIds)
+    ptime("footer scrape")(
+      collectDataFiles(spark, table, stagingDir, writeSchema, partFields.map(_.name), content, equalityIds))
   }
 
   /** Walks the staging dir, parses hive-style partition dirs back to

@@ -421,9 +421,14 @@ object IceMV {
         val stored = IceScan.scan(spark, storage)
         val outCols = storage.schema.fields.map(_.name)
 
-        // J4 merge joins (transform.rs:107-196): inner → merged groups,
-        // left_anti → brand-new groups
-        val merged = deltaAgg.as("d").join(stored.as("s"), groupNames, "inner")
+        // J4 merge join (transform.rs:107-196) in ONE pass: delta groups
+        // LEFT-join their stored generation — present → merge (null-safe
+        // coalesce/least/greatest), absent → the delta row passes through
+        // the same expressions unchanged (coalesce falls to d, least/
+        // greatest ignore the null side). The previous inner + left_anti +
+        // union shape executed the stored scan twice and was half of the
+        // refresh's dominant write-job cost.
+        val pos = deltaAgg.as("d").join(stored.as("s"), groupNames, "left")
           .select(outCols.map { c =>
             if (groupNames.contains(c)) col(c)
             else merges.find(_._1 == c) match {
@@ -436,24 +441,26 @@ object IceMV {
               case other => throw new IllegalStateException(s"unmergeable column $c: $other")
             }
           }: _*)
-        val fresh = deltaAgg.join(stored, groupNames, "left_anti").select(outCols.map(col): _*)
-        val pos = merged.unionByName(fresh)
 
-        // changed groups get their previous generation masked by an equality
-        // delete on the group keys, committed with the SAME sequence number
-        // as the merged rows (so the delete applies strictly below it)
-        val changedKeys = deltaAgg.select(groupNames.map(col): _*)
-          .join(stored.select(groupNames.map(col): _*), groupNames, "left_semi").distinct()
+        // EVERY delta group's previous generation gets masked by an
+        // equality delete on the group keys, committed with the SAME
+        // sequence number as the merged rows (the delete applies strictly
+        // below it). Keys with no stored generation are a semantic no-op
+        // for the delete — which removes the left_semi probe against the
+        // stored scan (a whole extra join execution) that restricting to
+        // provably-changed keys used to cost. Iceberg's upsert writers
+        // make the same unconditional delete+insert trade.
+        val delKeys = deltaAgg.select(groupNames.map(col): _*).distinct()
 
         val keyIds = storage.schema.fields.filter(f => groupNames.contains(f.name)).map(_.id)
-        // counting the cached delta materializes it ONCE here; merged/fresh/
-        // changedKeys then all reuse the in-memory relation
+        // counting the cached delta materializes it ONCE here; pos and
+        // delKeys then both reuse the in-memory relation. pos rows ==
+        // delta-group rows by construction (left join), so the file hint
+        // needs no stored-row estimate.
         val deltaRows = deltaAgg.count()
-        val storedRows = storage.currentSnapshot(None).toSeq
-          .flatMap(storage.dataFiles(_)).map(_.dataFile.recordCount).sum
         val dataFiles = IceWrite.writeDataFiles(spark, storage, pos, storage.schema,
-          outFiles = fileHint(deltaRows + storedRows))
-        val delFiles = IceWrite.writeDataFiles(spark, storage, changedKeys,
+          outFiles = fileHint(deltaRows))
+        val delFiles = IceWrite.writeDataFiles(spark, storage, delKeys,
           storage.schema.project(keyIds), content = ManifestModel.ContentEqualityDeletes,
           equalityIds = keyIds, outFiles = fileHint(deltaRows))
         storage.newTransaction(None)
