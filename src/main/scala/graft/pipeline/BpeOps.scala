@@ -209,6 +209,70 @@ object BpeOps {
     b.result()
   }
 
+  // ---- byte-level mode (GPT-2 family) --------------------------------
+
+  /** GPT-2's bytes→printable-char remap (Radford et al. 2019; the public
+    * encoder.py `bytes_to_unicode`): the 188 visually-printable latin-1
+    * bytes map to their own codepoint, the other 68 (controls, space,
+    * 0x7f, 0xa0, 0xad) to U+0100+n in byte order. Injective — so
+    * byte-level BPE reuses the char-level trainer/apply machinery
+    * verbatim, with each mapped char standing for exactly one UTF-8
+    * byte. Any input round-trips with ZERO `<unk>`: the vocabulary seeds
+    * all 256 byte symbols, and every string decomposes into bytes. */
+  val ByteChar: Array[Char] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val out = new Array[Char](256)
+    var next = 256
+    (0 until 256).foreach { b =>
+      if (keep(b)) out(b) = b.toChar
+      else { out(b) = next.toChar; next += 1 }
+    }
+    out
+  }
+  private val ByteOf: Map[Char, Int] =
+    ByteChar.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** Word → its byte-symbol string (UTF-8 bytes through [[ByteChar]]). */
+  def toByteSymbols(word: String): String = {
+    val bs = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bs.length)
+    bs.foreach(b => sb.append(ByteChar(b & 0xff)))
+    sb.toString
+  }
+
+  /** Inverse of [[toByteSymbols]] (the byte-mode decode gate). */
+  def fromByteSymbols(s: String): String = {
+    val bs = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) { bs(i) = ByteOf(s.charAt(i)).toByte; i += 1 }
+    new String(bs, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Byte-mode vocabulary: [[Unk]] (id 0 — unreachable by construction,
+    * kept so ids/persistence share the char-mode layout), [[Eow]], ALL
+    * 256 byte symbols ascending, then merge products in rank order. */
+  def buildVocabBytes(merges: Merges): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    val seen = scala.collection.mutable.HashSet[String](Unk, Eow)
+    b += Unk
+    b += Eow
+    ByteChar.map(_.toString).sorted.foreach(s => if (seen.add(s)) b += s)
+    merges.foreach { case (x, y) => val p = x + y; if (seen.add(p)) b += p }
+    b.result()
+  }
+
+  /** Phase 1+2, byte mode: corpus → merges + all-bytes id table. The
+    * histogram is the SAME capped word-type job as char mode (the remap is
+    * injective, so remapping after the aggregate loses nothing); training
+    * runs over the byte-symbol strings. */
+  def trainModelBytes(docs: DataFrame, textCol: String, numMerges: Int,
+                      maxWordTypes: Int = 1 << 16): BpeModel = {
+    val hist = histogram(docs, textCol, maxWordTypes)
+      .map { case (w, c) => (toByteSymbols(w), c) }
+    val merges = trainMerges(hist, numMerges)
+    BpeModel(merges, buildVocabBytes(merges))
+  }
+
   /** Phase 1: the capped word-type histogram — the only corpus-scale job.
     * `tokens(textCol)` must match [[TextOps]] tokenization (lowercase
     * split on single spaces, empties dropped) so word types agree with
@@ -274,7 +338,18 @@ object BpeOps {
     * characters outside the training charset map to [[Unk]]'s id 0. All
     * other input columns pass through untouched. */
   def withTokenIds(docs: DataFrame, textCol: String, model: BpeModel,
-                   out: String): DataFrame = {
+                   out: String): DataFrame =
+    withTokenIdsImpl(docs, textCol, model, out, identity)
+
+  /** Byte-mode [[withTokenIds]]: words pass through [[toByteSymbols]]
+    * before tokenization, so a model from [[trainModelBytes]] applies and
+    * NO id is ever [[Unk]] (all 256 byte symbols are in-vocab). */
+  def withTokenIdsBytes(docs: DataFrame, textCol: String, model: BpeModel,
+                        out: String): DataFrame =
+    withTokenIdsImpl(docs, textCol, model, out, toByteSymbols)
+
+  private def withTokenIdsImpl(docs: DataFrame, textCol: String, model: BpeModel,
+                               out: String, pre: String => String): DataFrame = {
     val spark = docs.sparkSession
     val bcRank = spark.sparkContext.broadcast(model.merges.zipWithIndex.toMap)
     val bcIds = spark.sparkContext.broadcast(model.symbols.zipWithIndex.toMap)
@@ -307,7 +382,7 @@ object BpeOps {
           if (w.nonEmpty) {
             if (memo.size >= MemoCap) memo.clear()
             ids ++= memo.computeIfAbsent(w,
-              w1 => tokenizeWord(w1, rank).map(s => idOf.getOrElse(s, 0)).toArray)
+              w1 => tokenizeWord(pre(w1), rank).map(s => idOf.getOrElse(s, 0)).toArray)
           }
         }
         Row.fromSeq(r.toSeq.dropRight(1) :+ ids.result().toSeq)

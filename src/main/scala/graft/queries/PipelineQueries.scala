@@ -123,6 +123,15 @@ object PipelineQueries {
     bpeModelCache.computeIfAbsent(d,
       _ => BpeOps.trainModel(Tables.documents(s, d), "text", numMerges = 48))
 
+  // Byte-level (GPT-2 family) sibling of the q94/q100 model — q101's
+  // standing state, same immutable-dir contract as bpeModelCache.
+  private val byteBpeModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, BpeOps.BpeModel]()
+
+  private def byteBpeModel(s: SparkSession, d: String): BpeOps.BpeModel =
+    byteBpeModelCache.computeIfAbsent(d,
+      _ => BpeOps.trainModelBytes(Tables.documents(s, d), "text", numMerges = 48))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Text analysis: surface statistics per document.
     // Int-valued surface columns are cast to BIGINT to match DuckDB's
@@ -812,6 +821,23 @@ object PipelineQueries {
         .withColumn("token_ids_csv", array_join(col("token_ids"), " "))
         .drop("token_ids")
         .orderBy("source", "bucket", "pack_id")),
+
+    // Byte-level BPE (the GPT-2 family's tokenizer form): UTF-8 bytes
+    // through the printable remap, all 256 byte symbols in-vocab, so ANY
+    // input tokenizes with zero <unk> — the property real LLM pipelines
+    // ship on. n_unk is oracle-visible precisely because it must be 0 for
+    // every document; n_bpe_tokens comes from the same zero-shuffle
+    // broadcast apply as q94/q100. DuckDB cannot BPE, so the oracle is a
+    // checked-in golden parquet (the q94/q100 contract); BpeSpec
+    // round-trips byte decode and re-verifies freshness on sf0.01.
+    "q101_bpe_bytes" -> ((s, d) =>
+      BpeOps.withTokenIdsBytes(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "text", byteBpeModel(s, d), "tok")
+        .select(col("doc_id"),
+          size(col("tok")).cast("long").as("n_bpe_tokens"),
+          size(filter(col("tok"), x => x === 0)).cast("long").as("n_unk"))
+        .orderBy("doc_id")),
 
     // Leakage-free split: near-duplicates of training documents landing in
     // the test set is the classic contamination path a per-doc split
@@ -1960,6 +1986,16 @@ object PipelineQueries {
       """SELECT source, bucket, pack_id, n_docs, n_tokens, token_ids_csv
         |FROM read_parquet('/root/repo/src/test/resources/golden/q100_pack_token_ids.parquet')
         |ORDER BY source, bucket, pack_id""".stripMargin,
+
+    // Golden parquet (the q94/q100 contract): DuckDB cannot BPE. BpeSpec
+    // re-verifies freshness + the byte decode round-trip on sf0.01.
+    // Regenerate via
+    //   sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/v" and copy
+    //   /tmp/v/q101_bpe_bytes/part-*.parquet over the golden file.
+    "q101_bpe_bytes" ->
+      """SELECT doc_id, n_bpe_tokens, n_unk
+        |FROM read_parquet('/root/repo/src/test/resources/golden/q101_bpe_bytes.parquet')
+        |ORDER BY doc_id""".stripMargin,
 
     // q47's recursive clustering, then the q67 md5-fraction split keyed on
     // the GROUP (cluster id for clustered docs, own id for singletons).

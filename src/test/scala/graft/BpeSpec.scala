@@ -309,4 +309,90 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q94 golden is STALE — regenerate per the q94 oracle comment in " +
         "PipelineQueries before the driver's compare runs")
   }
+
+  // ---- byte-level mode (GPT-2 family) --------------------------------
+
+  test("byte remap: 256 distinct symbols, GPT-2 constants, exact inverse") {
+    val syms = BpeOps.ByteChar
+    assert(syms.length == 256 && syms.distinct.length == 256)
+    // the public bytes_to_unicode anchors: printable bytes keep their
+    // codepoint; remapped bytes take 256+n in byte order — 0x00→U+0100,
+    // 0x20 (the 33rd)→U+0120, 0x7f→U+0121, 0x80→U+0122, 0xa0→U+0142,
+    // 0xad (last)→U+0143
+    assert(syms('a'.toInt) == 'a' && syms('!'.toInt) == '!' && syms(255) == 'ÿ')
+    assert(syms(0) == 'Ā' && syms(0x20) == 'Ġ' && syms(0x7f) == 'ġ')
+    assert(syms(0x80) == 'Ģ' && syms(0xa0) == 'ł' && syms(0xad) == 'Ń')
+    // any unicode text round-trips through the byte symbols exactly
+    for (s <- Seq("hello", "naïve café", "日本語テスト", "emoji 😀 ok", ""))
+      assert(BpeOps.fromByteSymbols(BpeOps.toByteSymbols(s)) == s)
+  }
+
+  test("byte-mode training on ASCII equals char-mode training") {
+    // ASCII words remap to themselves, so the two modes must learn the
+    // SAME merge table on the classic corpus — the cheapest possible
+    // parity gate against the naive-trainer-verified char path
+    val charMerges = BpeOps.trainMerges(classic, 5)
+    val byteMerges = BpeOps.trainMerges(
+      classic.map { case (w, c) => (BpeOps.toByteSymbols(w), c) }, 5)
+    assert(byteMerges == charMerges)
+  }
+
+  test("byte-mode vocabulary seeds all 256 byte symbols; ids round-trip") {
+    import spark.implicits._
+    val docs = Seq((1L, "low lower"), (2L, "naïve 東京 😀"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val model = BpeOps.trainModelBytes(docs, "text", numMerges = 8)
+    assert(model.symbols(0) == BpeOps.Unk && model.symbols(1) == BpeOps.Eow)
+    // all 256 byte symbols present before any merge product
+    assert(model.symbols.slice(2, 258).toSet == BpeOps.ByteChar.map(_.toString).toSet)
+    val ids = BpeOps.withTokenIdsBytes(docs, "text", model, "tok")
+      .orderBy("doc_id").collect()
+    // ZERO unk anywhere — including multi-byte scripts and emoji the
+    // trainer never saw as characters
+    assert(ids.flatMap(_.getSeq[Int](2)).forall(_ != 0))
+    // decode: ids → byte symbols → UTF-8 — the exact lowercased stream
+    val words2 = BpeOps.decode(ids(1).getSeq[Int](2), model.symbols)
+      .map(BpeOps.fromByteSymbols)
+    assert(words2 == Vector("naïve", "東京", "😀"))
+    assert(ids(2).getSeq[Int](2).isEmpty, "null text → empty ids, no NPE")
+  }
+
+  test("byte-mode model persists and reloads byte-exactly") {
+    import spark.implicits._
+    val docs = Seq((1L, "héllo wörld héllo")).toDF("doc_id", "text")
+    val model = BpeOps.trainModelBytes(docs, "text", numMerges = 6)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-bytes").toString
+    BpeOps.saveModel(spark, model, dir)
+    assert(BpeOps.loadModel(spark, dir) == model)
+  }
+
+  test("q101: every sf0.01 document round-trips through byte ids with zero unk") {
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    val docs = Tables.documents(spark, sfDir)
+    val model = BpeOps.trainModelBytes(docs, "text", 48)
+    val withIds = BpeOps.withTokenIdsBytes(
+      docs.select("doc_id", "text"), "text", model, "tok")
+    val bad = withIds.collect().count { r =>
+      val words = r.getString(1).toLowerCase(java.util.Locale.ROOT)
+        .split(' ').filter(_.nonEmpty).toVector
+      val ids = r.getSeq[Int](2)
+      ids.contains(0) ||
+        BpeOps.decode(ids, model.symbols).map(BpeOps.fromByteSymbols) != words
+    }
+    assert(bad == 0, s"$bad documents failed the byte-id round-trip / zero-unk gate")
+  }
+
+  test("q101 golden parquet matches a live recompute on sf0.01") {
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    val golden101 = "src/test/resources/golden/q101_bpe_bytes.parquet"
+    assume(new java.io.File(golden101).exists(), s"$golden101 not generated yet")
+    val live = SparkEntry.queries("q101_bpe_bytes")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val golden = spark.read.parquet(golden101)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(golden.nonEmpty, "golden file is empty")
+    assert(live == golden,
+      "q101 golden is STALE — regenerate per the q101 oracle comment in " +
+        "PipelineQueries before the driver's compare runs")
+  }
 }
