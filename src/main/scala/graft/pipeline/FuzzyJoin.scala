@@ -60,8 +60,48 @@ object FuzzyJoin {
                                           maxDist: Int): DataFrame =
     editDistanceJoinImpl(df, idCol, strCol, maxDist, eager = false)
 
+  /** The blocked candidate PAIR frame (id_a, id_b — pre-verify, no
+    * strings), all three branches unioned WITHOUT cross-branch dedup —
+    * exactly what the verify kernel receives. Exposed for the scale
+    * smoke's cost decomposition: candidate volume is the blocking
+    * quality axis; the banded-DP verify and the output materialization
+    * are per-candidate / per-true-pair work that no blocking scheme can
+    * remove. */
+  private[graft] def editDistanceCandidates(df: DataFrame, idCol: String,
+                                            strCol: String, maxDist: Int): DataFrame = {
+    val (prefixCand, segCand, tinyCand, _) =
+      candidateBranches(df, idCol, strCol, maxDist, eager = false)
+    val ids = Seq("id_a", "id_b").map(col)
+    prefixCand.select(ids: _*)
+      .unionByName(segCand.select(ids: _*))
+      .unionByName(tinyCand.select(ids: _*))
+  }
+
   private def editDistanceJoinImpl(df: DataFrame, idCol: String, strCol: String,
                                    maxDist: Int, eager: Boolean): DataFrame = {
+    val (prefixCand, segCand, tinyCand, cache) =
+      candidateBranches(df, idCol, strCol, maxDist, eager)
+    val k = maxDist
+    def verify(cand: DataFrame): DataFrame = cand
+      // thresholded Levenshtein: banded DP, returns -1 past the threshold
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), k))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+
+    val res = verify(prefixCand)
+      .unionByName(verify(segCand))
+      .unionByName(verify(tinyCand))
+    // eager: the prefix cache must not outlive the call in a long-lived
+    // session (the jaccardJoinExact pattern)
+    if (eager) try res.localCheckpoint(true) finally cache.foreach(_.unpersist())
+    else res
+  }
+
+  /** Branch candidate frames `(id_a, id_b, s_a, s_b)` (prefix, segment,
+    * tiny) plus the cache to release after consumption. */
+  private def candidateBranches(df: DataFrame, idCol: String, strCol: String,
+                                maxDist: Int, eager: Boolean)
+      : (DataFrame, DataFrame, DataFrame, Option[DataFrame]) = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val k = maxDist
     val q = k + 1            // gram size; also the segment count
@@ -171,18 +211,6 @@ object FuzzyJoin {
         when(col("id") < col("id_y"), col("s_y")).otherwise(col("s")).as("s_b"))
       .distinct()
 
-    def verify(cand: DataFrame): DataFrame = cand
-      // thresholded Levenshtein: banded DP, returns -1 past the threshold
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), k))
-      .filter(col("dist") >= 0)
-      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
-
-    val res = verify(prefixCand)
-      .unionByName(verify(segCand))
-      .unionByName(verify(tinyCand))
-    // eager: the prefix cache must not outlive the call in a long-lived
-    // session (the jaccardJoinExact pattern)
-    if (eager) try res.localCheckpoint(true) finally prefix.unpersist()
-    else res
+    (prefixCand, segCand, tinyCand, if (eager) Some(prefix) else None)
   }
 }

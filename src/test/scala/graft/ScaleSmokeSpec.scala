@@ -49,6 +49,9 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
   // distinguishable from the bench-scale sf0.1 record at a glance.
   private val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
   private val checks = scala.collection.mutable.LinkedHashMap[String, Boolean]()
+  // dimensionless observations (candidate/pair counts, ratios) — the cost
+  // decompositions the wall-clock ratios are explained by
+  private val metrics = scala.collection.mutable.LinkedHashMap[String, Double]()
 
   private def check(name: String, cond: Boolean, clue: => String): Unit = {
     checks(name) = cond
@@ -66,7 +69,7 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q47_one_label_per_doc", "q47_labels_canonical",
     "q77_zero_cross_copy", "q77_exact_10x",
     "q78_zero_cross_copy", "q78_exact_10x",
-    "q86_zero_cross_copy", "q86_exact_10x",
+    "q86_zero_cross_copy", "q86_exact_10x", "q86_candidates_linear",
     "bpe_rows_10x", "bpe_copy0_exact",
     "html_byte_exact_10x", "url_idempotent_10x")
 
@@ -74,7 +77,8 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     def j(s: String) = "\"" + s.replace("\"", "'") + "\""
     val t = timings.map { case (k, v) => s"${j(k)}:${f"$v%.2f"}" }.mkString("{", ",", "}")
     val a = checks.map { case (k, v) => s"${j(k)}:$v" }.mkString("{", ",", "}")
-    val json = s"""{"dir":${j(sfDir)},"copies":$copies,"cpus":$cpus,"timings_sec":$t,"asserts":$a}"""
+    val m = metrics.map { case (k, v) => s"${j(k)}:${f"$v%.2f"}" }.mkString("{", ",", "}")
+    val json = s"""{"dir":${j(sfDir)},"copies":$copies,"cpus":$cpus,"timings_sec":$t,"metrics":$m,"asserts":$a}"""
     // the BENCH_full/BENCH_only convention: only an EXPLICIT bench-scale
     // run (-Dgraft.scale.smoke.dir=...) that produced the COMPLETE
     // assertion inventory, all green, may write the committed record;
@@ -249,6 +253,34 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("q86_zero_cross_copy", crossCopy(pairs10) == 0, "cross-copy fuzzy pairs found")
     check("q86_exact_10x", p10 == copies * p1, s"expected ${copies}x$p1 pairs, got $p10")
     pairs10.unpersist()
+
+    // COST DECOMPOSITION (VERDICT r12 #5): q86's super-linear wall ratio
+    // must be attributable. The three cost axes: candidate volume (the
+    // blocking quality — the only axis a better scheme could shrink),
+    // verify work (banded DP per candidate), and output materialization
+    // (one row per true pair — p1/p10 above, already shown exactly
+    // linear). Candidates are counted through the SAME blocked plan
+    // (verify short-circuited), so a super-linear candidate ratio would
+    // indict the blocking; a ~linear one pins any residual wall
+    // super-linearity on per-pair output volume + fixed per-job constants.
+    val c1 = timed("q86 candidates 1x") {
+      graft.pipeline.FuzzyJoin.editDistanceCandidates(cust1x, "id", "name", maxDist = 2).count()
+    }
+    val c10 = timed(s"q86 candidates ${copies}x") {
+      graft.pipeline.FuzzyJoin.editDistanceCandidates(cust10x, "id", "name", maxDist = 2).count()
+    }
+    metrics("q86_candidates_1x") = c1.toDouble
+    metrics(s"q86_candidates_${copies}x") = c10.toDouble
+    metrics("q86_candidate_ratio") = c10.toDouble / c1
+    metrics("q86_true_pairs_1x") = p1.toDouble
+    metrics(s"q86_true_pairs_${copies}x") = p10.toDouble
+    metrics("q86_verify_survival") = p10.toDouble / c10
+    // caesar copies are disjoint by construction, so candidates scale
+    // EXACTLY linearly up to cross-copy gram-df noise in the prefix
+    // ranking — band at copies +-20%
+    check("q86_candidates_linear",
+      c10 <= copies * c1 * 1.2 && c10 >= copies * c1 * 0.8,
+      s"candidate ratio ${c10.toDouble / c1} outside the linear band (1x=$c1, ${copies}x=$c10)")
   }
 
   test("zero-shuffle text/url kernels scale linearly with structure preserved") {
