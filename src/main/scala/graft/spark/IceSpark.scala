@@ -95,6 +95,24 @@ object IceWrite {
   private[graft] def fileCountHint(rows: Long): Option[Int] =
     Some(math.max(1L, rows / 4000000L).min(Int.MaxValue).toInt)
 
+  /** Runs two INDEPENDENT file-writing computations concurrently — an
+    * atomic commit of data + delete files otherwise pays two sequential
+    * per-job constants (the dominant cost of a tiny ACID write; Spark's
+    * scheduler interleaves the jobs across the shared core pool). Callers
+    * must not pass work that mutates shared session state (the
+    * positionDeleteFiles conf dance stays sequential for this reason).
+    * If `a` throws, the pending `b` job finishes into its own orphaned
+    * staging dir and is never committed — the same abandonment any failed
+    * write leaves. */
+  private[graft] def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fb = Future(b)
+    val ra = a
+    (ra, Await.result(fb, Duration.Inf))
+  }
+
   /** Appends `df` to the table; returns the updated table. `summary` rides
     * the snapshot summary in the SAME commit — provenance that must be
     * atomic with the data (e.g. streaming batch ids for exactly-once). */

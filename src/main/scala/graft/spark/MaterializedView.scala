@@ -458,11 +458,14 @@ object IceMV {
         // delta-group rows by construction (left join), so the file hint
         // needs no stored-row estimate.
         val deltaRows = deltaAgg.count()
-        val dataFiles = IceWrite.writeDataFiles(spark, storage, pos, storage.schema,
-          outFiles = fileHint(deltaRows))
-        val delFiles = IceWrite.writeDataFiles(spark, storage, delKeys,
-          storage.schema.project(keyIds), content = ManifestModel.ContentEqualityDeletes,
-          equalityIds = keyIds, outFiles = fileHint(deltaRows))
+        // the two file sets are independent jobs over the cached delta —
+        // overlap them; the commit below still lands both atomically
+        val (dataFiles, delFiles) = IceWrite.inParallel(
+          IceWrite.writeDataFiles(spark, storage, pos, storage.schema,
+            outFiles = fileHint(deltaRows)),
+          IceWrite.writeDataFiles(spark, storage, delKeys,
+            storage.schema.project(keyIds), content = ManifestModel.ContentEqualityDeletes,
+            equalityIds = keyIds, outFiles = fileHint(deltaRows)))
         storage.newTransaction(None)
           .appendData(dataFiles).appendDeletes(delFiles)
           .updateProperties(stateProps).commit()

@@ -238,18 +238,19 @@ final case class GraftMergeCommand(
           .reduceOption(_ unionByName _)
 
       val keyIds = schema.fields.filter(f => keyCols.contains(f.name)).map(_.id)
-      var tx = table.newTransaction(None)
-      newData.foreach { d =>
-        tx = tx.appendData(IceWrite.writeDataFiles(spark, table, d, schema))
-      }
-      delKeys.foreach { k =>
-        // the key set is bounded by the already-counted fired rows — size
-        // the write from that instead of the optimizer's join guess
-        tx = tx.appendDeletes(IceWrite.writeDataFiles(spark, table, k,
+      // data and delete file sets are independent jobs over the shared
+      // caches — overlap them (the tiny-commit job constant dominates);
+      // the key-set write sizes from the already-counted fired rows
+      // instead of the optimizer's join guess
+      val (dataFiles, delFiles) = IceWrite.inParallel(
+        newData.map(d => IceWrite.writeDataFiles(spark, table, d, schema)),
+        delKeys.map(k => IceWrite.writeDataFiles(spark, table, k,
           schema.project(keyIds), content = ManifestModel.ContentEqualityDeletes,
           equalityIds = keyIds,
-          outFiles = IceWrite.fileCountHint(nUpdated + nDeleted)))
-      }
+          outFiles = IceWrite.fileCountHint(nUpdated + nDeleted))))
+      var tx = table.newTransaction(None)
+      dataFiles.foreach(f => tx = tx.appendData(f))
+      delFiles.foreach(f => tx = tx.appendDeletes(f))
       tx.commit()
       Seq(Row(nUpdated, nDeleted, nInserted))
     } finally {
