@@ -28,25 +28,8 @@ object Bench {
       .filter(f => f.getName.startsWith("blockmgr-")).map(size).sum
   }
 
-  /** 1-minute system load average (-1.0 where the JVM cannot read it). */
-  private def loadAvg(): Double =
-    java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .getSystemLoadAverage
-
-  /** Count of java processes on the box OUTSIDE this JVM's ancestor chain
-    * (the chain legitimately holds sbt and, under the driver, its runner).
-    * Any other JVM is contending for the same 32 cores — the r11/r12
-    * adjudications both traced official-record outliers to exactly this. */
-  private def foreignJvms(): Int = {
-    import scala.jdk.CollectionConverters._
-    var lineage = Set.empty[Long]
-    var p = java.util.Optional.of(ProcessHandle.current())
-    while (p.isPresent) { lineage += p.get.pid(); p = p.get.parent() }
-    ProcessHandle.allProcesses().iterator().asScala.count { h =>
-      !lineage.contains(h.pid()) && h.info().command()
-        .map[Boolean](c => c == "java" || c.endsWith("/java")).orElse(false)
-    }
-  }
+  private def loadAvg(): Double = BoxState.loadAvg()
+  private def foreignJvms(): Int = BoxState.foreignJvms()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -148,18 +131,12 @@ object Bench {
     val fullPath =
       if (only.isEmpty) "/root/repo/BENCH_full.json"
       else "/root/repo/BENCH_only.json"
-    // End-of-run box state + taint verdict. Threshold 1.5: the bench's OWN
-    // launch (sbt JVM spin + up-to-date compile check) leaves ~0.5-1.0 in
-    // the 1-min average at start — self-noise every legitimate run carries
-    // (measured 0.79 on an otherwise-idle box) — while the contamination
-    // class behind the r11/r12 adjudications (a concurrent test suite or
-    // second bench) reads 2-4+. Raw values are recorded so a grader can
-    // apply stricter bands; any foreign JVM at either endpoint is an
-    // automatic taint. load_end is dominated by the run's own 32-core
-    // work and is recorded for completeness, not thresholded.
+    // End-of-run box state + taint verdict (thresholds in BoxState.tainted;
+    // raw values recorded so a grader can apply stricter bands; load_end is
+    // dominated by the run's own 32-core work — completeness, not a gate).
     val loadEnd = loadAvg()
     val foreignEnd = foreignJvms()
-    val tainted = loadStart > 1.5 || foreignStart > 0 || foreignEnd > 0
+    val tainted = BoxState.tainted(loadStart, foreignStart, foreignEnd)
     val box = s""""box":{"load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},""" +
       s""""foreign_jvms_start":$foreignStart,"foreign_jvms_end":$foreignEnd,""" +
       s""""heap_max_mb":${Runtime.getRuntime.maxMemory() / (1 << 20)},""" +

@@ -19,15 +19,20 @@ object Verify {
     // optional comma-separated subset for local iteration (driver leaves
     // unset) — same contract as Bench's SPARK_GRAFT_BENCH_ONLY
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(',').toSet)
+    // The driver's pandas comparator sorts rows cell-by-cell and cannot
+    // hash/sort nested cells (array/map/struct) — an oracle-visible nested
+    // column is an automatic `err` row (r12's q100). Guard violations are
+    // collected OUTSIDE the per-query catch (which exists for data/plan
+    // failures) and crash the run at the end: the other queries still
+    // dump, but a scripted invocation checking the exit code can never
+    // read a schema-defect run as success.
+    val nestedViolations = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        // The driver's pandas comparator sorts rows cell-by-cell and
-        // cannot hash/sort nested cells (array/map/struct) — an
-        // oracle-visible nested column is an automatic `err` row (r12's
-        // q100). Fail HERE, loudly, so the class of defect cannot ship.
+        var guardHit = false
         if (SparkEntry.oracleSql.contains(name)) {
           val nested = df.schema.fields.collect {
             case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
@@ -35,12 +40,17 @@ object Verify {
                       f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
               s"${f.name}: ${f.dataType.simpleString}"
           }
-          require(nested.isEmpty,
-            s"oracle-visible schema of $name carries nested column(s) " +
+          if (nested.nonEmpty) {
+            val msg = s"oracle-visible schema of $name carries nested column(s) " +
               s"${nested.mkString(", ")} — scalar-encode them " +
-              "(array_join / md5) on BOTH the Spark and oracle sides")
+              "(array_join / md5) on BOTH the Spark and oracle sides"
+            System.err.println(s"[verify] $name SCHEMA GUARD: $msg")
+            nestedViolations += msg
+            guardHit = true
+          }
         }
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        if (!guardHit)
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -62,5 +72,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (nestedViolations.nonEmpty) {
+      System.err.println(s"[verify] ${nestedViolations.size} schema-guard violation(s); failing")
+      sys.exit(1)
+    }
   }
 }

@@ -60,21 +60,25 @@ object FuzzyJoin {
                                           maxDist: Int): DataFrame =
     editDistanceJoinImpl(df, idCol, strCol, maxDist, eager = false)
 
-  /** The blocked candidate PAIR frame (id_a, id_b — pre-verify, no
-    * strings), all three branches unioned WITHOUT cross-branch dedup —
-    * exactly what the verify kernel receives. Exposed for the scale
-    * smoke's cost decomposition: candidate volume is the blocking
-    * quality axis; the banded-DP verify and the output materialization
-    * are per-candidate / per-true-pair work that no blocking scheme can
-    * remove. */
-  private[graft] def editDistanceCandidates(df: DataFrame, idCol: String,
-                                            strCol: String, maxDist: Int): DataFrame = {
-    val (prefixCand, segCand, tinyCand, _) =
-      candidateBranches(df, idCol, strCol, maxDist, eager = false)
-    val ids = Seq("id_a", "id_b").map(col)
-    prefixCand.select(ids: _*)
-      .unionByName(segCand.select(ids: _*))
-      .unionByName(tinyCand.select(ids: _*))
+  /** COUNT of blocked candidate pairs (pre-verify), all three branches
+    * WITHOUT cross-branch dedup — exactly what the verify kernel
+    * receives. Exposed for the scale smoke's cost decomposition:
+    * candidate volume is the blocking quality axis; the banded-DP verify
+    * and the output materialization are per-candidate / per-true-pair
+    * work no blocking scheme can remove. Runs eager so the prefix frame
+    * caches for its self-join (uncached, each join side would re-run the
+    * gram-df aggregate + ranking window — measured 4x the full join's
+    * wall time) and releases before return. */
+  private[graft] def editDistanceCandidateCount(df: DataFrame, idCol: String,
+                                                strCol: String, maxDist: Int): Long = {
+    val (prefixCand, segCand, tinyCand, cache) =
+      candidateBranches(df, idCol, strCol, maxDist, eager = true)
+    try {
+      val ids = Seq("id_a", "id_b").map(col)
+      prefixCand.select(ids: _*)
+        .unionByName(segCand.select(ids: _*))
+        .unionByName(tinyCand.select(ids: _*)).count()
+    } finally cache.foreach(_.unpersist())
   }
 
   private def editDistanceJoinImpl(df: DataFrame, idCol: String, strCol: String,

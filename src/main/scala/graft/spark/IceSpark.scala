@@ -946,15 +946,22 @@ object IceScan {
               .withColumn("__graft_dfp", col("_metadata.file_path"))
               .join(delTagDf, col("__graft_dfp") === col("__graft_dpath"))
               .select((eqCols.map(col) :+ col(TagCol)): _*)
-            acc = acc.join(maybeBroadcast(delDf, files.map(_.dataFile.fileSizeInBytes).sum),
-              eqCols :+ TagCol, "left_anti")
+            // NULL-SAFE key equality (<=>): the Iceberg spec's equality
+            // deletes match null to null — a USING join would silently
+            // never mask a null-keyed row (it then survives forever next
+            // to every replacement generation)
+            val bd = maybeBroadcast(delDf, files.map(_.dataFile.fileSizeInBytes).sum)
+            val cond = (eqCols.map(c => acc(c) <=> bd(c)) :+
+              (acc(TagCol) === bd(TagCol))).reduce(_ && _)
+            acc = acc.join(bd, cond, "left_anti")
           }
           for ((eqIds, files) <- globalAt.groupBy(_.dataFile.equalityIds).toSeq.sortBy(_._1.mkString(","))) {
             val eqCols = eqIds.flatMap(id => schema.fieldById(id)).map(_.name)
             val delDf = spark.read.schema(eqSchemaOf(eqCols))
               .parquet(files.map(_.dataFile.filePath): _*)
-            acc = acc.join(maybeBroadcast(delDf, files.map(_.dataFile.fileSizeInBytes).sum),
-              eqCols, "left_anti")
+            val bd = maybeBroadcast(delDf, files.map(_.dataFile.fileSizeInBytes).sum)
+            acc = acc.join(bd,
+              eqCols.map(c => acc(c) <=> bd(c)).reduce(_ && _), "left_anti")
           }
         }
       }

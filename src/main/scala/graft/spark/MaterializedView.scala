@@ -428,9 +428,17 @@ object IceMV {
         // greatest ignore the null side). The previous inner + left_anti +
         // union shape executed the stored scan twice and was half of the
         // refresh's dominant write-job cost.
-        val pos = deltaAgg.as("d").join(stored.as("s"), groupNames, "left")
+        // NULL-SAFE group-key equality (<=>): a USING left join would never
+        // match a NULL-keyed stored generation, so the NULL group's delta
+        // row would append unmerged next to it (and the null-safe equality
+        // delete below masks the old generation — both sides must agree on
+        // null semantics)
+        val d0 = deltaAgg.as("d")
+        val s0 = stored.as("s")
+        val pos = d0.join(s0,
+            groupNames.map(c => col(s"d.$c") <=> col(s"s.$c")).reduce(_ && _), "left")
           .select(outCols.map { c =>
-            if (groupNames.contains(c)) col(c)
+            if (groupNames.contains(c)) col(s"d.$c").as(c)
             else merges.find(_._1 == c) match {
               // count/sum → stored + delta (null-safe); min/max → least/greatest
               // (aggregate_functions.rs:5-100)

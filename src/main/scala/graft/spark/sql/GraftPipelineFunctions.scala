@@ -359,6 +359,14 @@ object GraftPipelineFunctions {
   private val tvfMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String, LogicalPlan)]()
 
+  /** Memo bound: entries strongly reference a session and (often) eager
+    * localCheckpoint blocks, and the literal-arg key space is unbounded —
+    * a threshold sweep from a long-lived service must not grow driver
+    * heap forever. A full clear at the cap is sound (pure cache; the cost
+    * is one rebuild per cleared entry actually re-issued) — the
+    * [[graft.pipeline.BpeOps.MemoCap]] pattern. */
+  private val TvfMemoCap = 64
+
   /** Number of real (non-memoized) expensive-TVF builds — the
     * observability hook GraftSqlSpec's memo gate counts. */
   val tvfBuilds = new java.util.concurrent.atomic.AtomicLong(0)
@@ -404,7 +412,16 @@ object GraftPipelineFunctions {
         if (tableArgs.exists(_ >= args.length)) plan(build(args))
         else {
           val spark = SparkSession.active
-          val key = name + args.map(_.sql).mkString("(", ",", ")")
+          // the key carries the SESSION identity: two live sessions
+          // issuing the same call must each keep their own entry (a
+          // memoized plan may reference session-owned checkpoint RDDs,
+          // and a shared key would make them evict each other on every
+          // alternation — the memo silently defeated exactly where it
+          // matters). The value still holds the session reference for
+          // the eq-guard; an identityHashCode collision only costs a
+          // rebuild, never a wrong plan.
+          val key = System.identityHashCode(spark).toString + ":" + name +
+            args.map(_.sql).mkString("(", ",", ")")
           val ver = tableArgs.map(i => versionToken(spark, strArg(args, i, name)))
             .mkString("|")
           val cur = tvfMemo.get(key)
@@ -414,6 +431,7 @@ object GraftPipelineFunctions {
           else {
             tvfBuilds.incrementAndGet()
             val p = plan(build(args))
+            if (tvfMemo.size >= TvfMemoCap) tvfMemo.clear()
             tvfMemo.put(key, (spark, ver, p))
             p
           }

@@ -73,6 +73,40 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       3L -> (1L, 3L, 3L, 3L), 9L -> (1L, 1L, 1L, 1L)))
   }
 
+  test("incremental refresh merges a NULL group key (null-safe join + delete)") {
+    import spark.implicits._
+    val cat = newCatalog()
+    val schema = IceSchema(0, Seq(
+      NestedField(1, "k", required = false, IceType.StringT),
+      NestedField(2, "amount", required = false, IceType.LongT)))
+    var t = cat.createTable(TableIdent(Seq("db"), "nullg"), schema, PartitionSpec(0, Nil))
+    def rows(xs: Seq[(String, Long)]) = xs.toDF("k", "amount")
+    t = IceWrite.append(spark, t, rows(Seq(("a", 1L), (null, 2L))))
+    val mv = TableIdent(Seq("db"), "null_sums")
+    IceMV.create(spark, cat, mv,
+      "SELECT k, count(*) AS n, sum(amount) AS total FROM nullg GROUP BY k")
+    assert(IceMV.refresh(spark, cat, mv).strategy == IceMV.FullOverwrite)
+    // delta touches BOTH the null group (merge arm) and a fresh group:
+    // a null-unsafe join would append the null delta unmerged, and a
+    // null-unsafe equality delete would leave the old null generation
+    // live — two rows for one group, compounding every refresh
+    t = IceWrite.append(spark, t.refresh(), rows(Seq((null, 3L), ("b", 10L), ("a", 4L))))
+    val r = IceMV.refresh(spark, cat, mv)
+    assert(r.strategy.isInstanceOf[IceMV.IncrementalAggregate])
+    val got = IceMV.read(spark, cat, mv).collect()
+      .map(x => Option(x.getString(0)) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(got == Map(Some("a") -> (2L, 5L), None -> (2L, 5L), Some("b") -> (1L, 10L)))
+    assert(IceMV.read(spark, cat, mv).count() == 3,
+      "exactly one live row per group — a duplicate null-group row means the " +
+        "merge join or the equality delete is null-unsafe")
+    // and a THIRD refresh keeps converging (the compounding failure mode)
+    t = IceWrite.append(spark, t.refresh(), rows(Seq((null, 5L))))
+    IceMV.refresh(spark, cat, mv)
+    val got2 = IceMV.read(spark, cat, mv).collect()
+      .map(x => Option(x.getString(0)) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(got2(None) == (3L, 10L) && got2.size == 3)
+  }
+
   test("join MV expands deltas across both sources") {
     val cat = newCatalog()
     var orders = cat.createTable(TableIdent(Seq("db"), "orders"), ordersSchema, PartitionSpec(0, Nil))

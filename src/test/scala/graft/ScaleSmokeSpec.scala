@@ -47,6 +47,10 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
   // near-linearity claim is a committed artifact, not a hand-transcribed
   // table. The record carries dir + copies — a CI run at sf0.01 is
   // distinguishable from the bench-scale sf0.1 record at a glance.
+  // box state at suite START (class init) — the record's taint inputs
+  private val loadStart = BoxState.loadAvg()
+  private val foreignStart = BoxState.foreignJvms()
+
   private val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
   private val checks = scala.collection.mutable.LinkedHashMap[String, Boolean]()
   // dimensionless observations (candidate/pair counts, ratios) — the cost
@@ -75,10 +79,21 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def writeRecord(): Unit = {
     def j(s: String) = "\"" + s.replace("\"", "'") + "\""
-    val t = timings.map { case (k, v) => s"${j(k)}:${f"$v%.2f"}" }.mkString("{", ",", "}")
+    // Locale.ROOT: a comma-decimal JVM locale would emit invalid JSON
+    def r2(x: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
+    val t = timings.map { case (k, v) => s"${j(k)}:${r2(v)}" }.mkString("{", ",", "}")
     val a = checks.map { case (k, v) => s"${j(k)}:$v" }.mkString("{", ",", "}")
-    val m = metrics.map { case (k, v) => s"${j(k)}:${f"$v%.2f"}" }.mkString("{", ",", "}")
-    val json = s"""{"dir":${j(sfDir)},"copies":$copies,"cpus":$cpus,"timings_sec":$t,"metrics":$m,"asserts":$a}"""
+    val m = metrics.map { case (k, v) => s"${j(k)}:${r2(v)}" }.mkString("{", ",", "}")
+    // box state + taint (the BENCH_full fields): wall-clock ratios in this
+    // record are only comparable across rounds load-matched — a tainted
+    // run self-identifies instead of needing adjudication
+    def r3(x: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+    val loadEnd = BoxState.loadAvg()
+    val foreignEnd = BoxState.foreignJvms()
+    val box = s""""box":{"load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},""" +
+      s""""foreign_jvms_start":$foreignStart,"foreign_jvms_end":$foreignEnd,""" +
+      s""""tainted":${BoxState.tainted(loadStart, foreignStart, foreignEnd)}}"""
+    val json = s"""{"dir":${j(sfDir)},"copies":$copies,"cpus":$cpus,"timings_sec":$t,"metrics":$m,$box,"asserts":$a}"""
     // the BENCH_full/BENCH_only convention: only an EXPLICIT bench-scale
     // run (-Dgraft.scale.smoke.dir=...) that produced the COMPLETE
     // assertion inventory, all green, may write the committed record;
@@ -264,10 +279,10 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // indict the blocking; a ~linear one pins any residual wall
     // super-linearity on per-pair output volume + fixed per-job constants.
     val c1 = timed("q86 candidates 1x") {
-      graft.pipeline.FuzzyJoin.editDistanceCandidates(cust1x, "id", "name", maxDist = 2).count()
+      graft.pipeline.FuzzyJoin.editDistanceCandidateCount(cust1x, "id", "name", maxDist = 2)
     }
     val c10 = timed(s"q86 candidates ${copies}x") {
-      graft.pipeline.FuzzyJoin.editDistanceCandidates(cust10x, "id", "name", maxDist = 2).count()
+      graft.pipeline.FuzzyJoin.editDistanceCandidateCount(cust10x, "id", "name", maxDist = 2)
     }
     metrics("q86_candidates_1x") = c1.toDouble
     metrics(s"q86_candidates_${copies}x") = c10.toDouble
