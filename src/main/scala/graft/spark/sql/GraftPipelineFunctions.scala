@@ -151,6 +151,25 @@ object GraftPipelineFunctions {
           intArg(args, 3, "bpe_token_counts")))
     }
 
+    memoTvf(ext, "bpe_byte_token_counts",
+      "bpe_byte_token_counts(table, id_col, text_col, num_merges) — train a " +
+        "byte-level (GPT-2 family) BPE tokenizer on the table and emit " +
+        "per-row token counts with a zero-<unk> guarantee (all 256 byte " +
+        "symbols are in-vocab)", Seq(0)) { args =>
+      require(args.length == 4, "bpe_byte_token_counts(table, id_col, text_col, num_merges)")
+      import org.apache.spark.sql.functions.{col, size, filter => afilter}
+      val t = tableArg(args, 0, "bpe_byte_token_counts")
+      val idC = strArg(args, 1, "bpe_byte_token_counts")
+      val textC = strArg(args, 2, "bpe_byte_token_counts")
+      val model = graft.pipeline.BpeOps.trainModelBytes(t, textC,
+        intArg(args, 3, "bpe_byte_token_counts"))
+      graft.pipeline.BpeOps.withTokenIdsBytes(t.select(col(idC), col(textC)),
+          textC, model, "__tok")
+        .select(col(idC),
+          size(col("__tok")).cast("long").as("n_bpe_tokens"),
+          size(afilter(col("__tok"), x => x === 0)).cast("long").as("n_unk"))
+    }
+
     tvf(ext, "text_stats",
       "text_stats(table, id_col, text_col) — per-document surface " +
         "statistics (chars, tokens, type-token ratio, punct/digit ratios)") { args =>

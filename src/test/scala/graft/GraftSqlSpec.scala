@@ -1117,6 +1117,24 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
         "ORDER BY source, bucket, pack_id"))
       == rows(BpeOps.packTokenIds(Tables.documents(spark, sfDir), "doc_id", "text",
         "source", model, 512, 2).orderBy("source", "bucket", "pack_id")))
+
+    // byte-level mode: parity with the Scala API AND the zero-unk guarantee
+    // holds through the SQL surface
+    locally {
+      import org.apache.spark.sql.functions.{col, size, sum, filter => afilter}
+      val byteModel = BpeOps.trainModelBytes(Tables.documents(spark, sfDir), "text", 32)
+      val sqlBytes = spark.sql(
+        "SELECT * FROM bpe_byte_token_counts('documents_v', 'doc_id', 'text', 32) ORDER BY doc_id")
+      assert(rows(sqlBytes)
+        == rows(BpeOps.withTokenIdsBytes(
+            Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+            "text", byteModel, "__tok")
+          .select(col("doc_id"),
+            size(col("__tok")).cast("long").as("n_bpe_tokens"),
+            size(afilter(col("__tok"), x => x === 0)).cast("long").as("n_unk"))
+          .orderBy("doc_id")))
+      assert(sqlBytes.agg(sum(col("n_unk"))).collect()(0).getLong(0) == 0L)
+    }
   }
 
   test("similarity-search TVFs are SQL-reachable and parity-equal to the Scala API") {
