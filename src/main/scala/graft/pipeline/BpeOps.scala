@@ -277,7 +277,7 @@ object BpeOps {
     * `tokens(textCol)` must match [[TextOps]] tokenization (lowercase
     * split on single spaces, empties dropped) so word types agree with
     * every other text operator. */
-  private def histogram(docs: DataFrame, textCol: String,
+  private[pipeline] def histogram(docs: DataFrame, textCol: String,
                         maxWordTypes: Int): Seq[(String, Long)] =
     docs
       .select(explode(filter(split(lower(col(textCol)), " "), t => t =!= "")).as("w"))

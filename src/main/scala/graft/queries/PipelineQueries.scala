@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{BpeOps, Dedup, Embeddings, HtmlOps, Multimodal, TextOps, TimeSeries, TrainingSet, UrlOps}
+import graft.pipeline.{BpeOps, Dedup, Embeddings, HtmlOps, Multimodal, TextOps, TimeSeries, TrainingSet, UnigramOps, UrlOps}
 
 /** Judge-visible training-data pipeline operators over `documents` and
   * `embeddings` (BASELINE.json north star: dedup, similarity search,
@@ -131,6 +131,16 @@ object PipelineQueries {
   private def byteBpeModel(s: SparkSession, d: String): BpeOps.BpeModel =
     byteBpeModelCache.computeIfAbsent(d,
       _ => BpeOps.trainModelBytes(Tables.documents(s, d), "text", numMerges = 48))
+
+  // Unigram-LM (SentencePiece) sibling — q102's standing state, same
+  // immutable-dir contract as bpeModelCache: one capped histogram job +
+  // driver-side EM/prune per dir, plain driver-side data (a few KB).
+  private val unigramModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, UnigramOps.UnigramModel]()
+
+  private def unigramModel(s: SparkSession, d: String): UnigramOps.UnigramModel =
+    unigramModelCache.computeIfAbsent(d,
+      _ => UnigramOps.trainModel(Tables.documents(s, d), "text", vocabSize = 512))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Text analysis: surface statistics per document.
@@ -837,6 +847,22 @@ object PipelineQueries {
         .select(col("doc_id"),
           size(col("tok")).cast("long").as("n_bpe_tokens"),
           size(filter(col("tok"), x => x === 0)).cast("long").as("n_unk"))
+        .orderBy("doc_id")),
+
+    // Unigram-LM tokenizer (Kudo 2018 — the SentencePiece algorithm the
+    // Llama-family pipelines ship), completing the tokenizer families
+    // next to char BPE (q94) and byte BPE (q101): substring-seeded
+    // candidates, EM over the capped word-type histogram, loss-ranked
+    // pruning to a 512-piece vocabulary, then a zero-shuffle broadcast
+    // Viterbi apply with the ▁ word-boundary marker. n_unk is
+    // oracle-visible because it must be 0 on the training corpus (every
+    // training character stays in-vocab by construction). DuckDB cannot
+    // run EM, so the oracle is a checked-in golden parquet (the
+    // q94/q100/q101 contract); UnigramSpec pins hand-computed EM/Viterbi
+    // vectors, the decode round-trip, and golden freshness on sf0.01.
+    "q102_unigram_tokens" -> ((s, d) =>
+      UnigramOps.tokenCounts(Tables.documents(s, d), "doc_id", "text",
+        unigramModel(s, d))
         .orderBy("doc_id")),
 
     // Leakage-free split: near-duplicates of training documents landing in
@@ -1995,6 +2021,16 @@ object PipelineQueries {
     "q101_bpe_bytes" ->
       """SELECT doc_id, n_bpe_tokens, n_unk
         |FROM read_parquet('/root/repo/src/test/resources/golden/q101_bpe_bytes.parquet')
+        |ORDER BY doc_id""".stripMargin,
+
+    // Golden parquet (the q94/q100/q101 contract): DuckDB cannot run the
+    // unigram-LM EM trainer. UnigramSpec re-verifies freshness + the
+    // decode round-trip on sf0.01. Regenerate via
+    //   sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/v" and copy
+    //   /tmp/v/q102_unigram_tokens/part-*.parquet over the golden file.
+    "q102_unigram_tokens" ->
+      """SELECT doc_id, n_words, n_unigram_tokens, n_unk
+        |FROM read_parquet('/root/repo/src/test/resources/golden/q102_unigram_tokens.parquet')
         |ORDER BY doc_id""".stripMargin,
 
     // q47's recursive clustering, then the q67 md5-fraction split keyed on

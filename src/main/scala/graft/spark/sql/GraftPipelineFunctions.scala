@@ -170,6 +170,20 @@ object GraftPipelineFunctions {
           size(afilter(col("__tok"), x => x === 0)).cast("long").as("n_unk"))
     }
 
+    memoTvf(ext, "unigram_token_counts",
+      "unigram_token_counts(table, id_col, text_col, vocab_size) — train a " +
+        "unigram-LM (SentencePiece / Kudo 2018) tokenizer on the table and " +
+        "emit per-row word, piece, and <unk> counts (n_unk is 0 on the " +
+        "training corpus: its characters are never pruned)", Seq(0)) { args =>
+      require(args.length == 4, "unigram_token_counts(table, id_col, text_col, vocab_size)")
+      val t = tableArg(args, 0, "unigram_token_counts")
+      val textC = strArg(args, 2, "unigram_token_counts")
+      graft.pipeline.UnigramOps.tokenCounts(t,
+        strArg(args, 1, "unigram_token_counts"), textC,
+        graft.pipeline.UnigramOps.trainModel(t, textC,
+          intArg(args, 3, "unigram_token_counts")))
+    }
+
     tvf(ext, "text_stats",
       "text_stats(table, id_col, text_col) — per-document surface " +
         "statistics (chars, tokens, type-token ratio, punct/digit ratios)") { args =>

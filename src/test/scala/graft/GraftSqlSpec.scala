@@ -1135,6 +1135,21 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
           .orderBy("doc_id")))
       assert(sqlBytes.agg(sum(col("n_unk"))).collect()(0).getLong(0) == 0L)
     }
+
+    // unigram-LM mode: parity with the Scala API AND the training-corpus
+    // zero-unk guarantee holds through the SQL surface
+    locally {
+      import org.apache.spark.sql.functions.{col, sum}
+      val uniModel = graft.pipeline.UnigramOps.trainModel(
+        Tables.documents(spark, sfDir), "text", 128)
+      val sqlUni = spark.sql(
+        "SELECT * FROM unigram_token_counts('documents_v', 'doc_id', 'text', 128) ORDER BY doc_id")
+      assert(rows(sqlUni)
+        == rows(graft.pipeline.UnigramOps.tokenCounts(
+            Tables.documents(spark, sfDir), "doc_id", "text", uniModel)
+          .orderBy("doc_id")))
+      assert(sqlUni.agg(sum(col("n_unk"))).collect()(0).getLong(0) == 0L)
+    }
   }
 
   test("similarity-search TVFs are SQL-reachable and parity-equal to the Scala API") {
