@@ -368,4 +368,28 @@ object UnigramOps {
     ids.foreach(i => sb.append(pieces(i)._1))
     sb.toString.split(Boundary).toVector.filter(_.nonEmpty)
   }
+
+  /** Persists a trained model as one parquet table under `path`
+    * (`pieces`: id/piece/logp) — the [[BpeOps.saveModel]] "train once,
+    * ship the model" shape. Plain parquet: any engine (or the DuckDB
+    * oracle) can read the table; the explicit id ordinal is the contract,
+    * not parquet row order. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: UnigramModel,
+                path: String): Unit = {
+    import spark.implicits._
+    model.pieces.zipWithIndex.map { case ((p, lp), i) => (i, p, lp) }
+      .toDF("id", "piece", "logp")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/pieces")
+  }
+
+  /** Loads a [[saveModel]] model; id assignment and scores are restored
+    * exactly (the table carries explicit ordinals). */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): UnigramModel = {
+    val pieces = spark.read.parquet(s"$path/pieces")
+      .select("id", "piece", "logp").collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getDouble(2))).toVector
+    require(pieces.nonEmpty && pieces(0)._1 == Unk,
+      s"$path/pieces is not a graft unigram vocab (id 0 must be $Unk)")
+    UnigramModel(pieces)
+  }
 }

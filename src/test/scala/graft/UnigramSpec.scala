@@ -156,6 +156,29 @@ class UnigramSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agg.getLong(1) > 0L)
   }
 
+  test("saveModel/loadModel round-trips the model exactly; foreign dirs are rejected") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val model = UnigramOps.trainModel(docs, "text", vocabSize = 128)
+    val dir = java.nio.file.Files.createTempDirectory("uni_model").toString
+    UnigramOps.saveModel(spark, model, dir)
+    val loaded = UnigramOps.loadModel(spark, dir)
+    assert(loaded == model)
+    // the loaded model tokenizes identically
+    import org.apache.spark.sql.functions.col
+    val a = UnigramOps.tokenCounts(docs, "doc_id", "text", model)
+      .orderBy(col("doc_id")).collect().toSeq
+    val b = UnigramOps.tokenCounts(docs, "doc_id", "text", loaded)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(a == b)
+    // a non-unigram dir is rejected loudly, not mis-parsed
+    import spark.implicits._
+    val bogus = java.nio.file.Files.createTempDirectory("uni_bogus").toString
+    Seq((0, "notunk", -1.0)).toDF("id", "piece", "logp")
+      .write.parquet(s"$bogus/pieces")
+    val e = intercept[IllegalArgumentException](UnigramOps.loadModel(spark, bogus))
+    assert(e.getMessage.contains("unigram"))
+  }
+
   test("q102 golden parquet matches a live recompute on sf0.01") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
     val golden102 = "src/test/resources/golden/q102_unigram_tokens.parquet"
