@@ -302,7 +302,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // rows. (This is the streaming face of the 100 TB posture: ingest-time
     // canonicalization/tokenization with no separate code path.)
     import spark.implicits._
-    import graft.pipeline.{BpeOps, UrlOps}
+    import graft.pipeline.{BpeOps, UnigramOps, UrlOps}
     val src = Files.createTempDirectory("kstream").toString
     val docs = Seq(
       (1L, "low lower newest", "http://WWW.Example.com:80/a/?utm_source=x&b=1"),
@@ -314,13 +314,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hist = Seq("low" -> 6L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
     val merges = BpeOps.trainMerges(hist, 5)
     val model = BpeOps.BpeModel(merges, BpeOps.buildVocab(hist.map(_._1), merges))
+    val uniModel = {
+      val marked = hist.map { case (w, c) => (s"${UnigramOps.Boundary}$w", c) }
+      val scored = UnigramOps.trainPieces(marked, vocabSize = 32,
+        maxPieceLen = 4, seedSize = 64, emIters = 2)
+      UnigramOps.UnigramModel((UnigramOps.Unk, scored.map(_._2).min - 10.0) +: scored)
+    }
     def kernels(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      BpeOps.withTokenIds(
-        UrlOps.withCanonicalUrl(df, col("url"), "curl"),
-        "text", model, "tok")
+      UnigramOps.withPieceIds(
+        BpeOps.withTokenIds(
+          UrlOps.withCanonicalUrl(df, col("url"), "curl"),
+          "text", model, "tok"),
+        "text", uniModel, "utok")
         .select(col("doc_id"), col("curl"),
           UrlOps.registrableDomain(UrlOps.hostOf(col("curl"))).as("domain"),
-          col("tok").cast("string").as("tok_s"))
+          col("tok").cast("string").as("tok_s"),
+          col("utok").cast("string").as("utok_s"))
 
     val stream = spark.readStream
       .schema("doc_id BIGINT, text STRING, url STRING").parquet(src)
