@@ -35,7 +35,15 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType}
 object UnigramOps {
 
   /** SentencePiece word-boundary marker: prefixes every word before
-    * segmentation, so piece streams preserve word boundaries. */
+    * segmentation, so piece streams preserve word boundaries.
+    *
+    * A LITERAL U+2581 inside input text is tokenized exactly like any
+    * other character (it enters the training charset, so zero-`<unk>`
+    * still holds) — but [[decode]] cannot distinguish it from the marker,
+    * so documents containing the literal char round-trip ambiguously
+    * (real SentencePiece has the same in-band marker and resolves it by
+    * input normalization; this engine's contract is tokenize-exactly,
+    * decode-up-to-marker-collision, pinned by a spec vector). */
   val Boundary = '▁' // ▁
 
   /** Vocabulary id 0: emitted for characters outside the training charset;
@@ -51,7 +59,10 @@ object UnigramOps {
     * assigned by (score desc, piece asc) — a pure function of the model. */
   final case class UnigramModel(pieces: Vector[(String, Double)]) {
     require(pieces.nonEmpty && pieces.head._1 == Unk, "pieces(0) must be <unk>")
-    val maxPieceLen: Int = pieces.iterator.map(_._1.length).max
+    // the Viterbi scan window — over REAL pieces only ([[Unk]]'s 5-char
+    // sentinel string is never in the id map and must not widen the scan)
+    val maxPieceLen: Int =
+      pieces.iterator.drop(1).map(_._1.length).foldLeft(1)(math.max)
   }
 
   private val NegInf = Double.NegativeInfinity
@@ -191,6 +202,7 @@ object UnigramOps {
                   maxPieceLen: Int, seedSize: Int,
                   emIters: Int): Vector[(String, Double)] = {
     require(vocabSize > 1, "vocabSize must exceed the <unk> slot")
+    require(emIters >= 1, "emIters must be >= 1 (pruning needs expected counts)")
     val words = markedCounts.toArray
     val seed = seedCandidates(markedCounts, maxPieceLen, seedSize)
     var pieces: Vector[String] = seed.map(_._1)
@@ -240,9 +252,41 @@ object UnigramOps {
     pieces.zip(logp).toVector.sortBy { case (p, l) => (-l, p) }
   }
 
+  /** Scored pieces → model: prepends the [[Unk]] slot at the
+    * SentencePiece penalty (min finite score − 10). Shared by
+    * [[trainModel]] and the spec-level hand checks so the unk-score rule
+    * cannot drift between production and test model assembly. */
+  def buildModel(scored: Vector[(String, Double)]): UnigramModel = {
+    val unkLogp = scored.iterator.map(_._2).filter(_ != NegInf)
+      .foldLeft(0.0)(math.min) - 10.0
+    UnigramModel((Unk, unkLogp) +: scored)
+  }
+
+  /** Corpus-wide required-character coverage (the SentencePiece
+    * `required_chars` behavior): every distinct character of the
+    * lowercased word stream, from one aggregate whose output is
+    * charset-scale (the per-row `array_distinct` bounds the explode).
+    * Spark's `split` on the empty pattern splits between CODE POINTS, so
+    * a supplementary-plane character arrives as one 2-code-unit "char" —
+    * consistent with [[segmentWord]]'s substring matching. */
+  private def corpusChars(docs: DataFrame, textCol: String): Vector[String] =
+    docs.select(explode(array_distinct(filter(
+        split(coalesce(lower(col(textCol)), lit("")), ""),
+        c => c =!= "" && c =!= " "))).as("ch"))
+      .distinct().collect().map(_.getString(0)).sorted.toVector
+
   /** Phase 1+2: corpus → trained model. The histogram is [[BpeOps]]'
     * capped word-type job (the remap to boundary-marked forms happens
-    * after the aggregate — prefixing is injective, nothing is lost). */
+    * after the aggregate — prefixing is injective, nothing is lost).
+    *
+    * Characters appearing ONLY in word types dropped by the histogram cap
+    * would otherwise be out-of-vocab ([[trainPieces]] seeds from the
+    * capped histogram alone), breaking the zero-`<unk>`-on-the-training-
+    * corpus guarantee at 100 TB. [[corpusChars]] closes that hole: chars
+    * missing from the trained pieces are injected at a finite
+    * rare-but-known floor (min finite score − 1, still above [[Unk]]'s
+    * −10 penalty), making the guarantee UNCONDITIONAL — the cap bounds
+    * which MULTI-CHAR pieces can be learned, never segmentability. */
   def trainModel(docs: DataFrame, textCol: String, vocabSize: Int,
                  maxPieceLen: Int = 6, seedSize: Int = 4096,
                  emIters: Int = 2,
@@ -250,9 +294,13 @@ object UnigramOps {
     val marked = BpeOps.histogram(docs, textCol, maxWordTypes)
       .map { case (w, c) => (s"$Boundary$w", c) }
     val scored = trainPieces(marked, vocabSize, maxPieceLen, seedSize, emIters)
-    val unkLogp = scored.iterator.map(_._2).filter(_ != NegInf)
-      .foldLeft(0.0)(math.min) - 10.0
-    UnigramModel((Unk, unkLogp) +: scored)
+    val have = scored.iterator.map(_._1).toSet
+    val floor = scored.iterator.map(_._2).filter(_ != NegInf)
+      .foldLeft(0.0)(math.min) - 1.0
+    val missing = corpusChars(docs, textCol).filterNot(have)
+      .map(c => (c, floor))
+    // injected chars join the same (score desc, piece asc) id order
+    buildModel((scored ++ missing).sortBy { case (p, l) => (-l, p) })
   }
 
   /** Viterbi-segment one boundary-marked word to piece ids. Ties prefer
@@ -306,17 +354,25 @@ object UnigramOps {
         val m = bc.value
         val id = new java.util.HashMap[String, Int](m.pieces.size * 2)
         m.pieces.zipWithIndex.foreach { case ((p, _), i) => if (i > 0) id.put(p, i) }
-        val memo = new java.util.HashMap[String, Array[Int]]()
+        // memo packs (token count << 32 | unk count) into one Long — the
+        // counts are all this kernel consumes, so the bounded memo holds
+        // two ints per word type, not the id array (the BpeOps.tokenCounts
+        // memory shape; a word's token count is bounded by its length)
+        val memo = new java.util.HashMap[String, Long]()
         it.map { case (docId, text) =>
           var words = 0L; var toks = 0L; var unk = 0L
           text.split(' ').foreach { w =>
             if (w.nonEmpty) {
               words += 1
               if (memo.size >= MemoCap) memo.clear()
-              val ids = memo.computeIfAbsent(w,
-                w1 => segmentWord(s"$Boundary$w1", id, m.pieces, m.maxPieceLen))
-              toks += ids.length
-              ids.foreach(t => if (t == 0) unk += 1)
+              val packed = memo.computeIfAbsent(w, { w1 =>
+                val ids = segmentWord(s"$Boundary$w1", id, m.pieces, m.maxPieceLen)
+                var u = 0L
+                ids.foreach(t => if (t == 0) u += 1)
+                (ids.length.toLong << 32) | u
+              })
+              toks += packed >>> 32
+              unk += packed & 0xffffffffL
             }
           }
           (docId, words, toks, unk)

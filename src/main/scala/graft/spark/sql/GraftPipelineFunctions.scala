@@ -174,7 +174,8 @@ object GraftPipelineFunctions {
       "unigram_token_counts(table, id_col, text_col, vocab_size) — train a " +
         "unigram-LM (SentencePiece / Kudo 2018) tokenizer on the table and " +
         "emit per-row word, piece, and <unk> counts (n_unk is 0 on the " +
-        "training corpus: its characters are never pruned)", Seq(0)) { args =>
+        "training corpus: required-character coverage keeps every corpus " +
+        "char in-vocab)", Seq(0)) { args =>
       require(args.length == 4, "unigram_token_counts(table, id_col, text_col, vocab_size)")
       val t = tableArg(args, 0, "unigram_token_counts")
       val textC = strArg(args, 2, "unigram_token_counts")

@@ -314,12 +314,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hist = Seq("low" -> 6L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
     val merges = BpeOps.trainMerges(hist, 5)
     val model = BpeOps.BpeModel(merges, BpeOps.buildVocab(hist.map(_._1), merges))
-    val uniModel = {
-      val marked = hist.map { case (w, c) => (s"${UnigramOps.Boundary}$w", c) }
-      val scored = UnigramOps.trainPieces(marked, vocabSize = 32,
-        maxPieceLen = 4, seedSize = 64, emIters = 2)
-      UnigramOps.UnigramModel((UnigramOps.Unk, scored.map(_._2).min - 10.0) +: scored)
-    }
+    val uniModel = UnigramOps.buildModel(UnigramOps.trainPieces(
+      hist.map { case (w, c) => (s"${UnigramOps.Boundary}$w", c) },
+      vocabSize = 32, maxPieceLen = 4, seedSize = 64, emIters = 2))
     def kernels(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       UnigramOps.withPieceIds(
         BpeOps.withTokenIds(

@@ -75,11 +75,7 @@ class UnigramSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("segmentWord: Viterbi picks the dominant piece; unknown chars fall back to <unk>") {
-    val model = {
-      val scored = UnigramOps.trainPieces(toy, 6, 3, 100, 2)
-      val unk = scored.map(_._2).min - 10.0
-      UnigramOps.UnigramModel((UnigramOps.Unk, unk) +: scored)
-    }
+    val model = UnigramOps.buildModel(UnigramOps.trainPieces(toy, 6, 3, 100, 2))
     val id = new java.util.HashMap[String, Int]()
     model.pieces.zipWithIndex.foreach { case ((p, _), i) => if (i > 0) id.put(p, i) }
     def seg(w: String): Vector[String] =
@@ -154,6 +150,42 @@ class UnigramSpec extends AnyFunSuite with BeforeAndAfterAll {
     val agg = out.agg(sum(col("n_unk")), sum(col("n_unigram_tokens"))).collect()(0)
     assert(agg.getLong(0) == 0L, "training-corpus docs must have zero <unk>")
     assert(agg.getLong(1) > 0L)
+  }
+
+  test("histogram-cap coverage: chars seen only in dropped word types stay in-vocab") {
+    import spark.implicits._
+    // "aa" dominates the histogram; with maxWordTypes = 1 the word "zq"
+    // is DROPPED from training, so 'z'/'q' never reach the seed — the
+    // required-character coverage must still inject them and keep the
+    // training corpus at zero <unk>
+    val docs = Seq((1L, "aa aa aa aa"), (2L, "zq")).toDF("doc_id", "text")
+    val model = UnigramOps.trainModel(docs, "text", vocabSize = 8,
+      maxWordTypes = 1)
+    val strs = model.pieces.map(_._1).toSet
+    assert(Set("z", "q").subsetOf(strs), s"injected chars missing: $strs")
+    val out = UnigramOps.tokenCounts(docs, "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+    assert(out.forall(_.getLong(3) == 0L), "training corpus must be zero-<unk>")
+    // injected chars score above <unk> but below every learned piece
+    val zScore = model.pieces.find(_._1 == "z").get._2
+    assert(zScore > model.pieces(0)._2)
+    assert(model.pieces.filter(p => p._1 != "z" && p._1 != "q" &&
+      p._1 != UnigramOps.Unk).forall(_._2 >= zScore))
+  }
+
+  test("literal U+2581 in input: tokenizes zero-unk, decode collision is pinned") {
+    import spark.implicits._
+    val docs = Seq((1L, s"a${B}b ab")).toDF("doc_id", "text")
+    val model = UnigramOps.trainModel(docs, "text", vocabSize = 16)
+    val counts = UnigramOps.tokenCounts(docs, "doc_id", "text", model).collect()(0)
+    assert(counts.getLong(3) == 0L, "literal marker char must be in-vocab")
+    // the decode ambiguity is a documented contract: the literal marker
+    // splits like a word boundary, so "a▁b" decodes as two words
+    val id = new java.util.HashMap[String, Int]()
+    model.pieces.zipWithIndex.foreach { case ((p, _), i) => if (i > 0) id.put(p, i) }
+    val ids = UnigramOps.segmentWord(s"${B}a${B}b", id, model.pieces, model.maxPieceLen)
+    assert(!ids.contains(0))
+    assert(UnigramOps.decode(ids.toSeq, model.pieces) == Vector("a", "b"))
   }
 
   test("saveModel/loadModel round-trips the model exactly; foreign dirs are rejected") {
