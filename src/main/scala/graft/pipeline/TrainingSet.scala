@@ -339,6 +339,75 @@ object TrainingSet {
     splitAssign(withGroup, "group_id", splits, salt)
   }
 
+  /** DSIR data selection (Xie et al. 2023, arXiv 2302.03169 — "Data
+    * Selection for Language Models via Importance Resampling"): score every
+    * `raw` document by how target-like its hashed-bigram distribution is.
+    * The published estimator is the log importance weight
+    * `Σ_ngram log p_target[bucket] − log p_raw[bucket]` over hashed n-gram
+    * buckets with add-one smoothing; here every log2 is INTEGER-QUANTIZED
+    * via binary-string bit length (`length(bin(x)) − 1` = ⌊log2 x⌋ — the
+    * [[TextOps.lmScore]]/[[TextOps.collocations]] convention), so
+    *
+    *   `dsir_q = Σ (⌊log2(ct[b]+1)⌋ − ⌊log2(cr[b]+1)⌋)
+    *             + n_bigrams · (⌊log2(Tr+B)⌋ − ⌊log2(Tt+B)⌋)`
+    *
+    * is exact BIGINT arithmetic end-to-end — engine-portable bit-for-bit
+    * (no IEEE log anywhere). Buckets are the first 8 md5-hex chars mod
+    * `buckets` (the md5-fraction convention every engine reproduces).
+    * Higher `dsir_q` = more target-like; feed it to [[capPerGroup]] /
+    * `topKByQuality`-style selection or Gumbel resampling downstream.
+    *
+    * Scale shape (100 TB raw corpus): bigram featurization is the
+    * zero-shuffle [[Dedup.shinglesRaw]] projection; both bucket
+    * distributions aggregate to ≤ `buckets` rows, so the λ table joins
+    * BROADCAST against the raw instance stream; one doc-keyed aggregate
+    * ends the plan. The target corpus (the quality sample — small by
+    * construction) contributes one extra aggregate. All raw docs appear
+    * in the output: a bigram-free doc scores 0 (no evidence either way).
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, buckets: Int = 8192): DataFrame = {
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    val par = raw.sparkSession.sessionState.conf.numShufflePartitions
+    def bucket(sh: Column): Column =
+      conv(substring(md5(sh), 1, 8), 16, 10).cast("long") % buckets
+    // true bigrams only: tokens never contain the separator (see lmScore)
+    def big(df: DataFrame, withId: Boolean): DataFrame = {
+      val inst = Dedup.shinglesRaw(df.repartition(par), idCol, textCol, 2)
+        .filter(col("sh").contains(" "))
+      (if (withId) inst.select(col(idCol), bucket(col("sh")).as("b"))
+       else inst.select(bucket(col("sh")).as("b")))
+    }
+    def flog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+    val rbig = big(raw, withId = true)
+    val cr = rbig.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val ct = big(target, withId = false).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    // λ table: ≤ buckets rows (broadcast side of the instance join); the
+    // totals ride along as 1-row cross joins off the same aggregates
+    val lam = cr.join(ct, Seq("b"), "full_outer")
+      .select(col("b"),
+        (flog2(coalesce(col("ct"), lit(0L)) + 1) -
+          flog2(coalesce(col("cr"), lit(0L)) + 1)).as("lam_q"))
+    // totals from the bucket aggregates (sum of counts — the exchange is
+    // reused, no second tokenization scan; see collocations), null-safe
+    // for an empty corpus
+    val tr = cr.agg(coalesce(sum(col("cr")), lit(0L)).as("tr"))
+    val tt = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))
+    val constQ = tr.crossJoin(tt)
+      .select((flog2(col("tr") + buckets) - flog2(col("tt") + buckets)).as("const_q"))
+    val docsum = rbig.join(broadcast(lam), "b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lam_q")).as("sum_lam"))
+    raw.select(col(idCol)).distinct()
+      .join(docsum, Seq(idCol), "left")
+      .crossJoin(broadcast(constQ))
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (coalesce(col("sum_lam"), lit(0L)) +
+          coalesce(col("n_bigrams"), lit(0L)) * col("const_q"))
+          .cast("long").as("dsir_q"))
+  }
+
   /** Per-group quota cap (anti-spam / domain balancing): keep at most `k`
     * rows per group, best `scoreCol` first, ties broken by ascending
     * `idCol` — deterministic under any partitioning. One group-keyed

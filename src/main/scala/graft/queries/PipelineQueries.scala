@@ -865,6 +865,22 @@ object PipelineQueries {
         unigramModel(s, d))
         .orderBy("doc_id")),
 
+    // DSIR data selection (Xie et al. 2023): score raw-corpus docs by
+    // hashed-bigram target-likeness — the published importance-resampling
+    // selector with every log2 integer-quantized (bit length, the
+    // q65/q68 convention) so both engines produce identical BIGINTs.
+    // Target = 'src0' (the curated sample), raw = the other 19 sources.
+    // One zero-shuffle featurization, two ≤8192-row distribution
+    // aggregates, one broadcast λ join, one doc-keyed aggregate.
+    "q103_dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TrainingSet.dsirWeights(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Leakage-free split: near-duplicates of training documents landing in
     // the test set is the classic contamination path a per-doc split
     // cannot prevent — the hash key must be the duplicate CLUSTER. Reuses
@@ -2031,6 +2047,33 @@ object PipelineQueries {
     "q102_unigram_tokens" ->
       """SELECT doc_id, n_words, n_unigram_tokens, n_unk
         |FROM read_parquet('/root/repo/src/test/resources/golden/q102_unigram_tokens.parquet')
+        |ORDER BY doc_id""".stripMargin,
+
+    // same md5-bucket hashing (q67's hex-prefix convention) and
+    // bit-length ⌊log2⌋ quantization (q65/q68) as the Spark plan — exact
+    // BIGINT arithmetic end-to-end, no IEEE log anywhere
+    "q103_dsir_weights" ->
+      """WITH rawdocs AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+        |tdocs AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+        |rtoks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM rawdocs),
+        |ttoks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM tdocs),
+        |rbig AS (SELECT doc_id, ('0x' || substr(md5(array_to_string(w[i:i+1], ' ')), 1, 8))::BIGINT % 8192 AS b
+        |         FROM rtoks, UNNEST(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |tbig AS (SELECT ('0x' || substr(md5(array_to_string(w[i:i+1], ' ')), 1, 8))::BIGINT % 8192 AS b
+        |         FROM ttoks, UNNEST(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |cr AS (SELECT b, count(*) AS c FROM rbig GROUP BY b),
+        |ct AS (SELECT b, count(*) AS c FROM tbig GROUP BY b),
+        |tot AS (SELECT (SELECT count(*) FROM rbig) AS tr, (SELECT count(*) FROM tbig) AS tt),
+        |lam AS (SELECT coalesce(cr.b, ct.b) AS b,
+        |          (length(bin(coalesce(ct.c, 0) + 1)) - 1) - (length(bin(coalesce(cr.c, 0) + 1)) - 1) AS lam_q
+        |        FROM cr FULL OUTER JOIN ct ON cr.b = ct.b),
+        |docsum AS (SELECT doc_id, count(*) AS n_bigrams, sum(lam_q) AS sum_lam
+        |           FROM rbig JOIN lam USING (b) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(sum_lam, 0) + coalesce(n_bigrams, 0) *
+        |    ((length(bin(tr + 8192)) - 1) - (length(bin(tt + 8192)) - 1)) AS BIGINT) AS dsir_q
+        |FROM rawdocs d LEFT JOIN docsum USING (doc_id) CROSS JOIN tot
         |ORDER BY doc_id""".stripMargin,
 
     // q47's recursive clustering, then the q67 md5-fraction split keyed on

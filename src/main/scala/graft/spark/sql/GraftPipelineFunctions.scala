@@ -219,6 +219,18 @@ object GraftPipelineFunctions {
         strArg(args, 3, "decontaminate"), intArg(args, 4, "decontaminate"))
     }
 
+    memoTvf(ext, "dsir_weights",
+      "dsir_weights(raw_table, target_table, id_col, text_col) — DSIR " +
+        "importance weights (Xie et al. 2023): score raw docs by hashed-" +
+        "bigram target-likeness, integer-quantized log2 (engine-exact " +
+        "BIGINTs); higher dsir_q = more target-like", Seq(0, 1)) { args =>
+      require(args.length == 4,
+        "dsir_weights(raw_table, target_table, id_col, text_col)")
+      TrainingSet.dsirWeights(tableArg(args, 0, "dsir_weights"),
+        tableArg(args, 1, "dsir_weights"), strArg(args, 2, "dsir_weights"),
+        strArg(args, 3, "dsir_weights"))
+    }
+
     tvf(ext, "asof_join",
       "asof_join(probe_table, ref_table, keys_csv, time_col, payload_csv, " +
         "tiebreak_csv) — for each probe row, the latest ref row at-or-before " +

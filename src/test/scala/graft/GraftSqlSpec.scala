@@ -1270,6 +1270,10 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT * FROM decontaminate('train_v', 'eval_v', 'doc_id', 'text', 3) ORDER BY doc_id"))
       == rows(TrainingSet.contaminatedIds(docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 3).orderBy("doc_id")))
+    assert(rows(spark.sql(
+      "SELECT * FROM dsir_weights('train_v', 'eval_v', 'doc_id', 'text') ORDER BY doc_id"))
+      == rows(TrainingSet.dsirWeights(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text").orderBy("doc_id")))
   }
 
   test("SQL pipeline functions reject non-literal or wrong-arity arguments loudly") {

@@ -725,6 +725,54 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("WindowGroupLimit"), s"top-k not limit-pushed:\n$plan")
   }
 
+  test("dsirWeights: hand-checked quantized scores, all raw docs appear") {
+    // target "a b a b": ct("a b") = 2, ct("b a") = 1, Tt = 3
+    // raw: doc1 "a b" (target-common bigram), doc2 "x y" (target-absent),
+    //      doc3 "z" (no bigrams) → cr("a b") = cr("x y") = 1, Tr = 2
+    // λ("a b") = ⌊log2 3⌋ − ⌊log2 2⌋ = 0; λ("x y") = ⌊log2 1⌋ − ⌊log2 2⌋ = −1
+    // const = ⌊log2 8194⌋ − ⌊log2 8195⌋ = 0
+    val raw = docs(1L -> "a b", 2L -> "x y", 3L -> "z")
+    val target = docs(10L -> "a b a b")
+    val got = TrainingSet.dsirWeights(raw, target, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 0L), (2L, 1L, -1L), (3L, 0L, 0L)), got)
+  }
+
+  test("dsirWeights matches a naive driver-side reference on sf0.001") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val raw = d.filter(col("source") =!= "src0")
+    val target = d.filter(col("source") === "src0")
+    val got = TrainingSet.dsirWeights(raw, target, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // independent reference: same contract, plain Scala over collected rows
+    def toks(t: String): Vector[String] =
+      Option(t).getOrElse("").toLowerCase.split(' ').toVector.filter(_.nonEmpty)
+    def bigrams(t: String): Vector[String] =
+      toks(t).sliding(2).filter(_.size == 2).map(_.mkString(" ")).toVector
+    def bucket(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 8), 16) % 8192
+    }
+    def flog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val rawRows = raw.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tgtRows = target.select("text").collect().map(_.getString(0))
+    val cr = rawRows.flatMap(r => bigrams(r._2)).groupBy(bucket)
+      .view.mapValues(_.length.toLong).toMap
+    val ct = tgtRows.flatMap(bigrams).groupBy(bucket)
+      .view.mapValues(_.length.toLong).toMap
+    val tr = cr.values.sum; val tt = ct.values.sum
+    val constQ = flog2(tr + 8192) - flog2(tt + 8192)
+    val want = rawRows.map { case (id, t) =>
+      val bs = bigrams(t).map(bucket)
+      val lam = bs.map(b => flog2(ct.getOrElse(b, 0L) + 1) - flog2(cr(b) + 1)).sum
+      (id, bs.size.toLong, lam + bs.size * constQ)
+    }.toSet
+    assert(got == want)
+  }
+
   test("lmScore quantizes bigram counts to floor-log2 with exact means") {
     val d = docs(1L -> "a b a b", 2L -> "a b", 3L -> "x")
     val got = TextOps.lmScore(d, "doc_id", "text").collect()
