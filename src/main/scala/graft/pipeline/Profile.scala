@@ -70,6 +70,47 @@ object Profile {
           .otherwise(lit((k - 1).toDouble) / col("fk")).as("est_distinct"))
   }
 
+  /** Count–min-sketch heavy hitters (Cormode & Muthukrishnan 2005): the
+    * mergeable-sketch hot-key detector. The sketch is `depth` hash rows ×
+    * `width` buckets of instance counts — a few KB regardless of corpus
+    * size, built by ONE aggregate whose key space is bounded at
+    * depth·width (map-side combine collapses the instance stream); the
+    * estimate for a value is the min of its row cells, an ε-overestimate
+    * with one-sided error (est ≥ exact always — the q104 spec asserts it).
+    * Hashing is the md5-hex-prefix convention (`bucket_r(v) =
+    * md5(r ':' v)[0,8) mod width`), so every engine reproduces the sketch
+    * CELL-FOR-CELL — the oracle recomputes it in SQL, no golden needed.
+    *
+    * Output: top `k` values by (estimate desc, value asc — a total order,
+    * so LIMIT is deterministic) with the exact count alongside. The exact
+    * side is a vocabulary-scale aggregate here because the testdata gate
+    * wants truth next to the estimate; at 100 TB the sketch side is the
+    * point — it merges across partitions/streams in O(depth·width) and
+    * never shuffles the value domain. */
+  def cmsHeavyHitters(df: DataFrame, valueCol: String, depth: Int = 4,
+                      width: Int = 1024, k: Int = 20): DataFrame = {
+    require(depth >= 1 && width >= 2 && k >= 1,
+      s"depth=$depth width=$width k=$k out of range")
+    def bucket(r: Column, v: Column): Column =
+      conv(substring(md5(concat(r.cast("string"), lit(":"), v)), 1, 8), 16, 10)
+        .cast("long") % width
+    val inst = df.select(col(valueCol).cast("string").as("v"))
+    val rs = explode(sequence(lit(0), lit(depth - 1)))
+    val cms = inst.select(col("v"), rs.as("r"))
+      .select(col("r"), bucket(col("r"), col("v")).as("bkt"))
+      .groupBy(col("r"), col("bkt")).agg(count(lit(1)).as("c"))
+    val exact = inst.groupBy(col("v")).agg(count(lit(1)).as("exact_count"))
+    exact.select(col("v"), col("exact_count"), rs.as("r"))
+      .select(col("v"), col("exact_count"), col("r"),
+        bucket(col("r"), col("v")).as("bkt"))
+      .join(broadcast(cms), Seq("r", "bkt"))
+      .groupBy(col("v"), col("exact_count"))
+      .agg(min(col("c")).as("est_count"))
+      .orderBy(col("est_count").desc, col("v").asc)
+      .limit(k)
+      .select(col("v").as(valueCol), col("est_count"), col("exact_count"))
+  }
+
   /** Equal-width histogram: bin = ⌊value / width⌋, with count, exact
     * min/max, and the bin's sum (decimal-exact for 2-dp monetary data,
     * surfaced as double). One hash aggregate — the distributed binning

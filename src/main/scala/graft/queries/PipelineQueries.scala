@@ -881,6 +881,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005) over
+    // the corpus token stream: the mergeable few-KB sketch every streaming
+    // hot-key detector ships, built cell-for-cell identically on both
+    // engines (md5-bucket rows), estimate = min over rows — one-sided
+    // error (est >= exact, spec-asserted). Top-20 under a total order.
+    "q104_heavy_hitters" -> ((s, d) =>
+      graft.pipeline.Profile.cmsHeavyHitters(
+        Tables.documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("word")),
+        "word", depth = 4, width = 1024, k = 20)),
+
     // Leakage-free split: near-duplicates of training documents landing in
     // the test set is the classic contamination path a per-doc split
     // cannot prevent — the hash key must be the duplicate CLUSTER. Reuses
@@ -2075,6 +2086,25 @@ object PipelineQueries {
         |    ((length(bin(tr + 8192)) - 1) - (length(bin(tt + 8192)) - 1)) AS BIGINT) AS dsir_q
         |FROM rawdocs d LEFT JOIN docsum USING (doc_id) CROSS JOIN tot
         |ORDER BY doc_id""".stripMargin,
+
+    // the sketch recomputes cell-for-cell in SQL (md5-bucket rows, q67's
+    // hex-prefix convention); (est desc, word) is a total order so the
+    // LIMIT is deterministic on both engines
+    "q104_heavy_hitters" ->
+      """WITH toks AS (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+        |inst AS (SELECT unnest(w) AS v FROM toks),
+        |rows_ AS (SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' || v), 1, 8))::BIGINT % 1024 AS bkt
+        |          FROM inst, UNNEST([0, 1, 2, 3]) AS t(r)),
+        |cms AS (SELECT r, bkt, count(*) AS c FROM rows_ GROUP BY r, bkt),
+        |exact AS (SELECT v, count(*) AS exact_count FROM inst GROUP BY v),
+        |est AS (SELECT v, exact_count, min(c) AS est_count
+        |        FROM (SELECT e.v, e.exact_count, r,
+        |                ('0x' || substr(md5(r::VARCHAR || ':' || e.v), 1, 8))::BIGINT % 1024 AS bkt
+        |              FROM exact e, UNNEST([0, 1, 2, 3]) AS t(r)) q
+        |        JOIN cms USING (r, bkt) GROUP BY v, exact_count)
+        |SELECT v AS word, CAST(est_count AS BIGINT) AS est_count,
+        |  CAST(exact_count AS BIGINT) AS exact_count
+        |FROM est ORDER BY est_count DESC, word ASC LIMIT 20""".stripMargin,
 
     // q47's recursive clustering, then the q67 md5-fraction split keyed on
     // the GROUP (cluster id for clustered docs, own id for singletons).

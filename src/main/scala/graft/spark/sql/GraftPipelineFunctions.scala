@@ -356,6 +356,16 @@ object GraftPipelineFunctions {
         intArg(args, 6, "pack_token_ids"))
     }
 
+    tvf(ext, "heavy_hitters",
+      "heavy_hitters(table, value_col, depth, width, k) — count-min-sketch " +
+        "top-k hot values (Cormode & Muthukrishnan 2005) with exact counts " +
+        "alongside; est_count >= exact_count always (one-sided error)") { args =>
+      require(args.length == 5, "heavy_hitters(table, value_col, depth, width, k)")
+      graft.pipeline.Profile.cmsHeavyHitters(tableArg(args, 0, "heavy_hitters"),
+        strArg(args, 1, "heavy_hitters"), intArg(args, 2, "heavy_hitters"),
+        intArg(args, 3, "heavy_hitters"), intArg(args, 4, "heavy_hitters"))
+    }
+
     tvf(ext, "quality_score",
       "quality_score(table, id_col, text_col) — per-document quality " +
         "score (type-token ratio, stopword/punct/length heuristics)") { args =>

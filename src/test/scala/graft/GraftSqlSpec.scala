@@ -1274,6 +1274,13 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT * FROM dsir_weights('train_v', 'eval_v', 'doc_id', 'text') ORDER BY doc_id"))
       == rows(TrainingSet.dsirWeights(docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text").orderBy("doc_id")))
+    spark.sql("CREATE OR REPLACE TEMP VIEW words_v AS " +
+      "SELECT explode(filter(split(lower(text), ' '), x -> x != '')) AS word " +
+      "FROM documents_v")
+    assert(rows(spark.sql(
+      "SELECT * FROM heavy_hitters('words_v', 'word', 4, 1024, 10)"))
+      == rows(graft.pipeline.Profile.cmsHeavyHitters(
+        spark.table("words_v"), "word", 4, 1024, 10)))
   }
 
   test("SQL pipeline functions reject non-literal or wrong-arity arguments loudly") {

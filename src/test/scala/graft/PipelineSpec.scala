@@ -773,6 +773,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("cmsHeavyHitters: exact counts on a tiny domain, one-sided error at scale") {
+    import spark.implicits._
+    import graft.pipeline.Profile
+    // tiny domain, wide sketch → no collisions: est == exact, order total
+    val vals = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
+      Seq("d")).toDF("v")
+    val got = Profile.cmsHeavyHitters(vals, "v", depth = 4, width = 1024, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 5L, 5L), ("b", 3L, 3L), ("c", 3L, 3L)), got)
+
+    // forced collisions (width = 2): estimates stay ONE-SIDED (est >= exact)
+    // and the true hottest value still surfaces
+    val squeezed = Profile.cmsHeavyHitters(vals, "v", depth = 2, width = 2, k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(squeezed.forall(r => r._2 >= r._3), squeezed.mkString(","))
+    assert(squeezed.head._2 >= 5L)
+
+    // sf0.001 token stream: the property holds corpus-wide
+    val toks = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+    val hh = Profile.cmsHeavyHitters(toks, "w", depth = 4, width = 256, k = 50)
+      .collect()
+    // k caps the output; the sf0.001 vocabulary is smaller than 50
+    assert(hh.nonEmpty && hh.length <= 50)
+    assert(hh.forall(r => r.getLong(1) >= r.getLong(2)),
+      "CMS must never underestimate")
+  }
+
   test("lmScore quantizes bigram counts to floor-log2 with exact means") {
     val d = docs(1L -> "a b a b", 2L -> "a b", 3L -> "x")
     val got = TextOps.lmScore(d, "doc_id", "text").collect()
