@@ -138,6 +138,47 @@ object Profile {
         t = IceWrite.append(spark, t.refresh(), li.filter(col("l_orderkey") % 2 === 1))
         time("incremental refresh")(IceMV.refresh(spark, cat, mv))
         time("noop refresh (fresh)")(IceMV.refresh(spark, cat, mv))
+      case "q78" =>
+        import graft.pipeline.Dedup
+        val docs = Tables.documents(spark, sfDir)
+        val par = spark.sessionState.conf.numShufflePartitions
+        // stage 1: the corpus-scale per-doc shingle-set aggregate
+        val docArr = Dedup.shinglesRaw(docs.repartition(par), "doc_id", "text", 3)
+          .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("arr"))
+        time("docArr aggregate (uncached)")(mat(docArr))
+        docArr.cache()
+        time("docArr cache fill")(mat(docArr))
+        // stage 2: blocking chain off the cache (rare lists + candidates)
+        val shD = docArr.select(col("doc_id"), explode(col("arr")).as("sh"))
+        val rare = shD.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= 10).select("sh")
+        val rareLists = shD.join(rare, "sh")
+          .groupBy(col("sh")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        time("rare inverted lists")(mat(rareLists))
+        val cand = rareLists.select(explode(flatten(transform(col("ids"), (x, i) =>
+            transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+              struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+          .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b")).distinct()
+        time("candidates distinct")(mat(cand))
+        docArr.unpersist()
+        // full ops for reference
+        time("containmentJoin full")(mat(
+          Dedup.containmentJoin(docs, "doc_id", "text")))
+        time("containmentJoin full again")(mat(
+          Dedup.containmentJoin(docs, "doc_id", "text")))
+        time("jaccardJoinExact full")(mat(
+          Dedup.jaccardJoinExact(docs, "doc_id", "text")))
+        // standing-frame variants: checkpointed doc arrays, OnArrays entry
+        val standing = time("standing docArr localCheckpoint")(
+          Dedup.docShingleArrays(docs, "doc_id", "text", 3).localCheckpoint(true))
+        time("containmentJoinOnArrays #1")(mat(
+          Dedup.containmentJoinOnArrays(standing, "doc_id")))
+        time("containmentJoinOnArrays #2")(mat(
+          Dedup.containmentJoinOnArrays(standing, "doc_id")))
+        time("jaccardJoinExactOnArrays #1")(mat(
+          Dedup.jaccardJoinExactOnArrays(standing, "doc_id")))
+        time("jaccardJoinExactOnArrays #2")(mat(
+          Dedup.jaccardJoinExactOnArrays(standing, "doc_id")))
       case "q17" =>
         import graft.catalog.{FileCatalog, TableIdent}
         import graft.spark.{IceScan, IceWrite}

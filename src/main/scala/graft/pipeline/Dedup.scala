@@ -579,22 +579,45 @@ object Dedup {
                                           shingleSize: Int = 3, tNum: Long = 1, tDen: Long = 2): DataFrame =
     jaccardJoinImpl(df, idCol, textCol, shingleSize, tNum, tDen, eager = false)
 
+  /** Canonical per-doc shingle-SET arrays (`idCol, __arr`) — the single
+    * corpus-scale aggregate behind [[jaccardJoinExact]] and
+    * [[containmentJoin]] (one row per doc; the exploded stream this
+    * replaced was the suite's largest transient memory consumer — the r12
+    * driver-record outliers traced to exactly that footprint under box
+    * contention). A caller running BOTH joins over the same corpus should
+    * build this once, persist it, and use the `OnArrays` variants — the
+    * q77/q78 standing-state shape. */
+  def docShingleArrays(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int): DataFrame = {
+    val par = df.sparkSession.sessionState.conf.numShufflePartitions
+    shinglesRaw(df.repartition(par), idCol, textCol, shingleSize)
+      .groupBy(col(idCol)).agg(collect_set(col("sh")).as("__arr"))
+  }
+
+  /** [[jaccardJoinExact]] over a PRE-BUILT (and caller-persisted)
+    * [[docShingleArrays]] frame: skips the corpus-scale collect_set
+    * aggregate entirely. The frame is not cached or unpersisted here —
+    * its lifetime belongs to the caller. */
+  def jaccardJoinExactOnArrays(docArr: DataFrame, idCol: String,
+                               tNum: Long = 1, tDen: Long = 2): DataFrame =
+    jaccardJoinArrImpl(docArr, idCol, tNum, tDen, eager = true, ownArr = false)
+
   private def jaccardJoinImpl(df: DataFrame, idCol: String, textCol: String,
                               shingleSize: Int, tNum: Long, tDen: Long,
-                              eager: Boolean): DataFrame = {
+                              eager: Boolean): DataFrame =
+    jaccardJoinArrImpl(docShingleArrays(df, idCol, textCol, shingleSize),
+      idCol, tNum, tDen, eager, ownArr = eager)
+
+  private def jaccardJoinArrImpl(docArr0: DataFrame, idCol: String,
+                                 tNum: Long, tDen: Long,
+                                 eager: Boolean, ownArr: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen must be in (0, 1]")
-    val par = df.sparkSession.sessionState.conf.numShufflePartitions
-    // per-doc shingle-SET arrays (one row per doc) are the ONLY cached
-    // frame: the exploded (doc, shingle) stream this used to cache was the
-    // suite's largest transient memory consumer (the r12 driver-record
-    // outliers traced to exactly that footprint under box contention).
-    // The exploded view re-derives from the cache shuffle-free, and the
-    // verify reads the arrays directly — no second collect_set aggregate.
-    val docArr0 = shinglesRaw(df.repartition(par), idCol, textCol, shingleSize)
-      .groupBy(col(idCol)).agg(collect_set(col("sh")).as("__arr"))
-    val docArr = if (eager) docArr0.cache() else docArr0
-    var cached: List[DataFrame] = if (eager) List(docArr) else Nil
+    // the doc-array frame is cached only when this call OWNS it (built it
+    // from raw text); a standing frame passed in via OnArrays is the
+    // caller's to persist and release
+    val docArr = if (ownArr) docArr0.cache() else docArr0
+    var cached: List[DataFrame] = if (ownArr) List(docArr) else Nil
     try {
       val sh = docArr.select(col(idCol), explode(col("__arr")).as("sh"))
       val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -676,23 +699,34 @@ object Dedup {
                                          tNum: Long = 4, tDen: Long = 5): DataFrame =
     containmentJoinImpl(df, idCol, textCol, shingleSize, maxDf, tNum, tDen, eager = false)
 
+  /** [[containmentJoin]] over a PRE-BUILT (and caller-persisted)
+    * [[docShingleArrays]] frame — the q77/q78 standing-state seam; the
+    * frame is not cached or unpersisted here. */
+  def containmentJoinOnArrays(docArr: DataFrame, idCol: String,
+                              maxDf: Long = 10,
+                              tNum: Long = 4, tDen: Long = 5): DataFrame =
+    containmentJoinArrImpl(docArr, idCol, maxDf, tNum, tDen,
+      eager = true, ownArr = false)
+
   private def containmentJoinImpl(df: DataFrame, idCol: String, textCol: String,
                                   shingleSize: Int, maxDf: Long,
-                                  tNum: Long, tDen: Long, eager: Boolean): DataFrame = {
+                                  tNum: Long, tDen: Long, eager: Boolean): DataFrame =
+    containmentJoinArrImpl(docShingleArrays(df, idCol, textCol, shingleSize),
+      idCol, maxDf, tNum, tDen, eager, ownArr = eager)
+
+  private def containmentJoinArrImpl(docArr0: DataFrame, idCol: String,
+                                     maxDf: Long, tNum: Long, tDen: Long,
+                                     eager: Boolean, ownArr: Boolean): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen must be in (0, 1]")
-    val par = df.sparkSession.sessionState.conf.numShufflePartitions
-    // per-doc shingle SET as one array row (collect_set — no separate
-    // corpus-wide distinct shuffle): the single corpus-scale aggregate.
-    // It feeds the blocking chain (re-exploded, shuffle-free off the
-    // cache), the n_sh counts (size(arr)), and the array-intersect
-    // verify. Row size is bounded by the document's own length (the doc
-    // text was already a row).
-    val docArr0 = shinglesRaw(df.repartition(par), idCol, textCol, shingleSize)
-      .groupBy(col(idCol)).agg(collect_set(col("sh")).as("arr"))
-    val docArr = if (eager) docArr0.cache() else docArr0
-    val cached: List[DataFrame] = if (eager) List(docArr) else Nil
+    // the per-doc shingle-set arrays ([[docShingleArrays]] — the single
+    // corpus-scale aggregate) feed the blocking chain (re-exploded,
+    // shuffle-free off the cache), the n_sh counts (size(__arr)), and the
+    // array-intersect verify. Row size is bounded by the document's own
+    // length (the doc text was already a row). Cached only when owned.
+    val docArr = if (ownArr) docArr0.cache() else docArr0
+    val cached: List[DataFrame] = if (ownArr) List(docArr) else Nil
     try {
-      val shD = docArr.select(col(idCol), explode(col("arr")).as("sh"))
+      val shD = docArr.select(col(idCol), explode(col("__arr")).as("sh"))
       // rare = blocking shingles: document frequency in [2, maxDf] (df = 1
       // shingles cannot witness a pair; df is counted over distinct
       // (doc, sh), which the set-arrays guarantee). Two-pass on purpose:
@@ -723,8 +757,8 @@ object Dedup {
       // cost is now O(|A|+|B|) hashing, cheaper than the prune's four
       // joins + aggregate at every threshold.)
       val sized = cand
-        .join(docArr.select(col(idCol).as("id_a"), col("arr").as("__ca")), "id_a")
-        .join(docArr.select(col(idCol).as("id_b"), col("arr").as("__cb")), "id_b")
+        .join(docArr.select(col(idCol).as("id_a"), col("__arr").as("__ca")), "id_a")
+        .join(docArr.select(col(idCol).as("id_b"), col("__arr").as("__cb")), "id_b")
         .select(col("id_a"), col("id_b"),
           size(array_intersect(col("__ca"), col("__cb"))).cast("long").as("inter"),
           size(col("__ca")).cast("long").as("na"),

@@ -725,6 +725,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("WindowGroupLimit"), s"top-k not limit-pushed:\n$plan")
   }
 
+  test("OnArrays join variants equal their self-building counterparts") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val arrs = Dedup.docShingleArrays(d, "doc_id", "text", 3).cache()
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      assert(rows(Dedup.jaccardJoinExactOnArrays(arrs, "doc_id", 1, 2))
+        == rows(Dedup.jaccardJoinExact(d, "doc_id", "text", 3, 1, 2)))
+      assert(rows(Dedup.containmentJoinOnArrays(arrs, "doc_id", 10, 1, 5))
+        == rows(Dedup.containmentJoin(d, "doc_id", "text", 3, 10, 1, 5)))
+    } finally arrs.unpersist()
+  }
+
   test("dsirWeights: hand-checked quantized scores, all raw docs appear") {
     // target "a b a b": ct("a b") = 2, ct("b a") = 1, Tt = 3
     // raw: doc1 "a b" (target-common bigram), doc2 "x y" (target-absent),
