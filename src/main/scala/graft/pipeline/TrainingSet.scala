@@ -339,6 +339,43 @@ object TrainingSet {
     splitAssign(withGroup, "group_id", splits, salt)
   }
 
+  /** Fixed-window token chunking with stride — the "chunk long documents,
+    * THEN pack" step that precedes [[packSequences]]/`packTokenIds` in
+    * every pretraining pipeline: a document longer than the model context
+    * is split into `window`-token chunks whose starts advance by `stride`
+    * (stride < window ⇒ consecutive chunks overlap by window − stride
+    * tokens, the standard long-document recipe so no boundary context is
+    * lost). Chunk count for n > 0 tokens is ⌈(n − window)/stride⌉ + 1
+    * (exact integer arithmetic); every token is covered; the last chunk
+    * may be short; empty documents produce no chunks.
+    *
+    * Pure per-row array algebra (sequence → slice under one explode) —
+    * zero shuffle, chunk rows carry all input columns plus `chunk_idx`
+    * and the `out` id-array column. */
+  def chunkSequences(df: DataFrame, idsCol: String, out: String,
+                     window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"window=$window stride=$stride must satisfy 0 < stride <= window")
+    require(!df.columns.contains("chunk_idx") && !df.columns.contains(out),
+      "input already carries a chunk_idx/output column")
+    val ids = col(idsCol)
+    val n = size(ids)
+    // ⌈(n − window)/stride⌉ + 1; Column `/` is DOUBLE division, so floor +
+    // cast recovers the exact integer (operands are positive ints, far
+    // inside double exactness); 0 chunks for empty docs
+    val nChunks = when(n <= 0, lit(0))
+      .otherwise(when(n <= window, lit(1))
+        .otherwise(floor((n - window + stride - 1) / lit(stride)).cast("int") + 1))
+    df.withColumn("__chunks",
+        when(nChunks > 0, transform(sequence(lit(0), nChunks - 1),
+          i => struct(i.as("chunk_idx"),
+            slice(ids, i * stride + 1, lit(window)).as("chunk"))))
+          .otherwise(array().cast("array<struct<chunk_idx:int,chunk:array<int>>>")))
+      .select((df.columns.map(col) :+ explode(col("__chunks")).as("__c")): _*)
+      .select((df.columns.map(col) :+ col("__c.chunk_idx").as("chunk_idx")
+        :+ col("__c.chunk").as(out)): _*)
+  }
+
   /** DSIR data selection (Xie et al. 2023, arXiv 2302.03169 — "Data
     * Selection for Language Models via Importance Resampling"): score every
     * `raw` document by how target-like its hashed-bigram distribution is.

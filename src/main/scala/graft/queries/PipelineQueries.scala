@@ -902,6 +902,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Fixed-window token chunking with stride (window 64, stride 48 →
+    // 16-token overlap): the "chunk long docs, then pack" step that
+    // precedes q44/q100-style packing in every pretraining pipeline. Ids
+    // come from the standing q94 BPE model (zero-shuffle apply); chunking
+    // is pure per-row array algebra under one explode. Ids reach the
+    // oracle as a space-joined STRING (the q100 nested-type rule). DuckDB
+    // cannot BPE, so the oracle is a checked-in golden parquet; the spec
+    // pins hand-computed windows, edge cases, and the overlap-exact
+    // reconstruction of every sf0.001 doc.
+    "q105_chunk_sequences" -> ((s, d) =>
+      TrainingSet.chunkSequences(
+        BpeOps.withTokenIds(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "text", bpeModel(s, d), "__ids").drop("text"),
+        "__ids", "chunk", window = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_chunk_tokens"),
+          array_join(col("chunk"), " ").as("token_ids_csv"))
+        .orderBy("doc_id", "chunk_idx")),
+
     // Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005) over
     // the corpus token stream: the mergeable few-KB sketch every streaming
     // hot-key detector ships, built cell-for-cell identically on both
@@ -2107,6 +2127,16 @@ object PipelineQueries {
         |    ((length(bin(tr + 8192)) - 1) - (length(bin(tt + 8192)) - 1)) AS BIGINT) AS dsir_q
         |FROM rawdocs d LEFT JOIN docsum USING (doc_id) CROSS JOIN tot
         |ORDER BY doc_id""".stripMargin,
+
+    // Golden parquet (the q94/q100 contract): DuckDB cannot BPE.
+    // PipelineSpec re-verifies chunk semantics + golden freshness on
+    // sf0.01. Regenerate via
+    //   sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/v" and copy
+    //   /tmp/v/q105_chunk_sequences/part-*.parquet over the golden file.
+    "q105_chunk_sequences" ->
+      """SELECT doc_id, chunk_idx, n_chunk_tokens, token_ids_csv
+        |FROM read_parquet('/root/repo/src/test/resources/golden/q105_chunk_sequences.parquet')
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // the sketch recomputes cell-for-cell in SQL (md5-bucket rows, q67's
     // hex-prefix convention); (est desc, word) is a total order so the

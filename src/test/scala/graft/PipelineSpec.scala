@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.{Dedup, Embeddings, Multimodal, TextOps, TimeSeries, TrainingSet}
+import graft.pipeline.{BpeOps, Dedup, Embeddings, Multimodal, TextOps, TimeSeries, TrainingSet}
 
 /** Unit tests of the training-data pipeline operators on hand-built inputs
   * with known answers (the DuckDB oracle gate covers the testdata scale).
@@ -723,6 +723,71 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = TrainingSet.capPerGroup(d, "g", "score", "id", 2)
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"top-k not limit-pushed:\n$plan")
+  }
+
+  test("chunkSequences: hand-computed windows, edges, overlap reconstruction") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 10).toArray), // ⌈(10−4)/3⌉+1 = 3 chunks: starts 0, 3, 6
+      (2L, (1 to 4).toArray),  // n == window → 1 full chunk
+      (3L, Array(7, 8)),       // n < window → 1 short chunk
+      (4L, Array.empty[Int])   // empty → no chunks
+    ).toDF("doc_id", "ids")
+    val got = TrainingSet.chunkSequences(d, "ids", "chunk", window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getSeq[Int](3).toVector))
+    assert(got.toVector == Vector(
+      (1L, 0, Vector(1, 2, 3, 4)), (1L, 1, Vector(4, 5, 6, 7)),
+      (1L, 2, Vector(7, 8, 9, 10)),
+      (2L, 0, Vector(1, 2, 3, 4)),
+      (3L, 0, Vector(7, 8))), got.toVector)
+
+    // stride == window → disjoint chunks, exact partition of the ids
+    val flat = TrainingSet.chunkSequences(d.filter(col("doc_id") === 1L),
+        "ids", "chunk", window = 4, stride = 4)
+      .orderBy("chunk_idx").collect().flatMap(_.getSeq[Int](3)).toVector
+    assert(flat == (1 to 10).toVector)
+
+    // sf0.001 ids: every chunk list reconstructs the original id stream
+    // (chunk 0 whole, later chunks drop the window−stride overlap)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val model = BpeOps.trainModel(docs, "text", 32)
+    val withIds = BpeOps.withTokenIds(
+      docs.select(col("doc_id"), col("text")), "text", model, "ids")
+    val chunked = TrainingSet.chunkSequences(withIds.drop("text"),
+        "ids", "chunk", window = 16, stride = 12)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("chunk_idx"), col("chunk"))))
+        .as("cs"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Row](1).map(_.getSeq[Int](1).toVector).toVector).toMap
+    val orig = withIds.select("doc_id", "ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    assert(orig.nonEmpty)
+    orig.foreach { case (id, ids) =>
+      if (ids.isEmpty) assert(!chunked.contains(id))
+      else {
+        val cs = chunked(id)
+        val rebuilt = cs.head ++ cs.tail.flatMap(_.drop(16 - 12))
+        assert(rebuilt == ids, s"doc $id reconstruction")
+        assert(cs.init.forall(_.size == 16), s"doc $id non-final short chunk")
+      }
+    }
+  }
+
+  test("q105 golden parquet matches a live recompute on sf0.01") {
+    val sfDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    val golden105 = "src/test/resources/golden/q105_chunk_sequences.parquet"
+    assume(new java.io.File(golden105).exists(), s"$golden105 not generated yet")
+    val live = SparkEntry.queries("q105_chunk_sequences")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val golden = spark.read.parquet(golden105)
+      .orderBy("doc_id", "chunk_idx").collect().map(_.toString).toSeq
+    assert(golden.nonEmpty, "golden file is empty")
+    assert(live == golden,
+      "q105 golden is STALE — regenerate per the q105 oracle comment in " +
+        "PipelineQueries before the driver's compare runs")
   }
 
   test("OnArrays join variants equal their self-building counterparts") {
