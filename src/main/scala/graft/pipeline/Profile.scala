@@ -92,9 +92,16 @@ object Profile {
     require(depth >= 1 && width >= 2 && k >= 1,
       s"depth=$depth width=$width k=$k out of range")
     def bucket(r: Column, v: Column): Column =
-      conv(substring(md5(concat(r.cast("string"), lit(":"), v)), 1, 8), 16, 10)
+      conv(substring(md5(concat(r.cast("string"), lit(":"), v.cast("string"))), 1, 8), 16, 10)
         .cast("long") % width
-    val inst = df.select(col(valueCol).cast("string").as("v"))
+    // NULL is not a value: it hashes to a NULL bucket and has no defined
+    // string form, so null rows are EXCLUDED explicitly (a null-heavy
+    // column's null mass is Profile.profile's n_null job, and SkewOps
+    // handles null-key join skew) — silently dropping them inside a
+    // null-unsafe join would be the same result with a lie attached.
+    // Values keep their ORIGINAL type end-to-end; only the hash input is
+    // stringified.
+    val inst = df.select(col(valueCol).as("v")).filter(col("v").isNotNull)
     val rs = explode(sequence(lit(0), lit(depth - 1)))
     val cms = inst.select(col("v"), rs.as("r"))
       .select(col("r"), bucket(col("r"), col("v")).as("bkt"))

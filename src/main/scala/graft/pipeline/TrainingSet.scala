@@ -356,8 +356,10 @@ object TrainingSet {
                      window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       s"window=$window stride=$stride must satisfy 0 < stride <= window")
-    require(!df.columns.contains("chunk_idx") && !df.columns.contains(out),
-      "input already carries a chunk_idx/output column")
+    Seq("chunk_idx", out, "__chunks", "__c").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already carries a '$c' column — it would be silently " +
+          "shadowed; rename it first"))
     val ids = col(idsCol)
     val n = size(ids)
     // ⌈(n − window)/stride⌉ + 1; Column `/` is DOUBLE division, so floor +
@@ -416,8 +418,14 @@ object TrainingSet {
        else inst.select(bucket(col("sh")).as("b")))
     }
     def flog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
-    val rbig = big(raw, withId = true)
-    val cr = rbig.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    // ONE featurization pass over the raw corpus: per-(doc, bucket)
+    // instance counts are the first aggregate, and everything downstream
+    // (the per-bucket distribution, the totals, the per-doc sums) derives
+    // from that docs×buckets-bounded frame — the corpus-scale
+    // tokenize/hash projection never executes twice
+    val dbc = big(raw, withId = true)
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("cnt"))
+    val cr = dbc.groupBy(col("b")).agg(sum(col("cnt")).as("cr"))
     val ct = big(target, withId = false).groupBy(col("b")).agg(count(lit(1)).as("ct"))
     // λ table: ≤ buckets rows (broadcast side of the instance join); the
     // totals ride along as 1-row cross joins off the same aggregates
@@ -432,10 +440,14 @@ object TrainingSet {
     val tt = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))
     val constQ = tr.crossJoin(tt)
       .select((flog2(col("tr") + buckets) - flog2(col("tt") + buckets)).as("const_q"))
-    val docsum = rbig.join(broadcast(lam), "b")
+    val docsum = dbc.join(broadcast(lam), "b")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lam_q")).as("sum_lam"))
-    raw.select(col(idCol)).distinct()
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("lam_q")).as("sum_lam"))
+    // doc spine: ids are unique by contract (no distinct shuffle — the
+    // oracle's LEFT JOIN does not deduplicate either); bigram-free docs
+    // score 0
+    raw.select(col(idCol))
       .join(docsum, Seq(idCol), "left")
       .crossJoin(broadcast(constQ))
       .select(col(idCol),

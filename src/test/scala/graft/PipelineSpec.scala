@@ -861,6 +861,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq(("a", 5L, 5L), ("b", 3L, 3L), ("c", 3L, 3L)), got)
 
+    // NULL is not a value (documented): null rows are excluded, non-null
+    // counts unaffected, and the value column keeps its ORIGINAL type
+    val withNulls = (Seq("a", null, "a", null, "b").map(Option(_))).toDF("v")
+    val nn = Profile.cmsHeavyHitters(withNulls, "v", depth = 2, width = 64, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(nn == Seq(("a", 2L, 2L), ("b", 1L, 1L)), nn)
+    val typed = Profile.cmsHeavyHitters(Seq(10L, 9L, 10L).toDF("n"), "n", 2, 64, 2)
+    assert(typed.schema("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(typed.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((10L, 2L), (9L, 1L)))
+
     // forced collisions (width = 2): estimates stay ONE-SIDED (est >= exact)
     // and the true hottest value still surfaces
     val squeezed = Profile.cmsHeavyHitters(vals, "v", depth = 2, width = 2, k = 4)
