@@ -103,10 +103,14 @@ object Profile {
     // stringified.
     val inst = df.select(col(valueCol).as("v")).filter(col("v").isNotNull)
     val rs = explode(sequence(lit(0), lit(depth - 1)))
-    val cms = inst.select(col("v"), rs.as("r"))
-      .select(col("r"), bucket(col("r"), col("v")).as("bkt"))
-      .groupBy(col("r"), col("bkt")).agg(count(lit(1)).as("c"))
+    // ONE corpus-scale pass (the per-value aggregate); the sketch cells
+    // then build from vocabulary-scale rows weighted by their counts —
+    // Σ_v count(v) per cell is EXACTLY the instance-stream cell count,
+    // without hashing the corpus `depth` times
     val exact = inst.groupBy(col("v")).agg(count(lit(1)).as("exact_count"))
+    val cms = exact.select(col("v"), col("exact_count"), rs.as("r"))
+      .select(col("r"), bucket(col("r"), col("v")).as("bkt"), col("exact_count"))
+      .groupBy(col("r"), col("bkt")).agg(sum(col("exact_count")).as("c"))
     exact.select(col("v"), col("exact_count"), rs.as("r"))
       .select(col("v"), col("exact_count"), col("r"),
         bucket(col("r"), col("v")).as("bkt"))
