@@ -356,6 +356,17 @@ object GraftPipelineFunctions {
         intArg(args, 6, "pack_token_ids"))
     }
 
+    tvf(ext, "chunk_sequences",
+      "chunk_sequences(table, ids_col, window, stride) — split each row's " +
+        "token-id array into window-token chunks whose starts advance by " +
+        "stride (overlap = window - stride); rows gain chunk_idx and a " +
+        "chunk array column") { args =>
+      require(args.length == 4, "chunk_sequences(table, ids_col, window, stride)")
+      TrainingSet.chunkSequences(tableArg(args, 0, "chunk_sequences"),
+        strArg(args, 1, "chunk_sequences"), "chunk",
+        intArg(args, 2, "chunk_sequences"), intArg(args, 3, "chunk_sequences"))
+    }
+
     tvf(ext, "heavy_hitters",
       "heavy_hitters(table, value_col, depth, width, k) — count-min-sketch " +
         "top-k hot values (Cormode & Muthukrishnan 2005) with exact counts " +

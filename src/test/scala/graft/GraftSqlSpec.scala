@@ -1281,6 +1281,14 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT * FROM heavy_hitters('words_v', 'word', 4, 1024, 10)"))
       == rows(graft.pipeline.Profile.cmsHeavyHitters(
         spark.table("words_v"), "word", 4, 1024, 10)))
+    spark.sql("CREATE OR REPLACE TEMP VIEW idseq_v AS " +
+      "SELECT doc_id, sequence(1, CAST(doc_id % 13 AS INT)) AS ids FROM documents_v")
+    assert(rows(spark.sql(
+      "SELECT doc_id, chunk_idx, chunk FROM chunk_sequences('idseq_v', 'ids', 4, 3) " +
+        "ORDER BY doc_id, chunk_idx"))
+      == rows(TrainingSet.chunkSequences(spark.table("idseq_v"), "ids", "chunk", 4, 3)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk"))
+        .orderBy("doc_id", "chunk_idx")))
   }
 
   test("SQL pipeline functions reject non-literal or wrong-arity arguments loudly") {
