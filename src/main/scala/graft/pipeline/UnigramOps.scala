@@ -197,13 +197,26 @@ object UnigramOps {
 
   /** Kudo's EM-train + prune loop over a boundary-marked word histogram.
     * Returns the final (piece, logp) table in id order (see
-    * [[UnigramModel]]). Exposed for spec-level hand checks. */
+    * [[UnigramModel]]). Exposed for spec-level hand checks.
+    *
+    * The histogram is CANONICALIZED internally (count desc, word asc — the
+    * [[BpeOps.histogram]] order) before any float accumulates, so the
+    * model is a pure function of the histogram MULTISET: permuting the
+    * input cannot shift low-order floating-point bits (a property test
+    * caught exactly that drift). And because EM can drive a rarely-used
+    * piece's expected count to a floating-point ZERO (posterior underflow
+    * below ~1e-308 — observed on small adversarial corpora), any −∞ score
+    * is floored at min-finite − 1 after the final iteration: rare-but-
+    * known, above [[Unk]]'s −10 penalty, so every vocabulary piece —
+    * single chars especially — stays usable by Viterbi and the
+    * zero-`<unk>`-on-training-corpus guarantee survives corpora where EM
+    * starves a character. */
   def trainPieces(markedCounts: Seq[(String, Long)], vocabSize: Int,
                   maxPieceLen: Int, seedSize: Int,
                   emIters: Int): Vector[(String, Double)] = {
     require(vocabSize > 1, "vocabSize must exceed the <unk> slot")
     require(emIters >= 1, "emIters must be >= 1 (pruning needs expected counts)")
-    val words = markedCounts.toArray
+    val words = markedCounts.toArray.sortBy { case (w, c) => (-c, w) }
     val seed = seedCandidates(markedCounts, maxPieceLen, seedSize)
     var pieces: Vector[String] = seed.map(_._1)
     var logp: Array[Double] = {
@@ -249,7 +262,10 @@ object UnigramOps {
         logp = keep.map { case (_, i) => logp(i) }.toArray
       }
     }
-    pieces.zip(logp).toVector.sortBy { case (p, l) => (-l, p) }
+    // underflow floor (see Scaladoc): dead pieces revive at rare-but-known
+    val minFinite = logp.foldLeft(0.0)((m, l) => if (l != NegInf) math.min(m, l) else m)
+    val floored = logp.map(l => if (l == NegInf) minFinite - 1.0 else l)
+    pieces.zip(floored).toVector.sortBy { case (p, l) => (-l, p) }
   }
 
   /** Scored pieces → model: prepends the [[Unk]] slot at the
