@@ -217,7 +217,10 @@ object UnigramOps {
     require(vocabSize > 1, "vocabSize must exceed the <unk> slot")
     require(emIters >= 1, "emIters must be >= 1 (pruning needs expected counts)")
     val words = markedCounts.toArray.sortBy { case (w, c) => (-c, w) }
-    val seed = seedCandidates(markedCounts, maxPieceLen, seedSize)
+    // seeding reads the SORTED words too: its substring counts accumulate
+    // as doubles, and at 100 TB count scale (sums past 2^53) addition
+    // order would otherwise leak permutation into the seed selection
+    val seed = seedCandidates(words.toSeq, maxPieceLen, seedSize)
     var pieces: Vector[String] = seed.map(_._1)
     var logp: Array[Double] = {
       val total = seed.iterator.map(_._2).sum

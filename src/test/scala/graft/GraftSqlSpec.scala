@@ -1281,8 +1281,11 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT * FROM heavy_hitters('words_v', 'word', 4, 1024, 10)"))
       == rows(graft.pipeline.Profile.cmsHeavyHitters(
         spark.table("words_v"), "word", 4, 1024, 10)))
+    // slice-of-13 gives GENUINELY empty arrays for doc_id % 13 == 0
+    // (sequence(1, 0) would descend to [1, 0], never empty)
     spark.sql("CREATE OR REPLACE TEMP VIEW idseq_v AS " +
-      "SELECT doc_id, sequence(1, CAST(doc_id % 13 AS INT)) AS ids FROM documents_v")
+      "SELECT doc_id, slice(sequence(1, 13), 1, CAST(doc_id % 13 AS INT)) AS ids " +
+      "FROM documents_v")
     assert(rows(spark.sql(
       "SELECT doc_id, chunk_idx, chunk FROM chunk_sequences('idseq_v', 'ids', 4, 3) " +
         "ORDER BY doc_id, chunk_idx"))

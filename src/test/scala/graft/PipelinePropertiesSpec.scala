@@ -83,37 +83,4 @@ class PipelinePropertiesSpec extends AnyFunSuite {
     }
   }
 
-  test("chunk arithmetic: coverage, only-last-short, overlap (random n/window/stride)") {
-    val r = rng
-    (1 to 500).foreach { _ =>
-      val n = r.nextInt(200)
-      val window = 1 + r.nextInt(32)
-      val stride = 1 + r.nextInt(window)
-      // the driver-side mirror of chunkSequences' column arithmetic
-      val nChunks =
-        if (n <= 0) 0
-        else if (n <= window) 1
-        else (n - window + stride - 1) / stride + 1
-      val chunks = (0 until nChunks).map { i =>
-        val s = i * stride
-        (s, math.min(window, n - s))
-      }
-      if (n == 0) assert(chunks.isEmpty)
-      else {
-        // every token covered, starts strictly inside the input
-        assert(chunks.forall { case (s, len) => s >= 0 && s < n && len >= 1 })
-        val covered = chunks.flatMap { case (s, len) => s until (s + len) }.toSet
-        assert(covered == (0 until n).toSet, s"n=$n w=$window s=$stride gap")
-        // only the final chunk may be short
-        assert(chunks.init.forall(_._2 == window),
-          s"non-final short chunk at n=$n w=$window s=$stride")
-        // consecutive chunks overlap by exactly window - stride (full pairs)
-        chunks.sliding(2).foreach {
-          case Seq((s1, l1), (s2, _)) if l1 == window =>
-            assert(s1 + window - s2 == window - stride)
-          case _ =>
-        }
-      }
-    }
-  }
 }

@@ -775,6 +775,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("chunkSequences properties hold on random (n, window, stride) through the PRODUCTION plan") {
+    import spark.implicits._
+    // random lengths INCLUDING 0 and window-multiples, several random
+    // window/stride configs — the Column arithmetic itself is the subject
+    // (a driver-side mirror of the formula would stay green through a
+    // regression in the real expression)
+    val r = new scala.util.Random(7)
+    val rows = (1L to 120L).map(id => (id, (1 to r.nextInt(60)).toArray))
+      .toDF("doc_id", "ids")
+    (1 to 6).foreach { _ =>
+      val window = 1 + r.nextInt(16)
+      val stride = 1 + r.nextInt(window)
+      val got = TrainingSet.chunkSequences(rows, "ids", "chunk", window, stride)
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("chunk_idx"), col("chunk")))).as("cs"))
+        .collect().map(rr => rr.getLong(0) ->
+          rr.getSeq[Row](1).map(_.getSeq[Int](1).toVector).toVector).toMap
+      val orig = rows.collect().map(rr => rr.getLong(0) -> rr.getSeq[Int](1).toVector).toMap
+      orig.foreach { case (id, ids) =>
+        if (ids.isEmpty) assert(!got.contains(id), s"empty doc chunked w=$window s=$stride")
+        else {
+          val cs = got(id)
+          // only the final chunk may be short; all tokens covered in order
+          assert(cs.init.forall(_.size == window), s"doc $id w=$window s=$stride")
+          assert(cs.last.nonEmpty)
+          val rebuilt = cs.head ++ cs.tail.flatMap(_.drop(window - stride))
+          assert(rebuilt == ids, s"doc $id w=$window s=$stride reconstruction")
+        }
+      }
+    }
+  }
+
   test("q105 golden parquet matches a live recompute on sf0.01") {
     val sfDir = "/root/testdata/sf0.01"
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
