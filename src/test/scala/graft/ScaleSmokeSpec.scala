@@ -75,7 +75,10 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q78_zero_cross_copy", "q78_exact_10x",
     "q86_zero_cross_copy", "q86_exact_10x", "q86_candidates_linear",
     "bpe_rows_10x", "bpe_copy0_exact",
-    "html_byte_exact_10x", "url_idempotent_10x")
+    "html_byte_exact_10x", "url_idempotent_10x",
+    "dsir_rows_scored_10x", "dsir_copy0_featurization_exact",
+    "cms_one_sided_10x", "cms_max_exact_invariant",
+    "chunk_rows_exact_10x")
 
   private def writeRecord(): Unit = {
     def j(s: String) = "\"" + s.replace("\"", "'") + "\""
@@ -329,6 +332,66 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
         }).toDF("doc_id", "ok").filter(!col("ok")).count()
       check("html_byte_exact_10x", bad == 0L,
         s"$bad of the ${copies}x pages failed byte-exact reconstruction")
+    }
+
+    // DSIR selection: the curated target stays FIXED (the production
+    // shape) while raw grows 10×. Scores shift globally (the raw
+    // distribution changes — that is the estimator working), so the scale
+    // gates are structural: every raw doc is scored at 10×, and copy 0's
+    // featurization (bigram counts) is bit-identical to the base run.
+    locally {
+      import graft.pipeline.TrainingSet
+      val target = base1x.filter(col("doc_id") % 20 === 0)
+      val w1 = TrainingSet.dsirWeights(base1x, target, "doc_id", "text").cache()
+      val n1 = w1.count()
+      val (w10, n10) = timed(s"dsir weights ${copies}x") {
+        val w = TrainingSet.dsirWeights(base10x, target, "doc_id", "text").cache()
+        (w, w.count())
+      }
+      check("dsir_rows_scored_10x", n10 == copies * n1,
+        s"expected ${copies}x$n1 scored docs, got $n10")
+      val divergent = w10.filter(col("doc_id") < CopyStride)
+        .select(col("doc_id"), col("n_bigrams").as("nb10"))
+        .join(w1.select(col("doc_id"), col("n_bigrams").as("nb1")), "doc_id")
+        .filter(col("nb10") =!= col("nb1")).count()
+      check("dsir_copy0_featurization_exact", divergent == 0,
+        s"$divergent copy-0 docs featurized differently at ${copies}x")
+      w1.unpersist(); w10.unpersist()
+    }
+
+    // CMS heavy hitters: the sketch is depth×width cells no matter the
+    // corpus; copies shift the alphabet, so values never merge across
+    // copies — the max EXACT count at 10× must equal the 1× max, and the
+    // one-sided error bound must hold on every output row.
+    locally {
+      import graft.pipeline.Profile
+      def toks(df: DataFrame) =
+        df.select(explode(graft.pipeline.TextOps.tokens(col("text"))).as("w"))
+      val hh1 = Profile.cmsHeavyHitters(toks(base1x), "w", 4, 1024, 20).collect()
+      val hh10 = timed(s"cms heavy hitters ${copies}x") {
+        Profile.cmsHeavyHitters(toks(base10x), "w", 4, 1024, 20).collect()
+      }
+      check("cms_one_sided_10x",
+        hh10.forall(r => r.getLong(1) >= r.getLong(2)),
+        "CMS underestimated at scale")
+      check("cms_max_exact_invariant",
+        hh10.map(_.getLong(2)).max == hh1.map(_.getLong(2)).max,
+        "copy-shifted vocabularies must not merge counts across copies")
+    }
+
+    // strided chunking: token boundaries are translation-invariant, so
+    // the chunk count at 10× is EXACTLY copies× the base count
+    locally {
+      import graft.pipeline.TrainingSet
+      def chunks(df: DataFrame): Long = TrainingSet.chunkSequences(
+        df.select(col("doc_id"),
+          transform(graft.pipeline.TextOps.tokens(col("text")),
+            (_, i) => i).as("ids")),
+        "ids", "chunk", window = 64, stride = 48).count()
+      val c1 = chunks(base1x)
+      val c10 = timed(s"chunk sequences ${copies}x")(chunks(base10x))
+      check("chunk_rows_exact_10x", c10 == copies * c1,
+        s"expected ${copies}x$c1 chunks, got $c10")
     }
 
     // URL canonicalization: idempotent at 10× (canonical output is a fixed
