@@ -102,8 +102,11 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // assertion inventory, all green, may write the committed record;
     // anything else writes a scratch file so no partial/CI pass can
     // clobber the official sf0.1 artifact
+    // a TAINTED run (loaded box, foreign JVMs) may never clobber the
+    // committed artifact either — it self-identifies in the scratch file
     val official = sys.props.contains("graft.scale.smoke.dir") &&
-      checks.keySet == ExpectedChecks && checks.values.forall(identity)
+      checks.keySet == ExpectedChecks && checks.values.forall(identity) &&
+      !BoxState.tainted(loadStart, foreignStart, foreignEnd)
     val path = if (official) "/root/repo/SCALE_SMOKE.json"
                else "/root/repo/SCALE_SMOKE_ci.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
