@@ -31,6 +31,21 @@ object Bench {
   private def loadAvg(): Double = BoxState.loadAvg()
   private def foreignJvms(): Int = BoxState.foreignJvms()
 
+  /** The cpu count every committed official record was measured at; a run
+    * at any other width produces an official-LOOKING but incomparable
+    * record (VERDICT r13 #3: `SPARK_GRAFT_CPUS` silently defaulted to 4). */
+  val OfficialCpus = 32
+
+  /** Output routing (VERDICT r13 #1): only an untainted full-suite run at
+    * the official cpu width may write the committed `BENCH_full.json`;
+    * subsets go to the scratch file and tainted/nonstandard-width full
+    * runs to `BENCH_tainted.json` — a loaded-box run self-identifies
+    * instead of clobbering the official record (it happened in r13). */
+  private[graft] def recordPath(isSubset: Boolean, tainted: Boolean, cpus: Int): String =
+    if (isSubset) "/root/repo/BENCH_only.json"
+    else if (tainted || cpus != OfficialCpus) "/root/repo/BENCH_tainted.json"
+    else "/root/repo/BENCH_full.json"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -56,6 +71,14 @@ object Bench {
     // that adjudication automatic instead of a judge re-bench.
     val loadStart = loadAvg()
     val foreignStart = foreignJvms()
+    // Mid-run exogenous-load watch (VERDICT r13 #2): sample CPU ticks
+    // between queries and track the max per-interval FOREIGN share plus the
+    // max raw 1-min load. Raw load is informational only — the run's own
+    // 32-thread bursts keep it elevated for a minute after every query —
+    // while foreign share subtracts our lineage's ticks exactly.
+    var lastTicks = BoxState.cpuTicks()
+    var foreignCpuMax = 0.0
+    var loadMax = loadStart
     // warm the JVM/codegen/shuffle machinery so the first timed query does
     // not absorb session startup cost
     spark.range(2000000).selectExpr("sum(id * 2)").write.mode("overwrite").format("noop").save()
@@ -90,6 +113,10 @@ object Bench {
       System.gc()
       Thread.sleep(150)
       System.gc()
+      val nowTicks = BoxState.cpuTicks()
+      foreignCpuMax = math.max(foreignCpuMax, BoxState.foreignShare(lastTicks, nowTicks))
+      lastTicks = nowTicks
+      loadMax = math.max(loadMax, loadAvg())
       if (debug) {
         val rt = Runtime.getRuntime
         System.err.println(s"[bench-debug] $name t=${r3(elapsed)} " +
@@ -123,21 +150,17 @@ object Bench {
     // file — whichever line survives the tail window parses.
     val spread = byQuery.map(r => s""""${r.name}":[${r3(r.mn)},${r3(r.mx)}]""")
       .mkString("{", ",", "}")
-    // BENCH_full.json is the OFFICIAL full-suite record: a
-    // SPARK_GRAFT_BENCH_ONLY subset run (local profiling, judge isolation
-    // re-runs) must never clobber it — an r11 subset run overwrote the
-    // committed 98-query record with a single-query file. Subset runs get
-    // their own scratch artifact.
-    val fullPath =
-      if (only.isEmpty) "/root/repo/BENCH_full.json"
-      else "/root/repo/BENCH_only.json"
     // End-of-run box state + taint verdict (thresholds in BoxState.tainted;
     // raw values recorded so a grader can apply stricter bands; load_end is
-    // dominated by the run's own 32-core work — completeness, not a gate).
+    // dominated by the run's own 32-core work — completeness, not a gate;
+    // foreign_cpu_max is the load-adjudicable mid-run signal).
     val loadEnd = loadAvg()
+    loadMax = math.max(loadMax, loadEnd)
     val foreignEnd = foreignJvms()
-    val tainted = BoxState.tainted(loadStart, foreignStart, foreignEnd)
+    val tainted = BoxState.tainted(loadStart, foreignStart, foreignEnd, foreignCpuMax)
+    val fullPath = recordPath(only.nonEmpty, tainted, cpus.toInt)
     val box = s""""box":{"load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},""" +
+      s""""load_max":${r3(loadMax)},"foreign_cpu_max":${r3(foreignCpuMax)},""" +
       s""""foreign_jvms_start":$foreignStart,"foreign_jvms_end":$foreignEnd,""" +
       s""""heap_max_mb":${Runtime.getRuntime.maxMemory() / (1 << 20)},""" +
       s""""cpus":$cpus,"tainted":$tainted}"""

@@ -25,10 +25,76 @@ object BoxState {
     }
   }
 
+  /** Cumulative CPU tick counters at one instant: whole-box busy and total
+    * ticks (from `/proc/stat`), plus the ticks consumed by THIS process and
+    * its ancestor chain (`/proc/<pid>/stat` utime+stime — sbt's fork-IO
+    * pumping is ours, not contention). Differencing two snapshots yields
+    * the interval's foreign CPU share. */
+  final case class CpuTicks(systemBusy: Long, systemTotal: Long, ownTicks: Long)
+
+  private def readFirstLine(path: String): Option[String] =
+    try {
+      val src = scala.io.Source.fromFile(path)
+      try src.getLines().nextOption() finally src.close()
+    } catch { case _: Throwable => None }
+
+  /** Snapshot the box + own-lineage CPU tick counters. Returns ticks of 0
+    * where `/proc` is unreadable, which makes [[foreignShare]] degrade to
+    * 0.0 (no false taints on exotic platforms). */
+  def cpuTicks(): CpuTicks = {
+    val sys = readFirstLine("/proc/stat").map(_.trim.split("\\s+")) match {
+      // cpu user nice system idle iowait irq softirq steal ...
+      case Some(f) if f.length >= 8 && f(0) == "cpu" =>
+        val v = f.drop(1).map(s => try s.toLong catch { case _: Throwable => 0L })
+        val idle = v(3) + (if (v.length > 4) v(4) else 0L) // idle + iowait
+        val busy = v.take(8).sum - idle
+        (busy, busy + idle)
+      case _ => (0L, 0L)
+    }
+    var own = 0L
+    var p = java.util.Optional.of(ProcessHandle.current())
+    while (p.isPresent) {
+      readFirstLine(s"/proc/${p.get.pid()}/stat").foreach { line =>
+        // comm (field 2) may contain spaces — parse after the closing paren
+        val rest = line.substring(line.lastIndexOf(')') + 1).trim.split("\\s+")
+        // rest(0) = field 3 (state); utime = field 14 → idx 11, stime → idx 12
+        if (rest.length > 12)
+          own += (try rest(11).toLong + rest(12).toLong catch { case _: Throwable => 0L })
+      }
+      p = p.get.parent()
+    }
+    CpuTicks(sys._1, sys._2, own)
+  }
+
+  /** Fraction of the interval's whole-box CPU capacity consumed by
+    * processes OUTSIDE this JVM's ancestor chain — the load-adjudication
+    * signal a raw 1-minute load average cannot give mid-run (the run's own
+    * 32-thread bursts dominate the load average for a minute after each
+    * query; foreign share subtracts them exactly). */
+  def foreignShare(a: CpuTicks, b: CpuTicks): Double = {
+    val total = b.systemTotal - a.systemTotal
+    if (total <= 0) 0.0
+    else {
+      val foreign = (b.systemBusy - a.systemBusy) - (b.ownTicks - a.ownTicks)
+      math.max(0.0, foreign.toDouble / total)
+    }
+  }
+
+  /** Foreign CPU share above which a record is not load-adjudicable: a
+    * quarter of the box doing someone else's work during a timed interval
+    * is exactly the contamination class (observed exogenous spikes read
+    * 0.4-0.9 here while a quiet box reads < 0.02). */
+  val ForeignCpuTaint = 0.25
+
   /** Taint verdict for a record whose run STARTED at `loadStart`: the
     * launcher's own sbt spin leaves ~0.5-1.0 in the 1-min average, while
     * the contamination class behind past adjudications reads 2-4+; any
-    * foreign JVM at either endpoint is an automatic taint. */
-  def tainted(loadStart: Double, foreignStart: Int, foreignEnd: Int): Boolean =
-    loadStart > 1.5 || foreignStart > 0 || foreignEnd > 0
+    * foreign JVM at either endpoint is an automatic taint, as is a mid-run
+    * foreign CPU share (max over sampled intervals) above
+    * [[ForeignCpuTaint]] — the VERDICT r13 gap where an exogenous spike
+    * landed between start and end samples. */
+  def tainted(loadStart: Double, foreignStart: Int, foreignEnd: Int,
+              foreignCpuMax: Double = 0.0): Boolean =
+    loadStart > 1.5 || foreignStart > 0 || foreignEnd > 0 ||
+      foreignCpuMax > ForeignCpuTaint
 }

@@ -50,6 +50,13 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
   // box state at suite START (class init) — the record's taint inputs
   private val loadStart = BoxState.loadAvg()
   private val foreignStart = BoxState.foreignJvms()
+  // mid-run exogenous-load watch (VERDICT r13 #2): the committed r13 smoke
+  // was "untainted" by its endpoint samples while an exogenous spike landed
+  // mid-run (load_end 20.78) — foreign CPU share per timed phase catches
+  // exactly that, without the own-work confound of the raw load average
+  private var lastTicks = BoxState.cpuTicks()
+  private var foreignCpuMax = 0.0
+  private var loadMax = loadStart
 
   private val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
   private val checks = scala.collection.mutable.LinkedHashMap[String, Boolean]()
@@ -92,10 +99,13 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // run self-identifies instead of needing adjudication
     def r3(x: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     val loadEnd = BoxState.loadAvg()
+    loadMax = math.max(loadMax, loadEnd)
     val foreignEnd = BoxState.foreignJvms()
+    val taintVerdict = BoxState.tainted(loadStart, foreignStart, foreignEnd, foreignCpuMax)
     val box = s""""box":{"load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},""" +
+      s""""load_max":${r3(loadMax)},"foreign_cpu_max":${r3(foreignCpuMax)},""" +
       s""""foreign_jvms_start":$foreignStart,"foreign_jvms_end":$foreignEnd,""" +
-      s""""tainted":${BoxState.tainted(loadStart, foreignStart, foreignEnd)}}"""
+      s""""tainted":$taintVerdict}"""
     val json = s"""{"dir":${j(sfDir)},"copies":$copies,"cpus":$cpus,"timings_sec":$t,"metrics":$m,$box,"asserts":$a}"""
     // the BENCH_full/BENCH_only convention: only an EXPLICIT bench-scale
     // run (-Dgraft.scale.smoke.dir=...) that produced the COMPLETE
@@ -106,7 +116,7 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // committed artifact either — it self-identifies in the scratch file
     val official = sys.props.contains("graft.scale.smoke.dir") &&
       checks.keySet == ExpectedChecks && checks.values.forall(identity) &&
-      !BoxState.tainted(loadStart, foreignStart, foreignEnd)
+      !taintVerdict
     val path = if (official) "/root/repo/SCALE_SMOKE.json"
                else "/root/repo/SCALE_SMOKE_ci.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
@@ -168,6 +178,10 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = f
     val secs = (System.nanoTime() - t0) / 1e9
     timings(label) = secs
+    val nowTicks = BoxState.cpuTicks()
+    foreignCpuMax = math.max(foreignCpuMax, BoxState.foreignShare(lastTicks, nowTicks))
+    lastTicks = nowTicks
+    loadMax = math.max(loadMax, BoxState.loadAvg())
     info(f"[scale-smoke] $label: $secs%.2f s")
     println(f"[scale-smoke] $label: $secs%.2f s")
     r
