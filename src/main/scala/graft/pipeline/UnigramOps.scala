@@ -67,6 +67,19 @@ object UnigramOps {
 
   private val NegInf = Double.NegativeInfinity
 
+  /** True when code-unit index `k` falls INSIDE a surrogate pair of `w` —
+    * a substring boundary there would manufacture lone-surrogate pieces
+    * (ADVICE r13: supplementary-plane characters are one code point but
+    * two UTF-16 code units; all piece boundaries must respect that). */
+  private def splitsPair(w: String, k: Int): Boolean =
+    k > 0 && k < w.length &&
+      Character.isHighSurrogate(w.charAt(k - 1)) && Character.isLowSurrogate(w.charAt(k))
+
+  /** "Single character" in the user-visible sense: one CODE POINT — an
+    * emoji or rare-CJK piece of String length 2 still counts. */
+  private def isSingleCodePoint(s: String): Boolean =
+    s.nonEmpty && s.codePointCount(0, s.length) == 1
+
   private def logSumExp(a: Double, b: Double): Double =
     if (a == NegInf) b
     else if (b == NegInf) a
@@ -74,22 +87,26 @@ object UnigramOps {
     else b + math.log1p(math.exp(a - b))
 
   /** Seed candidates from a (boundary-marked) word histogram: every
-    * substring up to `maxPieceLen` scored by weighted occurrence count;
-    * ALL single characters kept, plus the top `seedSize` multi-char
-    * substrings by (count desc, piece asc). Returns (piece, count) in the
-    * seed's deterministic order: chars ascending, then chosen multi-char
-    * pieces by the same (count desc, piece asc) rank. */
+    * surrogate-pair-respecting substring up to `maxPieceLen` CODE UNITS,
+    * scored by weighted occurrence count; ALL single CODE POINTS kept
+    * (an astral character of String length 2 is a "char" here), plus the
+    * top `seedSize` multi-code-point substrings by (count desc, piece
+    * asc). Returns (piece, count) in the seed's deterministic order:
+    * chars ascending, then chosen multi-char pieces by the same
+    * (count desc, piece asc) rank. */
   def seedCandidates(markedCounts: Seq[(String, Long)], maxPieceLen: Int,
                      seedSize: Int): Vector[(String, Double)] = {
     val freq = new java.util.HashMap[String, Double]()
     markedCounts.foreach { case (w, c) =>
       var i = 0
       while (i < w.length) {
-        var j = i + 1
-        val jMax = math.min(i + maxPieceLen, w.length)
-        while (j <= jMax) {
-          freq.merge(w.substring(i, j), c.toDouble, (a, b) => a + b)
-          j += 1
+        if (!splitsPair(w, i)) {
+          var j = i + 1
+          val jMax = math.min(i + maxPieceLen, w.length)
+          while (j <= jMax) {
+            if (!splitsPair(w, j)) freq.merge(w.substring(i, j), c.toDouble, (a, b) => a + b)
+            j += 1
+          }
         }
         i += 1
       }
@@ -98,8 +115,8 @@ object UnigramOps {
       import scala.jdk.CollectionConverters._
       freq.asScala.toVector
     }
-    val chars = all.filter(_._1.length == 1).sortBy(_._1)
-    val multi = all.filter(_._1.length > 1)
+    val chars = all.filter(p => isSingleCodePoint(p._1)).sortBy(_._1)
+    val multi = all.filter(p => !isSingleCodePoint(p._1))
       .sortBy { case (p, c) => (-c, p) }
       .take(seedSize)
     chars ++ multi
@@ -241,9 +258,10 @@ object UnigramOps {
         val id = new java.util.HashMap[String, Int](pieces.size * 2)
         pieces.zipWithIndex.foreach { case (p, i) => id.put(p, i) }
         // loss of dropping p: its expected usage times how much worse its
-        // own string segments without it. Single chars are never dropped;
+        // own string segments without it. Single CODE POINTS are never
+        // dropped (an astral char of String length 2 is still "single");
         // dead pieces (zero expectation / -inf score) drop first for free.
-        val prunable = pieces.zipWithIndex.filter(_._1.length > 1)
+        val prunable = pieces.zipWithIndex.filter(p => !isSingleCodePoint(p._1))
         val excess = pieces.size - (vocabSize - 1)
         if (excess > prunable.size) throw new IllegalArgumentException(
           s"vocabSize=$vocabSize cannot hold the " +
@@ -347,8 +365,11 @@ object UnigramOps {
         }
         j += 1
       }
-      if (best(i) == NegInf) { // unknown char fallback: consume one as <unk>
-        best(i) = best(i - 1) + unkLogp; backLen(i) = 1; backId(i) = 0
+      if (best(i) == NegInf) {
+        // unknown char fallback: consume one CODE POINT as a single <unk>
+        // (an astral char is one unknown, not a lone-surrogate pair of them)
+        val step = if (splitsPair(marked, i - 1)) 2 else 1
+        best(i) = best(i - step) + unkLogp; backLen(i) = step; backId(i) = 0
       }
       i += 1
     }

@@ -451,6 +451,20 @@ object GraftPipelineFunctions {
     * External files behind an unchanged path (someone overwriting a
     * parquet dir in place) are assumed immutable — the same assumption
     * Spark's own CACHE TABLE makes. */
+  /** Version token for a NON-graft DataSourceV2 leaf (ADVICE r13): a
+    * name-only token would serve stale memoized results forever after the
+    * foreign table mutates. Use a snapshot-ish table property when the
+    * connector exposes one; otherwise emit a per-call nonce — the memo
+    * then never hits for that table, degrading to plain (correct) rebuild
+    * instead of silent staleness. */
+  private[graft] def foreignV2Token(name: String,
+                                  props: java.util.Map[String, String]): String = {
+    val ver = Seq("current-snapshot-id", "snapshot-id", "current-version", "version")
+      .iterator.flatMap(k => Option(props.get(k))).nextOption()
+    ver.map(v => s"v2:$name:$v")
+      .getOrElse(s"v2:$name:nocache:${java.util.UUID.randomUUID()}")
+  }
+
   private def versionToken(spark: SparkSession, table: String): String = {
     val analyzed = spark.table(table).queryExecution.analyzed
     val perLeaf = analyzed.collectLeaves().map {
@@ -458,7 +472,7 @@ object GraftPipelineFunctions {
         r.table match {
           case g: GraftSparkTable =>
             s"ice:${g.ice.ident}:${g.snapshotId.orElse(g.ice.metadata.currentSnapshotId)}:${g.branch.getOrElse("")}"
-          case t => s"v2:${t.name}"
+          case t => foreignV2Token(t.name, t.properties())
         }
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         s"local:${l.data.hashCode}"

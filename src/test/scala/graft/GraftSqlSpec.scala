@@ -1308,6 +1308,21 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("cap_per_group"), e2.getMessage)
   }
 
+  test("foreign V2 version tokens: property-versioned tables memoize, versionless never do") {
+    import graft.spark.sql.GraftPipelineFunctions.foreignV2Token
+    // a connector exposing a snapshot-ish property gets a STABLE token —
+    // stale-detection rides the property like graft tables ride snapshots
+    val versioned = new java.util.HashMap[String, String]()
+    versioned.put("current-snapshot-id", "42")
+    assert(foreignV2Token("cat.t", versioned) == foreignV2Token("cat.t", versioned))
+    versioned.put("current-snapshot-id", "43")
+    assert(foreignV2Token("cat.t", versioned).endsWith(":43"))
+    // no version signal → per-call nonce: the memo can never serve a stale
+    // plan for a mutable foreign table (ADVICE r13) — it just rebuilds
+    val bare = new java.util.HashMap[String, String]()
+    assert(foreignV2Token("cat.t", bare) != foreignV2Token("cat.t", bare))
+  }
+
   test("expensive TVF builds memoize per (args, table-version); mutation invalidates") {
     import graft.spark.sql.GraftPipelineFunctions
     val sfDir = "/root/testdata/sf0.001"

@@ -96,6 +96,42 @@ class UnigramSpec extends AnyFunSuite with BeforeAndAfterAll {
       model.pieces) == Vector("ab"))
   }
 
+  test("astral-plane chars: surrogate pairs are single code points end-to-end") {
+    // ADVICE r13: a supplementary-plane char has String length 2 — the
+    // prune protection, the seed's char bucket, and the <unk> fallback
+    // must all treat it as ONE character, never as two lone surrogates.
+    val emoji = new String(Character.toChars(0x1F600)) // 😀, length 2
+    val cjkB = new String(Character.toChars(0x20BB7))  // 𠮷, length 2
+    val hist = Seq(s"$B${emoji}ab" -> 10L, s"$B$emoji" -> 5L, s"${B}ab" -> 8L)
+
+    // seeding: the pair lands in the char bucket intact; NO lone surrogate
+    // piece is ever manufactured by substring enumeration
+    val seeds = UnigramOps.seedCandidates(hist, maxPieceLen = 3, seedSize = 100)
+    assert(seeds.exists(_._1 == emoji), "astral char missing from seed chars")
+    // an UNPAIRED surrogate surfaces as a code point in the D800-DFFF gap
+    assert(seeds.forall(_._1.codePoints().toArray.forall(cp => cp < 0xD800 || cp > 0xDFFF)),
+      s"lone-surrogate piece seeded: ${seeds.map(_._1)}")
+
+    // prune protection: squeeze the vocab so every multi-code-point piece
+    // must go — the astral char survives as an unprunable "character"
+    val scored = UnigramOps.trainPieces(hist, vocabSize = 5, maxPieceLen = 3,
+      seedSize = 100, emIters = 2)
+    // charset = {▁, 😀, a, b} — exactly the 4 surviving pieces
+    assert(scored.map(_._1).toSet == Set(B.toString, emoji, "a", "b"))
+
+    // <unk> fallback: an astral char OUTSIDE the vocab is one <unk>, and
+    // segmentation never splits its surrogate pair
+    val model = UnigramOps.buildModel(scored)
+    val id = new java.util.HashMap[String, Int]()
+    model.pieces.zipWithIndex.foreach { case ((p, _), i) => if (i > 0) id.put(p, i) }
+    val segKnown = UnigramOps.segmentWord(s"$B${emoji}ab", id, model.pieces, model.maxPieceLen)
+    assert(segKnown.forall(_ != 0), "trained astral char must not emit <unk>")
+    assert(UnigramOps.decode(segKnown.toSeq, model.pieces).mkString(" ").contains(emoji))
+    val segUnknown = UnigramOps.segmentWord(s"$B$cjkB", id, model.pieces, model.maxPieceLen)
+    assert(segUnknown.count(_ == 0) == 1,
+      s"one unknown astral char must emit exactly one <unk>, got ${segUnknown.toSeq}")
+  }
+
   test("tokenCounts: hand-checked counts, null text, unknown chars") {
     import spark.implicits._
     val model = UnigramOps.UnigramModel(Vector(
