@@ -61,6 +61,11 @@ object IceMV {
 
   final case class RefreshResult(strategy: Strategy, rowsWritten: Long)
 
+  /** Row bound under which a refresh write is one target-size file (the
+    * [[graft.spark.IceWrite.fileCountHint]] ~4M-rows-per-file constant) —
+    * the threshold below which the sizing count() job is skipped. */
+  private val SmallWriteRows = 4000000L
+
   private val StatePropKey = "graft.mv.refresh-state"
   private val AvgPropKey = "graft.mv.avg-cols"
   private val DistinctPropKey = "graft.mv.distinct"
@@ -391,14 +396,39 @@ object IceMV {
     // manifest-exact stored row count, no extra data pass
     def fileHint(rows: Long): Option[Int] = IceWrite.fileCountHint(rows)
 
+    // The sizing count() exists ONLY to pick the output file count. For an
+    // expansion-free plan (no join, no generator) output rows never exceed
+    // input rows, and the inputs are manifest-exact driver-side — when that
+    // bound already pins the hint to one ~4M-row file, the count() job is
+    // pure per-refresh constant (the q14/q97 latency class) and is skipped;
+    // the parallel write jobs then fill the shared cache under RDD block
+    // locks instead of a dedicated materialization pass.
+    val expansionFree = !plan.exists {
+      case _: Join => true
+      case _: Generate => true
+      case _ => false
+    }
+    def rowBound(incremental: Boolean): Long = sources.map { t =>
+      val oldSeq =
+        if (incremental)
+          state.get(t.metadata.tableUuid)
+            .flatMap(s => t.snapshotById(s.toLong)).map(_.sequenceNumber)
+        else None
+      t.currentSnapshot(None).map(snap =>
+        t.dataFiles(snap, afterSequence = oldSeq).map(_.dataFile.recordCount).sum)
+        .getOrElse(0L)
+    }.sum
+
     strategy match {
       case FullOverwrite | IncrementalOverwrite =>
-        val out = materializeFull().cache()
+        val small = expansionFree && rowBound(incremental = false) <= SmallWriteRows
+        // small: single consumer, bound-pinned hint — no cache, no count job
+        val out = if (small) materializeFull() else materializeFull().cache()
         val files = IceWrite.writeDataFiles(spark, storage, out, storage.schema,
-          outFiles = fileHint(out.count()))
+          outFiles = if (small) Some(1) else fileHint(out.count()))
         storage.newTransaction(None).replace(files).updateProperties(stateProps).commit()
         val n = files.map(_.recordCount).sum
-        out.unpersist()
+        if (!small) out.unpersist()
         RefreshResult(strategy, n)
 
       case IncrementalAppend =>
@@ -461,19 +491,26 @@ object IceMV {
         val delKeys = deltaAgg.select(groupNames.map(col): _*).distinct()
 
         val keyIds = storage.schema.fields.filter(f => groupNames.contains(f.name)).map(_.id)
-        // counting the cached delta materializes it ONCE here; pos and
-        // delKeys then both reuse the in-memory relation. pos rows ==
-        // delta-group rows by construction (left join), so the file hint
-        // needs no stored-row estimate.
-        val deltaRows = deltaAgg.count()
+        // pos rows == delta-group rows by construction (left join), so the
+        // file hint needs no stored-row estimate. When the manifest-exact
+        // added-row bound pins the hint to one file, skip the sizing
+        // count(): the two parallel write jobs below fill the shared
+        // deltaAgg cache under RDD block locks (one computes, the other
+        // waits on the block) — same work, one fewer scheduler round trip.
+        // The stored side of the pos join broadcasts off IceScan's
+        // manifest-exact stats either way, so the join plan is unaffected
+        // by deltaAgg's unmaterialized estimate.
+        val hint =
+          if (expansionFree && rowBound(incremental = true) <= SmallWriteRows) Some(1)
+          else fileHint(deltaAgg.count())
         // the two file sets are independent jobs over the cached delta —
         // overlap them; the commit below still lands both atomically
         val (dataFiles, delFiles) = IceWrite.inParallel(
           IceWrite.writeDataFiles(spark, storage, pos, storage.schema,
-            outFiles = fileHint(deltaRows)),
+            outFiles = hint),
           IceWrite.writeDataFiles(spark, storage, delKeys,
             storage.schema.project(keyIds), content = ManifestModel.ContentEqualityDeletes,
-            equalityIds = keyIds, outFiles = fileHint(deltaRows)))
+            equalityIds = keyIds, outFiles = hint))
         storage.newTransaction(None)
           .appendData(dataFiles).appendDeletes(delFiles)
           .updateProperties(stateProps).commit()
