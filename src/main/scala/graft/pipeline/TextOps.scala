@@ -281,6 +281,70 @@ object TextOps {
         (coalesce(col("__nd"), lit(0L)) * lit(1.0) / col("n_windows")).as("dup_frac"))
   }
 
+  /** Duplicate-span REMOVAL — the corpus-rewrite tail of [[dupSpanStats]]
+    * (the Lee et al. 2022 exact-substring dedup family ends by rewriting
+    * the corpus, not just flagging it): every `span`-token window shared
+    * by ≥2 DISTINCT docs is excised from all holders except the canonical
+    * one (minimum doc id per window hash — that doc keeps every occurrence
+    * it has); per doc, overlapping flagged windows merge into maximal
+    * spans before excision. Output per input row: `idCol, n_tokens BIGINT,
+    * n_removed BIGINT, n_spans BIGINT` (maximal merged spans excised) and
+    * `cleaned_text` — the surviving tokens of the lowercased [[tokens]]
+    * stream re-joined with single spaces (the normalization every TextOps
+    * kernel applies; byte-layout beyond token order is not preserved).
+    *
+    * Scale shape: one corpus-scale window-hash aggregate (the inherent
+    * exact-substring cost class — the windows frame is cached because the
+    * canonical aggregate and the occurrence join both consume it), a hash
+    * equi-join back to occurrences, then PER-ROW array algebra: removal
+    * starts sort + interval-merge via `aggregate()` (fixed window width ⇒
+    * one pass), token filtering against the merged intervals. The merged
+    * frame `iv` is referenced by two output columns so CollapseProject
+    * keeps it evaluated once per row rather than inlining the merge into
+    * the per-token lambda. Nothing is collected; skew is bounded by the
+    * window-hash group sizes (duplicated windows), the same profile as
+    * [[dupSpanStats]]. */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     span: Int = 10): DataFrame = {
+    val par = df.sparkSession.sessionState.conf.numShufflePartitions
+    val toksDf = df.repartition(par).select(col(idCol),
+      tokens(coalesce(col(textCol), lit(""))).as("t"))
+    // 1-based window starts; short docs yield the single clamped tail
+    // window (the dupSpanStats convention, so flag and rewrite agree)
+    val wins = toksDf.select(col(idCol), explode(expr(
+        s"""transform(sequence(1, greatest(size(t) - ${span - 1}, 1)),
+           |  s -> named_struct('s', s,
+           |    'wh', cast(conv(substr(md5(cast(array_join(slice(t, s, $span), ' ') as binary)),
+           |                    1, 15), 16, 10) as bigint)))""".stripMargin)).as("w"))
+      .select(col(idCol), col("w.s").as("s"), col("w.wh").as("wh"))
+      .cache() // two consumers: the canonical aggregate + the occurrence join
+    val canon = wins.groupBy(col("wh"))
+      .agg(min(col(idCol)).as("canon_id"), countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= 2).select("wh", "canon_id")
+    val removals = wins.join(canon, "wh")
+      .filter(col(idCol) =!= col("canon_id"))
+      .groupBy(col(idCol)).agg(sort_array(collect_set(col("s"))).as("rs"))
+    toksDf.join(removals, Seq(idCol), "left")
+      .select(col(idCol), col("t"),
+        coalesce(col("rs"), expr("cast(array() as array<int>)")).as("rs"))
+      .select(col(idCol), col("t"), expr(
+        s"""aggregate(rs, cast(array() as array<struct<b:int,e:int>>),
+           |  (acc, s) -> if(size(acc) > 0 AND s <= element_at(acc, -1).e,
+           |    concat(slice(acc, 1, size(acc) - 1),
+           |           array(named_struct('b', element_at(acc, -1).b,
+           |                              'e', greatest(element_at(acc, -1).e, s + $span)))),
+           |    concat(acc, array(named_struct('b', s, 'e', s + $span)))))""".stripMargin)
+        .as("iv"))
+      .select(col(idCol), col("t"), col("iv"), expr(
+        """filter(transform(t, (tok, j) -> named_struct('tok', tok, 'p', j + 1)),
+          |  q -> NOT exists(iv, v -> v.b <= q.p AND q.p < v.e))""".stripMargin).as("kept"))
+      .select(col(idCol),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
+        size(col("iv")).cast("long").as("n_spans"),
+        expr("array_join(transform(kept, q -> q.tok), ' ')").as("cleaned_text"))
+  }
+
   /** PII patterns shared by detection and redaction. Kept to syntax that
     * behaves identically under Java regex (Spark) and RE2 (DuckDB, and most
     * other engines a redaction audit would re-run in): character classes,

@@ -446,6 +446,14 @@ object PipelineQueries {
       TextOps.dupSpanStats(Tables.documents(s, d), "doc_id", "text", span = 10)
         .orderBy("doc_id")),
 
+    // Duplicate-span REMOVAL (the production tail of q56, Lee et al. 2022):
+    // cross-doc 10-token windows merge into maximal spans and are excised
+    // from every doc except the canonical (min-id) holder; the rewritten
+    // text itself is oracle-compared string-for-string.
+    "q106_remove_dup_spans" -> ((s, d) =>
+      TextOps.removeDupSpans(Tables.documents(s, d), "doc_id", "text", span = 10)
+        .orderBy("doc_id")),
+
     // TF-IDF salient terms (integer-quantized idf → exact BIGINT scores).
     "q57_tfidf" -> ((s, d) =>
       TextOps.tfidfTopK(Tables.documents(s, d), "doc_id", "text", k = 3)
@@ -1478,6 +1486,42 @@ object PipelineQueries {
         |  CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_windows,
         |  coalesce(d.n_dup, 0) * 1.0 / t.n_windows AS dup_frac
         |FROM tot t LEFT JOIN dupc d ON d.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // the q56 windows with positions; canonical holder = min doc id per
+    // shared hash; fixed window width makes the interval merge a lag()
+    // comparison (new span iff start > previous start + span) and the
+    // cleaned text a per-token coverage filter — string-exact vs Spark
+    "q106_remove_dup_spans" ->
+      s"""WITH $tokCte,
+        |wins AS (
+        |  SELECT doc_id, i, ('0x' || substr(md5(array_to_string(w[i:i+9], ' ')), 1, 15))::BIGINT AS wh
+        |  FROM toks, UNNEST(range(1, greatest(len(w) - 8, 2))) AS t(i)),
+        |canon AS (
+        |  SELECT wh, min(doc_id) AS canon_id FROM wins
+        |  GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+        |removals AS (
+        |  SELECT DISTINCT w.doc_id, w.i FROM wins w JOIN canon c ON c.wh = w.wh
+        |  WHERE w.doc_id <> c.canon_id),
+        |spans AS (
+        |  SELECT doc_id, count(*) FILTER (lag_i IS NULL OR i > lag_i + 10) AS n_spans
+        |  FROM (SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS lag_i
+        |        FROM removals)
+        |  GROUP BY doc_id),
+        |rl AS (SELECT doc_id, list(i ORDER BY i) AS rs FROM removals GROUP BY doc_id),
+        |cleaned AS (
+        |  SELECT t.doc_id,
+        |    list_transform(
+        |      list_filter(range(1, len(t.w) + 1),
+        |        i -> len(list_filter(coalesce(r.rs, []), s -> s <= i AND i < s + 10)) = 0),
+        |      i -> t.w[i]) AS kept
+        |  FROM toks t LEFT JOIN rl r USING (doc_id))
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.w) - len(c.kept) AS BIGINT) AS n_removed,
+        |  CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+        |  coalesce(array_to_string(c.kept, ' '), '') AS cleaned_text
+        |FROM toks t JOIN cleaned c USING (doc_id)
+        |LEFT JOIN spans s ON s.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
 
     // idf quantized to ⌊log2(N/nd)⌋ via binary-string length — integer-exact

@@ -120,6 +120,17 @@ object GraftPipelineFunctions {
         tDen = intArg(args, 5, "containment_join").toLong)
     }
 
+    tvf(ext, "remove_dup_spans",
+      "remove_dup_spans(table, id_col, text_col, span) — excise cross-doc " +
+        "duplicate token windows (merged into maximal spans) from every " +
+        "doc except the canonical minimum-id holder; emits n_tokens, " +
+        "n_removed, n_spans and the rewritten cleaned_text") { args =>
+      require(args.length == 4, "remove_dup_spans(table, id_col, text_col, span)")
+      TextOps.removeDupSpans(tableArg(args, 0, "remove_dup_spans"),
+        strArg(args, 1, "remove_dup_spans"), strArg(args, 2, "remove_dup_spans"),
+        span = intArg(args, 3, "remove_dup_spans"))
+    }
+
     tvf(ext, "simhash_pairs",
       "simhash_pairs(table, id_col, text_col, max_hamming) — SimHash-16 " +
         "near-dup pairs via pigeonhole segment blocking") { args =>

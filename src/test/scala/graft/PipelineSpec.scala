@@ -537,6 +537,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d4._2 == 11L && d4._3 >= 2L, s"doc4 stats: $d4")
   }
 
+  test("removeDupSpans excises merged shared spans everywhere but the canonical doc") {
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ") // 12 tokens → 3 shared windows
+    val d = docs(
+      1L -> (shared + " aaa bbb ccc"),       // canonical (min id): keeps everything
+      2L -> ("xxx yyy zzz " + shared),       // loses the 12-token span, keeps its prefix
+      3L -> "unrelated words only here",     // untouched
+      4L -> (shared + " qqq " + shared))     // two occurrences, both excised
+    val got = TextOps.removeDupSpans(d, "doc_id", "text", span = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // canonical doc 1: nothing removed, text round-trips
+    assert(got(1L) == ((15L, 0L, 0L, shared + " aaa bbb ccc")), s"doc1: ${got(1L)}")
+    // doc 2: the three overlapping shared windows merge into ONE maximal
+    // span covering exactly the 12 shared tokens; the unique prefix stays
+    assert(got(2L) == ((15L, 12L, 1L, "xxx yyy zzz")), s"doc2: ${got(2L)}")
+    // doc 3: single short tail window, unshared → untouched
+    assert(got(3L) == ((4L, 0L, 0L, "unrelated words only here")), s"doc3: ${got(3L)}")
+    // doc 4: both occurrences excised as TWO maximal spans (the bridging
+    // windows spanning the qqq separator are unique to doc 4, so the
+    // separator survives and splits the coverage)
+    assert(got(4L) == ((25L, 24L, 2L, "qqq")), s"doc4: ${got(4L)}")
+  }
+
   test("piiStats counts each pattern independently and masks in fixed order") {
     val d = docs(
       1L -> "mail bob.smith+x@corp.example.org and alice@site.io ok",
