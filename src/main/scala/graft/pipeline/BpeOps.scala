@@ -428,7 +428,7 @@ object BpeOps {
     * model must round-trip through storage, not a JVM. Plain parquet:
     * any engine (or the DuckDB oracle) can read the tables. */
   def saveModel(spark: org.apache.spark.sql.SparkSession, model: BpeModel,
-                path: String): Unit = {
+                path: String, bytes: Boolean = false): Unit = {
     import spark.implicits._
     model.merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
       .toDF("rank", "left", "right")
@@ -436,6 +436,25 @@ object BpeOps {
     model.symbols.zipWithIndex.map { case (s, i) => (i, s) }
       .toDF("id", "symbol")
       .repartition(1).write.mode("overwrite").parquet(s"$path/vocab")
+    // the apply MODE is part of the model, not the caller's memory: a
+    // byte-level model ([[trainModelBytes]]) only reproduces its training
+    // tokenization through [[toByteSymbols]], so the dir records which
+    // pre-map to use — [[savedModelBytes]] sniffs it back (legacy dirs
+    // without the marker are char models; the marker postdates them)
+    Seq(("family", "bpe"), ("mode", if (bytes) "bytes" else "chars"))
+      .toDF("key", "value")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** True when the [[saveModel]] dir records byte mode ([[trainModelBytes]]
+    * / [[withTokenIdsBytes]] family); dirs saved before the marker existed
+    * read as char models. */
+  def savedModelBytes(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p) &&
+      spark.read.parquet(s"$path/meta")
+        .where(col("key") === "mode").collect()
+        .exists(_.getString(1) == "bytes")
   }
 
   /** Loads a [[saveModel]] model; merge rank order and id assignment are

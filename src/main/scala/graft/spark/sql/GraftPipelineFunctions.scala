@@ -150,6 +150,39 @@ object GraftPipelineFunctions {
         strArg(args, 1, "exact_clusters"), strArg(args, 2, "exact_clusters"))
     }
 
+    memoTvf(ext, "tokenize_apply",
+      "tokenize_apply(model_dir, table, id_col, text_col) — load a " +
+        "persisted tokenizer model (BPE merges/vocab — char or byte mode " +
+        "per the dir's marker — or unigram pieces, sniffed from the dir) " +
+        "and apply it broadcast-side: emits id_col + token_ids ARRAY<INT>. " +
+        "ZERO training jobs — the train-once/ship-the-model contract " +
+        "end-to-end in SQL. The model dir is an external path and assumed " +
+        "immutable (the CACHE TABLE convention); the memo still rebuilds " +
+        "on table mutation", Seq(1)) { args =>
+      require(args.length == 4, "tokenize_apply(model_dir, table, id_col, text_col)")
+      import graft.pipeline.{BpeOps, UnigramOps}
+      val spark = SparkSession.active
+      val dir = strArg(args, 0, "tokenize_apply")
+      val idC = strArg(args, 2, "tokenize_apply")
+      val textC = strArg(args, 3, "tokenize_apply")
+      val docs = tableArg(args, 1, "tokenize_apply")
+        .select(org.apache.spark.sql.functions.col(idC),
+          org.apache.spark.sql.functions.col(textC))
+      val piecesPath = new org.apache.hadoop.fs.Path(s"$dir/pieces")
+      val isUnigram = piecesPath.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(piecesPath)
+      val applied =
+        if (isUnigram)
+          UnigramOps.withPieceIds(docs, textC, UnigramOps.loadModel(spark, dir), "token_ids")
+        else {
+          val m = BpeOps.loadModel(spark, dir)
+          if (BpeOps.savedModelBytes(spark, dir))
+            BpeOps.withTokenIdsBytes(docs, textC, m, "token_ids")
+          else BpeOps.withTokenIds(docs, textC, m, "token_ids")
+        }
+      applied.drop(textC)
+    }
+
     memoTvf(ext, "bpe_token_counts",
       "bpe_token_counts(table, id_col, text_col, num_merges) — train a " +
         "deterministic BPE tokenizer on the table (capped histogram, " +

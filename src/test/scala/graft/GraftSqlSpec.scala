@@ -1311,6 +1311,66 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("cap_per_group"), e2.getMessage)
   }
 
+  test("tokenize_apply serves persisted models of both families without retraining") {
+    import graft.pipeline.{BpeOps, UnigramOps}
+    import graft.spark.sql.GraftPipelineFunctions
+    import org.apache.spark.sql.functions.col
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // train on HALF the corpus, apply to the OTHER half: row equality with
+    // the in-memory model proves the TVF tokenized from the DIR — a model
+    // (re)trained on the applied half would merge differently
+    val trainHalf = docs.filter(col("doc_id") % 2 === 0)
+    val applyHalf = docs.filter(col("doc_id") % 2 === 1)
+    applyHalf.createOrReplaceTempView("tok_apply_v")
+    val base = java.nio.file.Files.createTempDirectory("tok_models").toString
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+
+    val bpeM = BpeOps.trainModel(trainHalf, "text", numMerges = 32)
+    BpeOps.saveModel(spark, bpeM, s"$base/bpe")
+    val bpeSql = s"SELECT * FROM tokenize_apply('$base/bpe', 'tok_apply_v', 'doc_id', 'text')"
+    assert(rows(spark.sql(bpeSql + " ORDER BY doc_id")) ==
+      rows(BpeOps.withTokenIds(applyHalf, "text", bpeM, "token_ids")
+        .drop("text").orderBy("doc_id")))
+
+    val byteM = BpeOps.trainModelBytes(trainHalf, "text", numMerges = 32)
+    BpeOps.saveModel(spark, byteM, s"$base/bpeb", bytes = true)
+    assert(rows(spark.sql(
+      s"SELECT * FROM tokenize_apply('$base/bpeb', 'tok_apply_v', 'doc_id', 'text') ORDER BY doc_id")) ==
+      rows(BpeOps.withTokenIdsBytes(applyHalf, "text", byteM, "token_ids")
+        .drop("text").orderBy("doc_id")),
+      "byte-mode marker must route the apply through toByteSymbols")
+
+    val uniM = UnigramOps.trainModel(trainHalf, "text", vocabSize = 128)
+    UnigramOps.saveModel(spark, uniM, s"$base/uni")
+    assert(rows(spark.sql(
+      s"SELECT * FROM tokenize_apply('$base/uni', 'tok_apply_v', 'doc_id', 'text') ORDER BY doc_id")) ==
+      rows(UnigramOps.withPieceIds(applyHalf, "text", uniM, "token_ids")
+        .drop("text").orderBy("doc_id")),
+      "a pieces/ dir must sniff as a unigram model")
+
+    // no-retraining evidence beyond cross-corpus parity: a memoized
+    // re-issue plans with ZERO Spark jobs (no load, no train, no scan)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val b0 = GraftPipelineFunctions.tvfBuilds.get()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sql(bpeSql).queryExecution.analyzed // analysis runs the builder
+      Thread.sleep(500) // listener bus is async
+      assert(GraftPipelineFunctions.tvfBuilds.get() == b0,
+        "re-issued tokenize_apply must serve from the memo")
+      assert(jobs.get() == 0,
+        s"memoized tokenize_apply analysis ran ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("foreign V2 version tokens: property-versioned tables memoize, versionless never do") {
     import graft.spark.sql.GraftPipelineFunctions.foreignV2Token
     // a connector exposing a snapshot-ish property gets a STABLE token —
