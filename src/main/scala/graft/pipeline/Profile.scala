@@ -87,13 +87,19 @@ object Profile {
     * wants truth next to the estimate; at 100 TB the sketch side is the
     * point — it merges across partitions/streams in O(depth·width) and
     * never shuffles the value domain. */
+  /** The md5-hex-prefix CMS bucket (`bucket_r(v) = md5(r ':' v)[0,8) mod
+    * width`) — the ONE hashing convention every sketch producer and
+    * consumer shares, so sketches built by different jobs (or the DuckDB
+    * oracle) merge and compare cell-for-cell. */
+  private def cmsBucket(r: Column, v: Column, width: Int): Column =
+    conv(substring(md5(concat(r.cast("string"), lit(":"), v.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % width
+
   def cmsHeavyHitters(df: DataFrame, valueCol: String, depth: Int = 4,
                       width: Int = 1024, k: Int = 20): DataFrame = {
     require(depth >= 1 && width >= 2 && k >= 1,
       s"depth=$depth width=$width k=$k out of range")
-    def bucket(r: Column, v: Column): Column =
-      conv(substring(md5(concat(r.cast("string"), lit(":"), v.cast("string"))), 1, 8), 16, 10)
-        .cast("long") % width
+    def bucket(r: Column, v: Column): Column = cmsBucket(r, v, width)
     // NULL is not a value: it hashes to a NULL bucket and has no defined
     // string form, so null rows are EXCLUDED explicitly (a null-heavy
     // column's null mass is Profile.profile's n_null job, and SkewOps
@@ -121,6 +127,62 @@ object Profile {
       .limit(k)
       .select(col("v").as(valueCol), col("est_count"), col("exact_count"))
   }
+
+  /** The raw CMS cell table for `df`'s instance stream: one row per
+    * OCCUPIED (r, bkt) with the exact instance count — this IS the sketch
+    * (a missing cell means 0; at most depth×width rows regardless of
+    * corpus size). Built like [[cmsHeavyHitters]]'s internal frame: one
+    * corpus-scale per-value aggregate, then cells from vocabulary-scale
+    * rows. Exposed because the cell table is the mergeable / persistable
+    * artifact: cell-wise sum over sketches of two disjoint slices equals
+    * the whole-data sketch exactly (Cormode & Muthukrishnan 2005's
+    * mergeability), which is what [[mergeSketches]], the q107 oracle, and
+    * the streaming profile all lean on. NULL values are excluded by the
+    * [[cmsHeavyHitters]] contract. */
+  def cmsSketch(df: DataFrame, valueCol: String, depth: Int = 4,
+                width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2, s"depth=$depth width=$width out of range")
+    val exact = df.select(col(valueCol).as("v")).filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    exact.select(col("v"), col("c"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r"), cmsBucket(col("r"), col("v"), width).as("bkt"), col("c"))
+      .groupBy(col("r"), col("bkt")).agg(sum(col("c")).as("c"))
+  }
+
+  /** Cell-wise sum of two (or N, by folding) sketch cell tables built with
+    * the SAME (depth, width): the O(depth·width) merge that lets sketches
+    * accumulate across partitions, table slices, or stream micro-batches
+    * without ever rescanning the data they summarized. */
+  def mergeSketches(a: DataFrame, b: DataFrame): DataFrame =
+    a.select("r", "bkt", "c").unionByName(b.select("r", "bkt", "c"))
+      .groupBy(col("r"), col("bkt")).agg(sum(col("c")).as("c"))
+
+  /** Persists a sketch cell table as plain parquet (any engine can read,
+    * merge, and estimate from it — the model-persistence convention of
+    * [[graft.pipeline.BpeOps.saveModel]]). */
+  def saveSketch(sketch: DataFrame, path: String): Unit =
+    sketch.select(col("r").cast("int").as("r"), col("bkt").cast("long").as("bkt"),
+        col("c").cast("long").as("c"))
+      .repartition(1).write.mode("overwrite").parquet(path)
+
+  /** Loads a [[saveSketch]] cell table. */
+  def loadSketch(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select("r", "bkt", "c")
+
+  /** Point estimates for `values` against a standing sketch: min over the
+    * depth rows of the value's cells (a missing sparse cell is 0), via one
+    * broadcast join — the sketch is KB, the probe never shuffles. The
+    * estimate keeps CMS's one-sided error: ≥ the true count of the value
+    * IN THE SKETCHED DATA whenever every row cell is present. `depth` and
+    * `width` must be the sketch's own. */
+  def cmsEstimate(sketch: DataFrame, values: DataFrame, valueCol: String,
+                  depth: Int, width: Int): DataFrame =
+    values.select(col(valueCol).as("v")).filter(col("v").isNotNull).distinct()
+      .select(col("v"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("v"), col("r"), cmsBucket(col("r"), col("v"), width).as("bkt"))
+      .join(broadcast(sketch.select("r", "bkt", "c")), Seq("r", "bkt"), "left")
+      .groupBy(col("v")).agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+      .select(col("v").as(valueCol), col("est_count"))
 
   /** Equal-width histogram: bin = ⌊value / width⌋, with count, exact
     * min/max, and the bin's sum (decimal-exact for 2-dp monetary data,

@@ -930,6 +930,30 @@ object PipelineQueries {
           array_join(col("chunk"), " ").as("token_ids_csv"))
         .orderBy("doc_id", "chunk_idx")),
 
+    // CMS MERGEABILITY as data (the q104 sketch's distributed contract):
+    // sketches built independently over the even- and odd-doc token slices
+    // merge by cell-wise sum into exactly the whole-corpus sketch — every
+    // cell is emitted with both the merged and the independently-derived
+    // whole-table count (equal row by row), the property that lets
+    // sketches accumulate across partitions, table slices, and stream
+    // micro-batches without rescanning (Profile.mergeSketches /
+    // IceStreaming.streamSketch).
+    "q107_sketch_merge" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      import graft.pipeline.Profile
+      val merged = Profile.mergeSketches(
+        Profile.cmsSketch(toks.filter(col("doc_id") % 2 === 0), "w", depth = 4, width = 256),
+        Profile.cmsSketch(toks.filter(col("doc_id") % 2 === 1), "w", depth = 4, width = 256))
+      val whole = Profile.cmsSketch(toks, "w", depth = 4, width = 256)
+        .withColumnRenamed("c", "c_whole")
+      merged.join(whole, Seq("r", "bkt"), "full")
+        .select(col("r").cast("int").as("r"), col("bkt"),
+          coalesce(col("c"), lit(0L)).as("c"),
+          coalesce(col("c_whole"), lit(0L)).as("c_whole"))
+        .orderBy("r", "bkt")
+    }),
+
     // Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005) over
     // the corpus token stream: the mergeable few-KB sketch every streaming
     // hot-key detector ships, built cell-for-cell identically on both
@@ -2181,6 +2205,21 @@ object PipelineQueries {
       """SELECT doc_id, chunk_idx, n_chunk_tokens, token_ids_csv
         |FROM read_parquet('/root/repo/src/test/resources/golden/q105_chunk_sequences.parquet')
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // the slice sketches and the whole-table sketch derive INDEPENDENTLY
+    // (per-half cell counts summed vs one pass over all instances); the
+    // full join proves cell-set equality, the values prove mass equality
+    "q107_sketch_merge" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+        |inst AS (SELECT doc_id % 2 AS half, tok FROM toks, UNNEST(w) AS u(tok)),
+        |rb AS (SELECT half, r, ('0x' || substr(md5(r::VARCHAR || ':' || tok), 1, 8))::BIGINT % 256 AS bkt
+        |       FROM inst, UNNEST(range(0, 4)) AS g(r)),
+        |cells AS (SELECT half, r, bkt, count(*) AS c FROM rb GROUP BY half, r, bkt),
+        |merged AS (SELECT r, bkt, CAST(sum(c) AS BIGINT) AS c FROM cells GROUP BY r, bkt),
+        |whole AS (SELECT r, bkt, CAST(count(*) AS BIGINT) AS c_whole FROM rb GROUP BY r, bkt)
+        |SELECT CAST(m.r AS INT) AS r, m.bkt, m.c, w.c_whole
+        |FROM merged m FULL JOIN whole w USING (r, bkt)
+        |ORDER BY r, bkt""".stripMargin,
 
     // the sketch recomputes cell-for-cell in SQL (md5-bucket rows, q67's
     // hex-prefix convention); (est desc, word) is a total order so the

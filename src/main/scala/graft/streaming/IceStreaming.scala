@@ -174,6 +174,44 @@ object IceStreaming {
       .start()
   }
 
+  /** Continuous profiling: tails `source`, builds a per-micro-batch CMS
+    * cell table over `valueCol` ([[graft.pipeline.Profile.cmsSketch]]),
+    * and folds it into a STANDING sketch table (`r INT, bkt BIGINT,
+    * c BIGINT`) with one ACID replace per batch — hot-key detection over
+    * continuous ingest without ever rescanning history (the merge is
+    * O(depth·width) cells, the batch pass is O(batch)). Exactly-once: the
+    * batch id rides the replace snapshot's summary, so a replayed batch is
+    * skipped wholesale and no cell is ever double-counted. The standing
+    * table stays estimate-ready at every commit: any reader can
+    * [[graft.pipeline.Profile.cmsEstimate]] against its current snapshot,
+    * or [[graft.pipeline.Profile.mergeSketches]] it with sketches from
+    * other streams/tables built at the same (depth, width). */
+  def streamSketch(spark: SparkSession, source: IceTable, sketch: IceTable,
+                   valueCol: String, checkpoint: String,
+                   depth: Int = 4, width: Int = 1024,
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   maxFilesPerTrigger: Int = 0): StreamingQuery =
+    streamTable(spark, source, maxFilesPerTrigger).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatchOnce(sketch, checkpoint, batchId) { summary =>
+          val t = sketch.refresh()
+          val batchCells = graft.pipeline.Profile.cmsSketch(batch, valueCol, depth, width)
+          val merged = t.currentSnapshot(None) match {
+            case Some(_) => graft.pipeline.Profile.mergeSketches(
+              graft.spark.IceScan.scan(spark, t), batchCells)
+            case None => batchCells
+          }
+          val files = IceWrite.writeDataFiles(spark, t, merged, t.schema)
+          t.newTransaction(None).replace(files)
+            .summaryExtra(summary.toSeq: _*).commit(): Unit
+        }
+        ()
+      }
+      .start()
+
   /** Continuous materialized-view maintenance: tails `source` (a table the
     * MV reads from) and triggers one [[graft.spark.IceMV.refresh]] per
     * micro-batch — each a snapshot-diff INCREMENTAL merge, so the MV tracks

@@ -36,9 +36,12 @@ class Transaction(table: IceTable, branch: Option[String]) {
   private var refUpdates: Map[String, (Long, Option[Long], Option[Int])] = Map.empty
   private var extraSummary: Map[String, String] = Map.empty
 
-  /** Extra key-values merged into the append snapshot's summary — provenance
-    * the commit should carry (e.g. cherry-pick source ids; the reference's
-    * additional-summary hook carries MV refresh state the same way). */
+  /** Extra key-values merged into the new snapshot's summary — provenance
+    * the commit should carry (e.g. cherry-pick source ids, streaming batch
+    * ids for exactly-once; the reference's additional-summary hook carries
+    * MV refresh state the same way). Applied on EVERY snapshot-producing
+    * op — append, replace, manifest rewrites — a streaming replace sink's
+    * batch ledger rides replace commits (streamSketch). */
   def summaryExtra(kv: (String, String)*): Transaction = {
     extraSummary ++= kv; this
   }
@@ -291,7 +294,7 @@ class Transaction(table: IceTable, branch: Option[String]) {
           "added-data-files" -> files.size.toString,
           "added-records" -> files.map(_.recordCount).sum.toString,
           "total-records" -> files.map(_.recordCount).sum.toString,
-          "total-data-files" -> files.size.toString),
+          "total-data-files" -> files.size.toString) ++ extraSummary,
         Some(m.currentSchemaId))
       requirements :+= TableRequirement.AssertRefSnapshotId(branchName, expectedRef)
       // a bare replace supersedes the table's history (reference semantics:
@@ -336,7 +339,7 @@ class Transaction(table: IceTable, branch: Option[String]) {
           "added-data-files" -> rewriteAdded.size.toString,
           "added-records" -> rewriteAdded.map(_.recordCount).sum.toString,
           "total-records" -> allData.map(ml => ml.addedRowsCount + ml.existingRowsCount).sum.toString,
-          "total-data-files" -> allData.map(ml => ml.addedFilesCount + ml.existingFilesCount).sum.toString),
+          "total-data-files" -> allData.map(ml => ml.addedFilesCount + ml.existingFilesCount).sum.toString) ++ extraSummary,
         Some(m.currentSchemaId))
       requirements :+= TableRequirement.AssertRefSnapshotId(branchName, expectedRef)
       updates :+= TableUpdate.AddSnapshot(snap)
@@ -361,7 +364,7 @@ class Transaction(table: IceTable, branch: Option[String]) {
         Map("operation" -> "delete",
           "rewritten-delete-files" -> rewriteDeleteAdded.size.toString,
           "total-records" -> carried.map(ml => ml.addedRowsCount + ml.existingRowsCount).sum.toString,
-          "total-data-files" -> carried.map(ml => ml.addedFilesCount + ml.existingFilesCount).sum.toString),
+          "total-data-files" -> carried.map(ml => ml.addedFilesCount + ml.existingFilesCount).sum.toString) ++ extraSummary,
         Some(m.currentSchemaId))
       requirements :+= TableRequirement.AssertRefSnapshotId(branchName, expectedRef)
       updates :+= TableUpdate.AddSnapshot(snap)

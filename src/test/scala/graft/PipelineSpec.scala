@@ -560,6 +560,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4L) == ((25L, 24L, 2L, "qqq")), s"doc4: ${got(4L)}")
   }
 
+  test("CMS sketches merge cell-for-cell and round-trip through parquet") {
+    import graft.pipeline.Profile
+    import spark.implicits._
+    val words = (1 to 50).map(i => (i.toLong, s"w${i % 6}")).toDF("id", "w")
+    val whole = Profile.cmsSketch(words, "w", depth = 3, width = 32)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // mergeability: disjoint slices sum to the whole sketch exactly
+    val merged = Profile.mergeSketches(
+      Profile.cmsSketch(words.filter(col("id") % 2 === 0), "w", 3, 32),
+      Profile.cmsSketch(words.filter(col("id") % 2 === 1), "w", 3, 32))
+    assert(cells(merged) == cells(whole))
+    // persistence: save/load round-trips the cells bit-for-bit
+    val dir = java.nio.file.Files.createTempDirectory("cms").toString + "/sk"
+    Profile.saveSketch(whole, dir)
+    assert(cells(Profile.loadSketch(spark, dir)) == cells(whole))
+    // estimates stay one-sided after the round trip; unseen values read 0
+    val est = Profile.cmsEstimate(Profile.loadSketch(spark, dir),
+        words.union(Seq((99L, "unseen")).toDF("id", "w")), "w", 3, 32)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (0 to 5).foreach { k =>
+      val exact = (1 to 50).count(_ % 6 == k).toLong
+      assert(est(s"w$k") >= exact, s"w$k: ${est(s"w$k")} < $exact")
+    }
+    assert(est("unseen") <= 50L, "an unseen value's estimate is bounded by collisions")
+  }
+
   test("piiStats counts each pattern independently and masks in fixed order") {
     val d = docs(
       1L -> "mail bob.smith+x@corp.example.org and alice@site.io ok",

@@ -168,6 +168,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"1-file cap must split the backlog into singleton batches: $batchSizes")
   }
 
+  test("streamSketch folds micro-batch sketches into a standing cell table exactly-once") {
+    import spark.implicits._
+    import graft.pipeline.Profile
+    val cat = new FileCatalog(Files.createTempDirectory("skwh").toString)
+    val srcSchema = IceSchema(0, Seq(
+      NestedField(1, "id", required = false, IceType.LongT),
+      NestedField(2, "word", required = false, IceType.StringT)))
+    var source = cat.createTable(TableIdent(Seq("db"), "words"), srcSchema, PartitionSpec(0, Nil))
+    val skSchema = IceSchema(0, Seq(
+      NestedField(1, "r", required = false, IceType.IntT),
+      NestedField(2, "bkt", required = false, IceType.LongT),
+      NestedField(3, "c", required = false, IceType.LongT)))
+    val sketch = cat.createTable(TableIdent(Seq("db"), "sketch"), skSchema, PartitionSpec(0, Nil))
+
+    val rows = (1 to 60).map(i => (i.toLong, s"w${i % 7}"))
+    // three commits → three backlog files → 1-file cap forces 3 micro-batches
+    rows.grouped(20).foreach { g =>
+      source = graft.spark.IceWrite.append(spark, source, g.toDF("id", "word"))
+    }
+    val ckpt = Files.createTempDirectory("skckpt").toString
+    IceStreaming.streamSketch(spark, source, sketch, "word", ckpt,
+      depth = 4, width = 64, maxFilesPerTrigger = 1).awaitTermination()
+
+    val standing = IceScan.scan(spark, sketch.refresh())
+      .select("r", "bkt", "c").collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = Profile.cmsSketch(rows.toDF("id", "word"), "word", 4, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(standing == whole,
+      s"standing sketch must equal the whole-data sketch: $standing vs $whole")
+    // three micro-batches ran (ids 0..2); each replace supersedes the
+    // previous snapshot, so the LATEST snapshot alone carries the ledger —
+    // sufficient for exactly-once because batch ids are monotonic
+    assert(IceStreaming.lastCommittedBatch(sketch.refresh(), ckpt).contains(2L))
+
+    // exactly-once: the crash window (table commit landed, checkpoint
+    // marker lost) replays the final batch — the cells must not double
+    deleteLastCommitMarker(ckpt)
+    IceStreaming.streamSketch(spark, source, sketch.refresh(), "word", ckpt,
+      depth = 4, width = 64, maxFilesPerTrigger = 1).awaitTermination()
+    val after = IceScan.scan(spark, sketch.refresh())
+      .select("r", "bkt", "c").collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(after == whole, "a replayed batch must not double-count cells")
+
+    // the standing table is estimate-ready: one-sided error per value
+    val est = Profile.cmsEstimate(IceScan.scan(spark, sketch.refresh()),
+        rows.toDF("id", "word"), "word", 4, 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    exact.foreach { case (w, n) =>
+      assert(est(w) >= n, s"CMS estimate for $w underestimated: ${est(w)} < $n")
+    }
+  }
+
   test("streamDedupIngest appends only novel docs; the index grows mid-stream") {
     import spark.implicits._
     val cat = new FileCatalog(Files.createTempDirectory("ddwh").toString)
