@@ -144,6 +144,47 @@ object Dedup {
           / (size(col("__ca")) + size(col("__cb"))
             - size(array_intersect(col("__ca"), col("__cb"))))).as("jaccard"))
 
+  /** Paragraph-granularity near-dup: split each page into paragraphs on
+    * blank lines, run the standing MinHash band pipeline PER PARAGRAPH,
+    * and roll the paragraph pairs up to (page pair, shared-paragraph
+    * mass). Catches partial-overlap pages — syndication, quote farms, a
+    * copied section inside otherwise-unique pages — that page-level
+    * Jaccard at high thresholds misses entirely and [[containmentJoin]]
+    * only sees one direction of.
+    *
+    * Output: `id_a, id_b` (page ids, `id_a < id_b` by construction —
+    * paragraph ids order by page first), `n_para_pairs` (near-dup
+    * paragraph pairs between the two pages), `n_paras_a` / `n_paras_b`
+    * (distinct paragraphs of each page involved). Within-page paragraph
+    * dups are excluded (same-page pairs roll out).
+    *
+    * Scale: identical to [[minhashNearDups]] — the paragraph frame is just
+    * a bigger "document" set through the SAME band equi-join (no
+    * all-pairs; the plan gate covers it), and the roll-up is one
+    * aggregate over the pair frame. Paragraph ids pack as
+    * `page_id * maxParas + index`; pages with more than `maxParas`
+    * paragraphs consider only their first `maxParas` (id-collision
+    * safety — raise the bound for paragraph-heavy corpora). */
+  def paragraphNearDups(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                        threshold: Double = 0.5, maxParas: Int = 1024): DataFrame = {
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n\\s*\n")).as(Seq("__pidx", "__ptext")))
+      .filter(trim(col("__ptext")) =!= "" && col("__pidx") < maxParas)
+      .select((col(idCol) * maxParas + col("__pidx")).as("__pid"), col("__ptext"))
+    minhashNearDups(paras, "__pid", "__ptext", shingleSize, numHashes, bands, threshold)
+      .select(expr(s"CAST(id_a DIV $maxParas AS BIGINT)").as("pg_a"),
+        expr(s"CAST(id_b DIV $maxParas AS BIGINT)").as("pg_b"),
+        col("id_a"), col("id_b"))
+      .filter(col("pg_a") =!= col("pg_b"))
+      .groupBy(col("pg_a"), col("pg_b"))
+      .agg(count(lit(1)).as("n_para_pairs"),
+        countDistinct(col("id_a")).as("n_paras_a"),
+        countDistinct(col("id_b")).as("n_paras_b"))
+      .select(col("pg_a").as("id_a"), col("pg_b").as("id_b"),
+        col("n_para_pairs"), col("n_paras_a"), col("n_paras_b"))
+  }
+
   /** Full MinHash near-dup pipeline: shingle → sign → band → bucket-join →
     * exact-verify, returning pairs with Jaccard ≥ `threshold`. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,

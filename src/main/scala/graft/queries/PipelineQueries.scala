@@ -446,6 +446,24 @@ object PipelineQueries {
       TextOps.dupSpanStats(Tables.documents(s, d), "doc_id", "text", span = 10)
         .orderBy("doc_id")),
 
+    // Paragraph-granularity near-dup: the synthetic corpus is
+    // single-paragraph, so the query PLANTS the syndication shape (the q58
+    // convention): page i = own text + blank line + text of doc (i+7) mod N,
+    // giving every page a partial overlap with its +7 neighbor that
+    // page-level Jaccard at 0.5+ misses. The paragraph pairs ride the
+    // standing MinHash band join and roll up to page-pair mass.
+    "q108_paragraph_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val n = docs.count()
+      val pages = docs.join(
+          docs.select(col("doc_id").as("nid"), col("text").as("ntext")),
+          (col("doc_id") + 7) % n === col("nid"), "left")
+        .select(col("doc_id").as("page_id"),
+          concat_ws("\n\n", col("text"), col("ntext")).as("page_text"))
+      Dedup.paragraphNearDups(pages, "page_id", "page_text")
+        .orderBy("id_a", "id_b")
+    }),
+
     // Duplicate-span REMOVAL (the production tail of q56, Lee et al. 2022):
     // cross-doc 10-token windows merge into maximal spans and are excised
     // from every doc except the canonical (min-id) holder; the rewritten
@@ -1511,6 +1529,56 @@ object PipelineQueries {
         |  coalesce(d.n_dup, 0) * 1.0 / t.n_windows AS dup_frac
         |FROM tot t LEFT JOIN dupc d ON d.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    // the q24 minhash chain verbatim over a PARAGRAPH frame (paragraph id
+    // = page*1024 + index, built directly from the planted page algebra),
+    // then the page-pair roll-up; paragraph ids order by page first so
+    // id_a < id_b carries to pages
+    "q108_paragraph_neardup" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+        |pages AS (SELECT d.doc_id AS page_id, d.text AS p0, d2.text AS p1
+        |          FROM documents d CROSS JOIN nn
+        |          LEFT JOIN documents d2 ON d2.doc_id = (d.doc_id + 7) % nn.n),
+        |paras AS (SELECT page_id * 1024 + 0 AS doc_id, p0 AS text FROM pages
+        |            WHERE p0 IS NOT NULL AND trim(p0) <> ''
+        |          UNION ALL
+        |          SELECT page_id * 1024 + 1, p1 FROM pages
+        |            WHERE p1 IS NOT NULL AND trim(p1) <> ''),
+        |toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM paras),
+        |shingles AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+        |  FROM toks, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)),
+        |perm(h, a, b) AS (VALUES ${(0 until 16).map(h =>
+             s"(${h}, ${graft.pipeline.Dedup.permA(h)}, ${graft.pipeline.Dedup.permB(h)})").mkString(", ")}),
+        |hashed AS (
+        |  SELECT doc_id, h,
+        |    min((a * (('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647) + b) % 2147483647) AS mh
+        |  FROM shingles, perm GROUP BY doc_id, h),
+        |bands AS (
+        |  SELECT doc_id, h // 4 AS band, md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY h)) AS sig
+        |  FROM hashed GROUP BY doc_id, h // 4),
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS i
+        |  FROM cand c JOIN shingles sa ON sa.doc_id = c.id_a
+        |    JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+        |  GROUP BY c.id_a, c.id_b),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c
+        |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        |  JOIN counts ca ON ca.doc_id = c.id_a
+        |  JOIN counts cb ON cb.doc_id = c.id_b
+        |  WHERE coalesce(i.i, 0) * 1.0 / (ca.n_sh + cb.n_sh - coalesce(i.i, 0)) >= 0.5),
+        |rolled AS (SELECT id_a // 1024 AS pg_a, id_b // 1024 AS pg_b, id_a, id_b
+        |           FROM pairs WHERE id_a // 1024 <> id_b // 1024)
+        |SELECT pg_a AS id_a, pg_b AS id_b, CAST(count(*) AS BIGINT) AS n_para_pairs,
+        |  CAST(count(DISTINCT id_a) AS BIGINT) AS n_paras_a,
+        |  CAST(count(DISTINCT id_b) AS BIGINT) AS n_paras_b
+        |FROM rolled GROUP BY pg_a, pg_b ORDER BY id_a, id_b""".stripMargin,
 
     // the q56 windows with positions; canonical holder = min doc id per
     // shared hash; fixed window width makes the interval merge a lag()

@@ -537,6 +537,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d4._2 == 11L && d4._3 >= 2L, s"doc4 stats: $d4")
   }
 
+  test("paragraphNearDups catches partial-overlap pages that page-level jaccard misses") {
+    val shared = (1 to 30).map(i => s"para$i").mkString(" ")
+    val uniqueA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val uniqueB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val uniqueC = (1 to 30).map(i => s"gamma$i").mkString(" ")
+    val d = docs(
+      1L -> (uniqueA + "\n\n" + shared),          // page 1: own content + syndicated para
+      2L -> (shared + "\n\n" + uniqueB),          // page 2: same syndicated para, reordered
+      3L -> uniqueC,                              // single-paragraph page, unrelated
+      4L -> (uniqueA + " " + shared))             // one PARAGRAPH merging both (no blank line)
+    val got = Dedup.paragraphNearDups(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // pages 1 and 2 share exactly one paragraph (1 pair, 1 para each side)
+    assert(got.contains((1L, 2L, 1L, 1L, 1L)), s"got $got")
+    // page-level jaccard would read ~1/3 here — below any dedup threshold;
+    // the paragraph roll-up is the only signal. Page 3 pairs with nobody,
+    // and page 4's merged single paragraph is jaccard ~0.5 to either half
+    // at best — assert nothing links page 3
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L), s"got $got")
+    // page-level verification of the premise: whole-page jaccard of 1-2 is
+    // far below the 0.5 threshold (the operator's reason to exist)
+    val pageLevel = Dedup.minhashNearDups(d, "doc_id", "text")
+      .filter((col("id_a") === 1 && col("id_b") === 2)).count()
+    assert(pageLevel == 0, "premise broken: page-level dedup already catches the pair")
+  }
+
   test("removeDupSpans excises merged shared spans everywhere but the canonical doc") {
     val shared = (1 to 12).map(i => s"tok$i").mkString(" ") // 12 tokens → 3 shared windows
     val d = docs(

@@ -69,6 +69,16 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"candidate join not keyed on bucket:\n$plan")
   }
 
+  test("paragraph near-dup candidates ride the band equi-join — no all-pairs") {
+    val plan = physicalPlan(PipelineQueries.queries("q108_paragraph_neardup")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"paragraph candidate generation fell back to all-pairs:\n$plan")
+    // the LSH bucket join keys on (band, sig) exactly like q24
+    assert(plan.contains("Join [band") || plan.contains("SortMergeJoin [band") ||
+      plan.contains("BroadcastHashJoin [band") || plan.contains("ShuffledHashJoin [band"),
+      s"candidate join not keyed on the LSH band:\n$plan")
+  }
+
   test("IVF cell assignment has no per-row window or n-times-cells shuffle") {
     val plan = physicalPlan(PipelineQueries.queries("q36_ivf_topk")(spark, sf))
     // exactly one Window remains: the final per-query top-k ranking. The old
