@@ -250,7 +250,21 @@ object IceWrite {
         .as(f.name, targetSchema(f.name).metadata)
     }: _*)
 
-    val partFields = if (content == ContentData) spec.fields else Nil
+    // Equality-delete files are PARTITION-SCOPED when every partition
+    // source column is among the delete columns: each delete row lands in
+    // the dir its own values derive (the same transform the data rows
+    // used), so a scoped file masks exactly what the global file would —
+    // while the read fold's affected-tag map and per-partition maintenance
+    // see O(affected partitions) of delete metadata instead of one opaque
+    // global blob (the Iceberg spec's partition-scoped delete contract).
+    // Position deletes and eq deletes missing a partition source stay
+    // global: their rows cannot be scoped safely.
+    val partFields =
+      if (content == ContentData) spec.fields
+      else if (content == ContentEqualityDeletes && spec.fields.nonEmpty &&
+               spec.fields.forall(pf => writeSchema.fieldById(pf.sourceId).isDefined))
+        spec.fields
+      else Nil
     // default write sort order (clustering): range-partition + local sort on
     // unpartitioned tables (disjoint per-file bounds → max statistics
     // pruning); local sort inside each partition dir on partitioned tables

@@ -208,6 +208,41 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(unions <= 1, s"per-partition fan-out is back ($unions unions):\n$plan")
   }
 
+  test("equality deletes keyed on the partition source write PARTITION-SCOPED files") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "scopedw"), ordersSchema, daySpec)
+    val dates = (1 to 8).map(i => f"2021-03-$i%02d")
+    val rows = for (d <- dates; id <- 1L to 10L) yield (id, id, id % 3, d, 1)
+    table = IceWrite.append(spark, table,
+      rows.toDF("id", "customer_id", "product_id", "date", "amount")
+        .withColumn("date", to_date($"date")))
+    // the delete key (id, date) COVERS the partition source (date) → the
+    // write itself scopes the files per partition dir, no manual stamping
+    val toDel = dates.zipWithIndex.map { case (d, i) => ((i + 1).toLong, d) }
+      .toDF("id", "date").withColumn("date", to_date($"date"))
+    table = IceWrite.appendEqualityDeletes(spark, table, toDel, equalityIds = Seq(1, 4))
+    val delEntries = table.deleteFiles(table.currentSnapshot(None).get)
+    assert(delEntries.size == 8, s"expected one scoped file per touched partition: ${delEntries.size}")
+    assert(delEntries.forall(_.dataFile.partition.exists(_._2 != null)),
+      "scoped delete files must carry a real partition tuple")
+    // masking identical to the global form: id=i gone only from partition i
+    val df = IceScan.scan(spark, table)
+    assert(df.count() == 72)
+    assert(df.filter($"id" === 1L).count() == 7)
+    // a delete key NOT covering the partition source still writes global
+    var t2 = cat.createTable(TableIdent(Seq("test"), "globalw"), ordersSchema, daySpec)
+    t2 = IceWrite.append(spark, t2, rows.take(10)
+      .toDF("id", "customer_id", "product_id", "date", "amount")
+      .withColumn("date", to_date($"date")))
+    t2 = IceWrite.appendEqualityDeletes(spark, t2, Seq(1L).toDF("id"), equalityIds = Seq(1))
+    assert(t2.deleteFiles(t2.currentSnapshot(None).get)
+      .forall(_.dataFile.partition.forall(_._2 == null)),
+      "an id-only delete on a partitioned table must stay global")
+    assert(IceScan.scan(spark, t2).count() == 9)
+  }
+
   test("write sort order clusters files into disjoint ranges; pruning hits one file") {
     implicit val s: SparkSession = spark
     import s.implicits._

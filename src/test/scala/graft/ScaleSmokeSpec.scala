@@ -85,7 +85,9 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "html_byte_exact_10x", "url_idempotent_10x",
     "dsir_rows_scored_10x", "dsir_copy0_featurization_exact",
     "cms_one_sided_10x", "cms_max_exact_invariant",
-    "chunk_rows_exact_10x")
+    "chunk_rows_exact_10x",
+    "mor_scoped_delete_volume", "mor_results_exact",
+    "mor_plan_unions_bounded", "mor_antijoins_per_seq_point")
 
   private def writeRecord(): Unit = {
     def j(s: String) = "\"" + s.replace("\"", "'") + "\""
@@ -316,6 +318,82 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("q86_candidates_linear",
       c10 <= copies * c1 * 1.2 && c10 >= copies * c1 * 0.8,
       s"candidate ratio ${c10.toDouble / c1} outside the linear band (1x=$c1, ${copies}x=$c10)")
+  }
+
+  test("MoR scan survives hundreds of scoped delete files at constant plan width") {
+    // VERDICT r13 #7: the pipeline smoke never stressed the table side.
+    // Fixture: a 50-partition table, 100k rows in two appends, EIGHT
+    // equality-delete waves each writing ~50 PARTITION-SCOPED delete files
+    // (the delete key covers the partition source, so the write path scopes
+    // them natively), a re-insert BETWEEN waves (sequence ordering must
+    // keep it alive against the older deletes), and a positional mask on
+    // top — then one scan, gated on exact results and constant plan width.
+    import graft.catalog.{FileCatalog, TableIdent}
+    import graft.spark.{IceScan, IceWrite}
+    import graft.spec.{IceSchema, IceType, NestedField, PartitionField, PartitionSpec}
+    import spark.implicits._
+    val cat = new FileCatalog(
+      java.nio.file.Files.createTempDirectory("mor_smoke").toString)
+    val schema = IceSchema(0, Seq(
+      NestedField(1, "id", required = false, IceType.LongT),
+      NestedField(2, "part", required = false, IceType.LongT),
+      NestedField(3, "v", required = false, IceType.LongT)))
+    val spec = PartitionSpec(0,
+      Seq(PartitionField(2, 1000, "part", graft.core.Transform.Identity)))
+    var t = cat.createTable(TableIdent(Seq("smoke"), "mor"), schema, spec)
+    def rowsDf(ids: Range) =
+      ids.map(i => (i.toLong, (i % 50).toLong, i.toLong * 3)).toDF("id", "part", "v")
+    t = IceWrite.append(spark, t, rowsDf(0 until 50000))
+    t = IceWrite.append(spark, t, rowsDf(50000 until 100000))
+
+    def wave(w: Int): Range = (w * 5000) until (w * 5000 + 1250)
+    def delWave(w: Int): Unit = {
+      val d = wave(w).map(i => (i.toLong, (i % 50).toLong)).toDF("id", "part")
+      t = IceWrite.appendEqualityDeletes(spark, t, d, equalityIds = Seq(1, 2))
+    }
+    (0 until 4).foreach(delWave)
+    // the re-insert: wave 0's range comes back NEWER than waves 0-3
+    t = IceWrite.append(spark, t, rowsDf(0 until 1250))
+    timed("mor deletes waves 4-8")((4 until 8).foreach(delWave))
+    t = IceWrite.appendPositionDeletes(spark, t, col("v") % 997 === 0)
+
+    val delEntries = t.deleteFiles(t.currentSnapshot(None).get)
+    val scoped = delEntries.filter(e =>
+      e.dataFile.content == graft.table.ManifestModel.ContentEqualityDeletes &&
+        e.dataFile.partition.exists(_._2 != null))
+    metrics("mor_delete_files") = delEntries.size.toDouble
+    check("mor_scoped_delete_volume", scoped.size >= 200,
+      s"expected >=200 scoped delete files across 50 partitions, got ${scoped.size}")
+
+    val df = IceScan.scan(spark, t)
+    val got = timed("mor scan 400 delete files") {
+      df.select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    // exact oracle, derived independently: survivors of the 8 waves, plus
+    // the re-inserted range, minus the positional mask (v=3id, gcd(3,997)=1
+    // → id % 997 == 0)
+    val deleted = (0 until 8).flatMap(wave).toSet
+    val expected = (((0 until 100000).filterNot(deleted) ++ (0 until 1250))
+      .filter(_ % 997 != 0)).map(_.toLong).sorted
+    check("mor_results_exact", got == expected,
+      s"scan returned ${got.size} rows, expected ${expected.size}")
+
+    // plan width: ONE consolidated fold — data segments union once (the
+    // re-insert split), anti-joins stay one per (sequence point, eq-id
+    // group) + one positional mask, regardless of the 400 files
+    val plan = df.queryExecution.executedPlan.toString
+    val unions = plan.split('\n').count(_.contains("Union"))
+    val antis = plan.split('\n').count(_.contains("LeftAnti"))
+    metrics("mor_plan_unions") = unions.toDouble
+    metrics("mor_plan_antijoins") = antis.toDouble
+    check("mor_plan_unions_bounded", unions <= 2,
+      s"per-partition or per-file fan-out is back ($unions unions):\n$plan")
+    // Catalyst pushes the anti-joins through the data-segment union
+    // (PushLeftSemiLeftAntiThroughJoin family), so the physical bound is
+    // (seq points + positional) × data segments = 9 × 2 — NOT O(files):
+    // 400 delete files collapse to ≤18 joins, each a multi-file delete scan
+    check("mor_antijoins_per_seq_point", antis <= 18,
+      s"anti-joins must group per sequence point, got $antis:\n$plan")
   }
 
   test("zero-shuffle text/url kernels scale linearly with structure preserved") {
