@@ -53,8 +53,14 @@ object BpeOps {
   type Merges = Vector[(String, String)]
 
   /** Trained model: the merge table plus the deterministic id-assigned
-    * symbol vocabulary (index = token id). `symbols(0)` is [[Unk]]. */
-  final case class BpeModel(merges: Merges, symbols: Vector[String])
+    * symbol vocabulary (index = token id). `symbols(0)` is [[Unk]].
+    * `bytes` records the APPLY MODE as part of the model itself: a
+    * byte-level model only reproduces its training tokenization through
+    * [[toByteSymbols]], and a caller-remembered flag proved forgettable
+    * (review r14) — [[trainModelBytes]] stamps it, persistence round-trips
+    * it, and [[withModelTokenIds]]/tokenize_apply dispatch on it. */
+  final case class BpeModel(merges: Merges, symbols: Vector[String],
+                            bytes: Boolean = false)
 
   /** Exact-integer BPE merge training over a word-type histogram.
     * `wordCounts`: (word type, occurrence count); the histogram order does
@@ -270,7 +276,7 @@ object BpeOps {
     val hist = histogram(docs, textCol, maxWordTypes)
       .map { case (w, c) => (toByteSymbols(w), c) }
     val merges = trainMerges(hist, numMerges)
-    BpeModel(merges, buildVocabBytes(merges))
+    BpeModel(merges, buildVocabBytes(merges), bytes = true)
   }
 
   /** Phase 1: the capped word-type histogram — the only corpus-scale job.
@@ -428,7 +434,7 @@ object BpeOps {
     * model must round-trip through storage, not a JVM. Plain parquet:
     * any engine (or the DuckDB oracle) can read the tables. */
   def saveModel(spark: org.apache.spark.sql.SparkSession, model: BpeModel,
-                path: String, bytes: Boolean = false): Unit = {
+                path: String): Unit = {
     import spark.implicits._
     model.merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
       .toDF("rank", "left", "right")
@@ -436,12 +442,9 @@ object BpeOps {
     model.symbols.zipWithIndex.map { case (s, i) => (i, s) }
       .toDF("id", "symbol")
       .repartition(1).write.mode("overwrite").parquet(s"$path/vocab")
-    // the apply MODE is part of the model, not the caller's memory: a
-    // byte-level model ([[trainModelBytes]]) only reproduces its training
-    // tokenization through [[toByteSymbols]], so the dir records which
-    // pre-map to use — [[savedModelBytes]] sniffs it back (legacy dirs
-    // without the marker are char models; the marker postdates them)
-    Seq(("family", "bpe"), ("mode", if (bytes) "bytes" else "chars"))
+    // the apply mode rides the model (BpeModel.bytes) and round-trips
+    // through the dir marker — legacy dirs without it read as char models
+    Seq(("family", "bpe"), ("mode", if (model.bytes) "bytes" else "chars"))
       .toDF("key", "value")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
   }
@@ -449,7 +452,7 @@ object BpeOps {
   /** True when the [[saveModel]] dir records byte mode ([[trainModelBytes]]
     * / [[withTokenIdsBytes]] family); dirs saved before the marker existed
     * read as char models. */
-  def savedModelBytes(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+  private def savedModelBytes(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$path/meta")
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p) &&
       spark.read.parquet(s"$path/meta")
@@ -469,6 +472,14 @@ object BpeOps {
       .sortBy(_.getInt(0)).map(_.getString(1)).toVector
     require(symbols.nonEmpty && symbols(0) == Unk,
       s"$path/vocab is not a graft BPE vocab (id 0 must be $Unk)")
-    BpeModel(merges, symbols)
+    BpeModel(merges, symbols, bytes = savedModelBytes(spark, path))
   }
+
+  /** Mode-dispatching apply: routes through the byte pre-map exactly when
+    * the model says so — the one entry point tokenize_apply and any other
+    * model-agnostic caller should use. */
+  def withModelTokenIds(docs: DataFrame, textCol: String, model: BpeModel,
+                        out: String): DataFrame =
+    if (model.bytes) withTokenIdsBytes(docs, textCol, model, out)
+    else withTokenIds(docs, textCol, model, out)
 }

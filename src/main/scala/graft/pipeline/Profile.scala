@@ -114,9 +114,9 @@ object Profile {
     // Σ_v count(v) per cell is EXACTLY the instance-stream cell count,
     // without hashing the corpus `depth` times
     val exact = inst.groupBy(col("v")).agg(count(lit(1)).as("exact_count"))
-    val cms = exact.select(col("v"), col("exact_count"), rs.as("r"))
-      .select(col("r"), bucket(col("r"), col("v")).as("bkt"), col("exact_count"))
-      .groupBy(col("r"), col("bkt")).agg(sum(col("exact_count")).as("c"))
+    // the cell table is cmsSketch — ONE shared implementation, so the
+    // producer/consumer cell-for-cell contract cannot drift
+    val cms = cmsSketch(df, valueCol, depth, width)
     exact.select(col("v"), col("exact_count"), rs.as("r"))
       .select(col("v"), col("exact_count"), col("r"),
         bucket(col("r"), col("v")).as("bkt"))

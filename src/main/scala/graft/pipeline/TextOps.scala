@@ -306,12 +306,16 @@ object TextOps {
     * [[dupSpanStats]]. */
   def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
                      span: Int = 10): DataFrame = {
+    require(span >= 1, s"span must be >= 1, got $span")
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
     val toksDf = df.repartition(par).select(col(idCol),
       tokens(coalesce(col(textCol), lit(""))).as("t"))
     // 1-based window starts; short docs yield the single clamped tail
-    // window (the dupSpanStats convention, so flag and rewrite agree)
-    val wins = toksDf.select(col(idCol), explode(expr(
+    // window (the dupSpanStats convention, so flag and rewrite agree) —
+    // except ZERO-token docs, which emit no window at all (two blank docs
+    // otherwise "share" the empty hash and report a phantom n_spans=1
+    // with nothing removed)
+    val wins = toksDf.filter(size(col("t")) > 0).select(col(idCol), explode(expr(
         s"""transform(sequence(1, greatest(size(t) - ${span - 1}, 1)),
            |  s -> named_struct('s', s,
            |    'wh', cast(conv(substr(md5(cast(array_join(slice(t, s, $span), ' ') as binary)),

@@ -1588,7 +1588,8 @@ object PipelineQueries {
       s"""WITH $tokCte,
         |wins AS (
         |  SELECT doc_id, i, ('0x' || substr(md5(array_to_string(w[i:i+9], ' ')), 1, 15))::BIGINT AS wh
-        |  FROM toks, UNNEST(range(1, greatest(len(w) - 8, 2))) AS t(i)),
+        |  FROM toks, UNNEST(range(1, greatest(len(w) - 8, 2))) AS t(i)
+        |  WHERE len(w) > 0),
         |canon AS (
         |  SELECT wh, min(doc_id) AS canon_id FROM wins
         |  GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),

@@ -258,10 +258,16 @@ object IceWrite {
     // see O(affected partitions) of delete metadata instead of one opaque
     // global blob (the Iceberg spec's partition-scoped delete contract).
     // Position deletes and eq deletes missing a partition source stay
-    // global: their rows cannot be scoped safely.
+    // global: their rows cannot be scoped safely. Neither can ANY scoped
+    // delete on a table whose spec ever EVOLVED: data files written under
+    // an older spec carry a foreign partition tuple, read with a null tag,
+    // and a scoped file's tag-keyed anti-join would silently skip them —
+    // deleted rows would resurface. One spec in history ⇒ every data file
+    // carries the current tuple shape and scoping is exact.
     val partFields =
       if (content == ContentData) spec.fields
       else if (content == ContentEqualityDeletes && spec.fields.nonEmpty &&
+               table.metadata.partitionSpecs.size == 1 &&
                spec.fields.forall(pf => writeSchema.fieldById(pf.sourceId).isDefined))
         spec.fields
       else Nil

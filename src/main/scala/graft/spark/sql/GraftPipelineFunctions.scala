@@ -174,12 +174,10 @@ object GraftPipelineFunctions {
       val applied =
         if (isUnigram)
           UnigramOps.withPieceIds(docs, textC, UnigramOps.loadModel(spark, dir), "token_ids")
-        else {
-          val m = BpeOps.loadModel(spark, dir)
-          if (BpeOps.savedModelBytes(spark, dir))
-            BpeOps.withTokenIdsBytes(docs, textC, m, "token_ids")
-          else BpeOps.withTokenIds(docs, textC, m, "token_ids")
-        }
+        else
+          // byte/char dispatch rides the loaded model (BpeModel.bytes,
+          // round-tripped through the dir's mode marker)
+          BpeOps.withModelTokenIds(docs, textC, BpeOps.loadModel(spark, dir), "token_ids")
       applied.drop(textC)
     }
 

@@ -1335,8 +1335,10 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(BpeOps.withTokenIds(applyHalf, "text", bpeM, "token_ids")
         .drop("text").orderBy("doc_id")))
 
+    // the byte mode rides the MODEL (stamped by trainModelBytes) — no
+    // caller-remembered flag to forget at save time
     val byteM = BpeOps.trainModelBytes(trainHalf, "text", numMerges = 32)
-    BpeOps.saveModel(spark, byteM, s"$base/bpeb", bytes = true)
+    BpeOps.saveModel(spark, byteM, s"$base/bpeb")
     assert(rows(spark.sql(
       s"SELECT * FROM tokenize_apply('$base/bpeb', 'tok_apply_v', 'doc_id', 'text') ORDER BY doc_id")) ==
       rows(BpeOps.withTokenIdsBytes(applyHalf, "text", byteM, "token_ids")

@@ -231,6 +231,24 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = IceScan.scan(spark, table)
     assert(df.count() == 72)
     assert(df.filter($"id" === 1L).count() == 7)
+    // an EVOLVED spec forces global deletes: data files under the old spec
+    // read with a null tag, so a scoped file would silently skip them
+    var tEvo = cat.createTable(TableIdent(Seq("test"), "evow"), ordersSchema,
+      PartitionSpec(0, Nil))
+    tEvo = IceWrite.append(spark, tEvo, rows.take(20)
+      .toDF("id", "customer_id", "product_id", "date", "amount")
+      .withColumn("date", to_date($"date"))) // old-spec (unpartitioned) data
+    tEvo = tEvo.newTransaction(None).setSpec(daySpec.fields).commit()
+    tEvo = IceWrite.appendEqualityDeletes(spark, tEvo,
+      Seq((1L, dates.head)).toDF("id", "date").withColumn("date", to_date($"date")),
+      equalityIds = Seq(1, 4))
+    assert(tEvo.deleteFiles(tEvo.currentSnapshot(None).get)
+      .forall(_.dataFile.partition.forall(_._2 == null)),
+      "a spec-evolved table must keep equality deletes global")
+    // the delete still masks the OLD-SPEC row it targets
+    assert(IceScan.scan(spark, tEvo).filter($"id" === 1L).count() == 1,
+      "the (id=1, date=dates.head) row must be masked despite spec evolution")
+
     // a delete key NOT covering the partition source still writes global
     var t2 = cat.createTable(TableIdent(Seq("test"), "globalw"), ordersSchema, daySpec)
     t2 = IceWrite.append(spark, t2, rows.take(10)

@@ -570,7 +570,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       1L -> (shared + " aaa bbb ccc"),       // canonical (min id): keeps everything
       2L -> ("xxx yyy zzz " + shared),       // loses the 12-token span, keeps its prefix
       3L -> "unrelated words only here",     // untouched
-      4L -> (shared + " qqq " + shared))     // two occurrences, both excised
+      4L -> (shared + " qqq " + shared),     // two occurrences, both excised
+      5L -> "",                              // blank docs must not "share" the
+      6L -> "   ")                           //   empty window with each other
     val got = TextOps.removeDupSpans(d, "doc_id", "text", span = 10)
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
@@ -585,6 +587,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // windows spanning the qqq separator are unique to doc 4, so the
     // separator survives and splits the coverage)
     assert(got(4L) == ((25L, 24L, 2L, "qqq")), s"doc4: ${got(4L)}")
+    // zero-token docs emit no window: no phantom span, nothing removed
+    assert(got(5L) == ((0L, 0L, 0L, "")), s"doc5: ${got(5L)}")
+    assert(got(6L) == ((0L, 0L, 0L, "")), s"doc6: ${got(6L)}")
+    // degenerate span is an explicit error, not garbage output
+    intercept[IllegalArgumentException](TextOps.removeDupSpans(d, "doc_id", "text", span = 0))
   }
 
   test("CMS sketches merge cell-for-cell and round-trip through parquet") {
