@@ -781,8 +781,31 @@ object IceScan {
     else {
       val typeByName: String => Option[IceType] = n => schema.fieldByName(n).map(_.fieldType)
       all.filter { e =>
-        if (e.dataFile.content != ContentData) true // never prune delete files
-        else {
+        if (e.dataFile.content != ContentData) {
+          // Scoped DELETE files prune on their exact partition TUPLE: if
+          // the partition-space predicate excludes the tuple, every row
+          // the file could mask is itself outside the scan's (re-applied,
+          // inexact-pruning contract) predicate — planning the file would
+          // widen the MoR fold for nothing. At 100 TB this is what keeps a
+          // partition-pruned scan's delete side O(affected partitions),
+          // not O(table's delete history). Global deletes (no real
+          // tuple), foreign-name tuples, and anything the evaluator can't
+          // type are kept conservatively — pruning may only remove IO.
+          val f = e.dataFile
+          if (f.partition.isEmpty || f.partition.forall(_._2 == null)) true
+          else ctxOf(table.metadata.defaultSpecId) match {
+            case Some(ctx) if f.partition.map(_._1).forall(ctx.partTypeByName.contains) =>
+              val statsFor: String => Option[Pruning.ColStats] = name =>
+                f.partition.collectFirst {
+                  case (n, v) if n == name && v != null =>
+                    Pruning.ColStats(Some(v), Some(v), Some(0L), None)
+                }
+              scala.util.Try(
+                Pruning.mayMatch(ctx.partExprs, statsFor, ctx.partTypeByName.get))
+                .getOrElse(true)
+            case _ => true
+          }
+        } else {
           val f = e.dataFile
           val statsFor: String => Option[Pruning.ColStats] = name =>
             schema.fieldByName(name).map { fld =>

@@ -16,15 +16,24 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val warehouse = Files.createTempDirectory("sqlwh").toString
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.catalog.graft", "graft.spark.sql.GraftSparkCatalog")
-    .config("spark.sql.catalog.graft.warehouse", warehouse)
-    .withExtensions(new GraftExtensions)
-    .appName("graft-sql-spec").getOrCreate()
+  private lazy val spark = {
+    // withExtensions only takes effect on a FRESH session: a lingering
+    // context/default session from an earlier suite (any custom testOnly
+    // order putting a stop-happy suite first) would be reused without the
+    // graft extensions and every SQL test here fails with "graft reads
+    // require GraftExtensions" — drop it first
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.spark.sql.GraftSparkCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse)
+      .withExtensions(new GraftExtensions)
+      .appName("graft-sql-spec").getOrCreate()
+  }
 
   override def afterAll(): Unit = spark.stop()
 

@@ -231,6 +231,21 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = IceScan.scan(spark, table)
     assert(df.count() == 72)
     assert(df.filter($"id" === 1L).count() == 7)
+    // scoped-delete PRUNING: a partition-pruned scan plans only the delete
+    // files whose partition tuple can match — the other 7 scoped files are
+    // dropped before the MoR fold (delete side stays O(affected
+    // partitions) at scale). 1 data file + 1 delete file survive.
+    val prunedScan = IceScan.scan(spark, table,
+      Seq(col("date") === to_date(lit(dates.head))))
+    // inputFiles spans every relation in the MoR plan — data AND delete
+    // sides (the AQE-wrapped physical plan hides FileSourceScanExec leaves)
+    val inputFiles = prunedScan.inputFiles.length
+    assert(inputFiles == 2,
+      s"expected 1 data + 1 scoped delete file in the pruned plan, got $inputFiles")
+    // exactness: id=1 was deleted in partition 1, ids 2..10 survive
+    assert(prunedScan.count() == 9)
+    assert(prunedScan.filter($"id" === 1L).count() == 0)
+
     // an EVOLVED spec forces global deletes: data files under the old spec
     // read with a null tag, so a scoped file would silently skip them
     var tEvo = cat.createTable(TableIdent(Seq("test"), "evow"), ordersSchema,
