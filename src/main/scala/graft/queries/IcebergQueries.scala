@@ -143,6 +143,33 @@ object IcebergQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // Equality→positional delete conversion (round 14, the MoR read-cost
+    // maintenance op): q15's fixture plus a post-delete re-insert of some
+    // deleted keys (the rows the conversion must NOT kill — eq deletes
+    // never mask newer rows, and neither may their positional
+    // materialization), then convert and scan. The scan result must equal
+    // the never-converted semantics, which the oracle states directly; the
+    // conversion's plan collapse is gated in IceTableSpec.
+    "q109_convert_deletes" -> ((s, d) => {
+      val cat = tempCatalog()
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      var t = createFrom(cat, "ordc", o)
+      t = IceWrite.append(s, t, o)
+      val fKeys = o.filter(col("o_orderstatus") === "F").select("o_orderkey")
+      t = IceWrite.appendEqualityDeletes(s, t, fKeys, equalityIds = Seq(1))
+      // re-insert every 10th deleted key AFTER the delete — stays live
+      t = IceWrite.append(s, t.refresh(),
+        o.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 10 === 0))
+      val (eqBefore, _, _) = graft.table.Maintenance.convertEqualityDeletes(s, t.refresh())
+      require(eqBefore > 0, "fixture must have equality deletes to convert")
+      IceScan.scan(s, t.refresh())
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // SQL MERGE INTO upsert (beyond the reference): matched keys become one
     // equality-delete file, updated+inserted rows one data-file set, both in
     // a SINGLE transaction. Runs entirely through the SQL surface (catalog
@@ -357,6 +384,18 @@ object IcebergQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus <> 'F'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // survivors = non-F rows plus the re-inserted F keys (newer than the
+    // delete); conversion must reproduce exactly this
+    "q109_convert_deletes" ->
+      """WITH alive AS (
+        |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 0)
+        |SELECT o_orderstatus, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total
+        |FROM alive GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "q39_merge_upsert" ->
       """WITH merged AS (
         |  SELECT o_orderkey, o_orderstatus,

@@ -557,6 +557,21 @@ object IceScan {
     * the MoR delete tag-map and the positional-delete rewrite compare
     * through this; a second inline copy drifting (e.g. on URI encoding)
     * would make them silently disagree. */
+  /** Canonical partition tag: the manifest's raw Avro partition values
+    * rendered to one stable string. Byte arrays hex-encode
+    * (Object.toString is identity-based and would give the SAME partition
+    * different tags per manifest entry); null renders as a reserved
+    * sentinel. Shared by the MoR fold's scoped-delete anti-join keys and
+    * Maintenance's eq->pos delete conversion. */
+  private[graft] def pkTag(p: Seq[(String, Any)]): String = p.map {
+    case (_, null) => "\u0000"
+    case (_, b: Array[Byte]) => b.map("%02x".format(_)).mkString
+    case (_, b: java.nio.ByteBuffer) =>
+      val d = b.duplicate; val a = new Array[Byte](d.remaining); d.get(a)
+      a.map("%02x".format(_)).mkString
+    case (_, v) => v.toString
+  }.mkString("\u0001")
+
   private[graft] def qualifiedPath(hconf: org.apache.hadoop.conf.Configuration,
                                    p: String): String = {
     val hp = new org.apache.hadoop.fs.Path(p)
@@ -917,19 +932,10 @@ object IceScan {
 
     if (deletes.isEmpty) return maskPositions(readFiles(data))
 
-    // canonical partition tag: the manifest's raw Avro partition values
-    // rendered to one stable string. Byte arrays hex-encode (Object.toString
-    // is identity-based and would give the SAME partition different tags per
-    // manifest entry); null renders as a reserved sentinel.
+    // canonical partition tag ([[IceScan.pkTag]], shared with the
+    // eq→pos delete conversion in Maintenance)
     val TagCol = "__graft_pk"
-    def pkTag(p: Seq[(String, Any)]): String = p.map {
-      case (_, null) => "\u0000"
-      case (_, b: Array[Byte]) => b.map("%02x".format(_)).mkString
-      case (_, b: java.nio.ByteBuffer) =>
-        val d = b.duplicate; val a = new Array[Byte](d.remaining); d.get(a)
-        a.map("%02x".format(_)).mkString
-      case (_, v) => v.toString
-    }.mkString("\u0001")
+    def pkTag(p: Seq[(String, Any)]): String = IceScan.pkTag(p)
 
     // tag-map keys must render exactly like `_metadata.file_path` (which is
     // FileSystem-qualified, e.g. "file:/tmp/…"), while manifests may store

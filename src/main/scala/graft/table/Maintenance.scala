@@ -245,6 +245,128 @@ object Maintenance {
     (pos.size, after, dropped)
   }
 
+  /** Converts every EQUALITY delete into POSITIONAL deletes — the MoR
+    * read-cost maintenance op. An equality delete's masked-row set is
+    * FROZEN the moment it commits (it masks only strictly-older rows, and
+    * a committed row's sequence number never changes), so materializing
+    * those rows' (file path, position) pairs now is exact for every future
+    * read: the scan drops its per-sequence-point anti-join fold entirely
+    * and keeps the one global positional mask, while rows inserted after
+    * the original delete stay live (positions identify exact rows, keys
+    * do not). Existing positional deletes consolidate into the same fresh
+    * file set; matching honors the scan's scoping rules (a
+    * partition-scoped delete file only masks its own partition, keyed on
+    * the [[graft.spark.IceScan.pkTag]] tag; null keys match null — the
+    * `<=>` Iceberg equality-delete semantics).
+    *
+    * Cost: one bounded read per (sequence point, eq-id set, scope) group
+    * over the group's CANDIDATE data files only (older than the delete,
+    * tag-matched for scoped groups), projecting just the equality columns
+    * plus row metadata. At 100 TB this reads the delete-affected region
+    * once — the price the per-scan fold otherwise pays forever.
+    *
+    * Returns (equality files before, positional files after, positions
+    * written). */
+  def convertEqualityDeletes(spark: SparkSession, table: IceTable): (Int, Int, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    import graft.spark.{IceScan, IceWrite}
+    val snap = table.currentSnapshot(None).getOrElse(return (0, 0, 0L))
+    val all = table.entries(snap)
+    val eq = all.filter(_.dataFile.content == ContentEqualityDeletes)
+    val oldPos = all.filter(_.dataFile.content == ContentPositionDeletes)
+    if (eq.isEmpty) return (0, oldPos.size, 0L)
+    val data = all.filter(_.dataFile.content == ContentData)
+    val schema = table.metadata.currentSchema
+    val hconf = spark.sparkContext.hadoopConfiguration
+
+    // the scan's scoping rule (IceSpark.buildDataFrame): a delete with a
+    // real partition tuple of the data arity is partition-scoped
+    val arity = data.headOption.map(_.dataFile.partition.size).getOrElse(0)
+    def scopedOf(d: ManifestEntry): Boolean = {
+      val p = d.dataFile.partition
+      arity > 0 && p.size == arity && p.exists(_._2 != null)
+    }
+
+    // field-id column resolution for every read below (restored: all
+    // actions complete inside this call — the positionDeleteFiles pattern)
+    val fieldIdConfs = Seq("spark.sql.parquet.fieldId.read.enabled",
+      "spark.sql.parquet.fieldId.read.ignoreMissing")
+    val prev = fieldIdConfs.map(k => k -> spark.conf.getOption(k))
+    fieldIdConfs.foreach(spark.conf.set(_, "true"))
+    try {
+      val groups = eq.groupBy(e =>
+          (e.sequenceNumber.getOrElse(0L), e.dataFile.equalityIds, scopedOf(e)))
+        .toSeq.sortBy { case ((ds, ids, sc), _) => (ds, ids.mkString(","), sc) }
+      val parts = groups.flatMap { case ((ds, eqIds, scoped), files) =>
+        val eqCols = eqIds.flatMap(id => schema.fieldById(id)).map(_.name)
+        val delTags = files.map(f =>
+          (IceScan.qualifiedPath(hconf, f.dataFile.filePath),
+            IceScan.pkTag(f.dataFile.partition)))
+        val older0 = data.filter(_.sequenceNumber.getOrElse(0L) < ds)
+        val older =
+          if (!scoped) older0
+          else {
+            val tags = delTags.map(_._2).toSet
+            older0.filter(e => tags.contains(IceScan.pkTag(e.dataFile.partition)))
+          }
+        if (older.isEmpty || eqCols.size != eqIds.size) None
+        else {
+          val rows = spark.read
+            .schema(IceScan.readSparkSchema(table, schema.project(eqIds)))
+            .parquet(older.map(_.dataFile.filePath): _*)
+            .select(eqCols.map(col) ++ Seq(
+              col("_metadata.file_path").as("file_path"),
+              col("_metadata.row_index").as("pos")): _*)
+          val delDf0 = spark.read
+            .schema(IceScan.readSparkSchema(table, schema.project(eqIds)))
+            .parquet(files.map(_.dataFile.filePath): _*)
+          val (lhs, rhs) =
+            if (!scoped) (rows, delDf0.select(eqCols.map(col): _*))
+            else {
+              val dataTags = older.map(e =>
+                (IceScan.qualifiedPath(hconf, e.dataFile.filePath),
+                  IceScan.pkTag(e.dataFile.partition)))
+              (rows.join(broadcast(dataTags.toDF("__gp_dp", "__gp_tag")),
+                 rows("file_path") === col("__gp_dp")).drop("__gp_dp"),
+               delDf0.withColumn("__gp_dfp", col("_metadata.file_path"))
+                 .join(broadcast(delTags.toDF("__gp_ddp", "__gp_tag2")),
+                   col("__gp_dfp") === col("__gp_ddp"))
+                 .select(eqCols.map(col) :+ col("__gp_tag2").as("__gp_tag"): _*))
+            }
+          val l = lhs.as("d"); val r = broadcast(rhs.as("x"))
+          val cond = (eqCols.map(c => col(s"d.$c") <=> col(s"x.$c")) ++
+            (if (scoped) Seq(col("d.__gp_tag") === col("x.__gp_tag")) else Nil))
+            .reduce(_ && _)
+          Some(l.join(r, cond, "left_semi").select(col("file_path"), col("pos")))
+        }
+      }
+      val carried =
+        if (oldPos.isEmpty) Nil
+        else Seq(spark.read.schema(IceWrite.PosDeleteSchema.toSpark)
+          .parquet(oldPos.map(_.dataFile.filePath): _*)
+          .select(col("file_path"), col("pos")))
+      val masked = (parts ++ carried) match {
+        case Nil => None
+        case xs => Some(xs.reduce(_ unionByName _).distinct().cache())
+      }
+      val n = masked.map(_.count()).getOrElse(0L)
+      val newFiles =
+        if (n == 0L) Nil
+        else IceWrite.writeDataFiles(spark, table, masked.get, IceWrite.PosDeleteSchema,
+          content = ContentPositionDeletes, outFiles = IceWrite.fileCountHint(n))
+      masked.foreach(_.unpersist())
+      val committed = table.newTransaction(None).rewriteDeletes(Nil, newFiles).commit()
+      val after = committed.currentSnapshot(None)
+        .map(committed.entries(_).count(_.dataFile.content == ContentPositionDeletes))
+        .getOrElse(0)
+      (eq.size, after, n)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Rebalances the data manifest tree without touching data: many small
     * manifests (the residue of many small commits) slow O(manifests) scan
     * planning; this rewrites them as a fresh sqrt-law-balanced set in one

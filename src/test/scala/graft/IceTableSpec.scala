@@ -276,6 +276,52 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IceScan.scan(spark, t2).count() == 9)
   }
 
+  test("convertEqualityDeletes: exact results, all-positional tree, collapsed plan") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    var t = cat.createTable(TableIdent(Seq("test"), "conv"), ordersSchema, daySpec)
+    val dates = (1 to 4).map(i => f"2021-03-$i%02d")
+    def mk(rows: Seq[(Long, Long, Long, String, Int)]) =
+      rows.toDF("id", "customer_id", "product_id", "date", "amount")
+        .withColumn("date", to_date($"date"))
+    t = IceWrite.append(spark, t, mk(for (d <- dates; id <- 1L to 10L) yield (id, id, id % 3, d, 1)))
+    // scoped eq deletes (key covers the partition source): id=i in date i
+    t = IceWrite.appendEqualityDeletes(spark, t,
+      mk(dates.zipWithIndex.map { case (d, i) => ((i + 1).toLong, 0L, 0L, d, 0) })
+        .select("id", "date"), equalityIds = Seq(1, 4))
+    // global eq delete: id=9 everywhere (4 rows)
+    t = IceWrite.appendEqualityDeletes(spark, t, Seq(9L).toDF("id"), equalityIds = Seq(1))
+    // re-insert AFTER the deletes: must stay alive through conversion
+    t = IceWrite.append(spark, t, mk(Seq((9L, 9L, 0L, dates.head, 7))))
+    // a positional delete on top (amount=1 rows of id=10): consolidated
+    t = IceWrite.appendPositionDeletes(spark, t, col("id") === 10L && col("date") === to_date(lit(dates.head)))
+
+    val before = IceScan.scan(spark, t).collect().map(_.toString).sorted.toSeq
+    val (eqBefore, posAfter, positions) = graft.table.Maintenance.convertEqualityDeletes(spark, t)
+    assert(eqBefore == 5, s"fixture wrote 4 scoped + 1 global eq files, got $eqBefore")
+    assert(positions == 4L + 4L + 1L, s"4 scoped + 4 global + 1 carried positional, got $positions")
+    t = t.refresh()
+    val delEntries = t.deleteFiles(t.currentSnapshot(None).get)
+    assert(delEntries.nonEmpty &&
+      delEntries.forall(_.dataFile.content == graft.table.ManifestModel.ContentPositionDeletes),
+      "conversion must leave an all-positional delete tree")
+    assert(delEntries.size == posAfter)
+    val scanned = IceScan.scan(spark, t)
+    val after = scanned.collect().map(_.toString).sorted.toSeq
+    assert(after == before, "conversion must not change scan results")
+    // the per-sequence-point fold is gone: one global positional anti-join
+    // AQE's toString prints the plan twice (Final + Initial) — count the
+    // final section only
+    val plan = scanned.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.split('\n').count(_.contains("LeftAnti")) == 1,
+      s"expected exactly the positional mask:\n$plan")
+    assert(!plan.contains("Union"), s"data segments must not split post-conversion:\n$plan")
+    // idempotent: a second conversion is a no-op shape-wise
+    val (e2, p2, n2) = graft.table.Maintenance.convertEqualityDeletes(spark, t.refresh())
+    assert(e2 == 0 && n2 == 0L && p2 == posAfter)
+  }
+
   test("write sort order clusters files into disjoint ranges; pruning hits one file") {
     implicit val s: SparkSession = spark
     import s.implicits._
