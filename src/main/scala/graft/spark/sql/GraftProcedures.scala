@@ -36,7 +36,8 @@ object GraftProcedures {
       "create_tag", "create_branch", "drop_ref", "add_files", "remove_orphan_files",
       "fast_forward", "rewrite_manifests", "compute_stats", "ancestors_of",
       "create_changelog_view", "rewrite_data_files", "rollback_to_timestamp",
-      "rewrite_position_delete_files", "register_table", "cherrypick_snapshot")
+      "rewrite_position_delete_files", "convert_equality_deletes",
+      "register_table", "cherrypick_snapshot")
 
   def load(cat: GraftSparkCatalog, name: String): UnboundProcedure = name match {
     case "expire_snapshots" => new ExpireSnapshots(cat)
@@ -56,6 +57,7 @@ object GraftProcedures {
     case "rewrite_data_files" => new RewriteDataFiles(cat)
     case "rollback_to_timestamp" => new RollbackToTimestamp(cat)
     case "rewrite_position_delete_files" => new RewritePositionDeleteFiles(cat)
+    case "convert_equality_deletes" => new ConvertEqualityDeletes(cat)
     case "register_table" => new RegisterTable(cat)
     case "cherrypick_snapshot" => new CherrypickSnapshot(cat)
     case other => throw new IllegalArgumentException(
@@ -309,6 +311,22 @@ object GraftProcedures {
     override protected def run(spark: SparkSession, args: InternalRow): InternalRow = {
       val (before, after, dropped) = Maintenance.rewritePositionDeleteFiles(spark, table(args))
       InternalRow(before.toLong, after.toLong, dropped)
+    }
+  }
+
+  private final class ConvertEqualityDeletes(cat: GraftSparkCatalog)
+      extends GraftProcedure(cat, "convert_equality_deletes",
+        Seq(ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(
+          StructField("equality_files_before", LongType, nullable = false),
+          StructField("position_files_after", LongType, nullable = false),
+          StructField("positions_written", LongType, nullable = false)))) {
+    override def description(): String =
+      "Convert equality deletes to positional deletes (collapses the MoR " +
+        "scan's per-sequence-point anti-join fold to one positional mask)"
+    override protected def run(spark: SparkSession, args: InternalRow): InternalRow = {
+      val (eq, pos, n) = Maintenance.convertEqualityDeletes(spark, table(args))
+      InternalRow(eq.toLong, pos.toLong, n)
     }
   }
 

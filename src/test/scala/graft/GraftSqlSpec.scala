@@ -483,6 +483,31 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.db.pdrw")
   }
 
+  test("convert_equality_deletes collapses MERGE residue to positional masks via SQL") {
+    spark.sql("CREATE TABLE graft.db.ceq (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.ceq VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    // MERGE writes an equality-delete file for the matched keys
+    spark.sql("CREATE OR REPLACE TEMP VIEW ceq_src AS SELECT * FROM VALUES " +
+      "(1, 'a2'), (5, 'e') AS s(k, v)")
+    spark.sql("""MERGE INTO graft.db.ceq t USING ceq_src s ON t.k = s.k
+      |WHEN MATCHED THEN UPDATE SET v = s.v
+      |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    def delFiles(content: Int) = spark.sql(
+      s"SELECT count(*) FROM graft.db.ceq.entries WHERE content = $content AND status != 2")
+      .head().getLong(0)
+    assert(delFiles(2) >= 1, "MERGE must leave equality-delete residue")
+    val r = spark.sql(
+      "CALL graft.system.convert_equality_deletes(`table` => 'db.ceq')").head()
+    assert(r.getLong(0) >= 1 && r.getLong(2) >= 1, s"summary: $r")
+    assert(delFiles(2) == 0, "equality residue must be gone")
+    assert(delFiles(1) == r.getLong(1), "positional tree must match the summary")
+    // semantics preserved: updated row shows the merged value, k=5 inserted
+    assert(spark.sql("SELECT k, v FROM graft.db.ceq ORDER BY k").collect()
+      .map(row => (row.getLong(0), row.getString(1))).toSeq ==
+      Seq((1L, "a2"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    spark.sql("DROP TABLE graft.db.ceq")
+  }
+
   test("ancestors_of and create_changelog_view procedures") {
     spark.sql("CREATE TABLE graft.db.lineage (k BIGINT, v STRING)")
     spark.sql("INSERT INTO graft.db.lineage VALUES (1, 'a')")
