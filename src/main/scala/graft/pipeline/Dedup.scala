@@ -162,16 +162,32 @@ object Dedup {
     * a bigger "document" set through the SAME band equi-join (no
     * all-pairs; the plan gate covers it), and the roll-up is one
     * aggregate over the pair frame. Paragraph ids pack as
-    * `page_id * maxParas + index`; pages with more than `maxParas`
-    * paragraphs consider only their first `maxParas` (id-collision
-    * safety — raise the bound for paragraph-heavy corpora). */
+    * `page_id * maxParas + index` in LONG arithmetic; page ids must be
+    * non-negative and < Long.MaxValue/maxParas (asserted per row — a
+    * colliding packed id would silently corrupt the page-pair roll-up,
+    * and DIV truncation misgroups negative ids). Pages with more than
+    * `maxParas` paragraphs consider only their first `maxParas`
+    * (id-collision safety — raise the bound for paragraph-heavy corpora);
+    * the dropped-paragraph count is surfaced as the observed metric
+    * `graft.paragraph_near_dups` / `dropped_paragraphs` (rides the plan —
+    * no extra pass; read it with a QueryExecutionListener or in the Spark
+    * UI, the repo's no-silent-caps rule). */
   def paragraphNearDups(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
                         threshold: Double = 0.5, maxParas: Int = 1024): DataFrame = {
+    require(maxParas > 0, s"maxParas must be positive, got $maxParas")
+    val idBound = Long.MaxValue / maxParas
+    val pageId = col(idCol).cast("long")
     val paras = df
       .select(col(idCol), posexplode(split(col(textCol), "\n\\s*\n")).as(Seq("__pidx", "__ptext")))
-      .filter(trim(col("__ptext")) =!= "" && col("__pidx") < maxParas)
-      .select((col(idCol) * maxParas + col("__pidx")).as("__pid"), col("__ptext"))
+      .filter(trim(col("__ptext")) =!= "")
+      .observe("graft.paragraph_near_dups",
+        sum(when(col("__pidx") >= maxParas, 1L).otherwise(0L)).as("dropped_paragraphs"))
+      .filter(col("__pidx") < maxParas)
+      .select(when(pageId >= 0 && pageId < idBound, pageId * maxParas + col("__pidx"))
+          .otherwise(raise_error(concat_ws("", lit(s"paragraphNearDups: $idCol out of packable " +
+            s"range [0, $idBound): "), col(idCol).cast("string")))).as("__pid"),
+        col("__ptext"))
     minhashNearDups(paras, "__pid", "__ptext", shingleSize, numHashes, bands, threshold)
       .select(expr(s"CAST(id_a DIV $maxParas AS BIGINT)").as("pg_a"),
         expr(s"CAST(id_b DIV $maxParas AS BIGINT)").as("pg_b"),

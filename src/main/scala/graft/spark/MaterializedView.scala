@@ -61,10 +61,28 @@ object IceMV {
 
   final case class RefreshResult(strategy: Strategy, rowsWritten: Long)
 
-  /** Row bound under which a refresh write is one target-size file (the
-    * [[graft.spark.IceWrite.fileCountHint]] ~4M-rows-per-file constant) —
-    * the threshold below which the sizing count() job is skipped. */
-  private val SmallWriteRows = 4000000L
+  /** True when `analyzed` can emit more rows than it reads — a
+    * row-multiplying join, a generator (explode and friends, which only
+    * become [[Generate]] during analysis), or an [[Expand]] (grouping
+    * sets/rollup/cube). Semi/anti joins never multiply rows (output ⊆ left
+    * input), which keeps MoR delete-masked sources — whose scans carry
+    * anti-join folds — eligible for the manifest-bound count-skip. */
+  private[graft] def expandsRows(analyzed: LogicalPlan): Boolean = analyzed.exists {
+    case j: Join => j.joinType match {
+      case org.apache.spark.sql.catalyst.plans.LeftSemi |
+           org.apache.spark.sql.catalyst.plans.LeftAnti => false
+      case _ => true
+    }
+    case _: Generate => true
+    case _: Expand => true
+    case _ => false
+  }
+
+  /** Largest file count the manifest-exact row bound may pick without a
+    * sizing count(): an expansion-free refresh up to this × ~4M input rows
+    * skips the count job; past it, a heavily-reducing plan would spray
+    * under-filled files, so the exact count() returns. */
+  private val BoundHintMaxFiles = 32
 
   private val StatePropKey = "graft.mv.refresh-state"
   private val AvgPropKey = "graft.mv.avg-cols"
@@ -397,17 +415,18 @@ object IceMV {
     def fileHint(rows: Long): Option[Int] = IceWrite.fileCountHint(rows)
 
     // The sizing count() exists ONLY to pick the output file count. For an
-    // expansion-free plan (no join, no generator) output rows never exceed
-    // input rows, and the inputs are manifest-exact driver-side — when that
-    // bound already pins the hint to one ~4M-row file, the count() job is
-    // pure per-refresh constant (the q14/q97 latency class) and is skipped;
-    // the parallel write jobs then fill the shared cache under RDD block
-    // locks instead of a dedicated materialization pass.
-    val expansionFree = !plan.exists {
-      case _: Join => true
-      case _: Generate => true
-      case _ => false
-    }
+    // expansion-free plan (no row-multiplying join, no generator, no Expand)
+    // output rows never exceed input rows, and the inputs are manifest-exact
+    // driver-side — when that bound already pins the hint to one ~4M-row
+    // file, the count() job is pure per-refresh constant (the q14/q97
+    // latency class) and is skipped; the parallel write jobs then fill the
+    // shared cache under RDD block locks instead of a dedicated
+    // materialization pass.
+    //
+    // The check runs on the ANALYZED plan of the frame about to be written
+    // (analysis is driver-side and free): the parsed plan hides expansion —
+    // `SELECT explode(x)` only becomes Generate during analysis, and
+    // grouping sets surface as Expand ([[expandsRows]]).
     def rowBound(incremental: Boolean): Long = sources.map { t =>
       val oldSeq =
         if (incremental)
@@ -421,11 +440,23 @@ object IceMV {
 
     strategy match {
       case FullOverwrite | IncrementalOverwrite =>
-        val small = expansionFree && rowBound(incremental = false) <= SmallWriteRows
-        // small: single consumer, bound-pinned hint — no cache, no count job
-        val out = if (small) materializeFull() else materializeFull().cache()
+        val out0 = materializeFull()
+        // expansion-free: the manifest-exact input bound CAPS the output —
+        // derive the file count from it directly (not just when it pins one
+        // file), so mid-size refreshes skip the sizing count() too. Files
+        // may come out under-filled when the plan reduces heavily (an
+        // aggregate collapsing 40M rows still writes bound/4M files), so
+        // the skip stops at BoundHintMaxFiles — past that, a count() is
+        // cheaper than a tiny-file swarm.
+        val boundHint: Option[Int] =
+          if (expandsRows(out0.queryExecution.analyzed)) None
+          else fileHint(rowBound(incremental = false))
+            .filter(_ <= BoundHintMaxFiles)
+        val small = boundHint.isDefined
+        // small: single consumer, bound-capped hint — no cache, no count job
+        val out = if (small) out0 else out0.cache()
         val files = IceWrite.writeDataFiles(spark, storage, out, storage.schema,
-          outFiles = if (small) Some(1) else fileHint(out.count()))
+          outFiles = boundHint.orElse(fileHint(out.count())))
         storage.newTransaction(None).replace(files).updateProperties(stateProps).commit()
         val n = files.map(_.recordCount).sum
         if (!small) out.unpersist()
@@ -501,8 +532,9 @@ object IceMV {
         // manifest-exact stats either way, so the join plan is unaffected
         // by deltaAgg's unmaterialized estimate.
         val hint =
-          if (expansionFree && rowBound(incremental = true) <= SmallWriteRows) Some(1)
-          else fileHint(deltaAgg.count())
+          (if (expandsRows(deltaAgg.queryExecution.analyzed)) None
+           else fileHint(rowBound(incremental = true)).filter(_ <= BoundHintMaxFiles))
+            .orElse(fileHint(deltaAgg.count()))
         // the two file sets are independent jobs over the cached delta —
         // overlap them; the commit below still lands both atomically
         val (dataFiles, delFiles) = IceWrite.inParallel(

@@ -369,4 +369,81 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     val forged = m2.copy(viewUuid = java.util.UUID.randomUUID().toString)
     intercept[IllegalArgumentException] { cat.replaceView(v, forged) }
   }
+
+  test("expandsRows reads the ANALYZED plan: explode/rollup expand, semi/anti joins don't") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag").createOrReplaceTempView("er_t")
+    def analyzed(sql: String) = spark.sql(sql).queryExecution.analyzed
+    // SELECT explode(...) is only a Generate AFTER analysis — the parsed
+    // plan the old check inspected had no Generate node (ADVICE r14)
+    assert(IceMV.expandsRows(analyzed("SELECT explode(sequence(1, 3)) FROM er_t")))
+    // grouping sets surface as Expand (output can exceed the input bound)
+    assert(IceMV.expandsRows(analyzed(
+      "SELECT id, tag, count(*) FROM er_t GROUP BY ROLLUP(id, tag)")))
+    assert(IceMV.expandsRows(analyzed(
+      "SELECT a.id FROM er_t a JOIN er_t b ON a.id = b.id")))
+    // row-bounded shapes stay eligible for the count-skip
+    assert(!IceMV.expandsRows(analyzed("SELECT id, count(*) FROM er_t GROUP BY id")))
+    assert(!IceMV.expandsRows(analyzed(
+      "SELECT id FROM er_t WHERE id IN (SELECT id FROM er_t WHERE tag = 'a')")))
+    assert(!IceMV.expandsRows(analyzed(
+      "SELECT id FROM er_t WHERE id NOT IN (SELECT id FROM er_t WHERE tag = 'a')")))
+  }
+
+  test("mid-size expansion-free refresh skips the sizing count() via the bound-capped hint") {
+    import spark.implicits._
+    val cat = newCatalog()
+    val schema = IceSchema(0, Seq(
+      NestedField(1, "k", required = false, IceType.LongT),
+      NestedField(2, "v", required = false, IceType.LongT)))
+    var t = cat.createTable(TableIdent(Seq("db"), "mid_src"), schema, PartitionSpec(0, Nil))
+    def rowsDf(n: Long, off: Long) =
+      spark.range(n).select((col("id") % 1000).as("k"), (col("id") + off).as("v"))
+    t = IceWrite.append(spark, t, rowsDf(50000, 0))
+
+    val mv = TableIdent(Seq("db"), "mid_mv")
+    IceMV.create(spark, cat, mv, "SELECT k, count(*) AS n, sum(v) AS s FROM mid_src GROUP BY k")
+    assert(IceMV.refresh(spark, cat, mv).strategy == IceMV.FullOverwrite)
+
+    // the sizing count() surfaces as a job whose stages are named
+    // "count at MaterializedView.scala:<line>" — assert none runs
+    def countJobsDuring(body: => Unit): Seq[String] = {
+      val names = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          j.stageInfos.foreach(s => names.add(s.name))
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; Thread.sleep(700) } // listener bus is async
+      finally spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      names.asScala.toSeq.filter(n => n.startsWith("count at") && n.contains("MaterializedView"))
+    }
+
+    // mid-size: a 4.5M-row delta exceeds the old 4M single-file pin — the
+    // bound-capped hint (fileHint(bound) ≤ BoundHintMaxFiles) must still
+    // skip the sizing count()
+    t = IceWrite.append(spark, t.refresh(), rowsDf(4500000, 1))
+    var strat: IceMV.Strategy = null
+    val countJobs = countJobsDuring { strat = IceMV.refresh(spark, cat, mv).strategy }
+    assert(strat.isInstanceOf[IceMV.IncrementalAggregate])
+    assert(countJobs.isEmpty,
+      s"mid-size refresh ran a sizing count(): $countJobs")
+    // and the merged result is exact: 1000 groups, counts sum to all appends
+    val got = IceMV.read(spark, cat, mv)
+      .agg(count(lit(1)), sum("n")).collect()(0)
+    assert(got.getLong(0) == 1000L && got.getLong(1) == 4550000L)
+
+    // positive control — the detector must SEE the sizing count() when the
+    // plan expands (self-join → no bound): otherwise the assert above is
+    // vacuous against a renamed call site
+    var ctrl = cat.createTable(TableIdent(Seq("db"), "ctrl_src"), schema, PartitionSpec(0, Nil))
+    ctrl = IceWrite.append(spark, ctrl, rowsDf(100, 0))
+    val mvJoin = TableIdent(Seq("db"), "mid_mv_join")
+    IceMV.create(spark, cat, mvJoin,
+      "SELECT a.k AS k, count(*) AS n FROM ctrl_src a JOIN ctrl_src b ON a.v = b.v GROUP BY a.k")
+    val controlCounts = countJobsDuring { IceMV.refresh(spark, cat, mvJoin) }
+    assert(controlCounts.nonEmpty,
+      "detector failed to observe the sizing count() on an expanding refresh")
+  }
 }

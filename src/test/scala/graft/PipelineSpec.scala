@@ -564,6 +564,49 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pageLevel == 0, "premise broken: page-level dedup already catches the pair")
   }
 
+  test("paragraphNearDups caps at maxParas with a counted metric, and packs INT ids safely") {
+    import spark.implicits._
+    val shared = (1 to 30).map(i => s"cap$i").mkString(" ")
+    // page 1: 1025 paragraphs — the 1026th-position duplicate of page 2's
+    // paragraph sits BEYOND the cap (index 1025 ≥ 1024) and must be
+    // considered dropped; an IN-BOUND duplicate (index 3) must still pair.
+    val filler = (0 until 1023).map(i => s"filler$i word$i extra$i more$i").mkString("\n\n")
+    val page1 = "head one two three\n\n" + shared + "\n\n" + filler + "\n\nbeyond the cap " + shared
+    val d = Seq((1, page1), (2, shared)).toDF("doc_id", "text") // INT ids: packing must cast
+    val got = Dedup.paragraphNearDups(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exactly one cross-page paragraph pair: the in-bound shared paragraph.
+    // (The index-1025 copy is dropped by the cap — were it considered, the
+    // pair count would read 2.)
+    assert(got == Set((1L, 2L, 1L)), s"got $got")
+    // the dropped-paragraph count is surfaced as an observed metric riding
+    // the plan (no extra pass) — assert the plumbing is present and named
+    val paras = d.select(col("doc_id"),
+      posexplode(split(col("text"), "\n\\s*\n")).as(Seq("__pidx", "__ptext")))
+      .filter(trim(col("__ptext")) =!= "")
+    assert(paras.count() == 1027L, "fixture must exceed the 1024-paragraph cap") // 1026 on page 1 + 1 on page 2
+    val analyzed = Dedup.paragraphNearDups(d, "doc_id", "text").queryExecution.analyzed
+    val metricNodes = analyzed.collectWithSubqueries {
+      case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
+        if c.name == "graft.paragraph_near_dups" => c
+    }
+    assert(metricNodes.nonEmpty, "dropped-paragraph observe metric missing from the plan")
+    assert(metricNodes.head.metrics.exists(_.name == "dropped_paragraphs"))
+  }
+
+  test("paragraphNearDups rejects ids outside the collision-free packing range") {
+    import spark.implicits._
+    // Long.MaxValue/1024 packs to a colliding/overflowing paragraph id —
+    // must fail loudly instead of silently corrupting the roll-up
+    val d = Seq((Long.MaxValue / 1024L, "a b c\n\nd e f"), (7L, "a b c")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.paragraphNearDups(d, "doc_id", "text").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("out of packable range")), s"got $ex")
+  }
+
   test("removeDupSpans excises merged shared spans everywhere but the canonical doc") {
     val shared = (1 to 12).map(i => s"tok$i").mkString(" ") // 12 tokens → 3 shared windows
     val d = docs(
