@@ -258,17 +258,26 @@ object IceWrite {
     // see O(affected partitions) of delete metadata instead of one opaque
     // global blob (the Iceberg spec's partition-scoped delete contract).
     // Position deletes and eq deletes missing a partition source stay
-    // global: their rows cannot be scoped safely. Neither can ANY scoped
-    // delete on a table whose spec ever EVOLVED: data files written under
-    // an older spec carry a foreign partition tuple, read with a null tag,
-    // and a scoped file's tag-keyed anti-join would silently skip them —
-    // deleted rows would resurface. One spec in history ⇒ every data file
-    // carries the current tuple shape and scoping is exact.
+    // global: their rows cannot be scoped safely. Neither can a scoped
+    // delete while any LIVE file predates the current spec: data files
+    // written under an older spec carry a foreign partition tuple, read
+    // with a null tag, and a scoped file's tag-keyed anti-join would
+    // silently skip them — deleted rows would resurface. The gate is
+    // "every live manifest (data AND delete) carries the current specId"
+    // (one never-evolved spec passes trivially without reading the
+    // manifest list): an evolved table that has since compact()ed — which
+    // rewrites all data under the default spec and materializes/drops all
+    // delete files — resumes scoped writes. Checked driver-side from the
+    // manifest list only, O(manifests).
+    def allLiveManifestsCurrentSpec: Boolean =
+      table.metadata.partitionSpecs.size == 1 ||
+        table.currentSnapshot(None).forall(snap =>
+          table.manifests(snap).forall(_.partitionSpecId == table.metadata.defaultSpecId))
     val partFields =
       if (content == ContentData) spec.fields
       else if (content == ContentEqualityDeletes && spec.fields.nonEmpty &&
-               table.metadata.partitionSpecs.size == 1 &&
-               spec.fields.forall(pf => writeSchema.fieldById(pf.sourceId).isDefined))
+               spec.fields.forall(pf => writeSchema.fieldById(pf.sourceId).isDefined) &&
+               allLiveManifestsCurrentSpec)
         spec.fields
       else Nil
     // default write sort order (clustering): range-partition + local sort on

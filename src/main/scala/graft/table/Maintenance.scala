@@ -259,11 +259,21 @@ object Maintenance {
     * the [[graft.spark.IceScan.pkTag]] tag; null keys match null — the
     * `<=>` Iceberg equality-delete semantics).
     *
-    * Cost: one bounded read per (sequence point, eq-id set, scope) group
-    * over the group's CANDIDATE data files only (older than the delete,
-    * tag-matched for scoped groups), projecting just the equality columns
-    * plus row metadata. At 100 TB this reads the delete-affected region
-    * once — the price the per-scan fold otherwise pays forever.
+    * Cost: ONE read per eq-id key set over that set's CANDIDATE data files
+    * (files at least one delete of the set applies to), projecting just
+    * the equality columns plus row metadata — sequence ordering and
+    * partition scoping ride the JOIN PREDICATE (`data_seq < del_seq`,
+    * null-safe tag match) instead of grouping reads per delete wave, so a
+    * data file older than k delete waves is still scanned once, not k
+    * times (the r14 read-amplification finding; IceTableSpec pins it with
+    * a listener-counted records-read gate). At 100 TB this reads the
+    * delete-affected region once — the price the per-scan fold otherwise
+    * pays forever.
+    *
+    * A group whose equality-column ids no longer resolve in the current
+    * schema (a setSchema evolution dropped a keyed column) ABORTS the
+    * conversion: silently skipping it while rewriteDeletes drops every
+    * equality file would permanently resurface that group's deleted rows.
     *
     * Returns (equality files before, positional files after, positions
     * written). */
@@ -295,48 +305,61 @@ object Maintenance {
     val prev = fieldIdConfs.map(k => k -> spark.conf.getOption(k))
     fieldIdConfs.foreach(spark.conf.set(_, "true"))
     try {
-      val groups = eq.groupBy(e =>
-          (e.sequenceNumber.getOrElse(0L), e.dataFile.equalityIds, scopedOf(e)))
-        .toSeq.sortBy { case ((ds, ids, sc), _) => (ds, ids.mkString(","), sc) }
-      val parts = groups.flatMap { case ((ds, eqIds, scoped), files) =>
+      // ONE group per eq-id KEY SET (not per delete wave): sequence points
+      // and partition scopes become per-row join predicates, so each
+      // candidate data file is read once however many waves key on it
+      val groups = eq.groupBy(_.dataFile.equalityIds)
+        .toSeq.sortBy(_._1.mkString(","))
+      val parts = groups.flatMap { case (eqIds, files) =>
         val eqCols = eqIds.flatMap(id => schema.fieldById(id)).map(_.name)
-        val delTags = files.map(f =>
+        // an unconvertible group must ABORT the op: rewriteDeletes below
+        // drops ALL equality files, so skipping this group would silently
+        // resurface its deleted rows forever
+        require(eqCols.size == eqIds.size,
+          s"cannot convert equality-delete group keyed on field ids " +
+            s"${eqIds.mkString(", ")}: ${eqIds.count(id => schema.fieldById(id).isEmpty)} " +
+            "id(s) no longer resolve in the current schema (a schema evolution dropped " +
+            "a keyed column) — the conversion is aborted; no deletes were rewritten")
+        // per delete file: (qualified path, sequence point, scope tag | null)
+        val delMeta = files.map { f =>
           (IceScan.qualifiedPath(hconf, f.dataFile.filePath),
-            IceScan.pkTag(f.dataFile.partition)))
-        val older0 = data.filter(_.sequenceNumber.getOrElse(0L) < ds)
-        val older =
-          if (!scoped) older0
-          else {
-            val tags = delTags.map(_._2).toSet
-            older0.filter(e => tags.contains(IceScan.pkTag(e.dataFile.partition)))
-          }
-        if (older.isEmpty || eqCols.size != eqIds.size) None
+            f.sequenceNumber.getOrElse(0L),
+            if (scopedOf(f)) IceScan.pkTag(f.dataFile.partition) else null)
+        }
+        // a data file is a candidate iff at least one delete of the set
+        // applies to it (strictly older; tag-matched for scoped deletes)
+        val candidates = data.filter { e =>
+          val dseq = e.sequenceNumber.getOrElse(0L)
+          lazy val dtag = IceScan.pkTag(e.dataFile.partition)
+          delMeta.exists { case (_, ds, tag) =>
+            dseq < ds && (tag == null || tag == dtag) }
+        }
+        if (candidates.isEmpty) None
         else {
+          val candMeta = candidates.map(e =>
+            (IceScan.qualifiedPath(hconf, e.dataFile.filePath),
+              e.sequenceNumber.getOrElse(0L),
+              IceScan.pkTag(e.dataFile.partition)))
           val rows = spark.read
             .schema(IceScan.readSparkSchema(table, schema.project(eqIds)))
-            .parquet(older.map(_.dataFile.filePath): _*)
+            .parquet(candidates.map(_.dataFile.filePath): _*)
             .select(eqCols.map(col) ++ Seq(
               col("_metadata.file_path").as("file_path"),
               col("_metadata.row_index").as("pos")): _*)
-          val delDf0 = spark.read
+          val lhs = rows.join(
+            broadcast(candMeta.toDF("__gp_dp", "__gp_dseq", "__gp_dtag")),
+            rows("file_path") === col("__gp_dp")).drop("__gp_dp")
+          val rhs = spark.read
             .schema(IceScan.readSparkSchema(table, schema.project(eqIds)))
             .parquet(files.map(_.dataFile.filePath): _*)
-          val (lhs, rhs) =
-            if (!scoped) (rows, delDf0.select(eqCols.map(col): _*))
-            else {
-              val dataTags = older.map(e =>
-                (IceScan.qualifiedPath(hconf, e.dataFile.filePath),
-                  IceScan.pkTag(e.dataFile.partition)))
-              (rows.join(broadcast(dataTags.toDF("__gp_dp", "__gp_tag")),
-                 rows("file_path") === col("__gp_dp")).drop("__gp_dp"),
-               delDf0.withColumn("__gp_dfp", col("_metadata.file_path"))
-                 .join(broadcast(delTags.toDF("__gp_ddp", "__gp_tag2")),
-                   col("__gp_dfp") === col("__gp_ddp"))
-                 .select(eqCols.map(col) :+ col("__gp_tag2").as("__gp_tag"): _*))
-            }
+            .withColumn("__gp_dfp", col("_metadata.file_path"))
+            .join(broadcast(delMeta.toDF("__gp_ddp", "__gp_delseq", "__gp_deltag")),
+              col("__gp_dfp") === col("__gp_ddp"))
+            .select(eqCols.map(col) ++ Seq(col("__gp_delseq"), col("__gp_deltag")): _*)
           val l = lhs.as("d"); val r = broadcast(rhs.as("x"))
-          val cond = (eqCols.map(c => col(s"d.$c") <=> col(s"x.$c")) ++
-            (if (scoped) Seq(col("d.__gp_tag") === col("x.__gp_tag")) else Nil))
+          val cond = (eqCols.map(c => col(s"d.$c") <=> col(s"x.$c")) :+
+            (col("d.__gp_dseq") < col("x.__gp_delseq")) :+
+            (col("x.__gp_deltag").isNull || col("x.__gp_deltag") === col("d.__gp_dtag")))
             .reduce(_ && _)
           Some(l.join(r, cond, "left_semi").select(col("file_path"), col("pos")))
         }

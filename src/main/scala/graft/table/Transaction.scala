@@ -99,11 +99,29 @@ class Transaction(table: IceTable, branch: Option[String]) {
     * consolidated files enter at the new snapshot's sequence number — safe
     * for POSITIONAL deletes only, whose masking set is an explicit
     * (path, pos) list independent of sequencing. Data manifests carry over
-    * untouched; re-encoding kept entries is safe because this engine writes
-    * every delete file with an empty (global) partition tuple. */
+    * untouched. Kept entries are RE-ENCODED under the table's CURRENT
+    * default spec (Manifest.writeManifest puts partition tuple values by
+    * field NAME): global delete files round-trip safely (empty tuple), and
+    * so do partition-SCOPED entries whose tuple field names all exist in
+    * the default spec's partition type — but a scoped entry carrying a
+    * foreign-named tuple (written before a later setSpec evolution) cannot
+    * be re-encoded without silently nulling its scope, so it is rejected
+    * loudly here instead. */
   def rewriteDeletes(keep: Seq[ManifestEntry], added: Seq[DataFile]): Transaction = {
     require(keep.forall(e => e.sequenceNumber.isDefined && e.dataFile.content != ContentData),
       "rewriteDeletes takes inherited DELETE entries (explicit sequence numbers)")
+    val currentPartNames = table.metadata.partitionSpecs
+      .get(table.metadata.defaultSpecId)
+      .map(_.partitionType(table.metadata.currentSchema).fields.map(_.name).toSet)
+      .getOrElse(Set.empty[String])
+    keep.foreach { e =>
+      val foreign = e.dataFile.partition.map(_._1).filterNot(currentPartNames.contains)
+      require(foreign.isEmpty,
+        s"rewriteDeletes cannot re-encode kept entry ${e.dataFile.filePath}: partition " +
+          s"tuple fields ${foreign.mkString(", ")} do not exist in the current default " +
+          "spec's partition type (spec evolved since the delete was written) — compact " +
+          "or convert the foreign-spec deletes first")
+    }
     require(added.forall(_.content == ContentPositionDeletes),
       "only positional delete files may enter at a fresh sequence number")
     require(appendedData.isEmpty && appendedDeletes.isEmpty && replaceFiles.isEmpty &&

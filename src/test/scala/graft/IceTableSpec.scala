@@ -208,6 +208,38 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(unions <= 1, s"per-partition fan-out is back ($unions unions):\n$plan")
   }
 
+  test("rewriteDeletes rejects kept entries whose partition tuple predates the default spec") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "rwdguard"), ordersSchema, daySpec)
+    table = IceWrite.append(spark, table, batch1)
+    // scoped eq delete under the day spec: tuple field "date_day"
+    table = IceWrite.appendEqualityDeletes(spark, table,
+      Seq((1L, "2020-01-01")).toDF("id", "date").withColumn("date", to_date($"date")),
+      equalityIds = Seq(1, 4))
+    val kept = table.deleteFiles(table.currentSnapshot(None).get)
+    assert(kept.nonEmpty && kept.forall(_.dataFile.partition.exists(_._2 != null)))
+    // evolve: partition by product_id — "date_day" no longer names a field
+    // of the default spec's partition type, so re-encoding the kept entry
+    // (writeManifest puts tuple values by NAME) would null its scope
+    table = table.newTransaction(None)
+      .setSpec(Seq(PartitionField(3, 1001, "product_id", Transform.Identity))).commit()
+    val ex = intercept[IllegalArgumentException] {
+      table.newTransaction(None).rewriteDeletes(kept, Nil)
+    }
+    assert(ex.getMessage.contains("do not exist in the current default spec"), ex.getMessage)
+    // under the UNEVOLVED spec the same kept entries pass the guard —
+    // their tuple names all exist in the default spec's partition type
+    var tok = cat.createTable(TableIdent(Seq("test"), "rwdok"), ordersSchema, daySpec)
+    tok = IceWrite.append(spark, tok, batch1)
+    tok = IceWrite.appendEqualityDeletes(spark, tok,
+      Seq((1L, "2020-01-01")).toDF("id", "date").withColumn("date", to_date($"date")),
+      equalityIds = Seq(1, 4))
+    val keptOk = tok.deleteFiles(tok.currentSnapshot(None).get)
+    tok.newTransaction(None).rewriteDeletes(keptOk, Nil) // must not throw
+  }
+
   test("equality deletes keyed on the partition source write PARTITION-SCOPED files") {
     implicit val s: SparkSession = spark
     import s.implicits._
@@ -263,6 +295,30 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the delete still masks the OLD-SPEC row it targets
     assert(IceScan.scan(spark, tEvo).filter($"id" === 1L).count() == 1,
       "the (id=1, date=dates.head) row must be masked despite spec evolution")
+
+    // after compact() every LIVE manifest carries the CURRENT spec (data
+    // rewritten under it; delete files materialized and dropped), so scoped
+    // writes RESUME — the gate reads the manifest list, not spec-count
+    // history (a spec evolution is not a permanent global-delete sentence)
+    tEvo = graft.table.Maintenance.compact(spark, tEvo)
+    assert(tEvo.manifests(tEvo.currentSnapshot(None).get)
+      .forall(_.partitionSpecId == tEvo.metadata.defaultSpecId),
+      "compact must leave every live manifest under the default spec")
+    tEvo = IceWrite.appendEqualityDeletes(spark, tEvo,
+      Seq((2L, dates.head)).toDF("id", "date").withColumn("date", to_date($"date")),
+      equalityIds = Seq(1, 4))
+    val evoDel = tEvo.deleteFiles(tEvo.currentSnapshot(None).get)
+    assert(evoDel.nonEmpty && evoDel.forall(_.dataFile.partition.exists(_._2 != null)),
+      "post-compact scoped writes must resume on the evolved table")
+    // masking exact against a PRE-EVOLUTION key: the (id=2, dates.head) row
+    // — written unpartitioned under the old spec, carried through compact —
+    // is masked in its partition only; its sibling in dates(1) survives,
+    // and the pre-compact global delete of id=1 stays applied
+    val evoScan = IceScan.scan(spark, tEvo)
+    assert(evoScan.count() == 18, s"expected 18 rows, got ${evoScan.count()}")
+    assert(evoScan.filter($"id" === 2L).count() == 1)
+    assert(evoScan.filter($"id" === 2L && $"date" === to_date(lit(dates.head))).count() == 0)
+    assert(evoScan.filter($"id" === 1L).count() == 1)
 
     // a delete key NOT covering the partition source still writes global
     var t2 = cat.createTable(TableIdent(Seq("test"), "globalw"), ordersSchema, daySpec)
@@ -320,6 +376,64 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     // idempotent: a second conversion is a no-op shape-wise
     val (e2, p2, n2) = graft.table.Maintenance.convertEqualityDeletes(spark, t.refresh())
     assert(e2 == 0 && n2 == 0L && p2 == posAfter)
+  }
+
+  test("convertEqualityDeletes aborts when an equality key column was dropped by evolution") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    var t = cat.createTable(TableIdent(Seq("test"), "convabort"), ordersSchema,
+      PartitionSpec(0, Nil))
+    t = IceWrite.append(spark, t, batch1)
+    t = IceWrite.appendEqualityDeletes(spark, t, Seq(1L).toDF("customer_id"),
+      equalityIds = Seq(2)) // keyed on customer_id (field id 2)
+    // schema evolution drops the keyed column — the delete group can no
+    // longer be converted; silently skipping it (r14 behavior) while
+    // rewriteDeletes drops every eq file would resurface its rows forever
+    t = t.newTransaction(None)
+      .setSchema(IceSchema(1, ordersSchema.fields.filterNot(_.id == 2))).commit()
+    val ex = intercept[IllegalArgumentException] {
+      graft.table.Maintenance.convertEqualityDeletes(spark, t.refresh())
+    }
+    assert(ex.getMessage.contains("no longer resolve"), ex.getMessage)
+    // nothing was rewritten: the equality files are still in the tree
+    val dels = t.refresh().deleteFiles(t.refresh().currentSnapshot(None).get)
+    assert(dels.exists(_.dataFile.content == graft.table.ManifestModel.ContentEqualityDeletes),
+      "aborted conversion must leave the delete tree untouched")
+  }
+
+  test("convertEqualityDeletes reads each candidate data file once across delete waves") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    var t = cat.createTable(TableIdent(Seq("test"), "convwaves"), ordersSchema,
+      PartitionSpec(0, Nil))
+    val R = 9000L
+    t = IceWrite.append(spark, t, spark.range(1, R + 1).select(
+      col("id"), col("id").as("customer_id"), (col("id") % 3).as("product_id"),
+      to_date(lit("2021-03-01")).as("date"), lit(1).as("amount")))
+    // 3 delete WAVES on the SAME key set — 3 sequence points, all with the
+    // initial data file(s) as candidates
+    for (w <- 0 until 3)
+      t = IceWrite.appendEqualityDeletes(spark, t.refresh(),
+        spark.range(w * 10 + 1, w * 10 + 11).select(col("id")), equalityIds = Seq(1))
+    t = t.refresh()
+    val records = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) records.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (eqB, _, positions) =
+      try { val r = graft.table.Maintenance.convertEqualityDeletes(spark, t)
+            Thread.sleep(700); r } // listener bus is async
+      finally spark.sparkContext.removeSparkListener(listener)
+    assert(eqB == 3 && positions == 30L, s"got $eqB files, $positions positions")
+    // the r14 shape read candidates once per WAVE (≥ 3R records); the
+    // single-pass shape reads them once (R + delete rows + mask re-reads)
+    assert(records.get() < 2L * R,
+      s"conversion read ${records.get()} records — candidate files re-read per wave")
+    assert(IceScan.scan(spark, t.refresh()).count() == R - 30)
   }
 
   test("write sort order clusters files into disjoint ranges; pruning hits one file") {
