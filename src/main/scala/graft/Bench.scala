@@ -2,8 +2,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
-  /** One benchmarked query's timing record: median + spread over `iters`. */
-  private case class Rec(name: String, med: Double, mn: Double, mx: Double)
+  /** One benchmarked query's timing record: median + spread over `iters`,
+    * plus the median executor task CPU time (VERDICT r14 #1/#2: CPU-seconds
+    * do not inflate when a neighbor steals the box, so round-over-round
+    * comparison stops needing wall-spread adjudication). */
+  private case class Rec(name: String, med: Double, mn: Double, mx: Double, cpuMed: Double)
 
   private def r3(x: Double): String =
     // Locale.ROOT: f"%.3f" uses the default locale — a comma-decimal JVM
@@ -71,6 +74,16 @@ object Bench {
     // that adjudication automatic instead of a judge re-bench.
     val loadStart = loadAvg()
     val foreignStart = foreignJvms()
+    // Executor task CPU time per query (SparkListener accumulator): the
+    // load-immune companion to the wall medians — contention stretches
+    // wall-clock but not CPU-seconds, so cpu medians compare across rounds
+    // without spread adjudication. The bus is drained before each read
+    // (GraftShim.drainListenerBus) so attribution stays per-query.
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) cpuNanos.addAndGet(e.taskMetrics.executorCpuTime)
+    })
     // Mid-run exogenous-load watch (VERDICT r13 #2): sample CPU ticks
     // between queries and track the max per-interval FOREIGN share plus the
     // max raw 1-min load. Raw load is informational only — the run's own
@@ -91,13 +104,17 @@ object Bench {
     val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(3)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+      val c0 = cpuNanos.get()
       val t0 = System.nanoTime()
       // noop sink: full materialization of every output column (count()
       // would let Catalyst prune most of the computation away)
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+      val cpu = (cpuNanos.get() - c0) / 1e9
       // Per-query isolation, OUTSIDE the timed window. Two mechanisms:
       // (1) clearCache() — operator-internal caches must not leak across
       //     queries; (2) gc() — dropped broadcasts/shuffles are reclaimed
@@ -119,15 +136,15 @@ object Bench {
       loadMax = math.max(loadMax, loadAvg())
       if (debug) {
         val rt = Runtime.getRuntime
-        System.err.println(s"[bench-debug] $name t=${r3(elapsed)} " +
+        System.err.println(s"[bench-debug] $name t=${r3(elapsed)} cpu=${r3(cpu)} " +
           s"heapMB=${(rt.totalMemory() - rt.freeMemory()) / (1 << 20)} " +
           s"localDirMB=${localDirBytes(spark) / (1 << 20)}")
       }
-      elapsed
+      (elapsed, cpu)
     }
     // iterate suite-major (all queries, then repeat) so iteration i of one
     // query does not warm iteration i+1 of the same query back-to-back
-    val samples: Seq[Seq[(String, Double)]] = (1 to iters).map { _ =>
+    val samples: Seq[Seq[(String, (Double, Double))]] = (1 to iters).map { _ =>
       names.map { case (name, fn) => name -> timeOne(name, fn) }
     }
     def median(xs: Seq[Double]): Double = {
@@ -136,7 +153,8 @@ object Bench {
     }
     val byQuery = names.map { case (name, _) =>
       val runs = samples.map(_.find(_._1 == name).get._2)
-      Rec(name, median(runs), runs.min, runs.max)
+      Rec(name, median(runs.map(_._1)), runs.map(_._1).min, runs.map(_._1).max,
+        median(runs.map(_._2)))
     }
     val qs = byQuery.map(r => s""""${r.name}":${r3(r.med)}""").mkString("{", ",", "}")
     val total = byQuery.map(_.med).sum
@@ -150,6 +168,8 @@ object Bench {
     // file — whichever line survives the tail window parses.
     val spread = byQuery.map(r => s""""${r.name}":[${r3(r.mn)},${r3(r.mx)}]""")
       .mkString("{", ",", "}")
+    val cpu = byQuery.map(r => s""""${r.name}":${r3(r.cpuMed)}""").mkString("{", ",", "}")
+    val cpuTotal = byQuery.map(_.cpuMed).sum
     // End-of-run box state + taint verdict (thresholds in BoxState.tainted;
     // raw values recorded so a grader can apply stricter bands; load_end is
     // dominated by the run's own 32-core work — completeness, not a gate;
@@ -165,7 +185,8 @@ object Bench {
       s""""heap_max_mb":${Runtime.getRuntime.maxMemory() / (1 << 20)},""" +
       s""""cpus":$cpus,"tainted":$tainted}"""
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":$iters,""" +
-      s""""queries":$qs,"spread":$spread,$box,"sf":"$sfDir"}"""
+      s""""cpu_total_sec":${r3(cpuTotal)},"queries":$qs,"spread":$spread,"cpu":$cpu,""" +
+      s"""$box,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] full-json write failed: $e") }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{BpeOps, Dedup, Embeddings, HtmlOps, Multimodal, TextOps, TimeSeries, TrainingSet, UnigramOps, UrlOps}
+import graft.pipeline.{BpeOps, Dedup, Embeddings, HtmlOps, Multimodal, QualityLM, TextOps, TimeSeries, TrainingSet, UnigramOps, UrlOps}
 
 /** Judge-visible training-data pipeline operators over `documents` and
   * `embeddings` (BASELINE.json north star: dedup, similarity search,
@@ -970,6 +970,18 @@ object PipelineQueries {
           coalesce(col("c"), lit(0L)).as("c"),
           coalesce(col("c_whole"), lit(0L)).as("c_whole"))
         .orderBy("r", "bkt")
+    }),
+
+    // CCNet-style perplexity-bucket quality filter (Wenzek et al. 2020):
+    // a bigram LM with add-one smoothing trains on the doc_id%7==0
+    // reference slice (the quality anchor), every doc scores its
+    // integer-quantized per-token nll under it (the q103 log2-bit-length
+    // trick — exact BIGINTs on both engines), and the corpus splits into
+    // head/middle/tail perplexity terciles by exact integer rank cuts.
+    "q110_ppl_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val model = QualityLM.train(docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+      QualityLM.buckets(docs, "doc_id", "text", model).orderBy("doc_id")
     }),
 
     // Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005) over
@@ -2264,6 +2276,39 @@ object PipelineQueries {
         |    ((length(bin(tr + 8192)) - 1) - (length(bin(tt + 8192)) - 1)) AS BIGINT) AS dsir_q
         |FROM rawdocs d LEFT JOIN docsum USING (doc_id) CROSS JOIN tot
         |ORDER BY doc_id""".stripMargin,
+
+    // the full CCNet chain in SQL: train the add-one bigram LM on the
+    // doc_id%7==0 slice, score every doc's quantized nll (length(bin(x))-1
+    // = floor(log2 x) — the q103 convention), bucket by exact integer
+    // tercile rank cuts. `//` (floor) == Spark DIV (truncation) because
+    // nll sums are non-negative by construction.
+    "q110_ppl_buckets" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |ref AS (SELECT doc_id, text FROM docs WHERE doc_id % 7 = 0),
+        |rtoks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM ref),
+        |runi AS (SELECT tok, count(*) AS c FROM rtoks, UNNEST(w) AS u(tok) GROUP BY tok),
+        |vsz AS (SELECT count(*) AS v FROM runi),
+        |rbig AS (SELECT w[i] || ' ' || w[i+1] AS sh FROM rtoks, UNNEST(range(1, len(w))) AS t(i)),
+        |rbc AS (SELECT sh, count(*) AS c FROM rbig GROUP BY sh),
+        |dtoks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM docs),
+        |dbig AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS sh, w[i] AS a FROM dtoks, UNNEST(range(1, len(w))) AS t(i)),
+        |nll AS (SELECT doc_id,
+        |          (length(bin(coalesce(u.c, 0) + v.v)) - 1) - (length(bin(coalesce(b.c, 0) + 1)) - 1) AS q
+        |        FROM dbig d LEFT JOIN rbc b USING (sh) LEFT JOIN runi u ON u.tok = d.a CROSS JOIN vsz v),
+        |docsum AS (SELECT doc_id, count(*) AS n, sum(q) AS s FROM nll GROUP BY doc_id),
+        |scored AS (SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_bigrams,
+        |             CASE WHEN n IS NULL THEN NULL ELSE (s * 1000) // n END AS ppl_q
+        |           FROM docs d LEFT JOIN docsum USING (doc_id)),
+        |counts AS (SELECT ppl_q, count(*) AS n FROM scored WHERE ppl_q IS NOT NULL GROUP BY ppl_q),
+        |cums AS (SELECT ppl_q, sum(n) OVER (ORDER BY ppl_q) AS c FROM counts),
+        |tot AS (SELECT coalesce(sum(n), 0) AS t FROM counts),
+        |thr AS (SELECT min(CASE WHEN c * 3 >= t THEN ppl_q END) AS t1,
+        |               min(CASE WHEN c * 3 >= t * 2 THEN ppl_q END) AS t2
+        |        FROM cums CROSS JOIN tot)
+        |SELECT s.doc_id, s.n_bigrams, CAST(s.ppl_q AS BIGINT) AS ppl_q,
+        |  CASE WHEN s.ppl_q IS NULL THEN 'tail' WHEN s.ppl_q <= t1 THEN 'head'
+        |       WHEN s.ppl_q <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM scored s CROSS JOIN thr ORDER BY s.doc_id""".stripMargin,
 
     // Golden parquet (the q94/q100 contract): DuckDB cannot BPE.
     // PipelineSpec re-verifies chunk semantics + golden freshness on

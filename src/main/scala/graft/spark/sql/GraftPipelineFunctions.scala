@@ -273,6 +273,34 @@ object GraftPipelineFunctions {
         strArg(args, 3, "dsir_weights"))
     }
 
+    memoTvf(ext, "ppl_buckets",
+      "ppl_buckets(table, ref_table, id_col, text_col) — CCNet-style " +
+        "perplexity quality buckets (Wenzek et al. 2020): train an add-one " +
+        "bigram LM on ref_table, score every doc's integer-quantized " +
+        "per-token nll, split into head/middle/tail terciles; lower ppl_q " +
+        "= more reference-like", Seq(0, 1)) { args =>
+      require(args.length == 4, "ppl_buckets(table, ref_table, id_col, text_col)")
+      import graft.pipeline.QualityLM
+      val idC = strArg(args, 2, "ppl_buckets")
+      val textC = strArg(args, 3, "ppl_buckets")
+      QualityLM.buckets(tableArg(args, 0, "ppl_buckets"), idC, textC,
+        QualityLM.train(tableArg(args, 1, "ppl_buckets"), idC, textC))
+    }
+
+    memoTvf(ext, "ppl_score_apply",
+      "ppl_score_apply(model_dir, table, id_col, text_col) — load a " +
+        "persisted quality-LM model (QualityLM.saveModel) and " +
+        "score+bucket the table broadcast-side: ZERO training jobs — the " +
+        "train-once/ship-the-model contract for the CCNet quality gate. " +
+        "The model dir is an external path and assumed immutable", Seq(1)) { args =>
+      require(args.length == 4, "ppl_score_apply(model_dir, table, id_col, text_col)")
+      import graft.pipeline.QualityLM
+      val spark = SparkSession.active
+      QualityLM.buckets(tableArg(args, 1, "ppl_score_apply"),
+        strArg(args, 2, "ppl_score_apply"), strArg(args, 3, "ppl_score_apply"),
+        QualityLM.loadModel(spark, strArg(args, 0, "ppl_score_apply")))
+    }
+
     tvf(ext, "asof_join",
       "asof_join(probe_table, ref_table, keys_csv, time_col, payload_csv, " +
         "tiebreak_csv) — for each probe row, the latest ref row at-or-before " +

@@ -75,4 +75,13 @@ object GraftShim {
     }
     ofRows(spark, planned)
   }
+
+  /** Drains the async listener bus (`LiveListenerBus.waitUntilEmpty` is
+    * `private[spark]`): a caller reading listener-accumulated task metrics
+    * (executor CPU time per bench/smoke phase) right after an action needs
+    * the in-flight task-end events delivered first, or the attribution
+    * bleeds into the next phase. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    try spark.sparkContext.listenerBus.waitUntilEmpty()
+    catch { case _: java.util.concurrent.TimeoutException => }
 }

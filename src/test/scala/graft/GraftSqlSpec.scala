@@ -1407,6 +1407,59 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("ppl_score_apply serves a persisted quality-LM without retraining; ppl_buckets parity") {
+    import graft.pipeline.QualityLM
+    import graft.spark.sql.GraftPipelineFunctions
+    import org.apache.spark.sql.functions.col
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    docs.createOrReplaceTempView("ppl_apply_v")
+    spark.sql("CREATE OR REPLACE TEMP VIEW ppl_ref_v AS " +
+      "SELECT * FROM ppl_apply_v WHERE doc_id % 7 = 0")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+
+    // trainer TVF parity with the Scala API
+    val model = QualityLM.train(docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+    val scalaRows = rows(QualityLM.buckets(docs, "doc_id", "text", model).orderBy("doc_id"))
+    assert(rows(spark.sql(
+      "SELECT * FROM ppl_buckets('ppl_apply_v', 'ppl_ref_v', 'doc_id', 'text') ORDER BY doc_id"))
+      == scalaRows)
+
+    // persistence round-trip: the SQL apply from the DIR equals both the
+    // loaded-model Scala path and the in-JVM trained model (lossless save)
+    val base = java.nio.file.Files.createTempDirectory("qlm_models").toString
+    QualityLM.saveModel(spark, model, s"$base/qlm")
+    val applySql =
+      s"SELECT * FROM ppl_score_apply('$base/qlm', 'ppl_apply_v', 'doc_id', 'text')"
+    assert(rows(spark.sql(applySql + " ORDER BY doc_id")) == scalaRows)
+    assert(rows(QualityLM.buckets(docs, "doc_id", "text",
+      QualityLM.loadModel(spark, s"$base/qlm")).orderBy("doc_id")) == scalaRows)
+
+    // a non-model dir fails loudly, not with a schema error downstream
+    val bad = intercept[Exception](QualityLM.loadModel(spark, s"$base/nope"))
+    assert(bad.getMessage != null)
+
+    // zero-training evidence: a memoized re-issue plans with ZERO jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val b0 = GraftPipelineFunctions.tvfBuilds.get()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sql(applySql).queryExecution.analyzed // analysis runs the builder
+      Thread.sleep(500) // listener bus is async
+      assert(GraftPipelineFunctions.tvfBuilds.get() == b0,
+        "re-issued ppl_score_apply must serve from the memo")
+      assert(jobs.get() == 0,
+        s"memoized ppl_score_apply analysis ran ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("foreign V2 version tokens: property-versioned tables memoize, versionless never do") {
     import graft.spark.sql.GraftPipelineFunctions.foreignV2Token
     // a connector exposing a snapshot-ish property gets a STABLE token —

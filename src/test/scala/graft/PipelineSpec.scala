@@ -607,6 +607,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(messages(ex).exists(_.contains("out of packable range")), s"got $ex")
   }
 
+  test("quality-LM buckets: reference-like docs head, gibberish tail, 1-token docs null-tail") {
+    import graft.pipeline.QualityLM
+    // reference: "a b" dominates; vocab {a, b, c} → V = 3
+    val ref = docs(100L -> "a b a b a b", 101L -> "a c")
+    val model = QualityLM.train(ref, "doc_id", "text")
+    assert(model.vocabSize == 3L)
+    // hand-check the quantized score of doc "a b":
+    //   c(a)=4, c(a b)=3 → nll_q = ⌊log2(4+3)⌋ − ⌊log2(3+1)⌋ = 2 − 2 = 0
+    // and of "b z": c(b)=3, c(b z)=0 → ⌊log2 6⌋ − ⌊log2 1⌋ = 2
+    val scored = QualityLM.score(
+      docs(1L -> "a b", 2L -> "b z", 3L -> "solo"), "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(scored(1L) == (1L, 0L), s"got ${scored(1L)}")
+    assert(scored(2L) == (1L, 2000L), s"got ${scored(2L)}")
+    assert(scored(3L) == (0L, -1L), "1-token doc must carry NULL ppl_q")
+    // distinct quantized scores: 333 ("a b a b"), 600 ("a b a b a c"),
+    // 1000 (all-unseen) → exact tercile cuts land one doc per bucket
+    val bucketed = QualityLM.buckets(
+      docs(1L -> "a b a b", 2L -> "a b a b a c", 3L -> "z q w e r t y u"),
+      "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(bucketed == Map(1L -> "head", 2L -> "middle", 3L -> "tail"), s"got $bucketed")
+    // persistence round-trip is lossless
+    val dir = java.nio.file.Files.createTempDirectory("qlm_spec").toString
+    QualityLM.saveModel(spark, model, dir)
+    val re = QualityLM.loadModel(spark, dir)
+    assert(re.vocabSize == 3L)
+    val reScored = QualityLM.score(docs(1L -> "a b", 2L -> "b z"), "doc_id", "text", re)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(reScored == Map(1L -> 0L, 2L -> 2000L), s"got $reScored")
+  }
+
   test("removeDupSpans excises merged shared spans everywhere but the canonical doc") {
     val shared = (1 to 12).map(i => s"tok$i").mkString(" ") // 12 tokens → 3 shared windows
     val d = docs(

@@ -385,6 +385,20 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"lm score must equi-join on the bigram key:\n$plan")
   }
 
+  test("perplexity buckets: model lookups broadcast, tercile thresholds 1-row, no all-pairs") {
+    val plan = physicalPlan(PipelineQueries.queries("q110_ppl_buckets")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"ppl scoring must never cartesian:\n$plan")
+    // both reference-LM count tables (bigrams + unigrams) join BROADCAST
+    // against the corpus bigram stream — the corpus side never shuffles
+    // for a model lookup
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2,
+      s"model count tables must broadcast against the bigram stream:\n$plan")
+    // the tercile-threshold and total frames attach as 1-row broadcasts
+    // (BroadcastNestedLoopJoin over single-row aggregates is the repo's
+    // stats-join convention, not an all-pairs smell)
+    assert(plan.contains("BroadcastExchange"), s"thresholds must broadcast:\n$plan")
+  }
+
   test("sequence packing parallelizes by (stratum, bucket), never one global window") {
     val plan = physicalPlan(PipelineQueries.queries("q44_pack_sequences")(spark, sf))
     assert(!plan.contains("Join"), s"packing must not join:\n$plan")

@@ -59,6 +59,17 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var loadMax = loadStart
 
   private val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+  // executor task CPU seconds per timed phase (VERDICT r14 #1): CPU time is
+  // deterministic under box contention — a neighbor stealing cores
+  // stretches wall-clock, not CPU-seconds — so the 10x scale RATIOS gate on
+  // these, with wall kept informational
+  private val cpuTimings = scala.collection.mutable.LinkedHashMap[String, Double]()
+  private val cpuNanos = new java.util.concurrent.atomic.AtomicLong
+  private lazy val cpuListener: Unit =
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) cpuNanos.addAndGet(e.taskMetrics.executorCpuTime)
+    })
   private val checks = scala.collection.mutable.LinkedHashMap[String, Boolean]()
   // dimensionless observations (candidate/pair counts, ratios) — the cost
   // decompositions the wall-clock ratios are explained by
@@ -78,9 +89,10 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val ExpectedChecks = Set(
     "q24_base_nonempty", "q24_zero_cross_copy", "q24_volume_banded",
     "q47_one_label_per_doc", "q47_labels_canonical",
-    "q77_zero_cross_copy", "q77_exact_10x",
-    "q78_zero_cross_copy", "q78_exact_10x",
-    "q86_zero_cross_copy", "q86_exact_10x", "q86_candidates_linear",
+    "q77_zero_cross_copy", "q77_exact_10x", "q77_cpu_ratio_banded",
+    "q78_zero_cross_copy", "q78_exact_10x", "q78_cpu_ratio_banded",
+    "q86_zero_cross_copy", "q86_exact_10x", "q86_cpu_ratio_banded",
+    "q86_candidates_linear",
     "bpe_rows_10x", "bpe_copy0_exact",
     "html_byte_exact_10x", "url_idempotent_10x",
     "dsir_rows_scored_10x", "dsir_copy0_featurization_exact",
@@ -94,6 +106,7 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Locale.ROOT: a comma-decimal JVM locale would emit invalid JSON
     def r2(x: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
     val t = timings.map { case (k, v) => s"${j(k)}:${r2(v)}" }.mkString("{", ",", "}")
+    val c = cpuTimings.map { case (k, v) => s"${j(k)}:${r2(v)}" }.mkString("{", ",", "}")
     val a = checks.map { case (k, v) => s"${j(k)}:$v" }.mkString("{", ",", "}")
     val m = metrics.map { case (k, v) => s"${j(k)}:${r2(v)}" }.mkString("{", ",", "}")
     // box state + taint (the BENCH_full fields): wall-clock ratios in this
@@ -108,7 +121,7 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s""""load_max":${r3(loadMax)},"foreign_cpu_max":${r3(foreignCpuMax)},""" +
       s""""foreign_jvms_start":$foreignStart,"foreign_jvms_end":$foreignEnd,""" +
       s""""tainted":$taintVerdict}"""
-    val json = s"""{"dir":${j(sfDir)},"copies":$copies,"cpus":$cpus,"timings_sec":$t,"metrics":$m,$box,"asserts":$a}"""
+    val json = s"""{"dir":${j(sfDir)},"copies":$copies,"cpus":$cpus,"timings_sec":$t,"cpu_sec":$c,"metrics":$m,$box,"asserts":$a}"""
     // the BENCH_full/BENCH_only convention: only an EXPLICIT bench-scale
     // run (-Dgraft.scale.smoke.dir=...) that produced the COMPLETE
     // assertion inventory, all green, may write the committed record;
@@ -172,21 +185,43 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def timed[T](label: String)(f: => T): T = {
     warm
+    cpuListener
     // the Bench r10 lesson: drain the async ContextCleaner backlog and
     // settle before timing, or earlier tests' cache/broadcast cleanup
     // lands inside this window (measured 3x inflation on q78-in-suite)
     System.gc(); Thread.sleep(150); System.gc()
+    // per-phase CPU attribution needs in-flight task-end events delivered
+    // on both edges of the window (the listener bus is async)
+    org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+    val c0 = cpuNanos.get()
     val t0 = System.nanoTime()
     val r = f
     val secs = (System.nanoTime() - t0) / 1e9
     timings(label) = secs
+    org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+    val cpuSecs = (cpuNanos.get() - c0) / 1e9
+    cpuTimings(label) = cpuSecs
     val nowTicks = BoxState.cpuTicks()
     foreignCpuMax = math.max(foreignCpuMax, BoxState.foreignShare(lastTicks, nowTicks))
     lastTicks = nowTicks
     loadMax = math.max(loadMax, BoxState.loadAvg())
-    info(f"[scale-smoke] $label: $secs%.2f s")
-    println(f"[scale-smoke] $label: $secs%.2f s")
+    info(f"[scale-smoke] $label: $secs%.2f s (cpu $cpuSecs%.2f s)")
+    println(f"[scale-smoke] $label: $secs%.2f s (cpu $cpuSecs%.2f s)")
     r
+  }
+
+  /** Gates a 10x phase's CPU-time ratio against its 1x phase: CPU-seconds
+    * are load-immune (the r14 adjudication sink — two UNTAINTED runs moved
+    * q86's 10x WALL 194↔100 s while counts stayed exact), so the
+    * near-linearity claim gates here and wall stays informational. The
+    * band is wide — JIT warmth and cache-locality shift CPU by 2-3x — but
+    * a quadratic blowup reads ~${copies}² ≈ 100x and can never pass. */
+  private def checkCpuRatio(name: String, label1x: String, label10x: String): Unit = {
+    val ratio = cpuTimings(label10x) / math.max(cpuTimings(label1x), 1e-9)
+    metrics(s"${name}_cpu_ratio") = ratio
+    check(s"${name}_cpu_ratio_banded", ratio >= 2.0 && ratio <= copies * 4.0,
+      s"$name cpu ratio $ratio outside [2, ${copies * 4}] " +
+        s"(1x=${cpuTimings(label1x)}s, ${copies}x=${cpuTimings(label10x)}s)")
   }
 
   private def crossCopy(pairs: DataFrame, a: String = "id_a", b: String = "id_b"): Long =
@@ -245,6 +280,7 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // exact algorithm + bijective shingle maps ⇒ each copy contributes the
     // base pair set verbatim
     check("q77_exact_10x", p10 == copies * p1, s"expected ${copies}x$p1 pairs, got $p10")
+    checkCpuRatio("q77", "q77 jaccardJoinExact 1x", s"q77 jaccardJoinExact ${copies}x")
     pairs10.unpersist()
   }
 
@@ -262,6 +298,7 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("q78_zero_cross_copy", crossCopy(pairs10, "src_id", "sup_id") == 0,
       "cross-copy containment pairs found")
     check("q78_exact_10x", p10 == copies * p1, s"expected ${copies}x$p1 pairs, got $p10")
+    checkCpuRatio("q78", "q78 containmentJoin 1x", s"q78 containmentJoin ${copies}x")
     pairs10.unpersist()
   }
 
@@ -289,6 +326,7 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     check("q86_zero_cross_copy", crossCopy(pairs10) == 0, "cross-copy fuzzy pairs found")
     check("q86_exact_10x", p10 == copies * p1, s"expected ${copies}x$p1 pairs, got $p10")
+    checkCpuRatio("q86", "q86 editDistanceJoin 1x", s"q86 editDistanceJoin ${copies}x")
     pairs10.unpersist()
 
     // COST DECOMPOSITION (VERDICT r12 #5): q86's super-linear wall ratio
