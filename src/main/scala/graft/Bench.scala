@@ -79,11 +79,8 @@ object Bench {
     // wall-clock but not CPU-seconds, so cpu medians compare across rounds
     // without spread adjudication. The bus is drained before each read
     // (GraftShim.drainListenerBus) so attribution stays per-query.
-    val cpuNanos = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (e.taskMetrics != null) cpuNanos.addAndGet(e.taskMetrics.executorCpuTime)
-    })
+    val cpuNanos = org.apache.spark.sql.GraftShim
+      .addTaskMetricListener(spark)(_.executorCpuTime)
     // Mid-run exogenous-load watch (VERDICT r13 #2): sample CPU ticks
     // between queries and track the max per-interval FOREIGN share plus the
     // max raw 1-min load. Raw load is informational only — the run's own

@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // per-call suffix for the paragraphNearDups observe metric (duplicate
+  // observed-metric names over different subtrees fail analysis)
+  private val paraObserveId = new java.util.concurrent.atomic.AtomicLong
+
   /** Exact duplicate clusters by content hash: one row per distinct content,
     * with the surviving (minimum) id and the duplicate count. */
   def exactClusters(df: DataFrame, idCol: String, contentCol: String): DataFrame =
@@ -168,10 +172,12 @@ object Dedup {
     * and DIV truncation misgroups negative ids). Pages with more than
     * `maxParas` paragraphs consider only their first `maxParas`
     * (id-collision safety — raise the bound for paragraph-heavy corpora);
-    * the dropped-paragraph count is surfaced as the observed metric
-    * `graft.paragraph_near_dups` / `dropped_paragraphs` (rides the plan —
-    * no extra pass; read it with a QueryExecutionListener or in the Spark
-    * UI, the repo's no-silent-caps rule). */
+    * the dropped-paragraph count is surfaced as an observed metric named
+    * `graft.paragraph_near_dups.<n>` / `dropped_paragraphs` (rides the
+    * plan — no extra pass; read it with a QueryExecutionListener or in
+    * the Spark UI, the repo's no-silent-caps rule). The `<n>` suffix is
+    * unique per call so two invocations compose in one query (Spark
+    * rejects duplicate observed-metric names over different subtrees). */
   def paragraphNearDups(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
                         threshold: Double = 0.5, maxParas: Int = 1024): DataFrame = {
@@ -181,7 +187,7 @@ object Dedup {
     val paras = df
       .select(col(idCol), posexplode(split(col(textCol), "\n\\s*\n")).as(Seq("__pidx", "__ptext")))
       .filter(trim(col("__ptext")) =!= "")
-      .observe("graft.paragraph_near_dups",
+      .observe(s"graft.paragraph_near_dups.${paraObserveId.incrementAndGet()}",
         sum(when(col("__pidx") >= maxParas, 1L).otherwise(0L)).as("dropped_paragraphs"))
       .filter(col("__pidx") < maxParas)
       .select(when(pageId >= 0 && pageId < idBound, pageId * maxParas + col("__pidx"))

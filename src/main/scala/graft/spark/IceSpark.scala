@@ -136,7 +136,7 @@ object IceWrite {
     val projected = df.select(eqCols.map(col): _*).distinct()
     val deleteSchema = schema.project(equalityIds)
     val files = writeDataFiles(spark, table, projected, deleteSchema,
-      content = ContentEqualityDeletes, equalityIds = equalityIds)
+      content = ContentEqualityDeletes, equalityIds = equalityIds, branch = branch)
     table.newTransaction(branch).appendDeletes(files).commit()
   }
 
@@ -220,7 +220,8 @@ object IceWrite {
                                     equalityIds: Seq[Int] = Nil,
                                     keepLayout: Boolean = false,
                                     localSort: Seq[Column] = Nil,
-                                    outFiles: Option[Int] = None): Seq[DataFile] = {
+                                    outFiles: Option[Int] = None,
+                                    branch: Option[String] = None): Seq[DataFile] = {
     val spec = table.spec
     val props = table.metadata.properties
     // ISOLATED write session (shared SparkContext / catalog / cache
@@ -268,10 +269,13 @@ object IceWrite {
     // manifest list): an evolved table that has since compact()ed — which
     // rewrites all data under the default spec and materializes/drops all
     // delete files — resumes scoped writes. Checked driver-side from the
-    // manifest list only, O(manifests).
+    // manifest list only, O(manifests) — of the snapshot the delete will
+    // COMMIT against (`branch`): a branch pinned before the compaction
+    // still reaches old-spec data files even when main is clean, and a
+    // scoped file committed there would silently skip them.
     def allLiveManifestsCurrentSpec: Boolean =
       table.metadata.partitionSpecs.size == 1 ||
-        table.currentSnapshot(None).forall(snap =>
+        table.currentSnapshot(branch).forall(snap =>
           table.manifests(snap).forall(_.partitionSpecId == table.metadata.defaultSpecId))
     val partFields =
       if (content == ContentData) spec.fields

@@ -73,6 +73,9 @@ object IceMV {
            org.apache.spark.sql.catalyst.plans.LeftAnti => false
       case _ => true
     }
+    // LATERAL correlated subqueries are their own node (not a Join
+    // subclass) and multiply rows like any inner/outer join
+    case _: LateralJoin => true
     case _: Generate => true
     case _: Expand => true
     case _ => false
@@ -80,9 +83,26 @@ object IceMV {
 
   /** Largest file count the manifest-exact row bound may pick without a
     * sizing count(): an expansion-free refresh up to this × ~4M input rows
-    * skips the count job; past it, a heavily-reducing plan would spray
-    * under-filled files, so the exact count() returns. */
+    * skips the count job; past it, the exact count() returns. */
   private val BoundHintMaxFiles = 32
+
+  /** Bound-derived output-file hint, or None when only a count() can size
+    * the write. The input-row bound is TIGHT for non-aggregating
+    * expansion-free plans (project/filter/window keep row counts) — those
+    * cap at [[BoundHintMaxFiles]]. An Aggregate may collapse the bound by
+    * orders of magnitude, and sizing multiple files from it would spray
+    * under-filled data AND delete files into every future scan's MoR fold
+    * — aggregating plans therefore only skip the count when the bound
+    * already pins ONE file (the delete-keys write shares the hint, and
+    * its rows equal the aggregated rows exactly). */
+  private def boundHint(analyzed: LogicalPlan, bound: => Long): Option[Int] =
+    if (expandsRows(analyzed)) None
+    else {
+      val hint = IceWrite.fileCountHint(bound)
+      if (analyzed.exists { case _: Aggregate => true; case _ => false })
+        hint.filter(_ == 1)
+      else hint.filter(_ <= BoundHintMaxFiles)
+    }
 
   private val StatePropKey = "graft.mv.refresh-state"
   private val AvgPropKey = "graft.mv.avg-cols"
@@ -441,22 +461,16 @@ object IceMV {
     strategy match {
       case FullOverwrite | IncrementalOverwrite =>
         val out0 = materializeFull()
-        // expansion-free: the manifest-exact input bound CAPS the output —
-        // derive the file count from it directly (not just when it pins one
-        // file), so mid-size refreshes skip the sizing count() too. Files
-        // may come out under-filled when the plan reduces heavily (an
-        // aggregate collapsing 40M rows still writes bound/4M files), so
-        // the skip stops at BoundHintMaxFiles — past that, a count() is
-        // cheaper than a tiny-file swarm.
-        val boundHint: Option[Int] =
-          if (expandsRows(out0.queryExecution.analyzed)) None
-          else fileHint(rowBound(incremental = false))
-            .filter(_ <= BoundHintMaxFiles)
-        val small = boundHint.isDefined
-        // small: single consumer, bound-capped hint — no cache, no count job
+        // expansion-free: the manifest-exact input bound sizes the write
+        // directly ([[boundHint]] — capped for row-preserving plans,
+        // pinned-to-one for aggregates), so small AND mid-size refreshes
+        // skip the sizing count() job
+        val hint = boundHint(out0.queryExecution.analyzed, rowBound(incremental = false))
+        val small = hint.isDefined
+        // small: single consumer, bound-derived hint — no cache, no count job
         val out = if (small) out0 else out0.cache()
         val files = IceWrite.writeDataFiles(spark, storage, out, storage.schema,
-          outFiles = boundHint.orElse(fileHint(out.count())))
+          outFiles = hint.orElse(fileHint(out.count())))
         storage.newTransaction(None).replace(files).updateProperties(stateProps).commit()
         val n = files.map(_.recordCount).sum
         if (!small) out.unpersist()
@@ -531,10 +545,8 @@ object IceMV {
         // The stored side of the pos join broadcasts off IceScan's
         // manifest-exact stats either way, so the join plan is unaffected
         // by deltaAgg's unmaterialized estimate.
-        val hint =
-          (if (expandsRows(deltaAgg.queryExecution.analyzed)) None
-           else fileHint(rowBound(incremental = true)).filter(_ <= BoundHintMaxFiles))
-            .orElse(fileHint(deltaAgg.count()))
+        val hint = boundHint(deltaAgg.queryExecution.analyzed, rowBound(incremental = true))
+          .orElse(fileHint(deltaAgg.count()))
         // the two file sets are independent jobs over the cached delta —
         // overlap them; the commit below still lands both atomically
         val (dataFiles, delFiles) = IceWrite.inParallel(

@@ -114,6 +114,15 @@ class Transaction(table: IceTable, branch: Option[String]) {
       .get(table.metadata.defaultSpecId)
       .map(_.partitionType(table.metadata.currentSchema).fields.map(_.name).toSet)
       .getOrElse(Set.empty[String])
+    // a tuple field NAME only identifies a meaning when every spec in
+    // history that defines it agrees on (source column, transform): a
+    // re-used name (e.g. bucket width widened under the same field name)
+    // would re-encode a scoped value under a DIFFERENT partitioning and
+    // silently mask the wrong partition — reject those too (entries do
+    // not carry their origin spec id, so attribution is impossible)
+    val defCount: Map[String, Int] = table.metadata.partitionSpecs.values
+      .flatMap(_.fields.map(pf => pf.name -> ((pf.sourceId, pf.transform))))
+      .toSeq.distinct.groupBy(_._1).map { case (n, ds) => n -> ds.size }
     keep.foreach { e =>
       val foreign = e.dataFile.partition.map(_._1).filterNot(currentPartNames.contains)
       require(foreign.isEmpty,
@@ -121,6 +130,14 @@ class Transaction(table: IceTable, branch: Option[String]) {
           s"tuple fields ${foreign.mkString(", ")} do not exist in the current default " +
           "spec's partition type (spec evolved since the delete was written) — compact " +
           "or convert the foreign-spec deletes first")
+      val ambiguous = e.dataFile.partition.collect {
+        case (n, v) if v != null && defCount.getOrElse(n, 1) > 1 => n
+      }
+      require(ambiguous.isEmpty,
+        s"rewriteDeletes cannot re-encode kept entry ${e.dataFile.filePath}: partition " +
+          s"tuple fields ${ambiguous.mkString(", ")} are defined with different " +
+          "(source, transform) pairs across the table's spec history — the scoped " +
+          "value's meaning cannot be attributed; compact or convert first")
     }
     require(added.forall(_.content == ContentPositionDeletes),
       "only positional delete files may enter at a fresh sequence number")

@@ -76,6 +76,20 @@ object GraftShim {
     ofRows(spark, planned)
   }
 
+  /** Registers a listener summing a per-task metric (e.g.
+    * `executorCpuTime`, `inputMetrics.recordsRead`) into the returned
+    * accumulator — the shared half of the bench/smoke CPU-attribution
+    * protocol; bracket reads with [[drainListenerBus]]. */
+  def addTaskMetricListener(spark: SparkSession)(
+      metric: org.apache.spark.executor.TaskMetrics => Long): java.util.concurrent.atomic.AtomicLong = {
+    val acc = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) acc.addAndGet(metric(e.taskMetrics))
+    })
+    acc
+  }
+
   /** Drains the async listener bus (`LiveListenerBus.waitUntilEmpty` is
     * `private[spark]`): a caller reading listener-accumulated task metrics
     * (executor CPU time per bench/smoke phase) right after an action needs

@@ -378,6 +378,57 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2 == 0 && n2 == 0L && p2 == posAfter)
   }
 
+  test("scoped-write gate checks the TARGET branch's manifests, not main's") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    // unpartitioned spec0 data, then evolve to the day spec
+    var t = cat.createTable(TableIdent(Seq("test"), "brgate"), ordersSchema,
+      PartitionSpec(0, Nil))
+    t = IceWrite.append(spark, t, batch1)
+    t = t.newTransaction(None).setSpec(daySpec.fields).commit()
+    // fork 'dev' BEFORE compaction: it keeps reaching the spec0 manifests
+    t = IceWrite.append(spark, t.refresh(), batch2, branch = Some("dev"))
+    // main compacts clean — every MAIN manifest now carries the day spec
+    t = graft.table.Maintenance.compact(spark, t.refresh())
+    assert(t.manifests(t.currentSnapshot(None).get)
+      .forall(_.partitionSpecId == t.metadata.defaultSpecId))
+    // a scoped-eligible delete committed to DEV must stay GLOBAL: dev's
+    // spec0 data files read with a null tag, so a scoped file would
+    // silently skip them (the gate must look at dev, not main)
+    t = IceWrite.appendEqualityDeletes(spark, t.refresh(),
+      Seq((1L, "2020-01-01")).toDF("id", "date").withColumn("date", to_date($"date")),
+      equalityIds = Seq(1, 4), branch = Some("dev"))
+    val devDels = t.deleteFiles(t.currentSnapshot(Some("dev")).get)
+    assert(devDels.nonEmpty && devDels.forall(_.dataFile.partition.forall(_._2 == null)),
+      "a delete committed to a branch holding old-spec data must stay global")
+    // and it masks the spec0 row it targets on dev
+    val dev = IceScan.scan(spark, t, options = IceScan.ScanOptions(branch = Some("dev")))
+    assert(dev.filter($"id" === 1L).count() == 0, "dev row (id=1) must be masked")
+  }
+
+  test("rewriteDeletes rejects scoped entries whose tuple NAME was redefined across specs") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val spec4 = PartitionSpec(0, Seq(PartitionField(1, 1000, "id_bucket", Transform.Bucket(4))))
+    var t = cat.createTable(TableIdent(Seq("test"), "rwdbkt"), ordersSchema, spec4)
+    t = IceWrite.append(spark, t, batch1)
+    // scoped delete under bucket[4]: key (id) covers the partition source
+    t = IceWrite.appendEqualityDeletes(spark, t, Seq(1L).toDF("id"), equalityIds = Seq(1))
+    val kept = t.deleteFiles(t.currentSnapshot(None).get)
+    assert(kept.exists(_.dataFile.partition.exists(_._2 != null)), "fixture must be scoped")
+    // evolve to bucket[8] KEEPING the field name: the tuple value's meaning
+    // changed — re-encoding by name would scope the delete to the wrong
+    // bucket, so the guard must reject even though the name still exists
+    t = t.newTransaction(None)
+      .setSpec(Seq(PartitionField(1, 1001, "id_bucket", Transform.Bucket(8)))).commit()
+    val ex = intercept[IllegalArgumentException] {
+      t.newTransaction(None).rewriteDeletes(kept, Nil)
+    }
+    assert(ex.getMessage.contains("different (source, transform)"), ex.getMessage)
+  }
+
   test("convertEqualityDeletes aborts when an equality key column was dropped by evolution") {
     implicit val s: SparkSession = spark
     import s.implicits._

@@ -382,6 +382,10 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT id, tag, count(*) FROM er_t GROUP BY ROLLUP(id, tag)")))
     assert(IceMV.expandsRows(analyzed(
       "SELECT a.id FROM er_t a JOIN er_t b ON a.id = b.id")))
+    // LATERAL correlated subqueries are a LateralJoin node, not a Join
+    // subclass — they multiply rows all the same
+    assert(IceMV.expandsRows(analyzed(
+      "SELECT * FROM er_t a, LATERAL (SELECT id AS lid FROM er_t b WHERE b.id = a.id)")))
     // row-bounded shapes stay eligible for the count-skip
     assert(!IceMV.expandsRows(analyzed("SELECT id, count(*) FROM er_t GROUP BY id")))
     assert(!IceMV.expandsRows(analyzed(

@@ -588,10 +588,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val analyzed = Dedup.paragraphNearDups(d, "doc_id", "text").queryExecution.analyzed
     val metricNodes = analyzed.collectWithSubqueries {
       case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
-        if c.name == "graft.paragraph_near_dups" => c
+        if c.name.startsWith("graft.paragraph_near_dups") => c
     }
     assert(metricNodes.nonEmpty, "dropped-paragraph observe metric missing from the plan")
     assert(metricNodes.head.metrics.exists(_.name == "dropped_paragraphs"))
+    // per-call metric names: two invocations must compose in one query
+    // (a FIXED observe name over different subtrees fails analysis)
+    Dedup.paragraphNearDups(d, "doc_id", "text")
+      .unionByName(Dedup.paragraphNearDups(d, "doc_id", "text"))
+      .queryExecution.analyzed
   }
 
   test("paragraphNearDups rejects ids outside the collision-free packing range") {

@@ -64,12 +64,8 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
   // stretches wall-clock, not CPU-seconds — so the 10x scale RATIOS gate on
   // these, with wall kept informational
   private val cpuTimings = scala.collection.mutable.LinkedHashMap[String, Double]()
-  private val cpuNanos = new java.util.concurrent.atomic.AtomicLong
-  private lazy val cpuListener: Unit =
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (e.taskMetrics != null) cpuNanos.addAndGet(e.taskMetrics.executorCpuTime)
-    })
+  private lazy val cpuNanos =
+    org.apache.spark.sql.GraftShim.addTaskMetricListener(spark)(_.executorCpuTime)
   private val checks = scala.collection.mutable.LinkedHashMap[String, Boolean]()
   // dimensionless observations (candidate/pair counts, ratios) — the cost
   // decompositions the wall-clock ratios are explained by
@@ -185,7 +181,6 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def timed[T](label: String)(f: => T): T = {
     warm
-    cpuListener
     // the Bench r10 lesson: drain the async ContextCleaner backlog and
     // settle before timing, or earlier tests' cache/broadcast cleanup
     // lands inside this window (measured 3x inflation on q78-in-suite)
