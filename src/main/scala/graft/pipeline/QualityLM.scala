@@ -62,10 +62,13 @@ object QualityLM {
     Model(bg, uni, uni.count())
   }
 
-  /** Scores every document: `(idCol, n_bigrams, ppl_q)` with ppl_q NULL
-    * for bigram-free docs. All input docs appear in the output (left-join
-    * spine; ids unique by contract — no distinct shuffle). */
-  def score(docs: DataFrame, idCol: String, textCol: String, model: Model): DataFrame = {
+  /** Scores every document: `(idCol, keep…, n_bigrams, ppl_q)` with ppl_q
+    * NULL for bigram-free docs. All input docs appear in the output
+    * (left-join spine; ids unique by contract — no distinct shuffle);
+    * `keep` columns ride the spine at zero extra cost (the per-group
+    * bucketing path carries its group column this way). */
+  def score(docs: DataFrame, idCol: String, textCol: String, model: Model,
+            keep: Seq[String] = Nil): DataFrame = {
     val par = docs.sparkSession.sessionState.conf.numShufflePartitions
     val bg = Dedup.shinglesRaw(docs.repartition(par), idCol, textCol, 2)
       .filter(col("sh").contains(" "))
@@ -81,13 +84,13 @@ object QualityLM {
           flog2(coalesce(col("__cab"), lit(0L)) + 1)).as("__q"))
     val docsum = nll.groupBy(col(idCol))
       .agg(count(lit(1)).as("__n"), sum(col("__q")).as("__s"))
-    docs.select(col(idCol))
+    docs.select((idCol +: keep).map(col): _*)
       .join(docsum, Seq(idCol), "left")
-      .select(col(idCol),
+      .select((idCol +: keep).map(col) ++ Seq(
         coalesce(col("__n"), lit(0L)).as("n_bigrams"),
         // __s ≥ 0 and __n > 0 where defined, so DIV (truncation) == floor
         // division — the same BIGINT on every engine; NULL rides through
-        expr("CAST((__s * 1000) DIV __n AS BIGINT)").as("ppl_q"))
+        expr("CAST((__s * 1000) DIV __n AS BIGINT)").as("ppl_q")): _*)
   }
 
   /** Labels a [[score]]d frame with its head/middle/tail perplexity
@@ -117,6 +120,41 @@ object QualityLM {
   /** Train-free scoring + bucketing against a given model. */
   def buckets(docs: DataFrame, idCol: String, textCol: String, model: Model): DataFrame =
     withBuckets(score(docs, idCol, textCol, model), idCol)
+
+  /** PER-GROUP tercile labeling — the actual CCNet design point:
+    * thresholds are computed per language (Wenzek et al. 2020 §4.2), not
+    * globally, because a global cut tilts every bucket toward the
+    * languages closest to the reference corpus and drowns the rest in
+    * `tail`. Same exact integer rank cuts as [[withBuckets]], applied
+    * within each `groupCol` value; the count frame is (groups ×
+    * quantized scores)-bounded and the per-group threshold frame (one
+    * row per group) broadcasts onto the scored corpus. NULL groups get
+    * their own terciles (null-safe join). */
+  def withBucketsBy(scored: DataFrame, groupCol: String): DataFrame = {
+    val counts = scored.filter(col("ppl_q").isNotNull)
+      .groupBy(col(groupCol), col("ppl_q")).agg(count(lit(1)).as("__n"))
+    val cum = counts.withColumn("__c",
+      sum(col("__n")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol)).orderBy(col("ppl_q"))))
+    val tot = counts.groupBy(col(groupCol)).agg(sum(col("__n")).as("__tot"))
+    val thr = cum.join(tot, Seq(groupCol))
+      .groupBy(col(groupCol)).agg(
+        min(when(col("__c") * 3 >= col("__tot"), col("ppl_q"))).as("__t1"),
+        min(when(col("__c") * 3 >= col("__tot") * 2, col("ppl_q"))).as("__t2"))
+    scored.as("s")
+      .join(broadcast(thr.as("t")), col(s"s.$groupCol") <=> col(s"t.$groupCol"), "left")
+      .select(scored.columns.map(c => col(s"s.$c")) :+
+        when(col("s.ppl_q").isNull, lit("tail"))
+          .when(col("s.ppl_q") <= col("t.__t1"), lit("head"))
+          .when(col("s.ppl_q") <= col("t.__t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"): _*)
+  }
+
+  /** Train-free scoring + PER-GROUP bucketing: `groupCol` (typically the
+    * language) rides the scoring spine, terciles cut within each group. */
+  def bucketsBy(docs: DataFrame, idCol: String, textCol: String, groupCol: String,
+                model: Model): DataFrame =
+    withBucketsBy(score(docs, idCol, textCol, model, keep = Seq(groupCol)), groupCol)
 
   /** Persists a trained model as plain parquet under `path` (`bigrams`,
     * `unigrams`, `meta`) — train once on the reference corpus, ship the

@@ -984,6 +984,17 @@ object PipelineQueries {
       QualityLM.buckets(docs, "doc_id", "text", model).orderBy("doc_id")
     }),
 
+    // The CCNet PER-LANGUAGE variant (Wenzek et al. 2020 §4.2): tercile
+    // thresholds cut within each language, so no language drowns in
+    // `tail` just for being far from the reference slice. Same quantized
+    // scoring; one extra bounded (lang × score) aggregate + a per-lang
+    // broadcast threshold join.
+    "q111_ppl_buckets_by_lang" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+      val model = QualityLM.train(docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+      QualityLM.bucketsBy(docs, "doc_id", "text", "lang", model).orderBy("doc_id")
+    }),
+
     // Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005) over
     // the corpus token stream: the mergeable few-KB sketch every streaming
     // hot-key detector ships, built cell-for-cell identically on both
@@ -2309,6 +2320,38 @@ object PipelineQueries {
         |  CASE WHEN s.ppl_q IS NULL THEN 'tail' WHEN s.ppl_q <= t1 THEN 'head'
         |       WHEN s.ppl_q <= t2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM scored s CROSS JOIN thr ORDER BY s.doc_id""".stripMargin,
+
+    // q110 with PARTITION BY lang in the cumulative window and per-lang
+    // threshold rows (null-safe joined) — otherwise identical quantized
+    // arithmetic
+    "q111_ppl_buckets_by_lang" ->
+      """WITH docs AS (SELECT doc_id, lang, text FROM documents),
+        |ref AS (SELECT doc_id, text FROM docs WHERE doc_id % 7 = 0),
+        |rtoks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM ref),
+        |runi AS (SELECT tok, count(*) AS c FROM rtoks, UNNEST(w) AS u(tok) GROUP BY tok),
+        |vsz AS (SELECT count(*) AS v FROM runi),
+        |rbig AS (SELECT w[i] || ' ' || w[i+1] AS sh FROM rtoks, UNNEST(range(1, len(w))) AS t(i)),
+        |rbc AS (SELECT sh, count(*) AS c FROM rbig GROUP BY sh),
+        |dtoks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM docs),
+        |dbig AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS sh, w[i] AS a FROM dtoks, UNNEST(range(1, len(w))) AS t(i)),
+        |nll AS (SELECT doc_id,
+        |          (length(bin(coalesce(u.c, 0) + v.v)) - 1) - (length(bin(coalesce(b.c, 0) + 1)) - 1) AS q
+        |        FROM dbig d LEFT JOIN rbc b USING (sh) LEFT JOIN runi u ON u.tok = d.a CROSS JOIN vsz v),
+        |docsum AS (SELECT doc_id, count(*) AS n, sum(q) AS s FROM nll GROUP BY doc_id),
+        |scored AS (SELECT d.doc_id, d.lang, CAST(coalesce(n, 0) AS BIGINT) AS n_bigrams,
+        |             CASE WHEN n IS NULL THEN NULL ELSE (s * 1000) // n END AS ppl_q
+        |           FROM docs d LEFT JOIN docsum USING (doc_id)),
+        |counts AS (SELECT lang, ppl_q, count(*) AS n FROM scored WHERE ppl_q IS NOT NULL GROUP BY lang, ppl_q),
+        |cums AS (SELECT lang, ppl_q, sum(n) OVER (PARTITION BY lang ORDER BY ppl_q) AS c FROM counts),
+        |tot AS (SELECT lang, sum(n) AS t FROM counts GROUP BY lang),
+        |thr AS (SELECT c.lang, min(CASE WHEN c.c * 3 >= t.t THEN c.ppl_q END) AS t1,
+        |               min(CASE WHEN c.c * 3 >= t.t * 2 THEN c.ppl_q END) AS t2
+        |        FROM cums c JOIN tot t USING (lang) GROUP BY c.lang)
+        |SELECT s.doc_id, s.lang, s.n_bigrams, CAST(s.ppl_q AS BIGINT) AS ppl_q,
+        |  CASE WHEN s.ppl_q IS NULL THEN 'tail' WHEN s.ppl_q <= th.t1 THEN 'head'
+        |       WHEN s.ppl_q <= th.t2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM scored s LEFT JOIN thr th ON s.lang IS NOT DISTINCT FROM th.lang
+        |ORDER BY s.doc_id""".stripMargin,
 
     // Golden parquet (the q94/q100 contract): DuckDB cannot BPE.
     // PipelineSpec re-verifies chunk semantics + golden freshness on

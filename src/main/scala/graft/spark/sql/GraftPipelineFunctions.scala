@@ -287,6 +287,21 @@ object GraftPipelineFunctions {
         QualityLM.train(tableArg(args, 1, "ppl_buckets"), idC, textC))
     }
 
+    memoTvf(ext, "ppl_buckets_by",
+      "ppl_buckets_by(table, ref_table, id_col, text_col, group_col) — " +
+        "ppl_buckets with PER-GROUP terciles (CCNet's per-language " +
+        "thresholds): no group drowns in 'tail' for being far from the " +
+        "reference corpus", Seq(0, 1)) { args =>
+      require(args.length == 5,
+        "ppl_buckets_by(table, ref_table, id_col, text_col, group_col)")
+      import graft.pipeline.QualityLM
+      val idC = strArg(args, 2, "ppl_buckets_by")
+      val textC = strArg(args, 3, "ppl_buckets_by")
+      QualityLM.bucketsBy(tableArg(args, 0, "ppl_buckets_by"), idC, textC,
+        strArg(args, 4, "ppl_buckets_by"),
+        QualityLM.train(tableArg(args, 1, "ppl_buckets_by"), idC, textC))
+    }
+
     memoTvf(ext, "ppl_score_apply",
       "ppl_score_apply(model_dir, table, id_col, text_col) — load a " +
         "persisted quality-LM model (QualityLM.saveModel) and " +

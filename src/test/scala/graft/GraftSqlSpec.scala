@@ -1427,6 +1427,16 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT * FROM ppl_buckets('ppl_apply_v', 'ppl_ref_v', 'doc_id', 'text') ORDER BY doc_id"))
       == scalaRows)
 
+    // per-group variant parity (documents carry a lang column)
+    val docsLang = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text"))
+    docsLang.createOrReplaceTempView("ppl_lang_v")
+    assert(rows(spark.sql(
+      "SELECT * FROM ppl_buckets_by('ppl_lang_v', 'ppl_ref_v', 'doc_id', 'text', 'lang') " +
+        "ORDER BY doc_id"))
+      == rows(QualityLM.bucketsBy(docsLang, "doc_id", "text", "lang",
+        QualityLM.train(docsLang.filter(col("doc_id") % 7 === 0), "doc_id", "text"))
+        .orderBy("doc_id")))
+
     // persistence round-trip: the SQL apply from the DIR equals both the
     // loaded-model Scala path and the in-JVM trained model (lossless save)
     val base = java.nio.file.Files.createTempDirectory("qlm_models").toString

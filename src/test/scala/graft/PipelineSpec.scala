@@ -644,6 +644,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reScored == Map(1L -> 0L, 2L -> 2000L), s"got $reScored")
   }
 
+  test("per-group ppl buckets cut terciles within each group (CCNet per-language)") {
+    import spark.implicits._
+    import graft.pipeline.QualityLM
+    val model = QualityLM.train(docs(100L -> "a b a b a b", 101L -> "a c"), "doc_id", "text")
+    // group x: 333/600/1000; group y (farther from the reference): 666/750/1000
+    val d = Seq(
+      (1L, "x", "a b a b"), (2L, "x", "a b a b a c"), (3L, "x", "z q w e r t y u"),
+      (4L, "y", "a b a b a b z"), (5L, "y", "a b a b z"), (6L, "y", "q w"))
+      .toDF("doc_id", "lang", "text")
+    val got = QualityLM.bucketsBy(d, "doc_id", "text", "lang", model)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    // per-group: each language splits into its own head/middle/tail —
+    // a GLOBAL cut would leave group y head-less (its best score, 666,
+    // sits in the global middle)
+    assert(got == Map(1L -> "head", 2L -> "middle", 3L -> "tail",
+      4L -> "head", 5L -> "middle", 6L -> "tail"), s"got $got")
+    val global = QualityLM.buckets(d, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(global(4L) != "head", "premise broken: the global cut already heads group y")
+  }
+
   test("removeDupSpans excises merged shared spans everywhere but the canonical doc") {
     val shared = (1 to 12).map(i => s"tok$i").mkString(" ") // 12 tokens → 3 shared windows
     val d = docs(
