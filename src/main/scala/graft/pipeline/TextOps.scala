@@ -145,6 +145,39 @@ object TextOps {
         col("ok_word_count") && col("ok_mean_len") && col("ok_symbols") && col("ok_stopwords"))
   }
 
+  /** C4-style line-level page cleaning (Raffel et al. 2020, §2.2 — the
+    * T5/C4 rules every web-scale corpus build replays): a LINE survives iff
+    * it ends in terminal punctuation (`. ! ? "` after trimming), carries at
+    * least `minLineWords` whitespace words, and does not mention
+    * "javascript" (case-insensitive); a PAGE survives iff at least
+    * `minKeptLines` lines survive, it contains no "lorem ipsum"
+    * (case-insensitive boilerplate placeholder), and no curly brace
+    * (code-page marker). Emits per-page `n_lines` / `n_kept_lines`, the
+    * page verdict `kept`, and the rebuilt `cleaned_text` (surviving lines
+    * re-joined) — the rewrite is computed for every page so a caller can
+    * keep dropped pages for audit.
+    *
+    * Scale: a pure per-row `Column` projection (split / filter-HOF /
+    * array_join) inside whole-stage codegen — zero shuffle, zero UDF,
+    * O(chars) per page. */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+                   minLineWords: Int = 3, minKeptLines: Int = 5): DataFrame = {
+    require(minLineWords >= 0 && minKeptLines >= 0, "thresholds must be non-negative")
+    val lines = split(col(textCol), "\n")
+    val keptLines = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(filter(split(l, " "), w => w =!= "")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    df.select(col(idCol), col(textCol), keptLines.as("__kept"))
+      .select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept_lines"),
+        (size(col("__kept")) >= minKeptLines &&
+          !lower(col(textCol)).contains("lorem ipsum") &&
+          !col(textCol).contains("{")).as("kept"),
+        array_join(col("__kept"), "\n").as("cleaned_text"))
+  }
+
   /** Composite quality score in [0,100]: type-token ratio (lexical
     * diversity) + a length prior. Deterministic rational arithmetic. */
   def qualityScore(df: DataFrame, idCol: String, textCol: String,

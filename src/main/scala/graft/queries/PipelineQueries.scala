@@ -995,6 +995,33 @@ object PipelineQueries {
       QualityLM.bucketsBy(docs, "doc_id", "text", "lang", model).orderBy("doc_id")
     }),
 
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2): the synthetic
+    // corpus is single-line, so the query PLANTS the multi-line page shape
+    // (the q108 convention) — good punctuated lines, a too-short line, an
+    // unpunctuated line, a javascript line, conditional extras that flip
+    // the ≥5-kept-lines page verdict, and lorem-ipsum / curly-brace page
+    // poisons on doc_id % 13 / % 17.
+    "q112_c4_line_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val n = docs.count()
+      val pages = docs.join(
+          docs.select(col("doc_id").as("nid"), col("text").as("ntext")),
+          (col("doc_id") + 7) % n === col("nid"), "left")
+        .select(col("doc_id"), concat_ws("\n",
+          concat(col("text"), lit(".")),
+          lit("tiny."),
+          lit("no terminal punctuation here"),
+          lit("please enable javascript to continue."),
+          concat(col("ntext"), lit(".")),
+          lit("a good closing line."),
+          when(col("doc_id") % 2 === 0, lit("extra line number one.")),
+          when(col("doc_id") % 2 === 0, lit("extra line number two.")),
+          when(col("doc_id") % 13 === 0, lit("lorem ipsum dolor sit amet.")),
+          when(col("doc_id") % 17 === 0, lit("int main() { return 0; }"))
+        ).as("page_text"))
+      TextOps.c4LineFilter(pages, "doc_id", "page_text").orderBy("doc_id")
+    }),
+
     // Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005) over
     // the corpus token stream: the mergeable few-KB sketch every streaming
     // hot-key detector ships, built cell-for-cell identically on both
@@ -2320,6 +2347,37 @@ object PipelineQueries {
         |  CASE WHEN s.ppl_q IS NULL THEN 'tail' WHEN s.ppl_q <= t1 THEN 'head'
         |       WHEN s.ppl_q <= t2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM scored s CROSS JOIN thr ORDER BY s.doc_id""".stripMargin,
+
+    // the planted pages rebuilt verbatim, every C4 rule restated in
+    // DuckDB list/regex algebra; concat_ws skips NULL CASE arms on both
+    // engines, and empty kept-lists coalesce to '' (array_to_string([])
+    // is NULL in DuckDB, array_join is '' in Spark)
+    "q112_c4_line_filter" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |pages AS (SELECT d.doc_id, concat_ws(chr(10),
+        |   d.text || '.',
+        |   'tiny.',
+        |   'no terminal punctuation here',
+        |   'please enable javascript to continue.',
+        |   d2.text || '.',
+        |   'a good closing line.',
+        |   CASE WHEN d.doc_id % 2 = 0 THEN 'extra line number one.' END,
+        |   CASE WHEN d.doc_id % 2 = 0 THEN 'extra line number two.' END,
+        |   CASE WHEN d.doc_id % 13 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+        |   CASE WHEN d.doc_id % 17 = 0 THEN 'int main() { return 0; }' END) AS page_text
+        |  FROM documents d CROSS JOIN nn LEFT JOIN documents d2 ON d2.doc_id = (d.doc_id + 7) % nn.n),
+        |kept AS (SELECT doc_id, page_text,
+        |   list_filter(string_split(page_text, chr(10)), l ->
+        |     regexp_matches(trim(l), '[.!?"]$')
+        |     AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+        |     AND NOT contains(lower(l), 'javascript')) AS ks FROM pages)
+        |SELECT doc_id,
+        |  CAST(len(string_split(page_text, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(ks) AS BIGINT) AS n_kept_lines,
+        |  (len(ks) >= 5 AND NOT contains(lower(page_text), 'lorem ipsum')
+        |    AND NOT contains(page_text, '{')) AS kept,
+        |  coalesce(array_to_string(ks, chr(10)), '') AS cleaned_text
+        |FROM kept ORDER BY doc_id""".stripMargin,
 
     // q110 with PARTITION BY lang in the cumulative window and per-lang
     // threshold rows (null-safe joined) — otherwise identical quantized

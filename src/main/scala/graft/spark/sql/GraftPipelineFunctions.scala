@@ -287,6 +287,19 @@ object GraftPipelineFunctions {
         QualityLM.train(tableArg(args, 1, "ppl_buckets"), idC, textC))
     }
 
+    tvf(ext, "c4_line_filter",
+      "c4_line_filter(table, id_col, text_col, min_line_words, min_kept_lines)" +
+        " — C4-style line-level page cleaning (Raffel et al. 2020): keep " +
+        "punctuation-terminated lines of >= min_line_words words without " +
+        "'javascript'; page kept iff >= min_kept_lines survive and no " +
+        "'lorem ipsum' / curly brace; emits counts, verdict, cleaned_text") { args =>
+      require(args.length == 5,
+        "c4_line_filter(table, id_col, text_col, min_line_words, min_kept_lines)")
+      graft.pipeline.TextOps.c4LineFilter(tableArg(args, 0, "c4_line_filter"),
+        strArg(args, 1, "c4_line_filter"), strArg(args, 2, "c4_line_filter"),
+        intArg(args, 3, "c4_line_filter"), intArg(args, 4, "c4_line_filter"))
+    }
+
     memoTvf(ext, "ppl_buckets_by",
       "ppl_buckets_by(table, ref_table, id_col, text_col, group_col) — " +
         "ppl_buckets with PER-GROUP terciles (CCNet's per-language " +

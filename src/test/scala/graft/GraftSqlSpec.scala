@@ -1304,6 +1304,9 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT * FROM remove_dup_spans('documents_v', 'doc_id', 'text', 10) ORDER BY doc_id"))
       == rows(TextOps.removeDupSpans(docs, "doc_id", "text", span = 10).orderBy("doc_id")))
     assert(rows(spark.sql(
+      "SELECT * FROM c4_line_filter('documents_v', 'doc_id', 'text', 3, 5) ORDER BY doc_id"))
+      == rows(TextOps.c4LineFilter(docs, "doc_id", "text").orderBy("doc_id")))
+    assert(rows(spark.sql(
       "SELECT * FROM decontaminate('train_v', 'eval_v', 'doc_id', 'text', 3) ORDER BY doc_id"))
       == rows(TrainingSet.contaminatedIds(docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 3).orderBy("doc_id")))

@@ -644,6 +644,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reScored == Map(1L -> 0L, 2L -> 2000L), s"got $reScored")
   }
 
+  test("c4LineFilter applies every C4 rule: line punctuation/length/javascript, page lorem/brace/min-lines") {
+    import graft.pipeline.TextOps
+    val page1 = Seq(                          // 5 kept of 8 → page kept
+      "this line ends properly.",             // kept
+      "so does this one!",                    // kept (terminal !)
+      "and a quoted line.\"",                 // kept (closing quote)
+      "short.",                               // dropped: 1 word
+      "no terminal punctuation",              // dropped
+      "please enable JavaScript first.",      // dropped: javascript (case-insensitive)
+      "another good line here?",              // kept (terminal ?)
+      "final good line stands.").mkString("\n") // kept
+    val page2 = Seq(                          // only 2 kept → page dropped
+      "one good line here.", "two good lines here.", "meh").mkString("\n")
+    val page3 = page1 + "\nlorem IPSUM appears."  // lorem → page dropped, line still cleans
+    val page4 = page1 + "\ncode with a { brace."  // brace → page dropped
+    val d = docs(1L -> page1, 2L -> page2, 3L -> page3, 4L -> page4)
+    val got = TextOps.c4LineFilter(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getString(4)))).toMap
+    assert(got(1L)._1 == 8L && got(1L)._2 == 5L && got(1L)._3, s"got ${got(1L)}")
+    assert(got(1L)._4 == Seq("this line ends properly.", "so does this one!",
+      "and a quoted line.\"", "another good line here?", "final good line stands.")
+      .mkString("\n"))
+    assert(got(2L) == ((3L, 2L, false, "one good line here.\ntwo good lines here.")))
+    assert(!got(3L)._3 && got(3L)._2 == 6L, s"lorem page must drop: ${got(3L)}")
+    assert(!got(4L)._3 && got(4L)._2 == 6L, s"brace page must drop: ${got(4L)}")
+  }
+
   test("per-group ppl buckets cut terciles within each group (CCNet per-language)") {
     import spark.implicits._
     import graft.pipeline.QualityLM

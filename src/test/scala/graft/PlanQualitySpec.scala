@@ -338,6 +338,15 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pii stats must stay a per-row projection:\n$plan")
   }
 
+  test("c4 line filter is a zero-shuffle per-row projection") {
+    val df = graft.pipeline.TextOps.c4LineFilter(
+      graft.Tables.documents(spark, sf), "doc_id", "text")
+    val plan = physicalPlan(df)
+    assert(!plan.contains("Exchange"), s"c4 line filter must not shuffle:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Generate"),
+      s"c4 line filter must stay a per-row projection:\n$plan")
+  }
+
   test("sessionization is ONE shuffle + sort serving both windows") {
     val plan = physicalPlan(PipelineQueries.queries("q61_sessions")(spark, sf))
     assert(!plan.contains("Join"), s"sessionize must not join:\n$plan")
