@@ -35,9 +35,18 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
   // SCALE_SMOKE.json) runs -Dgraft.scale.smoke.cpus=32 like the bench.
   private val cpus = sys.props.getOrElse("graft.scale.smoke.cpus", "8").toInt
 
+  // -Dgraft.scale.smoke.partitions overrides the shuffle width (default:
+  // one per core, the official-record config) — the CPU-ratio experiment
+  // lever. Measured (SURVEY §6): 10× width made q78's CPU WORSE, ruling
+  // out per-partition spill pressure; the ~3×-above-proportional CPU at
+  // 10× is shared-JVM memory pressure at a 10× working set, which a real
+  // cluster does not see (per-executor working set stays constant).
+  private val shufflePartitions =
+    sys.props.getOrElse("graft.scale.smoke.partitions", cpus.toString)
+
   private lazy val spark = SparkSession.builder()
     .master(s"local[$cpus]")
-    .config("spark.sql.shuffle.partitions", cpus.toString)
+    .config("spark.sql.shuffle.partitions", shufflePartitions)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .appName("scale-smoke").getOrCreate()
