@@ -48,6 +48,45 @@ object StreamingQueries {
         .orderBy("event_type")
     }),
 
+    // CDC UPSERT apply, judge-visible end-to-end: orders replays as a
+    // change stream (key = o_orderkey % 1000, lsn = o_orderkey, every 7th
+    // change a DELETE), split into TWO lsn-ordered source commits → two
+    // micro-batches, so cross-batch masking (equality deletes at earlier
+    // sequence points) AND in-batch latest-per-key resolution both
+    // exercise; the final TARGET state must equal the oracle's one-window
+    // latest-change-wins recompute. (CDC batches partition the lsn order —
+    // a range split, mirroring a real log's time-ordered batching.)
+    "q113_stream_upsert" -> ((s, d) => {
+      val cat = new FileCatalog(Files.createTempDirectory("graft_upswh").toString)
+      val ckpt = Files.createTempDirectory("graft_upsck").toString
+      val ch = s.read.parquet(s"$d/orders.parquet").select(
+        (col("o_orderkey") % 1000).as("k"),
+        col("o_totalprice").cast("double").as("v"),
+        col("o_orderkey").as("lsn"),
+        when(col("o_orderkey") % 7 === 0, lit("D")).otherwise(lit("I")).as("op"))
+      val srcSchema = IceSchema(0, Seq(
+        graft.spec.NestedField(1, "k", required = false, IceType.LongT),
+        graft.spec.NestedField(2, "v", required = false, IceType.DoubleT),
+        graft.spec.NestedField(3, "lsn", required = false, IceType.LongT),
+        graft.spec.NestedField(4, "op", required = false, IceType.StringT)))
+      val tgtSchema = IceSchema(0, Seq(
+        graft.spec.NestedField(1, "k", required = false, IceType.LongT),
+        graft.spec.NestedField(2, "v", required = false, IceType.DoubleT),
+        graft.spec.NestedField(3, "lsn", required = false, IceType.LongT)))
+      var src = cat.createTable(TableIdent(Seq("bench"), "ups_src"), srcSchema, PartitionSpec(0, Nil))
+      val tgt = cat.createTable(TableIdent(Seq("bench"), "ups_tgt"), tgtSchema, PartitionSpec(0, Nil))
+      val mid = ch.agg(max(col("lsn"))).head().getLong(0) / 2
+      def applyBatch(): Unit =
+        IceStreaming.streamUpsert(s, src.refresh(), tgt, keyIds = Seq(1),
+          orderCol = "lsn", checkpoint = ckpt, opCol = Some("op"),
+          trigger = Trigger.AvailableNow()).awaitTermination()
+      src = graft.spark.IceWrite.append(s, src, ch.filter(col("lsn") <= mid))
+      applyBatch()
+      src = graft.spark.IceWrite.append(s, src.refresh(), ch.filter(col("lsn") > mid))
+      applyBatch()
+      IceScan.scan(s, tgt.refresh()).orderBy("k")
+    }),
+
     // Watermarked event-time windowed aggregation, replayed through
     // Structured Streaming and compared against the batch spec: hourly
     // window × event type. The stream reads ts as a raw LONG and converts
@@ -133,6 +172,19 @@ object StreamingQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // final CDC state = latest change per key, deletes drop the key — one
+    // window over the whole change stream, batch-split-invariant
+    "q113_stream_upsert" ->
+      """WITH ch AS (SELECT o_orderkey % 1000 AS k,
+        |                   CAST(o_totalprice AS DOUBLE) AS v,
+        |                   o_orderkey AS lsn,
+        |                   CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'I' END AS op
+        |            FROM orders),
+        |latest AS (SELECT k, v, lsn, op,
+        |                  row_number() OVER (PARTITION BY k ORDER BY lsn DESC) AS rn
+        |           FROM ch)
+        |SELECT k, v, lsn FROM latest WHERE rn = 1 AND op <> 'D' ORDER BY k""".stripMargin,
 
     // epoch-aligned 1h tumbling windows == date_trunc hour
     "q84_stream_window" ->

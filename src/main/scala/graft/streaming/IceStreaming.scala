@@ -174,6 +174,75 @@ object IceStreaming {
       .start()
   }
 
+  /** Continuous UPSERT (CDC apply) sink — the flagship streaming-Iceberg
+    * ingestion shape: tails an append-only `source` of change rows and,
+    * per micro-batch, commits in ONE atomic MoR transaction
+    * (1) an equality delete on every key the batch touches and
+    * (2) the batch's LATEST surviving row per key — both at the same
+    * sequence point, where the delete masks strictly-older generations
+    * only, so the new rows land live (the q14/q39 upsert-writer algebra).
+    *
+    * In-batch versions of a key resolve by `orderCol` descending (an
+    * event time / LSN), then `tieBreak` columns descending — callers must
+    * make (orderCol, tieBreak…) a total order per key within a batch or
+    * last-writer is ambiguous. With `opCol` set, rows whose op value
+    * equals `deleteOp` are CDC deletes: they invalidate the key's old
+    * generation and insert nothing (a later-in-batch re-insert wins over
+    * an earlier delete by the same ordering).
+    *
+    * EXACTLY-once across restarts: the (checkpoint, batch id) ledger rides
+    * the upsert commit's snapshot summary; a replayed batch whose commit
+    * already landed is skipped wholesale ([[lastCommittedBatch]]).
+    *
+    * Scale: per batch, one window over the batch (keyed partitioning, no
+    * corpus scan), two file writes, one commit — O(batch) work; the
+    * target's MoR read cost grows with delete generations and is bounded
+    * back down by compaction or `convert_equality_deletes` maintenance.
+    */
+  def streamUpsert(spark: SparkSession, source: IceTable, target: IceTable,
+                   keyIds: Seq[Int], orderCol: String, checkpoint: String,
+                   tieBreak: Seq[String] = Nil,
+                   opCol: Option[String] = None, deleteOp: String = "D",
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    require(keyIds.nonEmpty, "streamUpsert needs at least one key field id")
+    streamTable(spark, source, maxFilesPerTrigger).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatchOnce(target, checkpoint, batchId) { summary =>
+          val t = target.refresh()
+          val schema = t.metadata.currentSchema
+          val keyCols = keyIds.map(id => schema.fieldById(id).getOrElse(
+            throw new IllegalArgumentException(s"unknown key field id $id")).name)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCols.map(col): _*)
+            .orderBy((orderCol +: tieBreak).map(c => col(c).desc): _*)
+          val latest = batch.withColumn("__gp_rn", row_number().over(w))
+            .filter(col("__gp_rn") === 1).drop("__gp_rn")
+          // cache: the key projection and the insert write both consume it
+          val pinned = latest.cache()
+          try {
+            val delKeys = pinned.select(keyCols.map(col): _*).distinct()
+            val delFiles = IceWrite.writeDataFiles(spark, t, delKeys,
+              schema.project(keyIds), content = graft.table.ManifestModel.ContentEqualityDeletes,
+              equalityIds = keyIds)
+            val insRows = opCol match {
+              case Some(oc) => pinned.filter(col(oc) =!= deleteOp)
+                .select(schema.fields.map(f => col(f.name)): _*)
+              case None => pinned.select(schema.fields.map(f => col(f.name)): _*)
+            }
+            val dataFiles = IceWrite.writeDataFiles(spark, t, insRows, schema)
+            t.newTransaction(None).appendData(dataFiles).appendDeletes(delFiles)
+              .summaryExtra(summary.toSeq: _*).commit(): Unit
+          } finally pinned.unpersist()
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Continuous profiling: tails `source`, builds a per-micro-batch CMS
     * cell table over `valueCol` ([[graft.pipeline.Profile.cmsSketch]]),
     * and folds it into a STANDING sketch table (`r INT, bkt BIGINT,

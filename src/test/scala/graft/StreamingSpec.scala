@@ -129,6 +129,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "replayed dedup batch re-appended rows")
   }
 
+  test("streamUpsert applies CDC batches: latest-per-key wins, deletes drop keys, exactly-once") {
+    import spark.implicits._
+    val cat = new FileCatalog(Files.createTempDirectory("stwh_ups").toString)
+    val srcSchema = IceSchema(0, Seq(
+      NestedField(1, "k", required = false, IceType.LongT),
+      NestedField(2, "v", required = false, IceType.StringT),
+      NestedField(3, "lsn", required = false, IceType.LongT),
+      NestedField(4, "op", required = false, IceType.StringT)))
+    val tgtSchema = IceSchema(0, Seq(
+      NestedField(1, "k", required = false, IceType.LongT),
+      NestedField(2, "v", required = false, IceType.StringT),
+      NestedField(3, "lsn", required = false, IceType.LongT)))
+    var source = cat.createTable(TableIdent(Seq("db"), "cdc_src"), srcSchema, PartitionSpec(0, Nil))
+    val target = cat.createTable(TableIdent(Seq("db"), "cdc_tgt"), tgtSchema, PartitionSpec(0, Nil))
+    val ckpt = Files.createTempDirectory("stckpt_ups").toString
+
+    // batch 1: inserts + an in-batch update (k=2 has two versions: lsn 3 wins)
+    // + an in-batch insert-then-delete (k=3 ends deleted)
+    source = graft.spark.IceWrite.append(spark, source, Seq(
+      (1L, "one", 1L, "I"), (2L, "two-old", 2L, "I"), (2L, "two-new", 3L, "U"),
+      (3L, "three", 4L, "I"), (3L, null, 5L, "D")).toDF("k", "v", "lsn", "op"))
+    def run(): Unit =
+      IceStreaming.streamUpsert(spark, source.refresh(), target, keyIds = Seq(1),
+        orderCol = "lsn", checkpoint = ckpt, opCol = Some("op"),
+        trigger = Trigger.AvailableNow()).awaitTermination()
+    run()
+    def state(): Map[Long, (String, Long)] =
+      IceScan.scan(spark, target.refresh()).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(state() == Map(1L -> ("one", 1L), 2L -> ("two-new", 3L)), s"got ${state()}")
+
+    // batch 2: update k=1, re-insert k=3, delete k=2
+    source = graft.spark.IceWrite.append(spark, source.refresh(), Seq(
+      (1L, "one-v2", 6L, "U"), (3L, "three-back", 7L, "I"), (2L, null, 8L, "D"))
+      .toDF("k", "v", "lsn", "op"))
+    run()
+    assert(state() == Map(1L -> ("one-v2", 6L), 3L -> ("three-back", 7L)), s"got ${state()}")
+
+    // exactly-once: a crash between table commit and checkpoint marker
+    // replays the batch into a no-op skip
+    deleteLastCommitMarker(ckpt)
+    run()
+    assert(state() == Map(1L -> ("one-v2", 6L), 3L -> ("three-back", 7L)),
+      s"replayed upsert batch changed state: ${state()}")
+    // the target's delete tree converts/compacts away on demand
+    val (eqB, _, _) = graft.table.Maintenance.convertEqualityDeletes(spark, target.refresh())
+    assert(eqB > 0, "fixture should have produced equality deletes")
+    assert(state() == Map(1L -> ("one-v2", 6L), 3L -> ("three-back", 7L)),
+      "conversion must preserve upsert state")
+  }
+
   test("tail an append-only Iceberg table as a stream") {
     import spark.implicits._
     val cat = new FileCatalog(Files.createTempDirectory("stwh2").toString)
