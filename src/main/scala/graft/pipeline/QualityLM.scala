@@ -136,8 +136,12 @@ object QualityLM {
     val cum = counts.withColumn("__c",
       sum(col("__n")).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col(groupCol)).orderBy(col("ppl_q"))))
-    val tot = counts.groupBy(col(groupCol)).agg(sum(col("__n")).as("__tot"))
-    val thr = cum.join(tot, Seq(groupCol))
+      // group total as a second window over the SAME tiny frame — an
+      // aggregate + equi-join here would silently drop the NULL group
+      // (USING-join null semantics), breaking the null-safe contract below
+      .withColumn("__tot", sum(col("__n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+    val thr = cum
       .groupBy(col(groupCol)).agg(
         min(when(col("__c") * 3 >= col("__tot"), col("ppl_q"))).as("__t1"),
         min(when(col("__c") * 3 >= col("__tot") * 2, col("ppl_q"))).as("__t2"))

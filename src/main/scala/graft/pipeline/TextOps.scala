@@ -163,18 +163,24 @@ object TextOps {
   def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
                    minLineWords: Int = 3, minKeptLines: Int = 5): DataFrame = {
     require(minLineWords >= 0 && minKeptLines >= 0, "thresholds must be non-negative")
-    val lines = split(col(textCol), "\n")
-    val keptLines = filter(lines, l =>
+    // CRLF-safe: strip \r BEFORE splitting — Spark's trim() removes only
+    // spaces, so a trailing \r on every Windows-crawled line would defeat
+    // the terminal-punctuation gate and silently discard whole pages
+    val text = translate(col(textCol), "\r", "")
+    def keptOf(lines: Column): Column = filter(lines, l =>
       trim(l).rlike("[.!?\"]$") &&
         size(filter(split(l, " "), w => w =!= "")) >= minLineWords &&
         !lower(l).contains("javascript"))
-    df.select(col(idCol), col(textCol), keptLines.as("__kept"))
+    // lines array staged under an alias: computed ONCE, consumed by the
+    // count and the filter (the repetitionStats staging convention)
+    df.select(col(idCol), text.as("__text"), split(text, "\n").as("__lines"))
+      .select(col(idCol), col("__text"), col("__lines"), keptOf(col("__lines")).as("__kept"))
       .select(col(idCol),
-        size(split(col(textCol), "\n")).cast("long").as("n_lines"),
+        size(col("__lines")).cast("long").as("n_lines"),
         size(col("__kept")).cast("long").as("n_kept_lines"),
         (size(col("__kept")) >= minKeptLines &&
-          !lower(col(textCol)).contains("lorem ipsum") &&
-          !col(textCol).contains("{")).as("kept"),
+          !lower(col("__text")).contains("lorem ipsum") &&
+          !col("__text").contains("{")).as("kept"),
         array_join(col("__kept"), "\n").as("cleaned_text"))
   }
 

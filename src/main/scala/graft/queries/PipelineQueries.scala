@@ -2366,11 +2366,12 @@ object PipelineQueries {
         |   CASE WHEN d.doc_id % 13 = 0 THEN 'lorem ipsum dolor sit amet.' END,
         |   CASE WHEN d.doc_id % 17 = 0 THEN 'int main() { return 0; }' END) AS page_text
         |  FROM documents d CROSS JOIN nn LEFT JOIN documents d2 ON d2.doc_id = (d.doc_id + 7) % nn.n),
+        |norm AS (SELECT doc_id, replace(page_text, chr(13), '') AS page_text FROM pages),
         |kept AS (SELECT doc_id, page_text,
         |   list_filter(string_split(page_text, chr(10)), l ->
         |     regexp_matches(trim(l), '[.!?"]$')
         |     AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
-        |     AND NOT contains(lower(l), 'javascript')) AS ks FROM pages)
+        |     AND NOT contains(lower(l), 'javascript')) AS ks FROM norm)
         |SELECT doc_id,
         |  CAST(len(string_split(page_text, chr(10))) AS BIGINT) AS n_lines,
         |  CAST(len(ks) AS BIGINT) AS n_kept_lines,
@@ -2400,11 +2401,11 @@ object PipelineQueries {
         |             CASE WHEN n IS NULL THEN NULL ELSE (s * 1000) // n END AS ppl_q
         |           FROM docs d LEFT JOIN docsum USING (doc_id)),
         |counts AS (SELECT lang, ppl_q, count(*) AS n FROM scored WHERE ppl_q IS NOT NULL GROUP BY lang, ppl_q),
-        |cums AS (SELECT lang, ppl_q, sum(n) OVER (PARTITION BY lang ORDER BY ppl_q) AS c FROM counts),
-        |tot AS (SELECT lang, sum(n) AS t FROM counts GROUP BY lang),
-        |thr AS (SELECT c.lang, min(CASE WHEN c.c * 3 >= t.t THEN c.ppl_q END) AS t1,
-        |               min(CASE WHEN c.c * 3 >= t.t * 2 THEN c.ppl_q END) AS t2
-        |        FROM cums c JOIN tot t USING (lang) GROUP BY c.lang)
+        |cums AS (SELECT lang, ppl_q, sum(n) OVER (PARTITION BY lang ORDER BY ppl_q) AS c,
+        |                sum(n) OVER (PARTITION BY lang) AS t FROM counts),
+        |thr AS (SELECT lang, min(CASE WHEN c * 3 >= t THEN ppl_q END) AS t1,
+        |               min(CASE WHEN c * 3 >= t * 2 THEN ppl_q END) AS t2
+        |        FROM cums GROUP BY lang)
         |SELECT s.doc_id, s.lang, s.n_bigrams, CAST(s.ppl_q AS BIGINT) AS ppl_q,
         |  CASE WHEN s.ppl_q IS NULL THEN 'tail' WHEN s.ppl_q <= th.t1 THEN 'head'
         |       WHEN s.ppl_q <= th.t2 THEN 'middle' ELSE 'tail' END AS bucket

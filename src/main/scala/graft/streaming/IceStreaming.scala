@@ -225,15 +225,25 @@ object IceStreaming {
           val pinned = latest.cache()
           try {
             val delKeys = pinned.select(keyCols.map(col): _*).distinct()
-            val delFiles = IceWrite.writeDataFiles(spark, t, delKeys,
-              schema.project(keyIds), content = graft.table.ManifestModel.ContentEqualityDeletes,
-              equalityIds = keyIds)
             val insRows = opCol match {
-              case Some(oc) => pinned.filter(col(oc) =!= deleteOp)
+              // null-safe: a NULL op value is NOT a delete (the contract is
+              // "op EQUALS deleteOp"); `=!=` would evaluate NULL and silently
+              // drop the row from the insert set while its key is still
+              // equality-deleted — data loss on malformed CDC input
+              case Some(oc) => pinned.filter(!(col(oc) <=> deleteOp))
                 .select(schema.fields.map(f => col(f.name)): _*)
               case None => pinned.select(schema.fields.map(f => col(f.name)): _*)
             }
-            val dataFiles = IceWrite.writeDataFiles(spark, t, insRows, schema)
+            // the two file sets are independent jobs over the cached batch —
+            // overlap them (the MV-refresh/MERGE convention: the tiny-commit
+            // job constant dominates continuous ingest); the commit below
+            // still lands both atomically
+            val (dataFiles, delFiles) = IceWrite.inParallel(
+              IceWrite.writeDataFiles(spark, t, insRows, schema),
+              IceWrite.writeDataFiles(spark, t, delKeys,
+                schema.project(keyIds),
+                content = graft.table.ManifestModel.ContentEqualityDeletes,
+                equalityIds = keyIds))
             t.newTransaction(None).appendData(dataFiles).appendDeletes(delFiles)
               .summaryExtra(summary.toSeq: _*).commit(): Unit
           } finally pinned.unpersist()

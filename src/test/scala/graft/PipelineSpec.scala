@@ -669,6 +669,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L) == ((3L, 2L, false, "one good line here.\ntwo good lines here.")))
     assert(!got(3L)._3 && got(3L)._2 == 6L, s"lorem page must drop: ${got(3L)}")
     assert(!got(4L)._3 && got(4L)._2 == 6L, s"brace page must drop: ${got(4L)}")
+
+    // CRLF pages clean identically: a trailing \r must not defeat the
+    // terminal-punctuation gate (review finding r15 — whole Windows-crawled
+    // pages were silently discarded)
+    val crlf = TextOps.c4LineFilter(docs(9L -> page1.replace("\n", "\r\n")), "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getString(4))).head
+    assert(crlf == ((got(1L)._1, got(1L)._2, got(1L)._3, got(1L)._4)),
+      s"CRLF page must clean like its LF twin: $crlf")
   }
 
   test("per-group ppl buckets cut terciles within each group (CCNet per-language)") {
@@ -690,6 +698,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val global = QualityLM.buckets(d, "doc_id", "text", model)
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(global(4L) != "head", "premise broken: the global cut already heads group y")
+
+    // a NULL group gets its own terciles too (an aggregate + equi-join for
+    // the group total would silently drop it — review finding r15)
+    val dn = Seq((1L, null.asInstanceOf[String], "a b a b"),
+      (2L, null.asInstanceOf[String], "a b a b a c"),
+      (3L, null.asInstanceOf[String], "z q w e r t y u")).toDF("doc_id", "lang", "text")
+    val gotNull = QualityLM.bucketsBy(dn, "doc_id", "text", "lang", model)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(gotNull == Map(1L -> "head", 2L -> "middle", 3L -> "tail"), s"got $gotNull")
   }
 
   test("removeDupSpans excises merged shared spans everywhere but the canonical doc") {

@@ -178,6 +178,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eqB > 0, "fixture should have produced equality deletes")
     assert(state() == Map(1L -> ("one-v2", 6L), 3L -> ("three-back", 7L)),
       "conversion must preserve upsert state")
+
+    // a NULL op value is NOT a delete: the row upserts (a non-null-safe
+    // filter would delete the key and insert nothing — review finding r15)
+    source = graft.spark.IceWrite.append(spark, source.refresh(),
+      Seq((1L, "one-v3", 9L, null.asInstanceOf[String])).toDF("k", "v", "lsn", "op"))
+    run()
+    assert(state() == Map(1L -> ("one-v3", 9L), 3L -> ("three-back", 7L)),
+      s"NULL-op row must upsert, got ${state()}")
   }
 
   test("tail an append-only Iceberg table as a stream") {
