@@ -709,6 +709,64 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotNull == Map(1L -> "head", 2L -> "middle", 3L -> "tail"), s"got $gotNull")
   }
 
+  test("quality-LM scores match a naive driver-side reference on random corpora") {
+    import graft.pipeline.QualityLM
+    val r = new scala.util.Random(4242)
+    def flog2(x: Long): Long = if (x <= 0) 0L else 63L - java.lang.Long.numberOfLeadingZeros(x)
+    for (_ <- 1 to 3) {
+      // tiny vocab forces heavy bigram collisions and unseen-token paths
+      val vocab = Seq("a", "b", "c", "d", "e").take(2 + r.nextInt(4))
+      def doc() = (1 to (1 + r.nextInt(12))).map(_ => vocab(r.nextInt(vocab.size))).mkString(" ")
+      val refDocs = (100L until 100L + (1 + r.nextInt(6))).map(i => i -> doc())
+      val dDocs = (1L to 10L).map(i => i -> doc())
+      val model = QualityLM.train(docs(refDocs: _*), "doc_id", "text")
+      val got = QualityLM.score(docs(dDocs: _*), "doc_id", "text", model)
+        .collect().map(rr => rr.getLong(0) ->
+          ((rr.getLong(1), if (rr.isNullAt(2)) None else Some(rr.getLong(2))))).toMap
+      // naive reference replaying the documented math exactly
+      def toks(t: String) = t.split(" ").filter(_.nonEmpty).map(_.toLowerCase).toSeq
+      val uni = refDocs.flatMap(d => toks(d._2))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val big = refDocs.flatMap(d => toks(d._2).sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val v = uni.size.toLong
+      val want = dDocs.map { case (id, t) =>
+        val bgs = toks(t).sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+        val nll = bgs.map { sh =>
+          val a = sh.split(" ").head
+          flog2(uni.getOrElse(a, 0L) + v) - flog2(big.getOrElse(sh, 0L) + 1L)
+        }.sum
+        id -> ((bgs.size.toLong,
+          if (bgs.isEmpty) None else Some(nll * 1000L / bgs.size)))
+      }.toMap
+      assert(got == want, s"vocab=$vocab got=$got want=$want")
+    }
+  }
+
+  test("c4LineFilter cleaned text is a line-level fixed point on random pages") {
+    import graft.pipeline.TextOps
+    val r = new scala.util.Random(77)
+    val frags = Seq("good words make lines", "tiny", "sentence with javascript inside",
+      "plain words without end", "four words right here", "x y", "")
+    val ends = Seq(".", "!", "?", "\"", "", " ", ".\r")
+    def page() = (1 to (1 + r.nextInt(10)))
+      .map(_ => frags(r.nextInt(frags.size)) + ends(r.nextInt(ends.size)))
+      .mkString(if (r.nextBoolean()) "\n" else "\r\n")
+    val d = docs((1L to 40L).map(i => i -> page()): _*)
+    val once = TextOps.c4LineFilter(d, "doc_id", "text")
+      .select(col("doc_id"), col("n_kept_lines"), col("cleaned_text"))
+    val again = TextOps.c4LineFilter(
+      once.withColumnRenamed("cleaned_text", "text"), "doc_id", "text")
+    val cmp = once.as("a").join(again.as("b"), Seq("doc_id"))
+      .select(col("a.n_kept_lines").as("k1"), col("b.n_kept_lines").as("k2"),
+        col("a.cleaned_text").as("c1"), col("b.cleaned_text").as("c2"))
+      .collect()
+    cmp.foreach { row =>
+      assert(row.getLong(0) == row.getLong(1), s"kept-line count not a fixed point: $row")
+      assert(row.getString(2) == row.getString(3), s"cleaned text not a fixed point: $row")
+    }
+  }
+
   test("removeDupSpans excises merged shared spans everywhere but the canonical doc") {
     val shared = (1 to 12).map(i => s"tok$i").mkString(" ") // 12 tokens → 3 shared windows
     val d = docs(
