@@ -167,7 +167,8 @@ object Dedup {
     * all-pairs; the plan gate covers it), and the roll-up is one
     * aggregate over the pair frame. Paragraph ids pack as
     * `page_id * maxParas + index` in LONG arithmetic; page ids must be
-    * non-negative and < Long.MaxValue/maxParas (asserted per row — a
+    * NON-NULL, non-negative and < Long.MaxValue/maxParas (asserted per
+    * row — a NULL id cannot pack and hard-fails the job; a
     * colliding packed id would silently corrupt the page-pair roll-up,
     * and DIV truncation misgroups negative ids). Pages with more than
     * `maxParas` paragraphs consider only their first `maxParas`
@@ -191,8 +192,10 @@ object Dedup {
         sum(when(col("__pidx") >= maxParas, 1L).otherwise(0L)).as("dropped_paragraphs"))
       .filter(col("__pidx") < maxParas)
       .select(when(pageId >= 0 && pageId < idBound, pageId * maxParas + col("__pidx"))
+          // coalesce the rendered id: concat_ws skips NULLs, which would
+          // print a truncated message for the NULL-id case (ADVICE r15)
           .otherwise(raise_error(concat_ws("", lit(s"paragraphNearDups: $idCol out of packable " +
-            s"range [0, $idBound): "), col(idCol).cast("string")))).as("__pid"),
+            s"range [0, $idBound): "), coalesce(col(idCol).cast("string"), lit("null"))))).as("__pid"),
         col("__ptext"))
     minhashNearDups(paras, "__pid", "__ptext", shingleSize, numHashes, bands, threshold)
       .select(expr(s"CAST(id_a DIV $maxParas AS BIGINT)").as("pg_a"),

@@ -167,9 +167,12 @@ object TextOps {
     // spaces, so a trailing \r on every Windows-crawled line would defeat
     // the terminal-punctuation gate and silently discard whole pages
     val text = translate(col(textCol), "\r", "")
+    // word gate splits on ANY whitespace run (C4 §2.2 splits on
+    // whitespace, not single spaces — a tab-indented "foo\tbar baz."
+    // counts 3 words, not 2)
     def keptOf(lines: Column): Column = filter(lines, l =>
       trim(l).rlike("[.!?\"]$") &&
-        size(filter(split(l, " "), w => w =!= "")) >= minLineWords &&
+        size(filter(split(l, "\\s+"), w => w =!= "")) >= minLineWords &&
         !lower(l).contains("javascript"))
     // lines array staged under an alias: computed ONCE, consumed by the
     // count and the filter (the repetitionStats staging convention)

@@ -2370,7 +2370,7 @@ object PipelineQueries {
         |kept AS (SELECT doc_id, page_text,
         |   list_filter(string_split(page_text, chr(10)), l ->
         |     regexp_matches(trim(l), '[.!?"]$')
-        |     AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+        |     AND len(list_filter(regexp_split_to_array(l, '\s+'), w -> w <> '')) >= 3
         |     AND NOT contains(lower(l), 'javascript')) AS ks FROM norm)
         |SELECT doc_id,
         |  CAST(len(string_split(page_text, chr(10))) AS BIGINT) AS n_lines,

@@ -78,29 +78,59 @@ object IceMV {
     case _: LateralJoin => true
     case _: Generate => true
     case _: Expand => true
+    // UNPIVOT only becomes Expand in the OPTIMIZER (RewriteUnpivot) — on
+    // the analyzed plan it is its own node, and it multiplies rows by the
+    // value-column count (ADVICE r15)
+    case _: Unpivot => true
     case _ => false
   }
+
+  /** True when every leaf of `analyzed` is a file-relation scan — i.e. one
+    * of the resolved Iceberg sources whose rows the manifest bound counted.
+    * Any other leaf (Range, VALUES/LocalRelation, an empty-table
+    * placeholder) contributes rows the bound never saw, so the bound is not
+    * an upper bound and the count-skip is ineligible (ADVICE r15). */
+  private[graft] def boundedLeaves(analyzed: LogicalPlan): Boolean =
+    analyzed.collectLeaves().forall {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => true
+      case _ => false
+    }
 
   /** Largest file count the manifest-exact row bound may pick without a
     * sizing count(): an expansion-free refresh up to this × ~4M input rows
     * skips the count job; past it, the exact count() returns. */
   private val BoundHintMaxFiles = 32
 
+  /** [[BoundHintMaxFiles]] for plans containing a Filter: the bound is an
+    * upper bound but no longer TIGHT — a highly selective filter over e.g.
+    * 100M input rows would otherwise size ~25 near-empty files that tax
+    * every future MoR fold (ADVICE r15). Filtered plans only skip the
+    * sizing count() when the bound pins the write to a couple of files,
+    * where even 100% selectivity can't under-fill badly. */
+  private val BoundHintFilteredMaxFiles = 2
+
   /** Bound-derived output-file hint, or None when only a count() can size
     * the write. The input-row bound is TIGHT for non-aggregating
     * expansion-free plans (project/filter/window keep row counts) — those
-    * cap at [[BoundHintMaxFiles]]. An Aggregate may collapse the bound by
+    * cap at [[BoundHintMaxFiles]] ([[BoundHintFilteredMaxFiles]] when a
+    * Filter makes the bound loose). An Aggregate may collapse the bound by
     * orders of magnitude, and sizing multiple files from it would spray
     * under-filled data AND delete files into every future scan's MoR fold
     * — aggregating plans therefore only skip the count when the bound
     * already pins ONE file (the delete-keys write shares the hint, and
-    * its rows equal the aggregated rows exactly). */
-  private def boundHint(analyzed: LogicalPlan, bound: => Long): Option[Int] =
-    if (expandsRows(analyzed)) None
+    * its rows equal the aggregated rows exactly). Plans with non-source
+    * leaves (Range, VALUES) never skip — their rows aren't in the bound
+    * ([[boundedLeaves]]). */
+  private[graft] def boundHint(analyzed: LogicalPlan, bound: => Long): Option[Int] =
+    if (expandsRows(analyzed) || !boundedLeaves(analyzed)) None
     else {
       val hint = IceWrite.fileCountHint(bound)
       if (analyzed.exists { case _: Aggregate => true; case _ => false })
         hint.filter(_ == 1)
+      else if (analyzed.exists { case _: Filter => true; case _ => false })
+        hint.filter(_ <= BoundHintFilteredMaxFiles)
       else hint.filter(_ <= BoundHintMaxFiles)
     }
 

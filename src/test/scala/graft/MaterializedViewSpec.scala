@@ -386,12 +386,41 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     // subclass — they multiply rows all the same
     assert(IceMV.expandsRows(analyzed(
       "SELECT * FROM er_t a, LATERAL (SELECT id AS lid FROM er_t b WHERE b.id = a.id)")))
+    // UNPIVOT is its own analyzed node (Expand only appears in the
+    // optimizer) and multiplies rows by the value-column count (ADVICE r15)
+    assert(IceMV.expandsRows(analyzed(
+      "SELECT * FROM (SELECT id, id AS a, id AS b FROM er_t) UNPIVOT (v FOR c IN (a, b))")))
     // row-bounded shapes stay eligible for the count-skip
     assert(!IceMV.expandsRows(analyzed("SELECT id, count(*) FROM er_t GROUP BY id")))
     assert(!IceMV.expandsRows(analyzed(
       "SELECT id FROM er_t WHERE id IN (SELECT id FROM er_t WHERE tag = 'a')")))
     assert(!IceMV.expandsRows(analyzed(
       "SELECT id FROM er_t WHERE id NOT IN (SELECT id FROM er_t WHERE tag = 'a')")))
+  }
+
+  test("boundHint: non-source leaves and loose (filtered) bounds disable/cap the count-skip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bh_spec").toString
+    spark.range(10).select(col("id"), (col("id") % 3).as("k")).write.mode("overwrite").parquet(dir)
+    def analyzedOf(df: org.apache.spark.sql.DataFrame) = df.queryExecution.analyzed
+    val scan = spark.read.parquet(dir)
+    // all-file-leaf plans are eligible...
+    assert(IceMV.boundedLeaves(analyzedOf(scan.select(col("id")))))
+    // ...Range / VALUES leaves contribute rows the manifest bound never
+    // counted — ineligible (ADVICE r15)
+    assert(!IceMV.boundedLeaves(analyzedOf(scan.unionByName(
+      spark.range(5).select(col("id"), (col("id") % 3).as("k"))))))
+    assert(!IceMV.boundedLeaves(analyzedOf(Seq((1L, 1L)).toDF("id", "k"))))
+    assert(IceMV.boundHint(analyzedOf(scan.unionByName(
+      spark.range(5).select(col("id"), (col("id") % 3).as("k")))), 10L).isEmpty)
+    // a Filter makes the row bound loose: the hint survives only when the
+    // bound pins a couple of files (5M rows → 2 files OK; 100M → None)
+    val filtered = scan.filter(col("k") === 1)
+    assert(IceMV.boundHint(analyzedOf(filtered), 5L * 1000 * 1000).isDefined)
+    assert(IceMV.boundHint(analyzedOf(filtered), 100L * 1000 * 1000).isEmpty,
+      "a selective filter over a wide bound must fall back to the sizing count()")
+    // unfiltered row-preserving plans keep the wide cap
+    assert(IceMV.boundHint(analyzedOf(scan.select(col("id"))), 100L * 1000 * 1000).isDefined)
   }
 
   test("mid-size expansion-free refresh skips the sizing count() via the bound-capped hint") {

@@ -610,6 +610,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(ex).exists(_.contains("out of packable range")), s"got $ex")
+
+    // NULL ids are rejected too, and the message renders the id as "null"
+    // rather than truncating (concat_ws skips NULL args — ADVICE r15)
+    val dn = Seq((java.lang.Long.valueOf(7L), "a b c"), (null.asInstanceOf[java.lang.Long], "d e f"))
+      .toDF("doc_id", "text")
+    val exn = intercept[Exception] {
+      Dedup.paragraphNearDups(dn, "doc_id", "text").collect()
+    }
+    assert(messages(exn).exists(m => m.contains("out of packable range") && m.contains("null")),
+      s"NULL id must render 'null' in the error: $exn")
   }
 
   test("quality-LM buckets: reference-like docs head, gibberish tail, 1-token docs null-tail") {
@@ -677,6 +687,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getString(4))).head
     assert(crlf == ((got(1L)._1, got(1L)._2, got(1L)._3, got(1L)._4)),
       s"CRLF page must clean like its LF twin: $crlf")
+
+    // word gate splits on ANY whitespace (C4 splits on whitespace, not
+    // single spaces — VERDICT r15 #7): tab-separated and multi-space lines
+    // count their real words
+    val ws = TextOps.c4LineFilter(docs(
+      10L -> "foo\tbar baz.\nalpha  beta   gamma.\na\t \tb.\nfiller line one here.\nfiller line two here."),
+      "doc_id", "text", minKeptLines = 4)
+      .collect().map(r => (r.getLong(2), r.getBoolean(3), r.getString(4))).head
+    assert(ws._1 == 4L && ws._2,
+      s"tab/multi-space lines must count whitespace-split words: $ws")
+    assert(ws._3 == "foo\tbar baz.\nalpha  beta   gamma.\nfiller line one here.\nfiller line two here.",
+      s"2-word tab line must still drop: ${ws._3}")
   }
 
   test("per-group ppl buckets cut terciles within each group (CCNet per-language)") {
