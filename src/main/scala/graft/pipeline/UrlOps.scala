@@ -358,17 +358,55 @@ object UrlOps {
     "com.by", "net.by", "org.by", "gov.by", "mil.by", "of.by",
     "gov.ie", "gc.ca", "gov.sk", "gov.lt", "aland.fi")
 
-  /** Registrable domain: last two host labels, EXCEPT when those two
-    * labels are themselves a second-level public suffix (`co.uk` family) —
-    * then the last three (`shop.example.co.uk` → `example.co.uk`, never
-    * `co.uk`, which would pool every UK site into one bucket). Hosts with
-    * too few labels pass through. */
+  /** PRIVATE-section public suffixes (PSL private section core): hosting
+    * platforms under which unrelated parties register names one level
+    * deeper — `user.github.io` and `author.blogspot.com` are different
+    * sites the way `example.co.uk` sites are. Without these, a per-domain
+    * quota (q99) pools ALL of github.io into one bucket and mis-throttles
+    * crawl data. Static high-traffic core of the PSL private section;
+    * shared with the q96/q99 oracle SQL, which interpolates the same
+    * constants. */
+  val privateSuffixes: Seq[String] = Seq(
+    // code / docs hosting
+    "github.io", "githubusercontent.com", "gitlab.io", "readthedocs.io",
+    "neocities.org", "repl.co", "glitch.me", "surge.sh",
+    // blog platforms (ccTLD blogspot mirrors with TWO labels live here;
+    // three-label mirrors are in [[privateThirdLevelSuffixes]])
+    "blogspot.com", "blogspot.de", "blogspot.fr", "blogspot.in",
+    "blogspot.jp", "blogspot.mx", "blogspot.ca", "blogspot.it",
+    "blogspot.nl", "blogspot.se", "wordpress.com",
+    // cloud / PaaS app hosting
+    "netlify.app", "vercel.app", "herokuapp.com", "appspot.com",
+    "firebaseapp.com", "web.app", "azurewebsites.net", "cloudfront.net",
+    "elasticbeanstalk.com", "pages.dev", "workers.dev", "fly.dev",
+    "onrender.com",
+    // dynamic-DNS families
+    "duckdns.org", "dyndns.org")
+
+  /** Three-label private-section suffixes: the registrable domain is the
+    * last FOUR labels (`media.s3.amazonaws.com` under `s3.amazonaws.com`).
+    * Wildcarded region families (`*.compute.amazonaws.com`) are a
+    * documented cut — they need per-region matching, not a static set. */
+  val privateThirdLevelSuffixes: Seq[String] = Seq(
+    "s3.amazonaws.com", "blogspot.co.uk", "blogspot.com.br",
+    "blogspot.com.au", "blogspot.co.nz", "blogspot.co.za")
+
+  /** Registrable domain: last two host labels, EXCEPT when a trailing
+    * segment is itself a public suffix — a second-level ICANN suffix
+    * (`co.uk` family) or a PRIVATE-section suffix (`github.io` family)
+    * takes the last three labels (`shop.example.co.uk` → `example.co.uk`,
+    * `user.github.io` → `user.github.io` stays); a three-label private
+    * suffix (`s3.amazonaws.com`) takes the last four. Hosts with too few
+    * labels (or equal to a suffix itself) pass through on the shortest
+    * matching rule. */
   def registrableDomain(host: Column): Column = {
     val labels = split(host, "\\.")
     val last2 = array_join(slice(labels, -2, 2), ".")
+    val last3 = array_join(slice(labels, -3, 3), ".")
     when(size(labels) <= 2, host)
-      .when(last2.isInCollection(secondLevelSuffixes),
-        array_join(slice(labels, -3, 3), "."))
+      .when(size(labels) >= 4 && last3.isInCollection(privateThirdLevelSuffixes),
+        array_join(slice(labels, -4, 4), "."))
+      .when(last2.isInCollection(secondLevelSuffixes ++ privateSuffixes), last3)
       .otherwise(last2)
   }
 
@@ -393,6 +431,12 @@ object UrlOps {
         concat(lit("dept"), idStr(id % 5), lit(".uni"), idStr(id % 3), lit(".ac.uk")))
       .when(id % 10 === 5, // government family: registrable = agency{k}.gov.br
         concat(lit("unit"), idStr(id % 5), lit(".agency"), idStr(id % 3), lit(".gov.br")))
+      .when(id % 10 === 1, // PSL private section: registrable = user{k}.github.io
+        concat(lit("proj"), idStr(id % 5), lit(".user"), idStr(id % 3), lit(".github.io")))
+      .when(id % 10 === 8, // 3-label private suffix: registrable = author{k}.blogspot.co.uk
+        concat(lit("page"), idStr(id % 5), lit(".author"), idStr(id % 3), lit(".blogspot.co.uk")))
+      .when(id % 10 === 4, // 3-label private suffix: registrable = media{k}.s3.amazonaws.com
+        concat(lit("bucket"), idStr(id % 5), lit(".media"), idStr(id % 3), lit(".s3.amazonaws.com")))
       .otherwise(concat(lit("site"), idStr(id % 5), lit(".example"),
         idStr(id % 3), lit(".com")))
     val hostCased = when(id % 6 === 0, upper(hostBase)).otherwise(hostBase)

@@ -1112,6 +1112,9 @@ object PipelineQueries {
       |       WHEN doc_id % 10 = 3 THEN 'shop' || CAST(doc_id % 5 AS VARCHAR) || '.example' || CAST(doc_id % 3 AS VARCHAR) || '.co.uk'
       |       WHEN doc_id % 10 = 9 THEN 'dept' || CAST(doc_id % 5 AS VARCHAR) || '.uni' || CAST(doc_id % 3 AS VARCHAR) || '.ac.uk'
       |       WHEN doc_id % 10 = 5 THEN 'unit' || CAST(doc_id % 5 AS VARCHAR) || '.agency' || CAST(doc_id % 3 AS VARCHAR) || '.gov.br'
+      |       WHEN doc_id % 10 = 1 THEN 'proj' || CAST(doc_id % 5 AS VARCHAR) || '.user' || CAST(doc_id % 3 AS VARCHAR) || '.github.io'
+      |       WHEN doc_id % 10 = 8 THEN 'page' || CAST(doc_id % 5 AS VARCHAR) || '.author' || CAST(doc_id % 3 AS VARCHAR) || '.blogspot.co.uk'
+      |       WHEN doc_id % 10 = 4 THEN 'bucket' || CAST(doc_id % 5 AS VARCHAR) || '.media' || CAST(doc_id % 3 AS VARCHAR) || '.s3.amazonaws.com'
       |       ELSE 'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' || CAST(doc_id % 3 AS VARCHAR) || '.com' END AS hostbase
       |  FROM documents),
       |urls AS (SELECT doc_id,
@@ -1156,8 +1159,13 @@ object PipelineQueries {
       |  FROM c5),
       |dom AS (SELECT doc_id, curl, host,
       |   CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+      |        WHEN len(string_split(host, '.')) >= 4
+      |             AND array_to_string(string_split(host, '.')[-3:], '.') IN (${
+              graft.pipeline.UrlOps.privateThirdLevelSuffixes.map(x => s"'$x'").mkString(", ")})
+      |        THEN array_to_string(string_split(host, '.')[-4:], '.')
       |        WHEN array_to_string(string_split(host, '.')[-2:], '.') IN (${
-              graft.pipeline.UrlOps.secondLevelSuffixes.map(x => s"'$x'").mkString(", ")})
+              (graft.pipeline.UrlOps.secondLevelSuffixes ++ graft.pipeline.UrlOps.privateSuffixes)
+                .map(x => s"'$x'").mkString(", ")})
       |        THEN array_to_string(string_split(host, '.')[-3:], '.')
       |        ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS domain
       |  FROM canon)""".stripMargin

@@ -864,6 +864,24 @@ object IceScan {
     * partitions): thousands of affected partitions at 100 TB no longer
     * explode the logical plan.
     */
+  /** The delete-side broadcast size gate, shared by the MoR read fold and
+    * the eq→pos conversion in [[graft.table.Maintenance]]. The reference
+    * always CollectLeft-broadcasts the delete side (table.rs:484-692); at
+    * 100 TB a large delete generation belongs in a shuffled join instead.
+    * Compares the IN-MEMORY estimate: manifest `file_size_in_bytes`
+    * (compressed) × an expansion factor — zstd delete files deserialize to
+    * several times their footprint, so a file just under the raw threshold
+    * can't still blow the executors up. */
+  private[graft] def deleteFitsBroadcast(spark: SparkSession, manifestBytes: Long): Boolean = {
+    val broadcastThreshold: Long = spark.conf
+      .getOption("spark.graft.delete.broadcast-threshold")
+      .map(_.toLong).getOrElse(64L << 20)
+    val expansionFactor: Long = spark.conf
+      .getOption("spark.graft.delete.broadcast-expansion")
+      .map(_.toLong).getOrElse(4L)
+    manifestBytes * expansionFactor <= broadcastThreshold
+  }
+
   private def buildDataFrame(spark: SparkSession, table: IceTable, schema: IceSchema,
                              sparkSchema: org.apache.spark.sql.types.StructType,
                              data: Seq[ManifestEntry], allDeletes: Seq[ManifestEntry]): DataFrame = {
@@ -884,21 +902,10 @@ object IceScan {
     }
     val needPath = withPos || scoped.nonEmpty
 
-    // the reference always CollectLeft-broadcasts the delete side
-    // (table.rs:484-692); at 100 TB a large delete generation belongs in a
-    // shuffled anti-join instead — gate the hint on the manifest's
-    // file_size_in_bytes, which the driver already holds. The gate compares
-    // the IN-MEMORY estimate (compressed bytes × an expansion factor — zstd
-    // delete files deserialize to several times their footprint), so a file
-    // just under the raw threshold can't still blow the executors up.
-    val broadcastThreshold: Long = spark.conf
-      .getOption("spark.graft.delete.broadcast-threshold")
-      .map(_.toLong).getOrElse(64L << 20)
-    val expansionFactor: Long = spark.conf
-      .getOption("spark.graft.delete.broadcast-expansion")
-      .map(_.toLong).getOrElse(4L)
+    // delete-side broadcast size gate on the manifest's file_size_in_bytes,
+    // which the driver already holds ([[deleteFitsBroadcast]])
     def maybeBroadcast(df: DataFrame, manifestBytes: Long): DataFrame =
-      if (manifestBytes * expansionFactor <= broadcastThreshold) broadcast(df) else df
+      if (deleteFitsBroadcast(spark, manifestBytes)) broadcast(df) else df
 
     def readFiles(entries: Seq[ManifestEntry]): DataFrame =
       if (entries.isEmpty) {

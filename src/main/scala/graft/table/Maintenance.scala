@@ -356,7 +356,17 @@ object Maintenance {
             .join(broadcast(delMeta.toDF("__gp_ddp", "__gp_delseq", "__gp_deltag")),
               col("__gp_dfp") === col("__gp_ddp"))
             .select(eqCols.map(col) ++ Seq(col("__gp_delseq"), col("__gp_deltag")): _*)
-          val l = lhs.as("d"); val r = broadcast(rhs.as("x"))
+          // delete-side broadcast is SIZE-GATED like the MoR read fold
+          // (VERDICT r15 #5): months of accumulated MERGE residue in one
+          // key-set group can exceed the broadcast ceiling — above the
+          // gate, drop the hint and let the null-safe eq-column equi-keys
+          // carry a shuffled hash/sort-merge join (seq + tag stay as join
+          // predicates either way)
+          val l = lhs.as("d")
+          val rhsAliased = rhs.as("x")
+          val r = if (IceScan.deleteFitsBroadcast(spark,
+              files.map(_.dataFile.fileSizeInBytes).sum)) broadcast(rhsAliased)
+            else rhsAliased
           val cond = (eqCols.map(c => col(s"d.$c") <=> col(s"x.$c")) :+
             (col("d.__gp_dseq") < col("x.__gp_delseq")) :+
             (col("x.__gp_deltag").isNull || col("x.__gp_deltag") === col("d.__gp_dtag")))

@@ -378,6 +378,68 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2 == 0 && n2 == 0L && p2 == posAfter)
   }
 
+  test("convertEqualityDeletes size-gates the delete-side broadcast") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    def build(name: String): graft.table.IceTable = {
+      var t = cat.createTable(TableIdent(Seq("test"), name), ordersSchema, daySpec)
+      def mk(rows: Seq[(Long, Long, Long, String, Int)]) =
+        rows.toDF("id", "customer_id", "product_id", "date", "amount")
+          .withColumn("date", to_date($"date"))
+      t = IceWrite.append(spark, t, mk(for (id <- 1L to 40L) yield (id, id, id % 3, "2021-03-01", 1)))
+      t = IceWrite.appendEqualityDeletes(spark, t, Seq(3L, 7L, 11L).toDF("id"), equalityIds = Seq(1))
+      t.refresh()
+    }
+    // captured executed plans adjudicate the join strategy the gate picked
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    def semiLines(ps: Seq[String]): Seq[String] =
+      ps.flatMap(_.split('\n')).filter(_.contains("LeftSemi"))
+
+    // auto-broadcast OFF in both runs: the only thing that can produce a
+    // BroadcastHashJoin is the gate's explicit hint — at 100 TB stats-based
+    // auto-broadcast wouldn't fire either, so this isolates the gate
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val ta = build("conv_bcast")
+    spark.listenerManager.register(ql)
+    val resA = try {
+      val r = graft.table.Maintenance.convertEqualityDeletes(spark, ta)
+      org.apache.spark.sql.GraftShim.drainListenerBus(spark); r
+    } finally spark.listenerManager.unregister(ql)
+    import scala.jdk.CollectionConverters._
+    val defaultSemis = semiLines(plans.asScala.toSeq)
+    assert(defaultSemis.nonEmpty && defaultSemis.forall(_.contains("Broadcast")),
+      s"small delete set must broadcast (positive control):\n${defaultSemis.mkString("\n")}")
+
+    // above the gate (threshold 0), the hint is dropped: the null-safe
+    // eq-key equi-join carries a shuffled join, results identical
+    plans.clear()
+    val tb = build("conv_shuffle")
+    spark.conf.set("spark.graft.delete.broadcast-threshold", "0")
+    spark.listenerManager.register(ql)
+    val resB = try {
+      val r = graft.table.Maintenance.convertEqualityDeletes(spark, tb)
+      org.apache.spark.sql.GraftShim.drainListenerBus(spark); r
+    } finally {
+      spark.listenerManager.unregister(ql)
+      spark.conf.unset("spark.graft.delete.broadcast-threshold")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    val gatedSemis = semiLines(plans.asScala.toSeq)
+    assert(gatedSemis.nonEmpty && gatedSemis.forall(!_.contains("Broadcast")),
+      s"gated delete set must NOT broadcast:\n${gatedSemis.mkString("\n")}")
+    assert(resA._3 == resB._3 && resB._3 == 3L,
+      s"conversion results must be identical across the gate: $resA vs $resB")
+    assert(IceScan.scan(spark, tb.refresh()).collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 40L).filterNot(Set(3L, 7L, 11L)).toSeq)
+  }
+
   test("scoped-write gate checks the TARGET branch's manifests, not main's") {
     implicit val s: SparkSession = spark
     import s.implicits._

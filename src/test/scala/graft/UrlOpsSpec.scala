@@ -155,6 +155,29 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "gov.example", "co.us"))
   }
 
+  test("registrable domain: PSL private-section suffixes (github.io family) take three labels") {
+    import spark.implicits._
+    val got = Seq(
+      // 2-label private suffixes: one level deeper, like co.uk
+      "user.github.io", "proj.user.github.io", "github.io",
+      "author.blogspot.com", "cdn.author.blogspot.com",
+      "myapp.herokuapp.com", "site.netlify.app", "docs.readthedocs.io",
+      // 3-label private suffixes: registrable is the last FOUR labels
+      "media.s3.amazonaws.com", "bucket.media.s3.amazonaws.com",
+      "author.blogspot.co.uk", "page.author.blogspot.co.uk",
+      // NOT private suffixes: two-label rule applies
+      "www.github.com", "a.blogspot.example")
+      .toDF("h").select(UrlOps.registrableDomain(col("h")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "user.github.io", "user.github.io", "github.io",
+      "author.blogspot.com", "author.blogspot.com",
+      "myapp.herokuapp.com", "site.netlify.app", "docs.readthedocs.io",
+      "media.s3.amazonaws.com", "media.s3.amazonaws.com",
+      "author.blogspot.co.uk", "author.blogspot.co.uk",
+      "github.com", "blogspot.example"))
+  }
+
   test("hostOf strips scheme, userinfo, port, path, query") {
     import spark.implicits._
     val got = Seq("https://h.example.com:8080/p?a=1", "http://x.org",
