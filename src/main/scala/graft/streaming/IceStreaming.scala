@@ -37,6 +37,27 @@ object IceStreaming {
   private[graft] val StreamIdKey = "streaming.stream-id"
   private[graft] val BatchIdKey = "streaming.batch-id"
 
+  /** Order-column high-watermark a [[streamUpsert]] stream stamps into each
+    * commit's summary: the max `orderCol` the stream has ever applied. The
+    * next batch checks its APPLIED rows against it — the cheap enforcement
+    * of the "batches partition the log order" contract (a change row with a
+    * LOWER lsn arriving in a LATER batch would equality-delete the key's
+    * newer generation and reinstate the stale row). */
+  private[graft] val OrderWatermarkKey = "streaming.order-watermark"
+
+  /** Latest order watermark `streamId` committed on the table's current
+    * lineage (highest batch id wins). Driver-side metadata walk. */
+  private[graft] def lastOrderWatermark(table: IceTable, streamId: String): Option[String] = {
+    val m = table.metadata
+    m.currentSnapshotId.toSeq
+      .flatMap(id => m.ancestorsOf(id))
+      .flatMap(m.snapshotById)
+      .filter(_.summary.get(StreamIdKey).contains(streamId))
+      .sortBy(_.summary.get(BatchIdKey).map(_.toLong).getOrElse(-1L))
+      .flatMap(_.summary.get(OrderWatermarkKey))
+      .lastOption
+  }
+
   /** Highest batch id `streamId` has committed on the table's CURRENT
     * lineage (a batch committed on an abandoned branch must not suppress
     * its replay here). Driver-side metadata walk — O(snapshots). */
@@ -197,15 +218,41 @@ object IceStreaming {
     * Scale: per batch, one window over the batch (keyed partitioning, no
     * corpus scan), two file writes, one commit — O(batch) work; the
     * target's MoR read cost grows with delete generations and is bounded
-    * back down by compaction or `convert_equality_deletes` maintenance.
+    * by the SELF-TRIGGERED maintenance below.
+    *
+    * Read-cost bound (`maintainAfterDeleteFiles`): each batch commits one
+    * equality-delete file at a new sequence point, so a week of 1-minute
+    * batches would otherwise leave ~10k anti-join sequence points in every
+    * scan. When the live equality-delete file count reaches the threshold,
+    * the sink runs [[graft.table.Maintenance.convertEqualityDeletes]] —
+    * collapsing the whole residue to ONE consolidated positional
+    * generation (plan width back to a single anti-join). The conversion is
+    * a separate idempotent snapshot AFTER the ledgered batch commit, so
+    * exactly-once is untouched: a crash mid-maintenance just re-triggers
+    * it on a later batch. `0` disables (caller owns maintenance).
+    *
+    * Order contract (`orderGuard`): batches must PARTITION the log order —
+    * a change row with a lower `orderCol` arriving in a later batch would
+    * equality-delete the key's newer generation and reinstate the stale
+    * row. The sink stamps the stream's max applied `orderCol` into each
+    * commit summary ([[OrderWatermarkKey]]) and checks the next batch's
+    * APPLIED rows (per-key winners; a stale row that loses in-batch is
+    * harmless) against it, in one tiny aggregate that doubles as the batch
+    * cache's warm-up job. `"fail"` (default) aborts the batch BEFORE any
+    * file is staged, `"warn"` logs and applies anyway, `"off"` skips the
+    * check.
     */
   def streamUpsert(spark: SparkSession, source: IceTable, target: IceTable,
                    keyIds: Seq[Int], orderCol: String, checkpoint: String,
                    tieBreak: Seq[String] = Nil,
                    opCol: Option[String] = None, deleteOp: String = "D",
                    trigger: Trigger = Trigger.AvailableNow(),
-                   maxFilesPerTrigger: Int = 0): StreamingQuery = {
+                   maxFilesPerTrigger: Int = 0,
+                   maintainAfterDeleteFiles: Int = 64,
+                   orderGuard: String = "fail"): StreamingQuery = {
     require(keyIds.nonEmpty, "streamUpsert needs at least one key field id")
+    require(Set("fail", "warn", "off")(orderGuard),
+      s"orderGuard must be fail|warn|off, got $orderGuard")
     streamTable(spark, source, maxFilesPerTrigger).writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -221,9 +268,39 @@ object IceStreaming {
             .orderBy((orderCol +: tieBreak).map(c => col(c).desc): _*)
           val latest = batch.withColumn("__gp_rn", row_number().over(w))
             .filter(col("__gp_rn") === 1).drop("__gp_rn")
-          // cache: the key projection and the insert write both consume it
+          // order-contract guard + new watermark in ONE tiny aggregate over
+          // the cached winners frame — it doubles as the cache warmer for
+          // the two write jobs below, so the added cost is one scheduler
+          // round trip, and a violation aborts BEFORE any file is staged.
+          // max_by renders the max orderCol via Spark's own string cast, so
+          // the round-trip back through lit(..).cast(orderType) is
+          // session-timezone-consistent for timestamps.
+          val prevWm = lastOrderWatermark(t, checkpoint)
+            .filter(_ => orderGuard != "off")
+          val orderType = batch.schema(orderCol).dataType
+          val violations = prevWm match {
+            case Some(wm) =>
+              sum(when(col(orderCol) < lit(wm).cast(orderType), 1L).otherwise(0L))
+            case None => sum(lit(0L))
+          }
+          // cache: the guard aggregate, the key projection and the insert
+          // write all consume it
           val pinned = latest.cache()
           try {
+            val guard = pinned.agg(
+              violations.as("order_violations"),
+              max_by(col(orderCol).cast("string"), col(orderCol)).as("order_watermark"))
+              .collect()(0)
+            val nViol = if (guard.isNullAt(0)) 0L else guard.getLong(0)
+            if (nViol > 0L) {
+              val msg = s"streamUpsert order-contract violation: batch $batchId " +
+                s"applies $nViol row(s) with $orderCol below the stream's committed " +
+                s"watermark ${prevWm.get} — batches must partition the log order " +
+                "(a stale change row would reinstate an old generation)"
+              if (orderGuard == "fail") throw new IllegalStateException(msg)
+              else System.err.println(s"[graft] WARN $msg")
+            }
+            val newWm = Option(guard.getString(1))
             val delKeys = pinned.select(keyCols.map(col): _*).distinct()
             val insRows = opCol match {
               // null-safe: a NULL op value is NOT a delete (the contract is
@@ -245,8 +322,21 @@ object IceStreaming {
                 content = graft.table.ManifestModel.ContentEqualityDeletes,
                 equalityIds = keyIds))
             t.newTransaction(None).appendData(dataFiles).appendDeletes(delFiles)
-              .summaryExtra(summary.toSeq: _*).commit(): Unit
+              .summaryExtra((summary ++ newWm.map(OrderWatermarkKey -> _)).toSeq: _*)
+              .commit(): Unit
           } finally pinned.unpersist()
+        }
+        // bound the MoR read cost under continuous ingest (VERDICT r16 #1):
+        // past the threshold, collapse the eq-delete residue to one
+        // consolidated positional generation
+        if (maintainAfterDeleteFiles > 0) {
+          val t2 = target.refresh()
+          val eqLive = t2.currentSnapshot(None)
+            .map(s => t2.deleteFiles(s)
+              .count(_.dataFile.content == graft.table.ManifestModel.ContentEqualityDeletes))
+            .getOrElse(0)
+          if (eqLive >= maintainAfterDeleteFiles)
+            graft.table.Maintenance.convertEqualityDeletes(spark, t2): Unit
         }
         ()
       }

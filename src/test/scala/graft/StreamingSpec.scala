@@ -188,6 +188,95 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"NULL-op row must upsert, got ${state()}")
   }
 
+  test("streamUpsert bounds its own MoR read cost: 50 micro-batches end under the plan-width bound") {
+    import spark.implicits._
+    val cat = new FileCatalog(Files.createTempDirectory("stwh_maint").toString)
+    val srcSchema = IceSchema(0, Seq(
+      NestedField(1, "k", required = false, IceType.LongT),
+      NestedField(2, "v", required = false, IceType.StringT),
+      NestedField(3, "lsn", required = false, IceType.LongT)))
+    var source = cat.createTable(TableIdent(Seq("db"), "mnt_src"), srcSchema, PartitionSpec(0, Nil))
+    val target = cat.createTable(TableIdent(Seq("db"), "mnt_tgt"), srcSchema, PartitionSpec(0, Nil))
+    val ckpt = Files.createTempDirectory("stckpt_mnt").toString
+    // 50 single-file source commits → 50 micro-batches at maxFilesPerTrigger=1;
+    // each upserts 4 keys (rolling over 20 keys) at increasing lsn
+    for (b <- 0 until 50) {
+      source = graft.spark.IceWrite.append(spark, source.refresh(),
+        (0 until 4).map(i => ((b * 4 + i) % 20L, s"v$b-$i", b * 4L + i)).toDF("k", "v", "lsn"))
+    }
+    val threshold = 10
+    IceStreaming.streamUpsert(spark, source.refresh(), target, keyIds = Seq(1),
+      orderCol = "lsn", checkpoint = ckpt, trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger = 1, maintainAfterDeleteFiles = threshold)
+      .awaitTermination()
+    val t = target.refresh()
+    // the threshold-triggered conversion kept live eq-delete files bounded
+    val eqLive = t.deleteFiles(t.currentSnapshot(None).get)
+      .count(_.dataFile.content == graft.table.ManifestModel.ContentEqualityDeletes)
+    assert(eqLive < threshold, s"live eq-delete files must stay under $threshold, got $eqLive")
+    // ... and the scan plan folds at most (eq sequence points + 1 pos mask)
+    // anti-joins instead of one per micro-batch
+    val scanned = IceScan.scan(spark, t)
+    val plan = scanned.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val antiJoins = plan.split('\n').count(_.contains("LeftAnti"))
+    assert(antiJoins <= threshold + 1,
+      s"50 micro-batches must not leave 50 anti-joins (got $antiJoins):\n$plan")
+    // correctness after all the maintenance: latest generation per key
+    val state = scanned.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expected = (0 until 200).map(i => (i % 20L, i.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(state == expected, s"got $state")
+  }
+
+  test("streamUpsert order guard: a batch below the committed watermark fails before commit") {
+    import spark.implicits._
+    val cat = new FileCatalog(Files.createTempDirectory("stwh_wm").toString)
+    val srcSchema = IceSchema(0, Seq(
+      NestedField(1, "k", required = false, IceType.LongT),
+      NestedField(2, "v", required = false, IceType.StringT),
+      NestedField(3, "lsn", required = false, IceType.LongT)))
+    var source = cat.createTable(TableIdent(Seq("db"), "wm_src"), srcSchema, PartitionSpec(0, Nil))
+    val target = cat.createTable(TableIdent(Seq("db"), "wm_tgt"), srcSchema, PartitionSpec(0, Nil))
+    val ckpt = Files.createTempDirectory("stckpt_wm").toString
+    def run(guard: String = "fail"): Unit =
+      IceStreaming.streamUpsert(spark, source.refresh(), target, keyIds = Seq(1),
+        orderCol = "lsn", checkpoint = ckpt, trigger = Trigger.AvailableNow(),
+        orderGuard = guard).awaitTermination()
+    def state(): Map[Long, (String, Long)] =
+      IceScan.scan(spark, target.refresh()).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+
+    source = graft.spark.IceWrite.append(spark, source,
+      Seq((1L, "one", 10L), (2L, "two", 12L)).toDF("k", "v", "lsn"))
+    run()
+    assert(state() == Map(1L -> ("one", 10L), 2L -> ("two", 12L)))
+    // the commit carries the stream's watermark (max applied lsn)
+    assert(IceStreaming.lastOrderWatermark(target.refresh(), ckpt).contains("12"))
+
+    // a batch whose applied rows dip BELOW the watermark must fail before
+    // commit: the stale lsn=5 row would reinstate an old generation
+    source = graft.spark.IceWrite.append(spark, source.refresh(),
+      Seq((2L, "two-stale", 5L)).toDF("k", "v", "lsn"))
+    val ex = intercept[Exception] { run() }
+    def messages(tr: Throwable): Seq[String] =
+      if (tr == null) Nil else Option(tr.getMessage).toSeq ++ messages(tr.getCause)
+    assert(messages(ex).exists(_.contains("order-contract violation")), s"got $ex")
+    assert(state() == Map(1L -> ("one", 10L), 2L -> ("two", 12L)),
+      s"violating batch must not commit: ${state()}")
+
+    // warn mode applies the batch (caller's explicit choice) and moves on
+    run(guard = "warn")
+    assert(state() == Map(1L -> ("one", 10L), 2L -> ("two-stale", 5L)),
+      s"warn mode must apply the batch: ${state()}")
+    // watermark NEVER regresses below a committed max? It records the max
+    // APPLIED lsn of the latest batch — here 5 — and a follow-up in-order
+    // batch at lsn >= 12 still passes (watermark reads the LATEST batch)
+    source = graft.spark.IceWrite.append(spark, source.refresh(),
+      Seq((1L, "one-v2", 13L)).toDF("k", "v", "lsn"))
+    run()
+    assert(state()(1L) == (("one-v2", 13L)), s"got ${state()}")
+  }
+
   test("tail an append-only Iceberg table as a stream") {
     import spark.implicits._
     val cat = new FileCatalog(Files.createTempDirectory("stwh2").toString)
