@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{BpeOps, Dedup, Embeddings, HtmlOps, Multimodal, QualityLM, TextOps, TimeSeries, TrainingSet, UnigramOps, UrlOps}
+import graft.pipeline.{BpeOps, Dedup, Embeddings, HtmlOps, Multimodal, QualityLM, QualityNB, TextOps, TimeSeries, TrainingSet, UnigramOps, UrlOps}
 
 /** Judge-visible training-data pipeline operators over `documents` and
   * `embeddings` (BASELINE.json north star: dedup, similarity search,
@@ -1020,6 +1020,27 @@ object PipelineQueries {
           when(col("doc_id") % 17 === 0, lit("int main() { return 0; }"))
         ).as("page_text"))
       TextOps.c4LineFilter(pages, "doc_id", "page_text").orderBy("doc_id")
+    }),
+
+    // Supervised doc-quality classifier (fastText/DCLM-family, Joulin
+    // 2016): multinomial Naive Bayes over md5-bucketed bag-of-tokens,
+    // trained on the doc_id%2==0 labeled slice (class 'ref' = the
+    // doc_id%7==0 reference anchor, 'crawl' = the rest), applied to the
+    // whole corpus. The synthetic corpus carries no class signal, so the
+    // query PLANTS one (the q108/q112 convention): reference docs get a
+    // marker-token suffix on BOTH the train and apply sides, making the
+    // argmax and both label branches live. Integer-quantized logs →
+    // exact BIGINT scores on both engines; ties label to the
+    // ascending-first class.
+    "q114_nb_quality" -> ((s, d) => {
+      val mark = Seq.fill(8)("qualitymark").mkString(" ")
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(s" $mark")))
+          .otherwise(col("text")).as("text"))
+      val labeled = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("cls", when(col("doc_id") % 7 === 0, "ref").otherwise("crawl"))
+      val model = QualityNB.train(labeled, "doc_id", "text", "cls")
+      QualityNB.classify(docs, "doc_id", "text", model).orderBy("doc_id")
     }),
 
     // Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005) over
@@ -2387,6 +2408,51 @@ object PipelineQueries {
         |    AND NOT contains(page_text, '{')) AS kept,
         |  coalesce(array_to_string(ks, chr(10)), '') AS cleaned_text
         |FROM kept ORDER BY doc_id""".stripMargin,
+
+    // multinomial NB restated end-to-end: md5-bucket features (the q103
+    // convention), bit-length-quantized logs, per-class constants as
+    // scalar subqueries; token-free docs fall back to priors via the
+    // left-join spine. Tie labels resolve to the ascending-first class
+    // ('crawl') on both engines (strict > for 'ref').
+    "q114_nb_quality" ->
+      """WITH docs AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || ' qualitymark qualitymark qualitymark qualitymark qualitymark qualitymark qualitymark qualitymark'
+        |       ELSE text END AS text FROM documents),
+        |train AS (SELECT doc_id, text,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'ref' ELSE 'crawl' END AS cls
+        |  FROM docs WHERE doc_id % 2 = 0),
+        |ttk AS (SELECT cls, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok FROM train),
+        |w AS (SELECT cls, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS b, count(*) AS cnt
+        |      FROM ttk GROUP BY 1, 2),
+        |cmeta AS (SELECT cls, count(*) AS docs FROM train GROUP BY cls),
+        |ctoks AS (SELECT cls, CAST(sum(cnt) AS BIGINT) AS toks FROM w GROUP BY cls),
+        |tot AS (SELECT CAST(sum(docs) AS BIGINT) AS n, count(*) AS c FROM cmeta),
+        |cc AS (SELECT m.cls,
+        |        (length(bin(m.docs + 1)) - 1) - (SELECT length(bin(n + c)) - 1 FROM tot) AS prior_q,
+        |        length(bin(coalesce(t.toks, 0) + 4096)) - 1 AS tok_q
+        |      FROM cmeta m LEFT JOIN ctoks t USING (cls)),
+        |dtk AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok FROM docs),
+        |dbc AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS b, count(*) AS n
+        |        FROM dtk GROUP BY 1, 2),
+        |ev AS (SELECT d.doc_id, c.cls, CAST(sum(d.n) AS BIGINT) AS nt,
+        |        CAST(sum(d.n * (length(bin(coalesce(w.cnt, 0) + 1)) - 1)) AS BIGINT) AS s
+        |      FROM dbc d CROSS JOIN (SELECT cls FROM cc) c
+        |      LEFT JOIN w ON w.cls = c.cls AND w.b = d.b
+        |      GROUP BY 1, 2),
+        |sct AS (SELECT e.doc_id, e.cls, e.nt, e.s - e.nt * cc.tok_q + cc.prior_q AS score
+        |       FROM ev e JOIN cc USING (cls)),
+        |pv AS (SELECT doc_id, max(nt) AS n_tokens,
+        |        max(CASE WHEN cls = 'crawl' THEN score END) AS s_crawl,
+        |        max(CASE WHEN cls = 'ref' THEN score END) AS s_ref
+        |      FROM sct GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(pv.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(pv.s_crawl, (SELECT prior_q FROM cc WHERE cls = 'crawl')) AS BIGINT) AS score_crawl,
+        |  CAST(coalesce(pv.s_ref, (SELECT prior_q FROM cc WHERE cls = 'ref')) AS BIGINT) AS score_ref,
+        |  CASE WHEN coalesce(pv.s_ref, (SELECT prior_q FROM cc WHERE cls = 'ref')) >
+        |            coalesce(pv.s_crawl, (SELECT prior_q FROM cc WHERE cls = 'crawl'))
+        |       THEN 'ref' ELSE 'crawl' END AS label
+        |FROM docs d LEFT JOIN pv USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // q110 with PARTITION BY lang in the cumulative window and per-lang
     // threshold rows (null-safe joined) — otherwise identical quantized

@@ -329,6 +329,37 @@ object GraftPipelineFunctions {
         QualityLM.loadModel(spark, strArg(args, 0, "ppl_score_apply")))
     }
 
+    memoTvf(ext, "nb_classify",
+      "nb_classify(table, train_table, id_col, text_col, label_col) — " +
+        "train a multinomial Naive Bayes doc-quality classifier " +
+        "(fastText/DCLM-family: md5-bucket bag-of-token features, " +
+        "integer-quantized logs) on the labeled train_table and classify " +
+        "every table row: per-class BIGINT scores + argmax label",
+      Seq(0, 1)) { args =>
+      require(args.length == 5,
+        "nb_classify(table, train_table, id_col, text_col, label_col)")
+      import graft.pipeline.QualityNB
+      val idC = strArg(args, 2, "nb_classify")
+      val textC = strArg(args, 3, "nb_classify")
+      QualityNB.classify(tableArg(args, 0, "nb_classify"), idC, textC,
+        QualityNB.train(tableArg(args, 1, "nb_classify"), idC, textC,
+          strArg(args, 4, "nb_classify")))
+    }
+
+    memoTvf(ext, "nb_classify_apply",
+      "nb_classify_apply(model_dir, table, id_col, text_col) — load a " +
+        "persisted NB classifier (QualityNB.saveModel) and classify the " +
+        "table broadcast-side: ZERO training jobs — the train-once/" +
+        "ship-the-model contract. The model dir is an external path and " +
+        "assumed immutable", Seq(1)) { args =>
+      require(args.length == 4, "nb_classify_apply(model_dir, table, id_col, text_col)")
+      import graft.pipeline.QualityNB
+      val spark = SparkSession.active
+      QualityNB.classify(tableArg(args, 1, "nb_classify_apply"),
+        strArg(args, 2, "nb_classify_apply"), strArg(args, 3, "nb_classify_apply"),
+        QualityNB.loadModel(spark, strArg(args, 0, "nb_classify_apply")))
+    }
+
     tvf(ext, "asof_join",
       "asof_join(probe_table, ref_table, keys_csv, time_col, payload_csv, " +
         "tiebreak_csv) — for each probe row, the latest ref row at-or-before " +

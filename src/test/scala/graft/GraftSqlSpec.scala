@@ -1410,6 +1410,56 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("nb_classify_apply serves a persisted NB model without retraining; nb_classify parity") {
+    import graft.pipeline.QualityNB
+    import graft.spark.sql.GraftPipelineFunctions
+    import org.apache.spark.sql.functions.{col, when}
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    docs.createOrReplaceTempView("nb_apply_v")
+    spark.sql("CREATE OR REPLACE TEMP VIEW nb_train_v AS " +
+      "SELECT doc_id, text, CASE WHEN doc_id % 7 = 0 THEN 'ref' ELSE 'crawl' END AS cls " +
+      "FROM nb_apply_v WHERE doc_id % 2 = 0")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+
+    // trainer TVF parity with the Scala API
+    val labeled = docs.filter(col("doc_id") % 2 === 0)
+      .withColumn("cls", when(col("doc_id") % 7 === 0, "ref").otherwise("crawl"))
+    val model = QualityNB.train(labeled, "doc_id", "text", "cls")
+    val scalaRows = rows(QualityNB.classify(docs, "doc_id", "text", model).orderBy("doc_id"))
+    assert(rows(spark.sql(
+      "SELECT * FROM nb_classify('nb_apply_v', 'nb_train_v', 'doc_id', 'text', 'cls') " +
+        "ORDER BY doc_id")) == scalaRows)
+
+    // persistence round-trip: the SQL apply from the DIR equals both the
+    // loaded-model Scala path and the in-JVM trained model (lossless save)
+    val base = java.nio.file.Files.createTempDirectory("qnb_models").toString
+    QualityNB.saveModel(spark, model, s"$base/qnb")
+    val applySql =
+      s"SELECT * FROM nb_classify_apply('$base/qnb', 'nb_apply_v', 'doc_id', 'text')"
+    assert(rows(spark.sql(applySql + " ORDER BY doc_id")) == scalaRows)
+
+    // zero-training evidence: a memoized re-issue plans with ZERO jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val b0 = GraftPipelineFunctions.tvfBuilds.get()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sql(applySql).queryExecution.analyzed // analysis runs the builder
+      Thread.sleep(500) // listener bus is async
+      assert(GraftPipelineFunctions.tvfBuilds.get() == b0,
+        "re-issued nb_classify_apply must serve from the memo")
+      assert(jobs.get() == 0,
+        s"memoized nb_classify_apply analysis ran ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("ppl_score_apply serves a persisted quality-LM without retraining; ppl_buckets parity") {
     import graft.pipeline.QualityLM
     import graft.spark.sql.GraftPipelineFunctions

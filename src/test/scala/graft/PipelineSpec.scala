@@ -701,6 +701,50 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"2-word tab line must still drop: ${ws._3}")
   }
 
+  test("NB classifier: hand-computed two-class vectors, tie to ascending class, lossless save") {
+    import spark.implicits._
+    import graft.pipeline.QualityNB
+    // training: one doc per class; alpha/beta/zeta bucket distinctly
+    // (931/2736/1719 mod 4096 — deterministic md5)
+    val train = Seq((1L, "alpha alpha beta", "good"), (2L, "zeta", "bad"))
+      .toDF("doc_id", "text", "cls")
+    val model = QualityNB.train(train, "doc_id", "text", "cls")
+    // constants: priors flog2(1+1)−flog2(2+2) = −1 both; tok_q good =
+    // flog2(3+4096)=12, bad = flog2(1+4096)=12
+    // "alpha beta": good 1+1−24−1 = −23 beats bad 0−24−1 = −25 → good
+    // "zeta":       bad 1−12−1 = −12 beats good 0−12−1 = −13 → bad
+    // "":           both priors −1 → tie → ascending-first class = bad
+    val got = QualityNB.classify(
+      Seq((10L, "alpha beta"), (11L, "zeta"), (12L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(10L) == ((2L, -25L, -23L, "good")), s"got ${got(10L)}")
+    assert(got(11L) == ((1L, -12L, -13L, "bad")), s"got ${got(11L)}")
+    assert(got(12L) == ((0L, -1L, -1L, "bad")), s"token-free doc must score priors and tie-break ascending: ${got(12L)}")
+    // NULL training labels fail loudly (a dropped class skews every prior)
+    val exn = intercept[Exception] {
+      QualityNB.train(
+        Seq((1L, "a", "good"), (2L, "b", null.asInstanceOf[String])).toDF("doc_id", "text", "cls"),
+        "doc_id", "text", "cls").weights.collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(exn).exists(_.contains("NULL cls")), s"got $exn")
+    // persistence round-trip is lossless
+    val dir = java.nio.file.Files.createTempDirectory("qnb_spec").toString
+    QualityNB.saveModel(spark, model, dir)
+    val re = QualityNB.loadModel(spark, dir)
+    assert(re.buckets == model.buckets)
+    val reGot = QualityNB.classify(
+      Seq((10L, "alpha beta"), (11L, "zeta")).toDF("doc_id", "text"),
+      "doc_id", "text", re)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(reGot == Map(10L -> "good", 11L -> "bad"), s"got $reGot")
+    // a non-model dir fails loudly
+    intercept[Exception] { QualityNB.loadModel(spark, s"$dir/nope") }
+  }
+
   test("per-group ppl buckets cut terciles within each group (CCNet per-language)") {
     import spark.implicits._
     import graft.pipeline.QualityLM

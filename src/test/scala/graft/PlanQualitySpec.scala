@@ -408,6 +408,19 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastExchange"), s"thresholds must broadcast:\n$plan")
   }
 
+  test("NB classifier: weight table broadcasts, one doc-keyed aggregate, no all-pairs") {
+    val plan = physicalPlan(PipelineQueries.queries("q114_nb_quality")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"NB classify must never cartesian:\n$plan")
+    // the (buckets × classes)-bounded weight table joins BROADCAST against
+    // the per-(doc, bucket) feature stream — the corpus side never
+    // shuffles for a model lookup
+    assert(plan.contains("BroadcastHashJoin"),
+      s"NB weight table must broadcast against the feature stream:\n$plan")
+    // evidence lands in doc-keyed aggregates (per-class sums as columns),
+    // never a per-(doc, class) row multiplication followed by a pivot
+    assert(!plan.contains("Expand"), s"NB scoring must not expand rows:\n$plan")
+  }
+
   test("sequence packing parallelizes by (stratum, bucket), never one global window") {
     val plan = physicalPlan(PipelineQueries.queries("q44_pack_sequences")(spark, sf))
     assert(!plan.contains("Join"), s"packing must not join:\n$plan")
