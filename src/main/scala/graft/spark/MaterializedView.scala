@@ -134,6 +134,41 @@ object IceMV {
       else hint.filter(_ <= BoundHintMaxFiles)
     }
 
+  /** Parsed-plan memo for STANDING MVs/views (VERDICT r15 #8): production
+    * MVs refresh repeatedly, and every refresh used to re-parse the view
+    * SQL and re-derive the occurrence walk, the distinct rewrite and the
+    * strategy classification. All five are PURE in the SQL string (binding
+    * to live catalog state happens later, against the immutable unresolved
+    * tree), so the memo keys on the string itself — a REPLACEd view
+    * presents new SQL and misses naturally, and cross-session sharing is
+    * sound because parsing touches no session state. Bounded at 64
+    * entries, cleared at cap (the TVF-memo convention). */
+  private[graft] final case class ParsedMv(
+      original: LogicalPlan,
+      distinctRw: Option[(Aggregate, Seq[String], Seq[(String, String)])],
+      occurrences: Seq[TableIdent],
+      classifyOriginal: Strategy,
+      classifyRewritten: Strategy)
+  private val parseMemo = new java.util.concurrent.ConcurrentHashMap[String, ParsedMv]()
+  /** Diagnostic counter: real (non-memo) view-SQL parses — the
+    * zero-re-analysis gate reads it (the tvfBuilds convention). */
+  private[graft] val mvParses = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def parsedMv(spark: SparkSession, sql: String): ParsedMv = {
+    if (parseMemo.size() > 64) parseMemo.clear()
+    parseMemo.computeIfAbsent(sql, { _ =>
+      mvParses.incrementAndGet()
+      val original = spark.sessionState.sqlParser.parsePlan(sql)
+      val rw = original match {
+        case a: Aggregate => distinctRewrite(a)
+        case _ => None
+      }
+      // the distinct rewrite keeps the child, so occurrences are identical
+      // on both variants
+      ParsedMv(original, rw, sourceOccurrences(original),
+        classify(original), rw.map(r => classify(r._1)).getOrElse(classify(original)))
+    })
+  }
+
   private val StatePropKey = "graft.mv.refresh-state"
   private val AvgPropKey = "graft.mv.avg-cols"
   private val DistinctPropKey = "graft.mv.distinct"
@@ -247,18 +282,14 @@ object IceMV {
     * decimal division at read, everything else through double — both
     * bit-exact with a full recompute. */
   def create(spark: SparkSession, catalog: Catalog, ident: TableIdent, sql: String): Unit = {
-    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    val parsed = parsedMv(spark, sql)
     val out = fullCompute(spark, catalog, ident, sql)
 
     // count(DISTINCT x): persist at (groups, x) granularity — the rewritten
     // plan is plain-mergeable, distinct counts derive at read
-    val distinctInfo = plan match {
-      case a: Aggregate => distinctRewrite(a)
-      case _ => None
-    }
-    val effectivePlan = distinctInfo.map(_._1).getOrElse(plan)
-
-    val strategy = classify(effectivePlan)
+    val distinctInfo = parsed.distinctRw
+    val strategy =
+      if (distinctInfo.isDefined) parsed.classifyRewritten else parsed.classifyOriginal
     val avgVis: Seq[String] = strategy match {
       case IncrementalAggregate(_, merges) => merges.collect { case (n, "avg") => n }
       case _ => Nil
@@ -271,7 +302,7 @@ object IceMV {
 
     val storageDf =
       if (decompose || distinctInfo.isDefined) {
-        val a = effectivePlan.asInstanceOf[Aggregate]
+        val a = distinctInfo.map(_._1).getOrElse(parsed.original).asInstanceOf[Aggregate]
         buildStorageAggregate(a, build(a.child, i =>
           IceScan.scan(spark, resolve(catalog, ident, sourceOccurrences(a.child)(i)))))
       } else out
@@ -396,15 +427,12 @@ object IceMV {
       .getOrElse(throw new IllegalArgumentException(s"no materialized view $ident")).sql
     val storage = catalog.loadTable(storageIdent(ident))
       .getOrElse(throw new IllegalArgumentException(s"no storage table for $ident"))
-    val originalPlan = spark.sessionState.sqlParser.parsePlan(sql)
+    val parsed = parsedMv(spark, sql)
     // distinct MV: all storage-side work happens on the (groups, x)-granular
     // rewritten plan (same child, so source occurrences are unchanged)
-    val plan = (readDistinct(storage), originalPlan) match {
-      case (Some(_), a: Aggregate) => distinctRewrite(a)
-        .map(_._1).getOrElse(originalPlan)
-      case _ => originalPlan
-    }
-    val occurrenceIdents = sourceOccurrences(plan)
+    val useRewrite = readDistinct(storage).isDefined && parsed.distinctRw.isDefined
+    val plan = if (useRewrite) parsed.distinctRw.get._1 else parsed.original
+    val occurrenceIdents = parsed.occurrences
     val sources: Seq[IceTable] = occurrenceIdents.map(resolve(catalog, ident, _))
 
     val state = readState(storage)
@@ -434,7 +462,8 @@ object IceMV {
     }
 
     val avgCols = readAvgCols(storage)
-    val strategy0 = classify(plan) match {
+    val strategy0 = (if (useRewrite) parsed.classifyRewritten
+                     else parsed.classifyOriginal) match {
       // an avg MV whose storage was NOT decomposed (decimal avg) can't
       // merge — recompute in full every time
       case IncrementalAggregate(_, merges)
@@ -707,7 +736,7 @@ object IceMV {
     * deltas can't — including namespace-qualified source names (`db.src`),
     * which a plain temp-view registration could not resolve. */
   private def fullCompute(spark: SparkSession, catalog: Catalog, mv: TableIdent, sql: String): DataFrame = {
-    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    val plan = parsedMv(spark, sql).original
     def mangled(parts: Seq[String]): String = "__graft_mv_src_" + parts.mkString("__")
     sourceOccurrences(plan).distinct.foreach { src =>
       IceScan.scan(spark, resolve(catalog, mv, src))

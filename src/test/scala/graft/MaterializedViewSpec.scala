@@ -423,6 +423,35 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IceMV.boundHint(analyzedOf(scan.select(col("id"))), 100L * 1000 * 1000).isDefined)
   }
 
+  test("standing MV: the second refresh re-parses/re-classifies NOTHING (memoized view SQL)") {
+    import spark.implicits._
+    val cat = newCatalog()
+    val schema = IceSchema(0, Seq(
+      NestedField(1, "k", required = false, IceType.LongT),
+      NestedField(2, "v", required = false, IceType.LongT)))
+    var t = cat.createTable(TableIdent(Seq("db"), "memo_src"), schema, PartitionSpec(0, Nil))
+    t = IceWrite.append(spark, t, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    val mv = TableIdent(Seq("db"), "memo_mv")
+    // a UNIQUE SQL string so earlier suites can't have warmed the memo
+    IceMV.create(spark, cat, mv,
+      "SELECT k, count(*) AS n, sum(v) AS s FROM memo_src WHERE v <> 987654 GROUP BY k")
+    assert(IceMV.refresh(spark, cat, mv).strategy == IceMV.FullOverwrite)
+    // the standing refresh loop: every subsequent refresh serves the parse,
+    // occurrence walk, distinct rewrite and classification from the memo
+    val p0 = IceMV.mvParses.get()
+    t = IceWrite.append(spark, t.refresh(), Seq((1L, 30L), (3L, 40L)).toDF("k", "v"))
+    val r2 = IceMV.refresh(spark, cat, mv)
+    assert(r2.strategy.isInstanceOf[IceMV.IncrementalAggregate])
+    t = IceWrite.append(spark, t.refresh(), Seq((2L, 50L)).toDF("k", "v"))
+    IceMV.refresh(spark, cat, mv)
+    assert(IceMV.mvParses.get() == p0,
+      s"standing refreshes must not re-parse the view SQL (${IceMV.mvParses.get() - p0} parses)")
+    // and the merged state stays exact
+    val got = IceMV.read(spark, cat, mv).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 40L), (2L, 2L, 70L), (3L, 1L, 40L)), s"got $got")
+  }
+
   test("mid-size expansion-free refresh skips the sizing count() via the bound-capped hint") {
     import spark.implicits._
     val cat = newCatalog()
