@@ -596,4 +596,43 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
       once.unpersist()
     }
   }
+
+  // VERDICT r15 #3 — additivity probe, METRICS ONLY (not a gate): the
+  // q77/q78 CPU super-linearity at 10x was attributed to shared-JVM memory
+  // pressure at the 10x working set (shuffle-width was experimentally
+  // ruled out in r15: 10x partitions made CPU WORSE). Falsification: run
+  // the same two kernels over two INDEPENDENT 5-copy halves in this same
+  // JVM. If the pressure story holds, CPU(10x) >> CPU(5x·a) + CPU(5x·b)
+  // (each half's working set is half-sized, so the per-row tax vanishes);
+  // if the sum instead approaches CPU(10x), a real super-linear term
+  // exists and the band adjudication must be revisited. Runs LAST so the
+  // big cached corpora can be dropped first — the halves should see a
+  // clean JVM, exactly like a per-executor working set on a real cluster.
+  test("additivity probe: two independent half-corpora vs the one full scaled run") {
+    val half = copies / 2
+    assume(cpuTimings.contains(s"q77 jaccardJoinExact ${copies}x") &&
+      cpuTimings.contains(s"q78 containmentJoin ${copies}x"),
+      "probe needs the full-run phases (suite subset)")
+    base10x.unpersist(blocking = true)
+    base1x.unpersist(blocking = true)
+    System.gc(); Thread.sleep(200); System.gc()
+    for ((tag, range) <- Seq("a" -> (0 until half), "b" -> (half until copies))) {
+      val corpus = range.map(copyK(Tables.documents(spark, sfDir), _))
+        .reduce(_ unionByName _).repartition(cpus).cache()
+      corpus.count()
+      timed(s"q77q78 half-$tag ${half}x") {
+        Dedup.jaccardJoinExact(corpus, "doc_id", "text").count()
+        Dedup.containmentJoin(corpus, "doc_id", "text", maxDf = 10).count()
+      }
+      corpus.unpersist(blocking = true)
+      System.gc(); Thread.sleep(150)
+    }
+    val cpu10 = cpuTimings(s"q77 jaccardJoinExact ${copies}x") +
+      cpuTimings(s"q78 containmentJoin ${copies}x")
+    val cpuHalves = cpuTimings(s"q77q78 half-a ${half}x") +
+      cpuTimings(s"q77q78 half-b ${half}x")
+    metrics("q77q78_cpu_10x_over_halves") = cpu10 / math.max(cpuHalves, 1e-9)
+    println(f"[scale-smoke] additivity: cpu10=${cpu10}%.1f s, halves=${cpuHalves}%.1f s, " +
+      f"ratio=${cpu10 / math.max(cpuHalves, 1e-9)}%.2f (>>1 = memory-pressure story holds)")
+  }
 }
