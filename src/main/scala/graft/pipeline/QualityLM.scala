@@ -42,7 +42,7 @@ object QualityLM {
     * reference-corpus-bounded and broadcast at scoring time. */
   final case class Model(bigrams: DataFrame, unigrams: DataFrame, vocabSize: Long)
 
-  private def flog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+  private def flog2(x: Column): Column = TrainingSet.flog2q(x)
 
   /** Trains the bigram LM on the reference corpus: one token-keyed and one
     * bigram-keyed aggregate, both localCheckpointed (the model is consumed

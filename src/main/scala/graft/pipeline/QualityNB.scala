@@ -39,13 +39,11 @@ object QualityNB {
     * Both frames are model-scale and broadcast at classification time. */
   final case class Model(weights: DataFrame, classMeta: DataFrame, buckets: Int)
 
-  /** md5-bucket feature hash — first 8 md5-hex chars mod `buckets` (the
-    * DSIR convention; DuckDB mirror: `('0x' || substr(md5(tok), 1, 8))
-    * ::BIGINT % buckets`). */
-  def bucketOf(tok: Column, buckets: Int): Column =
-    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % buckets
-
-  private def flog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+  // feature hash + quantized log: the SHARED cross-engine conventions
+  // ([[TrainingSet.md5Bucket]] / [[TrainingSet.flog2q]] — one definition,
+  // every oracle-paired consumer stays bit-identical)
+  private def bucketOf(tok: Column, buckets: Int): Column = TrainingSet.md5Bucket(tok, buckets)
+  private def flog2(x: Column): Column = TrainingSet.flog2q(x)
   /** Driver-side ⌊log2 x⌋ for the per-class constants (x ≥ 1). */
   private def flog2L(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
 
@@ -57,17 +55,22 @@ object QualityNB {
             buckets: Int = 4096): Model = {
     require(buckets > 0, s"buckets=$buckets must be positive")
     val par = labeled.sparkSession.sessionState.conf.numShufflePartitions
+    // the NULL guard lives on the ROW, not the token-explode path: a
+    // NULL-label doc with no tokens would otherwise skip the explode-side
+    // raise_error entirely and poison classMeta with a NULL class
+    // (review finding r16)
+    val guarded = coalesce(col(labelCol).cast("string"), raise_error(lit(
+      s"QualityNB.train: NULL $labelCol — every training doc needs a class")))
     val spread = labeled.repartition(par)
-    val inst = spread.select(
-        coalesce(col(labelCol).cast("string"), raise_error(lit(
-          s"QualityNB.train: NULL $labelCol — every training doc needs a class"))).as("cls"),
-        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(guarded.as("cls"), col(textCol).as("__text"))
+    val inst = spread.select(col("cls"),
+        explode(TextOps.tokens(col("__text"))).as("tok"))
       .select(col("cls"), bucketOf(col("tok"), buckets).as("b"))
     val w = inst.groupBy(col("cls"), col("b")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
     // per-class doc counts + token totals; a class whose docs are all
     // token-free still carries its prior (left join, toks 0)
-    val meta = spread.groupBy(col(labelCol).cast("string").as("cls")).agg(count(lit(1)).as("docs"))
+    val meta = spread.groupBy(col("cls")).agg(count(lit(1)).as("docs"))
       .join(w.groupBy(col("cls")).agg(sum(col("cnt")).as("toks")), Seq("cls"), "left")
       .select(col("cls"), col("docs"), coalesce(col("toks"), lit(0L)).as("toks"))
       .localCheckpoint(true)
@@ -82,9 +85,12 @@ object QualityNB {
                keep: Seq[String] = Nil): DataFrame = {
     // model-scale driver reads (the QualityLM model-meta convention):
     // class list + per-class constants
-    val metaRows = model.classMeta.collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
-    require(metaRows.nonEmpty, "QualityNB.classify: empty model")
+    val metaRows0 = model.classMeta.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(metaRows0.nonEmpty, "QualityNB.classify: empty model")
+    require(metaRows0.forall(_._1 != null),
+      "QualityNB.classify: model carries a NULL class (foreign/corrupt model dir)")
+    val metaRows = metaRows0.sortBy(_._1)
     val classes = metaRows.map(_._1)
     val nDocs = metaRows.map(_._2).sum
     val priorQ: Map[String, Long] = metaRows.map { case (c, d, _) =>
@@ -95,9 +101,13 @@ object QualityNB {
     // bucket-wide weight table: one row per bucket, one count column per
     // class — the broadcast side stays ≤ `buckets` rows and the per-doc
     // evidence sums land in ONE doc-keyed aggregate (no ×classes row
-    // multiplication)
-    val wide = classes.map(c => model.weights.filter(col("cls") === c)
-        .select(col("b"), col("cnt").as(s"__w_$c")))
+    // multiplication). Internal columns key by class INDEX, never by the
+    // label value: a label containing dots/backticks would break col()
+    // resolution (review finding r16) — label text only appears in the
+    // FINAL aliases, which are never re-parsed
+    val ci = classes.indices
+    val wide = ci.map(i => model.weights.filter(col("cls") === classes(i))
+        .select(col("b"), col("cnt").as(s"__w_$i")))
       .reduce((a, b) => a.join(b, Seq("b"), "full_outer"))
 
     val par = docs.sparkSession.sessionState.conf.numShufflePartitions
@@ -108,26 +118,29 @@ object QualityNB {
     val evidence = dbc.join(broadcast(wide), Seq("b"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("n")).as("__nt"),
-        classes.map(c => sum(col("n") *
-          flog2(coalesce(col(s"__w_$c"), lit(0L)) + 1)).as(s"__s_$c")): _*)
+        ci.map(i => sum(col("n") *
+          flog2(coalesce(col(s"__w_$i"), lit(0L)) + 1)).as(s"__s_$i")): _*)
 
     val scored = docs.select((idCol +: keep).map(col): _*)
       .join(evidence, Seq(idCol), "left")
-    val scoreCols = classes.map(c =>
-      (coalesce(col(s"__s_$c"), lit(0L)) -
-        coalesce(col("__nt"), lit(0L)) * lit(tokQ(c)) +
-        lit(priorQ(c))).as(s"score_$c"))
+    val scoreCols = ci.map(i =>
+      (coalesce(col(s"__s_$i"), lit(0L)) -
+        coalesce(col("__nt"), lit(0L)) * lit(tokQ(classes(i))) +
+        lit(priorQ(classes(i)))).as(s"__score_$i"))
     val withScores = scored.select(
       (idCol +: keep).map(col) ++ (coalesce(col("__nt"), lit(0L)).as("n_tokens") +: scoreCols): _*)
     // argmax with ties to the ascending-first class: strict > keeps the
     // earlier (lexicographically smaller) class on equal scores
-    val label = classes.tail.foldLeft(
-      (col(s"score_${classes.head}"), lit(classes.head): Column)) {
-      case ((bestS, bestC), c) =>
-        (when(col(s"score_$c") > bestS, col(s"score_$c")).otherwise(bestS),
-          when(col(s"score_$c") > bestS, lit(c)).otherwise(bestC))
+    val label = ci.tail.foldLeft(
+      (col("__score_0"), lit(classes.head): Column)) {
+      case ((bestS, bestC), i) =>
+        (when(col(s"__score_$i") > bestS, col(s"__score_$i")).otherwise(bestS),
+          when(col(s"__score_$i") > bestS, lit(classes(i))).otherwise(bestC))
     }._2
-    withScores.select(withScores.columns.map(col) :+ label.as("label"): _*)
+    withScores.select(
+      ((idCol +: keep).map(col) :+ col("n_tokens")) ++
+        ci.map(i => col(s"__score_$i").as(s"score_${classes(i)}")) :+
+        label.as("label"): _*)
   }
 
   /** Persists a trained model as plain parquet under `path` (`weights`,

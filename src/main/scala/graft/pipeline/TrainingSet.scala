@@ -30,6 +30,19 @@ object TrainingSet {
     conv(substring(md5(concat(key.cast("string"), lit(s":$salt")).cast("binary")), 1, 15),
       16, 10).cast("long") / lit(HashSpace)
 
+  /** md5-bucket feature hash — first 8 md5-hex chars mod `buckets`. THE
+    * cross-engine feature convention (DSIR q103, NB q114): DuckDB mirror is
+    * `('0x' || substr(md5(x), 1, 8))::BIGINT % buckets`. One definition —
+    * every consumer ([[dsirWeights]], [[QualityNB]]) must stay bit-identical
+    * or its engine/oracle parity silently desynchronizes. */
+  def md5Bucket(x: Column, buckets: Int): Column =
+    conv(substring(md5(x), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Integer-quantized ⌊log2 x⌋ via binary-string bit length — THE
+    * cross-engine log convention (DuckDB mirror `length(bin(x)) - 1`);
+    * shared by DSIR, the quality LM and the NB classifier. */
+  def flog2q(x: Column): Column = (length(bin(x)) - 1).cast("long")
+
   /** Uniform deterministic sample: keeps a row iff its key's md5 fraction is
     * below `rate`. Selection is per-row independent — no shuffle at all, the
     * filter rides the scan. */
@@ -408,8 +421,7 @@ object TrainingSet {
                   textCol: String, buckets: Int = 8192): DataFrame = {
     require(buckets > 0, s"buckets=$buckets must be positive")
     val par = raw.sparkSession.sessionState.conf.numShufflePartitions
-    def bucket(sh: Column): Column =
-      conv(substring(md5(sh), 1, 8), 16, 10).cast("long") % buckets
+    def bucket(sh: Column): Column = md5Bucket(sh, buckets)
     // true bigrams only: tokens never contain the separator (see lmScore)
     def big(df: DataFrame, withId: Boolean): DataFrame = {
       val inst = Dedup.shinglesRaw(df.repartition(par), idCol, textCol, 2)
@@ -417,7 +429,7 @@ object TrainingSet {
       (if (withId) inst.select(col(idCol), bucket(col("sh")).as("b"))
        else inst.select(bucket(col("sh")).as("b")))
     }
-    def flog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+    def flog2(x: Column): Column = flog2q(x)
     // ONE featurization pass over the raw corpus: per-(doc, bucket)
     // instance counts are the first aggregate, and everything downstream
     // (the per-bucket distribution, the totals, the per-doc sums) derives

@@ -849,21 +849,6 @@ object IceScan {
     }
   }
 
-  /** Assembles the (possibly merge-on-read) DataFrame. Equality deletes are
-    * compiled to anti-join chains in sequence-number order (J1,
-    * table.rs:484-692): a delete file masks exactly the data files with
-    * strictly smaller sequence numbers in its partition. The delete side is
-    * broadcast — the Spark analogue of the reference's CollectLeft hash join.
-    *
-    * Partition scoping lives in the JOIN KEY, not the plan shape: one global
-    * sequence-ordered fold covers every partition, with partition-scoped
-    * delete files anti-joining on (equality cols, partition tag) — the tag
-    * is a canonical rendering of the manifest's partition tuple, attached to
-    * both sides by broadcast (file path → tag) maps. Union width is
-    * therefore O(distinct delete sequence points), not O(delete-affected
-    * partitions): thousands of affected partitions at 100 TB no longer
-    * explode the logical plan.
-    */
   /** The delete-side broadcast size gate, shared by the MoR read fold and
     * the eq→pos conversion in [[graft.table.Maintenance]]. The reference
     * always CollectLeft-broadcasts the delete side (table.rs:484-692); at
@@ -882,6 +867,21 @@ object IceScan {
     manifestBytes * expansionFactor <= broadcastThreshold
   }
 
+  /** Assembles the (possibly merge-on-read) DataFrame. Equality deletes are
+    * compiled to anti-join chains in sequence-number order (J1,
+    * table.rs:484-692): a delete file masks exactly the data files with
+    * strictly smaller sequence numbers in its partition. The delete side is
+    * broadcast — the Spark analogue of the reference's CollectLeft hash join.
+    *
+    * Partition scoping lives in the JOIN KEY, not the plan shape: one global
+    * sequence-ordered fold covers every partition, with partition-scoped
+    * delete files anti-joining on (equality cols, partition tag) — the tag
+    * is a canonical rendering of the manifest's partition tuple, attached to
+    * both sides by broadcast (file path → tag) maps. Union width is
+    * therefore O(distinct delete sequence points), not O(delete-affected
+    * partitions): thousands of affected partitions at 100 TB no longer
+    * explode the logical plan.
+    */
   private def buildDataFrame(spark: SparkSession, table: IceTable, schema: IceSchema,
                              sparkSchema: org.apache.spark.sql.types.StructType,
                              data: Seq[ManifestEntry], allDeletes: Seq[ManifestEntry]): DataFrame = {

@@ -137,12 +137,13 @@ object IceMV {
   /** Parsed-plan memo for STANDING MVs/views (VERDICT r15 #8): production
     * MVs refresh repeatedly, and every refresh used to re-parse the view
     * SQL and re-derive the occurrence walk, the distinct rewrite and the
-    * strategy classification. All five are PURE in the SQL string (binding
-    * to live catalog state happens later, against the immutable unresolved
-    * tree), so the memo keys on the string itself — a REPLACEd view
-    * presents new SQL and misses naturally, and cross-session sharing is
-    * sound because parsing touches no session state. Bounded at 64
-    * entries, cleared at cap (the TVF-memo convention). */
+    * strategy classification. All five are PURE in the SQL string GIVEN a
+    * parser configuration, so the memo keys on (session identity, SQL) —
+    * the TVF-memo convention: parser conf lives on the session (ANSI
+    * double-quoted identifiers and friends), and keying per session keeps
+    * two differently-configured sessions from trading trees. A REPLACEd
+    * view presents new SQL and misses naturally. Bounded at 64 entries,
+    * cleared at cap. */
   private[graft] final case class ParsedMv(
       original: LogicalPlan,
       distinctRw: Option[(Aggregate, Seq[String], Seq[(String, String)])],
@@ -155,7 +156,7 @@ object IceMV {
   private[graft] val mvParses = new java.util.concurrent.atomic.AtomicLong
   private[graft] def parsedMv(spark: SparkSession, sql: String): ParsedMv = {
     if (parseMemo.size() > 64) parseMemo.clear()
-    parseMemo.computeIfAbsent(sql, { _ =>
+    parseMemo.computeIfAbsent(System.identityHashCode(spark).toString + ":" + sql, { _ =>
       mvParses.incrementAndGet()
       val original = spark.sessionState.sqlParser.parsePlan(sql)
       val rw = original match {

@@ -238,9 +238,11 @@ object IceStreaming {
     * commit summary ([[OrderWatermarkKey]]) and checks the next batch's
     * APPLIED rows (per-key winners; a stale row that loses in-batch is
     * harmless) against it, in one tiny aggregate that doubles as the batch
-    * cache's warm-up job. `"fail"` (default) aborts the batch BEFORE any
-    * file is staged, `"warn"` logs and applies anyway, `"off"` skips the
-    * check.
+    * cache's warm-up job. The stamped watermark is the RUNNING max, so a
+    * warn/off batch never disarms the guard for later batches. Rows with a
+    * NULL `orderCol` are orderless malformed input and are rejected by the
+    * same guard. `"fail"` (default) aborts the batch BEFORE any file is
+    * staged, `"warn"` logs and applies anyway, `"off"` skips the checks.
     */
   def streamUpsert(spark: SparkSession, source: IceTable, target: IceTable,
                    keyIds: Seq[Int], orderCol: String, checkpoint: String,
@@ -276,22 +278,40 @@ object IceStreaming {
           // the round-trip back through lit(..).cast(orderType) is
           // session-timezone-consistent for timestamps.
           val prevWm = lastOrderWatermark(t, checkpoint)
-            .filter(_ => orderGuard != "off")
           val orderType = batch.schema(orderCol).dataType
-          val violations = prevWm match {
-            case Some(wm) =>
-              sum(when(col(orderCol) < lit(wm).cast(orderType), 1L).otherwise(0L))
-            case None => sum(lit(0L))
-          }
+          val prevWmLit = prevWm.map(w => lit(w).cast(orderType))
+          val violations =
+            if (orderGuard == "off") sum(lit(0L))
+            else prevWmLit match {
+              case Some(wm) => sum(when(col(orderCol) < wm, 1L).otherwise(0L))
+              case None => sum(lit(0L))
+            }
+          // the stamped watermark is the RUNNING max (never the batch max
+          // alone): a warn/off-mode batch must not regress the guard for
+          // later fail-mode batches (review finding r16)
+          val wmBase = prevWmLit.map(w => greatest(col(orderCol), w)).getOrElse(col(orderCol))
           // cache: the guard aggregate, the key projection and the insert
           // write all consume it
           val pinned = latest.cache()
           try {
             val guard = pinned.agg(
               violations.as("order_violations"),
-              max_by(col(orderCol).cast("string"), col(orderCol)).as("order_watermark"))
+              max(wmBase).cast("string").as("order_watermark"),
+              // a NULL orderCol row is orderless malformed CDC input: it
+              // would win its key by default (row_number nulls-last on
+              // desc), equality-delete the live generation, and slip past
+              // both the guard and the watermark — reject loudly (the
+              // Dedup NULL-id convention; review finding r16)
+              sum(when(col(orderCol).isNull, 1L).otherwise(0L)).as("null_order"))
               .collect()(0)
             val nViol = if (guard.isNullAt(0)) 0L else guard.getLong(0)
+            val nNullOrder = if (guard.isNullAt(2)) 0L else guard.getLong(2)
+            if (nNullOrder > 0L && orderGuard != "off") {
+              val msg = s"streamUpsert: batch $batchId carries $nNullOrder row(s) " +
+                s"with NULL $orderCol — an orderless change row cannot upsert safely"
+              if (orderGuard == "fail") throw new IllegalStateException(msg)
+              else System.err.println(s"[graft] WARN $msg")
+            }
             if (nViol > 0L) {
               val msg = s"streamUpsert order-contract violation: batch $batchId " +
                 s"applies $nViol row(s) with $orderCol below the stream's committed " +

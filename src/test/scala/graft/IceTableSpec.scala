@@ -404,40 +404,43 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // auto-broadcast OFF in both runs: the only thing that can produce a
     // BroadcastHashJoin is the gate's explicit hint — at 100 TB stats-based
-    // auto-broadcast wouldn't fire either, so this isolates the gate
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val ta = build("conv_bcast")
-    spark.listenerManager.register(ql)
-    val resA = try {
-      val r = graft.table.Maintenance.convertEqualityDeletes(spark, ta)
-      org.apache.spark.sql.GraftShim.drainListenerBus(spark); r
-    } finally spark.listenerManager.unregister(ql)
+    // auto-broadcast wouldn't fire either, so this isolates the gate.
+    // ONE try/finally covers everything: a failure in run A must not leak
+    // the conf into later suite tests (review finding r16)
     import scala.jdk.CollectionConverters._
-    val defaultSemis = semiLines(plans.asScala.toSeq)
-    assert(defaultSemis.nonEmpty && defaultSemis.forall(_.contains("Broadcast")),
-      s"small delete set must broadcast (positive control):\n${defaultSemis.mkString("\n")}")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ta = build("conv_bcast")
+      spark.listenerManager.register(ql)
+      val resA = try {
+        val r = graft.table.Maintenance.convertEqualityDeletes(spark, ta)
+        org.apache.spark.sql.GraftShim.drainListenerBus(spark); r
+      } finally spark.listenerManager.unregister(ql)
+      val defaultSemis = semiLines(plans.asScala.toSeq)
+      assert(defaultSemis.nonEmpty && defaultSemis.forall(_.contains("Broadcast")),
+        s"small delete set must broadcast (positive control):\n${defaultSemis.mkString("\n")}")
 
-    // above the gate (threshold 0), the hint is dropped: the null-safe
-    // eq-key equi-join carries a shuffled join, results identical
-    plans.clear()
-    val tb = build("conv_shuffle")
-    spark.conf.set("spark.graft.delete.broadcast-threshold", "0")
-    spark.listenerManager.register(ql)
-    val resB = try {
-      val r = graft.table.Maintenance.convertEqualityDeletes(spark, tb)
-      org.apache.spark.sql.GraftShim.drainListenerBus(spark); r
+      // above the gate (threshold 0), the hint is dropped: the null-safe
+      // eq-key equi-join carries a shuffled join, results identical
+      plans.clear()
+      val tb = build("conv_shuffle")
+      spark.conf.set("spark.graft.delete.broadcast-threshold", "0")
+      spark.listenerManager.register(ql)
+      val resB = try {
+        val r = graft.table.Maintenance.convertEqualityDeletes(spark, tb)
+        org.apache.spark.sql.GraftShim.drainListenerBus(spark); r
+      } finally spark.listenerManager.unregister(ql)
+      val gatedSemis = semiLines(plans.asScala.toSeq)
+      assert(gatedSemis.nonEmpty && gatedSemis.forall(!_.contains("Broadcast")),
+        s"gated delete set must NOT broadcast:\n${gatedSemis.mkString("\n")}")
+      assert(resA._3 == resB._3 && resB._3 == 3L,
+        s"conversion results must be identical across the gate: $resA vs $resB")
+      assert(IceScan.scan(spark, tb.refresh()).collect().map(_.getLong(0)).sorted.toSeq ==
+        (1L to 40L).filterNot(Set(3L, 7L, 11L)).toSeq)
     } finally {
-      spark.listenerManager.unregister(ql)
       spark.conf.unset("spark.graft.delete.broadcast-threshold")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
-    val gatedSemis = semiLines(plans.asScala.toSeq)
-    assert(gatedSemis.nonEmpty && gatedSemis.forall(!_.contains("Broadcast")),
-      s"gated delete set must NOT broadcast:\n${gatedSemis.mkString("\n")}")
-    assert(resA._3 == resB._3 && resB._3 == 3L,
-      s"conversion results must be identical across the gate: $resA vs $resB")
-    assert(IceScan.scan(spark, tb.refresh()).collect().map(_.getLong(0)).sorted.toSeq ==
-      (1L to 40L).filterNot(Set(3L, 7L, 11L)).toSeq)
   }
 
   test("scoped-write gate checks the TARGET branch's manifests, not main's") {

@@ -268,13 +268,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     run(guard = "warn")
     assert(state() == Map(1L -> ("one", 10L), 2L -> ("two-stale", 5L)),
       s"warn mode must apply the batch: ${state()}")
-    // watermark NEVER regresses below a committed max? It records the max
-    // APPLIED lsn of the latest batch — here 5 — and a follow-up in-order
-    // batch at lsn >= 12 still passes (watermark reads the LATEST batch)
+    // the watermark NEVER regresses: the warn batch (max lsn 5) must stamp
+    // the RUNNING max 12, so a later fail-mode batch below 12 still trips
+    // the guard (review finding r16 — batch-max stamping let a warn batch
+    // permanently disarm the guard)
+    assert(IceStreaming.lastOrderWatermark(target.refresh(), ckpt).contains("12"),
+      s"warn batch must not regress the watermark: " +
+        s"${IceStreaming.lastOrderWatermark(target.refresh(), ckpt)}")
+    source = graft.spark.IceWrite.append(spark, source.refresh(),
+      Seq((1L, "one-stale", 8L)).toDF("k", "v", "lsn"))
+    intercept[Exception] { run() }
+    assert(state()(1L) == (("one", 10L)), s"guard must still be armed: ${state()}")
+    // ... while an in-order batch at lsn >= 12 passes
     source = graft.spark.IceWrite.append(spark, source.refresh(),
       Seq((1L, "one-v2", 13L)).toDF("k", "v", "lsn"))
-    run()
+    run(guard = "warn") // the stale lsn=8 batch replays first: warn through it
     assert(state()(1L) == (("one-v2", 13L)), s"got ${state()}")
+
+    // NULL orderCol rows are orderless malformed CDC input: fail mode
+    // rejects the batch before commit (review finding r16)
+    source = graft.spark.IceWrite.append(spark, source.refresh(),
+      Seq((4L, "four", None: Option[Long])).toDF("k", "v", "lsn"))
+    val exn = intercept[Exception] { run() }
+    assert(messages(exn).exists(_.contains("NULL lsn")), s"got $exn")
+    assert(!state().contains(4L), s"NULL-order batch must not commit: ${state()}")
   }
 
   test("tail an append-only Iceberg table as a stream") {

@@ -40,17 +40,24 @@ def main(old_path, new_path):
     only_new = sorted(set(new.get("queries", {})) - set(old.get("queries", {})))
 
     print(f"common queries: {len(wall)}  (+{len(only_new)} new, -{len(only_old)} removed)")
-    print(f"cpu  geomean (new/old): {geomean(list(cpu.values())):.3f}   <- the gate")
+    if cpu:
+        print(f"cpu  geomean (new/old): {geomean(list(cpu.values())):.3f}   <- the gate")
+    else:
+        print("cpu  geomean: UNAVAILABLE (a record lacks per-query 'cpu' medians — "
+              "pre-r15 format?); falling back to wall, which is load-sensitive")
     print(f"wall geomean (new/old): {geomean(list(wall.values())):.3f}   (informational)")
     print(f"cpu_total_sec: {old.get('cpu_total_sec', '?')} -> {new.get('cpu_total_sec', '?')}"
           f"   wall total: {old.get('value', '?')} -> {new.get('value', '?')}")
     movers = sorted(cpu.items(), key=lambda kv: kv[1])
-    if movers:
+    improvements = movers[:3]
+    regressions = [m for m in movers[-3:][::-1] if m not in improvements]
+    if improvements:
         print("top cpu improvements:")
-        for q, r in movers[:3]:
+        for q, r in improvements:
             print(f"  {q}: {r:.2f}x  ({old['cpu'][q]:.2f}s -> {new['cpu'][q]:.2f}s)")
+    if regressions:
         print("top cpu regressions:")
-        for q, r in movers[-3:][::-1]:
+        for q, r in regressions:
             print(f"  {q}: {r:.2f}x  ({old['cpu'][q]:.2f}s -> {new['cpu'][q]:.2f}s)")
     if only_new:
         added_wall = sum(new["queries"][q] for q in only_new)
