@@ -66,12 +66,19 @@ object QualityNB {
     val inst = spread.select(col("cls"),
         explode(TextOps.tokens(col("__text"))).as("tok"))
       .select(col("cls"), bucketOf(col("tok"), buckets).as("b"))
+    // fresh aliases after the checkpoint: the LogicalRDD keeps its source
+    // lineage's attribute ids, and joining it back against an aggregate
+    // over that same lineage (meta below) trips the analyzer's
+    // conflicting-references error — the re-projection mints new ids
     val w = inst.groupBy(col("cls"), col("b")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
+      .select(col("cls").as("cls"), col("b").as("b"), col("cnt").as("cnt"))
     // per-class doc counts + token totals; a class whose docs are all
     // token-free still carries its prior (left join, toks 0)
+    val tokTotals = w.groupBy(col("cls")).agg(sum(col("cnt")).as("toks"))
+      .select(col("cls").as("__tok_cls"), col("toks"))
     val meta = spread.groupBy(col("cls")).agg(count(lit(1)).as("docs"))
-      .join(w.groupBy(col("cls")).agg(sum(col("cnt")).as("toks")), Seq("cls"), "left")
+      .join(tokTotals, col("cls") === col("__tok_cls"), "left")
       .select(col("cls"), col("docs"), coalesce(col("toks"), lit(0L)).as("toks"))
       .localCheckpoint(true)
     Model(w, meta, buckets)
