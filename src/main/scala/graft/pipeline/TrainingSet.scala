@@ -115,6 +115,70 @@ object TrainingSet {
     stratifiedSample(weighted, keyCol, sourceCol, rates, defaultRate = 0.0, salt)
   }
 
+  /** Temperature-based stratum resampling — the multilingual-pretraining
+    * `p_s ∝ n_s^α` rule (Conneau & Lample 2019 XLM §3.1; Xue et al. 2021
+    * mT5 §3.2): low-resource strata UP-sample (documents repeat across
+    * `epoch` copies), high-resource strata down-sample, so the output
+    * follows the tempered distribution while total size stays ≈ the input
+    * corpus. This is the piece [[mixSources]] (explicit weights, never
+    * upsamples) deliberately doesn't cover.
+    *
+    * Expected copies per stratum: e_s = T·p_s/n_s with p_s = n_s^α / Σ n^α
+    * and T = Σ n (output sized like the input), clamped to `maxCopies` —
+    * the published repetition cap (returns on repeated data decay,
+    * Muennighoff et al. 2023). A document materializes in epochs
+    * 0..⌈e_s⌉−1; epoch i survives iff md5-fraction(key, salt:i) < e_s − i,
+    * i.e. ⌊e_s⌋ full copies plus one fractional copy — deterministic,
+    * growth-stable, join-free.
+    *
+    * Cross-engine exactness (the q103/q110 convention, applied to doubles):
+    * n_s^α is integer-QUANTIZED (⌊n^α·2^20⌋ as BIGINT) so the normalizer
+    * z = Σ quantized is an EXACT integer sum — immune to float summation
+    * order, the one non-reproducible step — and e_s = min(maxCopies,
+    * (T·q_s)/(z·n_s)) is three correctly-rounded IEEE ops an oracle replays
+    * bit-identically. α = 0.5 (the default) keeps even the quantization
+    * portable: IEEE requires sqrt correctly rounded on every engine, which
+    * no general pow guarantees.
+    *
+    * Shape at 100 TB: one #strata-row counting aggregate (driver,
+    * metadata-scale), then a zero-shuffle scan-side explode over
+    * driver-literal per-stratum epoch bounds — no join, no corpus shuffle.
+    * NULL-stratum rows are dropped (no tempered share is defined for them).
+    */
+  def temperatureMix(df: DataFrame, keyCol: String, stratumCol: String,
+                     alpha: Double = 0.5, maxCopies: Double = 4.0,
+                     salt: String = "temp", epochCol: String = "epoch"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "temperature alpha must be in (0, 1]")
+    require(maxCopies >= 1, "maxCopies must allow at least one full copy")
+    val in = df.filter(col(stratumCol).isNotNull)
+    val counts: Map[String, Long] = in.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureMix needs at least one non-null stratum")
+    val quant: Long => Long = n => math.floor(
+      (if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha))
+        * 1048576.0).toLong
+    val t = counts.values.sum
+    val q = counts.map { case (s, n) => s -> quant(n) }
+    val z = q.values.sum // exact integer — summation-order-free
+    val e: Map[String, Double] = counts.map { case (s, n) =>
+      s -> math.min(maxCopies, (t.toDouble * q(s).toDouble) / (z.toDouble * n.toDouble))
+    }
+    val eCol = e.foldLeft(lit(Double.NaN)) { case (acc, (s, v)) =>
+      when(col(stratumCol) === s, lit(v)).otherwise(acc)
+    }
+    val epCol = e.foldLeft(lit(0L)) { case (acc, (s, v)) =>
+      when(col(stratumCol) === s, lit(math.ceil(v).toLong)).otherwise(acc)
+    }
+    val frac = conv(substring(md5(concat(col(keyCol).cast("string"), lit(s":$salt:"),
+      col(epochCol).cast("string")).cast("binary")), 1, 15), 16, 10)
+      .cast("long") / lit(HashSpace)
+    in.withColumn("__e", eCol)
+      .withColumn(epochCol, explode(sequence(lit(0L), epCol - 1)))
+      .filter(frac < col("__e") - col(epochCol))
+      .drop("__e")
+  }
+
   /** Deterministic global shuffle key: ordering by it (plus the key itself
     * as tiebreaker) is a reproducible corpus-wide permutation — the
     * "shuffle once, stream in order" step of training-data prep. Use with

@@ -293,6 +293,36 @@ object IcebergQueries {
       perLang.crossJoin(snapStats).orderBy("lang")
     }),
 
+    // Metadata-only global aggregates (the manifest-stats fast path —
+    // GraftReadRule × MetadataAgg): count/min/max over a partitioned
+    // two-commit table must come straight OFF THE MANIFESTS. The optimized
+    // plan is REQUIRED to collapse to a LocalRelation (zero data files
+    // opened — at 100 TB this is a millisecond metadata read instead of a
+    // full-table scan), and the values must equal DuckDB's scan-computed
+    // answer over the same source rows.
+    "q115_metadata_agg" -> ((s, d) => {
+      val wh = Files.createTempDirectory("graft_mawh").toString
+      s.conf.set("spark.sql.catalog.graft_ma", "graft.spark.sql.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.graft_ma.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+      s.sql("DROP TABLE IF EXISTS graft_ma.db.mdocs")
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        .createOrReplaceTempView("q115_src_docs")
+      s.sql("""CREATE TABLE graft_ma.db.mdocs (doc_id BIGINT, lang STRING, n_chars BIGINT)
+              |PARTITIONED BY (lang)""".stripMargin)
+      s.sql("INSERT INTO graft_ma.db.mdocs SELECT * FROM q115_src_docs WHERE doc_id % 2 = 0")
+      s.sql("INSERT INTO graft_ma.db.mdocs SELECT * FROM q115_src_docs WHERE doc_id % 2 = 1")
+      val r = s.sql(
+        """SELECT count(*) AS n_rows, count(n_chars) AS n_chars_nonnull,
+          |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+          |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+          |FROM graft_ma.db.mdocs""".stripMargin)
+      require(r.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "q115 must be answered from manifest metadata (LocalRelation plan), not a scan")
+      r
+    }),
+
     // CDC changelog read (S4 extension): three commits — even keys, odd
     // keys, equality-delete of F-status keys. Window 1 (snap1→snap2) is
     // append-only and streams inserts straight off the new files (no diff);
@@ -437,6 +467,11 @@ object IcebergQueries {
         |  count(DISTINCT doc_id % 2) AS n_batches,
         |  CAST(2 AS BIGINT) AS n_snapshots, CAST(1 AS BIGINT) AS n_ops
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q115_metadata_agg" ->
+      """SELECT count(*) AS n_rows, count(n_chars) AS n_chars_nonnull,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents""".stripMargin,
     "q40_changelog" ->
       """WITH src AS (
         |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price

@@ -1043,6 +1043,17 @@ object PipelineQueries {
       QualityNB.classify(docs, "doc_id", "text", model).orderBy("doc_id")
     }),
 
+    // Temperature-based stratum resampling (XLM/mT5's p ∝ n^α rule with
+    // α = 0.5): the step q49's explicit-weight mixing can't express —
+    // low-resource languages UPSAMPLE (epoch ≥ 1 copies appear),
+    // high-resource ones downsample, total size ≈ corpus. Per-(lang,
+    // epoch) counts + id sums pin the exact kept membership of every copy.
+    "q116_temperature_mix" -> ((s, d) =>
+      TrainingSet.temperatureMix(Tables.documents(s, d), "doc_id", "lang")
+        .groupBy(col("lang"), col("epoch"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang", "epoch")),
+
     // Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005) over
     // the corpus token stream: the mergeable few-KB sketch every streaming
     // hot-key detector ships, built cell-for-cell identically on both
@@ -2453,6 +2464,25 @@ object PipelineQueries {
         |            coalesce(pv.s_crawl, (SELECT prior_q FROM cc WHERE cls = 'crawl'))
         |       THEN 'ref' ELSE 'crawl' END AS label
         |FROM docs d LEFT JOIN pv USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // quantized-sqrt shares (⌊√n·2^20⌋ — z sums exact BIGINTs, the three
+    // remaining double ops are correctly rounded and order-pinned), then
+    // the md5-fraction epoch filter replayed literally
+    "q116_temperature_mix" ->
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |q AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT) AS sq FROM n),
+        |z AS (SELECT CAST(sum(sq) AS BIGINT) AS z, CAST(sum(n) AS BIGINT) AS t FROM q),
+        |e AS (SELECT lang, n,
+        |        least(4.0, (CAST(z.t AS DOUBLE) * CAST(sq AS DOUBLE)) / (CAST(z.z AS DOUBLE) * CAST(n AS DOUBLE))) AS e
+        |      FROM q, z),
+        |ex AS (SELECT d.doc_id, d.lang, t.epoch, e.e
+        |       FROM documents d JOIN e USING (lang), UNNEST(range(CAST(ceil(e.e) AS BIGINT))) AS t(epoch)),
+        |kept AS (SELECT * FROM ex
+        |         WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':temp:' || CAST(epoch AS VARCHAR)), 1, 15))::BIGINT
+        |                / 1152921504606846976.0) < e - epoch)
+        |SELECT lang, CAST(epoch AS BIGINT) AS epoch, count(*) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM kept GROUP BY lang, epoch ORDER BY lang, epoch""".stripMargin,
 
     // q110 with PARTITION BY lang in the cumulative window and per-lang
     // threshold rows (null-safe joined) — otherwise identical quantized

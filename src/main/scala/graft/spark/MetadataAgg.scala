@@ -1,0 +1,148 @@
+package graft.spark
+
+import scala.util.Try
+
+import graft.core.ValueCodec
+import graft.spec.IceType
+import graft.table.IceTable
+import graft.table.ManifestModel.ContentData
+
+/** Metadata-only global aggregates: answers `count(*)` / `count(col)` /
+  * `min(col)` / `max(col)` over a graft table from MANIFEST STATISTICS
+  * alone — zero data files opened, O(manifests) driver work (the same cost
+  * class as scan planning). At 100 TB this turns `SELECT count(*) FROM t`
+  * from a full-table scan into a millisecond metadata read; it is the
+  * manifest-stats analogue of Spark's DSv2 `SupportsPushDownAggregates`
+  * path, answered at optimizer time by [[org.apache.spark.sql.GraftReadRule]]
+  * (reference stats surface: iceberg-rust-spec manifest `record_count` /
+  * `null_value_counts` / `lower_bounds` / `upper_bounds`, manifest.rs).
+  *
+  * EXACTNESS is the contract — the rewrite must be invisible. `answer`
+  * therefore returns None (caller falls back to a real scan) unless every
+  * prerequisite is PROVEN from metadata:
+  *
+  *  - the snapshot holds NO live delete files (an equality delete masks an
+  *    unknown number of rows; a positional delete can remove the extreme
+  *    row — either makes every stat an upper bound, not an answer);
+  *  - `count(col)` needs a null count recorded for the column in EVERY
+  *    live data file (a pre-evolution file that never wrote the column has
+  *    no entry and bails the rewrite — conservative, never wrong);
+  *  - `min`/`max(col)` need a decodable bound in every file, or a proof
+  *    the file is all-null for the column (`null_count == record_count`);
+  *  - `min`/`max` types are restricted to int / long / date / time /
+  *    timestamp / decimal: float and double bounds are unreliable under
+  *    NaN (parquet writers disagree on NaN ordering), and string bounds
+  *    may be TRUNCATED by foreign parquet writers on imported files —
+  *    both families scan instead.
+  *
+  * Returned values are CATALYST-INTERNAL (Int days for date, Long micros
+  * for timestamps, [[org.apache.spark.sql.types.Decimal]] for decimals) so
+  * the rule can build a `LocalRelation` row directly.
+  */
+object MetadataAgg {
+
+  sealed trait AggSpec
+  case object CountStar extends AggSpec
+  final case class CountCol(name: String) extends AggSpec
+  final case class MinCol(name: String) extends AggSpec
+  final case class MaxCol(name: String) extends AggSpec
+
+  /** Types whose manifest bounds are exact end-to-end (see scaladoc). */
+  private def boundExact(t: IceType): Boolean = t match {
+    case IceType.IntT | IceType.LongT | IceType.DateT | IceType.TimeT |
+         IceType.TimestampT | IceType.TimestamptzT => true
+    case IceType.DecimalT(_, _) => true
+    case _ => false
+  }
+
+  /** Exact total-order compare for the [[boundExact]] value families —
+    * decimals compare exactly (never through a lossy double round-trip).
+    * Anything else throws and bails the rewrite via the enclosing Try.
+    */
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+    case _ => throw new IllegalStateException(s"uncomparable bounds: $a / $b")
+  }
+
+  /** Decoded manifest value → catalyst-internal value. */
+  private def toInternal(t: IceType, v: Any): Any = (t, v) match {
+    case (IceType.DecimalT(p, s), d: java.math.BigDecimal) =>
+      org.apache.spark.sql.types.Decimal(d, p, s)
+    case _ => v // Int/Long families decode straight to their internal form
+  }
+
+  /** Answers `specs` from manifest stats at the (possibly pinned) snapshot,
+    * or None when exactness cannot be proven. Mirrors the SQL read path's
+    * snapshot handling: a pinned id reads the schema-at-snapshot.
+    */
+  def answer(table: IceTable, snapshotId: Option[Long],
+             specs: Seq[AggSpec]): Option[Seq[Any]] = Try {
+    val snap = snapshotId.flatMap(table.snapshotById)
+      .orElse(table.currentSnapshot(None))
+    val schema =
+      if (snapshotId.isDefined) table.metadata.schemaAt(snap)
+      else table.metadata.currentSchema
+    val entries = snap.map(table.entries(_)).getOrElse(Nil)
+    if (entries.exists(_.dataFile.content != ContentData)) None
+    else {
+      val files = entries.map(_.dataFile)
+      val totalRows = files.map(_.recordCount).sum
+
+      val answers: Seq[Option[Any]] = specs.map {
+        case CountStar => Some(totalRows: java.lang.Long)
+
+        case CountCol(name) =>
+          schema.fieldByName(name).flatMap { f =>
+            val nulls = files.map(_.nullValueCounts.get(f.id))
+            if (nulls.exists(_.isEmpty)) None
+            else Some((totalRows - nulls.flatten.sum): java.lang.Long)
+          }
+
+        case MinCol(name) => bound(schema, files, name, isMin = true)
+        case MaxCol(name) => bound(schema, files, name, isMin = false)
+      }
+      if (answers.contains(None)) None
+      else Some(answers.map(_.get match {
+        case BoundValue(t, v) => toInternal(t, v)
+        case NullBound => null
+        case other => other
+      }))
+    }
+  }.toOption.flatten
+
+  // wrappers distinguishing "answerable, value v" / "answerable, SQL NULL"
+  private final case class BoundValue(t: IceType, v: Any)
+  private case object NullBound
+
+  /** Per-column min/max from file bounds: None = not answerable; Some of a
+    * wrapper = answerable (possibly a SQL NULL for an all-null / empty
+    * table). An all-null file (null_count == record_count) and an empty
+    * file contribute nothing; any other file without a decodable bound
+    * bails.
+    */
+  private def bound(schema: graft.spec.IceSchema,
+                    files: Seq[graft.table.ManifestModel.DataFile],
+                    name: String, isMin: Boolean): Option[Any] =
+    schema.fieldByName(name).filter(f => boundExact(f.fieldType)).flatMap { f =>
+      val per: Seq[Option[Option[Any]]] = files.map { df =>
+        (if (isMin) df.lowerBounds else df.upperBounds).get(f.id) match {
+          case Some(bytes) =>
+            Try(ValueCodec.fromBytes(f.fieldType, bytes)).toOption.map(Some(_))
+          case None =>
+            val allNull = df.recordCount == 0L ||
+              df.nullValueCounts.get(f.id).contains(df.recordCount)
+            if (allNull) Some(None) else None
+        }
+      }
+      if (per.exists(_.isEmpty)) None
+      else {
+        val vals = per.flatten.flatten
+        if (vals.isEmpty) Some(NullBound)
+        else Some(BoundValue(f.fieldType, vals.reduce { (a, b) =>
+          if ((cmp(a, b) <= 0) == isMin) a else b
+        }))
+      }
+    }
+}

@@ -514,6 +514,18 @@ object GraftPipelineFunctions {
         strArg(args, 1, "quality_score"), strArg(args, 2, "quality_score"))
     }
 
+    tvf(ext, "temperature_mix",
+      "temperature_mix(table, key_col, stratum_col, alpha, max_copies) — " +
+        "p ∝ n^alpha stratum resampling (XLM/mT5): low-resource strata " +
+        "upsample across `epoch` copies, high-resource downsample; " +
+        "alpha = 0.5 is the cross-engine-exact default") { args =>
+      require(args.length == 5,
+        "temperature_mix(table, key_col, stratum_col, alpha, max_copies)")
+      TrainingSet.temperatureMix(tableArg(args, 0, "temperature_mix"),
+        strArg(args, 1, "temperature_mix"), strArg(args, 2, "temperature_mix"),
+        dblArg(args, 3, "temperature_mix"), dblArg(args, 4, "temperature_mix"))
+    }
+
     tvf(ext, "cap_per_group",
       "cap_per_group(table, group_col, score_col, id_col, k) — keep the " +
         "best k rows per group (WindowGroupLimit top-k; hot-key safe)") { args =>

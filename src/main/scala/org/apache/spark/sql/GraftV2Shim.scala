@@ -1,13 +1,15 @@
 package org.apache.spark.sql
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
-import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.classic.SparkSession
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
-import graft.spark.IceScan
+import graft.spark.{IceScan, MetadataAgg}
 import graft.spark.sql.{GraftMetadataTable, GraftSparkTable, GraftViewTable}
 
 /** Optimizer rule backing graft's SQL read path: rewrites every
@@ -38,6 +40,11 @@ import graft.spark.sql.{GraftMetadataTable, GraftSparkTable, GraftViewTable}
 class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformDown {
+    // metadata-only global aggregates: count(*)/count(col)/min/max straight
+    // off the manifests (zero data IO) when MetadataAgg can PROVE exactness;
+    // any bail leaves the node untouched and the relation cases below
+    // rewrite the child into a normal scan on the same pass
+    case MetadataAnswerable(local) => local
     case f @ Filter(cond, r: DataSourceV2Relation) if r.table.isInstanceOf[GraftSparkTable] =>
       // only deterministic conjuncts consult stats; the full Filter stays on
       // top regardless, so dropped conjuncts cost pruning, never correctness
@@ -69,6 +76,52 @@ class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
         Alias(org.apache.spark.sql.catalyst.expressions.Cast(n, o.dataType), o.name)(
           exprId = o.exprId, qualifier = o.qualifier)
       }, scanned)
+  }
+
+  /** Matches a global Aggregate over a graft relation whose functions are
+    * all answerable from manifest stats, and produces the one-row
+    * `LocalRelation` answer under the Aggregate's own output attributes —
+    * the plan above resolves untouched, the scan disappears entirely.
+    * Column pruning may or may not have inserted an attribute-only Project
+    * below the Aggregate by the time this fires; both shapes match.
+    * Exactness gates live in [[graft.spark.MetadataAgg.answer]].
+    */
+  private object MetadataAnswerable {
+    def unapply(plan: LogicalPlan): Option[LogicalPlan] = plan match {
+      case agg @ Aggregate(Nil, aggExprs, child, _) =>
+        val relOpt = child match {
+          case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSparkTable] => Some(r)
+          case Project(pl, r: DataSourceV2Relation)
+              if r.table.isInstanceOf[GraftSparkTable] &&
+                pl.forall(_.isInstanceOf[AttributeReference]) => Some(r)
+          case _ => None
+        }
+        relOpt.flatMap { r =>
+          val relIds = r.output.map(_.exprId).toSet
+          def relCol(e: Expression): Option[String] = e match {
+            case a: AttributeReference if relIds.contains(a.exprId) => Some(a.name)
+            case _ => None
+          }
+          // every output must be an undistinct, unfiltered count/min/max
+          val specs = aggExprs.map {
+            case Alias(AggregateExpression(fn, _, false, None, _), _) => fn match {
+              case Count(Seq(l: Literal)) if l.value != null => Some(MetadataAgg.CountStar)
+              case Count(Seq(e)) => relCol(e).map(MetadataAgg.CountCol)
+              case Min(e) => relCol(e).map(MetadataAgg.MinCol)
+              case Max(e) => relCol(e).map(MetadataAgg.MaxCol)
+              case _ => None
+            }
+            case _ => None
+          }
+          if (specs.contains(None)) None
+          else {
+            val gt = r.table.asInstanceOf[GraftSparkTable]
+            MetadataAgg.answer(gt.ice.refresh(), gt.snapshotId, specs.map(_.get))
+              .map(vals => LocalRelation(agg.output, Seq(InternalRow.fromSeq(vals))))
+          }
+        }
+      case _ => None
+    }
   }
 
   private def rewrite(r: DataSourceV2Relation, preds: Seq[Expression]): LogicalPlan = {

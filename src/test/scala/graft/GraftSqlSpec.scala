@@ -1088,6 +1088,20 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("doc_id"), col("group_id"), col("split")).orderBy("doc_id")
     assert(rows(sqlSplit) == rows(apiSplit))
 
+    // q116: temperature resampling — row-equal to the Scala API, and the
+    // SQL surface must reproduce the upsampling epochs, not just the rows
+    val sqlTemp = spark.sql(
+      """SELECT lang, epoch, count(1) AS n_kept, sum(doc_id) AS id_sum
+        |FROM temperature_mix('documents_v', 'doc_id', 'lang', 0.5D, 4.0D)
+        |GROUP BY lang, epoch ORDER BY lang, epoch""".stripMargin)
+    val apiTemp = TrainingSet.temperatureMix(
+        Tables.documents(spark, sfDir), "doc_id", "lang")
+      .groupBy(col("lang"), col("epoch"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("lang", "epoch")
+    assert(rows(sqlTemp) == rows(apiTemp))
+    assert(sqlTemp.count() > 0)
+
     // q99: per-domain quota cap, composed ENTIRELY in SQL from the scalar
     // URL functions + quality_score + cap_per_group (the fixture URL frame
     // is the only Scala-side input — the operators are what's under test)

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.sql.GraftExtensions
+
+/** Metadata-only global aggregates (GraftReadRule × MetadataAgg): a global
+  * count/min/max over a graft SQL table must be answered from manifest
+  * statistics — the optimized plan collapses to a LocalRelation, no scan
+  * node survives — and must FALL BACK to a real scan whenever exactness
+  * can't be proven (filters, deletes, strings, distinct). Values are always
+  * checked against a real recompute: the rewrite has to be invisible.
+  */
+class MetadataAggSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val warehouse = Files.createTempDirectory("mawh").toString
+
+  private lazy val spark = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.spark.sql.GraftSparkCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse)
+      .withExtensions(new GraftExtensions)
+      .appName("graft-metadata-agg-spec").getOrCreate()
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** True when the optimized plan is metadata-answered: every leaf is a
+    * LocalRelation (no parquet relation, no file index — zero data IO). */
+  private def metadataOnly(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation])
+
+  private def setup(): Unit = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ma")
+    spark.sql("DROP TABLE IF EXISTS graft.ma.t")
+    spark.sql(
+      """CREATE TABLE graft.ma.t (
+        |  id BIGINT, v INT, s STRING, d DATE, ts TIMESTAMP_NTZ,
+        |  price DECIMAL(18,2), maybe BIGINT
+        |) PARTITIONED BY (bucket(4, id))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.ma.t VALUES
+        |(1, 10, 'a', DATE'2020-01-05', TIMESTAMP_NTZ'2020-01-05 01:02:03', 1.25, NULL),
+        |(2, -3, 'b', DATE'2019-12-31', TIMESTAMP_NTZ'2021-06-01 00:00:00', 99.10, NULL),
+        |(3,  7, 'c', DATE'2020-03-01', TIMESTAMP_NTZ'2019-01-01 12:00:00', 0.05, NULL)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.ma.t VALUES
+        |(4, 42, 'd', DATE'2022-07-04', TIMESTAMP_NTZ'2022-07-04 07:04:00', 7.77, NULL),
+        |(5, NULL, 'e', DATE'2018-01-01', TIMESTAMP_NTZ'2018-01-01 00:00:01', -2.50, NULL)""".stripMargin)
+  }
+
+  test("global count/min/max answered from manifests: plan is a LocalRelation") {
+    setup()
+    val df = spark.sql(
+      """SELECT count(*) AS n, count(v) AS nv, min(v) AS mnv, max(v) AS mxv,
+        |       min(id) AS mni, max(id) AS mxi, min(d) AS mnd, max(d) AS mxd,
+        |       min(ts) AS mnts, max(ts) AS mxts,
+        |       min(price) AS mnp, max(price) AS mxp,
+        |       min(maybe) AS mnm, max(maybe) AS mxm, count(maybe) AS nm
+        |FROM graft.ma.t""".stripMargin)
+    assert(metadataOnly(df), df.queryExecution.optimizedPlan.treeString)
+    val r = df.head()
+    assert(r.getLong(0) == 5 && r.getLong(1) == 4)
+    assert(r.getInt(2) == -3 && r.getInt(3) == 42)
+    assert(r.getLong(4) == 1 && r.getLong(5) == 5)
+    assert(r.getDate(6).toString == "2018-01-01" && r.getDate(7).toString == "2022-07-04")
+    assert(r.getAs[java.time.LocalDateTime](8).toString == "2018-01-01T00:00:01")
+    assert(r.getAs[java.time.LocalDateTime](9).toString == "2022-07-04T07:04")
+    assert(r.getDecimal(10).toPlainString == "-2.50" && r.getDecimal(11).toPlainString == "99.10")
+    // all-null column: provably null from null_count == record_count
+    assert(r.isNullAt(12) && r.isNullAt(13) && r.getLong(14) == 0)
+  }
+
+  test("fallbacks: filter, grouping, distinct, string min, sum all scan — values exact") {
+    setup()
+    val scans = Seq(
+      "SELECT count(*) AS n FROM graft.ma.t WHERE v > 0",
+      "SELECT s, count(*) AS n FROM graft.ma.t GROUP BY s",
+      "SELECT count(DISTINCT v) AS n FROM graft.ma.t",
+      "SELECT min(s) AS mns FROM graft.ma.t",
+      "SELECT sum(v) AS sv FROM graft.ma.t",
+      "SELECT count(*) + 1 AS n FROM graft.ma.t")
+    for (q <- scans) {
+      val df = spark.sql(q)
+      assert(!metadataOnly(df), s"$q must NOT be metadata-answered")
+    }
+    assert(spark.sql(scans.head).head().getLong(0) == 3)
+    assert(spark.sql(scans(3)).head().getString(0) == "a")
+    assert(spark.sql(scans(4)).head().getLong(0) == 56)
+  }
+
+  test("a live delete file disables the rewrite; values reflect the delete") {
+    setup()
+    spark.sql("DELETE FROM graft.ma.t WHERE id = 4")
+    val df = spark.sql("SELECT count(*) AS n, max(v) AS mxv FROM graft.ma.t")
+    assert(!metadataOnly(df), "deletes make manifest stats inexact — must scan")
+    val r = df.head()
+    assert(r.getLong(0) == 4 && r.getInt(1) == 10)
+  }
+
+  test("time travel pins the snapshot: VERSION AS OF answers old counts metadata-only") {
+    setup()
+    val snaps = spark.sql("SELECT snapshot_id FROM graft.ma.t.snapshots ORDER BY committed_at")
+      .collect().map(_.getLong(0))
+    val df = spark.sql(
+      s"SELECT count(*) AS n, max(id) AS mx FROM graft.ma.t VERSION AS OF ${snaps.head}")
+    assert(metadataOnly(df), df.queryExecution.optimizedPlan.treeString)
+    val r = df.head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3)
+  }
+
+  test("empty table answers count 0 / min NULL metadata-only") {
+    spark.sql("DROP TABLE IF EXISTS graft.ma.empty")
+    spark.sql("CREATE TABLE graft.ma.empty (id BIGINT, v INT)")
+    val df = spark.sql("SELECT count(*) AS n, min(v) AS mn FROM graft.ma.empty")
+    assert(metadataOnly(df), df.queryExecution.optimizedPlan.treeString)
+    val r = df.head()
+    assert(r.getLong(0) == 0 && r.isNullAt(1))
+  }
+}

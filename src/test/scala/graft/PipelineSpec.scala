@@ -78,6 +78,53 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!srcs.contains("junk"))
   }
 
+  test("temperature mix: hand-computed shares, upsampling epochs, exact membership") {
+    import spark.implicits._
+    // strata: "big" docs 1-4, "small" doc 10. α=0.5 quantized:
+    //   sq(4)=⌊2·2^20⌋=2097152, sq(1)=1048576, z=3145728, T=5
+    //   e_big  = (5·2097152)/(3145728·4) = 5/6 ≈ 0.8333 → 1 epoch, fractional
+    //   e_small= (5·1048576)/(3145728·1) = 5/3 ≈ 1.6667 → epoch 0 always +
+    //            fractional epoch 1
+    val d = (Seq(1L, 2L, 3L, 4L).map(i => (i, "big")) :+ ((10L, "small")))
+      .toDF("doc_id", "lang")
+    val got = TrainingSet.temperatureMix(d, "doc_id", "lang")
+      .select("doc_id", "lang", "epoch")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    // replicate hashFraction(key, "temp:epoch") with plain JVM md5
+    def frac(key: Long, epoch: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$key:temp:$epoch".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16).toDouble / (1L << 60).toDouble
+    }
+    val eBig = 5.0 * 2097152.0 / (3145728.0 * 4.0)
+    val eSmall = 5.0 * 1048576.0 / (3145728.0 * 1.0)
+    val expect =
+      Seq(1L, 2L, 3L, 4L).flatMap(i =>
+        if (frac(i, 0L) < eBig) Some((i, "big", 0L)) else None) ++
+      Seq((10L, "small", 0L)) ++ // e_small − 0 > 1: epoch 0 unconditional
+      (if (frac(10L, 1L) < eSmall - 1.0) Seq((10L, "small", 1L)) else Nil)
+    assert(got == expect.toSet, s"got $got, expect ${expect.toSet}")
+    assert(!got.exists { case (_, s, ep) => s == "big" && ep > 0 },
+      "the high-resource stratum must never upsample")
+
+    // maxCopies clamps: 1-vs-100 skew wants e_small ≈ 9.2 → clamped to
+    // exactly 2 unconditional copies (e−0 and e−1 both ≥ 1)
+    val skew = ((1 to 100).map(i => (i.toLong, "big")) :+ ((500L, "small")))
+      .toDF("doc_id", "lang")
+    val smallCopies = TrainingSet.temperatureMix(skew, "doc_id", "lang", maxCopies = 2.0)
+      .filter(col("lang") === "small").collect().map(_.getAs[Long]("epoch")).sorted
+    assert(smallCopies.toSeq == Seq(0L, 1L), smallCopies.mkString(","))
+
+    // NULL strata are dropped; the run is deterministic
+    val withNull = d.union(Seq((99L, null.asInstanceOf[String])).toDF("doc_id", "lang"))
+    val again = TrainingSet.temperatureMix(withNull, "doc_id", "lang")
+      .select("doc_id", "lang", "epoch")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(again == got)
+  }
+
   test("probe dedup flags batch docs duplicating the corpus, not corpus pairs") {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
     val nearDup = ((1 to 28).map(i => s"tok$i") ++ Seq("other", "words")).mkString(" ")
