@@ -297,6 +297,97 @@ object Embeddings {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
   }
 
+  // ---- product quantization (Jégou, Douze & Schmid 2011,
+  //      "Product Quantization for Nearest Neighbor Search") ----
+
+  /** Per-subspace PQ codebooks from the [[sampleCentroids]] deterministic
+    * id-strided sample: codeword c of subspace j is dims [j·d/m, (j+1)·d/m)
+    * of sampled vector c — reproducible across engines and partitionings
+    * (per-subspace Lloyd refinement belongs to [[trainCentroids]]' scale
+    * path and is deliberately not replicated here). Returns (d, d/m,
+    * per-subspace array of (codeword subvector, its squared norm)). */
+  private def pqCodebooks(prepared: DataFrame, idCol: String, m: Int, k: Int)
+      : (Int, Int, Array[Array[(Array[Long], Long)]]) = {
+    val cents = sampleCentroids(prepared, idCol, k)
+    val d = cents.head._2.length
+    require(m > 0 && d % m == 0, s"subspaces ($m) must divide the dimension ($d)")
+    val sub = d / m
+    val books = Array.tabulate(m) { j =>
+      cents.map { case (_, q, _) =>
+        val cw = q.slice(j * sub, (j + 1) * sub)
+        (cw, cw.map(x => x * x).sum)
+      }
+    }
+    (d, sub, books)
+  }
+
+  /** PQ-encode every vector: d quantized longs collapse to `m` small codes
+    * (argmin exact integer L2 against each subspace codebook, ties to the
+    * lowest codeword id) — 64 dims → 8 bytes-ish per vector, the memory
+    * step that makes billion-vector ANN fit an executor fleet. Zero
+    * shuffle: the codebooks ride the plan as literals (m·k·d/m longs — a
+    * few KB), encoding is one projection; subvectors and their norms are
+    * staged ONCE per row (the q96 planning rule) so the k codeword
+    * distances reuse them. Emits (idCol, pq_codes ARRAY<INT>). */
+  def pqEncode(prepared: DataFrame, idCol: String, m: Int = 8, k: Int = 16): DataFrame =
+    pqEncodeWith(prepared, idCol, pqCodebooks(prepared, idCol, m, k), m)
+
+  private def pqEncodeWith(prepared: DataFrame, idCol: String,
+                           books: (Int, Int, Array[Array[(Array[Long], Long)]]),
+                           m: Int): DataFrame = {
+    val (_, sub, cb) = books
+    val staged = prepared.select(col(idCol) +: (0 until m).flatMap { j =>
+      val s = slice(col("q"), j * sub + 1, sub)
+      Seq(s.as(s"__s$j"), normSq(s).as(s"__n$j"))
+    }: _*)
+    val codes = (0 until m).map { j =>
+      // exact (d², c) structs sorted ascending — struct ordering gives the
+      // (distance asc, codeword asc) tie-break inside codegen (the
+      // rankedCellsExpr pattern)
+      element_at(array_sort(array(cb(j).zipWithIndex.map { case ((cw, cn2), c) =>
+        struct((col(s"__n$j") + lit(cn2) - lit(2L) * dotq(col(s"__s$j"), typedLit(cw.toSeq))).as("d2"),
+          lit(c).as("c"))
+      }.toSeq: _*)), 1).getField("c")
+    }
+    staged.select(col(idCol), array(codes: _*).as("pq_codes"))
+  }
+
+  /** Approximate top-k by PQ ASYMMETRIC distance (ADC): each query keeps
+    * its exact subvectors, every corpus vector only its `m` codes;
+    * distance = Σ_j ‖query_j − codeword(code_j)‖² in exact BIGINT
+    * arithmetic, so ranking is engine-reproducible (ties → neighbor id
+    * asc). The corpus side streams m ints instead of d longs — the PQ
+    * memory win — against a BROADCAST query side (query sets are
+    * corpus-tiny), then the per-query top-k window (the q26 shape,
+    * WindowGroupLimit-bounded). */
+  def pqTopK(prepared: DataFrame, idCol: String, topK: Int, queryPred: Column,
+             m: Int = 8, k: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val books = pqCodebooks(prepared, idCol, m, k)
+    val (_, sub, cb) = books
+    val par = prepared.sparkSession.sessionState.conf.numShufflePartitions
+    val coded = pqEncodeWith(prepared, idCol, books, m)
+      .select(col(idCol).as("neighbor_id"), col("pq_codes"))
+      .repartition(par)
+    val queries = prepared.filter(queryPred)
+      .select(col(idCol).as("query_id") +: (0 until m).flatMap { j =>
+        val s = slice(col("q"), j * sub + 1, sub)
+        Seq(s.as(s"__qs$j"), normSq(s).as(s"__qn$j"))
+      }: _*)
+    val dist = (0 until m).map { j =>
+      val code = element_at(col("pq_codes"), j + 1)
+      val cw = element_at(typedLit(cb(j).map(_._1.toSeq).toSeq), code + 1)
+      val cn2 = element_at(typedLit(cb(j).map(_._2).toSeq), code + 1)
+      col(s"__qn$j") + cn2 - lit(2L) * dotq(col(s"__qs$j"), cw)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    coded.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dist.as("adc_dist"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adc_dist"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus into IVF Voronoi cells, then mark
     * as duplicates all but the lowest-id member of every within-cell group

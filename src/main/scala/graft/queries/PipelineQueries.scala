@@ -281,6 +281,18 @@ object PipelineQueries {
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy("query_id", "rnk")),
 
+    // Product-quantized ANN (Jégou et al. 2011): corpus vectors collapse
+    // to 8 codebook codes (the memory step that fits billion-vector ANN on
+    // an executor fleet); queries rank by ASYMMETRIC distance — exact
+    // BIGINT arithmetic end-to-end, so the DuckDB oracle reproduces every
+    // code assignment and every ADC distance bit-for-bit.
+    "q117_pq_ann" -> ((s, d) =>
+      Embeddings.pqTopK(
+        Embeddings.prepare(Tables.embeddings(s, d), "vec_id", "embedding"),
+        "vec_id", topK = 3, queryPred = col("vec_id") < 20)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("query_id", "rnk")),
+
     // Deterministic stratified sampling (md5-fraction thresholds per lang):
     // reproducible across engines/retries, zero shuffle — the id_sum pins
     // the exact sampled membership, not just the counts.
@@ -1417,6 +1429,32 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
         |  FROM scored)
         |SELECT query_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+    // PQ replayed exactly: stride-sampled codebooks (the q36 cents
+    // convention), per-(vector, subspace) argmin codes, ADC = summed
+    // integer L2 to the CODED subvectors — all BIGINT, rank (dist, id)
+    "q117_pq_ann" ->
+      """WITH params AS (SELECT greatest(count(*) // 16, 1) AS stride FROM embeddings),
+        |qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q FROM embeddings),
+        |cents AS (SELECT vec_id // stride AS cid, q AS cq FROM qv, params WHERE vec_id % stride = 0 AND vec_id < stride * 16),
+        |subs AS (SELECT vec_id, j, list_slice(q, j*8+1, j*8+8) AS s FROM qv, range(8) AS t(j)),
+        |csubs AS (SELECT cid, j, list_slice(cq, j*8+1, j*8+8) AS cs FROM cents, range(8) AS t(j)),
+        |d2 AS (SELECT s.vec_id, s.j, c.cid,
+        |        list_sum(list_transform(range(1, 9), i -> (s.s[i]-c.cs[i])*(s.s[i]-c.cs[i]))) AS d2
+        |       FROM subs s JOIN csubs c USING (j)),
+        |codes AS (SELECT vec_id, j, cid FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, cid ASC) AS rk FROM d2) WHERE rk = 1),
+        |adc AS (SELECT qs.vec_id AS query_id, co.vec_id AS neighbor_id,
+        |         CAST(sum(list_sum(list_transform(range(1, 9), i -> (qs.s[i]-cs.cs[i])*(qs.s[i]-cs.cs[i])))) AS BIGINT) AS adc_dist
+        |        FROM subs qs
+        |        JOIN codes co ON co.vec_id != qs.vec_id AND co.j = qs.j
+        |        JOIN csubs cs ON cs.cid = co.cid AND cs.j = co.j
+        |        WHERE qs.vec_id < 20
+        |        GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, neighbor_id, adc_dist,
+        |            row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
+        |           FROM adc)
+        |SELECT query_id, rnk, neighbor_id, adc_dist FROM ranked WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
     "q43_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_sum,

@@ -459,6 +459,32 @@ object GraftPipelineFunctions {
         intArg(args, 4, "knn_graph"))
     }
 
+    memoTvf(ext, "pq_encode",
+      "pq_encode(table, id_col, emb_col, m, k) — product-quantization codes " +
+        "(Jégou 2011): each vector collapses to m codebook indices " +
+        "(deterministic id-strided codebooks, exact integer argmin)", Seq(0)) { args =>
+      require(args.length == 5, "pq_encode(table, id_col, emb_col, m, k)")
+      Embeddings.pqEncode(
+        Embeddings.prepare(tableArg(args, 0, "pq_encode"),
+          strArg(args, 1, "pq_encode"), strArg(args, 2, "pq_encode")),
+        strArg(args, 1, "pq_encode"), intArg(args, 3, "pq_encode"),
+        intArg(args, 4, "pq_encode"))
+    }
+
+    memoTvf(ext, "pq_topk",
+      "pq_topk(table, id_col, emb_col, topk, query_pred, m, k) — PQ " +
+        "asymmetric-distance top-k: corpus side carries only its m codes, " +
+        "queries (rows matching query_pred) rank by exact-integer ADC", Seq(0)) { args =>
+      require(args.length == 7,
+        "pq_topk(table, id_col, emb_col, topk, query_pred, m, k)")
+      Embeddings.pqTopK(
+        Embeddings.prepare(tableArg(args, 0, "pq_topk"),
+          strArg(args, 1, "pq_topk"), strArg(args, 2, "pq_topk")),
+        strArg(args, 1, "pq_topk"), intArg(args, 3, "pq_topk"),
+        org.apache.spark.sql.functions.expr(strArg(args, 4, "pq_topk")),
+        intArg(args, 5, "pq_topk"), intArg(args, 6, "pq_topk"))
+    }
+
     memoTvf(ext, "semantic_dedup",
       "semantic_dedup(table, id_col, emb_col, cells, threshold) — SemDeDup: " +
         "within-cell embedding pairs with cosine ≥ threshold", Seq(0)) { args =>

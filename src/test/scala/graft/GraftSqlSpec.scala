@@ -1231,6 +1231,19 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT * FROM semantic_dedup('embeddings_v', 'vec_id', 'embedding', 4, 0.35) " +
         "ORDER BY vec_id"))
       == rows(Embeddings.semanticDedup(prep, "vec_id", 4, 0.35).orderBy("vec_id")))
+
+    assert(rows(spark.sql(
+      "SELECT vec_id, array_join(pq_codes, ' ') AS codes " +
+        "FROM pq_encode('embeddings_v', 'vec_id', 'embedding', 8, 16) ORDER BY vec_id"))
+      == rows(Embeddings.pqEncode(prep, "vec_id", 8, 16)
+        .select(col("vec_id"), org.apache.spark.sql.functions
+          .array_join(col("pq_codes"), " ").as("codes")).orderBy("vec_id")))
+
+    assert(rows(spark.sql(
+      "SELECT * FROM pq_topk('embeddings_v', 'vec_id', 'embedding', 3, 'vec_id < 10', 8, 16) " +
+        "ORDER BY query_id, rnk"))
+      == rows(Embeddings.pqTopK(prep, "vec_id", 3, col("vec_id") < 10, 8, 16)
+        .orderBy("query_id", "rnk")))
   }
 
   test("time-series TVFs are SQL-reachable and parity-equal to the Scala API") {

@@ -78,6 +78,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!srcs.contains("junk"))
   }
 
+  test("product quantization: hand-computed codes and ADC ranking") {
+    import spark.implicits._
+    import graft.pipeline.Embeddings
+    // dim 4, m=2 subspaces, k=2 codewords; stride = 4/2 = 2 → codebooks are
+    // vectors 0 and 2. Quantized (×1e6): v0=[0,0,0,0], v1=[1,0,0,0],
+    // v2=[10,10,10,10], v3=[9,10,0,0].
+    //   codes: v0=[0,0], v1=[0,0] (d²=1 vs 181), v2=[1,1], v3=[1,0]
+    //   ADC from v0: n1 → ([0,0],[0,0]) = 0; n3 → ([10,10],[0,0]) = 200;
+    //                n2 → ([10,10],[10,10]) = 400
+    val d = Seq(
+      0L -> Seq(0f, 0f, 0f, 0f),
+      1L -> Seq(1e-6f, 0f, 0f, 0f),
+      2L -> Seq(1e-5f, 1e-5f, 1e-5f, 1e-5f),
+      3L -> Seq(9e-6f, 1e-5f, 0f, 0f)).toDF("vec_id", "embedding")
+    val prep = Embeddings.prepare(d, "vec_id", "embedding")
+    val codes = Embeddings.pqEncode(prep, "vec_id", m = 2, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(codes == Map(0L -> Seq(0, 0), 1L -> Seq(0, 0),
+      2L -> Seq(1, 1), 3L -> Seq(1, 0)), codes)
+    val got = Embeddings.pqTopK(prep, "vec_id", topK = 3,
+        queryPred = col("vec_id") < 1, m = 2, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((0L, 1, 1L, 0L), (0L, 2, 3L, 200L), (0L, 3, 2L, 400L)), got)
+  }
+
   test("temperature mix: hand-computed shares, upsampling epochs, exact membership") {
     import spark.implicits._
     // strata: "big" docs 1-4, "small" doc 10. α=0.5 quantized:
