@@ -27,7 +27,14 @@ object TrainingSet {
     * vs split), exactly like reseeding a PRNG.
     */
   def hashFraction(key: Column, salt: String): Column =
-    conv(substring(md5(concat(key.cast("string"), lit(s":$salt")).cast("binary")), 1, 15),
+    hashFraction(key, lit(salt))
+
+  /** [[hashFraction]] with a COLUMN salt — the one definition of the
+    * md5-fraction chain (substring width, radix, hash space); per-row salts
+    * (e.g. [[temperatureMix]]'s epoch suffix) must route through here so a
+    * future tweak can never desynchronize one consumer's oracle parity. */
+  def hashFraction(key: Column, salt: Column): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":"), salt.cast("string")).cast("binary")), 1, 15),
       16, 10).cast("long") / lit(HashSpace)
 
   /** md5-bucket feature hash — first 8 md5-hex chars mod `buckets`. THE
@@ -150,10 +157,14 @@ object TrainingSet {
                      salt: String = "temp", epochCol: String = "epoch"): DataFrame = {
     require(alpha > 0 && alpha <= 1, "temperature alpha must be in (0, 1]")
     require(maxCopies >= 1, "maxCopies must allow at least one full copy")
+    require(!df.columns.contains(epochCol),
+      s"temperatureMix adds '$epochCol' — the input already has that column; pass a different epochCol")
     val in = df.filter(col(stratumCol).isNotNull)
-    val counts: Map[String, Long] = in.groupBy(col(stratumCol))
+    // strata are kept in their NATIVE type (string langs, int source ids …):
+    // the when-chain compares with same-type literals, no cast surprises
+    val counts: Map[Any, Long] = in.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "temperatureMix needs at least one non-null stratum")
     val quant: Long => Long = n => math.floor(
       (if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha))
@@ -161,18 +172,17 @@ object TrainingSet {
     val t = counts.values.sum
     val q = counts.map { case (s, n) => s -> quant(n) }
     val z = q.values.sum // exact integer — summation-order-free
-    val e: Map[String, Double] = counts.map { case (s, n) =>
+    val e: Map[Any, Double] = counts.map { case (s, n) =>
       s -> math.min(maxCopies, (t.toDouble * q(s).toDouble) / (z.toDouble * n.toDouble))
     }
     val eCol = e.foldLeft(lit(Double.NaN)) { case (acc, (s, v)) =>
-      when(col(stratumCol) === s, lit(v)).otherwise(acc)
+      when(col(stratumCol) === lit(s), lit(v)).otherwise(acc)
     }
     val epCol = e.foldLeft(lit(0L)) { case (acc, (s, v)) =>
-      when(col(stratumCol) === s, lit(math.ceil(v).toLong)).otherwise(acc)
+      when(col(stratumCol) === lit(s), lit(math.ceil(v).toLong)).otherwise(acc)
     }
-    val frac = conv(substring(md5(concat(col(keyCol).cast("string"), lit(s":$salt:"),
-      col(epochCol).cast("string")).cast("binary")), 1, 15), 16, 10)
-      .cast("long") / lit(HashSpace)
+    val frac = hashFraction(col(keyCol),
+      concat(lit(salt), lit(":"), col(epochCol).cast("string")))
     in.withColumn("__e", eCol)
       .withColumn(epochCol, explode(sequence(lit(0L), epCol - 1)))
       .filter(frac < col("__e") - col(epochCol))

@@ -2507,7 +2507,8 @@ object PipelineQueries {
     // remaining double ops are correctly rounded and order-pinned), then
     // the md5-fraction epoch filter replayed literally
     "q116_temperature_mix" ->
-      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents
+        |           WHERE lang IS NOT NULL GROUP BY lang),
         |q AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT) AS sq FROM n),
         |z AS (SELECT CAST(sum(sq) AS BIGINT) AS z, CAST(sum(n) AS BIGINT) AS t FROM q),
         |e AS (SELECT lang, n,

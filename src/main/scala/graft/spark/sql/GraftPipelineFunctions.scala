@@ -540,11 +540,13 @@ object GraftPipelineFunctions {
         strArg(args, 1, "quality_score"), strArg(args, 2, "quality_score"))
     }
 
-    tvf(ext, "temperature_mix",
+    // memoized: the builder runs a stratum-counting Spark job at analysis
+    // time (the memoTvf contract — same class as dup_clusters/pq_encode)
+    memoTvf(ext, "temperature_mix",
       "temperature_mix(table, key_col, stratum_col, alpha, max_copies) — " +
         "p ∝ n^alpha stratum resampling (XLM/mT5): low-resource strata " +
         "upsample across `epoch` copies, high-resource downsample; " +
-        "alpha = 0.5 is the cross-engine-exact default") { args =>
+        "alpha = 0.5 is the cross-engine-exact default", Seq(0)) { args =>
       require(args.length == 5,
         "temperature_mix(table, key_col, stratum_col, alpha, max_copies)")
       TrainingSet.temperatureMix(tableArg(args, 0, "temperature_mix"),

@@ -148,6 +148,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id", "lang", "epoch")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(again == got)
+
+    // non-string strata work (native-type literals in the rate chain):
+    // same shares as the string fixture, so the same doc/epoch membership
+    val intStrata = (Seq(1L, 2L, 3L, 4L).map(i => (i, 7)) :+ ((10L, 9)))
+      .toDF("doc_id", "lang")
+    val gotInt = TrainingSet.temperatureMix(intStrata, "doc_id", "lang")
+      .select("doc_id", "epoch")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotInt == got.map { case (id, _, ep) => (id, ep) }, gotInt)
+
+    // an existing epoch column is a loud error, never silent replacement
+    val clash = intercept[IllegalArgumentException] {
+      TrainingSet.temperatureMix(d.withColumn("epoch", lit(0)), "doc_id", "lang")
+    }
+    assert(clash.getMessage.contains("epoch"), clash.getMessage)
   }
 
   test("probe dedup flags batch docs duplicating the corpus, not corpus pairs") {
