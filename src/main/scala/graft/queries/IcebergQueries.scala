@@ -323,6 +323,33 @@ object IcebergQueries {
       r
     }),
 
+    // Per-partition metadata aggregates (the GROUP BY form of q115):
+    // grouping on the identity partition column is answered from per-file
+    // partition tuples — one manifest read, zero data IO. At 100 TB this
+    // is the "row counts per partition" dashboard query for free.
+    "q118_partition_agg" -> ((s, d) => {
+      val wh = Files.createTempDirectory("graft_pawh").toString
+      s.conf.set("spark.sql.catalog.graft_pa", "graft.spark.sql.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.graft_pa.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_pa.db")
+      s.sql("DROP TABLE IF EXISTS graft_pa.db.pdocs")
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        .createOrReplaceTempView("q118_src_docs")
+      s.sql("""CREATE TABLE graft_pa.db.pdocs (doc_id BIGINT, lang STRING, n_chars BIGINT)
+              |PARTITIONED BY (lang)""".stripMargin)
+      s.sql("INSERT INTO graft_pa.db.pdocs SELECT * FROM q118_src_docs WHERE doc_id % 2 = 0")
+      s.sql("INSERT INTO graft_pa.db.pdocs SELECT * FROM q118_src_docs WHERE doc_id % 2 = 1")
+      val r = s.sql(
+        """SELECT lang, count(*) AS n_rows, count(n_chars) AS n_chars_nonnull,
+          |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+          |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+          |FROM graft_pa.db.pdocs GROUP BY lang ORDER BY lang""".stripMargin)
+      require(r.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "q118 must be answered from manifest metadata (LocalRelation plan), not a scan")
+      r
+    }),
+
     // CDC changelog read (S4 extension): three commits — even keys, odd
     // keys, equality-delete of F-status keys. Window 1 (snap1→snap2) is
     // append-only and streams inserts straight off the new files (no diff);
@@ -472,6 +499,11 @@ object IcebergQueries {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents""".stripMargin,
+    "q118_partition_agg" ->
+      """SELECT lang, count(*) AS n_rows, count(n_chars) AS n_chars_nonnull,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q40_changelog" ->
       """WITH src AS (
         |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price

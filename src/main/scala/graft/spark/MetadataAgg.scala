@@ -46,6 +46,8 @@ object MetadataAgg {
   final case class CountCol(name: String) extends AggSpec
   final case class MinCol(name: String) extends AggSpec
   final case class MaxCol(name: String) extends AggSpec
+  /** The grouping column's own value (grouped form only). */
+  final case class GroupVal(name: String) extends AggSpec
 
   /** Types whose manifest bounds are exact end-to-end (see scaladoc). */
   private def boundExact(t: IceType): Boolean = t match {
@@ -73,12 +75,35 @@ object MetadataAgg {
     case _ => v // Int/Long families decode straight to their internal form
   }
 
-  /** Answers `specs` from manifest stats at the (possibly pinned) snapshot,
-    * or None when exactness cannot be proven. Mirrors the SQL read path's
-    * snapshot handling: a pinned id reads the schema-at-snapshot.
+  /** Answers `specs` globally (no grouping) from manifest stats at the
+    * (possibly pinned) snapshot, or None when exactness cannot be proven.
+    * Mirrors the SQL read path's snapshot handling: a pinned id reads the
+    * schema-at-snapshot.
     */
   def answer(table: IceTable, snapshotId: Option[Long],
-             specs: Seq[AggSpec]): Option[Seq[Any]] = Try {
+             specs: Seq[AggSpec]): Option[Seq[Any]] =
+    answerGrouped(table, snapshotId, Nil, specs).flatMap {
+      case Seq(row) => Some(row)
+      case _ => None // zero groups can't happen with Nil grouping
+    }
+
+  /** Grouped form: `GROUP BY` columns that are IDENTITY partition sources
+    * of the current spec are answered from per-file partition tuples — the
+    * per-partition stats path (`SELECT lang, count(*) … GROUP BY lang` at
+    * 100 TB = one manifest read, zero data IO). Identity partitioning
+    * guarantees every row of a file carries the file's own tuple value, so
+    * file-level stats aggregate exactly within each group; a file whose
+    * tuple lacks a grouping field (pre-evolution spec) bails the rewrite.
+    * Group value types are restricted to int/long/boolean/string/date/
+    * timestamp (decimal and binary tuples round-trip as raw bytes —
+    * ambiguous, so they scan). With `groupCols` empty this degenerates to
+    * the one-row global form (an empty table then answers count 0 /
+    * min NULL; with grouping it answers zero rows, exactly like SQL).
+    * Returns one row per group, columns ordered as `specs`.
+    */
+  def answerGrouped(table: IceTable, snapshotId: Option[Long],
+                    groupCols: Seq[String],
+                    specs: Seq[AggSpec]): Option[Seq[Seq[Any]]] = Try {
     val snap = snapshotId.flatMap(table.snapshotById)
       .orElse(table.currentSnapshot(None))
     val schema =
@@ -87,30 +112,88 @@ object MetadataAgg {
     val entries = snap.map(table.entries(_)).getOrElse(Nil)
     if (entries.exists(_.dataFile.content != ContentData)) None
     else {
-      val files = entries.map(_.dataFile)
-      val totalRows = files.map(_.recordCount).sum
+      // grouping col -> (partition tuple key, iceberg type); every grouping
+      // col must be an identity field of the DEFAULT spec with a groupable
+      // type, else bail
+      val spec = table.metadata.partitionSpecs.get(table.metadata.defaultSpecId)
+      val keys: Option[Seq[(String, graft.spec.IceType)]] =
+        if (groupCols.isEmpty) Some(Nil)
+        else spec.flatMap { sp =>
+          val resolved = groupCols.map { g =>
+            sp.fields.collectFirst {
+              case pf if pf.transform == graft.core.Transform.Identity &&
+                schema.fieldById(pf.sourceId).exists(_.name == g) =>
+                (pf.name, schema.fieldById(pf.sourceId).get.fieldType)
+            }.filter { case (_, t) => groupable(t) }
+          }
+          if (resolved.contains(None)) None else Some(resolved.map(_.get))
+        }
 
-      val answers: Seq[Option[Any]] = specs.map {
-        case CountStar => Some(totalRows: java.lang.Long)
-
-        case CountCol(name) =>
-          schema.fieldByName(name).flatMap { f =>
-            val nulls = files.map(_.nullValueCounts.get(f.id))
-            if (nulls.exists(_.isEmpty)) None
-            else Some((totalRows - nulls.flatten.sum): java.lang.Long)
+      keys.flatMap { ks =>
+        val files = entries.map(_.dataFile)
+        // every file must carry every grouping field in its tuple
+        val grouped: Option[Map[Seq[Any], Seq[graft.table.ManifestModel.DataFile]]] =
+          if (ks.isEmpty) Some(Map(Seq.empty[Any] -> files))
+          else {
+            val keyed = files.map { f =>
+              val tuple = f.partition.toMap
+              val gv = ks.map { case (k, _) =>
+                if (tuple.contains(k)) Some(tuple(k)) else None
+              }
+              if (gv.contains(None)) None else Some(gv.map(_.get) -> f)
+            }
+            if (keyed.contains(None)) None
+            else Some(keyed.flatten.groupBy(_._1).view.mapValues(_.map(_._2)).toMap)
           }
 
-        case MinCol(name) => bound(schema, files, name, isMin = true)
-        case MaxCol(name) => bound(schema, files, name, isMin = false)
+        grouped.flatMap { groups =>
+          val rows = groups.toSeq.map { case (gv, gfiles) =>
+            val totalRows = gfiles.map(_.recordCount).sum
+            val answers: Seq[Option[Any]] = specs.map {
+              case CountStar => Some(totalRows: java.lang.Long)
+
+              case GroupVal(name) =>
+                val i = groupCols.indexOf(name)
+                if (i < 0) None else Some(groupInternal(ks(i)._2, gv(i)))
+
+              case CountCol(name) =>
+                schema.fieldByName(name).flatMap { f =>
+                  val nulls = gfiles.map(_.nullValueCounts.get(f.id))
+                  if (nulls.exists(_.isEmpty)) None
+                  else Some((totalRows - nulls.flatten.sum): java.lang.Long)
+                }
+
+              case MinCol(name) => bound(schema, gfiles, name, isMin = true)
+              case MaxCol(name) => bound(schema, gfiles, name, isMin = false)
+            }
+            if (answers.contains(None)) None
+            else Some(answers.map(_.get match {
+              case BoundValue(t, v) => toInternal(t, v)
+              case NullBound => null
+              case other => other
+            }))
+          }
+          if (rows.contains(None)) None else Some(rows.map(_.get))
+        }
       }
-      if (answers.contains(None)) None
-      else Some(answers.map(_.get match {
-        case BoundValue(t, v) => toInternal(t, v)
-        case NullBound => null
-        case other => other
-      }))
     }
   }.toOption.flatten
+
+  /** Types a partition tuple value can serve as a GROUP key: the Avro
+    * round-trip is unambiguous (decimal/binary come back as raw bytes). */
+  private def groupable(t: IceType): Boolean = t match {
+    case IceType.BooleanT | IceType.IntT | IceType.LongT | IceType.StringT |
+         IceType.DateT | IceType.TimeT | IceType.TimestampT | IceType.TimestamptzT => true
+    case _ => false
+  }
+
+  /** Partition tuple value → catalyst-internal group value. */
+  private def groupInternal(t: IceType, v: Any): Any = (t, v) match {
+    case (_, null) => null
+    case (IceType.StringT, s) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(s.toString)
+    case _ => v // Int/Long/Boolean families are already internal
+  }
 
   // wrappers distinguishing "answerable, value v" / "answerable, SQL NULL"
   private final case class BoundValue(t: IceType, v: Any)

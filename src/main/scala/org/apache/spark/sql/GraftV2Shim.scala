@@ -88,7 +88,8 @@ class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
     */
   private object MetadataAnswerable {
     def unapply(plan: LogicalPlan): Option[LogicalPlan] = plan match {
-      case agg @ Aggregate(Nil, aggExprs, child, _) =>
+      case agg @ Aggregate(groupExprs, aggExprs, child, _)
+          if groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
         val relOpt = child match {
           case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSparkTable] => Some(r)
           case Project(pl, r: DataSourceV2Relation)
@@ -102,7 +103,16 @@ class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
             case a: AttributeReference if relIds.contains(a.exprId) => Some(a.name)
             case _ => None
           }
-          // every output must be an undistinct, unfiltered count/min/max
+          val groupAttrs = groupExprs.map(_.asInstanceOf[AttributeReference])
+          val groupCols = groupAttrs.map(relCol)
+          def groupVal(e: Expression): Option[MetadataAgg.AggSpec] = e match {
+            case a: AttributeReference
+                if groupAttrs.exists(_.exprId == a.exprId) && relCol(a).isDefined =>
+              Some(MetadataAgg.GroupVal(a.name))
+            case _ => None
+          }
+          // every output must be a grouping column or an undistinct,
+          // unfiltered count/min/max over a relation column
           val specs = aggExprs.map {
             case Alias(AggregateExpression(fn, _, false, None, _), _) => fn match {
               case Count(Seq(l: Literal)) if l.value != null => Some(MetadataAgg.CountStar)
@@ -111,13 +121,16 @@ class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
               case Max(e) => relCol(e).map(MetadataAgg.MaxCol)
               case _ => None
             }
+            case a: AttributeReference => groupVal(a)
+            case Alias(a: AttributeReference, _) => groupVal(a)
             case _ => None
           }
-          if (specs.contains(None)) None
+          if (specs.contains(None) || groupCols.contains(None)) None
           else {
             val gt = r.table.asInstanceOf[GraftSparkTable]
-            MetadataAgg.answer(gt.ice.refresh(), gt.snapshotId, specs.map(_.get))
-              .map(vals => LocalRelation(agg.output, Seq(InternalRow.fromSeq(vals))))
+            MetadataAgg.answerGrouped(gt.ice.refresh(), gt.snapshotId,
+                groupCols.map(_.get), specs.map(_.get))
+              .map(rows => LocalRelation(agg.output, rows.map(InternalRow.fromSeq)))
           }
         }
       case _ => None

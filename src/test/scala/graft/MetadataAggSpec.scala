@@ -121,6 +121,37 @@ class MetadataAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(0) == 3 && r.getLong(1) == 3)
   }
 
+  test("GROUP BY an identity partition column answers per-partition stats metadata-only") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ma")
+    spark.sql("DROP TABLE IF EXISTS graft.ma.gp")
+    spark.sql("CREATE TABLE graft.ma.gp (id BIGINT, lang STRING, v INT) PARTITIONED BY (lang)")
+    spark.sql("INSERT INTO graft.ma.gp VALUES (1,'a',5), (2,'b',7), (3,'a',NULL), (4,NULL,9)")
+    spark.sql("INSERT INTO graft.ma.gp VALUES (5,'a',1), (6,'b',-2)")
+    val df = spark.sql(
+      """SELECT lang, count(*) AS n, count(v) AS nv, min(v) AS mn, max(v) AS mx
+        |FROM graft.ma.gp GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin)
+    assert(metadataOnly(df), df.queryExecution.optimizedPlan.treeString)
+    val got = df.collect().map(r => (Option(r.getString(0)),
+      r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getInt(3)),
+      if (r.isNullAt(4)) None else Some(r.getInt(4)))).toSeq
+    assert(got == Seq(
+      (None, 1L, 1L, Some(9), Some(9)),
+      (Some("a"), 3L, 2L, Some(1), Some(5)),
+      (Some("b"), 2L, 2L, Some(-2), Some(7))), got.mkString(", "))
+
+    // grouping on a NON-identity-partition column must scan (bucket(4,id)
+    // table grouped by its string col; identity table grouped by v)
+    setup()
+    assert(!metadataOnly(spark.sql("SELECT s, count(*) AS n FROM graft.ma.t GROUP BY s")))
+    assert(!metadataOnly(spark.sql("SELECT v, count(*) AS n FROM graft.ma.gp GROUP BY v")))
+    // grouped values still exact through the scan path
+    val scanned = spark.sql("SELECT v, count(*) AS n FROM graft.ma.gp GROUP BY v")
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)), r.getLong(1))).toSet
+    assert(scanned == Set((None, 1L), (Some(5), 1L), (Some(7), 1L),
+      (Some(9), 1L), (Some(1), 1L), (Some(-2), 1L)))
+  }
+
   test("empty table answers count 0 / min NULL metadata-only") {
     spark.sql("DROP TABLE IF EXISTS graft.ma.empty")
     spark.sql("CREATE TABLE graft.ma.empty (id BIGINT, v INT)")
