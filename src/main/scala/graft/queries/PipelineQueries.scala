@@ -1066,6 +1066,27 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
         .orderBy("lang", "epoch")),
 
+    // Unicode-script profiling (the CCNet/mC4 script-detection step): the
+    // synthetic corpus is ASCII-only, so the query PLANTS script content
+    // (q108/q112 convention) — doc_id%5 picks a CJK/Cyrillic/Arabic/Hangul
+    // snippet, appended for most docs (latin stays dominant) and REPLACING
+    // the text for doc_id%7==0 (the label flips to the planted script;
+    // %5==4 ∧ %7==0 yields the empty-text 'other' edge).
+    "q119_script_profile" -> ((s, d) => {
+      val snippet = when(col("doc_id") % 5 === 0, " 中文网页内容")
+        .when(col("doc_id") % 5 === 1, " русский текст")
+        .when(col("doc_id") % 5 === 2, " نص عربي")
+        .when(col("doc_id") % 5 === 3, " 한국어 텍스트")
+        .otherwise("")
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, snippet)
+          .otherwise(concat(col("text"), snippet)).as("text"))
+      TextOps.scriptProfile(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_chars"), col("n_latin"), col("n_cyrillic"),
+          col("n_cjk"), col("n_arabic"), col("n_hangul"), col("n_other"), col("script"))
+        .orderBy("doc_id")
+    }),
+
     // Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005) over
     // the corpus token stream: the mergeable few-KB sketch every streaming
     // hot-key detector ships, built cell-for-cell identically on both
@@ -2502,6 +2523,38 @@ object PipelineQueries {
         |            coalesce(pv.s_crawl, (SELECT prior_q FROM cc WHERE cls = 'crawl'))
         |       THEN 'ref' ELSE 'crawl' END AS label
         |FROM docs d LEFT JOIN pv USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // same planting CASE, counts = length difference after class removal
+    // ('g' flag: DuckDB replaces first-only by default, Spark replaces all),
+    // label = first script in fixed order achieving the max
+    "q119_script_profile" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN sn ELSE text || sn END AS text
+        |  FROM (SELECT doc_id, text,
+        |          CASE WHEN doc_id % 5 = 0 THEN ' 中文网页内容'
+        |               WHEN doc_id % 5 = 1 THEN ' русский текст'
+        |               WHEN doc_id % 5 = 2 THEN ' نص عربي'
+        |               WHEN doc_id % 5 = 3 THEN ' 한국어 텍스트'
+        |               ELSE '' END AS sn
+        |        FROM documents)),
+        |counted AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
+        |    length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS n_cyrillic,
+        |    length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS n_cjk,
+        |    length(text) - length(regexp_replace(text, '[؀-ۿ]', '', 'g')) AS n_arabic,
+        |    length(text) - length(regexp_replace(text, '[가-힯]', '', 'g')) AS n_hangul
+        |  FROM planted)
+        |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_cjk, n_arabic, n_hangul,
+        |  n_chars - (n_latin + n_cyrillic + n_cjk + n_arabic + n_hangul) AS n_other,
+        |  CASE WHEN greatest(n_latin, n_cyrillic, n_cjk, n_arabic, n_hangul) = 0 THEN 'other'
+        |       WHEN n_latin = greatest(n_latin, n_cyrillic, n_cjk, n_arabic, n_hangul) THEN 'latin'
+        |       WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_cjk, n_arabic, n_hangul) THEN 'cyrillic'
+        |       WHEN n_cjk = greatest(n_latin, n_cyrillic, n_cjk, n_arabic, n_hangul) THEN 'cjk'
+        |       WHEN n_arabic = greatest(n_latin, n_cyrillic, n_cjk, n_arabic, n_hangul) THEN 'arabic'
+        |       ELSE 'hangul' END AS script
+        |FROM counted ORDER BY doc_id""".stripMargin,
 
     // quantized-sqrt shares (⌊√n·2^20⌋ — z sums exact BIGINTs, the three
     // remaining double ops are correctly rounded and order-pinned), then

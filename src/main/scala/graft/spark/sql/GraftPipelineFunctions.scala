@@ -532,6 +532,15 @@ object GraftPipelineFunctions {
         intArg(args, 3, "heavy_hitters"), intArg(args, 4, "heavy_hitters"))
     }
 
+    tvf(ext, "script_profile",
+      "script_profile(table, id_col, text_col) — unicode-script profile " +
+        "(Latin/Cyrillic/CJK/Arabic/Hangul counts + dominant script label), " +
+        "the script-detection step before language ID") { args =>
+      require(args.length == 3, "script_profile(table, id_col, text_col)")
+      TextOps.scriptProfile(tableArg(args, 0, "script_profile"),
+        strArg(args, 1, "script_profile"), strArg(args, 2, "script_profile"))
+    }
+
     tvf(ext, "quality_score",
       "quality_score(table, id_col, text_col) — per-document quality " +
         "score (type-token ratio, stopword/punct/length heuristics)") { args =>

@@ -1088,6 +1088,14 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("doc_id"), col("group_id"), col("split")).orderBy("doc_id")
     assert(rows(sqlSplit) == rows(apiSplit))
 
+    // q119: unicode-script profile — row-equal to the Scala API
+    val sqlScript = spark.sql(
+      "SELECT * FROM script_profile('documents_v', 'doc_id', 'text') ORDER BY doc_id")
+    val apiScript = graft.pipeline.TextOps.scriptProfile(
+        Tables.documents(spark, sfDir), "doc_id", "text").orderBy("doc_id")
+    assert(rows(sqlScript) == rows(apiScript))
+    assert(sqlScript.count() > 0)
+
     // q116: temperature resampling — row-equal to the Scala API, and the
     // SQL surface must reproduce the upsampling epochs, not just the rows
     val sqlTemp = spark.sql(

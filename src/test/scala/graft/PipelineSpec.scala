@@ -78,6 +78,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!srcs.contains("junk"))
   }
 
+  test("script profile: hand-computed per-class counts, label order, edges") {
+    import graft.pipeline.TextOps
+    val d = docs(
+      1L -> "abc 中文字 de",   // latin 5, cjk 3, other 2 → latin wins
+      2L -> "中文 ab",          // cjk 2, latin 2 → tie → latin (fixed order)
+      3L -> "русский текст",   // cyrillic 12, other 1
+      4L -> "123 !?",           // all classes 0 → other
+      5L -> "한국어 نص")        // hangul 3, arabic 2
+    val got = TextOps.scriptProfile(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getString(8)))
+    assert(got.toSeq == Seq(
+      (1L, 10L, 5L, 0L, 3L, 0L, 0L, 2L, "latin"),
+      (2L, 5L, 2L, 0L, 2L, 0L, 0L, 1L, "latin"),
+      (3L, 13L, 0L, 12L, 0L, 0L, 0L, 1L, "cyrillic"),
+      (4L, 6L, 0L, 0L, 0L, 0L, 0L, 6L, "other"),
+      (5L, 6L, 0L, 0L, 0L, 2L, 3L, 1L, "hangul")), got.mkString(", "))
+  }
+
   test("product quantization: hand-computed codes and ADC ranking") {
     import spark.implicits._
     import graft.pipeline.Embeddings
