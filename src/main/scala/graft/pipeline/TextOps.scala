@@ -145,6 +145,46 @@ object TextOps {
         col("ok_word_count") && col("ok_mean_len") && col("ok_symbols") && col("ok_stopwords"))
   }
 
+  /** Unicode-script profile — the script-detection step multilingual web
+    * pipelines run before language ID (CCNet routes pages by script family;
+    * mC4 drops pages whose script contradicts the claimed language): counts
+    * characters in the five dominant BMP script blocks (Latin letters,
+    * Cyrillic U+0400–04FF, CJK Unified U+4E00–9FFF, Arabic U+0600–06FF,
+    * Hangul syllables U+AC00–D7AF), everything else (digits, punctuation,
+    * spaces, unlisted scripts) as `n_other`, plus the dominant `script`
+    * label — the FIRST script in the fixed order (latin, cyrillic, cjk,
+    * arabic, hangul) achieving the maximum count; all-zero profiles label
+    * `other`. Counts are exact integers, replayed bit-for-bit by a DuckDB
+    * length-difference oracle (RE2 and Java agree on BMP character-class
+    * ranges; both engines count code points).
+    *
+    * Scale: a pure per-row projection — one codegen'd `regexp_count` per
+    * class (the textStats convention: counts matches directly, no replaced
+    * string ever allocated), zero shuffle, O(chars) per document. */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val classes = Seq(
+      "latin" -> "[A-Za-z]",
+      "cyrillic" -> "[Ѐ-ӿ]",
+      "cjk" -> "[一-鿿]",
+      "arabic" -> "[؀-ۿ]",
+      "hangul" -> "[가-힯]")
+    val counted = classes.foldLeft(df.select(col(idCol), t.as("__t"))
+        .withColumn("n_chars", length(col("__t")).cast("long"))) {
+      case (acc, (name, cls)) =>
+        acc.withColumn(s"n_$name", regexp_count(col("__t"), lit(cls)).cast("long"))
+    }
+    val names = classes.map(_._1)
+    val m = greatest(names.map(n => col(s"n_$n")): _*)
+    val label = names.foldRight(lit("other"): Column) { (n, acc) =>
+      when(col(s"n_$n") === m, lit(n)).otherwise(acc)
+    }
+    counted
+      .withColumn("n_other", col("n_chars") - names.map(n => col(s"n_$n")).reduce(_ + _))
+      .withColumn("script", when(m === 0L, lit("other")).otherwise(label))
+      .drop("__t")
+  }
+
   /** C4-style line-level page cleaning (Raffel et al. 2020, §2.2 — the
     * T5/C4 rules every web-scale corpus build replays): a LINE survives iff
     * it ends in terminal punctuation (`. ! ? "` after trimming), carries at
@@ -160,46 +200,6 @@ object TextOps {
     * Scale: a pure per-row `Column` projection (split / filter-HOF /
     * array_join) inside whole-stage codegen — zero shuffle, zero UDF,
     * O(chars) per page. */
-  /** Unicode-script profile — the script-detection step multilingual web
-    * pipelines run before language ID (CCNet routes pages by script family;
-    * mC4 drops pages whose script contradicts the claimed language): counts
-    * characters in the five dominant BMP script blocks (Latin letters,
-    * Cyrillic U+0400–04FF, CJK Unified U+4E00–9FFF, Arabic U+0600–06FF,
-    * Hangul syllables U+AC00–D7AF), everything else (digits, punctuation,
-    * spaces, unlisted scripts) as `n_other`, plus the dominant `script`
-    * label — the FIRST script in the fixed order (latin, cyrillic, cjk,
-    * arabic, hangul) achieving the maximum count; all-zero profiles label
-    * `other`. Counts are exact integers (length-difference after class
-    * removal), so a DuckDB oracle replays them bit-for-bit (RE2 and Java
-    * agree on BMP character-class ranges; both engines count code points).
-    *
-    * Scale: a pure per-row projection (one codegen'd regexp_replace per
-    * class) — zero shuffle, O(chars) per document. */
-  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = coalesce(col(textCol), lit(""))
-    val classes = Seq(
-      "latin" -> "[A-Za-z]",
-      "cyrillic" -> "[Ѐ-ӿ]",
-      "cjk" -> "[一-鿿]",
-      "arabic" -> "[؀-ۿ]",
-      "hangul" -> "[가-힯]")
-    val counted = classes.foldLeft(df.select(col(idCol), t.as("__t"))
-        .withColumn("n_chars", length(col("__t")).cast("long"))) {
-      case (acc, (name, cls)) =>
-        acc.withColumn(s"n_$name",
-          (col("n_chars") - length(regexp_replace(col("__t"), cls, ""))).cast("long"))
-    }
-    val names = classes.map(_._1)
-    val m = greatest(names.map(n => col(s"n_$n")): _*)
-    val label = names.foldRight(lit("other"): Column) { (n, acc) =>
-      when(col(s"n_$n") === m, lit(n)).otherwise(acc)
-    }
-    counted
-      .withColumn("n_other", col("n_chars") - names.map(n => col(s"n_$n")).reduce(_ + _))
-      .withColumn("script", when(m === 0L, lit("other")).otherwise(label))
-      .drop("__t")
-  }
-
   def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
                    minLineWords: Int = 3, minKeptLines: Int = 5): DataFrame = {
     require(minLineWords >= 0 && minKeptLines >= 0, "thresholds must be non-negative")

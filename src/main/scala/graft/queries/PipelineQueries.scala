@@ -1080,7 +1080,7 @@ object PipelineQueries {
         .otherwise("")
       val docs = Tables.documents(s, d).select(col("doc_id"),
         when(col("doc_id") % 7 === 0, snippet)
-          .otherwise(concat(col("text"), snippet)).as("text"))
+          .otherwise(concat(coalesce(col("text"), lit("")), snippet)).as("text"))
       TextOps.scriptProfile(docs, "doc_id", "text")
         .select(col("doc_id"), col("n_chars"), col("n_latin"), col("n_cyrillic"),
           col("n_cjk"), col("n_arabic"), col("n_hangul"), col("n_other"), col("script"))
@@ -2530,7 +2530,8 @@ object PipelineQueries {
     "q119_script_profile" ->
       """WITH planted AS (
         |  SELECT doc_id,
-        |    CASE WHEN doc_id % 7 = 0 THEN sn ELSE text || sn END AS text
+        |    CASE WHEN doc_id % 7 = 0 THEN sn
+        |         ELSE coalesce(text, '') || sn END AS text
         |  FROM (SELECT doc_id, text,
         |          CASE WHEN doc_id % 5 = 0 THEN ' 中文网页内容'
         |               WHEN doc_id % 5 = 1 THEN ' русский текст'

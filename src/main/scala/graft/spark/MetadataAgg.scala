@@ -119,10 +119,21 @@ object MetadataAgg {
       val keys: Option[Seq[(String, graft.spec.IceType)]] =
         if (groupCols.isEmpty) Some(Nil)
         else spec.flatMap { sp =>
+          // a tuple field NAME only identifies a meaning when every spec in
+          // history that defines it agrees on (source column, transform) —
+          // the rewriteDeletes rule: a re-used name (column dropped,
+          // re-added, re-partitioned under the same field name) would
+          // attribute OLD files' stats to the new column's values where SQL
+          // puts those rows in the NULL group. Entries don't carry their
+          // origin spec id, so ambiguity means bail, never guess.
+          val defCount: Map[String, Int] = table.metadata.partitionSpecs.values
+            .flatMap(_.fields.map(pf => pf.name -> ((pf.sourceId, pf.transform))))
+            .toSeq.distinct.groupBy(_._1).map { case (n, ds) => n -> ds.size }
           val resolved = groupCols.map { g =>
             sp.fields.collectFirst {
               case pf if pf.transform == graft.core.Transform.Identity &&
-                schema.fieldById(pf.sourceId).exists(_.name == g) =>
+                schema.fieldById(pf.sourceId).exists(_.name == g) &&
+                defCount.getOrElse(pf.name, 1) == 1 =>
                 (pf.name, schema.fieldById(pf.sourceId).get.fieldType)
             }.filter { case (_, t) => groupable(t) }
           }

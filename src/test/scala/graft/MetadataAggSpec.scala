@@ -140,6 +140,13 @@ class MetadataAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       (Some("a"), 3L, 2L, Some(1), Some(5)),
       (Some("b"), 2L, 2L, Some(-2), Some(7))), got.mkString(", "))
 
+    // SELECT DISTINCT on the identity partition column optimizes to the
+    // same grouped form and is metadata-answered too
+    val distinctDf = spark.sql("SELECT DISTINCT lang FROM graft.ma.gp")
+    assert(metadataOnly(distinctDf), distinctDf.queryExecution.optimizedPlan.treeString)
+    assert(distinctDf.collect().map(r => Option(r.getString(0))).toSet
+      == Set(None, Some("a"), Some("b")))
+
     // grouping on a NON-identity-partition column must scan (bucket(4,id)
     // table grouped by its string col; identity table grouped by v)
     setup()
@@ -150,6 +157,27 @@ class MetadataAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)), r.getLong(1))).toSet
     assert(scanned == Set((None, 1L), (Some(5), 1L), (Some(7), 1L),
       (Some(9), 1L), (Some(1), 1L), (Some(-2), 1L)))
+  }
+
+  test("a partition-field name reused across spec history bails the grouped rewrite") {
+    // drop the field, rename the column away, re-add both under the SAME
+    // name with a DIFFERENT source: old files' tuples say {lang: 'a'} but
+    // SQL puts their rows in the NULL group of the NEW lang column —
+    // name-keyed grouping would silently misattribute them, so it must scan
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ma")
+    spark.sql("DROP TABLE IF EXISTS graft.ma.gh")
+    spark.sql("CREATE TABLE graft.ma.gh (id BIGINT, lang STRING) PARTITIONED BY (lang)")
+    spark.sql("INSERT INTO graft.ma.gh VALUES (1,'a'), (2,'b')")
+    spark.sql("ALTER TABLE graft.ma.gh DROP PARTITION FIELD lang")
+    spark.sql("ALTER TABLE graft.ma.gh RENAME COLUMN lang TO locale")
+    spark.sql("ALTER TABLE graft.ma.gh ADD COLUMN lang STRING")
+    spark.sql("ALTER TABLE graft.ma.gh ADD PARTITION FIELD lang")
+    spark.sql("INSERT INTO graft.ma.gh VALUES (3,'a','x'), (4,'b','y')")
+    val df = spark.sql("SELECT lang, count(*) AS n FROM graft.ma.gh GROUP BY lang")
+    assert(!metadataOnly(df),
+      "ambiguous tuple-name history must scan: " + df.queryExecution.optimizedPlan.treeString)
+    val got = df.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got == Map(None -> 2L, Some("x") -> 1L, Some("y") -> 1L), got)
   }
 
   test("empty table answers count 0 / min NULL metadata-only") {
