@@ -150,25 +150,46 @@ object IceMV {
       occurrences: Seq[TableIdent],
       classifyOriginal: Strategy,
       classifyRewritten: Strategy)
-  private val parseMemo = new java.util.concurrent.ConcurrentHashMap[String, ParsedMv]()
+  // WEAK session keys (the writeSessionFor pattern — VERDICT r16 #5): an
+  // identity-hash string key could recur after the session is GC'd and hand
+  // a new session a tree parsed under the old session's parser config; the
+  // weak reference ties each inner memo's lifetime to its session instead.
+  // Parsed (unresolved) trees hold no session reference, so values never
+  // pin their own key.
+  private val parseMemo =
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, ParsedMv]]()
   /** Diagnostic counter: real (non-memo) view-SQL parses — the
     * zero-re-analysis gate reads it (the tvfBuilds convention). */
   private[graft] val mvParses = new java.util.concurrent.atomic.AtomicLong
-  private[graft] def parsedMv(spark: SparkSession, sql: String): ParsedMv = {
-    if (parseMemo.size() > 64) parseMemo.clear()
-    parseMemo.computeIfAbsent(System.identityHashCode(spark).toString + ":" + sql, { _ =>
-      mvParses.incrementAndGet()
-      val original = spark.sessionState.sqlParser.parsePlan(sql)
-      val rw = original match {
-        case a: Aggregate => distinctRewrite(a)
-        case _ => None
+  private[graft] def parsedMv(spark: SparkSession, sql: String): ParsedMv =
+    parseMemo.synchronized {
+      val inner = {
+        val cur = parseMemo.get(spark)
+        if (cur != null) cur
+        else {
+          val fresh = new java.util.HashMap[String, ParsedMv]()
+          parseMemo.put(spark, fresh)
+          fresh
+        }
       }
-      // the distinct rewrite keeps the child, so occurrences are identical
-      // on both variants
-      ParsedMv(original, rw, sourceOccurrences(original),
-        classify(original), rw.map(r => classify(r._1)).getOrElse(classify(original)))
-    })
-  }
+      if (inner.size > 64) inner.clear()
+      val hit = inner.get(sql)
+      if (hit != null) hit
+      else {
+        mvParses.incrementAndGet()
+        val original = spark.sessionState.sqlParser.parsePlan(sql)
+        val rw = original match {
+          case a: Aggregate => distinctRewrite(a)
+          case _ => None
+        }
+        // the distinct rewrite keeps the child, so occurrences are identical
+        // on both variants
+        val built = ParsedMv(original, rw, sourceOccurrences(original),
+          classify(original), rw.map(r => classify(r._1)).getOrElse(classify(original)))
+        inner.put(sql, built)
+        built
+      }
+    }
 
   private val StatePropKey = "graft.mv.refresh-state"
   private val AvgPropKey = "graft.mv.avg-cols"

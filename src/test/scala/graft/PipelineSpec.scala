@@ -185,6 +185,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clash.getMessage.contains("epoch"), clash.getMessage)
   }
 
+  test("temperature mix broadcast path: bit-identical to the inline chain, bounded plan") {
+    import spark.implicits._
+    // many strata (100 langs × 3 docs + one big stratum) — the shape whose
+    // inline when-chain would be O(#strata) expression size (VERDICT r16 #3)
+    val many = ((1 to 300).map(i => (i.toLong, s"lang${i % 100}")) ++
+      (1000L to 1099L).map(i => (i, "big"))).toDF("doc_id", "lang")
+    def run(): Set[(Long, String, Long)] =
+      TrainingSet.temperatureMix(many, "doc_id", "lang")
+        .select("doc_id", "lang", "epoch")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val viaInline = {
+      System.setProperty("graft.temperature.inline.strata.max", "500")
+      try run() finally System.clearProperty("graft.temperature.inline.strata.max")
+    }
+    // 101 strata > default 64 → the default run takes the broadcast join
+    val viaBroadcast = run()
+    assert(viaBroadcast == viaInline,
+      s"broadcast and inline paths diverged: ${viaBroadcast.diff(viaInline)} / ${viaInline.diff(viaBroadcast)}")
+    assert(viaBroadcast.exists(_._3 > 0), "low-resource strata should upsample")
+    // plan shape: the stratum frame rides a BroadcastHashJoin (constant
+    // plan size), never a when-chain of 101 branches
+    val plan = TrainingSet.temperatureMix(many, "doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("probe dedup flags batch docs duplicating the corpus, not corpus pairs") {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
     val nearDup = ((1 to 28).map(i => s"tok$i") ++ Seq("other", "words")).mkString(" ")

@@ -205,10 +205,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         (0 until 4).map(i => ((b * 4 + i) % 20L, s"v$b-$i", b * 4L + i)).toDF("k", "v", "lsn"))
     }
     val threshold = 10
+    val walked0 = IceStreaming.ledgerSnapshotsInspected.get()
     IceStreaming.streamUpsert(spark, source.refresh(), target, keyIds = Seq(1),
       orderCol = "lsn", checkpoint = ckpt, trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger = 1, maintainAfterDeleteFiles = threshold)
       .awaitTermination()
+    // the per-batch ledger reads (exactly-once batch-id check + order
+    // watermark) stop at the FIRST stamped ancestor, so the walk stays
+    // O(1) per batch — a full-lineage walk would inspect ~N/2 snapshots
+    // per batch (~2,500 total here) and grow without bound under a week of
+    // 1-minute batches (VERDICT r16 #4)
+    val walked = IceStreaming.ledgerSnapshotsInspected.get() - walked0
+    assert(walked <= 50L * 12,
+      s"ledger walks must stay flat per batch: inspected $walked snapshots over 50 batches")
     val t = target.refresh()
     // the threshold-triggered conversion kept live eq-delete files bounded
     val eqLive = t.deleteFiles(t.currentSnapshot(None).get)
