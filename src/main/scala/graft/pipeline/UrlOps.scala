@@ -391,19 +391,36 @@ object UrlOps {
     "s3.amazonaws.com", "blogspot.co.uk", "blogspot.com.br",
     "blogspot.com.au", "blogspot.co.nz", "blogspot.co.za")
 
+  /** PSL WILDCARD-family tails (the `*.compute.amazonaws.com` class,
+    * closing the r16 documented cut): the public suffix is ONE arbitrary
+    * label (the region/zone) plus this static 3-label tail, so the
+    * registrable domain is the last FIVE labels
+    * (`x.app.ec2.compute.amazonaws.com` → `app.ec2.compute.amazonaws.com`)
+    * — a label-count rule keyed on the trailing three labels, no full PSL
+    * parser needed. A 4-label host IS a public suffix itself and passes
+    * through whole (the shortest-matching-rule convention below). Shared
+    * with the q96/q99 oracle SQL. */
+  val wildcardSuffixTails: Seq[String] = Seq(
+    "compute.amazonaws.com", "compute-1.amazonaws.com", "elb.amazonaws.com")
+
   /** Registrable domain: last two host labels, EXCEPT when a trailing
     * segment is itself a public suffix — a second-level ICANN suffix
     * (`co.uk` family) or a PRIVATE-section suffix (`github.io` family)
     * takes the last three labels (`shop.example.co.uk` → `example.co.uk`,
     * `user.github.io` → `user.github.io` stays); a three-label private
-    * suffix (`s3.amazonaws.com`) takes the last four. Hosts with too few
-    * labels (or equal to a suffix itself) pass through on the shortest
-    * matching rule. */
+    * suffix (`s3.amazonaws.com`) takes the last four; a WILDCARD-family
+    * tail (`*.compute.amazonaws.com`) makes the suffix four labels, so
+    * the registrable domain is the last five. Hosts with too few labels
+    * (or equal to a suffix itself) pass through on the shortest matching
+    * rule. */
   def registrableDomain(host: Column): Column = {
     val labels = split(host, "\\.")
     val last2 = array_join(slice(labels, -2, 2), ".")
     val last3 = array_join(slice(labels, -3, 3), ".")
     when(size(labels) <= 2, host)
+      .when(size(labels) >= 5 && last3.isInCollection(wildcardSuffixTails),
+        array_join(slice(labels, -5, 5), "."))
+      .when(size(labels) === 4 && last3.isInCollection(wildcardSuffixTails), host)
       .when(size(labels) >= 4 && last3.isInCollection(privateThirdLevelSuffixes),
         array_join(slice(labels, -4, 4), "."))
       .when(last2.isInCollection(secondLevelSuffixes ++ privateSuffixes), last3)
@@ -437,6 +454,8 @@ object UrlOps {
         concat(lit("page"), idStr(id % 5), lit(".author"), idStr(id % 3), lit(".blogspot.co.uk")))
       .when(id % 10 === 4, // 3-label private suffix: registrable = media{k}.s3.amazonaws.com
         concat(lit("bucket"), idStr(id % 5), lit(".media"), idStr(id % 3), lit(".s3.amazonaws.com")))
+      .when(id % 10 === 6, // PSL wildcard family: registrable = app{k}.ec2.compute.amazonaws.com
+        concat(lit("vm"), idStr(id % 5), lit(".app"), idStr(id % 3), lit(".ec2.compute.amazonaws.com")))
       .otherwise(concat(lit("site"), idStr(id % 5), lit(".example"),
         idStr(id % 3), lit(".com")))
     val hostCased = when(id % 6 === 0, upper(hostBase)).otherwise(hostBase)

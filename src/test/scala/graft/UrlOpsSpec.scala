@@ -178,6 +178,33 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "github.com", "blogspot.example"))
   }
 
+  test("registrable domain: PSL wildcard families take five labels; 4-label hosts pass through") {
+    import spark.implicits._
+    val got = Seq(
+      // wildcard suffix = <label>.compute.amazonaws.com → registrable is
+      // the last FIVE labels
+      "app.ec2-3.compute.amazonaws.com",
+      "vm1.app.ec2-3.compute.amazonaws.com",
+      "deep.vm1.app.ec2-3.compute.amazonaws.com",
+      "x.y.us-east-1.compute-1.amazonaws.com",
+      "svc.lb.eu-west-2.elb.amazonaws.com",
+      // a 4-label host IS the public suffix itself: pass through whole,
+      // never pooled into amazonaws.com
+      "ec2-3.compute.amazonaws.com",
+      // NOT wildcard families: existing rules apply unchanged
+      "bucket.media.s3.amazonaws.com", "www.amazonaws.com")
+      .toDF("h").select(UrlOps.registrableDomain(col("h")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "app.ec2-3.compute.amazonaws.com",
+      "app.ec2-3.compute.amazonaws.com",
+      "app.ec2-3.compute.amazonaws.com",
+      "y.us-east-1.compute-1.amazonaws.com",
+      "lb.eu-west-2.elb.amazonaws.com",
+      "ec2-3.compute.amazonaws.com",
+      "media.s3.amazonaws.com", "amazonaws.com"))
+  }
+
   test("hostOf strips scheme, userinfo, port, path, query") {
     import spark.implicits._
     val got = Seq("https://h.example.com:8080/p?a=1", "http://x.org",
