@@ -350,6 +350,37 @@ object IcebergQueries {
       r
     }),
 
+    // FILTER-AWARE metadata aggregates (VERDICT r16 #2 — the `WHERE
+    // lang = 'en'` dashboard shape): a residual predicate on the IDENTITY
+    // partition column is CONSTANT per file, so whole files are selected
+    // exactly from their partition tuples and the aggregate still answers
+    // from manifest stats — zero data files opened, plan pinned to a
+    // LocalRelation. Exercises IN, string range (UTF-8 byte order), OR,
+    // and a no-match arm, grouped AND filtered at once.
+    "q120_filtered_metadata_agg" -> ((s, d) => {
+      val wh = Files.createTempDirectory("graft_fawh").toString
+      s.conf.set("spark.sql.catalog.graft_fa", "graft.spark.sql.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.graft_fa.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_fa.db")
+      s.sql("DROP TABLE IF EXISTS graft_fa.db.fdocs")
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        .createOrReplaceTempView("q120_src_docs")
+      s.sql("""CREATE TABLE graft_fa.db.fdocs (doc_id BIGINT, lang STRING, n_chars BIGINT)
+              |PARTITIONED BY (lang)""".stripMargin)
+      s.sql("INSERT INTO graft_fa.db.fdocs SELECT * FROM q120_src_docs WHERE doc_id % 2 = 0")
+      s.sql("INSERT INTO graft_fa.db.fdocs SELECT * FROM q120_src_docs WHERE doc_id % 2 = 1")
+      val r = s.sql(
+        """SELECT lang, count(*) AS n_rows, count(n_chars) AS n_chars_nonnull,
+          |  min(doc_id) AS min_id, max(doc_id) AS max_id
+          |FROM graft_fa.db.fdocs
+          |WHERE lang IN ('en', 'de') OR (lang >= 'es' AND lang < 'fs') OR lang = 'zz'
+          |GROUP BY lang ORDER BY lang""".stripMargin)
+      require(r.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "q120 must be answered from manifest metadata (LocalRelation plan), not a scan")
+      r
+    }),
+
     // CDC changelog read (S4 extension): three commits — even keys, odd
     // keys, equality-delete of F-status keys. Window 1 (snap1→snap2) is
     // append-only and streams inserts straight off the new files (no diff);
@@ -504,6 +535,12 @@ object IcebergQueries {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q120_filtered_metadata_agg" ->
+      """SELECT lang, count(*) AS n_rows, count(n_chars) AS n_chars_nonnull,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents
+        |WHERE lang IN ('en', 'de') OR (lang >= 'es' AND lang < 'fs') OR lang = 'zz'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q40_changelog" ->
       """WITH src AS (
         |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price

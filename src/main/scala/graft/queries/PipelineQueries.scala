@@ -1180,6 +1180,7 @@ object PipelineQueries {
       |       WHEN doc_id % 10 = 1 THEN 'proj' || CAST(doc_id % 5 AS VARCHAR) || '.user' || CAST(doc_id % 3 AS VARCHAR) || '.github.io'
       |       WHEN doc_id % 10 = 8 THEN 'page' || CAST(doc_id % 5 AS VARCHAR) || '.author' || CAST(doc_id % 3 AS VARCHAR) || '.blogspot.co.uk'
       |       WHEN doc_id % 10 = 4 THEN 'bucket' || CAST(doc_id % 5 AS VARCHAR) || '.media' || CAST(doc_id % 3 AS VARCHAR) || '.s3.amazonaws.com'
+      |       WHEN doc_id % 10 = 6 THEN 'vm' || CAST(doc_id % 5 AS VARCHAR) || '.app' || CAST(doc_id % 3 AS VARCHAR) || '.ec2.compute.amazonaws.com'
       |       ELSE 'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' || CAST(doc_id % 3 AS VARCHAR) || '.com' END AS hostbase
       |  FROM documents),
       |urls AS (SELECT doc_id,
@@ -1224,6 +1225,14 @@ object PipelineQueries {
       |  FROM c5),
       |dom AS (SELECT doc_id, curl, host,
       |   CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+      |        WHEN len(string_split(host, '.')) >= 5
+      |             AND array_to_string(string_split(host, '.')[-3:], '.') IN (${
+              graft.pipeline.UrlOps.wildcardSuffixTails.map(x => s"'$x'").mkString(", ")})
+      |        THEN array_to_string(string_split(host, '.')[-5:], '.')
+      |        WHEN len(string_split(host, '.')) = 4
+      |             AND array_to_string(string_split(host, '.')[-3:], '.') IN (${
+              graft.pipeline.UrlOps.wildcardSuffixTails.map(x => s"'$x'").mkString(", ")})
+      |        THEN host
       |        WHEN len(string_split(host, '.')) >= 4
       |             AND array_to_string(string_split(host, '.')[-3:], '.') IN (${
               graft.pipeline.UrlOps.privateThirdLevelSuffixes.map(x => s"'$x'").mkString(", ")})

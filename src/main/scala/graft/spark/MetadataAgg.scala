@@ -2,7 +2,9 @@ package graft.spark
 
 import scala.util.Try
 
-import graft.core.ValueCodec
+import org.apache.spark.sql.catalyst.expressions._
+
+import graft.core.{Pruning, ValueCodec}
 import graft.spec.IceType
 import graft.table.IceTable
 import graft.table.ManifestModel.ContentData
@@ -87,6 +89,12 @@ object MetadataAgg {
       case _ => None // zero groups can't happen with Nil grouping
     }
 
+  /** [[answerGrouped]] without a residual predicate. */
+  def answerGrouped(table: IceTable, snapshotId: Option[Long],
+                    groupCols: Seq[String],
+                    specs: Seq[AggSpec]): Option[Seq[Seq[Any]]] =
+    answerGrouped(table, snapshotId, groupCols, specs, None)
+
   /** Grouped form: `GROUP BY` columns that are IDENTITY partition sources
     * of the current spec are answered from per-file partition tuples — the
     * per-partition stats path (`SELECT lang, count(*) … GROUP BY lang` at
@@ -100,10 +108,21 @@ object MetadataAgg {
     * the one-row global form (an empty table then answers count 0 /
     * min NULL; with grouping it answers zero rows, exactly like SQL).
     * Returns one row per group, columns ordered as `specs`.
+    *
+    * `filter` (the filter-aware form — the `WHERE lang = 'en'` dashboard
+    * shape): a residual predicate whose columns are ALL identity partition
+    * sources. Identity partitioning makes every row of a file carry the
+    * file's own tuple value, so the predicate is CONSTANT per file — it
+    * either keeps every row or none, and selecting whole files is EXACT,
+    * not pruning. Evaluated with SQL three-valued logic ([[evalExact]]);
+    * any node/column/type the evaluator can't decide exactly bails the
+    * whole rewrite to a real scan. Excluded files drop out before
+    * grouping, so filtered groups disappear exactly as SQL's do.
     */
   def answerGrouped(table: IceTable, snapshotId: Option[Long],
                     groupCols: Seq[String],
-                    specs: Seq[AggSpec]): Option[Seq[Seq[Any]]] = Try {
+                    specs: Seq[AggSpec],
+                    filter: Option[Expression]): Option[Seq[Seq[Any]]] = Try {
     val snap = snapshotId.flatMap(table.snapshotById)
       .orElse(table.currentSnapshot(None))
     val schema =
@@ -112,36 +131,65 @@ object MetadataAgg {
     val entries = snap.map(table.entries(_)).getOrElse(Nil)
     if (entries.exists(_.dataFile.content != ContentData)) None
     else {
-      // grouping col -> (partition tuple key, iceberg type); every grouping
-      // col must be an identity field of the DEFAULT spec with a groupable
-      // type, else bail
+      // column name -> (partition tuple key, iceberg type); a grouping or
+      // filter col must be an identity field of the DEFAULT spec with a
+      // groupable type, else bail.
+      //
+      // A tuple field NAME only identifies a meaning when every spec in
+      // history that defines it agrees on (source column, transform) —
+      // the rewriteDeletes rule: a re-used name (column dropped,
+      // re-added, re-partitioned under the same field name) would
+      // attribute OLD files' stats to the new column's values where SQL
+      // puts those rows in the NULL group. Entries don't carry their
+      // origin spec id, so ambiguity means bail, never guess.
       val spec = table.metadata.partitionSpecs.get(table.metadata.defaultSpecId)
-      val keys: Option[Seq[(String, graft.spec.IceType)]] =
-        if (groupCols.isEmpty) Some(Nil)
-        else spec.flatMap { sp =>
-          // a tuple field NAME only identifies a meaning when every spec in
-          // history that defines it agrees on (source column, transform) —
-          // the rewriteDeletes rule: a re-used name (column dropped,
-          // re-added, re-partitioned under the same field name) would
-          // attribute OLD files' stats to the new column's values where SQL
-          // puts those rows in the NULL group. Entries don't carry their
-          // origin spec id, so ambiguity means bail, never guess.
-          val defCount: Map[String, Int] = table.metadata.partitionSpecs.values
-            .flatMap(_.fields.map(pf => pf.name -> ((pf.sourceId, pf.transform))))
-            .toSeq.distinct.groupBy(_._1).map { case (n, ds) => n -> ds.size }
-          val resolved = groupCols.map { g =>
-            sp.fields.collectFirst {
-              case pf if pf.transform == graft.core.Transform.Identity &&
-                schema.fieldById(pf.sourceId).exists(_.name == g) &&
-                defCount.getOrElse(pf.name, 1) == 1 =>
-                (pf.name, schema.fieldById(pf.sourceId).get.fieldType)
-            }.filter { case (_, t) => groupable(t) }
-          }
-          if (resolved.contains(None)) None else Some(resolved.map(_.get))
+      lazy val defCount: Map[String, Int] = table.metadata.partitionSpecs.values
+        .flatMap(_.fields.map(pf => pf.name -> ((pf.sourceId, pf.transform))))
+        .toSeq.distinct.groupBy(_._1).map { case (n, ds) => n -> ds.size }
+      def resolveIdentity(g: String): Option[(String, IceType)] =
+        spec.flatMap { sp =>
+          sp.fields.collectFirst {
+            case pf if pf.transform == graft.core.Transform.Identity &&
+              schema.fieldById(pf.sourceId).exists(_.name == g) &&
+              defCount.getOrElse(pf.name, 1) == 1 =>
+              (pf.name, schema.fieldById(pf.sourceId).get.fieldType)
+          }.filter { case (_, t) => groupable(t) }
         }
+      val keys: Option[Seq[(String, graft.spec.IceType)]] = {
+        val resolved = groupCols.map(resolveIdentity)
+        if (resolved.contains(None)) None else Some(resolved.map(_.get))
+      }
+
+      // exact per-file predicate: keep iff the tuple evaluates True; False
+      // or NULL excludes the whole file (WHERE drops NULLs); any
+      // undecidable column/node/type bails the rewrite
+      def filterFiles(allFiles: Seq[graft.table.ManifestModel.DataFile])
+          : Option[Seq[graft.table.ManifestModel.DataFile]] = filter match {
+        case None => Some(allFiles)
+        case Some(cond) =>
+          val refNames = cond.references.map(_.name).toSeq.distinct
+          val resolvedOpt = refNames.map(n => resolveIdentity(n).map(n -> _))
+          if (resolvedOpt.contains(None)) None
+          else {
+            val resolved = resolvedOpt.flatten.toMap
+            val types = resolved.map { case (n, (_, t)) => n -> t }
+            val kept = allFiles.map { f =>
+              val tuple = f.partition.toMap
+              if (resolved.values.exists { case (k, _) => !tuple.contains(k) }) None
+              else {
+                val vals = resolved.map { case (n, (k, t)) =>
+                  n -> canonTuple(t, tuple(k))
+                }
+                evalExact(cond, vals, types).map(tri => f -> (tri == Pruning.True))
+              }
+            }
+            if (kept.contains(None)) None
+            else Some(kept.flatten.filter(_._2).map(_._1))
+          }
+      }
 
       keys.flatMap { ks =>
-        val files = entries.map(_.dataFile)
+        filterFiles(entries.map(_.dataFile)).flatMap { files =>
         // every file must carry every grouping field in its tuple
         val grouped: Option[Map[Seq[Any], Seq[graft.table.ManifestModel.DataFile]]] =
           if (ks.isEmpty) Some(Map(Seq.empty[Any] -> files))
@@ -186,9 +234,132 @@ object MetadataAgg {
           }
           if (rows.contains(None)) None else Some(rows.map(_.get))
         }
-      }
+      }}
     }
   }.toOption.flatten
+
+  /** Partition tuple value → the canonical JVM form [[cmpExact]] compares
+    * (Avro Utf8 strings normalize to java.lang.String; the Int/Long/Boolean
+    * families are already canonical). */
+  private def canonTuple(t: IceType, v: Any): Any = (t, v) match {
+    case (_, null) => null
+    case (IceType.StringT, s) => s.toString
+    case _ => v
+  }
+
+  /** Exact total-order compare for filter evaluation. Strings compare by
+    * unsigned UTF-8 bytes — Spark's UTF8_BINARY order — NOT Java's UTF-16
+    * `compareTo`, which disagrees for supplementary characters vs
+    * [U+E000, U+FFFF]; DuckDB's memcmp agrees with the byte order too.
+    * None bails the rewrite (never guesses across type families). */
+  private def cmpExact(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Int, y: Int) => Some(java.lang.Integer.compare(x, y))
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case (x: String, y: String) => Some(java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    case _ => None
+  }
+
+  /** EXACT three-valued evaluation of a residual predicate against one
+    * file's identity partition tuple (`vals`: column → tuple value, null
+    * allowed). Returns None when any node, column, literal, or type cannot
+    * be decided exactly — the caller then scans instead. This is NOT the
+    * conservative interval logic of [[graft.core.Pruning]]: a True here
+    * asserts EVERY row of the file satisfies the predicate, False/Unknown
+    * assert NO row does (identity transform ⇒ the predicate is constant
+    * per file), so whole-file selection preserves SQL semantics exactly.
+    */
+  private def evalExact(e: Expression, vals: Map[String, Any],
+                        types: Map[String, IceType]): Option[Pruning.Tri] = {
+    import Pruning.{False, Tri, True, Unknown}
+    def lift(b: Boolean): Tri = if (b) True else False
+    def rec(x: Expression): Option[Tri] = evalExact(x, vals, types)
+    def attr(x: Expression): Option[String] = x match {
+      case a: AttributeReference if vals.contains(a.name) => Some(a.name)
+      case _ => None
+    }
+    def litOf(x: Expression): Option[Any] = x match {
+      case Literal(v, _) => Some(v) // Some(null) is a NULL literal
+      case _ => None
+    }
+    // attr OP lit in either orientation; flipped = the literal was on the left
+    def cmpPair(l: Expression, r: Expression): Option[(String, Any, Boolean)] =
+      (attr(l), litOf(r)) match {
+        case (Some(n), Some(v)) => Some((n, v, false))
+        case _ => (attr(r), litOf(l)) match {
+          case (Some(n), Some(v)) => Some((n, v, true))
+          case _ => None
+        }
+      }
+    // Some(None) = SQL NULL comparison; Some(Some(c)) = decided; None = bail
+    def compare(name: String, rawLit: Any): Option[Option[Int]] = {
+      val fv = vals(name)
+      if (rawLit == null || fv == null) Some(None)
+      else Pruning.canonLit(rawLit, types(name))
+        .flatMap(lv => cmpExact(fv, lv)).map(Some(_))
+    }
+    def cmp3(l: Expression, r: Expression)(decide: (Int, Boolean) => Tri): Option[Tri] =
+      cmpPair(l, r).flatMap { case (n, v, flipped) =>
+        compare(n, v).map {
+          case None => Unknown
+          case Some(c) => decide(c, flipped)
+        }
+      }
+    e match {
+      case And(l, r) => for (a <- rec(l); b <- rec(r)) yield a && b
+      case Or(l, r) => for (a <- rec(l); b <- rec(r)) yield a || b
+      case Not(i) => rec(i).map(_.not)
+      case Literal(null, t) if t == org.apache.spark.sql.types.BooleanType =>
+        Some(Unknown)
+      case Literal(b: Boolean, _) => Some(lift(b))
+
+      case EqualTo(l, r) => cmp3(l, r)((c, _) => lift(c == 0))
+      case EqualNullSafe(l, r) => cmpPair(l, r).flatMap { case (n, v, _) =>
+        val fv = vals(n)
+        if (v == null || fv == null) Some(lift(v == null && fv == null))
+        else Pruning.canonLit(v, types(n))
+          .flatMap(lv => cmpExact(fv, lv)).map(c => lift(c == 0))
+      }
+      case LessThan(l, r) => cmp3(l, r)((c, f) => lift(if (f) c > 0 else c < 0))
+      case LessThanOrEqual(l, r) => cmp3(l, r)((c, f) => lift(if (f) c >= 0 else c <= 0))
+      case GreaterThan(l, r) => cmp3(l, r)((c, f) => lift(if (f) c < 0 else c > 0))
+      case GreaterThanOrEqual(l, r) => cmp3(l, r)((c, f) => lift(if (f) c <= 0 else c >= 0))
+
+      case In(a, list) => attr(a).flatMap { n =>
+        val lits = list.map(litOf)
+        if (lits.contains(None)) None
+        else inSemantics(n, lits.map(_.get), vals, types)
+      }
+      case InSet(a, hset) => attr(a).flatMap(n => inSemantics(n, hset.toSeq, vals, types))
+
+      case IsNull(a) => attr(a).map(n => lift(vals(n) == null))
+      case IsNotNull(a) => attr(a).map(n => lift(vals(n) != null))
+      case _ => None
+    }
+  }
+
+  /** SQL `x IN (…)`: TRUE on any match, else NULL if x or any element is
+    * NULL, else FALSE (empty list → FALSE). */
+  private def inSemantics(name: String, rawVals: Seq[Any],
+                          vals: Map[String, Any],
+                          types: Map[String, IceType]): Option[Pruning.Tri] = {
+    import Pruning.{False, True, Unknown}
+    val fv = vals(name)
+    if (rawVals.isEmpty) Some(False)
+    else if (fv == null) Some(Unknown)
+    else {
+      val hasNull = rawVals.contains(null)
+      val nonNull = rawVals.filterNot(_ == null)
+      val cmps = nonNull.map(v =>
+        Pruning.canonLit(v, types(name)).flatMap(lv => cmpExact(fv, lv)))
+      if (cmps.contains(None)) None
+      else if (cmps.flatten.contains(0)) Some(True)
+      else if (hasNull) Some(Unknown)
+      else Some(False)
+    }
+  }
 
   /** Types a partition tuple value can serve as a GROUP key: the Avro
     * round-trip is unambiguous (decimal/binary come back as raw bytes). */

@@ -90,14 +90,26 @@ class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
     def unapply(plan: LogicalPlan): Option[LogicalPlan] = plan match {
       case agg @ Aggregate(groupExprs, aggExprs, child, _)
           if groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
-        val relOpt = child match {
+        // accept an optional residual Filter between the Aggregate and the
+        // relation (with or without an attribute-only Project on either
+        // side) — the filter-aware form: MetadataAgg decides each file
+        // EXACTLY from its identity partition tuple or bails to a scan
+        def graftRel(p: LogicalPlan): Option[DataSourceV2Relation] = p match {
           case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSparkTable] => Some(r)
           case Project(pl, r: DataSourceV2Relation)
               if r.table.isInstanceOf[GraftSparkTable] &&
                 pl.forall(_.isInstanceOf[AttributeReference]) => Some(r)
           case _ => None
         }
-        relOpt.flatMap { r =>
+        val relFilterOpt: Option[(DataSourceV2Relation, Option[Expression])] =
+          child match {
+            case Filter(cond, inner) => graftRel(inner).map(r => (r, Some(cond)))
+            case Project(pl, Filter(cond, inner))
+                if pl.forall(_.isInstanceOf[AttributeReference]) =>
+              graftRel(inner).map(r => (r, Some(cond)))
+            case other => graftRel(other).map(r => (r, None))
+          }
+        relFilterOpt.flatMap { case (r, filterOpt) =>
           val relIds = r.output.map(_.exprId).toSet
           def relCol(e: Expression): Option[String] = e match {
             case a: AttributeReference if relIds.contains(a.exprId) => Some(a.name)
@@ -125,11 +137,17 @@ class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
             case Alias(a: AttributeReference, _) => groupVal(a)
             case _ => None
           }
-          if (specs.contains(None) || groupCols.contains(None)) None
+          // a residual filter must be deterministic and reference only
+          // relation columns; exactness of the per-file decision itself is
+          // MetadataAgg's problem (it bails to a scan on anything it can't
+          // prove)
+          val filterOk = filterOpt.forall(c =>
+            c.deterministic && c.references.forall(a => relIds.contains(a.exprId)))
+          if (specs.contains(None) || groupCols.contains(None) || !filterOk) None
           else {
             val gt = r.table.asInstanceOf[GraftSparkTable]
             MetadataAgg.answerGrouped(gt.ice.refresh(), gt.snapshotId,
-                groupCols.map(_.get), specs.map(_.get))
+                groupCols.map(_.get), specs.map(_.get), filterOpt)
               .map(rows => LocalRelation(agg.output, rows.map(InternalRow.fromSeq)))
           }
         }

@@ -180,6 +180,49 @@ class MetadataAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(None -> 2L, Some("x") -> 1L, Some("y") -> 1L), got)
   }
 
+  test("filter on identity partition columns answers metadata-only with exact 3VL semantics") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ma")
+    spark.sql("DROP TABLE IF EXISTS graft.ma.gp")
+    spark.sql("CREATE TABLE graft.ma.gp (id BIGINT, lang STRING, v INT) PARTITIONED BY (lang)")
+    spark.sql("INSERT INTO graft.ma.gp VALUES (1,'a',5), (2,'b',7), (3,'a',NULL), (4,NULL,9)")
+    spark.sql("INSERT INTO graft.ma.gp VALUES (5,'a',1), (6,'b',-2)")
+
+    // answered shapes: eq, IN, range, IS [NOT] NULL, NOT/<>, OR — each
+    // checked both for the LocalRelation plan AND the exact value
+    def one(q: String): (Boolean, Long) = {
+      val df = spark.sql(q)
+      (metadataOnly(df), df.head().getLong(0))
+    }
+    assert(one("SELECT count(*) AS n FROM graft.ma.gp WHERE lang = 'a'") == ((true, 3L)))
+    assert(one("SELECT count(*) AS n FROM graft.ma.gp WHERE lang IN ('a','zz')") == ((true, 3L)))
+    assert(one("SELECT count(*) AS n FROM graft.ma.gp WHERE lang >= 'b'") == ((true, 2L)))
+    assert(one("SELECT count(*) AS n FROM graft.ma.gp WHERE lang < 'b'") == ((true, 3L)))
+    assert(one("SELECT count(*) AS n FROM graft.ma.gp WHERE lang IS NULL") == ((true, 1L)))
+    assert(one("SELECT count(*) AS n FROM graft.ma.gp WHERE lang IS NOT NULL") == ((true, 5L)))
+    // three-valued logic: `<>` drops the NULL-lang file, like SQL does
+    assert(one("SELECT count(*) AS n FROM graft.ma.gp WHERE lang <> 'a'") == ((true, 2L)))
+    assert(one("SELECT count(*) AS n FROM graft.ma.gp WHERE NOT (lang = 'a' OR lang = 'b')")
+      == ((true, 0L)))
+    // grouped AND filtered at once (the q120 shape); min/max come from the
+    // surviving files only
+    val gf = spark.sql(
+      """SELECT lang, count(*) AS n, min(v) AS mn
+        |FROM graft.ma.gp WHERE lang IN ('a','b') GROUP BY lang ORDER BY lang""".stripMargin)
+    assert(metadataOnly(gf), gf.queryExecution.optimizedPlan.treeString)
+    assert(gf.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+      == Seq(("a", 3L, 1), ("b", 2L, -2)))
+
+    // NOT answered: non-partition column, non-identity (bucket) source,
+    // ambiguous tuple-name history — all scan, values still exact
+    assert(!metadataOnly(spark.sql("SELECT count(*) AS n FROM graft.ma.gp WHERE v > 0")))
+    setup()
+    assert(!metadataOnly(spark.sql("SELECT count(*) AS n FROM graft.ma.t WHERE id = 1")),
+      "bucket-partitioned source column is not identity — must scan")
+    val amb = spark.sql("SELECT count(*) AS n FROM graft.ma.gh WHERE lang = 'x'")
+    assert(!metadataOnly(amb), "ambiguous tuple-name history must scan")
+    assert(amb.head().getLong(0) == 1L)
+  }
+
   test("empty table answers count 0 / min NULL metadata-only") {
     spark.sql("DROP TABLE IF EXISTS graft.ma.empty")
     spark.sql("CREATE TABLE graft.ma.empty (id BIGINT, v INT)")
