@@ -334,12 +334,13 @@ object Embeddings {
 
   private def pqEncodeWith(prepared: DataFrame, idCol: String,
                            books: (Int, Int, Array[Array[(Array[Long], Long)]]),
-                           m: Int): DataFrame = {
+                           m: Int, carry: Seq[String] = Nil): DataFrame = {
     val (_, sub, cb) = books
-    val staged = prepared.select(col(idCol) +: (0 until m).flatMap { j =>
-      val s = slice(col("q"), j * sub + 1, sub)
-      Seq(s.as(s"__s$j"), normSq(s).as(s"__n$j"))
-    }: _*)
+    val staged = prepared.select((col(idCol) +: carry.map(col)) ++
+      (0 until m).flatMap { j =>
+        val s = slice(col("q"), j * sub + 1, sub)
+        Seq(s.as(s"__s$j"), normSq(s).as(s"__n$j"))
+      }: _*)
     val codes = (0 until m).map { j =>
       // exact (d², c) structs sorted ascending — struct ordering gives the
       // (distance asc, codeword asc) tie-break inside codegen (the
@@ -349,7 +350,7 @@ object Embeddings {
           lit(c).as("c"))
       }.toSeq: _*)), 1).getField("c")
     }
-    staged.select(col(idCol), array(codes: _*).as("pq_codes"))
+    staged.select(col(idCol) +: carry.map(col) :+ array(codes: _*).as("pq_codes"): _*)
   }
 
   /** Approximate top-k by PQ ASYMMETRIC distance (ADC): each query keeps
@@ -383,6 +384,60 @@ object Embeddings {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     coded.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dist.as("adc_dist"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adc_dist"))
+  }
+
+  /** IVFADC (Jégou, Douze & Schmid 2011 §IV — the billion-vector search
+    * shape): the corpus is binned into IVF Voronoi cells AND collapsed to
+    * PQ codes, a query probes only its `nprobe` nearest cells, and ADC
+    * ranks the candidates within them. [[pqTopK]] is plain ADC — every
+    * query scans EVERY corpus code (right memory story, linear compute);
+    * this composes it with [[ivfTopK]]'s coarse quantizer so per-query
+    * compute drops to ~nprobe/cells of the corpus (VERDICT r16 #3).
+    *
+    * Scale shape: the corpus index is ONE zero-shuffle projection emitting
+    * (id, cell, m codes) — cell assignment is the per-row argmin over
+    * inlined centroid literals, encoding the per-subspace argmin over
+    * literal codebooks; the candidate step is a broadcast EQUI-join on
+    * cell id against the exploded query probes (queries are corpus-tiny),
+    * never a corpus-wide nested loop. Distances stay exact BIGINT (the
+    * pqTopK ADC contract), so the DuckDB oracle replays every cell
+    * assignment, code, and ranking bit-for-bit; recall follows the
+    * standard nprobe/cells dial. */
+  def pqTopKIVF(prepared: DataFrame, idCol: String, topK: Int, queryPred: Column,
+                cells: Int = 8, nprobe: Int = 2, m: Int = 8, k: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = sampleCentroids(prepared, idCol, cells)
+    val books = pqCodebooks(prepared, idCol, m, k)
+    val (_, sub, cb) = books
+    val par = prepared.sparkSession.sessionState.conf.numShufflePartitions
+    // corpus index: (neighbor_id, cell, pq_codes) — at rest this is the
+    // m-codes-per-vector memory footprint plus one small int
+    val coded = pqEncodeWith(
+        prepared.withColumn("__cell", element_at(rankedCellIds(cents, 1), 1)),
+        idCol, books, m, carry = Seq("__cell"))
+      .select(col(idCol).as("neighbor_id"), col("__cell").as("c"), col("pq_codes"))
+      .repartition(par)
+    // query side: nprobe probe rows per query, each carrying the staged
+    // exact subvectors + norms the ADC distance reuses per subspace
+    val queries = prepared.filter(queryPred)
+      .withColumn("__probes", rankedCellIds(cents, nprobe))
+      .select(col(idCol).as("query_id") +: explode(col("__probes")).as("c") +:
+        (0 until m).flatMap { j =>
+          val s = slice(col("q"), j * sub + 1, sub)
+          Seq(s.as(s"__qs$j"), normSq(s).as(s"__qn$j"))
+        }: _*)
+    val dist = (0 until m).map { j =>
+      val code = element_at(col("pq_codes"), j + 1)
+      val cw = element_at(typedLit(cb(j).map(_._1.toSeq).toSeq), code + 1)
+      val cn2 = element_at(typedLit(cb(j).map(_._2).toSeq), code + 1)
+      col(s"__qn$j") + cn2 - lit(2L) * dotq(col(s"__qs$j"), cw)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    coded.join(broadcast(queries), Seq("c")).filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), dist.as("adc_dist"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adc_dist"))

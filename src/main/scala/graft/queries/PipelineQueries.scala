@@ -293,6 +293,18 @@ object PipelineQueries {
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy("query_id", "rnk")),
 
+    // IVFADC (Jégou 2011 §IV): PQ codes composed with IVF coarse cells —
+    // each query probes its 2 nearest of 8 cells and ADC-ranks only the
+    // codes binned there (the billion-vector search shape; q117 is the
+    // exhaustive-ADC baseline). Exact BIGINT cell assignments, codes and
+    // distances, so the oracle replays the whole index bit-for-bit.
+    "q121_ivfadc_ann" -> ((s, d) =>
+      Embeddings.pqTopKIVF(
+        Embeddings.prepare(Tables.embeddings(s, d), "vec_id", "embedding"),
+        "vec_id", topK = 3, queryPred = col("vec_id") < 20)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("query_id", "rnk")),
+
     // Deterministic stratified sampling (md5-fraction thresholds per lang):
     // reproducible across engines/retries, zero shuffle — the id_sum pins
     // the exact sampled membership, not just the counts.
@@ -1486,6 +1498,36 @@ object PipelineQueries {
         |           FROM adc)
         |SELECT query_id, rnk, neighbor_id, adc_dist FROM ranked WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
+    // IVFADC replayed exactly: the q36 cell chain (8 cells, nearest-cell
+    // corpus bins, rk ≤ 2 query probes) composed with the q117 PQ chain
+    // (stride-sampled codebooks, per-(vector, subspace) argmin codes, ADC
+    // over candidate cells only) — all BIGINT, rank (dist, id)
+    "q121_ivfadc_ann" ->
+      s"""WITH $ivfCellCtes,
+        |probes AS (SELECT vec_id, c FROM assigned WHERE rk <= 2 AND vec_id < 20),
+        |pqp AS (SELECT greatest(count(*) // 16, 1) AS stride FROM embeddings),
+        |pqcents AS (SELECT vec_id // stride AS cid, q AS cq FROM qv, pqp WHERE vec_id % stride = 0 AND vec_id < stride * 16),
+        |subs AS (SELECT vec_id, j, list_slice(q, j*8+1, j*8+8) AS s FROM qv, range(8) AS t(j)),
+        |csubs AS (SELECT cid, j, list_slice(cq, j*8+1, j*8+8) AS cs FROM pqcents, range(8) AS t(j)),
+        |d2 AS (SELECT s.vec_id, s.j, c.cid,
+        |        list_sum(list_transform(range(1, 9), i -> (s.s[i]-c.cs[i])*(s.s[i]-c.cs[i]))) AS d2
+        |       FROM subs s JOIN csubs c USING (j)),
+        |codes AS (SELECT vec_id, j, cid FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, cid ASC) AS rk FROM d2) WHERE rk = 1),
+        |adc AS (SELECT p.vec_id AS query_id, ce.vec_id AS neighbor_id,
+        |         CAST(sum(list_sum(list_transform(range(1, 9), i -> (qs.s[i]-cs.cs[i])*(qs.s[i]-cs.cs[i])))) AS BIGINT) AS adc_dist
+        |        FROM probes p
+        |        JOIN cell ce ON ce.c = p.c AND ce.vec_id != p.vec_id
+        |        JOIN subs qs ON qs.vec_id = p.vec_id
+        |        JOIN codes co ON co.vec_id = ce.vec_id AND co.j = qs.j
+        |        JOIN csubs cs ON cs.cid = co.cid AND cs.j = co.j
+        |        GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, neighbor_id, adc_dist,
+        |            row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
+        |           FROM adc)
+        |SELECT query_id, rnk, neighbor_id, adc_dist FROM ranked WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
     "q43_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -485,6 +485,21 @@ object GraftPipelineFunctions {
         intArg(args, 5, "pq_topk"), intArg(args, 6, "pq_topk"))
     }
 
+    memoTvf(ext, "pq_topk_ivf",
+      "pq_topk_ivf(table, id_col, emb_col, topk, query_pred, cells, nprobe, " +
+        "m, k) — IVFADC (Jégou 2011 §IV): queries probe their nprobe " +
+        "nearest IVF cells and ADC-rank only the PQ codes binned there", Seq(0)) { args =>
+      require(args.length == 9,
+        "pq_topk_ivf(table, id_col, emb_col, topk, query_pred, cells, nprobe, m, k)")
+      Embeddings.pqTopKIVF(
+        Embeddings.prepare(tableArg(args, 0, "pq_topk_ivf"),
+          strArg(args, 1, "pq_topk_ivf"), strArg(args, 2, "pq_topk_ivf")),
+        strArg(args, 1, "pq_topk_ivf"), intArg(args, 3, "pq_topk_ivf"),
+        org.apache.spark.sql.functions.expr(strArg(args, 4, "pq_topk_ivf")),
+        intArg(args, 5, "pq_topk_ivf"), intArg(args, 6, "pq_topk_ivf"),
+        intArg(args, 7, "pq_topk_ivf"), intArg(args, 8, "pq_topk_ivf"))
+    }
+
     memoTvf(ext, "semantic_dedup",
       "semantic_dedup(table, id_col, emb_col, cells, threshold) — SemDeDup: " +
         "within-cell embedding pairs with cosine ≥ threshold", Seq(0)) { args =>

@@ -123,6 +123,49 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((0L, 1, 1L, 0L), (0L, 2, 3L, 200L), (0L, 3, 2L, 400L)), got)
   }
 
+  test("IVFADC: equals exhaustive ADC at nprobe=cells, bounded candidates, no corpus NLJ") {
+    import spark.implicits._
+    // deterministic 32-vector corpus, dim 8 — small integers so quantized
+    // arithmetic is exact and assignments are reproducible by hand
+    val d = (0L until 32L).map(id =>
+      id -> (0 until 8).map(j => (((id * 7 + j * 3) % 11) - 5).toFloat * 1e-6f))
+      .toDF("vec_id", "embedding")
+    val prep = Embeddings.prepare(d, "vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val exhaustive = rows(Embeddings.pqTopK(prep, "vec_id", 3,
+      col("vec_id") < 6, m = 2, k = 4).orderBy("query_id", "rnk"))
+
+    // probing EVERY cell must reproduce exhaustive ADC exactly: each corpus
+    // vector lives in one cell, so the candidate union is the whole corpus
+    // and the ADC distances/tie-breaks are identical arithmetic
+    val allProbes = rows(Embeddings.pqTopKIVF(prep, "vec_id", 3,
+      col("vec_id") < 6, cells = 4, nprobe = 4, m = 2, k = 4).orderBy("query_id", "rnk"))
+    assert(allProbes == exhaustive,
+      s"nprobe=cells must equal exhaustive ADC: $allProbes vs $exhaustive")
+
+    // nprobe=1: every reported neighbor must share the query's probed cell
+    // (candidates restricted by construction), ranking still well-formed,
+    // and recall@3 vs exhaustive is useful (deterministic fixture)
+    val ivf1 = Embeddings.pqTopKIVF(prep, "vec_id", 3,
+      col("vec_id") < 6, cells = 4, nprobe = 1, m = 2, k = 4)
+    val got1 = rows(ivf1.orderBy("query_id", "rnk"))
+    assert(got1.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._4) == rs.map(_._4).sorted }, "ADC distances must be ranked ascending")
+    val hit = got1.map(t => (t._1, t._3)).toSet
+      .intersect(exhaustive.map(t => (t._1, t._3)).toSet).size
+    assert(hit >= exhaustive.size / 3,
+      s"recall@3 collapsed: $hit of ${exhaustive.size} exhaustive neighbors found")
+
+    // scale shape: candidate generation is a broadcast EQUI-join on cell id
+    // — never a corpus-wide nested loop or cartesian (the q117 NLJ is
+    // exactly what this operator replaces)
+    val plan = ivf1.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("temperature mix: hand-computed shares, upsampling epochs, exact membership") {
     import spark.implicits._
     // strata: "big" docs 1-4, "small" doc 10. α=0.5 quantized:
