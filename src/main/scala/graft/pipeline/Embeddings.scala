@@ -409,20 +409,25 @@ object Embeddings {
   def pqTopKIVF(prepared: DataFrame, idCol: String, topK: Int, queryPred: Column,
                 cells: Int = 8, nprobe: Int = 2, m: Int = 8, k: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = sampleCentroids(prepared, idCol, cells)
-    val books = pqCodebooks(prepared, idCol, m, k)
+    // four consumers read the prepared frame (coarse sample, codebook
+    // sample, corpus encode, query probes) — cache it, like the LSH/IVF
+    // search paths (the class-doc clearCache() convention); both centroid
+    // samples then count/scan the cached frame instead of re-reading the
+    // corpus
+    val cached = prepared.cache()
+    val cents = sampleCentroids(cached, idCol, cells)
+    val books = pqCodebooks(cached, idCol, m, k)
     val (_, sub, cb) = books
-    val par = prepared.sparkSession.sessionState.conf.numShufflePartitions
     // corpus index: (neighbor_id, cell, pq_codes) — at rest this is the
-    // m-codes-per-vector memory footprint plus one small int
+    // m-codes-per-vector memory footprint plus one small int; `prepare`
+    // already spread the corpus, so no extra shuffle here
     val coded = pqEncodeWith(
-        prepared.withColumn("__cell", element_at(rankedCellIds(cents, 1), 1)),
+        cached.withColumn("__cell", element_at(rankedCellIds(cents, 1), 1)),
         idCol, books, m, carry = Seq("__cell"))
       .select(col(idCol).as("neighbor_id"), col("__cell").as("c"), col("pq_codes"))
-      .repartition(par)
     // query side: nprobe probe rows per query, each carrying the staged
     // exact subvectors + norms the ADC distance reuses per subspace
-    val queries = prepared.filter(queryPred)
+    val queries = cached.filter(queryPred)
       .withColumn("__probes", rankedCellIds(cents, nprobe))
       .select(col(idCol).as("query_id") +: explode(col("__probes")).as("c") +:
         (0 until m).flatMap { j =>

@@ -157,39 +157,37 @@ object IceMV {
   // Parsed (unresolved) trees hold no session reference, so values never
   // pin their own key.
   private val parseMemo =
-    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, ParsedMv]]()
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, ParsedMv]]()
   /** Diagnostic counter: real (non-memo) view-SQL parses — the
     * zero-re-analysis gate reads it (the tvfBuilds convention). */
   private[graft] val mvParses = new java.util.concurrent.atomic.AtomicLong
-  private[graft] def parsedMv(spark: SparkSession, sql: String): ParsedMv =
-    parseMemo.synchronized {
-      val inner = {
-        val cur = parseMemo.get(spark)
-        if (cur != null) cur
-        else {
-          val fresh = new java.util.HashMap[String, ParsedMv]()
-          parseMemo.put(spark, fresh)
-          fresh
-        }
-      }
-      if (inner.size > 64) inner.clear()
-      val hit = inner.get(sql)
-      if (hit != null) hit
+  private[graft] def parsedMv(spark: SparkSession, sql: String): ParsedMv = {
+    // the global lock covers only the weak-map lookup; the expensive parse
+    // + classify runs under the inner map's per-bin computeIfAbsent, so two
+    // sessions (or two MVs of one session) never convoy on each other
+    val inner = parseMemo.synchronized {
+      val cur = parseMemo.get(spark)
+      if (cur != null) cur
       else {
-        mvParses.incrementAndGet()
-        val original = spark.sessionState.sqlParser.parsePlan(sql)
-        val rw = original match {
-          case a: Aggregate => distinctRewrite(a)
-          case _ => None
-        }
-        // the distinct rewrite keeps the child, so occurrences are identical
-        // on both variants
-        val built = ParsedMv(original, rw, sourceOccurrences(original),
-          classify(original), rw.map(r => classify(r._1)).getOrElse(classify(original)))
-        inner.put(sql, built)
-        built
+        val fresh = new java.util.concurrent.ConcurrentHashMap[String, ParsedMv]()
+        parseMemo.put(spark, fresh)
+        fresh
       }
     }
+    if (inner.size() > 64) inner.clear()
+    inner.computeIfAbsent(sql, { _ =>
+      mvParses.incrementAndGet()
+      val original = spark.sessionState.sqlParser.parsePlan(sql)
+      val rw = original match {
+        case a: Aggregate => distinctRewrite(a)
+        case _ => None
+      }
+      // the distinct rewrite keeps the child, so occurrences are identical
+      // on both variants
+      ParsedMv(original, rw, sourceOccurrences(original),
+        classify(original), rw.map(r => classify(r._1)).getOrElse(classify(original)))
+    })
+  }
 
   private val StatePropKey = "graft.mv.refresh-state"
   private val AvgPropKey = "graft.mv.avg-cols"

@@ -65,11 +65,14 @@ def run_bench(tree, sf, cpus, label):
     if r.returncode != 0:
         sys.stderr.write(out[-4000:])
         raise SystemExit(f"bench run {label} failed")
-    # the summary line names the record file this run routed to
+    # the summary line names the record file this run routed to; sbt's
+    # forked-run logger prefixes every relayed line ('[info] {...}'), so
+    # match by substring, never by line start
     summary = None
     for line in out.splitlines():
-        if line.startswith('{"metric"'):
-            summary = json.loads(line)
+        idx = line.find('{"metric"')
+        if idx >= 0:
+            summary = json.loads(line[idx:])
     if summary is None:
         sys.stderr.write(out[-4000:])
         raise SystemExit(f"bench run {label}: no summary JSON line")
@@ -82,9 +85,14 @@ def run_bench(tree, sf, cpus, label):
 
 
 def side_medians(recs, field):
-    """Per-query median across a side's runs (median of in-run medians)."""
+    """Per-query median across a side's runs (median of in-run medians).
+    Keys come from the UNION of the side's runs so a query that errored in
+    one run still contributes its other runs instead of vanishing silently."""
+    keys = set()
+    for r in recs:
+        keys |= set(r.get(field, {}))
     out = {}
-    for q in recs[0].get(field, {}):
+    for q in keys:
         vals = [r[field][q] for r in recs if q in r.get(field, {})]
         if vals:
             out[q] = statistics.median(vals)
@@ -160,8 +168,10 @@ def main():
         "cpu_geomean_new_over_old": round(geomean(cpu_ratios), 3),
         "wall_geomean_new_over_old": round(geomean(wall_ratios), 3),
         "n_common_queries": len(common),
-        "cpu_total_old": round(sum(old_cpu.values()), 1),
-        "cpu_total_new": round(sum(new_cpu[q] for q in common), 1),
+        # both totals over the COMMON set only — an all-queries total would
+        # fold query-set membership into what reads as a perf delta
+        "cpu_total_old_common": round(sum(old_cpu[q] for q in common), 1),
+        "cpu_total_new_common": round(sum(new_cpu[q] for q in common), 1),
         "top_movers": {q: per_query[q] for q in movers},
         "per_query": per_query,
         "runs": [{"label": r["_label"], "wall_total": r["value"],
