@@ -110,6 +110,14 @@ def main():
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_ab.json"))
+    ap.add_argument("--settle", type=int, default=240,
+                    help="seconds to idle between runs so each run's "
+                         "load_start decays below the taint threshold")
+    ap.add_argument("--warmup", action="store_true", default=True,
+                    help="one DISCARDED old-tree run first: the first bench "
+                         "after compilation absorbs JIT/page-cache warm-up "
+                         "(~1.4x CPU) and would bias the old side up")
+    ap.add_argument("--no-warmup", dest="warmup", action="store_false")
     args = ap.parse_args()
 
     new_commit = sh(["git", "rev-parse", "HEAD"], capture=True).strip()
@@ -130,10 +138,20 @@ def main():
     # page-cache pre-warm (the committed-record protocol)
     subprocess.run(f"cat {args.sf}/*.parquet > /dev/null", shell=True, check=True)
 
+    def settle():
+        if args.settle > 0:
+            print(f"    settling {args.settle}s (load {load1m():.2f})", flush=True)
+            time.sleep(args.settle)
+
     try:
+        warm = None
+        if args.warmup:
+            warm = run_bench(WORKTREE, args.sf, args.cpus, "warmup-discarded")
         old_recs, new_recs = [], []
         for i in range(args.runs):
+            settle()
             old_recs.append(run_bench(WORKTREE, args.sf, args.cpus, f"old#{i + 1}"))
+            settle()
             new_recs.append(run_bench(REPO, args.sf, args.cpus, f"new#{i + 1}"))
     finally:
         # both Bench mains wrote /root/repo/BENCH_*.json -- restore any
@@ -157,6 +175,12 @@ def main():
                  for q in common}
     movers = sorted(common, key=lambda q: abs(math.log(per_query[q]["ratio"])),
                     reverse=True)[:10]
+    # movers carry each side's RAW per-run values: a median-of-2 is a mean,
+    # so one in-suite GC/JIT hiccup reads as a fake 5x — the raw spread
+    # makes outlier-vs-regression decidable from the artifact alone
+    for q in movers:
+        per_query[q]["old_runs"] = [r["cpu"][q] for r in old_recs if q in r.get("cpu", {})]
+        per_query[q]["new_runs"] = [r["cpu"][q] for r in new_recs if q in r.get("cpu", {})]
 
     artifact = {
         "old_commit": old_commit,
@@ -176,7 +200,7 @@ def main():
         "per_query": per_query,
         "runs": [{"label": r["_label"], "wall_total": r["value"],
                   "cpu_total": r.get("cpu_total_sec"), "box": r["box"]}
-                 for r in old_recs + new_recs],
+                 for r in ([warm] if warm else []) + old_recs + new_recs],
     }
     json.dump(artifact, open(args.out, "w"), indent=1, sort_keys=False)
     print(f"\nwrote {args.out}")
