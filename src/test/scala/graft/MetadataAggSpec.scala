@@ -212,6 +212,19 @@ class MetadataAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gf.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
       == Seq(("a", 3L, 1), ("b", 2L, -2)))
 
+    // compositions ride for free: SELECT DISTINCT over a filtered identity
+    // column (Distinct optimizes to the grouped form), and HAVING (a Filter
+    // ABOVE the metadata-answered aggregate, evaluated over the
+    // LocalRelation)
+    val dist = spark.sql("SELECT DISTINCT lang FROM graft.ma.gp WHERE lang >= 'b'")
+    assert(metadataOnly(dist), dist.queryExecution.optimizedPlan.treeString)
+    assert(dist.collect().map(_.getString(0)).toSeq == Seq("b"))
+    val having = spark.sql(
+      """SELECT lang, count(*) AS n FROM graft.ma.gp WHERE lang IS NOT NULL
+        |GROUP BY lang HAVING count(*) > 2""".stripMargin)
+    assert(metadataOnly(having), having.queryExecution.optimizedPlan.treeString)
+    assert(having.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 3L)))
+
     // NOT answered: non-partition column, non-identity (bucket) source,
     // ambiguous tuple-name history — all scan, values still exact
     assert(!metadataOnly(spark.sql("SELECT count(*) AS n FROM graft.ma.gp WHERE v > 0")))
