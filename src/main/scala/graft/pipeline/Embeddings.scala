@@ -410,13 +410,16 @@ object Embeddings {
                 cells: Int = 8, nprobe: Int = 2, m: Int = 8, k: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // four consumers read the prepared frame (coarse sample, codebook
-    // sample, corpus encode, query probes) — cache it, like the LSH/IVF
-    // search paths (the class-doc clearCache() convention); both centroid
-    // samples then count/scan the cached frame instead of re-reading the
-    // corpus
+    // sample, corpus encode, query probes): cache it for the two DRIVER-side
+    // sampling collects, then release before returning — the lazy result
+    // plan recomputes the cheap quantize projection instead of pinning a
+    // full corpus copy in executor storage per distinct invocation (review
+    // finding r17: varied cells/nprobe TVF calls miss the memo and would
+    // each pin another copy)
     val cached = prepared.cache()
-    val cents = sampleCentroids(cached, idCol, cells)
-    val books = pqCodebooks(cached, idCol, m, k)
+    val (cents, books) =
+      try (sampleCentroids(cached, idCol, cells), pqCodebooks(cached, idCol, m, k))
+      finally cached.unpersist()
     val (_, sub, cb) = books
     // corpus index: (neighbor_id, cell, pq_codes) — at rest this is the
     // m-codes-per-vector memory footprint plus one small int; `prepare`

@@ -159,6 +159,12 @@ object TrainingSet {
     require(maxCopies >= 1, "maxCopies must allow at least one full copy")
     require(!df.columns.contains(epochCol),
       s"temperatureMix adds '$epochCol' — the input already has that column; pass a different epochCol")
+    // the working columns are internal but live on the input frame between
+    // the two plan shapes below — a pre-existing __s would make the broadcast
+    // join's equi-condition ambiguous, a pre-existing __e/__ep would be
+    // silently overwritten by withColumn (review finding r17)
+    Seq("__s", "__e", "__ep").foreach(c => require(!df.columns.contains(c),
+      s"temperatureMix uses '$c' internally — rename that input column first"))
     val in = df.filter(col(stratumCol).isNotNull)
     // strata are kept in their NATIVE type (string langs, int source ids …):
     // the when-chain compares with same-type literals, no cast surprises

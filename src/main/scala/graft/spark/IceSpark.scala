@@ -115,13 +115,17 @@ object IceWrite {
 
   /** Appends `df` to the table; returns the updated table. `summary` rides
     * the snapshot summary in the SAME commit — provenance that must be
-    * atomic with the data (e.g. streaming batch ids for exactly-once). */
+    * atomic with the data (e.g. streaming batch ids for exactly-once).
+    * `props` are table-property updates carried by the same commit (the
+    * durable streaming ledger — state that must OUTLIVE snapshot
+    * expiration rides properties, not summaries). */
   def append(spark: SparkSession, table: IceTable, df: DataFrame,
              branch: Option[String] = None,
-             summary: Map[String, String] = Map.empty): IceTable = {
+             summary: Map[String, String] = Map.empty,
+             props: Map[String, String] = Map.empty): IceTable = {
     val files = writeDataFiles(spark, table, df, table.schema)
     ptime("commit")(table.newTransaction(branch).appendData(files)
-      .summaryExtra(summary.toSeq: _*).commit())
+      .summaryExtra(summary.toSeq: _*).updateProperties(props).commit())
   }
 
   /** Writes equality-delete files for the rows of `df` projected onto

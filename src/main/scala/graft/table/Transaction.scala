@@ -187,10 +187,18 @@ class Transaction(table: IceTable, branch: Option[String]) {
     * in-flight metadata writes surface before the re-read.
     */
   def commit(): IceTable = {
+    // streaming-ledger property updates stay append-retryable: each stream
+    // owns its own `streaming.ledger.<id>.*` keys exclusively (Structured
+    // Streaming holds a single active query per checkpoint), so re-applying
+    // them after a refresh is last-writer-wins on keys nobody else writes —
+    // unlike arbitrary property changes, whose read-modify-write semantics
+    // must surface the conflict
+    val ledgerOnlyProps =
+      propertyUpdates.keys.forall(_.startsWith(graft.streaming.IceStreaming.LedgerPropPrefix))
     val pureDataAppend = replaceFiles.isEmpty && rewriteEntries.isEmpty &&
       rewriteDeleteEntries.isEmpty &&
       newSchema.isEmpty && newSpecFields.isEmpty && newSortOrder.isEmpty &&
-      !resetSortOrder && propertyUpdates.isEmpty && propertyRemovals.isEmpty &&
+      !resetSortOrder && ledgerOnlyProps && propertyRemovals.isEmpty &&
       refUpdates.isEmpty && appendedDeletes.isEmpty && appendedData.nonEmpty
     val maxAttempts = if (pureDataAppend) 10 else 1
     // captured BEFORE the commit mutates table.metadata: the pre-commit

@@ -303,6 +303,64 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!state().contains(4L), s"NULL-order batch must not commit: ${state()}")
   }
 
+  test("durable ledger: exactly-once and the order guard survive snapshot expiration") {
+    import spark.implicits._
+    val cat = new FileCatalog(Files.createTempDirectory("stwh_exp").toString)
+    val srcSchema = IceSchema(0, Seq(
+      NestedField(1, "k", required = false, IceType.LongT),
+      NestedField(2, "v", required = false, IceType.StringT),
+      NestedField(3, "lsn", required = false, IceType.LongT)))
+    var source = cat.createTable(TableIdent(Seq("db"), "exp_src"), srcSchema, PartitionSpec(0, Nil))
+    val target = cat.createTable(TableIdent(Seq("db"), "exp_tgt"), srcSchema, PartitionSpec(0, Nil))
+    val ckpt = Files.createTempDirectory("stckpt_exp").toString
+    // 6 single-file source commits → 6 micro-batches, rolling over 3 keys
+    for (b <- 0 until 6) {
+      source = graft.spark.IceWrite.append(spark, source.refresh(),
+        Seq((b % 3L, s"v$b", b.toLong)).toDF("k", "v", "lsn"))
+    }
+    def run(): Unit =
+      IceStreaming.streamUpsert(spark, source.refresh(), target, keyIds = Seq(1),
+        orderCol = "lsn", checkpoint = ckpt, trigger = Trigger.AvailableNow(),
+        maxFilesPerTrigger = 1, maintainAfterDeleteFiles = 0).awaitTermination()
+    run()
+    def state(): Map[Long, (String, Long)] =
+      IceScan.scan(spark, target.refresh()).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val before = state()
+    assert(before == Map(0L -> ("v3", 3L), 1L -> ("v4", 4L), 2L -> ("v5", 5L)), s"got $before")
+
+    // bury the stream's summary stamps under foreign metadata-only commits,
+    // then expire: every stream-stamped snapshot dies. THIS is the r17 #1
+    // scenario — an idle stream + routine maintenance + a checkpoint-
+    // restored replay must not duplicate rows.
+    graft.table.Maintenance.convertEqualityDeletes(spark, target.refresh())
+    graft.table.Maintenance.rewriteManifests(target.refresh())
+    val t = graft.table.Maintenance.expireSnapshots(spark, target.refresh(), keepLast = 2)
+    assert(!t.metadata.snapshots.values.exists(_.summary.contains(IceStreaming.StreamIdKey)),
+      "fixture must expire every summary-stamped snapshot for the test to bite")
+    // the DURABLE ledger (table properties, written in the same commit as
+    // each batch) survives where the summary stamps did not
+    assert(IceStreaming.lastCommittedBatch(t, ckpt).contains(5L),
+      s"batch ledger lost to expiration: ${IceStreaming.lastCommittedBatch(t, ckpt)}")
+    assert(IceStreaming.lastOrderWatermark(t, ckpt).contains("5"),
+      s"order watermark lost to expiration: ${IceStreaming.lastOrderWatermark(t, ckpt)}")
+
+    // a checkpoint-restored replay of the last batch is still a no-op skip
+    deleteLastCommitMarker(ckpt)
+    run()
+    assert(state() == before, s"replay after expiration duplicated a batch: ${state()}")
+
+    // ... and the stale-generation guard is still armed: a change row below
+    // the (property-preserved) watermark fails before any file is staged
+    source = graft.spark.IceWrite.append(spark, source.refresh(),
+      Seq((2L, "stale", 1L)).toDF("k", "v", "lsn"))
+    val ex = intercept[Exception] { run() }
+    def messages(tr: Throwable): Seq[String] =
+      if (tr == null) Nil else Option(tr.getMessage).toSeq ++ messages(tr.getCause)
+    assert(messages(ex).exists(_.contains("order-contract violation")), s"got $ex")
+    assert(state() == before, s"stale batch must not commit after expiration: ${state()}")
+  }
+
   test("tail an append-only Iceberg table as a stream") {
     import spark.implicits._
     val cat = new FileCatalog(Files.createTempDirectory("stwh2").toString)
