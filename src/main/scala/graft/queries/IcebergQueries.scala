@@ -356,7 +356,9 @@ object IcebergQueries {
     // exactly from their partition tuples and the aggregate still answers
     // from manifest stats — zero data files opened, plan pinned to a
     // LocalRelation. Exercises IN, string range (UTF-8 byte order), OR,
-    // and a no-match arm, grouped AND filtered at once.
+    // and a no-match arm, grouped AND filtered at once — plus an
+    // `IS NOT NULL` residual on a NON-partition column, exactly decidable
+    // file-wide from per-file null counts (VERDICT r17 #5).
     "q120_filtered_metadata_agg" -> ((s, d) => {
       val wh = Files.createTempDirectory("graft_fawh").toString
       s.conf.set("spark.sql.catalog.graft_fa", "graft.spark.sql.GraftSparkCatalog")
@@ -373,7 +375,8 @@ object IcebergQueries {
         """SELECT lang, count(*) AS n_rows, count(n_chars) AS n_chars_nonnull,
           |  min(doc_id) AS min_id, max(doc_id) AS max_id
           |FROM graft_fa.db.fdocs
-          |WHERE lang IN ('en', 'de') OR (lang >= 'es' AND lang < 'fs') OR lang = 'zz'
+          |WHERE (lang IN ('en', 'de') OR (lang >= 'es' AND lang < 'fs') OR lang = 'zz')
+          |  AND n_chars IS NOT NULL
           |GROUP BY lang ORDER BY lang""".stripMargin)
       require(r.queryExecution.optimizedPlan.collectLeaves()
         .forall(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
@@ -539,7 +542,8 @@ object IcebergQueries {
       """SELECT lang, count(*) AS n_rows, count(n_chars) AS n_chars_nonnull,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents
-        |WHERE lang IN ('en', 'de') OR (lang >= 'es' AND lang < 'fs') OR lang = 'zz'
+        |WHERE (lang IN ('en', 'de') OR (lang >= 'es' AND lang < 'fs') OR lang = 'zz')
+        |  AND n_chars IS NOT NULL
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q40_changelog" ->
       """WITH src AS (

@@ -110,14 +110,16 @@ object MetadataAgg {
     * Returns one row per group, columns ordered as `specs`.
     *
     * `filter` (the filter-aware form — the `WHERE lang = 'en'` dashboard
-    * shape): a residual predicate whose columns are ALL identity partition
-    * sources. Identity partitioning makes every row of a file carry the
-    * file's own tuple value, so the predicate is CONSTANT per file — it
-    * either keeps every row or none, and selecting whole files is EXACT,
-    * not pruning. Evaluated with SQL three-valued logic ([[evalExact]]);
-    * any node/column/type the evaluator can't decide exactly bails the
-    * whole rewrite to a real scan. Excluded files drop out before
-    * grouping, so filtered groups disappear exactly as SQL's do.
+    * shape): a residual predicate whose columns are identity partition
+    * sources — or, for `IS [NOT] NULL` residuals only, ANY schema column
+    * whose per-file null count proves the test file-wide (0 nulls or all
+    * nulls; a mixed file bails). Identity partitioning makes every row of
+    * a file carry the file's own tuple value, so the predicate is CONSTANT
+    * per file — it either keeps every row or none, and selecting whole
+    * files is EXACT, not pruning. Evaluated with SQL three-valued logic
+    * ([[evalExact]]); any node/column/type the evaluator can't decide
+    * exactly bails the whole rewrite to a real scan. Excluded files drop
+    * out before grouping, so filtered groups disappear exactly as SQL's do.
     */
   def answerGrouped(table: IceTable, snapshotId: Option[Long],
                     groupCols: Seq[String],
@@ -162,16 +164,25 @@ object MetadataAgg {
 
       // exact per-file predicate: keep iff the tuple evaluates True; False
       // or NULL excludes the whole file (WHERE drops NULLs); any
-      // undecidable column/node/type bails the rewrite
+      // undecidable column/node/type bails the rewrite. Columns that are
+      // NOT identity partition sources can still serve `IS [NOT] NULL`
+      // residuals through per-file null counts: null_count = 0 proves the
+      // predicate for EVERY row of the file, null_count = record_count
+      // refutes it for every row — whole-file selection stays EXACT; a
+      // mixed or unrecorded count leaves the column undecidable and bails
+      // (VERDICT r17 #5).
       def filterFiles(allFiles: Seq[graft.table.ManifestModel.DataFile])
           : Option[Seq[graft.table.ManifestModel.DataFile]] = filter match {
         case None => Some(allFiles)
         case Some(cond) =>
           val refNames = cond.references.map(_.name).toSeq.distinct
-          val resolvedOpt = refNames.map(n => resolveIdentity(n).map(n -> _))
-          if (resolvedOpt.contains(None)) None
+          val resolved = refNames.flatMap(n => resolveIdentity(n).map(n -> _)).toMap
+          // non-identity references resolve to a schema field id for the
+          // null-count fact path; an unresolvable column bails outright
+          val nullFactFields: Map[String, Int] = refNames.filterNot(resolved.contains)
+            .flatMap(n => schema.fieldByName(n).map(f => n -> f.id)).toMap
+          if (resolved.size + nullFactFields.size != refNames.size) None
           else {
-            val resolved = resolvedOpt.flatten.toMap
             val types = resolved.map { case (n, (_, t)) => n -> t }
             val kept = allFiles.map { f =>
               val tuple = f.partition.toMap
@@ -180,7 +191,19 @@ object MetadataAgg {
                 val vals = resolved.map { case (n, (k, t)) =>
                   n -> canonTuple(t, tuple(k))
                 }
-                evalExact(cond, vals, types).map(tri => f -> (tri == Pruning.True))
+                // column → all rows NULL? (an empty file is vacuously
+                // decidable either way; true keeps IS NULL exact)
+                val nullFacts: Map[String, Boolean] = nullFactFields.flatMap {
+                  case (n, id) =>
+                    if (f.recordCount == 0L) Some(n -> true)
+                    else f.nullValueCounts.get(id) match {
+                      case Some(0L) => Some(n -> false)
+                      case Some(c) if c == f.recordCount => Some(n -> true)
+                      case _ => None // mixed or unrecorded: undecidable
+                    }
+                }
+                evalExact(cond, vals, types, nullFacts)
+                  .map(tri => f -> (tri == Pruning.True))
               }
             }
             if (kept.contains(None)) None
@@ -264,18 +287,27 @@ object MetadataAgg {
 
   /** EXACT three-valued evaluation of a residual predicate against one
     * file's identity partition tuple (`vals`: column → tuple value, null
-    * allowed). Returns None when any node, column, literal, or type cannot
-    * be decided exactly — the caller then scans instead. This is NOT the
-    * conservative interval logic of [[graft.core.Pruning]]: a True here
-    * asserts EVERY row of the file satisfies the predicate, False/Unknown
-    * assert NO row does (identity transform ⇒ the predicate is constant
-    * per file), so whole-file selection preserves SQL semantics exactly.
+    * allowed) plus per-file null facts (`nullFacts`: column → all rows
+    * NULL?) for `IS [NOT] NULL` on non-partition columns. Returns None when
+    * any node, column, literal, or type cannot be decided exactly — the
+    * caller then scans instead. This is NOT the conservative interval logic
+    * of [[graft.core.Pruning]]: a True here asserts EVERY row of the file
+    * satisfies the predicate, False/Unknown assert NO row does (identity
+    * transform ⇒ the predicate is constant per file; a 0-or-all null count
+    * makes the null test equally file-constant), so whole-file selection
+    * preserves SQL semantics exactly.
     */
   private def evalExact(e: Expression, vals: Map[String, Any],
-                        types: Map[String, IceType]): Option[Pruning.Tri] = {
+                        types: Map[String, IceType],
+                        nullFacts: Map[String, Boolean] = Map.empty): Option[Pruning.Tri] = {
     import Pruning.{False, Tri, True, Unknown}
     def lift(b: Boolean): Tri = if (b) True else False
-    def rec(x: Expression): Option[Tri] = evalExact(x, vals, types)
+    def rec(x: Expression): Option[Tri] = evalExact(x, vals, types, nullFacts)
+    // all-rows-NULL fact for a non-tuple column (None = mixed/unknown: bail)
+    def nullFactOf(x: Expression): Option[Boolean] = x match {
+      case a: AttributeReference => nullFacts.get(a.name)
+      case _ => None
+    }
     def attr(x: Expression): Option[String] = x match {
       case a: AttributeReference if vals.contains(a.name) => Some(a.name)
       case _ => None
@@ -308,8 +340,20 @@ object MetadataAgg {
         }
       }
     e match {
-      case And(l, r) => for (a <- rec(l); b <- rec(r)) yield a && b
-      case Or(l, r) => for (a <- rec(l); b <- rec(r)) yield a || b
+      // Kleene with a decidability short-circuit: False AND anything is
+      // False for EVERY row of the file even when the other side is
+      // undecidable (likewise True OR) — so a file excluded by its
+      // identity tuple doesn't bail the rewrite over a mixed null count
+      case And(l, r) => (rec(l), rec(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (Some(False), _) | (_, Some(False)) => Some(False)
+        case _ => None
+      }
+      case Or(l, r) => (rec(l), rec(r)) match {
+        case (Some(a), Some(b)) => Some(a || b)
+        case (Some(True), _) | (_, Some(True)) => Some(True)
+        case _ => None
+      }
       case Not(i) => rec(i).map(_.not)
       case Literal(null, t) if t == org.apache.spark.sql.types.BooleanType =>
         Some(Unknown)
@@ -335,7 +379,9 @@ object MetadataAgg {
       case InSet(a, hset) => attr(a).flatMap(n => inSemantics(n, hset.toSeq, vals, types))
 
       case IsNull(a) => attr(a).map(n => lift(vals(n) == null))
+        .orElse(nullFactOf(a).map(allNull => lift(allNull)))
       case IsNotNull(a) => attr(a).map(n => lift(vals(n) != null))
+        .orElse(nullFactOf(a).map(allNull => lift(!allNull)))
       case _ => None
     }
   }

@@ -12,6 +12,25 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import graft.spark.{IceScan, MetadataAgg}
 import graft.spark.sql.{GraftMetadataTable, GraftSparkTable, GraftViewTable}
 
+/** The [[LocalRelation]] a metadata-answered aggregate substitutes — same
+  * node, but NAMED so `EXPLAIN` output distinguishes a manifest-answered
+  * aggregate from an ordinary constant-folded relation (VERDICT r17 #6:
+  * the substitution was invisible beyond the leaf type). Downstream rules
+  * and the planner see a plain LocalRelation (case patterns match
+  * subclasses); the 4-arg constructor mirrors the case class so
+  * `makeCopy` round-trips preserve the subclass, and any rule that
+  * rebuilds via `copy` merely degrades to the base label. */
+class GraftMetadataAnswer(
+    output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+    data: Seq[InternalRow],
+    isStreaming: Boolean,
+    stream: Option[org.apache.spark.sql.connector.read.streaming.SparkDataStream])
+  extends LocalRelation(output, data, isStreaming, stream) {
+  def this(output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+           data: Seq[InternalRow]) = this(output, data, false, None)
+  override def nodeName: String = "GraftMetadataAnswer"
+}
+
 /** Optimizer rule backing graft's SQL read path: rewrites every
   * `DataSourceV2Relation` over a [[GraftSparkTable]] into the pruned
   * DataFrame plan produced by [[IceScan]]. Running at OPTIMIZER time (inside
@@ -148,7 +167,7 @@ class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
             val gt = r.table.asInstanceOf[GraftSparkTable]
             MetadataAgg.answerGrouped(gt.ice.refresh(), gt.snapshotId,
                 groupCols.map(_.get), specs.map(_.get), filterOpt)
-              .map(rows => LocalRelation(agg.output, rows.map(InternalRow.fromSeq)))
+              .map(rows => new GraftMetadataAnswer(agg.output, rows.map(InternalRow.fromSeq)))
           }
         }
       case _ => None

@@ -62,6 +62,25 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2 == Map(1L -> 9L, 2L -> 2L, 3L -> 4L))
   }
 
+  test("a metadata-answered aggregate is EXPLAIN-visible as GraftMetadataAnswer") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.expl (id BIGINT, lang STRING) PARTITIONED BY (lang)")
+    spark.sql("INSERT INTO graft.db.expl VALUES (1,'a'), (2,'b'), (3,'a')")
+    // the manifest-answered plan must NAME itself: a user reading EXPLAIN
+    // can tell a metadata-answered aggregate from a constant-folded one
+    val df = spark.sql("SELECT lang, count(*) AS n FROM graft.db.expl GROUP BY lang")
+    val explain = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExtendedMode)
+    assert(explain.contains("GraftMetadataAnswer"), explain)
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == Set(("a", 2L), ("b", 1L)))
+    // a genuinely scanned aggregate carries no such tag
+    val scanned = spark.sql("SELECT count(*) AS n FROM graft.db.expl WHERE id > 1")
+    assert(!scanned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExtendedMode).contains("GraftMetadataAnswer"))
+    assert(scanned.head().getLong(0) == 2L)
+  }
+
   test("filters prune partitions through SQL; predicates still exact") {
     val n = spark.sql("SELECT count(*) AS n FROM graft.db.orders WHERE d = DATE'2020-01-03'")
       .head().getLong(0)

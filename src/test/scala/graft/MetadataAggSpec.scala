@@ -236,6 +236,48 @@ class MetadataAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(amb.head().getLong(0) == 1L)
   }
 
+  test("IS [NOT] NULL residuals on any column answer from per-file null counts") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ma")
+    spark.sql("DROP TABLE IF EXISTS graft.ma.nn")
+    spark.sql("CREATE TABLE graft.ma.nn (id BIGINT, lang STRING, v INT) PARTITIONED BY (lang)")
+    // one file per partition dir: file(a) is ALL-null in v, file(b) has NO
+    // nulls — both exactly decidable file-wide from null counts alone
+    spark.sql("INSERT INTO graft.ma.nn VALUES (1,'a',NULL),(2,'a',NULL),(3,'b',5),(4,'b',7)")
+    def one(q: String): (Boolean, Long) = {
+      val df = spark.sql(q)
+      (metadataOnly(df), df.head().getLong(0))
+    }
+    assert(one("SELECT count(*) AS n FROM graft.ma.nn WHERE v IS NOT NULL") == ((true, 2L)))
+    assert(one("SELECT count(*) AS n FROM graft.ma.nn WHERE v IS NULL") == ((true, 2L)))
+    // ... and `count(*) WHERE v IS NOT NULL` agrees with `count(v)` (the
+    // identity the null-count stats already answered globally)
+    assert(one("SELECT count(v) AS n FROM graft.ma.nn") == ((true, 2L)))
+    // composes with identity-column predicates in the same filter
+    assert(one("SELECT count(*) AS n FROM graft.ma.nn WHERE lang = 'b' AND v IS NOT NULL")
+      == ((true, 2L)))
+    assert(one("SELECT count(*) AS n FROM graft.ma.nn WHERE lang = 'a' AND v IS NOT NULL")
+      == ((true, 0L)))
+    // grouped + filtered: the all-null file's group disappears, like SQL
+    val gf = spark.sql(
+      """SELECT lang, count(*) AS n FROM graft.ma.nn
+        |WHERE v IS NOT NULL GROUP BY lang ORDER BY lang""".stripMargin)
+    assert(metadataOnly(gf), gf.queryExecution.optimizedPlan.treeString)
+    assert(gf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("b", 2L)))
+
+    // a MIXED file (some nulls, not all) is undecidable file-wide: the
+    // rewrite bails to a real scan, value still exact
+    spark.sql("INSERT INTO graft.ma.nn VALUES (5,'c',9),(6,'c',NULL)")
+    val mixed = spark.sql("SELECT count(*) AS n FROM graft.ma.nn WHERE v IS NOT NULL")
+    assert(!metadataOnly(mixed), "mixed null counts must scan")
+    assert(mixed.head().getLong(0) == 3L)
+    // ... but a decided-False identity conjunct short-circuits: the mixed
+    // file is excluded by lang before its null count matters
+    assert(one("SELECT count(*) AS n FROM graft.ma.nn WHERE lang = 'b' AND v IS NOT NULL")
+      == ((true, 2L)))
+    // any non-null-test predicate on a non-partition column still scans
+    assert(!metadataOnly(spark.sql("SELECT count(*) AS n FROM graft.ma.nn WHERE v > 0")))
+  }
+
   test("empty table answers count 0 / min NULL metadata-only") {
     spark.sql("DROP TABLE IF EXISTS graft.ma.empty")
     spark.sql("CREATE TABLE graft.ma.empty (id BIGINT, v INT)")
