@@ -226,11 +226,20 @@ object Embeddings {
     * deterministic sample, then each iteration assigns every vector to its
     * nearest centroid (per-row argmin, one map — no shuffle) and recomputes
     * cell means (one hash aggregate over (cell, dimension)). Means are
-    * re-quantized by rounding, so training is deterministic across
-    * partitionings and engines; empty cells keep their previous centroid.
+    * re-quantized by `⌊x + 0.5⌋` rounding, so training is deterministic
+    * across partitionings and engines; empty cells keep their previous
+    * centroid — or, with `reseedEmpty`, RESEED deterministically: empty
+    * cell #r (ascending cell id) takes the r-th farthest-from-its-assigned-
+    * centroid row (d² desc, id asc) as its new centroid, the standard
+    * k-means empty-cluster repair that lets training escape a collapsed
+    * initialization (a stride sample landing every centroid in one hot
+    * cluster leaves pure Lloyd stuck: a cell that starts empty can never
+    * acquire rows through mean updates alone). The reseed pass costs one
+    * extra top-#empty job per iteration that has empty cells, nothing
+    * otherwise.
     */
   def trainCentroids(prepared: DataFrame, idCol: String, cells: Int,
-                     iters: Int): Array[(Long, Array[Long], Long)] = {
+                     iters: Int, reseedEmpty: Boolean = false): Array[(Long, Array[Long], Long)] = {
     var cents = sampleCentroids(prepared, idCol, cells)
     val dim = cents.head._2.length
     for (_ <- 1 to iters) {
@@ -248,13 +257,35 @@ object Embeddings {
         .collect()
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toArray)))
         .toMap
-      cents = cents.map { case (cid, oldQ, _) =>
-        val nq = byCell.get(cid) match {
-          case Some((cnt, sums)) =>
-            Array.tabulate(oldQ.length)(i => math.round(sums(i).toDouble / cnt))
-          case None => oldQ
+      val emptyCells = cents.map(_._1).filterNot(byCell.contains).sorted
+      val reseeds: Map[Long, (Array[Long], Long)] =
+        if (!reseedEmpty || emptyCells.isEmpty) Map.empty
+        else {
+          // this iteration's (d², assigned cell) per row against the PRE-
+          // update centroids — the same distances the assignment used
+          val top = element_at(rankedCellsExpr(cents), 1)
+          val far = prepared
+            .select(col(idCol).cast("long").as("__id"), col("q"), col("n2"),
+              top.getField("d2").as("__d2"))
+            .orderBy(col("__d2").desc, col("__id").asc)
+            .limit(emptyCells.size)
+            .collect()
+            .map(r => (r.getSeq[Long](1).toArray, r.getLong(2)))
+          // fewer rows than empty cells (corpus smaller than `cells`): the
+          // unmatched tail keeps carrying its previous centroid
+          emptyCells.zip(far).map { case (cid, qn) => cid -> qn }.toMap
         }
-        (cid, nq, nq.iterator.map(x => x * x).sum)
+      cents = cents.map { case (cid, oldQ, _) =>
+        reseeds.get(cid) match {
+          case Some((q, n2)) => (cid, q, n2)
+          case None =>
+            val nq = byCell.get(cid) match {
+              case Some((cnt, sums)) =>
+                Array.tabulate(oldQ.length)(i => math.round(sums(i).toDouble / cnt))
+              case None => oldQ
+            }
+            (cid, nq, nq.iterator.map(x => x * x).sum)
+        }
       }
     }
     cents
@@ -450,6 +481,142 @@ object Embeddings {
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adc_dist"))
   }
+
+  /** Nearest trained centroid for one driver-side vector: argmin of
+    * |c|² − 2⟨q,c⟩ (the |q|² term is constant), ties to the lowest cell id —
+    * the same ordering the per-row codegen argmin uses. */
+  private def nearestCentroid(cents: Array[(Long, Array[Long], Long)],
+                              q: Array[Long]): Array[Long] =
+    cents.minBy { case (cid, cq, cn2) =>
+      (cn2 - 2L * q.iterator.zip(cq.iterator).map { case (a, b) => a * b }.sum, cid)
+    }._2
+
+  /** Per-subspace PQ codebooks over coarse-quantizer RESIDUALS (Jégou 2011
+    * §IV): codeword c of subspace j is dims [j·d/m, (j+1)·d/m) of
+    * (sample_c − centroid(cell(sample_c))) — the residual of the c-th
+    * id-strided sample against its own nearest TRAINED centroid. Residual
+    * codebooks spend their quantization resolution on the within-cell
+    * displacement instead of re-encoding the coarse component raw vectors
+    * waste it on. All driver-side (k samples × cells distances), exact
+    * integers throughout. */
+  private def pqResidualCodebooks(prepared: DataFrame, idCol: String, m: Int, k: Int,
+                                  cents: Array[(Long, Array[Long], Long)])
+      : (Int, Int, Array[Array[(Array[Long], Long)]]) = {
+    val samples = sampleCentroids(prepared, idCol, k)
+    val d = samples.head._2.length
+    require(m > 0 && d % m == 0, s"subspaces ($m) must divide the dimension ($d)")
+    val sub = d / m
+    val resid = samples.map { case (_, q, _) =>
+      val c = nearestCentroid(cents, q)
+      Array.tabulate(d)(i => q(i) - c(i))
+    }
+    val books = Array.tabulate(m) { j =>
+      resid.map { r =>
+        val cw = r.slice(j * sub, (j + 1) * sub)
+        (cw, cw.map(x => x * x).sum)
+      }
+    }
+    (d, sub, books)
+  }
+
+  /** Jégou-faithful IVFADC (2011 §IV, the full design point): the coarse
+    * quantizer is LLOYD-TRAINED (with deterministic empty-cell reseeding,
+    * so a collapsed stride sample still yields balanced Voronoi cells —
+    * the data-dependent case where [[pqTopKIVF]]'s id-strided centroids
+    * land most of the corpus in one hot cell and erase the nprobe/cells
+    * compute saving), and PQ codes quantize per-cell RESIDUALS
+    * (x − centroid(cell(x))) instead of raw vectors, holding recall on
+    * clustered distributions (VERDICT r17 #3).
+    *
+    * Scale shape unchanged from [[pqTopKIVF]]: the corpus index is one
+    * zero-shuffle projection emitting (id, cell, m codes) — the residual
+    * never materializes per row; encoding argmin uses the identity
+    * ‖r_j − cw‖² = ‖r_j‖² + ‖cw‖² − 2(⟨q_j,cw⟩ − ⟨c_j,cw⟩), where the
+    * ⟨centroid_j, codeword⟩ table (cells × m × k longs) is driver-computed
+    * and rides the plan as literals, so per subspace the row pays ONE
+    * codegen dot kernel per codeword plus constant lookups. Query-side ADC
+    * reconstructs the residual distance per probed cell the same way. The
+    * candidate step stays a broadcast EQUI-join on cell id; everything is
+    * exact BIGINT, so the DuckDB oracle replays training (including
+    * reseeds), assignment, residual codes, and ADC bit-for-bit. */
+  def pqTopKIVFTrained(prepared: DataFrame, idCol: String, topK: Int, queryPred: Column,
+                       cells: Int = 8, nprobe: Int = 2, m: Int = 8, k: Int = 16,
+                       trainIters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cache for training's repeated passes + the two sampling collects,
+    // released before the lazy result plan (the pqTopKIVF convention)
+    val cached = prepared.cache()
+    val (cents, books) =
+      try {
+        val c = trainCentroids(cached, idCol, cells, trainIters, reseedEmpty = true)
+        (c, pqResidualCodebooks(cached, idCol, m, k, c))
+      } finally cached.unpersist()
+    require(cents.map(_._1).toSeq == (0L until cents.length.toLong),
+      "coarse cells must be consecutively numbered from 0 (sampleCentroids contract)")
+    val (_, sub, cb) = books
+    // driver literal tables, indexed by cell id then (for D) codeword:
+    //   centSubs(j)(cell) = centroid subvector,  cc2(j)(cell) = its |·|²,
+    //   dTab(j)(cw)(cell) = ⟨centroid_j(cell), codeword⟩
+    val centSubs: Array[Seq[Seq[Long]]] = Array.tabulate(m)(j =>
+      cents.map(_._2.slice(j * sub, (j + 1) * sub).toSeq).toSeq)
+    val cc2: Array[Seq[Long]] = Array.tabulate(m)(j =>
+      centSubs(j).map(cs => cs.iterator.map(x => x * x).sum))
+    val dTab: Array[Array[Seq[Long]]] = Array.tabulate(m)(j =>
+      cb(j).map { case (cw, _) =>
+        centSubs(j).map(cs => cs.iterator.zip(cw.iterator).map { case (a, b) => a * b }.sum)
+      })
+    val cellIdx = col("c").cast("int") + 1
+    // corpus index: (neighbor_id, cell, residual pq codes) in ONE projection
+    val staged = cached.select(col(idCol).as("neighbor_id") +:
+      element_at(rankedCellIds(cents, 1), 1).as("c") +:
+      (0 until m).map(j => slice(col("q"), j * sub + 1, sub).as(s"__s$j")): _*)
+    val codes = (0 until m).map { j =>
+      // argmin over codewords of ‖r_j − cw‖² minus its row-constant ‖r_j‖²
+      // term: |cw|² − 2(⟨q_j,cw⟩ − D(cell,j,cw)) — ties (equal distance) to
+      // the lowest codeword id, identical to the raw-vector PQ convention
+      element_at(array_sort(array(cb(j).zipWithIndex.map { case ((cw, cn2), cwi) =>
+        struct((lit(cn2) - lit(2L) * (dotq(col(s"__s$j"), typedLit(cw.toSeq)) -
+          element_at(typedLit(dTab(j)(cwi)), cellIdx))).as("d2"),
+          lit(cwi).as("c"))
+      }.toSeq: _*)), 1).getField("c")
+    }
+    val coded = staged.select(col("neighbor_id"), col("c"), array(codes: _*).as("pq_codes"))
+    // query side: nprobe probe rows per query; the residual is per probe
+    // CELL, so the ADC distance reconstructs it from the staged raw
+    // subvectors + per-cell literal lookups
+    val queries = cached.filter(queryPred)
+      .withColumn("__probes", rankedCellIds(cents, nprobe))
+      .select(col(idCol).as("query_id") +: explode(col("__probes")).as("c") +:
+        (0 until m).flatMap { j =>
+          val s = slice(col("q"), j * sub + 1, sub)
+          Seq(s.as(s"__qs$j"), normSq(s).as(s"__qn$j"))
+        }: _*)
+    val dist = (0 until m).map { j =>
+      // ‖(q_j − c_j) − cw‖² = (|q_j|² + |c_j|² − 2⟨q_j,c_j⟩)
+      //                      + |cw|² − 2⟨q_j,cw⟩ + 2⟨c_j,cw⟩
+      val code = element_at(col("pq_codes"), j + 1)
+      val cw = element_at(typedLit(cb(j).map(_._1.toSeq).toSeq), code + 1)
+      val cn2 = element_at(typedLit(cb(j).map(_._2).toSeq), code + 1)
+      val dcw = element_at(element_at(typedLit(dTab(j).map(_.toSeq).toSeq), code + 1), cellIdx)
+      val qc = dotq(col(s"__qs$j"), element_at(typedLit(centSubs(j)), cellIdx))
+      val ccn = element_at(typedLit(cc2(j)), cellIdx)
+      col(s"__qn$j") + ccn - lit(2L) * qc +
+        cn2 - lit(2L) * dotq(col(s"__qs$j"), cw) + lit(2L) * dcw
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    coded.join(broadcast(queries), Seq("c")).filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dist.as("adc_dist"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adc_dist"))
+  }
+
+  /** Corpus → trained-cell assignment (id, cell) — exposed for the
+    * PipelineSpec skew gates (per-cell populations bound candidate
+    * volume). */
+  private[graft] def cellAssignments(prepared: DataFrame, idCol: String,
+                                     cents: Array[(Long, Array[Long], Long)]): DataFrame =
+    prepared.select(col(idCol), element_at(rankedCellIds(cents, 1), 1).as("cell"))
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus into IVF Voronoi cells, then mark
