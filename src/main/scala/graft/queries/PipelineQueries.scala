@@ -305,6 +305,21 @@ object PipelineQueries {
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy("query_id", "rnk")),
 
+    // Jégou-faithful IVFADC (§IV end-to-end, VERDICT r17 #2): the coarse
+    // quantizer is LLOYD-TRAINED (2 iterations from the stride sample,
+    // deterministic empty-cell reseeding) and the PQ codes quantize
+    // per-cell RESIDUALS — the design that holds recall on clustered
+    // distributions where q121's id-strided cells collapse. Exact BIGINT
+    // training, assignment, codes and distances: the oracle replays every
+    // Lloyd iteration (means, reseeds), residual codebook, and ADC ranking
+    // bit-for-bit.
+    "q122_ivfadc_trained" -> ((s, d) =>
+      Embeddings.pqTopKIVFTrained(
+        Embeddings.prepare(Tables.embeddings(s, d), "vec_id", "embedding"),
+        "vec_id", topK = 3, queryPred = col("vec_id") < 20)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("query_id", "rnk")),
+
     // Deterministic stratified sampling (md5-fraction thresholds per lang):
     // reproducible across engines/retries, zero shuffle — the id_sum pins
     // the exact sampled membership, not just the counts.
@@ -1275,6 +1290,29 @@ object PipelineQueries {
       |  JOIN counts cb ON cb.doc_id = c.id_b
       |  WHERE coalesce(i.i, 0) * 1.0 / (ca.n_sh + cb.n_sh - coalesce(i.i, 0)) >= 0.5)""".stripMargin
 
+  /** One Lloyd iteration as CTEs (the q122 oracle's training replay):
+    * against centroid set `prev` (cid, cq), emit `a$tag` (all-rows
+    * assignment with d²), `w$tag` (winners), `l$tag` (per-cell re-quantized
+    * means, ⌊x+0.5⌋ like the engine's math.round), `f$tag` (rows ranked by
+    * d² DESC, id ASC — the reseed pool), `e$tag` (empty cells ranked by
+    * cid), and `next` = reseed ▸ mean ▸ carry-over, exactly
+    * [[graft.pipeline.Embeddings.trainCentroids]]'s reseedEmpty order. */
+  private def lloydIterSql(prev: String, tag: String, next: String): String =
+    s"""a$tag AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk FROM (
+       |  SELECT v.vec_id, v.q, c.cid, v.n2 + list_sum(list_transform(c.cq, x -> x * x))
+       |    - 2 * list_sum(list_transform(range(1, len(v.q) + 1), i -> v.q[i] * c.cq[i])) AS d2
+       |  FROM norms v, $prev c)),
+       |w$tag AS (SELECT vec_id, q, cid, d2 FROM a$tag WHERE rk = 1),
+       |l$tag AS (SELECT cid, list(s ORDER BY i) AS cq FROM (
+       |  SELECT w.cid, r.i, CAST(floor(CAST(sum(w.q[r.i]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS s
+       |  FROM w$tag w, range(1, 65) r(i) GROUP BY w.cid, r.i) GROUP BY cid),
+       |f$tag AS (SELECT q, row_number() OVER (ORDER BY d2 DESC, vec_id ASC) AS fr FROM w$tag),
+       |e$tag AS (SELECT cid, row_number() OVER (ORDER BY cid) AS er FROM $prev
+       |  WHERE cid NOT IN (SELECT cid FROM l$tag)),
+       |$next AS (SELECT c.cid, coalesce(rs.q, l.cq, c.cq) AS cq FROM $prev c
+       |  LEFT JOIN l$tag l ON l.cid = c.cid
+       |  LEFT JOIN (SELECT e.cid, f.q FROM e$tag e JOIN f$tag f ON f.fr = e.er) rs ON rs.cid = c.cid)""".stripMargin
+
   /** Shared IVF chain: quantize → norms → deterministic sampled centroids
     * (8 cells) → per-vector nearest-cell assignment, ending in `cell`
     * (vec_id, q, n2, c) — the oracle analogue of
@@ -1525,6 +1563,60 @@ object PipelineQueries {
         |ranked AS (SELECT query_id, neighbor_id, adc_dist,
         |            row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
         |           FROM adc)
+        |SELECT query_id, rnk, neighbor_id, adc_dist FROM ranked WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+    // Trained IVFADC replayed exactly: two unrolled Lloyd iterations
+    // (re-quantized means via floor(x+0.5), empty cells reseeded to the
+    // farthest rows by (d² DESC, id ASC)), final cell assignment + rk ≤ 2
+    // query probes, residual codebooks from the 16-stride sample assigned
+    // to the TRAINED cells, per-(vector, subspace) argmin codes over
+    // residuals, and ADC over candidate cells — all BIGINT, rank (dist, id)
+    "q122_ivfadc_trained" ->
+      s"""WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q FROM embeddings),
+        |norms AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qv),
+        |p8 AS (SELECT greatest(count(*) // 8, 1) AS m FROM norms),
+        |c0 AS (SELECT vec_id // m AS cid, q AS cq FROM norms, p8 WHERE vec_id % m = 0 AND vec_id < m * 8),
+        |${lloydIterSql("c0", "1", "c1")},
+        |${lloydIterSql("c1", "2", "c2")},
+        |af AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk FROM (
+        |  SELECT v.vec_id, v.q, c.cid, v.n2 + list_sum(list_transform(c.cq, x -> x * x))
+        |    - 2 * list_sum(list_transform(range(1, len(v.q) + 1), i -> v.q[i] * c.cq[i])) AS d2
+        |  FROM norms v, c2 c)),
+        |cell AS (SELECT vec_id, q, cid AS c FROM af WHERE rk = 1),
+        |probes AS (SELECT vec_id, cid AS c FROM af WHERE rk <= 2 AND vec_id < 20),
+        |p16 AS (SELECT greatest(count(*) // 16, 1) AS stride FROM norms),
+        |s16 AS (SELECT n.vec_id // stride AS cwid, n.q FROM norms n, p16
+        |  WHERE n.vec_id % stride = 0 AND n.vec_id < stride * 16),
+        |s16c AS (SELECT cwid, q, cid FROM (
+        |  SELECT s.cwid, s.q, c.cid, row_number() OVER (PARTITION BY s.cwid ORDER BY
+        |      list_sum(list_transform(c.cq, x -> x * x))
+        |      - 2 * list_sum(list_transform(range(1, len(s.q) + 1), i -> s.q[i] * c.cq[i])) ASC,
+        |      c.cid ASC) AS rk
+        |  FROM s16 s, c2 c) WHERE rk = 1),
+        |sres AS (SELECT s.cwid, list_transform(range(1, 65), i -> s.q[i] - c.cq[i]) AS rq
+        |  FROM s16c s JOIN c2 c ON c.cid = s.cid),
+        |csubs AS (SELECT cwid, j, list_slice(rq, j*8+1, j*8+8) AS cs FROM sres, range(8) t(j)),
+        |res AS (SELECT ce.vec_id, ce.c, list_transform(range(1, 65), i -> ce.q[i] - c.cq[i]) AS rq
+        |  FROM cell ce JOIN c2 c ON c.cid = ce.c),
+        |rsubs AS (SELECT vec_id, c, j, list_slice(rq, j*8+1, j*8+8) AS s FROM res, range(8) t(j)),
+        |cd2 AS (SELECT r.vec_id, r.j, c.cwid,
+        |    list_sum(list_transform(range(1, 9), i -> (r.s[i]-c.cs[i])*(r.s[i]-c.cs[i]))) AS d2
+        |  FROM rsubs r JOIN csubs c USING (j)),
+        |codes AS (SELECT vec_id, j, cwid FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, cwid ASC) AS rk FROM cd2) WHERE rk = 1),
+        |qres AS (SELECT p.vec_id, p.c, list_transform(range(1, 65), i -> n.q[i] - c.cq[i]) AS rq
+        |  FROM probes p JOIN norms n USING (vec_id) JOIN c2 c ON c.cid = p.c),
+        |qsubs AS (SELECT vec_id, c, j, list_slice(rq, j*8+1, j*8+8) AS s FROM qres, range(8) t(j)),
+        |adc AS (SELECT qs.vec_id AS query_id, ce.vec_id AS neighbor_id,
+        |    CAST(sum(list_sum(list_transform(range(1, 9), i -> (qs.s[i]-cs.cs[i])*(qs.s[i]-cs.cs[i])))) AS BIGINT) AS adc_dist
+        |  FROM qsubs qs
+        |  JOIN cell ce ON ce.c = qs.c AND ce.vec_id != qs.vec_id
+        |  JOIN codes co ON co.vec_id = ce.vec_id AND co.j = qs.j
+        |  JOIN csubs cs ON cs.cwid = co.cwid AND cs.j = co.j
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, neighbor_id, adc_dist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
+        |  FROM adc)
         |SELECT query_id, rnk, neighbor_id, adc_dist FROM ranked WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 

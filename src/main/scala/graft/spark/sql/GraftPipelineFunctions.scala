@@ -500,6 +500,24 @@ object GraftPipelineFunctions {
         intArg(args, 7, "pq_topk_ivf"), intArg(args, 8, "pq_topk_ivf"))
     }
 
+    memoTvf(ext, "pq_topk_ivf_trained",
+      "pq_topk_ivf_trained(table, id_col, emb_col, topk, query_pred, cells, " +
+        "nprobe, m, k, train_iters) — Jégou-faithful IVFADC: Lloyd-trained " +
+        "coarse cells (empty-cell reseeding) + PQ codes over per-cell " +
+        "residuals", Seq(0)) { args =>
+      require(args.length == 10,
+        "pq_topk_ivf_trained(table, id_col, emb_col, topk, query_pred, cells, " +
+          "nprobe, m, k, train_iters)")
+      Embeddings.pqTopKIVFTrained(
+        Embeddings.prepare(tableArg(args, 0, "pq_topk_ivf_trained"),
+          strArg(args, 1, "pq_topk_ivf_trained"), strArg(args, 2, "pq_topk_ivf_trained")),
+        strArg(args, 1, "pq_topk_ivf_trained"), intArg(args, 3, "pq_topk_ivf_trained"),
+        org.apache.spark.sql.functions.expr(strArg(args, 4, "pq_topk_ivf_trained")),
+        intArg(args, 5, "pq_topk_ivf_trained"), intArg(args, 6, "pq_topk_ivf_trained"),
+        intArg(args, 7, "pq_topk_ivf_trained"), intArg(args, 8, "pq_topk_ivf_trained"),
+        intArg(args, 9, "pq_topk_ivf_trained"))
+    }
+
     memoTvf(ext, "semantic_dedup",
       "semantic_dedup(table, id_col, emb_col, cells, threshold) — SemDeDup: " +
         "within-cell embedding pairs with cosine ≥ threshold", Seq(0)) { args =>

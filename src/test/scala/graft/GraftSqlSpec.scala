@@ -1277,6 +1277,12 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
         "'vec_id < 10', 4, 2, 8, 16) ORDER BY query_id, rnk"))
       == rows(Embeddings.pqTopKIVF(prep, "vec_id", 3, col("vec_id") < 10, 4, 2, 8, 16)
         .orderBy("query_id", "rnk")))
+
+    assert(rows(spark.sql(
+      "SELECT * FROM pq_topk_ivf_trained('embeddings_v', 'vec_id', 'embedding', 3, " +
+        "'vec_id < 10', 4, 2, 8, 16, 2) ORDER BY query_id, rnk"))
+      == rows(Embeddings.pqTopKIVFTrained(prep, "vec_id", 3, col("vec_id") < 10, 4, 2, 8, 16, 2)
+        .orderBy("query_id", "rnk")))
   }
 
   test("time-series TVFs are SQL-reachable and parity-equal to the Scala API") {
