@@ -105,7 +105,9 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "cms_one_sided_10x", "cms_max_exact_invariant",
     "chunk_rows_exact_10x",
     "mor_scoped_delete_volume", "mor_results_exact",
-    "mor_plan_unions_bounded", "mor_antijoins_per_seq_point")
+    "mor_plan_unions_bounded", "mor_antijoins_per_seq_point",
+    "ann_cells_single_copy", "ann_cells_per_copy",
+    "ann_zero_cross_copy", "ann_candidates_nprobe_bounded")
 
   private def writeRecord(): Unit = {
     def j(s: String) = "\"" + s.replace("\"", "'") + "\""
@@ -249,6 +251,87 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def crossCopy(pairs: DataFrame, a: String = "id_a", b: String = "id_b"): Long =
     pairs.filter(col(a).divide(CopyStride).cast("long")
       =!= col(b).divide(CopyStride).cast("long")).count()
+
+  /** Embedding-corpus replica k: ids offset by the copy stride, vectors
+    * displaced by 10·k in dimension 0 — copies are ~10⁷ quantization units
+    * apart while intra-copy geometry is untouched, so the scaled corpus is
+    * `copies` independent replicas of the same neighborhood structure and
+    * ANN candidates must never cross copies. */
+  private def embCopyK(base: DataFrame, k: Int): DataFrame =
+    base.select(
+      (col("vec_id") + lit(k * CopyStride)).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(k * 10.0f)).otherwise(x)).as("embedding"))
+
+  test("trained IVFADC scales: per-copy cells, nprobe-bounded candidates, zero cross-copy") {
+    import graft.pipeline.Embeddings
+    val baseEmb = Tables.embeddings(spark, sfDir)
+    val n = baseEmb.count()
+    val emb10 = (0 until copies).map(embCopyK(baseEmb, _)).reduce(_ unionByName _)
+    val prep = Embeddings.prepare(emb10, "vec_id", "embedding").cache()
+    try {
+      val cells = 4 * copies // the stride sample lands 4 centroids per copy
+      val cents = timed("ann ivfadc train 10x") {
+        Embeddings.trainCentroids(prep, "vec_id", cells, 2, reseedEmpty = true)
+      }
+      val assign = Embeddings.cellAssignments(prep, "vec_id", cents).cache()
+      try {
+        // no trained cell spans two copies (10⁷-unit gaps dominate any
+        // intra-copy displacement), so candidate volume can never couple
+        // replicas however the box behaves — the load-immune ANN gate
+        val maxCopiesPerCell = assign
+          .groupBy("cell")
+          .agg(countDistinct(col("vec_id").divide(CopyStride).cast("long")).as("nc"))
+          .agg(max(col("nc"))).head().getLong(0)
+        check("ann_cells_single_copy", maxCopiesPerCell == 1L,
+          s"a trained cell spans $maxCopiesPerCell copies")
+        // every copy's rows spread across ≥2 cells: per-query candidates are
+        // bounded by a strict fraction of the copy, not the whole replica
+        val perCopy = assign
+          .groupBy(col("vec_id").divide(CopyStride).cast("long").as("cp"))
+          .agg(countDistinct(col("cell")).as("nc"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        metrics("ann_min_cells_per_copy") = perCopy.values.min.toDouble
+        check("ann_cells_per_copy", perCopy.size == copies && perCopy.values.min >= 2L,
+          s"per-copy cell spread collapsed: $perCopy")
+
+        // topK = corpus makes the result the EXACT candidate set: per query
+        // it must draw from ≤ nprobe distinct cells and count exactly
+        // Σ|probed cells| − 1 (itself) — nprobe-boundedness as an equality,
+        // not a ceiling
+        val all = timed("ann ivfadc search 10x") {
+          Embeddings.pqTopKIVFTrained(prep, "vec_id", topK = (n * copies).toInt,
+            queryPred = col("vec_id") % CopyStride < 2, cells = cells, nprobe = 2,
+            m = 8, k = 16, trainIters = 2).cache()
+        }
+        try {
+          check("ann_zero_cross_copy",
+            crossCopy(all.select(col("query_id").as("id_a"),
+              col("neighbor_id").as("id_b"))) == 0L,
+            "ANN candidates crossed replica boundaries")
+          val cellSize = assign.groupBy("cell").count()
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val cellOf = assign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val perQuery = all
+            .join(assign.withColumnRenamed("vec_id", "neighbor_id")
+              .withColumnRenamed("cell", "ncell"), Seq("neighbor_id"))
+            .groupBy("query_id")
+            .agg(count(lit(1)).as("cand"), countDistinct(col("ncell")).as("ncells"),
+              collect_set(col("ncell")).as("cs"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3)))
+          metrics("ann_queries") = perQuery.length.toDouble
+          metrics("ann_max_candidates") = perQuery.map(_._2).max.toDouble
+          val bounded = perQuery.forall { case (q, cand, ncells, cs) =>
+            ncells <= 2 &&
+              cand == cs.map(cellSize).sum - (if (cs.contains(cellOf(q))) 1L else 0L)
+          }
+          check("ann_candidates_nprobe_bounded", bounded && perQuery.length == 2 * copies,
+            s"candidate sets not exactly nprobe-bounded: ${perQuery.toSeq.take(5)}")
+        } finally all.unpersist()
+      } finally assign.unpersist()
+    } finally prep.unpersist()
+  }
 
   test("q24 minhash near-dup pipeline scales: pair volume per copy, zero cross-copy leakage") {
     val p1 = timed("q24 minhash 1x") {
