@@ -261,12 +261,20 @@ object Embeddings {
       val reseeds: Map[Long, (Array[Long], Long)] =
         if (!reseedEmpty || emptyCells.isEmpty) Map.empty
         else {
-          // this iteration's (d², assigned cell) per row against the PRE-
-          // update centroids — the same distances the assignment used
-          val top = element_at(rankedCellsExpr(cents), 1)
+          // this iteration's d² to the ASSIGNED centroid against the PRE-
+          // update set — recomputed from the assignment's cell id via ONE
+          // literal matrix lookup (d² = n2 + |c|² − 2⟨q,c⟩), so plan size
+          // stays constant in `cells` like the guarded assignment path
+          // (rankedCellsExpr here would inline cells× struct expressions,
+          // bypassing the inlineCellsMax guard — review finding r18)
+          val cellIdx = assign.cast("int") + 1
+          val d2 = col("n2") +
+            element_at(typedLit(cents.map(_._3).toSeq), cellIdx) -
+            lit(2L) * dotq(col("q"),
+              element_at(typedLit(cents.map(_._2.toSeq).toSeq), cellIdx))
           val far = prepared
             .select(col(idCol).cast("long").as("__id"), col("q"), col("n2"),
-              top.getField("d2").as("__d2"))
+              d2.as("__d2"))
             .orderBy(col("__d2").desc, col("__id").asc)
             .limit(emptyCells.size)
             .collect()

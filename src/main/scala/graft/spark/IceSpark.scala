@@ -118,14 +118,17 @@ object IceWrite {
     * atomic with the data (e.g. streaming batch ids for exactly-once).
     * `props` are table-property updates carried by the same commit (the
     * durable streaming ledger — state that must OUTLIVE snapshot
-    * expiration rides properties, not summaries). */
+    * expiration rides properties, not summaries). The caller must own
+    * these keys exclusively: they are declared retry-safe, so a CAS-retry
+    * re-applies them last-writer-wins. */
   def append(spark: SparkSession, table: IceTable, df: DataFrame,
              branch: Option[String] = None,
              summary: Map[String, String] = Map.empty,
              props: Map[String, String] = Map.empty): IceTable = {
     val files = writeDataFiles(spark, table, df, table.schema)
     ptime("commit")(table.newTransaction(branch).appendData(files)
-      .summaryExtra(summary.toSeq: _*).updateProperties(props).commit())
+      .summaryExtra(summary.toSeq: _*)
+      .updateProperties(props, ownedExclusively = true).commit())
   }
 
   /** Writes equality-delete files for the rows of `df` projected onto

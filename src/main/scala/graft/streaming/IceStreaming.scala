@@ -105,11 +105,15 @@ object IceStreaming {
         .nextOption())
 
   /** Highest batch id `streamId` has committed: durable property first,
-    * else the current-lineage summary walk (a batch committed on an
-    * abandoned branch never lands the property either — its commit lost
-    * the CAS — so neither channel suppresses its replay). First stamped
-    * ancestor wins in the fallback — see [[lastOrderWatermark]] for why
-    * that is the max and for the walk's cost bound. */
+    * else the current-lineage summary walk. A commit that LOST its CAS
+    * race lands neither channel, so a lost batch still replays; a commit
+    * that WON and was then rolled back (main moved to an older snapshot)
+    * still holds the property — rollback of a streaming target is ledger
+    * surgery, the documented [[LedgerPropPrefix]] trade (a ledger that
+    * must OUTLIVE snapshots cannot also follow snapshot rollbacks).
+    * First stamped ancestor wins in the fallback — see
+    * [[lastOrderWatermark]] for why that is the max and the walk's cost
+    * bound. */
   private[graft] def lastCommittedBatch(table: IceTable, streamId: String): Option[Long] =
     table.metadata.properties.get(ledgerBatchProp(streamId)).map(_.toLong).orElse(
       lineageNewestFirst(table)
@@ -398,7 +402,8 @@ object IceStreaming {
                 equalityIds = keyIds))
             t.newTransaction(None).appendData(dataFiles).appendDeletes(delFiles)
               .summaryExtra((summary ++ newWm.map(OrderWatermarkKey -> _)).toSeq: _*)
-              .updateProperties(props ++ newWm.map(ledgerWatermarkProp(checkpoint) -> _))
+              .updateProperties(props ++ newWm.map(ledgerWatermarkProp(checkpoint) -> _),
+                ownedExclusively = true)
               .commit(): Unit
           } finally pinned.unpersist()
         }
@@ -451,7 +456,8 @@ object IceStreaming {
           }
           val files = IceWrite.writeDataFiles(spark, t, merged, t.schema)
           t.newTransaction(None).replace(files)
-            .summaryExtra(summary.toSeq: _*).updateProperties(props).commit(): Unit
+            .summaryExtra(summary.toSeq: _*)
+            .updateProperties(props, ownedExclusively = true).commit(): Unit
         }
         ()
       }

@@ -27,6 +27,7 @@ class Transaction(table: IceTable, branch: Option[String]) {
   private var rewriteDeleteEntries: Option[Seq[ManifestEntry]] = None
   private var rewriteDeleteAdded: Seq[DataFile] = Nil
   private var propertyUpdates: Map[String, String] = Map.empty
+  private var propsRetrySafe = true // vacuous while no property updates
   private var propertyRemovals: Seq[String] = Nil
   private var newSchema: Option[IceSchema] = None
   private var newSpecFields: Option[Seq[PartitionField]] = None
@@ -146,7 +147,18 @@ class Transaction(table: IceTable, branch: Option[String]) {
       "rewriteDeletes cannot combine with other content operations in one transaction")
     rewriteDeleteEntries = Some(keep); rewriteDeleteAdded = added; this
   }
-  def updateProperties(p: Map[String, String]): Transaction = { propertyUpdates ++= p; this }
+  /** Property updates carried by this commit. `ownedExclusively` declares
+    * that the CALLER is the only writer of these keys (e.g. a streaming
+    * sink's per-checkpoint ledger namespace — Structured Streaming holds
+    * one active query per checkpoint), making re-application after a CAS
+    * retry last-writer-wins-safe; the default keeps read-modify-write
+    * semantics, surfacing any conflict to the caller. */
+  def updateProperties(p: Map[String, String],
+                       ownedExclusively: Boolean = false): Transaction = {
+    propertyUpdates ++= p
+    if (p.nonEmpty && !ownedExclusively) propsRetrySafe = false
+    this
+  }
   def removeProperties(keys: Seq[String]): Transaction = { propertyRemovals ++= keys; this }
   /** Schema evolution: install a new current schema (add-column etc.). */
   def setSchema(s: IceSchema): Transaction = { newSchema = Some(s); this }
@@ -187,19 +199,19 @@ class Transaction(table: IceTable, branch: Option[String]) {
     * in-flight metadata writes surface before the re-read.
     */
   def commit(): IceTable = {
-    // streaming-ledger property updates stay append-retryable: each stream
-    // owns its own `streaming.ledger.<id>.*` keys exclusively (Structured
-    // Streaming holds a single active query per checkpoint), so re-applying
-    // them after a refresh is last-writer-wins on keys nobody else writes —
-    // unlike arbitrary property changes, whose read-modify-write semantics
-    // must surface the conflict
-    val ledgerOnlyProps =
-      propertyUpdates.keys.forall(_.startsWith(graft.streaming.IceStreaming.LedgerPropPrefix))
+    // retryable shapes: a pure data append (two concurrent appenders don't
+    // semantically conflict — the loser re-merges manifests on a fresh
+    // base), optionally carrying caller-OWNED property updates (a streaming
+    // sink's ledger keys: re-application is last-writer-wins on keys nobody
+    // else writes), and the degenerate owned-properties-ONLY commit (an
+    // empty micro-batch's ledger stamp) — everything else surfaces the
+    // conflict (read-modify-write semantics)
     val pureDataAppend = replaceFiles.isEmpty && rewriteEntries.isEmpty &&
       rewriteDeleteEntries.isEmpty &&
       newSchema.isEmpty && newSpecFields.isEmpty && newSortOrder.isEmpty &&
-      !resetSortOrder && ledgerOnlyProps && propertyRemovals.isEmpty &&
-      refUpdates.isEmpty && appendedDeletes.isEmpty && appendedData.nonEmpty
+      !resetSortOrder && propsRetrySafe && propertyRemovals.isEmpty &&
+      refUpdates.isEmpty && appendedDeletes.isEmpty &&
+      (appendedData.nonEmpty || propertyUpdates.nonEmpty)
     val maxAttempts = if (pureDataAppend) 10 else 1
     // captured BEFORE the commit mutates table.metadata: the pre-commit
     // metadata is what knows which snapshots a replace supersedes
