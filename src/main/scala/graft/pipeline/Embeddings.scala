@@ -449,33 +449,41 @@ object Embeddings {
                 cells: Int = 8, nprobe: Int = 2, m: Int = 8, k: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // four consumers read the prepared frame (coarse sample, codebook
-    // sample, corpus encode, query probes): cache it for the two DRIVER-side
-    // sampling collects, then release before returning — the lazy result
-    // plan recomputes the cheap quantize projection instead of pinning a
-    // full corpus copy in executor storage per distinct invocation (review
-    // finding r17: varied cells/nprobe TVF calls miss the memo and would
-    // each pin another copy)
+    // sample, corpus encode, query probes): cache it for ONE shared corpus
+    // pass, eagerly localCheckpoint the two small derived frames (the
+    // m-codes index and the probe rows) while the cache is live, then
+    // release the corpus before returning. The lazy result plan reads the
+    // checkpointed blocks — it neither pins a full corpus copy per distinct
+    // invocation (review finding r17: varied cells/nprobe TVF calls miss
+    // the memo) nor recomputes the prepared plan per consumer (the r18
+    // same-box A/B caught that recompute as a consistent 1.6× q121 CPU
+    // regression: unpersisting before the plan is materialized re-scans
+    // the corpus once for the index and once for the probes)
     val cached = prepared.cache()
-    val (cents, books) =
-      try (sampleCentroids(cached, idCol, cells), pqCodebooks(cached, idCol, m, k))
-      finally cached.unpersist()
-    val (_, sub, cb) = books
-    // corpus index: (neighbor_id, cell, pq_codes) — at rest this is the
-    // m-codes-per-vector memory footprint plus one small int; `prepare`
-    // already spread the corpus, so no extra shuffle here
-    val coded = pqEncodeWith(
-        cached.withColumn("__cell", element_at(rankedCellIds(cents, 1), 1)),
-        idCol, books, m, carry = Seq("__cell"))
-      .select(col(idCol).as("neighbor_id"), col("__cell").as("c"), col("pq_codes"))
-    // query side: nprobe probe rows per query, each carrying the staged
-    // exact subvectors + norms the ADC distance reuses per subspace
-    val queries = cached.filter(queryPred)
-      .withColumn("__probes", rankedCellIds(cents, nprobe))
-      .select(col(idCol).as("query_id") +: explode(col("__probes")).as("c") +:
-        (0 until m).flatMap { j =>
-          val s = slice(col("q"), j * sub + 1, sub)
-          Seq(s.as(s"__qs$j"), normSq(s).as(s"__qn$j"))
-        }: _*)
+    val (cb, coded, queries) = try {
+      val cents = sampleCentroids(cached, idCol, cells)
+      val books = pqCodebooks(cached, idCol, m, k)
+      val (_, sub, cb0) = books
+      // corpus index: (neighbor_id, cell, pq_codes) — at rest this is the
+      // m-codes-per-vector memory footprint plus one small int; `prepare`
+      // already spread the corpus, so no extra shuffle here
+      val coded0 = pqEncodeWith(
+          cached.withColumn("__cell", element_at(rankedCellIds(cents, 1), 1)),
+          idCol, books, m, carry = Seq("__cell"))
+        .select(col(idCol).as("neighbor_id"), col("__cell").as("c"), col("pq_codes"))
+        .localCheckpoint(true)
+      // query side: nprobe probe rows per query, each carrying the staged
+      // exact subvectors + norms the ADC distance reuses per subspace
+      val queries0 = cached.filter(queryPred)
+        .withColumn("__probes", rankedCellIds(cents, nprobe))
+        .select(col(idCol).as("query_id") +: explode(col("__probes")).as("c") +:
+          (0 until m).flatMap { j =>
+            val s = slice(col("q"), j * sub + 1, sub)
+            Seq(s.as(s"__qs$j"), normSq(s).as(s"__qn$j"))
+          }: _*)
+        .localCheckpoint(true)
+      (cb0, coded0, queries0)
+    } finally cached.unpersist()
     val dist = (0 until m).map { j =>
       val code = element_at(col("pq_codes"), j + 1)
       val cw = element_at(typedLit(cb(j).map(_._1.toSeq).toSeq), code + 1)
@@ -551,54 +559,60 @@ object Embeddings {
                        cells: Int = 8, nprobe: Int = 2, m: Int = 8, k: Int = 16,
                        trainIters: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // cache for training's repeated passes + the two sampling collects,
-    // released before the lazy result plan (the pqTopKIVF convention)
-    val cached = prepared.cache()
-    val (cents, books) =
-      try {
-        val c = trainCentroids(cached, idCol, cells, trainIters, reseedEmpty = true)
-        (c, pqResidualCodebooks(cached, idCol, m, k, c))
-      } finally cached.unpersist()
-    require(cents.map(_._1).toSeq == (0L until cents.length.toLong),
-      "coarse cells must be consecutively numbered from 0 (sampleCentroids contract)")
-    val (_, sub, cb) = books
-    // driver literal tables, indexed by cell id then (for D) codeword:
-    //   centSubs(j)(cell) = centroid subvector,  cc2(j)(cell) = its |·|²,
-    //   dTab(j)(cw)(cell) = ⟨centroid_j(cell), codeword⟩
-    val centSubs: Array[Seq[Seq[Long]]] = Array.tabulate(m)(j =>
-      cents.map(_._2.slice(j * sub, (j + 1) * sub).toSeq).toSeq)
-    val cc2: Array[Seq[Long]] = Array.tabulate(m)(j =>
-      centSubs(j).map(cs => cs.iterator.map(x => x * x).sum))
-    val dTab: Array[Array[Seq[Long]]] = Array.tabulate(m)(j =>
-      cb(j).map { case (cw, _) =>
-        centSubs(j).map(cs => cs.iterator.zip(cw.iterator).map { case (a, b) => a * b }.sum)
-      })
+    // cache for training's repeated passes + the two sampling collects;
+    // the index and probe frames are eagerly localCheckpoint-ed while the
+    // cache is live, then the corpus is released (the pqTopKIVF convention
+    // — see that method's comment for why checkpoint-then-release beats
+    // both never-unpersist and unpersist-before-materialize)
     val cellIdx = col("c").cast("int") + 1
-    // corpus index: (neighbor_id, cell, residual pq codes) in ONE projection
-    val staged = cached.select(col(idCol).as("neighbor_id") +:
-      element_at(rankedCellIds(cents, 1), 1).as("c") +:
-      (0 until m).map(j => slice(col("q"), j * sub + 1, sub).as(s"__s$j")): _*)
-    val codes = (0 until m).map { j =>
-      // argmin over codewords of ‖r_j − cw‖² minus its row-constant ‖r_j‖²
-      // term: |cw|² − 2(⟨q_j,cw⟩ − D(cell,j,cw)) — ties (equal distance) to
-      // the lowest codeword id, identical to the raw-vector PQ convention
-      element_at(array_sort(array(cb(j).zipWithIndex.map { case ((cw, cn2), cwi) =>
-        struct((lit(cn2) - lit(2L) * (dotq(col(s"__s$j"), typedLit(cw.toSeq)) -
-          element_at(typedLit(dTab(j)(cwi)), cellIdx))).as("d2"),
-          lit(cwi).as("c"))
-      }.toSeq: _*)), 1).getField("c")
-    }
-    val coded = staged.select(col("neighbor_id"), col("c"), array(codes: _*).as("pq_codes"))
-    // query side: nprobe probe rows per query; the residual is per probe
-    // CELL, so the ADC distance reconstructs it from the staged raw
-    // subvectors + per-cell literal lookups
-    val queries = cached.filter(queryPred)
-      .withColumn("__probes", rankedCellIds(cents, nprobe))
-      .select(col(idCol).as("query_id") +: explode(col("__probes")).as("c") +:
-        (0 until m).flatMap { j =>
-          val s = slice(col("q"), j * sub + 1, sub)
-          Seq(s.as(s"__qs$j"), normSq(s).as(s"__qn$j"))
-        }: _*)
+    val cached = prepared.cache()
+    val (cb, centSubs, cc2, dTab, coded, queries) = try {
+      val cents = trainCentroids(cached, idCol, cells, trainIters, reseedEmpty = true)
+      val books = pqResidualCodebooks(cached, idCol, m, k, cents)
+      require(cents.map(_._1).toSeq == (0L until cents.length.toLong),
+        "coarse cells must be consecutively numbered from 0 (sampleCentroids contract)")
+      val (_, sub, cb0) = books
+      // driver literal tables, indexed by cell id then (for D) codeword:
+      //   centSubs(j)(cell) = centroid subvector,  cc2(j)(cell) = its |·|²,
+      //   dTab(j)(cw)(cell) = ⟨centroid_j(cell), codeword⟩
+      val centSubs0: Array[Seq[Seq[Long]]] = Array.tabulate(m)(j =>
+        cents.map(_._2.slice(j * sub, (j + 1) * sub).toSeq).toSeq)
+      val cc20: Array[Seq[Long]] = Array.tabulate(m)(j =>
+        centSubs0(j).map(cs => cs.iterator.map(x => x * x).sum))
+      val dTab0: Array[Array[Seq[Long]]] = Array.tabulate(m)(j =>
+        cb0(j).map { case (cw, _) =>
+          centSubs0(j).map(cs => cs.iterator.zip(cw.iterator).map { case (a, b) => a * b }.sum)
+        })
+      // corpus index: (neighbor_id, cell, residual pq codes) in ONE projection
+      val staged = cached.select(col(idCol).as("neighbor_id") +:
+        element_at(rankedCellIds(cents, 1), 1).as("c") +:
+        (0 until m).map(j => slice(col("q"), j * sub + 1, sub).as(s"__s$j")): _*)
+      val codes = (0 until m).map { j =>
+        // argmin over codewords of ‖r_j − cw‖² minus its row-constant ‖r_j‖²
+        // term: |cw|² − 2(⟨q_j,cw⟩ − D(cell,j,cw)) — ties (equal distance) to
+        // the lowest codeword id, identical to the raw-vector PQ convention
+        element_at(array_sort(array(cb0(j).zipWithIndex.map { case ((cw, cn2), cwi) =>
+          struct((lit(cn2) - lit(2L) * (dotq(col(s"__s$j"), typedLit(cw.toSeq)) -
+            element_at(typedLit(dTab0(j)(cwi)), cellIdx))).as("d2"),
+            lit(cwi).as("c"))
+        }.toSeq: _*)), 1).getField("c")
+      }
+      val coded0 = staged
+        .select(col("neighbor_id"), col("c"), array(codes: _*).as("pq_codes"))
+        .localCheckpoint(true)
+      // query side: nprobe probe rows per query; the residual is per probe
+      // CELL, so the ADC distance reconstructs it from the staged raw
+      // subvectors + per-cell literal lookups
+      val queries0 = cached.filter(queryPred)
+        .withColumn("__probes", rankedCellIds(cents, nprobe))
+        .select(col(idCol).as("query_id") +: explode(col("__probes")).as("c") +:
+          (0 until m).flatMap { j =>
+            val s = slice(col("q"), j * sub + 1, sub)
+            Seq(s.as(s"__qs$j"), normSq(s).as(s"__qn$j"))
+          }: _*)
+        .localCheckpoint(true)
+      (cb0, centSubs0, cc20, dTab0, coded0, queries0)
+    } finally cached.unpersist()
     val dist = (0 until m).map { j =>
       // ‖(q_j − c_j) − cw‖² = (|q_j|² + |c_j|² − 2⟨q_j,c_j⟩)
       //                      + |cw|² − 2⟨q_j,cw⟩ + 2⟨c_j,cw⟩
@@ -617,6 +631,70 @@ object Embeddings {
       .select(col("query_id"), col("neighbor_id"), dist.as("adc_dist"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adc_dist"))
+  }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
+    * diversified top-k around one probe vector. Greedy: repeatedly pick the
+    * candidate maximizing λ·rel(d) − (1−λ)·max_{s∈picked} cos(d, s)
+    * (empty-set max = 0, ties to the lower id), where rel is exact cosine
+    * to the probe. λ=1 degenerates to pure relevance ranking; lower λ
+    * trades relevance for novelty — the standard diversified-retrieval /
+    * diverse-exemplar-selection combiner.
+    *
+    * Scale shape: this is the documented BOUNDED RE-RANK exception (the
+    * [[nearDupPairs]] contract) — the corpus pass lives in the candidate
+    * retriever ([[bruteForceTopK]] here; any ANN list works upstream), and
+    * the greedy runs driver-side over the k0-bounded candidate set
+    * (k0 × dim quantized longs — model-scale; k0·topK score updates).
+    * Deterministic and engine-replayable: integer dots, one double
+    * division per cosine, and the same λ-arithmetic the DuckDB oracle's
+    * recursive CTE replays step for step. */
+  def mmrRerank(prepared: DataFrame, idCol: String, queryPred: Column,
+                k0: Int = 50, topK: Int = 10, lambda: Double = 0.5): DataFrame = {
+    require(k0 >= topK && topK >= 1, s"need k0 >= topK >= 1: k0=$k0 topK=$topK")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    val spark = prepared.sparkSession
+    val candRows = bruteForceTopK(prepared, idCol, k0, queryPred)
+      .select(col("query_id"), col("neighbor_id"), col("cos")).collect()
+    val qids = candRows.map(_.getLong(0)).distinct
+    require(qids.length == 1,
+      s"mmrRerank re-ranks ONE probe's list; queryPred matched ${qids.length} rows")
+    val rel: Map[Long, Double] =
+      candRows.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val ids = rel.keys.toSeq.sorted
+    // candidate vectors: k0 rows of (quantized vector, norm) — model-scale
+    val vecs: Map[Long, (Array[Long], Long)] = prepared
+      .filter(col(idCol).isin(ids: _*))
+      .select(col(idCol), col("q"), col("n2")).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1).toArray, r.getLong(2))).toMap
+    def cosOf(a: Long, b: Long): Double = {
+      val (qa, na) = vecs(a); val (qb, nb) = vecs(b)
+      var i = 0; var d = 0L
+      while (i < qa.length) { d += qa(i) * qb(i); i += 1 }
+      d.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val maxSim = scala.collection.mutable.HashMap.empty[Long, Double]
+    val remaining = scala.collection.mutable.ArrayBuffer(ids: _*) // ascending
+    while (picked.length < math.min(topK, ids.length)) {
+      // strict > over ascending ids keeps the LOWEST id on score ties
+      var best = remaining.head
+      var bestScore = Double.NegativeInfinity
+      remaining.foreach { d =>
+        val s = lambda * rel(d) - (1.0 - lambda) * maxSim.getOrElse(d, 0.0)
+        if (s > bestScore) { best = d; bestScore = s }
+      }
+      picked += best
+      remaining -= best
+      remaining.foreach { d =>
+        val c = cosOf(d, best)
+        if (!maxSim.contains(d) || c > maxSim(d)) maxSim(d) = c
+      }
+    }
+    import spark.implicits._
+    picked.toSeq.zipWithIndex
+      .map { case (d, i) => (d, (i + 1).toLong, rel(d)) }
+      .toDF(idCol, "rnk", "rel_cos")
   }
 
   /** Corpus → trained-cell assignment (id, cell) — exposed for the

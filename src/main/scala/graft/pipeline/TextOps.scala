@@ -598,6 +598,37 @@ object TextOps {
       .orderBy(col("bm25_q").desc, col(idCol).asc).limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009): fuse N ranked
+    * retrieval lists — e.g. sparse BM25 and dense ANN over the same id
+    * space, the standard hybrid-retrieval combiner — into one ranking by
+    * Σ_lists 1/(kRrf + rank). Each input must carry at most one row per id
+    * with a 1-based rank in `rankCol`; ids absent from a list simply
+    * contribute nothing from it. Contributions are exact BIGINTs
+    * (10¹² DIV (kRrf + rank) — floor division, identical on both engines),
+    * so the fused score is immune to float addition order; ties break to
+    * the lower id. Returns (id, lists_hit, rrf_q, rnk), top `topK` rows.
+    *
+    * Scale shape: every input is already top-K-bounded by its retriever, so
+    * the union is lists×K rows — the fusion groupBy and the single-partition
+    * rank window are bounded by construction, never corpus-wide; the heavy
+    * lifting stays in the upstream retrievers, which keep their own scale
+    * stories (bm25TopK's TakeOrdered, pqTopKIVFTrained's cell equi-join). */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+              kRrf: Int = 60, topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lists.nonEmpty, "rrf needs at least one ranked list")
+    require(kRrf >= 0, s"kRrf must be non-negative: $kRrf")
+    val contrib = lists
+      .map(_.select(col(idCol), col(rankCol).cast("long").as("__rrf_r")))
+      .reduce(_ unionByName _)
+      .select(col(idCol), expr(s"1000000000000 DIV ($kRrf + __rrf_r)").as("__c"))
+    val w = Window.orderBy(col("rrf_q").desc, col(idCol).asc)
+    contrib.groupBy(col(idCol))
+      .agg(count(lit(1)).as("lists_hit"), sum(col("__c")).cast("bigint").as("rrf_q"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
+      .select(col(idCol), col("lists_hit"), col("rrf_q"), col("rnk"))
+  }
+
   /** Compression-ratio quality signal: DEFLATE(level 6) bytes over raw UTF-8
     * bytes per document. Highly compressible text is boilerplate/templating;
     * incompressible text is often binary junk or hash dumps — web-corpus

@@ -320,6 +320,39 @@ object PipelineQueries {
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy("query_id", "rnk")),
 
+    // Hybrid retrieval via reciprocal-rank fusion (Cormack 2009): BM25
+    // top-50 (sparse, q75's scorer) fused with exact-cosine top-50 around
+    // probe vector 0 (dense, q26's scorer) by Σ 1e12 DIV (60 + rank) —
+    // exact BIGINT contributions, so the fused ranking replays on both
+    // engines. The fusion itself runs on 2×50 bounded rows; the corpus
+    // passes stay inside the two retrievers.
+    "q123_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sparse = TextOps.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+          Seq("dup", "table", "query"), k = 50)
+        .select(col("doc_id"), row_number()
+          .over(Window.orderBy(col("bm25_q").desc, col("doc_id").asc)).as("rnk"))
+      val dense = Embeddings.bruteForceTopK(
+          Embeddings.prepare(Tables.embeddings(s, d), "vec_id", "embedding"),
+          "vec_id", k = 50, queryPred = col("vec_id") === 0)
+        .select(col("neighbor_id").as("doc_id"), col("rnk"))
+      TextOps.rrfFuse(Seq(sparse, dense), "doc_id", "rnk", kRrf = 60, topK = 20)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("rnk")
+    }),
+
+    // Diversified top-10 around probe vector 0 (MMR, Carbonell 1998,
+    // λ=0.5) over the exact top-30 candidate list: the corpus pass stays
+    // in the retriever, the greedy runs driver-side on the bounded set,
+    // and the oracle's recursive CTE replays every pick — same doubles,
+    // same lower-id tie-break.
+    "q124_mmr_rerank" -> ((s, d) =>
+      Embeddings.mmrRerank(
+        Embeddings.prepare(Tables.embeddings(s, d), "vec_id", "embedding"),
+        "vec_id", queryPred = col("vec_id") === 0, k0 = 30, topK = 10,
+        lambda = 0.5)
+        .orderBy("rnk")),
+
     // Deterministic stratified sampling (md5-fraction thresholds per lang):
     // reproducible across engines/retries, zero shuffle — the id_sum pins
     // the exact sampled membership, not just the counts.
@@ -1619,6 +1652,87 @@ object PipelineQueries {
         |  FROM adc)
         |SELECT query_id, rnk, neighbor_id, adc_dist FROM ranked WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
+
+    // RRF hybrid retrieval: the sparse CTE chain is q75's BM25 verbatim
+    // (rank appended), the dense chain is q26's exact cosine pinned to
+    // probe vector 0; contributions 1e12 // (60 + rank) are exact BIGINTs
+    "q123_hybrid_rrf" ->
+      """WITH terms(term) AS (VALUES ('dup'), ('table'), ('query')),
+        |tok AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+        |dl AS (SELECT doc_id, len(w) AS dl, w FROM tok),
+        |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT d.doc_id, terms.term, len(list_filter(d.w, x -> x = terms.term)) AS tf, d.dl
+        |  FROM dl d, terms),
+        |df AS (SELECT term, count(*) AS df FROM tf WHERE tf > 0 GROUP BY term),
+        |idf AS (SELECT term, length(bin(CAST(2 * (SELECT n FROM stats) // df AS BIGINT))) - 1 AS idf_q FROM df),
+        |sscored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(idf.idf_q * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / stats.avgdl))) * 1000000) AS BIGINT) AS s
+        |  FROM tf, stats, idf
+        |  WHERE tf.term = idf.term AND tf.tf > 0),
+        |bm AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_q FROM sscored GROUP BY doc_id
+        |  ORDER BY bm25_q DESC, doc_id ASC LIMIT 50),
+        |sparse AS (SELECT doc_id, row_number() OVER (ORDER BY bm25_q DESC, doc_id ASC) AS rnk FROM bm),
+        |qv AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qv),
+        |dscored AS (
+        |  SELECT b.vec_id AS doc_id,
+        |    CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+        |  FROM norms a JOIN norms b ON a.vec_id = 0 AND b.vec_id != 0),
+        |dense AS (SELECT doc_id, rnk FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rnk FROM dscored)
+        |  WHERE rnk <= 50),
+        |fused AS (SELECT doc_id, rnk FROM sparse UNION ALL SELECT doc_id, rnk FROM dense),
+        |agg AS (SELECT doc_id, count(*) AS lists_hit,
+        |    CAST(sum(1000000000000 // (60 + rnk)) AS BIGINT) AS rrf_q
+        |  FROM fused GROUP BY doc_id)
+        |SELECT doc_id, lists_hit, rrf_q, rnk FROM (
+        |  SELECT doc_id, lists_hit, rrf_q,
+        |    row_number() OVER (ORDER BY rrf_q DESC, doc_id ASC) AS rnk FROM agg)
+        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    // MMR greedy replay: the recursive CTE picks argmax of
+    // 0.5·rel − 0.5·max-sim-to-picked each step (ties to the lower id) —
+    // the same IEEE doubles the Scala greedy computes, so the pick
+    // sequence is identical bit-for-bit
+    "q124_mmr_rerank" ->
+      """WITH RECURSIVE qv AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qv),
+        |dscored AS (
+        |  SELECT b.vec_id AS vec_id,
+        |    CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+        |  FROM norms a JOIN norms b ON a.vec_id = 0 AND b.vec_id != 0),
+        |cand AS (SELECT vec_id, cos AS rel FROM (
+        |    SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rnk FROM dscored)
+        |  WHERE rnk <= 30),
+        |cpairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_sum(list_transform(range(1, len(na.q) + 1), i -> na.q[i] * nb.q[i])) AS DOUBLE)
+        |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+        |  FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+        |  JOIN norms na ON na.vec_id = a.vec_id JOIN norms nb ON nb.vec_id = b.vec_id),
+        |sel(step, picked) AS (
+        |  SELECT 1, [(SELECT vec_id FROM cand ORDER BY 0.5 * rel - 0.5 * 0.0 DESC, vec_id ASC LIMIT 1)]
+        |  UNION ALL
+        |  SELECT step + 1, list_append(picked, (
+        |      SELECT c.vec_id FROM cand c WHERE NOT list_contains(sel.picked, c.vec_id)
+        |      ORDER BY 0.5 * c.rel - 0.5 * coalesce((SELECT max(p.cos) FROM cpairs p
+        |          WHERE p.id_a = c.vec_id AND list_contains(sel.picked, p.id_b)), 0.0) DESC,
+        |        c.vec_id ASC LIMIT 1))
+        |  FROM sel WHERE step < 10 AND len(picked) < (SELECT count(*) FROM cand)),
+        |fin AS (SELECT picked FROM sel ORDER BY step DESC LIMIT 1)
+        |SELECT u.vec_id, u.rnk, c.rel AS rel_cos
+        |FROM (SELECT unnest(picked) AS vec_id, unnest(range(1, len(picked) + 1)) AS rnk FROM fin) u
+        |JOIN cand c ON c.vec_id = u.vec_id
+        |ORDER BY rnk""".stripMargin,
 
     "q43_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_sum,

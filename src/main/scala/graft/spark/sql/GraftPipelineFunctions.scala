@@ -518,6 +518,48 @@ object GraftPipelineFunctions {
         intArg(args, 9, "pq_topk_ivf_trained"))
     }
 
+    memoTvf(ext, "mmr_rerank",
+      "mmr_rerank(table, id_col, emb_col, query_pred, k0, topk, lambda) — " +
+        "maximal-marginal-relevance re-rank (Carbonell 1998): diversified " +
+        "top-k around one probe over the exact top-k0 candidate list " +
+        "(greedy λ·rel − (1−λ)·max-sim, bounded driver-side)", Seq(0)) { args =>
+      require(args.length == 7,
+        "mmr_rerank(table, id_col, emb_col, query_pred, k0, topk, lambda)")
+      val fn = "mmr_rerank"
+      Embeddings.mmrRerank(
+        Embeddings.prepare(tableArg(args, 0, fn), strArg(args, 1, fn), strArg(args, 2, fn)),
+        strArg(args, 1, fn),
+        org.apache.spark.sql.functions.expr(strArg(args, 3, fn)),
+        intArg(args, 4, fn), intArg(args, 5, fn), dblArg(args, 6, fn))
+    }
+
+    memoTvf(ext, "hybrid_rrf_topk",
+      "hybrid_rrf_topk(doc_table, id_col, text_col, terms_csv, emb_table, " +
+        "emb_id_col, emb_col, query_pred, k_each, k_rrf, topk) — hybrid " +
+        "retrieval via reciprocal-rank fusion (Cormack 2009): BM25 " +
+        "top-k_each fused with exact-cosine top-k_each by exact-integer " +
+        "1e12 DIV (k_rrf + rank)", Seq(0, 4)) { args =>
+      require(args.length == 11,
+        "hybrid_rrf_topk(doc_table, id_col, text_col, terms_csv, emb_table, " +
+          "emb_id_col, emb_col, query_pred, k_each, k_rrf, topk)")
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, row_number}
+      val fn = "hybrid_rrf_topk"
+      val idCol = strArg(args, 1, fn)
+      val embId = strArg(args, 5, fn)
+      val kEach = intArg(args, 8, fn)
+      val sparse = TextOps.bm25TopK(tableArg(args, 0, fn), idCol,
+          strArg(args, 2, fn), csvArg(args, 3, fn), kEach)
+        .select(col(idCol), row_number()
+          .over(Window.orderBy(col("bm25_q").desc, col(idCol).asc)).as("rnk"))
+      val dense = Embeddings.bruteForceTopK(
+          Embeddings.prepare(tableArg(args, 4, fn), embId, strArg(args, 6, fn)),
+          embId, kEach, org.apache.spark.sql.functions.expr(strArg(args, 7, fn)))
+        .select(col("neighbor_id").as(idCol), col("rnk"))
+      TextOps.rrfFuse(Seq(sparse, dense), idCol, "rnk",
+        intArg(args, 9, fn), intArg(args, 10, fn))
+    }
+
     memoTvf(ext, "semantic_dedup",
       "semantic_dedup(table, id_col, emb_col, cells, threshold) — SemDeDup: " +
         "within-cell embedding pairs with cosine ≥ threshold", Seq(0)) { args =>

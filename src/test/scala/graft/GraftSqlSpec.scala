@@ -1283,6 +1283,29 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
         "'vec_id < 10', 4, 2, 8, 16, 2) ORDER BY query_id, rnk"))
       == rows(Embeddings.pqTopKIVFTrained(prep, "vec_id", 3, col("vec_id") < 10, 4, 2, 8, 16, 2)
         .orderBy("query_id", "rnk")))
+
+    assert(rows(spark.sql(
+      "SELECT * FROM mmr_rerank('embeddings_v', 'vec_id', 'embedding', " +
+        "'vec_id = 0', 20, 5, 0.5) ORDER BY rnk"))
+      == rows(Embeddings.mmrRerank(prep, "vec_id", col("vec_id") === 0, 20, 5, 0.5)
+        .orderBy("rnk")))
+
+    {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.row_number
+      import graft.pipeline.TextOps
+      Tables.documents(spark, sfDir).createOrReplaceTempView("documents_v")
+      val sparse = TextOps.bm25TopK(Tables.documents(spark, sfDir),
+          "doc_id", "text", Seq("dup", "table", "query"), 20)
+        .select(col("doc_id"), row_number()
+          .over(Window.orderBy(col("bm25_q").desc, col("doc_id").asc)).as("rnk"))
+      val dense = Embeddings.bruteForceTopK(prep, "vec_id", 20, col("vec_id") === 0)
+        .select(col("neighbor_id").as("doc_id"), col("rnk"))
+      assert(rows(spark.sql(
+        "SELECT * FROM hybrid_rrf_topk('documents_v', 'doc_id', 'text', 'dup,table,query', " +
+          "'embeddings_v', 'vec_id', 'embedding', 'vec_id = 0', 20, 60, 10) ORDER BY rnk"))
+        == rows(TextOps.rrfFuse(Seq(sparse, dense), "doc_id", "rnk", 60, 10).orderBy("rnk")))
+    }
   }
 
   test("time-series TVFs are SQL-reachable and parity-equal to the Scala API") {

@@ -1899,4 +1899,86 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact == Set(1L, 2L))
     assert(bloom == exact)
   }
+
+  test("rrfFuse: exact integer contributions, lists_hit, id tie-break, topK cut") {
+    import spark.implicits._
+    val l1 = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rnk")
+    val l2 = Seq((20L, 1L), (10L, 2L), (40L, 3L)).toDF("id", "rnk")
+    val got = TextOps.rrfFuse(Seq(l1, l2), "id", "rnk", kRrf = 0, topK = 3)
+      .orderBy("rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    // kRrf=0 contributions: rank 1 → 10¹², rank 2 → 5·10¹¹, rank 3 →
+    // 333333333333 (floor). Ids 10 and 20 both score 1.5·10¹² from both
+    // lists — the tie breaks to the lower id; ids 30/40 tie at one list
+    // each and topK=3 cuts 40 (the higher id of that tie).
+    assert(got == Seq(
+      (10L, 2L, 1500000000000L, 1),
+      (20L, 2L, 1500000000000L, 2),
+      (30L, 1L, 333333333333L, 3)), got)
+    // a one-list id must surface with lists_hit=1 when topK allows it
+    val all = TextOps.rrfFuse(Seq(l1, l2), "id", "rnk", kRrf = 0, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(all == Map(10L -> 2L, 20L -> 2L, 30L -> 1L, 40L -> 1L), all)
+    // kRrf shifts every denominator: rank 1 at kRrf=60 → 10¹² DIV 61
+    val shifted = TextOps.rrfFuse(Seq(l1), "id", "rnk", kRrf = 60, topK = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(shifted == Seq((10L, 1000000000000L / 61L)), shifted)
+  }
+
+  test("mmrRerank: λ=1 is pure relevance; greedy matches an independent replica; deterministic") {
+    import spark.implicits._
+    // deterministic pseudo-random fixture: 13 vectors, dim 6
+    val d = (0L until 13L).map(id =>
+      id -> (0 until 6).map(j => (((id * 13 + j * 7) % 17) - 8).toFloat * 1e-5f))
+      .toDF("vec_id", "embedding")
+    val prep = Embeddings.prepare(d, "vec_id", "embedding").cache()
+    try {
+      // λ=1: score = rel exactly → the MMR order IS the brute-force order
+      val pure = Embeddings.mmrRerank(prep, "vec_id", col("vec_id") === 0,
+        k0 = 8, topK = 5, lambda = 1.0)
+        .orderBy("rnk").collect().map(_.getLong(0)).toSeq
+      val brute = Embeddings.bruteForceTopK(prep, "vec_id", 5, col("vec_id") === 0)
+        .orderBy("rnk").collect().map(_.getLong(2)).toSeq
+      assert(pure == brute, s"λ=1 must reduce to relevance order: $pure vs $brute")
+
+      // λ=0.5 vs an independent in-test greedy over first-principles cosines
+      val qs: Map[Long, Array[Long]] = prep.select(col("vec_id"), col("q"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      def cosOf(a: Long, b: Long): Double = {
+        val (qa, qb) = (qs(a), qs(b))
+        val dot = qa.iterator.zip(qb.iterator).map { case (x, y) => x * y }.sum
+        val (na, nb) = (qa.map(x => x * x).sum, qb.map(x => x * x).sum)
+        dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+      }
+      val rel = (1L until 13L).map(v => v -> cosOf(0L, v))
+        .sortBy { case (v, c) => (-c, v) }.take(8).toMap
+      val expect = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val ms = scala.collection.mutable.HashMap.empty[Long, Double]
+      while (expect.length < 5) {
+        val best = rel.keys.toSeq.sorted.filterNot(expect.contains)
+          .map(v => (v, 0.5 * rel(v) - 0.5 * ms.getOrElse(v, 0.0)))
+          .reduceLeft((x, y) => if (y._2 > x._2) y else x)._1
+        expect += best
+        rel.keys.filterNot(v => (expect :+ best).contains(v)).foreach { v =>
+          val c = cosOf(v, best)
+          if (c > ms.getOrElse(v, Double.NegativeInfinity)) ms(v) = c
+        }
+      }
+      val got = Embeddings.mmrRerank(prep, "vec_id", col("vec_id") === 0,
+        k0 = 8, topK = 5, lambda = 0.5)
+        .orderBy("rnk").collect().map(_.getLong(0)).toSeq
+      assert(got == expect.toSeq, s"greedy must match the replica: $got vs $expect")
+      assert(got != pure,
+        "fixture should make λ=0.5 diverge from pure relevance (else the gate is vacuous)")
+
+      // deterministic across invocations
+      assert(got == Embeddings.mmrRerank(prep, "vec_id", col("vec_id") === 0,
+        k0 = 8, topK = 5, lambda = 0.5).orderBy("rnk").collect().map(_.getLong(0)).toSeq)
+
+      // a probe matching several rows must be rejected loudly
+      intercept[IllegalArgumentException] {
+        Embeddings.mmrRerank(prep, "vec_id", col("vec_id") < 2, k0 = 8, topK = 5)
+      }
+    } finally prep.unpersist()
+  }
 }
