@@ -458,7 +458,11 @@ object Embeddings {
     // the memo) nor recomputes the prepared plan per consumer (the r18
     // same-box A/B caught that recompute as a consistent 1.6× q121 CPU
     // regression: unpersisting before the plan is materialized re-scans
-    // the corpus once for the index and once for the probes)
+    // the corpus once for the index and once for the probes). Trade-off:
+    // the encode job now runs when the operator is BUILT (for the TVF,
+    // at analysis time, like the sampling collects always did) — a
+    // plan-only consumer (EXPLAIN) pays it once per memo entry; execution
+    // paths always paid it, minus the recompute this removes
     val cached = prepared.cache()
     val (cb, coded, queries) = try {
       val cents = sampleCentroids(cached, idCol, cells)
@@ -654,19 +658,36 @@ object Embeddings {
     require(k0 >= topK && topK >= 1, s"need k0 >= topK >= 1: k0=$k0 topK=$topK")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
     val spark = prepared.sparkSession
-    val candRows = bruteForceTopK(prepared, idCol, k0, queryPred)
-      .select(col("query_id"), col("neighbor_id"), col("cos")).collect()
-    val qids = candRows.map(_.getLong(0)).distinct
-    require(qids.length == 1,
-      s"mmrRerank re-ranks ONE probe's list; queryPred matched ${qids.length} rows")
-    val rel: Map[Long, Double] =
-      candRows.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // three consumers (retriever query side, retriever corpus side, the
+    // candidate-vector fetch) — cache for ONE corpus pass; everything here
+    // is eagerly collected, so the cache releases before returning and the
+    // result frame carries no lineage on it
+    val cached = prepared.cache()
+    val (rel, vecs) = try {
+      val candRows = bruteForceTopK(cached, idCol, k0, queryPred)
+        .select(col("query_id"), col("neighbor_id"), col("cos")).collect()
+      val qids = candRows.map(_.getLong(0)).distinct
+      require(qids.length == 1, s"mmrRerank re-ranks ONE probe's candidate " +
+        s"list; found ${qids.length} distinct probes among the candidate rows " +
+        "(empty = queryPred matched nothing, or the corpus has no neighbors)")
+      val rel0: Map[Long, Double] =
+        candRows.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      // candidate vectors: k0 rows of (quantized vector, norm) — model-scale
+      val vecs0: Map[Long, (Array[Long], Long)] = cached
+        .filter(col(idCol).isin(rel0.keys.toSeq: _*))
+        .select(col(idCol), col("q"), col("n2")).collect()
+        .map(r => r.getLong(0) -> (r.getSeq[Long](1).toArray, r.getLong(2))).toMap
+      (rel0, vecs0)
+    } finally cached.unpersist()
+    // cosine is undefined on a zero vector, and NaN scores would break the
+    // bit-for-bit oracle replay (Spark's greedy skips NaN where SQL DESC
+    // sorts it first) — reject loudly instead of ranking garbage
+    vecs.collectFirst { case (id, (_, n2)) if n2 == 0L => id }.foreach(id =>
+      throw new IllegalArgumentException(
+        s"mmrRerank: candidate $id has a zero-norm embedding (cosine undefined)"))
+    require(rel.values.forall(c => !c.isNaN),
+      "mmrRerank: NaN relevance (zero-norm probe embedding?)")
     val ids = rel.keys.toSeq.sorted
-    // candidate vectors: k0 rows of (quantized vector, norm) — model-scale
-    val vecs: Map[Long, (Array[Long], Long)] = prepared
-      .filter(col(idCol).isin(ids: _*))
-      .select(col(idCol), col("q"), col("n2")).collect()
-      .map(r => r.getLong(0) -> (r.getSeq[Long](1).toArray, r.getLong(2))).toMap
     def cosOf(a: Long, b: Long): Double = {
       val (qa, na) = vecs(a); val (qb, nb) = vecs(b)
       var i = 0; var d = 0L

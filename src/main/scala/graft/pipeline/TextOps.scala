@@ -621,7 +621,14 @@ object TextOps {
     val contrib = lists
       .map(_.select(col(idCol), col(rankCol).cast("long").as("__rrf_r")))
       .reduce(_ unionByName _)
-      .select(col(idCol), expr(s"1000000000000 DIV ($kRrf + __rrf_r)").as("__c"))
+      // enforce the 1-based-rank contract IN the plan: a NULL or
+      // non-positive rank would otherwise make the DIV yield NULL (silently
+      // dropped by sum while lists_hit still counts the row) where the
+      // DuckDB oracle raises — fail loudly on both engines instead
+      .select(col(idCol), when(col("__rrf_r") >= 1,
+          expr(s"1000000000000 DIV ($kRrf + __rrf_r)"))
+        .otherwise(raise_error(concat(lit("rrfFuse needs 1-based ranks; got "),
+          coalesce(col("__rrf_r").cast("string"), lit("NULL"))))).as("__c"))
     val w = Window.orderBy(col("rrf_q").desc, col(idCol).asc)
     contrib.groupBy(col(idCol))
       .agg(count(lit(1)).as("lists_hit"), sum(col("__c")).cast("bigint").as("rrf_q"))

@@ -1923,6 +1923,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val shifted = TextOps.rrfFuse(Seq(l1), "id", "rnk", kRrf = 60, topK = 1)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
     assert(shifted == Seq((10L, 1000000000000L / 61L)), shifted)
+    // the 1-based-rank contract is enforced IN the plan (a 0 rank at
+    // kRrf=0 would otherwise NULL the contribution where the oracle errors)
+    val bad = Seq((1L, 0L)).toDF("id", "rnk")
+    intercept[Exception] {
+      TextOps.rrfFuse(Seq(bad), "id", "rnk", kRrf = 0, topK = 1).collect()
+    }
   }
 
   test("mmrRerank: λ=1 is pure relevance; greedy matches an independent replica; deterministic") {
@@ -1980,5 +1986,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         Embeddings.mmrRerank(prep, "vec_id", col("vec_id") < 2, k0 = 8, topK = 5)
       }
     } finally prep.unpersist()
+
+    // zero-norm embeddings (cosine undefined — NaN scores would silently
+    // diverge from the oracle's DESC-sorts-NaN-first) fail LOUDLY, never
+    // rank: under ANSI the retriever's division throws DIVIDE_BY_ZERO
+    // first; with ANSI off the operator's own n2==0 / NaN guards fire
+    val withZero = ((0L until 4L).map(id =>
+      id -> (0 until 6).map(j => ((id + j) % 5 - 2).toFloat * 1e-5f)) :+
+      (4L -> (0 until 6).map(_ => 0.0f))).toDF("vec_id", "embedding")
+    val prepZ = Embeddings.prepare(withZero, "vec_id", "embedding")
+    intercept[Exception] {
+      Embeddings.mmrRerank(prepZ, "vec_id", col("vec_id") === 0, k0 = 4, topK = 2)
+    }
   }
 }
