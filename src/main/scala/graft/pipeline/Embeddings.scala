@@ -428,6 +428,35 @@ object Embeddings {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adc_dist"))
   }
 
+  /** Size-1 cache registry for the PQ/IVF index builders' prepared corpus.
+    * Repeat invocations on the SAME corpus (dashboards re-issuing a query,
+    * the bench's iterations, varied cells/nprobe TVF args that miss the
+    * memo) reuse one cached copy; a DIFFERENT corpus unpersists the
+    * previous one, bounding pinned storage at a single corpus however many
+    * tables a long-lived session touches (ADVICE r17 #3, settled by two
+    * r18 A/B measurements: unpersist-before-materialize re-scanned the
+    * corpus per consumer — 1.6× q121 CPU — and eager localCheckpoint paid
+    * two extra materialization jobs per call — 1.4×; reuse-with-bounded-
+    * pinning is the only variant that is both fast and leak-free). A
+    * `spark.catalog.clearCache()` (the bench/verify per-query hygiene)
+    * drops the entry; [[GraftShim.planIsCached]] detects that and the next
+    * call re-caches instead of silently recomputing per consumer. */
+  private[this] val ivfCorpus =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private[graft] def cacheCorpus(prepared: DataFrame): DataFrame = ivfCorpus.synchronized {
+    val cur = ivfCorpus.get()
+    val alive = cur != null && !cur.sparkSession.sparkContext.isStopped
+    if (alive && (cur.sparkSession eq prepared.sparkSession) &&
+        cur.queryExecution.analyzed.sameResult(prepared.queryExecution.analyzed) &&
+        org.apache.spark.sql.GraftShim.planIsCached(cur)) cur
+    else {
+      if (alive) scala.util.Try(cur.unpersist())
+      val c = prepared.cache()
+      ivfCorpus.set(c)
+      c
+    }
+  }
+
   /** IVFADC (Jégou, Douze & Schmid 2011 §IV — the billion-vector search
     * shape): the corpus is binned into IVF Voronoi cells AND collapsed to
     * PQ codes, a query probes only its `nprobe` nearest cells, and ADC
@@ -449,45 +478,29 @@ object Embeddings {
                 cells: Int = 8, nprobe: Int = 2, m: Int = 8, k: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // four consumers read the prepared frame (coarse sample, codebook
-    // sample, corpus encode, query probes): cache it for ONE shared corpus
-    // pass, eagerly localCheckpoint the two small derived frames (the
-    // m-codes index and the probe rows) while the cache is live, then
-    // release the corpus before returning. The lazy result plan reads the
-    // checkpointed blocks — it neither pins a full corpus copy per distinct
-    // invocation (review finding r17: varied cells/nprobe TVF calls miss
-    // the memo) nor recomputes the prepared plan per consumer (the r18
-    // same-box A/B caught that recompute as a consistent 1.6× q121 CPU
-    // regression: unpersisting before the plan is materialized re-scans
-    // the corpus once for the index and once for the probes). Trade-off:
-    // the encode job now runs when the operator is BUILT (for the TVF,
-    // at analysis time, like the sampling collects always did) — a
-    // plan-only consumer (EXPLAIN) pays it once per memo entry; execution
-    // paths always paid it, minus the recompute this removes
-    val cached = prepared.cache()
-    val (cb, coded, queries) = try {
-      val cents = sampleCentroids(cached, idCol, cells)
-      val books = pqCodebooks(cached, idCol, m, k)
-      val (_, sub, cb0) = books
-      // corpus index: (neighbor_id, cell, pq_codes) — at rest this is the
-      // m-codes-per-vector memory footprint plus one small int; `prepare`
-      // already spread the corpus, so no extra shuffle here
-      val coded0 = pqEncodeWith(
-          cached.withColumn("__cell", element_at(rankedCellIds(cents, 1), 1)),
-          idCol, books, m, carry = Seq("__cell"))
-        .select(col(idCol).as("neighbor_id"), col("__cell").as("c"), col("pq_codes"))
-        .localCheckpoint(true)
-      // query side: nprobe probe rows per query, each carrying the staged
-      // exact subvectors + norms the ADC distance reuses per subspace
-      val queries0 = cached.filter(queryPred)
-        .withColumn("__probes", rankedCellIds(cents, nprobe))
-        .select(col(idCol).as("query_id") +: explode(col("__probes")).as("c") +:
-          (0 until m).flatMap { j =>
-            val s = slice(col("q"), j * sub + 1, sub)
-            Seq(s.as(s"__qs$j"), normSq(s).as(s"__qn$j"))
-          }: _*)
-        .localCheckpoint(true)
-      (cb0, coded0, queries0)
-    } finally cached.unpersist()
+    // sample, corpus encode, query probes): one cached corpus copy via the
+    // size-1 [[cacheCorpus]] registry — reused across invocations on the
+    // same corpus, released when a different corpus arrives
+    val cached = cacheCorpus(prepared)
+    val cents = sampleCentroids(cached, idCol, cells)
+    val books = pqCodebooks(cached, idCol, m, k)
+    val (_, sub, cb) = books
+    // corpus index: (neighbor_id, cell, pq_codes) — at rest this is the
+    // m-codes-per-vector memory footprint plus one small int; `prepare`
+    // already spread the corpus, so no extra shuffle here
+    val coded = pqEncodeWith(
+        cached.withColumn("__cell", element_at(rankedCellIds(cents, 1), 1)),
+        idCol, books, m, carry = Seq("__cell"))
+      .select(col(idCol).as("neighbor_id"), col("__cell").as("c"), col("pq_codes"))
+    // query side: nprobe probe rows per query, each carrying the staged
+    // exact subvectors + norms the ADC distance reuses per subspace
+    val queries = cached.filter(queryPred)
+      .withColumn("__probes", rankedCellIds(cents, nprobe))
+      .select(col(idCol).as("query_id") +: explode(col("__probes")).as("c") +:
+        (0 until m).flatMap { j =>
+          val s = slice(col("q"), j * sub + 1, sub)
+          Seq(s.as(s"__qs$j"), normSq(s).as(s"__qn$j"))
+        }: _*)
     val dist = (0 until m).map { j =>
       val code = element_at(col("pq_codes"), j + 1)
       val cw = element_at(typedLit(cb(j).map(_._1.toSeq).toSeq), code + 1)
@@ -563,60 +576,52 @@ object Embeddings {
                        cells: Int = 8, nprobe: Int = 2, m: Int = 8, k: Int = 16,
                        trainIters: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // cache for training's repeated passes + the two sampling collects;
-    // the index and probe frames are eagerly localCheckpoint-ed while the
-    // cache is live, then the corpus is released (the pqTopKIVF convention
-    // — see that method's comment for why checkpoint-then-release beats
-    // both never-unpersist and unpersist-before-materialize)
+    // one cached corpus copy via the size-1 [[cacheCorpus]] registry, shared
+    // by training's repeated passes, the two sampling collects, the encode,
+    // and the probe side (the pqTopKIVF convention)
     val cellIdx = col("c").cast("int") + 1
-    val cached = prepared.cache()
-    val (cb, centSubs, cc2, dTab, coded, queries) = try {
-      val cents = trainCentroids(cached, idCol, cells, trainIters, reseedEmpty = true)
-      val books = pqResidualCodebooks(cached, idCol, m, k, cents)
-      require(cents.map(_._1).toSeq == (0L until cents.length.toLong),
-        "coarse cells must be consecutively numbered from 0 (sampleCentroids contract)")
-      val (_, sub, cb0) = books
-      // driver literal tables, indexed by cell id then (for D) codeword:
-      //   centSubs(j)(cell) = centroid subvector,  cc2(j)(cell) = its |·|²,
-      //   dTab(j)(cw)(cell) = ⟨centroid_j(cell), codeword⟩
-      val centSubs0: Array[Seq[Seq[Long]]] = Array.tabulate(m)(j =>
-        cents.map(_._2.slice(j * sub, (j + 1) * sub).toSeq).toSeq)
-      val cc20: Array[Seq[Long]] = Array.tabulate(m)(j =>
-        centSubs0(j).map(cs => cs.iterator.map(x => x * x).sum))
-      val dTab0: Array[Array[Seq[Long]]] = Array.tabulate(m)(j =>
-        cb0(j).map { case (cw, _) =>
-          centSubs0(j).map(cs => cs.iterator.zip(cw.iterator).map { case (a, b) => a * b }.sum)
-        })
-      // corpus index: (neighbor_id, cell, residual pq codes) in ONE projection
-      val staged = cached.select(col(idCol).as("neighbor_id") +:
-        element_at(rankedCellIds(cents, 1), 1).as("c") +:
-        (0 until m).map(j => slice(col("q"), j * sub + 1, sub).as(s"__s$j")): _*)
-      val codes = (0 until m).map { j =>
-        // argmin over codewords of ‖r_j − cw‖² minus its row-constant ‖r_j‖²
-        // term: |cw|² − 2(⟨q_j,cw⟩ − D(cell,j,cw)) — ties (equal distance) to
-        // the lowest codeword id, identical to the raw-vector PQ convention
-        element_at(array_sort(array(cb0(j).zipWithIndex.map { case ((cw, cn2), cwi) =>
-          struct((lit(cn2) - lit(2L) * (dotq(col(s"__s$j"), typedLit(cw.toSeq)) -
-            element_at(typedLit(dTab0(j)(cwi)), cellIdx))).as("d2"),
-            lit(cwi).as("c"))
-        }.toSeq: _*)), 1).getField("c")
-      }
-      val coded0 = staged
-        .select(col("neighbor_id"), col("c"), array(codes: _*).as("pq_codes"))
-        .localCheckpoint(true)
-      // query side: nprobe probe rows per query; the residual is per probe
-      // CELL, so the ADC distance reconstructs it from the staged raw
-      // subvectors + per-cell literal lookups
-      val queries0 = cached.filter(queryPred)
-        .withColumn("__probes", rankedCellIds(cents, nprobe))
-        .select(col(idCol).as("query_id") +: explode(col("__probes")).as("c") +:
-          (0 until m).flatMap { j =>
-            val s = slice(col("q"), j * sub + 1, sub)
-            Seq(s.as(s"__qs$j"), normSq(s).as(s"__qn$j"))
-          }: _*)
-        .localCheckpoint(true)
-      (cb0, centSubs0, cc20, dTab0, coded0, queries0)
-    } finally cached.unpersist()
+    val cached = cacheCorpus(prepared)
+    val cents = trainCentroids(cached, idCol, cells, trainIters, reseedEmpty = true)
+    val books = pqResidualCodebooks(cached, idCol, m, k, cents)
+    require(cents.map(_._1).toSeq == (0L until cents.length.toLong),
+      "coarse cells must be consecutively numbered from 0 (sampleCentroids contract)")
+    val (_, sub, cb) = books
+    // driver literal tables, indexed by cell id then (for D) codeword:
+    //   centSubs(j)(cell) = centroid subvector,  cc2(j)(cell) = its |·|²,
+    //   dTab(j)(cw)(cell) = ⟨centroid_j(cell), codeword⟩
+    val centSubs: Array[Seq[Seq[Long]]] = Array.tabulate(m)(j =>
+      cents.map(_._2.slice(j * sub, (j + 1) * sub).toSeq).toSeq)
+    val cc2: Array[Seq[Long]] = Array.tabulate(m)(j =>
+      centSubs(j).map(cs => cs.iterator.map(x => x * x).sum))
+    val dTab: Array[Array[Seq[Long]]] = Array.tabulate(m)(j =>
+      cb(j).map { case (cw, _) =>
+        centSubs(j).map(cs => cs.iterator.zip(cw.iterator).map { case (a, b) => a * b }.sum)
+      })
+    // corpus index: (neighbor_id, cell, residual pq codes) in ONE projection
+    val staged = cached.select(col(idCol).as("neighbor_id") +:
+      element_at(rankedCellIds(cents, 1), 1).as("c") +:
+      (0 until m).map(j => slice(col("q"), j * sub + 1, sub).as(s"__s$j")): _*)
+    val codes = (0 until m).map { j =>
+      // argmin over codewords of ‖r_j − cw‖² minus its row-constant ‖r_j‖²
+      // term: |cw|² − 2(⟨q_j,cw⟩ − D(cell,j,cw)) — ties (equal distance) to
+      // the lowest codeword id, identical to the raw-vector PQ convention
+      element_at(array_sort(array(cb(j).zipWithIndex.map { case ((cw, cn2), cwi) =>
+        struct((lit(cn2) - lit(2L) * (dotq(col(s"__s$j"), typedLit(cw.toSeq)) -
+          element_at(typedLit(dTab(j)(cwi)), cellIdx))).as("d2"),
+          lit(cwi).as("c"))
+      }.toSeq: _*)), 1).getField("c")
+    }
+    val coded = staged.select(col("neighbor_id"), col("c"), array(codes: _*).as("pq_codes"))
+    // query side: nprobe probe rows per query; the residual is per probe
+    // CELL, so the ADC distance reconstructs it from the staged raw
+    // subvectors + per-cell literal lookups
+    val queries = cached.filter(queryPred)
+      .withColumn("__probes", rankedCellIds(cents, nprobe))
+      .select(col(idCol).as("query_id") +: explode(col("__probes")).as("c") +:
+        (0 until m).flatMap { j =>
+          val s = slice(col("q"), j * sub + 1, sub)
+          Seq(s.as(s"__qs$j"), normSq(s).as(s"__qn$j"))
+        }: _*)
     val dist = (0 until m).map { j =>
       // ‖(q_j − c_j) − cw‖² = (|q_j|² + |c_j|² − 2⟨q_j,c_j⟩)
       //                      + |cw|² − 2⟨q_j,cw⟩ + 2⟨c_j,cw⟩

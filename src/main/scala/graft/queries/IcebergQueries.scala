@@ -384,6 +384,47 @@ object IcebergQueries {
       r
     }),
 
+    // BUCKET residuals in metadata aggregates (VERDICT r17 #8, done the
+    // careful way): bucket(lit) ≠ tuple proves x ≠ lit for EVERY row of a
+    // file — an EXACT negative, not pruning — so missing-key probes
+    // (`WHERE src = value-whose-bucket-no-file-carries`), `<>` against such
+    // a value, null-safe equality, and False∧undecidable short-circuits all
+    // answer from manifests with zero data files opened; a bucket MATCH
+    // proves nothing and bails to a scan (never folded into the exact
+    // path). 'ghost' buckets to 6 of 8 — unoccupied by the 20 sources — and
+    // an in-query guard fails loudly if the fixture ever drifts.
+    "q125_bucket_metadata_agg" -> ((s, d) => {
+      val wh = Files.createTempDirectory("graft_bkwh").toString
+      s.conf.set("spark.sql.catalog.graft_bk", "graft.spark.sql.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.graft_bk.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_bk.db")
+      s.sql("DROP TABLE IF EXISTS graft_bk.db.bdocs")
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q125_src_docs")
+      s.sql("""CREATE TABLE graft_bk.db.bdocs (doc_id BIGINT, source STRING, n_chars BIGINT)
+              |PARTITIONED BY (bucket(8, source))""".stripMargin)
+      s.sql("INSERT INTO graft_bk.db.bdocs SELECT * FROM q125_src_docs WHERE doc_id % 2 = 0")
+      s.sql("INSERT INTO graft_bk.db.bdocs SELECT * FROM q125_src_docs WHERE doc_id % 2 = 1")
+      val occupied = s.sql("SELECT DISTINCT source FROM q125_src_docs").collect()
+        .map(r => graft.core.Transform.Bucket(8)(r.getString(0))).toSet
+      require(!occupied.contains(graft.core.Transform.Bucket(8)("ghost")),
+        s"fixture drift: bucket(8,'ghost') collides with occupied buckets $occupied")
+      val r = s.sql(
+        """SELECT 'eq_missing' AS probe, count(*) AS n
+          |FROM graft_bk.db.bdocs WHERE source = 'ghost'
+          |UNION ALL SELECT 'ne_missing', count(*)
+          |FROM graft_bk.db.bdocs WHERE source <> 'ghost'
+          |UNION ALL SELECT 'null_safe', count(*)
+          |FROM graft_bk.db.bdocs WHERE source <=> NULL
+          |UNION ALL SELECT 'and_shortcircuit', count(*)
+          |FROM graft_bk.db.bdocs WHERE source = 'ghost' AND n_chars > 0
+          |ORDER BY probe""".stripMargin)
+      require(r.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "q125 must be answered from manifest metadata (LocalRelation plan), not a scan")
+      r
+    }),
+
     // CDC changelog read (S4 extension): three commits — even keys, odd
     // keys, equality-delete of F-status keys. Window 1 (snap1→snap2) is
     // append-only and streams inserts straight off the new files (no diff);
@@ -545,6 +586,13 @@ object IcebergQueries {
         |WHERE (lang IN ('en', 'de') OR (lang >= 'es' AND lang < 'fs') OR lang = 'zz')
         |  AND n_chars IS NOT NULL
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q125_bucket_metadata_agg" ->
+      """SELECT 'eq_missing' AS probe, count(*) AS n FROM documents WHERE source = 'ghost'
+        |UNION ALL SELECT 'ne_missing', count(*) FROM documents WHERE source <> 'ghost'
+        |UNION ALL SELECT 'null_safe', count(*) FROM documents WHERE source IS NULL
+        |UNION ALL SELECT 'and_shortcircuit', count(*) FROM documents
+        |  WHERE source = 'ghost' AND n_chars > 0
+        |ORDER BY probe""".stripMargin,
     "q40_changelog" ->
       """WITH src AS (
         |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price

@@ -50,6 +50,9 @@ object MetadataAgg {
   final case class MaxCol(name: String) extends AggSpec
   /** The grouping column's own value (grouped form only). */
   final case class GroupVal(name: String) extends AggSpec
+  /** A constant output column (e.g. a label literal next to a count) —
+    * carried through verbatim; `v` is already catalyst-internal. */
+  final case class LitVal(v: Any) extends AggSpec
 
   /** Types whose manifest bounds are exact end-to-end (see scaladoc). */
   private def boundExact(t: IceType): Boolean = t match {
@@ -157,6 +160,24 @@ object MetadataAgg {
               (pf.name, schema.fieldById(pf.sourceId).get.fieldType)
           }.filter { case (_, t) => groupable(t) }
         }
+      // bucket[n] partition fields give a PARTIAL per-file fact: every row
+      // of the file hashes its source column to the file's tuple value, so
+      // bucket(lit) ≠ tuple proves x ≠ lit for EVERY row (exact False /
+      // NOT-True), and a NULL tuple proves x IS NULL file-wide — but a
+      // bucket MATCH proves nothing (other values share the bucket), so
+      // equality can never decide True and ranges never decide at all
+      // (VERDICT r17 #8: exclusion only; the aggregate still bails to a
+      // scan whenever any file stays undecided)
+      def resolveBucket(g: String): Option[(String, Int, IceType)] =
+        spec.flatMap { sp =>
+          sp.fields.collectFirst {
+            case pf if pf.transform.isInstanceOf[graft.core.Transform.Bucket] &&
+              schema.fieldById(pf.sourceId).exists(_.name == g) &&
+              defCount.getOrElse(pf.name, 1) == 1 =>
+              (pf.name, pf.transform.asInstanceOf[graft.core.Transform.Bucket].n,
+                schema.fieldById(pf.sourceId).get.fieldType)
+          }
+        }
       val keys: Option[Seq[(String, graft.spec.IceType)]] = {
         val resolved = groupCols.map(resolveIdentity)
         if (resolved.contains(None)) None else Some(resolved.map(_.get))
@@ -177,20 +198,31 @@ object MetadataAgg {
         case Some(cond) =>
           val refNames = cond.references.map(_.name).toSeq.distinct
           val resolved = refNames.flatMap(n => resolveIdentity(n).map(n -> _)).toMap
-          // non-identity references resolve to a schema field id for the
+          // a column that is not identity-partitioned may still be
+          // bucket-partitioned (partial facts) …
+          val bucketResolved: Map[String, (String, Int, IceType)] = refNames
+            .filterNot(resolved.contains)
+            .flatMap(n => resolveBucket(n).map(n -> _)).toMap
+          // … and any other reference resolves to a schema field id for the
           // null-count fact path; an unresolvable column bails outright
-          val nullFactFields: Map[String, Int] = refNames.filterNot(resolved.contains)
+          val nullFactFields: Map[String, Int] = refNames
+            .filterNot(n => resolved.contains(n) || bucketResolved.contains(n))
             .flatMap(n => schema.fieldByName(n).map(f => n -> f.id)).toMap
-          if (resolved.size + nullFactFields.size != refNames.size) None
+          if (resolved.size + bucketResolved.size + nullFactFields.size
+              != refNames.size) None
           else {
             val types = resolved.map { case (n, (_, t)) => n -> t }
             val kept = allFiles.map { f =>
               val tuple = f.partition.toMap
-              if (resolved.values.exists { case (k, _) => !tuple.contains(k) }) None
+              if (resolved.values.exists { case (k, _) => !tuple.contains(k) } ||
+                  bucketResolved.values.exists { case (k, _, _) => !tuple.contains(k) })
+                None
               else {
                 val vals = resolved.map { case (n, (k, t)) =>
                   n -> canonTuple(t, tuple(k))
                 }
+                val bucketFacts: Map[String, (Any, Int, IceType)] =
+                  bucketResolved.map { case (n, (k, nb, t)) => n -> ((tuple(k), nb, t)) }
                 // column → all rows NULL? (an empty file is vacuously
                 // decidable either way; true keeps IS NULL exact)
                 val nullFacts: Map[String, Boolean] = nullFactFields.flatMap {
@@ -202,8 +234,16 @@ object MetadataAgg {
                       case _ => None // mixed or unrecorded: undecidable
                     }
                 }
-                evalExact(cond, vals, types, nullFacts)
+                evalExact(cond, vals, types, nullFacts, bucketFacts)
                   .map(tri => f -> (tri == Pruning.True))
+                  // exact Tri undecidable, but the file may still be
+                  // provably NEVER-True (e.g. False ∧ undecidable on one
+                  // branch while another file's branch stays open) —
+                  // exclusion is then exact even without the full value
+                  .orElse(
+                    if (neverTrue(cond, vals, types, nullFacts, bucketFacts))
+                      Some(f -> false)
+                    else None)
               }
             }
             if (kept.contains(None)) None
@@ -247,6 +287,8 @@ object MetadataAgg {
 
               case MinCol(name) => bound(schema, gfiles, name, isMin = true)
               case MaxCol(name) => bound(schema, gfiles, name, isMin = false)
+
+              case LitVal(v) => Some(v)
             }
             if (answers.contains(None)) None
             else Some(answers.map(_.get match {
@@ -288,7 +330,12 @@ object MetadataAgg {
   /** EXACT three-valued evaluation of a residual predicate against one
     * file's identity partition tuple (`vals`: column → tuple value, null
     * allowed) plus per-file null facts (`nullFacts`: column → all rows
-    * NULL?) for `IS [NOT] NULL` on non-partition columns. Returns None when
+    * NULL?) for `IS [NOT] NULL` on non-partition columns, plus PARTIAL
+    * bucket facts (`bucketFacts`: column → (bucket tuple value, n, source
+    * type)) that decide equality NEGATIVELY only — bucket(lit) ≠ tuple
+    * proves x ≠ lit for every row; a match proves nothing and a range
+    * never decides (VERDICT r17 #8) — and nullness exactly (bucket(x) is
+    * NULL iff x is). Returns None when
     * any node, column, literal, or type cannot be decided exactly — the
     * caller then scans instead. This is NOT the conservative interval logic
     * of [[graft.core.Pruning]]: a True here asserts EVERY row of the file
@@ -299,10 +346,13 @@ object MetadataAgg {
     */
   private def evalExact(e: Expression, vals: Map[String, Any],
                         types: Map[String, IceType],
-                        nullFacts: Map[String, Boolean] = Map.empty): Option[Pruning.Tri] = {
+                        nullFacts: Map[String, Boolean] = Map.empty,
+                        bucketFacts: Map[String, (Any, Int, IceType)] = Map.empty)
+      : Option[Pruning.Tri] = {
     import Pruning.{False, Tri, True, Unknown}
     def lift(b: Boolean): Tri = if (b) True else False
-    def rec(x: Expression): Option[Tri] = evalExact(x, vals, types, nullFacts)
+    def rec(x: Expression): Option[Tri] =
+      evalExact(x, vals, types, nullFacts, bucketFacts)
     // all-rows-NULL fact for a non-tuple column (None = mixed/unknown: bail)
     def nullFactOf(x: Expression): Option[Boolean] = x match {
       case a: AttributeReference => nullFacts.get(a.name)
@@ -312,9 +362,55 @@ object MetadataAgg {
       case a: AttributeReference if vals.contains(a.name) => Some(a.name)
       case _ => None
     }
+    def battr(x: Expression): Option[String] = x match {
+      case a: AttributeReference if bucketFacts.contains(a.name) => Some(a.name)
+      case _ => None
+    }
     def litOf(x: Expression): Option[Any] = x match {
       case Literal(v, _) => Some(v) // Some(null) is a NULL literal
       case _ => None
+    }
+    // bucket-partial equality fact: Some(Some(matches?)) when the literal's
+    // bucket is computable, Some(None) for a NULL side (SQL NULL compare),
+    // None = bail (uncanonical literal / non-int tuple)
+    def bucketEq(name: String, rawLit: Any): Option[Option[Boolean]] = {
+      val (tupleV, nb, t) = bucketFacts(name)
+      if (rawLit == null || tupleV == null) Some(None)
+      else Pruning.canonLit(rawLit, t).flatMap { lv =>
+        val b = try Some(graft.core.Transform.Bucket(nb)(lv))
+                catch { case _: Exception => None }
+        b.flatMap {
+          case bv: Int => tupleV match {
+            case ti: Int => Some(Some(ti == bv))
+            case _ => None
+          }
+          case _ => None
+        }
+      }
+    }
+    def bucketPair(l: Expression, r: Expression): Option[(String, Any)] =
+      (battr(l), litOf(r)) match {
+        case (Some(n), Some(v)) => Some((n, v))
+        case _ => (battr(r), litOf(l)) match {
+          case (Some(n), Some(v)) => Some((n, v))
+          case _ => None
+        }
+      }
+    // x IN (...) through the bucket fact: decidable only when NO element's
+    // bucket matches (False, or Unknown with a NULL element); any possible
+    // match is undecidable
+    def bucketIn(name: String, rawVals: Seq[Any]): Option[Tri] = {
+      val tupleV = bucketFacts(name)._1
+      if (rawVals.isEmpty) Some(False)
+      else if (tupleV == null) Some(Unknown) // all rows NULL: NULL IN (…)
+      else {
+        val hasNull = rawVals.contains(null)
+        val eqs = rawVals.filterNot(_ == null).map(v => bucketEq(name, v))
+        if (eqs.exists(_.isEmpty)) None
+        else if (eqs.exists(_ == Some(Some(true)))) None
+        else if (hasNull) Some(Unknown)
+        else Some(False)
+      }
     }
     // attr OP lit in either orientation; flipped = the literal was on the left
     def cmpPair(l: Expression, r: Expression): Option[(String, Any, Boolean)] =
@@ -359,13 +455,28 @@ object MetadataAgg {
         Some(Unknown)
       case Literal(b: Boolean, _) => Some(lift(b))
 
-      case EqualTo(l, r) => cmp3(l, r)((c, _) => lift(c == 0))
+      case EqualTo(l, r) => cmp3(l, r)((c, _) => lift(c == 0)).orElse(
+        bucketPair(l, r).flatMap { case (n, v) =>
+          bucketEq(n, v) match {
+            case Some(None) => Some(Unknown)        // NULL side, or all-NULL file
+            case Some(Some(false)) => Some(False)   // bucket mismatch: no row equals
+            case _ => None                          // bucket match proves nothing
+          }
+        })
       case EqualNullSafe(l, r) => cmpPair(l, r).flatMap { case (n, v, _) =>
         val fv = vals(n)
         if (v == null || fv == null) Some(lift(v == null && fv == null))
         else Pruning.canonLit(v, types(n))
           .flatMap(lv => cmpExact(fv, lv)).map(c => lift(c == 0))
-      }
+      }.orElse(bucketPair(l, r).flatMap { case (n, v) =>
+        val tupleV = bucketFacts(n)._1
+        if (v == null) Some(lift(tupleV == null)) // x <=> NULL ⟺ all rows NULL
+        else if (tupleV == null) Some(False)      // all rows NULL vs non-null lit
+        else bucketEq(n, v) match {
+          case Some(Some(false)) => Some(False)
+          case _ => None
+        }
+      })
       case LessThan(l, r) => cmp3(l, r)((c, f) => lift(if (f) c > 0 else c < 0))
       case LessThanOrEqual(l, r) => cmp3(l, r)((c, f) => lift(if (f) c >= 0 else c <= 0))
       case GreaterThan(l, r) => cmp3(l, r)((c, f) => lift(if (f) c < 0 else c > 0))
@@ -375,14 +486,45 @@ object MetadataAgg {
         val lits = list.map(litOf)
         if (lits.contains(None)) None
         else inSemantics(n, lits.map(_.get), vals, types)
-      }
+      }.orElse(battr(a).flatMap { n =>
+        val lits = list.map(litOf)
+        if (lits.contains(None)) None else bucketIn(n, lits.map(_.get))
+      })
       case InSet(a, hset) => attr(a).flatMap(n => inSemantics(n, hset.toSeq, vals, types))
+        .orElse(battr(a).flatMap(n => bucketIn(n, hset.toSeq)))
 
+      // the bucket tuple decides nullness EXACTLY: bucket(x) is NULL iff x
+      // is, and every row of the file shares the tuple value
       case IsNull(a) => attr(a).map(n => lift(vals(n) == null))
+        .orElse(battr(a).map(n => lift(bucketFacts(n)._1 == null)))
         .orElse(nullFactOf(a).map(allNull => lift(allNull)))
       case IsNotNull(a) => attr(a).map(n => lift(vals(n) != null))
+        .orElse(battr(a).map(n => lift(bucketFacts(n)._1 != null)))
         .orElse(nullFactOf(a).map(allNull => lift(!allNull)))
       case _ => None
+    }
+  }
+
+  /** Sound-but-incomplete proof that NO row of the file satisfies `e` —
+    * the whole-file EXCLUSION test. Unlike [[evalExact]] it tolerates
+    * sub-expressions whose exact Tri is undecidable, because a conjunction
+    * is never-True as soon as ONE side is never-True (a row passes a WHERE
+    * only on True; False and Unknown both exclude). Polarity-safe: `Not`
+    * does not recurse here (never-True of `NOT x` needs x True for every
+    * row, which only [[evalExact]] can assert) — collapsing a mixed
+    * False/Unknown file to one Tri under a negation would flip rows. */
+  private def neverTrue(e: Expression, vals: Map[String, Any],
+                        types: Map[String, IceType],
+                        nullFacts: Map[String, Boolean],
+                        bucketFacts: Map[String, (Any, Int, IceType)]): Boolean = {
+    def nt(x: Expression): Boolean = neverTrue(x, vals, types, nullFacts, bucketFacts)
+    def exact(x: Expression): Option[Pruning.Tri] =
+      evalExact(x, vals, types, nullFacts, bucketFacts)
+    e match {
+      case And(l, r) => nt(l) || nt(r)
+      case Or(l, r) => nt(l) && nt(r)
+      case Not(x) => exact(x).contains(Pruning.True)
+      case other => exact(other).exists(_ != Pruning.True)
     }
   }
 

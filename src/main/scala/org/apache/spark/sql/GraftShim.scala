@@ -98,4 +98,14 @@ object GraftShim {
   def drainListenerBus(spark: SparkSession): Unit =
     try spark.sparkContext.listenerBus.waitUntilEmpty()
     catch { case _: java.util.concurrent.TimeoutException => }
+
+  /** Whether this exact plan is still registered with the CacheManager —
+    * lets an operator-level cache registry notice that
+    * `spark.catalog.clearCache()` (the bench/verify per-query hygiene)
+    * dropped its entry, instead of silently handing out an uncached frame. */
+  def planIsCached(df: Dataset[_]): Boolean = df match {
+    case d: org.apache.spark.sql.classic.Dataset[_] =>
+      d.sparkSession.sharedState.cacheManager.lookupCachedData(d).isDefined
+    case _ => false
+  }
 }

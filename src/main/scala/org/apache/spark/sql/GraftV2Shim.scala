@@ -154,6 +154,9 @@ class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
             }
             case a: AttributeReference => groupVal(a)
             case Alias(a: AttributeReference, _) => groupVal(a)
+            // constant label columns (e.g. `SELECT 'probe' AS tag, count(*)`)
+            // carry through verbatim — Literal.value is already internal
+            case Alias(l: Literal, _) if l.foldable => Some(MetadataAgg.LitVal(l.value))
             case _ => None
           }
           // a residual filter must be deterministic and reference only

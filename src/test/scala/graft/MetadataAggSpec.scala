@@ -286,4 +286,56 @@ class MetadataAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = df.head()
     assert(r.getLong(0) == 0 && r.isNullAt(1))
   }
+
+  test("bucket residuals decide negatively: missing-key probes and nullness answer exactly, matches bail") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ma")
+    spark.sql("DROP TABLE IF EXISTS graft.ma.bk")
+    spark.sql(
+      "CREATE TABLE graft.ma.bk (id BIGINT, src STRING, v INT) PARTITIONED BY (bucket(8, src))")
+    spark.sql(
+      "INSERT INTO graft.ma.bk VALUES (1,'a',5), (2,'a',NULL), (3,'b',7), (4,NULL,9)")
+    spark.sql("INSERT INTO graft.ma.bk VALUES (5,'b',-1)")
+
+    // deterministic missing-bucket probes: literals whose bucket(8) differs
+    // from every occupied bucket — bucket(lit) ≠ tuple proves x ≠ lit for
+    // EVERY row of the file, so the all-excluded answer is EXACT, not pruning
+    val occupied = Seq("a", "b").map(s => graft.core.Transform.Bucket(8)(s)).toSet
+    val missing = Seq("x", "y", "z", "q", "m", "n", "ghost", "probe6")
+      .filter(s => !occupied.contains(graft.core.Transform.Bucket(8)(s)))
+    assert(missing.size >= 2, s"fixture needs 2 missing-bucket probes: $missing")
+    val (p1, p2) = (missing(0), missing(1))
+
+    def one(q: String): (Boolean, Long) = {
+      val df = spark.sql(q)
+      (metadataOnly(df), df.head().getLong(0))
+    }
+    // missing-key probe: every file excluded by its bucket → exact 0
+    assert(one(s"SELECT count(*) AS n FROM graft.ma.bk WHERE src = '$p1'") == ((true, 0L)))
+    assert(one(s"SELECT count(*) AS n FROM graft.ma.bk WHERE src IN ('$p1','$p2')")
+      == ((true, 0L)))
+    // <> a missing key: mismatch files decide True, the NULL-src file
+    // decides Unknown (SQL drops it) — all decided, answer exact
+    assert(one(s"SELECT count(*) AS n FROM graft.ma.bk WHERE src <> '$p1'") == ((true, 4L)))
+    // nullness is exact through the bucket tuple (bucket(x) NULL iff x NULL)
+    assert(one("SELECT count(*) AS n FROM graft.ma.bk WHERE src IS NULL") == ((true, 1L)))
+    assert(one("SELECT count(*) AS n FROM graft.ma.bk WHERE src IS NOT NULL") == ((true, 4L)))
+    assert(one("SELECT count(*) AS n FROM graft.ma.bk WHERE src <=> NULL") == ((true, 1L)))
+    // False ∧ undecidable short-circuits: the mixed-null v column would
+    // bail alone, but every file is already excluded by the bucket fact
+    assert(one(s"SELECT count(*) AS n FROM graft.ma.bk WHERE src = '$p1' AND v > 100")
+      == ((true, 0L)))
+    // a constant label column rides along verbatim (the q125 UNION shape)
+    val lab = spark.sql(
+      s"SELECT 'probe' AS tag, count(*) AS n FROM graft.ma.bk WHERE src = '$p1'")
+    assert(metadataOnly(lab), lab.queryExecution.optimizedPlan.treeString)
+    assert(lab.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("probe", 0L)))
+    // a PRESENT key's bucket matches its own file — proves nothing → scan,
+    // value still exact
+    val present = spark.sql("SELECT count(*) AS n FROM graft.ma.bk WHERE src = 'a'")
+    assert(!metadataOnly(present), "bucket match must bail to a scan")
+    assert(present.head().getLong(0) == 2L)
+    // ranges never decide through a bucket → scan
+    assert(!metadataOnly(spark.sql("SELECT count(*) AS n FROM graft.ma.bk WHERE src > 'a'")))
+  }
 }

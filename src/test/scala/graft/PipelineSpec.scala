@@ -1900,6 +1900,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bloom == exact)
   }
 
+  test("IVF corpus-cache registry: same corpus reuses, different corpus evicts, clearCache re-caches") {
+    import spark.implicits._
+    def mk(n: Long) = Embeddings.prepare(
+      (0L until n).map(id => id -> (0 until 4).map(j => (id + j).toFloat * 1e-5f))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val a1 = Embeddings.cacheCorpus(mk(8))
+    assert(org.apache.spark.sql.GraftShim.planIsCached(a1))
+    // same corpus (same canonical plan) → the SAME cached frame back
+    assert(Embeddings.cacheCorpus(mk(8)) eq a1)
+    // a different corpus evicts the previous copy (pinning bounded at 1)
+    val b = Embeddings.cacheCorpus(mk(9))
+    assert(!(b eq a1) && org.apache.spark.sql.GraftShim.planIsCached(b))
+    assert(!org.apache.spark.sql.GraftShim.planIsCached(a1),
+      "previous corpus must be unpersisted on eviction")
+    // the bench/verify clearCache() hygiene must trigger a re-cache, not a
+    // silent uncached hand-out
+    spark.catalog.clearCache()
+    assert(!org.apache.spark.sql.GraftShim.planIsCached(b))
+    val b2 = Embeddings.cacheCorpus(mk(9))
+    assert(org.apache.spark.sql.GraftShim.planIsCached(b2))
+    spark.catalog.clearCache()
+  }
+
   test("rrfFuse: exact integer contributions, lists_hit, id tie-break, topK cut") {
     import spark.implicits._
     val l1 = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rnk")
