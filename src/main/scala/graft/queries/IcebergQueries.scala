@@ -425,6 +425,39 @@ object IcebergQueries {
       r
     }),
 
+    // Iceberg-V3-style DELETION VECTORS (beyond the reference, which panics
+    // on ALL content=1 files, table.rs:422-424): two positional delete
+    // waves land as roaring-bitmap blobs in Puffin sidecars — wave 2 hits
+    // the same data files, so it MERGES into replacement vectors (the V3
+    // one-DV-per-file invariant, checked in-query). The read side applies
+    // the masks as a broadcast bitmap FILTER: the plan guard proves no
+    // anti-join carries the positional layer — at 100 TB the delete side is
+    // a compressed per-file bitmap probe, not a shuffled join against
+    // millions of delete rows.
+    "q126_deletion_vectors" -> ((s, d) => {
+      val cat = tempCatalog()
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      var t = createFrom(cat, "ordv", o)
+      t = IceWrite.append(s, t, o)
+      t = IceWrite.appendDeletionVectors(s, t, col("o_orderkey") % 2 === 1)
+      t = IceWrite.appendDeletionVectors(s, t, col("o_orderkey") % 3 === 0)
+      val dvs = t.entries(t.currentSnapshot(None).get).filter(e =>
+        e.dataFile.content == graft.table.ManifestModel.ContentPositionDeletes)
+      require(dvs.nonEmpty && dvs.forall(_.dataFile.fileFormat ==
+        graft.table.ManifestModel.FormatPuffin),
+        "q126 expects every positional delete to be a puffin deletion vector")
+      require(dvs.groupBy(_.dataFile.referencedDataFile).values.forall(_.size == 1),
+        "q126 expects at most one deletion vector per referenced data file")
+      val scan = IceScan.scan(s, t)
+      require(!scan.queryExecution.executedPlan.toString.contains("LeftAnti"),
+        "q126 expects the deletion-vector FILTER read path, not an anti-join")
+      scan.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // CDC changelog read (S4 extension): three commits — even keys, odd
     // keys, equality-delete of F-status keys. Window 1 (snap1→snap2) is
     // append-only and streams inserts straight off the new files (no diff);
@@ -593,6 +626,11 @@ object IcebergQueries {
         |UNION ALL SELECT 'and_shortcircuit', count(*) FROM documents
         |  WHERE source = 'ghost' AND n_chars > 0
         |ORDER BY probe""".stripMargin,
+    "q126_deletion_vectors" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q40_changelog" ->
       """WITH src AS (
         |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price

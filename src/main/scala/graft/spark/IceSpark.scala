@@ -173,7 +173,21 @@ object IceWrite {
     */
   private[graft] def positionDeleteFiles(spark: SparkSession, table: IceTable,
                                          predicate: org.apache.spark.sql.Column,
-                                         branch: Option[String] = None): Seq[DataFile] = {
+                                         branch: Option[String] = None): Seq[DataFile] =
+    matchedPositions(spark, table, predicate, branch) { matches =>
+      writeDataFiles(spark, table, matches, PosDeleteSchema,
+        content = ContentPositionDeletes)
+    }.getOrElse(Nil)
+
+  /** Runs `use` over the (file_path, pos) DataFrame of current-snapshot rows
+    * matching `predicate` — the shared front half of BOTH positional-delete
+    * writers (parquet files and deletion vectors). `use` must consume the
+    * frame EAGERLY (an action): the field-id read confs are restored when
+    * this returns. None ⇔ pruning proved no file can match.
+    */
+  private def matchedPositions[T](spark: SparkSession, table: IceTable,
+                                  predicate: org.apache.spark.sql.Column,
+                                  branch: Option[String])(use: DataFrame => T): Option[T] = {
     val snap = table.currentSnapshot(branch)
       .getOrElse(throw new IllegalStateException("cannot delete from an empty table"))
     // manifest/file pruning on the DELETE predicate: a file whose stats
@@ -181,7 +195,7 @@ object IceWrite {
     // partition-scoped DELETE at 100 TB touches O(partition) files, not
     // O(table). Pruning is inexact-safe (only removes never-matching files).
     val paths = IceScan.prunedDataFilePaths(spark, table, Seq(predicate), snap)
-    if (paths.isEmpty) return Nil
+    if (paths.isEmpty) return None
     // resolve parquet columns by PARQUET:field_id like the scan path: files
     // written before a RENAME COLUMN must still bind the predicate to the
     // renamed column, not evaluate it against nulls. Restored in finally —
@@ -195,11 +209,120 @@ object IceWrite {
         .filter(predicate)
         .select(col("_metadata.file_path").as("file_path"),
           col("_metadata.row_index").as("pos"))
-      writeDataFiles(spark, table, matches, PosDeleteSchema,
-        content = ContentPositionDeletes)
+      Some(use(matches))
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Reads one deletion-vector blob back into its bitmap. */
+  private[graft] def readDvBitmap(conf: org.apache.hadoop.conf.Configuration,
+                                  d: DataFile): graft.table.Roaring.Bitmap64 =
+    graft.table.Puffin.dvFromBlob(graft.table.Puffin.readBlobRange(conf, d.filePath,
+      d.contentOffset.getOrElse(sys.error(s"DV entry ${d.filePath} lacks content_offset")),
+      d.contentSizeInBytes.getOrElse(sys.error(s"DV entry ${d.filePath} lacks content_size"))))
+
+  /** Deletes the current-snapshot rows matching `predicate` as Iceberg-V3
+    * DELETION VECTORS (beyond the reference, which panics on ALL content=1
+    * files, table.rs:422-424): one Puffin file per commit holding one
+    * roaring-bitmap blob per referenced data file, replacing the
+    * (file_path, pos) delete ROWS a parquet positional delete stores. The
+    * read side applies them as a broadcast bitmap FILTER instead of an
+    * anti-join — at 100 TB the delete side of the MoR plan drops from a
+    * shuffled join against millions of delete rows to a compressed-bitmap
+    * membership probe inside the scan's own filter.
+    *
+    * V3 invariant maintained here: at most ONE deletion vector per data
+    * file. A file that already carries a DV gets a MERGED (old ∪ new)
+    * replacement vector, committed via [[graft.table.Transaction.rewriteDeletes]]
+    * so the superseded entry leaves the live snapshot in the same commit.
+    *
+    * The per-file bitmaps are built DISTRIBUTED (groupByKey over the matched
+    * positions — each group is one data file's positions); only the
+    * serialized vectors come to the driver, which writes the single puffin
+    * artifact — byte volume proportional to the compressed vectors, never
+    * to the table. Blob-level snapshot/sequence stamps inside the puffin
+    * footer are informational (-1 until commit assigns them); the MANIFEST
+    * carries the authoritative numbers, and readers locate blobs by the
+    * manifest's content_offset/content_size without touching the footer.
+    */
+  def appendDeletionVectors(spark: SparkSession, table: IceTable,
+                            predicate: org.apache.spark.sql.Column,
+                            branch: Option[String] = None): IceTable = {
+    import graft.table.{Puffin, Roaring}
+    val snap = table.currentSnapshot(branch)
+      .getOrElse(throw new IllegalStateException("cannot delete from an empty table"))
+    val perFile: Seq[(String, Array[Byte])] =
+      matchedPositions(spark, table, predicate, branch) { matches =>
+        import spark.implicits._
+        matches.toDF("_1", "_2").as[(String, Long)]
+          .groupByKey(_._1)
+          .mapGroups { (path, it) =>
+            val arr = it.map(_._2).toArray
+            java.util.Arrays.sort(arr)
+            (path, Roaring.Bitmap64.fromSorted(arr).serialize)
+          }
+          .collect().toSeq
+      }.getOrElse(Nil)
+    if (perFile.isEmpty) return table
+
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val all = table.entries(snap)
+    val existing: Map[String, ManifestEntry] = all.iterator
+      .filter(e => e.dataFile.content == ContentPositionDeletes &&
+        e.dataFile.fileFormat == FormatPuffin)
+      .flatMap(e => e.dataFile.referencedDataFile.map(_ -> e)).toMap
+    val merged: Seq[(String, Roaring.Bitmap64, Option[ManifestEntry])] =
+      perFile.sortBy(_._1).map { case (p, bytes) =>
+        val fresh = Roaring.Bitmap64.deserialize(bytes)
+        existing.get(p) match {
+          case Some(e) => (p, fresh.union(readDvBitmap(hconf, e.dataFile)), Some(e))
+          case None => (p, fresh, None)
+        }
+      }
+    commitDeletionVectors(spark, table, branch, all,
+      merged.map(m => (m._1, m._2)), merged.flatMap(_._3))
+  }
+
+  /** Writes one puffin file holding `vectors` (referenced path → bitmap) and
+    * commits the DV entries: a pure append when `drop` is empty, otherwise a
+    * delete-tree rewrite that keeps every live delete entry of `all` EXCEPT
+    * the superseded `drop` set. Shared by [[appendDeletionVectors]] and
+    * [[graft.table.Maintenance.convertPositionDeletesToDVs]]. */
+  private[graft] def commitDeletionVectors(spark: SparkSession, table: IceTable,
+                                           branch: Option[String],
+                                           all: Seq[ManifestEntry],
+                                           vectors: Seq[(String, graft.table.Roaring.Bitmap64)],
+                                           drop: Seq[ManifestEntry]): IceTable = {
+    import graft.table.Puffin
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val puffinPath = s"${table.location}/data/${UUID.randomUUID()}-deletes.puffin"
+    val blobs = vectors.map { case (p, bm) =>
+      Puffin.BlobSpec(Puffin.dvBlobBytes(bm), Puffin.DeletionVectorV1,
+        properties = Map("referenced-data-file" -> p,
+          "cardinality" -> bm.cardinality.toString))
+    }
+    val (fileLen, metas) = Puffin.write(hconf, puffinPath, blobs,
+      snapshotId = -1L, sequenceNumber = -1L)
+    val dvFiles = vectors.zip(metas).map { case ((p, bm), meta) =>
+      DataFile(
+        content = ContentPositionDeletes,
+        filePath = puffinPath,
+        fileFormat = FormatPuffin,
+        partition = Seq.empty,
+        recordCount = bm.cardinality,
+        fileSizeInBytes = fileLen,
+        referencedDataFile = Some(p),
+        contentOffset = Some(meta.offset),
+        contentSizeInBytes = Some(meta.length))
+    }
+    if (drop.isEmpty)
+      table.newTransaction(branch).appendDeletes(dvFiles).commit()
+    else {
+      val keep = all.filter(e => e.dataFile.content != ContentData &&
+        !drop.exists(_ eq e))
+      table.newTransaction(branch).rewriteDeletes(keep, dvFiles).commit()
     }
   }
 
@@ -894,10 +1017,13 @@ object IceScan {
                              data: Seq[ManifestEntry], allDeletes: Seq[ManifestEntry]): DataFrame = {
     import spark.implicits._
     // positional deletes reference explicit (file path, row position) pairs;
-    // since paths are unique, one global anti-join at the end is exact — a
-    // path added after the delete can never appear in it
-    val (posDeletes, deletes) = allDeletes.partition(_.dataFile.content == ContentPositionDeletes)
-    val withPos = posDeletes.nonEmpty
+    // since paths are unique, one global application at the end is exact — a
+    // path added after the delete can never appear in it. Two physical
+    // carriers share that contract: parquet delete-row files (anti-join) and
+    // V3 deletion vectors (bitmap filter).
+    val (posAll, deletes) = allDeletes.partition(_.dataFile.content == ContentPositionDeletes)
+    val (dvDeletes, posDeletes) = posAll.partition(_.dataFile.fileFormat == FormatPuffin)
+    val withPos = posAll.nonEmpty
 
     val arity = data.headOption.map(_.dataFile.partition.size).getOrElse(0)
     // a delete file written unpartitioned (global equality delete) round-trips
@@ -946,16 +1072,66 @@ object IceScan {
           ndv)
       }
 
-    def maskPositions(df: DataFrame): DataFrame =
-      if (!withPos) df
+    def maskParquetPositions(df: DataFrame): DataFrame =
+      if (posDeletes.isEmpty) df
       else {
         val delDf = spark.read.schema(IceWrite.PosDeleteSchema.toSpark)
           .parquet(posDeletes.map(_.dataFile.filePath): _*)
           .select(col("file_path").as("__graft_path"), col("pos").as("__graft_pos"))
         df.join(maybeBroadcast(delDf, posDeletes.map(_.dataFile.fileSizeInBytes).sum),
-            Seq("__graft_path", "__graft_pos"), "left_anti")
-          .drop("__graft_path", "__graft_pos")
+          Seq("__graft_path", "__graft_pos"), "left_anti")
       }
+
+    /** Deletion vectors: the scale path. When the vectors fit the broadcast
+      * gate, the delete side is a per-executor Map[path → bitmap] probed by a
+      * FILTER — no join, no shuffle, plan width constant in the number of
+      * vectors. Past the gate, vectors decode DISTRIBUTED (one task per
+      * blob, positioned range reads) into (path, pos) rows and fall back to
+      * the same anti-join shape as parquet positional deletes.
+      */
+    def maskDvPositions(df: DataFrame): DataFrame =
+      if (dvDeletes.isEmpty) df
+      else {
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val dvBytes = dvDeletes.map(e =>
+          e.dataFile.contentSizeInBytes.getOrElse(e.dataFile.fileSizeInBytes)).sum
+        if (deleteFitsBroadcast(spark, dvBytes)) {
+          val blobs: Map[String, Array[Byte]] = dvDeletes.iterator.map { e =>
+            val d = e.dataFile
+            d.referencedDataFile.getOrElse(
+              sys.error(s"puffin delete entry ${d.filePath} lacks referenced_data_file")) ->
+              graft.table.Puffin.readBlobRange(hconf, d.filePath,
+                d.contentOffset.get, d.contentSizeInBytes.get)
+          }.toMap
+          val bc = spark.sparkContext.broadcast(new graft.spark.expressions.DvIndex(blobs))
+          df.filter(!org.apache.spark.sql.GraftShim.column(
+            graft.spark.expressions.DvDeleted(
+              org.apache.spark.sql.GraftShim.expression(col("__graft_path")),
+              org.apache.spark.sql.GraftShim.expression(col("__graft_pos")), bc)))
+        } else {
+          val descs = dvDeletes.map { e =>
+            val d = e.dataFile
+            (d.filePath, d.referencedDataFile.get, d.contentOffset.get, d.contentSizeInBytes.get)
+          }
+          val sconf = org.apache.spark.sql.GraftShim.serializableHadoopConf(spark)
+          val pairs = spark.createDataset(descs)
+            .repartition(math.min(descs.size,
+              spark.sparkContext.defaultParallelism))
+            .flatMap { case (pf, ref, off, len) =>
+              val bm = graft.table.Puffin.dvFromBlob(
+                graft.table.Puffin.readBlobRange(sconf(), pf, off, len))
+              val out = Array.newBuilder[(String, Long)]
+              bm.foreach(pos => out += ((ref, pos)))
+              out.result()
+            }
+            .toDF("__graft_path", "__graft_pos")
+          df.join(pairs, Seq("__graft_path", "__graft_pos"), "left_anti")
+        }
+      }
+
+    def maskPositions(df: DataFrame): DataFrame =
+      if (!withPos) df
+      else maskDvPositions(maskParquetPositions(df)).drop("__graft_path", "__graft_pos")
 
     if (deletes.isEmpty) return maskPositions(readFiles(data))
 

@@ -212,7 +212,10 @@ object Maintenance {
     import org.apache.spark.sql.functions.col
     val snap = table.currentSnapshot(None).getOrElse(return (0, 0, 0L))
     val all = table.entries(snap)
-    val pos = all.filter(_.dataFile.content == ContentPositionDeletes)
+    // parquet positional files only: deletion vectors are already one
+    // compact blob per data file — they carry over untouched in `keep`
+    val (dvs, pos) = all.filter(_.dataFile.content == ContentPositionDeletes)
+      .partition(_.dataFile.fileFormat == FormatPuffin)
     if (pos.isEmpty) return (0, 0, 0L)
     val eq = all.filter(_.dataFile.content == ContentEqualityDeletes)
     // live-path filter joins against the manifest-derived path list (driver
@@ -239,10 +242,80 @@ object Maintenance {
         graft.spark.IceWrite.PosDeleteSchema, content = ContentPositionDeletes,
         outFiles = graft.spark.IceWrite.fileCountHint(keptCount))
     kept.unpersist()
-    val committed = table.newTransaction(None).rewriteDeletes(eq, files).commit()
+    val committed = table.newTransaction(None).rewriteDeletes(eq ++ dvs, files).commit()
     val after = committed.currentSnapshot(None)
-      .map(committed.entries(_).count(_.dataFile.content == ContentPositionDeletes)).getOrElse(0)
+      .map(committed.entries(_).count(e => e.dataFile.content == ContentPositionDeletes &&
+        e.dataFile.fileFormat != FormatPuffin)).getOrElse(0)
     (pos.size, after, dropped)
+  }
+
+  /** Converts every PARQUET positional-delete file into V3 DELETION VECTORS
+    * — the upgrade-maintenance op the Iceberg V3 spec requires before a
+    * table adds new DVs (a data file must never be masked by both carriers
+    * with neither superseding the other; here the conversion FOLDS parquet
+    * positions into the per-file vectors, so post-conversion each data file
+    * has at most one DV and zero parquet positional files). Dangling
+    * positions (referencing data files no longer live) drop, as in
+    * [[rewritePositionDeleteFiles]]. Existing DVs merge with the converted
+    * positions for the same data file. The read side then applies ONE
+    * broadcast bitmap filter instead of an anti-join against every
+    * accumulated delete row — the 100 TB payoff.
+    *
+    * Returns (parquet positional files before, DV entries after, positions
+    * vectorized). */
+  def convertPositionDeletesToDVs(spark: SparkSession, table: IceTable): (Int, Int, Long) = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val snap = table.currentSnapshot(None).getOrElse(return (0, 0, 0L))
+    val all = table.entries(snap)
+    val (dvs, pos) = all.filter(_.dataFile.content == ContentPositionDeletes)
+      .partition(_.dataFile.fileFormat == FormatPuffin)
+    if (pos.isEmpty) return (0, dvs.size, 0L)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = all.filter(_.dataFile.content == ContentData)
+      .map(e => graft.spark.IceScan.qualifiedPath(hconf, e.dataFile.filePath))
+      .toDF("live_path")
+    // distributed per-file bitmap build over the surviving delete rows; only
+    // the serialized vectors come to the driver
+    val perFile: Seq[(String, Array[Byte])] =
+      spark.read.schema(graft.spark.IceWrite.PosDeleteSchema.toSpark)
+        .parquet(pos.map(_.dataFile.filePath): _*)
+        .join(live, col("file_path") === col("live_path"), "left_semi")
+        .select(col("file_path"), col("pos"))
+        .toDF("_1", "_2").as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (path, it) =>
+          val arr = it.map(_._2).toArray
+          java.util.Arrays.sort(arr)
+          (path, Roaring.Bitmap64.fromSorted(arr).serialize)
+        }
+        .collect().toSeq
+    val existing: Map[String, ManifestEntry] = dvs.iterator
+      .flatMap(e => e.dataFile.referencedDataFile.map(_ -> e)).toMap
+    var vectorized = 0L
+    val merged: Seq[(String, Roaring.Bitmap64, Option[ManifestEntry])] =
+      perFile.sortBy(_._1).map { case (p, bytes) =>
+        val fresh = Roaring.Bitmap64.deserialize(bytes)
+        vectorized += fresh.cardinality
+        existing.get(p) match {
+          case Some(e) =>
+            (p, fresh.union(graft.spark.IceWrite.readDvBitmap(hconf, e.dataFile)), Some(e))
+          case None => (p, fresh, None)
+        }
+      }
+    if (merged.isEmpty) {
+      // every parquet position was dangling: drop the files, keep eq + DVs
+      val keepAll = all.filter(e => e.dataFile.content != ContentData &&
+        !pos.exists(_ eq e))
+      table.newTransaction(None).rewriteDeletes(keepAll, Nil).commit()
+      return (pos.size, dvs.size, 0L)
+    }
+    val committed = graft.spark.IceWrite.commitDeletionVectors(spark, table, None, all,
+      merged.map(m => (m._1, m._2)), drop = pos ++ merged.flatMap(_._3))
+    val after = committed.currentSnapshot(None)
+      .map(committed.entries(_).count(e => e.dataFile.content == ContentPositionDeletes &&
+        e.dataFile.fileFormat == FormatPuffin)).getOrElse(0)
+    (pos.size, after, vectorized)
   }
 
   /** Converts every EQUALITY delete into POSITIONAL deletes — the MoR
@@ -284,7 +357,11 @@ object Maintenance {
     val snap = table.currentSnapshot(None).getOrElse(return (0, 0, 0L))
     val all = table.entries(snap)
     val eq = all.filter(_.dataFile.content == ContentEqualityDeletes)
-    val oldPos = all.filter(_.dataFile.content == ContentPositionDeletes)
+    // parquet positional files consolidate into the fresh set; deletion
+    // vectors carry over untouched in `keep` (dropping them would resurface
+    // their masked rows)
+    val (dvKeep, oldPos) = all.filter(_.dataFile.content == ContentPositionDeletes)
+      .partition(_.dataFile.fileFormat == FormatPuffin)
     if (eq.isEmpty) return (0, oldPos.size, 0L)
     val data = all.filter(_.dataFile.content == ContentData)
     val schema = table.metadata.currentSchema
@@ -389,9 +466,10 @@ object Maintenance {
         else IceWrite.writeDataFiles(spark, table, masked.get, IceWrite.PosDeleteSchema,
           content = ContentPositionDeletes, outFiles = IceWrite.fileCountHint(n))
       masked.foreach(_.unpersist())
-      val committed = table.newTransaction(None).rewriteDeletes(Nil, newFiles).commit()
+      val committed = table.newTransaction(None).rewriteDeletes(dvKeep, newFiles).commit()
       val after = committed.currentSnapshot(None)
-        .map(committed.entries(_).count(_.dataFile.content == ContentPositionDeletes))
+        .map(committed.entries(_).count(e => e.dataFile.content == ContentPositionDeletes &&
+          e.dataFile.fileFormat != FormatPuffin))
         .getOrElse(0)
       (eq.size, after, n)
     } finally prev.foreach {

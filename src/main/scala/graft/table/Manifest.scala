@@ -17,6 +17,9 @@ import scala.jdk.CollectionConverters._
   * files; executors never touch them.
   */
 object ManifestModel {
+  val FormatParquet = "PARQUET"
+  val FormatPuffin = "PUFFIN"
+
   val ContentData = 0
   val ContentPositionDeletes = 1 // not supported — matches reference panic (table.rs:422-424)
   val ContentEqualityDeletes = 2
@@ -42,7 +45,14 @@ object ManifestModel {
       upperBounds: Map[Int, Array[Byte]] = Map.empty,
       equalityIds: Seq[Int] = Nil,
       sortOrderId: Option[Int] = None,
-      splitOffsets: Seq[Long] = Nil)
+      splitOffsets: Seq[Long] = Nil,
+      // Iceberg V3 deletion-vector fields (set only on content=1 entries with
+      // file_format=PUFFIN): the data file this vector masks, and the blob's
+      // byte range inside the puffin file — readers open the blob straight
+      // from the manifest, no puffin footer round-trip.
+      referencedDataFile: Option[String] = None,
+      contentOffset: Option[Long] = None,
+      contentSizeInBytes: Option[Long] = None)
 
   /** manifest.rs:38-52 */
   final case class ManifestEntry(
@@ -137,6 +147,9 @@ object ManifestIO {
       .name("split_offsets").`type`(nullable(AvroSchema.createArray(AvroSchema.create(AvroSchema.Type.LONG)))).withDefault(null)
       .name("equality_ids").`type`(nullable(AvroSchema.createArray(AvroSchema.create(AvroSchema.Type.INT)))).withDefault(null)
       .name("sort_order_id").`type`(nullable(AvroSchema.create(AvroSchema.Type.INT))).withDefault(null)
+      .name("referenced_data_file").`type`(nullable(AvroSchema.create(AvroSchema.Type.STRING))).withDefault(null)
+      .name("content_offset").`type`(nullable(AvroSchema.create(AvroSchema.Type.LONG))).withDefault(null)
+      .name("content_size_in_bytes").`type`(nullable(AvroSchema.create(AvroSchema.Type.LONG))).withDefault(null)
       .endRecord()
   }
 
@@ -246,6 +259,9 @@ object ManifestIO {
         d.put("equality_ids", a)
       }
       d.put("sort_order_id", x.sortOrderId.map(Int.box).orNull)
+      d.put("referenced_data_file", x.referencedDataFile.orNull)
+      d.put("content_offset", x.contentOffset.map(Long.box).orNull)
+      d.put("content_size_in_bytes", x.contentSizeInBytes.map(Long.box).orNull)
       r.put("data_file", d)
       writer.append(r)
     } finally writer.close()
@@ -445,7 +461,10 @@ object ManifestIO {
             .map(_.asInstanceOf[java.util.Collection[Int]].asScala.toSeq).getOrElse(Nil),
           sortOrderId = Option(opt(d, "sort_order_id")).map(_.asInstanceOf[Int]),
           splitOffsets = Option(opt(d, "split_offsets"))
-            .map(_.asInstanceOf[java.util.Collection[Long]].asScala.toSeq).getOrElse(Nil)))
+            .map(_.asInstanceOf[java.util.Collection[Long]].asScala.toSeq).getOrElse(Nil),
+          referencedDataFile = Option(opt(d, "referenced_data_file")).map(_.toString),
+          contentOffset = Option(opt(d, "content_offset")).map(_.asInstanceOf[Long]),
+          contentSizeInBytes = Option(opt(d, "content_size_in_bytes")).map(_.asInstanceOf[Long])))
     }.toList finally reader.close()
   }
 

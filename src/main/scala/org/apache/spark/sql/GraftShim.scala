@@ -26,6 +26,17 @@ object GraftShim {
   def column(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** A task-serializable Hadoop-configuration accessor (the underlying
+    * `SerializableConfiguration` is `private[spark]`, so it rides inside a
+    * serializable thunk) — lets executor-side blob readers (deletion-vector
+    * fallback decode) open the same FileSystem the driver planned against,
+    * remote stores included. */
+  def serializableHadoopConf(spark: SparkSession): () => org.apache.hadoop.conf.Configuration = {
+    val wrapped = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    () => wrapped.value
+  }
+
   /** Resolves a registered DSv2 catalog plugin by name (`catalogManager` is
     * `private[sql]`) — used by graft's SQL commands to reach the graft
     * catalog instance behind `spark.sql.catalog.<name>`.
