@@ -313,7 +313,14 @@ final case class GraftDeleteCommand(
     // never-matching files. The positional delete itself runs over raw
     // files — re-deleting an already-masked position is a harmless no-op
     val n = IceScan.scan(spark, table, Seq(cond)).count()
-    if (n > 0) IceWrite.appendPositionDeletes(spark, table, cond)
+    // `write.delete.format=puffin` opts the table into V3 deletion vectors
+    // (one merged roaring bitmap per data file; filter-based read path)
+    // instead of parquet positional-delete files
+    if (n > 0) {
+      if (table.metadata.properties.get("write.delete.format").contains("puffin"))
+        IceWrite.appendDeletionVectors(spark, table, cond)
+      else IceWrite.appendPositionDeletes(spark, table, cond)
+    }
     Seq(Row(n))
   }
 }

@@ -347,6 +347,28 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("DELETE FROM graft.db.dels t WHERE t.k = 100").head().getLong(0) == 0)
   }
 
+  test("SQL DELETE under write.delete.format=puffin commits deletion vectors") {
+    spark.sql("CREATE TABLE graft.db.dvdels (k BIGINT, v STRING)")
+    spark.sql("ALTER TABLE graft.db.dvdels SET TBLPROPERTIES ('write.delete.format'='puffin')")
+    spark.sql("INSERT INTO graft.db.dvdels VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd'), (5, 'e')")
+    assert(spark.sql("DELETE FROM graft.db.dvdels WHERE k % 2 = 0").head().getLong(0) == 2)
+    assert(spark.sql("SELECT k FROM graft.db.dvdels").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 5L))
+    // a second wave on the same files MERGES (one vector per data file)
+    assert(spark.sql("DELETE FROM graft.db.dvdels WHERE k = 5").head().getLong(0) == 1)
+    assert(spark.sql("SELECT k FROM graft.db.dvdels").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L))
+    val t = new graft.catalog.FileCatalog(warehouse)
+      .loadTable(graft.catalog.TableIdent(Seq("db"), "dvdels")).get
+    val dels = t.entries(t.currentSnapshot(None).get)
+      .filter(_.dataFile.content == graft.table.ManifestModel.ContentPositionDeletes)
+    assert(dels.nonEmpty &&
+      dels.forall(_.dataFile.fileFormat == graft.table.ManifestModel.FormatPuffin),
+      s"every positional delete should be a puffin vector, got $dels")
+    assert(dels.groupBy(_.dataFile.referencedDataFile).values.forall(_.size == 1))
+    assert(dels.map(_.dataFile.recordCount).sum == 3L)
+  }
+
   test("SQL UPDATE rewrites matched rows atomically (delete + new generation)") {
     spark.sql("CREATE TABLE graft.db.upd (k BIGINT, v BIGINT, note STRING)")
     spark.sql("INSERT INTO graft.db.upd VALUES (1, 10, 'x'), (2, 20, 'y'), (3, 30, 'z')")
