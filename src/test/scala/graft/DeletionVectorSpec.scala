@@ -240,6 +240,36 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("LeftAnti"), s"post-conversion plan must not anti-join:\n$plan")
   }
 
+  test("snapshot expiration keeps a puffin file while ANY live DV references it") {
+    implicit val s: SparkSession = spark
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "dvexp"), ordersSchema, daySpec)
+    table = IceWrite.append(spark, table, batch1)
+    // wave 1 vectors BOTH data files into puffin P1
+    table = IceWrite.appendDeletionVectors(spark, table, col("id").isin(1L, 4L))
+    val p1 = dvEntries(table).map(_.dataFile.filePath).distinct
+    assert(p1.size == 1)
+    // wave 2 merges only file A's vector into P2 — file B's DV entry still
+    // points INTO P1, so P1 must survive expiration of the older snapshots
+    table = IceWrite.appendDeletionVectors(spark, table, col("id") === 2L)
+    table = Maintenance.expireSnapshots(spark, table, keepLast = 1)
+    assert(new java.io.File(new java.net.URI(
+      graft.spark.IceScan.qualifiedPath(spark.sparkContext.hadoopConfiguration, p1.head))
+      .getPath).exists(), "P1 still referenced by the live file-B vector")
+    assert(IceScan.scan(spark, table).select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 5L, 6L))
+    // wave 3 merges file B's vector too — P1 leaves the live snapshot and
+    // the next expiration physically removes it (path-level liveness: all
+    // entries of one puffin file share its path)
+    table = IceWrite.appendDeletionVectors(spark, table, col("id") === 5L)
+    table = Maintenance.expireSnapshots(spark, table, keepLast = 1)
+    assert(!new java.io.File(new java.net.URI(
+      graft.spark.IceScan.qualifiedPath(spark.sparkContext.hadoopConfiguration, p1.head))
+      .getPath).exists(), "P1 unreferenced after wave 3 — expiration removes it")
+    assert(IceScan.scan(spark, table).select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 6L))
+  }
+
   test("manifest round-trips the V3 DV fields; pre-DV manifests still read") {
     implicit val s: SparkSession = spark
     val cat = freshCatalog()

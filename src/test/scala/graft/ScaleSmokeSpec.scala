@@ -106,6 +106,7 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "chunk_rows_exact_10x",
     "mor_scoped_delete_volume", "mor_results_exact",
     "mor_plan_unions_bounded", "mor_antijoins_per_seq_point",
+    "mor_dv_zero_parquet_pos", "mor_dv_results_exact", "mor_dv_filter_plan",
     "ann_cells_single_copy", "ann_cells_per_copy",
     "ann_zero_cross_copy", "ann_candidates_nprobe_bounded")
 
@@ -542,6 +543,36 @@ class ScaleSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 400 delete files collapse to ≤18 joins, each a multi-file delete scan
     check("mor_antijoins_per_seq_point", antis <= 18,
       s"anti-joins must group per sequence point, got $antis:\n$plan")
+
+    // DELETION VECTORS at the same scale: convert the positional parquet
+    // residue to per-file roaring vectors, add one more DV wave, and gate
+    // the V3 read shape — the positional layer must ride a broadcast bitmap
+    // FILTER, so the anti-join count DROPS below the parquet bound while
+    // results stay exact
+    timed("mor dv convert + wave") {
+      graft.table.Maintenance.convertPositionDeletesToDVs(spark, t)
+      t = t.refresh()
+      t = IceWrite.appendDeletionVectors(spark, t, col("v") % 991 === 0)
+    }
+    val parquetPos = t.deleteFiles(t.currentSnapshot(None).get).filter(e =>
+      e.dataFile.content == graft.table.ManifestModel.ContentPositionDeletes &&
+        e.dataFile.fileFormat != graft.table.ManifestModel.FormatPuffin)
+    check("mor_dv_zero_parquet_pos", parquetPos.isEmpty,
+      s"conversion must leave zero parquet positional files, got ${parquetPos.size}")
+    val dvDf = IceScan.scan(spark, t)
+    val dvGot = timed("mor dv scan") {
+      dvDf.select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    // v = 3·id and gcd(3, 991) = 1 → the DV wave masks id % 991 == 0
+    val dvExpected = expected.filter(_ % 991 != 0)
+    check("mor_dv_results_exact", dvGot == dvExpected,
+      s"DV scan returned ${dvGot.size} rows, expected ${dvExpected.size}")
+    val dvPlan = dvDf.queryExecution.executedPlan.toString
+    val dvAntis = dvPlan.split('\n').count(_.contains("LeftAnti"))
+    metrics("mor_dv_plan_antijoins") = dvAntis.toDouble
+    check("mor_dv_filter_plan",
+      dvAntis < antis && dvPlan.toLowerCase.contains("dvdeleted"),
+      s"positional layer must be a dvdeleted filter (anti-joins $antis -> $dvAntis):\n$dvPlan")
   }
 
   test("ppl quality scoring scales: exactly 10x scored rows, copy-0 scores bit-identical") {
