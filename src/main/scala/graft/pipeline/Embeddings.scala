@@ -723,6 +723,59 @@ object Embeddings {
       .toDF(idCol, "rnk", "rel_cos")
   }
 
+  /** ColBERT-style LATE-INTERACTION retrieval (Khattab & Zaharia 2020,
+    * MaxSim): score(q, d) = Σ over query-token instances of the MAX dot
+    * product against any document token — token-level matching that
+    * rewards a document covering every query term, where a single pooled
+    * vector blurs them together. The per-token encoder is a deterministic
+    * md5-slice stand-in (eight centered 16-bit lanes), so the interaction
+    * arithmetic is exact integers and the ranking replays bit-for-bit on
+    * any engine — swap `embed` for a served token-encoder column and the
+    * operator is the production shape unchanged.
+    *
+    * Scale shape: document tokens are bounded per doc (`maxDocTokens`) and
+    * DEDUPED (max over a set equals max over the multiset); the query side
+    * is bounded and broadcast, so the interaction join is
+    * |doc tokens| × |query tokens| through the dotq codegen kernel — never
+    * doc × doc — followed by two map-side-combining aggregations and a
+    * per-query top-k window. */
+  def maxSimTopK(docs: DataFrame, idCol: String, textCol: String,
+                 queries: Seq[(String, String)], topK: Int,
+                 maxDocTokens: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty && topK >= 1, "need at least one query and topK >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // deterministic 8-lane token encoder: md5 hex → eight 16-bit slices,
+    // centered at zero — exact BIGINT lanes both engines compute identically
+    def embed(tok: Column): Column = array((0 until 8).map(i =>
+      conv(substring(md5(tok), 1 + 4 * i, 4), 16, 10).cast("long") - 32768L): _*)
+
+    val dt = docs
+      .select(col(idCol),
+        explode(slice(TextOps.tokens(col(textCol)), 1, maxDocTokens)).as("tok"))
+      .distinct()
+      .select(col(idCol), embed(col("tok")).as("dv"))
+
+    // positional query tokens: a repeated query term contributes once per
+    // INSTANCE (the ColBERT sum), keyed by position, not token identity
+    val qt = queries.toDF("qid", "qtext")
+      .select(col("qid"), posexplode(TextOps.tokens(col("qtext"))).as(Seq("qpos", "qtok")))
+      .select(col("qid"), col("qpos"), embed(col("qtok")).as("qv"))
+
+    // bounded broadcast interaction join (query tokens ≪ corpus)
+    val dots = dt.crossJoin(broadcast(qt))
+      .select(col("qid"), col("qpos"), col(idCol), dotq(col("qv"), col("dv")).as("dp"))
+    dots
+      .groupBy(col("qid"), col("qpos"), col(idCol)).agg(max(col("dp")).as("m"))
+      .groupBy(col("qid"), col(idCol)).agg(sum(col("m")).as("maxsim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("maxsim").desc, col(idCol).asc)).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk"), col(idCol), col("maxsim"))
+  }
+
   /** Corpus → trained-cell assignment (id, cell) — exposed for the
     * PipelineSpec skew gates (per-cell populations bound candidate
     * volume). */

@@ -353,6 +353,22 @@ object PipelineQueries {
         lambda = 0.5)
         .orderBy("rnk")),
 
+    // ColBERT-style late-interaction retrieval (Khattab & Zaharia 2020):
+    // per-token MaxSim over a deterministic md5-slice token encoder — the
+    // query tokens broadcast against the deduped, position-bounded document
+    // token frame, every interaction an exact BIGINT dot through the dotq
+    // kernel, so the top-k replays bit-for-bit in the oracle.
+    // Queries mix present terms with ABSENT ones (zebra/quantile/gazelle):
+    // an absent token's MaxSim is its best PARTIAL match, which varies with
+    // each document's token set — the discrimination a pooled-vector score
+    // cannot produce (143/121/114 distinct scores over the sf0.01 corpus).
+    "q127_maxsim_late_interaction" -> ((s, d) =>
+      Embeddings.maxSimTopK(Tables.documents(s, d), "doc_id", "text",
+        queries = Seq(("q_agg", "agg group zebra"), ("q_join", "merge join quantile"),
+          ("q_scan", "gazelle table scan")),
+        topK = 5)
+        .orderBy("qid", "rnk")),
+
     // Deterministic stratified sampling (md5-fraction thresholds per lang):
     // reproducible across engines/retries, zero shuffle — the id_sum pins
     // the exact sampled membership, not just the counts.
@@ -1733,6 +1749,28 @@ object PipelineQueries {
         |FROM (SELECT unnest(picked) AS vec_id, unnest(range(1, len(picked) + 1)) AS rnk FROM fin) u
         |JOIN cand c ON c.vec_id = u.vec_id
         |ORDER BY rnk""".stripMargin,
+
+    "q127_maxsim_late_interaction" ->
+      """WITH q(qid, qtext) AS (VALUES ('q_agg', 'agg group zebra'),
+        |  ('q_join', 'merge join quantile'), ('q_scan', 'gazelle table scan')),
+        |qw AS (SELECT qid, list_filter(string_split(lower(qtext), ' '), x -> x <> '') AS w FROM q),
+        |qt AS (SELECT qid, i AS qpos, w[i] AS tok FROM qw, UNNEST(range(1, len(w) + 1)) AS t(i)),
+        |dw AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, w[i] AS tok FROM dw, UNNEST(range(1, least(len(w), 16) + 1)) AS t(i)),
+        |qe AS (SELECT qid, qpos, list_transform(range(0, 8),
+        |    k -> ('0x' || substr(md5(tok), 1 + 4*k, 4))::BIGINT - 32768) AS v FROM qt),
+        |de AS (SELECT doc_id, list_transform(range(0, 8),
+        |    k -> ('0x' || substr(md5(tok), 1 + 4*k, 4))::BIGINT - 32768) AS v FROM dt),
+        |dots AS (
+        |  SELECT qe.qid, qe.qpos, de.doc_id,
+        |    max(CAST(list_sum(list_transform(range(1, 9), i -> qe.v[i] * de.v[i])) AS BIGINT)) AS m
+        |  FROM qe, de GROUP BY 1, 2, 3),
+        |scores AS (SELECT qid, doc_id, CAST(sum(m) AS BIGINT) AS maxsim FROM dots GROUP BY qid, doc_id)
+        |SELECT qid, rnk, doc_id, maxsim FROM (
+        |  SELECT qid, doc_id, maxsim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY maxsim DESC, doc_id ASC) AS rnk
+        |  FROM scores)
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     "q43_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_sum,

@@ -533,6 +533,25 @@ object GraftPipelineFunctions {
         intArg(args, 4, fn), intArg(args, 5, fn), dblArg(args, 6, fn))
     }
 
+    memoTvf(ext, "maxsim_topk",
+      "maxsim_topk(doc_table, id_col, text_col, queries_csv, topk, " +
+        "max_doc_tokens) — ColBERT-style late-interaction MaxSim top-k " +
+        "(Khattab & Zaharia 2020) over the deterministic md5-slice token " +
+        "encoder; queries_csv is ';'-separated 'qid:query text' entries",
+      Seq(0)) { args =>
+      require(args.length == 6,
+        "maxsim_topk(doc_table, id_col, text_col, queries_csv, topk, max_doc_tokens)")
+      val fn = "maxsim_topk"
+      val qs = strArg(args, 3, fn).split(';').toSeq.map(_.trim).filter(_.nonEmpty).map { s =>
+        val i = s.indexOf(':')
+        require(i > 0, s"maxsim_topk queries_csv entries are 'qid:query text', got '$s'")
+        (s.substring(0, i).trim, s.substring(i + 1).trim)
+      }
+      graft.pipeline.Embeddings.maxSimTopK(tableArg(args, 0, fn),
+        strArg(args, 1, fn), strArg(args, 2, fn), qs,
+        intArg(args, 4, fn), intArg(args, 5, fn))
+    }
+
     memoTvf(ext, "hybrid_rrf_topk",
       "hybrid_rrf_topk(doc_table, id_col, text_col, terms_csv, emb_table, " +
         "emb_id_col, emb_col, query_pred, k_each, k_rrf, topk) — hybrid " +

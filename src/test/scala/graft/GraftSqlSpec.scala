@@ -1327,6 +1327,13 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
         "SELECT * FROM hybrid_rrf_topk('documents_v', 'doc_id', 'text', 'dup,table,query', " +
           "'embeddings_v', 'vec_id', 'embedding', 'vec_id = 0', 20, 60, 10) ORDER BY rnk"))
         == rows(TextOps.rrfFuse(Seq(sparse, dense), "doc_id", "rnk", 60, 10).orderBy("rnk")))
+
+      assert(rows(spark.sql(
+        "SELECT * FROM maxsim_topk('documents_v', 'doc_id', 'text', " +
+          "'q_a:agg group zebra;q_b:merge join', 4, 16) ORDER BY qid, rnk"))
+        == rows(Embeddings.maxSimTopK(Tables.documents(spark, sfDir), "doc_id", "text",
+          Seq(("q_a", "agg group zebra"), ("q_b", "merge join")), 4, 16)
+          .orderBy("qid", "rnk")))
     }
   }
 

@@ -2022,4 +2022,56 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Embeddings.mmrRerank(prepZ, "vec_id", col("vec_id") === 0, k0 = 4, topK = 2)
     }
   }
+
+  test("maxSimTopK: exact-match ceiling, per-instance query sum, token-position bound") {
+    // independent replica of the md5-slice token encoder
+    def emb(tok: String): Array[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(tok.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString
+      (0 until 8).map(i => java.lang.Long.parseLong(hex.substring(4 * i, 4 * i + 4), 16) - 32768L).toArray
+    }
+    def dot(a: Array[Long], b: Array[Long]): Long = a.zip(b).map { case (x, y) => x * y }.sum
+    val selfAlpha = dot(emb("alpha"), emb("alpha"))
+    val selfBeta = dot(emb("beta"), emb("beta"))
+    val crossBA = dot(emb("beta"), emb("alpha"))
+    assert(crossBA < selfBeta, "fixture sanity: cross-dot below self-dot")
+
+    val d = docs(
+      1L -> "alpha beta gamma",
+      2L -> "alpha beta",
+      3L -> "delta epsilon zeta",
+      4L -> "alpha alpha alpha",
+      // alpha only at position 17 — outside the maxDocTokens=16 bound
+      5L -> (((1 to 16).map(i => s"filler$i") :+ "alpha").mkString(" ")))
+
+    val got = Embeddings.maxSimTopK(d, "doc_id", "text",
+      queries = Seq(("q1", "alpha beta"), ("q2", "alpha alpha")), topK = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val q1 = got.filter(_._1 == "q1").sortBy(_._2)
+    // docs 1 and 2 contain BOTH query tokens: score hits the exact ceiling
+    // self(alpha) + self(beta); the tie breaks to the lower id
+    assert(q1(0) == ("q1", 1L, 1L, selfAlpha + selfBeta), q1.toSeq)
+    assert(q1(1) == ("q1", 2L, 2L, selfAlpha + selfBeta))
+    // doc 4 has only alpha: the beta term falls to its best partial match
+    assert(q1.find(_._3 == 4L).get._4 == selfAlpha + crossBA)
+    // every score is bounded by the ceiling
+    assert(q1.forall(_._4 <= selfAlpha + selfBeta))
+
+    val q2 = got.filter(_._1 == "q2").sortBy(_._2)
+    // a repeated query token scores once per INSTANCE: docs holding alpha
+    // (1, 2, 4 — dedup leaves the max unchanged) hit 2·self(alpha)
+    assert(q2.take(3).map(_._3).toSeq == Seq(1L, 2L, 4L))
+    assert(q2.take(3).forall(_._4 == 2L * selfAlpha))
+    // doc 5's alpha sits past the position bound — strictly below ceiling
+    assert(q2.find(_._3 == 5L).get._4 < 2L * selfAlpha)
+
+    // scale shape: the interaction join broadcasts the bounded query side;
+    // no shuffle-side cartesian over the corpus
+    val plan = Embeddings.maxSimTopK(d, "doc_id", "text",
+      queries = Seq(("q1", "alpha beta")), topK = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no shuffled cartesian:\n$plan")
+  }
 }
