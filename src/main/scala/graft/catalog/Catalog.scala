@@ -112,7 +112,15 @@ object CatalogOps {
           snapshots = m.snapshots + (s.snapshotId -> s),
           lastSequenceNumber = math.max(m.lastSequenceNumber, s.sequenceNumber),
           snapshotLog = m.snapshotLog :+ SnapshotLogEntry(s.snapshotId, s.timestampMs),
-          lastUpdatedMs = s.timestampMs)
+          lastUpdatedMs = s.timestampMs,
+          // V3 row lineage: a lineage-assigning snapshot advances the
+          // table's next-row-id by the rows it assigned (summary-carried
+          // so the bump replays identically on any catalog backend)
+          nextRowId = s.firstRowId match {
+            case Some(f) => math.max(m.nextRowId,
+              f + s.summary.get("assigned-row-ids").map(_.toLong).getOrElse(0L))
+            case None => m.nextRowId
+          })
         case SetSnapshotRef(name, id, refType, maxAge, minKeep) =>
           // liveness at APPLY time, against the committed base plus this
           // commit's own AddSnapshot: a ref created from stale metadata must

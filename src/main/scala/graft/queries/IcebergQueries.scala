@@ -425,6 +425,73 @@ object IcebergQueries {
       r
     }),
 
+    // Iceberg V3 ROW LINEAGE (beyond the reference, which predates it):
+    // every committed row gets a table-unique `_row_id` (per-file
+    // first_row_id + position), assigned contiguously across commits, and
+    // COMPACTION PRESERVES the ids by materializing the lineage columns
+    // into the rewritten files (reserved field ids). The aggregate pins
+    // contiguity (min 0, max n-1, Gauss sum), uniqueness, zero moved ids
+    // across the rewrite, and the per-commit `_last_updated_sequence_number`
+    // mix surviving materialization.
+    "q129_row_lineage" -> ((s, d) => {
+      val cat = tempCatalog()
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      var t = createFrom(cat, "ordl", o)
+      t = t.newTransaction(None)
+        .updateProperties(Map("write.row-lineage.enabled" -> "true")).commit()
+      t = IceWrite.append(s, t, o.filter(col("o_orderkey") % 2 === 0))
+      t = IceWrite.append(s, t, o.filter(col("o_orderkey") % 2 === 1))
+      val lineage = IceScan.ScanOptions(rowLineage = true)
+      // pin the pre-compaction mapping eagerly: the replace commit deletes
+      // the superseded files a lazy frame would still reference
+      val pre = IceScan.scan(s, t, options = lineage)
+        .select(col("o_orderkey"), col("_row_id")).localCheckpoint()
+      val t2 = graft.table.Maintenance.compact(s, t)
+      val post = IceScan.scan(s, t2, options = lineage)
+        .select(col("o_orderkey"), col("_row_id").as("post_id"),
+          col("_last_updated_sequence_number").as("seq"))
+      pre.join(post, "o_orderkey").agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("post_id")).as("n_ids"),
+        min(col("post_id")).as("min_id"),
+        max(col("post_id")).as("max_id"),
+        sum(col("post_id")).as("id_sum"),
+        sum(when(col("_row_id") =!= col("post_id"), 1L).otherwise(0L)).as("moved"),
+        sum(col("seq")).as("seq_sum"))
+    }),
+
+    // Iceberg V3 COLUMN DEFAULTS (beyond the reference, which predates
+    // them): `ADD COLUMN bonus BIGINT DEFAULT 7` back-fills every
+    // pre-evolution row with the INITIAL default at read — per-file from
+    // manifest stats, zero data rewritten; `SET DEFAULT 9` then moves only
+    // the WRITE default, so three generations coexist: frozen history (7),
+    // explicitly-written values, and omitted-column inserts (9).
+    "q128_column_defaults" -> ((s, d) => {
+      val wh = Files.createTempDirectory("graft_dfwh").toString
+      s.conf.set("spark.sql.catalog.graft_df", "graft.spark.sql.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.graft_df.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_df.db")
+      s.sql("DROP TABLE IF EXISTS graft_df.db.dorders")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        .createOrReplaceTempView("q128_src")
+      s.sql("""CREATE TABLE graft_df.db.dorders
+              |(o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(18,2))""".stripMargin)
+      s.sql("INSERT INTO graft_df.db.dorders SELECT * FROM q128_src WHERE o_orderkey % 2 = 0")
+      s.sql("ALTER TABLE graft_df.db.dorders ADD COLUMN bonus BIGINT DEFAULT 7")
+      s.sql("""INSERT INTO graft_df.db.dorders
+              |SELECT *, o_orderkey % 5 FROM q128_src WHERE o_orderkey % 4 = 1""".stripMargin)
+      s.sql("ALTER TABLE graft_df.db.dorders ALTER COLUMN bonus SET DEFAULT 9")
+      s.sql("""INSERT INTO graft_df.db.dorders (o_orderkey, o_orderstatus, price)
+              |SELECT * FROM q128_src WHERE o_orderkey % 4 = 3""".stripMargin)
+      s.table("graft_df.db.dorders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("bonus")).as("sum_bonus"),
+          sum(col("price")).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Iceberg-V3-style DELETION VECTORS (beyond the reference, which panics
     // on ALL content=1 files, table.rs:422-424): two positional delete
     // waves land as roaring-bitmap blobs in Puffin sidecars — wave 2 hits
@@ -626,6 +693,26 @@ object IcebergQueries {
         |UNION ALL SELECT 'and_shortcircuit', count(*) FROM documents
         |  WHERE source = 'ghost' AND n_chars > 0
         |ORDER BY probe""".stripMargin,
+    "q129_row_lineage" ->
+      """WITH stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END) AS BIGINT) AS seq_sum
+        |  FROM orders)
+        |SELECT n, n AS n_ids, CAST(0 AS BIGINT) AS min_id, n - 1 AS max_id,
+        |  CAST((n * (n - 1)) // 2 AS BIGINT) AS id_sum, CAST(0 AS BIGINT) AS moved,
+        |  seq_sum
+        |FROM stats""".stripMargin,
+    "q128_column_defaults" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |gens AS (
+        |  SELECT o_orderstatus, price, 7 AS bonus FROM src WHERE o_orderkey % 2 = 0
+        |  UNION ALL SELECT o_orderstatus, price, o_orderkey % 5 FROM src WHERE o_orderkey % 4 = 1
+        |  UNION ALL SELECT o_orderstatus, price, 9 FROM src WHERE o_orderkey % 4 = 3)
+        |SELECT o_orderstatus, count(*) AS n, CAST(sum(bonus) AS BIGINT) AS sum_bonus,
+        |  CAST(sum(price) AS DOUBLE) AS total
+        |FROM gens GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q126_deletion_vectors" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -376,9 +376,18 @@ object IceWrite {
     // parquet writer emits PARQUET:field_id (id-based column resolution —
     // the rename-safe read path, SURVEY §7 hard-part 1)
     val targetSchema = writeSchema.toSpark
+    val dfCols = dfw.columns.toSet
     val aligned = dfw.select(writeSchema.fields.map { f =>
-      col(f.name).cast(IceType.toSpark(f.fieldType))
-        .as(f.name, targetSchema(f.name).metadata)
+      // a column the writer omitted fills from its WRITE default (V3
+      // semantics; SQL INSERT fills via Spark's CURRENT_DEFAULT metadata,
+      // this covers programmatic appends)
+      val src =
+        if (dfCols.contains(f.name)) col(f.name)
+        else f.writeDefault match {
+          case Some(v) => graft.spec.DefaultValues.toColumn(f.fieldType, v)
+          case None => col(f.name) // unresolvable → the analyzer errors loudly
+        }
+      src.cast(IceType.toSpark(f.fieldType)).as(f.name, targetSchema(f.name).metadata)
     }: _*)
 
     // Equality-delete files are PARTITION-SCOPED when every partition
@@ -684,7 +693,12 @@ object IceScan {
       afterSequence: Option[Long] = None,
       /** Restrict the scan to specific DATA files (delete files still
         * apply) — maintenance rewrites read exactly their input set. */
-      dataFileFilter: Option[String => Boolean] = None)
+      dataFileFilter: Option[String => Boolean] = None,
+      /** Iceberg V3 row lineage: expose `_row_id` and
+        * `_last_updated_sequence_number` columns — virtual
+        * (first_row_id + position) for files with assigned lineage,
+        * read directly where a rewrite MATERIALIZED them. */
+      rowLineage: Boolean = false)
 
   /** Iceberg name-mapping property: set (to "identity") when the table
     * holds files WITHOUT parquet field ids — e.g. imported in place by
@@ -799,7 +813,8 @@ object IceScan {
         val (data0, deletes) = entries.partition(_.dataFile.content == ContentData)
         val data = options.dataFileFilter
           .map(f => data0.filter(e => f(e.dataFile.filePath))).getOrElse(data0)
-        buildDataFrame(spark, table, schema, sparkSchema, data, deletes)
+        buildDataFrame(spark, table, schema, sparkSchema, data, deletes,
+          rowLineage = options.rowLineage)
     }
   }
 
@@ -1014,7 +1029,8 @@ object IceScan {
     */
   private def buildDataFrame(spark: SparkSession, table: IceTable, schema: IceSchema,
                              sparkSchema: org.apache.spark.sql.types.StructType,
-                             data: Seq[ManifestEntry], allDeletes: Seq[ManifestEntry]): DataFrame = {
+                             data: Seq[ManifestEntry], allDeletes: Seq[ManifestEntry],
+                             rowLineage: Boolean = false): DataFrame = {
     import spark.implicits._
     // positional deletes reference explicit (file path, row position) pairs;
     // since paths are unique, one global application at the end is exact — a
@@ -1023,7 +1039,9 @@ object IceScan {
     // V3 deletion vectors (bitmap filter).
     val (posAll, deletes) = allDeletes.partition(_.dataFile.content == ContentPositionDeletes)
     val (dvDeletes, posDeletes) = posAll.partition(_.dataFile.fileFormat == FormatPuffin)
-    val withPos = posAll.nonEmpty
+    // row lineage derives ids from (file, position), so a lineage scan needs
+    // the same metadata columns the positional masks do
+    val withPos = posAll.nonEmpty || rowLineage
 
     val arity = data.headOption.map(_.dataFile.partition.size).getOrElse(0)
     // a delete file written unpartitioned (global equality delete) round-trips
@@ -1040,6 +1058,51 @@ object IceScan {
     def maybeBroadcast(df: DataFrame, manifestBytes: Long): DataFrame =
       if (deleteFitsBroadcast(spark, manifestBytes)) broadcast(df) else df
 
+    // Iceberg V3 initial-defaults: a file written BEFORE a defaulted column
+    // existed reads that column as the default, not null. Per-file decision
+    // from manifest stats (a written column always carries value_counts /
+    // column_sizes entries): files missing the field id group together and
+    // get a typed literal fill — plan width grows with DISTINCT evolution
+    // states (bounded by schema history), never with file count. A file
+    // with no stats at all (foreign import) conservatively reads as-is.
+    val defaultedFields = schema.fields.filter(_.initialDefault.isDefined)
+    def missingDefaulted(e: ManifestEntry): Seq[Int] = {
+      val d = e.dataFile
+      if (defaultedFields.isEmpty || (d.valueCounts.isEmpty && d.columnSizes.isEmpty)) Nil
+      else defaultedFields.map(_.id).filterNot(id =>
+        d.valueCounts.contains(id) || d.columnSizes.contains(id))
+    }
+
+    // V3 row lineage: a rewrite that preserved ids MATERIALIZED the lineage
+    // columns (reserved field ids in the file's stats); everything else
+    // derives them virtually as first_row_id + row position
+    def hasMatLineage(e: ManifestEntry): Boolean =
+      e.dataFile.valueCounts.contains(RowIdFieldId) ||
+        e.dataFile.columnSizes.contains(RowIdFieldId)
+    def lineageStructFields: Seq[org.apache.spark.sql.types.StructField] = {
+      import org.apache.spark.sql.types._
+      def md(id: Int) = new MetadataBuilder().putLong("parquet.field.id", id.toLong).build()
+      Seq(StructField("_row_id", LongType, nullable = true, md(RowIdFieldId)),
+        StructField("_last_updated_sequence_number", LongType, nullable = true,
+          md(LastUpdatedSeqFieldId)))
+    }
+    def attachVirtualLineage(df: DataFrame, es: Seq[ManifestEntry]): DataFrame = {
+      val hc = spark.sparkContext.hadoopConfiguration
+      val rows = es.map { e =>
+        val first = e.dataFile.firstRowId.getOrElse(throw new IllegalStateException(
+          s"row-lineage scan: data file ${e.dataFile.filePath} has neither an " +
+            "assigned first_row_id nor a materialized _row_id column (it predates " +
+            "write.row-lineage.enabled) — compact() the table to backfill lineage"))
+        (IceScan.qualifiedPath(hc, e.dataFile.filePath), first,
+          e.sequenceNumber.getOrElse(0L))
+      }
+      df.join(broadcast(rows.toDF("__lin_path", "__lin_first", "__lin_seq")),
+          df("__graft_path") === col("__lin_path"), "left")
+        .withColumn("_row_id", col("__lin_first") + col("__graft_pos"))
+        .withColumn("_last_updated_sequence_number", col("__lin_seq"))
+        .drop("__lin_path", "__lin_first", "__lin_seq")
+    }
+
     def readFiles(entries: Seq[ManifestEntry]): DataFrame =
       if (entries.isEmpty) {
         var fields = sparkSchema.fields
@@ -1047,10 +1110,30 @@ object IceScan {
           org.apache.spark.sql.types.StructField("__graft_path", org.apache.spark.sql.types.StringType)
         if (withPos) fields = fields :+
           org.apache.spark.sql.types.StructField("__graft_pos", org.apache.spark.sql.types.LongType)
+        if (rowLineage) fields = fields ++ lineageStructFields
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(fields))
-      } else {
-        val df = spark.read.schema(sparkSchema).parquet(entries.map(_.dataFile.filePath): _*)
+      } else if (defaultedFields.nonEmpty || rowLineage) {
+        entries.groupBy(e => (missingDefaulted(e), rowLineage && hasMatLineage(e)))
+          .toSeq.sortBy { case ((miss, mat), _) => (miss.mkString(","), mat) }
+          .map { case ((miss, mat), es) =>
+            val base = readFileGroup(es, materializedLineage = mat)
+            val filled = miss.foldLeft(base) { (df, id) =>
+              val f = schema.fieldById(id).get
+              df.withColumn(f.name,
+                graft.spec.DefaultValues.toColumn(f.fieldType, f.initialDefault.get))
+            }
+            if (rowLineage && !mat) attachVirtualLineage(filled, es) else filled
+          }.reduce(_ unionByName _)
+      } else readFileGroup(entries)
+
+    def readFileGroup(entries: Seq[ManifestEntry],
+                      materializedLineage: Boolean = false): DataFrame = {
+        val readSchema =
+          if (materializedLineage)
+            org.apache.spark.sql.types.StructType(sparkSchema.fields ++ lineageStructFields)
+          else sparkSchema
+        val df = spark.read.schema(readSchema).parquet(entries.map(_.dataFile.filePath): _*)
         val withMeta0 =
           if (needPath) df.withColumn("__graft_path", col("_metadata.file_path")) else df
         val withMeta =

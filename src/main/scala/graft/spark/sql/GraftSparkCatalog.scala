@@ -138,11 +138,42 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
       case None => throw new NoSuchTableException(ident)
     }
 
+  /** Declares V3 column-DEFAULT support so Spark routes
+    * `CREATE/ALTER TABLE ... DEFAULT` literals to this catalog instead of
+    * rejecting the syntax. */
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  /** Parses a SQL DEFAULT literal and canonicalizes it for column type `t`
+    * (Iceberg V3 default values; nested/non-literal defaults reject). */
+  private def defaultLiteral(t: IceType, sql: String): Any = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+    require(parsed.foldable, s"DEFAULT must be a literal expression: $sql")
+    val folded = Literal.create(parsed.eval(), parsed.dataType)
+    val target = IceType.toSpark(t)
+    val value = if (folded.dataType == target) folded.value
+      else Cast(folded, target, Some("UTC")).eval()
+    graft.spec.DefaultValues.fromCatalyst(t, value)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (catalog.tableExists(toIdent(ident))) throw new TableAlreadyExistsException(ident)
     val (struct, nextId) = IceType.fromSparkAssignIds(schema)
-    val ice = IceSchema(0, struct.fields)
+    // CREATE TABLE ... DEFAULT literals arrive as Spark column metadata:
+    // EXISTS_DEFAULT is the frozen initial-default, CURRENT_DEFAULT the
+    // (mutable) write-default — both canonicalized onto the schema model
+    val withDefaults = struct.fields.map { f =>
+      val md = schema(f.name).metadata
+      val init = if (md.contains("EXISTS_DEFAULT"))
+        Some(defaultLiteral(f.fieldType, md.getString("EXISTS_DEFAULT"))) else None
+      val write = if (md.contains("CURRENT_DEFAULT"))
+        Some(defaultLiteral(f.fieldType, md.getString("CURRENT_DEFAULT"))) else None
+      f.copy(initialDefault = init, writeDefault = write)
+    }
+    val ice = IceSchema(0, withDefaults)
     val fields = partitions.zipWithIndex.map { case (t, i) =>
       val (srcName, iceT, nameSuffix) = toIceTransform(t)
       val src = ice.fieldByName(srcName).getOrElse(
@@ -212,7 +243,29 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
         val (st, next) = IceType.fromSparkAssignIds(
           StructType(Seq(org.apache.spark.sql.types.StructField(name, a.dataType, a.isNullable))), nextId)
         nextId = next
-        fields :+= st.fields.head.copy(doc = Option(a.comment))
+        // ADD COLUMN ... DEFAULT v (Iceberg V3): the literal becomes BOTH
+        // the initial-default (what pre-evolution rows read — frozen) and
+        // the write-default (what omitting writers fill — mutable later)
+        val dv = Option(a.defaultValue()).map { d =>
+          val l = d.getValue
+          require(l != null, s"DEFAULT for $name must be a constant literal")
+          val lit = org.apache.spark.sql.catalyst.expressions.Literal(l.value(), l.dataType())
+          val target = a.dataType
+          val value = if (lit.dataType == target) lit.value
+            else org.apache.spark.sql.catalyst.expressions.Cast(lit, target, Some("UTC")).eval()
+          graft.spec.DefaultValues.fromCatalyst(st.fields.head.fieldType, value)
+        }
+        fields :+= st.fields.head.copy(doc = Option(a.comment),
+          initialDefault = dv, writeDefault = dv)
+        schemaChanged = true
+      case u: UpdateColumnDefaultValue =>
+        // SET DEFAULT mutates only the WRITE default; the initial-default is
+        // frozen history (V3 rule). DROP DEFAULT clears the write default.
+        val i = idx(topName(u.fieldNames))
+        val nd = Option(u.newCurrentDefault()).flatMap(d => Option(d.getSql))
+          .map(_.trim).filter(_.nonEmpty)
+          .map(sql => defaultLiteral(fields(i).fieldType, sql))
+        fields = fields.updated(i, fields(i).copy(writeDefault = nd))
         schemaChanged = true
       case d: DeleteColumn =>
         val name = topName(d.fieldNames)

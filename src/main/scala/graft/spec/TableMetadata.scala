@@ -42,7 +42,10 @@ final case class Snapshot(
     timestampMs: Long,
     manifestList: String,
     summary: Map[String, String],
-    schemaId: Option[Int])
+    schemaId: Option[Int],
+    // Iceberg V3 row lineage: the first row id this snapshot assigned
+    // (None on pre-lineage snapshots and metadata-only commits)
+    firstRowId: Option[Long] = None)
 
 /** Branch/tag reference with retention policy (snapshot.rs:258-307):
   * `maxRefAgeMs` bounds how long the ref itself survives expiration;
@@ -79,7 +82,10 @@ final case class TableMetadata(
     metadataLog: Seq[MetadataLogEntry],
     sortOrders: Map[Int, SortOrder],
     defaultSortOrderId: Int,
-    refs: Map[String, SnapshotReference]) {
+    refs: Map[String, SnapshotReference],
+    // Iceberg V3 row lineage: the next row id to assign (monotone across
+    // commits; 0 on tables that never assigned lineage)
+    nextRowId: Long = 0L) {
 
   val MainBranch = "main"
 
@@ -187,6 +193,7 @@ object TableMetadataJson {
     m.partitionSpecs.values.toSeq.sortBy(_.specId).foreach(s => specs.add(specNode(s)))
     root.put("default-spec-id", m.defaultSpecId)
     root.put("last-partition-id", m.lastPartitionId)
+    if (m.nextRowId > 0L) root.put("next-row-id", m.nextRowId)
     val props = root.putObject("properties")
     m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
     m.currentSnapshotId.foreach(id => root.put("current-snapshot-id", id))
@@ -229,6 +236,11 @@ object TableMetadataJson {
     n.put("id", f.id); n.put("name", f.name); n.put("required", f.required)
     n.set[JsonNode]("type", typeNode(f.fieldType))
     f.doc.foreach(d => n.put("doc", d))
+    // Iceberg V3 default values (JSON single-value serialization)
+    f.initialDefault.foreach(v => n.set[JsonNode]("initial-default",
+      DefaultValues.toJson(f.fieldType, v, mapper.getNodeFactory)))
+    f.writeDefault.foreach(v => n.set[JsonNode]("write-default",
+      DefaultValues.toJson(f.fieldType, v, mapper.getNodeFactory)))
     n
   }
 
@@ -282,6 +294,7 @@ object TableMetadataJson {
     val sm = n.putObject("summary")
     s.summary.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, v) }
     s.schemaId.foreach(id => n.put("schema-id", id))
+    s.firstRowId.foreach(f => n.put("first-row-id", f))
     n
   }
 
@@ -373,7 +386,8 @@ object TableMetadataJson {
           e.getValue.get("snapshot-id").asLong(), e.getValue.get("type").asText(),
           Option(e.getValue.get("max-ref-age-ms")).map(_.asLong()),
           Option(e.getValue.get("min-snapshots-to-keep")).map(_.asInt()))
-      }.toMap).getOrElse(Map.empty))
+      }.toMap).getOrElse(Map.empty),
+      nextRowId = Option(n.get("next-row-id")).map(_.asLong()).getOrElse(0L))
   }
 
   def parseSchema(n: JsonNode): IceSchema = {
@@ -383,13 +397,17 @@ object TableMetadataJson {
     IceSchema(Option(n.get("schema-id")).map(_.asInt()).getOrElse(0), fields, idFields)
   }
 
-  private def parseField(n: JsonNode): NestedField =
+  private def parseField(n: JsonNode): NestedField = {
+    val t = parseType(n.get("type"))
     NestedField(
       id = n.get("id").asInt(),
       name = n.get("name").asText(),
       required = n.get("required").asBoolean(),
-      fieldType = parseType(n.get("type")),
-      doc = Option(n.get("doc")).map(_.asText()))
+      fieldType = t,
+      doc = Option(n.get("doc")).map(_.asText()),
+      initialDefault = Option(n.get("initial-default")).map(DefaultValues.fromJson(t, _)),
+      writeDefault = Option(n.get("write-default")).map(DefaultValues.fromJson(t, _)))
+  }
 
   def parseType(n: JsonNode): IceType =
     if (n.isTextual) IceType.fromPrimitiveName(n.asText())
@@ -437,5 +455,6 @@ object TableMetadataJson {
           "snapshot has no manifest-list (V1 legacy inline `manifests` arrays are not supported)")),
       summary = Option(n.get("summary")).map(s => s.properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
-      schemaId = Option(n.get("schema-id")).map(_.asInt()))
+      schemaId = Option(n.get("schema-id")).map(_.asInt()),
+      firstRowId = Option(n.get("first-row-id")).map(_.asLong()))
 }

@@ -101,6 +101,14 @@ object IceType {
   private def sparkField(f: NestedField): StructField = {
     val md = new MetadataBuilder().putLong("parquet.field.id", f.id.toLong)
     f.doc.foreach(d => md.putString("comment", d))
+    // Spark's default-column resolution keys: CURRENT_DEFAULT makes
+    // `INSERT` statements that omit the column fill the write-default;
+    // EXISTS_DEFAULT surfaces the initial-default in DESCRIBE output (the
+    // scan applies it itself, per-file — see IceScan)
+    f.writeDefault.foreach(v =>
+      md.putString("CURRENT_DEFAULT", DefaultValues.toSqlLiteral(f.fieldType, v)))
+    f.initialDefault.foreach(v =>
+      md.putString("EXISTS_DEFAULT", DefaultValues.toSqlLiteral(f.fieldType, v)))
     StructField(f.name, toSpark(f.fieldType), nullable = !f.required, md.build())
   }
 
@@ -143,9 +151,18 @@ object IceType {
   }
 }
 
-/** types.rs:376-389 */
+/** types.rs:376-389, plus the Iceberg V3 default-value fields the reference
+  * predates: `initialDefault` is the value rows written BEFORE the column
+  * existed read back (immutable once set — it defines history), and
+  * `writeDefault` fills the column when a writer omits it (mutable via
+  * `ALTER COLUMN ... SET DEFAULT`). Canonical JVM values per type:
+  * Boolean / Int / Long / Float / Double / String /
+  * java.math.BigDecimal (decimal) / Int epoch-days (date) /
+  * Long micros (timestamp[tz]). */
 final case class NestedField(id: Int, name: String, required: Boolean,
-                             fieldType: IceType, doc: Option[String] = None)
+                             fieldType: IceType, doc: Option[String] = None,
+                             initialDefault: Option[Any] = None,
+                             writeDefault: Option[Any] = None)
 
 /** Schema = StructType + id + identifier fields (schema.rs:31-48). */
 final case class IceSchema(schemaId: Int, fields: Seq[NestedField],
@@ -165,5 +182,116 @@ final case class IceSchema(schemaId: Int, fields: Seq[NestedField],
       case _ => 0
     }
     maxIn(struct)
+  }
+}
+
+/** Conversions for Iceberg V3 column DEFAULT values: one canonical JVM
+  * representation (see [[NestedField]]) with bridges to SQL literal text
+  * (Spark's CURRENT_DEFAULT/EXISTS_DEFAULT metadata), Spark `Column`
+  * literals (the scan's per-file fill), Catalyst literal values (DDL
+  * plumbing), and the Iceberg spec's JSON single-value serialization
+  * (`initial-default` / `write-default` in the schema JSON).
+  *
+  * Supported on top-level primitive columns; nested/complex defaults are
+  * rejected loudly.
+  */
+object DefaultValues {
+  import java.time.LocalDate
+  import java.time.format.DateTimeFormatter
+
+  private def unsupported(t: IceType): Nothing =
+    throw new UnsupportedOperationException(s"DEFAULT values are unsupported for type ${t.jsonName}")
+
+  /** Canonicalizes a Catalyst-internal literal value (UTF8String, Decimal,
+    * Int days, Long micros) to the canonical JVM form for `t`. */
+  def fromCatalyst(t: IceType, v: Any): Any = {
+    require(v != null, "a DEFAULT literal cannot be NULL (omit the default instead)")
+    t match {
+      case IceType.BooleanT => v.asInstanceOf[Boolean]
+      case IceType.IntT => v match { case i: Int => i; case s: Short => s.toInt; case b: Byte => b.toInt }
+      case IceType.LongT => v match { case l: Long => l; case i: Int => i.toLong }
+      case IceType.FloatT => v.asInstanceOf[Float]
+      case IceType.DoubleT => v match { case d: Double => d; case f: Float => f.toDouble }
+      case IceType.StringT => v.toString
+      case IceType.DecimalT(_, s) =>
+        val bd = v match {
+          case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+          case d: java.math.BigDecimal => d
+          case d: BigDecimal => d.bigDecimal
+        }
+        bd.setScale(s)
+      case IceType.DateT => v.asInstanceOf[Int] // days since epoch
+      case IceType.TimestampT | IceType.TimestamptzT => v.asInstanceOf[Long] // micros
+      case other => unsupported(other)
+    }
+  }
+
+  /** SQL literal text (engine-parseable, round-trips through
+    * CatalystSqlParser.parseExpression). */
+  def toSqlLiteral(t: IceType, v: Any): String = t match {
+    case IceType.BooleanT | IceType.IntT | IceType.LongT | IceType.FloatT |
+         IceType.DoubleT => v.toString
+    case IceType.DecimalT(_, _) => v.toString
+    case IceType.StringT => "'" + v.toString.replace("'", "''") + "'"
+    case IceType.DateT => s"DATE'${LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)}'"
+    case IceType.TimestampT | IceType.TimestamptzT =>
+      val micros = v.asInstanceOf[Long]
+      val inst = java.time.Instant.EPOCH.plusSeconds(micros / 1000000L)
+        .plusNanos((micros % 1000000L) * 1000L)
+      s"TIMESTAMP'${java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)}'"
+    case other => unsupported(other)
+  }
+
+  /** A typed Spark literal Column carrying the default. */
+  def toColumn(t: IceType, v: Any): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    t match {
+      case IceType.DateT => lit(LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case IceType.TimestampT =>
+        val micros = v.asInstanceOf[Long]
+        lit(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
+      case IceType.TimestamptzT =>
+        val micros = v.asInstanceOf[Long]
+        lit(java.time.Instant.EPOCH.plusSeconds(Math.floorDiv(micros, 1000000L))
+          .plusNanos(Math.floorMod(micros, 1000000L) * 1000L))
+      case IceType.DecimalT(p, s) =>
+        lit(v.asInstanceOf[java.math.BigDecimal]).cast(DecimalType(p, s))
+      case IceType.FloatT => lit(v.asInstanceOf[Float])
+      case _ => lit(v)
+    }
+  }
+
+  /** Iceberg JSON single-value serialization (spec: "initial-default" /
+    * "write-default" schema fields). */
+  def toJson(t: IceType, v: Any,
+             nf: com.fasterxml.jackson.databind.node.JsonNodeFactory):
+      com.fasterxml.jackson.databind.JsonNode = t match {
+    case IceType.BooleanT => nf.booleanNode(v.asInstanceOf[Boolean])
+    case IceType.IntT => nf.numberNode(v.asInstanceOf[Int])
+    case IceType.LongT => nf.numberNode(v.asInstanceOf[Long])
+    case IceType.FloatT => nf.numberNode(v.asInstanceOf[Float])
+    case IceType.DoubleT => nf.numberNode(v.asInstanceOf[Double])
+    case IceType.StringT => nf.textNode(v.toString)
+    case IceType.DecimalT(_, _) => nf.textNode(v.toString)
+    case IceType.DateT =>
+      nf.textNode(LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)
+        .format(DateTimeFormatter.ISO_LOCAL_DATE))
+    case IceType.TimestampT | IceType.TimestamptzT => nf.numberNode(v.asInstanceOf[Long])
+    case other => unsupported(other)
+  }
+
+  def fromJson(t: IceType, n: com.fasterxml.jackson.databind.JsonNode): Any = t match {
+    case IceType.BooleanT => n.asBoolean()
+    case IceType.IntT => n.asInt()
+    case IceType.LongT => n.asLong()
+    case IceType.FloatT => n.asDouble().toFloat
+    case IceType.DoubleT => n.asDouble()
+    case IceType.StringT => n.asText()
+    case IceType.DecimalT(_, s) => new java.math.BigDecimal(n.asText()).setScale(s)
+    case IceType.DateT => LocalDate.parse(n.asText()).toEpochDay.toInt
+    case IceType.TimestampT | IceType.TimestamptzT => n.asLong()
+    case other => unsupported(other)
   }
 }

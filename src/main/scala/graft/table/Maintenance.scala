@@ -574,11 +574,30 @@ object Maintenance {
                           layout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
                           localSort: Seq[org.apache.spark.sql.Column] = Nil): IceTable = {
     if (table.currentSnapshot(None).isEmpty) return table
-    val scanned = graft.spark.IceScan.scan(spark, table)
+    val lineage = table.metadata.properties
+      .get("write.row-lineage.enabled").contains("true")
+    // V3 row lineage must SURVIVE compaction: scan with the lineage columns
+    // and write them MATERIALIZED (reserved field ids) into the rewritten
+    // files — every row keeps the id it was assigned at first commit, and
+    // the read path prefers the stored column over position arithmetic
+    val scanned =
+      if (lineage) graft.spark.IceScan.scan(spark, table,
+        options = graft.spark.IceScan.ScanOptions(rowLineage = true))
+      else graft.spark.IceScan.scan(spark, table)
     val laidOut = layout(scanned)
     // the replace COMMIT itself deletes the superseded files (T3 — with the
     // branch/tag guard), so compaction needs no cleanup pass of its own
-    graft.spark.IceWrite.replaceWith(spark, table, laidOut,
+    if (lineage) {
+      val writeSchema = graft.spec.IceSchema(table.schema.schemaId,
+        table.schema.fields ++ Seq(
+          graft.spec.NestedField(RowIdFieldId, "_row_id",
+            required = false, graft.spec.IceType.LongT),
+          graft.spec.NestedField(LastUpdatedSeqFieldId, "_last_updated_sequence_number",
+            required = false, graft.spec.IceType.LongT)))
+      val files = graft.spark.IceWrite.writeDataFiles(spark, table, laidOut, writeSchema,
+        keepLayout = laidOut ne scanned, localSort = localSort)
+      table.newTransaction(None).replace(files).commit()
+    } else graft.spark.IceWrite.replaceWith(spark, table, laidOut,
       keepLayout = laidOut ne scanned, localSort = localSort)
   }
 }

@@ -28,6 +28,13 @@ object ManifestModel {
   val StatusAdded = 1
   val StatusDeleted = 2
 
+  /** Iceberg reserved field ids for the V3 row-lineage columns (spec
+    * "Reserved field ids"): a rewrite that must PRESERVE ids writes these
+    * as real parquet columns; their presence in a file's stats marks the
+    * file as carrying materialized lineage. */
+  val RowIdFieldId = 2147483540
+  val LastUpdatedSeqFieldId = 2147483539
+
   /** manifest.rs:521-560 */
   final case class DataFile(
       content: Int,
@@ -52,7 +59,12 @@ object ManifestModel {
       // from the manifest, no puffin footer round-trip.
       referencedDataFile: Option[String] = None,
       contentOffset: Option[Long] = None,
-      contentSizeInBytes: Option[Long] = None)
+      contentSizeInBytes: Option[Long] = None,
+      // Iceberg V3 row lineage: the id of this data file's first row
+      // (row n's id = first_row_id + n); None for delete files, for files
+      // written before lineage was enabled, and for rewritten files that
+      // carry a MATERIALIZED _row_id column instead
+      firstRowId: Option[Long] = None)
 
   /** manifest.rs:38-52 */
   final case class ManifestEntry(
@@ -150,6 +162,7 @@ object ManifestIO {
       .name("referenced_data_file").`type`(nullable(AvroSchema.create(AvroSchema.Type.STRING))).withDefault(null)
       .name("content_offset").`type`(nullable(AvroSchema.create(AvroSchema.Type.LONG))).withDefault(null)
       .name("content_size_in_bytes").`type`(nullable(AvroSchema.create(AvroSchema.Type.LONG))).withDefault(null)
+      .name("first_row_id").`type`(nullable(AvroSchema.create(AvroSchema.Type.LONG))).withDefault(null)
       .endRecord()
   }
 
@@ -262,6 +275,7 @@ object ManifestIO {
       d.put("referenced_data_file", x.referencedDataFile.orNull)
       d.put("content_offset", x.contentOffset.map(Long.box).orNull)
       d.put("content_size_in_bytes", x.contentSizeInBytes.map(Long.box).orNull)
+      d.put("first_row_id", x.firstRowId.map(Long.box).orNull)
       r.put("data_file", d)
       writer.append(r)
     } finally writer.close()
@@ -464,7 +478,8 @@ object ManifestIO {
             .map(_.asInstanceOf[java.util.Collection[Long]].asScala.toSeq).getOrElse(Nil),
           referencedDataFile = Option(opt(d, "referenced_data_file")).map(_.toString),
           contentOffset = Option(opt(d, "content_offset")).map(_.asInstanceOf[Long]),
-          contentSizeInBytes = Option(opt(d, "content_size_in_bytes")).map(_.asInstanceOf[Long])))
+          contentSizeInBytes = Option(opt(d, "content_size_in_bytes")).map(_.asInstanceOf[Long]),
+          firstRowId = Option(opt(d, "first_row_id")).map(_.asInstanceOf[Long])))
     }.toList finally reader.close()
   }
 

@@ -283,6 +283,34 @@ class Transaction(table: IceTable, branch: Option[String]) {
             "remain as re-collectable orphans (see remove_orphan_files)")
     }
 
+  /** Iceberg V3 row lineage (`write.row-lineage.enabled=true`): assigns
+    * `first_row_id` sequentially from the table's next-row-id to DATA files
+    * that carry neither an assignment nor a MATERIALIZED `_row_id` column
+    * (detected via the reserved field id in the file's stats — rewrites
+    * that preserve ids write the column and skip assignment). Returns the
+    * stamped files and the number of row ids consumed; the snapshot carries
+    * `first-row-id` plus an `assigned-row-ids` summary so every catalog
+    * backend replays the same next-row-id bump. */
+  private def assignRowIds(m: graft.spec.TableMetadata,
+                           files: Seq[DataFile]): (Seq[DataFile], Long) =
+    if (!m.properties.get("write.row-lineage.enabled").contains("true")) (files, 0L)
+    else {
+      var next = m.nextRowId
+      val out = files.map { f =>
+        if (f.content != ContentData || f.firstRowId.isDefined ||
+            f.valueCounts.contains(RowIdFieldId)) f
+        else {
+          val stamped = f.copy(firstRowId = Some(next))
+          next += f.recordCount
+          stamped
+        }
+      }
+      (out, next - m.nextRowId)
+    }
+
+  private def lineageSummary(assigned: Long): Map[String, String] =
+    if (assigned > 0L) Map("assigned-row-ids" -> assigned.toString) else Map.empty
+
   private def commitOnce(): IceTable = {
     val m = table.metadata
     val branchName = branch.getOrElse(m.MainBranch)
@@ -335,7 +363,7 @@ class Transaction(table: IceTable, branch: Option[String]) {
     val schemaForWrite = newSchema.getOrElse(m.currentSchema)
 
     if (replaceFiles.isDefined) {
-      val files = replaceFiles.get
+      val (files, assignedRows) = assignRowIds(m, replaceFiles.get)
       val snapshotId = newSnapshotId()
       val seq = m.lastSequenceNumber + 1
       val entries = files.map(f =>
@@ -349,8 +377,9 @@ class Transaction(table: IceTable, branch: Option[String]) {
           "added-data-files" -> files.size.toString,
           "added-records" -> files.map(_.recordCount).sum.toString,
           "total-records" -> files.map(_.recordCount).sum.toString,
-          "total-data-files" -> files.size.toString) ++ extraSummary,
-        Some(m.currentSchemaId))
+          "total-data-files" -> files.size.toString) ++ lineageSummary(assignedRows) ++ extraSummary,
+        Some(m.currentSchemaId),
+        firstRowId = if (assignedRows > 0L) Some(m.nextRowId) else None)
       requirements :+= TableRequirement.AssertRefSnapshotId(branchName, expectedRef)
       // a bare replace supersedes the table's history (reference semantics:
       // transaction/mod.rs:339-353 captures old metadata and deletes its
@@ -371,7 +400,8 @@ class Transaction(table: IceTable, branch: Option[String]) {
       val seq = m.lastSequenceNumber + 1
       // binpack additions enter at THIS snapshot's sequence number; kept
       // entries keep their inherited numbers (both written explicitly)
-      val addedEntries = rewriteAdded.map(f =>
+      val (rewriteStamped, assignedRows) = assignRowIds(m, rewriteAdded)
+      val addedEntries = rewriteStamped.map(f =>
         ManifestEntry(StatusAdded, Some(snapshotId), Some(seq), Some(seq), f))
       val dataManifests = writeSplitManifests(table, schemaForWrite,
         entries.map(_.copy(status = StatusExisting)) ++ addedEntries,
@@ -394,8 +424,9 @@ class Transaction(table: IceTable, branch: Option[String]) {
           "added-data-files" -> rewriteAdded.size.toString,
           "added-records" -> rewriteAdded.map(_.recordCount).sum.toString,
           "total-records" -> allData.map(ml => ml.addedRowsCount + ml.existingRowsCount).sum.toString,
-          "total-data-files" -> allData.map(ml => ml.addedFilesCount + ml.existingFilesCount).sum.toString) ++ extraSummary,
-        Some(m.currentSchemaId))
+          "total-data-files" -> allData.map(ml => ml.addedFilesCount + ml.existingFilesCount).sum.toString) ++ lineageSummary(assignedRows) ++ extraSummary,
+        Some(m.currentSchemaId),
+        firstRowId = if (assignedRows > 0L) Some(m.nextRowId) else None)
       requirements :+= TableRequirement.AssertRefSnapshotId(branchName, expectedRef)
       updates :+= TableUpdate.AddSnapshot(snap)
       updates :+= TableUpdate.SetSnapshotRef(branchName, snapshotId, "branch")
@@ -432,9 +463,10 @@ class Transaction(table: IceTable, branch: Option[String]) {
         parent.map(p => table.manifests(p)).getOrElse(Nil)
       val (dataManifests, deleteManifests) = existing.partition(_.content == 0)
 
+      val (appendStamped, assignedRows) = assignRowIds(m, appendedData.toSeq)
       val mergedData: Seq[ManifestListEntry] =
-        if (appendedData.isEmpty) dataManifests
-        else mergeAppend(table, schemaForWrite, dataManifests, appendedData, snapshotId, seq)
+        if (appendStamped.isEmpty) dataManifests
+        else mergeAppend(table, schemaForWrite, dataManifests, appendStamped, snapshotId, seq)
 
       val newDeleteManifests: Seq[ManifestListEntry] =
         if (appendedDeletes.isEmpty) Nil
@@ -463,8 +495,9 @@ class Transaction(table: IceTable, branch: Option[String]) {
           "added-delete-files" -> appendedDeletes.size.toString,
           "added-records" -> appendedData.map(_.recordCount).sum.toString,
           "total-records" -> totalRecords.toString,
-          "total-data-files" -> totalFiles.toString) ++ extraSummary,
-        Some(m.currentSchemaId))
+          "total-data-files" -> totalFiles.toString) ++ lineageSummary(assignedRows) ++ extraSummary,
+        Some(m.currentSchemaId),
+        firstRowId = if (assignedRows > 0L) Some(m.nextRowId) else None)
       requirements :+= TableRequirement.AssertRefSnapshotId(branchName, expectedRef)
       updates :+= TableUpdate.AddSnapshot(snap)
       updates :+= TableUpdate.SetSnapshotRef(branchName, snapshotId, "branch")

@@ -155,6 +155,50 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.db.tst")
   }
 
+  test("V3 column defaults: ADD COLUMN DEFAULT back-fills history; SET DEFAULT only moves future writes") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.defs (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.defs VALUES (1, 'a'), (2, 'b')")
+    // ADD COLUMN ... DEFAULT: pre-evolution rows read the INITIAL default,
+    // not null — without rewriting a single data file
+    spark.sql("ALTER TABLE graft.db.defs ADD COLUMN bonus BIGINT DEFAULT 7")
+    def rows() = spark.sql("SELECT k, bonus FROM graft.db.defs ORDER BY k").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    assert(rows() == Seq(1L -> Some(7L), 2L -> Some(7L)), rows())
+
+    spark.sql("INSERT INTO graft.db.defs VALUES (3, 'c', 30)")
+    // omitting the column fills the WRITE default
+    spark.sql("INSERT INTO graft.db.defs (k, v) VALUES (4, 'd')")
+    // an explicit NULL written AFTER the evolution survives (the fill is
+    // per-file-absence, not a blanket coalesce)
+    spark.sql("INSERT INTO graft.db.defs VALUES (5, 'e', NULL)")
+    // SET DEFAULT moves only the WRITE default; history (rows 1-2) stays 7
+    spark.sql("ALTER TABLE graft.db.defs ALTER COLUMN bonus SET DEFAULT 9")
+    spark.sql("INSERT INTO graft.db.defs (k, v) VALUES (6, 'f')")
+    assert(rows() == Seq(1L -> Some(7L), 2L -> Some(7L), 3L -> Some(30L),
+      4L -> Some(7L), 5L -> None, 6L -> Some(9L)), rows())
+    // aggregates see the filled values
+    assert(spark.sql("SELECT sum(bonus) FROM graft.db.defs").head().getLong(0) == 60L)
+
+    // defaults round-trip the metadata JSON (fresh catalog load)
+    val t = new graft.catalog.FileCatalog(warehouse)
+      .loadTable(graft.catalog.TableIdent(Seq("db"), "defs")).get
+    val f = t.schema.fieldByName("bonus").get
+    assert(f.initialDefault == Some(7L) && f.writeDefault == Some(9L), f)
+
+    // DROP DEFAULT clears the write default (initial stays frozen)
+    spark.sql("ALTER TABLE graft.db.defs ALTER COLUMN bonus DROP DEFAULT")
+    val f2 = new graft.catalog.FileCatalog(warehouse)
+      .loadTable(graft.catalog.TableIdent(Seq("db"), "defs")).get
+      .schema.fieldByName("bonus").get
+    assert(f2.initialDefault == Some(7L) && f2.writeDefault.isEmpty, f2)
+
+    // CREATE TABLE with a DEFAULT column (string) — insert without it fills
+    spark.sql("CREATE TABLE graft.db.defs2 (k BIGINT, s STRING DEFAULT 'x''y')")
+    spark.sql("INSERT INTO graft.db.defs2 (k) VALUES (1)")
+    assert(spark.sql("SELECT s FROM graft.db.defs2").head().getString(0) == "x'y")
+  }
+
   test("ALTER TABLE: add, rename (id-preserving), drop, type promotion, properties") {
     spark.sql("CREATE TABLE graft.db.evo (id INT, name STRING)")
     spark.sql("INSERT INTO graft.db.evo VALUES (1, 'a'), (2, 'b')")

@@ -927,6 +927,81 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IceScan.scan(spark, table).filter($"note" === "x").count() == 3)
   }
 
+  test("V3 defaults on the programmatic path: initial back-fill, write-default fill, explicit null survives") {
+    implicit val s: SparkSession = spark
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "defevolve"), ordersSchema, daySpec)
+    table = IceWrite.append(spark, table, batch1)
+    val evolved = IceSchema(0, ordersSchema.fields :+
+      NestedField(6, "bonus", required = false, IceType.LongT,
+        initialDefault = Some(7L), writeDefault = Some(7L)))
+    table.newTransaction().setSchema(evolved).commit()
+    table = cat.loadTable(table.ident).get
+    // metadata JSON round-trips both defaults
+    val f = table.schema.fieldByName("bonus").get
+    assert(f.initialDefault == Some(7L) && f.writeDefault == Some(7L))
+    // pre-evolution files read the INITIAL default, not null — no rewrite
+    assert(IceScan.scan(spark, table).filter(col("bonus") === 7L).count() == 6)
+    // an append that OMITS the column fills the WRITE default
+    table = IceWrite.append(spark, table, batch2)
+    assert(IceScan.scan(spark, table).filter(col("bonus") === 7L).count() == 9)
+    // an explicit post-evolution NULL survives (fill is per-file-absence)
+    import s.implicits._
+    val withNull = batch1.limit(1).select(col("id") + 100 as "id", col("customer_id"),
+      col("product_id"), col("date"), col("amount"))
+      .withColumn("bonus", lit(null).cast("long"))
+    table = IceWrite.append(spark, table, withNull)
+    val scanned = IceScan.scan(spark, table)
+    assert(scanned.filter(col("bonus").isNull).count() == 1)
+    assert(scanned.filter(col("bonus") === 7L).count() == 9)
+    // filters on the defaulted column prune correctly against old files
+    assert(scanned.filter(col("bonus") === 999L).count() == 0)
+  }
+
+  test("V3 row lineage: contiguous ids across commits, stable through compaction, MoR-safe") {
+    implicit val s: SparkSession = spark
+    import graft.table.ManifestModel.RowIdFieldId
+    val cat = freshCatalog()
+    var table = cat.createTable(TableIdent(Seq("test"), "lineage"), ordersSchema, daySpec,
+      properties = Map("write.row-lineage.enabled" -> "true"))
+    table = IceWrite.append(spark, table, batch1) // 6 rows → ids 0-5
+    table = IceWrite.append(spark, table, batch2) // 3 rows → ids 6-8
+    val lineage = IceScan.ScanOptions(rowLineage = true)
+    def idMap(t: graft.table.IceTable) =
+      IceScan.scan(spark, t, options = lineage).select(col("id"), col("_row_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pre = idMap(table)
+    assert(pre.size == 9 && pre.values.toSeq.sorted == (0L to 8L), pre)
+    // metadata carries the lineage bookkeeping
+    assert(table.refresh().metadata.nextRowId == 9L)
+    val snaps = table.metadata.snapshots.values.toSeq.sortBy(_.sequenceNumber)
+    assert(snaps.map(_.firstRowId) == Seq(Some(0L), Some(6L)), snaps.map(_.firstRowId))
+
+    // compaction MATERIALIZES the lineage columns; every row keeps its id
+    table = graft.table.Maintenance.compact(spark, table)
+    assert(idMap(table) == pre, "compaction must not move a single row id")
+    val entries = table.entries(table.currentSnapshot(None).get)
+      .filter(_.dataFile.content == graft.table.ManifestModel.ContentData)
+    assert(entries.forall(e => e.dataFile.firstRowId.isEmpty &&
+      e.dataFile.valueCounts.contains(RowIdFieldId)),
+      "compacted files carry materialized lineage, not assignments")
+    // non-lineage scans of the compacted table are unchanged in shape
+    assert(!IceScan.scan(spark, table).columns.contains("_row_id"))
+    assert(IceScan.scan(spark, table).count() == 9)
+
+    // assignment continues from next-row-id after the materialized rewrite
+    import s.implicits._
+    table = IceWrite.append(spark, table,
+      Seq((100L, 1L, 1L, "2020-03-03", 1)).toDF("id", "customer_id", "product_id", "date", "amount")
+        .withColumn("date", to_date(col("date"))))
+    val withNew = idMap(table)
+    assert(withNew(100L) == 9L, withNew)
+    // MoR: a positional delete hides its row; surviving ids unchanged
+    table = IceWrite.appendPositionDeletes(spark, table, col("id") === 100L)
+    val masked = idMap(table)
+    assert(!masked.contains(100L) && masked == pre)
+  }
+
   test("commit conflict: stale transaction is rejected (AssertRefSnapshotId)") {
     implicit val s: SparkSession = spark
     val cat = freshCatalog()
