@@ -461,6 +461,40 @@ object IcebergQueries {
         sum(col("seq")).as("seq_sum"))
     }),
 
+    // CDC with UPDATE IMAGES (the V3 row-lineage payoff): UPDATE rewrites
+    // rows into a new generation but PRESERVES each row's _row_id, so the
+    // lineage-keyed changelog pairs old and new images as
+    // update_before/update_after instead of the delete+insert a value diff
+    // degrades to; deletes and fresh inserts tag normally. One shuffle
+    // join on the long row-id key.
+    "q130_cdc_update_pairs" -> ((s, d) => {
+      val wh = Files.createTempDirectory("graft_rlwh").toString
+      s.conf.set("spark.sql.catalog.graft_rl", "graft.spark.sql.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.graft_rl.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_rl.db")
+      s.sql("DROP TABLE IF EXISTS graft_rl.db.rlorders")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        .createOrReplaceTempView("q130_src")
+      s.sql("""CREATE TABLE graft_rl.db.rlorders
+              |(o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(18,2))
+              |TBLPROPERTIES ('write.row-lineage.enabled'='true')""".stripMargin)
+      s.sql("INSERT INTO graft_rl.db.rlorders SELECT * FROM q130_src")
+      val cat = new FileCatalog(wh)
+      val snap1 = cat.loadTable(TableIdent(Seq("db"), "rlorders")).get
+        .currentSnapshot(None).get.snapshotId
+      s.sql("UPDATE graft_rl.db.rlorders SET price = CAST(price * 2 AS DECIMAL(18,2)) " +
+        "WHERE o_orderkey % 7 = 0")
+      s.sql("DELETE FROM graft_rl.db.rlorders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0")
+      s.sql("INSERT INTO graft_rl.db.rlorders " +
+        "SELECT -o_orderkey, o_orderstatus, price FROM q130_src WHERE o_orderkey % 13 = 0")
+      val t = cat.loadTable(TableIdent(Seq("db"), "rlorders")).get
+      IceScan.changelogWithUpdates(s, t, snap1)
+        .groupBy(col("_change_type"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("total"))
+        .orderBy("_change_type", "o_orderstatus")
+    }),
+
     // Iceberg V3 COLUMN DEFAULTS (beyond the reference, which predates
     // them): `ADD COLUMN bonus BIGINT DEFAULT 7` back-fills every
     // pre-evolution row with the INITIAL default at read — per-file from
@@ -693,6 +727,23 @@ object IcebergQueries {
         |UNION ALL SELECT 'and_shortcircuit', count(*) FROM documents
         |  WHERE source = 'ghost' AND n_chars > 0
         |ORDER BY probe""".stripMargin,
+    "q130_cdc_update_pairs" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |changes AS (
+        |  SELECT 'update_before' AS _change_type, o_orderstatus, price
+        |  FROM src WHERE o_orderkey % 7 = 0
+        |  UNION ALL SELECT 'update_after', o_orderstatus, CAST(price * 2 AS DECIMAL(18,2))
+        |  FROM src WHERE o_orderkey % 7 = 0
+        |  UNION ALL SELECT 'delete', o_orderstatus, price
+        |  FROM src WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+        |  UNION ALL SELECT 'insert', o_orderstatus, price
+        |  FROM src WHERE o_orderkey % 13 = 0)
+        |SELECT _change_type, o_orderstatus, count(*) AS n,
+        |  CAST(sum(price) AS DOUBLE) AS total
+        |FROM changes GROUP BY _change_type, o_orderstatus
+        |ORDER BY _change_type, o_orderstatus""".stripMargin,
     "q129_row_lineage" ->
       """WITH stats AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n,

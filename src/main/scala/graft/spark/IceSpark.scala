@@ -876,6 +876,52 @@ object IceScan {
     }
   }
 
+  /** CDC with UPDATE IMAGES (the V3 row-lineage payoff): diffs two
+    * snapshots keyed by `_row_id`, so a row REWRITTEN by UPDATE surfaces as
+    * an `update_before`/`update_after` pair instead of the delete+insert
+    * the value-diff [[changelog]] degrades to. Output: `_row_id`,
+    * `_change_type` ∈ insert | delete | update_before | update_after, then
+    * the data columns. One shuffle join on the long row-id key + a single
+    * projection pass (the per-row change set rides an exploded array —
+    * unchanged rows explode to nothing), never a per-branch re-scan.
+    *
+    * Requires `write.row-lineage.enabled` (ids must exist and UPDATEs must
+    * preserve them — [[graft.spark.sql.GraftUpdateCommand]] materializes
+    * `_row_id` into the rewritten generation).
+    */
+  def changelogWithUpdates(spark: SparkSession, table: IceTable, afterSnapshotId: Long,
+                           untilSnapshotId: Option[Long] = None): DataFrame = {
+    require(table.metadata.properties.get("write.row-lineage.enabled").contains("true"),
+      "changelogWithUpdates needs write.row-lineage.enabled=true (update pairs are keyed by _row_id)")
+    val from = table.snapshotById(afterSnapshotId).getOrElse(
+      throw new IllegalArgumentException(s"unknown snapshot $afterSnapshotId"))
+    val to = untilSnapshotId match {
+      case Some(id) => table.snapshotById(id).getOrElse(
+        throw new IllegalArgumentException(s"unknown snapshot $id"))
+      case None => table.currentSnapshot(None)
+        .getOrElse(throw new IllegalStateException("table has no current snapshot"))
+    }
+    val dataCols = table.metadata.schemaAt(Some(to)).fields.map(_.name)
+    def imaged(snapId: Long, alias: String): DataFrame =
+      scanResolved(spark, table, Nil,
+        ScanOptions(snapshotId = Some(snapId), rowLineage = true))
+        .select(col("_row_id"), struct(dataCols.map(col): _*).as(alias))
+    val b = imaged(from.snapshotId, "__cdc_b")
+    val a = imaged(to.snapshotId, "__cdc_a")
+    val joined = b.join(a, Seq("_row_id"), "full_outer")
+    def tagged(tag: String, img: Column) = struct(lit(tag).as("_change_type"), img.as("__img"))
+    val changes = joined.select(col("_row_id"),
+      explode(
+        when(col("__cdc_b").isNull, array(tagged("insert", col("__cdc_a"))))
+          .when(col("__cdc_a").isNull, array(tagged("delete", col("__cdc_b"))))
+          .when(!(col("__cdc_a") <=> col("__cdc_b")),
+            array(tagged("update_before", col("__cdc_b")),
+              tagged("update_after", col("__cdc_a"))))
+          .otherwise(lit(null))).as("__c"))
+    changes.select(col("_row_id") +: col("__c._change_type") +:
+      dataCols.map(c => col(s"__c.__img.$c")): _*)
+  }
+
   /** Resolves user filter Columns against the table schema by running the
     * analyzer over a scratch plan, yielding typed Catalyst predicates
     * (AttributeReference vs Cast(Literal)) the pruning evaluator can match.
@@ -1086,21 +1132,38 @@ object IceScan {
         StructField("_last_updated_sequence_number", LongType, nullable = true,
           md(LastUpdatedSeqFieldId)))
     }
-    def attachVirtualLineage(df: DataFrame, es: Seq[ManifestEntry]): DataFrame = {
+    /** Attaches/completes the lineage columns for one file group.
+      * Virtual files derive both from the broadcast (path → first_row_id,
+      * seq) map; MATERIALIZED files keep their stored `_row_id` and
+      * COALESCE a null `_last_updated_sequence_number` to the file's
+      * sequence number — an UPDATE writes replacement rows with their
+      * preserved ids but leaves the sequence column null, because the
+      * commit's sequence number is only final at commit time (CAS retries
+      * re-stamp manifests, never parquet). */
+    def attachLineage(df: DataFrame, es: Seq[ManifestEntry],
+                      materialized: Boolean): DataFrame = {
       val hc = spark.sparkContext.hadoopConfiguration
       val rows = es.map { e =>
-        val first = e.dataFile.firstRowId.getOrElse(throw new IllegalStateException(
-          s"row-lineage scan: data file ${e.dataFile.filePath} has neither an " +
-            "assigned first_row_id nor a materialized _row_id column (it predates " +
-            "write.row-lineage.enabled) — compact() the table to backfill lineage"))
+        val first: java.lang.Long =
+          if (materialized) e.dataFile.firstRowId.map(Long.box).orNull
+          else Long.box(e.dataFile.firstRowId.getOrElse(throw new IllegalStateException(
+            s"row-lineage scan: data file ${e.dataFile.filePath} has neither an " +
+              "assigned first_row_id nor a materialized _row_id column (it predates " +
+              "write.row-lineage.enabled) — compact() the table to backfill lineage")))
         (IceScan.qualifiedPath(hc, e.dataFile.filePath), first,
           e.sequenceNumber.getOrElse(0L))
       }
-      df.join(broadcast(rows.toDF("__lin_path", "__lin_first", "__lin_seq")),
-          df("__graft_path") === col("__lin_path"), "left")
-        .withColumn("_row_id", col("__lin_first") + col("__graft_pos"))
-        .withColumn("_last_updated_sequence_number", col("__lin_seq"))
-        .drop("__lin_path", "__lin_first", "__lin_seq")
+      val joined = df.join(broadcast(rows.toDF("__lin_path", "__lin_first", "__lin_seq")),
+        df("__graft_path") === col("__lin_path"), "left")
+      val completed =
+        if (materialized) joined
+          .withColumn("_row_id", col("_row_id"))
+          .withColumn("_last_updated_sequence_number",
+            coalesce(col("_last_updated_sequence_number"), col("__lin_seq")))
+        else joined
+          .withColumn("_row_id", col("__lin_first") + col("__graft_pos"))
+          .withColumn("_last_updated_sequence_number", col("__lin_seq"))
+      completed.drop("__lin_path", "__lin_first", "__lin_seq")
     }
 
     def readFiles(entries: Seq[ManifestEntry]): DataFrame =
@@ -1123,7 +1186,7 @@ object IceScan {
               df.withColumn(f.name,
                 graft.spec.DefaultValues.toColumn(f.fieldType, f.initialDefault.get))
             }
-            if (rowLineage && !mat) attachVirtualLineage(filled, es) else filled
+            if (rowLineage) attachLineage(filled, es, materialized = mat) else filled
           }.reduce(_ unionByName _)
       } else readFileGroup(entries)
 

@@ -362,15 +362,31 @@ final case class GraftUpdateCommand(
     // predicate into the scan: manifest/file pruning bounds the rewrite
     // read to files that can contain matched rows (exactness preserved —
     // scan re-applies the filter on the surviving files)
-    val updated = IceScan.scan(spark, table, Seq(cond))
-      .select(outCols.map(c =>
-        byName.get(c).map(GraftShim.column).getOrElse(col(c)).as(c)): _*)
-      .cache()
+    // V3 row lineage: the rewritten generation PRESERVES each row's
+    // `_row_id` by materializing it into the new files (the sequence
+    // column stays null — the scan coalesces it to the commit's sequence
+    // number, which is how `_last_updated_sequence_number` advances on
+    // update without baking a pre-commit guess into parquet)
+    val lineageOn = table.metadata.properties
+      .get("write.row-lineage.enabled").contains("true")
+    val outExprs = outCols.map(c =>
+      byName.get(c).map(GraftShim.column).getOrElse(col(c)).as(c))
+    val updated =
+      if (lineageOn)
+        IceScan.scan(spark, table, Seq(cond), IceScan.ScanOptions(rowLineage = true))
+          .select(outExprs :+ col("_row_id"): _*)
+          .cache()
+      else IceScan.scan(spark, table, Seq(cond)).select(outExprs: _*).cache()
     try {
       val n = updated.count()
       if (n > 0) {
+        val writeSchema =
+          if (lineageOn) graft.spec.IceSchema(schema.schemaId, schema.fields :+
+            graft.spec.NestedField(graft.table.ManifestModel.RowIdFieldId, "_row_id",
+              required = false, graft.spec.IceType.LongT))
+          else schema
         val delFiles = IceWrite.positionDeleteFiles(spark, table, cond)
-        val dataFiles = IceWrite.writeDataFiles(spark, table, updated, schema)
+        val dataFiles = IceWrite.writeDataFiles(spark, table, updated, writeSchema)
         table.newTransaction(None).appendDeletes(delFiles).appendData(dataFiles).commit()
       }
       Seq(Row(n))

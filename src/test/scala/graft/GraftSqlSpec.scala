@@ -199,6 +199,50 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT s FROM graft.db.defs2").head().getString(0) == "x'y")
   }
 
+  test("V3 row lineage over SQL: UPDATE preserves _row_id; CDC emits update pairs") {
+    import graft.spark.IceScan
+    import org.apache.spark.sql.functions.col
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.rl (k BIGINT, v STRING)
+                |TBLPROPERTIES ('write.row-lineage.enabled'='true')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.rl VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    def load() = new graft.catalog.FileCatalog(warehouse)
+      .loadTable(graft.catalog.TableIdent(Seq("db"), "rl")).get
+    val t1 = load()
+    val snap1 = t1.currentSnapshot(None).get.snapshotId
+    def ids(t: graft.table.IceTable) =
+      IceScan.scan(spark, t, options = IceScan.ScanOptions(rowLineage = true))
+        .select("k", "_row_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pre = ids(t1)
+    assert(pre.values.toSeq.sorted == (0L to 3L), pre)
+
+    // UPDATE rewrites the row into a new file but KEEPS its _row_id
+    spark.sql("UPDATE graft.db.rl SET v = 'B!' WHERE k = 2")
+    spark.sql("DELETE FROM graft.db.rl WHERE k = 3")
+    spark.sql("INSERT INTO graft.db.rl VALUES (9, 'z')")
+    val t2 = load()
+    val post = ids(t2)
+    assert(post(2L) == pre(2L), "UPDATE must preserve the row id")
+    assert(post(9L) == 4L, "insert continues from next-row-id")
+    // the rewritten row's last-updated sequence advanced past its siblings
+    val seqs = IceScan.scan(spark, t2, options = IceScan.ScanOptions(rowLineage = true))
+      .select("k", "_last_updated_sequence_number").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seqs(2L) > seqs(1L), seqs)
+
+    // CDC pairs the update by _row_id; delete/insert tag normally
+    val changes = IceScan.changelogWithUpdates(spark, t2, snap1)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getString(3))).toSet
+    assert(changes == Set(
+      ("update_before", 2L, "b"), ("update_after", 2L, "B!"),
+      ("delete", 3L, "c"), ("insert", 9L, "z")), changes)
+    // and the pair shares one _row_id
+    val updRows = IceScan.changelogWithUpdates(spark, t2, snap1)
+      .filter(col("_change_type").startsWith("update"))
+      .select("_row_id").collect().map(_.getLong(0)).distinct
+    assert(updRows.toSeq == Seq(pre(2L)))
+  }
+
   test("ALTER TABLE: add, rename (id-preserving), drop, type promotion, properties") {
     spark.sql("CREATE TABLE graft.db.evo (id INT, name STRING)")
     spark.sql("INSERT INTO graft.db.evo VALUES (1, 'a'), (2, 'b')")
