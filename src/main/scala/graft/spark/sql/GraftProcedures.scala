@@ -358,25 +358,33 @@ object GraftProcedures {
 
   /** CDC as SQL: `CALL graft.system.create_changelog_view(table => 'db.t',
     * after_snapshot_id => 42 [, until_snapshot_id => 43]
-    * [, view_name => 'v'])` registers a temp view of the net row changes in
-    * (after, until] with a `_change_type` column ('insert'/'delete') —
-    * append-only windows stream straight off the new files with no diff. */
+    * [, view_name => 'v'] [, with_updates => true])` registers a temp view
+    * of the row changes in (after, until] with a `_change_type` column —
+    * net insert/delete by value diff, or, with `with_updates` on a
+    * row-lineage table, `update_before`/`update_after` pairs keyed by
+    * `_row_id` ([[graft.spark.IceScan.changelogWithUpdates]]); append-only
+    * windows stream straight off the new files with no diff. */
   private final class CreateChangelogView(cat: GraftSparkCatalog)
       extends GraftProcedure(cat, "create_changelog_view",
         Seq(ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("after_snapshot_id", LongType).build(),
           ProcedureParameter.in("until_snapshot_id", LongType).defaultValue("-1").build(),
-          ProcedureParameter.in("view_name", StringType).defaultValue("''").build()),
+          ProcedureParameter.in("view_name", StringType).defaultValue("''").build(),
+          ProcedureParameter.in("with_updates", BooleanType).defaultValue("false").build()),
         StructType(Seq(StructField("view_name", StringType, nullable = false)))) {
     override def description(): String =
-      "Register a temp view of net row changes between two snapshots (_change_type insert/delete)"
+      "Register a temp view of row changes between two snapshots (_change_type; " +
+        "with_updates pairs rewrites by _row_id on row-lineage tables)"
     override protected def run(spark: SparkSession, args: InternalRow): InternalRow = {
       val t = table(args)
       val until = args.getLong(2) match { case -1L => None; case id => Some(id) }
       val requested = if (args.isNullAt(3)) "" else args.getUTF8String(3).toString
       val viewName = if (requested.isEmpty) s"${t.ident.name}_changes" else requested
-      graft.spark.IceScan.changelog(spark, t, args.getLong(1), until)
-        .createOrReplaceTempView(viewName)
+      val withUpdates = !args.isNullAt(4) && args.getBoolean(4)
+      val changes =
+        if (withUpdates) graft.spark.IceScan.changelogWithUpdates(spark, t, args.getLong(1), until)
+        else graft.spark.IceScan.changelog(spark, t, args.getLong(1), until)
+      changes.createOrReplaceTempView(viewName)
       InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(viewName))
     }
   }

@@ -416,8 +416,15 @@ object IceStreaming {
             .map(s => t2.deleteFiles(s)
               .count(_.dataFile.content == graft.table.ManifestModel.ContentEqualityDeletes))
             .getOrElse(0)
-          if (eqLive >= maintainAfterDeleteFiles)
+          if (eqLive >= maintainAfterDeleteFiles) {
             graft.table.Maintenance.convertEqualityDeletes(spark, t2): Unit
+            // a puffin-opted table folds the freshly-materialized positions
+            // straight into deletion vectors: continuous ingest then keeps
+            // the scan's positional layer at ONE bitmap filter instead of
+            // an ever-growing delete-row anti-join side
+            if (t2.metadata.properties.get("write.delete.format").contains("puffin"))
+              graft.table.Maintenance.convertPositionDeletesToDVs(spark, t2.refresh()): Unit
+          }
         }
         ()
       }

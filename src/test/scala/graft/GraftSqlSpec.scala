@@ -243,6 +243,25 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(updRows.toSeq == Seq(pre(2L)))
   }
 
+  test("create_changelog_view(with_updates) registers the _row_id-paired CDC view") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.rlv (k BIGINT, v STRING)
+                |TBLPROPERTIES ('write.row-lineage.enabled'='true')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.rlv VALUES (1, 'a'), (2, 'b')")
+    val snap1 = new graft.catalog.FileCatalog(warehouse)
+      .loadTable(graft.catalog.TableIdent(Seq("db"), "rlv")).get
+      .currentSnapshot(None).get.snapshotId
+    spark.sql("UPDATE graft.db.rlv SET v = 'A' WHERE k = 1")
+    val view = spark.sql(
+      s"CALL graft.system.create_changelog_view(table => 'db.rlv', " +
+        s"after_snapshot_id => ${snap1}L, with_updates => true)").head().getString(0)
+    val rows = spark.table(view)
+      .select(col("_change_type"), col("k"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set(("update_before", 1L, "a"), ("update_after", 1L, "A")), rows)
+  }
+
   test("ALTER TABLE: add, rename (id-preserving), drop, type promotion, properties") {
     spark.sql("CREATE TABLE graft.db.evo (id INT, name STRING)")
     spark.sql("INSERT INTO graft.db.evo VALUES (1, 'a'), (2, 'b')")

@@ -237,6 +237,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state == expected, s"got $state")
   }
 
+  test("streamUpsert on a puffin-opted table folds delete residue into deletion vectors") {
+    import spark.implicits._
+    val cat = new FileCatalog(Files.createTempDirectory("stwh_dv").toString)
+    val srcSchema = IceSchema(0, Seq(
+      NestedField(1, "k", required = false, IceType.LongT),
+      NestedField(2, "v", required = false, IceType.StringT),
+      NestedField(3, "lsn", required = false, IceType.LongT)))
+    var source = cat.createTable(TableIdent(Seq("db"), "dv_src"), srcSchema, PartitionSpec(0, Nil))
+    val target = cat.createTable(TableIdent(Seq("db"), "dv_tgt"), srcSchema, PartitionSpec(0, Nil),
+      properties = Map("write.delete.format" -> "puffin"))
+    val ckpt = Files.createTempDirectory("stckpt_dv").toString
+    for (b <- 0 until 20) {
+      source = graft.spark.IceWrite.append(spark, source.refresh(),
+        (0 until 4).map(i => ((b * 4 + i) % 10L, s"v$b-$i", b * 4L + i)).toDF("k", "v", "lsn"))
+    }
+    IceStreaming.streamUpsert(spark, source.refresh(), target, keyIds = Seq(1),
+      orderCol = "lsn", checkpoint = ckpt, trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger = 1, maintainAfterDeleteFiles = 6)
+      .awaitTermination()
+    val t = target.refresh()
+    val dels = t.deleteFiles(t.currentSnapshot(None).get)
+    import graft.table.ManifestModel.{ContentPositionDeletes, FormatPuffin}
+    val parquetPos = dels.filter(e => e.dataFile.content == ContentPositionDeletes &&
+      e.dataFile.fileFormat != FormatPuffin)
+    val dvs = dels.filter(e => e.dataFile.content == ContentPositionDeletes &&
+      e.dataFile.fileFormat == FormatPuffin)
+    assert(parquetPos.isEmpty,
+      s"puffin-opted maintenance must leave no parquet positional files, got ${parquetPos.size}")
+    assert(dvs.nonEmpty, "threshold maintenance should have produced deletion vectors")
+    assert(dvs.groupBy(_.dataFile.referencedDataFile).values.forall(_.size == 1))
+    // positional layer rides the bitmap FILTER, not an anti-join per residue
+    val scanned = IceScan.scan(spark, t)
+    assert(scanned.queryExecution.executedPlan.toString.toLowerCase.contains("dvdeleted"))
+    // correctness: latest generation per key
+    val state = scanned.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expected = (0 until 80).map(i => (i % 10L, i.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(state == expected, s"got $state")
+  }
+
   test("streamUpsert order guard: a batch below the committed watermark fails before commit") {
     import spark.implicits._
     val cat = new FileCatalog(Files.createTempDirectory("stwh_wm").toString)
