@@ -10,9 +10,14 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
   def time[A](label: String)(f: => A): A = {
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val c0 = os.getProcessCpuTime
     val t0 = System.nanoTime()
     val r = f
-    println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    val dt = (System.nanoTime() - t0) / 1e9
+    val dc = (os.getProcessCpuTime - c0) / 1e9
+    println(f"[profile] $label%-40s $dt%8.2fs cpu=$dc%8.2fs")
     r
   }
   def mat(df: DataFrame): Long = df.write.mode("overwrite").format("noop").save() match { case _ => 0L }
@@ -179,6 +184,107 @@ object Profile {
           Dedup.jaccardJoinExactOnArrays(standing, "doc_id")))
         time("jaccardJoinExactOnArrays #2")(mat(
           Dedup.jaccardJoinExactOnArrays(standing, "doc_id")))
+      case "q86dec" =>
+        // isolate the verify kernel: enumerate-only vs enumerate+levenshtein
+        val cust = Tables.customer(spark, sfDir).filter(col("c_custkey") % 3 === 0)
+        val k = 2; val q = 3; val prefLen = 7
+        val base = cust.select(col("c_custkey").cast("long").as("id"), col("c_name").as("s"))
+          .withColumn("len", length(col("s")))
+        val grams = base
+          .select(col("id"), col("s"), col("len"),
+            explode(sequence(lit(1), col("len") - (q - 1))).as("pos"))
+          .select(col("id"), col("s"), col("len"), col("pos"),
+            col("s").substr(col("pos"), lit(q)).as("g"))
+        val gdf = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("gdf").asc, col("g").asc, col("pos").asc)
+        val prefix = grams.join(gdf, "g")
+          .select(col("id"), col("s"), col("len"), col("g"), row_number().over(w).as("rn"))
+          .filter(col("rn") <= prefLen)
+          .select(col("id"), col("s"), col("len"), col("g"))
+          .dropDuplicates("id", "g").cache()
+        time("prefix cache fill")(mat(prefix))
+        val joined = prefix
+          .select(col("g"), col("id").as("id_a"), col("len").as("len_x"), col("s").as("s_a"))
+          .join(prefix.select(col("g"), col("id").as("id_b"), col("len").as("len_y"),
+            col("s").as("s_b")), "g")
+          .filter(col("id_a") < col("id_b") && abs(col("len_x") - col("len_y")) <= k)
+          .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+        println(s"[profile] joined rows = ${time("join enumerate count")(joined.count())}")
+        time("join enumerate noop")(mat(joined))
+        val lev = joined.withColumn("dist", levenshtein(col("s_a"), col("s_b"), k))
+          .filter(col("dist") >= 0)
+        time("join+levenshtein noop")(mat(lev))
+        time("join+levenshtein again")(mat(lev))
+        println(s"[profile] survivors = ${time("survivors count")(lev.count())}")
+        val dd = lev.select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist")).distinct()
+        println(s"[profile] distinct survivors = ${time("+distinct count")(dd.count())}")
+        time("+distinct noop")(mat(dd))
+        time("+distinct noop again")(mat(dd))
+        // variant B: filter once on the wide stream, dedup pairs WITH
+        // strings, recompute dist only on the distinct survivors
+        val ddB = joined.filter(levenshtein(col("s_a"), col("s_b"), k) >= 0)
+          .distinct()
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("s_a"), col("s_b"), k).cast("long").as("dist"))
+        time("variantB noop")(mat(ddB))
+        time("variantB noop again")(mat(ddB))
+        dd.explain("formatted")
+        prefix.unpersist()
+      case "q86new" =>
+        val cust = Tables.customer(spark, sfDir).filter(col("c_custkey") % 3 === 0)
+        val lazyJoin = graft.pipeline.FuzzyJoin.editDistanceJoinLazy(cust, "c_custkey", "c_name", 2)
+        time("lazy full (uncached prefix)")(mat(lazyJoin))
+        lazyJoin.explain("formatted")
+        time("full editDistanceJoin")(mat(
+          graft.pipeline.FuzzyJoin.editDistanceJoin(cust, "c_custkey", "c_name", 2)))
+        time("full editDistanceJoin again")(mat(
+          graft.pipeline.FuzzyJoin.editDistanceJoin(cust, "c_custkey", "c_name", 2)))
+        time("full editDistanceJoin 3rd")(mat(
+          graft.pipeline.FuzzyJoin.editDistanceJoin(cust, "c_custkey", "c_name", 2)))
+      case "q86" =>
+        // decomposes the Ed-Join prefix branch (all sf strings are length-18
+        // fixed format, so the segment/tiny branches are empty): gram+df
+        // build, rarest-prefix window, self-join candidates, distinct,
+        // string re-attach, banded-Levenshtein verify
+        val cust = Tables.customer(spark, sfDir).filter(col("c_custkey") % 3 === 0)
+        val k = 2; val q = k + 1; val prefLen = k * q + 1
+        val base = cust.select(col("c_custkey").cast("long").as("id"), col("c_name").as("s"))
+          .withColumn("len", length(col("s")))
+        val grams = base
+          .select(col("id"), col("s"), col("len"),
+            explode(sequence(lit(1), col("len") - (q - 1))).as("pos"))
+          .select(col("id"), col("s"), col("len"), col("pos"),
+            col("s").substr(col("pos"), lit(q)).as("g"))
+        val gdf = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+        time("grams+gdf count")(gdf.count())
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("gdf").asc, col("g").asc, col("pos").asc)
+        val prefix = grams.join(gdf, "g")
+          .select(col("id"), col("len"), col("g"), row_number().over(w).as("rn"))
+          .filter(col("rn") <= prefLen)
+          .select(col("id"), col("len"), col("g")).cache()
+        time("prefix build (cache fill)")(mat(prefix))
+        val prefixPairs0 = prefix.select(col("g"), col("id").as("id_x"), col("len").as("len_x"))
+          .join(prefix.select(col("g"), col("id").as("id_y"), col("len").as("len_y")), "g")
+          .filter(col("id_x") < col("id_y") && abs(col("len_x") - col("len_y")) <= k)
+          .select(col("id_x").as("id_a"), col("id_y").as("id_b"))
+        println(s"[profile] pre-distinct pairs = ${time("pre-distinct count")(prefixPairs0.count())}")
+        val pairs = prefixPairs0.distinct()
+        println(s"[profile] distinct pairs = ${time("distinct count")(pairs.count())}")
+        val long = base
+        val cand = pairs
+          .join(long.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+          .join(long.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+        time("candidates attach strings")(mat(cand))
+        val ver = cand.withColumn("dist", levenshtein(col("s_a"), col("s_b"), k))
+          .filter(col("dist") >= 0)
+        time("verify levenshtein")(mat(ver))
+        prefix.unpersist()
+        time("full editDistanceJoin")(mat(
+          graft.pipeline.FuzzyJoin.editDistanceJoin(cust, "c_custkey", "c_name", 2)))
+        time("full editDistanceJoin again")(mat(
+          graft.pipeline.FuzzyJoin.editDistanceJoin(cust, "c_custkey", "c_name", 2)))
       case "q17" =>
         import graft.catalog.{FileCatalog, TableIdent}
         import graft.spark.{IceScan, IceWrite}

@@ -40,10 +40,12 @@ import org.apache.spark.sql.functions._
   * jointly exhaustive; results union without cross-branch dedup.
   *
   * 100 TB posture: every shuffle is keyed by gram / segment / length
-  * metadata, never by pair; prefix keys are globally rarest-first (hot
-  * keys structurally excluded); the verify is the banded `levenshtein(s,
-  * t, k)` kernel on blocked candidates only. Remaining skew is ordinary
-  * equi-join skew — AQE splits it.
+  * metadata, never by candidate pair — the banded `levenshtein(s, t, k)`
+  * verify runs BEFORE the pair-level dedup (inside the same codegen stage
+  * as the blocking join), so the only pair-keyed exchange carries
+  * true-pair-scale rows, not candidate-scale. Prefix keys are globally
+  * rarest-first (hot keys structurally excluded). Remaining skew is
+  * ordinary equi-join skew — AQE splits it.
   */
 object FuzzyJoin {
 
@@ -61,14 +63,15 @@ object FuzzyJoin {
     editDistanceJoinImpl(df, idCol, strCol, maxDist, eager = false)
 
   /** COUNT of blocked candidate pairs (pre-verify), all three branches
-    * WITHOUT cross-branch dedup — exactly what the verify kernel
-    * receives. Exposed for the scale smoke's cost decomposition:
-    * candidate volume is the blocking quality axis; the banded-DP verify
-    * and the output materialization are per-candidate / per-true-pair
-    * work no blocking scheme can remove. Runs eager so the prefix frame
-    * caches for its self-join (uncached, each join side would re-run the
-    * gram-df aggregate + ranking window — measured 4x the full join's
-    * wall time) and releases before return. */
+    * WITHOUT any dedup — exactly what the verify kernel receives (since
+    * r18 the pair-level distinct runs AFTER the verify, so candidates
+    * carry one row per shared blocking key). Exposed for the scale
+    * smoke's cost decomposition: candidate volume is the blocking quality
+    * axis; the banded-DP verify and the output materialization are
+    * per-candidate / per-true-pair work no blocking scheme can remove.
+    * Runs eager so the prefix frame caches for its self-join (uncached,
+    * each join side would re-run the gram-df aggregate + ranking window —
+    * measured 4x the full join's wall time) and releases before return. */
   private[graft] def editDistanceCandidateCount(df: DataFrame, idCol: String,
                                                 strCol: String, maxDist: Int): Long = {
     val (prefixCand, segCand, tinyCand, cache) =
@@ -86,11 +89,21 @@ object FuzzyJoin {
     val (prefixCand, segCand, tinyCand, cache) =
       candidateBranches(df, idCol, strCol, maxDist, eager)
     val k = maxDist
+    // VERIFY BEFORE DEDUP (r18, guide §2.3/§2.4): the candidate frames
+    // carry duplicates (one per shared blocking key), but the banded
+    // Levenshtein is ~1µs/pair while a pre-verify pair-level distinct
+    // SHUFFLES the full candidate volume (measured 33.8M rows at sf0.1 vs
+    // 0.46M true pairs — a 73x write amplification on the exchange).
+    // Verifying first keeps the wide pair stream inside one codegen stage
+    // (join -> levenshtein -> filter, no exchange) and the distinct only
+    // moves true-pair-scale rows. dist is a function of (id_a, id_b), so
+    // distinct-after-verify returns the identical row set.
     def verify(cand: DataFrame): DataFrame = cand
       // thresholded Levenshtein: banded DP, returns -1 past the threshold
       .withColumn("dist", levenshtein(col("s_a"), col("s_b"), k))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .distinct()
 
     val res = verify(prefixCand)
       .unionByName(verify(segCand))
@@ -128,27 +141,31 @@ object FuzzyJoin {
     // pair rank identically
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("gdf").asc, col("g").asc, col("pos").asc)
-    // NARROW prefix rows (id, len, gram — no strings): on boilerplate-heavy
-    // fixed-format corpora the prefix buckets can degenerate toward
-    // all-pairs (every string carries the same near-constant grams), so the
-    // candidate join must shuffle the absolute minimum bytes per row; the
-    // strings re-attach AFTER the pair-level distinct, via two joins
-    // against the (comparatively tiny) base relation. Cached: the
-    // self-join consumes the gram/df/window chain twice.
+    // Prefix rows carry the string (id, len, g, s): the self-join output is
+    // pipelined straight into the banded-Levenshtein verify (no pair-level
+    // exchange — see editDistanceJoinImpl), so the string column rides the
+    // join instead of re-attaching via two post-distinct joins. On
+    // boilerplate-heavy fixed-format corpora the prefix buckets can
+    // degenerate toward all-pairs (every string carries the same
+    // near-constant grams, measured C(5000,2) exactly at sf0.1), which is
+    // precisely why the wide pair stream must stay shuffle-free. The same
+    // gram at two positions blocks the same pairs, so (id, g) dedups —
+    // without it a degenerate hot gram multiplies its per-string
+    // occurrence count into the join output multiplicatively.
+    // Cached: the self-join consumes the gram/df/window chain twice.
     val prefix0 = grams.join(gdf, "g")
-      .select(col("id"), col("len"), col("g"), row_number().over(w).as("rn"))
+      .select(col("id"), col("s"), col("len"), col("g"), row_number().over(w).as("rn"))
       .filter(col("rn") <= prefLen)
-      .select(col("id"), col("len"), col("g"))
+      .select(col("id"), col("s"), col("len"), col("g"))
+      .dropDuplicates("id", "g")
     val prefix = if (eager) prefix0.cache() else prefix0
-    val prefixPairs = prefix.select(col("g"), col("id").as("id_x"), col("len").as("len_x"))
-      .join(prefix.select(col("g"), col("id").as("id_y"), col("len").as("len_y")), "g")
-      .filter(col("id_x") < col("id_y") &&
+    val prefixCand = prefix
+      .select(col("g"), col("id").as("id_a"), col("len").as("len_x"), col("s").as("s_a"))
+      .join(prefix.select(col("g"), col("id").as("id_b"), col("len").as("len_y"),
+        col("s").as("s_b")), "g")
+      .filter(col("id_a") < col("id_b") &&
         abs(col("len_x") - col("len_y")) <= k)
-      .select(col("id_x").as("id_a"), col("id_y").as("id_b"))
-      .distinct()
-    val prefixCand = prefixPairs
-      .join(long.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
-      .join(long.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
 
     // ---- branch 2: PassJoin segments (shorter side in [k+1, medMax]).
     // Even partition of a length-L string: segment i in [0, k] has length
@@ -194,7 +211,6 @@ object FuzzyJoin {
         greatest(col("id_x"), col("id_y")).as("id_b"),
         when(col("id_x") < col("id_y"), col("s_x")).otherwise(col("s_y")).as("s_a"),
         when(col("id_x") < col("id_y"), col("s_y")).otherwise(col("s_x")).as("s_b"))
-      .distinct()
 
     // ---- branch 3: tiny (shorter side len <= k) — see scaladoc.
     // The constant bucket key is pmod(id, 1) — always 0, but NOT
@@ -213,7 +229,6 @@ object FuzzyJoin {
         greatest(col("id"), col("id_y")).as("id_b"),
         when(col("id") < col("id_y"), col("s")).otherwise(col("s_y")).as("s_a"),
         when(col("id") < col("id_y"), col("s_y")).otherwise(col("s")).as("s_b"))
-      .distinct()
 
     (prefixCand, segCand, tinyCand, if (eager) Some(prefix) else None)
   }
