@@ -22,6 +22,32 @@ object Profile {
   }
   def mat(df: DataFrame): Long = df.write.mode("overwrite").format("noop").save() match { case _ => 0L }
 
+  /** Per-stage CPU/records attribution for one action: prints each stage's
+    * executor CPU seconds, task count, and input/shuffle volumes. */
+  def stages[A](spark: SparkSession, label: String)(f: => A): A = {
+    val recs = new java.util.concurrent.ConcurrentHashMap[Int, (String, Double, Long, Long, Long)]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val m = si.taskMetrics
+        recs.put(si.stageId, (si.name.takeWhile(_ != '\n').take(60),
+          m.executorCpuTime / 1e9, m.inputMetrics.recordsRead,
+          m.shuffleReadMetrics.recordsRead, m.shuffleWriteMetrics.recordsWritten))
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val r = time(label)(f)
+      Thread.sleep(300)
+      import scala.jdk.CollectionConverters._
+      recs.asScala.toSeq.sortBy(-_._2._2).take(12).foreach { case (id, (nm, cpu, in, sr, sw)) =>
+        println(f"[stage] $id%5d cpu=$cpu%8.2fs in=$in%10d sRead=$sr%10d sWrite=$sw%10d  $nm")
+      }
+      r
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -184,6 +210,187 @@ object Profile {
           Dedup.jaccardJoinExactOnArrays(standing, "doc_id")))
         time("jaccardJoinExactOnArrays #2")(mat(
           Dedup.jaccardJoinExactOnArrays(standing, "doc_id")))
+      case "q106ab" =>
+        import graft.pipeline.TextOps
+        val docs = Tables.documents(spark, sfDir).localCheckpoint(true)
+        time("warm")(docs.count())
+        (1 to 4).foreach { i =>
+          time(s"removeDupSpans #$i")(mat(
+            TextOps.removeDupSpans(docs, "doc_id", "text", span = 10)))
+          spark.catalog.clearCache()
+        }
+      case "q108ab" =>
+        import graft.pipeline.Dedup
+        val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        val n = docs.count()
+        val pages = docs.join(
+            docs.select(col("doc_id").as("nid"), col("text").as("ntext")),
+            (col("doc_id") + 7) % n === col("nid"), "left")
+          .select(col("doc_id").as("page_id"),
+            concat_ws("\n\n", col("text"), col("ntext")).as("page_text"))
+          .localCheckpoint(true)
+        time("warm")(pages.count())
+        (1 to 4).foreach { i =>
+          time(s"paragraphNearDups #$i")(mat(
+            Dedup.paragraphNearDups(pages, "page_id", "page_text")))
+          spark.catalog.clearCache()
+        }
+      case "q103ab" =>
+        import graft.pipeline.TrainingSet
+        val docs = Tables.documents(spark, sfDir).localCheckpoint(true)
+        time("warm")(docs.count())
+        (1 to 3).foreach { i =>
+          time(s"dsirWeights #$i")(mat(TrainingSet.dsirWeights(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"), "doc_id", "text")))
+        }
+      case "q110ab" =>
+        import graft.pipeline.QualityLM
+        val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+          .localCheckpoint(true)
+        time("warm")(docs.count())
+        (1 to 3).foreach { i =>
+          val model = QualityLM.train(docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+          time(s"train+buckets #$i")(mat(
+            QualityLM.buckets(docs, "doc_id", "text", model)))
+        }
+      case "repart" =>
+        import graft.pipeline.Dedup
+        val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+          .localCheckpoint(true)
+        time("warm")(docs.count())
+        val rr = Dedup.shinglesRaw(docs.repartition(32), "doc_id", "text", 3)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val hh = Dedup.shinglesRaw(docs.repartition(32, col("doc_id")), "doc_id", "text", 3)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        (1 to 3).foreach { i =>
+          time(s"roundrobin+agg #$i")(mat(rr))
+          time(s"hash-by-id+agg #$i")(mat(hh))
+        }
+        hh.explain("formatted")
+      case "q108k" =>
+        // per-shingle kernel microbenchmark: which expression costs what
+        import graft.pipeline.{Dedup, TextOps}
+        val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        val n = docs.count()
+        val pages = docs.join(
+            docs.select(col("doc_id").as("nid"), col("text").as("ntext")),
+            (col("doc_id") + 7) % n === col("nid"), "left")
+          .select(col("doc_id").as("page_id"),
+            concat_ws("\n\n", col("text"), col("ntext")).as("page_text"))
+        val maxParas = 1024
+        val paras = pages
+          .select(col("page_id"), posexplode(split(col("page_text"), "\n\\s*\n")).as(Seq("__pidx", "__ptext")))
+          .filter(trim(col("__ptext")) =!= "" && col("__pidx") < maxParas)
+          .select((col("page_id") * maxParas + col("__pidx")).as("__pid"), col("__ptext"))
+          .repartition(32).localCheckpoint(true)
+        time("paras checkpoint")(paras.count())
+        time("e1 paras noop")(mat(paras))
+        val toks = paras.select(col("__pid"), TextOps.tokens(col("__ptext")).as("_w"))
+        time("e2 tokens noop")(mat(toks))
+        time("e2 tokens noop again")(mat(toks))
+        val toks2 = paras.select(col("__pid"),
+          array_remove(split(lower(col("__ptext")), " "), "").as("_w"))
+        time("e2b tokens via array_remove")(mat(toks2))
+        time("e2b again")(mat(toks2))
+        time("e2c filter-HOF again")(mat(toks))
+        val expl = toks.select(col("__pid"), col("_w"),
+          explode(sequence(lit(1), greatest(size(col("_w")) - 2, lit(1)))).as("_i"))
+        time("e3 explode (carrying _w) noop")(mat(expl))
+        val sh = expl.select(col("__pid"),
+          concat_ws(" ", (0 until 3).map(j => get(col("_w"), col("_i") + lit(j) - 1)): _*).as("sh"))
+        time("e4 shingle assemble noop")(mat(sh))
+        time("e4 again")(mat(sh))
+        val md = sh.select(col("__pid"), md5(col("sh").cast("binary")).as("h"))
+        time("e5 +md5 noop")(mat(md))
+        val h0 = sh.select(col("__pid"),
+          (expr("cast(conv(substr(md5(cast(sh as binary)), 1, 15), 16, 10) as bigint)") % Dedup.MinhashPrime).as("h0"))
+        time("e6 +conv h0 noop")(mat(h0))
+        time("e6 again")(mat(h0))
+        val sigs = Dedup.minhashSignatures(sh, "__pid", 16)
+        time("e7 signatures (16 mins agg)")(mat(sigs))
+        time("e7 again")(mat(sigs))
+        val arr = sh.groupBy(col("__pid")).agg(collect_set(col("sh")).as("__arr"))
+        time("e8 collect_set arrays")(mat(arr))
+      case "q108dec" =>
+        import graft.pipeline.Dedup
+        val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        val n = docs.count()
+        val pages = docs.join(
+            docs.select(col("doc_id").as("nid"), col("text").as("ntext")),
+            (col("doc_id") + 7) % n === col("nid"), "left")
+          .select(col("doc_id").as("page_id"),
+            concat_ws("\n\n", col("text"), col("ntext")).as("page_text"))
+        time("pages noop")(mat(pages))
+        val maxParas = 1024
+        val paras = pages
+          .select(col("page_id"), posexplode(split(col("page_text"), "\n\\s*\n")).as(Seq("__pidx", "__ptext")))
+          .filter(trim(col("__ptext")) =!= "" && col("__pidx") < maxParas)
+          .select((col("page_id") * maxParas + col("__pidx")).as("__pid"), col("__ptext"))
+        println(s"[profile] paras = ${time("paras count")(paras.count())}")
+        val par = spark.sessionState.conf.numShufflePartitions
+        val raw = Dedup.shinglesRaw(paras.repartition(par), "__pid", "__ptext", 3)
+        println(s"[profile] shingles = ${time("shinglesRaw count")(raw.count())}")
+        val sigs = Dedup.minhashSignatures(raw, "__pid", 16)
+        time("signatures noop")(mat(sigs))
+        val banded = Dedup.lshBands(sigs, "__pid", 16, 4).cache()
+        time("banded cache fill")(mat(banded))
+        val cand = Dedup.lshCandidates(banded, "__pid").cache()
+        println(s"[profile] candidates = ${time("candidates count")(cand.count())}")
+        val candDocs = cand.select(col("id_a").as("__pid"))
+          .union(cand.select(col("id_b").as("__pid"))).distinct()
+        println(s"[profile] cand docs = ${time("candDocs count")(candDocs.count())}")
+        val shSetsOld = Dedup.shinglesRaw(paras.repartition(par)
+          .join(broadcast(candDocs), Seq("__pid"), "left_semi"), "__pid", "__ptext", 3)
+        val verOld = Dedup.jaccardVerify(shSetsOld, cand, "__pid").filter(col("jaccard") >= 0.5)
+        time("verify (repartition-then-semijoin)")(mat(verOld))
+        val shSetsNew = Dedup.shinglesRaw(paras
+          .join(broadcast(candDocs), Seq("__pid"), "left_semi").repartition(par), "__pid", "__ptext", 3)
+        val verNew = Dedup.jaccardVerify(shSetsNew, cand, "__pid").filter(col("jaccard") >= 0.5)
+        time("verify (semijoin-then-repartition)")(mat(verNew))
+        banded.unpersist(); cand.unpersist()
+        time("full paragraphNearDups")(mat(
+          Dedup.paragraphNearDups(pages, "page_id", "page_text")))
+        stages(spark, "full again")(mat(
+          Dedup.paragraphNearDups(pages, "page_id", "page_text")))
+      case "q77dec" =>
+        import graft.pipeline.Dedup
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(spark, sfDir)
+        val docArr = time("docShingleArrays checkpoint")(
+          Dedup.docShingleArrays(docs, "doc_id", "text", 3).localCheckpoint(true))
+        val (tNum, tDen) = (1L, 2L)
+        val sh = docArr.select(col("doc_id"), explode(col("__arr")).as("sh"))
+        val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("sh").asc)
+        val prefix = sh.join(dfreq, "sh")
+          .select(col("doc_id"), col("sh"), row_number().over(w).as("rn"),
+            count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n_sh"))
+          .filter(col("rn") <=
+            col("n_sh") - expr(s"CAST((n_sh * $tNum + ${tDen - 1}) DIV $tDen AS BIGINT)") + 1)
+          .select(col("doc_id"), col("sh"), col("rn"), col("n_sh")).cache()
+        println(s"[profile] prefix rows = ${time("prefix cache fill")(prefix.count())}")
+        val candPre = prefix.select(col("sh"), col("doc_id").as("id_a"),
+            col("rn").as("ra"), col("n_sh").as("na"))
+          .join(prefix.select(col("sh"), col("doc_id").as("id_b"),
+            col("rn").as("rb"), col("n_sh").as("nb")), "sh")
+          .filter(col("id_a") < col("id_b") &&
+            col("na") * tNum <= col("nb") * tDen && col("nb") * tNum <= col("na") * tDen &&
+            (least(col("na") - col("ra"), col("nb") - col("rb")) + 1) * (tNum + tDen) >=
+              (col("na") + col("nb")) * tNum)
+          .select(col("id_a"), col("id_b"))
+        println(s"[profile] pre-distinct cand = ${time("cand pre-distinct count")(candPre.count())}")
+        val cand = candPre.distinct()
+        println(s"[profile] distinct cand = ${time("cand distinct count")(cand.count())}")
+        val ver = Dedup.jaccardVerifyArr(docArr, cand, "doc_id")
+          .filter(col("jaccard") >= lit(tNum.toDouble / tDen))
+        println(s"[profile] true pairs = ${time("verify count")(ver.count())}")
+        time("verify noop")(mat(ver))
+        prefix.unpersist()
+        time("full jaccardJoinExactOnArrays")(mat(
+          Dedup.jaccardJoinExactOnArrays(docArr, "doc_id", tNum, tDen)))
+        time("full again")(mat(
+          Dedup.jaccardJoinExactOnArrays(docArr, "doc_id", tNum, tDen)))
       case "q86dec" =>
         // isolate the verify kernel: enumerate-only vs enumerate+levenshtein
         val cust = Tables.customer(spark, sfDir).filter(col("c_custkey") % 3 === 0)

@@ -218,10 +218,10 @@ object Dedup {
     // signatures are duplicate-insensitive (min over a multiset == min over
     // its set), so they read the RAW shingle stream — no distinct shuffle on
     // the full corpus. Band rows and candidates are cached: each feeds two
-    // joins. The input is spread first: a corpus arriving as few parquet
-    // splits would otherwise run the whole shingle+hash kernel in one task.
+    // joins. bandChain spreads its input internally: a corpus arriving as
+    // few parquet splits would otherwise run the shingle+hash kernel in one
+    // task.
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
-    val spread = df.repartition(par)
     val banded = bandChain(df, idCol, textCol, shingleSize, numHashes, bands).cache()
     val cand = lshCandidates(banded, idCol).cache()
     val candDocs = cand.select(col("id_a").as(idCol))
@@ -231,9 +231,20 @@ object Dedup {
     // shingle explode, so filtering the raw stream would re-run the whole
     // corpus's shingle kernel a second time — semi-join the documents first,
     // then shingle just those (verify work scales with survivors, not
-    // corpus). No distinct, no cache: jaccardVerify set-aggregates the raw
-    // stream in its one consuming pass.
-    val shSets = shinglesRaw(spread.join(broadcast(candDocs), Seq(idCol), "left_semi"),
+    // corpus). The semi-join runs BEFORE the skew-spreading repartition
+    // (guide §2.3: filter before the exchange), so only surviving
+    // documents' text crosses the shuffle — the old order shuffled the
+    // whole corpus payload to then drop the non-candidates (measured
+    // 54 -> 28 CPU-s on the q108 verify leg). No distinct, no cache:
+    // jaccardVerify set-aggregates the raw stream in its one consuming
+    // pass.
+    // round-robin ON PURPOSE (r18): jaccardVerify's collect_set output is
+    // joined TWICE (id_a and id_b sides); the aggregate's exchange is the
+    // reuse point that keeps the shingle kernel single-execution —
+    // hash-by-id would fuse the aggregate into the kernel stage and run
+    // the kernel once per join side
+    val shSets = shinglesRaw(
+      df.join(broadcast(candDocs), Seq(idCol), "left_semi").repartition(par),
       idCol, textCol, shingleSize)
     jaccardVerify(shSets, cand, idCol).filter(col("jaccard") >= threshold)
   }
@@ -290,7 +301,7 @@ object Dedup {
                         shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
     lshBands(minhashSignatures(
-      shinglesRaw(df.repartition(par), idCol, textCol, shingleSize), idCol, numHashes),
+      shinglesRaw(df.repartition(par, col(idCol)), idCol, textCol, shingleSize), idCol, numHashes),
       idCol, numHashes, bands)
   }
 
@@ -320,7 +331,7 @@ object Dedup {
     val par = corpus.sparkSession.sessionState.conf.numShufflePartitions
     NearDupIndex(
       bandChain(corpus, idCol, textCol, shingleSize, numHashes, bands),
-      shinglesRaw(corpus.repartition(par), idCol, textCol, shingleSize).distinct(),
+      shinglesRaw(corpus.repartition(par, col(idCol)), idCol, textCol, shingleSize).distinct(),
       shingleSize, numHashes, bands)
   }
 
@@ -372,7 +383,7 @@ object Dedup {
       // corpus side reads the INDEX, restricted to surviving ids
       val newSurvivors = newDf.join(
         broadcast(cand.select(col("id_a").as(idCol)).distinct()), Seq(idCol), "left_semi")
-      val newSh = shinglesRaw(newSurvivors.repartition(par), idCol, textCol, shingleSize)
+      val newSh = shinglesRaw(newSurvivors.repartition(par, col(idCol)), idCol, textCol, shingleSize)
       val corpusSh = index.shingleSets.join(
         broadcast(cand.select(col("id_b").as(idCol)).distinct()), Seq(idCol), "left_semi")
       // no distinct, no cache: jaccardVerify set-aggregates its one
@@ -656,7 +667,7 @@ object Dedup {
   def docShingleArrays(df: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int): DataFrame = {
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
-    shinglesRaw(df.repartition(par), idCol, textCol, shingleSize)
+    shinglesRaw(df.repartition(par, col(idCol)), idCol, textCol, shingleSize)
       .groupBy(col(idCol)).agg(collect_set(col("sh")).as("__arr"))
   }
 

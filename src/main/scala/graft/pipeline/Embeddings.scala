@@ -33,7 +33,7 @@ object Embeddings {
   /** id, q (quantized vector), n2 (exact squared norm). Repartitions so the
     * vector kernels parallelize even off a single small parquet split. */
   def prepare(df: DataFrame, idCol: String, embCol: String): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
       .select(col(idCol), quantize(col(embCol)).as("q"))
       .withColumn("n2", normSq(col("q")))
 
@@ -69,7 +69,7 @@ object Embeddings {
   def nearDupPairs(prepared: DataFrame, idCol: String, threshold: Double): DataFrame = {
     val par = prepared.sparkSession.sessionState.conf.numShufflePartitions
     val a = prepared.select(col(idCol).as("id_a"), col("q").as("qa"), col("n2").as("na"))
-      .repartition(par)
+      .repartition(par, col("id_a"))
     val b = prepared.select(col(idCol).as("id_b"), col("q").as("qb"), col("n2").as("nb"))
     // broadcast keeps this a BroadcastNestedLoopJoin (codegen) rather than a
     // CartesianProduct evaluating the scoring expression row-at-a-time; rows
@@ -408,7 +408,7 @@ object Embeddings {
     val par = prepared.sparkSession.sessionState.conf.numShufflePartitions
     val coded = pqEncodeWith(prepared, idCol, books, m)
       .select(col(idCol).as("neighbor_id"), col("pq_codes"))
-      .repartition(par)
+      .repartition(par, col("neighbor_id"))
     val queries = prepared.filter(queryPred)
       .select(col(idCol).as("query_id") +: (0 until m).flatMap { j =>
         val s = slice(col("q"), j * sub + 1, sub)

@@ -50,7 +50,7 @@ object QualityLM {
     * consumer — the q77/q78 standing-frame convention). */
   def train(ref: DataFrame, idCol: String, textCol: String): Model = {
     val par = ref.sparkSession.sessionState.conf.numShufflePartitions
-    val spread = ref.repartition(par)
+    val spread = ref.repartition(par, col(idCol))
     val uni = spread
       .select(explode(TextOps.tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
@@ -70,7 +70,7 @@ object QualityLM {
   def score(docs: DataFrame, idCol: String, textCol: String, model: Model,
             keep: Seq[String] = Nil): DataFrame = {
     val par = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val bg = Dedup.shinglesRaw(docs.repartition(par), idCol, textCol, 2)
+    val bg = Dedup.shinglesRaw(docs.repartition(par, col(idCol)), idCol, textCol, 2)
       .filter(col("sh").contains(" "))
     // per-bigram quantized nll: two broadcast lookups against the model
     val nll = bg

@@ -61,7 +61,7 @@ object QualityNB {
     // (review finding r16)
     val guarded = coalesce(col(labelCol).cast("string"), raise_error(lit(
       s"QualityNB.train: NULL $labelCol — every training doc needs a class")))
-    val spread = labeled.repartition(par)
+    val spread = labeled.repartition(par, col(textCol))
       .select(guarded.as("cls"), col(textCol).as("__text"))
     val inst = spread.select(col("cls"),
         explode(TextOps.tokens(col("__text"))).as("tok"))
@@ -118,7 +118,7 @@ object QualityNB {
       .reduce((a, b) => a.join(b, Seq("b"), "full_outer"))
 
     val par = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val dbc = docs.repartition(par)
+    val dbc = docs.repartition(par, col(idCol))
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
       .select(col(idCol), bucketOf(col("tok"), model.buckets).as("b"))
       .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("n"))

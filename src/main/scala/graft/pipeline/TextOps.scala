@@ -286,7 +286,7 @@ object TextOps {
     // array-transform formulation by ~an order of magnitude on long docs;
     // repartition first so the gram kernel parallelizes off few input splits
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
-    val grams = df.repartition(par).select(col(idCol),
+    val grams = df.repartition(par, col(idCol)).select(col(idCol),
       explode(sequence(lit(1), greatest(length(col(textCol)) - 4, lit(1)))).as("i"),
       col(textCol).as("_t"))
       .select(col(idCol), md5(col("_t").substr(col("i"), lit(5)).cast("binary")).as("g"))
@@ -346,7 +346,7 @@ object TextOps {
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
                    span: Int = 10): DataFrame = {
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
-    val wins = Dedup.shinglesRaw(df.repartition(par), idCol, textCol, span)
+    val wins = Dedup.shinglesRaw(df.repartition(par, col(idCol)), idCol, textCol, span)
       .select(col(idCol),
         expr("cast(conv(substr(md5(cast(sh as binary)), 1, 15), 16, 10) as bigint)").as("wh"))
       .cache() // read twice: doc-count aggregate + semi-join probe
@@ -390,19 +390,26 @@ object TextOps {
                      span: Int = 10): DataFrame = {
     require(span >= 1, s"span must be >= 1, got $span")
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
-    val toksDf = df.repartition(par).select(col(idCol),
+    val toksDf = df.repartition(par, col(idCol)).select(col(idCol),
       tokens(coalesce(col(textCol), lit(""))).as("t"))
     // 1-based window starts; short docs yield the single clamped tail
     // window (the dupSpanStats convention, so flag and rewrite agree) —
     // except ZERO-token docs, which emit no window at all (two blank docs
     // otherwise "share" the empty hash and report a phantom n_spans=1
     // with nothing removed)
-    val wins = toksDf.filter(size(col("t")) > 0).select(col(idCol), explode(expr(
-        s"""transform(sequence(1, greatest(size(t) - ${span - 1}, 1)),
-           |  s -> named_struct('s', s,
-           |    'wh', cast(conv(substr(md5(cast(array_join(slice(t, s, $span), ' ') as binary)),
-           |                    1, 15), 16, 10) as bigint)))""".stripMargin)).as("w"))
-      .select(col(idCol), col("w.s").as("s"), col("w.wh").as("wh"))
+    // explode window starts, then assemble window text with get()/concat_ws
+    // and hash it — all codegen operators (the transform(sequence, s ->
+    // md5(array_join(slice))) formulation is a higher-order function,
+    // interpreted per WINDOW — the shinglesRaw lesson). concat_ws skips the
+    // nulls get() returns past the end, reproducing slice()'s shorter tail
+    // window byte-for-byte, so wh is unchanged.
+    val wins = toksDf.filter(size(col("t")) > 0)
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(1), greatest(size(col("t")) - (span - 1), lit(1)))).as("s"))
+      .select(col(idCol), col("s"),
+        expr(s"""cast(conv(substr(md5(cast(concat_ws(' ',
+             |  ${(0 until span).map(j => s"get(t, s + $j - 1)").mkString(", ")}) as binary)),
+             |  1, 15), 16, 10) as bigint)""".stripMargin).as("wh"))
       .cache() // two consumers: the canonical aggregate + the occurrence join
     val canon = wins.groupBy(col("wh"))
       .agg(min(col(idCol)).as("canon_id"), countDistinct(col(idCol)).as("nd"))
@@ -506,7 +513,7 @@ object TextOps {
     // contain the separator, so every TRUE bigram has one space, while the
     // single tail window of a 0/1-token document has none — one cheap
     // post-projection filter, one tokenization.
-    val bg = Dedup.shinglesRaw(df.repartition(par), idCol, textCol, 2)
+    val bg = Dedup.shinglesRaw(df.repartition(par, col(idCol)), idCol, textCol, 2)
       .filter(col("sh").contains(" ")).cache()
     val counts = bg.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
     bg.join(counts, "sh")
@@ -538,9 +545,9 @@ object TextOps {
   def collocations(df: DataFrame, idCol: String, textCol: String,
                    minCount: Long = 5, k: Int = 20): DataFrame = {
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
-    val bg = Dedup.shinglesRaw(df.repartition(par), idCol, textCol, 2)
+    val bg = Dedup.shinglesRaw(df.repartition(par, col(idCol)), idCol, textCol, 2)
       .filter(col("sh").contains(" ")) // true bigrams only (see lmScore)
-    val toks = df.repartition(par).select(explode(tokens(col(textCol))).as("tok"))
+    val toks = df.repartition(par, col(idCol)).select(explode(tokens(col(textCol))).as("tok"))
     val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val tot = uni.agg(sum(col("cnt")).as("t_total"))
     val bgc = bg.groupBy(col("sh")).agg(count(lit(1)).as("pair_cnt"))
@@ -710,7 +717,7 @@ object TextOps {
   def sourceDivergence(df: DataFrame, textCol: String, srcCol: String): DataFrame = {
     val spark = df.sparkSession
     val par = spark.sessionState.conf.numShufflePartitions
-    val perSrcTok = df.repartition(par)
+    val perSrcTok = df.repartition(par, col(textCol))
       .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_s"))
       .cache() // feeds the corpus-count aggregate, the totals, and the join

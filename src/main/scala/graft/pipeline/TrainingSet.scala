@@ -536,6 +536,10 @@ object TrainingSet {
     def bucket(sh: Column): Column = md5Bucket(sh, buckets)
     // true bigrams only: tokens never contain the separator (see lmScore)
     def big(df: DataFrame, withId: Boolean): DataFrame = {
+      // round-robin ON PURPOSE (r18): hash-by-id would fuse the dbc
+      // aggregate into the kernel stage, removing the exchange that
+      // dbc's TWO consumers (cr and docsum) reuse — measured 2x the
+      // corpus kernel (30 -> 63 CPU-s) when converted
       val inst = Dedup.shinglesRaw(df.repartition(par), idCol, textCol, 2)
         .filter(col("sh").contains(" "))
       (if (withId) inst.select(col(idCol), bucket(col("sh")).as("b"))
