@@ -30,6 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // an 8g heap badly (GC pressure grew the shared-query total ~15% as the
   // suite grew); the box has 128 GiB, so give the fork real headroom
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  // 129-query suite × dozens of codegen units each: the JDK17 default
+  // 240m reserved code cache fills mid-suite and flushing evicts warm
+  // methods, so later iterations re-JIT from scratch (reserve is virtual
+  // address space — committed only as used)
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "1g")}",
 )
 // forward graft.* sysprops (e.g. -Dgraft.scale.smoke.dir=...) into the
 // forked test/run JVMs — sbt -D only reaches sbt's own JVM

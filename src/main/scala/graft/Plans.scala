@@ -17,7 +17,11 @@ object Plans {
       : Map[String, SparkSession => org.apache.spark.sql.DataFrame] = Map(
     "q86_fuzzy_join" -> (s => graft.pipeline.FuzzyJoin.editDistanceJoinLazy(
       Tables.customer(s, sfDir).filter(org.apache.spark.sql.functions.col("c_custkey") % 3 === 0),
-      "c_custkey", "c_name", maxDist = 2))
+      "c_custkey", "c_name", maxDist = 2)),
+    "q77_jaccard_join" -> (s => graft.pipeline.Dedup.jaccardJoinExactLazy(
+      Tables.documents(s, sfDir), "doc_id", "text", 3, 1, 2)),
+    "q78_containment" -> (s => graft.pipeline.Dedup.containmentJoinLazy(
+      Tables.documents(s, sfDir), "doc_id", "text", 3, 10, 1, 5))
   )
 
   def main(args: Array[String]): Unit = {

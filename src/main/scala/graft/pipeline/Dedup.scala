@@ -554,7 +554,7 @@ object Dedup {
     // hash, aggregated as 16 sum columns in a single shuffle. Repartition
     // first: few input splits would serialize the hash kernel.
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
-    val toks = df.repartition(par)
+    val toks = df.repartition(par, col(idCol))
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
       .withColumn("h", md5(col("tok").cast("binary")))
     val votes = (0 until 16).map { b =>
@@ -581,7 +581,7 @@ object Dedup {
     // bit 16k + j) — each of the 64 bit-votes is then a shift/AND instead of
     // a string probe, and the ±1 vote sum is derived from the bit-count:
     // sum(±1) > 0  ⟺  2 * ones > n_tokens.
-    val toks = df.repartition(par)
+    val toks = df.repartition(par, col(idCol))
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
       .withColumn("h", md5(col("tok").cast("binary")))
       .select(Seq(col(idCol)) ++ (0 until 4).map(k =>
@@ -615,10 +615,14 @@ object Dedup {
       .cache()
     val a = seg.select(col("n"), col("nv"), col(idCol).as("id_a"), col("simhash").as("sim_a"))
     val b = seg.select(col("n"), col("nv"), col(idCol).as("id_b"), col("simhash").as("sim_b"))
+    // hamming filter BEFORE the pair dedup (r18): bit_count is a codegen
+    // scalar, so verifying inside the join stage costs ~nothing while the
+    // distinct exchange then carries only true pairs (× segment
+    // multiplicity ≤ numSegments) instead of every bucket collision
     a.join(b, Seq("n", "nv")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        expr("bit_count(sim_a ^ sim_b)").as("hamming")).distinct()
-      .filter(col("hamming") <= maxHamming)
+        expr("bit_count(sim_a ^ sim_b)").as("hamming"))
+      .filter(col("hamming") <= maxHamming).distinct()
   }
 
   /** EXACT n-gram Jaccard similarity join via prefix filtering (the
