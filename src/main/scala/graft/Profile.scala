@@ -210,6 +210,48 @@ object Profile {
           Dedup.jaccardJoinExactOnArrays(standing, "doc_id")))
         time("jaccardJoinExactOnArrays #2")(mat(
           Dedup.jaccardJoinExactOnArrays(standing, "doc_id")))
+      case "q86lev" =>
+        // pure kernel isolation via count(): join-probe only vs join+lev
+        val cust = Tables.customer(spark, sfDir).filter(col("c_custkey") % 3 === 0)
+        val k = 2; val q = 3; val prefLen = 7
+        val base = cust.select(col("c_custkey").cast("long").as("id"), col("c_name").as("s"))
+          .withColumn("len", length(col("s")))
+        val grams = base
+          .select(col("id"), col("s"), col("len"),
+            explode(sequence(lit(1), col("len") - (q - 1))).as("pos"))
+          .select(col("id"), col("s"), col("len"), col("pos"),
+            col("s").substr(col("pos"), lit(q)).as("g"))
+        val gdf = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("gdf").asc, col("g").asc, col("pos").asc)
+        val prefix = grams.join(gdf, "g")
+          .select(col("id"), col("s"), col("len"), col("g"), row_number().over(w).as("rn"))
+          .filter(col("rn") <= prefLen)
+          .select(col("id"), col("s"), col("len"), col("g"))
+          .dropDuplicates("id", "g").localCheckpoint(true)
+        time("prefix checkpoint")(prefix.count())
+        val joined = prefix
+          .select(col("g"), col("id").as("id_a"), col("len").as("len_x"), col("s").as("s_a"))
+          .join(prefix.select(col("g"), col("id").as("id_b"), col("len").as("len_y"),
+            col("s").as("s_b")), "g")
+          .filter(col("id_a") < col("id_b") && abs(col("len_x") - col("len_y")) <= k)
+        (1 to 3).foreach { i =>
+          time(s"probe-only count #$i")(joined.count())
+          time(s"probe+lev count #$i")(
+            joined.filter(levenshtein(col("s_a"), col("s_b"), k) >= 0).count())
+        }
+        prefix.unpersist()
+      case "q127ab" =>
+        import graft.pipeline.Embeddings
+        val docs = Tables.documents(spark, sfDir)
+        (1 to 3).foreach { i =>
+          val df = Embeddings.maxSimTopK(docs, "doc_id", "text",
+            queries = Seq(("q_agg", "agg group zebra"), ("q_join", "merge join quantile"),
+              ("q_scan", "gazelle table scan")), topK = 5)
+          time(s"planning only #$i")(df.queryExecution.executedPlan)
+          stages(spark, s"maxSimTopK exec #$i")(mat(df))
+          spark.catalog.clearCache()
+        }
       case "q106ab" =>
         import graft.pipeline.TextOps
         val docs = Tables.documents(spark, sfDir).localCheckpoint(true)

@@ -752,10 +752,18 @@ object Embeddings {
     def embed(tok: Column): Column = array((0 until 8).map(i =>
       conv(substring(md5(tok), 1 + 4 * i, 4), 16, 10).cast("long") - 32768L): _*)
 
+    // re-spread AFTER the distinct (r18): its shuffle output is bytes-tiny
+    // (two narrow columns), so AQE coalesces it toward ONE partition — and
+    // the expensive downstream stage (8-lane embed × per-query-token
+    // interaction join × max/sum aggregates) then ran single-task
+    // (measured 3.4 CPU-s serial = ~75 % of the query's wall). Hashing by
+    // id restores width for compute the byte-based coalescing can't see.
+    val par = spark.sessionState.conf.numShufflePartitions
     val dt = docs
       .select(col(idCol),
         explode(slice(TextOps.tokens(col(textCol)), 1, maxDocTokens)).as("tok"))
       .distinct()
+      .repartition(par, col(idCol))
       .select(col(idCol), embed(col("tok")).as("dv"))
 
     // positional query tokens: a repeated query term contributes once per
