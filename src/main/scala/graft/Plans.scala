@@ -38,7 +38,9 @@ object Plans {
       .withExtensions(new graft.spark.sql.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = java.nio.file.Paths.get("/root/repo/plans/r18")
+    // round-parameterized via env (ADVICE r18): default to the current round
+    val dir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "/root/repo/plans/r19"))
     java.nio.file.Files.createDirectories(dir)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

