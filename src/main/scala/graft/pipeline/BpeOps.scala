@@ -375,9 +375,12 @@ object BpeOps {
     // SPARK-23207's sort-before-repartition); no-op at cluster scale
     val wide = {
       val conf = spark.sessionState.conf
-      val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (est >= BigInt(conf.filesMaxPartitionBytes) * conf.numShufflePartitions) docs
-      else docs.repartition(conf.numShufflePartitions)
+      if (docs.isStreaming) docs // stream-safe: micro-batch plans stay as-is
+      else {
+        val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (est >= BigInt(conf.filesMaxPartitionBytes) * conf.numShufflePartitions) docs
+        else docs.repartition(conf.numShufflePartitions)
+      }
     }
     val staged = wide.withColumn(tmp, coalesce(lower(col(textCol)), lit("")))
     val li = staged.schema.fieldIndex(tmp)

@@ -28,6 +28,10 @@ object TextOps {
     * inputs). */
   private[graft] def spreadNarrow[T](df: org.apache.spark.sql.Dataset[T],
                                      key: Column): org.apache.spark.sql.Dataset[T] = {
+    // STREAM-SAFE: these kernels also run unchanged inside streaming
+    // micro-batch plans, where (a) probing optimizedPlan would trip the
+    // batch-only checker and (b) the engine already sizes micro-batches
+    if (df.isStreaming) return df
     val conf = df.sparkSession.sessionState.conf
     val par = conf.numShufflePartitions
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes

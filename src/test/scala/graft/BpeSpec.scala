@@ -218,7 +218,12 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hist = Seq("low" -> 6L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
     val model = BpeOps.BpeModel(BpeOps.trainMerges(hist, 5),
       BpeOps.buildVocab(hist.map(_._1), BpeOps.trainMerges(hist, 5)))
-    val got = BpeOps.withTokenIds(docs, "text", model, "tok")
+    // cluster-scale shape: with the split size floored the input counts as
+    // wide and the scale-adaptive spread (r19) is a no-op — the apply stays
+    // a zero-shuffle projection exactly where a shuffle would hurt
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+    val got = try BpeOps.withTokenIds(docs, "text", model, "tok")
+      finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
     assert(got.columns.toSeq == Seq("doc_id", "text", "tok"))
     val plan = got.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")

@@ -282,13 +282,38 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges <= 2, s"sampling introduced shuffles ($exchanges):\n$plan")
   }
 
+  /** Runs `body` with the scan-split size floored to 1 byte, so
+    * TextOps.spreadNarrow sees a "wide" input (est ≥ splits × width) and
+    * the CLUSTER-SCALE plan shape — the zero-shuffle projection — is what
+    * the gate asserts. The small-scale spread itself is gated separately
+    * below. */
+  private def atClusterScale[A](body: => A): A = {
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+    try body finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
   test("repetition stats are a zero-shuffle projection inside codegen") {
-    val df = graft.pipeline.TextOps.repetitionStats(
-      graft.Tables.documents(spark, sf), "doc_id", "text")
-    val plan = physicalPlan(df)
-    assert(!plan.contains("Exchange"), s"repetition stats must not shuffle:\n$plan")
-    assert(!plan.contains("Generate"), s"repetition stats must not explode:\n$plan")
-    assert(!plan.contains("Join"), s"repetition stats must not join:\n$plan")
+    atClusterScale {
+      val df = graft.pipeline.TextOps.repetitionStats(
+        graft.Tables.documents(spark, sf), "doc_id", "text")
+      val plan = physicalPlan(df)
+      assert(!plan.contains("Exchange"), s"repetition stats must not shuffle:\n$plan")
+      assert(!plan.contains("Generate"), s"repetition stats must not explode:\n$plan")
+      assert(!plan.contains("Join"), s"repetition stats must not join:\n$plan")
+    }
+  }
+
+  test("per-row kernels spread a NARROW scan by id, and only a narrow one") {
+    // small input (estimate below splits × width): one hash-by-id exchange
+    val narrow = physicalPlan(graft.pipeline.TextOps.repetitionStats(
+      graft.Tables.documents(spark, sf), "doc_id", "text"))
+    assert(narrow.split('\n').count(_.contains("Exchange hashpartitioning")) == 1,
+      s"narrow scan must spread before the per-row kernel:\n$narrow")
+    // wide input (estimate at/above splits × width): the spread is a no-op
+    val wide = atClusterScale(physicalPlan(graft.pipeline.TextOps.repetitionStats(
+      graft.Tables.documents(spark, sf), "doc_id", "text")))
+    assert(!wide.contains("Exchange"),
+      s"wide scan must keep the zero-shuffle projection:\n$wide")
   }
 
   test("collocations: equi-joins on the vocabulary, single-row total broadcast, top-k take") {
@@ -330,21 +355,25 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("pii redaction is a zero-shuffle projection") {
-    val df = graft.pipeline.TextOps.piiStats(
-      graft.Tables.documents(spark, sf), "doc_id", "text")
-    val plan = physicalPlan(df)
-    assert(!plan.contains("Exchange"), s"pii stats must not shuffle:\n$plan")
-    assert(!plan.contains("Join") && !plan.contains("Generate"),
-      s"pii stats must stay a per-row projection:\n$plan")
+    atClusterScale {
+      val df = graft.pipeline.TextOps.piiStats(
+        graft.Tables.documents(spark, sf), "doc_id", "text")
+      val plan = physicalPlan(df)
+      assert(!plan.contains("Exchange"), s"pii stats must not shuffle:\n$plan")
+      assert(!plan.contains("Join") && !plan.contains("Generate"),
+        s"pii stats must stay a per-row projection:\n$plan")
+    }
   }
 
   test("c4 line filter is a zero-shuffle per-row projection") {
-    val df = graft.pipeline.TextOps.c4LineFilter(
-      graft.Tables.documents(spark, sf), "doc_id", "text")
-    val plan = physicalPlan(df)
-    assert(!plan.contains("Exchange"), s"c4 line filter must not shuffle:\n$plan")
-    assert(!plan.contains("Join") && !plan.contains("Generate"),
-      s"c4 line filter must stay a per-row projection:\n$plan")
+    atClusterScale {
+      val df = graft.pipeline.TextOps.c4LineFilter(
+        graft.Tables.documents(spark, sf), "doc_id", "text")
+      val plan = physicalPlan(df)
+      assert(!plan.contains("Exchange"), s"c4 line filter must not shuffle:\n$plan")
+      assert(!plan.contains("Join") && !plan.contains("Generate"),
+        s"c4 line filter must stay a per-row projection:\n$plan")
+    }
   }
 
   test("sessionization is ONE shuffle + sort serving both windows") {
@@ -466,12 +495,14 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("gopher rules are a zero-shuffle projection (aside from the output ordering)") {
+    atClusterScale {
     val plan = physicalPlan(PipelineQueries.queries("q76_gopher_rules")(spark, sf))
     assert(!plan.contains("Join"), s"gopher rules must not join:\n$plan")
     assert(!plan.contains("Generate"), s"gopher rules must not explode:\n$plan")
     // only the final orderBy may exchange
     val exchanges = plan.split('\n').count(_.contains("Exchange"))
     assert(exchanges <= 1, s"gopher rules introduced shuffles ($exchanges):\n$plan")
+    }
   }
 
   test("exact jaccard join: every join is an equi-join (prefix/shingle/id keys)") {
