@@ -104,22 +104,25 @@ object Profile {
         import graft.catalog.{FileCatalog, TableIdent}
         import graft.spark.{IceMV, IceWrite}
         import graft.spec.{IceSchema, IceType, PartitionSpec}
-        val cat = new FileCatalog(
-          java.nio.file.Files.createTempDirectory("prof_wh").toString)
-        val li = Tables.lineitem(spark, sfDir)
-          .select(col("l_orderkey"), col("l_returnflag"),
-            col("l_quantity").cast("decimal(18,2)").as("qty"))
-        val (struct, _) = IceType.fromSparkAssignIds(li.schema)
-        var t = time("createTable")(cat.createTable(
-          TableIdent(Seq("bench"), "li"), IceSchema(0, struct.fields), PartitionSpec(0, Nil)))
-        t = time("append even half")(IceWrite.append(spark, t, li.filter(col("l_orderkey") % 2 === 0)))
-        val mv = TableIdent(Seq("bench"), "flag_stats")
-        time("mv create")(IceMV.create(spark, cat, mv,
-          "SELECT l_returnflag, count(*) AS n, sum(qty) AS sum_qty, min(qty) AS min_qty, max(qty) AS max_qty FROM li GROUP BY l_returnflag"))
-        time("mv full refresh")(IceMV.refresh(spark, cat, mv))
-        t = time("append odd half")(IceWrite.append(spark, t.refresh(), li.filter(col("l_orderkey") % 2 === 1)))
-        time("mv incremental refresh")(IceMV.refresh(spark, cat, mv))
-        time("mv read")(mat(IceMV.read(spark, cat, mv)))
+        (1 to 3).foreach { it =>
+          val cat = new FileCatalog(
+            java.nio.file.Files.createTempDirectory("prof_wh").toString)
+          val li = Tables.lineitem(spark, sfDir)
+            .select(col("l_orderkey"), col("l_returnflag"),
+              col("l_quantity").cast("decimal(18,2)").as("qty"))
+          val (struct, _) = IceType.fromSparkAssignIds(li.schema)
+          var t = time(s"#$it createTable")(cat.createTable(
+            TableIdent(Seq("bench"), "li"), IceSchema(0, struct.fields), PartitionSpec(0, Nil)))
+          t = time(s"#$it append even half")(IceWrite.append(spark, t, li.filter(col("l_orderkey") % 2 === 0)))
+          val mv = TableIdent(Seq("bench"), "flag_stats")
+          time(s"#$it mv create")(IceMV.create(spark, cat, mv,
+            "SELECT l_returnflag, count(*) AS n, sum(qty) AS sum_qty, min(qty) AS min_qty, max(qty) AS max_qty FROM li GROUP BY l_returnflag"))
+          time(s"#$it mv full refresh")(IceMV.refresh(spark, cat, mv))
+          t = time(s"#$it append odd half")(IceWrite.append(spark, t.refresh(), li.filter(col("l_orderkey") % 2 === 1)))
+          time(s"#$it mv incremental refresh")(IceMV.refresh(spark, cat, mv))
+          time(s"#$it mv read")(mat(IceMV.read(spark, cat, mv)))
+          spark.catalog.clearCache()
+        }
       case "write3" =>
         // decomposes the per-ACID-write constant (VERDICT r12 #4): a 3-row
         // append's wall-time split into the Spark write job, the footer
@@ -207,7 +210,7 @@ object Profile {
           Dedup.docShingleArrays(docs, "doc_id", "text", 3).localCheckpoint(true))
         time("containmentJoinOnArrays #1")(mat(
           Dedup.containmentJoinOnArrays(standing, "doc_id")))
-        time("containmentJoinOnArrays #2")(mat(
+        stages(spark, "containmentJoinOnArrays #2")(mat(
           Dedup.containmentJoinOnArrays(standing, "doc_id")))
         time("jaccardJoinExactOnArrays #1")(mat(
           Dedup.jaccardJoinExactOnArrays(standing, "doc_id")))
@@ -581,6 +584,17 @@ object Profile {
             Embeddings.pqTopKIVF(prep, "vec_id", 3, col("vec_id") < 20)))
           org.apache.spark.sql.GraftShim.drainListenerBus(spark)
           println(s"[profile] jobs = ${jobs.get}")
+          spark.catalog.clearCache()
+        }
+      case "q51" =>
+        import graft.pipeline.Dedup
+        val docs = Tables.documents(spark, sfDir)
+        val idx = Dedup.buildNearDupIndex(
+          docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text").materialize()
+        (1 to 3).foreach { i =>
+          stages(spark, s"probeNearDupsIndexed #$i")(mat(
+            Dedup.probeNearDupsIndexed(docs.filter(col("doc_id") % 10 === 7), idx,
+              "doc_id", "text", threshold = 0.5)))
           spark.catalog.clearCache()
         }
       case "q109" =>

@@ -143,10 +143,15 @@ object Dedup {
     candidates
       .join(docArr.select(col(idCol).as("id_a"), col("__arr").as("__ca")), "id_a")
       .join(docArr.select(col(idCol).as("id_b"), col("__arr").as("__cb")), "id_b")
+      // intersection STAGED under an alias (the repetitionStats HOF-staging
+      // rule): inlined, the two references (numerator + union denominator)
+      // each build the per-row hash set — the verify kernel's whole cost —
+      // twice per candidate pair
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("__ca"), col("__cb"))).cast("double")
-          / (size(col("__ca")) + size(col("__cb"))
-            - size(array_intersect(col("__ca"), col("__cb"))))).as("jaccard"))
+        size(array_intersect(col("__ca"), col("__cb"))).cast("double").as("__i"),
+        (size(col("__ca")) + size(col("__cb"))).cast("double").as("__t"))
+      .select(col("id_a"), col("id_b"),
+        (col("__i") / (col("__t") - col("__i"))).as("jaccard"))
 
   /** Paragraph-granularity near-dup: split each page into paragraphs on
     * blank lines, run the standing MinHash band pipeline PER PARAGRAPH,
@@ -380,17 +385,38 @@ object Dedup {
     try {
       // verify shingles: the batch side re-shingles its survivors (semi-join
       // first — the semi-join cannot push through the shingle explode); the
-      // corpus side reads the INDEX, restricted to surviving ids
+      // corpus side reads the INDEX, restricted to surviving ids.
+      // round-robin ON PURPOSE (the minhashNearDups r18 rule): the verify's
+      // collect_set aggregate feeds TWO join sides, and only a post-kernel
+      // exchange gives ReusedExchange a barrier — hash-by-id fused the
+      // aggregate into the kernel stage and the whole union (batch
+      // re-shingle + the 235k-row index shingle-set scan) executed TWICE
+      // per probe (measured in the q51 stage decomposition, r19)
       val newSurvivors = newDf.join(
         broadcast(cand.select(col("id_a").as(idCol)).distinct()), Seq(idCol), "left_semi")
-      val newSh = shinglesRaw(newSurvivors.repartition(par, col(idCol)), idCol, textCol, shingleSize)
+      val newSh = shinglesRaw(newSurvivors.repartition(par), idCol, textCol, shingleSize)
       val corpusSh = index.shingleSets.join(
         broadcast(cand.select(col("id_b").as(idCol)).distinct()), Seq(idCol), "left_semi")
-      // no distinct, no cache: jaccardVerify set-aggregates its one
-      // consuming pass (batch and corpus ids are disjoint, so the union's
-      // per-doc groups are well-defined)
-      val shSets = newSh.unionByName(corpusSh)
-      jaccardVerify(shSets, cand, idCol).filter(col("jaccard") >= threshold)
+      // SIDE-SPLIT verify (r19): every candidate's id_a is a BATCH doc and
+      // id_b an INDEX doc by construction, so each verify join consumes its
+      // own side's set aggregate directly — the old union-then-aggregate
+      // shape made the aggregate a two-consumer subtree that exchange reuse
+      // could not deduplicate across the union (measured in the q51 stage
+      // decomposition: the whole union, index scan included, ran twice per
+      // probe). Now each subtree executes exactly once, unioned nowhere.
+      val aggNew = newSh.groupBy(col(idCol))
+        .agg(collect_set(col("sh")).as("__arr"))
+        .select(col(idCol).as("id_a"), col("__arr").as("__ca"))
+      val aggCor = corpusSh.groupBy(col(idCol))
+        .agg(collect_set(col("sh")).as("__arr"))
+        .select(col(idCol).as("id_b"), col("__arr").as("__cb"))
+      cand.join(aggNew, "id_a").join(aggCor, "id_b")
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("__ca"), col("__cb"))).cast("double").as("__i"),
+          (size(col("__ca")) + size(col("__cb"))).cast("double").as("__t"))
+        .select(col("id_a"), col("id_b"),
+          (col("__i") / (col("__t") - col("__i"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
         .select(col("id_a").as("id_new"), col("id_b").as("dup_of"), col("jaccard"))
         .localCheckpoint(true)
     } finally cand.unpersist()

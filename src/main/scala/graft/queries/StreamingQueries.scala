@@ -76,8 +76,12 @@ object StreamingQueries {
       var src = cat.createTable(TableIdent(Seq("bench"), "ups_src"), srcSchema, PartitionSpec(0, Nil))
       val tgt = cat.createTable(TableIdent(Seq("bench"), "ups_tgt"), tgtSchema, PartitionSpec(0, Nil))
       val mid = ch.agg(max(col("lsn"))).head().getLong(0) / 2
+      // stream-sized child session for the upsert's per-batch window —
+      // see q84; the change-stream source is orders-sized
+      val sUps = IceStreaming.sizedSession(s,
+        new java.io.File(s"$d/orders.parquet").length())
       def applyBatch(): Unit =
-        IceStreaming.streamUpsert(s, src.refresh(), tgt, keyIds = Seq(1),
+        IceStreaming.streamUpsert(sUps, src.refresh(), tgt, keyIds = Seq(1),
           orderCol = "lsn", checkpoint = ckpt, opCol = Some("op"),
           trigger = Trigger.AvailableNow()).awaitTermination()
       src = graft.spark.IceWrite.append(s, src, ch.filter(col("lsn") <= mid))
@@ -95,9 +99,19 @@ object StreamingQueries {
     // output mode: AvailableNow never advances the watermark past the last
     // window, so append would hold the final windows back forever.
     // Decimal-exact sums (IEEE double only at the surface, like q33).
-    "q84_stream_window" -> ((s, d) => {
+    "q84_stream_window" -> ((s0, d) => {
       import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
-      val unit = graft.Tables.tsUnit(s, s"$d/events.parquet", "ts")
+      val unit = graft.Tables.tsUnit(s0, s"$d/events.parquet", "ts")
+      // ISOLATED stream-sized child session (the dupClusters pattern):
+      // stateful operators allocate one state store per shuffle partition
+      // PER micro-batch, so a toy-scale source paying the caller's full
+      // width spends its wall on store open/commit machinery, not on
+      // aggregation (measured 10.8 CPU-s for a 3 MB source at width 32).
+      // Width derives from SOURCE BYTES (~32 MB of input per state
+      // partition, floor 1) and saturates at the caller's width, so a
+      // cluster-scale source keeps the caller's parallelism exactly where
+      // the state actually needs it. Results are width-independent.
+      val s = IceStreaming.sizedSession(s0, new java.io.File(s"$d/events.parquet").length())
       val raw = s.readStream
         .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
         .option("pathGlobFilter", "events.parquet")
@@ -125,7 +139,9 @@ object StreamingQueries {
         .orderBy("window_start", "event_type")
         .localCheckpoint(true)
       s.catalog.dropTempView(sink)
-      out
+      // rebind the checkpoint-backed result to the CALLER's session — the
+      // child exists only to scope the stream's width conf
+      org.apache.spark.sql.GraftShim.ofRows(s0, out.queryExecution.analyzed)
     }),
 
     // STATEFUL streaming sessionization (flatMapGroupsWithState), judge-
@@ -135,10 +151,13 @@ object StreamingQueries {
     // reproduces with a gap-break window. Values are floor-quantized to
     // cents BEFORE the stateful sum (integer-valued doubles add exactly in
     // any order), so totals hash-match the oracle's BIGINT sums.
-    "q90_stream_sessions" -> ((s, d) => {
+    "q90_stream_sessions" -> ((s0, d) => {
       import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+      val unit = graft.Tables.tsUnit(s0, s"$d/events.parquet", "ts")
+      // stream-sized child session — see q84; flatMapGroupsWithState pays
+      // the same one-state-store-per-shuffle-partition constant
+      val s = IceStreaming.sizedSession(s0, new java.io.File(s"$d/events.parquet").length())
       import s.implicits._
-      val unit = graft.Tables.tsUnit(s, s"$d/events.parquet", "ts")
       val raw = s.readStream
         .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
         .option("pathGlobFilter", "events.parquet")
@@ -162,7 +181,7 @@ object StreamingQueries {
         .orderBy("user_id", "start_ms")
         .localCheckpoint(true)
       s.catalog.dropTempView(sink)
-      out
+      org.apache.spark.sql.GraftShim.ofRows(s0, out.queryExecution.analyzed)
     })
   )
 

@@ -26,6 +26,33 @@ import graft.table.IceTable
   */
 object IceStreaming {
 
+  /** Bytes of source input per stateful-stream shuffle partition used by
+    * [[sizedSession]] — each state-store partition costs per-batch open/
+    * commit machinery, so width should track data volume, not the session
+    * constant. */
+  private val BytesPerStatePartition: Long = 32L << 20
+
+  /** A CHILD session (shared SparkContext / catalog, fresh SQLConf — the
+    * dupClusters isolation pattern) whose shuffle width derives from the
+    * SOURCE size: `ceil(bytes / 32MB)` partitions, saturating at the
+    * caller's width. Stateful streaming operators allocate one state store
+    * per shuffle partition per micro-batch; a toy-scale stream at the
+    * session's full width spends its wall on store machinery, while a
+    * cluster-scale source (bytes ≥ 32MB × width) keeps the caller's width
+    * exactly where the state needs it. The caller's conf is never touched;
+    * results are width-independent. */
+  def sizedSession(spark: SparkSession, sourceBytes: Long): SparkSession = {
+    val par = spark.sessionState.conf.numShufflePartitions
+    val p = math.max(1L, math.min(par.toLong,
+      (math.max(sourceBytes, 0L) + BytesPerStatePartition - 1) / BytesPerStatePartition)).toInt
+    if (p >= par) spark
+    else {
+      val child = spark.newSession()
+      child.conf.set("spark.sql.shuffle.partitions", p.toString)
+      child
+    }
+  }
+
   /** Snapshot-summary keys that make streaming ingest EXACTLY-once: every
     * micro-batch commit stamps its (stream id, batch id) into the snapshot
     * summary ATOMICALLY with the data, and a restarted query skips batch
