@@ -616,6 +616,8 @@ object TextOps {
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k: Int = 50): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
+    // NOT spread (r19 A/B): wall-neutral, ~3x CPU — the tf kernel is too
+    // cheap per row to amortize the added exchange at bench scale
     val toks = df.select(col(idCol), tokens(col(textCol)).as("w"))
       .select(col(idCol), col("w"), size(col("w")).cast("long").as("dl"))
     val stats = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))

@@ -31,7 +31,11 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: hash aggregate with partial/final phases; filter pushed to scan.
     "q1_pricing_summary" -> ((s, d) => {
-      lineitem(s, d)
+      // spread-if-narrow (r19, guide §2.6): at bench SF the whole lineitem
+      // table is one scan split, so the heavy decimal partial aggregate ran
+      // single-task; no-op at cluster scale (and partial aggregation before
+      // the exchange is untouched there)
+      graft.pipeline.TextOps.spreadNarrow(lineitem(s, d), col("l_orderkey"))
         .filter(col("l_shipdate") <= lit("2000-12-01"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
